@@ -1,0 +1,161 @@
+package graft.dedup
+
+import graft.fns.Fns
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines
+  * (BASELINE.json north-star; first-class alongside the SURVEY §2 ops).
+  *
+  * All candidate generation is *blocked* (LSH bands / explicit block keys)
+  * so no stage is O(n²) over the corpus — the only shuffles are
+  * groupBy(signature) and the band-bucket self-join, both on bounded keys.
+  * Everything is codegen'd Catalyst expressions: no UDFs anywhere.
+  */
+object Dedup {
+
+  private def tokens(text: Column): Column = array_distinct(split(text, " "))
+
+  /** Exact dedup on a canonicalized signature: the sorted distinct token
+    * set. One hash-shuffle on the signature; emits one row per duplicate
+    * group `(keep_doc_id = min id, dup_count)`.
+    *
+    * Scale path (100 TB): group on `xxhash64(sig)` instead of the raw
+    * string so the shuffle key is 8 bytes — kept as the raw signature here
+    * for bit-exact oracle parity.
+    */
+  def exactByCanonicalTokens(df: DataFrame, text: Column, id: Column): DataFrame =
+    df.select(id.as("doc_id"),
+        array_join(array_sort(tokens(text)), " ").as("sig"))
+      .groupBy(col("sig"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("dup_count"))
+      .select(col("keep_doc_id"), col("dup_count"))
+
+  /** Token-set Jaccard near-dup pairs within a blocking key (the classic
+    * n-gram Jaccard dedup, blocked so candidates are O(pairs-per-block)).
+    * Threshold is applied to the *unrounded* similarity; output is rounded
+    * to 6 decimals (QDef determinism contract).
+    */
+  def jaccardPairs(df: DataFrame, text: Column, id: Column,
+                   blockCol: String, threshold: Double): DataFrame = {
+    val d = df.select(col(blockCol).as("blk"), id.as("doc_id"),
+      tokens(text).as("toks"))
+    val a = d.select(col("blk"), col("doc_id").as("doc_a"), col("toks").as("toks_a"))
+    val b = d.select(col("blk"), col("doc_id").as("doc_b"), col("toks").as("toks_b"))
+    val inter = size(array_intersect(col("toks_a"), col("toks_b"))).cast("double")
+    val jac = inter / (size(col("toks_a")) + size(col("toks_b")) - inter)
+    a.join(b, Seq("blk")).where(col("doc_a") < col("doc_b"))
+      .withColumn("jac", jac)
+      .where(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
+  }
+
+  /** Embedding-cosine near-dup pairs within a blocking key. Double-precision
+    * strict-fold dot products (Fns.cosineSim) so results are deterministic
+    * and engine-portable.
+    */
+  def embeddingNearDupPairs(emb: DataFrame, blockCol: String,
+                            threshold: Double): DataFrame = {
+    val a = emb.select(col(blockCol).as("blk"), col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"))
+    val b = emb.select(col(blockCol).as("blk"), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"))
+    val cos = Fns.cosineSim(col("emb_a"), col("emb_b"))
+    a.join(b, Seq("blk")).where(col("vec_a") < col("vec_b"))
+      .withColumn("cos", cos)
+      .where(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cosine"))
+  }
+
+  // Deterministic affine MinHash family: h_i(x) = (a_i·xxhash64(x) + b_i) mod P.
+  // Constants from a fixed LCG seed — reproducible across runs and engines.
+  private val MinHashP = 2038074743L // prime < 2^31
+  private def affineConsts(n: Int): Seq[(Long, Long)] = {
+    var s = 0x5DEECE66DL
+    def next(): Long = { s = s * 6364136223846793005L + 1442695040888963407L; math.abs(s % MinHashP) }
+    Seq.fill(n)((next() | 1L, next()))
+  }
+
+  /** MinHash + banded LSH near-duplicate *candidate* pairs.
+    *
+    * shingle(=token-set) → numHashes-wide minhash signature → split into
+    * `bands` bands → hash each band → self-join on (band, bandHash).
+    * Two docs collide in a band iff that band of their signatures is
+    * identical, giving the standard S-curve candidate probability
+    * 1-(1-j^r)^b. Candidate generation cost is O(docs·bands) rows plus a
+    * hash-shuffle on the band buckets — never O(n²) over the corpus.
+    *
+    * The signature is computed with nested HOF expressions (no shuffle,
+    * no UDF): one `array_min(transform(tokens, affine∘xxhash64))` per hash.
+    */
+  def minHashLshCandidates(df: DataFrame, text: Column, id: Column,
+                           numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val consts = affineConsts(numHashes)
+    // reduce the token hash mod P *before* the affine multiply: a,h < 2^31
+    // keeps a·h < 2^62 — no ANSI long overflow.
+    val sigCols = consts.zipWithIndex.map { case ((a, b), i) =>
+      array_min(transform(col("toks"),
+        t => pmod(lit(a) * pmod(xxhash64(t), lit(MinHashP)) + lit(b), lit(MinHashP)))).as(s"h$i")
+    }
+    val sig = df.select(id.as("doc_id"), tokens(text).as("toks"))
+      .where(size(col("toks")) > 0)
+      .select(col("doc_id") +: sigCols: _*)
+    // one row per (doc, band): band hash folds the band's minhashes
+    val bandRows = (0 until bands).map { j =>
+      val parts = (0 until rows).map(r => col(s"h${j * rows + r}"))
+      sig.select(col("doc_id"), lit(j).as("band"),
+        xxhash64(parts :+ lit(j): _*).as("band_hash"))
+    }.reduce(_ unionByName _)
+    val l = bandRows.select(col("band"), col("band_hash"), col("doc_id").as("doc_a"))
+    val r = bandRows.select(col("band"), col("band_hash"), col("doc_id").as("doc_b"))
+    l.join(r, Seq("band", "band_hash"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
+  /** 32-bit SimHash fingerprint per document: for each bit position, sum
+    * +1/-1 token votes (by that bit of the token's murmur hash); the
+    * fingerprint sets the bits with positive vote sums. Near-dup docs are
+    * the ones at small Hamming distance (`simHashNearPairs`).
+    */
+  def simHash(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val bitCols = (0 until 32).map { b =>
+      val vote = aggregate(col("toks"), lit(0L),
+        (acc, t) => acc +
+          when(shiftright(xxhash64(t), b).bitwiseAND(lit(1L)) === 1L, 1L)
+            .otherwise(-1L))
+      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    df.select(id.as("doc_id"), tokens(text).as("toks"))
+      .select(col("doc_id"), bitCols.reduce(_ + _).as("simhash"))
+  }
+
+  /** Hamming-near SimHash pairs, blocked by 16-bit signature halves: two
+    * 32-bit fingerprints within Hamming distance ≤ maxDist (< 16) must agree
+    * exactly on at least one half (pigeonhole for maxDist=1), so the
+    * self-join runs on half-signature buckets, not all pairs.
+    */
+  def simHashNearPairs(df: DataFrame, text: Column, id: Column,
+                       maxDist: Int = 1): DataFrame = {
+    val fp = simHash(df, text, id)
+    val keyed = fp.select(col("doc_id"), col("simhash"),
+        explode(array(
+          struct(lit(0).as("half"), (col("simhash").bitwiseAND(lit(0xFFFFL))).as("key")),
+          struct(lit(1).as("half"), shiftright(col("simhash"), 16).as("key"))))
+          .as("blk"))
+      .select(col("doc_id"), col("simhash"), col("blk.half"), col("blk.key"))
+    val l = keyed.select(col("half"), col("key"),
+      col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+    val r = keyed.select(col("half"), col("key"),
+      col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+    l.join(r, Seq("half", "key"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .where(col("hamming") <= maxDist)
+      .distinct()
+  }
+}

@@ -1,0 +1,83 @@
+package graft.ops
+
+import graft.fns.Fns
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Historical "Expert View" core (SURVEY §3.3): ingestion intervals and the
+  * interval join, generic over the entity keys so the same operators serve
+  * the Redset shape (`instance_id`,`write_table_id`) and any analog.
+  *
+  * Design deviations from the reference, on purpose (SURVEY §7.1):
+  *  - J1/J2 (self inequality join + correlated MIN subquery,
+  *    `Dashboard_Historical_Final.py:216-238`, `update_tables.py:45-78`) are
+  *    replaced by `lead()` over a window — O(n log n) shuffle-sort per key
+  *    instead of an O(n²) self-join; identical "next ingestion" semantics.
+  *  - J8 (`UPDATE .. FROM` backfill, `update_tables.py:82-109`) becomes a
+  *    stateless recompute from source — no in-place mutation in Spark; at
+  *    scale this is an incremental window over (old ∪ new) partitions.
+  *
+  * Scale: both operators shuffle once on the entity key; the window sort and
+  * the join co-partition on the same key, so with pre-bucketed storage the
+  * exchange disappears entirely. Skewed hot keys are the known risk (SURVEY
+  * §7.3 hard part #2) — AQE skew-join handles the join side; the window is
+  * per-key sequential by nature.
+  */
+object Intervals {
+
+  /** W2/J2: for each ingest event, the timestamp of the *next* ingest of the
+    * same entity → half-open ingestion intervals
+    * `(keys…, idCol, current_ts, next_ts)`; the latest interval per entity
+    * has `next_ts = null` (open).
+    *
+    * `orderTieBreak` makes the sort total so results are deterministic under
+    * equal timestamps (the reference relies on arrival order being unique).
+    */
+  def ingestionIntervals(
+      ingests: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      idCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col(idCol))
+    ingests.select((keys :+ idCol :+ tsCol).map(col): _*)
+      .withColumnRenamed(tsCol, "current_ts")
+      .withColumn("next_ts",
+        lead(col("current_ts"), 1).over(
+          Window.partitionBy(keys.map(col): _*)
+            .orderBy(col("current_ts"), col(idCol))))
+  }
+
+  /** J4 + X1/X2: match every probe row to the ingestion interval containing
+    * it: `probe.ts ∈ [current_ts, coalesce(next_ts, sentinel))` on the same
+    * entity keys. Equi-keys make this a hash/sort-merge join with a range
+    * residual (exactly how DuckDB executes the reference's BETWEEN join);
+    * emits the reference's derived columns `time_since_last_ingest_ms` /
+    * `time_to_next_ingest_ms` (Dashboard_Historical_Final.py:281-308).
+    *
+    * Inclusive upper bound matches the reference's SQL `BETWEEN`.
+    */
+  def intervalJoin(
+      probes: DataFrame,
+      intervals: DataFrame,
+      keys: Seq[String],
+      tsCol: String): DataFrame = {
+    val iv = intervals
+      .withColumn("interval_end", coalesce(col("next_ts"), Fns.openIntervalSentinel))
+      .withColumnRenamed("current_ts", "last_ingest_ts")
+      .drop("next_ts")
+    val ivKeys = keys.map(k => iv(k).as(s"iv_$k"))
+    val ivSel = iv.select(ivKeys ++ Seq(iv("last_ingest_ts"), iv("interval_end")): _*)
+    val cond = keys.map(k => probes(k) === ivSel(s"iv_$k"))
+      .reduce(_ && _) &&
+      probes(tsCol) >= ivSel("last_ingest_ts") &&
+      probes(tsCol) <= ivSel("interval_end")
+    probes.join(ivSel, cond, "inner")
+      .drop(keys.map(k => s"iv_$k"): _*)
+      .withColumn("time_since_last_ingest_ms",
+        Fns.epochMsBetween(col("last_ingest_ts"), col(tsCol)))
+      .withColumn("time_to_next_ingest_ms",
+        Fns.epochMsBetween(col(tsCol), col("interval_end")))
+  }
+}

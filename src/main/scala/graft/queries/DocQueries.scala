@@ -1,0 +1,172 @@
+package graft.queries
+
+import graft.Tables
+import graft.fns.Fns
+import graft.text.TextAnalysis
+import graft.dedup.Dedup
+import graft.sim.Similarity
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operators over `documents` / `embeddings`
+  * (BASELINE.json north-star: dedup, similarity search, text analysis,
+  * multimodal plumbing — first-class alongside SURVEY §2).
+  *
+  * Oracle-checked where the computation is exactly expressible in DuckDB
+  * SQL (integer/decimal arithmetic, strict left folds); approximate /
+  * hash-seeded operators (MinHash-LSH, SimHash, ANN) carry property-based
+  * ScalaTest oracles instead (recall vs. brute force, planted duplicates).
+  */
+object DocQueries {
+
+  val defs: Seq[QDef] = Seq(
+
+    // Exact dedup on a canonicalized key (sorted distinct token set) —
+    // hash-groupBy, one shuffle on the signature; at 100 TB group on a
+    // 64/128-bit signature hash, never the raw text.
+    QDef("d1_exact_dedup",
+      """WITH d AS (SELECT doc_id,
+        |  array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS sig
+        |  FROM documents)
+        |SELECT min(doc_id) AS keep_doc_id, count(*) AS dup_count
+        |FROM d GROUP BY sig
+        |ORDER BY keep_doc_id""".stripMargin) { (s, dir) =>
+      Dedup.exactByCanonicalTokens(Tables.documents(s, dir), col("text"), col("doc_id"))
+        .orderBy(col("keep_doc_id"))
+    },
+
+    // N-gram (unigram token-set) Jaccard near-dup pairs, LSH-style blocked
+    // by `source` so candidate generation is O(pairs-in-block), not O(n²).
+    QDef("d4_jaccard_pairs",
+      """WITH d AS (SELECT doc_id, source,
+        |  list_distinct(string_split(text, ' ')) AS toks FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |    / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6) AS jaccard
+        |FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |    / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.9
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      Dedup.jaccardPairs(Tables.documents(s, dir), col("text"), col("doc_id"),
+          blockCol = "source", threshold = 0.9)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // Text quality metrics: token count, average token length, stopword
+    // ratio — single codegen'd projection, no shuffle.
+    QDef("t2_quality_metrics",
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  round(CAST(len(replace(text, ' ', '')) AS DOUBLE)
+        |        / len(string_split(text, ' ')), 6) AS avg_token_len,
+        |  round(CAST(len([t FOR t IN string_split(text, ' ') IF t IN ('the','a')]) AS DOUBLE)
+        |        / len(string_split(text, ' ')), 6) AS stopword_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.qualityMetrics(Tables.documents(s, dir), col("text"), col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Token statistics per language partition.
+    QDef("t3_token_stats_per_lang",
+      """WITH d AS (SELECT lang, len(string_split(text, ' ')) AS n_tokens FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |  round(CAST(SUM(n_tokens) AS DOUBLE) / count(*), 6) AS avg_tokens
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      val d = Tables.documents(s, dir)
+        .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      d.groupBy(col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        round(sum(col("n_tokens")).cast("double") / count(lit(1)), 6).as("avg_tokens"))
+        .orderBy(col("lang"))
+    },
+
+    // Document fingerprint: deterministic polynomial rolling hash (base 31
+    // mod 1e9+7) — strict left fold, bit-identical across engines.
+    QDef("t4_fingerprint",
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    [CAST(ascii(c) AS BIGINT) FOR c IN string_split(text, '')]),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), Fns.rollingHash(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Multimodal plumbing: text treated as an opaque binary payload with
+    // typed metadata (sha256 content address + byte length) — the schema /
+    // partitioning shape of an image/audio column without the codec.
+    QDef("mm1_binary_metadata",
+      """SELECT doc_id, sha256(text) AS sha_hex,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        sha2(col("text").cast("binary"), 256).as("sha_hex"),
+        length(col("text").cast("binary")).cast("long").as("n_bytes"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Brute-force cosine top-k (the ANN baseline): one fixed query vector
+    // broadcast against the corpus; double-precision left-fold dot product.
+    QDef("sim1_knn_bruteforce",
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |s AS (SELECT e.vec_id, e.label,
+        |  list_sum([CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE) FOR x IN list_zip(e.embedding, q.qv)]) /
+        |  (sqrt(list_sum([CAST(x[1] AS DOUBLE) * CAST(x[1] AS DOUBLE) FOR x IN list_zip(e.embedding, e.embedding)])) *
+        |   sqrt(list_sum([CAST(x[1] AS DOUBLE) * CAST(x[1] AS DOUBLE) FOR x IN list_zip(q.qv, q.qv)]))) AS cos
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0)
+        |SELECT vec_id, label, round(cos, 6) AS cosine
+        |FROM s ORDER BY round(cos, 6) DESC, vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+      Similarity.bruteForceKnn(
+        Tables.embeddings(s, dir), queryVecId = 0L, k = 10)
+    },
+
+    // Embedding-cosine near-dup pairs, blocked by label (the cheap blocking
+    // key); threshold chosen to yield pairs in the synthetic corpus.
+    QDef("d5_embedding_neardup",
+      """WITH em AS (SELECT vec_id, label, embedding FROM embeddings),
+        |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  list_sum([CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE) FOR x IN list_zip(a.embedding, b.embedding)]) /
+        |  (sqrt(list_sum([CAST(x[1] AS DOUBLE) * CAST(x[1] AS DOUBLE) FOR x IN list_zip(a.embedding, a.embedding)])) *
+        |   sqrt(list_sum([CAST(x[1] AS DOUBLE) * CAST(x[1] AS DOUBLE) FOR x IN list_zip(b.embedding, b.embedding)]))) AS cos
+        |  FROM em a JOIN em b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, round(cos, 6) AS cosine FROM p
+        |WHERE cos >= 0.35 ORDER BY vec_a, vec_b""".stripMargin) { (s, dir) =>
+      Dedup.embeddingNearDupPairs(
+        Tables.embeddings(s, dir), blockCol = "label", threshold = 0.35)
+        .orderBy(col("vec_a"), col("vec_b"))
+    },
+
+    // MinHash + banded LSH near-dup candidates — deterministic affine hash
+    // family over the token fingerprints; ScalaTest checks candidate
+    // superset vs. exact Jaccard (no SQL oracle: banding is engine-internal).
+    QDef.noOracle("d2_minhash_lsh") { (s, dir) =>
+      Dedup.minHashLshCandidates(Tables.documents(s, dir), col("text"), col("doc_id"),
+          numHashes = 16, bands = 4)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // SimHash 32-bit fingerprints (Hamming-near pairs via the library op).
+    QDef.noOracle("d3_simhash") { (s, dir) =>
+      Dedup.simHash(Tables.documents(s, dir), col("text"), col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+
+    // LSH-bucketed ANN (random-hyperplane signs, deterministic seed):
+    // the scale path for sim1 — ScalaTest measures recall vs. brute force.
+    QDef.noOracle("sim2_ann_lsh") { (s, dir) =>
+      Similarity.lshAnn(Tables.embeddings(s, dir), queryVecId = 0L, k = 10,
+          nBits = 8)
+    },
+
+    // Language ID via stopword/character heuristics (the synthetic corpus
+    // shares one vocabulary, so this demonstrates the operator shape; real
+    // n-gram profiles plug into the same transform).
+    QDef.noOracle("t1_langid") { (s, dir) =>
+      TextAnalysis.langId(Tables.documents(s, dir), col("text"), col("doc_id"))
+        .orderBy(col("doc_id"))
+    }
+  )
+}

@@ -1,0 +1,533 @@
+package graft.queries
+
+import graft.Tables
+import graft.fns.Fns
+import graft.ops.Intervals
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2 operator inventory instantiated over the `events` table —
+  * the Redset query-log analog (FIXTURES.md §1 mapping):
+  * entity key `user_id` ↔ (instance_id, write_table_id); ingest event
+  * `event_type = 'purchase'` ↔ `query_type IN ('insert','copy')`; probe
+  * events (view/click/error/signup) ↔ select/update/delete; `value` ↔
+  * duration/mbytes metrics.
+  *
+  * Every query: one shuffle per groupBy/join on the natural key, all
+  * expressions codegen'd, filters/projections pushed into the parquet scan.
+  */
+object EventQueries {
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+
+  /** Shared oracle prelude: truncate ns→µs once so both engines see the
+    * identical microsecond timeline Spark reads from parquet.
+    */
+  private val E =
+    "WITH e AS (SELECT event_id, user_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts FROM events)"
+
+  /** Ingestion intervals per user (J2/W2: lead() replaces the reference's
+    * correlated-subquery self-join, update_tables.py:45-78).
+    */
+  private def intervals(s: SparkSession, dir: String): DataFrame =
+    Intervals.ingestionIntervals(
+      ev(s, dir).filter(col("event_type") === "purchase"),
+      Seq("user_id"), "ts", "event_id")
+
+  /** J4 output: every probe event matched to the ingestion interval
+    * containing it (Dashboard_Historical_Final.py:283-296 analog).
+    */
+  private[queries] def matchedProbes(s: SparkSession, dir: String): DataFrame = {
+    val probes = ev(s, dir)
+      .filter(col("event_type") =!= "purchase")
+      .select("event_id", "user_id", "ts", "event_type")
+    Intervals.intervalJoin(
+      probes, intervals(s, dir).drop("event_id"), Seq("user_id"), "ts")
+  }
+
+  private val ivSql =
+    s"""$E, i AS (
+       |  SELECT user_id, event_id, ts AS current_ts,
+       |         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+       |  FROM e WHERE event_type = 'purchase'),
+       |iv AS (
+       |  SELECT user_id, current_ts AS last_ingest_ts,
+       |         COALESCE(next_ts, TIMESTAMP '2999-12-31 00:00:00') AS interval_end
+       |  FROM i),
+       |matched AS (
+       |  SELECT p.event_id, p.user_id, p.ts, p.event_type,
+       |         iv.last_ingest_ts, iv.interval_end,
+       |         epoch_ms(p.ts) - epoch_ms(iv.last_ingest_ts) AS time_since_last_ingest_ms,
+       |         epoch_ms(iv.interval_end) - epoch_ms(p.ts) AS time_to_next_ingest_ms
+       |  FROM e p JOIN iv
+       |    ON p.user_id = iv.user_id
+       |   AND p.ts >= iv.last_ingest_ts AND p.ts <= iv.interval_end
+       |  WHERE p.event_type <> 'purchase')
+       |""".stripMargin
+
+  val defs: Seq[QDef] = Seq(
+
+    // ---- historical pipeline core (SURVEY §2.3/§2.5/§2.7) ----
+
+    QDef("j2_ingestion_intervals",
+      s"""$E SELECT user_id, event_id, ts AS current_ts,
+         |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+         |FROM e WHERE event_type = 'purchase'
+         |ORDER BY user_id, current_ts, event_id""".stripMargin) { (s, dir) =>
+      intervals(s, dir).orderBy(col("user_id"), col("current_ts"), col("event_id"))
+    },
+
+    QDef("j4_interval_join",
+      s"""$ivSql SELECT event_id, user_id, ts, event_type, last_ingest_ts,
+         |  interval_end, time_since_last_ingest_ms, time_to_next_ingest_ms
+         |FROM matched ORDER BY event_id, last_ingest_ts""".stripMargin) { (s, dir) =>
+      matchedProbes(s, dir).orderBy(col("event_id"), col("last_ingest_ts"))
+    },
+
+    // U1: re-attach the ingest rows themselves (their interval starts at
+    // their own timestamp), Dashboard_Historical_Final.py:297-312.
+    QDef("u1_output_table",
+      s"""$ivSql SELECT event_id, user_id, ts, event_type, last_ingest_ts,
+         |       time_since_last_ingest_ms
+         |FROM matched
+         |UNION ALL
+         |SELECT event_id, user_id, ts, event_type, ts AS last_ingest_ts,
+         |       CAST(0 AS BIGINT) AS time_since_last_ingest_ms
+         |FROM e WHERE event_type = 'purchase'
+         |ORDER BY event_id, last_ingest_ts""".stripMargin) { (s, dir) =>
+      val matched = matchedProbes(s, dir).select(
+        col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        col("last_ingest_ts"), col("time_since_last_ingest_ms"))
+      val ingests = ev(s, dir).filter(col("event_type") === "purchase").select(
+        col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        col("ts").as("last_ingest_ts"),
+        lit(0L).as("time_since_last_ingest_ms"))
+      matched.unionByName(ingests).orderBy(col("event_id"), col("last_ingest_ts"))
+    },
+
+    // J5 + A6: per-entity read-vs-write workload counts, FULL OUTER JOIN
+    // with COALESCEd keys (Dashboard_Historical_Final.py:69-99).
+    QDef("j5_workload_full_outer",
+      s"""$E SELECT COALESCE(s.user_id, t.user_id) AS user_id,
+         |  COALESCE(s.select_count, 0) AS select_count,
+         |  COALESCE(t.transform_count, 0) AS transform_count
+         |FROM (SELECT user_id, count(*) AS select_count FROM e
+         |      WHERE event_type = 'view' GROUP BY user_id) s
+         |FULL OUTER JOIN
+         |     (SELECT user_id, count(*) AS transform_count FROM e
+         |      WHERE event_type = 'purchase' GROUP BY user_id) t
+         |ON s.user_id = t.user_id
+         |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val e = ev(s, dir)
+      // distinct key names sidestep self-join column ambiguity
+      val sel = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id").as("user_id_s")).agg(count(lit(1)).as("select_count"))
+      val tra = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id").as("user_id_t")).agg(count(lit(1)).as("transform_count"))
+      sel.join(tra, col("user_id_s") === col("user_id_t"), "full_outer")
+        .select(
+          coalesce(col("user_id_s"), col("user_id_t")).as("user_id"),
+          coalesce(col("select_count"), lit(0L)).as("select_count"),
+          coalesce(col("transform_count"), lit(0L)).as("transform_count"))
+        .orderBy(col("user_id"))
+    },
+
+    // A10: ratio-of-aggregates classification ("analytical table"),
+    // Dashboard_Historical_Final.py:354-357.
+    QDef("a10_analytical_ratio",
+      s"""$E SELECT user_id,
+         |  round(CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS DOUBLE)
+         |        / NULLIF(SUM(CASE WHEN event_type IN ('view','purchase') THEN 1 ELSE 0 END), 0), 6) AS view_ratio,
+         |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS DOUBLE)
+         |        / NULLIF(SUM(CASE WHEN event_type IN ('view','purchase') THEN 1 ELSE 0 END), 0) > 0.48 AS is_analytical
+         |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val viewCnt = sum(when(col("event_type") === "view", 1L).otherwise(0L))
+      val bothCnt = sum(when(col("event_type").isin("view", "purchase"), 1L).otherwise(0L))
+      val ratio = viewCnt.cast("double") / nullif(bothCnt, lit(0L))
+      ev(s, dir).groupBy(col("user_id"))
+        .agg(round(ratio, 6).as("view_ratio"), (ratio > 0.48).as("is_analytical"))
+        .orderBy(col("user_id"))
+    },
+
+    // J6: semi join against an aggregate-derived dimension
+    // (Dashboard_Historical_Final.py:365-368 IN-subquery).
+    QDef("j6_semi_analytical_users",
+      s"""$E SELECT user_id, count(*) AS n_events FROM e
+         |WHERE user_id IN (
+         |  SELECT user_id FROM e GROUP BY user_id
+         |  HAVING CAST(SUM(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END) AS DOUBLE)
+         |         / count(*) > 0.7)
+         |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val e = ev(s, dir)
+      val heavy = e.groupBy(col("user_id"))
+        .agg((sum(when(col("event_type") =!= "purchase", 1L).otherwise(0L)).cast("double")
+          / count(lit(1))).as("ratio"))
+        .filter(col("ratio") > 0.7)
+        .select("user_id")
+      e.join(heavy, Seq("user_id"), "left_semi")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    },
+
+    // A7: grouped average of the derived interval metric
+    // (Dashboard_Historical_Final.py:353-372).
+    QDef("a7_avg_interval_per_user",
+      s"""$ivSql SELECT user_id,
+         |  count(*) AS n_matched,
+         |  round(CAST(SUM(time_since_last_ingest_ms) AS DOUBLE) / count(*), 0) AS avg_since_ms
+         |FROM matched GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      matchedProbes(s, dir).groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_matched"),
+          round(sum(col("time_since_last_ingest_ms")).cast("double") / count(lit(1)), 0)
+            .as("avg_since_ms"))
+        .orderBy(col("user_id"))
+    },
+
+    // A8: HAVING on aggregates — data-freshness flags
+    // (Dashboard/update_tables.py:242-264).
+    QDef("a8_having_freshness",
+      s"""$ivSql SELECT user_id,
+         |  round(CAST(SUM(time_since_last_ingest_ms) AS DOUBLE) / count(*), 3) AS avg_since_ms,
+         |  round(CAST(SUM(time_to_next_ingest_ms) AS DOUBLE) / count(*), 3) AS avg_to_next_ms
+         |FROM matched
+         |WHERE interval_end < TIMESTAMP '2999-12-31 00:00:00'
+         |GROUP BY user_id
+         |HAVING CAST(SUM(time_since_last_ingest_ms) AS DOUBLE) / count(*)
+         |     > CAST(SUM(time_to_next_ingest_ms) AS DOUBLE) / count(*)
+         |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val since = sum(col("time_since_last_ingest_ms")).cast("double") / count(lit(1))
+      val toNext = sum(col("time_to_next_ingest_ms")).cast("double") / count(lit(1))
+      matchedProbes(s, dir)
+        .filter(col("interval_end") < Fns.openIntervalSentinel)
+        .groupBy(col("user_id"))
+        .agg(round(since, 3).as("avg_since_ms"), round(toNext, 3).as("avg_to_next_ms"),
+          (since > toNext).as("_keep"))
+        .filter(col("_keep")).drop("_keep")
+        .orderBy(col("user_id"))
+    },
+
+    // W1 + A10: NTILE(10) decile histogram of query placement between
+    // ingests (Dashboard_Historical_Final.py:428-463). Global window as in
+    // the reference; at scale, partition by entity key (SURVEY §2.5 note).
+    QDef("w1_ntile_decile",
+      s"""$ivSql, rel AS (
+         |  SELECT event_id,
+         |    CAST(time_since_last_ingest_ms AS DOUBLE)
+         |      / NULLIF(time_since_last_ingest_ms + time_to_next_ingest_ms, 0) AS rel_pos
+         |  FROM matched WHERE interval_end < TIMESTAMP '2999-12-31 00:00:00')
+         |SELECT bin, count(*) AS n FROM (
+         |  SELECT CAST(ntile(10) OVER (ORDER BY rel_pos, event_id) AS BIGINT) AS bin FROM rel)
+         |GROUP BY bin ORDER BY bin""".stripMargin) { (s, dir) =>
+      val rel = matchedProbes(s, dir)
+        .filter(col("interval_end") < Fns.openIntervalSentinel)
+        .select(col("event_id"),
+          (col("time_since_last_ingest_ms").cast("double") /
+            nullif(col("time_since_last_ingest_ms") + col("time_to_next_ingest_ms"), lit(0L)))
+            .as("rel_pos"))
+      rel.select(ntile(10).over(Window.orderBy(col("rel_pos"), col("event_id")))
+          .cast("long").as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+        .orderBy(col("bin"))
+    },
+
+    // A9: global MAX(ts) — the reference's hand-rolled watermark probe
+    // (Dashboard_Historical_Final.py:190-198).
+    QDef("a9_max_watermark",
+      s"$E SELECT max(ts) AS max_ts, min(ts) AS min_ts, count(*) AS n FROM e") { (s, dir) =>
+      ev(s, dir).agg(max(col("ts")).as("max_ts"), min(col("ts")).as("min_ts"),
+        count(lit(1)).as("n"))
+    },
+
+    // ---- live "Aggregate View" metrics (SURVEY §2.4) ----
+
+    // A1/A2: one-pass conditional counts (replaces the reference's 4
+    // separate scalar queries, Dashboard_Live_Final.py:230-233).
+    QDef("a1_scalar_counts",
+      s"""$E SELECT count(*) AS total_events,
+         |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+         |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+         |  CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_value
+         |FROM e""".stripMargin) { (s, dir) =>
+      ev(s, dir).agg(
+        count(lit(1)).as("total_events"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_error"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchase"),
+        sum(when(col("value") > 100, 1L).otherwise(0L)).as("n_high_value"))
+    },
+
+    QDef("a2_conditional_per_user",
+      s"""$E SELECT user_id,
+         |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+         |  CAST(SUM(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_ok
+         |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      ev(s, dir).groupBy(col("user_id")).agg(
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_error"),
+        sum(when(col("event_type") =!= "error", 1L).otherwise(0L)).as("n_ok"))
+        .orderBy(col("user_id"))
+    },
+
+    // A3: global sums of the metric columns (Dashboard_Live_Final.py:234-237)
+    // — decimal-exact so the result is partitioning-independent.
+    QDef("a3_global_sums",
+      s"""$E SELECT CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+         |  max(value) AS max_value, min(value) AS min_value, count(*) AS n
+         |FROM e""".stripMargin) { (s, dir) =>
+      ev(s, dir).agg(
+        Fns.sumMoney(col("value")).as("total_value"),
+        max(col("value")).as("max_value"),
+        min(col("value")).as("min_value"),
+        count(lit(1)).as("n"))
+    },
+
+    // A4/O3: top-5 users by event count (Dashboard_Live_Final.py:404-410),
+    // deterministic tie-break on user_id.
+    QDef("a4_top_users",
+      s"""$E SELECT user_id, count(*) AS n_events FROM e
+         |GROUP BY user_id ORDER BY n_events DESC, user_id LIMIT 5""".stripMargin) { (s, dir) =>
+      ev(s, dir).groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+        .orderBy(col("n_events").desc, col("user_id")).limit(5)
+    },
+
+    // A5: query-type distribution (Dashboard_Live_Final.py:452-459).
+    QDef("a5_type_distribution",
+      s"""$E SELECT event_type, count(*) AS n FROM e
+         |GROUP BY event_type ORDER BY n DESC, event_type""".stripMargin) { (s, dir) =>
+      ev(s, dir).groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("event_type"))
+    },
+
+    // A11: hour-of-day histogram (Dashboard/historic_testing.py:185-189).
+    QDef("a11_hourly_histogram",
+      s"""$E SELECT CAST(hour(ts) AS BIGINT) AS hr, count(*) AS n FROM e
+         |GROUP BY hr ORDER BY hr""".stripMargin) { (s, dir) =>
+      ev(s, dir).groupBy(hour(col("ts")).cast("long").as("hr"))
+        .agg(count(lit(1)).as("n")).orderBy(col("hr"))
+    },
+
+    // A12: hit/miss per hour (Dashboard_updated.py:213-227).
+    QDef("a12_error_rate_hourly",
+      s"""$E SELECT CAST(hour(ts) AS BIGINT) AS hr,
+         |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+         |  CAST(SUM(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_ok
+         |FROM e GROUP BY hr ORDER BY hr""".stripMargin) { (s, dir) =>
+      ev(s, dir).groupBy(hour(col("ts")).cast("long").as("hr")).agg(
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_error"),
+        sum(when(col("event_type") =!= "error", 1L).otherwise(0L)).as("n_ok"))
+        .orderBy(col("hr"))
+    },
+
+    // A13: value-distribution histogram (Dashboard_updated.py:231-233).
+    QDef("a13_value_distribution",
+      s"""$E SELECT CAST(floor(value / 50) AS BIGINT) AS bucket, count(*) AS n
+         |FROM e GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
+      ev(s, dir).groupBy(floor(col("value") / 50).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n")).orderBy(col("bucket"))
+    },
+
+    // A14: multi-column grouped sums per hour (Dashboard/streamlit_app.py:393-400).
+    QDef("a14_hourly_multi_sums",
+      s"""$E SELECT CAST(hour(ts) AS BIGINT) AS hr,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+         |  CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END AS DECIMAL(18,2))) AS DOUBLE) AS purchase_value,
+         |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup
+         |FROM e GROUP BY hr ORDER BY hr""".stripMargin) { (s, dir) =>
+      ev(s, dir).groupBy(hour(col("ts")).cast("long").as("hr")).agg(
+        Fns.sumMoney(col("value")).as("sum_value"),
+        Fns.sumMoney(when(col("event_type") === "purchase", col("value")).otherwise(lit(0.0)))
+          .as("purchase_value"),
+        sum(when(col("event_type") === "signup", 1L).otherwise(0L)).as("n_signup"))
+        .orderBy(col("hr"))
+    },
+
+    // A15: grouped means (streamlit_app.py:322-323) — explicit decimal
+    // sum / count so both engines divide the same exact operands.
+    QDef("a15_grouped_means",
+      s"""$E SELECT event_type,
+         |  round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value), 6) AS avg_value
+         |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      ev(s, dir).groupBy(col("event_type"))
+        .agg(round(Fns.avgMoney(col("value")), 6).as("avg_value"))
+        .orderBy(col("event_type"))
+    },
+
+    // A16: distinct-count per group (live_updates_duckdb.py:124-126). At
+    // 100 TB swap for approx_count_distinct (documented scale path).
+    QDef("a16_distinct_users_per_type",
+      s"""$E SELECT event_type, count(DISTINCT user_id) AS n_users FROM e
+         |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      ev(s, dir).groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("event_type"))
+    },
+
+    // A18: argmax row (streamlit_app.py:269) — total order, not idxmax.
+    QDef("a18_argmax",
+      s"""$E SELECT event_id, user_id, value FROM e
+         |ORDER BY value DESC, event_id LIMIT 1""".stripMargin) { (s, dir) =>
+      ev(s, dir).select(col("event_id"), col("user_id"), col("value"))
+        .orderBy(col("value").desc, col("event_id")).limit(1)
+    },
+
+    // A19: derived scalar "stress level" (streamlit_app.py:364-366).
+    QDef("a19_stress_scalar",
+      s"""$E SELECT round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+         |  / (max(value) * count(*)) * 100, 6) AS stress_pct FROM e""".stripMargin) { (s, dir) =>
+      ev(s, dir).agg(
+        round(Fns.sumMoney(col("value")) / (max(col("value")) * count(lit(1))) * 100, 6)
+          .as("stress_pct"))
+    },
+
+    // A20: conditional success-rate ratio (streamlit_app.py:378).
+    QDef("a20_conditional_rate",
+      s"""$E SELECT round(CAST(SUM(CASE WHEN value > 100 AND event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE)
+         |  / NULLIF(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END), 0), 6) AS high_value_error_rate
+         |FROM e""".stripMargin) { (s, dir) =>
+      ev(s, dir).agg(
+        round(
+          sum(when(col("value") > 100 && col("event_type") === "error", 1L).otherwise(0L)).cast("double")
+            / nullif(sum(when(col("value") > 100, 1L).otherwise(0L)), lit(0L)),
+          6).as("high_value_error_rate"))
+    },
+
+    // ---- sorts / limits / set ops (SURVEY §2.6/§2.7) ----
+
+    // O2: top-10 leaderboard over DISTINCT pairs (Dashboard_Live_Final.py:339-346).
+    QDef("o2_leaderboard_topk",
+      s"""$E SELECT DISTINCT user_id, value FROM e
+         |ORDER BY value DESC, user_id LIMIT 10""".stripMargin) { (s, dir) =>
+      ev(s, dir).select(col("user_id"), col("value")).dropDuplicates()
+        .orderBy(col("value").desc, col("user_id")).limit(10)
+    },
+
+    // O4: recent-N scan (Dashboard_updated_with_kafka_duckdb_ver3.py:250).
+    QDef("o4_recent_events",
+      s"""$E SELECT event_id, ts, event_type FROM e
+         |ORDER BY ts DESC, event_id LIMIT 100""".stripMargin) { (s, dir) =>
+      ev(s, dir).select(col("event_id"), col("ts"), col("event_type"))
+        .orderBy(col("ts").desc, col("event_id")).limit(100)
+    },
+
+    // U2: DISTINCT projection (Dashboard_Historical_Final.py:224,272).
+    QDef("u2_distinct_pairs",
+      s"""$E SELECT DISTINCT user_id, event_type FROM e
+         |ORDER BY user_id, event_type""".stripMargin) { (s, dir) =>
+      ev(s, dir).select(col("user_id"), col("event_type")).dropDuplicates()
+        .orderBy(col("user_id"), col("event_type"))
+    },
+
+    // ---- filters & scalar functions (SURVEY §2.2/§2.9) ----
+
+    // F3+F5+F6: event-time range + IN-list predicates, pushed to the scan.
+    QDef("f3_f5_time_type_filter",
+      s"""$E SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n FROM e
+         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+         |  AND ts < TIMESTAMP '2024-01-20 00:00:00'
+         |  AND event_type IN ('view','click')
+         |GROUP BY day ORDER BY day""".stripMargin) { (s, dir) =>
+      ev(s, dir)
+        .filter(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-20 00:00:00").cast("timestamp") &&
+          col("event_type").isin("view", "click"))
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n")).orderBy(col("day"))
+    },
+
+    // X5: mm:ss display format as pure expressions (Kafka/ddb_wrappers.py:355-358).
+    QDef("x5_mmss_format",
+      s"""$E SELECT event_id,
+         |  CAST(FLOOR((value * 1000) / 60000) AS BIGINT) || ':' ||
+         |  lpad(CAST(CAST(FLOOR(((value * 1000) % 60000) / 1000) AS BIGINT) AS VARCHAR), 2, '0') AS mmss
+         |FROM e ORDER BY event_id LIMIT 500""".stripMargin) { (s, dir) =>
+      ev(s, dir).select(col("event_id"), Fns.mmss(col("value") * 1000).as("mmss"))
+        .orderBy(col("event_id")).limit(500)
+    },
+
+    // X11: threshold binning (live_updates_duckdb.py:128-136).
+    QDef("x11_binning",
+      s"""$E SELECT CASE WHEN value < 50 THEN 'small'
+         |            WHEN value < 150 THEN 'medium' ELSE 'large' END AS bin,
+         |  count(*) AS n
+         |FROM e GROUP BY bin ORDER BY bin""".stripMargin) { (s, dir) =>
+      ev(s, dir)
+        .groupBy(Fns.bin3(col("value"), 50, 150, ("small", "medium", "large")).as("bin"))
+        .agg(count(lit(1)).as("n")).orderBy(col("bin"))
+    },
+
+    // X13: ISO-8601 serialization (producer_Final.py:70).
+    QDef("x13_iso_serialization",
+      s"""$E SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS iso_ts
+         |FROM e ORDER BY event_id LIMIT 500""".stripMargin) { (s, dir) =>
+      ev(s, dir).select(col("event_id"), Fns.isoTs(col("ts")).as("iso_ts"))
+        .orderBy(col("event_id")).limit(500)
+    },
+
+    // ---- event-time windows (SURVEY §2.8 batch twins) ----
+
+    // ST3: tumbling event-time window — the principled version of the 60 s
+    // TRUNCATE cycle (Dashboard_Live_Final.py:129-135).
+    QDef("st3_tumbling_window_1h",
+      s"""$E SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+         |  count(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM e GROUP BY window_start ORDER BY window_start""".stripMargin) { (s, dir) =>
+      ev(s, dir)
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"), Fns.sumMoney(col("value")).as("sum_value"))
+        .select(col("window.start").as("window_start"), col("n"), col("sum_value"))
+        .orderBy(col("window_start"))
+    },
+
+    // W3: ranking for display (Dashboard_Live_Final.py:357) — top-3 per type.
+    QDef("w3_rank_per_type",
+      s"""$E SELECT event_type, CAST(rn AS BIGINT) AS rn, event_id, value FROM (
+         |  SELECT event_type, event_id, value,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+         |  FROM e)
+         |WHERE rn <= 3 ORDER BY event_type, rn""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("event_type")).orderBy(col("value").desc, col("event_id"))
+      ev(s, dir)
+        .select(col("event_type"), col("event_id"), col("value"),
+          row_number().over(w).cast("long").as("rn"))
+        .filter(col("rn") <= 3)
+        .select(col("event_type"), col("rn"), col("event_id"), col("value"))
+        .orderBy(col("event_type"), col("rn"))
+    },
+
+    // W4/ST5: EWMA (α=0.02) per user over the event-time-ordered series,
+    // as a strict left fold (aggregate HOF) — bit-identical to DuckDB's
+    // list_reduce. Streaming twin: graft.streaming EWMA state op.
+    QDef("w4_ewma_per_user",
+      s"""$E SELECT user_id,
+         |  round(list_reduce(list(value ORDER BY ts, event_id),
+         |                    (a, b) -> 0.02 * b + 0.98 * a), 6) AS ewma
+         |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val xs = ev(s, dir).groupBy(col("user_id"))
+        .agg(sort_array(collect_list(struct(col("ts"), col("event_id"), col("value"))))
+          .as("xs"))
+      xs.select(col("user_id"),
+        round(
+          aggregate(
+            slice(col("xs"), lit(2), size(col("xs")) - 1),
+            element_at(col("xs"), 1).getField("value"),
+            (acc, x) => lit(0.02) * x.getField("value") + lit(0.98) * acc),
+          6).as("ewma"))
+        .orderBy(col("user_id"))
+    },
+
+    // J7: enrich rows with their group's aggregate (live_updates_duckdb.py:139).
+    QDef("j7_enrich_with_counts",
+      s"""$E SELECT e.event_id, e.user_id, c.n_user_events FROM e
+         |JOIN (SELECT user_id, count(*) AS n_user_events FROM e GROUP BY user_id) c
+         |  ON e.user_id = c.user_id
+         |ORDER BY e.event_id LIMIT 1000""".stripMargin) { (s, dir) =>
+      val e = ev(s, dir)
+      val counts = e.groupBy(col("user_id")).agg(count(lit(1)).as("n_user_events"))
+      e.join(counts, Seq("user_id"), "inner")
+        .select(col("event_id"), col("user_id"), col("n_user_events"))
+        .orderBy(col("event_id")).limit(1000)
+    }
+  )
+}

@@ -1,0 +1,135 @@
+package graft.queries
+
+import graft.Tables
+import graft.fns.Fns
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational core over the TPC-H-ish tables — the bench headliners.
+  * These exercise the engine shapes that dominate at 100 TB: wide scans
+  * with pushed filters, partial (map-side) aggregation, broadcast of small
+  * dimensions, and multi-way equi-joins re-planned by AQE.
+  *
+  * Money arithmetic goes through DECIMAL so results are independent of
+  * partition count / accumulation order (see QDef contract).
+  */
+object TpchQueries {
+
+  private val d2 = DecimalType(9, 2)
+
+  val defs: Seq[QDef] = Seq(
+
+    // TPC-H Q1 shape: scan-heavy partial aggregation; only 7 of 11 columns
+    // read (check ReadSchema), filter pushed to parquet.
+    QDef("q1_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2)) * (1 - CAST(l_discount AS DECIMAL(9,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2)) * (1 - CAST(l_discount AS DECIMAL(9,2))) * (1 + CAST(l_tax AS DECIMAL(9,2)))) AS DOUBLE) AS sum_charge,
+        |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+        |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      val qty = col("l_quantity").cast(d2)
+      val price = col("l_extendedprice").cast(d2)
+      val discPrice = price * (lit(1) - col("l_discount").cast(d2))
+      val charge = discPrice * (lit(1) + col("l_tax").cast(d2))
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(qty).cast("double").as("sum_qty"),
+          sum(price).cast("double").as("sum_base_price"),
+          sum(discPrice).cast("double").as("sum_disc_price"),
+          sum(charge).cast("double").as("sum_charge"),
+          round(sum(qty).cast("double") / count(lit(1)), 6).as("avg_qty"),
+          round(sum(price).cast("double") / count(lit(1)), 6).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // TPC-H Q3 shape: selective dimension filter → broadcast customer into
+    // orders, shuffle join to lineitem, top-k on the aggregate.
+    QDef("q3_shipping_priority",
+      """SELECT l.l_orderkey AS l_orderkey,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(9,2)) * (1 - CAST(l.l_discount AS DECIMAL(9,2)))) AS DOUBLE) AS revenue,
+        |  CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l.l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l.l_orderkey, o.o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
+      val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+      val l = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") > lit("1997-01-01 00:00:00").cast("timestamp"))
+      l.join(o.join(broadcast(c), col("c_custkey") === col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum(col("l_extendedprice").cast(d2) * (lit(1) - col("l_discount").cast(d2)))
+          .cast("double").as("revenue"))
+        .select(col("l_orderkey"), col("revenue"), col("o_orderdate"))
+        .orderBy(col("revenue").desc, col("l_orderkey")).limit(10)
+    },
+
+    // TPC-H Q5 shape: star join — three broadcast dims (region→nation,
+    // supplier) + two fact-side shuffle joins; revenue per nation.
+    QDef("q5_local_supplier_volume",
+      """SELECT n.n_name AS n_name,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(9,2)) * (1 - CAST(l.l_discount AS DECIMAL(9,2)))) AS DOUBLE) AS revenue
+        |FROM customer c
+        |JOIN orders o   ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier sp ON l.l_suppkey = sp.s_suppkey AND c.c_nationkey = sp.s_nationkey
+        |JOIN nation n   ON sp.s_nationkey = n.n_nationkey
+        |JOIN region r   ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n.n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin) { (s, dir) =>
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+      val l = Tables.lineitem(s, dir)
+      val sp = Tables.supplier(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(sp),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("l_extendedprice").cast(d2) * (lit(1) - col("l_discount").cast(d2)))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    // J3: equi LEFT JOIN enrich (Dashboard_Historical_Final.py:254-270
+    // shape) — every order keeps a row even without a matching customer.
+    QDef("j3_equi_left_join",
+      """SELECT c.c_mktsegment AS mktsegment, count(*) AS n_orders,
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_mktsegment ORDER BY mktsegment NULLS FIRST""".stripMargin) { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"), "left")
+        .groupBy(col("c_mktsegment").as("mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          Fns.sumMoney(col("o_totalprice")).as("total_price"))
+        .orderBy(col("mktsegment").asc_nulls_first)
+    }
+  )
+}

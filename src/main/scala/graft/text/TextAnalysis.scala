@@ -1,0 +1,69 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: quality scoring,
+  * token statistics, and language identification. Pure codegen'd
+  * expressions — each metric is a single projection fused into the scan
+  * (no shuffle, no UDF), which is what makes these viable over 100 TB of
+  * raw text: the job is scan-bound, and every filter downstream of these
+  * columns still prunes/pushes into parquet.
+  */
+object TextAnalysis {
+
+  private def toks(text: Column): Column = split(text, " ")
+
+  /** Quality metrics per document: token count, average token length,
+    * stopword ratio. Whitespace tokenization (the reference corpus is
+    * pre-normalized); the same transform takes a BPE-ish regex tokenizer
+    * by swapping the delimiter pattern.
+    */
+  def qualityMetrics(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val t = toks(text)
+    val n = size(t)
+    df.select(
+      id.as("doc_id"),
+      n.cast("long").as("n_tokens"),
+      round(length(regexp_replace(text, " ", "")).cast("double") / n, 6)
+        .as("avg_token_len"),
+      round(size(filter(t, x => x === "the" || x === "a")).cast("double") / n, 6)
+        .as("stopword_ratio"))
+  }
+
+  // Per-language stopword profiles (tiny fixed sets — the operator shape;
+  // real n-gram profiles plug into the same argmax-over-scores transform).
+  private val profiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "un", "est", "que"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
+
+  /** Language-ID heuristic: count stopword hits per language profile,
+    * predict the argmax (ties broken deterministically by language code).
+    * Emits the score so downstream filters can threshold confidence.
+    */
+  def langId(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val t = toks(text)
+    val scored = profiles.map { case (lang, words) =>
+      struct(size(filter(t, x => x.isInCollection(words))).as("score"),
+        lit(lang).as("lang"))
+    }
+    // array_max over (score, lang) structs: field-order comparison gives
+    // max score, ties → lexicographically-last language code.
+    val best = array_max(array(scored: _*))
+    df.select(id.as("doc_id"),
+      best.getField("lang").as("lang_pred"),
+      best.getField("score").cast("long").as("lang_score"))
+  }
+
+  /** Token count with a BPE-ish word/punctuation regex (the
+    * "token counting" operator): words, numbers, and single punctuation
+    * marks each count as one token.
+    */
+  def tokenCount(df: DataFrame, text: Column, id: Column): DataFrame =
+    df.select(id.as("doc_id"),
+      size(filter(split(text, """\s+|(?=\p{Punct})|(?<=\p{Punct})"""),
+        x => x =!= "")).cast("long").as("n_tokens_bpe"))
+}
