@@ -69,14 +69,18 @@ object Clean {
     when(c.isNull || trim(c) === "" || upper(trim(c)) === "NULL", lit(default))
       .otherwise(trim(c))
 
+  // try_cast everywhere: ANSI mode (Spark 4 default) makes plain cast THROW
+  // on malformed input; the cleaning contract is errors='coerce' → default.
+  // Numerics route through double first so "12.0" → 12 for integer targets
+  // (matching pandas to_numeric + astype on float64 raws).
   private def cleanNum(c: Column, t: DataType): Column =
-    coalesce(c.cast(t), lit(0).cast(t))
+    coalesce(c.try_cast(DoubleType), lit(0.0)).cast(t)
 
   private def cleanBool(c: Column): Column =
-    coalesce(c.cast(BooleanType), lit(false))
+    coalesce(c.try_cast(BooleanType), lit(false))
 
   private def cleanTs(c: Column): Column =
-    coalesce(c.cast(TimestampType), to_timestamp(lit("1970-01-01 00:00:00")))
+    coalesce(c.try_cast(TimestampType), to_timestamp(lit("1970-01-01 00:00:00")))
 
   /** Type + default every column of a raw (string-typed or loosely typed)
     * Redset frame; drop rows whose table-id lists are both empty.
@@ -129,8 +133,8 @@ object Clean {
     def ids(c: Column): Column =
       filter(
         transform(split(regexp_replace(c, "[\\[\\]\\s]", ""), ","),
-          s => when(s === "" || s.cast(LongType) === RedsetSchema.NullTableId,
-            lit(null).cast(LongType)).otherwise(s.cast(LongType))),
+          s => when(s.try_cast(LongType) === RedsetSchema.NullTableId,
+            lit(null).cast(LongType)).otherwise(s.try_cast(LongType))),
         x => x.isNotNull)
     cleaned.select(
       col("instance_id"), col("query_id"), col("arrival_timestamp"),

@@ -30,19 +30,32 @@ object Similarity {
       .limit(k)
   }
 
-  /** Random-hyperplane LSH bucket id (nBits sign bits). Hyperplane
-    * component w(i,d) is derived from xxhash64(i,d) — deterministic, no
+  // Deterministic hyperplane weights from splitmix64 — computed once at
+  // plan time and embedded as array literals, so the per-row work is just
+  // nBits fused dot products (no per-row-per-dim hashing).
+  private def hyperplanes(nBits: Int, dim: Int): Seq[Seq[Double]] = {
+    def splitmix(x0: Long): Long = {
+      var z = x0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    (0 until nBits).map { i =>
+      (0 until dim).map { d =>
+        (math.floorMod(splitmix(i.toLong * 1000003L + d), 2001L) - 1000L) / 1000.0
+      }
+    }
+  }
+
+  /** Random-hyperplane LSH bucket id (nBits sign bits). Deterministic, no
     * stored model. Pure expressions; the bucket computation fuses into the
     * scan and the bucket column is what you'd z-order/bucket the parquet
     * layout by at scale.
     */
-  def lshBucket(embedding: Column, nBits: Int): Column = {
-    val dims = sequence(lit(0), size(embedding) - 1)
-    val bits = (0 until nBits).map { i =>
+  def lshBucket(embedding: Column, nBits: Int, dim: Int): Column = {
+    val bits = hyperplanes(nBits, dim).zipWithIndex.map { case (w, i) =>
       val proj = aggregate(
-        zip_with(embedding, dims, (v, d) =>
-          v.cast("double") *
-            ((pmod(xxhash64(lit(i), d), lit(2001L)).cast("double") - 1000.0) / 1000.0)),
+        zip_with(embedding, typedlit(w), (v, ww) => v.cast("double") * ww),
         lit(0.0), (acc, x) => acc + x)
       when(proj > 0, lit(1L << i)).otherwise(lit(0L))
     }
@@ -54,8 +67,9 @@ object Similarity {
     * buckets), ranked by exact cosine. Expected candidate set:
     * corpus · (nBits+1) / 2^nBits.
     */
-  def lshAnn(emb: DataFrame, queryVecId: Long, k: Int, nBits: Int): DataFrame = {
-    val withBucket = emb.withColumn("bucket", lshBucket(col("embedding"), nBits))
+  def lshAnn(emb: DataFrame, queryVecId: Long, k: Int, nBits: Int,
+             dim: Int = 64): DataFrame = {
+    val withBucket = emb.withColumn("bucket", lshBucket(col("embedding"), nBits, dim))
     val q = withBucket.where(col("vec_id") === queryVecId)
       .select(col("embedding").as("qv"), col("bucket").as("q_bucket"))
     withBucket.where(col("vec_id") =!= queryVecId)

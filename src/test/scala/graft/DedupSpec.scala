@@ -1,0 +1,76 @@
+package graft
+
+import graft.dedup.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox", "a"),
+    (2L, "fox brown quick the", "a"),   // same token set as 1 (order differs)
+    (3L, "the quick brown fox jumps", "a"), // 4/5 jaccard = 0.8 vs 1
+    (4L, "completely different text here", "a"),
+    (5L, "the quick brown fox", "b")    // duplicate of 1 in another block
+  ).toDF("doc_id", "text", "source")
+
+  test("exact dedup groups by canonical token set") {
+    val g = Dedup.exactByCanonicalTokens(docs, col("text"), col("doc_id"))
+      .orderBy("keep_doc_id").collect()
+    // {1,2,5} collapse, {3}, {4}
+    assert(g.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 3L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("jaccardPairs finds within-block near-dups only") {
+    val pairs = Dedup.jaccardPairs(docs, col("text"), col("doc_id"), "source", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // (1,2) jaccard 1.0 in block a; (1,5) crosses blocks -> absent
+    assert(pairs.toSeq == Seq((1L, 2L, 1.0)))
+    val loose = Dedup.jaccardPairs(docs, col("text"), col("doc_id"), "source", 0.75)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("minhash LSH candidates: exact duplicates always collide; supersets of high-jaccard recalled") {
+    val cand = Dedup.minHashLshCandidates(docs, col("text"), col("doc_id"),
+      numHashes = 16, bands = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical token sets share every band hash -> guaranteed candidates
+    assert(cand.contains((1L, 2L)))
+    assert(cand.contains((1L, 5L))) // LSH is corpus-wide (no block key)
+    assert(cand.contains((2L, 5L)))
+    // dissimilar docs should not collide in any band (16/4 with these consts)
+    assert(!cand.contains((1L, 4L)))
+  }
+
+  test("simhash: identical token sets get identical fingerprints, dissimilar differ") {
+    val fp = Dedup.simHash(docs, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) == fp(5L))
+    assert(fp(1L) != fp(4L))
+    assert(fp.values.forall(v => v >= 0 && v <= 0xFFFFFFFFL))
+  }
+
+  test("simHashNearPairs finds hamming-close pairs via half-signature blocking") {
+    val near = Dedup.simHashNearPairs(docs, col("text"), col("doc_id"), maxDist = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(near.contains((1L, 2L)) && near.contains((1L, 5L)) && near.contains((2L, 5L)))
+    assert(!near.exists { case (a, b) => Set(a, b).contains(4L) })
+  }
+
+  test("embedding near-dup pairs respect block key and threshold") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.999f, 0.01f), 0),  // ~same direction
+      (3L, Array(0.0f, 1.0f), 0),     // orthogonal
+      (4L, Array(1.0f, 0.0f), 1)      // other block
+    ).toDF("vec_id", "embedding", "label")
+    val pairs = Dedup.embeddingNearDupPairs(emb, "label", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import graft.ops.Intervals
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class IntervalsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private lazy val ingests = Seq(
+    (1L, 100L, ts("2024-03-01 00:00:00")),
+    (1L, 101L, ts("2024-03-01 01:00:00")),
+    (1L, 102L, ts("2024-03-01 03:00:00")),
+    (2L, 200L, ts("2024-03-01 02:00:00"))
+  ).toDF("key", "id", "ts")
+
+  test("ingestionIntervals emits lead() per key with open last interval (J2/W2)") {
+    val iv = Intervals.ingestionIntervals(ingests, Seq("key"), "ts", "id")
+      .orderBy("key", "current_ts").collect()
+    assert(iv.length == 4)
+    assert(iv(0).getAs[java.sql.Timestamp]("next_ts") == ts("2024-03-01 01:00:00"))
+    assert(iv(1).getAs[java.sql.Timestamp]("next_ts") == ts("2024-03-01 03:00:00"))
+    assert(iv(2).isNullAt(iv(2).fieldIndex("next_ts"))) // open
+    assert(iv(3).isNullAt(iv(3).fieldIndex("next_ts"))) // other key unaffected
+  }
+
+  test("intervalJoin matches probes to containing interval, inclusive bounds (J4)") {
+    val iv = Intervals.ingestionIntervals(ingests, Seq("key"), "ts", "id").drop("id")
+    val probes = Seq(
+      (10L, 1L, ts("2024-03-01 00:30:00")), // inside [00:00, 01:00]
+      (11L, 1L, ts("2024-03-01 01:00:00")), // boundary: matches both (inclusive BETWEEN)
+      (12L, 1L, ts("2024-03-01 09:00:00")), // open interval
+      (13L, 2L, ts("2024-03-01 02:30:00")), // key 2 open interval
+      (14L, 3L, ts("2024-03-01 02:30:00"))  // unknown key -> dropped (inner)
+    ).toDF("pid", "key", "ts")
+    val m = Intervals.intervalJoin(probes, iv, Seq("key"), "ts")
+    val byPid = m.select("pid").collect().map(_.getLong(0)).groupBy(identity).view.mapValues(_.length).toMap
+    assert(byPid == Map(10L -> 1, 11L -> 2, 12L -> 1, 13L -> 1))
+    val p10 = m.filter($"pid" === 10L).head()
+    assert(p10.getAs[Long]("time_since_last_ingest_ms") == 30L * 60 * 1000)
+    assert(p10.getAs[Long]("time_to_next_ingest_ms") == 30L * 60 * 1000)
+    // open interval end = sentinel 2999-12-31
+    val p12 = m.filter($"pid" === 12L).head()
+    assert(p12.getAs[java.sql.Timestamp]("interval_end") == ts("2999-12-31 00:00:00"))
+  }
+}
