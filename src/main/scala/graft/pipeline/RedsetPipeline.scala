@@ -1,0 +1,181 @@
+package graft.pipeline
+
+import graft.etl.{Clean, RedsetSchema}
+import graft.fns.Fns
+import graft.ops.Intervals
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The two reference dashboards as library entry points over the native
+  * 24-column Redset schema (SURVEY §3.2-3.3) — what a user of the reference
+  * switches to. Each is a pure DataFrame transform; feed a batch frame or a
+  * streaming frame (via foreachBatch) identically.
+  */
+object RedsetPipeline {
+
+  /** Full cleaning + flattening front end (§3.1): raw wire frame → cleaned
+    * typed frame (`Clean`) and the `flattened_table_ids` shape.
+    */
+  def flattened(raw: DataFrame): DataFrame = Clean.flatten(Clean(raw))
+
+  // ---- live "Aggregate View" (Dashboard_Live_Final.py) ----
+
+  /** Q1: top-10 compile-time leaderboard with mm:ss display column
+    * (`Dashboard_Live_Final.py:339-346`, format `:352-354`).
+    */
+  def compileLeaderboard(cleaned: DataFrame, k: Int = 10): DataFrame =
+    cleaned.select(col("query_id"), col("compile_duration_ms"))
+      .dropDuplicates()
+      .orderBy(col("compile_duration_ms").desc, col("query_id"))
+      .limit(k)
+      .withColumn("compile_mmss", Fns.mmss(col("compile_duration_ms")))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("compile_duration_ms").desc,
+          col("query_id"))))
+
+  /** Q2: top-5 users by query count (`Dashboard_Live_Final.py:404-410`). */
+  def topUsers(cleaned: DataFrame, k: Int = 5): DataFrame =
+    cleaned.groupBy(col("user_id")).agg(count(lit(1)).as("query_count"))
+      .orderBy(col("query_count").desc, col("user_id")).limit(k)
+
+  /** Q3: query-type distribution (`Dashboard_Live_Final.py:452-459`). */
+  def queryTypeDistribution(cleaned: DataFrame): DataFrame =
+    cleaned.groupBy(col("query_type")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("query_type"))
+
+  /** Q4+Q5: the scalar metric panel in ONE pass — replaces the reference's
+    * 8 separate queries (`Dashboard_Live_Final.py:230-237,542-548`) with a
+    * single conditional aggregation (A1/A2/A3).
+    */
+  def scalarPanel(cleaned: DataFrame): DataFrame =
+    cleaned.agg(
+      count(lit(1)).as("total_queries"),
+      sum(when(col("was_aborted"), 1L).otherwise(0L)).as("aborted_queries"),
+      sum(when(col("was_cached"), 1L).otherwise(0L)).as("cached_queries"),
+      sum(when(!col("was_aborted") && !col("was_cached"), 1L).otherwise(0L))
+        .as("successful_queries"),
+      sum(col("mbytes_scanned")).as("total_mbytes_scanned"),
+      sum(col("mbytes_spilled")).as("total_mbytes_spilled"),
+      sum(col("num_joins")).as("total_joins"),
+      sum(col("num_aggregations")).as("total_aggregations"),
+      sum(col("compile_duration_ms")).as("total_compile_ms"))
+
+  // ---- historical "Expert View" (Dashboard_Historical_Final.py) ----
+
+  private val entityKeys = Seq("instance_id", "write_table_id")
+
+  /** Ingestion intervals per (instance, table): lead() over event time
+    * replaces the reference's O(n²) self-join / correlated subquery
+    * (J1/J2 → W2; `Dashboard_Historical_Final.py:216-238`,
+    * `update_tables.py:45-78`).
+    */
+  def ingestionIntervals(flat: DataFrame): DataFrame =
+    Intervals.ingestionIntervals(
+      flat.filter(col("query_type").isin(RedsetSchema.IngestTypes: _*) &&
+        col("write_table_id").isNotNull),
+      entityKeys, "arrival_timestamp", "query_id")
+
+  /** The historical `output_table` (§3.3): every query matched to the
+    * ingestion interval containing it, with the reference's disjunctive
+    * read-vs-write table match (J4, `Dashboard_Historical_Final.py:283-296`)
+    * re-expressed on a single normalized `table_id` column:
+    * selects match on the table they READ, transforms on the table they
+    * WRITE. Ingest rows re-attach via UNION ALL (U1, `:297-312`).
+    */
+  def outputTable(flat: DataFrame): DataFrame = {
+    val iv = ingestionIntervals(flat)
+      .withColumnRenamed("write_table_id", "table_id").drop("query_id")
+    val probes = flat
+      .filter(!col("query_type").isin(RedsetSchema.IngestTypes: _*))
+      .withColumn("table_id",
+        when(col("query_type") === "select", col("read_table_id"))
+          .otherwise(col("write_table_id")))
+      .filter(col("table_id").isNotNull)
+      .select("instance_id", "query_id", "arrival_timestamp", "query_type",
+        "table_id")
+    val matched = Intervals.intervalJoin(
+      probes, iv, Seq("instance_id", "table_id"), "arrival_timestamp")
+      .select(col("instance_id"), col("query_id"), col("arrival_timestamp"),
+        col("query_type"), col("table_id"), col("last_ingest_ts"),
+        col("time_since_last_ingest_ms"),
+        // open interval (end = sentinel): no "next ingest" exists -> null,
+        // so downstream avg/decile math never sees the year-2999 sentinel
+        when(col("interval_end") < Fns.openIntervalSentinel,
+          col("time_to_next_ingest_ms")).as("time_to_next_ingest_ms"))
+    val ingests = flat
+      .filter(col("query_type").isin(RedsetSchema.IngestTypes: _*) &&
+        col("write_table_id").isNotNull)
+      .select(col("instance_id"), col("query_id"), col("arrival_timestamp"),
+        col("query_type"), col("write_table_id").as("table_id"),
+        col("arrival_timestamp").as("last_ingest_ts"),
+        lit(0L).as("time_since_last_ingest_ms"),
+        lit(null).cast("long").as("time_to_next_ingest_ms"))
+    matched.unionByName(ingests)
+  }
+
+  /** Q7: per-table workload counts — select vs transform FULL OUTER JOIN
+    * with COALESCEd keys (A6+J5, `Dashboard_Historical_Final.py:69-99`).
+    */
+  def tablesWorkloadCount(flat: DataFrame): DataFrame = {
+    val sel = flat.filter(col("query_type") === "select" &&
+        col("read_table_id").isNotNull)
+      .groupBy(col("instance_id").as("i_s"), col("read_table_id").as("t_s"))
+      .agg(count(lit(1)).as("select_count"))
+    val tra = flat.filter(col("query_type").isin("insert", "copy", "update", "delete") &&
+        col("write_table_id").isNotNull)
+      .groupBy(col("instance_id").as("i_t"), col("write_table_id").as("t_t"))
+      .agg(count(lit(1)).as("transform_count"))
+    sel.join(tra, col("i_s") === col("i_t") && col("t_s") === col("t_t"), "full_outer")
+      .select(
+        coalesce(col("i_s"), col("i_t")).as("instance_id"),
+        coalesce(col("t_s"), col("t_t")).as("table_id"),
+        coalesce(col("select_count"), lit(0L)).as("select_count"),
+        coalesce(col("transform_count"), lit(0L)).as("transform_count"))
+  }
+
+  /** Q8-prep: "analytical tables" — read-dominated per the 0.80 ratio rule
+    * (A10, `Dashboard_Historical_Final.py:354-357`).
+    */
+  def analyticalTables(flat: DataFrame, threshold: Double = 0.80): DataFrame =
+    tablesWorkloadCount(flat)
+      .withColumn("select_pct",
+        col("select_count").cast("double") /
+          nullif(col("select_count") + col("transform_count"), lit(0L)))
+      .filter(col("select_pct") > threshold)
+
+  /** Q9: decile histogram of SELECT placement between ingests (W1,
+    * `Dashboard_Historical_Final.py:428-463`). Global NTILE as in the
+    * reference (oracle parity); pass `perTable = true` for the scalable
+    * per-table variant (SURVEY §7.4).
+    */
+  def ingestDecileHistogram(flat: DataFrame, perTable: Boolean = false): DataFrame = {
+    val rel = outputTable(flat)
+      .filter(col("query_type") === "select" &&
+        col("time_to_next_ingest_ms").isNotNull)
+      .withColumn("rel_pos",
+        col("time_since_last_ingest_ms").cast("double") /
+          nullif(col("time_since_last_ingest_ms") + col("time_to_next_ingest_ms"),
+            lit(0L)))
+    val w = if (perTable)
+      Window.partitionBy(col("instance_id"), col("table_id"))
+        .orderBy(col("rel_pos"), col("query_id"))
+    else Window.orderBy(col("rel_pos"), col("query_id"))
+    rel.withColumn("bin", ntile(10).over(w))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+      .orderBy(col("bin"))
+  }
+
+  /** Q10: freshness flags — tables whose average time-since-ingest exceeds
+    * average time-to-next (A8 HAVING, `update_tables.py:242-264`).
+    */
+  def freshnessProblems(flat: DataFrame): DataFrame = {
+    val since = sum(col("time_since_last_ingest_ms")).cast("double") / count(lit(1))
+    val toNext = sum(col("time_to_next_ingest_ms")).cast("double") / count(lit(1))
+    outputTable(flat)
+      .filter(col("time_to_next_ingest_ms").isNotNull)
+      .groupBy(col("instance_id"), col("table_id"))
+      .agg(since.as("avg_since_ms"), toNext.as("avg_to_next_ms"))
+      .filter(col("avg_since_ms") > col("avg_to_next_ms"))
+  }
+}

@@ -1,0 +1,115 @@
+package graft.streaming
+
+import graft.etl.RedsetSchema
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming topology (SURVEY §2.8, §3.1-3.2), the principled
+  * rebuild of the reference's Kafka → DuckDB micro-batch loops:
+  *
+  *  - ST1/ST2: micro-batch ingestion with exactly-once-to-idempotent-sinks
+  *    (checkpointing) replaces poll-until-empty + manual offset commit
+  *    (`Dashboard_Live_Final.py:627-706`).
+  *  - ST3: the 60 s TRUNCATE cycle becomes an event-time tumbling window.
+  *  - ST4/ST8: the hand-rolled MAX(ts) watermark probe
+  *    (`Dashboard_Historical_Final.py:190-198`) becomes `withWatermark`,
+  *    plus principled late/duplicate handling the reference lacks.
+  *  - ST5: the dual-α EWMA stress index (`Dashboard_Live_Final.py:577-624`)
+  *    becomes a stateful flatMapGroupsWithState op.
+  *  - S4: the 6-topic fan-out (`producer_Final.py:120-129`) becomes one
+  *    stream with N projected sinks inside foreachBatch.
+  *
+  * Scale: state is partitioned by group key across executors; watermark
+  * eviction bounds it. Nothing here collects to the driver.
+  */
+object Streams {
+
+  /** S2 (test form): file-based JSON stream decoding the Redset wire format.
+    * Swap `format("json")` for `format("kafka")` + `from_json(col("value"))`
+    * against a broker; everything downstream is identical.
+    */
+  def jsonFileSource(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(RedsetSchema.rawSchema)
+      .option("maxFilesPerTrigger", 1)
+      .json(dir)
+
+  /** ST3: tumbling event-time aggregate with watermark — counts + sums per
+    * window per group. `delay` is the allowed lateness (ST8).
+    */
+  def tumblingCounts(events: DataFrame, tsCol: String, keyCol: String,
+                     valCol: String, window: String, delay: String): DataFrame =
+    events
+      .withWatermark(tsCol, delay)
+      .groupBy(
+        org.apache.spark.sql.functions.window(col(tsCol), window),
+        col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col(valCol)).as("sum_value"))
+      .select(col("window.start").as("window_start"), col(keyCol),
+        col("n"), col("sum_value"))
+
+  /** ST8: watermarked streaming dedup by id — the principled upgrade of the
+    * reference's DISTINCT-after-the-fact (U2).
+    */
+  def dedupById(events: DataFrame, tsCol: String, idCol: String,
+                delay: String): DataFrame =
+    events.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(idCol)
+
+  /** EWMA state per key: the two time constants + last event time. */
+  case class EwmaState(shortAvg: Double, longAvg: Double, lastTsMicros: Long)
+
+  /** One emitted stress point (ST5/ST6 shape: short, long, raw). */
+  case class StressPoint(key: Long, tsMicros: Long, shortAvg: Double,
+                         longAvg: Double, raw: Double)
+
+  /** Input record for the EWMA op. */
+  case class MetricEvent(key: Long, tsMicros: Long, value: Double)
+
+  /** ST5: dual-time-constant EWMA (short α=0.02, long α=0.005 — reference
+    * constants, `Dashboard_Live_Final.py:596-597`) as a stateful streaming
+    * op. Within each micro-batch the group's events are folded in event-time
+    * order (the producer pre-sorts, O1; sorting here makes it robust to
+    * intra-batch reordering anyway). Emits one point per input event.
+    *
+    * Batch twin: `w4_ewma_per_user` (strict left fold via `aggregate`);
+    * the streaming fold is the same recurrence, so both agree on ordered
+    * input — asserted in StreamingSpec.
+    */
+  def ewmaStress(events: Dataset[MetricEvent],
+                 alphaShort: Double = 0.02,
+                 alphaLong: Double = 0.005): Dataset[StressPoint] = {
+    import events.sparkSession.implicits._
+    def fold(key: Long, it: Iterator[MetricEvent],
+             state: GroupState[EwmaState]): Iterator[StressPoint] = {
+      val sorted = it.toSeq.sortBy(e => (e.tsMicros, e.value))
+      var s = state.getOption.getOrElse(
+        EwmaState(Double.NaN, Double.NaN, Long.MinValue))
+      val out = sorted.map { e =>
+        val sh = if (s.shortAvg.isNaN) e.value
+                 else alphaShort * e.value + (1 - alphaShort) * s.shortAvg
+        val lo = if (s.longAvg.isNaN) e.value
+                 else alphaLong * e.value + (1 - alphaLong) * s.longAvg
+        s = EwmaState(sh, lo, e.tsMicros)
+        StressPoint(key, e.tsMicros, sh, lo, e.value)
+      }
+      if (sorted.nonEmpty) state.update(s)
+      out.iterator
+    }
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fold)
+  }
+
+  /** S4: one micro-batch fanned out to N projected sinks (the 6-topic
+    * multiplex). `sinks` maps sink name → (columns, writer).
+    */
+  def fanOut(stream: DataFrame,
+             sinks: Map[String, (Seq[String], DataFrame => Unit)]): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      batch.persist()
+      try sinks.foreach { case (_, (cols, write)) =>
+        write(batch.select(cols.map(col): _*))
+      } finally { batch.unpersist(); () }
+    }
+}

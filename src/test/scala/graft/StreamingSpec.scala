@@ -1,0 +1,119 @@
+package graft
+
+import graft.streaming.Streams
+import graft.streaming.Streams.{MetricEvent, StressPoint}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def us(sec: Long) = sec * 1000000L
+
+  test("ewmaStress folds the reference recurrence across micro-batches (ST5)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[MetricEvent]
+    val q = Streams.ewmaStress(in.toDS())
+      .writeStream.format("memory").queryName("stress").outputMode("append").start()
+    try {
+      // two micro-batches for the same key: state must carry across
+      in.addData(MetricEvent(1L, us(1), 100.0), MetricEvent(1L, us(2), 50.0))
+      q.processAllAvailable()
+      in.addData(MetricEvent(1L, us(3), 80.0), MetricEvent(2L, us(1), 10.0))
+      q.processAllAvailable()
+      val got = spark.table("stress").as[StressPoint].collect()
+        .sortBy(p => (p.key, p.tsMicros))
+      // reference recurrence: first point seeds avg = x
+      val s1 = 100.0
+      val s2 = 0.02 * 50 + 0.98 * s1
+      val s3 = 0.02 * 80 + 0.98 * s2
+      val l2 = 0.005 * 50 + 0.995 * 100.0
+      val l3 = 0.005 * 80 + 0.995 * l2
+      assert(got.map(_.key).toSeq == Seq(1L, 1L, 1L, 2L))
+      assert(math.abs(got(0).shortAvg - s1) < 1e-12)
+      assert(math.abs(got(1).shortAvg - s2) < 1e-12)
+      assert(math.abs(got(2).shortAvg - s3) < 1e-12)
+      assert(math.abs(got(2).longAvg - l3) < 1e-12)
+      assert(math.abs(got(3).shortAvg - 10.0) < 1e-12)
+    } finally q.stop()
+  }
+
+  test("streaming EWMA agrees with the batch w4 strict left fold") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(3)
+    val events = (1 to 40).map(i => MetricEvent(7L, us(i), rnd.nextDouble() * 100))
+    val in = MemoryStream[MetricEvent]
+    val q = Streams.ewmaStress(in.toDS())
+      .writeStream.format("memory").queryName("stress2").outputMode("append").start()
+    try {
+      events.grouped(7).foreach { batch => in.addData(batch); q.processAllAvailable() }
+      val streamed = spark.table("stress2").as[StressPoint].collect()
+        .sortBy(_.tsMicros).last.shortAvg
+      val batchFold = events.map(_.value).reduceLeft((a, x) => 0.02 * x + 0.98 * a)
+      assert(math.abs(streamed - batchFold) < 1e-9)
+    } finally q.stop()
+  }
+
+  test("tumbling window with watermark aggregates per window per key (ST3/ST4)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val df = in.toDS().toDF("ts", "key", "value")
+    val q = Streams.tumblingCounts(df, "ts", "key", "value", "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("tumble").outputMode("append").start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      in.addData(
+        (t("2024-03-01 00:10:00"), 1L, 10.0),
+        (t("2024-03-01 00:50:00"), 1L, 5.0),
+        (t("2024-03-01 01:20:00"), 1L, 7.0))
+      q.processAllAvailable()
+      // advance watermark far enough to close both windows
+      in.addData((t("2024-03-01 03:00:00"), 9L, 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumble")
+        .select("window_start", "key", "n", "sum_value")
+        .as[(java.sql.Timestamp, Long, Long, Double)].collect().sortBy(_._1.getTime)
+      assert(rows.map(r => (r._1.toString, r._2, r._3, r._4)).toSeq ==
+        Seq(("2024-03-01 00:00:00.0", 1L, 2L, 15.0),
+            ("2024-03-01 01:00:00.0", 1L, 1L, 7.0)))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark dedups by id (ST8)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, Long)]
+    val df = in.toDS().toDF("ts", "id")
+    val q = Streams.dedupById(df, "ts", "id", "1 hour")
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      in.addData((t("2024-03-01 00:00:00"), 1L), (t("2024-03-01 00:01:00"), 1L),
+        (t("2024-03-01 00:02:00"), 2L))
+      q.processAllAvailable()
+      in.addData((t("2024-03-01 00:03:00"), 1L)) // still within watermark -> dup
+      q.processAllAvailable()
+      assert(spark.table("dedup").count() == 2)
+    } finally q.stop()
+  }
+
+  test("fanOut writes projected column subsets per sink (S4)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, Double)]
+    val df = in.toDS().toDF("id", "kind", "value")
+    val captured = scala.collection.concurrent.TrieMap[String, Array[String]]()
+    val q = Streams.fanOut(df, Map(
+      "narrow" -> (Seq("id"), (b: org.apache.spark.sql.DataFrame) =>
+        captured("narrow") = b.columns),
+      "wide" -> (Seq("id", "value"), (b: org.apache.spark.sql.DataFrame) =>
+        captured("wide") = b.columns)
+    )).start()
+    try {
+      in.addData((1L, "x", 2.0))
+      q.processAllAvailable()
+      assert(captured("narrow").toSeq == Seq("id"))
+      assert(captured("wide").toSeq == Seq("id", "value"))
+    } finally q.stop()
+  }
+}
