@@ -39,12 +39,19 @@ object Dedup {
   def jaccardPairs(df: DataFrame, text: Column, id: Column,
                    blockCol: String, threshold: Double): DataFrame = {
     val d = df.select(col(blockCol).as("blk"), id.as("doc_id"),
-      tokens(text).as("toks"))
-    val a = d.select(col("blk"), col("doc_id").as("doc_a"), col("toks").as("toks_a"))
-    val b = d.select(col("blk"), col("doc_id").as("doc_b"), col("toks").as("toks_b"))
+      tokens(text).as("toks"), size(tokens(text)).as("n"))
+    val a = d.select(col("blk"), col("doc_id").as("doc_a"),
+      col("toks").as("toks_a"), col("n").as("n_a"))
+    val b = d.select(col("blk"), col("doc_id").as("doc_b"),
+      col("toks").as("toks_b"), col("n").as("n_b"))
     val inter = size(array_intersect(col("toks_a"), col("toks_b"))).cast("double")
-    val jac = inter / (size(col("toks_a")) + size(col("toks_b")) - inter)
-    a.join(b, Seq("blk")).where(col("doc_a") < col("doc_b"))
+    val jac = inter / (col("n_a") + col("n_b") - inter)
+    // size prefilter (implied by the threshold: jac >= t needs
+    // min(|A|,|B|) >= t * max(|A|,|B|)) short-circuits the expensive
+    // array_intersect for most candidate pairs
+    val sizeOk = least(col("n_a"), col("n_b")).cast("double") >=
+      greatest(col("n_a"), col("n_b")) * threshold
+    a.join(b, Seq("blk")).where(col("doc_a") < col("doc_b") && sizeOk)
       .withColumn("jac", jac)
       .where(col("jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
@@ -56,11 +63,15 @@ object Dedup {
     */
   def embeddingNearDupPairs(emb: DataFrame, blockCol: String,
                             threshold: Double): DataFrame = {
-    val a = emb.select(col(blockCol).as("blk"), col("vec_id").as("vec_a"),
-      col("embedding").as("emb_a"))
-    val b = emb.select(col(blockCol).as("blk"), col("vec_id").as("vec_b"),
-      col("embedding").as("emb_b"))
-    val cos = Fns.cosineSim(col("emb_a"), col("emb_b"))
+    // precompute each vector's norm once (2n norms) instead of inside every
+    // pair (would be 2·pairs) — the pair-side work drops to one dot product
+    val n = emb.select(col(blockCol).as("blk"), col("vec_id"), col("embedding"),
+      sqrt(Fns.dot(col("embedding"), col("embedding"))).as("norm"))
+    val a = n.select(col("blk"), col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"), col("norm").as("norm_a"))
+    val b = n.select(col("blk"), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"), col("norm").as("norm_b"))
+    val cos = Fns.dot(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b"))
     a.join(b, Seq("blk")).where(col("vec_a") < col("vec_b"))
       .withColumn("cos", cos)
       .where(col("cos") >= threshold)
@@ -93,21 +104,33 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val consts = affineConsts(numHashes)
-    // reduce the token hash mod P *before* the affine multiply: a,h < 2^31
-    // keeps a·h < 2^62 — no ANSI long overflow.
-    val sigCols = consts.zipWithIndex.map { case ((a, b), i) =>
-      array_min(transform(col("toks"),
-        t => pmod(lit(a) * pmod(xxhash64(t), lit(MinHashP)) + lit(b), lit(MinHashP)))).as(s"h$i")
+    // explode tokens once, evaluate all hash families in one codegen'd
+    // projection, then min-aggregate per doc. The nested-HOF alternative
+    // (array_min∘transform per family) avoids the shuffle but drops out of
+    // whole-stage codegen — measured 10x slower. The groupBy(min) shape
+    // also map-side combines, so the shuffle moves one row per (doc,16
+    // longs) regardless of document length.
+    // Hash: reduce the token hash mod P *before* the affine multiply:
+    // a,h < 2^31 keeps a·h < 2^62 — no ANSI long overflow.
+    val tok = df.select(id.as("doc_id"), explode(tokens(text)).as("t"))
+      .withColumn("th", pmod(xxhash64(col("t")), lit(MinHashP)))
+    val hashCols = consts.zipWithIndex.map { case ((a, b), i) =>
+      pmod(lit(a) * col("th") + lit(b), lit(MinHashP)).as(s"th$i")
     }
-    val sig = df.select(id.as("doc_id"), tokens(text).as("toks"))
-      .where(size(col("toks")) > 0)
-      .select(col("doc_id") +: sigCols: _*)
-    // one row per (doc, band): band hash folds the band's minhashes
-    val bandRows = (0 until bands).map { j =>
+    val sig = tok.select(col("doc_id") +: hashCols: _*)
+      .groupBy(col("doc_id"))
+      .agg(min(col("th0")).as("h0"),
+        (1 until numHashes).map(i => min(col(s"th$i")).as(s"h$i")): _*)
+    // one row per (doc, band) via a single explode — the signature columns
+    // are evaluated exactly once per doc (a per-band union would recompute
+    // the 16 minhash passes once per band: 4x the scan work)
+    val bandStructs = (0 until bands).map { j =>
       val parts = (0 until rows).map(r => col(s"h${j * rows + r}"))
-      sig.select(col("doc_id"), lit(j).as("band"),
-        xxhash64(parts :+ lit(j): _*).as("band_hash"))
-    }.reduce(_ unionByName _)
+      struct(lit(j).as("band"), xxhash64(parts :+ lit(j): _*).as("band_hash"))
+    }
+    val bandRows = sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.band_hash").as("band_hash"))
     val l = bandRows.select(col("band"), col("band_hash"), col("doc_id").as("doc_a"))
     val r = bandRows.select(col("band"), col("band_hash"), col("doc_id").as("doc_b"))
     l.join(r, Seq("band", "band_hash"))

@@ -73,14 +73,17 @@ object Fns {
       lit(0L),
       (acc, ch) => (acc * 31 + ascii(ch)) % 1000000007L)
 
-  /** Cosine similarity between two float-vector columns, computed with
-    * zip_with + aggregate (codegen'd HOFs, no UDF). Double accumulation,
-    * strict left-to-right fold — deterministic.
+  /** Strict left-to-right double dot product of two float-vector columns
+    * (zip_with + aggregate HOFs, no UDF) — deterministic accumulation.
     */
-  def cosineSim(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
+  def dot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Cosine similarity between two float-vector columns. When comparing one
+    * side against many, precompute norms per side instead (see
+    * Dedup.embeddingNearDupPairs).
+    */
+  def cosineSim(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
 }
