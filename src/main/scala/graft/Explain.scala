@@ -1,0 +1,26 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Plan-audit tool: prints explain("formatted") for the named queries (or
+  * all with no args past sfDir) — used to check PushedFilters / ReadSchema /
+  * broadcast choices / WholeStageCodegen spans per SURVEY §4.
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val names = if (args.length > 1) args.drop(1).toSeq else SparkEntry.all.map(_.name)
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val qs = SparkEntry.queries
+    names.foreach { n =>
+      println(s"\n========== $n ==========")
+      qs(n)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -161,6 +161,29 @@ object DocQueries {
           nBits = 8)
     },
 
+    // Multimodal frame-sampling plumbing: text bytes stand in for a video
+    // payload; one row per sampled frame, re-aggregated to frame counts
+    // (deterministic -> exact oracle on ceil(n_bytes/stride)).
+    QDef("mm3_frame_sample",
+      """SELECT doc_id, CAST(ceil(strlen(text) / 64.0) AS BIGINT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.multimodal.Multimodal.sampleFrames(
+          Tables.documents(s, dir), "doc_id", "text", stride = 64)
+        .groupBy(col("id").as("doc_id"))
+        .agg(count(lit(1)).as("n_frames"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Multimodal decode plumbing: batched per-partition (stub) codec ->
+    // fixed-shape feature vectors; spec-tested (codec is a fake, the
+    // partitioning/schema/batch shape are real).
+    QDef.noOracle("mm2_decode_features") { (s, dir) =>
+      graft.multimodal.Multimodal.decodeFeatures(
+          Tables.documents(s, dir).withColumn("payload", col("text").cast("binary")),
+          "doc_id", "payload")
+        .toDF().orderBy(col("id"))
+    },
+
     // Language ID via stopword/character heuristics (the synthetic corpus
     // shares one vocabulary, so this demonstrates the operator shape; real
     // n-gram profiles plug into the same transform).

@@ -402,6 +402,22 @@ object EventQueries {
         .orderBy(col("value").desc, col("user_id")).limit(10)
     },
 
+    // O6: bounded top-k via the custom typed Aggregator (partial aggregation
+    // ships only k rows per partition — the streaming-safe top-k shape).
+    QDef("o6_topk_aggregator",
+      s"""$E SELECT CAST(rn AS BIGINT) AS rank, value, event_id FROM (
+         |  SELECT value, event_id,
+         |    row_number() OVER (ORDER BY value DESC, event_id) AS rn FROM e)
+         |WHERE rn <= 10 ORDER BY rank""".stripMargin) { (s, dir) =>
+      val topk = udaf(new graft.ops.TopK.BoundedTopK(10))
+      ev(s, dir)
+        .agg(topk(col("value"), col("event_id")).as("tk"))
+        .select(posexplode(col("tk")).as(Seq("pos", "s")))
+        .select((col("pos") + 1).cast("long").as("rank"),
+          col("s.value").as("value"), col("s.id").as("event_id"))
+        .orderBy(col("rank"))
+    },
+
     // O4: recent-N scan (Dashboard_updated_with_kafka_duckdb_ver3.py:250).
     QDef("o4_recent_events",
       s"""$E SELECT event_id, ts, event_type FROM e
