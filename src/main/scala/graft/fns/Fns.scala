@@ -73,12 +73,13 @@ object Fns {
       lit(0L),
       (acc, ch) => (acc * 31 + ascii(ch)) % 1000000007L)
 
-  /** Strict left-to-right double dot product of two float-vector columns
-    * (zip_with + aggregate HOFs, no UDF) — deterministic accumulation.
+  /** Strict left-to-right double dot product of two float-vector columns.
+    * Backed by the native codegen'd expression (graft.expr.DotProductF);
+    * bit-identical to the HOF fold
+    * `aggregate(zip_with(x, y, _*_), 0.0, _+_)` it replaces.
     */
   def dot(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.expr.VectorExpressions.dotF(x, y)
 
   /** Cosine similarity between two float-vector columns. When comparing one
     * side against many, precompute norms per side instead (see
