@@ -426,6 +426,28 @@ object EventQueries {
         .orderBy(col("ts").desc, col("event_id")).limit(100)
     },
 
+    // O1: global event-time sort (producer_Final.py:105) — full range
+    // partitioned sort, no driver collect.
+    QDef("o1_global_sort",
+      s"""$E SELECT event_id, ts FROM e
+         |ORDER BY ts, event_id""".stripMargin) { (s, dir) =>
+      ev(s, dir).select(col("event_id"), col("ts"))
+        .orderBy(col("ts"), col("event_id"))
+    },
+
+    // F7/F9: recency slice with an injectable clock (fixed here so the
+    // oracle is deterministic; production passes current_timestamp()).
+    QDef("f9_recency_slice",
+      s"""$E SELECT event_id, ts FROM e
+         |WHERE ts >= TIMESTAMP '2024-01-25 00:00:00' - INTERVAL 1 DAY
+         |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      ev(s, dir)
+        .filter(Fns.recencyFilter(col("ts"),
+          now = lit("2024-01-25 00:00:00").cast("timestamp")))
+        .select(col("event_id"), col("ts"))
+        .orderBy(col("event_id"))
+    },
+
     // U2: DISTINCT projection (Dashboard_Historical_Final.py:224,272).
     QDef("u2_distinct_pairs",
       s"""$E SELECT DISTINCT user_id, event_type FROM e

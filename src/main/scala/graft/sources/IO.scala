@@ -46,4 +46,23 @@ object IO {
     */
   def toJsonRecords(df: DataFrame): DataFrame =
     df.selectExpr("to_json(struct(*)) AS value")
+
+  /** S9: table DDL / reset. `CREATE OR REPLACE` ≡ overwrite save; the
+    * reference's TRUNCATE loop (`Dashboard_Live_Final.py:129-135`) becomes
+    * an overwrite with an empty frame of the same schema.
+    */
+  def createOrReplaceTable(df: DataFrame, name: String): Unit =
+    df.write.mode(SaveMode.Overwrite).saveAsTable(name)
+
+  def truncateTable(spark: SparkSession, name: String): Unit = {
+    val schema = spark.table(name).schema
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .write.mode(SaveMode.Overwrite).saveAsTable(name)
+  }
+
+  /** X14: information_schema-style existence probe + row count
+    * (`Dashboard_Historical_Final.py:725-735`).
+    */
+  def tableStatus(spark: SparkSession, name: String): Option[Long] =
+    if (spark.catalog.tableExists(name)) Some(spark.table(name).count()) else None
 }

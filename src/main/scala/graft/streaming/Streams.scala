@@ -101,6 +101,19 @@ object Streams {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fold)
   }
 
+  /** ST6: sliding history buffer — last `n` points per key by event time
+    * (the reference's tail(100)/tail(50) chart buffers). Batch twin shown;
+    * in streaming this is the memory-sink + client-trim pattern, or this
+    * same window inside foreachBatch.
+    */
+  def lastNPerKey(df: DataFrame, keyCol: String, tsCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("_rn",
+        row_number().over(Window.partitionBy(col(keyCol))
+          .orderBy(col(tsCol).desc)))
+      .filter(col("_rn") <= n).drop("_rn")
+  }
+
   /** S4: one micro-batch fanned out to N projected sinks (the 6-topic
     * multiplex). `sinks` maps sink name → (columns, writer).
     */
