@@ -80,4 +80,53 @@ object Intervals {
       .withColumn("time_to_next_ingest_ms",
         Fns.epochMsBetween(col(tsCol), col("interval_end")))
   }
+
+  /** Scale variant of [[intervalJoin]] for skewed/hot entity keys (SURVEY
+    * §7.3 hard part #2): both sides gain a coarse time bucket that becomes
+    * part of the equi-join key, so one hot (instance, table) no longer
+    * lands on one shuffle partition — it spreads over its time range.
+    *
+    * Each interval is exploded into every bucket it spans (open intervals
+    * are capped at the probes' max event time first — they'd otherwise span
+    * to the 2999 sentinel); each probe has exactly one bucket, so no
+    * duplicate matches arise. Semantics are identical to [[intervalJoin]]
+    * (asserted in IntervalsSpec); the fan-out cost is
+    * span/bucketLen extra interval rows, so pick bucketLen ≈ median
+    * inter-ingest gap.
+    */
+  def intervalJoinBucketed(
+      probes: DataFrame,
+      intervals: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      bucketSeconds: Long = 86400L): DataFrame = {
+    val b = lit(bucketSeconds)
+    val maxTs = probes.agg(max(col(tsCol)).as("_max_ts"))
+    val iv = intervals
+      .withColumn("interval_end", coalesce(col("next_ts"), Fns.openIntervalSentinel))
+      .withColumnRenamed("current_ts", "last_ingest_ts")
+      .drop("next_ts")
+      .crossJoin(broadcast(maxTs))
+      .withColumn("_end_capped",
+        least(col("interval_end"), greatest(col("_max_ts"), col("last_ingest_ts"))))
+      .withColumn("bucket",
+        explode(sequence(floor(unix_timestamp(col("last_ingest_ts")) / b),
+          floor(unix_timestamp(col("_end_capped")) / b))))
+      .drop("_max_ts", "_end_capped")
+    val ivKeys = keys.map(k => iv(k).as(s"iv_$k"))
+    val ivSel = iv.select(ivKeys ++ Seq(iv("bucket"),
+      iv("last_ingest_ts"), iv("interval_end")): _*)
+    val probesB = probes.withColumn("_p_bucket",
+      floor(unix_timestamp(col(tsCol)) / b))
+    val cond = keys.map(k => probesB(k) === ivSel(s"iv_$k")).reduce(_ && _) &&
+      probesB("_p_bucket") === ivSel("bucket") &&
+      probesB(tsCol) >= ivSel("last_ingest_ts") &&
+      probesB(tsCol) <= ivSel("interval_end")
+    probesB.join(ivSel, cond, "inner")
+      .drop(keys.map(k => s"iv_$k") :+ "_p_bucket" :+ "bucket": _*)
+      .withColumn("time_since_last_ingest_ms",
+        Fns.epochMsBetween(col("last_ingest_ts"), col(tsCol)))
+      .withColumn("time_to_next_ingest_ms",
+        Fns.epochMsBetween(col(tsCol), col("interval_end")))
+  }
 }

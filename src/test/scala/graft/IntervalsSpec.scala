@@ -46,4 +46,24 @@ class IntervalsSpec extends AnyFunSuite {
     val p12 = m.filter($"pid" === 12L).head()
     assert(p12.getAs[java.sql.Timestamp]("interval_end") == ts("2999-12-31 00:00:00"))
   }
+
+  test("intervalJoinBucketed is semantically identical to intervalJoin") {
+    val iv = Intervals.ingestionIntervals(ingests, Seq("key"), "ts", "id").drop("id")
+    // probes across bucket boundaries, incl. one inside an interval that
+    // spans multiple 30-min buckets and one in the open interval
+    val probes = (0 until 50).map { i =>
+      (100L + i, 1L + (i % 2), ts(f"2024-03-01 0${i % 8}:${(i * 7) % 60}%02d:00"))
+    }.toDF("pid", "key", "ts")
+    val plain = Intervals.intervalJoin(probes, iv, Seq("key"), "ts")
+      .select("pid", "key", "last_ingest_ts", "interval_end",
+        "time_since_last_ingest_ms", "time_to_next_ingest_ms")
+      .collect().map(_.toSeq).toSet
+    val bucketed = Intervals.intervalJoinBucketed(probes, iv, Seq("key"), "ts",
+      bucketSeconds = 1800L)
+      .select("pid", "key", "last_ingest_ts", "interval_end",
+        "time_since_last_ingest_ms", "time_to_next_ingest_ms")
+      .collect().map(_.toSeq).toSet
+    assert(bucketed == plain)
+    assert(plain.nonEmpty)
+  }
 }
