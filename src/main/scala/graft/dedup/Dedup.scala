@@ -16,6 +16,20 @@ object Dedup {
 
   private def tokens(text: Column): Column = array_distinct(split(text, " "))
 
+  /** Distinct word n-gram shingles (n=1 degenerates to the token set).
+    * Shorter-than-n docs yield one truncated shingle, matching the DuckDB
+    * twin `list_transform(range(1, greatest(len-n+1,1)+1), i ->
+    * array_to_string(toks[i:i+n-1], ' '))`.
+    */
+  def shingles(text: Column, n: Int): Column =
+    if (n <= 1) tokens(text)
+    else {
+      val toks = split(text, " ")
+      array_distinct(transform(
+        sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+    }
+
   /** Exact dedup on a canonicalized signature: the sorted distinct token
     * set. One hash-shuffle on the signature; emits one row per duplicate
     * group `(keep_doc_id = min id, dup_count)`.
@@ -37,9 +51,11 @@ object Dedup {
     * to 6 decimals (QDef determinism contract).
     */
   def jaccardPairs(df: DataFrame, text: Column, id: Column,
-                   blockCol: String, threshold: Double): DataFrame = {
+                   blockCol: String, threshold: Double,
+                   ngram: Int = 1): DataFrame = {
+    val sh = shingles(text, ngram)
     val d = df.select(col(blockCol).as("blk"), id.as("doc_id"),
-      tokens(text).as("toks"), size(tokens(text)).as("n"))
+      sh.as("toks"), size(sh).as("n"))
     val a = d.select(col("blk"), col("doc_id").as("doc_a"),
       col("toks").as("toks_a"), col("n").as("n_a"))
     val b = d.select(col("blk"), col("doc_id").as("doc_b"),
@@ -100,7 +116,8 @@ object Dedup {
     * no UDF): one `array_min(transform(tokens, affine∘xxhash64))` per hash.
     */
   def minHashLshCandidates(df: DataFrame, text: Column, id: Column,
-                           numHashes: Int, bands: Int): DataFrame = {
+                           numHashes: Int, bands: Int,
+                           ngram: Int = 1): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val consts = affineConsts(numHashes)
@@ -112,7 +129,7 @@ object Dedup {
     // longs) regardless of document length.
     // Hash: reduce the token hash mod P *before* the affine multiply:
     // a,h < 2^31 keeps a·h < 2^62 — no ANSI long overflow.
-    val tok = df.select(id.as("doc_id"), explode(tokens(text)).as("t"))
+    val tok = df.select(id.as("doc_id"), explode(shingles(text, ngram)).as("t"))
       .withColumn("th", pmod(xxhash64(col("t")), lit(MinHashP)))
     val hashCols = consts.zipWithIndex.map { case ((a, b), i) =>
       pmod(lit(a) * col("th") + lit(b), lit(MinHashP)).as(s"th$i")

@@ -51,6 +51,25 @@ object DocQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
+    // Word-3-gram Jaccard near-dup pairs (order-sensitive shingles catch
+    // rearranged-token docs that unigram sets miss), same blocked join.
+    QDef("d6_ngram_jaccard",
+      """WITH d AS (SELECT doc_id, source, list_distinct(
+        |    list_transform(range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1),
+        |      i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS sh
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+        |FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      Dedup.jaccardPairs(Tables.documents(s, dir), col("text"), col("doc_id"),
+          blockCol = "source", threshold = 0.5, ngram = 3)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
     // Text quality metrics: token count, average token length, stopword
     // ratio — single codegen'd projection, no shuffle.
     QDef("t2_quality_metrics",

@@ -1,0 +1,68 @@
+package graft
+
+import graft.etl.{Clean, RedsetSchema}
+import graft.sources.IO
+import graft.streaming.Streams
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end §3.1→§3.2 topology over the file-based wire: raw JSON records
+  * (the Kafka message format) land as files → streaming source decodes with
+  * the declared schema → Clean → windowed aggregation → sink. Swapping the
+  * file source for format("kafka") is the only production difference.
+  */
+class StreamTopologySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def rawRow(over: Map[String, String]): Row =
+    Row(RedsetSchema.rawSchema.fieldNames.map(n => over.getOrElse(n, null)).toSeq: _*)
+
+  private def mkRaw(rows: Seq[Map[String, String]]) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(rawRow)), RedsetSchema.rawSchema)
+
+  private val wireRows = Seq(
+    Map("query_id" -> "1", "user_id" -> "10",
+      "arrival_timestamp" -> "2024-03-01 00:10:00", "query_type" -> "select",
+      "read_table_ids" -> "90", "mbytes_scanned" -> "100.0"),
+    Map("query_id" -> "2", "user_id" -> "10",
+      "arrival_timestamp" -> "2024-03-01 00:40:00", "query_type" -> "select",
+      "read_table_ids" -> "90", "mbytes_scanned" -> "200.0"),
+    Map("query_id" -> "3", "user_id" -> "11",
+      "arrival_timestamp" -> "2024-03-01 01:10:00", "query_type" -> "copy",
+      "write_table_ids" -> "90", "mbytes_scanned" -> "50.0"))
+
+  test("file-source stream: wire JSON -> clean -> event-time window -> sink") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wire").toString + "/in"
+    IO.toJsonRecords(mkRaw(wireRows)).write.text(dir)
+
+    val stream = Streams.jsonFileSource(spark, dir)
+    assert(stream.isStreaming)
+    val cleaned = Clean(stream)
+    val windowed = Streams.tumblingCounts(cleaned, "arrival_timestamp",
+      "query_type", "mbytes_scanned", "1 hour", "0 seconds")
+    val q = windowed.writeStream.format("memory").queryName("wire_agg")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // append mode emits only watermark-closed windows: the 00:00 hour
+      // closes once the 01:10 event advances the watermark
+      val rows = spark.table("wire_agg")
+        .select("window_start", "query_type", "n", "sum_value")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1),
+          r.getLong(2), r.getLong(3)))
+      assert(rows.toSet == Set(("2024-03-01 00:00:00.0", "select", 2L, 300L)))
+    } finally q.stop()
+  }
+
+  test("batch twin of the same topology agrees (stream/batch unification)") {
+    val cleaned = Clean(mkRaw(wireRows.take(2)))
+    val agg = cleaned.groupBy(window(col("arrival_timestamp"), "1 hour"),
+        col("query_type"))
+      .agg(count(lit(1)).as("n"), sum(col("mbytes_scanned")).as("sum_value"))
+    val r = agg.select(col("window.start"), col("n"), col("sum_value")).head()
+    assert(r.getTimestamp(0).toString == "2024-03-01 00:00:00.0")
+    assert(r.getLong(1) == 2L && r.getLong(2) == 300L)
+  }
+}
