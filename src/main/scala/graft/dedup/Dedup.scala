@@ -115,20 +115,25 @@ object Dedup {
     * The signature is computed with nested HOF expressions (no shuffle,
     * no UDF): one `array_min(transform(tokens, affine∘xxhash64))` per hash.
     */
-  def minHashLshCandidates(df: DataFrame, text: Column, id: Column,
-                           numHashes: Int, bands: Int,
-                           ngram: Int = 1): DataFrame = {
+  /** One row per (doc, band): the banded minhash bucket assignment shared
+    * by [[minHashLshCandidates]] and [[minHashLshEdges]].
+    *
+    * Signature: explode tokens once, evaluate all hash families in one
+    * codegen'd projection, then min-aggregate per doc. The nested-HOF
+    * alternative (array_min∘transform per family) avoids the shuffle but
+    * drops out of whole-stage codegen — measured 10x slower. The
+    * groupBy(min) shape map-side combines, so the shuffle moves one row
+    * per (doc, numHashes longs) regardless of document length. Band rows
+    * come from a single explode so the signature is evaluated once per doc
+    * (a per-band union would recompute it once per band).
+    * Hash: reduce the token hash mod P *before* the affine multiply:
+    * a,h < 2^31 keeps a·h < 2^62 — no ANSI long overflow.
+    */
+  private def minHashBandRows(df: DataFrame, text: Column, id: Column,
+                              numHashes: Int, bands: Int, ngram: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val consts = affineConsts(numHashes)
-    // explode tokens once, evaluate all hash families in one codegen'd
-    // projection, then min-aggregate per doc. The nested-HOF alternative
-    // (array_min∘transform per family) avoids the shuffle but drops out of
-    // whole-stage codegen — measured 10x slower. The groupBy(min) shape
-    // also map-side combines, so the shuffle moves one row per (doc,16
-    // longs) regardless of document length.
-    // Hash: reduce the token hash mod P *before* the affine multiply:
-    // a,h < 2^31 keeps a·h < 2^62 — no ANSI long overflow.
     val tok = df.select(id.as("doc_id"), explode(shingles(text, ngram)).as("t"))
       .withColumn("th", pmod(xxhash64(col("t")), lit(MinHashP)))
     val hashCols = consts.zipWithIndex.map { case ((a, b), i) =>
@@ -138,21 +143,43 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(min(col("th0")).as("h0"),
         (1 until numHashes).map(i => min(col(s"th$i")).as(s"h$i")): _*)
-    // one row per (doc, band) via a single explode — the signature columns
-    // are evaluated exactly once per doc (a per-band union would recompute
-    // the 16 minhash passes once per band: 4x the scan work)
     val bandStructs = (0 until bands).map { j =>
       val parts = (0 until rows).map(r => col(s"h${j * rows + r}"))
       struct(lit(j).as("band"), xxhash64(parts :+ lit(j): _*).as("band_hash"))
     }
-    val bandRows = sig
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.band_hash").as("band_hash"))
+  }
+
+  def minHashLshCandidates(df: DataFrame, text: Column, id: Column,
+                           numHashes: Int, bands: Int,
+                           ngram: Int = 1): DataFrame = {
+    val bandRows = minHashBandRows(df, text, id, numHashes, bands, ngram)
     val l = bandRows.select(col("band"), col("band_hash"), col("doc_id").as("doc_a"))
     val r = bandRows.select(col("band"), col("band_hash"), col("doc_id").as("doc_b"))
     l.join(r, Seq("band", "band_hash"))
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
+  /** Scale variant of [[minHashLshCandidates]]: per band bucket, emit only
+    * (bucket-min, member) spanning edges instead of all pairs — O(docs ×
+    * bands) output instead of quadratic in bucket size. On dup-heavy
+    * corpora (the norm in web-scale dedup: one viral page -> 10^5 copies)
+    * all-pairs is O(cluster²) and melts down exactly where dedup matters
+    * most; spanning edges preserve the connectivity the downstream
+    * keep-one-per-component step needs, losing only the redundant edges.
+    */
+  def minHashLshEdges(df: DataFrame, text: Column, id: Column,
+                      numHashes: Int, bands: Int,
+                      ngram: Int = 1): DataFrame = {
+    val bandRows = minHashBandRows(df, text, id, numHashes, bands, ngram)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("band_hash"))
+    bandRows.withColumn("rep", min(col("doc_id")).over(w))
+      .where(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
       .distinct()
   }
 

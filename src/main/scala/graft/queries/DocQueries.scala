@@ -161,8 +161,11 @@ object DocQueries {
     // MinHash + banded LSH near-dup candidates — deterministic affine hash
     // family over the token fingerprints; ScalaTest checks candidate
     // superset vs. exact Jaccard (no SQL oracle: banding is engine-internal).
+    // Uses the spanning-edges variant: on this dup-heavy corpus all-pairs
+    // candidates are 6.5M rows (quadratic in cluster size) vs ~O(n) edges
+    // with identical downstream keep-one-per-component semantics.
     QDef.noOracle("d2_minhash_lsh") { (s, dir) =>
-      Dedup.minHashLshCandidates(Tables.documents(s, dir), col("text"), col("doc_id"),
+      Dedup.minHashLshEdges(Tables.documents(s, dir), col("text"), col("doc_id"),
           numHashes = 16, bands = 4)
         .orderBy(col("doc_a"), col("doc_b"))
     },

@@ -46,6 +46,26 @@ class DedupSpec extends AnyFunSuite {
     assert(!cand.contains((1L, 4L)))
   }
 
+  test("minHashLshEdges connects every duplicate to its cluster representative") {
+    val edges = Dedup.minHashLshEdges(docs, col("text"), col("doc_id"),
+      numHashes = 16, bands = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical docs {1,2,5}: every band bucket has rep=1, so edges are
+    // exactly the star (1,2),(1,5) — connectivity preserved, no (2,5)
+    assert(edges.contains((1L, 2L)) && edges.contains((1L, 5L)))
+    assert(!edges.contains((2L, 5L)))
+    assert(!edges.exists { case (a, b) => Set(a, b).contains(4L) })
+  }
+
+  test("3-gram shingles distinguish reordered tokens (unigram jaccard=1)") {
+    val uni = Dedup.jaccardPairs(docs, col("text"), col("doc_id"), "source", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val tri = Dedup.jaccardPairs(docs, col("text"), col("doc_id"), "source", 0.9,
+      ngram = 3).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uni.contains((1L, 2L))) // same token set, different order
+    assert(!tri.contains((1L, 2L))) // 3-grams see the reordering
+  }
+
   test("simhash: identical token sets get identical fingerprints, dissimilar differ") {
     val fp = Dedup.simHash(docs, col("text"), col("doc_id"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
