@@ -183,6 +183,71 @@ object Dedup {
       .distinct()
   }
 
+  /** LSH-then-verify: exact Jaccard computed only on candidate pairs
+    * (O(candidates), not O(n²)) — the standard second stage after
+    * [[minHashLshCandidates]]/[[minHashLshEdges]], dropping the
+    * false positives the banding S-curve lets through.
+    */
+  def verifyJaccard(df: DataFrame, text: Column, id: Column,
+                    edges: DataFrame, threshold: Double,
+                    ngram: Int = 1): DataFrame = {
+    val d = df.select(id.as("vid"), shingles(text, ngram).as("vtoks"))
+    val a = d.select(col("vid").as("doc_a"), col("vtoks").as("toks_a"))
+    val b = d.select(col("vid").as("doc_b"), col("vtoks").as("toks_b"))
+    val inter = size(array_intersect(col("toks_a"), col("toks_b"))).cast("double")
+    val jac = inter /
+      (size(col("toks_a")) + size(col("toks_b")) - inter)
+    edges.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+      .withColumn("jac", jac)
+      .where(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
+  }
+
+  /** Connected components over near-dup candidate edges by iterative
+    * min-label propagation (each node adopts the smallest component id
+    * among itself and its neighbors until fixpoint). Converges in
+    * O(log diameter) rounds — star-shaped [[minHashLshEdges]] graphs
+    * converge in 2. Returns (node, comp). The driver-side loop iterates
+    * O(log n) times over fully distributed joins; labels are cached per
+    * round and the convergence probe is a count, not a collect.
+    */
+  def components(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionByName(edges.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .persist()
+    var labels = sym.select(col("u").as("node")).distinct()
+      .withColumn("comp", col("node")).persist()
+    var i = 0
+    var done = false
+    while (!done && i < maxIter) {
+      val prop = sym.join(labels, sym("u") === labels("node"))
+        .groupBy(col("v").as("p_node")).agg(min(col("comp")).as("neighbor_min"))
+      val next = labels.join(prop, labels("node") === prop("p_node"), "left")
+        .select(col("node"),
+          least(col("comp"), coalesce(col("neighbor_min"), col("comp"))).as("comp"))
+        .persist()
+      val changed = next.as("n").join(labels.withColumnRenamed("comp", "old").as("o"),
+        Seq("node")).filter(col("comp") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      done = changed == 0
+      i += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** The keep-one-per-component dedup action: drops every doc whose
+    * component representative is a different (smaller-id) doc. Docs with no
+    * candidate edges survive untouched (left anti join on the non-rep set).
+    */
+  def keepOnePerComponent(df: DataFrame, id: Column, edges: DataFrame): DataFrame = {
+    val losers = components(edges)
+      .filter(col("node") =!= col("comp"))
+      .select(col("node"))
+    df.join(losers, id === losers("node"), "left_anti")
+  }
+
   /** 32-bit SimHash fingerprint per document: for each bit position, sum
     * +1/-1 token votes (by that bit of the token's murmur hash); the
     * fingerprint sets the bits with positive vote sums. Near-dup docs are

@@ -170,6 +170,20 @@ object DocQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
+    // The complete dedup action: LSH candidate edges -> exact-Jaccard
+    // verify (O(candidates)) -> connected components (min-label
+    // propagation) -> keep one doc per duplicate cluster. Rows-only check
+    // (banding is engine-internal); end-to-end spec in DedupSpec.
+    QDef.noOracle("d7_dedup_keep_one") { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val edges = Dedup.minHashLshEdges(docs, col("text"), col("doc_id"), 16, 4)
+      val verified = Dedup.verifyJaccard(docs, col("text"), col("doc_id"),
+        edges, threshold = 0.9)
+      Dedup.keepOnePerComponent(docs, col("doc_id"), verified)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+
     // SimHash 32-bit fingerprints (Hamming-near pairs via the library op).
     QDef.noOracle("d3_simhash") { (s, dir) =>
       Dedup.simHash(Tables.documents(s, dir), col("text"), col("doc_id"))

@@ -82,6 +82,28 @@ class DedupSpec extends AnyFunSuite {
     assert(!near.exists { case (a, b) => Set(a, b).contains(4L) })
   }
 
+  test("components + keepOnePerComponent collapse duplicate clusters") {
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val comps = Dedup.components(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
+    val kept = Dedup.keepOnePerComponent(docs, col("doc_id"), edges)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // docs 2,3,5 collapse into their reps; 4 is a rep; non-edge docs stay
+    assert(kept == Set(1L, 4L))
+  }
+
+  test("end-to-end dedup: lsh edges -> exact verify -> components -> keep one") {
+    val edges = Dedup.minHashLshEdges(docs, col("text"), col("doc_id"), 16, 4)
+    // banding at j=0.8 likely links doc 3 (S-curve false positive) — the
+    // verify stage restores the exact threshold on candidates only
+    val verified = Dedup.verifyJaccard(docs, col("text"), col("doc_id"),
+      edges, threshold = 0.9)
+    val kept = Dedup.keepOnePerComponent(docs, col("doc_id"), verified)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L)) // {1,2,5} -> 1; 3 and 4 unique
+  }
+
   test("embedding near-dup pairs respect block key and threshold") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f), 0),
