@@ -197,6 +197,13 @@ object DocQueries {
           nBits = 8)
     },
 
+    // IVF ANN (k-means coarse quantizer + nProbe nearest inverted lists):
+    // the other standard scale path — ScalaTest measures recall.
+    QDef.noOracle("sim3_ann_ivf") { (s, dir) =>
+      Similarity.ivfAnn(Tables.embeddings(s, dir), queryVecId = 0L, k = 10,
+          nCentroids = 16, nProbe = 2, iters = 3)
+    },
+
     // Multimodal frame-sampling plumbing: text bytes stand in for a video
     // payload; one row per sampled frame, re-aggregated to frame counts
     // (deterministic -> exact oracle on ceil(n_bytes/stride)).

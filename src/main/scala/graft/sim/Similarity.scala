@@ -62,6 +62,77 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** IVF-style ANN: a k-means coarse quantizer partitions the corpus into
+    * nCentroids inverted lists; a query scans only the nProbe lists whose
+    * centroids are nearest. Centroids are tiny (nCentroids × dim floats) so
+    * they live on the driver and broadcast — the corpus-side work is one
+    * assignment pass (scan + broadcast argmin), and at serving time the
+    * bucket column is the partition/bucketing key, so each query reads
+    * ~corpus·nProbe/nCentroids rows.
+    *
+    * Lloyd's iterations run as distributed groupBy-means; deterministic
+    * seeding (every ⌈n/k⌉-th vector by id) keeps results reproducible.
+    */
+  def ivfAnn(emb: DataFrame, queryVecId: Long, k: Int,
+             nCentroids: Int = 16, nProbe: Int = 2, iters: Int = 3): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val vecs = emb.select(col("vec_id"), col("label"), col("embedding"))
+    // deterministic init: every stride-th vector by id order
+    var centroids: Array[(Int, Array[Double])] = vecs
+      .orderBy("vec_id").limit(nCentroids * 16)
+      .as[(Long, Int, Array[Float])].collect()
+      .zipWithIndex.collect { case ((_, _, v), i) if i % 16 == 0 => v }
+      .take(nCentroids)
+      .zipWithIndex.map { case (v, cid) => (cid, v.map(_.toDouble)) }
+    def assignExpr(cs: Array[(Int, Array[Double])]): Column = {
+      // argmin over centroid distances, unrolled per centroid (few)
+      val dists = cs.map { case (cid, c) =>
+        struct(
+          aggregate(zip_with(col("embedding"), typedlit(c.toSeq),
+            (v, w) => (v.cast("double") - w) * (v.cast("double") - w)),
+            lit(0.0), (a, x) => a + x).as("dist"),
+          lit(cid).as("cid"))
+      }
+      array_min(array(dists: _*)).getField("cid")
+    }
+    for (_ <- 0 until iters) {
+      val assigned = vecs.withColumn("cid", assignExpr(centroids))
+      val dim = centroids.head._2.length
+      val sums = assigned
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("d", "x")))
+        .groupBy(col("cid"), col("d"))
+        .agg(sum(col("x").cast("double")).as("sx"), count(lit(1)).as("n"))
+        .collect()
+      val byCid = sums.groupBy(_.getInt(0))
+      centroids = centroids.map { case (cid, old) =>
+        byCid.get(cid) match {
+          case Some(rows) =>
+            val mean = new Array[Double](dim)
+            rows.foreach(r => mean(r.getInt(1)) = r.getDouble(2) / r.getLong(3))
+            (cid, mean)
+          case None => (cid, old) // empty list keeps its centroid
+        }
+      }
+    }
+    val assigned = vecs.withColumn("cid", assignExpr(centroids))
+    val q = assigned.where(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qv"), col("cid").as("q_cid"))
+    // probe set: nProbe centroids nearest to the query vector
+    val qVec = q.as[(Array[Float], Int)].head()._1.map(_.toDouble)
+    val probeCids = centroids.map { case (cid, c) =>
+      val d = c.zip(qVec).map { case (a, b) => (a - b) * (a - b) }.sum
+      (d, cid)
+    }.sortBy(_._1).take(nProbe).map(_._2).toSeq
+    assigned.where(col("vec_id") =!= queryVecId &&
+        col("cid").isin(probeCids: _*))
+      .crossJoin(broadcast(q.select(col("qv"))))
+      .select(col("vec_id"), col("label"),
+        round(Fns.cosineSim(col("embedding"), col("qv")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Approximate top-k: candidates are vectors whose LSH bucket is within
     * Hamming distance 1 of the query's bucket (multi-probe over nBits+1
     * buckets), ranked by exact cosine. Expected candidate set:

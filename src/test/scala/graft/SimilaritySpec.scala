@@ -40,6 +40,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.7, s"recall=$recall exact=$exact approx=$approx")
   }
 
+  test("ivfAnn recall@10 vs brute force on clustered data") {
+    val exact = Similarity.bruteForceKnn(emb, 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    val approx = Similarity.ivfAnn(emb, 0L, k = 10,
+      nCentroids = 3, nProbe = 1, iters = 3)
+      .collect().map(_.getLong(0)).toSet
+    // 3 tight clusters, 3 centroids: the query's list holds its cluster
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall=$recall exact=$exact approx=$approx")
+  }
+
   test("langId predicts the dominant stopword language") {
     val docs = Seq(
       (1L, "the cat and the dog of the house"),
