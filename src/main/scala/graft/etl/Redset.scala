@@ -119,6 +119,19 @@ object Clean {
   private def emptyList(c: Column): Column =
     c.isNull || c === "" || c === "[]" || c === "UNKNOWN"
 
+  /** Synthetic batch_id (§1.2 last row; producer_Final.py:111): sequential
+    * index over the event-time order, integer-divided by batchSize. The
+    * global row_number window reproduces the reference exactly; at scale
+    * prefer per-partition `monotonically_increasing_id` when batch
+    * boundaries need not be globally dense.
+    */
+  def withBatchId(cleaned: DataFrame, batchSize: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    cleaned.withColumn("batch_id",
+      ((row_number().over(Window.orderBy(col("arrival_timestamp"), col("query_id")))
+        - 1) / batchSize).cast("long"))
+  }
+
   /** X10: flatten the comma-separated table-id lists into one row per
     * (query, referenced table) — the `flattened_table_ids` shape
     * (Dashboard_Historical_Final.py:30-38, explode at

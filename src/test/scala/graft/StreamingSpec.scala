@@ -98,6 +98,23 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("BoundedTopK works as a streaming aggregate across micro-batches (O6)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Double, Long)]
+    val topk = udaf(new graft.ops.TopK.BoundedTopK(2))
+    val df = in.toDS().toDF("value", "id")
+      .agg(topk(col("value"), col("id")).as("tk"))
+    val q = df.writeStream.format("memory").queryName("topk")
+      .outputMode("complete").start()
+    try {
+      in.addData((5.0, 1L), (9.0, 2L)); q.processAllAvailable()
+      in.addData((7.0, 3L), (1.0, 4L)); q.processAllAvailable()
+      val tk = spark.table("topk").selectExpr("inline(tk)")
+        .as[(Double, Long)].collect()
+      assert(tk.toSeq == Seq((9.0, 2L), (7.0, 3L)))
+    } finally q.stop()
+  }
+
   test("fanOut writes projected column subsets per sink (S4)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, String, Double)]
