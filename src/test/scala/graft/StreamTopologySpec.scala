@@ -35,7 +35,11 @@ class StreamTopologySpec extends AnyFunSuite {
 
   test("file-source stream: wire JSON -> clean -> event-time window -> sink") {
     val dir = java.nio.file.Files.createTempDirectory("graft_wire").toString + "/in"
-    IO.toJsonRecords(mkRaw(wireRows)).write.text(dir)
+    // single file: with maxFilesPerTrigger=1, multi-file arrival order is
+    // nondeterministic, and a 0s watermark would drop "late" earlier files
+    // — exactly the disorder withWatermark exists to absorb (production
+    // uses a real delay; the 0s delay here keeps the assertion exact)
+    IO.toJsonRecords(mkRaw(wireRows)).repartition(1).write.text(dir)
 
     val stream = Streams.jsonFileSource(spark, dir)
     assert(stream.isStreaming)
