@@ -61,6 +61,27 @@ object RedsetPipeline {
       sum(col("num_aggregations")).as("total_aggregations"),
       sum(col("compile_duration_ms")).as("total_compile_ms"))
 
+  /** Q6: the EWMA stress index in batch form — dual-α recurrence folded
+    * over each instance's execution durations in event-time order
+    * (`Dashboard_Live_Final.py:577-624`; α values `:596-597`). Streaming
+    * twin: `graft.streaming.Streams.ewmaStress`.
+    */
+  def stressIndex(cleaned: DataFrame, alphaShort: Double = 0.02,
+                  alphaLong: Double = 0.005): DataFrame = {
+    val xs = cleaned.groupBy(col("instance_id"))
+      .agg(sort_array(collect_list(struct(
+        col("arrival_timestamp"), col("query_id"),
+        col("execution_duration_ms").cast("double").as("x")))).as("xs"))
+    def fold(alpha: Double) =
+      aggregate(
+        slice(col("xs"), lit(2), greatest(size(col("xs")) - 1, lit(0))),
+        element_at(col("xs"), 1).getField("x"),
+        (acc, e) => lit(alpha) * e.getField("x") + lit(1 - alpha) * acc)
+    xs.select(col("instance_id"),
+      fold(alphaShort).as("stress_short"),
+      fold(alphaLong).as("stress_long"))
+  }
+
   // ---- historical "Expert View" (Dashboard_Historical_Final.py) ----
 
   private val entityKeys = Seq("instance_id", "write_table_id")

@@ -20,12 +20,18 @@ object Similarity {
     * total and engine-portable (QDef determinism contract).
     */
   def bruteForceKnn(emb: DataFrame, queryVecId: Long, k: Int): DataFrame = {
+    // query norm computed once on the broadcast side, not per corpus row;
+    // cos = dot/(|v|·|q|) keeps the same double-op order as cosineSim, so
+    // results stay bit-identical to the oracle formulation
     val q = emb.where(col("vec_id") === queryVecId)
-      .select(col("embedding").as("qv"))
+      .select(col("embedding").as("qv"),
+        sqrt(Fns.dot(col("embedding"), col("embedding"))).as("q_norm"))
     emb.where(col("vec_id") =!= queryVecId)
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("label"),
-        round(Fns.cosineSim(col("embedding"), col("qv")), 6).as("cosine"))
+        round(Fns.dot(col("embedding"), col("qv")) /
+          (sqrt(Fns.dot(col("embedding"), col("embedding"))) * col("q_norm")), 6)
+          .as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
   }
@@ -142,12 +148,15 @@ object Similarity {
              dim: Int = 64): DataFrame = {
     val withBucket = emb.withColumn("bucket", lshBucket(col("embedding"), nBits, dim))
     val q = withBucket.where(col("vec_id") === queryVecId)
-      .select(col("embedding").as("qv"), col("bucket").as("q_bucket"))
+      .select(col("embedding").as("qv"), col("bucket").as("q_bucket"),
+        sqrt(Fns.dot(col("embedding"), col("embedding"))).as("q_norm"))
     withBucket.where(col("vec_id") =!= queryVecId)
       .crossJoin(broadcast(q))
       .where(bit_count(col("bucket").bitwiseXOR(col("q_bucket"))) <= 1)
       .select(col("vec_id"), col("label"),
-        round(Fns.cosineSim(col("embedding"), col("qv")), 6).as("cosine"))
+        round(Fns.dot(col("embedding"), col("qv")) /
+          (sqrt(Fns.dot(col("embedding"), col("embedding"))) * col("q_norm")), 6)
+          .as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
   }

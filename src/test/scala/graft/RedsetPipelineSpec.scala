@@ -58,6 +58,19 @@ class RedsetPipelineSpec extends AnyFunSuite {
     assert(p.getAs[Long]("total_mbytes_scanned") == 50L)
   }
 
+  test("stress index folds the dual-alpha EWMA recurrence per instance") {
+    val r = RedsetPipeline.stressIndex(cleaned).head()
+    // execution_duration_ms defaults to 0 for all fixture rows -> EWMA 0
+    assert(r.getAs[Double]("stress_short") == 0.0)
+    val durs = Seq(100.0, 50.0, 80.0)
+    val withDur = cleaned.filter(col("query_id") <= 3)
+      .withColumn("execution_duration_ms",
+        element_at(typedlit(durs), col("query_id").cast("int")))
+    val s = RedsetPipeline.stressIndex(withDur).head()
+    val expected = durs.reduceLeft((a, x) => 0.02 * x + 0.98 * a)
+    assert(math.abs(s.getAs[Double]("stress_short") - expected) < 1e-12)
+  }
+
   test("historical expert view: intervals, output table, workload, freshness") {
     val iv = RedsetPipeline.ingestionIntervals(flat)
       .orderBy("current_ts").collect()
