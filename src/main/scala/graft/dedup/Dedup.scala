@@ -212,11 +212,15 @@ object Dedup {
     * round and the convergence probe is a count, not a collect.
     */
   def components(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    // eager localCheckpoint (not persist) each round: iterative plans grow
+    // linearly in lineage, so analysis cost goes quadratic and any cache
+    // eviction triggers exponential recompute — checkpointing truncates the
+    // plan to the materialized result (standard iterative-Spark hygiene)
     val sym = edges.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionByName(edges.select(col("doc_b").as("u"), col("doc_a").as("v")))
-      .persist()
+      .localCheckpoint(true)
     var labels = sym.select(col("u").as("node")).distinct()
-      .withColumn("comp", col("node")).persist()
+      .withColumn("comp", col("node")).localCheckpoint(true)
     var i = 0
     var done = false
     while (!done && i < maxIter) {
@@ -225,15 +229,13 @@ object Dedup {
       val next = labels.join(prop, labels("node") === prop("p_node"), "left")
         .select(col("node"),
           least(col("comp"), coalesce(col("neighbor_min"), col("comp"))).as("comp"))
-        .persist()
+        .localCheckpoint(true)
       val changed = next.as("n").join(labels.withColumnRenamed("comp", "old").as("o"),
         Seq("node")).filter(col("comp") =!= col("old")).limit(1).count()
-      labels.unpersist()
       labels = next
       done = changed == 0
       i += 1
     }
-    sym.unpersist()
     labels
   }
 

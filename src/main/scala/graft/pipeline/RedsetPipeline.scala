@@ -19,6 +19,21 @@ object RedsetPipeline {
     */
   def flattened(raw: DataFrame): DataFrame = Clean.flatten(Clean(raw))
 
+  /** S4/P1: the producer's per-topic column subsets
+    * (`producer_Final.py:24-46`), for use with `Streams.fanOut` — a user of
+    * the reference keeps identical wire schemas per topic.
+    */
+  val TopicColumns: Map[String, Seq[String]] = Map(
+    "leaderboard" -> Seq("instance_id", "query_id", "user_id",
+      "compile_duration_ms", "arrival_timestamp"),
+    "query_metrics" -> Seq("instance_id", "query_type", "arrival_timestamp",
+      "was_aborted"),
+    "compile_metrics" -> Seq("instance_id", "num_joins", "num_scans",
+      "num_aggregations", "mbytes_scanned", "mbytes_spilled"),
+    "stressindex" -> Seq("arrival_timestamp", "mbytes_spilled"),
+    "flattened" -> Seq("instance_id", "query_id", "arrival_timestamp",
+      "query_type", "read_table_ids", "write_table_ids"))
+
   // ---- live "Aggregate View" (Dashboard_Live_Final.py) ----
 
   /** Q1: top-10 compile-time leaderboard with mm:ss display column

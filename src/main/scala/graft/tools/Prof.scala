@@ -13,25 +13,16 @@ object Prof {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val docs = Tables.documents(spark, dir)
-    docs.count() // warm
+    docs.count()
     def t(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = f
-      println(f"PROF $name%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s  ($n rows)")
+      println(f"PROF $name%-24s ${(System.nanoTime() - t0) / 1e9}%.2f s  ($n rows)")
     }
-    t("signature only") {
-      val sh = array_distinct(split(col("text"), " "))
-      val tok = docs.select(col("doc_id"), explode(sh).as("tk"))
-        .withColumn("th", pmod(xxhash64(col("tk")), lit(2038074743L)))
-      val cols = (0 until 16).map(i =>
-        min(pmod(lit(1234567L + i) * col("th") + i, lit(2038074743L))).as(s"h$i"))
-      tok.groupBy(col("doc_id")).agg(cols.head, cols.tail: _*).count()
-    }
-    t("full candidates") {
-      Dedup.minHashLshCandidates(docs, col("text"), col("doc_id"), 16, 4).count()
-    }
-    t("full candidates again") {
-      Dedup.minHashLshCandidates(docs, col("text"), col("doc_id"), 16, 4).count()
+    t("d7 full") {
+      val edges = Dedup.minHashLshEdges(docs, col("text"), col("doc_id"), 16, 4)
+      val verified = Dedup.verifyJaccard(docs, col("text"), col("doc_id"), edges, 0.9)
+      Dedup.keepOnePerComponent(docs, col("doc_id"), verified).count()
     }
     spark.stop()
   }
