@@ -73,6 +73,47 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
   }
 
+  /** PPJoin-style prefix-filtered exact Jaccard (same results as
+    * [[jaccardPairs]], different plan): two sets with jac ≥ t must share at
+    * least one element among the first |S| - ⌈t·|S|⌉ + 1 elements of a
+    * canonical (hash) ordering, so candidate generation is an equi-join on
+    * (block, prefix-shingle) instead of the full per-block cross product —
+    * the standard set-similarity-join at scale. The exact jaccard then runs
+    * once per distinct candidate pair.
+    */
+  def jaccardPairsPrefix(df: DataFrame, text: Column, id: Column,
+                         blockCol: String, threshold: Double,
+                         ngram: Int = 1): DataFrame = {
+    val sh = shingles(text, ngram)
+    val d = df.select(col(blockCol).as("blk"), id.as("doc_id"),
+        sh.as("toks"), size(sh).as("n"))
+      .localCheckpoint(true) // reused by candidates and both verify sides
+    val sorted = array_sort(col("toks"), (l, r) =>
+      when(xxhash64(l) < xxhash64(r), -1)
+        .when(xxhash64(l) > xxhash64(r), 1).otherwise(0))
+    val prefixLen = (col("n") - ceil(col("n") * threshold) + 1).cast("int")
+    val pre = d.select(col("blk"), col("doc_id"),
+      explode(slice(sorted, lit(1), prefixLen)).as("p"))
+    val cand = pre.select(col("blk"), col("p"), col("doc_id").as("doc_a"))
+      .join(pre.select(col("blk"), col("p"), col("doc_id").as("doc_b")),
+        Seq("blk", "p"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val a = d.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
+      col("n").as("n_a"))
+    val b = d.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"),
+      col("n").as("n_b"))
+    val inter = size(array_intersect(col("toks_a"), col("toks_b"))).cast("double")
+    val jac = inter / (col("n_a") + col("n_b") - inter)
+    val sizeOk = least(col("n_a"), col("n_b")).cast("double") >=
+      greatest(col("n_a"), col("n_b")) * threshold
+    cand.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+      .where(sizeOk)
+      .withColumn("jac", jac)
+      .where(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
+  }
+
   /** Embedding-cosine near-dup pairs within a blocking key. Double-precision
     * strict-fold dot products (Fns.cosineSim) so results are deterministic
     * and engine-portable.

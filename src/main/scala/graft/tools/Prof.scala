@@ -19,10 +19,17 @@ object Prof {
       val n = f
       println(f"PROF $name%-24s ${(System.nanoTime() - t0) / 1e9}%.2f s  ($n rows)")
     }
-    t("d7 full") {
-      val edges = Dedup.minHashLshEdges(docs, col("text"), col("doc_id"), 16, 4)
-      val verified = Dedup.verifyJaccard(docs, col("text"), col("doc_id"), edges, 0.9)
-      Dedup.keepOnePerComponent(docs, col("doc_id"), verified).count()
+    t("d6 plain t=0.5 3gram") {
+      Dedup.jaccardPairs(docs, col("text"), col("doc_id"), "source", 0.5, 3).count()
+    }
+    t("d6 prefix t=0.5 3gram") {
+      Dedup.jaccardPairsPrefix(docs, col("text"), col("doc_id"), "source", 0.5, 3).count()
+    }
+    t("d4 plain t=0.9 1gram") {
+      Dedup.jaccardPairs(docs, col("text"), col("doc_id"), "source", 0.9, 1).count()
+    }
+    t("d4 prefix t=0.9 1gram") {
+      Dedup.jaccardPairsPrefix(docs, col("text"), col("doc_id"), "source", 0.9, 1).count()
     }
     spark.stop()
   }

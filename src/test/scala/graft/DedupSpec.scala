@@ -34,6 +34,16 @@ class DedupSpec extends AnyFunSuite {
     assert(loose == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("prefix-filtered jaccard equals the blocked cross product") {
+    for (t <- Seq(0.5, 0.75, 0.9); n <- Seq(1, 3)) {
+      val plain = Dedup.jaccardPairs(docs, col("text"), col("doc_id"),
+        "source", t, n).collect().map(_.toSeq).toSet
+      val prefix = Dedup.jaccardPairsPrefix(docs, col("text"), col("doc_id"),
+        "source", t, n).collect().map(_.toSeq).toSet
+      assert(prefix == plain, s"t=$t ngram=$n")
+    }
+  }
+
   test("minhash LSH candidates: exact duplicates always collide; supersets of high-jaccard recalled") {
     val cand = Dedup.minHashLshCandidates(docs, col("text"), col("doc_id"),
       numHashes = 16, bands = 4).collect()
