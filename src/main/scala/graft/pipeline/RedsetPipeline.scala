@@ -97,6 +97,36 @@ object RedsetPipeline {
       fold(alphaLong).as("stress_long"))
   }
 
+  /** The live Aggregate View as one streaming query (§3.2): wire records →
+    * Clean → per-micro-batch refresh of every dashboard aggregate as a
+    * global temp view (`global_temp.live_<name>` — foreachBatch runs in a
+    * cloned session, so session-local views would not reach the caller). The reference's poll→truncate→requery loop
+    * collapses into foreachBatch; swap the temp-view writes for real sinks
+    * (Delta/JDBC) in production. Aggregates run over the batch frame —
+    * cumulative variants are the ST3 windowed aggregates in
+    * `Streams.tumblingCounts`.
+    */
+  def liveRun(raw: org.apache.spark.sql.DataFrame,
+              queryName: String = "redset_live"): org.apache.spark.sql.streaming.StreamingQuery = {
+    raw.writeStream.queryName(queryName)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val cleaned = Clean(batch).persist()
+        try {
+          // localCheckpoint materializes each aggregate while the batch is
+          // cached, so the temp views stay valid after the batch is gone
+          compileLeaderboard(cleaned).localCheckpoint(true)
+            .createOrReplaceGlobalTempView("live_leaderboard")
+          topUsers(cleaned).localCheckpoint(true)
+            .createOrReplaceGlobalTempView("live_top_users")
+          queryTypeDistribution(cleaned).localCheckpoint(true)
+            .createOrReplaceGlobalTempView("live_type_dist")
+          scalarPanel(cleaned).localCheckpoint(true)
+            .createOrReplaceGlobalTempView("live_panel")
+          ()
+        } finally { cleaned.unpersist(); () }
+      }.start()
+  }
+
   // ---- historical "Expert View" (Dashboard_Historical_Final.py) ----
 
   private val entityKeys = Seq("instance_id", "write_table_id")

@@ -60,6 +60,28 @@ class StreamTopologySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("liveRun maintains the live dashboard views per micro-batch (§3.2)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_live").toString + "/in"
+    val rows = wireRows ++ Seq(Map(
+      "query_id" -> "4", "user_id" -> "10",
+      "arrival_timestamp" -> "2024-03-01 02:00:00", "query_type" -> "SELECT ",
+      "read_table_ids" -> "91", "compile_duration_ms" -> "61000"))
+    IO.toJsonRecords(mkRaw(rows)).repartition(1).write.text(dir)
+    val q = graft.pipeline.RedsetPipeline.liveRun(
+      Streams.jsonFileSource(spark, dir), "live_test")
+    try {
+      q.processAllAvailable()
+      val panel = spark.table("global_temp.live_panel").head()
+      assert(panel.getAs[Long]("total_queries") == 4L)
+      val lb = spark.table("global_temp.live_leaderboard").head()
+      assert(lb.getAs[Long]("query_id") == 4L) // 61s compile tops the board
+      assert(lb.getAs[String]("compile_mmss") == "1:01")
+      val dist = spark.table("global_temp.live_type_dist").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(dist == Map("select" -> 3L, "copy" -> 1L)) // type normalized
+    } finally q.stop()
+  }
+
   test("batch twin of the same topology agrees (stream/batch unification)") {
     val cleaned = Clean(mkRaw(wireRows.take(2)))
     val agg = cleaned.groupBy(window(col("arrival_timestamp"), "1 hour"),
