@@ -116,6 +116,44 @@ object TpchQueries {
         .orderBy(col("revenue").desc, col("n_name"))
     },
 
+    // TPC-H Q6 shape: fully-pushed selective scan + single decimal agg —
+    // the pure scan-throughput probe (no shuffle at all beyond the final
+    // single-row reduce).
+    QDef("q6_forecast_revenue",
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2)) * CAST(l_discount AS DECIMAL(9,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(sum(col("l_extendedprice").cast(d2) * col("l_discount").cast(d2))
+          .cast("double").as("revenue"))
+    },
+
+    // TPC-H Q18 shape: HAVING on a large aggregate drives a semi join back
+    // into the fact tables (A8 + J6 at fact scale).
+    QDef("q18_large_orders",
+      """WITH big AS (
+        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        |  HAVING SUM(l_quantity) > 250)
+        |SELECT o.o_orderkey AS o_orderkey, CAST(o.o_totalprice AS DOUBLE) AS o_totalprice
+        |FROM orders o JOIN big ON o.o_orderkey = big.l_orderkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin) { (s, dir) =>
+      val big = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("q"))
+        .filter(col("q") > 250)
+        .select(col("l_orderkey"))
+      Tables.orders(s, dir)
+        .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_totalprice").cast("double").as("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(20)
+    },
+
     // J3: equi LEFT JOIN enrich (Dashboard_Historical_Final.py:254-270
     // shape) — every order keeps a row even without a matching customer.
     QDef("j3_equi_left_join",

@@ -1,0 +1,57 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.etl.{Clean, RedsetSchema}
+import graft.sim.Similarity
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Degenerate-input behavior: empty frames, empty edge sets, k > corpus —
+  * the states a production pipeline hits on day one.
+  */
+class EdgeCaseSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("Clean on an empty frame keeps schema, zero rows") {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], RedsetSchema.rawSchema)
+    val c = Clean(empty)
+    assert(c.count() == 0)
+    assert(c.schema.fieldNames.toSeq == RedsetSchema.schema.fieldNames.toSeq)
+    assert(Clean.flatten(c).count() == 0)
+  }
+
+  test("keepOnePerComponent with no edges keeps every doc") {
+    val docs = Seq((1L, "x"), (2L, "y")).toDF("doc_id", "text")
+    val noEdges = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.keepOnePerComponent(docs, col("doc_id"), noEdges).count() == 2)
+  }
+
+  test("knn with k larger than the corpus returns the whole corpus ranked") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(0.9f, 0.1f), 0),
+      (2L, Array(0.0f, 1.0f), 1)).toDF("vec_id", "embedding", "label")
+    val r = Similarity.bruteForceKnn(emb, 0L, k = 10).collect()
+    assert(r.length == 2)
+    assert(r.head.getLong(0) == 1L) // nearest first
+  }
+
+  test("jaccard ops tolerate single-token and empty-ish docs") {
+    val docs = Seq((1L, "a", "s"), (2L, "a", "s"), (3L, "", "s"))
+      .toDF("doc_id", "text", "source")
+    val pairs = Dedup.jaccardPairs(docs, col("text"), col("doc_id"), "source", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    val prefix = Dedup.jaccardPairsPrefix(docs, col("text"), col("doc_id"), "source", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(prefix == pairs)
+  }
+
+  test("q1 plan pushes the shipdate filter and prunes columns (guard)") {
+    val df = SparkEntry.queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(!scan.contains("l_comment"), "projection must prune unused columns")
+  }
+}
