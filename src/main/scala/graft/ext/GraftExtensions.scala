@@ -10,20 +10,34 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * Activate with `.config("spark.sql.extensions", "graft.ext.GraftExtensions")`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[DotProductF].getName, "graft_dot"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        DotProductF(children(0), children(1))))
-  }
+  import GraftExtensions.builders
+  override def apply(ext: SparkSessionExtensions): Unit =
+    builders.foreach { case (name, builder) =>
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(classOf[DotProductF].getName, name),
+        builder))
+    }
 }
 
 object GraftExtensions {
+  import org.apache.spark.sql.catalyst.expressions.Expression
+
+  private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dot" -> (c => DotProductF(c(0), c(1))),
+    // cosine = dot/(|a|·|b|) composed from the native dot (same fold order
+    // as the Column API and the DuckDB oracle formulation)
+    "graft_cosine" -> { c =>
+      import org.apache.spark.sql.catalyst.expressions.{Divide, Multiply, Sqrt}
+      Divide(DotProductF(c(0), c(1)),
+        Multiply(Sqrt(DotProductF(c(0), c(0))), Sqrt(DotProductF(c(1), c(1)))))
+    })
+
   /** Same registrations for an already-running session (extensions only
     * apply at construction time).
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    org.apache.spark.sql.graftbridge.Bridge.registerFunction(
-      spark, "graft_dot", children => DotProductF(children(0), children(1)))
+    builders.foreach { case (name, builder) =>
+      org.apache.spark.sql.graftbridge.Bridge.registerFunction(spark, name, builder)
+    }
 }

