@@ -65,4 +65,15 @@ object IO {
     */
   def tableStatus(spark: SparkSession, name: String): Option[Long] =
     if (spark.catalog.tableExists(name)) Some(spark.table(name).count()) else None
+
+  /** Bucketed + sorted table layout: two tables bucketed on their join key
+    * with the same bucket count join with NO exchange on either side — the
+    * co-located join that turns the recurring 100 TB fact-to-fact shuffle
+    * into a local merge (asserted shuffle-free in IoSpec).
+    */
+  def writeBucketed(df: DataFrame, name: String, key: String,
+                    buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(name)
 }

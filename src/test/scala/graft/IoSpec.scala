@@ -60,6 +60,36 @@ class IoSpec extends AnyFunSuite {
     spark.sql("DROP TABLE g_t1")
   }
 
+  test("co-bucketed tables join with zero exchanges (100TB join layout)") {
+    val o = Tables.orders(spark, "/root/testdata/sf0.001")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val l = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select("l_orderkey", "l_quantity")
+    IO.writeBucketed(o, "g_orders_b", "o_orderkey", 8)
+    IO.writeBucketed(l.withColumnRenamed("l_orderkey", "o_orderkey"),
+      "g_lineitem_b", "o_orderkey", 8)
+    // at test scale the optimizer prefers broadcast (which bypasses
+    // bucketing); disable it to exercise the big-table SMJ path the
+    // layout exists for
+    val thresholds = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = thresholds.map(k => k -> spark.conf.getOption(k))
+    thresholds.foreach(k => spark.conf.set(k, "-1"))
+    try {
+      val joined = spark.table("g_orders_b")
+        .join(spark.table("g_lineitem_b"), "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"expected shuffle-free bucketed join:\n$plan")
+      assert(joined.count() > 0)
+    } finally {
+      saved.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+      spark.sql("DROP TABLE g_orders_b"); spark.sql("DROP TABLE g_lineitem_b")
+    }
+  }
+
   test("lastNPerKey keeps the newest n rows per key (ST6)") {
     val df = (1 to 10).map(i =>
       (i % 2L, java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$i%02d"), i)).toDF("k", "ts", "v")
