@@ -245,12 +245,16 @@ object Dedup {
   }
 
   /** Connected components over near-dup candidate edges by iterative
-    * min-label propagation (each node adopts the smallest component id
-    * among itself and its neighbors until fixpoint). Converges in
-    * O(log diameter) rounds — star-shaped [[minHashLshEdges]] graphs
-    * converge in 2. Returns (node, comp). The driver-side loop iterates
-    * O(log n) times over fully distributed joins; labels are cached per
-    * round and the convergence probe is a count, not a collect.
+    * min-label propagation *with pointer jumping*: each round every node
+    * adopts the smallest label among itself and its neighbors, then
+    * shortcuts to its label's label (comp := comp(comp)). Plain propagation
+    * alone needs O(diameter) rounds (a maxIter-hop chain would silently
+    * split); the shortcut halves chain depth every round, giving true
+    * O(log diameter) convergence — star-shaped [[minHashLshEdges]] graphs
+    * converge in 2. Returns (node, comp). The driver-side loop runs fully
+    * distributed joins; the convergence probe is a count, not a collect.
+    * Throws if maxIter rounds don't reach the fixpoint — a silently
+    * unconverged result would hand duplicates to keep-one downstream.
     */
   def components(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     // eager localCheckpoint (not persist) each round: iterative plans grow
@@ -267,9 +271,16 @@ object Dedup {
     while (!done && i < maxIter) {
       val prop = sym.join(labels, sym("u") === labels("node"))
         .groupBy(col("v").as("p_node")).agg(min(col("comp")).as("neighbor_min"))
-      val next = labels.join(prop, labels("node") === prop("p_node"), "left")
+      val stepped = labels.join(prop, labels("node") === prop("p_node"), "left")
         .select(col("node"),
           least(col("comp"), coalesce(col("neighbor_min"), col("comp"))).as("comp"))
+      // pointer jumping: comp := comp(comp). Every label is itself a node id
+      // (labels start as node ids and only propagate mins of node ids), so
+      // the lookup always resolves; coalesce guards the self-label rows.
+      val lut = stepped.select(col("node").as("c_node"), col("comp").as("c_comp"))
+      val next = stepped.join(lut, stepped("comp") === lut("c_node"), "left")
+        .select(col("node"),
+          least(col("comp"), coalesce(col("c_comp"), col("comp"))).as("comp"))
         .localCheckpoint(true)
       val changed = next.as("n").join(labels.withColumnRenamed("comp", "old").as("o"),
         Seq("node")).filter(col("comp") =!= col("old")).limit(1).count()
@@ -277,6 +288,9 @@ object Dedup {
       done = changed == 0
       i += 1
     }
+    if (!done)
+      throw new IllegalStateException(
+        s"components() did not converge in $maxIter rounds — raise maxIter")
     labels
   }
 
@@ -308,25 +322,32 @@ object Dedup {
       .select(col("doc_id"), bitCols.reduce(_ + _).as("simhash"))
   }
 
-  /** Hamming-near SimHash pairs, blocked by 16-bit signature halves: two
-    * 32-bit fingerprints within Hamming distance ≤ maxDist (< 16) must agree
-    * exactly on at least one half (pigeonhole for maxDist=1), so the
-    * self-join runs on half-signature buckets, not all pairs.
+  /** Hamming-near SimHash pairs, blocked by signature bands: split the
+    * 32-bit fingerprint into `maxDist + 1` contiguous bands — by pigeonhole,
+    * two fingerprints within Hamming distance ≤ maxDist agree *exactly* on
+    * at least one band, so the self-join runs on (band, band-bits) buckets,
+    * not all pairs, and candidate recall is complete (fewer bands would
+    * silently drop pairs that differ by one bit in each band).
     */
   def simHashNearPairs(df: DataFrame, text: Column, id: Column,
                        maxDist: Int = 1): DataFrame = {
+    require(maxDist >= 0 && maxDist < 32, s"maxDist must be in [0, 32): $maxDist")
+    val nBands = maxDist + 1
     val fp = simHash(df, text, id)
+    val bandStructs = (0 until nBands).map { j =>
+      val lo = j * 32 / nBands
+      val width = (j + 1) * 32 / nBands - lo
+      struct(lit(j).as("band"),
+        shiftright(col("simhash"), lo).bitwiseAND(lit((1L << width) - 1)).as("key"))
+    }
     val keyed = fp.select(col("doc_id"), col("simhash"),
-        explode(array(
-          struct(lit(0).as("half"), (col("simhash").bitwiseAND(lit(0xFFFFL))).as("key")),
-          struct(lit(1).as("half"), shiftright(col("simhash"), 16).as("key"))))
-          .as("blk"))
-      .select(col("doc_id"), col("simhash"), col("blk.half"), col("blk.key"))
-    val l = keyed.select(col("half"), col("key"),
+        explode(array(bandStructs: _*)).as("blk"))
+      .select(col("doc_id"), col("simhash"), col("blk.band"), col("blk.key"))
+    val l = keyed.select(col("band"), col("key"),
       col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
-    val r = keyed.select(col("half"), col("key"),
+    val r = keyed.select(col("band"), col("key"),
       col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
-    l.join(r, Seq("half", "key"))
+    l.join(r, Seq("band", "key"))
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))

@@ -13,12 +13,12 @@ import org.apache.spark.sql.types._
 object RedsetSchema {
   val schema: StructType = StructType(Seq(
     StructField("instance_id", LongType),
-    StructField("cluster_size", DoubleType),
+    StructField("cluster_size", LongType),
     StructField("user_id", LongType),
     StructField("database_id", LongType),
     StructField("query_id", LongType),
     StructField("arrival_timestamp", TimestampType),
-    StructField("compile_duration_ms", DoubleType),
+    StructField("compile_duration_ms", LongType),
     StructField("queue_duration_ms", LongType),
     StructField("execution_duration_ms", LongType),
     StructField("feature_fingerprint", StringType),
@@ -31,8 +31,8 @@ object RedsetSchema {
     StructField("num_system_tables_accessed", LongType),
     StructField("read_table_ids", StringType),
     StructField("write_table_ids", StringType),
-    StructField("mbytes_scanned", DoubleType),
-    StructField("mbytes_spilled", DoubleType),
+    StructField("mbytes_scanned", LongType),
+    StructField("mbytes_spilled", LongType),
     StructField("num_joins", LongType),
     StructField("num_scans", LongType),
     StructField("num_aggregations", LongType)))

@@ -56,7 +56,12 @@ object Intervals {
     * emits the reference's derived columns `time_since_last_ingest_ms` /
     * `time_to_next_ingest_ms` (Dashboard_Historical_Final.py:281-308).
     *
-    * Inclusive upper bound matches the reference's SQL `BETWEEN`.
+    * Inclusive upper bound matches the reference's SQL `BETWEEN`. The open
+    * interval (no next ingest) is matched via the 2999 sentinel *inside the
+    * join condition only*; the emitted `interval_end` and
+    * `time_to_next_ingest_ms` are NULL for open intervals — the sentinel
+    * never reaches output (it exceeds the datetime64[ns] range of common
+    * consumers, and "no next ingest" is semantically NULL, not year 2999).
     */
   def intervalJoin(
       probes: DataFrame,
@@ -64,17 +69,18 @@ object Intervals {
       keys: Seq[String],
       tsCol: String): DataFrame = {
     val iv = intervals
-      .withColumn("interval_end", coalesce(col("next_ts"), Fns.openIntervalSentinel))
       .withColumnRenamed("current_ts", "last_ingest_ts")
-      .drop("next_ts")
+      .withColumnRenamed("next_ts", "interval_end")
+      .withColumn("_iv_end", coalesce(col("interval_end"), Fns.openIntervalSentinel))
     val ivKeys = keys.map(k => iv(k).as(s"iv_$k"))
-    val ivSel = iv.select(ivKeys ++ Seq(iv("last_ingest_ts"), iv("interval_end")): _*)
+    val ivSel = iv.select(ivKeys ++ Seq(iv("last_ingest_ts"), iv("interval_end"),
+      iv("_iv_end")): _*)
     val cond = keys.map(k => probes(k) === ivSel(s"iv_$k"))
       .reduce(_ && _) &&
       probes(tsCol) >= ivSel("last_ingest_ts") &&
-      probes(tsCol) <= ivSel("interval_end")
+      probes(tsCol) <= ivSel("_iv_end")
     probes.join(ivSel, cond, "inner")
-      .drop(keys.map(k => s"iv_$k"): _*)
+      .drop(keys.map(k => s"iv_$k") :+ "_iv_end": _*)
       .withColumn("time_since_last_ingest_ms",
         Fns.epochMsBetween(col("last_ingest_ts"), col(tsCol)))
       .withColumn("time_to_next_ingest_ms",
@@ -103,27 +109,27 @@ object Intervals {
     val b = lit(bucketSeconds)
     val maxTs = probes.agg(max(col(tsCol)).as("_max_ts"))
     val iv = intervals
-      .withColumn("interval_end", coalesce(col("next_ts"), Fns.openIntervalSentinel))
       .withColumnRenamed("current_ts", "last_ingest_ts")
-      .drop("next_ts")
+      .withColumnRenamed("next_ts", "interval_end")
+      .withColumn("_iv_end", coalesce(col("interval_end"), Fns.openIntervalSentinel))
       .crossJoin(broadcast(maxTs))
       .withColumn("_end_capped",
-        least(col("interval_end"), greatest(col("_max_ts"), col("last_ingest_ts"))))
+        least(col("_iv_end"), greatest(col("_max_ts"), col("last_ingest_ts"))))
       .withColumn("bucket",
         explode(sequence(floor(unix_timestamp(col("last_ingest_ts")) / b),
           floor(unix_timestamp(col("_end_capped")) / b))))
       .drop("_max_ts", "_end_capped")
     val ivKeys = keys.map(k => iv(k).as(s"iv_$k"))
     val ivSel = iv.select(ivKeys ++ Seq(iv("bucket"),
-      iv("last_ingest_ts"), iv("interval_end")): _*)
+      iv("last_ingest_ts"), iv("interval_end"), iv("_iv_end")): _*)
     val probesB = probes.withColumn("_p_bucket",
       floor(unix_timestamp(col(tsCol)) / b))
     val cond = keys.map(k => probesB(k) === ivSel(s"iv_$k")).reduce(_ && _) &&
       probesB("_p_bucket") === ivSel("bucket") &&
       probesB(tsCol) >= ivSel("last_ingest_ts") &&
-      probesB(tsCol) <= ivSel("interval_end")
+      probesB(tsCol) <= ivSel("_iv_end")
     probesB.join(ivSel, cond, "inner")
-      .drop(keys.map(k => s"iv_$k") :+ "_p_bucket" :+ "bucket": _*)
+      .drop(keys.map(k => s"iv_$k") :+ "_p_bucket" :+ "bucket" :+ "_iv_end": _*)
       .withColumn("time_since_last_ingest_ms",
         Fns.epochMsBetween(col("last_ingest_ts"), col(tsCol)))
       .withColumn("time_to_next_ingest_ms",

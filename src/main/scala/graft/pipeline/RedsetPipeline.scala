@@ -189,10 +189,9 @@ object RedsetPipeline {
       .select(col("instance_id"), col("query_id"), col("arrival_timestamp"),
         col("query_type"), col("table_id"), col("last_ingest_ts"),
         col("time_since_last_ingest_ms"),
-        // open interval (end = sentinel): no "next ingest" exists -> null,
-        // so downstream avg/decile math never sees the year-2999 sentinel
-        when(col("interval_end") < Fns.openIntervalSentinel,
-          col("time_to_next_ingest_ms")).as("time_to_next_ingest_ms"))
+        // open interval: interval_end / time_to_next are already NULL from
+        // intervalJoin, so downstream avg/decile math never sees a sentinel
+        col("time_to_next_ingest_ms"))
     val ingests = flat
       .filter(col("query_type").isin(RedsetSchema.IngestTypes: _*) &&
         col("write_table_id").isNotNull)

@@ -46,7 +46,10 @@ object DocQueries {
         |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
         |    / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.9
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-      Dedup.jaccardPairs(Tables.documents(s, dir), col("text"), col("doc_id"),
+      // prefix-filtered plan (equivalence vs the blocked cross product is
+      // proven in DedupSpec): candidate generation is an equi-join on
+      // (block, prefix-shingle) — O(candidates), survives a hot block
+      Dedup.jaccardPairsPrefix(Tables.documents(s, dir), col("text"), col("doc_id"),
           blockCol = "source", threshold = 0.9)
         .orderBy(col("doc_a"), col("doc_b"))
     },
@@ -221,18 +224,40 @@ object DocQueries {
 
     // Multimodal decode plumbing: batched per-partition (stub) codec ->
     // fixed-shape feature vectors; spec-tested (codec is a fake, the
-    // partitioning/schema/batch shape are real).
+    // partitioning/schema/batch shape are real). The registered query digests
+    // the vector to sortable scalars (dims + xxhash64 checksum) — raw
+    // array<float> output breaks downstream row-hash canonicalization.
     QDef.noOracle("mm2_decode_features") { (s, dir) =>
       graft.multimodal.Multimodal.decodeFeatures(
           Tables.documents(s, dir).withColumn("payload", col("text").cast("binary")),
           "doc_id", "payload")
-        .toDF().orderBy(col("id"))
+        .toDF()
+        .select(col("id"), col("width"), col("height"),
+          xxhash64(col("features")).as("features_hash"))
+        .orderBy(col("id"))
     },
 
     // Language ID via stopword/character heuristics (the synthetic corpus
     // shares one vocabulary, so this demonstrates the operator shape; real
-    // n-gram profiles plug into the same transform).
-    QDef.noOracle("t1_langid") { (s, dir) =>
+    // n-gram profiles plug into the same transform). Oracle mirrors the
+    // argmax-with-lexicographically-last-tie-break of the struct array_max.
+    QDef("t1_langid",
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |s AS (SELECT doc_id,
+        |  CAST(len([x FOR x IN t IF x IN ('der','die','das','und','ist','nicht','ein','zu')]) AS BIGINT) AS s_de,
+        |  CAST(len([x FOR x IN t IF x IN ('the','a','and','of','to','in','is','that')]) AS BIGINT) AS s_en,
+        |  CAST(len([x FOR x IN t IF x IN ('el','la','de','que','y','en','un','los')]) AS BIGINT) AS s_es,
+        |  CAST(len([x FOR x IN t IF x IN ('le','la','les','et','des','un','est','que')]) AS BIGINT) AS s_fr,
+        |  CAST(len([x FOR x IN t IF x IN ('的','是','了','在','我','有','和','不')]) AS BIGINT) AS s_zh
+        |FROM d),
+        |m AS (SELECT doc_id, s_de, s_en, s_es, s_fr, s_zh,
+        |  greatest(s_de, s_en, s_es, s_fr, s_zh) AS mx FROM s)
+        |SELECT doc_id,
+        |  CASE WHEN s_zh = mx THEN 'zh' WHEN s_fr = mx THEN 'fr'
+        |       WHEN s_es = mx THEN 'es' WHEN s_en = mx THEN 'en'
+        |       ELSE 'de' END AS lang_pred,
+        |  mx AS lang_score
+        |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
       TextAnalysis.langId(Tables.documents(s, dir), col("text"), col("doc_id"))
         .orderBy(col("doc_id"))
     }

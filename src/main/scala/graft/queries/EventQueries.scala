@@ -53,8 +53,7 @@ object EventQueries {
        |         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
        |  FROM e WHERE event_type = 'purchase'),
        |iv AS (
-       |  SELECT user_id, current_ts AS last_ingest_ts,
-       |         COALESCE(next_ts, TIMESTAMP '2999-12-31 00:00:00') AS interval_end
+       |  SELECT user_id, current_ts AS last_ingest_ts, next_ts AS interval_end
        |  FROM i),
        |matched AS (
        |  SELECT p.event_id, p.user_id, p.ts, p.event_type,
@@ -63,7 +62,8 @@ object EventQueries {
        |         epoch_ms(iv.interval_end) - epoch_ms(p.ts) AS time_to_next_ingest_ms
        |  FROM e p JOIN iv
        |    ON p.user_id = iv.user_id
-       |   AND p.ts >= iv.last_ingest_ts AND p.ts <= iv.interval_end
+       |   AND p.ts >= iv.last_ingest_ts
+       |   AND p.ts <= COALESCE(iv.interval_end, TIMESTAMP '2999-12-31 00:00:00')
        |  WHERE p.event_type <> 'purchase')
        |""".stripMargin
 
@@ -193,7 +193,7 @@ object EventQueries {
          |  round(CAST(SUM(time_since_last_ingest_ms) AS DOUBLE) / count(*), 3) AS avg_since_ms,
          |  round(CAST(SUM(time_to_next_ingest_ms) AS DOUBLE) / count(*), 3) AS avg_to_next_ms
          |FROM matched
-         |WHERE interval_end < TIMESTAMP '2999-12-31 00:00:00'
+         |WHERE interval_end IS NOT NULL
          |GROUP BY user_id
          |HAVING CAST(SUM(time_since_last_ingest_ms) AS DOUBLE) / count(*)
          |     > CAST(SUM(time_to_next_ingest_ms) AS DOUBLE) / count(*)
@@ -201,7 +201,7 @@ object EventQueries {
       val since = sum(col("time_since_last_ingest_ms")).cast("double") / count(lit(1))
       val toNext = sum(col("time_to_next_ingest_ms")).cast("double") / count(lit(1))
       matchedProbes(s, dir)
-        .filter(col("interval_end") < Fns.openIntervalSentinel)
+        .filter(col("interval_end").isNotNull)
         .groupBy(col("user_id"))
         .agg(round(since, 3).as("avg_since_ms"), round(toNext, 3).as("avg_to_next_ms"),
           (since > toNext).as("_keep"))
@@ -217,12 +217,12 @@ object EventQueries {
          |  SELECT event_id,
          |    CAST(time_since_last_ingest_ms AS DOUBLE)
          |      / NULLIF(time_since_last_ingest_ms + time_to_next_ingest_ms, 0) AS rel_pos
-         |  FROM matched WHERE interval_end < TIMESTAMP '2999-12-31 00:00:00')
+         |  FROM matched WHERE interval_end IS NOT NULL)
          |SELECT bin, count(*) AS n FROM (
          |  SELECT CAST(ntile(10) OVER (ORDER BY rel_pos, event_id) AS BIGINT) AS bin FROM rel)
          |GROUP BY bin ORDER BY bin""".stripMargin) { (s, dir) =>
       val rel = matchedProbes(s, dir)
-        .filter(col("interval_end") < Fns.openIntervalSentinel)
+        .filter(col("interval_end").isNotNull)
         .select(col("event_id"),
           (col("time_since_last_ingest_ms").cast("double") /
             nullif(col("time_since_last_ingest_ms") + col("time_to_next_ingest_ms"), lit(0L)))

@@ -42,9 +42,11 @@ class IntervalsSpec extends AnyFunSuite {
     val p10 = m.filter($"pid" === 10L).head()
     assert(p10.getAs[Long]("time_since_last_ingest_ms") == 30L * 60 * 1000)
     assert(p10.getAs[Long]("time_to_next_ingest_ms") == 30L * 60 * 1000)
-    // open interval end = sentinel 2999-12-31
+    // open interval: interval_end / time_to_next are NULL (no next ingest);
+    // the 2999 sentinel is join-condition-internal and never reaches output
     val p12 = m.filter($"pid" === 12L).head()
-    assert(p12.getAs[java.sql.Timestamp]("interval_end") == ts("2999-12-31 00:00:00"))
+    assert(p12.isNullAt(p12.fieldIndex("interval_end")))
+    assert(p12.isNullAt(p12.fieldIndex("time_to_next_ingest_ms")))
   }
 
   test("intervalJoinBucketed is semantically identical to intervalJoin") {
