@@ -1,12 +1,13 @@
 package graft
-import graft.queries.{DocQueries, EventQueries, QDef, TpchQueries}
+import graft.queries.{DocQueries, EventQueries, QDef, RedsetQueries, TpchQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * All operators live in the QDef registries; this object only adapts them
   * to the driver's Map-based interface.
   */
 object SparkEntry {
-  val all: Seq[QDef] = TpchQueries.defs ++ EventQueries.defs ++ DocQueries.defs
+  val all: Seq[QDef] = TpchQueries.defs ++ EventQueries.defs ++ DocQueries.defs ++
+    RedsetQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

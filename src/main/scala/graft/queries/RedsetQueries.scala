@@ -1,0 +1,247 @@
+package graft.queries
+
+import graft.Tables
+import graft.etl.Clean
+import graft.pipeline.RedsetPipeline
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked queries over the engine's NATIVE 24-column Redset surface
+  * (`Clean` → `Clean.flatten` → `RedsetPipeline.outputTable` /
+  * `scalarPanel`) — the reference's actual pipeline
+  * (Historical_data_cleaning.py:43-66, Dashboard_Historical_Final.py:283-312,
+  * Dashboard_Live_Final.py:230-237).
+  *
+  * The driver's DuckDB gate only mounts the fixed testdata tables, so the
+  * redset-shaped input is SYNTHESIZED deterministically from `events` with
+  * engine-portable expressions: [[RedsetFixture.rawExprs]] yields the same
+  * dirty raw strings in Spark and DuckDB (same CASE arms, same arithmetic on
+  * `event_id`/`user_id`, timestamps formatted to whole seconds). The Spark
+  * side then runs the real library code; the oracle mirrors Clean/flatten in
+  * SQL. No fixture file, no ordering coupling — pure expressions.
+  *
+  * Dirt exercised: NULL / "NULL" / "" strings, whitespace padding,
+  * unparseable numbers and timestamps, "12.0"-style decimal integers,
+  * mixed-case query types, "[]" and 999999-sentinel table-id lists, and
+  * rows referencing no tables at all (dropped by F2).
+  */
+object RedsetFixture {
+
+  /** The 24 raw columns as `expr AS name` strings over
+    * (event_id, user_id, event_type, ts). `fmtTs` is the engine's
+    * timestamp → 'yyyy-MM-dd HH:mm:ss' string expression.
+    */
+  def rawExprs(fmtTs: String): Seq[String] = Seq(
+    s"""CASE WHEN event_id % 97 = 0 THEN concat(' ', CAST(user_id % 5 AS STRING), ' ')
+       |     ELSE CAST(user_id % 5 AS STRING) END AS instance_id""",
+    s"""CASE WHEN event_id % 13 = 0 THEN 'abc'
+       |     WHEN event_id % 13 = 1 THEN concat(CAST((event_id % 8) + 1 AS STRING), '.0')
+       |     ELSE CAST((event_id % 8) + 1 AS STRING) END AS cluster_size""",
+    s"CAST(user_id AS STRING) AS user_id",
+    s"CAST(user_id % 7 AS STRING) AS database_id",
+    s"CAST(event_id AS STRING) AS query_id",
+    s"""CASE WHEN event_id % 101 = 0 THEN 'not-a-date'
+       |     ELSE $fmtTs END AS arrival_timestamp""",
+    s"""CASE WHEN event_id % 11 = 0 THEN NULL
+       |     WHEN event_id % 11 = 1 THEN 'oops'
+       |     WHEN event_id % 11 = 2 THEN concat(CAST((event_id * 7) % 100000 AS STRING), '.0')
+       |     ELSE CAST((event_id * 7) % 100000 AS STRING) END AS compile_duration_ms""",
+    s"CAST((event_id * 13) % 60000 AS STRING) AS queue_duration_ms",
+    s"""CASE WHEN event_id % 11 = 3 THEN ''
+       |     ELSE CAST((event_id * 19) % 600000 AS STRING) END AS execution_duration_ms""",
+    s"""CASE WHEN event_id % 19 = 0 THEN 'NULL'
+       |     ELSE concat('fp_', CAST(event_id % 50 AS STRING)) END AS feature_fingerprint""",
+    s"""CASE WHEN event_id % 17 = 0 THEN 'true'
+       |     WHEN event_id % 17 = 1 THEN ''
+       |     ELSE 'false' END AS was_aborted""",
+    s"CASE WHEN event_id % 9 = 0 THEN '1' ELSE '0' END AS was_cached",
+    s"""CASE WHEN event_id % 9 = 0 THEN CAST(event_id AS STRING)
+       |     ELSE 'NULL' END AS cache_source_query_id""",
+    s"""CASE WHEN event_type = 'purchase' THEN
+       |       (CASE WHEN event_id % 2 = 0 THEN 'Insert' ELSE ' COPY ' END)
+       |     WHEN event_type = 'view' THEN ' SELECT '
+       |     WHEN event_type = 'click' THEN 'select'
+       |     WHEN event_type = 'error' THEN
+       |       (CASE WHEN event_id % 3 = 0 THEN 'update' ELSE 'delete' END)
+       |     ELSE 'analyze' END AS query_type""",
+    s"CAST(event_id % 5 AS STRING) AS num_permanent_tables_accessed",
+    s"CAST(event_id % 3 AS STRING) AS num_external_tables_accessed",
+    s"CAST(event_id % 2 AS STRING) AS num_system_tables_accessed",
+    s"""CASE WHEN event_id % 37 = 0 THEN 'NULL'
+       |     WHEN event_id % 31 = 0 THEN NULL
+       |     WHEN event_id % 29 = 0 THEN '[]'
+       |     WHEN event_type = 'purchase' THEN concat('[', CAST((event_id % 25) + 100 AS STRING), ']')
+       |     WHEN event_id % 23 = 0 THEN concat('[999999, ', CAST(user_id % 20 AS STRING), ']')
+       |     ELSE concat('[ ', CAST(user_id % 20 AS STRING), ', ', CAST((event_id % 25) + 100 AS STRING), ' ]')
+       |     END AS read_table_ids""",
+    s"""CASE WHEN event_id % 37 = 0 THEN ''
+       |     WHEN event_type = 'purchase' THEN concat('[ ', CAST(user_id % 20 AS STRING), ' ]')
+       |     WHEN event_type = 'error' THEN concat('[', CAST(user_id % 20 AS STRING), ']')
+       |     ELSE '[]' END AS write_table_ids""",
+    s"""CASE WHEN event_id % 7 = 0 THEN concat(CAST(event_id % 1000 AS STRING), '.0')
+       |     ELSE CAST(event_id % 1000 AS STRING) END AS mbytes_scanned""",
+    s"CAST(event_id % 100 AS STRING) AS mbytes_spilled",
+    s"CAST(event_id % 10 AS STRING) AS num_joins",
+    s"CAST(event_id % 12 AS STRING) AS num_scans",
+    s"CAST(event_id % 6 AS STRING) AS num_aggregations"
+  ).map(_.stripMargin.replace("\n", " "))
+
+  /** Spark: the dirty raw frame (all strings), built over `Tables.events`. */
+  def raw(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .selectExpr(rawExprs("date_format(ts, 'yyyy-MM-dd HH:mm:ss')"): _*)
+
+  // ---------- DuckDB mirror SQL ----------
+
+  /** raw CTE: identical expressions over the mounted `events` view. */
+  private val rawCte: String =
+    "raw AS (SELECT " +
+      rawExprs("strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S')")
+        .mkString(", ") +
+      " FROM events)"
+
+  private def cleanStrSql(c: String, default: String): String =
+    s"CASE WHEN $c IS NULL OR trim($c) = '' OR upper(trim($c)) = 'NULL' " +
+      s"THEN '$default' ELSE trim($c) END"
+
+  private def cleanNumSql(c: String): String =
+    s"CAST(COALESCE(TRY_CAST($c AS DOUBLE), 0.0) AS BIGINT) AS $c"
+
+  /** clean CTE: mirrors [[graft.etl.Clean]] column by column, including the
+    * drop of rows whose table-id lists are both empty (F2).
+    */
+  private val cleanCte: String = {
+    val nums = Seq("instance_id", "cluster_size", "user_id", "database_id",
+      "query_id", "compile_duration_ms", "queue_duration_ms",
+      "execution_duration_ms", "num_permanent_tables_accessed",
+      "num_external_tables_accessed", "num_system_tables_accessed",
+      "mbytes_scanned", "mbytes_spilled", "num_joins", "num_scans",
+      "num_aggregations")
+    def empty(c: String) = s"($c = '' OR $c = '[]' OR $c = 'UNKNOWN')"
+    s"""cleanc AS (SELECT ${nums.map(cleanNumSql).mkString(", ")},
+       |  COALESCE(TRY_CAST(arrival_timestamp AS TIMESTAMP),
+       |           TIMESTAMP '1970-01-01 00:00:00') AS arrival_timestamp,
+       |  ${cleanStrSql("feature_fingerprint", "UNKNOWN")} AS feature_fingerprint,
+       |  COALESCE(TRY_CAST(was_aborted AS BOOLEAN), false) AS was_aborted,
+       |  COALESCE(TRY_CAST(was_cached AS BOOLEAN), false) AS was_cached,
+       |  ${cleanStrSql("cache_source_query_id", "UNKNOWN")} AS cache_source_query_id,
+       |  lower(${cleanStrSql("query_type", "UNKNOWN")}) AS query_type,
+       |  ${cleanStrSql("read_table_ids", "")} AS read_table_ids,
+       |  ${cleanStrSql("write_table_ids", "")} AS write_table_ids
+       |FROM raw),
+       |kept AS (SELECT * FROM cleanc
+       |  WHERE NOT (${empty("read_table_ids")} AND ${empty("write_table_ids")}))"""
+      .stripMargin
+  }
+
+  /** flatten CTEs: mirror [[graft.etl.Clean.flatten]] — strip brackets and
+    * whitespace, split on commas, try_cast each id, drop nulls and the
+    * 999999 sentinel, then two sequential explode_outer fan-outs.
+    */
+  private val flattenCtes: String = {
+    def ids(c: String) =
+      s"[y FOR y IN [TRY_CAST(x AS BIGINT) FOR x IN " +
+        s"string_split(regexp_replace($c, '[\\[\\]\\s]', '', 'g'), ',')] " +
+        s"IF y IS NOT NULL AND y != 999999]"
+    def outer(l: String) =
+      s"unnest(CASE WHEN len($l) = 0 THEN [CAST(NULL AS BIGINT)] ELSE $l END)"
+    s"""f0 AS (SELECT instance_id, query_id, arrival_timestamp, query_type,
+       |  ${ids("write_table_ids")} AS wids, ${ids("read_table_ids")} AS rids
+       |  FROM kept),
+       |f1 AS (SELECT instance_id, query_id, arrival_timestamp, query_type,
+       |  ${outer("wids")} AS write_table_id, rids FROM f0),
+       |fl AS (SELECT instance_id, query_id, arrival_timestamp, query_type,
+       |  write_table_id, ${outer("rids")} AS read_table_id FROM f1)"""
+      .stripMargin
+  }
+
+  /** Shared oracle prelude: dirty raw → cleaned → flattened. */
+  val oraclePrelude: String = s"WITH $rawCte,\n$cleanCte,\n$flattenCtes"
+}
+
+object RedsetQueries {
+  import RedsetFixture._
+
+  val defs: Seq[QDef] = Seq(
+
+    // X6-X10 + F2 + F8 + S8 end-to-end: the cleaning transform and the
+    // flattened_table_ids shape over genuinely dirty input.
+    QDef("redset_clean_flatten",
+      s"""$oraclePrelude
+         |SELECT instance_id, query_id, arrival_timestamp, query_type,
+         |       write_table_id, read_table_id
+         |FROM fl
+         |ORDER BY query_id, write_table_id NULLS FIRST, read_table_id NULLS FIRST"""
+        .stripMargin) { (s, dir) =>
+      RedsetPipeline.flattened(raw(s, dir))
+        .orderBy(col("query_id"), col("write_table_id"), col("read_table_id"))
+    },
+
+    // The live Aggregate View's scalar panel over real Clean output:
+    // boolean coercions and metric sums from dirty strings (A1-A3 on the
+    // native schema, Dashboard_Live_Final.py:230-237).
+    QDef("redset_scalar_panel",
+      s"""$oraclePrelude
+         |SELECT CAST(count(*) AS BIGINT) AS total_queries,
+         |  CAST(SUM(CASE WHEN was_aborted THEN 1 ELSE 0 END) AS BIGINT) AS aborted_queries,
+         |  CAST(SUM(CASE WHEN was_cached THEN 1 ELSE 0 END) AS BIGINT) AS cached_queries,
+         |  CAST(SUM(CASE WHEN NOT was_aborted AND NOT was_cached THEN 1 ELSE 0 END) AS BIGINT) AS successful_queries,
+         |  CAST(SUM(mbytes_scanned) AS BIGINT) AS total_mbytes_scanned,
+         |  CAST(SUM(mbytes_spilled) AS BIGINT) AS total_mbytes_spilled,
+         |  CAST(SUM(num_joins) AS BIGINT) AS total_joins,
+         |  CAST(SUM(num_aggregations) AS BIGINT) AS total_aggregations,
+         |  CAST(SUM(compile_duration_ms) AS BIGINT) AS total_compile_ms
+         |FROM kept""".stripMargin) { (s, dir) =>
+      RedsetPipeline.scalarPanel(Clean(raw(s, dir)))
+    },
+
+    // The historical Expert View's output_table over the native pipeline:
+    // lead() intervals per (instance_id, table_id), interval containment
+    // join with the disjunctive read-vs-write table match, ingest rows
+    // re-attached (J2+J4+U1, Dashboard_Historical_Final.py:283-312).
+    QDef("redset_output_table",
+      s"""$oraclePrelude,
+         |iv AS (
+         |  SELECT instance_id, write_table_id AS table_id,
+         |         arrival_timestamp AS last_ingest_ts,
+         |         lead(arrival_timestamp) OVER (
+         |           PARTITION BY instance_id, write_table_id
+         |           ORDER BY arrival_timestamp, query_id) AS next_ts
+         |  FROM fl
+         |  WHERE query_type IN ('insert','copy') AND write_table_id IS NOT NULL),
+         |probes AS (
+         |  SELECT * FROM (
+         |    SELECT instance_id, query_id, arrival_timestamp, query_type,
+         |           CASE WHEN query_type = 'select' THEN read_table_id
+         |                ELSE write_table_id END AS table_id
+         |    FROM fl WHERE query_type NOT IN ('insert','copy'))
+         |  WHERE table_id IS NOT NULL),
+         |matched AS (
+         |  SELECT p.instance_id, p.query_id, p.arrival_timestamp, p.query_type,
+         |         p.table_id, iv.last_ingest_ts,
+         |         epoch_ms(p.arrival_timestamp) - epoch_ms(iv.last_ingest_ts)
+         |           AS time_since_last_ingest_ms,
+         |         epoch_ms(iv.next_ts) - epoch_ms(p.arrival_timestamp)
+         |           AS time_to_next_ingest_ms
+         |  FROM probes p JOIN iv
+         |    ON p.instance_id = iv.instance_id AND p.table_id = iv.table_id
+         |   AND p.arrival_timestamp >= iv.last_ingest_ts
+         |   AND p.arrival_timestamp <= COALESCE(iv.next_ts, TIMESTAMP '2999-12-31 00:00:00'))
+         |SELECT instance_id, query_id, arrival_timestamp, query_type, table_id,
+         |       last_ingest_ts, time_since_last_ingest_ms, time_to_next_ingest_ms
+         |FROM matched
+         |UNION ALL
+         |SELECT instance_id, query_id, arrival_timestamp, query_type,
+         |       write_table_id AS table_id, arrival_timestamp AS last_ingest_ts,
+         |       CAST(0 AS BIGINT) AS time_since_last_ingest_ms,
+         |       CAST(NULL AS BIGINT) AS time_to_next_ingest_ms
+         |FROM fl
+         |WHERE query_type IN ('insert','copy') AND write_table_id IS NOT NULL
+         |ORDER BY query_id, table_id, last_ingest_ts,
+         |         time_to_next_ingest_ms NULLS FIRST""".stripMargin) { (s, dir) =>
+      RedsetPipeline.outputTable(RedsetPipeline.flattened(raw(s, dir)))
+        .orderBy(col("query_id"), col("table_id"), col("last_ingest_ts"),
+          col("time_to_next_ingest_ms"))
+    }
+  )
+}
