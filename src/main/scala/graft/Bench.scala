@@ -24,7 +24,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // file copy as well as stdout: the round-1 driver parse missed the
+    // stdout line (BENCH_r01 "parsed": null) — belt and braces
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/bench.json"), line)
+    catch { case _: Throwable => }
     spark.stop()
+    // last line on stdout, after spark's shutdown logging
+    println(line)
   }
 }

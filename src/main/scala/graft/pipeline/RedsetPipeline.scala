@@ -151,6 +151,64 @@ object RedsetPipeline {
       }.start()
   }
 
+  /** Incremental Expert View (J8 at scale): the fix `expertRun`'s scaladoc
+    * promises. Staging is partitioned by `bucket = hash(instance_id) mod
+    * nBuckets`; each micro-batch appends its flattened rows, then recomputes
+    * `output_table` and `workload` ONLY for the buckets the batch touched,
+    * dynamically overwriting just those partitions of the materialized
+    * output. Per-batch input is O(touched buckets), not O(stream life) —
+    * `expertRun` re-reads everything every batch (cumulative O(n²)).
+    *
+    * Bucketing by the entity key (not by date) is what makes this *exact*:
+    * intervals, interval containment, and workload counts are all computed
+    * per `instance_id`, and instances never interact — so recomputing a
+    * bucket from its full staged history reproduces precisely what a global
+    * recompute would produce for those instances, while untouched buckets'
+    * materialized output remains byte-identical. A date partition cannot
+    * claim that (a new ingest rewrites the PREVIOUS interval's `next_ts`,
+    * which may live in an older date partition). Asserted incremental ≡
+    * full-recompute in StreamTopologySpec.
+    *
+    * `onBatch(batchId, recomputeInputRows)` is a test/ops probe.
+    */
+  def expertRunIncremental(
+      raw: org.apache.spark.sql.DataFrame,
+      stagingPath: String,
+      outputPath: String,
+      nBuckets: Int = 64,
+      queryName: String = "redset_expert_inc",
+      onBatch: (Long, Long) => Unit = (_, _) => ()): org.apache.spark.sql.streaming.StreamingQuery = {
+    def withBucket(df: DataFrame): DataFrame =
+      df.withColumn("bucket", pmod(hash(col("instance_id")), lit(nBuckets)))
+    raw.writeStream.queryName(queryName)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val flat = withBucket(flattened(batch)).localCheckpoint(true)
+        flat.write.mode("append").partitionBy("bucket").parquet(stagingPath)
+        // bounded collect: at most nBuckets values
+        val touched = flat.select("bucket").distinct().collect().map(_.getInt(0))
+        if (touched.nonEmpty) {
+          // partition pruning keeps this read to the touched buckets only
+          val slice = spark.read.parquet(stagingPath)
+            .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
+            .drop("bucket")
+            .localCheckpoint(true)
+          onBatch(batchId, slice.count())
+          def overwriteTouched(df: DataFrame, path: String): Unit =
+            withBucket(df).write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("bucket").parquet(path)
+          overwriteTouched(outputTable(slice), s"$outputPath/output_table")
+          overwriteTouched(tablesWorkloadCount(slice), s"$outputPath/workload")
+          spark.read.parquet(s"$outputPath/output_table").drop("bucket")
+            .createOrReplaceGlobalTempView("expert_output_table")
+          spark.read.parquet(s"$outputPath/workload").drop("bucket")
+            .createOrReplaceGlobalTempView("expert_workload")
+        }
+        ()
+      }.start()
+  }
+
   // ---- historical "Expert View" (Dashboard_Historical_Final.py) ----
 
   private val entityKeys = Seq("instance_id", "write_table_id")

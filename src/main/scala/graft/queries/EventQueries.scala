@@ -233,6 +233,35 @@ object EventQueries {
         .orderBy(col("bin"))
     },
 
+    // W1 scale path: the same decile histogram with the window PARTITIONED
+    // by the entity key — every partition sorts independently (no single-
+    // task global sort), the plan that survives 100×. Gate-checked here so
+    // the scale-safe variant is verified, not just available (mirrors
+    // RedsetPipeline.ingestDecileHistogram(perTable = true)).
+    QDef("w1b_ntile_decile_per_key",
+      s"""$ivSql, rel AS (
+         |  SELECT event_id, user_id,
+         |    CAST(time_since_last_ingest_ms AS DOUBLE)
+         |      / NULLIF(time_since_last_ingest_ms + time_to_next_ingest_ms, 0) AS rel_pos
+         |  FROM matched WHERE interval_end IS NOT NULL)
+         |SELECT bin, count(*) AS n FROM (
+         |  SELECT CAST(ntile(10) OVER (
+         |    PARTITION BY user_id ORDER BY rel_pos, event_id) AS BIGINT) AS bin
+         |  FROM rel)
+         |GROUP BY bin ORDER BY bin""".stripMargin) { (s, dir) =>
+      val rel = matchedProbes(s, dir)
+        .filter(col("interval_end").isNotNull)
+        .select(col("event_id"), col("user_id"),
+          (col("time_since_last_ingest_ms").cast("double") /
+            nullif(col("time_since_last_ingest_ms") + col("time_to_next_ingest_ms"), lit(0L)))
+            .as("rel_pos"))
+      rel.select(ntile(10).over(
+          Window.partitionBy(col("user_id")).orderBy(col("rel_pos"), col("event_id")))
+          .cast("long").as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+        .orderBy(col("bin"))
+    },
+
     // A9: global MAX(ts) — the reference's hand-rolled watermark probe
     // (Dashboard_Historical_Final.py:190-198).
     QDef("a9_max_watermark",

@@ -71,6 +71,20 @@ class RedsetPipelineSpec extends AnyFunSuite {
     assert(math.abs(s.getAs[Double]("stress_short") - expected) < 1e-12)
   }
 
+  test("stress index supports the historical alpha=0.0002 variant") {
+    // the historical dashboard's EWMA constant (Dashboard_Historical_Final
+    // .py:589-590) — same recurrence, much longer time constant
+    val a = 0.0002
+    val durs = Seq(100.0, 50.0, 80.0)
+    val withDur = cleaned.filter(col("query_id") <= 3)
+      .withColumn("execution_duration_ms",
+        element_at(typedlit(durs), col("query_id").cast("int")))
+    val s = RedsetPipeline.stressIndex(withDur, alphaShort = a, alphaLong = a).head()
+    val expected = durs.reduceLeft((acc, x) => a * x + (1 - a) * acc)
+    assert(math.abs(s.getAs[Double]("stress_short") - expected) < 1e-12)
+    assert(s.getAs[Double]("stress_long") == s.getAs[Double]("stress_short"))
+  }
+
   test("historical expert view: intervals, output table, workload, freshness") {
     val iv = RedsetPipeline.ingestionIntervals(flat)
       .orderBy("current_ts").collect()

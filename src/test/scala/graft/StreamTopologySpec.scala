@@ -100,6 +100,52 @@ class StreamTopologySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("expertRunIncremental recomputes only touched buckets, exactly (§3.3 at scale)") {
+    import org.apache.spark.sql.functions.{hash => shash, lit, pmod}
+    val nBuckets = 16
+    // pick two instance ids landing in DIFFERENT buckets (same pmod(hash)
+    // the pipeline uses), so the second batch must not re-read the first's
+    def bucketOf(id: Long): Int = spark.range(1)
+      .select(pmod(shash(lit(id)), lit(nBuckets))).head().getInt(0)
+    val idA = 10L
+    val idB = (11L to 40L).find(b => bucketOf(b) != bucketOf(idA)).get
+    def rowsFor(iid: Long, qidBase: Int): Seq[Map[String, String]] = Seq(
+      Map("query_id" -> s"$qidBase", "instance_id" -> s"$iid", "user_id" -> s"$iid",
+        "arrival_timestamp" -> "2024-03-01 01:00:00", "query_type" -> "copy",
+        "write_table_ids" -> "90"),
+      Map("query_id" -> s"${qidBase + 1}", "instance_id" -> s"$iid", "user_id" -> s"$iid",
+        "arrival_timestamp" -> "2024-03-01 01:30:00", "query_type" -> "select",
+        "read_table_ids" -> "90"))
+    val batchA = rowsFor(idA, 1)
+    val batchB = rowsFor(idB, 3)
+    val base = java.nio.file.Files.createTempDirectory("graft_expert_inc").toString
+    // two files + maxFilesPerTrigger=1 -> two micro-batches
+    IO.toJsonRecords(mkRaw(batchA)).repartition(1).write.text(base + "/in")
+    IO.toJsonRecords(mkRaw(batchB)).repartition(1).write
+      .mode("append").text(base + "/in")
+    val perBatchRows = scala.collection.concurrent.TrieMap[Long, Long]()
+    val q = graft.pipeline.RedsetPipeline.expertRunIncremental(
+      Streams.jsonFileSource(spark, base + "/in"),
+      base + "/staged", base + "/out", nBuckets, "expert_inc_test",
+      (id, n) => perBatchRows(id) = n)
+    try {
+      q.processAllAvailable()
+      // each batch flattens to 2 rows; disjoint buckets -> each recompute
+      // read only its own bucket's rows, NOT the accumulated table
+      assert(perBatchRows.size == 2)
+      assert(perBatchRows.values.toSeq.sorted == Seq(2L, 2L))
+      // incremental result == full recompute over everything staged
+      val inc = spark.table("global_temp.expert_output_table")
+      val full = graft.pipeline.RedsetPipeline.outputTable(
+        graft.pipeline.RedsetPipeline.flattened(mkRaw(batchA ++ batchB)))
+      val key = (r: Row) => r.toSeq.map(String.valueOf).mkString("|")
+      assert(inc.select(full.columns.map(col): _*).collect().map(key).sorted.toSeq ==
+        full.collect().map(key).sorted.toSeq)
+      val wl = spark.table("global_temp.expert_workload")
+      assert(wl.count() == 2) // one (instance, table) row per instance
+    } finally q.stop()
+  }
+
   test("graft_cosine SQL function composes the native dot product") {
     graft.ext.GraftExtensions.register(spark)
     import spark.implicits._

@@ -115,6 +115,22 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("lastNPerKey keeps the n newest rows per key by event time (ST6)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 10L, "a"), (1L, 20L, "b"), (1L, 30L, "c"), (1L, 40L, "d"), (1L, 50L, "e"),
+      (2L, 10L, "x"), (2L, 20L, "y"))
+      .toDF("key", "ts", "tag")
+    val got = Streams.lastNPerKey(df, "key", "ts", 3)
+      .orderBy("key", "ts")
+      .as[(Long, Long, String)].collect().toSeq
+    // key 1: the 3 newest survive; key 2 has only 2 rows, both kept
+    assert(got == Seq((1L, 30L, "c"), (1L, 40L, "d"), (1L, 50L, "e"),
+      (2L, 10L, "x"), (2L, 20L, "y")))
+    // schema passes through (the helper column is dropped)
+    assert(Streams.lastNPerKey(df, "key", "ts", 1).columns.toSeq == df.columns.toSeq)
+  }
+
   test("fanOut writes projected column subsets per sink (S4)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, String, Double)]
