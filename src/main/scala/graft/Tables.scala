@@ -25,9 +25,16 @@ object Tables {
     * parquet reader rejects. Read nanos as long (legacy conf) and truncate
     * to microseconds — exactly what DuckDB's `CAST(ts AS TIMESTAMP)` does,
     * so both engines see the identical microsecond timeline.
+    *
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` on the session —
+    * set once at session construction (Bench/Verify/Explain/TestSpark all
+    * do) rather than mutated here: table loaders must not flip session-wide
+    * conf mid-flight under concurrent queries.
     */
   def events(spark: SparkSession, d: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "set spark.sql.legacy.parquet.nanosAsLong=true at session build time " +
+        "(events.parquet stores TIMESTAMP(NANOS))")
     table(spark, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   }

@@ -80,6 +80,13 @@ object Dedup {
     * (block, prefix-shingle) instead of the full per-block cross product —
     * the standard set-similarity-join at scale. The exact jaccard then runs
     * once per distinct candidate pair.
+    *
+    * Checkpoint lifecycle: the shingled corpus is materialized (it feeds
+    * candidate generation AND both verify sides), the final pair set is
+    * materialized too (it is tiny relative to the corpus at any sane
+    * threshold), then the corpus-sized intermediate is RELEASED — the
+    * returned frame holds exactly one small storage block, freeable with
+    * `Bridge.release` once consumed (asserted in DedupSpec).
     */
   def jaccardPairsPrefix(df: DataFrame, text: Column, id: Column,
                          blockCol: String, threshold: Double,
@@ -107,11 +114,14 @@ object Dedup {
     val jac = inter / (col("n_a") + col("n_b") - inter)
     val sizeOk = least(col("n_a"), col("n_b")).cast("double") >=
       greatest(col("n_a"), col("n_b")) * threshold
-    cand.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+    val pairs = cand.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
       .where(sizeOk)
       .withColumn("jac", jac)
       .where(col("jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
+      .localCheckpoint(true)
+    org.apache.spark.sql.graftbridge.Bridge.release(d)
+    pairs
   }
 
   /** Embedding-cosine near-dup pairs within a blocking key. Double-precision
@@ -255,8 +265,15 @@ object Dedup {
     * distributed joins; the convergence probe is a count, not a collect.
     * Throws if maxIter rounds don't reach the fixpoint — a silently
     * unconverged result would hand duplicates to keep-one downstream.
+    *
+    * Checkpoint lifecycle: each round's labels are released as soon as the
+    * next round is materialized, and the symmetrized edge set is released on
+    * exit — blocks in flight stay O(1), not O(rounds). The RETURNED frame is
+    * the final materialized label set (one block); free it with
+    * `Bridge.release` when done (keepOnePerComponent does).
     */
   def components(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
     // eager localCheckpoint (not persist) each round: iterative plans grow
     // linearly in lineage, so analysis cost goes quadratic and any cache
     // eviction triggers exponential recompute — checkpointing truncates the
@@ -284,10 +301,12 @@ object Dedup {
         .localCheckpoint(true)
       val changed = next.as("n").join(labels.withColumnRenamed("comp", "old").as("o"),
         Seq("node")).filter(col("comp") =!= col("old")).limit(1).count()
+      Bridge.release(labels) // previous round's block is dead now
       labels = next
       done = changed == 0
       i += 1
     }
+    Bridge.release(sym)
     if (!done)
       throw new IllegalStateException(
         s"components() did not converge in $maxIter rounds — raise maxIter")
@@ -297,11 +316,19 @@ object Dedup {
   /** The keep-one-per-component dedup action: drops every doc whose
     * component representative is a different (smaller-id) doc. Docs with no
     * candidate edges survive untouched (left anti join on the non-rep set).
+    *
+    * Checkpoint lifecycle: the loser-id set (small: one id per dropped doc)
+    * is materialized so the full component label set can be released; the
+    * returned frame stays LAZY over the corpus (its output is corpus-sized —
+    * never force that here) and retains only that one small block.
     */
   def keepOnePerComponent(df: DataFrame, id: Column, edges: DataFrame): DataFrame = {
-    val losers = components(edges)
+    val labels = components(edges)
+    val losers = labels
       .filter(col("node") =!= col("comp"))
       .select(col("node"))
+      .localCheckpoint(true)
+    org.apache.spark.sql.graftbridge.Bridge.release(labels)
     df.join(losers, id === losers("node"), "left_anti")
   }
 

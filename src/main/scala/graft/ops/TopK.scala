@@ -23,13 +23,32 @@ object TopK {
 
   class BoundedTopK(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
     override def zero: Seq[Scored] = Vector.empty
+    // buffer invariant: sorted by `ord`, size <= k. Insertion is a single
+    // O(k) splice — no per-element re-sort (k=10 hid the n·k·log k cost;
+    // k=1000 would not, see TopKSpec).
     override def reduce(b: Seq[Scored], a: Scored): Seq[Scored] = {
-      if (b.size < k) (b :+ a).sorted(ord)
-      else if (ord.lt(a, b.last)) (b.init :+ a).sorted(ord)
-      else b
+      if (b.size >= k && ord.lteq(b.last, a)) b
+      else {
+        val i = b.indexWhere(s => ord.lt(a, s)) match {
+          case -1 => b.size
+          case n => n
+        }
+        val ins = (b.take(i) :+ a) ++ b.drop(i)
+        if (ins.size > k) ins.take(k) else ins
+      }
     }
-    override def merge(b1: Seq[Scored], b2: Seq[Scored]): Seq[Scored] =
-      (b1 ++ b2).sorted(ord).take(k)
+    // linear merge of two sorted buffers, stop at k — O(k), not
+    // O((|b1|+|b2|)·log) of a concat-sort
+    override def merge(b1: Seq[Scored], b2: Seq[Scored]): Seq[Scored] = {
+      val out = Vector.newBuilder[Scored]
+      var (i, j, n) = (0, 0, 0)
+      while (n < k && (i < b1.size || j < b2.size)) {
+        val takeLeft = j >= b2.size || (i < b1.size && ord.lteq(b1(i), b2(j)))
+        if (takeLeft) { out += b1(i); i += 1 } else { out += b2(j); j += 1 }
+        n += 1
+      }
+      out.result()
+    }
     override def finish(r: Seq[Scored]): Seq[Scored] = r
     override def bufferEncoder: Encoder[Seq[Scored]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()

@@ -128,19 +128,26 @@ object RedsetPipeline {
   }
 
   /** The historical Expert View as one streaming query (§3.3): each
-    * micro-batch appends its flattened rows to a staged parquet table, then
-    * the interval views are recomputed from the full accumulated table —
-    * the stateless-recompute stance that replaces the reference's
-    * `UPDATE .. FROM` backfill (J8, SURVEY §7.3 hard part #3). At scale the
-    * staging table is date-partitioned (IO.writeTimePartitioned) and the
-    * recompute incrementalizes to the partitions a batch touches.
+    * micro-batch stages its flattened rows to a parquet table partitioned by
+    * `batch_id`, then the interval views are recomputed from the full
+    * accumulated table — the stateless-recompute stance that replaces the
+    * reference's `UPDATE .. FROM` backfill (J8, SURVEY §7.3 hard part #3).
+    *
+    * The staging write dynamically OVERWRITES this batch's partition (not
+    * append): foreachBatch is at-least-once, so a batch replayed after a
+    * failure between the write and the checkpoint commit lands on top of
+    * itself — exactly-once staging contents. For the at-scale variant see
+    * [[expertRunIncremental]].
     */
   def expertRun(raw: org.apache.spark.sql.DataFrame, stagingPath: String,
                 queryName: String = "redset_expert"): org.apache.spark.sql.streaming.StreamingQuery = {
     raw.writeStream.queryName(queryName)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        flattened(batch).write.mode("append").parquet(stagingPath)
-        val all = batch.sparkSession.read.parquet(stagingPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        flattened(batch).withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(stagingPath)
+        val all = batch.sparkSession.read.parquet(stagingPath).drop("batch_id")
         outputTable(all).localCheckpoint(true)
           .createOrReplaceGlobalTempView("expert_output_table")
         tablesWorkloadCount(all).localCheckpoint(true)
@@ -169,7 +176,9 @@ object RedsetPipeline {
     * which may live in an older date partition). Asserted incremental ≡
     * full-recompute in StreamTopologySpec.
     *
-    * `onBatch(batchId, recomputeInputRows)` is a test/ops probe.
+    * `onBatch(batchId, recomputeInputRows)` is a test/ops probe; the
+    * touched-bucket row count (a full scan of the staged slice) is computed
+    * only when a probe is installed.
     */
   def expertRunIncremental(
       raw: org.apache.spark.sql.DataFrame,
@@ -177,36 +186,65 @@ object RedsetPipeline {
       outputPath: String,
       nBuckets: Int = 64,
       queryName: String = "redset_expert_inc",
-      onBatch: (Long, Long) => Unit = (_, _) => ()): org.apache.spark.sql.streaming.StreamingQuery = {
-    def withBucket(df: DataFrame): DataFrame =
-      df.withColumn("bucket", pmod(hash(col("instance_id")), lit(nBuckets)))
+      onBatch: Option[(Long, Long) => Unit] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     raw.writeStream.queryName(queryName)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val flat = withBucket(flattened(batch)).localCheckpoint(true)
-        flat.write.mode("append").partitionBy("bucket").parquet(stagingPath)
-        // bounded collect: at most nBuckets values
-        val touched = flat.select("bucket").distinct().collect().map(_.getInt(0))
-        if (touched.nonEmpty) {
-          // partition pruning keeps this read to the touched buckets only
-          val slice = spark.read.parquet(stagingPath)
-            .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
-            .drop("bucket")
-            .localCheckpoint(true)
-          onBatch(batchId, slice.count())
-          def overwriteTouched(df: DataFrame, path: String): Unit =
-            withBucket(df).write.mode("overwrite")
-              .option("partitionOverwriteMode", "dynamic")
-              .partitionBy("bucket").parquet(path)
-          overwriteTouched(outputTable(slice), s"$outputPath/output_table")
-          overwriteTouched(tablesWorkloadCount(slice), s"$outputPath/workload")
-          spark.read.parquet(s"$outputPath/output_table").drop("bucket")
-            .createOrReplaceGlobalTempView("expert_output_table")
-          spark.read.parquet(s"$outputPath/workload").drop("bucket")
-            .createOrReplaceGlobalTempView("expert_workload")
-        }
-        ()
+        incrementalBatch(batch, batchId, stagingPath, outputPath, nBuckets,
+          onBatch)
       }.start()
+  }
+
+  /** One micro-batch of the incremental Expert pipeline — public so batch
+    * callers (backfills, the correctness gate) can drive it directly; the
+    * streaming wrapper above only wires it into foreachBatch.
+    *
+    * Idempotent per `batchId`: staging is partitioned by
+    * `(bucket, batch_id)` and written with dynamic partition overwrite, so
+    * a replayed micro-batch (foreachBatch is at-least-once — a failure
+    * after the write but before the streaming checkpoint commits re-runs
+    * the batch) overwrites its own partitions instead of appending
+    * duplicates. Bucket stays the leading partition column so the
+    * touched-bucket recompute still prunes on it.
+    */
+  def incrementalBatch(
+      batch: DataFrame,
+      batchId: Long,
+      stagingPath: String,
+      outputPath: String,
+      nBuckets: Int = 64,
+      onBatch: Option[(Long, Long) => Unit] = None): Unit = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val spark = batch.sparkSession
+    def withBucket(df: DataFrame): DataFrame =
+      df.withColumn("bucket", pmod(hash(col("instance_id")), lit(nBuckets)))
+    val flat = withBucket(flattened(batch))
+      .withColumn("batch_id", lit(batchId)).localCheckpoint(true)
+    flat.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket", "batch_id").parquet(stagingPath)
+    // bounded collect: at most nBuckets values
+    val touched = flat.select("bucket").distinct().collect().map(_.getInt(0))
+    Bridge.release(flat) // checkpoint-lifecycle hygiene: flat is dead now
+    if (touched.nonEmpty) {
+      // partition pruning keeps this read to the touched buckets only
+      val slice = spark.read.parquet(stagingPath)
+        .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
+        .drop("bucket", "batch_id")
+        .localCheckpoint(true)
+      onBatch.foreach(f => f(batchId, slice.count()))
+      def overwriteTouched(df: DataFrame, path: String): Unit =
+        withBucket(df).write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("bucket").parquet(path)
+      overwriteTouched(outputTable(slice), s"$outputPath/output_table")
+      overwriteTouched(tablesWorkloadCount(slice), s"$outputPath/workload")
+      Bridge.release(slice)
+      spark.read.parquet(s"$outputPath/output_table").drop("bucket")
+        .createOrReplaceGlobalTempView("expert_output_table")
+      spark.read.parquet(s"$outputPath/workload").drop("bucket")
+        .createOrReplaceGlobalTempView("expert_workload")
+    }
+    ()
   }
 
   // ---- historical "Expert View" (Dashboard_Historical_Final.py) ----
@@ -230,11 +268,23 @@ object RedsetPipeline {
     * re-expressed on a single normalized `table_id` column:
     * selects match on the table they READ, transforms on the table they
     * WRITE. Ingest rows re-attach via UNION ALL (U1, `:297-312`).
+    *
+    * The input feeds THREE branches (interval build, probes, ingest
+    * re-attach) and Spark does not reuse non-exchange subtrees — without
+    * materialization the whole upstream (at minimum a scan; for
+    * `flattened(raw)` the full clean+explode chain) runs three times. So the
+    * input is eagerly `localCheckpoint`ed once here, unless the caller
+    * already hands us a materialized frame (`expertRunIncremental` does).
+    * At cluster scale the equivalent is staging the flattened table to
+    * storage once — which `expertRun`/`expertRunIncremental` do anyway.
     */
   def outputTable(flat: DataFrame): DataFrame = {
-    val iv = ingestionIntervals(flat)
+    val f =
+      if (org.apache.spark.sql.graftbridge.Bridge.isMaterialized(flat)) flat
+      else flat.localCheckpoint(true)
+    val iv = ingestionIntervals(f)
       .withColumnRenamed("write_table_id", "table_id").drop("query_id")
-    val probes = flat
+    val probes = f
       .filter(!col("query_type").isin(RedsetSchema.IngestTypes: _*))
       .withColumn("table_id",
         when(col("query_type") === "select", col("read_table_id"))
@@ -250,7 +300,7 @@ object RedsetPipeline {
         // open interval: interval_end / time_to_next are already NULL from
         // intervalJoin, so downstream avg/decile math never sees a sentinel
         col("time_to_next_ingest_ms"))
-    val ingests = flat
+    val ingests = f
       .filter(col("query_type").isin(RedsetSchema.IngestTypes: _*) &&
         col("write_table_id").isNotNull)
       .select(col("instance_id"), col("query_id"), col("arrival_timestamp"),

@@ -18,6 +18,38 @@ import org.apache.spark.sql.functions._
   */
 object DocQueries {
 
+  /** DuckDB dot product mirroring `graft_dot` over float vectors: every
+    * element widened float→double, products summed left-to-right (list_sum
+    * matches the strict fold — proven by the green sim1/d5 rows).
+    */
+  private def duckDot(a: String, b: String): String =
+    s"list_sum([CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE) FOR x IN list_zip($a, $b)])"
+
+  /** The sim2 oracle: mirror of [[graft.sim.Similarity.lshAnn]] with the
+    * deterministic hyperplanes embedded as literals. The planes are cast
+    * FLOAT[] first because the Spark side passes float literals to
+    * graft_dot (same rounding on both engines).
+    */
+  private def sim2OracleSql(nBits: Int, dim: Int): String = {
+    val bucket = Similarity.hyperplanes(nBits, dim).zipWithIndex.map {
+      case (w, i) =>
+        val lit = w.mkString("[", ", ", "]")
+        s"(CASE WHEN ${duckDot(s"CAST($lit AS FLOAT[])", "embedding")} > 0 " +
+          s"THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+    s"""WITH b AS (SELECT vec_id, label, embedding, $bucket AS bucket FROM embeddings),
+       |q AS (SELECT embedding AS qv, bucket AS q_bucket,
+       |  sqrt(${duckDot("embedding", "embedding")}) AS q_norm
+       |  FROM b WHERE vec_id = 0),
+       |s AS (SELECT b.vec_id, b.label,
+       |  ${duckDot("b.embedding", "q.qv")} /
+       |  (sqrt(${duckDot("b.embedding", "b.embedding")}) * q.q_norm) AS cos
+       |  FROM b CROSS JOIN q
+       |  WHERE b.vec_id <> 0 AND bit_count(xor(b.bucket, q.q_bucket)) <= 1)
+       |SELECT vec_id, label, round(cos, 6) AS cosine
+       |FROM s ORDER BY round(cos, 6) DESC, vec_id LIMIT 10""".stripMargin
+  }
+
   val defs: Seq[QDef] = Seq(
 
     // Exact dedup on a canonicalized key (sorted distinct token set) —
@@ -195,9 +227,13 @@ object DocQueries {
         .orderBy(col("doc_id"))
     },
 
-    // LSH-bucketed ANN (random-hyperplane signs, deterministic seed):
-    // the scale path for sim1 — ScalaTest measures recall vs. brute force.
-    QDef.noOracle("sim2_ann_lsh") { (s, dir) =>
+    // LSH-bucketed ANN (random-hyperplane signs, deterministic seed): the
+    // scale path for sim1. Fully SQL-expressible — the hyperplanes are
+    // deterministic double literals and graft_dot is a strict left fold —
+    // so the oracle embeds the SAME plane literals and mirrors
+    // Similarity.lshAnn exactly: sign-bit bucket, Hamming-1 multi-probe,
+    // exact cosine ranking. (ScalaTest additionally checks recall vs sim1.)
+    QDef("sim2_ann_lsh", sim2OracleSql(nBits = 8, dim = 64)) { (s, dir) =>
       Similarity.lshAnn(Tables.embeddings(s, dir), queryVecId = 0L, k = 10,
           nBits = 8)
     },

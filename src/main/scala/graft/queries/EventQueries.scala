@@ -86,6 +86,24 @@ object EventQueries {
       matchedProbes(s, dir).orderBy(col("event_id"), col("last_ingest_ts"))
     },
 
+    // J4 scale variant gate-checked against the SAME oracle: the skew-safe
+    // time-bucketed interval join (hot keys spread over their time range)
+    // must bit-match the plain plan, not just its Spark twin.
+    QDef("j4b_interval_join_bucketed",
+      s"""$ivSql SELECT event_id, user_id, ts, event_type, last_ingest_ts,
+         |  interval_end, time_since_last_ingest_ms, time_to_next_ingest_ms
+         |FROM matched ORDER BY event_id, last_ingest_ts""".stripMargin) { (s, dir) =>
+      val probes = ev(s, dir)
+        .filter(col("event_type") =!= "purchase")
+        .select("event_id", "user_id", "ts", "event_type")
+      Intervals.intervalJoinBucketed(
+          probes, intervals(s, dir).drop("event_id"), Seq("user_id"), "ts")
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+          col("last_ingest_ts"), col("interval_end"),
+          col("time_since_last_ingest_ms"), col("time_to_next_ingest_ms"))
+        .orderBy(col("event_id"), col("last_ingest_ts"))
+    },
+
     // U1: re-attach the ingest rows themselves (their interval starts at
     // their own timestamp), Dashboard_Historical_Final.py:297-312.
     QDef("u1_output_table",

@@ -45,6 +45,7 @@ object RedsetFixture {
     s"""CASE WHEN event_id % 11 = 0 THEN NULL
        |     WHEN event_id % 11 = 1 THEN 'oops'
        |     WHEN event_id % 11 = 2 THEN concat(CAST((event_id * 7) % 100000 AS STRING), '.0')
+       |     WHEN event_id % 11 = 4 THEN concat(CAST((event_id * 7) % 100000 AS STRING), '.7')
        |     ELSE CAST((event_id * 7) % 100000 AS STRING) END AS compile_duration_ms""",
     s"CAST((event_id * 13) % 60000 AS STRING) AS queue_duration_ms",
     s"""CASE WHEN event_id % 11 = 3 THEN ''
@@ -104,8 +105,12 @@ object RedsetFixture {
     s"CASE WHEN $c IS NULL OR trim($c) = '' OR upper(trim($c)) = 'NULL' " +
       s"THEN '$default' ELSE trim($c) END"
 
+  // TRUNC, not a bare CAST: DuckDB CAST(double AS BIGINT) rounds to
+  // nearest, while Spark's double→long cast (and pandas astype(int64))
+  // truncates toward zero — the fixture plants '.7' fractions to keep this
+  // divergence under test.
   private def cleanNumSql(c: String): String =
-    s"CAST(COALESCE(TRY_CAST($c AS DOUBLE), 0.0) AS BIGINT) AS $c"
+    s"CAST(TRUNC(COALESCE(TRY_CAST($c AS DOUBLE), 0.0)) AS BIGINT) AS $c"
 
   /** clean CTE: mirrors [[graft.etl.Clean]] column by column, including the
     * drop of rows whose table-id lists are both empty (F2).
@@ -162,6 +167,50 @@ object RedsetFixture {
 object RedsetQueries {
   import RedsetFixture._
 
+  /** Shared by `redset_output_table` and its incremental twin — both must
+    * match this one oracle exactly.
+    */
+  private val outputTableOracleSql: String =
+    s"""$oraclePrelude,
+       |iv AS (
+       |  SELECT instance_id, write_table_id AS table_id,
+       |         arrival_timestamp AS last_ingest_ts,
+       |         lead(arrival_timestamp) OVER (
+       |           PARTITION BY instance_id, write_table_id
+       |           ORDER BY arrival_timestamp, query_id) AS next_ts
+       |  FROM fl
+       |  WHERE query_type IN ('insert','copy') AND write_table_id IS NOT NULL),
+       |probes AS (
+       |  SELECT * FROM (
+       |    SELECT instance_id, query_id, arrival_timestamp, query_type,
+       |           CASE WHEN query_type = 'select' THEN read_table_id
+       |                ELSE write_table_id END AS table_id
+       |    FROM fl WHERE query_type NOT IN ('insert','copy'))
+       |  WHERE table_id IS NOT NULL),
+       |matched AS (
+       |  SELECT p.instance_id, p.query_id, p.arrival_timestamp, p.query_type,
+       |         p.table_id, iv.last_ingest_ts,
+       |         epoch_ms(p.arrival_timestamp) - epoch_ms(iv.last_ingest_ts)
+       |           AS time_since_last_ingest_ms,
+       |         epoch_ms(iv.next_ts) - epoch_ms(p.arrival_timestamp)
+       |           AS time_to_next_ingest_ms
+       |  FROM probes p JOIN iv
+       |    ON p.instance_id = iv.instance_id AND p.table_id = iv.table_id
+       |   AND p.arrival_timestamp >= iv.last_ingest_ts
+       |   AND p.arrival_timestamp <= COALESCE(iv.next_ts, TIMESTAMP '2999-12-31 00:00:00'))
+       |SELECT instance_id, query_id, arrival_timestamp, query_type, table_id,
+       |       last_ingest_ts, time_since_last_ingest_ms, time_to_next_ingest_ms
+       |FROM matched
+       |UNION ALL
+       |SELECT instance_id, query_id, arrival_timestamp, query_type,
+       |       write_table_id AS table_id, arrival_timestamp AS last_ingest_ts,
+       |       CAST(0 AS BIGINT) AS time_since_last_ingest_ms,
+       |       CAST(NULL AS BIGINT) AS time_to_next_ingest_ms
+       |FROM fl
+       |WHERE query_type IN ('insert','copy') AND write_table_id IS NOT NULL
+       |ORDER BY query_id, table_id, last_ingest_ts,
+       |         time_to_next_ingest_ms NULLS FIRST""".stripMargin
+
   val defs: Seq[QDef] = Seq(
 
     // X6-X10 + F2 + F8 + S8 end-to-end: the cleaning transform and the
@@ -199,47 +248,35 @@ object RedsetQueries {
     // lead() intervals per (instance_id, table_id), interval containment
     // join with the disjunctive read-vs-write table match, ingest rows
     // re-attached (J2+J4+U1, Dashboard_Historical_Final.py:283-312).
-    QDef("redset_output_table",
-      s"""$oraclePrelude,
-         |iv AS (
-         |  SELECT instance_id, write_table_id AS table_id,
-         |         arrival_timestamp AS last_ingest_ts,
-         |         lead(arrival_timestamp) OVER (
-         |           PARTITION BY instance_id, write_table_id
-         |           ORDER BY arrival_timestamp, query_id) AS next_ts
-         |  FROM fl
-         |  WHERE query_type IN ('insert','copy') AND write_table_id IS NOT NULL),
-         |probes AS (
-         |  SELECT * FROM (
-         |    SELECT instance_id, query_id, arrival_timestamp, query_type,
-         |           CASE WHEN query_type = 'select' THEN read_table_id
-         |                ELSE write_table_id END AS table_id
-         |    FROM fl WHERE query_type NOT IN ('insert','copy'))
-         |  WHERE table_id IS NOT NULL),
-         |matched AS (
-         |  SELECT p.instance_id, p.query_id, p.arrival_timestamp, p.query_type,
-         |         p.table_id, iv.last_ingest_ts,
-         |         epoch_ms(p.arrival_timestamp) - epoch_ms(iv.last_ingest_ts)
-         |           AS time_since_last_ingest_ms,
-         |         epoch_ms(iv.next_ts) - epoch_ms(p.arrival_timestamp)
-         |           AS time_to_next_ingest_ms
-         |  FROM probes p JOIN iv
-         |    ON p.instance_id = iv.instance_id AND p.table_id = iv.table_id
-         |   AND p.arrival_timestamp >= iv.last_ingest_ts
-         |   AND p.arrival_timestamp <= COALESCE(iv.next_ts, TIMESTAMP '2999-12-31 00:00:00'))
-         |SELECT instance_id, query_id, arrival_timestamp, query_type, table_id,
-         |       last_ingest_ts, time_since_last_ingest_ms, time_to_next_ingest_ms
-         |FROM matched
-         |UNION ALL
-         |SELECT instance_id, query_id, arrival_timestamp, query_type,
-         |       write_table_id AS table_id, arrival_timestamp AS last_ingest_ts,
-         |       CAST(0 AS BIGINT) AS time_since_last_ingest_ms,
-         |       CAST(NULL AS BIGINT) AS time_to_next_ingest_ms
-         |FROM fl
-         |WHERE query_type IN ('insert','copy') AND write_table_id IS NOT NULL
-         |ORDER BY query_id, table_id, last_ingest_ts,
-         |         time_to_next_ingest_ms NULLS FIRST""".stripMargin) { (s, dir) =>
+    QDef("redset_output_table", outputTableOracleSql) { (s, dir) =>
       RedsetPipeline.outputTable(RedsetPipeline.flattened(raw(s, dir)))
+        .orderBy(col("query_id"), col("table_id"), col("last_ingest_ts"),
+          col("time_to_next_ingest_ms"))
+    },
+
+    // J8 at scale, oracle-checked end-to-end: the fixture is split into two
+    // deterministic micro-batches and driven through the INCREMENTAL
+    // bucket-recompute pipeline (staging partitioned by (bucket, batch_id),
+    // per-batch recompute of touched buckets only, dynamic partition
+    // overwrite of the materialized output). Batch 1 is then REPLAYED to
+    // prove the staging write's idempotence at the gate — the final
+    // materialized output must still hash-match the same oracle as
+    // `redset_output_table`.
+    QDef("redset_output_table_inc", outputTableOracleSql) { (s, dir) =>
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_inc_gate").toString
+      val rawDf = raw(s, dir)
+      val even = rawDf.filter(pmod(col("query_id").try_cast("long"), lit(2)) === 0)
+      val odd = rawDf.filter(pmod(col("query_id").try_cast("long"), lit(2)) === 1)
+      Seq(0L -> even, 1L -> odd, 1L -> odd /* at-least-once replay */)
+        .foreach { case (id, b) =>
+          RedsetPipeline.incrementalBatch(b, id,
+            s"$base/staged", s"$base/out", nBuckets = 16)
+        }
+      s.read.parquet(s"$base/out/output_table").drop("bucket")
+        .select(col("instance_id"), col("query_id"), col("arrival_timestamp"),
+          col("query_type"), col("table_id"), col("last_ingest_ts"),
+          col("time_since_last_ingest_ms"), col("time_to_next_ingest_ms"))
         .orderBy(col("query_id"), col("table_id"), col("last_ingest_ts"),
           col("time_to_next_ingest_ms"))
     }

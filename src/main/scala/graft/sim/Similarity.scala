@@ -38,8 +38,9 @@ object Similarity {
 
   // Deterministic hyperplane weights from splitmix64 — computed once at
   // plan time and embedded as array literals, so the per-row work is just
-  // nBits fused dot products (no per-row-per-dim hashing).
-  private def hyperplanes(nBits: Int, dim: Int): Seq[Seq[Double]] = {
+  // nBits fused dot products (no per-row-per-dim hashing). private[graft]
+  // so the DuckDB oracle (DocQueries sim2) can embed the SAME literals.
+  private[graft] def hyperplanes(nBits: Int, dim: Int): Seq[Seq[Double]] = {
     def splitmix(x0: Long): Long = {
       var z = x0 + 0x9E3779B97F4A7C15L
       z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L

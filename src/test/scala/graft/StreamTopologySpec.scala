@@ -127,7 +127,7 @@ class StreamTopologySpec extends AnyFunSuite {
     val q = graft.pipeline.RedsetPipeline.expertRunIncremental(
       Streams.jsonFileSource(spark, base + "/in"),
       base + "/staged", base + "/out", nBuckets, "expert_inc_test",
-      (id, n) => perBatchRows(id) = n)
+      Some((id, n) => perBatchRows(id) = n))
     try {
       q.processAllAvailable()
       // each batch flattens to 2 rows; disjoint buckets -> each recompute
