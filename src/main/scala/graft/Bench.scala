@@ -28,7 +28,13 @@ object Bench {
       spark.read.parquet(s"$sfDir/lineitem.parquet").count()
       SparkEntry.queries("q1_pricing_summary")(spark, sfDir).count()
     } catch { case _: Throwable => }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev aid: SPARK_GRAFT_BENCH_ONLY=q1,q2 times a subset (driver leaves
+    // it unset → full suite)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -36,10 +42,14 @@ object Bench {
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal formatting keeps the whole line under ~2 KB so it survives
+    // the driver's bounded tail capture intact (BENCH_r03 "parsed": null —
+    // the 9-significant-digit line was truncated mid-JSON)
+    def f3(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}"""
     // file copy as well as stdout: the round-1 driver parse missed the
     // stdout line (BENCH_r01 "parsed": null) — belt and braces. Path is
     // per-process so concurrent runs don't clobber each other; failures are

@@ -76,6 +76,14 @@ object Clean {
   private def cleanNum(c: Column, t: DataType): Column =
     coalesce(c.try_cast(DoubleType), lit(0.0)).cast(t)
 
+  /** The cleaned form of one numeric column — exposed so callers can derive
+    * partition keys from a RAW frame without running the full 24-column
+    * cleaning projection (touched-bucket discovery in
+    * [[graft.pipeline.RedsetPipeline.incrementalBatch]] hashes the cleaned
+    * `instance_id` straight off the wire batch).
+    */
+  def num(c: Column): Column = cleanNum(c, LongType)
+
   private def cleanBool(c: Column): Column =
     coalesce(c.try_cast(BooleanType), lit(false))
 
@@ -84,9 +92,21 @@ object Clean {
 
   /** Type + default every column of a raw (string-typed or loosely typed)
     * Redset frame; drop rows whose table-id lists are both empty.
+    *
+    * The F2 row drop runs BEFORE the projection, phrased on the raw
+    * columns: `emptyList(cleanStr(c))` placed after the select gets
+    * predicate-pushed below it with the cleaning expression substituted
+    * into all four comparisons — ~12 evaluations of the raw column
+    * expression per row (measured 2.5-5x the whole chain's cost when the
+    * raw frame is itself computed, e.g. a `from_json` wire batch or the
+    * synthesized gate fixture). `rawEmptyList` is the same predicate with
+    * one `trim` per column.
     */
   def apply(raw: DataFrame): DataFrame = {
-    val typed = raw.select(
+    // F2: drop rows referencing no tables at all (Historical_data_cleaning.py:58-60)
+    val kept = raw.filter(!(rawEmptyList(col("read_table_ids")) &&
+                            rawEmptyList(col("write_table_ids"))))
+    val typed = kept.select(
       cleanNum(col("instance_id"), LongType).as("instance_id"),
       cleanNum(col("cluster_size"), LongType).as("cluster_size"),
       cleanNum(col("user_id"), LongType).as("user_id"),
@@ -111,13 +131,17 @@ object Clean {
       cleanNum(col("num_joins"), LongType).as("num_joins"),
       cleanNum(col("num_scans"), LongType).as("num_scans"),
       cleanNum(col("num_aggregations"), LongType).as("num_aggregations"))
-    // F2: drop rows referencing no tables at all (Historical_data_cleaning.py:58-60)
-    typed.filter(!(emptyList(col("read_table_ids")) &&
-                   emptyList(col("write_table_ids"))))
+    typed
   }
 
-  private def emptyList(c: Column): Column =
-    c.isNull || c === "" || c === "[]" || c === "UNKNOWN"
+  /** Emptiness of a raw table-id list, exactly `emptyList(cleanStr(c, ""))`
+    * unfolded: cleanStr maps null/blank/'NULL' (any case) to the default ""
+    * (empty), otherwise trims — so the cleaned value is "[]"/"UNKNOWN" iff
+    * the trimmed raw is (case-sensitive, matching emptyList's equality).
+    */
+  private def rawEmptyList(c: Column): Column =
+    c.isNull || trim(c) === "" || upper(trim(c)) === "NULL" ||
+      trim(c) === "[]" || trim(c) === "UNKNOWN"
 
   /** Synthetic batch_id (§1.2 last row; producer_Final.py:111): sequential
     * index over the event-time order, integer-divided by batchSize. The
@@ -141,14 +165,16 @@ object Clean {
     * Scale note: explode fan-out is bounded by ids-per-query (small); it
     * multiplies rows before the interval join, so we project to the six
     * needed columns *first* (column pruning keeps the shuffle narrow).
+    *
+    * The id-list parse is the native [[graft.expr.ParseTableIds]] — the
+    * equivalent `filter(transform(split(regexp_replace(...))))` HOF chain
+    * evaluates interpreted and drags the whole projection feeding the
+    * Generate out of whole-stage codegen (CleanSpec proves the two agree;
+    * the HOF twin lives there).
     */
   def flatten(cleaned: DataFrame): DataFrame = {
     def ids(c: Column): Column =
-      filter(
-        transform(split(regexp_replace(c, "[\\[\\]\\s]", ""), ","),
-          s => when(s.try_cast(LongType) === RedsetSchema.NullTableId,
-            lit(null).cast(LongType)).otherwise(s.try_cast(LongType))),
-        x => x.isNotNull)
+      graft.expr.TableIdExpressions.tableIds(c, RedsetSchema.NullTableId)
     cleaned.select(
       col("instance_id"), col("query_id"), col("arrival_timestamp"),
       col("query_type"),

@@ -15,9 +15,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * primitive loop instead — same strict left-to-right double accumulation,
   * so results are bit-identical to the HOF fold and the DuckDB oracle.
   *
-  * This is deliberately the *only* custom-Expression surface in the engine:
-  * everything else is expressible with built-ins at full codegen speed
-  * (SURVEY §4 "custom physical work needed: none").
+  * The custom-Expression surface is deliberately tiny — this dot product
+  * and [[ParseTableIds]] (the X10 id-list parse), both motivated by the
+  * same measured HOF-interpretation cliff; everything else is expressible
+  * with built-ins at full codegen speed (SURVEY §4).
   */
 case class DotProductF(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -217,14 +217,26 @@ object RedsetPipeline {
     val spark = batch.sparkSession
     def withBucket(df: DataFrame): DataFrame =
       df.withColumn("bucket", pmod(hash(col("instance_id")), lit(nBuckets)))
-    val flat = withBucket(flattened(batch))
-      .withColumn("batch_id", lit(batchId)).localCheckpoint(true)
-    flat.write.mode("overwrite")
+    // Repartition on the partition column before every partitioned write:
+    // without it each of the shuffle-partition tasks opens a file in every
+    // bucket directory it touches (tasks × buckets tiny files per batch —
+    // the small-files problem that sinks dynamic-partition sinks at scale);
+    // with it each bucket lands in exactly one task → one file per
+    // (bucket, batch) and a file count linear in stream life, not quadratic.
+    val flat = withBucket(flattened(batch)).withColumn("batch_id", lit(batchId))
+    flat.repartition(col("bucket")).write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket", "batch_id").parquet(stagingPath)
-    // bounded collect: at most nBuckets values
-    val touched = flat.select("bucket").distinct().collect().map(_.getInt(0))
-    Bridge.release(flat) // checkpoint-lifecycle hygiene: flat is dead now
+    // Touched buckets from the RAW batch (bounded collect, ≤ nBuckets
+    // values): hashing the cleaned instance_id off the wire frame costs one
+    // narrow scan instead of re-running the clean+explode chain — `flat`
+    // then has a single consumer (the staging write) and needs no
+    // checkpoint. The raw-derived set is a superset of flat's buckets
+    // (Clean's F2 row drop only removes rows); a bucket with no staged rows
+    // yields no recompute output, so the superset is harmless.
+    val touched = batch
+      .select(pmod(hash(graft.etl.Clean.num(col("instance_id"))), lit(nBuckets)).as("bucket"))
+      .distinct().collect().map(_.getInt(0))
     if (touched.nonEmpty) {
       // partition pruning keeps this read to the touched buckets only
       val slice = spark.read.parquet(stagingPath)
@@ -233,7 +245,7 @@ object RedsetPipeline {
         .localCheckpoint(true)
       onBatch.foreach(f => f(batchId, slice.count()))
       def overwriteTouched(df: DataFrame, path: String): Unit =
-        withBucket(df).write.mode("overwrite")
+        withBucket(df).repartition(col("bucket")).write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("bucket").parquet(path)
       overwriteTouched(outputTable(slice), s"$outputPath/output_table")

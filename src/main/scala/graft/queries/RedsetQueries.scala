@@ -266,6 +266,10 @@ object RedsetQueries {
       val base = java.nio.file.Files
         .createTempDirectory("graft_inc_gate").toString
       val rawDf = raw(s, dir)
+      // NOT checkpointed: re-deriving each micro-batch from the 4-column
+      // parquet scan (codegen'd CASE synthesis) measures FASTER than
+      // scanning a materialized 24-string-column checkpoint — pruned
+      // columnar scans beat wide row-block reads.
       val even = rawDf.filter(pmod(col("query_id").try_cast("long"), lit(2)) === 0)
       val odd = rawDf.filter(pmod(col("query_id").try_cast("long"), lit(2)) === 1)
       Seq(0L -> even, 1L -> odd, 1L -> odd /* at-least-once replay */)

@@ -1,10 +1,12 @@
 package graft.tools
-import graft.Tables
-import graft.dedup.Dedup
+import graft.pipeline.RedsetPipeline
+import graft.queries.RedsetFixture
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scratch profiling main (not part of the driver contract). */
+/** Scratch profiling main (not part of the driver contract). Currently:
+  * cost of the inc-gate variants — checkpointed vs recomputed micro-batches.
+  */
 object Prof {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -13,24 +15,31 @@ object Prof {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val docs = Tables.documents(spark, dir)
-    docs.count()
-    def t(name: String)(f: => Long): Unit = {
+    def t[A](name: String)(f: => A): A = {
       val t0 = System.nanoTime()
-      val n = f
-      println(f"PROF $name%-24s ${(System.nanoTime() - t0) / 1e9}%.2f s  ($n rows)")
+      val r = f
+      println(f"PROF $name%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
     }
-    t("d6 plain t=0.5 3gram") {
-      Dedup.jaccardPairs(docs, col("text"), col("doc_id"), "source", 0.5, 3).count()
+    val rawDf = RedsetFixture.raw(spark, dir)
+    rawDf.count()
+    val evenL = rawDf.filter(pmod(col("query_id").try_cast("long"), lit(2)) === 0)
+    val oddL = rawDf.filter(pmod(col("query_id").try_cast("long"), lit(2)) === 1)
+    val even = t("ckpt even")(evenL.localCheckpoint(true))
+    val odd = t("ckpt odd")(oddL.localCheckpoint(true))
+    val base1 = java.nio.file.Files.createTempDirectory("graft_prof1").toString
+    Seq(0L -> even, 1L -> odd, 1L -> odd).zipWithIndex.foreach { case ((id, b), i) =>
+      t(s"ckpt inc batch $i") {
+        RedsetPipeline.incrementalBatch(b, id, s"$base1/staged", s"$base1/out", nBuckets = 16)
+      }
     }
-    t("d6 prefix t=0.5 3gram") {
-      Dedup.jaccardPairsPrefix(docs, col("text"), col("doc_id"), "source", 0.5, 3).count()
-    }
-    t("d4 plain t=0.9 1gram") {
-      Dedup.jaccardPairs(docs, col("text"), col("doc_id"), "source", 0.9, 1).count()
-    }
-    t("d4 prefix t=0.9 1gram") {
-      Dedup.jaccardPairsPrefix(docs, col("text"), col("doc_id"), "source", 0.9, 1).count()
+    org.apache.spark.sql.graftbridge.Bridge.release(even)
+    org.apache.spark.sql.graftbridge.Bridge.release(odd)
+    val base2 = java.nio.file.Files.createTempDirectory("graft_prof2").toString
+    Seq(0L -> evenL, 1L -> oddL, 1L -> oddL).zipWithIndex.foreach { case ((id, b), i) =>
+      t(s"lazy inc batch $i") {
+        RedsetPipeline.incrementalBatch(b, id, s"$base2/staged", s"$base2/out", nBuckets = 16)
+      }
     }
     spark.stop()
   }

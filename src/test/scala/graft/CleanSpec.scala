@@ -66,6 +66,40 @@ class CleanSpec extends AnyFunSuite {
     assert(flat.filter(col("write_table_id").isNull).count() == 2)
   }
 
+  test("native ParseTableIds ≡ the HOF parse chain (X10 de-HOF)") {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.types.LongType
+    // the formulation ParseTableIds replaced, kept here as the spec twin
+    def idsHof(c: Column): Column =
+      filter(
+        transform(split(regexp_replace(c, "[\\[\\]\\s]", ""), ","),
+          s => when(s.try_cast(LongType) === RedsetSchema.NullTableId,
+            lit(null).cast(LongType)).otherwise(s.try_cast(LongType))),
+        x => x.isNotNull)
+    val cases = Seq(
+      "[1, 104]", "[]", "", "UNKNOWN", "[999999]", "[999999, 7]",
+      "1,2,3", "[ 12 ,  999999 , 0 ]", "1 2", "a,1,b", "[1,,2]", "1,",
+      ",1", "+5,-5", "12.7", "9223372036854775807", "9223372036854775808",
+      "-9223372036854775808", "--3", "+", "[[7]]", "٥", "  ", "[null]",
+      "0x1F", "1\t2,3\n4", "999999999999999999999999,8")
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(cases.map(Row(_))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("s",
+          org.apache.spark.sql.types.StringType))))
+    val both = df.select(
+      graft.expr.TableIdExpressions.tableIds(col("s"), RedsetSchema.NullTableId).as("native"),
+      idsHof(col("s")).as("hof")).collect()
+    both.zip(cases).foreach { case (r, in) =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"input '$in'")
+    }
+    // null propagates like the HOF chain (null string → null array)
+    val nullRow = spark.sql("SELECT CAST(NULL AS STRING) AS s")
+      .select(graft.expr.TableIdExpressions.tableIds(col("s"), 999999L).as("n"))
+      .head()
+    assert(nullRow.isNullAt(0))
+  }
+
   test("clean is idempotent") {
     val once = Clean(mkRaw(Seq(Map(
       "query_id" -> "1", "read_table_ids" -> "90,156",
