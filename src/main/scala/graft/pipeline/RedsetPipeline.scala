@@ -97,6 +97,17 @@ object RedsetPipeline {
       fold(alphaLong).as("stress_long"))
   }
 
+  /** Q6 at scale: the same dual-α stress fold via
+    * [[graft.ops.Ewma.perKey]] — one shuffle, O(1) state per instance, no
+    * per-key array. Bit-identical to [[stressIndex]] (same element order,
+    * same double ops; gate-checked by `redset_stress_index`).
+    */
+  def stressIndexScalable(cleaned: DataFrame, alphaShort: Double = 0.02,
+                          alphaLong: Double = 0.005): DataFrame =
+    graft.ops.Ewma.perKey(cleaned, "instance_id",
+      Seq("arrival_timestamp", "query_id"), "execution_duration_ms",
+      Seq("stress_short" -> alphaShort, "stress_long" -> alphaLong))
+
   /** The live Aggregate View as one streaming query (§3.2): wire records →
     * Clean → per-micro-batch refresh of every dashboard aggregate as a
     * global temp view (`global_temp.live_<name>` — foreachBatch runs in a

@@ -602,6 +602,20 @@ object EventQueries {
         .orderBy(col("user_id"))
     },
 
+    // W4 scale variant gate-checked against the SAME oracle: the
+    // mapPartitions streaming fold (O(1) state per key, no per-key array)
+    // must bit-match the list_reduce oracle, not just the collect_list twin.
+    QDef("w4b_ewma_per_user_scalable",
+      s"""$E SELECT user_id,
+         |  round(list_reduce(list(value ORDER BY ts, event_id),
+         |                    (a, b) -> 0.02 * b + 0.98 * a), 6) AS ewma
+         |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      graft.ops.Ewma.perKey(ev(s, dir), "user_id", Seq("ts", "event_id"),
+          "value", Seq("ewma" -> 0.02))
+        .select(col("user_id"), round(col("ewma"), 6).as("ewma"))
+        .orderBy(col("user_id"))
+    },
+
     // J7: enrich rows with their group's aggregate (live_updates_duckdb.py:139).
     QDef("j7_enrich_with_counts",
       s"""$E SELECT e.event_id, e.user_id, c.n_user_events FROM e

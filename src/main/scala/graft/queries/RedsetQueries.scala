@@ -244,6 +244,30 @@ object RedsetQueries {
       RedsetPipeline.scalarPanel(Clean(raw(s, dir)))
     },
 
+    // Q6/ST5 on the native schema: the dual-α stress EWMA per instance,
+    // run through the SCALE path (Ewma.perKey mapPartitions fold — one
+    // shuffle, O(1) state per key) and gate-checked against the DuckDB
+    // list_reduce fold, proving the streaming-fold rewrite bit-matches the
+    // reference recurrence (Dashboard_Live_Final.py:577-624).
+    QDef("redset_stress_index",
+      s"""$oraclePrelude
+         |SELECT instance_id,
+         |  round(list_reduce(
+         |    list(CAST(execution_duration_ms AS DOUBLE)
+         |         ORDER BY arrival_timestamp, query_id),
+         |    (a, b) -> 0.02 * b + 0.98 * a), 6) AS stress_short,
+         |  round(list_reduce(
+         |    list(CAST(execution_duration_ms AS DOUBLE)
+         |         ORDER BY arrival_timestamp, query_id),
+         |    (a, b) -> 0.005 * b + 0.995 * a), 6) AS stress_long
+         |FROM kept GROUP BY instance_id ORDER BY instance_id""".stripMargin) { (s, dir) =>
+      RedsetPipeline.stressIndexScalable(Clean(raw(s, dir)))
+        .select(col("instance_id"),
+          round(col("stress_short"), 6).as("stress_short"),
+          round(col("stress_long"), 6).as("stress_long"))
+        .orderBy(col("instance_id"))
+    },
+
     // The historical Expert View's output_table over the native pipeline:
     // lead() intervals per (instance_id, table_id), interval containment
     // join with the disjunctive read-vs-write table match, ingest rows

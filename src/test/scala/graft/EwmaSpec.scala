@@ -1,0 +1,97 @@
+package graft
+
+import graft.ops.Ewma
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The scale-safe EWMA fold (Ewma.perKey) must be BIT-identical to the
+  * collect_list + aggregate-HOF formulation it replaces at scale — same
+  * element order, same IEEE-754 operation sequence.
+  */
+class EwmaSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // 40 keys × ~50 events, deterministic but order-scrambled input spread
+  // over several partitions (mapPartitions must not depend on input layout)
+  private lazy val df = (1 to 2000).map { i =>
+    val k = (i * 7919) % 40
+    val ts = ((i * 104729) % 500).toLong // duplicate ts values across keys
+    val v = ((i * 31) % 997).toDouble / 7.0
+    (k.toLong, ts, i.toLong, v)
+  }.toDF("k", "ts", "id", "v").repartition(7)
+
+  private def hofTwin(alpha: Double) = {
+    val xs = df.groupBy(col("k"))
+      .agg(sort_array(collect_list(struct(col("ts"), col("id"), col("v")))).as("xs"))
+    xs.select(col("k"),
+      aggregate(
+        slice(col("xs"), lit(2), greatest(size(col("xs")) - 1, lit(0))),
+        element_at(col("xs"), 1).getField("v"),
+        (acc, x) => lit(alpha) * x.getField("v") + lit(1 - alpha) * acc).as("e"))
+  }
+
+  test("perKey is bit-identical to the collect_list fold (no rounding)") {
+    val scalable = Ewma.perKey(df, "k", Seq("ts", "id"), "v", Seq("e" -> 0.02))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val twin = hofTwin(0.02)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scalable.keySet == twin.keySet)
+    scalable.foreach { case (k, v) =>
+      // bit equality, not approximate: same doubles in the same order
+      assert(java.lang.Double.doubleToLongBits(v) ==
+        java.lang.Double.doubleToLongBits(twin(k)), s"key $k")
+    }
+  }
+
+  test("multiple alphas fold in one pass and match independent folds") {
+    val both = Ewma.perKey(df, "k", Seq("ts", "id"), "v",
+        Seq("short" -> 0.02, "long" -> 0.005))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val s = hofTwin(0.02).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val l = hofTwin(0.005).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    both.foreach { case (k, (a, b)) =>
+      assert(a == s(k) && b == l(k), s"key $k")
+    }
+  }
+
+  test("degenerate inputs: empty frame, single-element keys") {
+    val empty = Ewma.perKey(df.filter(lit(false)), "k", Seq("ts", "id"), "v",
+      Seq("e" -> 0.02))
+    assert(empty.count() == 0L)
+    val single = Ewma.perKey(
+      Seq((1L, 10L, 1L, 42.5), (2L, 20L, 2L, 7.25))
+        .toDF("k", "ts", "id", "v"),
+      "k", Seq("ts", "id"), "v", Seq("e" -> 0.02))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(single == Map(1L -> 42.5, 2L -> 7.25)) // init = first value
+  }
+
+  test("plan: exactly one exchange (the key repartition), no collect_list") {
+    // un-repartitioned input: the only exchange must be Ewma's own
+    val flatDf = (1 to 100).map(i => ((i % 5).toLong, i.toLong, i.toLong,
+      i.toDouble)).toDF("k", "ts", "id", "v")
+    val plan = Ewma.perKey(flatDf, "k", Seq("ts", "id"), "v", Seq("e" -> 0.02))
+      .queryExecution.executedPlan.toString
+    // AQE hides Exchange nodes from collect() until execution — count
+    // occurrences in the rendered plan instead
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
+    assert(!plan.contains("collect_list"))
+  }
+
+  test("stressIndexScalable equals stressIndex exactly") {
+    val events = (1 to 500).map { i =>
+      val inst = (i % 7).toLong
+      (inst, new java.sql.Timestamp(((i * 7919) % 400) * 1000L), i.toLong,
+        ((i * 13) % 600000).toLong)
+    }.toDF("instance_id", "arrival_timestamp", "query_id",
+      "execution_duration_ms").repartition(5)
+    val a = graft.pipeline.RedsetPipeline.stressIndex(events)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val b = graft.pipeline.RedsetPipeline.stressIndexScalable(events)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(a == b)
+  }
+}
