@@ -1,0 +1,92 @@
+package graft.curation
+
+import graft.fns.Fns
+import graft.text.TextAnalysis
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines — the composed
+  * "raw crawl → training corpus" path: score, filter, deterministically
+  * sample, exact-dedup, and quota-cap documents. Every stage is
+  * engine-portable arithmetic (gate-checked end-to-end by
+  * `c1_curated_corpus`), and the plan shape survives 100 TB: one scan-fused
+  * projection for scoring + filtering + sampling, then exactly two
+  * key-shuffles (dedup signature, source quota) — nothing is all-pairs,
+  * nothing collects to the driver.
+  */
+object Curation {
+
+  /** Deterministic content-hash sample: keep a document iff its portable
+    * rolling-hash (base-31 mod 1e9+7 — `Fns.rollingHash`, bit-identical on
+    * any engine) lands below `pct` of `mod`. Unlike `rand()`-based
+    * sampling, the keep decision is a pure function of the content:
+    * resumable shards, reproducible ablations, and identical samples on
+    * re-runs over re-partitioned data.
+    */
+  def hashSampleFilter(keyCol: Column, pct: Int, mod: Int = 100): Column =
+    pmod(Fns.rollingHash(keyCol), lit(mod.toLong)) < pct
+
+  /** Keep one document per exact-duplicate group (canonical sorted distinct
+    * token set), choosing the lowest id — one shuffle on the signature via
+    * a window, no join back. At PB scale group on `xxhash64(sig)` (8-byte
+    * shuffle key); raw signature kept here for oracle bit-parity, matching
+    * `Dedup.exactByCanonicalTokens`.
+    */
+  def keepOneExact(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val sig = array_join(array_sort(array_distinct(split(text, " "))), " ")
+    df.withColumn("__rn",
+        row_number().over(Window.partitionBy(sig).orderBy(id)))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Per-source quota: cap each source at `n` documents, preferring longer
+    * ones (ties → lowest id) — the "don't let one domain dominate the mix"
+    * operator. One shuffle on the source key.
+    */
+  def quotaPerKey(df: DataFrame, key: Column, n: Int,
+                  order: Seq[Column]): DataFrame =
+    df.withColumn("__qrn",
+        row_number().over(Window.partitionBy(key).orderBy(order: _*)))
+      .filter(col("__qrn") <= n).drop("__qrn")
+
+  /** The composed curation pipeline over a `documents`-shaped frame:
+    *
+    *  1. score: token count, stopword ratio, language-ID (single fused
+    *     projection — scan-bound);
+    *  2. filter: length / stopword / language-confidence thresholds;
+    *  3. sample: deterministic content-hash keep (`hashSampleFilter`);
+    *  4. dedup: exact keep-one on the canonical token signature;
+    *  5. quota: at most `quotaPerSource` docs per source, longest first.
+    *
+    * Thresholds compare the ROUNDED ratio (the 6-decimal determinism
+    * contract) so the keep set is identical on every engine.
+    */
+  def curate(docs: DataFrame,
+             text: Column = col("text"),
+             id: Column = col("doc_id"),
+             source: Column = col("source"),
+             minTokens: Long = 5,
+             maxStopwordRatio: Double = 0.6,
+             minLangScore: Long = 1,
+             samplePct: Int = 80,
+             quotaPerSource: Int = 60): DataFrame = {
+    val best = TextAnalysis.langBestCol(text)
+    val scored = docs.select(
+      id.as("doc_id"), source.as("source"), text.as("text"),
+      TextAnalysis.nTokensCol(text).as("n_tokens"),
+      TextAnalysis.stopwordRatioCol(text).as("stopword_ratio"),
+      best.getField("lang").as("lang_pred"),
+      best.getField("score").cast("long").as("lang_score"))
+    val kept = scored.filter(
+      col("n_tokens") >= minTokens &&
+        col("stopword_ratio") <= maxStopwordRatio &&
+        col("lang_score") >= minLangScore &&
+        hashSampleFilter(col("text"), samplePct))
+    val deduped = keepOneExact(kept, col("text"), col("doc_id"))
+    quotaPerKey(deduped, col("source"), quotaPerSource,
+      Seq(col("n_tokens").desc, col("doc_id")))
+      .select(col("doc_id"), col("source"), col("lang_pred"),
+        col("n_tokens"), col("stopword_ratio"))
+  }
+}

@@ -296,6 +296,46 @@ object DocQueries {
         |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
       TextAnalysis.langId(Tables.documents(s, dir), col("text"), col("doc_id"))
         .orderBy(col("doc_id"))
+    },
+
+    // The composed curation pipeline (graft.curation.Curation.curate):
+    // score → threshold-filter → deterministic content-hash sample →
+    // exact-dedup keep-one → per-source quota. Every stage is
+    // engine-portable, so the END-TO-END keep set is hash-checked, not
+    // just each operator in isolation.
+    QDef("c1_curated_corpus",
+      """WITH t AS (SELECT doc_id, source, text, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id, source, text, toks,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  round(CAST(len([x FOR x IN toks IF x IN ('the','a')]) AS DOUBLE)
+        |        / len(toks), 6) AS stopword_ratio,
+        |  CAST(len([x FOR x IN toks IF x IN ('der','die','das','und','ist','nicht','ein','zu')]) AS BIGINT) AS s_de,
+        |  CAST(len([x FOR x IN toks IF x IN ('the','a','and','of','to','in','is','that')]) AS BIGINT) AS s_en,
+        |  CAST(len([x FOR x IN toks IF x IN ('el','la','de','que','y','en','un','los')]) AS BIGINT) AS s_es,
+        |  CAST(len([x FOR x IN toks IF x IN ('le','la','les','et','des','un','est','que')]) AS BIGINT) AS s_fr,
+        |  CAST(len([x FOR x IN toks IF x IN ('的','是','了','在','我','有','和','不')]) AS BIGINT) AS s_zh
+        |FROM t),
+        |m AS (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS mx FROM s),
+        |f AS (SELECT doc_id, source, text, toks, n_tokens, stopword_ratio,
+        |  CASE WHEN s_zh = mx THEN 'zh' WHEN s_fr = mx THEN 'fr'
+        |       WHEN s_es = mx THEN 'es' WHEN s_en = mx THEN 'en'
+        |       ELSE 'de' END AS lang_pred
+        |  FROM m
+        |  WHERE n_tokens >= 5 AND stopword_ratio <= 0.6 AND mx >= 1
+        |    AND list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          [CAST(ascii(c) AS BIGINT) FOR c IN string_split(text, '')]),
+        |          (a, b) -> (a * 31 + b) % 1000000007) % 100 < 80),
+        |d AS (SELECT *, row_number() OVER (
+        |        PARTITION BY array_to_string(list_sort(list_distinct(toks)), ' ')
+        |        ORDER BY doc_id) AS rn FROM f),
+        |q AS (SELECT *, row_number() OVER (
+        |        PARTITION BY source ORDER BY n_tokens DESC, doc_id) AS qrn
+        |      FROM d WHERE rn = 1)
+        |SELECT doc_id, source, lang_pred, n_tokens, stopword_ratio
+        |FROM q WHERE qrn <= 60 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.curation.Curation.curate(Tables.documents(s, dir))
+        .orderBy(col("doc_id"))
     }
   )
 }

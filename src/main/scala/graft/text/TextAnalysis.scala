@@ -14,22 +14,27 @@ object TextAnalysis {
 
   private def toks(text: Column): Column = split(text, " ")
 
+  // Column forms of each metric — composable into ONE projection (see
+  // graft.curation.Curation: the whole score-and-filter stage stays a
+  // single scan-fused select, no joins between metric frames).
+  def nTokensCol(text: Column): Column = size(toks(text)).cast("long")
+  def avgTokenLenCol(text: Column): Column =
+    round(length(regexp_replace(text, " ", "")).cast("double") / size(toks(text)), 6)
+  def stopwordRatioCol(text: Column): Column =
+    round(size(filter(toks(text), x => x === "the" || x === "a")).cast("double") /
+      size(toks(text)), 6)
+
   /** Quality metrics per document: token count, average token length,
     * stopword ratio. Whitespace tokenization (the reference corpus is
     * pre-normalized); the same transform takes a BPE-ish regex tokenizer
     * by swapping the delimiter pattern.
     */
-  def qualityMetrics(df: DataFrame, text: Column, id: Column): DataFrame = {
-    val t = toks(text)
-    val n = size(t)
+  def qualityMetrics(df: DataFrame, text: Column, id: Column): DataFrame =
     df.select(
       id.as("doc_id"),
-      n.cast("long").as("n_tokens"),
-      round(length(regexp_replace(text, " ", "")).cast("double") / n, 6)
-        .as("avg_token_len"),
-      round(size(filter(t, x => x === "the" || x === "a")).cast("double") / n, 6)
-        .as("stopword_ratio"))
-  }
+      nTokensCol(text).as("n_tokens"),
+      avgTokenLenCol(text).as("avg_token_len"),
+      stopwordRatioCol(text).as("stopword_ratio"))
 
   // Per-language stopword profiles (tiny fixed sets — the operator shape;
   // real n-gram profiles plug into the same argmax-over-scores transform).
@@ -40,19 +45,25 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "et", "des", "un", "est", "que"),
     "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
 
-  /** Language-ID heuristic: count stopword hits per language profile,
-    * predict the argmax (ties broken deterministically by language code).
-    * Emits the score so downstream filters can threshold confidence.
+  /** Best (score, lang) struct per document — argmax over the language
+    * profiles, ties broken by lexicographically-last language code
+    * (array_max compares structs field by field).
     */
-  def langId(df: DataFrame, text: Column, id: Column): DataFrame = {
+  def langBestCol(text: Column): Column = {
     val t = toks(text)
     val scored = profiles.map { case (lang, words) =>
       struct(size(filter(t, x => x.isInCollection(words))).as("score"),
         lit(lang).as("lang"))
     }
-    // array_max over (score, lang) structs: field-order comparison gives
-    // max score, ties → lexicographically-last language code.
-    val best = array_max(array(scored: _*))
+    array_max(array(scored: _*))
+  }
+
+  /** Language-ID heuristic: count stopword hits per language profile,
+    * predict the argmax (ties broken deterministically by language code).
+    * Emits the score so downstream filters can threshold confidence.
+    */
+  def langId(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val best = langBestCol(text)
     df.select(id.as("doc_id"),
       best.getField("lang").as("lang_pred"),
       best.getField("score").cast("long").as("lang_score"))

@@ -1,0 +1,72 @@
+package graft
+
+import graft.curation.Curation
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    // (doc_id, source, text)
+    (1L, "web", "the cat sat on the mat and slept"),
+    (2L, "web", "the cat sat on the mat and slept"),        // exact dup of 1
+    (3L, "web", "slept and the mat on sat cat the"),        // same token SET as 1
+    (4L, "web", "a dog ran in the park to the river"),
+    (5L, "books", "der hund ist nicht ein tier und das"),
+    (6L, "books", "short text"),                            // under minTokens
+    (7L, "books", "qq ww rr tt zz pp mm nn bb vv"),         // no profile hit → lang_score 0
+    (8L, "web", "the the the the the the the the")          // stopword ratio 1.0
+  ).toDF("doc_id", "source", "text")
+
+  test("keepOneExact keeps the lowest id per canonical token signature") {
+    val kept = Curation.keepOneExact(docs, col("text"), col("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 2 (exact dup) and 3 (same token set) collapse into 1
+    assert(kept == Set(1L, 4L, 5L, 6L, 7L, 8L))
+  }
+
+  test("quotaPerKey caps per source, longest first") {
+    val q = Curation.quotaPerKey(
+      docs.withColumn("n_tokens", size(split(col("text"), " ")).cast("long")),
+      col("source"), 2, Seq(col("n_tokens").desc, col("doc_id")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(q.size == 4) // 2 per source
+    assert(q.intersect(Set(6L)).isEmpty) // the 2-token doc loses its slot
+  }
+
+  test("hashSampleFilter is deterministic and roughly proportional") {
+    val n = 1000
+    val big = (1 to n).map(i => (i.toLong, s"document number $i with words"))
+      .toDF("doc_id", "text")
+    val keep50 = big.filter(Curation.hashSampleFilter(col("text"), 50)).count()
+    val again = big.filter(Curation.hashSampleFilter(col("text"), 50)).count()
+    assert(keep50 == again) // pure function of content
+    assert(keep50 > n / 3 && keep50 < 2 * n / 3, s"kept $keep50 of $n")
+    // pct=100 keeps everything, pct=0 nothing
+    assert(big.filter(Curation.hashSampleFilter(col("text"), 100)).count() == n)
+    assert(big.filter(Curation.hashSampleFilter(col("text"), 0)).count() == 0L)
+  }
+
+  test("curate applies every stage") {
+    val out = Curation.curate(docs, minTokens = 5, maxStopwordRatio = 0.6,
+      minLangScore = 1, samplePct = 100, quotaPerSource = 10)
+      .collect()
+    val ids = out.map(_.getAs[Long]("doc_id")).toSet
+    // 6 (short), 7 (no language evidence), 8 (stopword ratio 1.0) filtered;
+    // 2 and 3 deduped into 1
+    assert(ids == Set(1L, 4L, 5L))
+    val langs = out.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("lang_pred")).toMap
+    assert(langs(5L) == "de")
+    assert(langs(4L) == "en")
+  }
+
+  test("curate plan: scoring fuses into the scan side, two window shuffles") {
+    val plan = Curation.curate(docs).queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 2, plan)
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("collect_list"))
+  }
+}
