@@ -298,6 +298,29 @@ object DocQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Repetition metrics (Gopher-style filters): duplicated-token fraction
+    // + most-frequent-bigram share — two shuffles on (doc, gram) / doc.
+    QDef("t5_repetition",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+        |    i -> array_to_string(toks[i:i+1], ' ')) AS gs FROM t),
+        |g AS (SELECT doc_id, unnest(gs) AS g FROM sh),
+        |f AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g),
+        |m AS (SELECT doc_id, max(c) AS max_c, CAST(SUM(c) AS BIGINT) AS n_g
+        |      FROM f GROUP BY doc_id)
+        |SELECT t.doc_id AS doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  round(1 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+        |    AS dup_token_ratio,
+        |  round(CAST(max_c AS DOUBLE) / n_g, 6) AS top_bigram_frac
+        |FROM t JOIN m ON t.doc_id = m.doc_id
+        |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.repetitionMetrics(Tables.documents(s, dir),
+          col("text"), col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+
     // The composed curation pipeline (graft.curation.Curation.curate):
     // score → threshold-filter → deterministic content-hash sample →
     // exact-dedup keep-one → per-source quota. Every stage is

@@ -77,4 +77,37 @@ object TextAnalysis {
     df.select(id.as("doc_id"),
       size(filter(split(text, """\s+|(?=\p{Punct})|(?<=\p{Punct})"""),
         x => x =!= "")).cast("long").as("n_tokens_bpe"))
+
+  /** Repetition metrics (the Gopher-style repetition filters): fraction of
+    * duplicated tokens and the share of the most frequent word bigram.
+    * Highly repetitive documents (boilerplate, generated spam, scraper
+    * loops) score high on both and get dropped before training.
+    *
+    * Plan shape: the bigram frequency needs a (doc, gram) group-by — two
+    * shuffles total, scalars carried through the explode so no join back.
+    * A 1-token doc degenerates to one "bigram" (the token itself), same as
+    * `Dedup.shingles`.
+    */
+  def repetitionMetrics(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val t = toks(text)
+    val bigrams = transform(
+      sequence(lit(1), greatest(size(t) - 1, lit(1))),
+      i => array_join(slice(t, i, lit(2)), " "))
+    val exploded = df.select(
+      id.as("doc_id"),
+      nTokensCol(text).as("n_tokens"),
+      round(lit(1.0) - size(array_distinct(t)).cast("double") / size(t), 6)
+        .as("dup_token_ratio"),
+      explode(bigrams).as("g"))
+    exploded
+      .groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("c"),
+        first(col("n_tokens")).as("n_tokens"),
+        first(col("dup_token_ratio")).as("dup_token_ratio"))
+      .groupBy(col("doc_id"))
+      .agg(first(col("n_tokens")).as("n_tokens"),
+        first(col("dup_token_ratio")).as("dup_token_ratio"),
+        round(max(col("c")).cast("double") / sum(col("c")), 6)
+          .as("top_bigram_frac"))
+  }
 }
