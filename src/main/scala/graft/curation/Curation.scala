@@ -50,6 +50,27 @@ object Curation {
         row_number().over(Window.partitionBy(key).orderBy(order: _*)))
       .filter(col("__qrn") <= n).drop("__qrn")
 
+  /** Decontamination: corpus documents sharing ANY word `n`-gram with the
+    * evaluation/benchmark set (the pre-training hygiene step — drop
+    * training docs that leak eval content). Shingles via
+    * [[graft.dedup.Dedup.shingles]] (d6 oracle-parity), eval grams
+    * deduplicated then BROADCAST: eval sets are small by construction, so
+    * the corpus side is a map-side semi-join — no corpus shuffle at all,
+    * just the final distinct on flagged ids.
+    */
+  def decontaminate(docs: DataFrame, evalDocs: DataFrame,
+                    text: Column = col("text"), id: Column = col("doc_id"),
+                    ngram: Int = 3): DataFrame = {
+    import graft.dedup.Dedup
+    val corpusGrams = docs.select(id.as("doc_id"),
+      explode(array_distinct(Dedup.shingles(text, ngram))).as("g"))
+    val evalGrams = evalDocs
+      .select(explode(array_distinct(Dedup.shingles(text, ngram))).as("g"))
+      .distinct()
+    corpusGrams.join(broadcast(evalGrams), Seq("g"), "left_semi")
+      .select(col("doc_id")).distinct()
+  }
+
   /** The composed curation pipeline over a `documents`-shaped frame:
     *
     *  1. score: token count, stopword ratio, language-ID (single fused

@@ -321,6 +321,25 @@ object DocQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Decontamination: docs sharing any word 3-gram with a deterministic
+    // "benchmark" slice (doc_id % 47 = 0) — broadcast semi-join on the
+    // shingle, no corpus shuffle before the final distinct.
+    QDef("d8_decontaminate",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(
+        |    list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+        |      i -> array_to_string(toks[i:i+2], ' '))) AS gs FROM t),
+        |eg AS (SELECT DISTINCT unnest(gs) AS g FROM sh WHERE doc_id % 47 = 0),
+        |cg AS (SELECT doc_id, unnest(gs) AS g FROM sh WHERE doc_id % 47 <> 0)
+        |SELECT DISTINCT cg.doc_id AS doc_id FROM cg JOIN eg ON cg.g = eg.g
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      graft.curation.Curation.decontaminate(
+          docs.filter(pmod(col("doc_id"), lit(47)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(47)) === 0))
+        .orderBy(col("doc_id"))
+    },
+
     // The composed curation pipeline (graft.curation.Curation.curate):
     // score → threshold-filter → deterministic content-hash sample →
     // exact-dedup keep-one → per-source quota. Every stage is

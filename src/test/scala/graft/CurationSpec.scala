@@ -63,6 +63,19 @@ class CurationSpec extends AnyFunSuite {
     assert(langs(4L) == "en")
   }
 
+  test("decontaminate flags n-gram overlap with the eval set, broadcast plan") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),   // contains eval 3-gram
+      (2L, "one two three four five six"),           // clean
+      (3L, "gamma delta epsilon other words here")   // contains eval 3-gram
+    ).toDF("doc_id", "text")
+    val eval_ = Seq((100L, "xx gamma delta epsilon yy")).toDF("doc_id", "text")
+    val flagged = Curation.decontaminate(corpus, eval_)
+    assert(flagged.collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    val plan = flagged.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan)
+  }
+
   test("curate plan: scoring fuses into the scan side, two window shuffles") {
     val plan = Curation.curate(docs).queryExecution.executedPlan.toString
     assert("Exchange hashpartitioning".r.findAllIn(plan).length == 2, plan)
