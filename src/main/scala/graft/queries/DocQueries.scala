@@ -321,6 +321,19 @@ object DocQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Vocabulary stats: top-50 tokens by document frequency with IDF —
+    // explode distinct tokens, one shuffle on the token, bounded top-k.
+    QDef("t6_vocab_topk",
+      """WITH n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        |t AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+        |      FROM documents),
+        |f AS (SELECT token, count(*) AS doc_freq FROM t GROUP BY token)
+        |SELECT token, doc_freq, round(ln(n_docs / doc_freq), 6) AS idf
+        |FROM f, n
+        |ORDER BY doc_freq DESC, token LIMIT 50""".stripMargin) { (s, dir) =>
+      TextAnalysis.vocabTopK(Tables.documents(s, dir), col("text"), 50)
+    },
+
     // Decontamination: docs sharing any word 3-gram with a deterministic
     // "benchmark" slice (doc_id % 47 = 0) — broadcast semi-join on the
     // shingle, no corpus shuffle before the final distinct.

@@ -78,6 +78,22 @@ object TextAnalysis {
       size(filter(split(text, """\s+|(?=\p{Punct})|(?<=\p{Punct})"""),
         x => x =!= "")).cast("long").as("n_tokens_bpe"))
 
+  /** Corpus vocabulary stats: document frequency and IDF per token over
+    * distinct tokens per document — one explode + one shuffle on the
+    * token, top-k bounded by TakeOrdered. Vocab construction / IDF
+    * weighting for the training pipeline.
+    */
+  def vocabTopK(df: DataFrame, text: Column, k: Int): DataFrame = {
+    val nDocs = df.count() // one scan; at PB scale pass the known count in
+    df.select(explode(array_distinct(toks(text))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("doc_freq"))
+      .withColumn("idf",
+        round(log(lit(nDocs.toDouble) / col("doc_freq")), 6))
+      .orderBy(col("doc_freq").desc, col("token"))
+      .limit(k)
+  }
+
   /** Repetition metrics (the Gopher-style repetition filters): fraction of
     * duplicated tokens and the share of the most frequent word bigram.
     * Highly repetitive documents (boilerplate, generated spam, scraper
