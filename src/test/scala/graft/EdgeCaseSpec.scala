@@ -48,6 +48,18 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(prefix == pairs)
   }
 
+  test("flatten plan stays lambda-free (codegen guard)") {
+    // ParseTableIds replaced the transform/filter HOF chain; a lambda
+    // reappearing in the flatten path would silently drop the whole
+    // projection out of whole-stage codegen (the round-4 2.5-5x cliff)
+    val raw = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], RedsetSchema.rawSchema)
+    val plan = Clean.flatten(Clean(raw)).queryExecution.executedPlan.toString
+    assert(plan.contains("graft_table_ids"), plan)
+    assert(!plan.contains("lambdafunction"), plan)
+    assert(!plan.contains("transform("), plan)
+  }
+
   test("q1 plan pushes the shipdate filter and prunes columns (guard)") {
     val df = SparkEntry.queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
     val scan = df.queryExecution.executedPlan.toString
