@@ -31,6 +31,18 @@ object GraftExtensions {
       import org.apache.spark.sql.catalyst.expressions.{Divide, Multiply, Sqrt}
       Divide(DotProductF(c(0), c(1)),
         Multiply(Sqrt(DotProductF(c(0), c(0))), Sqrt(DotProductF(c(1), c(1)))))
+    },
+    // graft_table_ids(list_str[, sentinel]) — the X10 id-list parse
+    "graft_table_ids" -> { c =>
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      val sentinel = c.lift(1) match {
+        case Some(Literal(v: Long, _)) => v
+        case Some(Literal(v: Int, _)) => v.toLong
+        case None => graft.etl.RedsetSchema.NullTableId
+        case other => throw new IllegalArgumentException(
+          s"graft_table_ids sentinel must be an integer literal, got $other")
+      }
+      graft.expr.ParseTableIds(c(0), sentinel)
     })
 
   /** Same registrations for an already-running session (extensions only

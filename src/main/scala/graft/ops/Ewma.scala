@@ -62,26 +62,37 @@ object Ewma {
         private val acc = new Array[Double](as.length)
         private var curKey: Any = null
         private var open = false     // a key's fold is in progress
+        private var sawNull = false  // null x poisons the fold (twin parity)
         private var out: Row = null  // emitted row waiting for next()
-        private def emit(): Row = Row.fromSeq(curKey +: acc.toSeq)
+        private def emit(): Row =
+          if (sawNull) Row.fromSeq(curKey +: Seq.fill[Any](as.length)(null))
+          else Row.fromSeq(curKey +: acc.toSeq)
+        private def start(r: Row, k: Any): Unit = {
+          curKey = k
+          sawNull = r.isNullAt(xIdx)
+          if (!sawNull) java.util.Arrays.fill(acc, r.getDouble(xIdx))
+        }
         override def hasNext: Boolean = {
           if (out != null) return true
           while (rows.hasNext) {
             val r = rows.next()
             val k = r.get(0)
-            val x = r.getDouble(xIdx)
             if (!open) {
-              open = true; curKey = k
-              java.util.Arrays.fill(acc, x) // fold init: first value
+              open = true; start(r, k)
             } else if (k == curKey) {
-              var i = 0
-              while (i < as.length) {
-                acc(i) = as(i) * x + bs(i) * acc(i); i += 1
+              // a null anywhere in the series nulls the whole fold — exactly
+              // what the aggregate-HOF twin's null arithmetic produces
+              if (r.isNullAt(xIdx)) sawNull = true
+              else if (!sawNull) {
+                val x = r.getDouble(xIdx)
+                var i = 0
+                while (i < as.length) {
+                  acc(i) = as(i) * x + bs(i) * acc(i); i += 1
+                }
               }
             } else {
               out = emit()
-              curKey = k
-              java.util.Arrays.fill(acc, x)
+              start(r, k)
               return true
             }
           }

@@ -81,6 +81,30 @@ class EwmaSpec extends AnyFunSuite {
     assert(!plan.contains("collect_list"))
   }
 
+  test("a null value anywhere in a series nulls that key, like the HOF fold") {
+    val withNulls = Seq(
+      (1L, 1L, 1L, Some(5.0)), (1L, 2L, 2L, None), (1L, 3L, 3L, Some(7.0)),
+      (2L, 1L, 4L, Some(4.0)), (2L, 2L, 5L, Some(6.0)),
+      (3L, 1L, 6L, None)
+    ).toDF("k", "ts", "id", "v")
+    val scalable = Ewma.perKey(withNulls, "k", Seq("ts", "id"), "v", Seq("e" -> 0.02))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val twin = {
+      val xs = withNulls.groupBy(col("k"))
+        .agg(sort_array(collect_list(struct(col("ts"), col("id"), col("v")))).as("xs"))
+      xs.select(col("k"),
+        aggregate(
+          slice(col("xs"), lit(2), greatest(size(col("xs")) - 1, lit(0))),
+          element_at(col("xs"), 1).getField("v"),
+          (acc, x) => lit(0.02) * x.getField("v") + lit(0.98) * acc).as("e"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    }
+    assert(scalable == twin)
+    assert(scalable(1L).isEmpty && scalable(3L).isEmpty && scalable(2L).isDefined)
+  }
+
   test("stressIndexScalable equals stressIndex exactly") {
     val events = (1 to 500).map { i =>
       val inst = (i % 7).toLong

@@ -36,4 +36,14 @@ class ExprSpec extends AnyFunSuite {
       assert(got == 11.0)
     } finally spark.sql("DROP VIEW IF EXISTS v")
   }
+
+  test("graft_table_ids is SQL-callable, default and explicit sentinel") {
+    graft.ext.GraftExtensions.register(spark)
+    val got = spark.sql(
+      "SELECT graft_table_ids('[7, 999999, 12]')").as[Seq[Long]].head()
+    assert(got == Seq(7L, 12L))
+    val custom = spark.sql(
+      "SELECT graft_table_ids('[7, 999999, 12]', 12L)").as[Seq[Long]].head()
+    assert(custom == Seq(7L, 999999L))
+  }
 }
