@@ -71,6 +71,58 @@ object Curation {
       .select(col("doc_id")).distinct()
   }
 
+  /** One micro-batch of INCREMENTAL corpus dedup — the
+    * [[graft.pipeline.RedsetPipeline.incrementalBatch]] pattern generalized
+    * to document ingestion: staging is partitioned by
+    * `(bucket = hash(sig) mod nBuckets, batch_id)`; each batch appends its
+    * docs (signature computed once, stored), then the keep-first-seen set
+    * is recomputed ONLY for the buckets this batch touched and dynamically
+    * overwrites just those partitions of the materialized output.
+    *
+    * Exactness: the winner per signature is `min(doc_id)` over the full
+    * staged history, signatures never interact, and a signature's rows all
+    * land in one bucket — so a touched-bucket recompute reproduces exactly
+    * what a global keep-one would, and untouched buckets are already
+    * byte-identical. Idempotent per `batchId` (dynamic overwrite of its own
+    * staging partitions), so at-least-once replays are no-ops. Per-batch
+    * input is O(touched buckets), not O(corpus life).
+    *
+    * Wire into `foreachBatch` for streaming ingestion, or call directly
+    * for batch backfills (the `d9_incremental_dedup` gate drives it with a
+    * replayed batch and hash-checks the final corpus against a global
+    * keep-one oracle).
+    */
+  def incrementalDedupBatch(batch: DataFrame, batchId: Long,
+                            stagingPath: String, outputPath: String,
+                            nBuckets: Int = 64,
+                            text: Column = col("text"),
+                            id: Column = col("doc_id")): Unit = {
+    val spark = batch.sparkSession
+    val sig = array_join(array_sort(array_distinct(split(text, " "))), " ")
+    val staged = batch
+      .withColumn("__sig", sig)
+      .withColumn("bucket", pmod(hash(col("__sig")), lit(nBuckets)))
+      .withColumn("batch_id", lit(batchId))
+    staged.repartition(col("bucket")).write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket", "batch_id").parquet(stagingPath)
+    // bounded collect: ≤ nBuckets values
+    val touched = batch.select(pmod(hash(sig), lit(nBuckets)).as("bucket"))
+      .distinct().collect().map(_.getInt(0))
+    if (touched.nonEmpty) {
+      val slice = spark.read.parquet(stagingPath)
+        .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
+      val kept = slice
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("__sig")).orderBy(id)))
+        .filter(col("__rn") === 1).drop("__rn", "__sig", "batch_id")
+      kept.repartition(col("bucket")).write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket").parquet(outputPath)
+    }
+    ()
+  }
+
   /** The composed curation pipeline over a `documents`-shaped frame:
     *
     *  1. score: token count, stopword ratio, language-ID (single fused

@@ -321,6 +321,34 @@ object DocQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Incremental corpus dedup at the gate: the corpus split into two
+    // deterministic ingestion batches (doc_id parity), driven through the
+    // bucket-recompute pipeline, batch 1 REPLAYED to prove idempotence —
+    // the materialized corpus must hash-match a GLOBAL keep-first oracle.
+    QDef("d9_incremental_dedup",
+      """WITH d AS (SELECT doc_id, source, lang,
+        |  array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS sig
+        |  FROM documents),
+        |r AS (SELECT doc_id, source, lang,
+        |  row_number() OVER (PARTITION BY sig ORDER BY doc_id) AS rn FROM d)
+        |SELECT doc_id, source, lang FROM r WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_dedup_gate").toString
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("lang"), col("text"))
+      val even = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      val odd = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+      Seq(0L -> even, 1L -> odd, 1L -> odd /* at-least-once replay */)
+        .foreach { case (id, b) =>
+          graft.curation.Curation.incrementalDedupBatch(
+            b, id, s"$base/staged", s"$base/out", nBuckets = 16)
+        }
+      s.read.parquet(s"$base/out")
+        .select(col("doc_id"), col("source"), col("lang"))
+        .orderBy(col("doc_id"))
+    },
+
     // Vocabulary stats: top-50 tokens by document frequency with IDF —
     // explode distinct tokens, one shuffle on the token, bounded top-k.
     QDef("t6_vocab_topk",

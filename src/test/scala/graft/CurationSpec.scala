@@ -76,6 +76,30 @@ class CurationSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan)
   }
 
+  test("incremental dedup ≡ global keep-one, replay-idempotent, late winner replaces") {
+    val base = java.nio.file.Files.createTempDirectory("graft_cur_inc").toString
+    val b0 = Seq(
+      (5L, "alpha beta gamma"),   // sig X — provisional winner of batch 0
+      (7L, "one two three")
+    ).toDF("doc_id", "text")
+    val b1 = Seq(
+      (2L, "gamma beta alpha"),   // sig X, LOWER id in a LATER batch — must win
+      (9L, "one two three"),      // sig of 7 — loses
+      (4L, "fresh unique words")
+    ).toDF("doc_id", "text")
+    // replay batch 1 to prove staging idempotence end-to-end
+    Seq(0L -> b0, 1L -> b1, 1L -> b1).foreach { case (id, b) =>
+      Curation.incrementalDedupBatch(b, id, s"$base/staged", s"$base/out",
+        nBuckets = 4)
+    }
+    val kept = spark.read.parquet(s"$base/out")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val global = Curation.keepOneExact(b0.unionByName(b1), col("text"), col("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == global)
+    assert(kept == Set(2L, 7L, 4L)) // 5 replaced by 2; 9 lost to 7
+  }
+
   test("curate plan: scoring fuses into the scan side, two window shuffles") {
     val plan = Curation.curate(docs).queryExecution.executedPlan.toString
     assert("Exchange hashpartitioning".r.findAllIn(plan).length == 2, plan)
