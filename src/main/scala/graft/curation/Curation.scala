@@ -123,6 +123,20 @@ object Curation {
     ()
   }
 
+  /** Streaming corpus ingestion with incremental dedup: each micro-batch
+    * runs [[incrementalDedupBatch]] — the materialized output at
+    * `outputPath` is always the keep-first-seen corpus over everything
+    * ingested so far. foreachBatch is at-least-once; staging idempotence
+    * makes replays no-ops.
+    */
+  def dedupIngest(raw: DataFrame, stagingPath: String, outputPath: String,
+                  nBuckets: Int = 64,
+                  queryName: String = "graft_dedup_ingest"): org.apache.spark.sql.streaming.StreamingQuery =
+    raw.writeStream.queryName(queryName)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        incrementalDedupBatch(batch, batchId, stagingPath, outputPath, nBuckets)
+      }.start()
+
   /** The composed curation pipeline over a `documents`-shaped frame:
     *
     *  1. score: token count, stopword ratio, language-ID (single fused

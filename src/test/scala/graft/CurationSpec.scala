@@ -100,6 +100,25 @@ class CurationSpec extends AnyFunSuite {
     assert(kept == Set(2L, 7L, 4L)) // 5 replaced by 2; 9 lost to 7
   }
 
+  test("dedupIngest streams batches through the incremental dedup e2e") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    val in = MemoryStream[(Long, String)]
+    val q = Curation.dedupIngest(
+      in.toDF().toDF("doc_id", "text"), s"$base/staged", s"$base/out",
+      nBuckets = 4, queryName = "dedup_ingest_test")
+    try {
+      in.addData((5L, "alpha beta gamma"), (7L, "one two three"))
+      q.processAllAvailable()
+      in.addData((2L, "gamma beta alpha"), (4L, "fresh unique words"))
+      q.processAllAvailable()
+      val kept = spark.read.parquet(s"$base/out")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(2L, 7L, 4L)) // late lower id replaced 5
+    } finally q.stop()
+  }
+
   test("curate plan: scoring fuses into the scan side, two window shuffles") {
     val plan = Curation.curate(docs).queryExecution.executedPlan.toString
     assert("Exchange hashpartitioning".r.findAllIn(plan).length == 2, plan)
