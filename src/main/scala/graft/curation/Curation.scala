@@ -27,6 +27,19 @@ object Curation {
   def hashSampleFilter(keyCol: Column, pct: Int, mod: Int = 100): Column =
     pmod(Fns.rollingHash(keyCol), lit(mod.toLong)) < pct
 
+  /** Deterministic train/val/test assignment from the same portable
+    * content hash as [[hashSampleFilter]]: hash mod 100 < trainPct →
+    * "train", < trainPct+valPct → "val", else "test". Stable across runs,
+    * partitionings, and engines — a document never migrates between
+    * splits when the corpus is re-processed.
+    */
+  def splitColumn(keyCol: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    val h = pmod(Fns.rollingHash(keyCol), lit(100L))
+    when(h < trainPct, "train")
+      .when(h < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+
   /** Keep one document per exact-duplicate group (canonical sorted distinct
     * token set), choosing the lowest id — one shuffle on the signature via
     * a window, no join back. At PB scale group on `xxhash64(sig)` (8-byte

@@ -321,6 +321,29 @@ object DocQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Deterministic train/val/test splits from the portable content hash —
+    // per-split doc and token counts (the split never migrates on re-runs).
+    QDef("c2_split_assignment",
+      """WITH h AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    [CAST(ascii(c) AS BIGINT) FOR c IN string_split(text, '')]),
+        |    (a, b) -> (a * 31 + b) % 1000000007) % 100 AS hm
+        |  FROM documents),
+        |s AS (SELECT doc_id, n_tokens,
+        |  CASE WHEN hm < 80 THEN 'train' WHEN hm < 90 THEN 'val'
+        |       ELSE 'test' END AS split FROM h)
+        |SELECT split, count(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        |FROM s GROUP BY split ORDER BY split""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(
+          graft.curation.Curation.splitColumn(col("text")).as("split"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+        .orderBy(col("split"))
+    },
+
     // Incremental corpus dedup at the gate: the corpus split into two
     // deterministic ingestion batches (doc_id parity), driven through the
     // bucket-recompute pipeline, batch 1 REPLAYED to prove idempotence —
