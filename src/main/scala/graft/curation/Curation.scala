@@ -124,7 +124,7 @@ object Curation {
       .distinct().collect().map(_.getInt(0))
     if (touched.nonEmpty) {
       val slice = spark.read.parquet(stagingPath)
-        .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
+        .filter(col("bucket").isin(touched.toIndexedSeq.map(Integer.valueOf): _*))
       val kept = slice
         .withColumn("__rn", row_number().over(
           Window.partitionBy(col("__sig")).orderBy(id)))

@@ -251,7 +251,7 @@ object RedsetPipeline {
     if (touched.nonEmpty) {
       // partition pruning keeps this read to the touched buckets only
       val slice = spark.read.parquet(stagingPath)
-        .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
+        .filter(col("bucket").isin(touched.toIndexedSeq.map(Integer.valueOf): _*))
         .drop("bucket", "batch_id")
         .localCheckpoint(true)
       onBatch.foreach(f => f(batchId, slice.count()))

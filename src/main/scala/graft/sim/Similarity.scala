@@ -110,7 +110,7 @@ object Similarity {
             .as("dist"),
           lit(cid).as("cid"))
       }
-      array_min(array(dists: _*)).getField("cid")
+      array_min(array(dists.toIndexedSeq: _*)).getField("cid")
     }
     for (_ <- 0 until iters) {
       val assigned = vecs.withColumn("cid", assignExpr(centroids))

@@ -76,5 +76,5 @@ object Kafka {
     */
   def encode(df: DataFrame, keyCol: String = "query_id"): DataFrame =
     df.select(col(keyCol).cast("string").as("key"),
-      to_json(struct(df.columns.map(col): _*)).as("value"))
+      to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("value"))
 }
