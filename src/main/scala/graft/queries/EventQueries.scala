@@ -616,6 +616,28 @@ object EventQueries {
         .orderBy(col("user_id"))
     },
 
+    // W5 (extension): gap-based sessionization — lag + running sum + session
+    // aggregate, one shuffle on the entity key (ops/Sessionize).
+    QDef("w5_sessionization",
+      s"""$E, l AS (SELECT user_id, event_id, ts,
+         |  epoch_ms(ts) - epoch_ms(lag(ts) OVER (
+         |    PARTITION BY user_id ORDER BY ts, event_id)) AS gap_ms
+         |  FROM e),
+         |s AS (SELECT user_id, event_id, ts,
+         |  SUM(CASE WHEN gap_ms IS NULL OR gap_ms > 3600000 THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |          ROWS UNBOUNDED PRECEDING) AS session_id
+         |  FROM l)
+         |SELECT user_id AS key, CAST(session_id AS BIGINT) AS session_id,
+         |  min(ts) AS session_start, count(*) AS n_events,
+         |  epoch_ms(max(ts)) - epoch_ms(min(ts)) AS duration_ms
+         |FROM s GROUP BY user_id, session_id
+         |ORDER BY key, session_id""".stripMargin) { (s, dir) =>
+      graft.ops.Sessionize.byGap(ev(s, dir), col("user_id"), col("ts"),
+          col("event_id"), maxGapMs = 3600000L)
+        .orderBy(col("key"), col("session_id"))
+    },
+
     // J7: enrich rows with their group's aggregate (live_updates_duckdb.py:139).
     QDef("j7_enrich_with_counts",
       s"""$E SELECT e.event_id, e.user_id, c.n_user_events FROM e
