@@ -365,7 +365,7 @@ object DocQueries {
       Seq(0L -> even, 1L -> odd, 1L -> odd /* at-least-once replay */)
         .foreach { case (id, b) =>
           graft.curation.Curation.incrementalDedupBatch(
-            b, id, s"$base/staged", s"$base/out", nBuckets = 16)
+            b, id, s"$base/staged", s"$base/out", nBuckets = 8)
         }
       s.read.parquet(s"$base/out")
         .select(col("doc_id"), col("source"), col("lang"))
