@@ -25,6 +25,25 @@ class SessionizeSpec extends AnyFunSuite {
       ("u1", 1L, 2L, 60000L), ("u1", 2L, 1L, 0L), ("u2", 1L, 1L, 0L)))
   }
 
+  test("membership matches the built-in session_window aggregation") {
+    // deterministic pseudo-random event times, several keys, 1-minute gap
+    val df = (1 to 400).map { i =>
+      val user = s"u${i % 7}"
+      val t = ((i * 104729) % 10000).toLong * 1000L // 0..10000s, dup-heavy
+      (user, new java.sql.Timestamp(t), i.toLong)
+    }.toDF("user_id", "ts", "event_id")
+    val gapped = Sessionize.byGap(df, col("user_id"), col("ts"), col("event_id"),
+        maxGapMs = 60000L)
+      .groupBy("key").agg(sort_array(collect_list(col("n_events"))).as("sizes"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val builtin = df
+      .groupBy(col("user_id"), session_window(col("ts"), "1 minute"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("user_id").agg(sort_array(collect_list(col("n"))).as("sizes"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(gapped == builtin)
+  }
+
   test("plan: one exchange before the final sort") {
     val df = Seq(("u1", new java.sql.Timestamp(0L), 1L))
       .toDF("user_id", "ts", "event_id")
