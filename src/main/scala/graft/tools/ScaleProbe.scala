@@ -1,0 +1,62 @@
+package graft.tools
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.curation.Curation
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-sanity probe (not part of the driver contract): run the heavy
+  * dedup/curation operators on a synthetic 10x corpus (documents unioned
+  * with shifted ids/sources so blocks don't collapse) and print wall
+  * times, to observe how the plans scale beyond the largest generated SF.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val mult = args.lift(1).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def t(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"SCALE $name%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    }
+    val docs = Tables.documents(spark, dir)
+    val n0 = docs.count()
+    // shifted copies: ids and sources offset per replica so near-dup blocks
+    // keep their original size (block count scales, not block size)
+    val big = (0 until mult).map { r =>
+      docs.select(
+        (col("doc_id") + lit(r.toLong * 1000000L)).as("doc_id"),
+        concat(col("source"), lit(s"_r$r")).as("source"),
+        col("lang"), col("text"))
+    }.reduce(_ unionByName _).localCheckpoint(true)
+    println(s"SCALE corpus ${n0} -> ${big.count()} docs (${mult}x)")
+    t(s"d1 exact dedup ${mult}x") {
+      Dedup.exactByCanonicalTokens(big, col("text"), col("doc_id")).count()
+    }
+    t(s"d4 prefix jaccard ${mult}x") {
+      Dedup.jaccardPairsPrefix(big, col("text"), col("doc_id"),
+        blockCol = "source", threshold = 0.9).count()
+    }
+    t(s"d6 3gram jaccard ${mult}x") {
+      Dedup.jaccardPairsPrefix(big, col("text"), col("doc_id"),
+        blockCol = "source", threshold = 0.5, ngram = 3).count()
+    }
+    t(s"d2 minhash edges ${mult}x") {
+      Dedup.minHashLshEdges(big, col("text"), col("doc_id"), 16, 4).count()
+    }
+    t(s"c1 curate ${mult}x") {
+      Curation.curate(big).count()
+    }
+    t(s"w5-ish sessionize events") {
+      graft.ops.Sessionize.byGap(Tables.events(spark, dir),
+        col("user_id"), col("ts"), col("event_id"), 3600000L).count()
+    }
+    spark.stop()
+  }
+}
