@@ -105,6 +105,37 @@ class EwmaSpec extends AnyFunSuite {
     assert(scalable(1L).isEmpty && scalable(3L).isEmpty && scalable(2L).isDefined)
   }
 
+  test("property: bit-parity holds on randomized series shapes") {
+    // scalacheck-generated irregular shapes: key cardinality, series
+    // length, duplicate timestamps, extreme magnitudes
+    val gen = org.scalacheck.Gen.listOfN(1500, for {
+      k <- org.scalacheck.Gen.chooseNum(0L, 25L)
+      ts <- org.scalacheck.Gen.chooseNum(0L, 30L) // heavy ts collisions
+      v <- org.scalacheck.Gen.oneOf(
+        org.scalacheck.Gen.chooseNum(-1e12, 1e12),
+        org.scalacheck.Gen.oneOf(0.0, -0.0, 1e-300, 1e300))
+    } yield (k, ts, v))
+    val rows = gen(org.scalacheck.Gen.Parameters.default,
+      org.scalacheck.rng.Seed(7L)).getOrElse(sys.error("gen failed"))
+      .zipWithIndex.map { case ((k, ts, v), i) => (k, ts, i.toLong, v) }
+    val rdf = rows.toDF("k", "ts", "id", "v").repartition(5)
+    val scalable = Ewma.perKey(rdf, "k", Seq("ts", "id"), "v", Seq("e" -> 0.02))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val xs = rdf.groupBy(col("k"))
+      .agg(sort_array(collect_list(struct(col("ts"), col("id"), col("v")))).as("xs"))
+    val twin = xs.select(col("k"),
+        aggregate(
+          slice(col("xs"), lit(2), greatest(size(col("xs")) - 1, lit(0))),
+          element_at(col("xs"), 1).getField("v"),
+          (acc, x) => lit(0.02) * x.getField("v") + lit(0.98) * acc).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scalable.keySet == twin.keySet)
+    scalable.foreach { case (k, v) =>
+      assert(java.lang.Double.doubleToLongBits(v) ==
+        java.lang.Double.doubleToLongBits(twin(k)), s"key $k")
+    }
+  }
+
   test("stressIndexScalable equals stressIndex exactly") {
     val events = (1 to 500).map { i =>
       val inst = (i % 7).toLong
