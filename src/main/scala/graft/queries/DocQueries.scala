@@ -179,6 +179,27 @@ object DocQueries {
         Tables.embeddings(s, dir), queryVecId = 0L, k = 10)
     },
 
+    // Metadata-filtered KNN: embeddings joined to the documents table on
+    // id, corpus pre-filtered by a text-side predicate (lang), then cosine
+    // top-k — the hybrid text+vector retrieval shape.
+    QDef("sim4_filtered_knn",
+      """WITH allowed AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |s AS (SELECT e.vec_id, e.label,
+        |  list_sum([CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE) FOR x IN list_zip(e.embedding, q.qv)]) /
+        |  (sqrt(list_sum([CAST(x[1] AS DOUBLE) * CAST(x[1] AS DOUBLE) FOR x IN list_zip(e.embedding, e.embedding)])) *
+        |   sqrt(list_sum([CAST(x[1] AS DOUBLE) * CAST(x[1] AS DOUBLE) FOR x IN list_zip(q.qv, q.qv)]))) AS cos
+        |  FROM embeddings e JOIN allowed a ON e.vec_id = a.doc_id
+        |  CROSS JOIN q WHERE e.vec_id <> 0)
+        |SELECT vec_id, label, round(cos, 6) AS cosine
+        |FROM s ORDER BY round(cos, 6) DESC, vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+      Similarity.filteredKnn(
+        Tables.embeddings(s, dir),
+        Tables.documents(s, dir).filter(col("lang") === "en")
+          .select(col("doc_id").as("vec_id")),
+        queryVecId = 0L, k = 10)
+    },
+
     // Embedding-cosine near-dup pairs, blocked by label (the cheap blocking
     // key); threshold chosen to yield pairs in the synthetic corpus.
     QDef("d5_embedding_neardup",

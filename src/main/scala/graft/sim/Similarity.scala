@@ -36,6 +36,30 @@ object Similarity {
       .limit(k)
   }
 
+  /** Metadata-filtered KNN (the vector-store "pre-filter" shape): restrict
+    * the corpus to `allowed` ids (one column, `vec_id`) with a semi-join
+    * BEFORE ranking, then brute-force cosine top-k as [[bruteForceKnn]].
+    * Pre-filtering beats post-filtering top-k when the predicate is
+    * selective — k survivors are guaranteed, and the ranking work scales
+    * with the allowed subset, not the corpus. AQE broadcasts the semi-join
+    * side when the allowed set is small.
+    */
+  def filteredKnn(emb: DataFrame, allowed: DataFrame, queryVecId: Long,
+                  k: Int): DataFrame = {
+    val q = emb.where(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qv"),
+        sqrt(Fns.dot(col("embedding"), col("embedding"))).as("q_norm"))
+    emb.join(allowed.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      .where(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        round(Fns.dot(col("embedding"), col("qv")) /
+          (sqrt(Fns.dot(col("embedding"), col("embedding"))) * col("q_norm")), 6)
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
   // Deterministic hyperplane weights from splitmix64 — computed once at
   // plan time and embedded as array literals, so the per-row work is just
   // nBits fused dot products (no per-row-per-dim hashing). private[graft]
