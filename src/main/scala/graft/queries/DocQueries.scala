@@ -393,6 +393,24 @@ object DocQueries {
         .orderBy(col("doc_id"))
     },
 
+    // RAG/sequence chunking: 32-token windows, stride 16 — one Generate,
+    // ordinal derived from the window start (no ordinality join).
+    QDef("t7_chunking",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |  unnest(range(1, greatest(len(toks) - 32 + 1, 1) + 1, 16)) AS start
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST((start - 1) // 16 + 1 AS BIGINT) AS chunk_idx,
+        |  CAST(start AS BIGINT) AS chunk_start,
+        |  CAST(len(toks[start:start+31]) AS BIGINT) AS n_chunk_tokens,
+        |  array_to_string(toks[start:start+31], ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+      TextAnalysis.chunk(Tables.documents(s, dir), col("text"), col("doc_id"),
+          chunkSize = 32, stride = 16)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
     // Vocabulary stats: top-50 tokens by document frequency with IDF —
     // explode distinct tokens, one shuffle on the token, bounded top-k.
     QDef("t6_vocab_topk",

@@ -78,6 +78,28 @@ object TextAnalysis {
       size(filter(split(text, """\s+|(?=\p{Punct})|(?<=\p{Punct})"""),
         x => x =!= "")).cast("long").as("n_tokens_bpe"))
 
+  /** Chunking for RAG / sequence prep: overlapping token windows of
+    * `chunkSize` tokens every `stride` tokens. One generator per document
+    * (fan-out bounded by tokens/stride), chunk ordinal derived
+    * arithmetically from the window start — no ordinality join, so the
+    * whole operator is a single Generate over the scan.
+    */
+  def chunk(df: DataFrame, text: Column, id: Column,
+            chunkSize: Int, stride: Int): DataFrame = {
+    val t = toks(text)
+    val starts = sequence(lit(1),
+      greatest(size(t) - chunkSize + 1, lit(1)), lit(stride))
+    df.select(id.as("doc_id"), t.as("__t"), explode(starts).as("start"))
+      .select(
+        col("doc_id"),
+        (((col("start") - 1) / stride) + 1).cast("long").as("chunk_idx"),
+        col("start").cast("long").as("chunk_start"),
+        size(slice(col("__t"), col("start"), lit(chunkSize))).cast("long")
+          .as("n_chunk_tokens"),
+        array_join(slice(col("__t"), col("start"), lit(chunkSize)), " ")
+          .as("chunk_text"))
+  }
+
   /** Corpus vocabulary stats: document frequency and IDF per token over
     * distinct tokens per document — one explode + one shuffle on the
     * token, top-k bounded by TakeOrdered. Vocab construction / IDF
