@@ -14,6 +14,21 @@ class FnsSpec extends AnyFunSuite {
     assert(got == Seq("0:00", "0:59", "1:00", "1:01", "59:59", "2:05"))
   }
 
+  test("tokenCount splits words, numbers, and punctuation (BPE-ish)") {
+    val got = Seq(
+      "hello, world!",        // hello , world ! -> 4
+      "a b c",                // 3
+      "x1;y2",                // x1 ; y2 -> 3
+      "...",                  // . . . -> 3
+      "plain"                 // 1
+    ).toDF("text")
+      .transform(d => graft.text.TextAnalysis.tokenCount(d,
+        org.apache.spark.sql.functions.col("text"),
+        org.apache.spark.sql.functions.monotonically_increasing_id()))
+      .select("n_tokens_bpe").as[Long].collect().toSeq
+    assert(got == Seq(4L, 3L, 3L, 3L, 1L))
+  }
+
   test("rollingHash matches the reference fold (base 31 mod 1e9+7)") {
     def ref(s: String): Long =
       s.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L)
