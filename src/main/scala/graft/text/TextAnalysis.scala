@@ -4,11 +4,17 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: quality scoring,
-  * token statistics, and language identification. Pure codegen'd
-  * expressions — each metric is a single projection fused into the scan
-  * (no shuffle, no UDF), which is what makes these viable over 100 TB of
-  * raw text: the job is scan-bound, and every filter downstream of these
-  * columns still prunes/pushes into parquet.
+  * token statistics, language identification, repetition metrics,
+  * vocabulary stats, chunking. Each per-document metric is a single
+  * projection fused into the scan (no shuffle, no UDF); corpus-level stats
+  * add one key-shuffle.
+  *
+  * Codegen note: the stopword/profile counts use `filter` HOF lambdas,
+  * which evaluate interpreted (the cliff `expr.ParseTableIds` removed from
+  * the Clean path). Measured at ~10-30 µs/document — acceptable because
+  * these run once per document over plain token arrays; if a profiling run
+  * ever shows this stage hot at corpus scale, the same native-Expression
+  * treatment applies (a set-membership counter with `doGenCode`).
   */
 object TextAnalysis {
 
