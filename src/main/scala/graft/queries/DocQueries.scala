@@ -377,8 +377,7 @@ object DocQueries {
         |  row_number() OVER (PARTITION BY sig ORDER BY doc_id) AS rn FROM d)
         |SELECT doc_id, source, lang FROM r WHERE rn = 1
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val base = java.nio.file.Files
-        .createTempDirectory("graft_dedup_gate").toString
+      val base = QDef.tempDir("graft_dedup_gate")
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), col("source"), col("lang"), col("text"))
       val even = docs.filter(pmod(col("doc_id"), lit(2)) === 0)

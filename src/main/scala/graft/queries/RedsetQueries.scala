@@ -287,8 +287,7 @@ object RedsetQueries {
     // materialized output must still hash-match the same oracle as
     // `redset_output_table`.
     QDef("redset_output_table_inc", outputTableOracleSql) { (s, dir) =>
-      val base = java.nio.file.Files
-        .createTempDirectory("graft_inc_gate").toString
+      val base = QDef.tempDir("graft_inc_gate")
       val rawDf = raw(s, dir)
       // NOT checkpointed: re-deriving each micro-batch from the 4-column
       // parquet scan (codegen'd CASE synthesis) measures FASTER than
