@@ -154,6 +154,65 @@ object TpchQueries {
         .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(20)
     },
 
+    // TPC-H Q4 shape (priority-bucketed EXISTS): orders in one quarter with
+    // at least one lineitem shipped after the order date (the testdata has
+    // no commit/receipt dates, so "late-shipped" stands in for the
+    // canonical commitdate<receiptdate predicate — same semi-join + group
+    // shape). Semi-join keeps the orders side lean before the aggregate.
+    QDef("q4_order_priority",
+      """SELECT o.o_orderpriority AS o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate)
+        |GROUP BY o.o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-07-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-10-01 00:00:00").cast("timestamp"))
+      val l = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate"))
+      o.join(l, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // TPC-H Q10 shape: revenue lost to returned items per customer over a
+    // quarter — 3-way join with the dimension sides broadcast, decimal
+    // revenue, bounded top-20.
+    QDef("q10_returned_items",
+      """SELECT c.c_custkey AS c_custkey, c.c_name AS c_name,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(9,2)) * (1 - CAST(l.l_discount AS DECIMAL(9,2)))) AS DOUBLE) AS revenue,
+        |  CAST(c.c_acctbal AS DOUBLE) AS c_acctbal, n.n_name AS n_name
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l.l_returnflag = 'R'
+        |GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin) { (s, dir) =>
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-10-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+      val l = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(sum(col("l_extendedprice").cast(d2) *
+          (lit(1) - col("l_discount").cast(d2))).cast("double").as("revenue"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"),
+          col("c_acctbal").cast("double").as("c_acctbal"), col("n_name"))
+        .orderBy(col("revenue").desc, col("c_custkey")).limit(20)
+    },
+
     // J3: equi LEFT JOIN enrich (Dashboard_Historical_Final.py:254-270
     // shape) — every order keeps a row even without a matching customer.
     QDef("j3_equi_left_join",
