@@ -49,21 +49,25 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}"""
+    // The stdout line must be COMPACT: the driver's bounded tail capture
+    // truncated the ~2.2 KB per-query map in rounds 1-4 ("parsed": null).
+    // The full per-query map goes to the per-PID file only.
+    val summary = s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"nqueries":${results.size},"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}"""
     // file copy as well as stdout: the round-1 driver parse missed the
     // stdout line (BENCH_r01 "parsed": null) — belt and braces. Path is
     // per-process so concurrent runs don't clobber each other; failures are
     // logged, not swallowed.
     val outPath = s"/tmp/bench_${ProcessHandle.current().pid()}.json"
     try {
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line)
-      java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/bench.json"), line)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/bench.json"), full)
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] fallback write failed ($outPath): $e")
     }
     spark.stop()
     // last line on stdout, after spark's shutdown logging
-    println(line)
+    println(summary)
   }
 }

@@ -167,10 +167,12 @@ object RedsetFixture {
 object RedsetQueries {
   import RedsetFixture._
 
-  /** Shared by `redset_output_table` and its incremental twin — both must
-    * match this one oracle exactly.
+  /** CTE chain ending in `ot` = the full historical output_table — shared
+    * prelude for `redset_output_table`, its incremental twin, and the three
+    * Expert View analytics derived from it (workload is independent of `ot`
+    * but shares the flatten prelude).
     */
-  private val outputTableOracleSql: String =
+  private val outputTableCtes: String =
     s"""$oraclePrelude,
        |iv AS (
        |  SELECT instance_id, write_table_id AS table_id,
@@ -197,17 +199,28 @@ object RedsetQueries {
        |  FROM probes p JOIN iv
        |    ON p.instance_id = iv.instance_id AND p.table_id = iv.table_id
        |   AND p.arrival_timestamp >= iv.last_ingest_ts
-       |   AND p.arrival_timestamp <= COALESCE(iv.next_ts, TIMESTAMP '2999-12-31 00:00:00'))
+       |   AND p.arrival_timestamp <= COALESCE(iv.next_ts, TIMESTAMP '2999-12-31 00:00:00')),
+       |ot AS (
+       |  SELECT instance_id, query_id, arrival_timestamp, query_type, table_id,
+       |         last_ingest_ts, time_since_last_ingest_ms, time_to_next_ingest_ms
+       |  FROM matched
+       |  UNION ALL
+       |  SELECT instance_id, query_id, arrival_timestamp, query_type,
+       |         write_table_id AS table_id, arrival_timestamp AS last_ingest_ts,
+       |         CAST(0 AS BIGINT) AS time_since_last_ingest_ms,
+       |         CAST(NULL AS BIGINT) AS time_to_next_ingest_ms
+       |  FROM fl
+       |  WHERE query_type IN ('insert','copy') AND write_table_id IS NOT NULL)"""
+      .stripMargin
+
+  /** Shared by `redset_output_table` and its incremental twin — both must
+    * match this one oracle exactly.
+    */
+  private val outputTableOracleSql: String =
+    s"""$outputTableCtes
        |SELECT instance_id, query_id, arrival_timestamp, query_type, table_id,
        |       last_ingest_ts, time_since_last_ingest_ms, time_to_next_ingest_ms
-       |FROM matched
-       |UNION ALL
-       |SELECT instance_id, query_id, arrival_timestamp, query_type,
-       |       write_table_id AS table_id, arrival_timestamp AS last_ingest_ts,
-       |       CAST(0 AS BIGINT) AS time_since_last_ingest_ms,
-       |       CAST(NULL AS BIGINT) AS time_to_next_ingest_ms
-       |FROM fl
-       |WHERE query_type IN ('insert','copy') AND write_table_id IS NOT NULL
+       |FROM ot
        |ORDER BY query_id, table_id, last_ingest_ts,
        |         time_to_next_ingest_ms NULLS FIRST""".stripMargin
 
@@ -306,6 +319,76 @@ object RedsetQueries {
           col("time_since_last_ingest_ms"), col("time_to_next_ingest_ms"))
         .orderBy(col("query_id"), col("table_id"), col("last_ingest_ts"),
           col("time_to_next_ingest_ms"))
+    },
+
+    // Q7 on the native pipeline: per-table select vs transform workload —
+    // FULL OUTER JOIN with COALESCEd keys over the flattened frame
+    // (A6+J5, Dashboard_Historical_Final.py:69-99).
+    QDef("redset_workload",
+      s"""$oraclePrelude,
+         |sel AS (
+         |  SELECT instance_id, read_table_id AS table_id,
+         |         count(*) AS select_count
+         |  FROM fl WHERE query_type = 'select' AND read_table_id IS NOT NULL
+         |  GROUP BY instance_id, read_table_id),
+         |tra AS (
+         |  SELECT instance_id, write_table_id AS table_id,
+         |         count(*) AS transform_count
+         |  FROM fl
+         |  WHERE query_type IN ('insert','copy','update','delete')
+         |    AND write_table_id IS NOT NULL
+         |  GROUP BY instance_id, write_table_id)
+         |SELECT COALESCE(s.instance_id, t.instance_id) AS instance_id,
+         |       COALESCE(s.table_id, t.table_id) AS table_id,
+         |       CAST(COALESCE(s.select_count, 0) AS BIGINT) AS select_count,
+         |       CAST(COALESCE(t.transform_count, 0) AS BIGINT) AS transform_count
+         |FROM sel s FULL OUTER JOIN tra t
+         |  ON s.instance_id = t.instance_id AND s.table_id = t.table_id
+         |ORDER BY instance_id, table_id""".stripMargin) { (s, dir) =>
+      RedsetPipeline.tablesWorkloadCount(RedsetPipeline.flattened(raw(s, dir)))
+        .orderBy(col("instance_id"), col("table_id"))
+    },
+
+    // Q9 on the native pipeline: NTILE(10) decile histogram of SELECT
+    // placement between ingests (W1, Dashboard_Historical_Final.py:428-463).
+    // Bin counts from a global NTILE depend only on the total row count, so
+    // the histogram is deterministic even where (rel_pos, query_id) ties.
+    QDef("redset_decile_hist",
+      s"""$outputTableCtes,
+         |rel AS (
+         |  SELECT query_id,
+         |    CAST(time_since_last_ingest_ms AS DOUBLE)
+         |      / NULLIF(time_since_last_ingest_ms + time_to_next_ingest_ms, 0) AS rel_pos
+         |  FROM ot
+         |  WHERE query_type = 'select' AND time_to_next_ingest_ms IS NOT NULL)
+         |SELECT bin, count(*) AS n FROM (
+         |  SELECT CAST(ntile(10) OVER (ORDER BY rel_pos, query_id) AS BIGINT) AS bin FROM rel)
+         |GROUP BY bin ORDER BY bin""".stripMargin) { (s, dir) =>
+      RedsetPipeline.ingestDecileHistogram(RedsetPipeline.flattened(raw(s, dir)))
+        .select(col("bin").cast("long").as("bin"), col("n"))
+        .orderBy(col("bin"))
+    },
+
+    // Q10 on the native pipeline: freshness flags — tables whose average
+    // time-since-ingest exceeds average time-to-next (A8 HAVING,
+    // update_tables.py:242-264). HAVING filters on the unrounded averages;
+    // round(…, 3) only formats the output (a8 convention).
+    QDef("redset_freshness",
+      s"""$outputTableCtes
+         |SELECT instance_id, table_id,
+         |  round(CAST(SUM(time_since_last_ingest_ms) AS DOUBLE) / count(*), 3) AS avg_since_ms,
+         |  round(CAST(SUM(time_to_next_ingest_ms) AS DOUBLE) / count(*), 3) AS avg_to_next_ms
+         |FROM ot
+         |WHERE time_to_next_ingest_ms IS NOT NULL
+         |GROUP BY instance_id, table_id
+         |HAVING CAST(SUM(time_since_last_ingest_ms) AS DOUBLE) / count(*)
+         |     > CAST(SUM(time_to_next_ingest_ms) AS DOUBLE) / count(*)
+         |ORDER BY instance_id, table_id""".stripMargin) { (s, dir) =>
+      RedsetPipeline.freshnessProblems(RedsetPipeline.flattened(raw(s, dir)))
+        .select(col("instance_id"), col("table_id"),
+          round(col("avg_since_ms"), 3).as("avg_since_ms"),
+          round(col("avg_to_next_ms"), 3).as("avg_to_next_ms"))
+        .orderBy(col("instance_id"), col("table_id"))
     }
   )
 }
