@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -8,11 +8,13 @@ import org.apache.spark.sql.types._
   * travel as opaque `binary` columns with typed metadata; decode /
   * feature-extract / resize / frame-sample run per-partition in batches.
   *
-  * The actual codecs are NOT in this environment, so the decode kernel is a
-  * clearly-marked deterministic STUB (`StubCodec`) — everything around it
-  * (schema, batch iteration, partition-local execution, output shape) is
-  * the real Spark plumbing: swap `StubCodec` for an ImageIO/ffmpeg-backed
-  * implementation and nothing else changes.
+  * The image path is a REAL codec: [[Farbfeld]] parses the farbfeld format
+  * (suckless.org's interchange format — 8-byte magic, big-endian u32
+  * width/height, 16-bit big-endian RGBA components). It is deliberately the
+  * simplest real raster format so the full decode → resample → feature
+  * chain is genuine and oracle-checkable; an ImageIO/ffmpeg-backed decoder
+  * for richer formats swaps in behind the same `decode` signature and
+  * nothing else changes.
   *
   * Scale notes: `mapPartitions` keeps the codec call batched and
   * executor-local (no shuffle); payload columns should be stored in their
@@ -37,39 +39,108 @@ object Multimodal {
       length(col(payload)).cast("long").as("n_bytes"),
       sha2(col(payload), 256).as("sha_hex")))
 
-  /** One decoded record: fixed-shape feature vector + declared dims.
-    * (What a real image decode would yield post-resize.)
+  /** The farbfeld image format, for real: `"farbfeld" | u32be width |
+    * u32be height | width*height px of 4×u16be (RGBA, row-major)`.
+    * Malformed input (bad magic, truncated pixel data) throws
+    * `IllegalArgumentException` — a decoder that silently invents pixels
+    * would poison every stat downstream.
+    */
+  object Farbfeld {
+    val Magic: Array[Byte] = "farbfeld".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val HeaderLen: Int = 16
+    val Channels: Int = 4
+
+    /** Decoded raster: `components(i*4 + c)` = channel `c` of pixel `i`
+      * (row-major), each in [0, 65535].
+      */
+    final case class Image(width: Int, height: Int, components: Array[Int])
+
+    /** Encode from a component generator `(pixelIdx, channel) => 0..65535`
+      * — the ingestion/test-fixture side of the codec.
+      */
+    def encode(width: Int, height: Int, component: (Int, Int) => Int): Array[Byte] = {
+      require(width >= 0 && height >= 0, s"bad dims ${width}x$height")
+      val buf = java.nio.ByteBuffer.allocate(HeaderLen + width * height * Channels * 2)
+      buf.put(Magic).putInt(width).putInt(height)
+      var i = 0
+      while (i < width * height) {
+        var c = 0
+        while (c < Channels) {
+          buf.putShort((component(i, c) & 0xFFFF).toShort)
+          c += 1
+        }
+        i += 1
+      }
+      buf.array()
+    }
+
+    def decode(bytes: Array[Byte]): Image = {
+      require(bytes.length >= HeaderLen, s"truncated header: ${bytes.length} bytes")
+      val buf = java.nio.ByteBuffer.wrap(bytes)
+      val magic = new Array[Byte](Magic.length)
+      buf.get(magic)
+      require(java.util.Arrays.equals(magic, Magic),
+        "bad magic: not a farbfeld payload")
+      val width = buf.getInt
+      val height = buf.getInt
+      require(width >= 0 && height >= 0, s"bad dims ${width}x$height")
+      val n = width * height * Channels
+      require(bytes.length == HeaderLen + n * 2,
+        s"truncated pixels: ${bytes.length} bytes for ${width}x$height")
+      val comps = new Array[Int](n)
+      var i = 0
+      while (i < n) { comps(i) = buf.getShort & 0xFFFF; i += 1 }
+      Image(width, height, comps)
+    }
+  }
+
+  /** One decoded record: source dims + fixed-shape feature vector (what an
+    * image decode yields post-resize).
     */
   case class DecodedMedia(id: Long, width: Int, height: Int,
                           features: Array[Float])
 
-  /** STUB codec — deterministic fake standing in for ImageIO/ffmpeg (the
-    * libs aren't in this container). Derives a fixed-size "feature vector"
-    * from payload bytes. Swap this object to productionize; the Spark
-    * plumbing around it is real and tested.
+  val FeatureDim: Int = 16 // 4 channels × 2×2 spatial grid
+
+  /** Feature kernel: nearest-neighbor resample to (targetW, targetH), then
+    * per-channel mean over a 2×2 spatial grid, normalized to [0, 1] —
+    * 16 floats. Deterministic pure function of the pixel data.
     */
-  object StubCodec {
-    val FeatureDim = 16
-    def decode(payload: Array[Byte], targetW: Int, targetH: Int): DecodedMedia = {
-      val feats = new Array[Float](FeatureDim)
-      var i = 0
-      while (i < payload.length) {
-        feats(i % FeatureDim) += (payload(i) & 0xFF) / 255.0f
-        i += 1
+  private[multimodal] def gridFeatures(img: Farbfeld.Image,
+                                       targetW: Int, targetH: Int): Array[Float] = {
+    val sums = new Array[Double](FeatureDim)
+    val counts = new Array[Long](FeatureDim)
+    if (img.width > 0 && img.height > 0) {
+      var y = 0
+      while (y < targetH) {
+        val srcY = y * img.height / targetH
+        val gy = if (y * 2 >= targetH) 1 else 0
+        var x = 0
+        while (x < targetW) {
+          val srcX = x * img.width / targetW
+          val gx = if (x * 2 >= targetW) 1 else 0
+          val px = (srcY * img.width + srcX) * Farbfeld.Channels
+          val cell = (gy * 2 + gx) * Farbfeld.Channels
+          var c = 0
+          while (c < Farbfeld.Channels) {
+            sums(cell + c) += img.components(px + c) / 65535.0
+            counts(cell + c) += 1
+            c += 1
+          }
+          x += 1
+        }
+        y += 1
       }
-      DecodedMedia(0L, targetW, targetH, feats)
     }
-    /** Frame-sample stub: every `stride`-th byte window stands in for a
-      * video frame.
-      */
-    def sampleFrames(payload: Array[Byte], stride: Int): Seq[Array[Byte]] =
-      payload.grouped(stride).toSeq
+    Array.tabulate(FeatureDim)(i =>
+      if (counts(i) == 0) 0.0f else (sums(i) / counts(i)).toFloat)
   }
 
   /** Decode + feature-extract, batched per partition (the mapPartitions
-    * analog of a Pandas-UDF decode). Input: (id, payload) rows; output:
-    * typed DecodedMedia. Codec instantiation cost is amortized per
-    * partition, exactly as a heavyweight decoder handle would be.
+    * analog of a Pandas-UDF decode). Input: (id, payload) rows with real
+    * farbfeld bytes; output: typed DecodedMedia carrying the SOURCE dims
+    * and the resampled grid features. Codec state is partition-local,
+    * exactly as a heavyweight decoder handle would be.
     */
   def decodeFeatures(df: DataFrame, idCol: String, payloadCol: String,
                      targetW: Int = 224, targetH: Int = 224): Dataset[DecodedMedia] = {
@@ -78,16 +149,41 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition: open the (stub) codec once, stream batches through
         it.map { case (id, bytes) =>
-          StubCodec.decode(bytes, targetW, targetH).copy(id = id)
+          val img = Farbfeld.decode(bytes)
+          DecodedMedia(id, img.width, img.height,
+            gridFeatures(img, targetW, targetH))
         }
       }
   }
 
+  /** Decode + integrity stats: source dims + the sum of every 16-bit
+    * component — the pixel checksum that pins the parse (header fields AND
+    * full pixel payload) to an arithmetic oracle.
+    */
+  def decodeStats(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img = Farbfeld.decode(bytes)
+          var s = 0L
+          var i = 0
+          while (i < img.components.length) { s += img.components(i); i += 1 }
+          (id, img.width, img.height, s)
+        }
+      }
+      .toDF("id", "width", "height", "px_sum")
+  }
+
   /** Frame sampling for video payloads: one output row per sampled frame,
-    * preserving provenance (id, frame_idx). Generator-shaped (explode), so
-    * fan-out stays distributed and bounded by payload size / stride.
+    * preserving provenance (id, frame_idx). The sampler is a byte-window
+    * chunker — a real, deterministic operation standing where a container
+    * parser's keyframe iterator would plug in; the generator shape
+    * (flatMap fan-out, distributed, bounded by payload size / stride) is
+    * the production plumbing either way.
     */
   def sampleFrames(df: DataFrame, idCol: String, payloadCol: String,
                    stride: Int): DataFrame = {
@@ -97,7 +193,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
-          StubCodec.sampleFrames(bytes, stride).zipWithIndex.map {
+          bytes.grouped(stride).zipWithIndex.map {
             case (frame, idx) => (id, idx, frame)
           }
         }

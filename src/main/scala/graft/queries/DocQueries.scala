@@ -279,18 +279,32 @@ object DocQueries {
         .orderBy(col("doc_id"))
     },
 
-    // Multimodal decode plumbing: batched per-partition (stub) codec ->
-    // fixed-shape feature vectors; spec-tested (codec is a fake, the
-    // partitioning/schema/batch shape are real). The registered query digests
-    // the vector to sortable scalars (dims + xxhash64 checksum) — raw
-    // array<float> output breaks downstream row-hash canonicalization.
-    QDef.noOracle("mm2_decode_features") { (s, dir) =>
-      graft.multimodal.Multimodal.decodeFeatures(
-          Tables.documents(s, dir).withColumn("payload", col("text").cast("binary")),
-          "doc_id", "payload")
-        .toDF()
-        .select(col("id"), col("width"), col("height"),
-          xxhash64(col("features")).as("features_hash"))
+    // Multimodal decode, for real: each document gets a REAL farbfeld
+    // payload (magic + BE dims + 16-bit BE RGBA pixels) generated from a
+    // deterministic formula; the engine parses the actual bytes back
+    // (Multimodal.Farbfeld.decode, batched per partition) and emits source
+    // dims + the sum of every pixel component. The oracle recomputes the
+    // same stats arithmetically from the generating formula — so a header
+    // misparse, endianness slip, or dropped pixel flips the hash.
+    QDef("mm2_decode_features",
+      """WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+        |           FROM documents)
+        |SELECT doc_id AS id, CAST(w AS INTEGER) AS width,
+        |  CAST(h AS INTEGER) AS height,
+        |  CAST(list_sum([(doc_id*7919 + (j//4)*31 + (j%4)*101) % 65536
+        |                 FOR j IN range(0, w*h*4)]) AS BIGINT) AS px_sum
+        |FROM d ORDER BY id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val payloads = Tables.documents(s, dir).select(col("doc_id").cast("long"))
+        .as[Long]
+        .mapPartitions(_.map { id =>
+          val w = (4 + id % 5).toInt
+          val h = (3 + id % 4).toInt
+          (id, graft.multimodal.Multimodal.Farbfeld.encode(w, h, (i, c) =>
+            ((id * 7919L + i.toLong * 31L + c.toLong * 101L) % 65536L).toInt))
+        })
+        .toDF("doc_id", "payload")
+      graft.multimodal.Multimodal.decodeStats(payloads, "doc_id", "payload")
         .orderBy(col("id"))
     },
 

@@ -22,15 +22,62 @@ class MultimodalSpec extends AnyFunSuite {
     assert(m == Set((1L, "image/png", 6L), (2L, "image/png", 200L), (3L, "image/png", 0L)))
   }
 
-  test("decodeFeatures emits fixed-shape vectors per payload (stub codec)") {
-    val d = Multimodal.decodeFeatures(media, "id", "payload", 224, 224)
-      .collect().sortBy(_.id)
-    assert(d.map(_.id).toSeq == Seq(1L, 2L, 3L))
-    assert(d.forall(_.features.length == Multimodal.StubCodec.FeatureDim))
-    assert(d.forall(x => x.width == 224 && x.height == 224))
-    // deterministic: byte 'a'=97 lands in slot 0
-    assert(math.abs(d(0).features(0) - 97 / 255.0f) < 1e-6)
-    assert(d(2).features.forall(_ == 0.0f)) // empty payload -> zero vector
+  test("Farbfeld encode/decode round-trips header and every component") {
+    val img = Multimodal.Farbfeld.encode(3, 2, (i, c) => i * 1000 + c * 7)
+    // 16-byte header + 3*2 px * 4 ch * 2 bytes
+    assert(img.length == 16 + 3 * 2 * 4 * 2)
+    assert(new String(img.take(8), "US-ASCII") == "farbfeld")
+    val back = Multimodal.Farbfeld.decode(img)
+    assert(back.width == 3 && back.height == 2)
+    assert(back.components.toSeq ==
+      (0 until 6).flatMap(i => (0 until 4).map(c => i * 1000 + c * 7)))
+  }
+
+  test("Farbfeld decode rejects malformed payloads instead of inventing pixels") {
+    val good = Multimodal.Farbfeld.encode(2, 2, (_, _) => 5)
+    intercept[IllegalArgumentException] {
+      Multimodal.Farbfeld.decode("notmagic".getBytes ++ good.drop(8))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.Farbfeld.decode(good.dropRight(1)) // truncated pixel data
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.Farbfeld.decode(Array[Byte](1, 2, 3)) // truncated header
+    }
+  }
+
+  test("decodeFeatures parses real farbfeld bytes into grid-mean features") {
+    // 2x2 image, one channel-0 value per quadrant: resampling to any even
+    // target keeps each quadrant pure, so the grid means recover the
+    // original pixels exactly (normalized /65535).
+    val px = Array(1000, 2000, 3000, 4000) // TL TR BL BR, channel 0
+    val payload = Multimodal.Farbfeld.encode(2, 2,
+      (i, c) => if (c == 0) px(i) else 65535)
+    val df = Seq((7L, payload)).toDF("id", "payload")
+    val d = Multimodal.decodeFeatures(df, "id", "payload", 8, 8).collect().head
+    assert(d.id == 7L && d.width == 2 && d.height == 2)
+    assert(d.features.length == Multimodal.FeatureDim)
+    // cell layout: (gy*2+gx)*4 + c
+    val got = Seq(0, 1, 2, 3).map(cell => d.features(cell * 4))
+    val want = Seq(1000, 2000, 3000, 4000).map(_ / 65535.0f)
+    got.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-6) }
+    // alpha channel is constant 65535 -> normalized 1.0 in every cell
+    assert((0 until 4).forall(cell => math.abs(d.features(cell * 4 + 3) - 1.0f) < 1e-6))
+  }
+
+  test("decodeStats pixel checksum matches the arithmetic the oracle uses") {
+    val id = 42L
+    val w = (4 + id % 5).toInt
+    val h = (3 + id % 4).toInt
+    def comp(i: Int, c: Int): Int =
+      ((id * 7919L + i.toLong * 31L + c.toLong * 101L) % 65536L).toInt
+    val df = Seq((id, Multimodal.Farbfeld.encode(w, h, comp)))
+      .toDF("id", "payload")
+    val r = Multimodal.decodeStats(df, "id", "payload").collect().head
+    val expected = (0 until w * h).flatMap(i => (0 until 4).map(comp(i, _)))
+      .map(_.toLong).sum
+    assert((r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)) ==
+      ((id, w, h, expected)))
   }
 
   test("sampleFrames fans out one row per frame with provenance") {
