@@ -87,16 +87,17 @@ object Curation {
   /** One micro-batch of INCREMENTAL corpus dedup — the
     * [[graft.pipeline.RedsetPipeline.incrementalBatch]] pattern generalized
     * to document ingestion: staging is partitioned by
-    * `(bucket = hash(sig) mod nBuckets, batch_id)`; each batch appends its
-    * docs (signature computed once, stored), then the keep-first-seen set
-    * is recomputed ONLY for the buckets this batch touched and dynamically
+    * `(bucket = xxhash64(sig) mod nBuckets, batch_id)`; each batch appends
+    * its docs (the 8-byte signature HASH computed once and stored — never
+    * the corpus-sized signature string), then the keep-first-seen set is
+    * recomputed ONLY for the buckets this batch touched and dynamically
     * overwrites just those partitions of the materialized output.
     *
-    * Exactness: the winner per signature is `min(doc_id)` over the full
-    * staged history, signatures never interact, and a signature's rows all
-    * land in one bucket — so a touched-bucket recompute reproduces exactly
-    * what a global keep-one would, and untouched buckets are already
-    * byte-identical. Idempotent per `batchId` (dynamic overwrite of its own
+    * Exactness: the winner per signature hash is `min(doc_id)` over the
+    * full staged history, signatures never interact, and a signature's rows
+    * all land in one bucket — so a touched-bucket recompute reproduces
+    * exactly what a global keep-one would, and untouched buckets are
+    * already byte-identical. Idempotent per `batchId` (dynamic overwrite of its own
     * staging partitions), so at-least-once replays are no-ops. Per-batch
     * input is O(touched buckets), not O(corpus life).
     *
@@ -112,23 +113,32 @@ object Curation {
                             id: Column = col("doc_id")): Unit = {
     val spark = batch.sparkSession
     val sig = array_join(array_sort(array_distinct(split(text, " "))), " ")
+    // Stage xxhash64(sig), never the signature itself: the raw signature is
+    // corpus-sized (≈ the document text), so staging it doubles write I/O;
+    // the 8-byte hash keeps staging O(metadata). Keep-one then groups on
+    // the hash — same winner (min(doc_id) per group) unless two distinct
+    // signatures collide in 64 bits (~n²/2⁶⁵; at 10¹² docs odds ~3%, and a
+    // collision merges one pair of near-miss groups, losing one doc — an
+    // acceptable dedup-side error; use two independent hashes if not).
+    val sigH = xxhash64(sig)
     val staged = batch
-      .withColumn("__sig", sig)
-      .withColumn("bucket", pmod(hash(col("__sig")), lit(nBuckets)))
+      .withColumn("__sig_h", sigH)
+      .withColumn("bucket", pmod(col("__sig_h"), lit(nBuckets.toLong)).cast("int"))
       .withColumn("batch_id", lit(batchId))
     staged.repartition(col("bucket")).write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket", "batch_id").parquet(stagingPath)
     // bounded collect: ≤ nBuckets values
-    val touched = batch.select(pmod(hash(sig), lit(nBuckets)).as("bucket"))
+    val touched = batch
+      .select(pmod(sigH, lit(nBuckets.toLong)).cast("int").as("bucket"))
       .distinct().collect().map(_.getInt(0))
     if (touched.nonEmpty) {
       val slice = spark.read.parquet(stagingPath)
         .filter(col("bucket").isin(touched.toIndexedSeq.map(Integer.valueOf): _*))
       val kept = slice
         .withColumn("__rn", row_number().over(
-          Window.partitionBy(col("__sig")).orderBy(id)))
-        .filter(col("__rn") === 1).drop("__rn", "__sig", "batch_id")
+          Window.partitionBy(col("__sig_h")).orderBy(id)))
+        .filter(col("__rn") === 1).drop("__rn", "__sig_h", "batch_id")
       kept.repartition(col("bucket")).write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bucket").parquet(outputPath)

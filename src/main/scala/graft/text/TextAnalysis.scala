@@ -110,16 +110,45 @@ object TextAnalysis {
     * distinct tokens per document — one explode + one shuffle on the
     * token, top-k bounded by TakeOrdered. Vocab construction / IDF
     * weighting for the training pipeline.
+    *
+    * The IDF denominator is folded into the SAME job: each document also
+    * emits one NULL marker element, so the token group-by yields the
+    * corpus size as the null group's count — one corpus scan, one
+    * shuffle, with the vocabulary rows and the 1-row count served from
+    * the same reused exchange (plan-guarded in ReferenceEquivalenceSpec).
+    * Pass `nDocs` when the corpus size is already known (e.g. from the
+    * catalog) to skip the marker entirely.
     */
-  def vocabTopK(df: DataFrame, text: Column, k: Int): DataFrame = {
-    val nDocs = df.count() // one scan; at PB scale pass the known count in
-    df.select(explode(array_distinct(toks(text))).as("token"))
-      .groupBy(col("token"))
-      .agg(count(lit(1)).as("doc_freq"))
-      .withColumn("idf",
-        round(log(lit(nDocs.toDouble) / col("doc_freq")), 6))
-      .orderBy(col("doc_freq").desc, col("token"))
-      .limit(k)
+  def vocabTopK(df: DataFrame, text: Column, k: Int,
+                nDocs: Option[Long] = None): DataFrame = {
+    def ranked(freq: DataFrame, n: Column): DataFrame =
+      freq.withColumn("idf", round(log(n.cast("double") / col("doc_freq")), 6))
+        .select(col("token"), col("doc_freq"), col("idf"))
+        .orderBy(col("doc_freq").desc, col("token"))
+        .limit(k)
+    nDocs match {
+      case Some(n) =>
+        ranked(df.select(explode(array_distinct(toks(text))).as("token"))
+          .groupBy(col("token")).agg(count(lit(1)).as("doc_freq")), lit(n))
+      case None =>
+        // distinct tokens are never null, so null is a safe marker
+        val freq = df.select(explode(concat(
+            array(lit(null).cast("string")), array_distinct(toks(text))))
+            .as("token"))
+          .groupBy(col("token")).agg(count(lit(1)).as("doc_freq"))
+        // Materialize the (vocab+1)-row grouped frame ONCE: its two
+        // consumers (vocabulary rows, the 1-row count) would otherwise each
+        // re-run the corpus scan — Catalyst pushes the key filters below
+        // the partial aggregate, so the exchange subtrees differ and
+        // ReuseExchange cannot collapse them. Explicit materialization is
+        // this engine's idiom for multi-consumer subtrees (outputTable,
+        // component loops); O(vocab) storage, one corpus scan.
+        val m = freq.localCheckpoint(true)
+        val n = m.filter(col("token").isNull)
+          .select(col("doc_freq").as("__n_docs"))
+        ranked(m.filter(col("token").isNotNull)
+          .crossJoin(broadcast(n)), col("__n_docs"))
+    }
   }
 
   /** Repetition metrics (the Gopher-style repetition filters): fraction of

@@ -27,7 +27,7 @@ object Prof {
     val oddL = rawDf.filter(pmod(col("query_id").try_cast("long"), lit(2)) === 1)
     val even = t("ckpt even")(evenL.localCheckpoint(true))
     val odd = t("ckpt odd")(oddL.localCheckpoint(true))
-    val base1 = java.nio.file.Files.createTempDirectory("graft_prof1").toString
+    val base1 = graft.queries.QDef.tempDir("graft_prof1")
     Seq(0L -> even, 1L -> odd, 1L -> odd).zipWithIndex.foreach { case ((id, b), i) =>
       t(s"ckpt inc batch $i") {
         RedsetPipeline.incrementalBatch(b, id, s"$base1/staged", s"$base1/out", nBuckets = 16)
@@ -35,7 +35,7 @@ object Prof {
     }
     org.apache.spark.sql.graftbridge.Bridge.release(even)
     org.apache.spark.sql.graftbridge.Bridge.release(odd)
-    val base2 = java.nio.file.Files.createTempDirectory("graft_prof2").toString
+    val base2 = graft.queries.QDef.tempDir("graft_prof2")
     Seq(0L -> evenL, 1L -> oddL, 1L -> oddL).zipWithIndex.foreach { case ((id, b), i) =>
       t(s"lazy inc batch $i") {
         RedsetPipeline.incrementalBatch(b, id, s"$base2/staged", s"$base2/out", nBuckets = 16)

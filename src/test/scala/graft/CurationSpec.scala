@@ -77,7 +77,7 @@ class CurationSpec extends AnyFunSuite {
   }
 
   test("incremental dedup ≡ global keep-one, replay-idempotent, late winner replaces") {
-    val base = java.nio.file.Files.createTempDirectory("graft_cur_inc").toString
+    val base = graft.queries.QDef.tempDir("graft_cur_inc")
     val b0 = Seq(
       (5L, "alpha beta gamma"),   // sig X — provisional winner of batch 0
       (7L, "one two three")
@@ -103,7 +103,7 @@ class CurationSpec extends AnyFunSuite {
   test("dedupIngest streams batches through the incremental dedup e2e") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val base = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    val base = graft.queries.QDef.tempDir("graft_ingest")
     val in = MemoryStream[(Long, String)]
     val q = Curation.dedupIngest(
       in.toDF().toDF("doc_id", "text"), s"$base/staged", s"$base/out",

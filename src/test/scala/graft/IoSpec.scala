@@ -10,7 +10,7 @@ class IoSpec extends AnyFunSuite {
   import spark.implicits._
 
   private def tmp(): String =
-    java.nio.file.Files.createTempDirectory("graft_io").toString
+    graft.queries.QDef.tempDir("graft_io")
 
   test("parquet round-trip incl. append (S1/S5/S6)") {
     val p = tmp() + "/t"
