@@ -88,6 +88,26 @@ object Dedup {
     * returned frame holds exactly one small storage block, freeable with
     * `Bridge.release` once consumed (asserted in DedupSpec).
     */
+  /** Candidate stage of [[jaccardPairsPrefix]], on a shingled frame
+    * `(blk, doc_id, toks, n)`: distinct (doc_a, doc_b) pairs sharing a
+    * prefix shingle within a block. Package-private so SkewSpec can pin
+    * the candidate count directly (the quantity that decides whether a
+    * hot block blows up).
+    */
+  private[graft] def prefixCandidates(d: DataFrame, threshold: Double): DataFrame = {
+    val sorted = array_sort(col("toks"), (l, r) =>
+      when(xxhash64(l) < xxhash64(r), -1)
+        .when(xxhash64(l) > xxhash64(r), 1).otherwise(0))
+    val prefixLen = (col("n") - ceil(col("n") * threshold) + 1).cast("int")
+    val pre = d.select(col("blk"), col("doc_id"),
+      explode(slice(sorted, lit(1), prefixLen)).as("p"))
+    pre.select(col("blk"), col("p"), col("doc_id").as("doc_a"))
+      .join(pre.select(col("blk"), col("p"), col("doc_id").as("doc_b")),
+        Seq("blk", "p"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
   def jaccardPairsPrefix(df: DataFrame, text: Column, id: Column,
                          blockCol: String, threshold: Double,
                          ngram: Int = 1): DataFrame = {
@@ -95,17 +115,7 @@ object Dedup {
     val d = df.select(col(blockCol).as("blk"), id.as("doc_id"),
         sh.as("toks"), size(sh).as("n"))
       .localCheckpoint(true) // reused by candidates and both verify sides
-    val sorted = array_sort(col("toks"), (l, r) =>
-      when(xxhash64(l) < xxhash64(r), -1)
-        .when(xxhash64(l) > xxhash64(r), 1).otherwise(0))
-    val prefixLen = (col("n") - ceil(col("n") * threshold) + 1).cast("int")
-    val pre = d.select(col("blk"), col("doc_id"),
-      explode(slice(sorted, lit(1), prefixLen)).as("p"))
-    val cand = pre.select(col("blk"), col("p"), col("doc_id").as("doc_a"))
-      .join(pre.select(col("blk"), col("p"), col("doc_id").as("doc_b")),
-        Seq("blk", "p"))
-      .where(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
+    val cand = prefixCandidates(d, threshold)
     val a = d.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
       col("n").as("n_a"))
     val b = d.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"),

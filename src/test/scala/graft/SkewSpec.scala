@@ -1,0 +1,140 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.ops.Intervals
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Adversarial skew: one hot key holding ~50% of all rows, at 10× the
+  * sf0.001 fixture's event count. Pins WHY the scale twins exist:
+  *
+  *  - `j4` (plain interval join) shuffles on the entity key alone, so the
+  *    hot key's entire row mass lands on ONE reducer — its load is the
+  *    stage's wall clock, and it grows linearly with corpus size.
+  *  - `j4b` (time-bucketed) adds the bucket to the equi-key; the hot key
+  *    spreads over its time range and the max reducer load drops to
+  *    within ~2× of what uniform keys would give.
+  *  - `d4`'s prefix filter keeps the candidate stage of a 50%-hot BLOCK at
+  *    a tiny fraction of the block cross product a plain blocked join
+  *    must verify.
+  *
+  * Assertions are on max-shuffle-load and candidate counts — the
+  * deterministic quantities that bound reducer wall time — not on wall
+  * clock itself: single-run timings in this sandbox swing 3-7× under CPU
+  * contention (see Bench's min-of-N note), so a 2× wall-clock assertion
+  * would flake while measuring the machine, not the plan.
+  */
+class SkewSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val nProbes = 100000 // 10× the sf0.001 events fixture
+  private val nColdKeys = 100
+  private val bucketS = 3600L
+  private val horizonS = 360000L // 100 hours → ~100 buckets for the hot key
+
+  /** Probes: even ids → the hot key (50% of rows); odd ids spread over 100
+    * cold keys. Event times pseudo-uniform over the horizon, forced ODD so
+    * no probe lands exactly on an (even) ingest boundary — the reference's
+    * inclusive BETWEEN would match a boundary probe to two intervals.
+    */
+  private lazy val probes: DataFrame =
+    spark.range(nProbes).select(
+      when(col("id") % 2 === 0, lit("hot"))
+        .otherwise(concat(lit("cold_"),
+          (floor(col("id") / 2) % nColdKeys).cast("string")))
+        .as("k"),
+      timestamp_seconds(lit(1700000000L) +
+        ((col("id") * 7919) % (horizonS / 2)) * 2 + 1)
+        .as("ts"),
+      col("id").as("pid"))
+
+  /** Ingests: every key (hot and cold alike) ingests once per hour over the
+    * horizon, so intervals tile the probe range identically per key.
+    */
+  private lazy val ingests: DataFrame = {
+    val perKey = (horizonS / bucketS).toInt // 100 ingests per key
+    spark.range((nColdKeys + 1).toLong * perKey).select(
+      when(col("id") % (nColdKeys + 1) === 0, lit("hot"))
+        .otherwise(concat(lit("cold_"),
+          (col("id") % (nColdKeys + 1) - 1).cast("string")))
+        .as("k"),
+      timestamp_seconds(lit(1700000000L) +
+        floor(col("id") / (nColdKeys + 1)).cast("long") * bucketS)
+        .as("ts"),
+      col("id").as("iid"))
+  }
+
+  test("bucketed interval join matches plain exactly under a 50%-hot key") {
+    val iv = Intervals.ingestionIntervals(ingests, Seq("k"), "ts", "iid")
+    val plain = Intervals.intervalJoin(probes, iv, Seq("k"), "ts")
+    val bucketed = Intervals.intervalJoinBucketed(probes, iv, Seq("k"), "ts",
+      bucketSeconds = bucketS)
+    val n = plain.count()
+    assert(n == nProbes, "every probe falls in exactly one interval")
+    assert(bucketed.count() == n)
+    assert(plain.exceptAll(bucketed).isEmpty && bucketed.exceptAll(plain).isEmpty)
+  }
+
+  test("time bucketing drops the hot key's max reducer load to ~uniform; plain degrades 50×") {
+    // Max rows any one shuffle key holds = the busiest reducer's input =
+    // the stage's critical path. Uniform baseline: what the busiest key
+    // would hold if the same rows were spread evenly over the same key set.
+    val uniformMax = nProbes.toDouble / (nColdKeys + 1)
+    val maxPlain = probes.groupBy("k").count()
+      .agg(max("count")).head().getLong(0)
+    val maxBucketed = probes
+      .withColumn("b", floor(unix_timestamp(col("ts")) / bucketS))
+      .groupBy("k", "b").count()
+      .agg(max("count")).head().getLong(0)
+    // j4's key: the hot key owns half the corpus on one reducer — 50× the
+    // uniform-key load, and the ratio grows with corpus size. This is the
+    // degradation j4b exists to remove.
+    assert(maxPlain >= nProbes / 2, s"hot key should hold 50%, got $maxPlain")
+    assert(maxPlain / uniformMax >= 50.0)
+    // j4b's key: the hot key spreads over ~100 time buckets; its busiest
+    // (key, bucket) cell stays within 2× of the uniform-key load.
+    assert(maxBucketed <= 2.0 * uniformMax,
+      s"bucketed max load $maxBucketed vs uniform $uniformMax")
+  }
+
+  test("prefix Jaccard keeps a 50%-hot block's candidates at <1% of its cross product") {
+    // 2000 docs, half in one hot block; 8 diverse tokens each, with every
+    // 50th hot doc duplicating its predecessor hot doc (planted near-dups).
+    val nDocs = 2000
+    val base = when(col("id") % 2 === 0 && col("id") % 50 === 0 && col("id") > 0,
+      col("id") - 2).otherwise(col("id"))
+    val docs = spark.range(nDocs).select(
+      col("id").as("doc_id"),
+      when(col("id") % 2 === 0, lit("hot"))
+        .otherwise(concat(lit("cold_"),
+          (floor(col("id") / 2) % 50).cast("string"))).as("source"),
+      concat_ws(" ", transform(sequence(lit(0), lit(7)),
+        j => concat(lit("t"),
+          ((base * 31 + j * 977) % 4096).cast("string")))).as("text"))
+    val prefix = Dedup.jaccardPairsPrefix(docs, col("text"), col("doc_id"),
+      "source", 0.9)
+    val plain = Dedup.jaccardPairs(docs, col("text"), col("doc_id"),
+      "source", 0.9)
+    // correctness under skew: identical pair set, and the planted dups
+    // (id-2, id) for id % 50 == 0 are all recovered
+    val got = prefix.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = plain.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    val planted = (50L until nDocs by 50).filter(_ % 2 == 0)
+      .map(i => (i - 2, i)).toSet
+    assert(planted.subsetOf(got))
+    // the blowup guard: a plain blocked join must verify the full hot
+    // cross product (~500k pairs); the prefix candidate stage stays <1%
+    val hotN = nDocs / 2
+    val hotCross = hotN.toLong * (hotN - 1) / 2
+    val sh = Dedup.shingles(col("text"), 1)
+    val d = docs.select(col("source").as("blk"), col("doc_id"),
+      sh.as("toks"), size(sh).as("n"))
+    val candN = Dedup.prefixCandidates(d, 0.9).count()
+    assert(candN < hotCross / 100,
+      s"candidates $candN vs hot-block cross product $hotCross")
+  }
+}
