@@ -213,6 +213,120 @@ object TpchQueries {
         .orderBy(col("revenue").desc, col("c_custkey")).limit(20)
     },
 
+    // TPC-H Q2 shape (correlated-min join-back): per-part minimum supply
+    // cost, then only the (part, supplier) rows hitting that minimum,
+    // enriched through supplier→nation→region. The testdata has no
+    // partsupp table, so the (part, supplier) catalog with its cost is
+    // derived from lineitem (min extendedprice per pair) — same
+    // aggregate → min-per-key → join-back → multi-dim-broadcast shape.
+    QDef("q2_min_cost_supplier",
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         MIN(CAST(l_extendedprice AS DECIMAL(9,2))) AS cost
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+        |mn AS (SELECT l_partkey, MIN(cost) AS min_cost FROM ps GROUP BY l_partkey)
+        |SELECT CAST(s.s_acctbal AS DOUBLE) AS s_acctbal, s.s_name AS s_name,
+        |       n.n_name AS n_name, p.p_partkey AS p_partkey,
+        |       p.p_type AS p_type, CAST(ps.cost AS DOUBLE) AS cost
+        |FROM part p
+        |JOIN ps ON ps.l_partkey = p.p_partkey
+        |JOIN mn ON mn.l_partkey = ps.l_partkey AND ps.cost = mn.min_cost
+        |JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |JOIN region r ON r.r_regionkey = n.n_regionkey
+        |WHERE p.p_type = 'SMALL' AND p.p_size < 10 AND r.r_name = 'EUROPE'
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 20""".stripMargin) { (s, dir) =>
+      // Scale shape: the selective part dim semi-filters the fact BEFORE
+      // the (part, supplier) aggregate (the per-part min is unchanged —
+      // the filter is on part attributes, so each surviving part keeps its
+      // full supplier set), and the correlated min is a window over the
+      // aggregated frame rather than a second aggregate joined back —
+      // ONE fact scan total (the join-back form scans lineitem twice).
+      val p = Tables.part(s, dir)
+        .filter(col("p_type") === "SMALL" && col("p_size") < 10)
+      val sp = Tables.supplier(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir).filter(col("r_name") === "EUROPE")
+      val ps = Tables.lineitem(s, dir)
+        .join(broadcast(p.select(col("p_partkey"))), col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("l_extendedprice").cast(d2)).as("cost"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
+      ps.withColumn("min_cost", min(col("cost")).over(w))
+        .filter(col("cost") === col("min_cost"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_acctbal").cast("double").as("s_acctbal"), col("s_name"),
+          col("n_name"), col("p_partkey"), col("p_type"),
+          col("cost").cast("double").as("cost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey")).limit(20)
+    },
+
+    // TPC-H Q7 shape (bidirectional nation-pair volume): both nation dims
+    // pre-filtered to the IN-list BEFORE broadcasting, disjunctive pair
+    // predicate as the post-join residual, revenue per (supp_nation,
+    // cust_nation, ship year).
+    QDef("q7_nation_volume",
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(l.l_shipdate) AS l_year,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(9,2)) * (1 - CAST(l.l_discount AS DECIMAL(9,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin) { (s, dir) =>
+      val pair = Seq("NATION_1", "NATION_2")
+      val n1 = Tables.nation(s, dir).filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, dir).filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+        .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum(col("l_extendedprice").cast(d2) *
+          (lit(1) - col("l_discount").cast(d2))).cast("double").as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    },
+
+    // TPC-H Q9 shape (product-line profit by nation and year): LIKE filter
+    // on the part dim broadcast into the fact, supplier→nation broadcast,
+    // two-level group (nation, year).
+    QDef("q9_product_profit",
+      """SELECT n.n_name AS nation, year(l.l_shipdate) AS o_year,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(9,2)) * (1 - CAST(l.l_discount AS DECIMAL(9,2)))) AS DOUBLE) AS profit
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE p.p_name LIKE '%red%'
+        |GROUP BY nation, o_year
+        |ORDER BY nation, o_year DESC""".stripMargin) { (s, dir) =>
+      val p = Tables.part(s, dir).filter(col("p_name").contains("red"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("l_shipdate")).cast("long").as("o_year"))
+        .agg(sum(col("l_extendedprice").cast(d2) *
+          (lit(1) - col("l_discount").cast(d2))).cast("double").as("profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    },
+
     // J3: equi LEFT JOIN enrich (Dashboard_Historical_Final.py:254-270
     // shape) — every order keeps a row even without a matching customer.
     QDef("j3_equi_left_join",
