@@ -18,6 +18,60 @@ import org.apache.spark.sql.functions._
   */
 object DocQueries {
 
+  /** The d7 oracle: exact keep-one-per-near-dup-cluster in pure DuckDB SQL.
+    *
+    *  1. collapse exact-signature groups to their min-id representative
+    *     (Jaccard depends only on the token set, so components over reps
+    *     expand losslessly — and the rep graph is orders smaller);
+    *  2. exhaustive rep pairs at jac >= 0.9, with the size prefilter
+    *     (jac >= t needs 10·min >= 9·max token counts) pruning the cross
+    *     product before any intersect;
+    *  3. `rounds` UNROLLED min-label propagation rounds (DuckDB 1.0 has no
+    *     keyed recursion, and an all-roots reachability CTE is Σ comp²
+    *     rows — it explodes on dense near-dup families);
+    *  4. kept doc ids = DISTINCT final labels (each label is the min doc
+    *     id of its component; singletons keep themselves).
+    *
+    * Self-guarding: if rounds-1 and rounds disagree anywhere, the query
+    * emits a single (-1, 'UNCONVERGED') poison row instead of results, so
+    * an under-unrolled oracle turns the gate red rather than silently
+    * passing a wrong answer. The sf0.1 graph converges in 7 rounds.
+    */
+  private def d7OracleSql(rounds: Int): String = {
+    val props = (1 to rounds).map { i =>
+      s"""l$i AS MATERIALIZED (SELECT node, min(comp) AS comp FROM (
+         |  SELECT node, comp FROM l${i - 1}
+         |  UNION ALL
+         |  SELECT e.v AS node, l.comp FROM e JOIN l${i - 1} l ON e.u = l.node)
+         |GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t AS MATERIALIZED (SELECT doc_id,
+       |  list_sort(list_distinct(string_split(text, ' '))) AS toks
+       |  FROM documents),
+       |reps AS MATERIALIZED (SELECT min(doc_id) AS rep, toks FROM t GROUP BY toks),
+       |p AS MATERIALIZED (SELECT da, db FROM (
+       |    SELECT a.rep AS da, b.rep AS db,
+       |           CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) AS i,
+       |           len(a.toks) + len(b.toks) AS s
+       |    FROM reps a JOIN reps b ON a.rep < b.rep
+       |      AND len(a.toks) * 10 >= len(b.toks) * 9
+       |      AND len(b.toks) * 10 >= len(a.toks) * 9)
+       |  WHERE i / (s - i) >= 0.9),
+       |e AS MATERIALIZED (SELECT da AS u, db AS v FROM p UNION ALL SELECT db AS u, da AS v FROM p),
+       |l0 AS MATERIALIZED (SELECT rep AS node, rep AS comp FROM reps),
+       |$props,
+       |bad AS (SELECT 1 AS x FROM l$rounds a JOIN l${rounds - 1} b
+       |        ON a.node = b.node AND a.comp <> b.comp LIMIT 1)
+       |SELECT d.doc_id AS doc_id, d.source AS source
+       |FROM documents d JOIN (SELECT DISTINCT comp FROM l$rounds) k
+       |  ON d.doc_id = k.comp
+       |WHERE NOT EXISTS (SELECT 1 FROM bad)
+       |UNION ALL
+       |SELECT CAST(-1 AS BIGINT) AS doc_id, 'UNCONVERGED' AS source
+       |FROM (VALUES (1)) v(x) WHERE EXISTS (SELECT 1 FROM bad)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** DuckDB dot product mirroring `graft_dot` over float vectors: every
     * element widened float→double, products summed left-to-right (list_sum
     * matches the strict fold — proven by the green sim1/d5 rows).
@@ -228,16 +282,23 @@ object DocQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
-    // The complete dedup action: LSH candidate edges -> exact-Jaccard
-    // verify (O(candidates)) -> connected components (min-label
-    // propagation) -> keep one doc per duplicate cluster. Rows-only check
-    // (banding is engine-internal); end-to-end spec in DedupSpec.
-    QDef.noOracle("d7_dedup_keep_one") { (s, dir) =>
+    // The complete dedup action: near-dup edges -> connected components
+    // (min-label propagation + pointer jumping) -> keep one doc per
+    // duplicate cluster. Edges come from the corpus-wide prefix-filtered
+    // PPJoin (constant block = the global set-similarity join), which is
+    // provably COMPLETE at the threshold (prefix ≡ cross product,
+    // DedupSpec) — so the kept set is exact and DuckDB can reproduce it.
+    // The LSH spanning-edge path (d2) deliberately does NOT feed this
+    // query: a verified spanning edge (u, bucket-min) can fail the
+    // threshold while a true pair (u, v) elsewhere in the bucket passes,
+    // so LSH keep-one is approximate — kept for candidate generation at
+    // PB scale (d2, DedupSpec), not for the exact dedup action.
+    QDef("d7_dedup_keep_one", d7OracleSql(rounds = 12)) { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      val edges = Dedup.minHashLshEdges(docs, col("text"), col("doc_id"), 16, 4)
-      val verified = Dedup.verifyJaccard(docs, col("text"), col("doc_id"),
-        edges, threshold = 0.9)
-      Dedup.keepOnePerComponent(docs, col("doc_id"), verified)
+      val edges = Dedup.jaccardPairsPrefix(
+        docs.withColumn("__all", lit(0)), col("text"), col("doc_id"),
+        blockCol = "__all", threshold = 0.9)
+      Dedup.keepOnePerComponent(docs, col("doc_id"), edges)
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))
     },
