@@ -45,6 +45,36 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("dup_count"))
       .select(col("keep_doc_id"), col("dup_count"))
 
+  /** The composed EXACT near-dup dedup action at corpus scale: collapse
+    * exact-signature groups to their min-id representative first (one
+    * d1-style shuffle), then run the complete prefix-filtered Jaccard
+    * join + connected components + keep-one over REPRESENTATIVES only.
+    *
+    * Lossless: Jaccard depends only on the shingle set, so an exact-dup
+    * group is a jac=1.0 clique — every member lands in its rep's
+    * component, the component minimum IS a rep (reps are group minima),
+    * and non-rep docs are never kept. Hence kept(reps) == kept(all docs),
+    * while the pair stage shrinks by the square of dup multiplicity (the
+    * sf0.1 corpus: 965k doc pairs → 29k rep pairs, 33×) — exact-dup
+    * cliques are exactly what makes a naive global PPJoin blow up on a
+    * dup-heavy crawl. Returns the kept rows of `df` (hash-gated end to
+    * end by `d7_dedup_keep_one`; rep-collapse equivalence pinned in
+    * DedupSpec).
+    */
+  def keepOneNearDup(df: DataFrame, text: Column, id: Column,
+                     threshold: Double, ngram: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // \u0001 separator: shingles are space-joined words, so a plain space
+    // join would make {"a b"} and {"a","b"} collide for ngram > 1
+    val sig = array_join(array_sort(shingles(text, ngram)), "\u0001")
+    val reps = df
+      .withColumn("__sig_rn", row_number().over(Window.partitionBy(sig).orderBy(id)))
+      .filter(col("__sig_rn") === 1).drop("__sig_rn")
+      .withColumn("__all", lit(0))
+    val edges = jaccardPairsPrefix(reps, text, id, "__all", threshold, ngram)
+    keepOnePerComponent(reps, id, edges).drop("__all")
+  }
+
   /** Token-set Jaccard near-dup pairs within a blocking key (the classic
     * n-gram Jaccard dedup, blocked so candidates are O(pairs-per-block)).
     * Threshold is applied to the *unrounded* similarity; output is rounded
@@ -73,6 +103,42 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
   }
 
+  /** Candidate stage of [[jaccardPairsPrefix]], on a shingled frame
+    * `(blk, doc_id, toks, n)`: distinct (doc_a, doc_b) pairs sharing a
+    * prefix shingle within a block, pruned by the PPJoin size and
+    * positional filters BEFORE the distinct. Package-private so SkewSpec
+    * can pin the candidate count directly (the quantity that decides
+    * whether a hot block blows up).
+    *
+    * Positional filter correctness: a pair with jac ≥ t has overlap
+    * o ≥ ⌈t/(1+t)·(n_a+n_b)⌉; taking w = the FIRST common shingle in the
+    * canonical hash order (which the prefix lemma places inside both
+    * prefixes, at 1-based positions i, j), every common shingle sorts at
+    * or after w in both docs, so o ≤ 1 + min(n_a−i, n_b−j). Keeping every
+    * (w,i,j) instance passing that bound therefore keeps each true pair
+    * via its first-common-shingle instance; later-instance prunes only
+    * drop duplicates the distinct would collapse anyway.
+    */
+  private[graft] def prefixCandidates(d: DataFrame, threshold: Double): DataFrame = {
+    val sorted = array_sort(col("toks"), (l, r) =>
+      when(xxhash64(l) < xxhash64(r), -1)
+        .when(xxhash64(l) > xxhash64(r), 1).otherwise(0))
+    val prefixLen = (col("n") - ceil(col("n") * threshold) + 1).cast("int")
+    val pre = d.select(col("blk"), col("doc_id"), col("n"),
+      posexplode(slice(sorted, lit(1), prefixLen)).as(Seq("pos0", "p")))
+    val a = pre.select(col("blk"), col("p"), col("doc_id").as("doc_a"),
+      (col("pos0") + 1).as("i_a"), col("n").as("pn_a"))
+    val b = pre.select(col("blk"), col("p"), col("doc_id").as("doc_b"),
+      (col("pos0") + 1).as("i_b"), col("n").as("pn_b"))
+    val alpha = ceil(lit(threshold / (1 + threshold)) * (col("pn_a") + col("pn_b")))
+    val sizeOk = least(col("pn_a"), col("pn_b")).cast("double") >=
+      greatest(col("pn_a"), col("pn_b")) * threshold
+    a.join(b, Seq("blk", "p"))
+      .where(col("doc_a") < col("doc_b") && sizeOk &&
+        (lit(1) + least(col("pn_a") - col("i_a"), col("pn_b") - col("i_b"))) >= alpha)
+      .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
   /** PPJoin-style prefix-filtered exact Jaccard (same results as
     * [[jaccardPairs]], different plan): two sets with jac ≥ t must share at
     * least one element among the first |S| - ⌈t·|S|⌉ + 1 elements of a
@@ -88,26 +154,6 @@ object Dedup {
     * returned frame holds exactly one small storage block, freeable with
     * `Bridge.release` once consumed (asserted in DedupSpec).
     */
-  /** Candidate stage of [[jaccardPairsPrefix]], on a shingled frame
-    * `(blk, doc_id, toks, n)`: distinct (doc_a, doc_b) pairs sharing a
-    * prefix shingle within a block. Package-private so SkewSpec can pin
-    * the candidate count directly (the quantity that decides whether a
-    * hot block blows up).
-    */
-  private[graft] def prefixCandidates(d: DataFrame, threshold: Double): DataFrame = {
-    val sorted = array_sort(col("toks"), (l, r) =>
-      when(xxhash64(l) < xxhash64(r), -1)
-        .when(xxhash64(l) > xxhash64(r), 1).otherwise(0))
-    val prefixLen = (col("n") - ceil(col("n") * threshold) + 1).cast("int")
-    val pre = d.select(col("blk"), col("doc_id"),
-      explode(slice(sorted, lit(1), prefixLen)).as("p"))
-    pre.select(col("blk"), col("p"), col("doc_id").as("doc_a"))
-      .join(pre.select(col("blk"), col("p"), col("doc_id").as("doc_b")),
-        Seq("blk", "p"))
-      .where(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
-  }
-
   def jaccardPairsPrefix(df: DataFrame, text: Column, id: Column,
                          blockCol: String, threshold: Double,
                          ngram: Int = 1): DataFrame = {

@@ -294,11 +294,8 @@ object DocQueries {
     // so LSH keep-one is approximate — kept for candidate generation at
     // PB scale (d2, DedupSpec), not for the exact dedup action.
     QDef("d7_dedup_keep_one", d7OracleSql(rounds = 12)) { (s, dir) =>
-      val docs = Tables.documents(s, dir)
-      val edges = Dedup.jaccardPairsPrefix(
-        docs.withColumn("__all", lit(0)), col("text"), col("doc_id"),
-        blockCol = "__all", threshold = 0.9)
-      Dedup.keepOnePerComponent(docs, col("doc_id"), edges)
+      Dedup.keepOneNearDup(Tables.documents(s, dir), col("text"),
+          col("doc_id"), threshold = 0.9)
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))
     },

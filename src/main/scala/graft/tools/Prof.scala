@@ -1,11 +1,11 @@
 package graft.tools
-import graft.pipeline.RedsetPipeline
-import graft.queries.RedsetFixture
+import graft.dedup.Dedup
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Scratch profiling main (not part of the driver contract). Currently:
-  * cost of the inc-gate variants — checkpointed vs recomputed micro-batches.
+  * stage attribution for the exact keep-one dedup action (d7).
   */
 object Prof {
   def main(args: Array[String]): Unit = {
@@ -21,26 +21,35 @@ object Prof {
       println(f"PROF $name%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
-    val rawDf = RedsetFixture.raw(spark, dir)
-    rawDf.count()
-    val evenL = rawDf.filter(pmod(col("query_id").try_cast("long"), lit(2)) === 0)
-    val oddL = rawDf.filter(pmod(col("query_id").try_cast("long"), lit(2)) === 1)
-    val even = t("ckpt even")(evenL.localCheckpoint(true))
-    val odd = t("ckpt odd")(oddL.localCheckpoint(true))
-    val base1 = graft.queries.QDef.tempDir("graft_prof1")
-    Seq(0L -> even, 1L -> odd, 1L -> odd).zipWithIndex.foreach { case ((id, b), i) =>
-      t(s"ckpt inc batch $i") {
-        RedsetPipeline.incrementalBatch(b, id, s"$base1/staged", s"$base1/out", nBuckets = 16)
-      }
+    val docs = graft.Tables.documents(spark, dir)
+    docs.count()
+    val sig = array_join(array_sort(Dedup.shingles(col("text"), 1)), "")
+    val reps = t("rep collapse (ckpt)") {
+      docs.withColumn("__rn", row_number().over(Window.partitionBy(sig).orderBy(col("doc_id"))))
+        .filter(col("__rn") === 1).drop("__rn")
+        .withColumn("__all", lit(0))
+        .localCheckpoint(true)
     }
-    org.apache.spark.sql.graftbridge.Bridge.release(even)
-    org.apache.spark.sql.graftbridge.Bridge.release(odd)
-    val base2 = graft.queries.QDef.tempDir("graft_prof2")
-    Seq(0L -> evenL, 1L -> oddL, 1L -> oddL).zipWithIndex.foreach { case ((id, b), i) =>
-      t(s"lazy inc batch $i") {
-        RedsetPipeline.incrementalBatch(b, id, s"$base2/staged", s"$base2/out", nBuckets = 16)
-      }
+    println(s"  reps: ${reps.count()}")
+    val sh = Dedup.shingles(col("text"), 1)
+    val d = t("shingle ckpt") {
+      reps.select(col("__all").as("blk"), col("doc_id"), sh.as("toks"), size(sh).as("n"))
+        .localCheckpoint(true)
     }
+    val nCand = t("prefix candidates count") {
+      Dedup.prefixCandidates(d, 0.9).count()
+    }
+    println(s"  candidates: $nCand")
+    val edges = t("jaccardPairsPrefix full") {
+      Dedup.jaccardPairsPrefix(reps, col("text"), col("doc_id"), "__all", 0.9)
+    }
+    println(s"  edges: ${edges.count()}")
+    val labels = t("components") { Dedup.components(edges) }
+    println(s"  nodes: ${labels.count()}")
+    val kept = t("keep-one anti join + count") {
+      Dedup.keepOnePerComponent(reps, col("doc_id"), edges).count()
+    }
+    println(s"  kept: $kept")
     spark.stop()
   }
 }

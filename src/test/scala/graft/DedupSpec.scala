@@ -103,6 +103,25 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == Set(1L, 4L))
   }
 
+  test("keepOneNearDup: rep-collapse equals keep-one over the full doc graph") {
+    // Corpus with exact-dup groups AND cross-group near-dups: the kept set
+    // from rep-collapsed dedup must equal components over ALL doc pairs.
+    val corpus = (0L until 60L).map { i =>
+      val base = if (i % 3 != 0) i - (i % 3) else i // exact-dup groups of 3
+      val toks = (0 until 8).map(j => s"t${(base / 3) * 2 + j}") // adjacent
+      (i, toks.mkString(" "))                       // groups overlap 6/8
+    }.toDF("doc_id", "text").withColumn("__one", lit(0))
+    for (t <- Seq(0.6, 0.9)) {
+      val fast = Dedup.keepOneNearDup(corpus, col("text"), col("doc_id"), t)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val allEdges = Dedup.jaccardPairs(corpus, col("text"), col("doc_id"),
+        "__one", t)
+      val slow = Dedup.keepOnePerComponent(corpus, col("doc_id"), allEdges)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(fast == slow, s"threshold $t")
+    }
+  }
+
   test("end-to-end dedup: lsh edges -> exact verify -> components -> keep one") {
     val edges = Dedup.minHashLshEdges(docs, col("text"), col("doc_id"), 16, 4)
     // banding at j=0.8 likely links doc 3 (S-curve false positive) — the
