@@ -160,6 +160,29 @@ object Curation {
         incrementalDedupBatch(batch, batchId, stagingPath, outputPath, nBuckets)
       }.start()
 
+  /** Sequence packing (training-batch prep): documents are concatenated
+    * per `key` in `order` and SPLIT into fixed `budget`-token training
+    * sequences — each row gets the sequence id and in-sequence offset of
+    * its FIRST token (a document crossing a boundary continues into the
+    * next sequence, the standard concat-and-split packing). Pure window
+    * arithmetic: one shuffle on the packing key, running sums stay O(1)
+    * per row. Packing per shard/source (not globally) is what a real
+    * pipeline does anyway — a global pack would serialize the corpus
+    * through one task for no training benefit.
+    */
+  def packSequences(df: DataFrame, text: Column, id: Column, key: Column,
+                    budget: Int): DataFrame = {
+    val n = TextAnalysis.nTokensCol(text)
+    val cum = sum(n).over(
+      Window.partitionBy(key).orderBy(id)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    df.select(id.as("doc_id"), key.as("pack_key"), n.as("n_tokens"),
+        (cum - n).as("start_tok"))
+      .select(col("doc_id"), col("pack_key"), col("n_tokens"),
+        floor(col("start_tok") / budget).cast("long").as("seq_id"),
+        pmod(col("start_tok"), lit(budget.toLong)).as("seq_offset"))
+  }
+
   /** The composed curation pipeline over a `documents`-shaped frame:
     *
     *  1. score: token count, stopword ratio, language-ID (single fused

@@ -345,20 +345,22 @@ object Dedup {
       val prop = sym.join(labels, sym("u") === labels("node"))
         .groupBy(col("v").as("p_node")).agg(min(col("comp")).as("neighbor_min"))
       val stepped = labels.join(prop, labels("node") === prop("p_node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("comp").as("prev"),
           least(col("comp"), coalesce(col("neighbor_min"), col("comp"))).as("comp"))
       // pointer jumping: comp := comp(comp). Every label is itself a node id
       // (labels start as node ids and only propagate mins of node ids), so
       // the lookup always resolves; coalesce guards the self-label rows.
       val lut = stepped.select(col("node").as("c_node"), col("comp").as("c_comp"))
-      val next = stepped.join(lut, stepped("comp") === lut("c_node"), "left")
-        .select(col("node"),
+      // prev rides along in the materialized frame so the convergence probe
+      // is a filter on the cached block, not another join against the old
+      // labels — one fewer job per round
+      val nextFull = stepped.join(lut, stepped("comp") === lut("c_node"), "left")
+        .select(col("node"), col("prev"),
           least(col("comp"), coalesce(col("c_comp"), col("comp"))).as("comp"))
         .localCheckpoint(true)
-      val changed = next.as("n").join(labels.withColumnRenamed("comp", "old").as("o"),
-        Seq("node")).filter(col("comp") =!= col("old")).limit(1).count()
+      val changed = nextFull.filter(col("comp") =!= col("prev")).limit(1).count()
       Bridge.release(labels) // previous round's block is dead now
-      labels = next
+      labels = nextFull // full frame: release() needs the bare checkpoint
       done = changed == 0
       i += 1
     }
@@ -366,7 +368,12 @@ object Dedup {
     if (!done)
       throw new IllegalStateException(
         s"components() did not converge in $maxIter rounds — raise maxIter")
-    labels
+    // strip the probe column behind one last (label-sized) materialization
+    // so the returned frame keeps the (node, comp) contract AND stays a
+    // bare checkpoint the caller can release
+    val result = labels.select(col("node"), col("comp")).localCheckpoint(true)
+    Bridge.release(labels)
+    result
   }
 
   /** The keep-one-per-component dedup action: drops every doc whose

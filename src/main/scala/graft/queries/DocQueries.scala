@@ -437,6 +437,41 @@ object DocQueries {
         .orderBy(col("split"))
     },
 
+    // Sequence packing (training-batch prep): per-source concat-and-split
+    // into 512-token sequences — each doc's (seq_id, seq_offset) from a
+    // running token sum. One shuffle on the packing key; window arithmetic
+    // only.
+    QDef("c3_sequence_packing",
+      """WITH t AS (SELECT doc_id, source,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+        |c AS (SELECT doc_id, source, n,
+        |  SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS start_tok
+        |  FROM t)
+        |SELECT doc_id, source AS pack_key, n AS n_tokens,
+        |  CAST(start_tok // 512 AS BIGINT) AS seq_id,
+        |  CAST(start_tok % 512 AS BIGINT) AS seq_offset
+        |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.curation.Curation.packSequences(Tables.documents(s, dir),
+          col("text"), col("doc_id"), col("source"), budget = 512)
+        .orderBy(col("doc_id"))
+    },
+
+    // Exact per-source token-count quantiles (corpus QA / robust stats):
+    // Spark's exact percentile aggregate vs DuckDB quantile_cont — both
+    // interpolate at p*(n-1), so the doubles hash-match.
+    QDef("t8_source_quantiles",
+      """WITH t AS (SELECT source,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents)
+        |SELECT source AS key, count(*) AS n_docs,
+        |  round(quantile_cont(n, 0.5), 6) AS p50_tokens,
+        |  round(quantile_cont(n, 0.9), 6) AS p90_tokens
+        |FROM t GROUP BY source ORDER BY key""".stripMargin) { (s, dir) =>
+      TextAnalysis.tokenQuantilesPerKey(Tables.documents(s, dir),
+          col("text"), col("source"), Seq(0.5, 0.9))
+        .orderBy(col("key"))
+    },
+
     // Incremental corpus dedup at the gate: the corpus split into two
     // deterministic ingestion batches (doc_id parity), driven through the
     // bucket-recompute pipeline, batch 1 REPLAYED to prove idempotence —

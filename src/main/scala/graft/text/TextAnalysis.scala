@@ -106,6 +106,24 @@ object TextAnalysis {
           .as("chunk_text"))
   }
 
+  /** Exact token-count quantiles per key (corpus QA: length distribution
+    * per source/language drives filter thresholds). Spark's exact
+    * `percentile` aggregate keeps a value→count map per group — O(distinct
+    * lengths) state, fine for bounded metrics like token counts; switch to
+    * `approx_percentile` for unbounded-cardinality metrics. Interpolation
+    * is the standard p·(n−1) linear rule on both engines (DuckDB
+    * `quantile_cont`), so results hash-match exactly.
+    */
+  def tokenQuantilesPerKey(df: DataFrame, text: Column, key: Column,
+                           ps: Seq[Double]): DataFrame = {
+    val n = nTokensCol(text)
+    val aggs = ps.map(p =>
+      round(expr(s"percentile(__n, $p)"), 6).as(s"p${(p * 100).toInt}_tokens"))
+    df.select(key.as("key"), n.as("__n"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_docs"), aggs: _*)
+  }
+
   /** Corpus vocabulary stats: document frequency and IDF per token over
     * distinct tokens per document — one explode + one shuffle on the
     * token, top-k bounded by TakeOrdered. Vocab construction / IDF

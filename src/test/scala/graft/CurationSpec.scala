@@ -119,6 +119,27 @@ class CurationSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("packSequences: concat-and-split offsets, boundary-spanning docs") {
+    // budget 10; key "a": docs of 4, 8, 3 tokens → starts 0, 4, 12
+    //   doc 11 starts seq 0 off 0; doc 12 starts seq 0 off 4 (spans into
+    //   seq 1); doc 13 starts seq 1 off 2. Key "b" packs independently.
+    val docs = Seq(
+      (11L, "a", "t t t t"),
+      (12L, "a", "t t t t t t t t"),
+      (13L, "a", "t t t"),
+      (21L, "b", "t t t t t t t t t t t t")).toDF("doc_id", "source", "text")
+    val got = graft.curation.Curation.packSequences(docs, col("text"),
+        col("doc_id"), col("source"), budget = 10)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (11L, "a", 4L, 0L, 0L),
+      (12L, "a", 8L, 0L, 4L),
+      (13L, "a", 3L, 1L, 2L),
+      (21L, "b", 12L, 0L, 0L)))
+  }
+
   test("curate plan: scoring fuses into the scan side, two window shuffles") {
     val plan = Curation.curate(docs).queryExecution.executedPlan.toString
     assert("Exchange hashpartitioning".r.findAllIn(plan).length == 2, plan)
