@@ -50,8 +50,18 @@ object ScaleProbe {
     t(s"d2 minhash edges ${mult}x") {
       Dedup.minHashLshEdges(big, col("text"), col("doc_id"), 16, 4).count()
     }
+    t(s"d7 exact keep-one ${mult}x") {
+      // replicas are exact dups of the base corpus, so the rep collapse
+      // absorbs the replication before the pair stage — the action should
+      // scale with UNIQUE content, not raw corpus size
+      Dedup.keepOneNearDup(big, col("text"), col("doc_id"), 0.9).count()
+    }
     t(s"c1 curate ${mult}x") {
       Curation.curate(big).count()
+    }
+    t(s"c3 pack sequences ${mult}x") {
+      Curation.packSequences(big, col("text"), col("doc_id"), col("source"),
+        512).count()
     }
     t(s"w5-ish sessionize events") {
       graft.ops.Sessionize.byGap(Tables.events(spark, dir),
