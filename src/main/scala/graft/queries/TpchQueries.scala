@@ -327,6 +327,55 @@ object TpchQueries {
         .orderBy(col("nation"), col("o_year").desc)
     },
 
+    // TPC-H Q12 shape (shipping-mode priority classes): fact join + CASE
+    // conditional counts per group — the "two counters per bucket" pattern
+    // over a join (the testdata has no l_shipmode/commitdate, so
+    // l_linestatus buckets and the urgency classes come from
+    // o_orderpriority — same join + conditional-agg shape).
+    QDef("q12_priority_classes",
+      """SELECT l.l_linestatus AS l_linestatus,
+        |  CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin) { (s, dir) =>
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!hi, 1L).otherwise(0L)).as("low_line_count"))
+        .orderBy(col("l_linestatus"))
+    },
+
+    // TPC-H Q14 shape (promo revenue share): broadcast dim filter inside a
+    // global conditional-ratio aggregate — two decimal sums, one division
+    // at the end ('ECONOMY' stands in for the PROMO% type prefix).
+    QDef("q14_promo_revenue",
+      """SELECT round(100.0 * CAST(SUM(CASE WHEN p.p_type = 'ECONOMY'
+        |    THEN CAST(l.l_extendedprice AS DECIMAL(9,2)) * (1 - CAST(l.l_discount AS DECIMAL(9,2)))
+        |    ELSE CAST(0 AS DECIMAL(9,2)) END) AS DOUBLE)
+        |  / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(9,2)) * (1 - CAST(l.l_discount AS DECIMAL(9,2)))) AS DOUBLE), 6)
+        |  AS promo_revenue_pct
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+        |  AND l.l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""".stripMargin) { (s, dir) =>
+      val rev = col("l_extendedprice").cast(d2) * (lit(1) - col("l_discount").cast(d2))
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-09-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-10-01 00:00:00").cast("timestamp"))
+        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .agg(round(lit(100.0) *
+          sum(when(col("p_type") === "ECONOMY", rev).otherwise(lit(0).cast(d2)))
+            .cast("double") /
+          sum(rev).cast("double"), 6).as("promo_revenue_pct"))
+    },
+
     // J3: equi LEFT JOIN enrich (Dashboard_Historical_Final.py:254-270
     // shape) — every order keeps a row even without a matching customer.
     QDef("j3_equi_left_join",
