@@ -65,6 +65,18 @@ class MultimodalSpec extends AnyFunSuite {
     assert((0 until 4).forall(cell => math.abs(d.features(cell * 4 + 3) - 1.0f) < 1e-6))
   }
 
+  test("Farbfeld 0x0 image round-trips to zero features and zero checksum") {
+    val img = Multimodal.Farbfeld.encode(0, 0, (_, _) => 99)
+    assert(img.length == 16)
+    val back = Multimodal.Farbfeld.decode(img)
+    assert(back.width == 0 && back.height == 0 && back.components.isEmpty)
+    val df = Seq((1L, img)).toDF("id", "payload")
+    val d = Multimodal.decodeFeatures(df, "id", "payload", 4, 4).collect().head
+    assert(d.features.forall(_ == 0.0f))
+    val r = Multimodal.decodeStats(df, "id", "payload").collect().head
+    assert((r.getInt(1), r.getInt(2), r.getLong(3)) == ((0, 0, 0L)))
+  }
+
   test("decodeStats pixel checksum matches the arithmetic the oracle uses") {
     val id = 42L
     val w = (4 + id % 5).toInt
