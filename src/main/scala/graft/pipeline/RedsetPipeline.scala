@@ -259,13 +259,43 @@ object RedsetPipeline {
         withBucket(df).repartition(col("bucket")).write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("bucket").parquet(path)
-      overwriteTouched(outputTable(slice), s"$outputPath/output_table")
+      // the output table feeds its own staging write AND the freshness
+      // dashboard — materialize once, derive both, release.
+      //
+      // Dynamic partition overwrite only replaces partitions PRESENT in
+      // the written frame, so it is correct ONLY for bucket-monotone
+      // views (output rows and workload counts never leave a bucket).
+      // Freshness is NOT monotone — a (instance, table) pair drops out
+      // when new ingests fix it, and a bucket whose recompute is empty
+      // must become empty — so its touched partitions are deleted
+      // explicitly (≤ nBuckets bounded fs ops) before an append.
+      val out = outputTable(slice).localCheckpoint(true)
+      overwriteTouched(out, s"$outputPath/output_table")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      touched.foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$outputPath/freshness/bucket=$b"), true)
+        ()
+      }
+      val fresh = withBucket(freshnessFromOutput(out))
+      fresh.repartition(col("bucket"))
+        .write.mode("append").partitionBy("bucket")
+        .parquet(s"$outputPath/freshness")
+      val workload = withBucket(tablesWorkloadCount(slice))
       overwriteTouched(tablesWorkloadCount(slice), s"$outputPath/workload")
       Bridge.release(slice)
-      spark.read.parquet(s"$outputPath/output_table").drop("bucket")
-        .createOrReplaceGlobalTempView("expert_output_table")
-      spark.read.parquet(s"$outputPath/workload").drop("bucket")
-        .createOrReplaceGlobalTempView("expert_workload")
+      // explicit schemas: an early micro-batch can legitimately write ZERO
+      // rows for a derived view (no freshness problems yet) — the dir then
+      // has no parquet footer and schema inference would fail the stream
+      def view(path: String, schema: org.apache.spark.sql.types.StructType,
+               name: String): Unit =
+        spark.read.schema(schema).parquet(path).drop("bucket")
+          .createOrReplaceGlobalTempView(name)
+      view(s"$outputPath/output_table", withBucket(out).schema, "expert_output_table")
+      view(s"$outputPath/workload", workload.schema, "expert_workload")
+      view(s"$outputPath/freshness", fresh.schema, "expert_freshness")
+      Bridge.release(out)
     }
     ()
   }
@@ -389,10 +419,19 @@ object RedsetPipeline {
   /** Q10: freshness flags — tables whose average time-since-ingest exceeds
     * average time-to-next (A8 HAVING, `update_tables.py:242-264`).
     */
-  def freshnessProblems(flat: DataFrame): DataFrame = {
+  def freshnessProblems(flat: DataFrame): DataFrame =
+    freshnessFromOutput(outputTable(flat))
+
+  /** [[freshnessProblems]] over an ALREADY-computed output table — the
+    * incremental pipeline derives freshness from the same materialized
+    * frame it stages, instead of re-running the interval join. Grouped by
+    * (instance_id, table_id), so it is entity-bucket-decomposable exactly
+    * like the output table itself.
+    */
+  def freshnessFromOutput(out: DataFrame): DataFrame = {
     val since = sum(col("time_since_last_ingest_ms")).cast("double") / count(lit(1))
     val toNext = sum(col("time_to_next_ingest_ms")).cast("double") / count(lit(1))
-    outputTable(flat)
+    out
       .filter(col("time_to_next_ingest_ms").isNotNull)
       .groupBy(col("instance_id"), col("table_id"))
       .agg(since.as("avg_since_ms"), toNext.as("avg_to_next_ms"))

@@ -373,22 +373,49 @@ object RedsetQueries {
     // time-since-ingest exceeds average time-to-next (A8 HAVING,
     // update_tables.py:242-264). HAVING filters on the unrounded averages;
     // round(…, 3) only formats the output (a8 convention).
-    QDef("redset_freshness",
-      s"""$outputTableCtes
-         |SELECT instance_id, table_id,
-         |  round(CAST(SUM(time_since_last_ingest_ms) AS DOUBLE) / count(*), 3) AS avg_since_ms,
-         |  round(CAST(SUM(time_to_next_ingest_ms) AS DOUBLE) / count(*), 3) AS avg_to_next_ms
-         |FROM ot
-         |WHERE time_to_next_ingest_ms IS NOT NULL
-         |GROUP BY instance_id, table_id
-         |HAVING CAST(SUM(time_since_last_ingest_ms) AS DOUBLE) / count(*)
-         |     > CAST(SUM(time_to_next_ingest_ms) AS DOUBLE) / count(*)
-         |ORDER BY instance_id, table_id""".stripMargin) { (s, dir) =>
+    QDef("redset_freshness", freshnessOracleSql) { (s, dir) =>
       RedsetPipeline.freshnessProblems(RedsetPipeline.flattened(raw(s, dir)))
+        .select(col("instance_id"), col("table_id"),
+          round(col("avg_since_ms"), 3).as("avg_since_ms"),
+          round(col("avg_to_next_ms"), 3).as("avg_to_next_ms"))
+        .orderBy(col("instance_id"), col("table_id"))
+    },
+
+    // The freshness dashboard maintained INCREMENTALLY: same two-batch +
+    // replay drive as `redset_output_table_inc`; freshness is derived per
+    // batch from the materialized output slice and its touched-bucket
+    // partitions are delete-then-append (freshness is NOT bucket-monotone,
+    // so dynamic overwrite alone would leave stale rows — this gate pins
+    // the non-monotone maintenance path). Must hash-match the same global
+    // oracle as `redset_freshness`.
+    QDef("redset_freshness_inc", freshnessOracleSql) { (s, dir) =>
+      val base = QDef.tempDir("graft_fresh_inc_gate")
+      val rawDf = raw(s, dir)
+      val even = rawDf.filter(pmod(col("query_id").try_cast("long"), lit(2)) === 0)
+      val odd = rawDf.filter(pmod(col("query_id").try_cast("long"), lit(2)) === 1)
+      Seq(0L -> even, 1L -> odd, 1L -> odd /* at-least-once replay */)
+        .foreach { case (id, b) =>
+          RedsetPipeline.incrementalBatch(b, id,
+            s"$base/staged", s"$base/out", nBuckets = 16)
+        }
+      s.read.parquet(s"$base/out/freshness").drop("bucket")
         .select(col("instance_id"), col("table_id"),
           round(col("avg_since_ms"), 3).as("avg_since_ms"),
           round(col("avg_to_next_ms"), 3).as("avg_to_next_ms"))
         .orderBy(col("instance_id"), col("table_id"))
     }
   )
+
+  /** Shared by `redset_freshness` and its incremental twin. */
+  private lazy val freshnessOracleSql: String =
+    s"""$outputTableCtes
+       |SELECT instance_id, table_id,
+       |  round(CAST(SUM(time_since_last_ingest_ms) AS DOUBLE) / count(*), 3) AS avg_since_ms,
+       |  round(CAST(SUM(time_to_next_ingest_ms) AS DOUBLE) / count(*), 3) AS avg_to_next_ms
+       |FROM ot
+       |WHERE time_to_next_ingest_ms IS NOT NULL
+       |GROUP BY instance_id, table_id
+       |HAVING CAST(SUM(time_since_last_ingest_ms) AS DOUBLE) / count(*)
+       |     > CAST(SUM(time_to_next_ingest_ms) AS DOUBLE) / count(*)
+       |ORDER BY instance_id, table_id""".stripMargin
 }
