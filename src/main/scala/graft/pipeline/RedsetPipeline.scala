@@ -154,11 +154,15 @@ object RedsetPipeline {
                 queryName: String = "redset_expert"): org.apache.spark.sql.streaming.StreamingQuery = {
     raw.writeStream.queryName(queryName)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        flattened(batch).withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
+        val flat = flattened(batch).withColumn("batch_id", lit(batchId))
+        flat.write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id").parquet(stagingPath)
-        val all = batch.sparkSession.read.parquet(stagingPath).drop("batch_id")
+        // explicit schema: a first batch whose rows are all dropped by
+        // cleaning stages zero files, and inference on a footer-less dir
+        // would kill the stream
+        val all = batch.sparkSession.read.schema(flat.schema)
+          .parquet(stagingPath).drop("batch_id")
         outputTable(all).localCheckpoint(true)
           .createOrReplaceGlobalTempView("expert_output_table")
         tablesWorkloadCount(all).localCheckpoint(true)
@@ -249,8 +253,11 @@ object RedsetPipeline {
       .select(pmod(hash(graft.etl.Clean.num(col("instance_id"))), lit(nBuckets)).as("bucket"))
       .distinct().collect().map(_.getInt(0))
     if (touched.nonEmpty) {
-      // partition pruning keeps this read to the touched buckets only
-      val slice = spark.read.parquet(stagingPath)
+      // partition pruning keeps this read to the touched buckets only.
+      // Explicit schema: `touched` comes from the RAW batch, so a batch
+      // whose rows all die in cleaning can reach here with a footer-less
+      // staging dir that schema inference would choke on.
+      val slice = spark.read.schema(flat.schema).parquet(stagingPath)
         .filter(col("bucket").isin(touched.toIndexedSeq.map(Integer.valueOf): _*))
         .drop("bucket", "batch_id")
         .localCheckpoint(true)

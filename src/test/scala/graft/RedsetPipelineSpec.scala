@@ -116,4 +116,26 @@ class RedsetPipelineSpec extends AnyFunSuite {
     // only q2 is a select inside a CLOSED interval -> one bin
     assert(hist.map(r => (r.getInt(0), r.getLong(1))).toSeq == Seq((1, 1L)))
   }
+
+  test("incrementalBatch survives a first batch that cleaning empties out") {
+    // all rows reference no tables -> the F2 row filter drops everything;
+    // the staging dir then has no parquet footer, and the batch-2 replay
+    // must still see correct results (explicit-schema reads)
+    val allDirty = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        raw(91, "2024-03-01 00:00:00", "select", 10, "", "", "5"),
+        raw(92, "2024-03-01 01:00:00", "copy", 10, "[]", "", "5"))),
+      RedsetSchema.rawSchema)
+    val base = graft.queries.QDef.tempDir("graft_empty_inc")
+    RedsetPipeline.incrementalBatch(allDirty, 0L, s"$base/staged",
+      s"$base/out", nBuckets = 4)
+    RedsetPipeline.incrementalBatch(rawDf, 1L, s"$base/staged",
+      s"$base/out", nBuckets = 4)
+    val out = spark.read.parquet(s"$base/out/output_table")
+    assert(out.count() == RedsetPipeline.outputTable(flat).count())
+    val views = spark.sql("SHOW VIEWS IN global_temp").collect()
+      .map(_.getAs[String]("viewName")).toSet
+    assert(Set("expert_output_table", "expert_workload", "expert_freshness")
+      .subsetOf(views))
+  }
 }
