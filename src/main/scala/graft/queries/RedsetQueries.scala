@@ -398,7 +398,14 @@ object RedsetQueries {
           RedsetPipeline.incrementalBatch(b, id,
             s"$base/staged", s"$base/out", nBuckets = 16)
         }
-      s.read.parquet(s"$base/out/freshness").drop("bucket")
+      // explicit schema (derived from the pipeline, analysis-only): at SFs
+      // where no table has a freshness problem the dir holds zero parquet
+      // files and inference would fail — an empty result is a legitimate
+      // answer here, and the oracle agrees on it
+      val freshSchema = RedsetPipeline
+        .freshnessProblems(RedsetPipeline.flattened(rawDf.limit(0)))
+        .schema.add("bucket", org.apache.spark.sql.types.IntegerType)
+      s.read.schema(freshSchema).parquet(s"$base/out/freshness").drop("bucket")
         .select(col("instance_id"), col("table_id"),
           round(col("avg_since_ms"), 3).as("avg_since_ms"),
           round(col("avg_to_next_ms"), 3).as("avg_to_next_ms"))
