@@ -376,6 +376,33 @@ object TpchQueries {
           sum(rev).cast("double"), 6).as("promo_revenue_pct"))
     },
 
+    // TPC-H Q19 shape (disjunctive multi-predicate join): OR of three
+    // (brand, size-range, quantity-range) conjunction groups across the
+    // join — the optimizer must extract the common equi-key and the
+    // per-side CNF factors (brand/size push to the part scan, quantity
+    // bounds to the fact scan) while the residual disjunction evaluates
+    // post-join.
+    QDef("q19_disjunctive_revenue",
+      """SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(9,2)) * (1 - CAST(l.l_discount AS DECIMAL(9,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+        |       AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+        |   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+        |       AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+        |   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+        |       AND l.l_quantity >= 20 AND l.l_quantity <= 30)""".stripMargin) { (s, dir) =>
+      val l = Tables.lineitem(s, dir)
+      val p = Tables.part(s, dir)
+      def grp(brand: String, szHi: Int, qLo: Int, qHi: Int) =
+        col("p_brand") === brand && col("p_size").between(1, szHi) &&
+          col("l_quantity") >= qLo && col("l_quantity") <= qHi
+      l.join(broadcast(p), col("p_partkey") === col("l_partkey") &&
+          (grp("Brand#1", 5, 1, 11) || grp("Brand#2", 10, 10, 20) ||
+            grp("Brand#3", 15, 20, 30)))
+        .agg(sum(col("l_extendedprice").cast(d2) *
+          (lit(1) - col("l_discount").cast(d2))).cast("double").as("revenue"))
+    },
+
     // J3: equi LEFT JOIN enrich (Dashboard_Historical_Final.py:254-270
     // shape) — every order keeps a row even without a matching customer.
     QDef("j3_equi_left_join",
