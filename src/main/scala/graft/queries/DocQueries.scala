@@ -218,6 +218,48 @@ object DocQueries {
         .orderBy(col("doc_id"))
     },
 
+    // IVF ANN, assignment-only scale twin (iters = 0): centroid seeding,
+    // nearest-centroid assignment, probe-list selection, and exact cosine
+    // ranking are all deterministic arithmetic, so this slice of the IVF
+    // path is fully hash-gated — the Lloyd iterations on top (sim3) stay
+    // recall-spec'd. The oracle mirrors everything: every-16th-vector
+    // seeds cast to FLOAT (the Spark literal type), ‖c‖²−2·c·x argmin
+    // with (dist, cid) tie-break, squared-distance probe ranking.
+    QDef("sim3b_ann_ivf_assign",
+      s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+         |ids AS (SELECT vec_id AS cvid,
+         |  CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS rn
+         |  FROM e ORDER BY vec_id LIMIT 256),
+         |cent AS (SELECT CAST(rn // 16 AS INT) AS cid,
+         |  CAST(e2.embedding AS FLOAT[]) AS cvf
+         |  FROM ids JOIN e e2 ON e2.vec_id = ids.cvid WHERE rn % 16 = 0),
+         |cn AS (SELECT cid, cvf,
+         |  list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN cvf]) AS cn2
+         |  FROM cent),
+         |dist AS (SELECT e.vec_id, e.label, e.embedding, c.cid,
+         |  c.cn2 - 2.0 * ${duckDot("c.cvf", "e.embedding")} AS d
+         |  FROM e CROSS JOIN cn c),
+         |assigned AS (SELECT vec_id, label, embedding, cid FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn2
+         |  FROM dist) WHERE rn2 = 1),
+         |q AS (SELECT embedding AS qv FROM e WHERE vec_id = 0),
+         |qp AS (SELECT c.cid FROM cn c CROSS JOIN q
+         |  ORDER BY list_sum([(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+         |    * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+         |    FOR x IN list_zip(c.cvf, q.qv)]), c.cid
+         |  LIMIT 2),
+         |s AS (SELECT a.vec_id, a.label,
+         |  ${duckDot("a.embedding", "q.qv")} /
+         |  (sqrt(${duckDot("a.embedding", "a.embedding")}) *
+         |   sqrt(${duckDot("q.qv", "q.qv")})) AS cos
+         |  FROM assigned a CROSS JOIN q
+         |  WHERE a.vec_id <> 0 AND a.cid IN (SELECT cid FROM qp))
+         |SELECT vec_id, label, round(cos, 6) AS cosine
+         |FROM s ORDER BY round(cos, 6) DESC, vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+      Similarity.ivfAnn(Tables.embeddings(s, dir), queryVecId = 0L, k = 10,
+        nCentroids = 16, nProbe = 2, iters = 0)
+    },
+
     // Brute-force cosine top-k (the ANN baseline): one fixed query vector
     // broadcast against the corpus; double-precision left-fold dot product.
     QDef("sim1_knn_bruteforce",
