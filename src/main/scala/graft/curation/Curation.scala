@@ -117,9 +117,11 @@ object Curation {
     // corpus-sized (≈ the document text), so staging it doubles write I/O;
     // the 8-byte hash keeps staging O(metadata). Keep-one then groups on
     // the hash — same winner (min(doc_id) per group) unless two distinct
-    // signatures collide in 64 bits (~n²/2⁶⁵; at 10¹² docs odds ~3%, and a
-    // collision merges one pair of near-miss groups, losing one doc — an
-    // acceptable dedup-side error; use two independent hashes if not).
+    // signatures collide in 64 bits. Expected colliding pairs ≈ n²/2⁶⁵:
+    // ~3% odds at 10⁹ docs, but ~27k expected collisions at 10¹² — each
+    // merging one pair of near-miss groups and losing one doc. Tolerable
+    // for lossy dedup at 10⁹-10¹⁰ scale; beyond that, stage a second
+    // independent 64-bit hash (e.g. xxhash64(sig, salt)) and group on both.
     val sigH = xxhash64(sig)
     val staged = batch
       .withColumn("__sig_h", sigH)
@@ -133,8 +135,20 @@ object Curation {
       .select(pmod(sigH, lit(nBuckets.toLong)).cast("int").as("bucket"))
       .distinct().collect().map(_.getInt(0))
     if (touched.nonEmpty) {
-      val slice = spark.read.parquet(stagingPath)
+      // Explicit schema, two reasons: (a) a cleaning-emptied first batch
+      // leaves a footer-less dir that inference chokes on; (b) inference
+      // over a staging dir written by an OLDER format (raw `__sig`, no
+      // `__sig_h`) would silently read legacy rows with NULL __sig_h,
+      // collapsing them into one keep-one group (data loss on upgrade).
+      // The raise_error guard turns that silent loss into a fail-fast in
+      // the same scan: new-format rows can never carry a NULL __sig_h
+      // (xxhash64 is null-tolerant — NULL text still hashes to the seed).
+      val slice = spark.read.schema(staged.schema).parquet(stagingPath)
         .filter(col("bucket").isin(touched.toIndexedSeq.map(Integer.valueOf): _*))
+        .withColumn("__sig_h", when(col("__sig_h").isNull, raise_error(lit(
+          s"legacy staging format at $stagingPath: rows without __sig_h — " +
+            "migrate the dir or point stagingPath at a fresh location")))
+          .otherwise(col("__sig_h")))
       val kept = slice
         .withColumn("__rn", row_number().over(
           Window.partitionBy(col("__sig_h")).orderBy(id)))

@@ -84,9 +84,13 @@ object Multimodal {
       val width = buf.getInt
       val height = buf.getInt
       require(width >= 0 && height >= 0, s"bad dims ${width}x$height")
-      val n = width * height * Channels
-      require(bytes.length == HeaderLen + n * 2,
+      // long arithmetic: a crafted header (e.g. 2^30 x 4) overflows the Int
+      // product to 0 and would pass a length check while the real raster is
+      // absent — the guarantee is malformed input THROWS, never bogus stats.
+      // Matching against bytes.length (an Int) also bounds w*h*Channels.
+      require(width.toLong * height * Channels * 2 + HeaderLen == bytes.length,
         s"truncated pixels: ${bytes.length} bytes for ${width}x$height")
+      val n = width * height * Channels
       val comps = new Array[Int](n)
       var i = 0
       while (i < n) { comps(i) = buf.getShort & 0xFFFF; i += 1 }

@@ -149,9 +149,14 @@ object TextAnalysis {
         ranked(df.select(explode(array_distinct(toks(text))).as("token"))
           .groupBy(col("token")).agg(count(lit(1)).as("doc_freq")), lit(n))
       case None =>
-        // distinct tokens are never null, so null is a safe marker
+        // distinct tokens are never null, so null is a safe marker. The
+        // token array is coalesced to empty FIRST: toks(NULL) is NULL, and
+        // concat(array(null), NULL) is NULL, so explode would drop the
+        // whole row — undercounting the IDF denominator on corpora with
+        // null documents relative to df.count()/Some(nDocs) semantics.
         val freq = df.select(explode(concat(
-            array(lit(null).cast("string")), array_distinct(toks(text))))
+            array(lit(null).cast("string")),
+            coalesce(array_distinct(toks(text)), array().cast("array<string>"))))
             .as("token"))
           .groupBy(col("token")).agg(count(lit(1)).as("doc_freq"))
         // Materialize the (vocab+1)-row grouped frame ONCE: its two
