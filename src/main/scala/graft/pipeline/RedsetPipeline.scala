@@ -274,21 +274,33 @@ object RedsetPipeline {
       // views (output rows and workload counts never leave a bucket).
       // Freshness is NOT monotone — a (instance, table) pair drops out
       // when new ingests fix it, and a bucket whose recompute is empty
-      // must become empty — so its touched partitions are deleted
-      // explicitly (≤ nBuckets bounded fs ops) before an append.
+      // must become empty — so touched partitions are REPLACED, not
+      // dynamic-overwritten. Stage-then-swap: the recompute lands in a
+      // side dir first (durable before anything is deleted), then each
+      // touched bucket is swapped in with two fs metadata ops. A crash
+      // mid-swap leaves at most the buckets after the crash point stale
+      // for one replay — not a gap spanning a whole Spark job — and the
+      // staged rows survive for inspection. foreachBatch replay self-heals
+      // either way; this bounds what a concurrent reader can observe.
       val out = outputTable(slice).localCheckpoint(true)
       overwriteTouched(out, s"$outputPath/output_table")
       val fs = org.apache.hadoop.fs.FileSystem.get(
         spark.sparkContext.hadoopConfiguration)
-      touched.foreach { b =>
-        fs.delete(new org.apache.hadoop.fs.Path(
-          s"$outputPath/freshness/bucket=$b"), true)
-        ()
-      }
       val fresh = withBucket(freshnessFromOutput(out))
+      val freshTmp = s"$outputPath/freshness_staging"
       fresh.repartition(col("bucket"))
-        .write.mode("append").partitionBy("bucket")
-        .parquet(s"$outputPath/freshness")
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(freshTmp)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$outputPath/freshness"))
+      touched.foreach { b =>
+        val src = new org.apache.hadoop.fs.Path(s"$freshTmp/bucket=$b")
+        val dst = new org.apache.hadoop.fs.Path(
+          s"$outputPath/freshness/bucket=$b")
+        fs.delete(dst, true)
+        // a touched bucket whose recompute emitted no freshness rows has
+        // no staged dir — the delete alone is the correct "now empty"
+        if (fs.exists(src)) { fs.rename(src, dst); () }
+      }
       val workload = withBucket(tablesWorkloadCount(slice))
       overwriteTouched(tablesWorkloadCount(slice), s"$outputPath/workload")
       Bridge.release(slice)

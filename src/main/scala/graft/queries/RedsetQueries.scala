@@ -384,7 +384,7 @@ object RedsetQueries {
     // The freshness dashboard maintained INCREMENTALLY: same two-batch +
     // replay drive as `redset_output_table_inc`; freshness is derived per
     // batch from the materialized output slice and its touched-bucket
-    // partitions are delete-then-append (freshness is NOT bucket-monotone,
+    // partitions are stage-then-swapped (freshness is NOT bucket-monotone,
     // so dynamic overwrite alone would leave stale rows — this gate pins
     // the non-monotone maintenance path). Must hash-match the same global
     // oracle as `redset_freshness`.
