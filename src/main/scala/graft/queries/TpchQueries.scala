@@ -403,6 +403,322 @@ object TpchQueries {
           (lit(1) - col("l_discount").cast(d2))).cast("double").as("revenue"))
     },
 
+    // TPC-H Q8 shape (national market share): 7-way join where every
+    // dimension chain (part filter, customer→nation→region, supplier→
+    // nation) broadcasts into the single fact scan; the only shuffle is
+    // the lineitem↔orders equi-join, then a per-year conditional ratio.
+    QDef("q8_market_share",
+      """WITH v AS (
+        | SELECT year(o.o_orderdate) AS o_year,
+        |        CAST(l.l_extendedprice AS DECIMAL(9,2)) * (1 - CAST(l.l_discount AS DECIMAL(9,2))) AS volume,
+        |        n2.n_name AS supp_nation
+        | FROM lineitem l
+        | JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'STANDARD'
+        | JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |   AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |   AND o.o_orderdate <= TIMESTAMP '1997-12-31 00:00:00'
+        | JOIN customer c ON c.c_custkey = o.o_custkey
+        | JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+        | JOIN region r ON r.r_regionkey = n1.n_regionkey AND r.r_name = 'ASIA'
+        | JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        | JOIN nation n2 ON n2.n_nationkey = s.s_nationkey)
+        |SELECT o_year,
+        |  round(CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN volume ELSE CAST(0 AS DECIMAL(9,2)) END) AS DOUBLE)
+        |    / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+        |FROM v GROUP BY o_year ORDER BY o_year""".stripMargin) { (s, dir) =>
+      val rev = col("l_extendedprice").cast(d2) * (lit(1) - col("l_discount").cast(d2))
+      val p = Tables.part(s, dir).filter(col("p_type") === "STANDARD")
+        .select(col("p_partkey"))
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") <= lit("1997-12-31 00:00:00").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      // customers in the region, reduced to a broadcast key set BEFORE the
+      // fact join (semi join: their attributes are never needed)
+      val custAsia = Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"))
+      val suppNation = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"), "left_semi")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(custAsia), col("o_custkey") === col("c_custkey"), "left_semi")
+        .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(round(
+          sum(when(col("supp_nation") === "NATION_2", rev).otherwise(lit(0).cast(d2)))
+            .cast("double") / sum(rev).cast("double"), 6).as("mkt_share"))
+        .orderBy(col("o_year"))
+    },
+
+    // TPC-H Q11 shape (important part value): per-part value aggregate
+    // gated on a fraction of the GLOBAL total — the scalar total cross-
+    // joins back as a 1-row broadcast, and the threshold compare is
+    // integer-scaled decimal (sum*1000 > total) so both engines evaluate
+    // it exactly (no decimal-division rounding divergence).
+    QDef("q11_important_values",
+      """WITH v AS (
+        |  SELECT l.l_partkey AS partkey,
+        |         CAST(l.l_extendedprice AS DECIMAL(9,2)) * CAST(l.l_quantity AS DECIMAL(9,2)) AS val
+        |  FROM lineitem l
+        |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name = 'NATION_7'),
+        |t AS (SELECT SUM(val) AS total FROM v)
+        |SELECT v.partkey AS p_partkey, CAST(SUM(v.val) AS DOUBLE) AS value
+        |FROM v, t GROUP BY v.partkey, t.total
+        |HAVING SUM(v.val) * 1000 > t.total
+        |ORDER BY value DESC, p_partkey""".stripMargin) { (s, dir) =>
+      val supp7 = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir).filter(col("n_name") === "NATION_7")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val perPart = Tables.lineitem(s, dir)
+        .join(broadcast(supp7), col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy(col("l_partkey").as("p_partkey"))
+        .agg(sum(col("l_extendedprice").cast(d2) * col("l_quantity").cast(d2))
+          .as("val_sum"))
+      val total = perPart.agg(sum(col("val_sum")).as("total"))
+      perPart.crossJoin(broadcast(total))
+        .filter(col("val_sum") * 1000 > col("total"))
+        .select(col("p_partkey"), col("val_sum").cast("double").as("value"))
+        .orderBy(col("value").desc, col("p_partkey"))
+    },
+
+    // TPC-H Q13 shape (customer order-count distribution): LEFT join with
+    // an extra join-condition predicate (so zero-order customers survive
+    // with count 0), then a histogram of the per-key counts — the second
+    // aggregate's key space is tiny, so all the weight is in the first.
+    QDef("q13_order_distribution",
+      """WITH cc AS (
+        |  SELECT c.c_custkey AS custkey, count(o.o_orderkey) AS c_count
+        |  FROM customer c LEFT JOIN orders o
+        |    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '4-NOT SPECIFIED'
+        |  GROUP BY c.c_custkey)
+        |SELECT c_count, count(*) AS custdist FROM cc
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir).select(col("c_custkey"))
+        .join(Tables.orders(s, dir)
+            .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+            .select(col("o_custkey"), col("o_orderkey")),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    // TPC-H Q15 shape (top supplier): windowed revenue per supplier, then
+    // select the argmax rows via an exact-decimal equality against the
+    // 1-row broadcast MAX — no second fact scan.
+    QDef("q15_top_supplier",
+      """WITH r AS (
+        |  SELECT l_suppkey AS suppkey,
+        |         SUM(CAST(l_extendedprice AS DECIMAL(9,2)) * (1 - CAST(l_discount AS DECIMAL(9,2)))) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey),
+        |m AS (SELECT MAX(total_rev) AS mx FROM r)
+        |SELECT s.s_suppkey AS s_suppkey, s.s_name AS s_name, CAST(r.total_rev AS DOUBLE) AS total_rev
+        |FROM supplier s JOIN r ON s.s_suppkey = r.suppkey JOIN m ON r.total_rev = m.mx
+        |ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+      val r = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
+        .groupBy(col("l_suppkey").as("suppkey"))
+        .agg(sum(col("l_extendedprice").cast(d2) *
+          (lit(1) - col("l_discount").cast(d2))).as("total_rev"))
+      val m = r.agg(max(col("total_rev")).as("mx"))
+      r.join(broadcast(m), col("total_rev") === col("mx"))
+        .join(broadcast(Tables.supplier(s, dir)), col("suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("total_rev").cast("double").as("total_rev"))
+        .orderBy(col("s_suppkey"))
+    },
+
+    // TPC-H Q16 shape (supplier-part relationship): NOT IN → broadcast
+    // ANTI join applied BEFORE the distinct (cheaper input to the
+    // shuffle), distinct (part, supplier) pairs, COUNT(DISTINCT) per part
+    // attribute group.
+    QDef("q16_part_supplier_cnt",
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        |           WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0))
+        |SELECT p.p_brand AS p_brand, p.p_type AS p_type, p.p_size AS p_size,
+        |       count(DISTINCT ps.l_suppkey) AS supplier_cnt
+        |FROM ps JOIN part p ON p.p_partkey = ps.l_partkey
+        |WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+        |  AND p.p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin) { (s, dir) =>
+      val bad = Tables.supplier(s, dir).filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey"))
+      val p = Tables.part(s, dir).filter(col("p_brand") =!= "Brand#1" &&
+        col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45))
+      Tables.lineitem(s, dir).select(col("l_partkey"), col("l_suppkey"))
+        .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    },
+
+    // TPC-H Q17 shape (small-quantity revenue): the correlated per-part
+    // AVG becomes a window over the part key on the ALREADY-semi-filtered
+    // fact (valid because the filter is on part attributes only, so each
+    // surviving part keeps its full row set — one fact scan, one shuffle,
+    // vs. the aggregate-and-join-back form's two scans). The 0.2*avg
+    // threshold is integer-scaled (5*qty*cnt < sum) so the compare is
+    // exact decimal on both engines.
+    QDef("q17_small_quantity",
+      """WITH pa AS (
+        |  SELECT l_partkey, SUM(CAST(l_quantity AS DECIMAL(9,2))) AS sum_qty, COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT round(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) / 7.0, 6) AS avg_yearly
+        |FROM lineitem l
+        |JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#3' AND p.p_type = 'SMALL'
+        |JOIN pa ON pa.l_partkey = l.l_partkey
+        |WHERE CAST(l.l_quantity AS DECIMAL(9,2)) * 5 * pa.cnt < pa.sum_qty""".stripMargin) { (s, dir) =>
+      val p = Tables.part(s, dir)
+        .filter(col("p_brand") === "Brand#3" && col("p_type") === "SMALL")
+        .select(col("p_partkey"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"), "left_semi")
+        .withColumn("sum_qty", sum(col("l_quantity").cast(d2)).over(w))
+        .withColumn("cnt", count(lit(1)).over(w))
+        .filter(col("l_quantity").cast(d2) * 5 * col("cnt") < col("sum_qty"))
+        .agg(round(sum(col("l_extendedprice").cast(d2)).cast("double") / 7.0, 6)
+          .as("avg_yearly"))
+    },
+
+    // TPC-H Q20 shape (dominant-share suppliers): per-(part, supplier)
+    // year volume with the per-part total as a window (reuses the same
+    // shuffle), share threshold integer-scaled, survivors reduced to a
+    // distinct supplier key set before the dimension joins.
+    QDef("q20_dominant_suppliers",
+      """WITH pq AS (
+        |  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(9,2))) AS sq
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        |  GROUP BY l_partkey, l_suppkey),
+        |pt AS (SELECT l_partkey, SUM(sq) AS ts FROM pq GROUP BY l_partkey),
+        |cand AS (
+        |  SELECT DISTINCT pq.l_suppkey AS suppkey
+        |  FROM pq JOIN pt ON pt.l_partkey = pq.l_partkey
+        |  WHERE pq.sq * 10 > pt.ts * 3)
+        |SELECT s.s_suppkey AS s_suppkey, s.s_name AS s_name
+        |FROM supplier s
+        |JOIN cand ON cand.suppkey = s.s_suppkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'AMERICA'
+        |ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+      val pSmall = Tables.part(s, dir)
+        .filter(col("p_name").startsWith("small")).select(col("p_partkey"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
+      val cand = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+        .join(broadcast(pSmall), col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast(d2)).as("sq"))
+        .withColumn("ts", sum(col("sq")).over(w))
+        .filter(col("sq") * 10 > col("ts") * 3)
+        .select(col("l_suppkey").as("suppkey")).distinct()
+      Tables.supplier(s, dir)
+        .join(broadcast(cand), col("s_suppkey") === col("suppkey"), "left_semi")
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "AMERICA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy(col("s_suppkey"))
+    },
+
+    // TPC-H Q21 shape (sole-blame late suppliers): the reference's
+    // EXISTS / NOT EXISTS self-join pair re-expressed as ONE per-(order,
+    // supplier) aggregate plus a per-order window — the fact is scanned
+    // once and shuffled twice (by (order, supplier), then by order)
+    // instead of three correlated scans. "Late" = shipped >90 days after
+    // the order date (the testdata has no commit/receipt dates).
+    QDef("q21_waiting_suppliers",
+      """WITH lo AS (
+        |  SELECT l.l_orderkey AS okey, l.l_suppkey AS skey,
+        |         CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END AS late
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderstatus = 'F'),
+        |pos AS (SELECT okey, skey, SUM(late) AS late_lines FROM lo GROUP BY okey, skey),
+        |od AS (SELECT okey, COUNT(*) AS n_supp,
+        |              SUM(CASE WHEN late_lines > 0 THEN 1 ELSE 0 END) AS n_late
+        |       FROM pos GROUP BY okey)
+        |SELECT s.s_name AS s_name, CAST(SUM(p.late_lines) AS BIGINT) AS numwait
+        |FROM pos p
+        |JOIN od ON od.okey = p.okey
+        |JOIN supplier s ON s.s_suppkey = p.skey
+        |WHERE od.n_supp > 1 AND od.n_late = 1 AND p.late_lines > 0
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin) { (s, dir) =>
+      val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val pos = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey").as("okey"), col("l_suppkey").as("skey"))
+        .agg(sum(when(col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 90 DAYS"), 1L).otherwise(0L))
+          .as("late_lines"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("okey"))
+      pos
+        .withColumn("n_supp", count(lit(1)).over(w))
+        .withColumn("n_late",
+          sum(when(col("late_lines") > 0, 1L).otherwise(0L)).over(w))
+        .filter(col("n_supp") > 1 && col("n_late") === 1 &&
+          col("late_lines") > 0)
+        .join(broadcast(Tables.supplier(s, dir)), col("skey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(sum(col("late_lines")).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name")).limit(100)
+    },
+
+    // TPC-H Q22 shape (lost customers): scalar above-average balance gate
+    // (integer-scaled exact compare against the 1-row broadcast total) +
+    // ANTI join against recent orders, grouped by a synthetic country
+    // code (the testdata has no phone column).
+    QDef("q22_lost_customers",
+      """WITH t AS (SELECT SUM(CAST(c_acctbal AS DECIMAL(9,2))) AS s, COUNT(*) AS n
+        |           FROM customer WHERE c_acctbal > 0.0)
+        |SELECT (c.c_custkey % 7) AS cntrycode, count(*) AS numcust,
+        |       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(9,2))) AS DOUBLE) AS totacctbal
+        |FROM customer c, t
+        |WHERE (c.c_custkey % 7) IN (0, 1, 2, 3, 4)
+        |  AND CAST(c.c_acctbal AS DECIMAL(9,2)) * t.n > t.s
+        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |                  AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin) { (s, dir) =>
+      val bal = col("c_acctbal").cast(d2)
+      val t = Tables.customer(s, dir).filter(col("c_acctbal") > 0.0)
+        .agg(sum(bal).as("s"), count(lit(1)).as("n"))
+      val recent = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("2000-01-01 00:00:00").cast("timestamp"))
+        .select(col("o_custkey"))
+      Tables.customer(s, dir)
+        .withColumn("cntrycode", col("c_custkey") % 7)
+        .filter(col("cntrycode").isin(0, 1, 2, 3, 4))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .crossJoin(broadcast(t))
+        .filter(bal * col("n") > col("s"))
+        .groupBy(col("cntrycode"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(bal).cast("double").as("totacctbal"))
+        .orderBy(col("cntrycode"))
+    },
+
     // J3: equi LEFT JOIN enrich (Dashboard_Historical_Final.py:254-270
     // shape) — every order keeps a row even without a matching customer.
     QDef("j3_equi_left_join",
