@@ -197,6 +197,79 @@ object Curation {
         pmod(col("start_tok"), lit(budget.toLong)).as("seq_offset"))
   }
 
+  /** CCNet-style line-level boilerplate removal: a line appearing in at
+    * least `minDocs` DISTINCT documents is boilerplate (nav bars, cookie
+    * banners, licence footers — the dominant web-crawl noise) and is
+    * stripped from every document, preserving per-document line order.
+    * Returns `(doc_id, clean_text, n_lines_kept, n_lines_dropped)`; a
+    * document whose every line is boilerplate survives with empty text
+    * (dropping it is a downstream length-filter decision).
+    *
+    * Scale shape: the boilerplate set is bounded by corpus_lines/minDocs,
+    * so it BROADCASTS and the corpus side is one explode + map-side flag
+    * join + per-document regroup; the line-frequency pass is a two-level
+    * aggregate (distinct (line, doc) then count). The per-doc
+    * collect_list is bounded by lines-per-document, never corpus-sized.
+    * At PB scale count/flag on `xxhash64(line)` instead of the raw line
+    * (8-byte keys); raw lines kept here for oracle bit-parity.
+    */
+  def stripBoilerplateLines(df: DataFrame, text: Column, id: Column,
+                            minDocs: Int): DataFrame = {
+    val e = df.select(id.as("doc_id"),
+      posexplode(split(text, "\n")).as(Seq("pos", "line")))
+    val bp = e.select(col("line"), col("doc_id")).distinct()
+      .groupBy(col("line")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select(col("line"), lit(true).as("__bp"))
+    e.join(broadcast(bp), Seq("line"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("__bp").isNull,
+            struct(col("pos"), col("line"))))),
+          s => s.getField("line")), "\n").as("clean_text"),
+        sum(when(col("__bp").isNull, 1L).otherwise(0L)).as("n_lines_kept"),
+        sum(when(col("__bp").isNotNull, 1L).otherwise(0L)).as("n_lines_dropped"))
+  }
+
+  /** Per-key temperature-sampling thresholds: flatten the source
+    * distribution p_s ∝ n_s to p'_s ∝ n_s^alpha (the standard
+    * multi-source mixing knob) by accepting each key's documents with
+    * probability (n_min / n_s)^(1-alpha) — the smallest source keeps
+    * everything; at alpha = 0.5 a source 100x larger keeps 10%.
+    * Deterministic and engine-portable: the keep decision compares the
+    * portable content hash against floor(keep_prob · mod), and the
+    * alpha = 0.5 default computes keep_prob via IEEE-exact sqrt
+    * (division, sqrt, multiply, floor are all correctly rounded; pow is
+    * not, so other alphas are Spark-reproducible but not bit-guaranteed
+    * across engines). Returns one row per key:
+    * `(key, n_s, keep_threshold)`.
+    */
+  def temperatureThresholds(df: DataFrame, key: Column, alpha: Double = 0.5,
+                            mod: Long = 1000000L): DataFrame = {
+    val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("n_s"))
+    val ratio = col("n_min").cast("double") / col("n_s")
+    val prob = if (alpha == 0.5) sqrt(ratio) else pow(ratio, 1 - alpha)
+    counts.crossJoin(broadcast(counts.agg(min(col("n_s")).as("n_min"))))
+      .select(col("key"), col("n_s"),
+        floor(prob * mod).cast("long").as("keep_threshold"))
+  }
+
+  /** Apply [[temperatureThresholds]]: keep a document iff its content
+    * hash mod `mod` lands under its key's threshold. The thresholds frame
+    * is one row per key — broadcast join, filter fuses into the scan;
+    * same deterministic-sampling contract as [[hashSampleFilter]]
+    * (re-runs, re-partitionings, and other engines keep the same docs).
+    */
+  def temperatureSample(df: DataFrame, key: Column, text: Column,
+                        alpha: Double = 0.5, mod: Long = 1000000L): DataFrame = {
+    val thr = temperatureThresholds(df, key, alpha, mod)
+      .select(col("key").as("__tkey"), col("keep_threshold").as("__thr"))
+    df.join(broadcast(thr), key === col("__tkey"))
+      .filter(pmod(Fns.rollingHash(text), lit(mod)) < col("__thr"))
+      .drop("__tkey", "__thr")
+  }
+
   /** The composed curation pipeline over a `documents`-shaped frame:
     *
     *  1. score: token count, stopword ratio, language-ID (single fused

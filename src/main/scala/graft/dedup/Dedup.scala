@@ -290,6 +290,47 @@ object Dedup {
       .distinct()
   }
 
+  /** Engine-portable MinHash + banded LSH spanning edges: the same S-curve
+    * banding as [[minHashLshEdges]], but the hash family is
+    * `h_i(tok) = md5(i ':' tok)` compared lexicographically (the minhash
+    * is the smallest hex digest per family) and the band key is
+    * `md5(h_jr '|' ... '|' h_jr+r-1 '|' j)`. md5 and byte-wise string
+    * order are defined identically in every engine, so — unlike the
+    * xxhash64 family, which only Spark implements — the full candidate
+    * structure is reproducible in portable SQL and the `d2b` gate
+    * hash-checks it end to end. Costs ~2x the xxhash64 signature (16-byte
+    * digests + string mins vs 8-byte longs); same plan shape, same
+    * O(docs·bands) edge output. Prefer [[minHashLshEdges]] when
+    * cross-engine reproducibility isn't needed.
+    */
+  def minHashLshEdgesPortable(df: DataFrame, text: Column, id: Column,
+                              numHashes: Int, bands: Int,
+                              ngram: Int = 1): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val tok = df.select(id.as("doc_id"), explode(shingles(text, ngram)).as("t"))
+    val hashCols = (0 until numHashes).map(i =>
+      md5(concat(lit(s"$i:"), col("t"))).as(s"th$i"))
+    val sig = tok.select(col("doc_id") +: hashCols: _*)
+      .groupBy(col("doc_id"))
+      .agg(min(col("th0")).as("h0"),
+        (1 until numHashes).map(i => min(col(s"th$i")).as(s"h$i")): _*)
+    val bandStructs = (0 until bands).map { j =>
+      val parts = (0 until rows).map(r => col(s"h${j * rows + r}"))
+      struct(lit(j).as("band"),
+        md5(concat_ws("|", parts :+ lit(j.toString): _*)).as("band_hash"))
+    }
+    val bandRows = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"),
+        col("b.band_hash").as("band_hash"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("band_hash"))
+    bandRows.withColumn("rep", min(col("doc_id")).over(w))
+      .where(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+      .distinct()
+  }
+
   /** LSH-then-verify: exact Jaccard computed only on candidate pairs
     * (O(candidates), not O(n²)) — the standard second stage after
     * [[minHashLshCandidates]]/[[minHashLshEdges]], dropping the

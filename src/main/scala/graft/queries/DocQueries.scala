@@ -104,6 +104,51 @@ object DocQueries {
        |FROM s ORDER BY round(cos, 6) DESC, vec_id LIMIT 10""".stripMargin
   }
 
+  /** The d2b oracle: the md5 MinHash family of
+    * [[graft.dedup.Dedup.minHashLshEdgesPortable]] mirrored in SQL —
+    * minhash = lexicographic min of the per-family digests, band key =
+    * md5 of the '|'-joined band slice, spanning edges via the
+    * per-bucket window min.
+    */
+  private def d2bOracleSql(numHashes: Int, bands: Int): String = {
+    val r = numHashes / bands
+    val hcols = (0 until numHashes)
+      .map(i => s"min(md5('$i:' || tok)) AS h$i").mkString(", ")
+    val bandSelects = (0 until bands).map { j =>
+      val cat = (0 until r).map(k => s"h${j * r + k}").mkString(" || '|' || ")
+      s"SELECT doc_id, $j AS band, md5($cat || '|$j') AS bh FROM sig"
+    }.mkString("\n UNION ALL ")
+    s"""WITH t AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+       |  FROM documents),
+       |sig AS (SELECT doc_id, $hcols FROM t GROUP BY doc_id),
+       |b AS ($bandSelects),
+       |r AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY band, bh) AS rep FROM b)
+       |SELECT DISTINCT rep AS doc_a, doc_id AS doc_b FROM r WHERE doc_id <> rep
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** The d10 oracle: [[graft.sim.Similarity.semanticDedup]] mirrored in
+    * SQL — the sim2 hyperplane-literal bucket, d5-shape within-bucket
+    * pairwise cosine, greedy drop of every higher-id member of a
+    * >=-threshold pair.
+    */
+  private def d10OracleSql(nBits: Int, dim: Int, tau: Double): String = {
+    val bucket = Similarity.hyperplanes(nBits, dim).zipWithIndex.map {
+      case (w, i) =>
+        val planeLit = w.mkString("[", ", ", "]")
+        s"(CASE WHEN ${duckDot(s"CAST($planeLit AS FLOAT[])", "embedding")} > 0 " +
+          s"THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+    s"""WITH b AS (SELECT vec_id, label, embedding, $bucket AS bucket,
+       |  sqrt(${duckDot("embedding", "embedding")}) AS nrm FROM embeddings),
+       |p AS (SELECT a.vec_id AS va, c.vec_id AS vb,
+       |  ${duckDot("a.embedding", "c.embedding")} / (a.nrm * c.nrm) AS cos
+       |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id),
+       |dr AS (SELECT DISTINCT vb FROM p WHERE cos >= $tau)
+       |SELECT vec_id, label FROM b WHERE vec_id NOT IN (SELECT vb FROM dr)
+       |ORDER BY vec_id""".stripMargin
+  }
+
   val defs: Seq[QDef] = Seq(
 
     // Exact dedup on a canonicalized key (sorted distinct token set) —
@@ -589,6 +634,147 @@ object DocQueries {
           docs.filter(pmod(col("doc_id"), lit(47)) =!= 0),
           docs.filter(pmod(col("doc_id"), lit(47)) === 0))
         .orderBy(col("doc_id"))
+    },
+
+    // MinHash+LSH spanning edges with the engine-portable md5 family —
+    // the hash-gated twin of d2 (same banding, same edge semantics;
+    // different hash family). d2's xxhash64 family stays the scale path.
+    QDef("d2b_minhash_lsh_portable", d2bOracleSql(numHashes = 8, bands = 4)) { (s, dir) =>
+      Dedup.minHashLshEdgesPortable(Tables.documents(s, dir), col("text"),
+          col("doc_id"), numHashes = 8, bands = 4)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // SemDeDup-style semantic dedup over the embedding corpus: LSH-bucket
+    // clusters, within-bucket cosine pairs, greedy keep-lowest-id. Fully
+    // deterministic arithmetic -> hash-gated end to end.
+    QDef("d10_semantic_dedup", d10OracleSql(nBits = 4, dim = 64, tau = 0.2)) { (s, dir) =>
+      Similarity.semanticDedup(Tables.embeddings(s, dir), nBits = 4,
+          threshold = 0.2)
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))
+    },
+
+    // Line-level boilerplate removal (CCNet-style): lines appearing in
+    // >= 3 distinct docs are stripped everywhere, order preserved. The
+    // fixture corpus is single-line, so the gate first reshapes each doc
+    // into deterministic 6-token lines — IDENTICALLY on both engines
+    // (the mm2 pattern: synthesize the fixture shape, exercise the real
+    // operator).
+    QDef("c4_line_dedup",
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |l AS (SELECT doc_id, list_transform(range(1, CAST(ceil(len(toks)/6.0) AS INT) + 1),
+        |        i -> array_to_string(toks[(i-1)*6+1:(i-1)*6+6], ' ')) AS lines FROM d),
+        |p AS (SELECT doc_id, lines, unnest(generate_series(1, len(lines))) AS pos FROM l),
+        |e AS (SELECT doc_id, pos, lines[pos] AS line FROM p),
+        |bp AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS df
+        |       FROM e GROUP BY line) WHERE df >= 3),
+        |f AS (SELECT e.doc_id, e.pos, e.line,
+        |      (e.line IN (SELECT line FROM bp)) AS is_bp FROM e)
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN NOT is_bp THEN line END, chr(10) ORDER BY pos), '') AS clean_text,
+        |  CAST(sum(CASE WHEN is_bp THEN 0 ELSE 1 END) AS BIGINT) AS n_lines_kept,
+        |  CAST(sum(CASE WHEN is_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_dropped
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val toksC = split(col("text"), " ")
+      val nLines = ceil(size(toksC) / lit(6.0)).cast("int")
+      val lined = Tables.documents(s, dir).select(
+        col("doc_id"),
+        array_join(transform(sequence(lit(1), nLines),
+          i => array_join(slice(toksC, (i - 1) * 6 + 1, lit(6)), " ")), "\n")
+          .as("text"))
+      graft.curation.Curation.stripBoilerplateLines(lined, col("text"),
+          col("doc_id"), minDocs = 3)
+        .orderBy(col("doc_id"))
+    },
+
+    // PII redaction: the fixture text carries no PII, so the gate plants
+    // a deterministic contact tail (email + IP + phone derived from
+    // doc_id) identically on both engines, then the operator redacts and
+    // counts. Patterns are interpolated from the SAME constants the
+    // engine uses (TextAnalysis.EmailPattern/Ipv4Pattern/PhonePattern).
+    QDef("t9_pii_redaction",
+      s"""WITH aug AS (SELECT doc_id,
+         |  text || ' contact_' || doc_id || '@mail' || (doc_id % 7) || '.com ip 10.'
+         |    || (doc_id % 256) || '.0.' || (doc_id % 100) || ' tel +1'
+         |    || (1000000 + doc_id * 37) AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(t,
+         |    '${TextAnalysis.EmailPattern}', '<EMAIL>', 'g'),
+         |    '${TextAnalysis.Ipv4Pattern}', '<IP>', 'g'),
+         |    '${TextAnalysis.PhonePattern}', '<PHONE>', 'g') AS clean_text,
+         |  CAST(len(regexp_extract_all(t, '${TextAnalysis.EmailPattern}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t, '${TextAnalysis.Ipv4Pattern}')) AS BIGINT) AS n_ipv4,
+         |  CAST(len(regexp_extract_all(t, '${TextAnalysis.PhonePattern}')) AS BIGINT) AS n_phones
+         |FROM aug ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val id = col("doc_id")
+      val aug = concat(col("text"),
+        lit(" contact_"), id.cast("string"),
+        lit("@mail"), pmod(id, lit(7)).cast("string"),
+        lit(".com ip 10."), pmod(id, lit(256)).cast("string"),
+        lit(".0."), pmod(id, lit(100)).cast("string"),
+        lit(" tel +1"), (id * 37 + 1000000).cast("string"))
+      TextAnalysis.redactPii(
+          Tables.documents(s, dir).select(col("doc_id"), aug.as("text")),
+          col("text"), col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Unigram LM quality score: corpus token log-probs averaged per doc
+    // (perplexity proxy). DECIMAL-summed per-token log-probs keep the
+    // mean order-independent and engine-portable.
+    QDef("t10_unigram_logprob",
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |cnt AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+        |n AS (SELECT CAST(sum(c) AS DOUBLE) AS nt FROM cnt),
+        |lp AS (SELECT tok, CAST(round(ln(CAST(c AS DOUBLE) / n.nt), 6) AS DECIMAL(18,6)) AS lp6
+        |       FROM cnt, n),
+        |s AS (SELECT tk.doc_id, sum(lp.lp6) AS slp, count(*) AS n_tokens
+        |      FROM tk JOIN lp ON tk.tok = lp.tok GROUP BY tk.doc_id)
+        |SELECT doc_id, n_tokens, round(CAST(slp AS DOUBLE) / n_tokens, 6) AS avg_logprob
+        |FROM s ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.unigramLogProb(Tables.documents(s, dir), col("text"),
+          col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Temperature-weighted source sampling (multi-source mixing): the
+    // fixture's sources are uniform, so the gate derives a deterministic
+    // SKEWED key from doc_id (one 50% key, one 25%, four 6.25%) and
+    // checks per-key before/after counts plus the acceptance threshold.
+    QDef("c5_temperature_sample",
+      """WITH h AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 16 < 8 THEN 'w0' WHEN doc_id % 16 < 12 THEN 'w1'
+        |       ELSE 'w' || (doc_id % 16) END AS skey,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    [CAST(ascii(c) AS BIGINT) FOR c IN string_split(text, '')]),
+        |    (a, b) -> (a * 31 + b) % 1000000007) % 1000000 AS hm
+        |  FROM documents),
+        |c AS (SELECT skey, count(*) AS n_s FROM h GROUP BY skey),
+        |m AS (SELECT min(n_s) AS n_min FROM c),
+        |r AS (SELECT c.skey, c.n_s,
+        |  CAST(floor(sqrt(CAST(m.n_min AS DOUBLE) / c.n_s) * 1000000) AS BIGINT) AS thr
+        |  FROM c, m),
+        |k AS (SELECT h.skey FROM h JOIN r ON h.skey = r.skey WHERE h.hm < r.thr)
+        |SELECT r.skey AS key, r.n_s AS n_before,
+        |  CAST(coalesce(kk.cnt, 0) AS BIGINT) AS n_kept, r.thr AS keep_threshold
+        |FROM r LEFT JOIN (SELECT skey, count(*) AS cnt FROM k GROUP BY skey) kk
+        |  ON r.skey = kk.skey
+        |ORDER BY key""".stripMargin) { (s, dir) =>
+      val g = pmod(col("doc_id"), lit(16))
+      val skewKey = when(g < 8, lit("w0")).when(g < 12, lit("w1"))
+        .otherwise(concat(lit("w"), g.cast("string")))
+      val docs = Tables.documents(s, dir).withColumn("skey", skewKey)
+      val thr = graft.curation.Curation.temperatureThresholds(docs, col("skey"))
+      val kept = graft.curation.Curation
+        .temperatureSample(docs, col("skey"), col("text"))
+        .groupBy(col("skey").as("key")).agg(count(lit(1)).as("__kept"))
+      thr.select(col("key"), col("n_s").as("n_before"), col("keep_threshold"))
+        .join(kept, Seq("key"), "left")
+        .select(col("key"), col("n_before"),
+          coalesce(col("__kept"), lit(0L)).as("n_kept"), col("keep_threshold"))
+        .orderBy(col("key"))
     },
 
     // The composed curation pipeline (graft.curation.Curation.curate):

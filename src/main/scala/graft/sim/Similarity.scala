@@ -173,6 +173,26 @@ object Similarity {
       .limit(k)
   }
 
+  /** SemDeDup-style semantic dedup: LSH-bucket the corpus (random
+    * hyperplane signs — the cluster stand-in; any coarse quantizer drops
+    * into the same shape), compute within-bucket pairwise cosine, and drop
+    * every vector that has a lower-id neighbor at cosine >= `threshold`
+    * (greedy first-seen-wins, the standard "prune all but one embedding
+    * per semantic cluster above the similarity knob" action). Candidate
+    * generation is bucket-blocked — O(pairs per bucket), never
+    * corpus-quadratic; at 100 TB the bucket column is the parquet layout
+    * key, making the pair join partition-local. Returns the kept rows of
+    * `emb` (lazy — corpus-sized output).
+    */
+  def semanticDedup(emb: DataFrame, nBits: Int, threshold: Double,
+                    dim: Int = 64): DataFrame = {
+    val bucketed = emb.withColumn("bucket", lshBucket(col("embedding"), nBits, dim))
+    val dropped = graft.dedup.Dedup
+      .embeddingNearDupPairs(bucketed, "bucket", threshold)
+      .select(col("vec_b")).distinct()
+    emb.join(dropped, emb("vec_id") === dropped("vec_b"), "left_anti")
+  }
+
   /** Approximate top-k: candidates are vectors whose LSH bucket is within
     * Hamming distance 1 of the query's bucket (multi-probe over nBits+1
     * buckets), ranked by exact cosine. Expected candidate set:

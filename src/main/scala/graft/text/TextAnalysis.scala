@@ -174,6 +174,60 @@ object TextAnalysis {
     }
   }
 
+  // PII patterns, shared verbatim with the SQL oracle. RE2-compatible (no
+  // lookaround, ASCII \b), so the same strings run under java.util.regex
+  // (Spark) and RE2 (DuckDB) with identical match semantics.
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhonePattern = "\\+\\d{7,15}"
+
+  /** PII redaction: replace emails, dotted-quad IPs, and +international
+    * phone numbers with typed placeholder tags and count each class per
+    * document (the audit trail a compliance pass needs). Three chained
+    * regexp_replaces in one codegen'd projection over the scan — order
+    * only matters in that earlier placeholders must not re-match later
+    * patterns ('<EMAIL>' contains neither digits nor '@').
+    */
+  def redactPii(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val clean = regexp_replace(regexp_replace(regexp_replace(text,
+      EmailPattern, "<EMAIL>"), Ipv4Pattern, "<IP>"), PhonePattern, "<PHONE>")
+    df.select(id.as("doc_id"), clean.as("clean_text"),
+      size(regexp_extract_all(text, lit(EmailPattern), lit(0))).cast("long")
+        .as("n_emails"),
+      size(regexp_extract_all(text, lit(Ipv4Pattern), lit(0))).cast("long")
+        .as("n_ipv4"),
+      size(regexp_extract_all(text, lit(PhonePattern), lit(0))).cast("long")
+        .as("n_phones"))
+  }
+
+  /** Unigram language-model quality score: every token's corpus log
+    * probability ln(count/total), averaged per document — the cheap
+    * perplexity proxy (docs full of rare/garbage tokens score low, fluent
+    * ones high; the standard first-cut quality knob before a real LM).
+    * Two corpus passes by construction — the model pass and the scoring
+    * pass, the shape of any train-then-apply scorer: pass one builds the
+    * vocab-sized count table (materialized once); pass two re-explodes
+    * the corpus and joins it on the token (AQE broadcasts when the vocab
+    * fits, else it's one key-shuffle). Per-token log-probs are rounded to
+    * 6 decimals and summed as DECIMAL(18,6) — order-independent exact —
+    * so the per-doc mean is engine-portable.
+    */
+  def unigramLogProb(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val tk = df.select(id.as("doc_id"), explode(toks(text)).as("tok"))
+    val cnt = tk.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // vocab-sized; feeds the total AND the join
+    val total = cnt.agg(sum(col("c")).cast("double").as("__nt"))
+    val lp = cnt.crossJoin(broadcast(total))
+      .select(col("tok"),
+        round(log(col("c").cast("double") / col("__nt")), 6)
+          .cast("decimal(18,6)").as("lp6"))
+    tk.join(lp, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("lp6")).cast("double") / count(lit(1)), 6)
+          .as("avg_logprob"))
+  }
+
   /** Repetition metrics (the Gopher-style repetition filters): fraction of
     * duplicated tokens and the share of the most frequent word bigram.
     * Highly repetitive documents (boilerplate, generated spam, scraper

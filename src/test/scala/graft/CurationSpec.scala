@@ -146,4 +146,43 @@ class CurationSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("collect_list"))
   }
+
+  test("stripBoilerplateLines drops corpus-frequent lines, preserves order, keeps empty docs") {
+    val lined = Seq(
+      (1L, "alpha\ncookie banner\nshared two\nbody one"),
+      (2L, "cookie banner\nshared two\nbody two"),
+      (3L, "intro\ncookie banner"),
+      (4L, "cookie banner\ncookie banner") // in-doc repeat counts once for df
+    ).toDF("doc_id", "text")
+    val r = Curation.stripBoilerplateLines(lined, col("text"), col("doc_id"),
+        minDocs = 3)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2), x.getLong(3)))
+    // "cookie banner" appears in 4 distinct docs -> stripped everywhere;
+    // "shared two" in only 2 -> kept
+    assert(r(0) == ((1L, "alpha\nshared two\nbody one", 3L, 1L)))
+    assert(r(1) == ((2L, "shared two\nbody two", 2L, 1L)))
+    assert(r(2) == ((3L, "intro", 1L, 1L)))
+    assert(r(3) == ((4L, "", 0L, 2L)))
+  }
+
+  test("temperatureSample: exact thresholds, small source kept whole, big source thinned, deterministic") {
+    val rows = (0 until 64).map(i => (i.toLong, "big", s"doc unique text $i")) ++
+      (100 until 104).map(i => (i.toLong, "small", s"rare source doc $i"))
+    val df = rows.toDF("doc_id", "src", "text")
+    val thr = Curation.temperatureThresholds(df, col("src"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // n_min=4: big keeps sqrt(4/64)=0.25 -> 250000; small keeps all
+    assert(thr == Set(("big", 64L, 250000L), ("small", 4L, 1000000L)))
+    val kept = Curation.temperatureSample(df, col("src"), col("text"))
+    val bySrc = kept.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc.getOrElse("small", 0L) == 4L)
+    assert(bySrc("big") > 0L && bySrc("big") < 64L)
+    // pure function of content: a second run keeps the identical id set
+    val ids1 = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Curation.temperatureSample(df, col("src"), col("text"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+  }
 }

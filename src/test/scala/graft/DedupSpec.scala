@@ -144,4 +144,16 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("portable md5 minhash edges connect exact duplicates to their rep, never dissimilar docs") {
+    val edges = Dedup.minHashLshEdgesPortable(docs, col("text"), col("doc_id"),
+        numHashes = 8, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical token sets {1,2,5} share every band hash -> both non-rep
+    // members link to the bucket minimum 1
+    assert(edges.contains((1L, 2L)))
+    assert(edges.contains((1L, 5L)))
+    // doc 4 shares no tokens with anything: no band collision
+    assert(!edges.exists { case (a, b) => a == 4L || b == 4L })
+  }
 }

@@ -69,4 +69,46 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("avg_token_len") - 9.0 / 4) < 1e-9)
     assert(math.abs(r.getAs[Double]("stopword_ratio") - 0.5) < 1e-9)
   }
+
+  test("semanticDedup keeps id 0 and leaves no in-bucket pair above the threshold") {
+    val kept = Similarity.semanticDedup(emb, nBits = 4, threshold = 0.9, dim = 8)
+    val ids = kept.collect().map(_.getLong(0)).toSet
+    assert(ids.contains(0L)) // lowest id can never be dropped
+    // 3 tight clusters of 20 at cos ~0.997 -> most of each cluster collapses
+    assert(ids.size < 30, s"kept ${ids.size} of 60")
+    // the invariant the greedy guarantees: no two survivors in the same
+    // bucket are still >= threshold similar
+    val keptB = kept.withColumn("bucket",
+      Similarity.lshBucket(col("embedding"), 4, 8))
+    assert(graft.dedup.Dedup.embeddingNearDupPairs(keptB, "bucket", 0.9)
+      .count() == 0L)
+  }
+
+  test("redactPii replaces and counts emails, IPs, phones") {
+    val docs = Seq(
+      (1L, "mail bob@corp.io or admin+x@a.b.co from 192.168.1.17 call +4915112345678"),
+      (2L, "no pii here at all")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.redactPii(docs, col("text"), col("doc_id"))
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[String]("clean_text") ==
+      "mail <EMAIL> or <EMAIL> from <IP> call <PHONE>")
+    assert((r(0).getAs[Long]("n_emails"), r(0).getAs[Long]("n_ipv4"),
+      r(0).getAs[Long]("n_phones")) == ((2L, 1L, 1L)))
+    assert(r(1).getAs[String]("clean_text") == "no pii here at all")
+    assert(r(1).getAs[Long]("n_emails") == 0L)
+  }
+
+  test("unigramLogProb: hand-computed corpus log-probs, decimal-summed mean") {
+    val docs = Seq((1L, "a a a"), (2L, "a b")).toDF("doc_id", "text")
+    // counts: a=4, b=1, total=5; lp6(a)=round(ln(0.8),6)=-0.223144,
+    // lp6(b)=round(ln(0.2),6)=-1.609438
+    val r = TextAnalysis.unigramLogProb(docs, col("text"), col("doc_id"))
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("n_tokens") == 3L)
+    assert(r(0).getAs[Double]("avg_logprob") == -0.223144)
+    assert(r(1).getAs[Long]("n_tokens") == 2L)
+    // (-0.223144 + -1.609438) / 2 = -0.916291
+    assert(r(1).getAs[Double]("avg_logprob") == -0.916291)
+  }
 }
