@@ -186,11 +186,25 @@ object Similarity {
     */
   def semanticDedup(emb: DataFrame, nBits: Int, threshold: Double,
                     dim: Int = 64): DataFrame = {
-    val bucketed = emb.withColumn("bucket", lshBucket(col("embedding"), nBits, dim))
-    val dropped = graft.dedup.Dedup
+    import org.apache.spark.sql.expressions.Window
+    // Exact-duplicate collapse first (the keepOneNearDup defense applied
+    // to embeddings): identical vectors are cos=1 cliques, so only the
+    // min-id member can survive and the pairwise stage shrinks by the
+    // square of dup multiplicity — a replicated corpus stays linear
+    // instead of melting the hottest bucket. Equivalent to the
+    // uncollapsed greedy for any threshold <= 1 given non-zero vectors
+    // (identical ZERO vectors have NaN cosine and would all survive
+    // uncollapsed; here they collapse — the saner answer anyway).
+    val reps = emb.withColumn("__ern", row_number().over(
+        Window.partitionBy(col("embedding")).orderBy(col("vec_id"))))
+      .filter(col("__ern") === 1).drop("__ern")
+    val bucketed = reps.withColumn("bucket", lshBucket(col("embedding"), nBits, dim))
+    val droppedReps = graft.dedup.Dedup
       .embeddingNearDupPairs(bucketed, "bucket", threshold)
       .select(col("vec_b")).distinct()
-    emb.join(dropped, emb("vec_id") === dropped("vec_b"), "left_anti")
+    val keptReps = reps
+      .join(droppedReps, reps("vec_id") === droppedReps("vec_b"), "left_anti")
+    emb.join(keptReps.select(col("vec_id")), Seq("vec_id"), "left_semi")
   }
 
   /** Approximate top-k: candidates are vectors whose LSH bucket is within

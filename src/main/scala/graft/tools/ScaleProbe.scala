@@ -63,6 +63,39 @@ object ScaleProbe {
       Curation.packSequences(big, col("text"), col("doc_id"), col("source"),
         512).count()
     }
+    t(s"d2b md5 minhash edges ${mult}x") {
+      Dedup.minHashLshEdgesPortable(big, col("text"), col("doc_id"), 8, 4).count()
+    }
+    t(s"c4 line dedup ${mult}x") {
+      // reshape into 6-token lines first (the c4 gate shape)
+      val toks = split(col("text"), " ")
+      val lined = big.select(col("doc_id"),
+        array_join(transform(
+          sequence(lit(1), ceil(size(toks) / lit(6.0)).cast("int")),
+          i => array_join(slice(toks, (i - 1) * 6 + 1, lit(6)), " ")), "\n")
+          .as("text"))
+      Curation.stripBoilerplateLines(lined, col("text"), col("doc_id"),
+        minDocs = 3 * mult).count()
+    }
+    t(s"t10 unigram logprob ${mult}x") {
+      graft.text.TextAnalysis.unigramLogProb(big, col("text"), col("doc_id"))
+        .count()
+    }
+    t(s"c5 temperature sample ${mult}x") {
+      Curation.temperatureSample(big, col("source"), col("text")).count()
+    }
+    t(s"d10 semantic dedup ${mult}x") {
+      // replicated vec_ids with IDENTICAL embeddings: the adversarial
+      // dup-heavy case — the exact-dup rep collapse must absorb the
+      // replication before the within-bucket pairwise stage
+      val emb = Tables.embeddings(spark, dir)
+      val bigEmb = (0 until mult).map { r =>
+        emb.select((col("vec_id") + lit(r.toLong * 10000000L)).as("vec_id"),
+          col("embedding"), col("label"))
+      }.reduce(_ unionByName _)
+      graft.sim.Similarity.semanticDedup(bigEmb, nBits = 4, threshold = 0.2)
+        .count()
+    }
     t(s"w5-ish sessionize events") {
       graft.ops.Sessionize.byGap(Tables.events(spark, dir),
         col("user_id"), col("ts"), col("event_id"), 3600000L).count()
