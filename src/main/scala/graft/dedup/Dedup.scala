@@ -453,6 +453,27 @@ object Dedup {
       .select(col("doc_id"), bitCols.reduce(_ + _).as("simhash"))
   }
 
+  /** Engine-portable SimHash twin of [[simHash]]: per-token bits come from
+    * the portable base-31 rolling hash (`Fns.rollingHash`, < 2^30) instead
+    * of xxhash64, so the entire fingerprint is reproducible in portable
+    * SQL and the `d3b` gate hash-checks every bit (a vote miscount or
+    * sign slip flips the fingerprint). Parity path: the per-token hash is
+    * a nested HOF fold (interpreted) — [[simHash]]'s codegen'd xxhash64
+    * stays the scale path; banding/near-pair mechanics are shared.
+    */
+  def simHashPortable(df: DataFrame, text: Column, id: Column,
+                      nBits: Int = 24): DataFrame = {
+    require(nBits > 0 && nBits <= 30, s"nBits must be in (0, 30]: $nBits")
+    val hs = transform(tokens(text), t => Fns.rollingHash(t))
+    val bitCols = (0 until nBits).map { b =>
+      val vote = aggregate(col("hs"), lit(0L), (acc, h) =>
+        acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    df.select(id.as("doc_id"), hs.as("hs"))
+      .select(col("doc_id"), bitCols.reduce(_ + _).as("simhash"))
+  }
+
   /** Hamming-near SimHash pairs, blocked by signature bands: split the
     * 32-bit fingerprint into `maxDist + 1` contiguous bands — by pigeonhole,
     * two fingerprints within Hamming distance ≤ maxDist agree *exactly* on

@@ -149,6 +149,23 @@ object DocQueries {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** The d3b oracle: [[graft.dedup.Dedup.simHashPortable]] mirrored in SQL
+    * — per-token portable rolling hashes, per-bit +1/-1 votes expressed as
+    * 2·count(set) − n, fingerprint = Σ 2^b over positive votes.
+    */
+  private def d3bOracleSql(nBits: Int): String = {
+    val terms = (0 until nBits).map { b =>
+      s"(CASE WHEN 2 * len([x FOR x IN hs IF (x // ${1L << b}) % 2 = 1]) - len(hs) > 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString("\n + ")
+    s"""WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+       |  FROM documents),
+       |h AS (SELECT doc_id, [list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  [CAST(ascii(c) AS BIGINT) FOR c IN string_split(tk, '')]),
+       |  (a, b) -> (a * 31 + b) % 1000000007) FOR tk IN toks] AS hs FROM t)
+       |SELECT doc_id, CAST($terms AS BIGINT) AS simhash
+       |FROM h ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Seq[QDef] = Seq(
 
     // Exact dedup on a canonicalized key (sorted distinct token set) —
@@ -390,6 +407,15 @@ object DocQueries {
     // SimHash 32-bit fingerprints (Hamming-near pairs via the library op).
     QDef.noOracle("d3_simhash") { (s, dir) =>
       Dedup.simHash(Tables.documents(s, dir), col("text"), col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+
+    // SimHash with the engine-portable rolling-hash bit source — the
+    // hash-gated twin of d3 (every vote and sign is oracle-checked; the
+    // xxhash64 fingerprint stays the scale path).
+    QDef("d3b_simhash_portable", d3bOracleSql(nBits = 24)) { (s, dir) =>
+      Dedup.simHashPortable(Tables.documents(s, dir), col("text"),
+          col("doc_id"), nBits = 24)
         .orderBy(col("doc_id"))
     },
 

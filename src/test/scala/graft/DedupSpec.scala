@@ -156,4 +156,14 @@ class DedupSpec extends AnyFunSuite {
     // doc 4 shares no tokens with anything: no band collision
     assert(!edges.exists { case (a, b) => a == 4L || b == 4L })
   }
+
+  test("portable simhash: identical token sets share the fingerprint; near sets are Hamming-close") {
+    val fp = Dedup.simHashPortable(docs, col("text"), col("doc_id"), nBits = 24)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L) && fp(1L) == fp(5L)) // same token set
+    assert(fp.values.forall(v => v >= 0 && v < (1L << 24)))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // one-token superset stays closer than a disjoint doc
+    assert(ham(fp(1L), fp(3L)) < ham(fp(1L), fp(4L)))
+  }
 }
