@@ -270,6 +270,35 @@ object Curation {
       .drop("__tkey", "__thr")
   }
 
+  /** Gopher-style composite quality filter with a per-rule audit trail:
+    * every document gets a 0/1 flag per violated rule (length band,
+    * stopword ratio, duplicated-token ratio, top-bigram share) plus the
+    * combined `keep` — the auditable form real pipelines need (a bare
+    * boolean can't answer "why did we drop 40% of source X?"; per-rule
+    * flags aggregate into exactly that report). One corpus scan: the
+    * scan-fused scalars ride through [[TextAnalysis.repetitionMetrics]]'s
+    * bigram explode via its `carry` hook, so the plan is the t5 shape
+    * (two keyed shuffles) with flags appended. Thresholds compare the
+    * 6-decimal-rounded ratios (determinism contract).
+    */
+  def qualityFilter(df: DataFrame, text: Column, id: Column,
+                    minTokens: Long = 20, maxTokens: Long = 80,
+                    maxStopwordRatio: Double = 0.1,
+                    maxDupTokenRatio: Double = 0.6,
+                    maxTopBigramFrac: Double = 0.06): DataFrame = {
+    val flag = (c: Column) => when(c, 1L).otherwise(0L)
+    TextAnalysis.repetitionMetrics(df, text, id,
+        carry = Seq("stopword_ratio" -> TextAnalysis.stopwordRatioCol(text)))
+      .select(col("doc_id"), col("n_tokens"),
+        flag(col("n_tokens") < minTokens || col("n_tokens") > maxTokens)
+          .as("f_len"),
+        flag(col("stopword_ratio") > maxStopwordRatio).as("f_stop"),
+        flag(col("dup_token_ratio") > maxDupTokenRatio).as("f_rep"),
+        flag(col("top_bigram_frac") > maxTopBigramFrac).as("f_bigram"))
+      .withColumn("keep",
+        flag(col("f_len") + col("f_stop") + col("f_rep") + col("f_bigram") === 0))
+  }
+
   /** The composed curation pipeline over a `documents`-shaped frame:
     *
     *  1. score: token count, stopword ratio, language-ID (single fused

@@ -803,6 +803,36 @@ object DocQueries {
         .orderBy(col("key"))
     },
 
+    // Composite quality filter with per-rule audit flags (Gopher-style):
+    // length band, stopword ratio, dup-token ratio, top-bigram share —
+    // each rule's 0/1 flag plus the combined keep, all hash-checked.
+    QDef("c6_quality_filter",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, toks,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  round(CAST(len([x FOR x IN toks IF x IN ('the','a')]) AS DOUBLE)/len(toks), 6) AS stop_ratio,
+        |  round(1 - CAST(len(list_distinct(toks)) AS DOUBLE)/len(toks), 6) AS dup_ratio,
+        |  list_transform(range(1, greatest(len(toks)-1,1)+1),
+        |    i -> array_to_string(toks[i:i+1], ' ')) AS gs
+        |  FROM t),
+        |g AS (SELECT doc_id, unnest(gs) AS g FROM s),
+        |f AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g),
+        |m AS (SELECT doc_id, round(CAST(max(c) AS DOUBLE)/sum(c), 6) AS top_bigram
+        |      FROM f GROUP BY doc_id),
+        |x AS (SELECT s.doc_id AS doc_id, n_tokens,
+        |  CAST(CASE WHEN n_tokens < 20 OR n_tokens > 80 THEN 1 ELSE 0 END AS BIGINT) AS f_len,
+        |  CAST(CASE WHEN stop_ratio > 0.1 THEN 1 ELSE 0 END AS BIGINT) AS f_stop,
+        |  CAST(CASE WHEN dup_ratio > 0.6 THEN 1 ELSE 0 END AS BIGINT) AS f_rep,
+        |  CAST(CASE WHEN top_bigram > 0.06 THEN 1 ELSE 0 END AS BIGINT) AS f_bigram
+        |  FROM s JOIN m ON s.doc_id = m.doc_id)
+        |SELECT doc_id, n_tokens, f_len, f_stop, f_rep, f_bigram,
+        |  CAST(CASE WHEN f_len + f_stop + f_rep + f_bigram = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM x ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.curation.Curation.qualityFilter(Tables.documents(s, dir),
+          col("text"), col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+
     // The composed curation pipeline (graft.curation.Curation.curate):
     // score → threshold-filter → deterministic content-hash sample →
     // exact-dedup keep-one → per-source quota. Every stage is

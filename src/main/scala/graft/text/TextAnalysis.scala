@@ -238,26 +238,30 @@ object TextAnalysis {
     * A 1-token doc degenerates to one "bigram" (the token itself), same as
     * `Dedup.shingles`.
     */
-  def repetitionMetrics(df: DataFrame, text: Column, id: Column): DataFrame = {
+  def repetitionMetrics(df: DataFrame, text: Column, id: Column,
+                        carry: Seq[(String, Column)] = Nil): DataFrame = {
     val t = toks(text)
     val bigrams = transform(
       sequence(lit(1), greatest(size(t) - 1, lit(1))),
       i => array_join(slice(t, i, lit(2)), " "))
+    // `carry` lets callers ride extra scan-fused per-doc scalars through
+    // the explode (the same trick the base metrics use) instead of paying
+    // a second corpus scan + join — qualityFilter carries stopword_ratio.
+    val scalars = Seq(
+      "n_tokens" -> nTokensCol(text),
+      "dup_token_ratio" ->
+        round(lit(1.0) - size(array_distinct(t)).cast("double") / size(t), 6)
+    ) ++ carry
     val exploded = df.select(
-      id.as("doc_id"),
-      nTokensCol(text).as("n_tokens"),
-      round(lit(1.0) - size(array_distinct(t)).cast("double") / size(t), 6)
-        .as("dup_token_ratio"),
-      explode(bigrams).as("g"))
+      (id.as("doc_id") +: scalars.map { case (n, c) => c.as(n) }) :+
+        explode(bigrams).as("g"): _*)
+    val firsts = scalars.map { case (n, _) => first(col(n)).as(n) }
     exploded
       .groupBy(col("doc_id"), col("g"))
-      .agg(count(lit(1)).as("c"),
-        first(col("n_tokens")).as("n_tokens"),
-        first(col("dup_token_ratio")).as("dup_token_ratio"))
+      .agg(count(lit(1)).as("c"), firsts: _*)
       .groupBy(col("doc_id"))
-      .agg(first(col("n_tokens")).as("n_tokens"),
-        first(col("dup_token_ratio")).as("dup_token_ratio"),
+      .agg(firsts.head, firsts.tail :+
         round(max(col("c")).cast("double") / sum(col("c")), 6)
-          .as("top_bigram_frac"))
+          .as("top_bigram_frac"): _*)
   }
 }

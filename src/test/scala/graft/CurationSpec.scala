@@ -166,6 +166,25 @@ class CurationSpec extends AnyFunSuite {
     assert(r(3) == ((4L, "", 0L, 2L)))
   }
 
+  test("qualityFilter: each rule fires on its planted violator, clean doc keeps") {
+    val clean = (1 to 30).map(i => s"tok$i").mkString(" ")       // 30 distinct
+    val d = Seq(
+      (1L, clean),                                               // keep
+      (2L, "too short"),                                         // f_len (+ degenerate f_bigram: 1 bigram)
+      (3L, ("the a " * 15).trim),                                // f_stop + f_rep + f_bigram
+      (4L, (1 to 8).map(i => s"u$i").mkString(" ") + " " +
+        Seq.fill(22)("z").mkString(" "))                         // f_rep: dup 1-9/30=0.7
+    ).toDF("doc_id", "text")
+    val r = Curation.qualityFilter(d, col("text"), col("doc_id"))
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(2), x.getLong(3), x.getLong(4),
+        x.getLong(5), x.getLong(6)))
+    assert(r(0) == ((1L, 0L, 0L, 0L, 0L, 1L)))
+    assert(r(1) == ((2L, 1L, 0L, 0L, 1L, 0L)))
+    assert((r(2)._1, r(2)._3, r(2)._4, r(2)._6) == ((3L, 1L, 1L, 0L))) // stop+rep fire
+    assert((r(3)._1, r(3)._4, r(3)._6) == ((4L, 1L, 0L)))              // rep fires
+  }
+
   test("temperatureSample: exact thresholds, small source kept whole, big source thinned, deterministic") {
     val rows = (0 until 64).map(i => (i.toLong, "big", s"doc unique text $i")) ++
       (100 until 104).map(i => (i.toLong, "small", s"rare source doc $i"))
