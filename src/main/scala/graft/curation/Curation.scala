@@ -84,6 +84,36 @@ object Curation {
       .select(col("doc_id")).distinct()
   }
 
+  /** Graded companion to [[decontaminate]]: the FRACTION of each corpus
+    * document's distinct word n-grams that appear in the eval set, with
+    * the counts behind it — real decontamination policies threshold on
+    * partial overlap ("drop above 70% 8-gram overlap") rather than
+    * dropping on any single shared gram, and the fraction is the report
+    * that decides the threshold. Same plan shape as decontaminate (eval
+    * grams deduplicated then broadcast; ONE corpus scan — the gram count
+    * and the hit count come from the same exploded frame via a broadcast
+    * flag join, no join-back).
+    */
+  def contaminationFraction(docs: DataFrame, evalDocs: DataFrame,
+                            text: Column = col("text"),
+                            id: Column = col("doc_id"),
+                            ngram: Int = 3): DataFrame = {
+    import graft.dedup.Dedup
+    val exploded = docs.select(id.as("doc_id"),
+      explode(array_distinct(Dedup.shingles(text, ngram))).as("g"))
+    val evalGrams = evalDocs
+      .select(explode(array_distinct(Dedup.shingles(text, ngram))).as("g"))
+      .distinct()
+    exploded
+      .join(broadcast(evalGrams.withColumn("__hit", lit(1L))), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_contaminated"))
+      .select(col("doc_id"), col("n_grams"), col("n_contaminated"),
+        round(col("n_contaminated").cast("double") / col("n_grams"), 6)
+          .as("contamination_frac"))
+  }
+
   /** One micro-batch of INCREMENTAL corpus dedup — the
     * [[graft.pipeline.RedsetPipeline.incrementalBatch]] pattern generalized
     * to document ingestion: staging is partitioned by

@@ -803,6 +803,31 @@ object DocQueries {
         .orderBy(col("key"))
     },
 
+    // Per-document contamination fraction (the graded d8): share of each
+    // doc's distinct 3-grams present in the eval slice — the report that
+    // drives partial-overlap drop thresholds.
+    QDef("d8b_contamination_frac",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(
+        |    list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+        |      i -> array_to_string(toks[i:i+2], ' '))) AS gs FROM t),
+        |eg AS (SELECT DISTINCT unnest(gs) AS g FROM sh WHERE doc_id % 47 = 0),
+        |cg AS (SELECT doc_id, unnest(gs) AS g FROM sh WHERE doc_id % 47 <> 0),
+        |o AS (SELECT cg.doc_id, count(*) AS n_hit FROM cg JOIN eg ON cg.g = eg.g
+        |      GROUP BY cg.doc_id),
+        |n AS (SELECT doc_id, len(gs) AS n_grams FROM sh WHERE doc_id % 47 <> 0)
+        |SELECT n.doc_id AS doc_id, CAST(n.n_grams AS BIGINT) AS n_grams,
+        |  CAST(coalesce(o.n_hit, 0) AS BIGINT) AS n_contaminated,
+        |  round(CAST(coalesce(o.n_hit, 0) AS DOUBLE) / n.n_grams, 6) AS contamination_frac
+        |FROM n LEFT JOIN o ON n.doc_id = o.doc_id
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      graft.curation.Curation.contaminationFraction(
+          docs.filter(pmod(col("doc_id"), lit(47)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(47)) === 0))
+        .orderBy(col("doc_id"))
+    },
+
     // Composite quality filter with per-rule audit flags (Gopher-style):
     // length band, stopword ratio, dup-token ratio, top-bigram share —
     // each rule's 0/1 flag plus the combined keep, all hash-checked.

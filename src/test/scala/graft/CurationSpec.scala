@@ -166,6 +166,21 @@ class CurationSpec extends AnyFunSuite {
     assert(r(3) == ((4L, "", 0L, 2L)))
   }
 
+  test("contaminationFraction: hand-counted 3-gram overlap, zero rows survive") {
+    val corpus = Seq(
+      (1L, "a b c d e"),        // grams: abc bcd cde; abc+bcd hit -> 2/3
+      (2L, "x y z w q"),        // no overlap -> 0/3
+      (3L, "a b c")             // single gram abc -> 1/1
+    ).toDF("doc_id", "text")
+    val eval_ = Seq((100L, "a b c d")).toDF("doc_id", "text") // grams: abc bcd
+    val r = Curation.contaminationFraction(corpus, eval_)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
+    assert(r(0) == ((1L, 3L, 2L, 0.666667)))
+    assert(r(1) == ((2L, 3L, 0L, 0.0)))
+    assert(r(2) == ((3L, 1L, 1L, 1.0)))
+  }
+
   test("qualityFilter: each rule fires on its planted violator, clean doc keeps") {
     val clean = (1 to 30).map(i => s"tok$i").mkString(" ")       // 30 distinct
     val d = Seq(
