@@ -166,6 +166,19 @@ class CurationSpec extends AnyFunSuite {
     assert(r(3) == ((4L, "", 0L, 2L)))
   }
 
+  test("plan guards: qualityFilter is join-free; boilerplate/eval sets broadcast") {
+    val qp = Curation.qualityFilter(docs, col("text"), col("doc_id"))
+      .queryExecution.executedPlan.toString
+    assert(!qp.contains("Join"), qp) // the carry hook means NO join-back
+    val lined = Seq((1L, "x\ny"), (2L, "x\nz"), (3L, "x\nw")).toDF("doc_id", "text")
+    val bp = Curation.stripBoilerplateLines(lined, col("text"), col("doc_id"), 3)
+      .queryExecution.executedPlan.toString
+    assert(bp.contains("BroadcastHashJoin") && !bp.contains("SortMergeJoin"), bp)
+    val cf = Curation.contaminationFraction(docs, docs.limit(1))
+      .queryExecution.executedPlan.toString
+    assert(cf.contains("BroadcastHashJoin") && !cf.contains("SortMergeJoin"), cf)
+  }
+
   test("contaminationFraction: hand-counted 3-gram overlap, zero rows survive") {
     val corpus = Seq(
       (1L, "a b c d e"),        // grams: abc bcd cde; abc+bcd hit -> 2/3

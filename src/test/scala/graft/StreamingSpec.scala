@@ -40,6 +40,21 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("redactPii is a stateless projection: applies per micro-batch on a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = graft.text.TextAnalysis.redactPii(in.toDS().toDF("doc_id", "text"),
+        col("text"), col("doc_id"))
+      .writeStream.format("memory").queryName("pii").outputMode("append").start()
+    try {
+      in.addData((1L, "ping a@b.co now"), (2L, "ip 10.0.0.1"))
+      q.processAllAvailable()
+      val got = spark.table("pii").orderBy("doc_id").collect()
+      assert(got(0).getAs[String]("clean_text") == "ping <EMAIL> now")
+      assert(got(1).getAs[String]("clean_text") == "ip <IP>")
+    } finally q.stop()
+  }
+
   test("streaming EWMA agrees with the batch w4 strict left fold") {
     implicit val sqlCtx = spark.sqlContext
     val rnd = new scala.util.Random(3)
