@@ -453,6 +453,49 @@ object Dedup {
       .select(col("doc_id"), bitCols.reduce(_ + _).as("simhash"))
   }
 
+  /** Containment (exact-substring) dedup pairs: `(doc_inner, doc_outer)`
+    * where the inner document's full token sequence appears contiguously
+    * inside the outer's (token-boundary-safe via space padding) — the
+    * document-granular form of exact-substring training-data dedup
+    * (snippets, quoted articles, partial re-crawls; near-dup Jaccard
+    * misses these when the outer doc is much longer). Equal-text pairs
+    * (containment both ways) emit once, later id as the inner.
+    *
+    * Candidate generation is a PPJoin-flavored equi-join, never a cross
+    * product: if the inner appears contiguously in the outer, its FIRST
+    * `ngram`-gram is one of the outer's n-grams — so candidates =
+    * (block, first-gram of inner) ⋈ (block, any-gram of outer), then one
+    * `contains` verify per distinct candidate pair. Complete for inner
+    * docs with >= `ngram` tokens; shorter docs are excluded (route them
+    * through exact dedup — sub-n-gram substring matching is noise).
+    * At 100 TB: candidates are O(matches of the first gram), and the
+    * distinct runs on ids with texts re-joined per candidate.
+    */
+  def containmentPairs(df: DataFrame, text: Column, id: Column,
+                       blockCol: String, ngram: Int = 3): DataFrame = {
+    val d = df.select(col(blockCol).as("blk"), id.as("doc_id"), text.as("t"),
+      length(text).as("len"), size(split(text, " ")).as("n"))
+    val inner = d.filter(col("n") >= ngram)
+      .select(col("blk"),
+        array_join(slice(split(col("t"), " "), 1, ngram), " ").as("g"),
+        col("doc_id").as("inner_id"), col("t").as("t_in"),
+        col("len").as("len_in"))
+    val outer = d.select(col("blk"), col("doc_id").as("outer_id"),
+      col("t").as("t_out"), col("len").as("len_out"),
+      explode(shingles(col("t"), ngram)).as("g"))
+    inner.join(outer, Seq("blk", "g"))
+      .where(col("inner_id") =!= col("outer_id"))
+      .select(col("inner_id"), col("outer_id"), col("t_in"), col("t_out"),
+        col("len_in"), col("len_out"))
+      .distinct()
+      .where(concat(lit(" "), col("t_out"), lit(" "))
+          .contains(concat(lit(" "), col("t_in"), lit(" "))) &&
+        (col("len_in") < col("len_out") ||
+          (col("len_in") === col("len_out") &&
+            col("inner_id") > col("outer_id"))))
+      .select(col("inner_id").as("doc_inner"), col("outer_id").as("doc_outer"))
+  }
+
   /** Engine-portable SimHash twin of [[simHash]]: per-token bits come from
     * the portable base-31 rolling hash (`Fns.rollingHash`, < 2^30) instead
     * of xxhash64, so the entire fingerprint is reproducible in portable

@@ -803,6 +803,38 @@ object DocQueries {
         .orderBy(col("key"))
     },
 
+    // Containment (exact-substring) dedup: snippets/partial re-crawls
+    // whose full token sequence sits inside a longer doc. The fixture has
+    // only exact-dup containments, so the gate plants deterministic
+    // 12-token snippet rows (doc_id+100000, every 10th doc) identically
+    // on both engines; the oracle verifies with an exhaustive blocked
+    // cross product while the engine runs the first-gram candidate join
+    // — a candidate-completeness gap would hash-mismatch.
+    QDef("d11_containment_pairs",
+      """WITH aug AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, source,
+        |    array_to_string(string_split(text, ' ')[1:12], ' ') AS text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |d AS (SELECT doc_id, source, text, strlen(text) AS len,
+        |      string_split(text, ' ') AS toks FROM aug),
+        |p AS (SELECT a.doc_id AS doc_inner, b.doc_id AS doc_outer
+        |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id <> b.doc_id
+        |  WHERE len(a.toks) >= 3
+        |    AND contains(' ' || b.text || ' ', ' ' || a.text || ' ')
+        |    AND (a.len < b.len OR (a.len = b.len AND a.doc_id > b.doc_id)))
+        |SELECT doc_inner, doc_outer FROM p
+        |ORDER BY doc_inner, doc_outer""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"), col("text"))
+      val snippets = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("source"),
+          array_join(slice(split(col("text"), " "), 1, 12), " ").as("text"))
+      Dedup.containmentPairs(docs.unionByName(snippets), col("text"),
+          col("doc_id"), blockCol = "source")
+        .orderBy(col("doc_inner"), col("doc_outer"))
+    },
+
     // Per-document contamination fraction (the graded d8): share of each
     // doc's distinct 3-grams present in the eval slice — the report that
     // drives partial-overlap drop thresholds.

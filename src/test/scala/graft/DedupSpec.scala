@@ -157,6 +157,20 @@ class DedupSpec extends AnyFunSuite {
     assert(!edges.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("containmentPairs finds token-boundary substrings within blocks only") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over it", "a"),
+      (2L, "quick brown fox", "a"),        // contiguous inside 1
+      (3L, "quick fox brown", "a"),        // same tokens, wrong order -> no
+      (4L, "he quick brown", "a"),         // 'he' != 'the': boundary must hold
+      (5L, "quick brown fox", "b"),        // other block -> no
+      (6L, "quick brown fox", "a")         // equal text to 2 -> later id is inner
+    ).toDF("doc_id", "text", "source")
+    val pairs = Dedup.containmentPairs(d, col("text"), col("doc_id"), "source")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((2L, 1L), (6L, 1L), (6L, 2L)))
+  }
+
   test("portable simhash: identical token sets share the fingerprint; near sets are Hamming-close") {
     val fp = Dedup.simHashPortable(docs, col("text"), col("doc_id"), nBits = 24)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
