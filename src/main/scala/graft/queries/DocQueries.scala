@@ -803,6 +803,36 @@ object DocQueries {
         .orderBy(col("key"))
     },
 
+    // Token-distribution drift between the deterministic train and val
+    // splits: exact total-variation distance (all-integer inner sum) —
+    // the corpus-QA probe for "did this slice shift the distribution?".
+    QDef("t11_split_drift",
+      """WITH h AS (SELECT text,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    [CAST(ascii(c) AS BIGINT) FOR c IN string_split(text, '')]),
+        |    (a, b) -> (a * 31 + b) % 1000000007) % 100 AS hm
+        |  FROM documents),
+        |a AS (SELECT unnest(string_split(text, ' ')) AS tok FROM h WHERE hm < 80),
+        |b AS (SELECT unnest(string_split(text, ' ')) AS tok FROM h WHERE hm >= 80 AND hm < 90),
+        |ca AS (SELECT tok, count(*) AS c FROM a GROUP BY tok),
+        |cb AS (SELECT tok, count(*) AS c FROM b GROUP BY tok),
+        |j AS (SELECT coalesce(ca.c, 0) AS ca, coalesce(cb.c, 0) AS cb
+        |      FROM ca FULL OUTER JOIN cb ON ca.tok = cb.tok),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+        |      count(*) AS vocab_union FROM j),
+        |n AS (SELECT CAST(sum(abs(ca * t.nb - cb * t.na)) AS DECIMAL(38,0)) AS num
+        |      FROM j, t)
+        |SELECT t.na AS n_tokens_a, t.nb AS n_tokens_b, t.vocab_union,
+        |  round(CAST(n.num AS DOUBLE) / (2.0 * t.na * t.nb), 6) AS tv_distance
+        |FROM t, n""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .withColumn("split", graft.curation.Curation.splitColumn(col("text")))
+      TextAnalysis.tokenDistributionDrift(
+        docs.filter(col("split") === "train"),
+        docs.filter(col("split") === "val"),
+        col("text"))
+    },
+
     // Containment (exact-substring) dedup: snippets/partial re-crawls
     // whose full token sequence sits inside a longer doc. The fixture has
     // only exact-dup containments, so the gate plants deterministic

@@ -228,6 +228,37 @@ object TextAnalysis {
           .as("avg_logprob"))
   }
 
+  /** Token-distribution drift between two corpus slices: total-variation
+    * distance ½·Σ_t |p_A(t) − p_B(t)| — the corpus-QA probe behind
+    * "did the val split / new crawl / filtered corpus shift the token
+    * distribution?". Computed EXACTLY: the inner sum is the all-integer
+    * Σ |c_A·N_B − c_B·N_A| (divided once by 2·N_A·N_B at the end), so
+    * no per-token double roundoff and the result is engine-portable.
+    * Two explode+count passes (one per slice), a vocab-sized full-outer
+    * join materialized once, two tiny aggregates.
+    */
+  def tokenDistributionDrift(dfA: DataFrame, dfB: DataFrame,
+                             text: Column): DataFrame = {
+    def counts(df: DataFrame, as: String) =
+      df.select(explode(toks(text)).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as(as))
+    val j = counts(dfA, "ca").join(counts(dfB, "cb"), Seq("tok"), "full_outer")
+      .select(coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+      .localCheckpoint(true) // vocab-sized; feeds the totals AND the sum
+    val tot = j.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+      count(lit(1)).as("vocab_union"))
+    j.crossJoin(broadcast(tot))
+      .agg(first(col("na")).as("na"), first(col("nb")).as("nb"),
+        first(col("vocab_union")).as("vocab_union"),
+        sum(abs(col("ca") * col("nb") - col("cb") * col("na"))
+          .cast("decimal(38,0)")).as("num"))
+      .select(col("na").as("n_tokens_a"), col("nb").as("n_tokens_b"),
+        col("vocab_union"),
+        round(col("num").cast("double") / (lit(2.0) * col("na") * col("nb")), 6)
+          .as("tv_distance"))
+  }
+
   /** Repetition metrics (the Gopher-style repetition filters): fraction of
     * duplicated tokens and the share of the most frequent word bigram.
     * Highly repetitive documents (boilerplate, generated spam, scraper

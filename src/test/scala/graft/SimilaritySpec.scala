@@ -99,6 +99,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r(1).getAs[Long]("n_emails") == 0L)
   }
 
+  test("tokenDistributionDrift: hand-computed total variation, 0 for identical slices") {
+    val a = Seq((1L, "x x y")).toDF("doc_id", "text")   // p = {x: 2/3, y: 1/3}
+    val b = Seq((2L, "x y y y")).toDF("doc_id", "text") // p = {x: 1/4, y: 3/4}
+    val r = TextAnalysis.tokenDistributionDrift(a, b, col("text")).head()
+    // TV = 0.5*(|2/3-1/4| + |1/3-3/4|) = 5/12 = 0.416667
+    assert((r.getAs[Long]("n_tokens_a"), r.getAs[Long]("n_tokens_b"),
+      r.getAs[Long]("vocab_union")) == ((3L, 4L, 2L)))
+    assert(r.getAs[Double]("tv_distance") == 0.416667)
+    val same = TextAnalysis.tokenDistributionDrift(a, a, col("text")).head()
+    assert(same.getAs[Double]("tv_distance") == 0.0)
+  }
+
   test("unigramLogProb: hand-computed corpus log-probs, decimal-summed mean") {
     val docs = Seq((1L, "a a a"), (2L, "a b")).toDF("doc_id", "text")
     // counts: a=4, b=1, total=5; lp6(a)=round(ln(0.8),6)=-0.223144,
