@@ -60,6 +60,35 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(!plan.contains("transform("), plan)
   }
 
+  test("round-6 ops tolerate degenerate docs: single token, empty text, adjacent PII") {
+    import graft.curation.Curation
+    import graft.text.TextAnalysis
+    val docs = Seq((1L, "a", "s"), (2L, "", "s")).toDF("doc_id", "text", "source")
+    // single-line (no \n) corpus: boilerplate removal is the identity when
+    // under minDocs, keeps the doc row even for empty text
+    val bl = Curation.stripBoilerplateLines(docs, col("text"), col("doc_id"), 5)
+      .orderBy("doc_id").collect()
+    assert(bl.length == 2 && bl(0).getString(1) == "a" && bl(1).getString(1) == "")
+    // unigramLogProb on a 1-token corpus: p=1 per token -> logprob 0 ... and
+    // the empty-text doc contributes one "" token, still grouped
+    val lp = TextAnalysis.unigramLogProb(docs, col("text"), col("doc_id"))
+      .orderBy("doc_id").collect()
+    assert(lp.length == 2)
+    // adjacent PII with no separators between classes
+    val pii = TextAnalysis.redactPii(
+      Seq((1L, "a@b.co +12345678 1.2.3.4")).toDF("doc_id", "text"),
+      col("text"), col("doc_id")).head()
+    assert(pii.getString(1) == "<EMAIL> <PHONE> <IP>")
+    // containment: single-token inner docs are excluded by the >= ngram rule
+    val cp = Dedup.containmentPairs(
+      Seq((1L, "a", "s"), (2L, "a b c d", "s")).toDF("doc_id", "text", "source"),
+      col("text"), col("doc_id"), "source").count()
+    assert(cp == 0L)
+    // temperature thresholds on one key: keeps everything
+    val thr = Curation.temperatureThresholds(docs, col("source")).head()
+    assert(thr.getLong(2) == 1000000L)
+  }
+
   test("q1 plan pushes the shipdate filter and prunes columns (guard)") {
     val df = SparkEntry.queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
     val scan = df.queryExecution.executedPlan.toString
