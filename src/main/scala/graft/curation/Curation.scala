@@ -329,6 +329,27 @@ object Curation {
         flag(col("f_len") + col("f_stop") + col("f_rep") + col("f_bigram") === 0))
   }
 
+  /** Per-key curation report over [[qualityFilter]]'s audit flags: for
+    * each source (or language, or shard), the document count, keep rate,
+    * and per-rule violation rates — the aggregate that answers "why did
+    * we drop 40% of source X" and decides whether a threshold or the
+    * source is the problem. One extra shuffle on the key after the
+    * filter's own two.
+    */
+  def sourceQualityReport(df: DataFrame, text: Column, id: Column,
+                          key: Column): DataFrame = {
+    val flags = qualityFilter(df, text, id)
+    df.select(id.as("doc_id"), key.as("key"))
+      .join(flags, Seq("doc_id"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("keep")).cast("double") / count(lit(1)), 6).as("keep_rate"),
+        round(sum(col("f_len")).cast("double") / count(lit(1)), 6).as("r_len"),
+        round(sum(col("f_stop")).cast("double") / count(lit(1)), 6).as("r_stop"),
+        round(sum(col("f_rep")).cast("double") / count(lit(1)), 6).as("r_rep"),
+        round(sum(col("f_bigram")).cast("double") / count(lit(1)), 6).as("r_bigram"))
+  }
+
   /** The composed curation pipeline over a `documents`-shaped frame:
     *
     *  1. score: token count, stopword ratio, language-ID (single fused

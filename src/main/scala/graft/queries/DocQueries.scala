@@ -920,6 +920,40 @@ object DocQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Per-source curation report: keep rate + per-rule violation rates
+    // aggregated from the c6 audit flags — the report that tells a
+    // threshold problem from a bad source.
+    QDef("c7_source_quality_report",
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, source, toks,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  round(CAST(len([x FOR x IN toks IF x IN ('the','a')]) AS DOUBLE)/len(toks), 6) AS stop_ratio,
+        |  round(1 - CAST(len(list_distinct(toks)) AS DOUBLE)/len(toks), 6) AS dup_ratio,
+        |  list_transform(range(1, greatest(len(toks)-1,1)+1),
+        |    i -> array_to_string(toks[i:i+1], ' ')) AS gs
+        |  FROM t),
+        |g AS (SELECT doc_id, unnest(gs) AS g FROM s),
+        |f AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g),
+        |m AS (SELECT doc_id, round(CAST(max(c) AS DOUBLE)/sum(c), 6) AS top_bigram
+        |      FROM f GROUP BY doc_id),
+        |x AS (SELECT s.doc_id AS doc_id, s.source AS key,
+        |  CASE WHEN n_tokens < 20 OR n_tokens > 80 THEN 1 ELSE 0 END AS f_len,
+        |  CASE WHEN stop_ratio > 0.1 THEN 1 ELSE 0 END AS f_stop,
+        |  CASE WHEN dup_ratio > 0.6 THEN 1 ELSE 0 END AS f_rep,
+        |  CASE WHEN top_bigram > 0.06 THEN 1 ELSE 0 END AS f_bigram
+        |  FROM s JOIN m ON s.doc_id = m.doc_id)
+        |SELECT key, count(*) AS n_docs,
+        |  round(CAST(sum(CASE WHEN f_len + f_stop + f_rep + f_bigram = 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS keep_rate,
+        |  round(CAST(sum(f_len) AS DOUBLE) / count(*), 6) AS r_len,
+        |  round(CAST(sum(f_stop) AS DOUBLE) / count(*), 6) AS r_stop,
+        |  round(CAST(sum(f_rep) AS DOUBLE) / count(*), 6) AS r_rep,
+        |  round(CAST(sum(f_bigram) AS DOUBLE) / count(*), 6) AS r_bigram
+        |FROM x GROUP BY key ORDER BY key""".stripMargin) { (s, dir) =>
+      graft.curation.Curation.sourceQualityReport(Tables.documents(s, dir),
+          col("text"), col("doc_id"), col("source"))
+        .orderBy(col("key"))
+    },
+
     // The composed curation pipeline (graft.curation.Curation.curate):
     // score → threshold-filter → deterministic content-hash sample →
     // exact-dedup keep-one → per-source quota. Every stage is
