@@ -475,19 +475,23 @@ object Dedup {
                        blockCol: String, ngram: Int = 3): DataFrame = {
     val d = df.select(col(blockCol).as("blk"), id.as("doc_id"), text.as("t"),
       length(text).as("len"), size(split(text, " ")).as("n"))
-    val inner = d.filter(col("n") >= ngram)
+    // candidate stage carries IDS ONLY (the distinct must never hash
+    // corpus-sized text); texts re-join per surviving candidate pair
+    val innerKeys = d.filter(col("n") >= ngram)
       .select(col("blk"),
         array_join(slice(split(col("t"), " "), 1, ngram), " ").as("g"),
-        col("doc_id").as("inner_id"), col("t").as("t_in"),
-        col("len").as("len_in"))
-    val outer = d.select(col("blk"), col("doc_id").as("outer_id"),
-      col("t").as("t_out"), col("len").as("len_out"),
-      explode(shingles(col("t"), ngram)).as("g"))
-    inner.join(outer, Seq("blk", "g"))
+        col("doc_id").as("inner_id"))
+    val outerKeys = d.select(col("blk"),
+      explode(shingles(col("t"), ngram)).as("g"),
+      col("doc_id").as("outer_id"))
+    val cand = innerKeys.join(outerKeys, Seq("blk", "g"))
       .where(col("inner_id") =!= col("outer_id"))
-      .select(col("inner_id"), col("outer_id"), col("t_in"), col("t_out"),
-        col("len_in"), col("len_out"))
-      .distinct()
+      .select(col("inner_id"), col("outer_id")).distinct()
+    val a = d.select(col("doc_id").as("inner_id"), col("t").as("t_in"),
+      col("len").as("len_in"))
+    val b = d.select(col("doc_id").as("outer_id"), col("t").as("t_out"),
+      col("len").as("len_out"))
+    cand.join(a, Seq("inner_id")).join(b, Seq("outer_id"))
       .where(concat(lit(" "), col("t_out"), lit(" "))
           .contains(concat(lit(" "), col("t_in"), lit(" "))) &&
         (col("len_in") < col("len_out") ||

@@ -210,7 +210,10 @@ object TextAnalysis {
     * the corpus and joins it on the token (AQE broadcasts when the vocab
     * fits, else it's one key-shuffle). Per-token log-probs are rounded to
     * 6 decimals and summed as DECIMAL(18,6) — order-independent exact —
-    * so the per-doc mean is engine-portable.
+    * so the per-doc mean is engine-portable. Documents with NULL text
+    * have no tokens to score and are ABSENT from the output (they also
+    * don't inflate the model's totals) — coalesce upstream if a row per
+    * document is required.
     */
   def unigramLogProb(df: DataFrame, text: Column, id: Column): DataFrame = {
     val tk = df.select(id.as("doc_id"), explode(toks(text)).as("tok"))
@@ -235,7 +238,9 @@ object TextAnalysis {
     * Σ |c_A·N_B − c_B·N_A| (divided once by 2·N_A·N_B at the end), so
     * no per-token double roundoff and the result is engine-portable.
     * Two explode+count passes (one per slice), a vocab-sized full-outer
-    * join materialized once, two tiny aggregates.
+    * join materialized once, two tiny aggregates. An EMPTY slice has no
+    * distribution to compare: N=0 makes tv_distance NaN (surface it,
+    * don't mask it — an empty split is an upstream bug).
     */
   def tokenDistributionDrift(dfA: DataFrame, dfB: DataFrame,
                              text: Column): DataFrame = {
