@@ -215,21 +215,41 @@ object TextAnalysis {
     * don't inflate the model's totals) — coalesce upstream if a row per
     * document is required.
     */
-  def unigramLogProb(df: DataFrame, text: Column, id: Column): DataFrame = {
-    val tk = df.select(id.as("doc_id"), explode(toks(text)).as("tok"))
-    val cnt = tk.groupBy(col("tok")).agg(count(lit(1)).as("c"))
-      .localCheckpoint(true) // vocab-sized; feeds the total AND the join
+  def unigramLogProb(df: DataFrame, text: Column, id: Column): DataFrame =
+    scoreWithModel(df, unigramModel(df, text), text, id)
+
+  /** The model half of [[unigramLogProb]] as a standalone artifact: the
+    * vocab-sized `(tok, lp6)` table of 6-decimal corpus log-probs —
+    * persist it once per corpus build and reuse across scoring runs.
+    */
+  def unigramModel(df: DataFrame, text: Column): DataFrame = {
+    val cnt = df.select(explode(toks(text)).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // vocab-sized; feeds the total AND the probs
     val total = cnt.agg(sum(col("c")).cast("double").as("__nt"))
-    val lp = cnt.crossJoin(broadcast(total))
+    cnt.crossJoin(broadcast(total))
       .select(col("tok"),
         round(log(col("c").cast("double") / col("__nt")), 6)
           .cast("decimal(18,6)").as("lp6"))
-    tk.join(lp, Seq("tok"))
+  }
+
+  /** The scoring half: average per-token log-prob against a precomputed
+    * [[unigramModel]]. STREAM-COMPATIBLE — a static model joined to a
+    * streaming document source is the supported stream-static join, so
+    * "train on the corpus, score documents as they arrive" needs no
+    * restart (proven in StreamingSpec). Out-of-vocabulary tokens score
+    * `oovLp6` (a floor log-prob) instead of silently dropping — on the
+    * training corpus itself there is no OOV, so
+    * unigramLogProb ≡ scoreWithModel(unigramModel).
+    */
+  def scoreWithModel(df: DataFrame, model: DataFrame, text: Column,
+                     id: Column, oovLp6: Double = -20.0): DataFrame =
+    df.select(id.as("doc_id"), explode(toks(text)).as("tok"))
+      .join(model, Seq("tok"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
-        round(sum(col("lp6")).cast("double") / count(lit(1)), 6)
-          .as("avg_logprob"))
-  }
+        round(sum(coalesce(col("lp6"), lit(oovLp6).cast("decimal(18,6)")))
+          .cast("double") / count(lit(1)), 6).as("avg_logprob"))
 
   /** Token-distribution drift between two corpus slices: total-variation
     * distance ½·Σ_t |p_A(t) − p_B(t)| — the corpus-QA probe behind

@@ -55,6 +55,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("unigram scoring streams against a static model (stream-static join)") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((1L, "a a a"), (2L, "a b")).toDF("doc_id", "text")
+    val model = graft.text.TextAnalysis.unigramModel(corpus, col("text"))
+    val in = MemoryStream[(Long, String)]
+    val q = graft.text.TextAnalysis.scoreWithModel(
+        in.toDS().toDF("doc_id", "text"), model, col("text"), col("doc_id"))
+      .writeStream.format("memory").queryName("lmscore")
+      .outputMode("complete").start()
+    try {
+      in.addData((10L, "a a"), (11L, "zzz b")) // zzz is OOV -> floor -20
+      q.processAllAvailable()
+      val got = spark.table("lmscore").orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // lp(a)=round(ln(4/5),6)=-0.223144, lp(b)=round(ln(1/5),6)=-1.609438
+      assert(got(0) == ((10L, 2L, -0.223144)))
+      assert(got(1) == ((11L, 2L, -10.804719))) // round((-20 + -1.609438)/2, 6)
+    } finally q.stop()
+  }
+
   test("streaming EWMA agrees with the batch w4 strict left fold") {
     implicit val sqlCtx = spark.sqlContext
     val rnd = new scala.util.Random(3)
