@@ -98,6 +98,95 @@ object Multimodal {
     }
   }
 
+  /** Canonical 16-bit mono PCM WAV, for real: the audio analog of
+    * [[Farbfeld]] — 44-byte RIFF/WAVE header (PCM fmt chunk) +
+    * little-endian s16 samples. Deliberately the simplest real audio
+    * container so the parse is genuine and oracle-checkable; an
+    * ffmpeg-backed decoder for compressed formats swaps in behind the
+    * same `decode` signature. Malformed input (bad magic, non-PCM,
+    * stereo, inconsistent chunk lengths, truncated samples) THROWS —
+    * never bogus stats.
+    */
+  object Wav {
+    val HeaderLen: Int = 44
+    private def ascii(s: String) =
+      s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+    final case class Audio(sampleRate: Int, samples: Array[Short])
+
+    def encode(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+      require(sampleRate > 0, s"bad sample rate $sampleRate")
+      val dataLen = samples.length * 2
+      val buf = java.nio.ByteBuffer.allocate(HeaderLen + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put(ascii("RIFF")).putInt(36 + dataLen).put(ascii("WAVE"))
+      buf.put(ascii("fmt ")).putInt(16)
+        .putShort(1).putShort(1) // PCM, mono
+        .putInt(sampleRate).putInt(sampleRate * 2) // byte rate
+        .putShort(2).putShort(16) // block align, bits/sample
+      buf.put(ascii("data")).putInt(dataLen)
+      samples.foreach(buf.putShort)
+      buf.array()
+    }
+
+    def decode(bytes: Array[Byte]): Audio = {
+      require(bytes.length >= HeaderLen, s"truncated header: ${bytes.length} bytes")
+      val buf = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(at: Int, expect: String): Unit = {
+        val t = new Array[Byte](4)
+        buf.position(at); buf.get(t)
+        require(java.util.Arrays.equals(t, ascii(expect)),
+          s"bad chunk tag at $at: expected '$expect'")
+      }
+      tag(0, "RIFF"); tag(8, "WAVE"); tag(12, "fmt "); tag(36, "data")
+      require(buf.getInt(16) == 16, "non-PCM fmt chunk size")
+      require(buf.getShort(20) == 1, "not PCM")
+      require(buf.getShort(22) == 1, "not mono")
+      require(buf.getShort(34) == 16, "not 16-bit")
+      val sampleRate = buf.getInt(24)
+      require(sampleRate > 0, s"bad sample rate $sampleRate")
+      require(buf.getInt(28) == sampleRate * 2, "byte rate mismatch")
+      require(buf.getShort(32) == 2, "block align mismatch")
+      val dataLen = buf.getInt(40)
+      // long arithmetic mirror of the farbfeld guard: every length field
+      // must agree with the actual byte count, or the parse throws
+      require(dataLen >= 0 && dataLen % 2 == 0 &&
+        dataLen.toLong + HeaderLen == bytes.length,
+        s"truncated samples: ${bytes.length} bytes for dataLen $dataLen")
+      require(buf.getInt(4).toLong == 36L + dataLen, "RIFF length mismatch")
+      val samples = new Array[Short](dataLen / 2)
+      buf.position(HeaderLen)
+      var i = 0
+      while (i < samples.length) { samples(i) = buf.getShort; i += 1 }
+      Audio(sampleRate, samples)
+    }
+  }
+
+  /** Decode + integrity stats for audio payloads: sample rate, sample
+    * count, and the sum of absolute amplitudes — the all-integer checksum
+    * that pins header fields AND the full sample payload to an arithmetic
+    * oracle (the audio mm2).
+    */
+  def audioStats(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val audio = Wav.decode(bytes)
+          var s = 0L
+          var i = 0
+          while (i < audio.samples.length) {
+            s += math.abs(audio.samples(i).toLong); i += 1
+          }
+          (id, audio.sampleRate, audio.samples.length.toLong, s)
+        }
+      }
+      .toDF("id", "sample_rate", "n_samples", "abs_sum")
+  }
+
   /** One decoded record: source dims + fixed-shape feature vector (what an
     * image decode yields post-resize).
     */

@@ -479,6 +479,36 @@ object DocQueries {
         .orderBy(col("id"))
     },
 
+    // Audio decode, for real (the mm2 pattern on the audio path): each
+    // document gets a REAL canonical PCM16 WAV payload generated from a
+    // deterministic formula; the engine parses the actual bytes back
+    // (Multimodal.Wav.decode, batched per partition) and emits sample
+    // rate, count, and the all-integer absolute-amplitude checksum; the
+    // oracle recomputes the same stats arithmetically — a header
+    // misparse, endianness slip, or dropped sample flips the hash.
+    QDef("mm4_audio_stats",
+      """WITH d AS (SELECT doc_id, 8000 + (doc_id % 3) * 4000 AS sr,
+        |           50 + doc_id % 37 AS ns FROM documents)
+        |SELECT doc_id AS id, CAST(sr AS INTEGER) AS sample_rate,
+        |  CAST(ns AS BIGINT) AS n_samples,
+        |  CAST(list_sum([abs(((doc_id * 31 + j * 17) % 65536) - 32768)
+        |                 FOR j IN range(0, ns)]) AS BIGINT) AS abs_sum
+        |FROM d ORDER BY id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val payloads = Tables.documents(s, dir).select(col("doc_id").cast("long"))
+        .as[Long]
+        .mapPartitions(_.map { id =>
+          val sr = (8000 + (id % 3) * 4000).toInt
+          val ns = (50 + id % 37).toInt
+          val samples = Array.tabulate(ns)(j =>
+            (((id * 31L + j.toLong * 17L) % 65536L) - 32768L).toShort)
+          (id, graft.multimodal.Multimodal.Wav.encode(sr, samples))
+        })
+        .toDF("doc_id", "payload")
+      graft.multimodal.Multimodal.audioStats(payloads, "doc_id", "payload")
+        .orderBy(col("id"))
+    },
+
     // Language ID via stopword/character heuristics (the synthetic corpus
     // shares one vocabulary, so this demonstrates the operator shape; real
     // n-gram profiles plug into the same transform). Oracle mirrors the

@@ -102,6 +102,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(idx.toSeq == Seq(0, 1, 2, 3))
   }
 
+  test("Wav codec round-trips and rejects malformed payloads") {
+    val samples = Array.tabulate(37)(j => ((j * 1013) % 65536 - 32768).toShort)
+    val bytes = Multimodal.Wav.encode(16000, samples)
+    val back = Multimodal.Wav.decode(bytes)
+    assert(back.sampleRate == 16000)
+    assert(back.samples.toSeq == samples.toSeq)
+    // zero-sample payload round-trips
+    assert(Multimodal.Wav.decode(Multimodal.Wav.encode(8000,
+      Array.empty[Short])).samples.isEmpty)
+    // truncated samples
+    intercept[IllegalArgumentException](Multimodal.Wav.decode(bytes.dropRight(2)))
+    // bad magic
+    val evil = bytes.clone(); evil(0) = 'X'.toByte
+    intercept[IllegalArgumentException](Multimodal.Wav.decode(evil))
+    // stereo rejected
+    val stereo = bytes.clone(); stereo(22) = 2
+    intercept[IllegalArgumentException](Multimodal.Wav.decode(stereo))
+    // lying RIFF length rejected
+    val lying = bytes.clone(); lying(4) = (lying(4) + 1).toByte
+    intercept[IllegalArgumentException](Multimodal.Wav.decode(lying))
+  }
+
+  test("audioStats decodes real WAV bytes into the integer checksum") {
+    val samples = Array[Short](100, -200, 300)
+    val df = Seq((7L, Multimodal.Wav.encode(8000, samples))).toDF("id", "payload")
+    val r = Multimodal.audioStats(df, "id", "payload").head()
+    assert((r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)) ==
+      ((7L, 8000, 3L, 600L)))
+  }
+
   test("BoundedTopK aggregator keeps k best with deterministic tie-break") {
     val topk = udaf(new TopK.BoundedTopK(3))
     val df = Seq((5.0, 1L), (9.0, 2L), (9.0, 1L), (1.0, 3L), (7.0, 4L))
