@@ -240,18 +240,25 @@ object Curation {
     * join + per-document regroup; the line-frequency pass is a two-level
     * aggregate (distinct (line, doc) then count). The per-doc
     * collect_list is bounded by lines-per-document, never corpus-sized.
-    * At PB scale count/flag on `xxhash64(line)` instead of the raw line
-    * (8-byte keys); raw lines kept here for oracle bit-parity.
+    * `hashKeys = true` is the PB-scale path: the frequency count and the
+    * broadcast flag set key on `xxhash64(line)` instead of the raw line
+    * (8-byte shuffle/broadcast keys, and the broadcast no longer carries
+    * line text). Identical output unless a boilerplate and a
+    * non-boilerplate line collide in 64 bits; the `c4b` gate checks the
+    * hashed path against the SAME oracle as c4. Documents with NULL text
+    * have no lines and are absent from the output.
     */
   def stripBoilerplateLines(df: DataFrame, text: Column, id: Column,
-                            minDocs: Int): DataFrame = {
-    val e = df.select(id.as("doc_id"),
+                            minDocs: Int, hashKeys: Boolean = false): DataFrame = {
+    val e0 = df.select(id.as("doc_id"),
       posexplode(split(text, "\n")).as(Seq("pos", "line")))
-    val bp = e.select(col("line"), col("doc_id")).distinct()
-      .groupBy(col("line")).agg(count(lit(1)).as("__df"))
+    val e = if (hashKeys) e0.withColumn("__k", xxhash64(col("line")))
+            else e0.withColumn("__k", col("line"))
+    val bp = e.select(col("__k"), col("doc_id")).distinct()
+      .groupBy(col("__k")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= minDocs)
-      .select(col("line"), lit(true).as("__bp"))
-    e.join(broadcast(bp), Seq("line"), "left")
+      .select(col("__k"), lit(true).as("__bp"))
+    e.join(broadcast(bp), Seq("__k"), "left")
       .groupBy(col("doc_id"))
       .agg(
         array_join(transform(
@@ -290,6 +297,8 @@ object Curation {
     * is one row per key — broadcast join, filter fuses into the scan;
     * same deterministic-sampling contract as [[hashSampleFilter]]
     * (re-runs, re-partitionings, and other engines keep the same docs).
+    * NULL-text documents hash to NULL and are dropped — same semantics
+    * as every content-hash sampler here; coalesce upstream to keep them.
     */
   def temperatureSample(df: DataFrame, key: Column, text: Column,
                         alpha: Double = 0.5, mod: Long = 1000000L): DataFrame = {

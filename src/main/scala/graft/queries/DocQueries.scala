@@ -166,6 +166,41 @@ object DocQueries {
        |FROM h ORDER BY doc_id""".stripMargin
   }
 
+  /** The c4/c4b gate input: the single-line fixture corpus reshaped into
+    * deterministic 6-token lines (the mm2 pattern — synthesize the
+    * fixture shape identically on both engines, exercise the real
+    * operator). The oracle's CTE prelude mirrors this reshape.
+    */
+  private def linedDocuments(s: org.apache.spark.sql.SparkSession,
+                             dir: String): org.apache.spark.sql.DataFrame = {
+    val toksC = split(col("text"), " ")
+    val nLines = ceil(size(toksC) / lit(6.0)).cast("int")
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      array_join(transform(sequence(lit(1), nLines),
+        i => array_join(slice(toksC, (i - 1) * 6 + 1, lit(6)), " ")), "\n")
+        .as("text"))
+  }
+
+  /** Shared by c4 and its hashed-key scale twin c4b — one oracle, two
+    * engine plans.
+    */
+  private val c4OracleSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |l AS (SELECT doc_id, list_transform(range(1, CAST(ceil(len(toks)/6.0) AS INT) + 1),
+      |        i -> array_to_string(toks[(i-1)*6+1:(i-1)*6+6], ' ')) AS lines FROM d),
+      |p AS (SELECT doc_id, lines, unnest(generate_series(1, len(lines))) AS pos FROM l),
+      |e AS (SELECT doc_id, pos, lines[pos] AS line FROM p),
+      |bp AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS df
+      |       FROM e GROUP BY line) WHERE df >= 3),
+      |f AS (SELECT e.doc_id, e.pos, e.line,
+      |      (e.line IN (SELECT line FROM bp)) AS is_bp FROM e)
+      |SELECT doc_id,
+      |  coalesce(string_agg(CASE WHEN NOT is_bp THEN line END, chr(10) ORDER BY pos), '') AS clean_text,
+      |  CAST(sum(CASE WHEN is_bp THEN 0 ELSE 1 END) AS BIGINT) AS n_lines_kept,
+      |  CAST(sum(CASE WHEN is_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_dropped
+      |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QDef] = Seq(
 
     // Exact dedup on a canonicalized key (sorted distinct token set) —
@@ -717,33 +752,20 @@ object DocQueries {
     // into deterministic 6-token lines — IDENTICALLY on both engines
     // (the mm2 pattern: synthesize the fixture shape, exercise the real
     // operator).
-    QDef("c4_line_dedup",
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |l AS (SELECT doc_id, list_transform(range(1, CAST(ceil(len(toks)/6.0) AS INT) + 1),
-        |        i -> array_to_string(toks[(i-1)*6+1:(i-1)*6+6], ' ')) AS lines FROM d),
-        |p AS (SELECT doc_id, lines, unnest(generate_series(1, len(lines))) AS pos FROM l),
-        |e AS (SELECT doc_id, pos, lines[pos] AS line FROM p),
-        |bp AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS df
-        |       FROM e GROUP BY line) WHERE df >= 3),
-        |f AS (SELECT e.doc_id, e.pos, e.line,
-        |      (e.line IN (SELECT line FROM bp)) AS is_bp FROM e)
-        |SELECT doc_id,
-        |  coalesce(string_agg(CASE WHEN NOT is_bp THEN line END, chr(10) ORDER BY pos), '') AS clean_text,
-        |  CAST(sum(CASE WHEN is_bp THEN 0 ELSE 1 END) AS BIGINT) AS n_lines_kept,
-        |  CAST(sum(CASE WHEN is_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_dropped
-        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val toksC = split(col("text"), " ")
-      val nLines = ceil(size(toksC) / lit(6.0)).cast("int")
-      val lined = Tables.documents(s, dir).select(
-        col("doc_id"),
-        array_join(transform(sequence(lit(1), nLines),
-          i => array_join(slice(toksC, (i - 1) * 6 + 1, lit(6)), " ")), "\n")
-          .as("text"))
-      graft.curation.Curation.stripBoilerplateLines(lined, col("text"),
-          col("doc_id"), minDocs = 3)
+    QDef("c4_line_dedup", c4OracleSql) { (s, dir) =>
+      graft.curation.Curation.stripBoilerplateLines(linedDocuments(s, dir),
+          col("text"), col("doc_id"), minDocs = 3)
         .orderBy(col("doc_id"))
     },
 
+    // The c4 scale twin: identical semantics, but frequency counting and
+    // the broadcast flag set key on xxhash64(line) (8-byte keys, no line
+    // text in the broadcast) — gated against the SAME oracle as c4.
+    QDef("c4b_line_dedup_hashed", c4OracleSql) { (s, dir) =>
+      graft.curation.Curation.stripBoilerplateLines(linedDocuments(s, dir),
+          col("text"), col("doc_id"), minDocs = 3, hashKeys = true)
+        .orderBy(col("doc_id"))
+    },
     // PII redaction: the fixture text carries no PII, so the gate plants
     // a deterministic contact tail (email + IP + phone derived from
     // doc_id) identically on both engines, then the operator redacts and
