@@ -55,6 +55,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionization streams: watermarked session_window matches batch byGap membership") {
+    implicit val sqlCtx = spark.sqlContext
+    // (user, epoch-sec): user 1 has two sessions split by a >60s gap
+    val events = Seq((1L, 100L), (1L, 130L), (1L, 300L), (2L, 100L))
+    val in = MemoryStream[(Long, Long)]
+    val stream = in.toDS().toDF("user_id", "sec")
+      .select(col("user_id"), timestamp_seconds(col("sec")).as("ts"))
+    val q = stream.withWatermark("ts", "10 seconds")
+      .groupBy(col("user_id"), session_window(col("ts"), "1 minute"))
+      .agg(count(lit(1)).as("n_events"))
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      in.addData(events: _*)
+      q.processAllAvailable()
+      // advance the watermark past every session end so results emit
+      in.addData((99L, 100000L))
+      q.processAllAvailable()
+      val got = spark.table("sess")
+        .filter(col("user_id") < 99)
+        .select(col("user_id"), col("n_events"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 2L), (1L, 1L), (2L, 1L)))
+      // same membership as the batch operator
+      val batch = graft.ops.Sessionize.byGap(
+        events.toDF("user_id", "sec")
+          .select(col("user_id"), timestamp_seconds(col("sec")).as("ts"),
+            col("sec").as("tie")),
+        col("user_id"), col("ts"), col("tie"), maxGapMs = 60000L)
+        .select(col("key"), col("n_events"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batch == got)
+    } finally q.stop()
+  }
+
   test("unigram scoring streams against a static model (stream-static join)") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Seq((1L, "a a a"), (2L, "a b")).toDF("doc_id", "text")
