@@ -269,6 +269,31 @@ object Curation {
         sum(when(col("__bp").isNotNull, 1L).otherwise(0L)).as("n_lines_dropped"))
   }
 
+  /** Paragraph/line FIRST-OCCURRENCE dedup (the other line-granular
+    * dedup): every repeated line keeps only its globally-first instance
+    * (ordered by doc_id, then position) and later instances are removed
+    * from their documents — the occurrence-order policy (RefinedWeb
+    * style), complementary to [[stripBoilerplateLines]]'s frequency
+    * threshold (which removes ALL instances of frequent lines, including
+    * the first). One shuffle on the line (hash it at PB scale) for the
+    * occurrence window, then the per-document regroup.
+    */
+  def dedupLinesFirstOccurrence(df: DataFrame, text: Column,
+                                id: Column): DataFrame = {
+    val e = df.select(id.as("doc_id"),
+      posexplode(split(text, "\n")).as(Seq("pos", "line")))
+    val ranked = e.withColumn("__rn", row_number().over(
+      Window.partitionBy(col("line")).orderBy(col("doc_id"), col("pos"))))
+    ranked.groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("__rn") === 1,
+            struct(col("pos"), col("line"))))),
+          s => s.getField("line")), "\n").as("clean_text"),
+        sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("n_lines_kept"),
+        sum(when(col("__rn") =!= 1, 1L).otherwise(0L)).as("n_lines_dropped"))
+  }
+
   /** Per-key temperature-sampling thresholds: flatten the source
     * distribution p_s ∝ n_s to p'_s ∝ n_s^alpha (the standard
     * multi-source mixing knob) by accepting each key's documents with

@@ -766,6 +766,28 @@ object DocQueries {
           col("text"), col("doc_id"), minDocs = 3, hashKeys = true)
         .orderBy(col("doc_id"))
     },
+    // Paragraph/line FIRST-OCCURRENCE dedup: repeated lines survive only
+    // at their globally-first (doc_id, pos) instance — occurrence-order
+    // policy, complementary to c4's frequency threshold. Same reshaped
+    // 6-token-line gate input as c4.
+    QDef("c8_line_first_occurrence",
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |l AS (SELECT doc_id, list_transform(range(1, CAST(ceil(len(toks)/6.0) AS INT) + 1),
+        |        i -> array_to_string(toks[(i-1)*6+1:(i-1)*6+6], ' ')) AS lines FROM d),
+        |p AS (SELECT doc_id, lines, unnest(generate_series(1, len(lines))) AS pos FROM l),
+        |e AS (SELECT doc_id, pos, lines[pos] AS line FROM p),
+        |r AS (SELECT doc_id, pos, line,
+        |      row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn FROM e)
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN rn = 1 THEN line END, chr(10) ORDER BY pos), '') AS clean_text,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_kept,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_lines_dropped
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.curation.Curation.dedupLinesFirstOccurrence(linedDocuments(s, dir),
+          col("text"), col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+
     // PII redaction: the fixture text carries no PII, so the gate plants
     // a deterministic contact tail (email + IP + phone derived from
     // doc_id) identically on both engines, then the operator redacts and

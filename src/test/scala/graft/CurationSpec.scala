@@ -179,6 +179,20 @@ class CurationSpec extends AnyFunSuite {
     assert(cf.contains("BroadcastHashJoin") && !cf.contains("SortMergeJoin"), cf)
   }
 
+  test("dedupLinesFirstOccurrence keeps only the globally first instance of a line") {
+    val lined = Seq(
+      (1L, "a\nb"),
+      (2L, "b\nc\nb"), // b twice: both lose to (1, pos 1); c is first here
+      (3L, "c")        // later instance of c -> dropped
+    ).toDF("doc_id", "text")
+    val r = Curation.dedupLinesFirstOccurrence(lined, col("text"), col("doc_id"))
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2), x.getLong(3)))
+    assert(r(0) == ((1L, "a\nb", 2L, 0L)))
+    assert(r(1) == ((2L, "c", 1L, 2L)))
+    assert(r(2) == ((3L, "", 0L, 1L)))
+  }
+
   test("contaminationFraction: hand-counted 3-gram overlap, zero rows survive") {
     val corpus = Seq(
       (1L, "a b c d e"),        // grams: abc bcd cde; abc+bcd hit -> 2/3
