@@ -384,6 +384,39 @@ object Curation {
         round(sum(col("f_bigram")).cast("double") / count(lit(1)), 6).as("r_bigram"))
   }
 
+  /** The END-TO-END training-data manifest — the full modern pipeline
+    * composed from this module's operators, in the order a real corpus
+    * build runs them:
+    *
+    *  1. [[qualityFilter]]: drop rule-violating documents;
+    *  2. [[decontaminate]]: drop documents sharing any word 3-gram with
+    *     the eval set;
+    *  3. [[keepOneExact]]: one survivor per canonical token signature;
+    *  4. [[splitColumn]]: deterministic train/val/test assignment;
+    *  5. [[packSequences]] per (source, split): budget-token training
+    *     sequences that never cross a split boundary.
+    *
+    * Every stage is engine-portable, so the whole composition is
+    * hash-gated end to end (`c9_training_manifest`) — the c1 discipline
+    * extended over the round-6 operators. Returns one row per surviving
+    * document: `(doc_id, pack_key, split, n_tokens, seq_id, seq_offset)`.
+    */
+  def trainingManifest(docs: DataFrame, evalDocs: DataFrame,
+                       budget: Int = 512): DataFrame = {
+    val keepIds = qualityFilter(docs, col("text"), col("doc_id"))
+      .filter(col("keep") === 1).select(col("doc_id"))
+    val q = docs.join(keepIds, Seq("doc_id"))
+    val contaminated = decontaminate(q, evalDocs)
+    val clean = q.join(contaminated, Seq("doc_id"), "left_anti")
+    val deduped = keepOneExact(clean, col("text"), col("doc_id"))
+      .withColumn("split", splitColumn(col("text")))
+    packSequences(deduped, col("text"), col("doc_id"),
+        concat(col("source"), lit("|"), col("split")), budget)
+      .join(deduped.select(col("doc_id"), col("split")), Seq("doc_id"))
+      .select(col("doc_id"), col("pack_key"), col("split"),
+        col("n_tokens"), col("seq_id"), col("seq_offset"))
+  }
+
   /** The composed curation pipeline over a `documents`-shaped frame:
     *
     *  1. score: token count, stopword ratio, language-ID (single fused

@@ -179,6 +179,24 @@ class CurationSpec extends AnyFunSuite {
     assert(cf.contains("BroadcastHashJoin") && !cf.contains("SortMergeJoin"), cf)
   }
 
+  test("trainingManifest composes filter -> decontaminate -> dedup -> split -> pack") {
+    val corpus = (1 to 40).map { i =>
+      (i.toLong, if (i % 2 == 0) "w" else "b",
+        (1 to 30).map(j => s"t${i}_$j").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val eval_ = Seq((100L, "t2_1 t2_2 t2_3")).toDF("doc_id", "text") // contaminates doc 2
+    val m = Curation.trainingManifest(corpus, eval_, budget = 64)
+    val rows = m.collect()
+    assert(!rows.map(_.getLong(0)).contains(2L)) // decontaminated
+    // pack keys never cross splits
+    assert(rows.forall(r => r.getString(1).endsWith("|" + r.getString(2))))
+    // offsets stay inside the budget
+    assert(rows.forall(r => r.getLong(5) >= 0 && r.getLong(5) < 64))
+    // deterministic: second run identical
+    assert(Curation.trainingManifest(corpus, eval_, budget = 64)
+      .collect().map(_.toSeq).toSet == rows.map(_.toSeq).toSet)
+  }
+
   test("dedupLinesFirstOccurrence keeps only the globally first instance of a line") {
     val lined = Seq(
       (1L, "a\nb"),
