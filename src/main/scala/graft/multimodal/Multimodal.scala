@@ -187,6 +187,43 @@ object Multimodal {
       .toDF("id", "sample_rate", "n_samples", "abs_sum")
   }
 
+  /** Audio feature extraction (the audio analog of [[gridFeatures]]):
+    * RMS amplitude over `nWindows` equal sample ranges, normalized to
+    * [0, 1] — one row per (id, window), the fixed-shape descriptor a
+    * downstream embedding/filter consumes. The sum of squares is exact
+    * integer arithmetic; only the final mean/sqrt/normalize run in
+    * doubles (IEEE-exact ops), so the features are engine-portable and
+    * the `mm5` gate hash-checks them.
+    */
+  def audioFeatures(df: DataFrame, idCol: String, payloadCol: String,
+                    nWindows: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val audio = Wav.decode(bytes)
+          val ns = audio.samples.length
+          (0 until nWindows).map { j =>
+            val lo = j * ns / nWindows
+            val hi = (j + 1) * ns / nWindows
+            val rms = if (hi > lo) {
+              var ss = 0L
+              var k = lo
+              while (k < hi) {
+                val s = audio.samples(k).toLong; ss += s * s; k += 1
+              }
+              math.sqrt(ss.toDouble / (hi - lo)) / 32768.0
+            } else 0.0
+            (id, j, rms)
+          }
+        }
+      }
+      .toDF("id", "win", "__rms")
+      .select(col("id"), col("win"), round(col("__rms"), 6).as("rms"))
+  }
+
   /** One decoded record: source dims + fixed-shape feature vector (what an
     * image decode yields post-resize).
     */

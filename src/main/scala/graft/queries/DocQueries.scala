@@ -544,6 +544,36 @@ object DocQueries {
         .orderBy(col("id"))
     },
 
+    // Audio feature extraction over the same planted WAV payloads:
+    // windowed RMS amplitudes — integer-exact sums of squares, one
+    // IEEE-exact mean/sqrt/normalize tail, hash-gated per window.
+    QDef("mm5_audio_features",
+      """WITH d AS (SELECT doc_id, 50 + doc_id % 37 AS ns FROM documents),
+        |w AS (SELECT doc_id, ns, unnest(range(0, 8)) AS j FROM d),
+        |b AS (SELECT doc_id, ns, j, (j * ns) // 8 AS lo,
+        |      ((j + 1) * ns) // 8 AS hi FROM w)
+        |SELECT doc_id AS id, CAST(j AS INTEGER) AS win,
+        |  CASE WHEN hi > lo THEN round(sqrt(
+        |    CAST(list_sum([(((doc_id*31 + k*17) % 65536) - 32768)
+        |                   * (((doc_id*31 + k*17) % 65536) - 32768)
+        |         FOR k IN range(lo, hi)]) AS DOUBLE) / (hi - lo)) / 32768.0, 6)
+        |  ELSE 0.0 END AS rms
+        |FROM b ORDER BY id, win""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val payloads = Tables.documents(s, dir).select(col("doc_id").cast("long"))
+        .as[Long]
+        .mapPartitions(_.map { id =>
+          val sr = (8000 + (id % 3) * 4000).toInt
+          val ns = (50 + id % 37).toInt
+          val samples = Array.tabulate(ns)(j =>
+            (((id * 31L + j.toLong * 17L) % 65536L) - 32768L).toShort)
+          (id, graft.multimodal.Multimodal.Wav.encode(sr, samples))
+        })
+        .toDF("doc_id", "payload")
+      graft.multimodal.Multimodal.audioFeatures(payloads, "doc_id", "payload")
+        .orderBy(col("id"), col("win"))
+    },
+
     // Language ID via stopword/character heuristics (the synthetic corpus
     // shares one vocabulary, so this demonstrates the operator shape; real
     // n-gram profiles plug into the same transform). Oracle mirrors the

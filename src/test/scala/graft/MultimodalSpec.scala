@@ -132,6 +132,19 @@ class MultimodalSpec extends AnyFunSuite {
       ((7L, 8000, 3L, 600L)))
   }
 
+  test("audioFeatures: constant signal gives constant RMS; silence gives zero") {
+    val loud = Array.fill[Short](16)(16384)   // |s|/32768 = 0.5 everywhere
+    val quiet = Array.fill[Short](16)(0)
+    val df = Seq(
+      (1L, Multimodal.Wav.encode(8000, loud)),
+      (2L, Multimodal.Wav.encode(8000, quiet))).toDF("id", "payload")
+    val r = Multimodal.audioFeatures(df, "id", "payload", nWindows = 4)
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getDouble(2)))
+    assert(r.length == 8)
+    assert(r.filter(_._1 == 1L).forall(_._3 == 0.5))
+    assert(r.filter(_._1 == 2L).forall(_._3 == 0.0))
+  }
+
   test("BoundedTopK aggregator keeps k best with deterministic tie-break") {
     val topk = udaf(new TopK.BoundedTopK(3))
     val df = Seq((5.0, 1L), (9.0, 2L), (9.0, 1L), (1.0, 3L), (7.0, 4L))
