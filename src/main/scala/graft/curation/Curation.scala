@@ -275,23 +275,32 @@ object Curation {
     * from their documents — the occurrence-order policy (RefinedWeb
     * style), complementary to [[stripBoilerplateLines]]'s frequency
     * threshold (which removes ALL instances of frequent lines, including
-    * the first). One shuffle on the line (hash it at PB scale) for the
-    * occurrence window, then the per-document regroup.
+    * the first).
+    *
+    * Deliberately NOT a row_number window over the line: a viral line
+    * (10^6 instances) would pin one un-splittable task. The global first
+    * instance is a `min(struct(doc_id, pos))` AGGREGATE — map-side
+    * combiners absorb the hot key — and the equality flag join back is
+    * AQE-splittable (one build row per line). Hash the line key at PB
+    * scale, as in [[stripBoilerplateLines]].
     */
   def dedupLinesFirstOccurrence(df: DataFrame, text: Column,
                                 id: Column): DataFrame = {
     val e = df.select(id.as("doc_id"),
       posexplode(split(text, "\n")).as(Seq("pos", "line")))
-    val ranked = e.withColumn("__rn", row_number().over(
-      Window.partitionBy(col("line")).orderBy(col("doc_id"), col("pos"))))
-    ranked.groupBy(col("doc_id"))
+    val firsts = e.groupBy(col("line"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("__first"))
+    e.join(firsts, Seq("line"))
+      .withColumn("__keep", col("doc_id") === col("__first.doc_id") &&
+        col("pos") === col("__first.pos"))
+      .groupBy(col("doc_id"))
       .agg(
         array_join(transform(
-          array_sort(collect_list(when(col("__rn") === 1,
+          array_sort(collect_list(when(col("__keep"),
             struct(col("pos"), col("line"))))),
           s => s.getField("line")), "\n").as("clean_text"),
-        sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("n_lines_kept"),
-        sum(when(col("__rn") =!= 1, 1L).otherwise(0L)).as("n_lines_dropped"))
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_lines_kept"),
+        sum(when(!col("__keep"), 1L).otherwise(0L)).as("n_lines_dropped"))
   }
 
   /** Per-key temperature-sampling thresholds: flatten the source
