@@ -235,9 +235,13 @@ object Curation {
     * document whose every line is boilerplate survives with empty text
     * (dropping it is a downstream length-filter decision).
     *
-    * Scale shape: the boilerplate set is bounded by corpus_lines/minDocs,
-    * so it BROADCASTS and the corpus side is one explode + map-side flag
-    * join + per-document regroup; the line-frequency pass is a two-level
+    * Scale shape: the boilerplate set is bounded by corpus_lines/minDocs —
+    * small for real thresholds, but NOT a constant (tiny minDocs at PB
+    * scale could exceed broadcast limits), so the flag join carries no
+    * forced broadcast hint: AQE broadcasts when the measured size allows
+    * and falls back to a shuffle join when it doesn't, instead of failing.
+    * The corpus side is one explode + flag join + per-document regroup;
+    * the line-frequency pass is a two-level
     * aggregate (distinct (line, doc) then count). The per-doc
     * collect_list is bounded by lines-per-document, never corpus-sized.
     * `hashKeys = true` is the PB-scale path: the frequency count and the
@@ -258,7 +262,7 @@ object Curation {
       .groupBy(col("__k")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= minDocs)
       .select(col("__k"), lit(true).as("__bp"))
-    e.join(broadcast(bp), Seq("__k"), "left")
+    e.join(bp, Seq("__k"), "left")
       .groupBy(col("doc_id"))
       .agg(
         array_join(transform(
@@ -333,12 +337,17 @@ object Curation {
     * (re-runs, re-partitionings, and other engines keep the same docs).
     * NULL-text documents hash to NULL and are dropped — same semantics
     * as every content-hash sampler here; coalesce upstream to keep them.
+    * NULL keys are a real group, not a silent drop: the threshold join is
+    * null-safe (`<=>`), so a null-source crawl slice is sampled at its own
+    * group's threshold rather than vanishing while still deflating every
+    * other source's threshold through `n_min` (SQL mirror:
+    * `IS NOT DISTINCT FROM`).
     */
   def temperatureSample(df: DataFrame, key: Column, text: Column,
                         alpha: Double = 0.5, mod: Long = 1000000L): DataFrame = {
     val thr = temperatureThresholds(df, key, alpha, mod)
       .select(col("key").as("__tkey"), col("keep_threshold").as("__thr"))
-    df.join(broadcast(thr), key === col("__tkey"))
+    df.join(broadcast(thr), key <=> col("__tkey"))
       .filter(pmod(Fns.rollingHash(text), lit(mod)) < col("__thr"))
       .drop("__tkey", "__thr")
   }
@@ -348,10 +357,11 @@ object Curation {
     * stopword ratio, duplicated-token ratio, top-bigram share) plus the
     * combined `keep` — the auditable form real pipelines need (a bare
     * boolean can't answer "why did we drop 40% of source X?"; per-rule
-    * flags aggregate into exactly that report). One corpus scan: the
-    * scan-fused scalars ride through [[TextAnalysis.repetitionMetrics]]'s
-    * bigram explode via its `carry` hook, so the plan is the t5 shape
-    * (two keyed shuffles) with flags appended. Thresholds compare the
+    * flags aggregate into exactly that report). One corpus scan, ZERO
+    * shuffles: every metric — including the top-bigram share, via
+    * [[TextAnalysis.repetitionMetrics]]'s sorted-run fold — is per-doc
+    * arithmetic in a single fused projection (the scan-fused scalars ride
+    * along through the `carry` hook). Thresholds compare the
     * 6-decimal-rounded ratios (determinism contract).
     */
   def qualityFilter(df: DataFrame, text: Column, id: Column,
@@ -377,11 +387,17 @@ object Curation {
     * and per-rule violation rates — the aggregate that answers "why did
     * we drop 40% of source X" and decides whether a threshold or the
     * source is the problem. One extra shuffle on the key after the
-    * filter's own two.
+    * filter's own two. Thresholds pass straight through to
+    * [[qualityFilter]] (defaults preserve the `c7` gate fixture).
     */
   def sourceQualityReport(df: DataFrame, text: Column, id: Column,
-                          key: Column): DataFrame = {
-    val flags = qualityFilter(df, text, id)
+                          key: Column,
+                          minTokens: Long = 20, maxTokens: Long = 80,
+                          maxStopwordRatio: Double = 0.1,
+                          maxDupTokenRatio: Double = 0.6,
+                          maxTopBigramFrac: Double = 0.06): DataFrame = {
+    val flags = qualityFilter(df, text, id, minTokens, maxTokens,
+      maxStopwordRatio, maxDupTokenRatio, maxTopBigramFrac)
     df.select(id.as("doc_id"), key.as("key"))
       .join(flags, Seq("doc_id"))
       .groupBy(col("key"))
@@ -409,19 +425,49 @@ object Curation {
     * hash-gated end to end (`c9_training_manifest`) — the c1 discipline
     * extended over the round-6 operators. Returns one row per surviving
     * document: `(doc_id, pack_key, split, n_tokens, seq_id, seq_offset)`.
+    *
+    * Plan shape: the multi-consumer frames are eagerly materialized as
+    * ID-ONLY projections (the `TextAnalysis.vocabTopK` idiom — column
+    * pruning defeats ReuseExchange, so an un-materialized subtree
+    * re-executes per consumer): the quality-keep id set feeds both
+    * decontamination and the anti-join; the deduped `(doc_id, split)`
+    * projection feeds both the packing rehydration and the final
+    * join-back. With both checkpointed, the
+    * filter → decontaminate → dedup chain (two keyed shuffles, a gram
+    * explode, a signature window) executes exactly ONCE; consumers pay
+    * only a re-scan of the `docs` relation joined against the tiny id
+    * set — never the text (corpus-sized payloads are not checkpointed).
+    * The quality-rule thresholds pass through to [[qualityFilter]]
+    * (defaults preserve the `c6`/`c7`/`c9` gate fixtures — real corpora
+    * want e.g. `maxTokens = Long.MaxValue`).
     */
   def trainingManifest(docs: DataFrame, evalDocs: DataFrame,
-                       budget: Int = 512): DataFrame = {
-    val keepIds = qualityFilter(docs, col("text"), col("doc_id"))
+                       budget: Int = 512,
+                       minTokens: Long = 20, maxTokens: Long = 80,
+                       maxStopwordRatio: Double = 0.1,
+                       maxDupTokenRatio: Double = 0.6,
+                       maxTopBigramFrac: Double = 0.06): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    // O(ids): one long column, safe to pin in executor memory.
+    val keepIds = qualityFilter(docs, col("text"), col("doc_id"),
+        minTokens, maxTokens, maxStopwordRatio, maxDupTokenRatio,
+        maxTopBigramFrac)
       .filter(col("keep") === 1).select(col("doc_id"))
+      .localCheckpoint(true)
     val q = docs.join(keepIds, Seq("doc_id"))
     val contaminated = decontaminate(q, evalDocs)
     val clean = q.join(contaminated, Seq("doc_id"), "left_anti")
-    val deduped = keepOneExact(clean, col("text"), col("doc_id"))
-      .withColumn("split", splitColumn(col("text")))
+    // O(ids) again: survivors of the signature window, plus their split.
+    val dedupedIds = keepOneExact(clean, col("text"), col("doc_id"))
+      .select(col("doc_id"), splitColumn(col("text")).as("split"))
+      .localCheckpoint(true)
+    Bridge.release(keepIds) // dedupedIds subsumes it
+    // Rehydrate text/source for packing with one more scan of `docs`
+    // (cheap columnar read) instead of re-running the dedup window.
+    val deduped = docs.join(dedupedIds, Seq("doc_id"))
     packSequences(deduped, col("text"), col("doc_id"),
         concat(col("source"), lit("|"), col("split")), budget)
-      .join(deduped.select(col("doc_id"), col("split")), Seq("doc_id"))
+      .join(dedupedIds, Seq("doc_id"))
       .select(col("doc_id"), col("pack_key"), col("split"),
         col("n_tokens"), col("seq_id"), col("seq_offset"))
   }

@@ -19,16 +19,15 @@ object Dedup {
   /** Distinct word n-gram shingles (n=1 degenerates to the token set).
     * Shorter-than-n docs yield one truncated shingle, matching the DuckDB
     * twin `list_transform(range(1, greatest(len-n+1,1)+1), i ->
-    * array_to_string(toks[i:i+n-1], ' '))`.
+    * array_to_string(toks[i:i+n-1], ' '))`. Built by the native
+    * [[graft.expr.NGrams]] expression (single codegen'd pass,
+    * first-occurrence order — bit-identical to the
+    * `array_distinct(transform(...))` HOF form it replaces, which paid
+    * interpreted per-element lambdas and an O(L·n) slice per gram).
     */
   def shingles(text: Column, n: Int): Column =
     if (n <= 1) tokens(text)
-    else {
-      val toks = split(text, " ")
-      array_distinct(transform(
-        sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
-        i => array_join(slice(toks, i, lit(n)), " ")))
-    }
+    else graft.expr.TextStatsExpressions.ngrams(split(text, " "), n)
 
   /** Exact dedup on a canonicalized signature: the sorted distinct token
     * set. One hash-shuffle on the signature; emits one row per duplicate

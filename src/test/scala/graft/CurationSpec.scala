@@ -166,10 +166,11 @@ class CurationSpec extends AnyFunSuite {
     assert(r(3) == ((4L, "", 0L, 2L)))
   }
 
-  test("plan guards: qualityFilter is join-free; boilerplate/eval sets broadcast") {
+  test("plan guards: qualityFilter is join- and shuffle-free; boilerplate/eval sets broadcast") {
     val qp = Curation.qualityFilter(docs, col("text"), col("doc_id"))
       .queryExecution.executedPlan.toString
     assert(!qp.contains("Join"), qp) // the carry hook means NO join-back
+    assert(!qp.contains("Exchange"), qp) // single fused projection, no shuffle
     val lined = Seq((1L, "x\ny"), (2L, "x\nz"), (3L, "x\nw")).toDF("doc_id", "text")
     val bp = Curation.stripBoilerplateLines(lined, col("text"), col("doc_id"), 3)
       .queryExecution.executedPlan.toString

@@ -37,6 +37,60 @@ class ExprSpec extends AnyFunSuite {
     } finally spark.sql("DROP VIEW IF EXISTS v")
   }
 
+  // Random corpora for the text-stats natives: short docs, a heavy-repeat
+  // doc, 0/1-token degenerates, and token vocab small enough to force
+  // bigram collisions.
+  private def randomDocs(seed: Int): Seq[String] = {
+    val rnd = new scala.util.Random(seed)
+    Seq("", "one") ++ Seq.fill(200) {
+      val n = 1 + rnd.nextInt(40)
+      Seq.fill(n)(s"w${rnd.nextInt(8)}").mkString(" ")
+    }
+  }
+
+  test("native RepStats matches the explode + double group-by formulation") {
+    val df = randomDocs(17).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val t = split(col("text"), " ")
+    val rs = graft.expr.TextStatsExpressions.repStats(t)
+    val native = df.select(col("doc_id"),
+        rs.getField("n_distinct").as("nd"), rs.getField("max_bigram").as("mb"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val bigrams = transform(
+      sequence(lit(1), greatest(size(t) - 1, lit(1))),
+      i => array_join(slice(t, i, lit(2)), " "))
+    val hof = df.select(col("doc_id"),
+        size(array_distinct(t)).cast("long").as("nd"), explode(bigrams).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"), first("nd").as("nd"))
+      .groupBy("doc_id").agg(first("nd").as("nd"), max("c").as("mb"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(native.toSeq == hof.toSeq)
+  }
+
+  test("native CountInSet matches the filter-HOF count") {
+    val df = randomDocs(23).toDF("text")
+    val t = split(col("text"), " ")
+    val words = Seq("w0", "w3")
+    val native = graft.expr.TextStatsExpressions.countInSet(t, words)
+    val hof = size(filter(t, x => x.isInCollection(words))).cast("long")
+    val diffs = df.filter(native =!= hof).count()
+    assert(diffs == 0L)
+  }
+
+  test("native NGrams matches array_distinct(transform(...)) incl. order") {
+    val df = randomDocs(31).toDF("text")
+    for (n <- Seq(2, 3, 5)) {
+      val t = split(col("text"), " ")
+      val native = graft.expr.TextStatsExpressions.ngrams(t, n)
+      val hof = array_distinct(transform(
+        sequence(lit(1), greatest(size(t) - (n - 1), lit(1))),
+        i => array_join(slice(t, i, lit(n)), " ")))
+      // element-wise equality INCLUDING order (PPJoin indexes positions)
+      val diffs = df.filter(not(native <=> hof)).count()
+      assert(diffs == 0L, s"n=$n")
+    }
+  }
+
   test("graft_table_ids is SQL-callable, default and explicit sentinel") {
     graft.ext.GraftExtensions.register(spark)
     val got = spark.sql(
