@@ -104,6 +104,72 @@ object DocQueries {
        |FROM s ORDER BY round(cos, 6) DESC, vec_id LIMIT 10""".stripMargin
   }
 
+  /** The sim3 oracle family: [[graft.sim.Similarity.ivfAnn]] mirrored in
+    * SQL with `iters` Lloyd rounds unrolled — 0 is the assignment-only
+    * slice (sim3b), 1 adds a full centroid mean update (sim3c), so the
+    * entire IVF path short of loop count is hash-gated. The mean mirrors
+    * the engine's floor-scaled integer sums (⌊x·10⁹⌋ summed as BIGINT —
+    * associative, identical under any partitioning/engine), divided and
+    * CAST AS FLOAT exactly like the Spark centroid literal; the probe
+    * ranking uses the DOUBLE means (`cvd`) while assignment uses the
+    * FLOAT casts (`cvf`), matching the engine's split precision.
+    */
+  private def sim3OracleSql(iters: Int, nCentroids: Int = 16, stride: Int = 16,
+                            nProbe: Int = 2, k: Int = 10): String = {
+    require(iters >= 0 && iters <= 1, "unrolled oracle supports iters 0 or 1")
+    def assign(out: String, cn: String): String =
+      s"""${out}d AS (SELECT e.vec_id, e.label, e.embedding, c.cid,
+         |  c.n2 - 2.0 * ${duckDot("c.cvf", "e.embedding")} AS d
+         |  FROM e CROSS JOIN $cn c),
+         |$out AS (SELECT vec_id, label, embedding, cid FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn2
+         |  FROM ${out}d) WHERE rn2 = 1)""".stripMargin
+    def withNorm(out: String, cn: String): String =
+      s"""$out AS (SELECT cid, cvf, cvd,
+         |  list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN cvf]) AS n2
+         |  FROM $cn)""".stripMargin
+    val lloyd = (1 to iters).map { r =>
+      s"""${assign(s"a${r - 1}", s"n${r - 1}")},
+         |m$r AS (SELECT cid, pos,
+         |  CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * 1000000000.0) AS BIGINT)) AS DOUBLE)
+         |    / (COUNT(*) * 1000000000.0) AS mean
+         |  FROM (SELECT cid, unnest(embedding) AS x,
+         |        unnest(range(1, len(embedding) + 1)) AS pos FROM a${r - 1})
+         |  GROUP BY cid, pos),
+         |cent$r AS (SELECT cid, list(CAST(mean AS FLOAT) ORDER BY pos) AS cvf,
+         |  list(mean ORDER BY pos) AS cvd FROM m$r GROUP BY cid),
+         |cn$r AS (SELECT p.cid AS cid, coalesce(c.cvf, p.cvf) AS cvf,
+         |  coalesce(c.cvd, p.cvd) AS cvd
+         |  FROM cn${r - 1} p LEFT JOIN cent$r c ON p.cid = c.cid),
+         |${withNorm(s"n$r", s"cn$r")}""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+       |ids AS (SELECT vec_id AS cvid,
+       |  CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS rn
+       |  FROM e ORDER BY vec_id LIMIT ${nCentroids * stride}),
+       |cn0 AS (SELECT CAST(rn // $stride AS INT) AS cid,
+       |  CAST(e2.embedding AS FLOAT[]) AS cvf,
+       |  CAST(CAST(e2.embedding AS FLOAT[]) AS DOUBLE[]) AS cvd
+       |  FROM ids JOIN e e2 ON e2.vec_id = ids.cvid WHERE rn % $stride = 0),
+       |${withNorm("n0", "cn0")},
+       |${if (lloyd.nonEmpty) lloyd + "," else ""}
+       |${assign("assigned", s"n$iters")},
+       |q AS (SELECT embedding AS qv FROM e WHERE vec_id = 0),
+       |qp AS (SELECT c.cid FROM n$iters c CROSS JOIN q
+       |  ORDER BY list_sum([(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+       |    * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+       |    FOR x IN list_zip(c.cvd, q.qv)]), c.cid
+       |  LIMIT $nProbe),
+       |s AS (SELECT a.vec_id, a.label,
+       |  ${duckDot("a.embedding", "q.qv")} /
+       |  (sqrt(${duckDot("a.embedding", "a.embedding")}) *
+       |   sqrt(${duckDot("q.qv", "q.qv")})) AS cos
+       |  FROM assigned a CROSS JOIN q
+       |  WHERE a.vec_id <> 0 AND a.cid IN (SELECT cid FROM qp))
+       |SELECT vec_id, label, round(cos, 6) AS cosine
+       |FROM s ORDER BY round(cos, 6) DESC, vec_id LIMIT $k""".stripMargin
+  }
+
   /** The d2b oracle: the md5 MinHash family of
     * [[graft.dedup.Dedup.minHashLshEdgesPortable]] mirrored in SQL —
     * minhash = lexicographic min of the per-family digests, band key =
@@ -322,39 +388,18 @@ object DocQueries {
     // recall-spec'd. The oracle mirrors everything: every-16th-vector
     // seeds cast to FLOAT (the Spark literal type), ‖c‖²−2·c·x argmin
     // with (dist, cid) tie-break, squared-distance probe ranking.
-    QDef("sim3b_ann_ivf_assign",
-      s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
-         |ids AS (SELECT vec_id AS cvid,
-         |  CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS rn
-         |  FROM e ORDER BY vec_id LIMIT 256),
-         |cent AS (SELECT CAST(rn // 16 AS INT) AS cid,
-         |  CAST(e2.embedding AS FLOAT[]) AS cvf
-         |  FROM ids JOIN e e2 ON e2.vec_id = ids.cvid WHERE rn % 16 = 0),
-         |cn AS (SELECT cid, cvf,
-         |  list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN cvf]) AS cn2
-         |  FROM cent),
-         |dist AS (SELECT e.vec_id, e.label, e.embedding, c.cid,
-         |  c.cn2 - 2.0 * ${duckDot("c.cvf", "e.embedding")} AS d
-         |  FROM e CROSS JOIN cn c),
-         |assigned AS (SELECT vec_id, label, embedding, cid FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn2
-         |  FROM dist) WHERE rn2 = 1),
-         |q AS (SELECT embedding AS qv FROM e WHERE vec_id = 0),
-         |qp AS (SELECT c.cid FROM cn c CROSS JOIN q
-         |  ORDER BY list_sum([(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
-         |    * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
-         |    FOR x IN list_zip(c.cvf, q.qv)]), c.cid
-         |  LIMIT 2),
-         |s AS (SELECT a.vec_id, a.label,
-         |  ${duckDot("a.embedding", "q.qv")} /
-         |  (sqrt(${duckDot("a.embedding", "a.embedding")}) *
-         |   sqrt(${duckDot("q.qv", "q.qv")})) AS cos
-         |  FROM assigned a CROSS JOIN q
-         |  WHERE a.vec_id <> 0 AND a.cid IN (SELECT cid FROM qp))
-         |SELECT vec_id, label, round(cos, 6) AS cosine
-         |FROM s ORDER BY round(cos, 6) DESC, vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+    QDef("sim3b_ann_ivf_assign", sim3OracleSql(iters = 0)) { (s, dir) =>
       Similarity.ivfAnn(Tables.embeddings(s, dir), queryVecId = 0L, k = 10,
         nCentroids = 16, nProbe = 2, iters = 0)
+    },
+
+    // IVF ANN with ONE full Lloyd round unrolled in the oracle (VERDICT r6
+    // ask): seeding, floor-scaled-integer mean update, float re-cast,
+    // re-assignment, probe selection, and ranking all hash-gated — the
+    // only un-oracled IVF surface left is the loop count itself (sim3).
+    QDef("sim3c_ann_ivf_iter1", sim3OracleSql(iters = 1)) { (s, dir) =>
+      Similarity.ivfAnn(Tables.embeddings(s, dir), queryVecId = 0L, k = 10,
+        nCentroids = 16, nProbe = 2, iters = 1)
     },
 
     // Brute-force cosine top-k (the ANN baseline): one fixed query vector

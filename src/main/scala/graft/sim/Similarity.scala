@@ -105,6 +105,12 @@ object Similarity {
     *
     * Lloyd's iterations run as distributed groupBy-means; deterministic
     * seeding (every ⌈n/k⌉-th vector by id) keeps results reproducible.
+    * The mean update sums FLOOR-SCALED INTEGERS (⌊x·10⁹⌋ as long) rather
+    * than doubles: integer addition is associative, so the centroid is
+    * bit-identical under any partitioning/engine (the ~1e-9 quantization
+    * is noise for a coarse quantizer) — that determinism is what lets the
+    * `sim3c` gate hash-check a full unrolled Lloyd round in SQL, not just
+    * the iters=0 assignment slice (`sim3b`).
     */
   def ivfAnn(emb: DataFrame, queryVecId: Long, k: Int,
              nCentroids: Int = 16, nProbe: Int = 2, iters: Int = 3): DataFrame = {
@@ -142,14 +148,16 @@ object Similarity {
       val sums = assigned
         .select(col("cid"), posexplode(col("embedding")).as(Seq("d", "x")))
         .groupBy(col("cid"), col("d"))
-        .agg(sum(col("x").cast("double")).as("sx"), count(lit(1)).as("n"))
+        .agg(sum(floor(col("x").cast("double") * lit(1e9)).cast("long")).as("sx"),
+          count(lit(1)).as("n"))
         .collect()
       val byCid = sums.groupBy(_.getInt(0))
       centroids = centroids.map { case (cid, old) =>
         byCid.get(cid) match {
           case Some(rows) =>
             val mean = new Array[Double](dim)
-            rows.foreach(r => mean(r.getInt(1)) = r.getDouble(2) / r.getLong(3))
+            rows.foreach(r =>
+              mean(r.getInt(1)) = r.getLong(2).toDouble / (r.getLong(3) * 1e9))
             (cid, mean)
           case None => (cid, old) // empty list keeps its centroid
         }
@@ -187,6 +195,17 @@ object Similarity {
   def semanticDedup(emb: DataFrame, nBits: Int, threshold: Double,
                     dim: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Fail fast on a dim mismatch: lshBucket projects onto `dim`-length
+    // hyperplanes, so a wrong `dim` would silently truncate (or
+    // zero-extend) every projection and mis-bucket the whole corpus —
+    // wrong dedup groups with no oracle to catch it outside the d10 gate.
+    // The check fuses into the scan (one size() compare per row).
+    val checked = emb.withColumn("embedding",
+      when(size(col("embedding")) === dim, col("embedding"))
+        .otherwise(raise_error(concat(
+          lit(s"semanticDedup: embedding length "), size(col("embedding")),
+          lit(s" != dim=$dim — pass the actual vector length")))))
+    val emb0 = checked
     // Exact-duplicate collapse first (the keepOneNearDup defense applied
     // to embeddings): identical vectors are cos=1 cliques, so only the
     // min-id member can survive and the pairwise stage shrinks by the
@@ -195,7 +214,7 @@ object Similarity {
     // uncollapsed greedy for any threshold <= 1 given non-zero vectors
     // (identical ZERO vectors have NaN cosine and would all survive
     // uncollapsed; here they collapse — the saner answer anyway).
-    val reps = emb.withColumn("__ern", row_number().over(
+    val reps = emb0.withColumn("__ern", row_number().over(
         Window.partitionBy(col("embedding")).orderBy(col("vec_id"))))
       .filter(col("__ern") === 1).drop("__ern")
     val bucketed = reps.withColumn("bucket", lshBucket(col("embedding"), nBits, dim))
