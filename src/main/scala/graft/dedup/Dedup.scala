@@ -461,31 +461,38 @@ object Dedup {
     * (containment both ways) emit once, later id as the inner.
     *
     * Candidate generation is a PPJoin-flavored equi-join, never a cross
-    * product: if the inner appears contiguously in the outer, its FIRST
-    * `ngram`-gram is one of the outer's n-grams — so candidates =
-    * (block, first-gram of inner) ⋈ (block, any-gram of outer), then one
-    * `contains` verify per distinct candidate pair. Complete for inner
-    * docs with >= `ngram` tokens; shorter docs are excluded (route them
-    * through exact dedup — sub-n-gram substring matching is noise).
-    * At 100 TB: candidates are O(matches of the first gram), and the
+    * product: if the inner appears contiguously in the outer, then EVERY
+    * n-gram of the inner is one of the outer's n-grams — so candidates =
+    * (block, one chosen gram of inner) ⋈ (block, any-gram of outer), then
+    * one `contains` verify per distinct candidate pair, complete for any
+    * choice of the inner's gram. Complete for inner docs with >= `ngram`
+    * tokens; shorter docs are excluded (route them through exact dedup —
+    * sub-n-gram substring matching is noise).
+    *
+    * `rarestGram = false` keys each inner on its FIRST gram (zero extra
+    * passes). That key skews under boilerplate openers — a licence header
+    * or "the quick brown…" opener makes ONE join key hold a large share
+    * of inner docs — so `rarestGram = true` is the skew-hardened scale
+    * path: one doc-frequency pass over the outer postings, then each
+    * inner keys on its LOWEST-frequency gram (ties → earliest position;
+    * the standard rare-token candidate trick). A shared opener then only
+    * matters for docs ENTIRELY made of common grams, and each inner's
+    * candidate list is bounded by its rarest gram's postings — within ~2×
+    * of optimal for any gram choice (SkewSpec pins both the bound and
+    * result equality). The outer postings generate twice in that mode
+    * (freq pass + candidate join) — scan-bound regeneration through the
+    * native NGrams expression, deliberately not checkpointed (the frame
+    * is corpus × grams sized; the no-text-checkpoint rule).
+    *
+    * At 100 TB: candidates are O(matches of the chosen gram), and the
     * distinct runs on ids with texts re-joined per candidate.
     */
   def containmentPairs(df: DataFrame, text: Column, id: Column,
-                       blockCol: String, ngram: Int = 3): DataFrame = {
+                       blockCol: String, ngram: Int = 3,
+                       rarestGram: Boolean = false): DataFrame = {
     val d = df.select(col(blockCol).as("blk"), id.as("doc_id"), text.as("t"),
       length(text).as("len"), size(split(text, " ")).as("n"))
-    // candidate stage carries IDS ONLY (the distinct must never hash
-    // corpus-sized text); texts re-join per surviving candidate pair
-    val innerKeys = d.filter(col("n") >= ngram)
-      .select(col("blk"),
-        array_join(slice(split(col("t"), " "), 1, ngram), " ").as("g"),
-        col("doc_id").as("inner_id"))
-    val outerKeys = d.select(col("blk"),
-      explode(shingles(col("t"), ngram)).as("g"),
-      col("doc_id").as("outer_id"))
-    val cand = innerKeys.join(outerKeys, Seq("blk", "g"))
-      .where(col("inner_id") =!= col("outer_id"))
-      .select(col("inner_id"), col("outer_id")).distinct()
+    val cand = containmentCandidates(d, ngram, rarestGram)
     val a = d.select(col("doc_id").as("inner_id"), col("t").as("t_in"),
       col("len").as("len_in"))
     val b = d.select(col("doc_id").as("outer_id"), col("t").as("t_out"),
@@ -497,6 +504,41 @@ object Dedup {
           (col("len_in") === col("len_out") &&
             col("inner_id") > col("outer_id"))))
       .select(col("inner_id").as("doc_inner"), col("outer_id").as("doc_outer"))
+  }
+
+  /** Candidate stage of [[containmentPairs]] — ids only (the distinct
+    * must never hash corpus-sized text); exposed for SkewSpec's bound
+    * assertions. `d` columns: (blk, doc_id, t, len, n).
+    */
+  private[graft] def containmentCandidates(d: DataFrame, ngram: Int,
+                                           rarestGram: Boolean): DataFrame = {
+    val outerKeys = d.select(col("blk"),
+      explode(shingles(col("t"), ngram)).as("g"),
+      col("doc_id").as("outer_id"))
+    val innerKeys =
+      if (!rarestGram)
+        d.filter(col("n") >= ngram)
+          .select(col("blk"),
+            array_join(slice(split(col("t"), " "), 1, ngram), " ").as("g"),
+            col("doc_id").as("inner_id"))
+      else {
+        // doc frequency over the outer postings (block-local), then each
+        // inner keys on its min-(freq, pos) gram. Every inner doc is its
+        // own outer posting, so the lookup never misses.
+        val freq = outerKeys.groupBy(col("blk"), col("g"))
+          .agg(count(lit(1)).as("__df"))
+        d.filter(col("n") >= ngram)
+          .select(col("blk"),
+            posexplode(shingles(col("t"), ngram)).as(Seq("pos", "g")),
+            col("doc_id").as("inner_id"))
+          .join(freq, Seq("blk", "g"))
+          .groupBy(col("inner_id"), col("blk"))
+          .agg(min(struct(col("__df"), col("pos"), col("g"))).as("m"))
+          .select(col("blk"), col("m.g").as("g"), col("inner_id"))
+      }
+    innerKeys.join(outerKeys, Seq("blk", "g"))
+      .where(col("inner_id") =!= col("outer_id"))
+      .select(col("inner_id"), col("outer_id")).distinct()
   }
 
   /** Engine-portable SimHash twin of [[simHash]]: per-token bits come from

@@ -248,6 +248,42 @@ object DocQueries {
         .as("text"))
   }
 
+  /** The d11/d11b gate corpus: documents plus deterministic 12-token
+    * snippet rows (doc_id+100000, every 10th doc) — the fixture has only
+    * exact-dup containments, so the snippets plant true substring pairs
+    * identically on both engines.
+    */
+  private def d11Corpus(s: org.apache.spark.sql.SparkSession,
+                        dir: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val snippets = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("source"),
+        array_join(slice(split(col("text"), " "), 1, 12), " ").as("text"))
+    docs.unionByName(snippets)
+  }
+
+  /** Shared by d11 (first-gram candidates) and d11b (rarest-gram): the
+    * oracle verifies with an exhaustive blocked cross product, so a
+    * candidate-completeness gap in EITHER route would hash-mismatch.
+    */
+  private val d11OracleSql: String =
+    """WITH aug AS (
+      |  SELECT doc_id, source, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, source,
+      |    array_to_string(string_split(text, ' ')[1:12], ' ') AS text
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |d AS (SELECT doc_id, source, text, strlen(text) AS len,
+      |      string_split(text, ' ') AS toks FROM aug),
+      |p AS (SELECT a.doc_id AS doc_inner, b.doc_id AS doc_outer
+      |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id <> b.doc_id
+      |  WHERE len(a.toks) >= 3
+      |    AND contains(' ' || b.text || ' ', ' ' || a.text || ' ')
+      |    AND (a.len < b.len OR (a.len = b.len AND a.doc_id > b.doc_id)))
+      |SELECT doc_inner, doc_outer FROM p
+      |ORDER BY doc_inner, doc_outer""".stripMargin
+
   /** Shared by c4 and its hashed-key scale twin c4b — one oracle, two
     * engine plans.
     */
@@ -991,28 +1027,21 @@ object DocQueries {
     // on both engines; the oracle verifies with an exhaustive blocked
     // cross product while the engine runs the first-gram candidate join
     // — a candidate-completeness gap would hash-mismatch.
-    QDef("d11_containment_pairs",
-      """WITH aug AS (
-        |  SELECT doc_id, source, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 100000 AS doc_id, source,
-        |    array_to_string(string_split(text, ' ')[1:12], ' ') AS text
-        |  FROM documents WHERE doc_id % 10 = 0),
-        |d AS (SELECT doc_id, source, text, strlen(text) AS len,
-        |      string_split(text, ' ') AS toks FROM aug),
-        |p AS (SELECT a.doc_id AS doc_inner, b.doc_id AS doc_outer
-        |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id <> b.doc_id
-        |  WHERE len(a.toks) >= 3
-        |    AND contains(' ' || b.text || ' ', ' ' || a.text || ' ')
-        |    AND (a.len < b.len OR (a.len = b.len AND a.doc_id > b.doc_id)))
-        |SELECT doc_inner, doc_outer FROM p
-        |ORDER BY doc_inner, doc_outer""".stripMargin) { (s, dir) =>
-      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"), col("text"))
-      val snippets = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
-        .select((col("doc_id") + 100000L).as("doc_id"), col("source"),
-          array_join(slice(split(col("text"), " "), 1, 12), " ").as("text"))
-      Dedup.containmentPairs(docs.unionByName(snippets), col("text"),
+    QDef("d11_containment_pairs", d11OracleSql) { (s, dir) =>
+      Dedup.containmentPairs(d11Corpus(s, dir), col("text"),
           col("doc_id"), blockCol = "source")
+        .orderBy(col("doc_inner"), col("doc_outer"))
+    },
+
+    // The d11 skew-hardened twin: each inner doc keys its candidate join
+    // on its RAREST gram (one doc-frequency pass) instead of its first —
+    // a boilerplate opener can no longer pile half the inner docs onto
+    // one join key (SkewSpec plants exactly that corpus and pins the
+    // candidate bound). Same oracle: the gram choice only affects the
+    // candidate route, never the verified pair set.
+    QDef("d11b_containment_rarest", d11OracleSql) { (s, dir) =>
+      Dedup.containmentPairs(d11Corpus(s, dir), col("text"),
+          col("doc_id"), blockCol = "source", rarestGram = true)
         .orderBy(col("doc_inner"), col("doc_outer"))
     },
 

@@ -137,4 +137,56 @@ class SkewSpec extends AnyFunSuite {
     assert(candN < hotCross / 100,
       s"candidates $candN vs hot-block cross product $hotCross")
   }
+
+  test("rarest-gram containment keys bound a 50%-shared boilerplate opener") {
+    // 2000 docs in ONE block; half open with the same 3 boilerplate tokens
+    // (the licence-header scenario: first-gram keying piles them all onto
+    // one join key), then 10 distinctive tokens each; every 100th doc is a
+    // planted 6-token snippet of its predecessor (a true containment).
+    val nDocs = 2000
+    val docs = spark.range(nDocs).select(
+      col("id").as("doc_id"),
+      lit("b").as("source"),
+      when(col("id") % 100 === 1,
+        concat_ws(" ",
+          lit("common opening words"),
+          concat(lit("u"), (((col("id") - 1) * 131) % 7919).cast("string")),
+          concat(lit("u"), (((col("id") - 1) * 131 + 977) % 7919).cast("string")),
+          concat(lit("u"), (((col("id") - 1) * 131 + 2 * 977) % 7919).cast("string"))))
+      .otherwise(concat_ws(" ",
+        when(col("id") % 2 === 0, lit("common opening words"))
+          .otherwise(concat_ws(" ",
+            concat(lit("o"), (col("id") % 4096).cast("string")),
+            concat(lit("o"), ((col("id") + 1) % 4096).cast("string")),
+            concat(lit("o"), ((col("id") + 2) % 4096).cast("string")))),
+        concat_ws(" ", transform(sequence(lit(0), lit(9)),
+          j => concat(lit("u"),
+            ((col("id") * 131 + j * 977) % 7919).cast("string")))))).as("text"))
+    val first = Dedup.containmentPairs(docs, col("text"), col("doc_id"),
+      "source", rarestGram = false)
+    val rare = Dedup.containmentPairs(docs, col("text"), col("doc_id"),
+      "source", rarestGram = true)
+    // correctness under skew: identical verified pair set, planted
+    // containments recovered ((id) ⊂ (id-1) for id % 100 == 1: the snippet
+    // is the predecessor's opener + first 3 distinctive tokens)
+    val gotF = first.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotR = rare.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotF == gotR)
+    val planted = (101L until nDocs by 100).map(i => (i, i - 1)).toSet
+    assert(planted.subsetOf(gotR), s"missing ${planted -- gotR}")
+    // the blowup guard: first-gram keying joins every even doc + every
+    // snippet through the ONE shared opener gram (~1000 inner docs × ~1000
+    // hot postings); rarest-gram keying spreads inners over their unique
+    // tokens — candidates stay within a small multiple of the doc count
+    def candN(rarest: Boolean): Long = {
+      val d = docs.select(col("source").as("blk"), col("doc_id"),
+        col("text").as("t"), length(col("text")).as("len"),
+        size(split(col("text"), " ")).as("n"))
+      Dedup.containmentCandidates(d, 3, rarest).count()
+    }
+    val (nFirst, nRare) = (candN(false), candN(true))
+    assert(nRare < nDocs * 4L, s"rarest-gram candidates $nRare")
+    assert(nRare * 20 < nFirst,
+      s"rarest $nRare not ≪ first-gram $nFirst — skew guard lost its teeth")
+  }
 }
