@@ -262,10 +262,11 @@ object RedsetPipeline {
         .drop("bucket", "batch_id")
         .localCheckpoint(true)
       onBatch.foreach(f => f(batchId, slice.count()))
-      def overwriteTouched(df: DataFrame, path: String): Unit =
+      def overwriteTouched(df: DataFrame, path: String,
+                           extraParts: Seq[String] = Nil): Unit =
         withBucket(df).repartition(col("bucket")).write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("bucket").parquet(path)
+          .partitionBy("bucket" +: extraParts: _*).parquet(path)
       // the output table feeds its own staging write AND the freshness
       // dashboard — materialize once, derive both, release.
       //
@@ -283,7 +284,17 @@ object RedsetPipeline {
       // staged rows survive for inspection. foreachBatch replay self-heals
       // either way; this bounds what a concurrent reader can observe.
       val out = outputTable(slice).localCheckpoint(true)
-      overwriteTouched(out, s"$outputPath/output_table")
+      // Layout: (bucket, day). Bucket drives the incremental recompute
+      // (touched-partition pruning on maintenance); day = the row's event
+      // date serves the F3 read path — the reference's BETWEEN windows
+      // become PartitionFilters instead of full-table scans at 100 TB
+      // (plan-asserted in RedsetPipelineSpec). Dynamic overwrite stays
+      // correct: a row's (bucket, day) is a pure function of the row
+      // (instance hash, arrival date), rows are never deleted by a
+      // recompute, and a touched bucket regenerates ALL its rows — so
+      // every previously-present partition reappears in the written frame.
+      val outDay = out.withColumn("day", to_date(col("arrival_timestamp")))
+      overwriteTouched(outDay, s"$outputPath/output_table", Seq("day"))
       val fs = org.apache.hadoop.fs.FileSystem.get(
         spark.sparkContext.hadoopConfiguration)
       val fresh = withBucket(freshnessFromOutput(out))
@@ -309,9 +320,9 @@ object RedsetPipeline {
       // has no parquet footer and schema inference would fail the stream
       def view(path: String, schema: org.apache.spark.sql.types.StructType,
                name: String): Unit =
-        spark.read.schema(schema).parquet(path).drop("bucket")
+        spark.read.schema(schema).parquet(path).drop("bucket", "day")
           .createOrReplaceGlobalTempView(name)
-      view(s"$outputPath/output_table", withBucket(out).schema, "expert_output_table")
+      view(s"$outputPath/output_table", withBucket(outDay).schema, "expert_output_table")
       view(s"$outputPath/workload", workload.schema, "expert_workload")
       view(s"$outputPath/freshness", fresh.schema, "expert_freshness")
       Bridge.release(out)

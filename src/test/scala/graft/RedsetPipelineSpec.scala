@@ -138,4 +138,32 @@ class RedsetPipelineSpec extends AnyFunSuite {
     assert(Set("expert_output_table", "expert_workload", "expert_freshness")
       .subsetOf(views))
   }
+
+  test("output_table is (bucket, day)-partitioned and a one-day read prunes") {
+    // rows on two distinct days so the layout has >1 day partition
+    val twoDays = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        raw(1, "2024-03-01 00:00:00", "copy",   10, "", "90", "5000"),
+        raw(2, "2024-03-01 01:00:00", "select", 10, "90", "", "61000"),
+        raw(3, "2024-03-02 02:00:00", "insert", 11, "", "90", "2000"),
+        raw(4, "2024-03-02 03:00:00", "select", 11, "90", "", "1000"))),
+      RedsetSchema.rawSchema)
+    val base = graft.queries.QDef.tempDir("graft_day_prune")
+    RedsetPipeline.incrementalBatch(twoDays, 0L, s"$base/staged",
+      s"$base/out", nBuckets = 4)
+    val read = spark.read.parquet(s"$base/out/output_table")
+      .filter(col("day") === lit("2024-03-02").cast("date"))
+    // the day predicate must land in PartitionFilters (directory pruning),
+    // NOT in PushedFilters/data filters — the F3 BETWEEN read path at
+    // 100 TB prunes partitions instead of scanning them
+    val scan = read.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("day"), scan)
+    assert(read.collect().map(_.getAs[Long]("query_id")).toSet == Set(3L, 4L))
+    // and the day-1 slice still holds exactly the day-1 rows
+    val d1 = spark.read.parquet(s"$base/out/output_table")
+      .filter(col("day") === lit("2024-03-01").cast("date"))
+    assert(d1.collect().map(_.getAs[Long]("query_id")).toSet == Set(1L, 2L))
+  }
 }
