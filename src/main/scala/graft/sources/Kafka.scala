@@ -9,12 +9,18 @@ import org.apache.spark.sql.streaming.{DataStreamReader, DataStreamWriter}
   * `Real Final APP/producer_Final.py:50-76` produce,
   * `Dashboard_Live_Final.py:642-665` consume) as real code, not a comment.
   *
-  * No broker exists in the test environment (and no kafka connector jar on
-  * the classpath), so the broker-touching call is isolated to `load()` /
-  * `start()`: everything else — the option maps, the wire codecs, the
-  * reader/writer wiring — is plain code exercised by KafkaSpec on batch
-  * frames. Against a real cluster, `SourceConfig(...).load(spark)` replaces
-  * `Streams.jsonFileSource` and the whole topology downstream is identical.
+  * Broker-blocked surface, precisely: ONLY the `load()` / `start()`
+  * executions (they need the `spark-sql-kafka` connector jar plus a live
+  * broker — neither exists in this environment). Everything up to that
+  * line is exercised by KafkaSpec: the option maps against the
+  * connector's documented option contract, reader/writer construction,
+  * format resolution (`load()`/`start()` provably reach Spark's
+  * data-source lookup and fail on the absent connector, not earlier in
+  * our wiring), and the wire codecs INSIDE a genuine streaming plan
+  * (MemoryStream → encode → binary wire → decode → memory sink), not
+  * just on batch frames. Against a real cluster,
+  * `SourceConfig(...).load(spark)` replaces `Streams.jsonFileSource` and
+  * the whole topology downstream is identical.
   *
   * Scale notes: `maxOffsetsPerTrigger` bounds micro-batch size (backpressure
   * at 1000 executors); `failOnDataLoss=true` keeps at-least-once honest;
@@ -30,6 +36,12 @@ object Kafka {
       maxOffsetsPerTrigger: Option[Long] = None,
       failOnDataLoss: Boolean = true) {
     require(topics.nonEmpty, "at least one topic")
+    // the connector's accepted forms: the two symbolic positions or a
+    // per-partition JSON offset map — anything else fails at stream start,
+    // hours after the config was written; fail at construction instead
+    require(startingOffsets == "earliest" || startingOffsets == "latest" ||
+      startingOffsets.trim.startsWith("{"),
+      s"startingOffsets must be 'earliest', 'latest', or a JSON offset map: $startingOffsets")
 
     def options: Map[String, String] = Map(
       "kafka.bootstrap.servers" -> bootstrapServers,

@@ -56,4 +56,60 @@ class KafkaSpec extends AnyFunSuite {
     val want = raw.orderBy("query_id").collect()
     assert(got.sameElements(want))
   }
+
+  test("wire codec round-trips inside a genuine streaming plan (S2/S3)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(String, String)]
+    // pad the 2 streamed fields out to the full raw wire schema, then run
+    // encode -> binary wire (what Kafka actually delivers) -> decode in
+    // ONE streaming query — the codec expressions execute in stream mode
+    val padded = {
+      val base = in.toDF().toDF("query_id", "read_table_ids")
+      RedsetSchema.rawSchema.fieldNames.foldLeft(base) { (df, n) =>
+        if (df.columns.contains(n)) df
+        else df.withColumn(n, lit(null).cast("string"))
+      }.select(RedsetSchema.rawSchema.fieldNames.toIndexedSeq.map(col): _*)
+    }
+    val wire = Kafka.encode(padded)
+      .select(col("key"), col("value").cast("binary").as("value"))
+    val q = Kafka.decode(wire).writeStream
+      .format("memory").queryName("kafka_codec_stream").outputMode("append")
+      .start()
+    try {
+      in.addData(("7", "[90, 91]"), ("8", "[92]"))
+      q.processAllAvailable()
+      val got = spark.table("kafka_codec_stream")
+        .orderBy("query_id")
+        .select("query_id", "read_table_ids", "query_type").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      assert(got.toSeq == Seq(("7", "[90, 91]", null), ("8", "[92]", null)))
+    } finally q.stop()
+  }
+
+  test("load()/start() reach Spark's data-source resolution (broker-blocked beyond)") {
+    // without the connector jar the calls must die in Spark's kafka
+    // format lookup — proving our wiring (format + options) is complete
+    // and the ONLY missing piece is the connector + broker
+    val src = Kafka.SourceConfig("b:9092", Seq("t"))
+    val eLoad = intercept[Exception](src.load(spark))
+    assert(eLoad.getMessage.toLowerCase.contains("kafka"), eLoad.getMessage)
+    // a genuine streaming frame (built-in rate source), so start() gets
+    // past the streaming-dataset check and dies in the kafka format lookup
+    val streaming = spark.readStream.format("rate").load()
+      .selectExpr("CAST(value AS STRING) AS query_id")
+    val sink = Kafka.SinkConfig("b:9092", "t", "/tmp/graft_kafka_ckpt")
+    val eStart = intercept[Exception](sink.writer(Kafka.encode(streaming)).start())
+    assert(eStart.getMessage.toLowerCase.contains("kafka"), eStart.getMessage)
+  }
+
+  test("startingOffsets validated at construction, JSON offset maps accepted") {
+    assertThrows[IllegalArgumentException](
+      Kafka.SourceConfig("b:9092", Seq("t"), startingOffsets = "yesterday"))
+    val json = Kafka.SourceConfig("b:9092", Seq("t"),
+      startingOffsets = """{"t":{"0":23}}""")
+    assert(json.options("startingOffsets") == """{"t":{"0":23}}""")
+  }
 }
