@@ -66,6 +66,26 @@ object TextStatsHelper {
     c
   }
 
+  /** Base-31 polynomial rolling hash mod 1e9+7 over the string's code
+    * points — exactly the `aggregate(split(s, ''), 0L, (acc, ch) =>
+    * (acc*31 + ascii(ch)) % 1000000007)` fold: Spark's `split("")` emits
+    * one element per code point (surrogate pairs stay whole) and `ascii`
+    * returns the full code point, probed empirically; the empty string
+    * folds one ascii('') = 0 step, so both forms yield 0.
+    */
+  def rollingHash(s: UTF8String): Long = {
+    val str = s.toString
+    val n = str.length
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      acc = (acc * 31 + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
   /** Distinct word n-gram shingles in FIRST-OCCURRENCE order — exactly
     * `array_distinct(transform(sequence(1, greatest(L-n+1, 1)), i ->
     * array_join(slice(t, i, n), ' ')))`, including the shorter-than-n
@@ -156,6 +176,34 @@ case class CountInSet(child: Expression, words: Seq[String])
     copy(child = newChild)
 }
 
+/** Codegen'd base-31 rolling hash mod 1e9+7 (the engine's portable
+  * content fingerprint — X-hash for sampling, splits, temperature
+  * acceptance, t4). One static call per row instead of a per-character
+  * interpreted `aggregate` fold.
+  */
+case class RollingHash31(child: Expression) extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_rolling_hash"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${other.sql}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextStatsHelper.rollingHash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expr.TextStatsHelper.rollingHash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Codegen'd distinct n-gram shingles (first-occurrence order). */
 case class NGrams(child: Expression, n: Int)
     extends UnaryExpression with StringArrayInput {
@@ -188,4 +236,8 @@ object TextStatsExpressions {
   /** Distinct n-gram shingles of a token array, first-occurrence order. */
   def ngrams(tokens: Column, n: Int): Column =
     Bridge.column(NGrams(Bridge.expression(tokens), n))
+
+  /** Base-31 rolling hash mod 1e9+7 of a string column. */
+  def rollingHash(text: Column): Column =
+    Bridge.column(RollingHash31(Bridge.expression(text)))
 }

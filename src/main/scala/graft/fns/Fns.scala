@@ -75,15 +75,16 @@ object Fns {
     sum(c.cast(DecimalType(18, 2))).cast("double") / count(c)
 
   /** Deterministic polynomial rolling-hash fingerprint of a string
-    * (base 31, mod 1e9+7), via the `aggregate` higher-order function —
-    * pure integer arithmetic, bit-identical on any engine that folds
-    * left-to-right. Used for document fingerprinting (SURVEY §8 / text ops).
+    * (base 31, mod 1e9+7) — pure integer arithmetic over code points,
+    * bit-identical on any engine that folds left-to-right. Used for
+    * document fingerprinting, sampling, and split assignment (SURVEY §8 /
+    * text ops). Backed by the native codegen'd
+    * [[graft.expr.RollingHash31]]; the `aggregate(split(s, ''), ...)`
+    * HOF fold it replaces is semantically identical (ExprSpec pins both)
+    * but paid a per-character interpreted lambda on every hashed string.
     */
   def rollingHash(text: Column): Column =
-    aggregate(
-      split(text, ""),
-      lit(0L),
-      (acc, ch) => (acc * 31 + ascii(ch)) % 1000000007L)
+    graft.expr.TextStatsExpressions.rollingHash(text)
 
   /** Strict left-to-right double dot product of two float-vector columns.
     * Backed by the native codegen'd expression (graft.expr.DotProductF);

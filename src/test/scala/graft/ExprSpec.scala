@@ -91,6 +91,19 @@ class ExprSpec extends AnyFunSuite {
     }
   }
 
+  test("native RollingHash31 matches the per-character aggregate fold") {
+    val docs = randomDocs(41) ++ Seq(
+      "", "的是了 在我有", "é mixé", "emoji 😀 tail", "the a the a")
+    val df = docs.toDF("text")
+    val hof = aggregate(split(col("text"), ""), lit(0L),
+      (acc, ch) => (acc * 31 + ascii(ch)) % 1000000007L)
+    val native = graft.expr.TextStatsExpressions.rollingHash(col("text"))
+    assert(df.filter(native =!= hof).count() == 0L)
+    // null in, null out
+    assert(Seq(Option.empty[String]).toDF("text")
+      .select(native).head().isNullAt(0))
+  }
+
   test("graft_table_ids is SQL-callable, default and explicit sentinel") {
     graft.ext.GraftExtensions.register(spark)
     val got = spark.sql(
