@@ -86,6 +86,22 @@ object TextStatsHelper {
     acc
   }
 
+  /** Hashed-feature dot product: left-to-right Σ weights[rollingHash(tok)
+    * mod weights.length] over the token array (the feature-hashing trick;
+    * collisions are part of the model, exactly as in training).
+    */
+  def hashedTfDot(arr: ArrayData, weights: Array[Double]): Double = {
+    val n = arr.numElements()
+    val d = weights.length
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += weights((rollingHash(arr.getUTF8String(i)) % d).toInt)
+      i += 1
+    }
+    s
+  }
+
   /** Distinct word n-gram shingles in FIRST-OCCURRENCE order — exactly
     * `array_distinct(transform(sequence(1, greatest(L-n+1, 1)), i ->
     * array_join(slice(t, i, n), ' ')))`, including the shorter-than-n
@@ -204,6 +220,35 @@ case class RollingHash31(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Codegen'd hashed-feature dot product: Σ_tokens weights[h(tok) mod D]
+  * where h is the portable base-31 rolling hash — the inference kernel of
+  * a feature-hashing linear classifier (fastText-style quality scoring).
+  * Left-to-right accumulation in token order, so the double sum is
+  * deterministic and mirrors a SQL `list_sum` fold exactly.
+  */
+case class HashedTfDot(child: Expression, weights: Seq[Double])
+    extends UnaryExpression with StringArrayInput {
+  require(weights.nonEmpty, "weights must be non-empty")
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_hashed_tf_dot"
+
+  @transient private lazy val w: Array[Double] = weights.toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextStatsHelper.hashedTfDot(input.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("weights", w, "double[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.expr.TextStatsHelper.hashedTfDot($c, $wRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Codegen'd distinct n-gram shingles (first-occurrence order). */
 case class NGrams(child: Expression, n: Int)
     extends UnaryExpression with StringArrayInput {
@@ -240,4 +285,8 @@ object TextStatsExpressions {
   /** Base-31 rolling hash mod 1e9+7 of a string column. */
   def rollingHash(text: Column): Column =
     Bridge.column(RollingHash31(Bridge.expression(text)))
+
+  /** Σ weights[rollingHash(tok) mod D] over a token-array column. */
+  def hashedTfDot(tokens: Column, weights: Seq[Double]): Column =
+    Bridge.column(HashedTfDot(Bridge.expression(tokens), weights))
 }

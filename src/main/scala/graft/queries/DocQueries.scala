@@ -990,6 +990,36 @@ object DocQueries {
         .orderBy(col("key"))
     },
 
+    // Feature-hashing linear classifier inference (fastText-style quality
+    // scoring): tokens hash to weight buckets via the portable rolling
+    // hash, length-normalized hashed-TF dot + bias -> logit. The oracle
+    // embeds the IDENTICAL integer weight literals (exact double sums in
+    // any order) and the gate column is floor(z*1e6) — deterministic with
+    // no rounding knife-edge; the operator's rounded logit/sigmoid are
+    // display columns, deliberately not hashed.
+    QDef("c10_classifier_score", {
+      val wLit = TextAnalysis.defaultClassifierWeights(64)
+        .map(_.toLong).mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |h AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  list_sum([CAST((CAST($wLit AS BIGINT[]))[
+         |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      [CAST(ascii(c) AS BIGINT) FOR c IN string_split(tok, '')]),
+         |      (a, b) -> (a * 31 + b) % 1000000007) % 64) + 1] AS DOUBLE)
+         |    FOR tok IN toks]) AS dot
+         |  FROM t),
+         |z AS (SELECT doc_id, n_tokens,
+         |  -0.25 + dot / (100.0 * n_tokens) AS zv FROM h)
+         |SELECT doc_id, n_tokens,
+         |  CAST(floor(zv * 1000000.0) AS BIGINT) AS logit_micro
+         |FROM z ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      TextAnalysis.classifierScore(Tables.documents(s, dir), col("text"),
+          col("doc_id"), TextAnalysis.defaultClassifierWeights(64), bias = -0.25)
+        .select(col("doc_id"), col("n_tokens"), col("logit_micro"))
+        .orderBy(col("doc_id"))
+    },
+
     // Token-distribution drift between the deterministic train and val
     // splits: exact total-variation distance (all-integer inner sum) —
     // the corpus-QA probe for "did this slice shift the distribution?".

@@ -290,6 +290,58 @@ object TextAnalysis {
           .as("tv_distance"))
   }
 
+  /** Deterministic weight vector for the classifier gate: index-derived
+    * INTEGER-valued doubles in [-50, 50] (centi-units — the model scale
+    * lives in the 1/100 of the logit denominator). Integer values are the
+    * determinism anchor: integer-valued double sums are exact in ANY
+    * accumulation order, so both engines produce bit-identical dots.
+    * private[graft] so the DuckDB oracle (DocQueries c10) embeds the
+    * IDENTICAL literals.
+    */
+  private[graft] def defaultClassifierWeights(d: Int): Seq[Double] =
+    (0 until d).map(i => ((i * 37 + 11) % 101 - 50).toDouble)
+
+  /** Feature-hashing linear classifier inference (the fastText-style
+    * model-based quality scorer real pipelines run after the rule-based
+    * [[graft.curation.Curation.qualityFilter]]): each token hashes to one
+    * of `weights.length` buckets via the portable rolling hash, the
+    * length-normalized hashed-TF dot product plus bias gives the logit,
+    * and the sigmoid gives the keep probability. Inference only — the
+    * weights come from wherever the model was trained; hash collisions
+    * are part of the model exactly as in training (the hashing trick).
+    *
+    * ONE scan-fused projection, zero shuffles, zero broadcast state: the
+    * weight vector rides inside the codegen'd
+    * [[graft.expr.HashedTfDot]] expression (O(D) per executor, O(1) per
+    * row lookups), so scoring 100 TB is scan-bound.
+    *
+    * Determinism: with INTEGER-valued weights (centi-units — see
+    * [[defaultClassifierWeights]]) the hashed-TF dot is exact in any
+    * accumulation order, the division/addition operate on identical
+    * doubles on every engine, and `logit_micro = floor(z·10⁶)` is the
+    * hash-gate column — floor of an identical double is identical, with
+    * no decimal-midpoint knife-edge (a fractional-weight prototype
+    * mismatched the oracle by 1 µ-unit at sf0.1 on exactly such a
+    * midpoint: Spark rounds the exact binary expansion, DuckDB rounds a
+    * scaled multiply). `logit`/`score` carry the human-friendly rounded
+    * forms; gate on `logit_micro` or a threshold flag, not on them.
+    * NULL-text docs are absent from the output (the repetitionMetrics
+    * contract).
+    */
+  def classifierScore(df: DataFrame, text: Column, id: Column,
+                      weights: Seq[Double], bias: Double = 0.0): DataFrame = {
+    val t = toks(text)
+    val z = lit(bias) +
+      graft.expr.TextStatsExpressions.hashedTfDot(t, weights) /
+        (lit(100.0) * size(t))
+    df.filter(text.isNotNull).select(
+      id.as("doc_id"),
+      size(t).cast("long").as("n_tokens"),
+      floor(z * lit(1000000.0)).cast("long").as("logit_micro"),
+      round(z, 6).as("logit"),
+      round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("score"))
+  }
+
   /** Repetition metrics (the Gopher-style repetition filters): fraction of
     * duplicated tokens and the share of the most frequent word bigram.
     * Highly repetitive documents (boilerplate, generated spam, scraper

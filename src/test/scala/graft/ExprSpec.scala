@@ -104,6 +104,19 @@ class ExprSpec extends AnyFunSuite {
       .select(native).head().isNullAt(0))
   }
 
+  test("native HashedTfDot matches the transform+element_at fold") {
+    import graft.expr.TextStatsExpressions
+    val w = (0 until 64).map(i => ((i * 37 + 11) % 101 - 50) / 100.0)
+    val df = randomDocs(53).toDF("text")
+    val t = split(col("text"), " ")
+    val native = TextStatsExpressions.hashedTfDot(t, w)
+    val hof = aggregate(
+      transform(t, tok => element_at(typedlit(w),
+        (pmod(TextStatsExpressions.rollingHash(tok), lit(64L)) + 1).cast("int"))),
+      lit(0.0), (acc, x) => acc + x)
+    assert(df.filter(native =!= hof).count() == 0L)
+  }
+
   test("graft_table_ids is SQL-callable, default and explicit sentinel") {
     graft.ext.GraftExtensions.register(spark)
     val got = spark.sql(
