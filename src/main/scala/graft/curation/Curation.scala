@@ -352,6 +352,25 @@ object Curation {
       .drop("__tkey", "__thr")
   }
 
+  /** Token-budgeted mix building: per `key` (source/domain/language),
+    * rank documents by `order` (typically a quality score, best first)
+    * and keep the prefix whose cumulative token count stays within
+    * `budget` — "fill a 15T-token training mix with the best documents
+    * per source" as one window cumsum (a single shuffle on the mix key;
+    * the running sum is O(1) state per row). A document whose inclusion
+    * would cross the budget is dropped, as is everything ranked after it
+    * inside that key. Cumulative counts are exact BIGINT sums — the kept
+    * set is deterministic on any engine given a total `order`. Returns
+    * the input columns plus `cum_tokens` (the budget audit trail).
+    */
+  def tokenBudgetMix(df: DataFrame, nTokens: Column, key: Column,
+                     order: Seq[Column], budget: Long): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_tokens", sum(nTokens).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+
   /** Gopher-style composite quality filter with a per-rule audit trail:
     * every document gets a 0/1 flag per violated rule (length band,
     * stopword ratio, duplicated-token ratio, top-bigram share) plus the

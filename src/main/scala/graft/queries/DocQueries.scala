@@ -1020,6 +1020,46 @@ object DocQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Token-budgeted mix building composed over the c10 quality rank:
+    // per source, keep the highest-quality documents until a 2000-token
+    // budget fills — the final "build the training mix" step. One window
+    // cumsum per source; exact integer cumulative counts, total order
+    // (quality desc, doc_id), so the kept set hash-checks.
+    QDef("c11_token_budget_mix", {
+      val wLit = TextAnalysis.defaultClassifierWeights(64)
+        .map(_.toLong).mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+         |h AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  list_sum([CAST((CAST($wLit AS BIGINT[]))[
+         |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      [CAST(ascii(c) AS BIGINT) FOR c IN string_split(tok, '')]),
+         |      (a, b) -> (a * 31 + b) % 1000000007) % 64) + 1] AS DOUBLE)
+         |    FOR tok IN toks]) AS dot
+         |  FROM t),
+         |q AS (SELECT doc_id, source, n_tokens,
+         |  CAST(floor((-0.25 + dot / (100.0 * n_tokens)) * 1000000.0) AS BIGINT) AS quality
+         |  FROM h),
+         |c AS (SELECT doc_id, source, n_tokens, quality,
+         |  SUM(n_tokens) OVER (PARTITION BY source ORDER BY quality DESC, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+         |  FROM q)
+         |SELECT doc_id, source, n_tokens, quality, cum_tokens
+         |FROM c WHERE cum_tokens <= 2000 ORDER BY source, quality DESC, doc_id""".stripMargin
+    }) { (s, dir) =>
+      val scored = TextAnalysis.classifierScore(
+          Tables.documents(s, dir), col("text"), col("doc_id"),
+          TextAnalysis.defaultClassifierWeights(64), bias = -0.25)
+        .select(col("doc_id"), col("n_tokens"),
+          col("logit_micro").as("quality"))
+      val withKey = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+        .join(scored, Seq("doc_id"))
+      graft.curation.Curation.tokenBudgetMix(withKey, col("n_tokens"),
+          col("source"), Seq(col("quality").desc, col("doc_id")), budget = 2000L)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("quality"), col("cum_tokens"))
+        .orderBy(col("source"), col("quality").desc, col("doc_id"))
+    },
+
     // Token-distribution drift between the deterministic train and val
     // splits: exact total-variation distance (all-integer inner sum) —
     // the corpus-QA probe for "did this slice shift the distribution?".

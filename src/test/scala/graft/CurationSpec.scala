@@ -246,6 +246,22 @@ class CurationSpec extends AnyFunSuite {
     assert((r(3)._1, r(3)._4, r(3)._6) == ((4L, 1L, 0L)))              // rep fires
   }
 
+  test("tokenBudgetMix keeps the best-ranked prefix within the token budget") {
+    val d = Seq(
+      (1L, "s", 10L, 5L), (2L, "s", 10L, 4L), (3L, "s", 5L, 3L),
+      (4L, "t", 30L, 9L), (5L, "t", 1L, 8L)
+    ).toDF("doc_id", "src", "n_tokens", "q")
+    def mix(budget: Long) = Curation.tokenBudgetMix(d, col("n_tokens"),
+        col("src"), Seq(col("q").desc, col("doc_id")), budget)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(4)))
+    // budget 25: s fills exactly (10, 20, 25); t's best doc already crosses
+    assert(mix(25L).toSeq == Seq((1L, 10L), (2L, 20L), (3L, 25L)))
+    // budget 24: the crossing doc AND everything ranked after it drop
+    assert(mix(24L).toSeq == Seq((1L, 10L), (2L, 20L)))
+    // budget 31: t keeps both (30, 31)
+    assert(mix(31L).map(_._1).toSet == Set(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("temperatureSample: exact thresholds, small source kept whole, big source thinned, deterministic") {
     val rows = (0 until 64).map(i => (i.toLong, "big", s"doc unique text $i")) ++
       (100 until 104).map(i => (i.toLong, "small", s"rare source doc $i"))
