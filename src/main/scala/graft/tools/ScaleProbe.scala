@@ -20,18 +20,26 @@ object ScaleProbe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    def t(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = f
-      println(f"SCALE $name%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
-    }
+    // optional 3rd arg: comma-separated label prefixes to run (dev aid —
+    // e.g. "c9,c10,d11b" probes just those at a high mult)
+    val only = args.lift(2).map(_.split(",").map(_.trim).toSet)
+    def t(name: String)(f: => Long): Unit =
+      if (only.forall(_.exists(name.startsWith))) {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"SCALE $name%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      }
     val docs = Tables.documents(spark, dir)
     val n0 = docs.count()
     // shifted copies: ids and sources offset per replica so near-dup blocks
-    // keep their original size (block count scales, not block size)
+    // keep their original size (block count scales, not block size). The
+    // shift is a multiple of 47 so `doc_id % 47` slices (the c9 eval set)
+    // select the SAME documents in every replica — otherwise each replica
+    // contributes a different eval slice and decontamination nukes the
+    // whole manifest at high mult.
     val big = (0 until mult).map { r =>
       docs.select(
-        (col("doc_id") + lit(r.toLong * 1000000L)).as("doc_id"),
+        (col("doc_id") + lit(r.toLong * 1000019L)).as("doc_id"),
         concat(col("source"), lit(s"_r$r")).as("source"),
         col("lang"), col("text"))
     }.reduce(_ unionByName _).localCheckpoint(true)
@@ -99,6 +107,33 @@ object ScaleProbe {
     t(s"w5-ish sessionize events") {
       graft.ops.Sessionize.byGap(Tables.events(spark, dir),
         col("user_id"), col("ts"), col("event_id"), 3600000L).count()
+    }
+    t(s"c6 quality filter ${mult}x") {
+      Curation.qualityFilter(big, col("text"), col("doc_id"))
+        .filter(col("keep") === 1).count()
+    }
+    t(s"c9 training manifest ${mult}x") {
+      Curation.trainingManifest(
+        big.filter(pmod(col("doc_id"), lit(47)) =!= 0),
+        big.filter(pmod(col("doc_id"), lit(47)) === 0), budget = 512).count()
+    }
+    t(s"c10 classifier score ${mult}x") {
+      graft.text.TextAnalysis.classifierScore(big, col("text"), col("doc_id"),
+        graft.text.TextAnalysis.defaultClassifierWeights(1 << 16), -0.25).count()
+    }
+    t(s"c11 token budget mix ${mult}x") {
+      val scored = graft.text.TextAnalysis.classifierScore(big, col("text"),
+          col("doc_id"),
+          graft.text.TextAnalysis.defaultClassifierWeights(1 << 16), -0.25)
+        .select(col("doc_id"), col("n_tokens"), col("logit_micro").as("q"))
+      Curation.tokenBudgetMix(
+        big.select(col("doc_id"), col("source")).join(scored, Seq("doc_id")),
+        col("n_tokens"), col("source"),
+        Seq(col("q").desc, col("doc_id")), budget = 2000L).count()
+    }
+    t(s"d11b containment rarest ${mult}x") {
+      Dedup.containmentPairs(big, col("text"), col("doc_id"),
+        blockCol = "source", rarestGram = true).count()
     }
     spark.stop()
   }
