@@ -55,6 +55,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("classifierScore is a stateless projection: streams per micro-batch, batch-identical") {
+    implicit val sqlCtx = spark.sqlContext
+    val w = graft.text.TextAnalysis.defaultClassifierWeights(64)
+    val in = MemoryStream[(Long, String)]
+    val q = graft.text.TextAnalysis.classifierScore(
+        in.toDS().toDF("doc_id", "text"), col("text"), col("doc_id"), w, -0.25)
+      .writeStream.format("memory").queryName("clf").outputMode("append").start()
+    try {
+      val docs = Seq((1L, "the quick brown fox"), (2L, "a a a a"))
+      in.addData(docs: _*)
+      q.processAllAvailable()
+      val streamGot = spark.table("clf").orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSeq
+      val batchGot = graft.text.TextAnalysis.classifierScore(
+          docs.toDF("doc_id", "text"), col("text"), col("doc_id"), w, -0.25)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSeq
+      assert(streamGot == batchGot) // stream/batch unification, bit-exact
+    } finally q.stop()
+  }
+
   test("sessionization streams: watermarked session_window matches batch byGap membership") {
     implicit val sqlCtx = spark.sqlContext
     // (user, epoch-sec): user 1 has two sessions split by a >60s gap
