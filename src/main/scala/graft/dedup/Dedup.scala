@@ -330,6 +330,41 @@ object Dedup {
       .distinct()
   }
 
+  /** CORPUS-level resemblance between key groups (sources, snapshots,
+    * crawls): one k-MinHash signature per key over the UNION of its
+    * documents' shingles, then the estimated Jaccard between every key
+    * pair = the fraction of agreeing signature components — the standard
+    * sketch answer to "how much does crawl B overlap crawl A" without
+    * ever joining their contents. Uses the portable md5 hash family of
+    * [[minHashLshEdgesPortable]], so the whole sketch is reproducible in
+    * SQL and the `c12` gate hash-checks every component agreement.
+    *
+    * Scale shape: one corpus scan + one `min`-combiner aggregation to
+    * #keys rows (map-side combine absorbs the explode), then a pair join
+    * on the TINY signature frame (#keys² pairs of k-string arrays — for
+    * thousands of sources this is still driver-trivial). The estimator's
+    * standard error is 1/√k; raise `numHashes` for tighter audits.
+    */
+  def corpusResemblance(df: DataFrame, text: Column, key: Column,
+                        numHashes: Int = 16, ngram: Int = 1): DataFrame = {
+    val tok = df.select(key.as("key"), explode(shingles(text, ngram)).as("t"))
+    val hashCols = (0 until numHashes).map(i =>
+      md5(concat(lit(s"$i:"), col("t"))).as(s"th$i"))
+    val sig = tok.select(col("key") +: hashCols: _*)
+      .groupBy(col("key"))
+      .agg(min(col("th0")).as("h0"),
+        (1 until numHashes).map(i => min(col(s"th$i")).as(s"h$i")): _*)
+    val a = sig.select(col("key").as("key_a") +:
+      (0 until numHashes).map(i => col(s"h$i").as(s"a$i")): _*)
+    val b = sig.select(col("key").as("key_b") +:
+      (0 until numHashes).map(i => col(s"h$i").as(s"b$i")): _*)
+    val agree = (0 until numHashes).map(i =>
+      when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L)).reduce(_ + _)
+    a.join(b, col("key_a") < col("key_b"))
+      .select(col("key_a"), col("key_b"), agree.as("n_agree"),
+        round(agree.cast("double") / numHashes, 6).as("est_jaccard"))
+  }
+
   /** LSH-then-verify: exact Jaccard computed only on candidate pairs
     * (O(candidates), not O(n²)) — the standard second stage after
     * [[minHashLshCandidates]]/[[minHashLshEdges]], dropping the

@@ -1115,6 +1115,29 @@ object DocQueries {
         .orderBy(col("doc_inner"), col("doc_outer"))
     },
 
+    // Corpus-pair resemblance via k-MinHash sketches (the "how much does
+    // source B overlap source A" audit): one portable md5 signature per
+    // source, estimated Jaccard = agreeing components / k. Every
+    // component agreement hash-checks against the SQL mirror.
+    QDef("c12_corpus_resemblance", {
+      val k = 16
+      val hs = (0 until k).map(i => s"min(md5('$i:' || tok)) AS h$i").mkString(", ")
+      val agree = (0 until k)
+        .map(i => s"(CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH t AS (SELECT source, unnest(list_distinct(string_split(text, ' '))) AS tok
+         |  FROM documents),
+         |sig AS (SELECT source, $hs FROM t GROUP BY source)
+         |SELECT a.source AS key_a, b.source AS key_b,
+         |  CAST($agree AS BIGINT) AS n_agree,
+         |  round(CAST($agree AS DOUBLE) / $k, 6) AS est_jaccard
+         |FROM sig a JOIN sig b ON a.source < b.source
+         |ORDER BY key_a, key_b""".stripMargin
+    }) { (s, dir) =>
+      Dedup.corpusResemblance(Tables.documents(s, dir), col("text"),
+          col("source"), numHashes = 16)
+        .orderBy(col("key_a"), col("key_b"))
+    },
+
     // Per-document contamination fraction (the graded d8): share of each
     // doc's distinct 3-grams present in the eval slice — the report that
     // drives partial-overlap drop thresholds.

@@ -180,4 +180,18 @@ class DedupSpec extends AnyFunSuite {
     // one-token superset stays closer than a disjoint doc
     assert(ham(fp(1L), fp(3L)) < ham(fp(1L), fp(4L)))
   }
+
+  test("corpusResemblance: identical corpora sketch to 1.0, disjoint to 0") {
+    val d = Seq(
+      (1L, "s1", "alpha beta gamma"), (2L, "s1", "delta eps"),
+      (3L, "s2", "alpha beta gamma"), (4L, "s2", "delta eps"), // == s1 content
+      (5L, "s3", "zeta theta iota kappa")                      // disjoint
+    ).toDF("doc_id", "src", "text")
+    val r = Dedup.corpusResemblance(d, col("text"), col("src"), numHashes = 16)
+      .collect().map(x => (x.getString(0), x.getString(1), x.getLong(2),
+        x.getDouble(3))).toSeq.sortBy(p => (p._1, p._2))
+    assert(r.map(p => (p._1, p._2)) == Seq(("s1", "s2"), ("s1", "s3"), ("s2", "s3")))
+    assert(r(0)._3 == 16L && r(0)._4 == 1.0) // identical shingle unions
+    assert(r(1)._3 == 0L && r(2)._3 == 0L)   // disjoint token sets
+  }
 }
