@@ -74,6 +74,44 @@ object Dedup {
     keepOnePerComponent(reps, id, edges).drop("__all")
   }
 
+  /** The dedup AUDIT report: near-dup cluster-size histogram —
+    * `(cluster_size, n_clusters)` where a cluster is a connected
+    * component of the ≥-threshold Jaccard graph and its size counts ALL
+    * member documents (exact-dup multiplicities included). The report
+    * every dedup run ships: it answers "how much of the corpus is
+    * duplicated, in how big clumps" before anything is dropped, and its
+    * total Σ size·count must equal the corpus row count (a built-in
+    * sanity invariant the gate inherits).
+    *
+    * Same plan skeleton as [[keepOneNearDup]] (rep collapse → global
+    * PPJoin → components), with the exact-dup multiplicity carried on
+    * the rep (one extra window count on the SAME signature shuffle) and
+    * summed per component at the end. Reps without edges are singleton
+    * components via the left-join coalesce.
+    */
+  def nearDupClusterHistogram(df: DataFrame, text: Column, id: Column,
+                              threshold: Double, ngram: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftbridge.Bridge
+    val sig = array_join(array_sort(shingles(text, ngram)), "\u0001")
+    val w = Window.partitionBy(sig)
+    val marked = df
+      .withColumn("__sig_rn", row_number().over(w.orderBy(id)))
+      .withColumn("__dups", count(lit(1)).over(w))
+    val reps = marked.filter(col("__sig_rn") === 1)
+      .drop("__sig_rn").withColumn("__all", lit(0))
+    val edges = jaccardPairsPrefix(reps, text, id, "__all", threshold, ngram)
+    val labels = components(edges)
+    val hist = reps
+      .join(labels, id === labels("node"), "left")
+      .select(coalesce(col("comp"), id).as("__comp"), col("__dups"))
+      .groupBy(col("__comp")).agg(sum(col("__dups")).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .localCheckpoint(true) // histogram-sized; lets the label block go
+    Bridge.release(labels)
+    hist
+  }
+
   /** Token-set Jaccard near-dup pairs within a blocking key (the classic
     * n-gram Jaccard dedup, blocked so candidates are O(pairs-per-block)).
     * Threshold is applied to the *unrounded* similarity; output is rounded

@@ -37,7 +37,7 @@ object DocQueries {
     * an under-unrolled oracle turns the gate red rather than silently
     * passing a wrong answer. The sf0.1 graph converges in 7 rounds.
     */
-  private def d7OracleSql(rounds: Int): String = {
+  private def d7Prelude(rounds: Int): String = {
     val props = (1 to rounds).map { i =>
       s"""l$i AS MATERIALIZED (SELECT node, min(comp) AS comp FROM (
          |  SELECT node, comp FROM l${i - 1}
@@ -48,7 +48,8 @@ object DocQueries {
     s"""WITH t AS MATERIALIZED (SELECT doc_id,
        |  list_sort(list_distinct(string_split(text, ' '))) AS toks
        |  FROM documents),
-       |reps AS MATERIALIZED (SELECT min(doc_id) AS rep, toks FROM t GROUP BY toks),
+       |reps AS MATERIALIZED (SELECT min(doc_id) AS rep, count(*) AS cnt, toks
+       |  FROM t GROUP BY toks),
        |p AS MATERIALIZED (SELECT da, db FROM (
        |    SELECT a.rep AS da, b.rep AS db,
        |           CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) AS i,
@@ -61,7 +62,11 @@ object DocQueries {
        |l0 AS MATERIALIZED (SELECT rep AS node, rep AS comp FROM reps),
        |$props,
        |bad AS (SELECT 1 AS x FROM l$rounds a JOIN l${rounds - 1} b
-       |        ON a.node = b.node AND a.comp <> b.comp LIMIT 1)
+       |        ON a.node = b.node AND a.comp <> b.comp LIMIT 1)""".stripMargin
+  }
+
+  private def d7OracleSql(rounds: Int): String =
+    s"""${d7Prelude(rounds)}
        |SELECT d.doc_id AS doc_id, d.source AS source
        |FROM documents d JOIN (SELECT DISTINCT comp FROM l$rounds) k
        |  ON d.doc_id = k.comp
@@ -70,7 +75,22 @@ object DocQueries {
        |SELECT CAST(-1 AS BIGINT) AS doc_id, 'UNCONVERGED' AS source
        |FROM (VALUES (1)) v(x) WHERE EXISTS (SELECT 1 FROM bad)
        |ORDER BY doc_id""".stripMargin
-  }
+
+  /** The d12 oracle: same rep-collapse + unrolled components as d7, then
+    * cluster size = Σ exact-dup multiplicities per component, reported as
+    * a (cluster_size, n_clusters) histogram. Same convergence poison row.
+    */
+  private def d12OracleSql(rounds: Int): String =
+    s"""${d7Prelude(rounds)},
+       |sizes AS (SELECT l.comp, CAST(SUM(r.cnt) AS BIGINT) AS cluster_size
+       |  FROM reps r JOIN l$rounds l ON r.rep = l.node GROUP BY l.comp)
+       |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+       |FROM sizes WHERE NOT EXISTS (SELECT 1 FROM bad)
+       |GROUP BY cluster_size
+       |UNION ALL
+       |SELECT CAST(-1 AS BIGINT) AS cluster_size, CAST(-1 AS BIGINT) AS n_clusters
+       |FROM (VALUES (1)) v(x) WHERE EXISTS (SELECT 1 FROM bad)
+       |ORDER BY cluster_size""".stripMargin
 
   /** DuckDB dot product mirroring `graft_dot` over float vectors: every
     * element widened float→double, products summed left-to-right (list_sum
@@ -518,6 +538,16 @@ object DocQueries {
           col("doc_id"), threshold = 0.9)
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))
+    },
+
+    // The dedup audit report: near-dup cluster-size histogram (component
+    // sizes counting exact-dup multiplicities) — same verified machinery
+    // as d7 (rep collapse -> global PPJoin -> components), same unrolled
+    // oracle with the convergence poison row; Σ size·count == corpus rows.
+    QDef("d12_cluster_histogram", d12OracleSql(rounds = 12)) { (s, dir) =>
+      Dedup.nearDupClusterHistogram(Tables.documents(s, dir), col("text"),
+          col("doc_id"), threshold = 0.9)
+        .orderBy(col("cluster_size"))
     },
 
     // SimHash 32-bit fingerprints (Hamming-near pairs via the library op).
