@@ -473,6 +473,31 @@ object DocQueries {
         Tables.embeddings(s, dir), queryVecId = 0L, k = 10)
     },
 
+    // BATCH exact KNN (the serving shape): 20 query vectors broadcast
+    // against the corpus, top-5 per query via one window shuffle on the
+    // query key. Ordering per query mirrors sim1 (rounded cosine desc,
+    // vec_id), so all 100 result rows hash-check.
+    QDef("sim5_batch_knn",
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        |  WHERE vec_id < 20),
+        |s AS (SELECT q.query_id, e.vec_id, e.label,
+        |  list_sum([CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE) FOR x IN list_zip(e.embedding, q.qv)]) /
+        |  (sqrt(list_sum([CAST(x[1] AS DOUBLE) * CAST(x[1] AS DOUBLE) FOR x IN list_zip(e.embedding, e.embedding)])) *
+        |   sqrt(list_sum([CAST(x[1] AS DOUBLE) * CAST(x[1] AS DOUBLE) FOR x IN list_zip(q.qv, q.qv)]))) AS cos
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+        |r AS (SELECT query_id, vec_id, label, round(cos, 6) AS cosine,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY round(cos, 6) DESC, vec_id) AS rn
+        |  FROM s)
+        |SELECT query_id, vec_id, label, cosine FROM r WHERE rn <= 5
+        |ORDER BY query_id, cosine DESC, vec_id""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.batchKnn(emb,
+          emb.filter(col("vec_id") < 20)
+            .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+          k = 5)
+        .orderBy(col("query_id"), col("cosine").desc, col("vec_id"))
+    },
+
     // Metadata-filtered KNN: embeddings joined to the documents table on
     // id, corpus pre-filtered by a text-side predicate (lang), then cosine
     // top-k — the hybrid text+vector retrieval shape.

@@ -60,6 +60,36 @@ object Similarity {
       .limit(k)
   }
 
+  /** BATCH exact KNN — the real serving shape: a query SET (one row per
+    * `query_id` with its vector) scored against the corpus, top-k per
+    * query. The query frame broadcasts (it is the small side by
+    * definition); corpus norms are computed ONCE per corpus row in the
+    * scan projection (not once per (query, row) pair), so the pair stage
+    * is one codegen'd dot per (query, row); per-query top-k is a single
+    * window shuffle on the query key — |corpus|·|queries| rows through
+    * one exchange. That linear-in-queries cost IS exact batch retrieval;
+    * when the query set stops being broadcastable, route through the
+    * [[lshAnn]]/[[ivfAnn]] bucket path instead. Ordering inside each
+    * query matches sim1's contract: (rounded cosine desc, vec_id) —
+    * total and engine-portable.
+    */
+  def batchKnn(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qn = queries.select(col("query_id"), col("qv"),
+      sqrt(Fns.dot(col("qv"), col("qv"))).as("q_norm"))
+    val cn = emb.select(col("vec_id"), col("label"), col("embedding"),
+      sqrt(Fns.dot(col("embedding"), col("embedding"))).as("c_norm"))
+    val scored = cn.crossJoin(broadcast(qn))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        round(Fns.dot(col("embedding"), col("qv")) /
+          (col("c_norm") * col("q_norm")), 6).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
   // Deterministic hyperplane weights from splitmix64 — computed once at
   // plan time and embedded as array literals, so the per-row work is just
   // nBits fused dot products (no per-row-per-dim hashing). private[graft]
