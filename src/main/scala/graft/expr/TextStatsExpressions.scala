@@ -102,6 +102,35 @@ object TextStatsHelper {
     s
   }
 
+  /** Symmetric int8 quantization of a float vector: scale = max|x|/127,
+    * code_i = clamp(⌊x_i/scale + 0.5⌋, -127, 127) (round-half-up, the
+    * floor form both engines evaluate identically on identical doubles);
+    * an all-zero vector quantizes to scale 0 with all-zero codes. One
+    * pass, returns (scale, codes).
+    */
+  def quantizeI8(arr: ArrayData): InternalRow = {
+    val n = arr.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      val a = Math.abs(arr.getFloat(i).toDouble)
+      if (a > maxAbs) maxAbs = a
+      i += 1
+    }
+    val scale = maxAbs / 127.0
+    val codes = new Array[Byte](n)
+    if (scale > 0.0) {
+      i = 0
+      while (i < n) {
+        val q = Math.floor(arr.getFloat(i).toDouble / scale + 0.5)
+        codes(i) = Math.max(-127.0, Math.min(127.0, q)).toByte
+        i += 1
+      }
+    }
+    new GenericInternalRow(Array[Any](scale,
+      new GenericArrayData(codes.map(b => b: Any))))
+  }
+
   /** Distinct word n-gram shingles in FIRST-OCCURRENCE order — exactly
     * `array_distinct(transform(sequence(1, greatest(L-n+1, 1)), i ->
     * array_join(slice(t, i, n), ' ')))`, including the shorter-than-n
@@ -187,6 +216,37 @@ case class CountInSet(child: Expression, words: Seq[String])
     defineCodeGen(ctx, ev,
       c => s"graft.expr.TextStatsHelper.countInSet($c, $setRef)")
   }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Codegen'd symmetric int8 vector quantization (vector-store serving
+  * prep): one pass computing the max-abs scale and the clamped
+  * round-half-up codes — per-element work that would be an interpreted
+  * HOF cliff at corpus scale in `transform` form.
+  */
+case class QuantizeI8(child: Expression) extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = false),
+    StructField("codes", ArrayType(ByteType, containsNull = false),
+      nullable = false)))
+  override def prettyName: String = "graft_quantize_i8"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float> argument, got ${other.sql}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextStatsHelper.quantizeI8(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expr.TextStatsHelper.quantizeI8($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -289,4 +349,8 @@ object TextStatsExpressions {
   /** Σ weights[rollingHash(tok) mod D] over a token-array column. */
   def hashedTfDot(tokens: Column, weights: Seq[Double]): Column =
     Bridge.column(HashedTfDot(Bridge.expression(tokens), weights))
+
+  /** struct(scale, codes) int8 quantization of a float-vector column. */
+  def quantizeI8(embedding: Column): Column =
+    Bridge.column(QuantizeI8(Bridge.expression(embedding)))
 }

@@ -498,6 +498,34 @@ object DocQueries {
         .orderBy(col("query_id"), col("cosine").desc, col("vec_id"))
     },
 
+    // Int8 embedding quantization (vector-store serving prep): per-vector
+    // max-abs scale + clamped round-half-up codes via the native
+    // QuantizeI8 expression. The gate checks floor-scaled scale plus the
+    // code sum and saturation count — exact arithmetic on identical
+    // doubles, knife-edge-free (the c10 floor-gate discipline).
+    QDef("sim6_quantize_int8",
+      """WITH q AS (SELECT vec_id,
+        |  list_max([abs(CAST(x AS DOUBLE)) FOR x IN embedding]) / 127.0 AS scale,
+        |  embedding FROM embeddings),
+        |c AS (SELECT vec_id, scale,
+        |  CASE WHEN scale = 0 THEN [] ELSE
+        |    [CAST(greatest(-127.0, least(127.0,
+        |       floor(CAST(x AS DOUBLE) / scale + 0.5))) AS BIGINT)
+        |     FOR x IN embedding] END AS codes
+        |  FROM q)
+        |SELECT vec_id, CAST(floor(scale * 1000000000.0) AS BIGINT) AS scale_nano,
+        |  CAST(coalesce(list_sum(codes), 0) AS BIGINT) AS sum_codes,
+        |  CAST(len([c FOR c IN codes IF abs(c) = 127]) AS BIGINT) AS n_saturated
+        |FROM c ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      Similarity.quantizeEmbeddings(Tables.embeddings(s, dir))
+        .select(col("vec_id"),
+          floor(col("scale") * lit(1000000000.0)).cast("long").as("scale_nano"),
+          aggregate(col("codes"), lit(0L), (a, x) => a + x).as("sum_codes"),
+          size(filter(col("codes"), c => abs(c) === 127)).cast("long")
+            .as("n_saturated"))
+        .orderBy(col("vec_id"))
+    },
+
     // Metadata-filtered KNN: embeddings joined to the documents table on
     // id, corpus pre-filtered by a text-side predicate (lang), then cosine
     // top-k — the hybrid text+vector retrieval shape.

@@ -90,6 +90,23 @@ object Similarity {
       .filter(col("__rn") <= k).drop("__rn")
   }
 
+  /** Symmetric int8 quantization of the embedding column (vector-store
+    * serving prep: 4× smaller vectors, SIMD-friendly integer dots at
+    * serve time): per vector, scale = max|x|/127 and
+    * code_i = clamp(⌊x_i/scale + 0.5⌋, ±127). One scan-fused projection
+    * through the native codegen'd [[graft.expr.QuantizeI8]] (a
+    * `transform` HOF here would pay interpreted per-element lambdas —
+    * the corpus-scale cliff). Fully deterministic: max/divide/floor on
+    * identical doubles are identical on every engine, so the `sim6` gate
+    * hash-checks the scale and the code checksums.
+    */
+  def quantizeEmbeddings(emb: DataFrame): DataFrame = {
+    val q = graft.expr.TextStatsExpressions.quantizeI8(col("embedding"))
+    emb.select(col("vec_id"), col("label"),
+      q.getField("scale").as("scale"),
+      q.getField("codes").as("codes"))
+  }
+
   // Deterministic hyperplane weights from splitmix64 — computed once at
   // plan time and embedded as array literals, so the per-row work is just
   // nBits fused dot products (no per-row-per-dim hashing). private[graft]

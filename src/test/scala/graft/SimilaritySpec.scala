@@ -51,6 +51,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall=$recall exact=$exact approx=$approx")
   }
 
+  test("quantizeEmbeddings: codes reconstruct within half-step, max saturates, zero vector safe") {
+    val d = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f, 0.0f), 0),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f), 0) // all-zero: scale 0, codes 0
+    ).toDF("vec_id", "embedding", "label")
+    val r = Similarity.quantizeEmbeddings(d).orderBy("vec_id").collect()
+    val scale = r(0).getDouble(2)
+    assert(scale == 1.0 / 127.0)
+    val codes = r(0).getSeq[Byte](3)
+    // round-half-up toward +inf: -0.5/scale = -63.5 -> floor(-63.5+0.5) = -63;
+    // 0.25/scale = 31.75 -> floor(32.25) = 32; 1.0/scale = 127 exactly
+    assert(codes == Seq[Byte](127, -63, 32, 0))
+    assert(r(1).getDouble(2) == 0.0 && r(1).getSeq[Byte](3).forall(_ == 0))
+    // reconstruction error bounded by half a step
+    codes.zip(Seq(1.0, -0.5, 0.25, 0.0)).foreach { case (c, x) =>
+      assert(math.abs(c * scale - x) <= scale / 2 + 1e-12)
+    }
+  }
+
   test("langId predicts the dominant stopword language") {
     val docs = Seq(
       (1L, "the cat and the dog of the house"),
