@@ -131,6 +131,18 @@ object TextStatsHelper {
       new GenericArrayData(codes.map(b => b: Any))))
   }
 
+  /** Exact integer dot of two int8 code arrays (min length governs). */
+  def dotI8(a: ArrayData, b: ArrayData): Long = {
+    val n = Math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += a.getByte(i).toLong * b.getByte(i).toLong
+      i += 1
+    }
+    s
+  }
+
   /** Distinct word n-gram shingles in FIRST-OCCURRENCE order — exactly
     * `array_distinct(transform(sequence(1, greatest(L-n+1, 1)), i ->
     * array_join(slice(t, i, n), ' ')))`, including the shorter-than-n
@@ -252,6 +264,38 @@ case class QuantizeI8(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Codegen'd exact integer dot product of two int8 code arrays (the
+  * serve-time kernel over [[QuantizeI8]] output) — a long accumulator
+  * never overflows (127²·len ≪ 2⁶³) and integer sums are exact in any
+  * order, so every derived score is engine-portable by construction.
+  */
+case class DotProductI8(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_dot_i8"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(ByteType, _), ArrayType(ByteType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<tinyint> arguments, got ${l.sql} and ${r.sql}")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextStatsHelper.dotI8(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) =>
+      s"${ev.value} = graft.expr.TextStatsHelper.dotI8($x, $y);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Codegen'd base-31 rolling hash mod 1e9+7 (the engine's portable
   * content fingerprint — X-hash for sampling, splits, temperature
   * acceptance, t4). One static call per row instead of a per-character
@@ -353,4 +397,8 @@ object TextStatsExpressions {
   /** struct(scale, codes) int8 quantization of a float-vector column. */
   def quantizeI8(embedding: Column): Column =
     Bridge.column(QuantizeI8(Bridge.expression(embedding)))
+
+  /** Exact integer dot of two int8 code-array columns. */
+  def dotI8(a: Column, b: Column): Column =
+    Bridge.column(DotProductI8(Bridge.expression(a), Bridge.expression(b)))
 }

@@ -526,6 +526,31 @@ object DocQueries {
         .orderBy(col("vec_id"))
     },
 
+    // Serve-time KNN over the int8-quantized corpus (the sim6 companion):
+    // scores are cosines of the QUANTIZED vectors, so the scales cancel
+    // and everything derives from exact integer dots — the oracle
+    // requantizes in SQL and mirrors the same integer arithmetic, making
+    // the whole quantize->serve path hash-checked.
+    QDef("sim7_quantized_knn",
+      """WITH q0 AS (SELECT vec_id, label,
+        |  list_max([abs(CAST(x AS DOUBLE)) FOR x IN embedding]) / 127.0 AS scale,
+        |  embedding FROM embeddings),
+        |c AS (SELECT vec_id, label,
+        |  [CAST(greatest(-127.0, least(127.0,
+        |     floor(CAST(x AS DOUBLE) / scale + 0.5))) AS BIGINT)
+        |   FOR x IN embedding] AS codes
+        |  FROM q0 WHERE scale > 0),
+        |qq AS (SELECT codes AS qc FROM c WHERE vec_id = 0),
+        |s AS (SELECT cc.vec_id, cc.label,
+        |  CAST(list_sum([x[1] * x[2] FOR x IN list_zip(cc.codes, qq.qc)]) AS DOUBLE) /
+        |  (sqrt(CAST(list_sum([x[1] * x[1] FOR x IN list_zip(cc.codes, cc.codes)]) AS DOUBLE)) *
+        |   sqrt(CAST(list_sum([x[1] * x[1] FOR x IN list_zip(qq.qc, qq.qc)]) AS DOUBLE))) AS cos
+        |  FROM c cc CROSS JOIN qq WHERE cc.vec_id <> 0)
+        |SELECT vec_id, label, round(cos, 6) AS cosine
+        |FROM s ORDER BY round(cos, 6) DESC, vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+      Similarity.quantizedKnn(Tables.embeddings(s, dir), queryVecId = 0L, k = 10)
+    },
+
     // Metadata-filtered KNN: embeddings joined to the documents table on
     // id, corpus pre-filtered by a text-side predicate (lang), then cosine
     // top-k — the hybrid text+vector retrieval shape.

@@ -107,6 +107,34 @@ object Similarity {
       q.getField("codes").as("codes"))
   }
 
+  /** Serve-time KNN over the int8-quantized corpus: rank by the cosine of
+    * the QUANTIZED vectors — `intdot(a, b) / (√intdot(a,a)·√intdot(b,b))`
+    * — where the per-vector scales cancel algebraically, so the score is
+    * derived entirely from exact integer dots (engine-portable by
+    * construction; the `sim7` gate hash-checks every score against the
+    * SQL-requantized mirror). This is the 4×-smaller, integer-SIMD
+    * serving path the quantization exists for; SimilaritySpec measures
+    * its recall against the exact float ranking. Same plan shape as
+    * [[bruteForceKnn]]: quantize fuses into the scan, query broadcast,
+    * TakeOrderedAndProject top-k.
+    */
+  def quantizedKnn(emb: DataFrame, queryVecId: Long, k: Int): DataFrame = {
+    import graft.expr.TextStatsExpressions.{dotI8, quantizeI8}
+    val qz = emb.select(col("vec_id"), col("label"),
+      quantizeI8(col("embedding")).getField("codes").as("codes"))
+    val q = qz.where(col("vec_id") === queryVecId)
+      .select(col("codes").as("qc"),
+        sqrt(dotI8(col("codes"), col("codes")).cast("double")).as("q_norm"))
+    qz.where(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        round(dotI8(col("codes"), col("qc")).cast("double") /
+          (sqrt(dotI8(col("codes"), col("codes")).cast("double")) * col("q_norm")), 6)
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
   // Deterministic hyperplane weights from splitmix64 — computed once at
   // plan time and embedded as array literals, so the per-row work is just
   // nBits fused dot products (no per-row-per-dim hashing). private[graft]

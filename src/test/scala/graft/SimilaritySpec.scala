@@ -70,6 +70,16 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("quantizedKnn recall@10 vs exact float ranking") {
+    val exact = Similarity.bruteForceKnn(emb, 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    val quant = Similarity.quantizedKnn(emb, 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    // int8 round-off perturbs cosines by ~1/127 per component; on tightly
+    // clustered data the top-10 stays overwhelmingly the same
+    assert((exact & quant).size >= 8, s"recall ${(exact & quant).size}/10")
+  }
+
   test("langId predicts the dominant stopword language") {
     val docs = Seq(
       (1L, "the cat and the dog of the house"),
