@@ -136,7 +136,7 @@ object DocQueries {
     */
   private def sim3OracleSql(iters: Int, nCentroids: Int = 16, stride: Int = 16,
                             nProbe: Int = 2, k: Int = 10): String = {
-    require(iters >= 0 && iters <= 1, "unrolled oracle supports iters 0 or 1")
+    require(iters >= 0, "iters must be non-negative")
     def assign(out: String, cn: String): String =
       s"""${out}d AS (SELECT e.vec_id, e.label, e.embedding, c.cid,
          |  c.n2 - 2.0 * ${duckDot("c.cvf", "e.embedding")} AS d
@@ -655,8 +655,12 @@ object DocQueries {
     },
 
     // IVF ANN (k-means coarse quantizer + nProbe nearest inverted lists):
-    // the other standard scale path — ScalaTest measures recall.
-    QDef.noOracle("sim3_ann_ivf") { (s, dir) =>
+    // the other standard scale path. Since round 7 the floor-scaled
+    // integer mean update made every Lloyd round engine-portable, so the
+    // FULL iters=3 configuration is hash-gated — all three rounds
+    // unrolled in the oracle (no longer rows-only; d2/d3's hash-seeded
+    // families are the only remaining rows-only principals).
+    QDef("sim3_ann_ivf", sim3OracleSql(iters = 3)) { (s, dir) =>
       Similarity.ivfAnn(Tables.embeddings(s, dir), queryVecId = 0L, k = 10,
           nCentroids = 16, nProbe = 2, iters = 3)
     },
