@@ -1,0 +1,133 @@
+package graft
+
+import graft.expr.TextStatsExpressions
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based equivalence for the native text-stat expressions
+  * (RepStats, NGrams, CountInSet, RollingHash31, HashedTfDot,
+  * QuantizeI8): each must agree with the HOF/builtin formulation it
+  * replaced on RANDOM adversarial inputs — unicode (multi-byte + a
+  * surrogate-pair emoji), empty tokens from doubled spaces, 0/1-token
+  * docs, tiny vocabularies forcing gram collisions — not only the
+  * curated ExprSpec cases. One Spark job evaluates each whole generated
+  * batch (per-string jobs would dominate the test).
+  */
+class TextStatsPropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // vocabulary biased toward collisions and unicode edge cases; the empty
+  // token arises naturally from doubled separators when docs join
+  private val word: Gen[String] = Gen.frequency(
+    6 -> Gen.oneOf("a", "b", "the", "w0", "w1", "w2"),
+    2 -> Gen.oneOf("的", "é", "ß", "αβ"),
+    1 -> Gen.const("😀"),
+    1 -> Gen.const(""))
+
+  private val doc: Gen[String] = for {
+    n <- Gen.chooseNum(0, 25)
+    ws <- Gen.listOfN(n, word)
+  } yield ws.mkString(" ")
+
+  private def docsDf(seed: Long, n: Int) = {
+    val params = org.scalacheck.Gen.Parameters.default
+    val docs = (0 until n).flatMap(i =>
+      doc.apply(params, org.scalacheck.rng.Seed(seed + i)))
+    docs.toDF("text")
+  }
+
+  test("RepStats ≡ explode + double group-by on random unicode docs") {
+    val df = docsDf(101L, 300).withColumn("doc_id",
+      monotonically_increasing_id()).localCheckpoint(true)
+    val t = split(col("text"), " ")
+    val rs = TextStatsExpressions.repStats(t)
+    val native = df.select(col("doc_id"),
+        rs.getField("n_distinct").as("nd"), rs.getField("max_bigram").as("mb"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    val bigrams = transform(
+      sequence(lit(1), greatest(size(t) - 1, lit(1))),
+      i => array_join(slice(t, i, lit(2)), " "))
+    val hof = df.select(col("doc_id"),
+        size(array_distinct(t)).cast("long").as("nd"), explode(bigrams).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"), first("nd").as("nd"))
+      .groupBy("doc_id").agg(first("nd").as("nd"), max("c").as("mb"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(native == hof)
+  }
+
+  test("NGrams ≡ array_distinct(transform(...)) incl. order, n in 2..6") {
+    val df = docsDf(211L, 300)
+    for (n <- 2 to 6) {
+      val t = split(col("text"), " ")
+      val native = TextStatsExpressions.ngrams(t, n)
+      val hof = array_distinct(transform(
+        sequence(lit(1), greatest(size(t) - (n - 1), lit(1))),
+        i => array_join(slice(t, i, lit(n)), " ")))
+      assert(df.filter(not(native <=> hof)).count() == 0L, s"n=$n")
+    }
+  }
+
+  test("CountInSet ≡ filter-HOF count, incl. the empty-string member") {
+    val df = docsDf(307L, 300)
+    val t = split(col("text"), " ")
+    for (words <- Seq(Seq("the", "a"), Seq("的", "😀"), Seq(""), Seq("zzz"))) {
+      val native = TextStatsExpressions.countInSet(t, words)
+      val hof = size(filter(t, x => x.isInCollection(words))).cast("long")
+      assert(df.filter(native =!= hof).count() == 0L, s"words=$words")
+    }
+  }
+
+  test("RollingHash31 ≡ per-character aggregate fold on random unicode docs") {
+    val df = docsDf(401L, 300)
+    val hof = aggregate(split(col("text"), ""), lit(0L),
+      (acc, ch) => (acc * 31 + ascii(ch)) % 1000000007L)
+    val native = TextStatsExpressions.rollingHash(col("text"))
+    assert(df.filter(native =!= hof).count() == 0L)
+  }
+
+  test("HashedTfDot ≡ transform + element_at fold for several bucket counts") {
+    val df = docsDf(503L, 300)
+    val t = split(col("text"), " ")
+    for (d <- Seq(8, 64, 1024)) {
+      val w = (0 until d).map(i => ((i * 13 + 5) % 21 - 10).toDouble)
+      val native = TextStatsExpressions.hashedTfDot(t, w)
+      val hof = aggregate(
+        transform(t, tok => element_at(typedlit(w),
+          (pmod(TextStatsExpressions.rollingHash(tok), lit(d.toLong)) + 1)
+            .cast("int"))),
+        lit(0.0), (acc, x) => acc + x)
+      assert(df.filter(native =!= hof).count() == 0L, s"d=$d")
+    }
+  }
+
+  test("QuantizeI8: scale/codes invariants on random vectors") {
+    val rnd = new scala.util.Random(607)
+    val vecs = Seq.fill(200)(Array.fill(16)(
+      (rnd.nextGaussian() * (if (rnd.nextInt(10) == 0) 1e4 else 1.0)).toFloat))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = TextStatsExpressions.quantizeI8(col("embedding"))
+    val rows = df.select(col("vec_id"), q.getField("scale").as("s"),
+        q.getField("codes").as("c"))
+      .orderBy("vec_id").collect()
+    vecs.zip(rows).foreach { case ((_, v), r) =>
+      val scale = r.getDouble(1)
+      val codes = r.getSeq[Byte](2)
+      val maxAbs = v.map(x => math.abs(x.toDouble)).max
+      assert(scale == maxAbs / 127.0)
+      assert(codes.length == v.length)
+      // every code in range, max-magnitude element saturates to ±127
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      if (maxAbs > 0) {
+        val iMax = v.indexWhere(x => math.abs(x.toDouble) == maxAbs)
+        assert(math.abs(codes(iMax).toInt) == 127)
+        // reconstruction within half a quantization step
+        codes.zip(v).foreach { case (c, x) =>
+          assert(math.abs(c * scale - x) <= scale / 2 + 1e-9 * maxAbs)
+        }
+      } else assert(codes.forall(_ == 0))
+    }
+  }
+}
