@@ -491,6 +491,64 @@ object Curation {
         col("n_tokens"), col("seq_id"), col("seq_offset"))
   }
 
+  /** [[trainingManifest]] extended with the model-based stages — the
+    * complete modern pipeline:
+    *
+    *  1. [[qualityFilter]]: rule-based drops (length/stopword/repetition);
+    *  2. [[graft.text.TextAnalysis.classifierScore]]: drop documents
+    *     below `minLogitMicro` (the fastText-style model filter);
+    *  3. [[decontaminate]]: drop eval-overlapping documents;
+    *  4. [[keepOneExact]] + [[splitColumn]];
+    *  5. [[tokenBudgetMix]]: per-source token budget, best quality first;
+    *  6. [[packSequences]] per (source, split).
+    *
+    * Same materialization discipline as [[trainingManifest]]: every
+    * multi-consumer frame is checkpointed as an ID-plus-small-columns
+    * projection (never text), so each stage executes once and consumers
+    * pay only a docs re-scan against a tiny id set. Fully hash-gated end
+    * to end (`c13_training_manifest_v2`). Returns one row per surviving
+    * document: `(doc_id, pack_key, split, n_tokens, quality, cum_tokens,
+    * seq_id, seq_offset)`.
+    */
+  def trainingManifestV2(docs: DataFrame, evalDocs: DataFrame,
+                         classifierWeights: Seq[Double],
+                         classifierBias: Double = 0.0,
+                         minLogitMicro: Long = Long.MinValue,
+                         tokensPerSource: Long = Long.MaxValue,
+                         budget: Int = 512): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val keepRules = qualityFilter(docs, col("text"), col("doc_id"))
+      .filter(col("keep") === 1).select(col("doc_id"))
+    val scored = graft.text.TextAnalysis.classifierScore(docs, col("text"),
+        col("doc_id"), classifierWeights, classifierBias)
+      .filter(col("logit_micro") >= minLogitMicro)
+      .select(col("doc_id"), col("logit_micro").as("quality"))
+    // O(ids + one long): the rule- and model-kept set with its quality
+    val keep2 = keepRules.join(scored, Seq("doc_id")).localCheckpoint(true)
+    val q = docs.join(keep2.select(col("doc_id")), Seq("doc_id"))
+    val contaminated = decontaminate(q, evalDocs)
+    val clean = q.join(contaminated, Seq("doc_id"), "left_anti")
+    val dedupedIds = keepOneExact(clean, col("text"), col("doc_id"))
+      .select(col("doc_id"), splitColumn(col("text")).as("split"))
+      .localCheckpoint(true)
+    val hydrated = docs.join(dedupedIds, Seq("doc_id"))
+      .join(keep2, Seq("doc_id"))
+      .withColumn("n_tokens", TextAnalysis.nTokensCol(col("text")))
+    // O(ids + 4 small cols): the budget-mixed survivors
+    val mixedIds = tokenBudgetMix(hydrated, col("n_tokens"), col("source"),
+        Seq(col("quality").desc, col("doc_id")), tokensPerSource)
+      .select(col("doc_id"), col("split"), col("quality"), col("cum_tokens"))
+      .localCheckpoint(true)
+    Bridge.release(keep2)
+    Bridge.release(dedupedIds)
+    val packed = packSequences(
+      docs.join(mixedIds, Seq("doc_id")), col("text"), col("doc_id"),
+      concat(col("source"), lit("|"), col("split")), budget)
+    packed.join(mixedIds, Seq("doc_id"))
+      .select(col("doc_id"), col("pack_key"), col("split"), col("n_tokens"),
+        col("quality"), col("cum_tokens"), col("seq_id"), col("seq_offset"))
+  }
+
   /** The composed curation pipeline over a `documents`-shaped frame:
     *
     *  1. score: token count, stopword ratio, language-ID (single fused

@@ -1397,6 +1397,83 @@ object DocQueries {
         .orderBy(col("doc_id"))
     },
 
+    // The manifest v2: the c9 pipeline with the model-based stages
+    // composed in — rule filter -> classifier threshold (median logit at
+    // gate scale) -> decontaminate -> dedup -> split -> per-source token
+    // budget (binds: multi-doc sources are capped) -> pack. The whole
+    // 6-stage composition hash-checks end to end.
+    QDef("c13_training_manifest_v2", {
+      val wLit = TextAnalysis.defaultClassifierWeights(64)
+        .map(_.toLong).mkString("[", ", ", "]")
+      s"""WITH corpus AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 47 <> 0),
+         |ev AS (SELECT text FROM documents WHERE doc_id % 47 = 0),
+         |t AS (SELECT doc_id, source, text, string_split(text,' ') AS toks FROM corpus),
+         |sm AS (SELECT doc_id, source, text, toks,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  round(CAST(len([x FOR x IN toks IF x IN ('the','a')]) AS DOUBLE)/len(toks),6) AS stop_ratio,
+         |  round(1 - CAST(len(list_distinct(toks)) AS DOUBLE)/len(toks),6) AS dup_ratio,
+         |  list_transform(range(1, greatest(len(toks)-1,1)+1),
+         |    i -> array_to_string(toks[i:i+1],' ')) AS gs
+         |  FROM t),
+         |bg AS (SELECT doc_id, unnest(gs) AS g FROM sm),
+         |bf AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+         |bm AS (SELECT doc_id, round(CAST(max(c) AS DOUBLE)/sum(c),6) AS top_bigram
+         |       FROM bf GROUP BY doc_id),
+         |keepq AS (SELECT sm.doc_id, sm.source, sm.text, sm.toks, sm.n_tokens
+         |  FROM sm JOIN bm ON sm.doc_id = bm.doc_id
+         |  WHERE NOT (sm.n_tokens < 20 OR sm.n_tokens > 80) AND stop_ratio <= 0.1
+         |    AND dup_ratio <= 0.6 AND top_bigram <= 0.06),
+         |cw AS (SELECT doc_id, CAST(floor((-0.25 + list_sum([CAST((CAST($wLit AS BIGINT[]))[
+         |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      [CAST(ascii(c) AS BIGINT) FOR c IN string_split(tok, '')]),
+         |      (a, b) -> (a * 31 + b) % 1000000007) % 64) + 1] AS DOUBLE)
+         |    FOR tok IN toks]) / (100.0 * n_tokens)) * 1000000.0) AS BIGINT) AS quality
+         |  FROM keepq),
+         |keepc AS (SELECT k.*, c.quality FROM keepq k JOIN cw c USING (doc_id)
+         |  WHERE c.quality >= -360000),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks)-2,1)+1),
+         |   i -> array_to_string(toks[i:i+2],' '))) AS g3 FROM keepc),
+         |eg AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+         |   range(1, greatest(len(string_split(text,' '))-2,1)+1),
+         |   i -> array_to_string(string_split(text,' ')[i:i+2],' ')))) AS g FROM ev),
+         |cg AS (SELECT doc_id, unnest(g3) AS g FROM sh),
+         |cont AS (SELECT DISTINCT cg.doc_id FROM cg JOIN eg ON cg.g = eg.g),
+         |clean AS (SELECT * FROM keepc WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+         |ded AS (SELECT *, row_number() OVER (
+         |    PARTITION BY array_to_string(list_sort(list_distinct(toks)), ' ')
+         |    ORDER BY doc_id) AS rn FROM clean),
+         |dd AS (SELECT doc_id, source, text, n_tokens, quality FROM ded WHERE rn = 1),
+         |sp AS (SELECT doc_id, source, n_tokens, quality,
+         |  CASE WHEN hm < 80 THEN 'train' WHEN hm < 90 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT *, list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    [CAST(ascii(c) AS BIGINT) FOR c IN string_split(text, '')]),
+         |    (a, b) -> (a * 31 + b) % 1000000007) % 100 AS hm FROM dd)),
+         |mx AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY source ORDER BY quality DESC, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens FROM sp),
+         |mixed AS (SELECT * FROM mx WHERE cum_tokens <= 100),
+         |pk AS (SELECT doc_id, source || '|' || split AS pack_key, split, n_tokens,
+         |  quality, cum_tokens,
+         |  SUM(n_tokens) OVER (PARTITION BY source || '|' || split ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_tok
+         |  FROM mixed)
+         |SELECT doc_id, pack_key, split, n_tokens, quality, cum_tokens,
+         |  CAST(start_tok // 64 AS BIGINT) AS seq_id,
+         |  CAST(start_tok % 64 AS BIGINT) AS seq_offset
+         |FROM pk ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      graft.curation.Curation.trainingManifestV2(
+          docs.filter(pmod(col("doc_id"), lit(47)) =!= 0)
+            .select(col("doc_id"), col("source"), col("text")),
+          docs.filter(pmod(col("doc_id"), lit(47)) === 0),
+          classifierWeights = TextAnalysis.defaultClassifierWeights(64),
+          classifierBias = -0.25,
+          minLogitMicro = -360000L,
+          tokensPerSource = 100L,
+          budget = 64)
+        .orderBy(col("doc_id"))
+    },
+
     // The composed curation pipeline (graft.curation.Curation.curate):
     // score → threshold-filter → deterministic content-hash sample →
     // exact-dedup keep-one → per-source quota. Every stage is

@@ -198,6 +198,34 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet == rows.map(_.toSeq).toSet)
   }
 
+  test("trainingManifestV2 with neutral model params reduces to trainingManifest") {
+    val corpus = (1 to 40).map { i =>
+      (i.toLong, if (i % 2 == 0) "w" else "b",
+        (1 to 30).map(j => s"t${i}_$j").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val eval_ = Seq((100L, "t2_1 t2_2 t2_3")).toDF("doc_id", "text")
+    val v1 = Curation.trainingManifest(corpus, eval_, budget = 64)
+      .select("doc_id", "pack_key", "split", "n_tokens", "seq_id", "seq_offset")
+      .collect().map(_.toSeq).toSet
+    // threshold -inf + budget inf: stages 2 and 5 are no-ops, so the v2
+    // composition must land on exactly the v1 manifest
+    val v2 = Curation.trainingManifestV2(corpus, eval_,
+        classifierWeights = graft.text.TextAnalysis.defaultClassifierWeights(64),
+        classifierBias = -0.25, minLogitMicro = Long.MinValue,
+        tokensPerSource = Long.MaxValue, budget = 64)
+      .select("doc_id", "pack_key", "split", "n_tokens", "seq_id", "seq_offset")
+      .collect().map(_.toSeq).toSet
+    assert(v1 == v2)
+    // and a binding budget strictly shrinks the kept set per source
+    val capped = Curation.trainingManifestV2(corpus, eval_,
+        classifierWeights = graft.text.TextAnalysis.defaultClassifierWeights(64),
+        classifierBias = -0.25, minLogitMicro = Long.MinValue,
+        tokensPerSource = 60L, budget = 64)
+      .collect()
+    assert(capped.length < v1.size && capped.nonEmpty)
+    assert(capped.forall(_.getAs[Long]("cum_tokens") <= 60L))
+  }
+
   test("dedupLinesFirstOccurrence keeps only the globally first instance of a line") {
     val lined = Seq(
       (1L, "a\nb"),
