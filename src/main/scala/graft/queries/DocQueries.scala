@@ -99,18 +99,23 @@ object DocQueries {
   private def duckDot(a: String, b: String): String =
     s"list_sum([CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE) FOR x IN list_zip($a, $b)])"
 
-  /** The sim2 oracle: mirror of [[graft.sim.Similarity.lshAnn]] with the
-    * deterministic hyperplanes embedded as literals. The planes are cast
+  /** The hyperplane-literal LSH bucket of [[graft.sim.Similarity
+    * .lshBucket]] as a SQL fragment over `embCol`. Planes are cast
     * FLOAT[] first because the Spark side passes float literals to
     * graft_dot (same rounding on both engines).
     */
-  private def sim2OracleSql(nBits: Int, dim: Int): String = {
-    val bucket = Similarity.hyperplanes(nBits, dim).zipWithIndex.map {
-      case (w, i) =>
-        val lit = w.mkString("[", ", ", "]")
-        s"(CASE WHEN ${duckDot(s"CAST($lit AS FLOAT[])", "embedding")} > 0 " +
-          s"THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+  private def duckBucket(nBits: Int, dim: Int, embCol: String): String =
+    Similarity.hyperplanes(nBits, dim).zipWithIndex.map { case (w, i) =>
+      val planeLit = w.mkString("[", ", ", "]")
+      s"(CASE WHEN ${duckDot(s"CAST($planeLit AS FLOAT[])", embCol)} > 0 " +
+        s"THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }.mkString(" + ")
+
+  /** The sim2 oracle: mirror of [[graft.sim.Similarity.lshAnn]] with the
+    * deterministic hyperplanes embedded as literals.
+    */
+  private def sim2OracleSql(nBits: Int, dim: Int): String = {
+    val bucket = duckBucket(nBits, dim, "embedding")
     s"""WITH b AS (SELECT vec_id, label, embedding, $bucket AS bucket FROM embeddings),
        |q AS (SELECT embedding AS qv, bucket AS q_bucket,
        |  sqrt(${duckDot("embedding", "embedding")}) AS q_norm
@@ -549,6 +554,60 @@ object DocQueries {
         |SELECT vec_id, label, round(cos, 6) AS cosine
         |FROM s ORDER BY round(cos, 6) DESC, vec_id LIMIT 10""".stripMargin) { (s, dir) =>
       Similarity.quantizedKnn(Tables.embeddings(s, dir), queryVecId = 0L, k = 10)
+    },
+
+    // In-engine ANN recall report (the go/no-go dashboard before flipping
+    // retrieval traffic to the approximate path): per query, recall@10 of
+    // the batch LSH path vs the exact batch ranking. Both sides use the
+    // (rounded cosine desc, vec_id) total order, so the top-k SETS — and
+    // hence every overlap count — are deterministic and hash-checked.
+    // On this fixture the report reads ~0.15 mean recall: the synthetic
+    // embeddings are UNclustered, so nBits=8 / Hamming-1 probing prunes
+    // to ~3.5% of the corpus and loses most true neighbors — which is
+    // precisely the tuning signal this report exists to surface
+    // (SimilaritySpec shows the same operator at high recall on
+    // clustered data).
+    QDef("sim8_ann_recall_report", {
+      val bucketE = duckBucket(8, 64, "embedding")
+      val bucketQ = duckBucket(8, 64, "qb0.qv")
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+         |  WHERE vec_id < 20),
+         |b AS (SELECT vec_id, embedding, $bucketE AS bucket FROM embeddings),
+         |qb AS (SELECT query_id, qv, $bucketQ AS q_bucket FROM q qb0),
+         |ex0 AS (SELECT q.query_id, e.vec_id,
+         |  ${duckDot("e.embedding", "q.qv")} /
+         |  (sqrt(${duckDot("e.embedding", "e.embedding")}) *
+         |   sqrt(${duckDot("q.qv", "q.qv")})) AS cos
+         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+         |ex AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY round(cos, 6) DESC, vec_id) AS rn
+         |  FROM ex0) WHERE rn <= 10),
+         |ap0 AS (SELECT qb.query_id, b.vec_id,
+         |  ${duckDot("b.embedding", "qb.qv")} /
+         |  (sqrt(${duckDot("b.embedding", "b.embedding")}) *
+         |   sqrt(${duckDot("qb.qv", "qb.qv")})) AS cos
+         |  FROM b CROSS JOIN qb
+         |  WHERE b.vec_id <> qb.query_id
+         |    AND bit_count(xor(b.bucket, qb.q_bucket)) <= 1),
+         |ap AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY round(cos, 6) DESC, vec_id) AS rn
+         |  FROM ap0) WHERE rn <= 10),
+         |ov AS (SELECT ex.query_id, count(*) AS n_overlap
+         |  FROM ex JOIN ap ON ex.query_id = ap.query_id AND ex.vec_id = ap.vec_id
+         |  GROUP BY ex.query_id)
+         |SELECT q.query_id, CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+         |  round(CAST(coalesce(ov.n_overlap, 0) AS DOUBLE) / 10, 6) AS recall
+         |FROM q LEFT JOIN ov ON q.query_id = ov.query_id
+         |ORDER BY q.query_id""".stripMargin
+    }) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.annRecallReport(emb,
+          emb.filter(col("vec_id") < 20)
+            .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+          k = 10, nBits = 8)
+        .orderBy(col("query_id"))
     },
 
     // Metadata-filtered KNN: embeddings joined to the documents table on

@@ -256,6 +256,57 @@ object Similarity {
       .limit(k)
   }
 
+  /** BATCH LSH ANN: [[lshAnn]] generalized to a query set — corpus
+    * bucketed once in the scan projection, queries (with their buckets)
+    * broadcast, Hamming-≤1 multi-probe filter, exact-cosine rank, top-k
+    * per query through one window shuffle. The candidate filter drops
+    * the pair stage to |corpus|·|queries|·(nBits+1)/2^nBits expected
+    * rows BEFORE the shuffle.
+    */
+  def batchLshAnn(emb: DataFrame, queries: DataFrame, k: Int, nBits: Int,
+                  dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = emb.select(col("vec_id"), col("label"), col("embedding"),
+      lshBucket(col("embedding"), nBits, dim).as("bucket"),
+      sqrt(Fns.dot(col("embedding"), col("embedding"))).as("c_norm"))
+    val qn = queries.select(col("query_id"), col("qv"),
+      lshBucket(col("qv"), nBits, dim).as("q_bucket"),
+      sqrt(Fns.dot(col("qv"), col("qv"))).as("q_norm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    corpus.crossJoin(broadcast(qn))
+      .where(col("vec_id") =!= col("query_id") &&
+        bit_count(col("bucket").bitwiseXOR(col("q_bucket"))) <= 1)
+      .select(col("query_id"), col("vec_id"), col("label"),
+        round(Fns.dot(col("embedding"), col("qv")) /
+          (col("c_norm") * col("q_norm")), 6).as("cosine"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
+  /** ANN quality evaluation IN-ENGINE — the recall dashboard a serving
+    * team runs before flipping traffic to the approximate path: for each
+    * query in the set, recall@k of [[batchLshAnn]] against the exact
+    * [[batchKnn]] ranking. Pure composition of the two gated operators
+    * plus one key-grouped count, so the whole report is hash-gatable.
+    * An LSH query whose probe buckets return fewer than k candidates
+    * contributes its true (smaller) overlap — exactly what the dashboard
+    * should show.
+    */
+  def annRecallReport(emb: DataFrame, queries: DataFrame, k: Int,
+                      nBits: Int, dim: Int = 64): DataFrame = {
+    val exact = batchKnn(emb, queries, k).select(col("query_id"), col("vec_id"))
+    val approx = batchLshAnn(emb, queries, k, nBits, dim)
+      .select(col("query_id"), col("vec_id"))
+    exact.join(approx, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_overlap"))
+      .join(queries.select(col("query_id")), Seq("query_id"), "right")
+      .select(col("query_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        round(coalesce(col("n_overlap"), lit(0L)).cast("double") / k, 6)
+          .as("recall"))
+  }
+
   /** SemDeDup-style semantic dedup: LSH-bucket the corpus (random
     * hyperplane signs — the cluster stand-in; any coarse quantizer drops
     * into the same shape), compute within-bucket pairwise cosine, and drop
