@@ -308,6 +308,40 @@ object Multimodal {
       .toDF("id", "width", "height", "px_sum")
   }
 
+  /** Nearest-neighbor resize of farbfeld payloads by a rational factor
+    * `num/den` (dims floor-scaled, clamped to ≥1): for destination pixel
+    * (x, y), the source pixel is (⌊x·w/nw⌋, ⌊y·h/nh⌋) — the standard
+    * integer mapping, exact arithmetic end to end, so a resized raster's
+    * checksum is SQL-expressible and the `mm6` gate pins the whole
+    * decode → resize → re-encode path through [[decodeStats]] on the
+    * OUTPUT payloads (the resize must produce bytes the verified decoder
+    * round-trips). mapPartitions batched, like every codec op here — the
+    * per-pixel loop is real image work, not expressible as Catalyst
+    * columns.
+    */
+  def resizeNearest(df: DataFrame, idCol: String, payloadCol: String,
+                    num: Int, den: Int): DataFrame = {
+    require(num > 0 && den > 0, s"bad factor $num/$den")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img = Farbfeld.decode(bytes)
+          val nw = math.max(img.width * num / den, 1)
+          val nh = math.max(img.height * num / den, 1)
+          val out = Farbfeld.encode(nw, nh, (i, c) => {
+            val sx = (i % nw) * img.width / nw
+            val sy = (i / nw) * img.height / nh
+            img.components((sy * img.width + sx) * Farbfeld.Channels + c)
+          })
+          (id, out)
+        }
+      }
+      .toDF(idCol, payloadCol)
+  }
+
   /** Frame sampling for video payloads: one output row per sampled frame,
     * preserving provenance (id, frame_idx). The sampler is a byte-window
     * chunker — a real, deterministic operation standing where a container

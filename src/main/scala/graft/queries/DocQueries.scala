@@ -766,6 +766,40 @@ object DocQueries {
         .orderBy(col("id"))
     },
 
+    // Nearest-neighbor half-resize of real farbfeld payloads (the image
+    // preprocessing op): decode -> integer-mapped resize -> re-encode,
+    // verified by running the VERIFIED decoder over the output payloads
+    // and checksumming — the oracle computes the same floor-mapped pixel
+    // selection arithmetically from the fixture formula.
+    QDef("mm6_resize_nearest",
+      """WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+        |           FROM documents),
+        |r AS (SELECT doc_id, w, h,
+        |       greatest(w // 2, 1) AS nw, greatest(h // 2, 1) AS nh FROM d)
+        |SELECT doc_id AS id, CAST(nw AS INTEGER) AS width,
+        |  CAST(nh AS INTEGER) AS height,
+        |  CAST(list_sum([
+        |    (doc_id*7919
+        |      + ((((j//4) // nw) * h // nh) * w + (((j//4) % nw) * w // nw)) * 31
+        |      + (j%4) * 101) % 65536
+        |    FOR j IN range(0, nw*nh*4)]) AS BIGINT) AS px_sum
+        |FROM r ORDER BY id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val payloads = Tables.documents(s, dir).select(col("doc_id").cast("long"))
+        .as[Long]
+        .mapPartitions(_.map { id =>
+          val w = (4 + id % 5).toInt
+          val h = (3 + id % 4).toInt
+          (id, graft.multimodal.Multimodal.Farbfeld.encode(w, h, (i, c) =>
+            ((id * 7919L + i.toLong * 31L + c.toLong * 101L) % 65536L).toInt))
+        })
+        .toDF("doc_id", "payload")
+      val resized = graft.multimodal.Multimodal.resizeNearest(
+        payloads, "doc_id", "payload", num = 1, den = 2)
+      graft.multimodal.Multimodal.decodeStats(resized, "doc_id", "payload")
+        .orderBy(col("id"))
+    },
+
     // Audio decode, for real (the mm2 pattern on the audio path): each
     // document gets a REAL canonical PCM16 WAV payload generated from a
     // deterministic formula; the engine parses the actual bytes back

@@ -92,6 +92,28 @@ class MultimodalSpec extends AnyFunSuite {
       ((id, w, h, expected)))
   }
 
+  test("resizeNearest: hand-mapped pixels, clamp-to-1, decoder round-trip") {
+    import graft.multimodal.Multimodal
+    // 2x2 image with distinct per-pixel values: component c of pixel i = i*10+c
+    val src = Multimodal.Farbfeld.encode(2, 2, (i, c) => i * 10 + c)
+    val df = Seq((1L, src)).toDF("doc_id", "payload")
+    val half = Multimodal.resizeNearest(df, "doc_id", "payload", 1, 2)
+    val img = Multimodal.Farbfeld.decode(
+      half.collect().head.getAs[Array[Byte]]("payload"))
+    // 2x2 -> 1x1: dest (0,0) maps to source (0*2/1=0, 0*2/1=0) -> pixel 0
+    assert(img.width == 1 && img.height == 1)
+    assert(img.components.toSeq == Seq(0, 1, 2, 3))
+    // 3x upscale of the 2x2: dest x of 0..5 maps to source x = x*2/6 etc.
+    val up = Multimodal.resizeNearest(df, "doc_id", "payload", 3, 1)
+    val imgUp = Multimodal.Farbfeld.decode(
+      up.collect().head.getAs[Array[Byte]]("payload"))
+    assert(imgUp.width == 6 && imgUp.height == 6)
+    // corner checks: dest (0,0) -> src pixel 0; dest (5,5) -> src (1,1) = pixel 3
+    assert(imgUp.components.slice(0, 4).toSeq == Seq(0, 1, 2, 3))
+    assert(imgUp.components.slice((5 * 6 + 5) * 4, (5 * 6 + 5) * 4 + 4).toSeq ==
+      Seq(30, 31, 32, 33))
+  }
+
   test("sampleFrames fans out one row per frame with provenance") {
     val f = Multimodal.sampleFrames(media, "id", "payload", stride = 64)
     val counts = f.groupBy("id").count().collect()
