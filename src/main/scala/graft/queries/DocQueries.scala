@@ -1605,6 +1605,65 @@ object DocQueries {
         |FROM q WHERE qrn <= 60 ORDER BY doc_id""".stripMargin) { (s, dir) =>
       graft.curation.Curation.curate(Tables.documents(s, dir))
         .orderBy(col("doc_id"))
+    },
+
+    // Inverted index over the corpus: term -> (df, total_tf, postings).
+    // Pure integer/string output — fully engine-portable; the serialized
+    // postings string doubles as an order-sensitive checksum of the
+    // whole posting list.
+    QDef("t12_inverted_index",
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tk GROUP BY term, doc_id)
+        |SELECT term, CAST(count(*) AS BIGINT) AS df,
+        |  CAST(sum(tf) AS BIGINT) AS total_tf,
+        |  string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
+        |FROM tf GROUP BY term ORDER BY term""".stripMargin) { (s, dir) =>
+      graft.text.Retrieval.invertedIndex(Tables.documents(s, dir),
+          col("text"), col("doc_id"))
+        .orderBy(col("term"))
+    },
+
+    // BM25 ranked retrieval, top-10 per query over a 3-query literal
+    // set. idf is rounded into DECIMAL(18,6) at the term level (the t10
+    // ln contract); the tf saturation factor is the exact integer
+    // rational 22·tf·L / (10·tf·L + 3·L + 9·dl·N); per-doc score sums
+    // run in DECIMAL. Rank ties break on doc_id.
+    QDef("t13_bm25_topk",
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tk GROUP BY doc_id),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_len FROM dl),
+        |q AS (SELECT * FROM (VALUES
+        |  (0, 'hash'), (0, 'join'),
+        |  (1, 'window'), (1, 'agg'), (1, 'stream'),
+        |  (2, 'vector'), (2, 'scan')) AS v(query_id, term)),
+        |tf AS (SELECT tk.term, tk.doc_id, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tk WHERE tk.term IN (SELECT term FROM q)
+        |       GROUP BY tk.term, tk.doc_id),
+        |idf AS (SELECT term, CAST(round(ln((CAST(g.n_docs AS DOUBLE) + 1.0)
+        |          / (CAST(count(*) AS BIGINT) + 0.5)), 6) AS DECIMAL(18,6)) AS idf6
+        |        FROM tf, g GROUP BY term, g.n_docs),
+        |sc AS (SELECT q.query_id, tf.doc_id,
+        |  CAST(round(CAST(idf.idf6 AS DOUBLE)
+        |    * (CAST(22 * tf.tf * g.total_len AS DOUBLE)
+        |       / CAST(10 * tf.tf * g.total_len + 3 * g.total_len
+        |              + 9 * dl.dl * g.n_docs AS DOUBLE)), 6) AS DECIMAL(18,6)) AS s6
+        |  FROM q JOIN tf ON q.term = tf.term
+        |  JOIN idf ON tf.term = idf.term
+        |  JOIN dl ON tf.doc_id = dl.doc_id, g),
+        |agg AS (SELECT query_id, doc_id, sum(s6) AS score6
+        |        FROM sc GROUP BY query_id, doc_id),
+        |rk AS (SELECT query_id, doc_id, score6,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY score6 DESC, doc_id) AS rank
+        |  FROM agg)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+        |  CAST(score6 AS DOUBLE) AS score
+        |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      graft.text.Retrieval.bm25TopK(Tables.documents(s, dir),
+          col("text"), col("doc_id"),
+          Seq(0 -> Seq("hash", "join"), 1 -> Seq("window", "agg", "stream"),
+            2 -> Seq("vector", "scan")), k = 10)
+        .orderBy(col("query_id"), col("rank"))
     }
   )
 }

@@ -1,0 +1,134 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sparse retrieval over the corpus: inverted-index construction and
+  * BM25 ranked search. The index is the classic training-data-pipeline
+  * audit/serving structure (term -> postings); BM25 is the standard
+  * lexical scorer used for eval-set decontamination lookups and
+  * retrieval-based data mixing (reference analog: the dashboard's
+  * keyword drill-downs over query text, e.g.
+  * Dashboard_Historical_Final.py's per-type filters — generalized here
+  * to ranked full-text search).
+  *
+  * Scale shape: tokenize+explode is scan-fused; term aggregation is ONE
+  * shuffle on the term key; the query set is tiny and broadcast; the
+  * per-query top-k goes through a rank-limit window that Spark rewrites
+  * to WindowGroupLimit (per-partition partial top-k before the shuffle),
+  * so no single reducer ever sees more than partitions*k candidate rows.
+  *
+  * Determinism: all index stats are integers; BM25 keeps the engine
+  * contract of [[TextAnalysis.unigramLogProb]] — the only transcendental
+  * (idf's ln) is rounded to 6 decimals into DECIMAL(18,6) immediately,
+  * the tf saturation term is an exact integer rational evaluated with
+  * one correctly-rounded double division, and per-document sums run in
+  * DECIMAL (order-independent, engine-exact).
+  */
+object Retrieval {
+
+  private def tokens(df: DataFrame, text: org.apache.spark.sql.Column,
+                     id: org.apache.spark.sql.Column): DataFrame =
+    df.select(id.as("doc_id"), explode(split(text, " ")).as("term"))
+
+  /** Per-(term, doc) frequencies — the raw postings. One shuffle. */
+  def termFrequencies(df: DataFrame, text: org.apache.spark.sql.Column,
+                      id: org.apache.spark.sql.Column): DataFrame =
+    tokens(df, text, id).groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Inverted index: one row per term with document frequency, total
+    * term frequency, and the postings list serialized as
+    * `"doc:tf,doc:tf,…"` ordered by doc id. The serialized form is the
+    * portable/auditable shape; at scale the natural layout is the
+    * un-serialized (term, doc_id, tf) frame written bucketed by term —
+    * `collect_list` per term is bounded by that term's df, which for a
+    * stopword-like term is corpus-sized: shard hot terms by
+    * `(term, doc_id % nShards)` first if the serialized form is really
+    * needed at 100 TB.
+    */
+  def invertedIndex(df: DataFrame, text: org.apache.spark.sql.Column,
+                    id: org.apache.spark.sql.Column): DataFrame =
+    termFrequencies(df, text, id)
+      .groupBy(col("term"))
+      .agg(
+        count(lit(1)).as("df"),
+        sum(col("tf")).as("total_tf"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("doc_id"), col("tf")))),
+            s => concat(s.getField("doc_id").cast("string"), lit(":"),
+              s.getField("tf").cast("string"))),
+          ",").as("postings"))
+
+  /** BM25 top-k per query (k1 = 1.2, b = 0.75, Lucene idf
+    * `ln((N+1)/(df+0.5))`).
+    *
+    * The tf-saturation factor `tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`
+    * is evaluated as the exact integer rational
+    * `22·tf·L / (10·tf·L + 3·L + 9·dl·N)` (avgdl = L/N multiplied
+    * through; k1 = 6/5, b = 3/4) — one double division, correctly
+    * rounded, identical in any IEEE engine. BIGINT bound: the largest
+    * intermediate is ~10·tf·L; at a 10^13-token corpus move these three
+    * products to DECIMAL(38,0) (same plan shape).
+    *
+    * `queries` is a literal (query_id, terms) set — broadcast, never
+    * shuffled, and semi-joined into the token stream BEFORE the tf
+    * aggregation, so every shuffle in the plan carries only query-term
+    * postings (a corpus-wide stopword in the query is the worst case,
+    * bounded by that term's df). Repeated query terms score once
+    * (standard bag-of-words BM25 collapses duplicates via the tf join).
+    */
+  def bm25TopK(df: DataFrame, text: org.apache.spark.sql.Column,
+               id: org.apache.spark.sql.Column,
+               queries: Seq[(Int, Seq[String])], k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val q = queries.flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    val qterms = queries.flatMap(_._2).distinct.toDF("term")
+
+    // Query-term postings only: the broadcast semi-join prunes the
+    // exploded token stream in the scan stage, before any shuffle.
+    val tf = tokens(df, text, id)
+      .join(broadcast(qterms), Seq("term"), "left_semi")
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+
+    val dl = tokens(df, text, id).groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dl"))
+    val g = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
+
+    val idf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(g))
+      .select(col("term"),
+        round(log((col("n_docs").cast("double") + 1.0) /
+          (col("df").cast("double") + 0.5)), 6)
+          .cast("decimal(18,6)").as("idf6"))
+
+    val num = (lit(22L) * col("tf") * col("total_len")).cast("double")
+    val den = (lit(10L) * col("tf") * col("total_len") +
+      lit(3L) * col("total_len") + lit(9L) * col("dl") * col("n_docs"))
+      .cast("double")
+    val scored = tf
+      .join(broadcast(q), Seq("term"))
+      .join(broadcast(idf), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(g))
+      .select(col("query_id"), col("doc_id"),
+        round(col("idf6").cast("double") * (num / den), 6)
+          .cast("decimal(18,6)").as("s6"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("s6")).as("score6"))
+
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score6").desc, col("doc_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("score6").cast("double").as("score"))
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import graft.text.Retrieval
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class RetrievalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "cat dog cat"),
+    (2L, "dog fish"),
+    (3L, "cat cat cat cat"),
+    (4L, "bird")).toDF("doc_id", "text")
+
+  test("invertedIndex: df/total_tf/postings hand-check") {
+    val idx = Retrieval.invertedIndex(corpus, col("text"), col("doc_id"))
+      .orderBy("term")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(idx === Seq(
+      ("bird", 1L, 1L, "4:1"),
+      ("cat", 2L, 6L, "1:2,3:4"),
+      ("dog", 2L, 2L, "1:1,2:1"),
+      ("fish", 1L, 1L, "2:1")))
+  }
+
+  test("bm25TopK: ranking favors rarer terms and saturating tf; ties break on doc_id") {
+    // Query "cat dog": doc 1 matches both terms, docs 2 and 3 one each.
+    val top = Retrieval.bm25TopK(corpus, col("text"), col("doc_id"),
+        Seq(7 -> Seq("cat", "dog")), k = 10)
+      .orderBy("rank").collect()
+    assert(top.map(_.getLong(2)).take(1) === Array(1L)) // both-term doc first
+    assert(top.map(_.getLong(2)).toSet === Set(1L, 2L, 3L)) // bird never matches
+    assert(top.map(_.getLong(1)).toSeq === (1L to top.length.toLong))
+    // Scores strictly ordered (desc) with doc_id tiebreak.
+    val scores = top.map(_.getDouble(3)).toSeq
+    assert(scores === scores.sorted.reverse)
+    // tf saturation: doc 3 has 4x the cat tf of doc 1's 2 but scores
+    // less than 2x doc 1's cat-only contribution would suggest — and in
+    // particular cannot overtake the two-term doc.
+    assert(top.head.getDouble(3) > top(1).getDouble(3))
+  }
+
+  test("bm25TopK: duplicate query terms collapse (bag-of-words contract)") {
+    val once = Retrieval.bm25TopK(corpus, col("text"), col("doc_id"),
+      Seq(0 -> Seq("cat")), k = 10).select("doc_id", "score").collect()
+    val twice = Retrieval.bm25TopK(corpus, col("text"), col("doc_id"),
+      Seq(0 -> Seq("cat", "cat")), k = 10).select("doc_id", "score").collect()
+    assert(once.map(r => (r.getLong(0), r.getDouble(1))).toSet ===
+      twice.map(r => (r.getLong(0), r.getDouble(1))).toSet)
+  }
+
+  test("bm25TopK plan: rank filter becomes WindowGroupLimit; query frames broadcast") {
+    val plan = Retrieval.bm25TopK(corpus, col("text"), col("doc_id"),
+        Seq(0 -> Seq("cat", "dog")), k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected per-partition top-k pushdown, got:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast query-term join, got:\n$plan")
+  }
+}
