@@ -610,6 +610,64 @@ object DocQueries {
         .orderBy(col("query_id"))
     },
 
+    // Product-quantization encode (the codebook companion to sim6's
+    // scalar int8 path): m=4 subspaces x ks=8 seed centroids, nearest
+    // centroid per subspace by squared L2 (ties to the smallest index).
+    // Codes are exact integers; the quantization error is gated in
+    // floor-scaled micro units on bit-identical doubles (the shared
+    // ((|x|^2 - 2xc) + |c|^2) op sequence both engines evaluate).
+    QDef("sim9_pq_encode",
+      s"""WITH j4 AS (SELECT range AS j FROM range(4)),
+         |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding
+         |          FROM embeddings WHERE vec_id < 8),
+         |cent AS (SELECT c, j, embedding[(j*16+1):((j+1)*16)] AS cv FROM seeds CROSS JOIN j4),
+         |sub AS (SELECT e.vec_id, e.label, j4.j, e.embedding[(j4.j*16+1):((j4.j+1)*16)] AS xv
+         |        FROM embeddings e CROSS JOIN j4),
+         |cand AS (SELECT sub.vec_id, sub.label, sub.j, cent.c,
+         |  ((${duckDot("xv", "xv")} - 2.0 * ${duckDot("xv", "cv")})
+         |   + ${duckDot("cv", "cv")}) AS d
+         |  FROM sub JOIN cent ON sub.j = cent.j),
+         |best AS (SELECT vec_id, label, j, c, d,
+         |  row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn FROM cand)
+         |SELECT vec_id, label, string_agg(c, ',' ORDER BY j) AS codes,
+         |  CAST(sum(CAST(floor(d * 1000000.0) AS BIGINT)) AS BIGINT) AS qerr_micro
+         |FROM best WHERE rn = 1 GROUP BY vec_id, label ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      Similarity.pqEncode(Tables.embeddings(s, dir))
+        .orderBy(col("vec_id"))
+    },
+
+    // ADC serving over the sim9 codes: the un-quantized query's distance
+    // to every (subspace, centroid) pair is floor-scaled once into an
+    // integer table; a corpus vector's approximate distance is the exact
+    // integer sum of its m table entries. One scan-fused projection +
+    // TakeOrderedAndProject — the compressed-domain KNN path.
+    QDef("sim10_pq_adc_knn",
+      s"""WITH j4 AS (SELECT range AS j FROM range(4)),
+         |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding
+         |          FROM embeddings WHERE vec_id < 8),
+         |cent AS (SELECT c, j, embedding[(j*16+1):((j+1)*16)] AS cv FROM seeds CROSS JOIN j4),
+         |q AS (SELECT j, embedding[(j*16+1):((j+1)*16)] AS qj
+         |      FROM embeddings CROSS JOIN j4 WHERE vec_id = 0),
+         |tab AS (SELECT cent.j, cent.c,
+         |  CAST(floor(((${duckDot("qj", "qj")} - 2.0 * ${duckDot("qj", "cv")})
+         |    + ${duckDot("cv", "cv")}) * 1000000.0) AS BIGINT) AS dm
+         |  FROM cent JOIN q ON cent.j = q.j),
+         |sub AS (SELECT e.vec_id, e.label, j4.j, e.embedding[(j4.j*16+1):((j4.j+1)*16)] AS xv
+         |        FROM embeddings e CROSS JOIN j4 WHERE e.vec_id <> 0),
+         |cand AS (SELECT sub.vec_id, sub.label, sub.j, cent.c,
+         |  ((${duckDot("xv", "xv")} - 2.0 * ${duckDot("xv", "cv")})
+         |   + ${duckDot("cv", "cv")}) AS d
+         |  FROM sub JOIN cent ON sub.j = cent.j),
+         |best AS (SELECT vec_id, label, j, c,
+         |  row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn FROM cand),
+         |adc AS (SELECT b.vec_id, b.label, CAST(sum(t.dm) AS BIGINT) AS adc_micro
+         |  FROM best b JOIN tab t ON b.j = t.j AND b.c = t.c
+         |  WHERE b.rn = 1 GROUP BY b.vec_id, b.label)
+         |SELECT vec_id, label, adc_micro FROM adc
+         |ORDER BY adc_micro, vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+      Similarity.pqAdcKnn(Tables.embeddings(s, dir), queryVecId = 0L, k = 10)
+    },
+
     // Metadata-filtered KNN: embeddings joined to the documents table on
     // id, corpus pre-filtered by a text-side predicate (lang), then cosine
     // top-k — the hybrid text+vector retrieval shape.

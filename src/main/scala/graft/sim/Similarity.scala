@@ -373,4 +373,108 @@ object Similarity {
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
   }
+
+  // ---------------------------------------------------------------- PQ --
+
+  /** Seed subvector codebooks for product quantization: the ks vectors
+    * with `vec_id < ks`, sliced into m contiguous subspaces. A bounded
+    * collect (ks rows — the sim3 seed-sample precedent); Lloyd
+    * refinement per subspace is the [[ivfAnn]] iteration applied to the
+    * sliced frame and plugs into the same encode/serve path.
+    * Returns `codebook(j)(c) = centroid c of subspace j`.
+    */
+  private[graft] def pqSeedCodebooks(emb: DataFrame, m: Int, subDim: Int,
+                                     ks: Int): Array[Array[Array[Float]]] = {
+    val seeds = emb.where(col("vec_id") < ks)
+      .orderBy(col("vec_id"))
+      .select(col("embedding"))
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+    Array.tabulate(m)(j => seeds.map(_.slice(j * subDim, (j + 1) * subDim)))
+  }
+
+  // Strict left-to-right double fold — bit-identical to graft_dot and the
+  // oracle's list_sum, so driver-side ADC tables match in-plan distances.
+  private def dotD(x: Array[Float], y: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) { s += x(i).toDouble * y(i).toDouble; i += 1 }
+    s
+  }
+
+  // ((|x|² − 2·x·c) + |c|²) — the shared squared-distance formulation;
+  // both engines evaluate exactly this double-op sequence.
+  private def sqDist(x: Array[Float], c: Array[Float]): Double =
+    (dotD(x, x) - 2.0 * dotD(x, c)) + dotD(c, c)
+
+  /** Product-quantization encode: split each embedding into m contiguous
+    * subDim-length subspaces; per subspace store the index of the nearest
+    * seed centroid (squared L2, ties to the smallest index). Output per
+    * vector: the m-byte code word (serialized `"c,…,c"`) plus the exact
+    * total quantization error in integer micro-units
+    * (Σ_j floor(min_dist_j · 10⁶) — floor-scaling on bit-identical
+    * doubles, the knife-edge-free gate discipline).
+    *
+    * Scale shape: the codebook is m·ks·subDim floats embedded as
+    * literals, so encoding is ONE scan-fused codegen'd projection — no
+    * shuffle, no join, nothing driver-side per row; m·ks native dot
+    * products per vector. This is the memory-bound layout prep a 100 TB
+    * vector store runs once per corpus.
+    */
+  def pqEncode(emb: DataFrame, m: Int = 4, subDim: Int = 16,
+               ks: Int = 8): DataFrame = {
+    val cb = pqSeedCodebooks(emb, m, subDim, ks)
+    val bests = (0 until m).map { j =>
+      val xj = slice(col("embedding"), j * subDim + 1, subDim)
+      val cands = cb(j).indices.map { c =>
+        val cv = typedlit(cb(j)(c).toSeq)
+        val d = (Fns.dot(xj, xj) - lit(2.0) * Fns.dot(xj, cv)) +
+          Fns.dot(cv, cv)
+        struct(d.as("d"), lit(c).as("c"))
+      }
+      array_min(array(cands: _*))
+    }
+    emb.select(col("vec_id"), col("label"),
+      concat_ws(",", bests.map(_.getField("c").cast("string")): _*).as("codes"),
+      bests.map(b => floor(b.getField("d") * lit(1000000.0)).cast("long"))
+        .reduce(_ + _).as("qerr_micro"))
+  }
+
+  /** Asymmetric-distance (ADC) KNN over the PQ codes: the query stays
+    * un-quantized; its squared distance to each centroid of each subspace
+    * is precomputed (m·ks doubles, floor-scaled to exact micro ints), and
+    * a corpus vector's approximate distance is the integer sum of its m
+    * table entries — all knife-edge-free arithmetic. Same serving plan as
+    * [[bruteForceKnn]]: encode and lookup fuse into one scan projection,
+    * top-k via TakeOrderedAndProject; no shuffle touches the corpus.
+    */
+  def pqAdcKnn(emb: DataFrame, queryVecId: Long, m: Int = 4, subDim: Int = 16,
+               ks: Int = 8, k: Int = 10): DataFrame = {
+    val cb = pqSeedCodebooks(emb, m, subDim, ks)
+    val qv = emb.where(col("vec_id") === queryVecId)
+      .select(col("embedding")).collect()(0).getSeq[Float](0).toArray
+    // adcTable(j)(c) = floor(sqDist(q_j, cb(j)(c)) · 10⁶) — exact ints
+    val adcTable: Seq[Seq[Long]] = (0 until m).map { j =>
+      val qj = qv.slice(j * subDim, (j + 1) * subDim)
+      cb(j).toSeq.map(c => math.floor(sqDist(qj, c) * 1000000.0).toLong)
+    }
+    val bests = (0 until m).map { j =>
+      val xj = slice(col("embedding"), j * subDim + 1, subDim)
+      val cands = cb(j).indices.map { c =>
+        val cv = typedlit(cb(j)(c).toSeq)
+        val d = (Fns.dot(xj, xj) - lit(2.0) * Fns.dot(xj, cv)) +
+          Fns.dot(cv, cv)
+        struct(d.as("d"), lit(c).as("c"))
+      }
+      array_min(array(cands: _*)).getField("c")
+    }
+    val adc = (0 until m).map { j =>
+      element_at(typedlit(adcTable(j)), bests(j) + 1)
+    }.reduce(_ + _)
+    emb.where(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"), col("label"), adc.as("adc_micro"))
+      .orderBy(col("adc_micro").asc, col("vec_id"))
+      .limit(k)
+  }
 }

@@ -80,6 +80,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert((exact & quant).size >= 8, s"recall ${(exact & quant).size}/10")
   }
 
+  test("pqEncode: seed vectors self-encode with zero error; codes well-formed") {
+    val enc = Similarity.pqEncode(emb, m = 4, subDim = 2, ks = 8)
+      .orderBy("vec_id").collect()
+    assert(enc.length == 60)
+    enc.take(8).zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[String]("codes") == s"$i,$i,$i,$i",
+        s"seed $i should pick its own centroid in every subspace")
+      assert(r.getAs[Long]("qerr_micro") == 0L)
+    }
+    enc.foreach { r =>
+      val cs = r.getAs[String]("codes").split(",").map(_.toInt)
+      assert(cs.length == 4 && cs.forall(c => c >= 0 && c < 8))
+    }
+  }
+
+  test("pqAdcKnn: compressed-domain top-k stays inside the query's cluster") {
+    val top = Similarity.pqAdcKnn(emb, queryVecId = 0L,
+      m = 4, subDim = 2, ks = 8, k = 10).collect()
+    assert(top.length == 10)
+    val adc = top.map(_.getAs[Long]("adc_micro"))
+    assert(adc.zip(adc.tail).forall { case (a, b) => a <= b })
+    // 3 tight clusters with seed centroids from each: every top-10 ADC
+    // neighbor of the cluster-0 query is cluster 0
+    assert(top.forall(_.getAs[Int]("label") == 0))
+  }
+
+  test("pqEncode plan: scan-fused projection, no shuffle") {
+    val plan = Similarity.pqEncode(emb, m = 4, subDim = 2, ks = 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"encode must not shuffle:\n$plan")
+  }
+
   test("langId predicts the dominant stopword language") {
     val docs = Seq(
       (1L, "the cat and the dog of the house"),
