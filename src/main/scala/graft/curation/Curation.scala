@@ -588,4 +588,64 @@ object Curation {
       .select(col("doc_id"), col("source"), col("lang_pred"),
         col("n_tokens"), col("stopword_ratio"))
   }
+
+  /** Epoch plan for a weighted multi-source mix: given target mix weights
+    * (per-mille, the published-recipe shape: "web 60%, code 25%, …") and
+    * a total token budget, compute per source how many epochs (full
+    * repeats) its corpus contributes and the resulting effective tokens —
+    * the standard upsample-small-sources knob, capped at `maxEpochs`
+    * repeats so a tiny source can't loop hundreds of times. A source
+    * missing from `weightsPermille` gets weight 0 (reported, not
+    * silently dropped — the audit row shows its tokens going unused).
+    *
+    * All-integer arithmetic: `target = floor(budget·w/1000)`,
+    * `epochs = min(maxEpochs, ceil(target/n))`,
+    * `effective = min(target, epochs·n)` — engine-exact, no rounding
+    * knife-edges. One aggregation shuffle on the key; the weight map is
+    * a broadcast literal.
+    */
+  def epochMix(df: DataFrame, key: Column, nTokens: Column,
+               weightsPermille: Seq[(String, Long)], budget: Long,
+               maxEpochs: Long = 4L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = weightsPermille.toDF("key", "weight_permille")
+    df.groupBy(key.as("key")).agg(sum(nTokens).as("n_tokens"))
+      .join(broadcast(w), Seq("key"), "left")
+      .select(col("key"), col("n_tokens"),
+        coalesce(col("weight_permille"), lit(0L)).as("weight_permille"))
+      .withColumn("target_tokens",
+        expr(s"(${budget}L * weight_permille) div 1000"))
+      .withColumn("epochs",
+        least(lit(maxEpochs),
+          expr("(target_tokens + n_tokens - 1) div n_tokens")))
+      .withColumn("effective_tokens",
+        least(col("target_tokens"), col("epochs") * col("n_tokens")))
+      .withColumn("shortfall_tokens",
+        col("target_tokens") - col("effective_tokens"))
+  }
+
+  /** Deterministic shard manifest — the "write the training data" audit:
+    * every document lands in `shard = rollingHash(text) mod nShards`
+    * (portable content hash, so re-runs, re-partitionings, and other
+    * engines produce the SAME shard membership), and the manifest reports
+    * per shard the document count, token count, and an order-independent
+    * content checksum (sum of per-doc hashes mod 1e9+7, bounded so the
+    * BIGINT sum can't overflow at any corpus size). Equal-width hash
+    * sharding is what makes the 100 TB writer embarrassingly parallel
+    * AND resumable: a failed shard re-derives exactly its own documents.
+    * One aggregation shuffle on the shard key.
+    */
+  def shardManifest(df: DataFrame, text: Column, id: Column,
+                    nShards: Int): DataFrame = {
+    val h = graft.fns.Fns.rollingHash(text)
+    df.select(id.as("doc_id"),
+        pmod(h, lit(nShards.toLong)).as("shard"),
+        TextAnalysis.nTokensCol(text).as("n_tokens"),
+        pmod(h, lit(1000000007L)).as("__hm"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("__hm")).as("checksum"))
+  }
 }

@@ -1665,6 +1665,54 @@ object DocQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Epoch plan for a weighted multi-source mix: per-mille target
+    // weights + a token budget -> per-source epochs / effective tokens /
+    // shortfall, upsampling capped at 4 epochs. All-integer arithmetic
+    // (div-based ceil), unweighted sources audited at weight 0.
+    QDef("c14_epoch_mix",
+      """WITH t AS (SELECT source AS key,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |w AS (SELECT * FROM (VALUES ('src0', 300), ('src1', 200), ('src2', 100),
+        |  ('src3', 50)) v(key, wp)),
+        |m AS (SELECT t.key, t.n_tokens,
+        |  CAST(coalesce(w.wp, 0) AS BIGINT) AS weight_permille
+        |  FROM t LEFT JOIN w ON t.key = w.key),
+        |p AS (SELECT key, n_tokens, weight_permille,
+        |  CAST((20000 * weight_permille) // 1000 AS BIGINT) AS target_tokens FROM m),
+        |e AS (SELECT *, least(CAST(4 AS BIGINT),
+        |  CAST((target_tokens + n_tokens - 1) // n_tokens AS BIGINT)) AS epochs FROM p)
+        |SELECT key, n_tokens, weight_permille, target_tokens, epochs,
+        |  least(target_tokens, epochs * n_tokens) AS effective_tokens,
+        |  target_tokens - least(target_tokens, epochs * n_tokens) AS shortfall_tokens
+        |FROM e ORDER BY key""".stripMargin) { (s, dir) =>
+      graft.curation.Curation.epochMix(Tables.documents(s, dir),
+          col("source"), TextAnalysis.nTokensCol(col("text")),
+          Seq("src0" -> 300L, "src1" -> 200L, "src2" -> 100L, "src3" -> 50L),
+          budget = 20000L, maxEpochs = 4L)
+        .orderBy(col("key"))
+    },
+
+    // Deterministic shard manifest: content-hash shard assignment plus
+    // per-shard doc/token counts and an order-independent checksum —
+    // the resumable-writer audit (a failed shard re-derives exactly its
+    // own documents from the hash).
+    QDef("c15_shard_manifest",
+      """WITH h AS (SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    [CAST(ascii(c) AS BIGINT) FOR c IN string_split(text, '')]),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS hh,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT hh % 8 AS shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(sum(hh % 1000000007) AS BIGINT) AS checksum
+        |FROM h GROUP BY hh % 8 ORDER BY shard""".stripMargin) { (s, dir) =>
+      graft.curation.Curation.shardManifest(Tables.documents(s, dir),
+          col("text"), col("doc_id"), nShards = 8)
+        .orderBy(col("shard"))
+    },
+
     // Inverted index over the corpus: term -> (df, total_tf, postings).
     // Pure integer/string output — fully engine-portable; the serialized
     // postings string doubles as an order-sensitive checksum of the

@@ -309,4 +309,38 @@ class CurationSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(ids1 == ids2)
   }
+
+  test("epochMix: integer epoch plan, cap binds, unweighted source audited at 0") {
+    val df = Seq(
+      ("web", 100L), ("web", 100L),   // 200 tokens
+      ("code", 50L),                  // 50 tokens
+      ("misc", 10L)                   // unweighted
+    ).toDF("src", "n")
+    val plan = Curation.epochMix(df, col("src"), col("n"),
+        Seq("web" -> 500L, "code" -> 500L), budget = 1000L, maxEpochs = 4L)
+      .orderBy("key").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    // code: target 500, n=50 -> ceil=10 capped at 4 -> effective 200, short 300
+    // misc: weight 0 -> target 0, epochs 0, effective 0
+    // web: target 500, n=200 -> ceil(2.5)=3 -> effective min(500,600)=500
+    assert(plan === Seq(
+      ("code", 50L, 500L, 500L, 4L, 200L, 300L),
+      ("misc", 10L, 0L, 0L, 0L, 0L, 0L),
+      ("web", 200L, 500L, 500L, 3L, 500L, 0L)))
+  }
+
+  test("shardManifest: partition of the corpus, stable counts and checksums") {
+    val df = Seq((1L, "a b c"), (2L, "d e"), (3L, "f"), (4L, "a b c d e f g"))
+      .toDF("doc_id", "text")
+    val m = Curation.shardManifest(df, col("text"), col("doc_id"), nShards = 4)
+      .collect()
+    assert(m.map(_.getAs[Long]("n_docs")).sum == 4L)
+    assert(m.map(_.getAs[Long]("n_tokens")).sum == 13L)
+    assert(m.forall(r => r.getAs[Long]("shard") >= 0 && r.getAs[Long]("shard") < 4))
+    // deterministic: identical manifest on a re-run
+    val m2 = Curation.shardManifest(df, col("text"), col("doc_id"), nShards = 4)
+      .collect()
+    assert(m.map(_.toSeq).toSet == m2.map(_.toSeq).toSet)
+  }
 }
