@@ -649,6 +649,34 @@ object EventQueries {
       e.join(counts, Seq("user_id"), "inner")
         .select(col("event_id"), col("user_id"), col("n_user_events"))
         .orderBy(col("event_id")).limit(1000)
+    },
+
+    // As-of join: every click carries the latest preceding view of the
+    // same user (backward-inclusive). Oracle is DuckDB's NATIVE ASOF
+    // JOIN — the Spark side must reproduce the dedicated operator's
+    // semantics from the union+window plan. The right side is
+    // pre-aggregated per (user, ts) so timestamp ties can't make the
+    // carried payload order-dependent (the operator's documented
+    // determinism contract).
+    QDef("j9_asof_join",
+      s"""$E, l AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'click'),
+         |r2 AS (SELECT user_id, ts, max(event_id) AS r_event, max(value) AS r_value
+         |       FROM e WHERE event_type = 'view' GROUP BY user_id, ts)
+         |SELECT l.event_id, l.user_id, l.ts, r2.ts AS asof_ts,
+         |  r2.r_event AS asof_r_event, r2.r_value AS asof_r_value
+         |FROM l ASOF LEFT JOIN r2
+         |  ON l.user_id = r2.user_id AND l.ts >= r2.ts
+         |ORDER BY l.event_id""".stripMargin) { (s, dir) =>
+      val e = ev(s, dir)
+      val l = e.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val r2 = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("r_event"),
+          max(col("value")).as("r_value"))
+      graft.ops.AsOf.asOfJoin(l, r2, "user_id", "ts", "ts",
+          Seq("r_event", "r_value"))
+        .orderBy(col("event_id"))
     }
   )
 }
