@@ -651,6 +651,47 @@ object EventQueries {
         .orderBy(col("event_id")).limit(1000)
     },
 
+    // Hierarchical ROLLUP totals (type, hour) -> type subtotals -> grand
+    // total, with an explicit grouping-level id so aggregate rows are
+    // unambiguous even if a grouping column could be NULL in the data.
+    // NULLS FIRST pinned on both engines (Spark's ASC default).
+    QDef("a21_rollup_totals",
+      s"""$E SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+         |  CAST(grouping(event_type) * 2 + grouping(hour(ts)) AS BIGINT) AS gid,
+         |  count(*) AS n
+         |FROM e GROUP BY ROLLUP(event_type, hour(ts))
+         |ORDER BY event_type NULLS FIRST, hr NULLS FIRST""".stripMargin) { (s, dir) =>
+      ev(s, dir)
+        .withColumn("hr", hour(col("ts")))
+        .rollup(col("event_type"), col("hr"))
+        .agg((grouping(col("event_type")) * 2 +
+          grouping(col("hr"))).cast("long").as("gid"),
+          count(lit(1)).as("n"))
+        .select(col("event_type"), col("hr").cast("long").as("hr"),
+          col("gid"), col("n"))
+        .orderBy(col("event_type").asc_nulls_first, col("hr").asc_nulls_first)
+    },
+
+    // PIVOT: hour x event_type count matrix with an explicit (stable)
+    // column list — the dashboard-facing wide shape. Missing cells are
+    // 0, not NULL, so the frame is directly chartable.
+    QDef("a22_pivot_matrix",
+      s"""$E SELECT CAST(hour(ts) AS BIGINT) AS hr,
+         |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+         |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+         |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+         |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+         |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+         |FROM e GROUP BY hr ORDER BY hr""".stripMargin) { (s, dir) =>
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val wide = ev(s, dir)
+        .groupBy(hour(col("ts")).cast("long").as("hr"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      wide.select(col("hr") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+        .orderBy(col("hr"))
+    },
+
     // As-of join: every click carries the latest preceding view of the
     // same user (backward-inclusive). Oracle is DuckDB's NATIVE ASOF
     // JOIN — the Spark side must reproduce the dedicated operator's
