@@ -135,6 +135,50 @@ object ScaleProbe {
       Dedup.containmentPairs(big, col("text"), col("doc_id"),
         blockCol = "source", rarestGram = true).count()
     }
+    t(s"t12 inverted index ${mult}x") {
+      graft.text.Retrieval.invertedIndex(big, col("text"), col("doc_id"))
+        .count()
+    }
+    t(s"t13 bm25 topk ${mult}x") {
+      graft.text.Retrieval.bm25TopK(big, col("text"), col("doc_id"),
+        Seq(0 -> Seq("hash", "join"), 1 -> Seq("window", "agg", "stream"),
+          2 -> Seq("vector", "scan")), k = 10).count()
+    }
+    t(s"c14 epoch mix ${mult}x") {
+      Curation.epochMix(big, col("source"),
+        graft.text.TextAnalysis.nTokensCol(col("text")),
+        Seq("src0" -> 300L, "src1" -> 200L), budget = 20000L).count()
+    }
+    t(s"c15 shard manifest ${mult}x") {
+      Curation.shardManifest(big, col("text"), col("doc_id"), nShards = 64)
+        .count()
+    }
+    t(s"sim9 pq encode ${mult}x") {
+      val emb = Tables.embeddings(spark, dir)
+      val bigEmb = (0 until mult).map { r =>
+        emb.select((col("vec_id") + lit(r.toLong * 10000000L)).as("vec_id"),
+          col("embedding"), col("label"))
+      }.reduce(_ unionByName _)
+      graft.sim.Similarity.pqEncode(bigEmb).count()
+    }
+    t(s"sim10 pq adc knn ${mult}x") {
+      val emb = Tables.embeddings(spark, dir)
+      val bigEmb = (0 until mult).map { r =>
+        emb.select((col("vec_id") + lit(r.toLong * 10000000L)).as("vec_id"),
+          col("embedding"), col("label"))
+      }.reduce(_ unionByName _)
+      graft.sim.Similarity.pqAdcKnn(bigEmb, queryVecId = 0L, k = 10).count()
+    }
+    t(s"j9 asof join events") {
+      val e = Tables.events(spark, dir)
+      val l = e.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val r = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("r_event"))
+      graft.ops.AsOf.asOfJoin(l, r, "user_id", "ts", "ts", Seq("r_event"))
+        .count()
+    }
     spark.stop()
   }
 }
