@@ -131,4 +131,77 @@ object Retrieval {
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("doc_id"), col("score6").cast("double").as("score"))
   }
+
+  /** Frozen BM25 corpus statistics (the static "model" half): the
+    * 6-decimal idf per query term plus (n_docs, total_len). Bounded by
+    * the query vocabulary — collect and embed as literals.
+    */
+  final case class Bm25Stats(idf6: Map[String, java.math.BigDecimal],
+                             nDocs: Long, totalLen: Long)
+
+  /** Compute [[Bm25Stats]] from a corpus — same arithmetic as
+    * [[bm25TopK]]'s in-plan idf, so scores against the frozen stats are
+    * bit-identical to the joined form.
+    */
+  def bm25CorpusStats(df: DataFrame, text: org.apache.spark.sql.Column,
+                      id: org.apache.spark.sql.Column,
+                      queries: Seq[(Int, Seq[String])]): Bm25Stats = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qterms = queries.flatMap(_._2).distinct.toDF("term")
+    val dl = tokens(df, text, id).groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dl"))
+    val Array(nDocs, totalLen) = dl
+      .agg(count(lit(1)).cast("long"), sum(col("dl")).cast("long"))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+    val idf = tokens(df, text, id)
+      .join(broadcast(qterms), Seq("term"), "left_semi")
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .select(col("term"),
+        round(log((lit(nDocs).cast("double") + 1.0) /
+          (col("df").cast("double") + 0.5)), 6)
+          .cast("decimal(18,6)").as("idf6"))
+      .collect()
+      .map(r => r.getString(0) -> r.getDecimal(1)).toMap
+    Bm25Stats(idf, nDocs, totalLen)
+  }
+
+  /** Serve-time BM25 scoring against frozen [[Bm25Stats]] — one wide
+    * score column per query, computed in a single PROJECTION: per-term
+    * tf via the native codegen'd set-membership count, the same
+    * integer-rational saturation and DECIMAL-summed per-term scores as
+    * [[bm25TopK]]. No join, no aggregation, no shuffle — so it runs
+    * unchanged on a STREAMING frame in append mode ("freeze the corpus
+    * stats, score documents as they arrive"), proven batch≡stream
+    * bit-exact in StreamingSpec. Query terms unseen in the stats corpus
+    * contribute nothing (the same contract as [[bm25TopK]], where an
+    * absent term has no postings to join).
+    */
+  def bm25ScoreWithStats(docs: DataFrame, text: org.apache.spark.sql.Column,
+                         id: org.apache.spark.sql.Column,
+                         queries: Seq[(Int, Seq[String])],
+                         stats: Bm25Stats): DataFrame = {
+    import graft.expr.TextStatsExpressions
+    val t = split(text, " ")
+    val dl = size(t).cast("long")
+    val zero = lit(java.math.BigDecimal.ZERO).cast("decimal(18,6)")
+    val scoreCols = queries.map { case (qid, ts) =>
+      val terms = ts.distinct.filter(stats.idf6.contains)
+      val termScores = terms.map { term =>
+        val tf = TextStatsExpressions.countInSet(t, Seq(term)).cast("long")
+        val num = (lit(22L) * tf * lit(stats.totalLen)).cast("double")
+        val den = (lit(10L) * tf * lit(stats.totalLen) +
+          lit(3L) * lit(stats.totalLen) + lit(9L) * dl * lit(stats.nDocs))
+          .cast("double")
+        val idf = lit(stats.idf6(term)).cast("decimal(18,6)").cast("double")
+        when(tf > 0, round(idf * (num / den), 6).cast("decimal(18,6)"))
+          .otherwise(zero)
+      }
+      val total =
+        if (termScores.isEmpty) zero else termScores.reduce(_ + _)
+      total.cast("decimal(18,6)").cast("double").as(s"score_q$qid")
+    }
+    docs.select((id.as("doc_id") +: scoreCols): _*)
+  }
 }

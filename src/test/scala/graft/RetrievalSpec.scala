@@ -52,6 +52,26 @@ class RetrievalSpec extends AnyFunSuite {
       twice.map(r => (r.getLong(0), r.getDouble(1))).toSet)
   }
 
+  test("bm25ScoreWithStats reproduces bm25TopK scores bit-exactly from frozen stats") {
+    import graft.text.Retrieval
+    val queries = Seq(7 -> Seq("cat", "dog"), 8 -> Seq("fish", "unseen_term"))
+    val stats = Retrieval.bm25CorpusStats(corpus, col("text"), col("doc_id"), queries)
+    assert(stats.nDocs == 4L && stats.totalLen == 10L)
+    assert(!stats.idf6.contains("unseen_term")) // absent term: no idf row
+    val scored = Retrieval.bm25ScoreWithStats(corpus, col("text"), col("doc_id"),
+        queries, stats)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val topk = Retrieval.bm25TopK(corpus, col("text"), col("doc_id"), queries, k = 10)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    topk.foreach { case ((qid, doc), s) =>
+      val (s7, s8) = scored(doc)
+      assert((if (qid == 7) s7 else s8) == s, s"q$qid doc$doc")
+    }
+    // docs matching no query term score exactly 0 in the projection form
+    assert(scored(4L)._1 == 0.0 && scored(4L)._2 == 0.0)
+  }
+
   test("bm25TopK plan: rank filter becomes WindowGroupLimit; query frames broadcast") {
     val plan = Retrieval.bm25TopK(corpus, col("text"), col("doc_id"),
         Seq(0 -> Seq("cat", "dog")), k = 3)

@@ -239,4 +239,33 @@ class StreamingSpec extends AnyFunSuite {
       assert(captured("wide").toSeq == Seq("id", "value"))
     } finally q.stop()
   }
+
+  test("bm25 scoring streams against frozen corpus stats, batch-identical") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.text.Retrieval
+    val corpus = Seq((1L, "cat dog cat"), (2L, "dog fish"), (3L, "cat cat"))
+      .toDF("doc_id", "text")
+    val queries = Seq(0 -> Seq("cat", "dog"))
+    val stats = Retrieval.bm25CorpusStats(corpus, col("text"), col("doc_id"), queries)
+    val in = MemoryStream[(Long, String)]
+    // projection-only scorer: append mode with NO watermark/aggregation
+    val q = Retrieval.bm25ScoreWithStats(
+        in.toDS().toDF("doc_id", "text"), col("text"), col("doc_id"),
+        queries, stats)
+      .writeStream.format("memory").queryName("bm25s").outputMode("append").start()
+    try {
+      val arriving = Seq((10L, "cat"), (11L, "dog dog cat"), (12L, "emu"))
+      in.addData(arriving: _*)
+      q.processAllAvailable()
+      val streamGot = spark.table("bm25s").orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val batchGot = Retrieval.bm25ScoreWithStats(
+          arriving.toDF("doc_id", "text"), col("text"), col("doc_id"),
+          queries, stats)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(streamGot == batchGot) // bit-exact stream/batch unification
+      assert(streamGot.last._2 == 0.0) // no-match doc scores exactly 0
+    } finally q.stop()
+  }
 }
