@@ -668,6 +668,61 @@ object DocQueries {
       Similarity.pqAdcKnn(Tables.embeddings(s, dir), queryVecId = 0L, k = 10)
     },
 
+    // Hybrid retrieval: BM25 top-20 (lexical) fused with cosine KNN
+    // top-20 (vector) by reciprocal-rank fusion. Fusion scores are EXACT
+    // integers (1e9 div (60 + rank) summed), so the combined ranking is
+    // knife-edge-free; the upstream ranks reuse t13's and sim1's already
+    // hash-gated total orders.
+    QDef("sim11_hybrid_rrf",
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tk GROUP BY doc_id),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_len FROM dl),
+        |tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tk WHERE term IN ('hash', 'join') GROUP BY term, doc_id),
+        |idf AS (SELECT term, CAST(round(ln((CAST(g.n_docs AS DOUBLE) + 1.0)
+        |          / (CAST(count(*) AS BIGINT) + 0.5)), 6) AS DECIMAL(18,6)) AS idf6
+        |        FROM tf, g GROUP BY term, g.n_docs),
+        |sc AS (SELECT tf.doc_id,
+        |  CAST(round(CAST(idf.idf6 AS DOUBLE)
+        |    * (CAST(22 * tf.tf * g.total_len AS DOUBLE)
+        |       / CAST(10 * tf.tf * g.total_len + 3 * g.total_len
+        |              + 9 * dl.dl * g.n_docs AS DOUBLE)), 6) AS DECIMAL(18,6)) AS s6
+        |  FROM tf JOIN idf ON tf.term = idf.term
+        |  JOIN dl ON tf.doc_id = dl.doc_id, g),
+        |agg AS (SELECT doc_id, sum(s6) AS score6 FROM sc GROUP BY doc_id),
+        |brk AS (SELECT doc_id, row_number() OVER (ORDER BY score6 DESC, doc_id) AS rank
+        |        FROM agg),
+        |b AS (SELECT doc_id AS id, CAST(rank AS BIGINT) AS rank FROM brk WHERE rank <= 20),
+        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |s AS (SELECT e.vec_id,
+        |  list_sum([CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE) FOR x IN list_zip(e.embedding, q.qv)]) /
+        |  (sqrt(list_sum([CAST(x[1] AS DOUBLE) * CAST(x[1] AS DOUBLE) FOR x IN list_zip(e.embedding, e.embedding)])) *
+        |   sqrt(list_sum([CAST(x[1] AS DOUBLE) * CAST(x[1] AS DOUBLE) FOR x IN list_zip(q.qv, q.qv)]))) AS cos
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+        |krk AS (SELECT vec_id, row_number() OVER (ORDER BY round(cos, 6) DESC, vec_id) AS rank
+        |        FROM s),
+        |v AS (SELECT vec_id AS id, CAST(rank AS BIGINT) AS rank FROM krk WHERE rank <= 20),
+        |f AS (SELECT coalesce(b.id, v.id) AS doc_id,
+        |  CAST(coalesce(1000000000 // (60 + b.rank), 0)
+        |     + coalesce(1000000000 // (60 + v.rank), 0) AS BIGINT) AS rrf_nano,
+        |  b.rank AS bm25_rank, v.rank AS knn_rank
+        |  FROM b FULL OUTER JOIN v ON b.id = v.id)
+        |SELECT doc_id, rrf_nano, bm25_rank, knn_rank FROM f
+        |ORDER BY rrf_nano DESC, doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val b = graft.text.Retrieval.bm25TopK(Tables.documents(s, dir),
+          col("text"), col("doc_id"), Seq(0 -> Seq("hash", "join")), k = 20)
+        .select(col("doc_id").as("id"), col("rank"))
+      val knn = Similarity.bruteForceKnn(Tables.embeddings(s, dir), 0L, 20)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("cosine").desc, col("vec_id"))))
+        .select(col("vec_id").as("id"), col("rank"))
+      graft.text.Retrieval.rrfFuse(Seq(b, knn))
+        .select(col("id").as("doc_id"), col("rrf_nano"),
+          col("rank_0").as("bm25_rank"), col("rank_1").as("knn_rank"))
+        .orderBy(col("rrf_nano").desc, col("doc_id"))
+    },
+
     // Metadata-filtered KNN: embeddings joined to the documents table on
     // id, corpus pre-filtered by a text-side predicate (lang), then cosine
     // top-k — the hybrid text+vector retrieval shape.

@@ -204,4 +204,28 @@ object Retrieval {
     }
     docs.select((id.as("doc_id") +: scoreCols): _*)
   }
+
+  /** Reciprocal-rank fusion of N ranked lists (the standard hybrid-search
+    * combiner: lexical BM25 + vector KNN, or any mix). Each input frame
+    * is `(id, rank)` with rank starting at 1; a document's fused score is
+    * `Σ_lists 1e9 div (k0 + rank)` — EXACT integer arithmetic (integer
+    * division of the scaled constant), so fusion is knife-edge-free on
+    * any engine. Documents missing from a list contribute 0 from it.
+    * The lists are top-k-bounded by construction, so the fusion join is
+    * tiny regardless of corpus size — scale lives in the upstream
+    * retrievers, not here.
+    */
+  def rrfFuse(lists: Seq[DataFrame], k0: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    val tagged = lists.zipWithIndex.map { case (l, i) =>
+      l.select(col("id"), col("rank").cast("long").as(s"rank_$i"))
+    }
+    val joined = tagged.reduce((a, b) => a.join(b, Seq("id"), "full_outer"))
+    val contribs = lists.indices.map { i =>
+      coalesce(expr(s"1000000000L div ($k0 + rank_$i)"), lit(0L))
+    }
+    joined.select(
+      (col("id") +: (contribs.reduce(_ + _).as("rrf_nano") +:
+        lists.indices.map(i => col(s"rank_$i")))): _*)
+  }
 }

@@ -72,6 +72,17 @@ class RetrievalSpec extends AnyFunSuite {
     assert(scored(4L)._1 == 0.0 && scored(4L)._2 == 0.0)
   }
 
+  test("rrfFuse: overlap sums both contributions, absence contributes zero") {
+    val l1 = Seq((10L, 1L), (20L, 2L)).toDF("id", "rank")
+    val l2 = Seq((20L, 1L), (30L, 2L)).toDF("id", "rank")
+    val fused = graft.text.Retrieval.rrfFuse(Seq(l1, l2))
+      .orderBy(col("rrf_nano").desc, col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val r1 = 1000000000L / 61; val r2 = 1000000000L / 62
+    // doc 20: rank 2 in l1 + rank 1 in l2 — the hybrid winner
+    assert(fused.toSeq == Seq((20L, r2 + r1), (10L, r1), (30L, r2)))
+  }
+
   test("bm25TopK plan: rank filter becomes WindowGroupLimit; query frames broadcast") {
     val plan = Retrieval.bm25TopK(corpus, col("text"), col("doc_id"),
         Seq(0 -> Seq("cat", "dog")), k = 3)
