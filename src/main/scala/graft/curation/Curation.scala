@@ -617,8 +617,12 @@ object Curation {
       .withColumn("target_tokens",
         expr(s"(${budget}L * weight_permille) div 1000"))
       .withColumn("epochs",
-        least(lit(maxEpochs),
-          expr("(target_tokens + n_tokens - 1) div n_tokens")))
+        // n_tokens = 0 (a source of empty docs) would make the integer
+        // ceil divide by zero — Spark nulls, DuckDB errors; pin epochs 0
+        when(col("n_tokens") > 0,
+          least(lit(maxEpochs),
+            expr("(target_tokens + n_tokens - 1) div n_tokens")))
+          .otherwise(lit(0L)))
       .withColumn("effective_tokens",
         least(col("target_tokens"), col("epochs") * col("n_tokens")))
       .withColumn("shortfall_tokens",
@@ -635,6 +639,10 @@ object Curation {
     * sharding is what makes the 100 TB writer embarrassingly parallel
     * AND resumable: a failed shard re-derives exactly its own documents.
     * One aggregation shuffle on the shard key.
+    *
+    * NULL-text documents hash to NULL and surface as a `shard = NULL`
+    * audit row (counted, never silently dropped — a manifest that loses
+    * rows is worse than no manifest); coalesce upstream to assign them.
     */
   def shardManifest(df: DataFrame, text: Column, id: Column,
                     nShards: Int): DataFrame = {

@@ -343,4 +343,24 @@ class CurationSpec extends AnyFunSuite {
       .collect()
     assert(m.map(_.toSeq).toSet == m2.map(_.toSeq).toSet)
   }
+
+  test("epochMix: zero-token source gets epochs 0, no divide-by-zero") {
+    val df = Seq(("web", 100L), ("empty", 0L)).toDF("src", "n")
+    val plan = Curation.epochMix(df, col("src"), col("n"),
+        Seq("web" -> 500L, "empty" -> 500L), budget = 1000L)
+      .orderBy("key").collect()
+      .map(r => (r.getString(0), r.getLong(4), r.getLong(5)))
+    assert(plan.toSeq == Seq(("empty", 0L, 0L), ("web", 4L, 400L)))
+  }
+
+  test("shardManifest: NULL-text documents surface as a NULL-shard audit row") {
+    val df = Seq((1L, "a b"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val m = Curation.shardManifest(df, col("text"), col("doc_id"), nShards = 4)
+      .collect()
+    val nullRow = m.find(_.isNullAt(0))
+    assert(nullRow.isDefined, "null-text docs must not vanish from the manifest")
+    assert(nullRow.get.getAs[Long]("n_docs") == 1L)
+    assert(m.map(_.getAs[Long]("n_docs")).sum == 2L)
+  }
 }
