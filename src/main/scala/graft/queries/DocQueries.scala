@@ -636,6 +636,50 @@ object DocQueries {
         .orderBy(col("vec_id"))
     },
 
+    // TRAINED product quantization: one full Lloyd round per subspace
+    // (assign -> floor-scaled integer mean -> float narrowing), then
+    // encode — the whole k-means update is unrolled in SQL, so the
+    // refined codebook and every code/error derived from it are
+    // hash-gated (the sim3c discipline applied to PQ). SimilaritySpec
+    // additionally pins that training reduces total quantization error.
+    QDef("sim9b_pq_encode_trained",
+      s"""WITH j4 AS (SELECT range AS j FROM range(4)),
+         |dd AS (SELECT range + 1 AS d FROM range(16)),
+         |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding
+         |          FROM embeddings WHERE vec_id < 8),
+         |cent0 AS (SELECT c, j, embedding[(j*16+1):((j+1)*16)] AS cv FROM seeds CROSS JOIN j4),
+         |sub AS (SELECT e.vec_id, e.label, j4.j, e.embedding[(j4.j*16+1):((j4.j+1)*16)] AS xv
+         |        FROM embeddings e CROSS JOIN j4),
+         |cand0 AS (SELECT sub.vec_id, sub.j, sub.xv, cent0.c,
+         |  ((${duckDot("xv", "xv")} - 2.0 * ${duckDot("xv", "cv")})
+         |   + ${duckDot("cv", "cv")}) AS dist
+         |  FROM sub JOIN cent0 ON sub.j = cent0.j),
+         |asg0 AS (SELECT vec_id, j, xv, c FROM (
+         |  SELECT vec_id, j, xv, c, row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rn
+         |  FROM cand0) WHERE rn = 1),
+         |mu AS (SELECT a.j, a.c, dd.d,
+         |  sum(CAST(floor(CAST(a.xv[dd.d] AS DOUBLE) * 1000000000.0) AS BIGINT)) AS sx,
+         |  count(*) AS n
+         |  FROM asg0 a CROSS JOIN dd GROUP BY a.j, a.c, dd.d),
+         |cent1 AS (SELECT c0.c, c0.j,
+         |  list(CAST(coalesce(CAST(mu.sx AS DOUBLE) / (mu.n * 1000000000.0),
+         |                     CAST(c0.cv[dd.d] AS DOUBLE)) AS FLOAT) ORDER BY dd.d) AS cv
+         |  FROM cent0 c0 CROSS JOIN dd
+         |  LEFT JOIN mu ON mu.j = c0.j AND mu.c = c0.c AND mu.d = dd.d
+         |  GROUP BY c0.c, c0.j),
+         |cand1 AS (SELECT sub.vec_id, sub.label, sub.j, cent1.c,
+         |  ((${duckDot("xv", "xv")} - 2.0 * ${duckDot("xv", "cv")})
+         |   + ${duckDot("cv", "cv")}) AS dist
+         |  FROM sub JOIN cent1 ON sub.j = cent1.j),
+         |best1 AS (SELECT vec_id, label, j, c, dist,
+         |  row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rn FROM cand1)
+         |SELECT vec_id, label, string_agg(c, ',' ORDER BY j) AS codes,
+         |  CAST(sum(CAST(floor(dist * 1000000.0) AS BIGINT)) AS BIGINT) AS qerr_micro
+         |FROM best1 WHERE rn = 1 GROUP BY vec_id, label ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      Similarity.pqEncodeTrained(Tables.embeddings(s, dir), iters = 1)
+        .orderBy(col("vec_id"))
+    },
+
     // ADC serving over the sim9 codes: the un-quantized query's distance
     // to every (subspace, centroid) pair is floor-scaled once into an
     // integer table; a corpus vector's approximate distance is the exact

@@ -408,6 +408,68 @@ object Similarity {
   private def sqDist(x: Array[Float], c: Array[Float]): Double =
     (dotD(x, x) - 2.0 * dotD(x, c)) + dotD(c, c)
 
+  // (min-dist, centroid-index) struct for subspace j — the shared
+  // ((|x|² − 2·x·c) + |c|²) double-op sequence, ties to the smallest c
+  // via struct comparison. Scan-fused: slice + native dots, codegen'd.
+  private def pqBest(j: Int, cbj: Array[Array[Float]],
+                     subDim: Int): Column = {
+    val xj = slice(col("embedding"), j * subDim + 1, subDim)
+    val cands = cbj.indices.map { c =>
+      val cv = typedlit(cbj(c).toSeq)
+      val d = (Fns.dot(xj, xj) - lit(2.0) * Fns.dot(xj, cv)) +
+        Fns.dot(cv, cv)
+      struct(d.as("d"), lit(c).as("c"))
+    }
+    array_min(array(cands: _*))
+  }
+
+  private def pqEncodeWith(emb: DataFrame, cb: Array[Array[Array[Float]]],
+                           m: Int, subDim: Int): DataFrame = {
+    val bests = (0 until m).map(j => pqBest(j, cb(j), subDim))
+    emb.select(col("vec_id"), col("label"),
+      concat_ws(",", bests.map(_.getField("c").cast("string")): _*).as("codes"),
+      bests.map(b => floor(b.getField("d") * lit(1000000.0)).cast("long"))
+        .reduce(_ + _).as("qerr_micro"))
+  }
+
+  /** One Lloyd refinement round per subspace: assign every subvector to
+    * its nearest centroid, then replace each centroid with the mean of
+    * its assigned subvectors. The mean sums FLOOR-SCALED INTEGERS
+    * (⌊x·10⁹⌋ as long — associative, partitioning/engine-independent;
+    * the [[ivfAnn]] determinism trick) and the double mean narrows to
+    * float exactly as the codebook stores it, so the refined codebook —
+    * and everything encoded against it — is hash-checkable in SQL
+    * (`sim9b`). An empty cluster keeps its previous centroid. The
+    * per-round reduction is m·ks·subDim rows — bounded, driver-safe.
+    */
+  private[graft] def pqRefine(emb: DataFrame, cb: Array[Array[Array[Float]]],
+                              m: Int, subDim: Int): Array[Array[Array[Float]]] = {
+    val stacked = emb.select(
+      explode(array((0 until m).map(j =>
+        struct(lit(j).as("j"),
+          pqBest(j, cb(j), subDim).getField("c").as("c"),
+          slice(col("embedding"), j * subDim + 1, subDim).as("xv"))): _*))
+        .as("s"))
+      .select(col("s.j").as("j"), col("s.c").as("c"),
+        posexplode(col("s.xv")).as(Seq("d", "x")))
+    val sums = stacked.groupBy(col("j"), col("c"), col("d"))
+      .agg(sum(floor(col("x").cast("double") * lit(1e9)).cast("long")).as("sx"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    Array.tabulate(m) { j =>
+      Array.tabulate(cb(j).length) { c =>
+        Array.tabulate(subDim) { d =>
+          sums.get((j, c, d)) match {
+            case Some((sx, n)) => (sx.toDouble / (n * 1e9)).toFloat
+            case None => cb(j)(c)(d) // empty cluster keeps its centroid
+          }
+        }
+      }
+    }
+  }
+
   /** Product-quantization encode: split each embedding into m contiguous
     * subDim-length subspaces; per subspace store the index of the nearest
     * seed centroid (squared L2, ties to the smallest index). Output per
@@ -423,22 +485,19 @@ object Similarity {
     * vector store runs once per corpus.
     */
   def pqEncode(emb: DataFrame, m: Int = 4, subDim: Int = 16,
-               ks: Int = 8): DataFrame = {
-    val cb = pqSeedCodebooks(emb, m, subDim, ks)
-    val bests = (0 until m).map { j =>
-      val xj = slice(col("embedding"), j * subDim + 1, subDim)
-      val cands = cb(j).indices.map { c =>
-        val cv = typedlit(cb(j)(c).toSeq)
-        val d = (Fns.dot(xj, xj) - lit(2.0) * Fns.dot(xj, cv)) +
-          Fns.dot(cv, cv)
-        struct(d.as("d"), lit(c).as("c"))
-      }
-      array_min(array(cands: _*))
-    }
-    emb.select(col("vec_id"), col("label"),
-      concat_ws(",", bests.map(_.getField("c").cast("string")): _*).as("codes"),
-      bests.map(b => floor(b.getField("d") * lit(1000000.0)).cast("long"))
-        .reduce(_ + _).as("qerr_micro"))
+               ks: Int = 8): DataFrame =
+    pqEncodeWith(emb, pqSeedCodebooks(emb, m, subDim, ks), m, subDim)
+
+  /** [[pqEncode]] with `iters` Lloyd refinement rounds on the seed
+    * codebooks first (k-means per subspace) — trained PQ. Every round is
+    * one corpus scan plus a bounded m·ks·subDim reduction; the encode
+    * stays the same scan-fused projection.
+    */
+  def pqEncodeTrained(emb: DataFrame, m: Int = 4, subDim: Int = 16,
+                      ks: Int = 8, iters: Int = 1): DataFrame = {
+    var cb = pqSeedCodebooks(emb, m, subDim, ks)
+    for (_ <- 0 until iters) cb = pqRefine(emb, cb, m, subDim)
+    pqEncodeWith(emb, cb, m, subDim)
   }
 
   /** Asymmetric-distance (ADC) KNN over the PQ codes: the query stays

@@ -106,6 +106,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top.forall(_.getAs[Int]("label") == 0))
   }
 
+  test("pqEncodeTrained: Lloyd round strictly reduces total quantization error") {
+    def totalErr(df: org.apache.spark.sql.DataFrame) =
+      df.agg(sum(col("qerr_micro"))).head().getLong(0)
+    val seeded = totalErr(Similarity.pqEncode(emb, m = 4, subDim = 2, ks = 8))
+    val trained = totalErr(
+      Similarity.pqEncodeTrained(emb, m = 4, subDim = 2, ks = 8, iters = 1))
+    val trained2 = totalErr(
+      Similarity.pqEncodeTrained(emb, m = 4, subDim = 2, ks = 8, iters = 2))
+    assert(trained < seeded, s"1 Lloyd round: $trained !< $seeded")
+    assert(trained2 <= trained, s"2nd round must not regress: $trained2 > $trained")
+  }
+
   test("pqEncode plan: scan-fused projection, no shuffle") {
     val plan = Similarity.pqEncode(emb, m = 4, subDim = 2, ks = 8)
       .queryExecution.executedPlan.toString
