@@ -1829,6 +1829,31 @@ object DocQueries {
         .orderBy(col("term"))
     },
 
+    // Top-3 tf-idf keywords per document (topical fingerprint): same
+    // DECIMAL idf contract as t13, per-term score = one double multiply,
+    // per-doc top-k through the WindowGroupLimit pushdown.
+    QDef("t14_tfidf_keywords",
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tk GROUP BY term, doc_id),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |idf AS (SELECT term, CAST(round(ln((CAST(g.n_docs AS DOUBLE) + 1.0)
+        |          / (CAST(count(*) AS BIGINT) + 0.5)), 6) AS DECIMAL(18,6)) AS idf6
+        |        FROM tf, g GROUP BY term, g.n_docs),
+        |sc AS (SELECT tf.doc_id, tf.term,
+        |  CAST(round(CAST(idf.idf6 AS DOUBLE) * tf.tf, 6) AS DECIMAL(18,6)) AS s6
+        |  FROM tf JOIN idf ON tf.term = idf.term),
+        |rk AS (SELECT doc_id, term, s6,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY s6 DESC, term) AS rank
+        |  FROM sc)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
+        |  CAST(s6 AS DOUBLE) AS score
+        |FROM rk WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin) { (s, dir) =>
+      graft.text.Retrieval.tfidfKeywords(Tables.documents(s, dir),
+          col("text"), col("doc_id"), k = 3)
+        .orderBy(col("doc_id"), col("rank"))
+    },
+
     // BM25 ranked retrieval, top-10 per query over a 3-query literal
     // set. idf is rounded into DECIMAL(18,6) at the term level (the t10
     // ln contract); the tf saturation factor is the exact integer

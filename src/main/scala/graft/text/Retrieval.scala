@@ -205,6 +205,40 @@ object Retrieval {
     docs.select((id.as("doc_id") +: scoreCols): _*)
   }
 
+  /** Top-k tf·idf keywords per document — the topical fingerprint used
+    * for corpus audits ("what is this cluster about") and cheap topic
+    * drill-downs. idf is the same Lucene variant as [[bm25TopK]], rounded
+    * into DECIMAL(18,6) at the term level; the per-term score is one
+    * correctly-rounded double multiply (idf × integer tf), re-rounded to
+    * 6 decimals — engine-exact. Ties break on the term string.
+    *
+    * Scale shape: tf and idf are each ONE shuffle on the term key (idf is
+    * vocab-wide by definition); the per-document top-k goes through the
+    * WindowGroupLimit rank pushdown like [[bm25TopK]].
+    */
+  def tfidfKeywords(df: DataFrame, text: org.apache.spark.sql.Column,
+                    id: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    val tf = termFrequencies(df, text, id)
+    val g = df.agg(count(lit(1)).as("n_docs"))
+    val idf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(g))
+      .select(col("term"),
+        round(log((col("n_docs").cast("double") + 1.0) /
+          (col("df").cast("double") + 0.5)), 6)
+          .cast("decimal(18,6)").as("idf6"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score6").desc, col("term"))
+    tf.join(idf, Seq("term"))
+      .select(col("doc_id"), col("term"),
+        round(col("idf6").cast("double") * col("tf"), 6)
+          .cast("decimal(18,6)").as("score6"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("term"), col("score6").cast("double").as("score"))
+  }
+
   /** Reciprocal-rank fusion of N ranked lists (the standard hybrid-search
     * combiner: lexical BM25 + vector KNN, or any mix). Each input frame
     * is `(id, rank)` with rank starting at 1; a document's fused score is
