@@ -53,6 +53,23 @@ object Curation {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** [[keepOneExact]] with an explicit keep preference: when the same
+    * canonical token signature appears in several corpora/sources, keep
+    * the copy with the LOWEST `priority` (ties → lowest id) — "prefer
+    * the curated copy over the crawl copy of identical content", the
+    * cross-corpus merge policy every multi-source build needs. Same
+    * single signature-key shuffle as [[keepOneExact]]; a combiner-
+    * friendly min-struct aggregate (the c8 discipline) would replace the
+    * window if the kept columns were bounded.
+    */
+  def keepOnePreferred(df: DataFrame, text: Column, id: Column,
+                       priority: Column): DataFrame = {
+    val sig = array_join(array_sort(array_distinct(split(text, " "))), " ")
+    df.withColumn("__rn",
+        row_number().over(Window.partitionBy(sig).orderBy(priority, id)))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** Per-source quota: cap each source at `n` documents, preferring longer
     * ones (ties → lowest id) — the "don't let one domain dominate the mix"
     * operator. One shuffle on the source key.

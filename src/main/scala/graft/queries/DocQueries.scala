@@ -1764,6 +1764,28 @@ object DocQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Cross-corpus preferred-source dedup: identical canonical content
+    // in several sources keeps the copy from the PREFERRED source
+    // (priority asc, id tiebreak) — the multi-corpus merge policy
+    // ("curated beats crawl for identical text").
+    QDef("c16_keep_preferred",
+      """WITH p AS (SELECT doc_id, source, text,
+        |  CASE WHEN source IN ('src0', 'src1') THEN 0 ELSE 1 END AS priority
+        |  FROM documents),
+        |r AS (SELECT doc_id, source, priority, row_number() OVER (
+        |  PARTITION BY array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')
+        |  ORDER BY priority, doc_id) AS rn FROM p)
+        |SELECT doc_id, source, CAST(priority AS BIGINT) AS priority
+        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val pri = when(col("source").isin("src0", "src1"), lit(0)).otherwise(lit(1))
+      graft.curation.Curation.keepOnePreferred(
+          Tables.documents(s, dir).withColumn("priority", pri),
+          col("text"), col("doc_id"), col("priority"))
+        .select(col("doc_id"), col("source"),
+          col("priority").cast("long").as("priority"))
+        .orderBy(col("doc_id"))
+    },
+
     // Epoch plan for a weighted multi-source mix: per-mille target
     // weights + a token budget -> per-source epochs / effective tokens /
     // shortfall, upsampling capped at 4 epochs. All-integer arithmetic

@@ -344,6 +344,19 @@ class CurationSpec extends AnyFunSuite {
     assert(m.map(_.toSeq).toSet == m2.map(_.toSeq).toSet)
   }
 
+  test("keepOnePreferred: priority beats id; ties fall back to lowest id") {
+    val df = Seq(
+      (1L, "a b c", 1),  // crawl copy, lower id
+      (2L, "c b a", 0),  // curated copy (same canonical sig) — must win
+      (3L, "x y", 1),
+      (4L, "y x", 1)     // same sig, same priority -> id 3 wins
+    ).toDF("doc_id", "text", "pri")
+    val kept = Curation.keepOnePreferred(df, col("text"), col("doc_id"),
+        col("pri"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L))
+  }
+
   test("epochMix: zero-token source gets epochs 0, no divide-by-zero") {
     val df = Seq(("web", 100L), ("empty", 0L)).toDF("src", "n")
     val plan = Curation.epochMix(df, col("src"), col("n"),
