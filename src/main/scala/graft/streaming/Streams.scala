@@ -101,6 +101,46 @@ object Streams {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fold)
   }
 
+  case class AsOfEvent(key: Long, tsMicros: Long, side: Int, value: Double)
+  case class AsOfMatch(key: Long, tsMicros: Long, value: Double,
+                       asofTsMicros: Option[Long], asofValue: Option[Double])
+  case class AsOfState(lastTsMicros: Long, lastValue: Double)
+
+  /** Streaming as-of enrichment — the stateful twin of
+    * [[graft.ops.AsOf.asOfJoin]]: per key, remember the latest RIGHT
+    * observation (side = 0) seen so far and attach it to every LEFT row
+    * (side = 1) whose event time is at or after it. Within a micro-batch
+    * events fold in (time, side) order — right-before-left at equal
+    * timestamps, the same backward-inclusive contract as the batch
+    * operator — so batch and stream agree on ordered input (asserted in
+    * StreamingSpec). State is O(1) per key (one timestamped value);
+    * cross-batch late RIGHT rows older than the remembered one are
+    * ignored by construction (max-timestamp-wins), the watermark-free
+    * at-arrival semantics every streaming enrichment join degrades to.
+    */
+  def asOfEnrich(events: Dataset[AsOfEvent]): Dataset[AsOfMatch] = {
+    import events.sparkSession.implicits._
+    def fold(key: Long, it: Iterator[AsOfEvent],
+             state: GroupState[AsOfState]): Iterator[AsOfMatch] = {
+      val sorted = it.toSeq.sortBy(e => (e.tsMicros, e.side))
+      var s = state.getOption.orNull
+      val out = scala.collection.mutable.ArrayBuffer.empty[AsOfMatch]
+      sorted.foreach { e =>
+        if (e.side == 0) {
+          if (s == null || e.tsMicros >= s.lastTsMicros)
+            s = AsOfState(e.tsMicros, e.value)
+        } else {
+          out += AsOfMatch(key, e.tsMicros, e.value,
+            Option(s).map(_.lastTsMicros), Option(s).map(_.lastValue))
+        }
+      }
+      if (s != null) state.update(s)
+      out.iterator
+    }
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fold)
+  }
+
   /** ST6: sliding history buffer — last `n` points per key by event time
     * (the reference's tail(100)/tail(50) chart buffers). Batch twin shown;
     * in streaming this is the memory-sink + client-trim pattern, or this

@@ -240,6 +240,59 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("asOfEnrich: stateful streaming as-of matches the batch operator on ordered input") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streams.{AsOfEvent, AsOfMatch}
+    val in = MemoryStream[AsOfEvent]
+    val q = Streams.asOfEnrich(in.toDS())
+      .writeStream.format("memory").queryName("asof").outputMode("append").start()
+    try {
+      // batch 1: a right obs at t=100, lefts at t=90 (no match) and t=100
+      // (exact-tie inclusive) — plus state carried into batch 2
+      in.addData(
+        AsOfEvent(1L, 100L, 0, 10.0),
+        AsOfEvent(1L, 90L, 1, 1.0),
+        AsOfEvent(1L, 100L, 1, 2.0))
+      q.processAllAvailable()
+      // commit barrier: processAllAvailable can return before the first
+      // trigger observes the offset when called right after start() — wait
+      // until batch 1's two left rows are actually in the sink, otherwise
+      // batch 2's addData coalesces into the same micro-batch and the
+      // cross-batch state assertion tests nothing
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (spark.table("asof").count() < 2 && System.nanoTime() < deadline) {
+        Thread.sleep(50); q.processAllAvailable()
+      }
+      assert(spark.table("asof").count() == 2, "batch 1 never committed")
+      // batch 2: left matches the REMEMBERED right from batch 1; a stale
+      // late right (t=50) must not overwrite the newer state
+      in.addData(
+        AsOfEvent(1L, 50L, 0, 99.0),
+        AsOfEvent(1L, 200L, 1, 3.0))
+      q.processAllAvailable()
+      val got = spark.table("asof").as[AsOfMatch].collect()
+        .sortBy(_.tsMicros)
+        .map(m => (m.tsMicros, m.asofTsMicros, m.asofValue)).toSeq
+      assert(got == Seq(
+        (90L, None, None),            // precedes the first right row
+        (100L, Some(100L), Some(10.0)), // backward-INCLUSIVE at equal ts
+        (200L, Some(100L), Some(10.0)))) // cross-batch state; stale right ignored
+      // batch-operator agreement on the rights the stream ACCEPTED (the
+      // omniscient batch join would also match left t=90 to the late
+      // right t=50 — precisely the at-arrival divergence the stale-row
+      // assertion above pins, so the stale right is excluded here)
+      val left = Seq((1L, 90L, 1.0), (1L, 100L, 2.0), (1L, 200L, 3.0))
+        .toDF("key", "ts", "value")
+      val right = Seq((1L, 100L, 10.0)).toDF("key", "ts", "v")
+      val batch = graft.ops.AsOf.asOfJoin(left, right, "key", "ts", "ts", Seq("v"))
+        .orderBy("ts").collect()
+        .map(r => (r.getLong(1),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSeq
+      assert(batch == got)
+    } finally q.stop()
+  }
+
   test("bm25 scoring streams against frozen corpus stats, batch-identical") {
     implicit val sqlCtx = spark.sqlContext
     import graft.text.Retrieval
