@@ -581,6 +581,55 @@ object EventQueries {
         .orderBy(col("event_type"), col("rn"))
     },
 
+    // W6: relative-position window functions — percent_rank + cume_dist
+    // per event type over a UNIQUE (value, event_id) order, so both
+    // ratios are exact rn-derived fractions on each engine. Top-5 per
+    // type keeps the gate small while exercising the full partition.
+    QDef("w6_percent_cume",
+      s"""$E SELECT event_type, event_id, value,
+         |  round(percent_rank() OVER (PARTITION BY event_type ORDER BY value, event_id), 6) AS pr,
+         |  round(cume_dist() OVER (PARTITION BY event_type ORDER BY value, event_id), 6) AS cd
+         |FROM e QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) <= 5
+         |ORDER BY event_type, value, event_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      ev(s, dir)
+        .select(col("event_type"), col("event_id"), col("value"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"),
+          row_number().over(w).as("__rn"))
+        .filter(col("__rn") <= 5).drop("__rn")
+        .orderBy(col("event_type"), col("value"), col("event_id"))
+    },
+
+    // W7: sliding ROWS-frame aggregate — 3-event moving average per user
+    // in exact integer cents (floor(value·100) on identical doubles),
+    // so the running sum is engine-exact regardless of how each engine
+    // walks the frame; the average is one rounded division at the end.
+    QDef("w7_sliding_mean",
+      s"""$E SELECT user_id, event_id, CAST(n_win AS BIGINT) AS n_win, sum_cents,
+         |  round(CAST(sum_cents AS DOUBLE) / (100.0 * n_win), 6) AS avg_value
+         |FROM (
+         |  SELECT user_id, event_id,
+         |    count(*) OVER w AS n_win,
+         |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS BIGINT) AS sum_cents
+         |  FROM e
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+         |               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+         |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-2, Window.currentRow)
+      ev(s, dir)
+        .select(col("user_id"), col("event_id"),
+          count(lit(1)).over(w).cast("long").as("n_win"),
+          sum(floor(col("value") * 100).cast("long")).over(w)
+            .cast("long").as("sum_cents"))
+        .withColumn("avg_value",
+          round(col("sum_cents").cast("double") / (lit(100.0) * col("n_win")), 6))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+
     // W4/ST5: EWMA (α=0.02) per user over the event-time-ordered series,
     // as a strict left fold (aggregate HOF) — bit-identical to DuckDB's
     // list_reduce. Streaming twin: graft.streaming EWMA state op.
