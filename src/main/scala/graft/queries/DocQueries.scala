@@ -1851,6 +1851,29 @@ object DocQueries {
         .orderBy(col("term"))
     },
 
+    // Bigram LM quality score (the t10 upgrade): tokens 2..n score
+    // ln(c2(prev,tok)/c1->(prev)) — MLE over the bigram table, DECIMAL
+    // per-token log-probs summed exactly. Self-scoring never backs off;
+    // the stupid-backoff path for held-out docs is spec-exercised.
+    QDef("t15_bigram_logprob",
+      """WITH l AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bp AS (SELECT doc_id, unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS bg FROM l),
+        |pr AS (SELECT doc_id, bg[1] AS prev, bg[2] AS tok FROM bp),
+        |c2 AS (SELECT prev, tok, CAST(count(*) AS BIGINT) AS c2 FROM pr GROUP BY prev, tok),
+        |cp AS (SELECT prev, CAST(sum(c2) AS BIGINT) AS cp FROM c2 GROUP BY prev),
+        |lp2 AS (SELECT c2.prev, c2.tok,
+        |  CAST(round(ln(CAST(c2.c2 AS DOUBLE) / CAST(cp.cp AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lp2
+        |  FROM c2 JOIN cp ON c2.prev = cp.prev),
+        |s AS (SELECT pr.doc_id, lp2.lp2 AS lp
+        |      FROM pr JOIN lp2 ON pr.prev = lp2.prev AND pr.tok = lp2.tok)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logprob
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.bigramLogProb(Tables.documents(s, dir), col("text"),
+          col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+
     // Top-3 tf-idf keywords per document (topical fingerprint): same
     // DECIMAL idf contract as t13, per-term score = one double multiply,
     // per-doc top-k through the WindowGroupLimit pushdown.

@@ -257,6 +257,67 @@ object TextAnalysis {
         round(sum(coalesce(col("lp6"), lit(oovLp6).cast("decimal(18,6)")))
           .cast("double") / count(lit(1)), 6).as("avg_logprob"))
 
+  /** Per-document bigram pairs `(doc_id, prev, tok)` — one row per
+    * adjacent token pair, built from two array slices zipped in the scan
+    * projection (no window, no self-join). Single-token documents emit
+    * no pairs.
+    */
+  private def bigramPairs(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val t = toks(text)
+    val n = size(t)
+    df.select(id.as("doc_id"),
+        explode(arrays_zip(
+          slice(t, lit(1), n - 1).as("prev"),
+          slice(t, lit(2), n - 1).as("tok"))).as("bg"))
+      .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.tok").as("tok"))
+  }
+
+  /** Bigram LM quality score with stupid backoff: tokens 2..n of each
+    * document score `ln(c₂(prev,tok) / c₁→(prev))` when the bigram was
+    * seen in the corpus (c₁→ = count of `prev` as a bigram LEFT side, the
+    * MLE denominator), else backoff `ln(0.4) + unigram lp` — the
+    * standard large-scale-LM shortcut (no normalization pass). Per-token
+    * log-probs are rounded into DECIMAL(18,6) at the model level and
+    * summed exactly (the t10 contract), so the per-document mean is
+    * engine-portable. Single-token documents have no bigram to score and
+    * drop from the output (same contract as the pair generator).
+    *
+    * Scale: bigram model = one shuffle on the pair key (vocab² worst
+    * case — prune with a min-count threshold at real scale); scoring is
+    * one broadcast-or-shuffle join from pairs to the model. Self-scoring
+    * the training corpus never hits backoff (every bigram is seen);
+    * the spec exercises backoff on a held-out document.
+    */
+  def bigramLogProb(df: DataFrame, text: Column, id: Column,
+                    scored: Option[DataFrame] = None): DataFrame = {
+    val pairs = bigramPairs(df, text, id)
+    val c2 = pairs.groupBy(col("prev"), col("tok"))
+      .agg(count(lit(1)).as("c2"))
+      .localCheckpoint(true) // model-sized; feeds the denom AND the probs
+    val cPrev = c2.groupBy(col("prev")).agg(sum(col("c2")).as("cp"))
+    val lp2 = c2.join(cPrev, Seq("prev"))
+      .select(col("prev"), col("tok"),
+        round(log(col("c2").cast("double") / col("cp").cast("double")), 6)
+          .cast("decimal(18,6)").as("lp2"))
+    val uni = unigramModel(df, text)
+      .select(col("tok"), col("lp6").as("lp1"))
+    // ln(0.4) rounded once, the same literal on both engines
+    val backoff = lit(-0.916291).cast("decimal(18,6)")
+    val target = scored.getOrElse(df)
+    bigramPairs(target, text, id)
+      .join(lp2, Seq("prev", "tok"), "left")
+      .join(uni, Seq("tok"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lp2"),
+          (backoff + coalesce(col("lp1"),
+            lit(-20.0).cast("decimal(18,6)"))).cast("decimal(18,6)"))
+          .as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("lp")).cast("double") / count(lit(1)), 6)
+          .as("avg_logprob"))
+  }
+
   /** Token-distribution drift between two corpus slices: total-variation
     * distance ½·Σ_t |p_A(t) − p_B(t)| — the corpus-QA probe behind
     * "did the val split / new crawl / filtered corpus shift the token

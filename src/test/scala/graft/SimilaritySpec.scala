@@ -184,6 +184,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(same.getAs[Double]("tv_distance") == 0.0)
   }
 
+  test("bigramLogProb: hand-computed MLE; stupid backoff on held-out bigrams") {
+    // corpus bigrams: (a,b)x2, (b,a)x1 -> c1->(a)=2, c1->(b)=1
+    val corpus = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val self = TextAnalysis.bigramLogProb(corpus, col("text"), col("doc_id"))
+      .head()
+    // lp(a,b)=ln(2/2)=0, lp(b,a)=ln(1/1)=0 -> avg 0 over 3 bigrams
+    assert(self.getAs[Long]("n_bigrams") == 3L)
+    assert(self.getAs[Double]("avg_logprob") == 0.0)
+    // held-out doc: bigram (b,b) unseen -> backoff ln(0.4) + lp1(b);
+    // unigrams: a=2, b=2, T=4 -> lp1(b)=round(ln(0.5),6)=-0.693147
+    val held = Seq((9L, "b b")).toDF("doc_id", "text")
+    val scored = TextAnalysis.bigramLogProb(corpus, col("text"), col("doc_id"),
+        scored = Some(held)).head()
+    assert(scored.getAs[Long]("n_bigrams") == 1L)
+    assert(scored.getAs[Double]("avg_logprob") == -0.916291 - 0.693147)
+    // fully-OOV bigram AND token: backoff floor applies
+    val oov = Seq((8L, "zz qq")).toDF("doc_id", "text")
+    val oovScore = TextAnalysis.bigramLogProb(corpus, col("text"), col("doc_id"),
+        scored = Some(oov)).head()
+    assert(oovScore.getAs[Double]("avg_logprob") == -0.916291 - 20.0)
+  }
+
   test("unigramLogProb: hand-computed corpus log-probs, decimal-summed mean") {
     val docs = Seq((1L, "a a a"), (2L, "a b")).toDF("doc_id", "text")
     // counts: a=4, b=1, total=5; lp6(a)=round(ln(0.8),6)=-0.223144,
