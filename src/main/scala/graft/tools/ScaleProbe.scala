@@ -169,6 +169,27 @@ object ScaleProbe {
       }.reduce(_ unionByName _)
       graft.sim.Similarity.pqAdcKnn(bigEmb, queryVecId = 0L, k = 10).count()
     }
+    t(s"t15 bigram logprob ${mult}x") {
+      graft.text.TextAnalysis.bigramLogProb(big, col("text"), col("doc_id"))
+        .count()
+    }
+    t(s"t14 tfidf keywords ${mult}x") {
+      graft.text.Retrieval.tfidfKeywords(big, col("text"), col("doc_id"), 3)
+        .count()
+    }
+    t(s"c16 keep preferred ${mult}x") {
+      Curation.keepOnePreferred(
+        big.withColumn("pri", pmod(col("doc_id"), lit(2))),
+        col("text"), col("doc_id"), col("pri")).count()
+    }
+    t(s"sim9b pq trained ${mult}x") {
+      val emb = Tables.embeddings(spark, dir)
+      val bigEmb = (0 until mult).map { r =>
+        emb.select((col("vec_id") + lit(r.toLong * 10000000L)).as("vec_id"),
+          col("embedding"), col("label"))
+      }.reduce(_ unionByName _)
+      graft.sim.Similarity.pqEncodeTrained(bigEmb, iters = 1).count()
+    }
     t(s"j9 asof join events") {
       val e = Tables.events(spark, dir)
       val l = e.filter(col("event_type") === "click")
