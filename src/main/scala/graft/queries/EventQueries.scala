@@ -503,6 +503,39 @@ object EventQueries {
         .orderBy(col("user_id"), col("event_type"))
     },
 
+    // U3: INTERSECT — users who both clicked AND purchased (set
+    // semantics: distinct rows present on both sides).
+    QDef("u3_intersect_users",
+      s"""$E SELECT user_id FROM e WHERE event_type = 'click'
+         |INTERSECT
+         |SELECT user_id FROM e WHERE event_type = 'purchase'
+         |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val e = ev(s, dir)
+      e.filter(col("event_type") === "click").select(col("user_id"))
+        .intersect(
+          e.filter(col("event_type") === "purchase").select(col("user_id")))
+        .orderBy(col("user_id"))
+    },
+
+    // U4: EXCEPT — (user, value-bucket) combinations seen in views but
+    // never in signups (distinct left rows absent from the right; the
+    // single-column form is empty on this dense fixture, so the gate
+    // uses the pair form to keep a non-trivial result set).
+    QDef("u4_except_pairs",
+      s"""$E SELECT user_id, CAST(floor(value / 200) AS BIGINT) AS bucket
+         |FROM e WHERE event_type = 'view'
+         |EXCEPT
+         |SELECT user_id, CAST(floor(value / 200) AS BIGINT) AS bucket
+         |FROM e WHERE event_type = 'signup'
+         |ORDER BY user_id, bucket""".stripMargin) { (s, dir) =>
+      val e = ev(s, dir)
+      def pairs(t: String) = e.filter(col("event_type") === t)
+        .select(col("user_id"),
+          floor(col("value") / 200).cast("long").as("bucket"))
+      pairs("view").except(pairs("signup"))
+        .orderBy(col("user_id"), col("bucket"))
+    },
+
     // ---- filters & scalar functions (SURVEY §2.2/§2.9) ----
 
     // F3+F5+F6: event-time range + IN-list predicates, pushed to the scan.
