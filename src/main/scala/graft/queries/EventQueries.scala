@@ -536,6 +536,37 @@ object EventQueries {
         .orderBy(col("user_id"), col("bucket"))
     },
 
+    // U3b: INTERSECT ALL — multiset semantics: each (user) click row
+    // survives once per matched purchase multiplicity (min of the two
+    // per-key counts). Duplicate output rows are identical, so sorting
+    // on user_id is content-deterministic for the hash gate.
+    QDef("u3b_intersect_all",
+      s"""$E SELECT user_id FROM e WHERE event_type = 'click'
+         |INTERSECT ALL
+         |SELECT user_id FROM e WHERE event_type = 'purchase'
+         |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val e = ev(s, dir)
+      e.filter(col("event_type") === "click").select(col("user_id"))
+        .intersectAll(
+          e.filter(col("event_type") === "purchase").select(col("user_id")))
+        .orderBy(col("user_id"))
+    },
+
+    // U4b: EXCEPT ALL — multiset difference: view rows minus one per
+    // matching signup row (left multiplicity minus right multiplicity,
+    // floored at zero), the bag-semantics sibling of u4.
+    QDef("u4b_except_all",
+      s"""$E SELECT user_id FROM e WHERE event_type = 'view'
+         |EXCEPT ALL
+         |SELECT user_id FROM e WHERE event_type = 'signup'
+         |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val e = ev(s, dir)
+      e.filter(col("event_type") === "view").select(col("user_id"))
+        .exceptAll(
+          e.filter(col("event_type") === "signup").select(col("user_id")))
+        .orderBy(col("user_id"))
+    },
+
     // ---- filters & scalar functions (SURVEY §2.2/§2.9) ----
 
     // F3+F5+F6: event-time range + IN-list predicates, pushed to the scan.
@@ -752,6 +783,156 @@ object EventQueries {
         .select(col("event_type"), col("hr").cast("long").as("hr"),
           col("gid"), col("n"))
         .orderBy(col("event_type").asc_nulls_first, col("hr").asc_nulls_first)
+    },
+
+    // GROUPING SETS: the general form a21's ROLLUP is a special case of —
+    // an arbitrary list of grouping keys computed in ONE pass (Spark
+    // expands to a single Expand + hash aggregate, not one scan per
+    // set). Same engine-neutral gid convention as a21.
+    QDef("a23_grouping_sets",
+      s"""$E SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+         |  CAST(grouping(event_type) * 2 + grouping(hour(ts)) AS BIGINT) AS gid,
+         |  count(*) AS n_events, count(DISTINCT user_id) AS n_users
+         |FROM e
+         |GROUP BY GROUPING SETS ((event_type, hour(ts)), (event_type), (hour(ts)), ())
+         |ORDER BY gid, event_type NULLS FIRST, hr NULLS FIRST""".stripMargin) { (s, dir) =>
+      val e = ev(s, dir).withColumn("hr", hour(col("ts")))
+      e.groupingSets(
+          Seq(Seq(col("event_type"), col("hr")), Seq(col("event_type")),
+            Seq(col("hr")), Seq.empty),
+          col("event_type"), col("hr"))
+        .agg((grouping(col("event_type")) * 2 +
+          grouping(col("hr"))).cast("long").as("gid"),
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+        .select(col("event_type"), col("hr").cast("long").as("hr"),
+          col("gid"), col("n_events"), col("n_users"))
+        .orderBy(col("gid"), col("event_type").asc_nulls_first,
+          col("hr").asc_nulls_first)
+    },
+
+    // Exact discrete percentiles (p25/p50/p90/p99) per type over integer
+    // cents: smallest value whose cume_dist reaches p — rank selection,
+    // no float interpolation, so the gate has no rounding knife-edge.
+    // The oracle uses DuckDB's NATIVE percentile_disc, so two independent
+    // implementations must agree on the tie/boundary semantics.
+    QDef("a24_percentile_disc",
+      s"""$E, c AS (
+         |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM e)
+         |SELECT event_type,
+         |  percentile_disc(0.25) WITHIN GROUP (ORDER BY cents) AS p25,
+         |  percentile_disc(0.5)  WITHIN GROUP (ORDER BY cents) AS p50,
+         |  percentile_disc(0.9)  WITHIN GROUP (ORDER BY cents) AS p90,
+         |  percentile_disc(0.99) WITHIN GROUP (ORDER BY cents) AS p99
+         |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val c = ev(s, dir).select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val cd = c.withColumn("cd", cume_dist().over(
+        Window.partitionBy(col("event_type")).orderBy(col("cents"))))
+      cd.groupBy(col("event_type"))
+        .agg(
+          min(when(col("cd") >= 0.25, col("cents"))).as("p25"),
+          min(when(col("cd") >= 0.5, col("cents"))).as("p50"),
+          min(when(col("cd") >= 0.9, col("cents"))).as("p90"),
+          min(when(col("cd") >= 0.99, col("cents"))).as("p99"))
+        .orderBy(col("event_type"))
+    },
+
+    // SK1: KMV (k-minimum-values) distinct sketch, k=64 — per-type
+    // distinct-user estimate from the k smallest distinct multiplicative
+    // hashes (graft.ops.Kmv). Deterministic for the fixed hash family,
+    // so the estimate itself is hash-gated, alongside the exact count
+    // and the per-mille error (all-integer arithmetic end to end).
+    // This portable form materializes the distinct hash set per group
+    // (the oracle-expressible shape); sk1b is the O(k)-state scale form.
+    QDef("sk1_kmv_distinct",
+      s"""$E, h AS (
+         |  SELECT DISTINCT event_type,
+         |    (user_id * 2654435761 + 987654321) % 2147483647 AS hv FROM e),
+         |r AS (
+         |  SELECT event_type, hv,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS nd
+         |  FROM h),
+         |k AS (
+         |  SELECT event_type, max(nd) AS nd,
+         |    max(CASE WHEN rn = 64 THEN hv END) AS h64
+         |  FROM r WHERE rn <= 64 GROUP BY event_type)
+         |SELECT event_type, CAST(nd AS BIGINT) AS exact_distinct,
+         |  CAST(CASE WHEN nd < 64 THEN nd
+         |    ELSE (CAST(63 AS BIGINT) * 2147483647) // h64 END AS BIGINT)
+         |    AS kmv_estimate,
+         |  CAST(abs((CASE WHEN nd < 64 THEN nd
+         |    ELSE (CAST(63 AS BIGINT) * 2147483647) // h64 END) - nd) * 1000
+         |    // nd AS BIGINT) AS err_permille
+         |FROM k ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val h = ev(s, dir).select(col("event_type"),
+        ((col("user_id") * lit(2654435761L) + lit(987654321L))
+          % lit(graft.ops.Kmv.M)).as("hv")).distinct()
+      val r = h
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("event_type")).orderBy(col("hv"))))
+        .withColumn("nd", count(lit(1)).over(
+          Window.partitionBy(col("event_type"))))
+      val k = r.filter(col("rn") <= 64).groupBy(col("event_type"))
+        .agg(max(col("nd")).as("nd"),
+          max(when(col("rn") === 64, col("hv"))).as("h64"))
+      val est = when(col("nd") < 64, col("nd"))
+        .otherwise(expr("(CAST(63 AS BIGINT) * CAST(2147483647 AS BIGINT)) DIV h64"))
+      k.select(col("event_type"), col("nd").cast("long").as("exact_distinct"),
+          est.cast("long").as("kmv_estimate"),
+          expr("abs(" +
+            "(CASE WHEN nd < 64 THEN nd ELSE (CAST(63 AS BIGINT) * CAST(2147483647 AS BIGINT)) DIV h64 END) - nd" +
+            ") * 1000 DIV nd").cast("long").as("err_permille"))
+        .orderBy(col("event_type"))
+    },
+
+    // SK1b: the same sketch as a mergeable typed Aggregator
+    // (Kmv.MinKDistinct): O(k) state per group, partial aggregation
+    // ships ≤ k longs per partition, no per-group distinct
+    // materialization or window sort — the shape that holds when
+    // distinct keys per group no longer fit memory. Shares sk1's
+    // oracle verbatim: the Aggregator must reproduce the SQL-window
+    // sketch bit-exactly. (exact_distinct stays a separate
+    // countDistinct here because the gate output requires it; the
+    // sketch itself never needs it.)
+    QDef("sk1b_kmv_aggregator",
+      s"""$E, h AS (
+         |  SELECT DISTINCT event_type,
+         |    (user_id * 2654435761 + 987654321) % 2147483647 AS hv FROM e),
+         |r AS (
+         |  SELECT event_type, hv,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS nd
+         |  FROM h),
+         |k AS (
+         |  SELECT event_type, max(nd) AS nd,
+         |    max(CASE WHEN rn = 64 THEN hv END) AS h64
+         |  FROM r WHERE rn <= 64 GROUP BY event_type)
+         |SELECT event_type, CAST(nd AS BIGINT) AS exact_distinct,
+         |  CAST(CASE WHEN nd < 64 THEN nd
+         |    ELSE (CAST(63 AS BIGINT) * 2147483647) // h64 END AS BIGINT)
+         |    AS kmv_estimate,
+         |  CAST(abs((CASE WHEN nd < 64 THEN nd
+         |    ELSE (CAST(63 AS BIGINT) * 2147483647) // h64 END) - nd) * 1000
+         |    // nd AS BIGINT) AS err_permille
+         |FROM k ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val minK = udaf(new graft.ops.Kmv.MinKDistinct(64))
+      val hv = (col("user_id") * lit(2654435761L) + lit(987654321L)) %
+        lit(graft.ops.Kmv.M)
+      ev(s, dir).select(col("event_type"), hv.as("hv"))
+        .groupBy(col("event_type"))
+        .agg(minK(col("hv")).as("mins"),
+          countDistinct(col("hv")).as("nd"))
+        .select(col("event_type"), col("nd").cast("long").as("exact_distinct"),
+          when(size(col("mins")) < 64, col("nd"))
+            .otherwise(expr(
+              "(CAST(63 AS BIGINT) * CAST(2147483647 AS BIGINT)) DIV element_at(mins, 64)"))
+            .cast("long").as("kmv_estimate"),
+          expr("abs(" +
+            "(CASE WHEN size(mins) < 64 THEN nd ELSE (CAST(63 AS BIGINT) * CAST(2147483647 AS BIGINT)) DIV element_at(mins, 64) END) - nd" +
+            ") * 1000 DIV nd").cast("long").as("err_permille"))
+        .orderBy(col("event_type"))
     },
 
     // PIVOT: hour x event_type count matrix with an explicit (stable)
