@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.fns.Fns
 import graft.ops.Intervals
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -933,6 +933,118 @@ object EventQueries {
             "(CASE WHEN size(mins) < 64 THEN nd ELSE (CAST(63 AS BIGINT) * CAST(2147483647 AS BIGINT)) DIV element_at(mins, 64) END) - nd" +
             ") * 1000 DIV nd").cast("long").as("err_permille"))
         .orderBy(col("event_type"))
+    },
+
+    // SK2: count-min sketch heavy hitters — per-user event counts from a
+    // 4x1024 counter matrix (4 pairwise-distinct multiplicative hashes),
+    // probed for the exact top-20 users. CM guarantees estimate >= exact
+    // (overestimate is the collision mass sharing the user's min-counter
+    // bucket), so the gate pins both the estimates and the one-sided
+    // error. Scale shape: the build is ONE hash aggregate over (i, bkt)
+    // — map-side partial agg collapses every partition to <= 4096 rows
+    // regardless of input size — and the probe joins two tiny frames
+    // (top-20 x 4 hashes against the 4096-row sketch), both broadcast.
+    QDef("sk2_count_min_topk",
+      s"""$E, hashes AS (
+         |  SELECT * FROM (VALUES (0, 2654435761, 1013904223),
+         |    (1, 2246822519, 374761393), (2, 3266489917, 2654435769),
+         |    (3, 668265263, 1540483477)) AS t(i, a, b)),
+         |cm AS (
+         |  SELECT h.i, (e.user_id * h.a + h.b) % 2147483647 % 1024 AS bkt,
+         |    count(*) AS c
+         |  FROM e CROSS JOIN hashes h GROUP BY 1, 2),
+         |exact AS (SELECT user_id, count(*) AS n FROM e GROUP BY 1),
+         |top AS (SELECT user_id, n FROM exact ORDER BY n DESC, user_id LIMIT 20),
+         |probe AS (
+         |  SELECT t.user_id, max(t.n) AS exact_count, min(cm.c) AS cm_estimate
+         |  FROM top t CROSS JOIN hashes h
+         |  JOIN cm ON cm.i = h.i
+         |    AND cm.bkt = (t.user_id * h.a + h.b) % 2147483647 % 1024
+         |  GROUP BY t.user_id)
+         |SELECT CAST(user_id AS BIGINT) AS user_id,
+         |  CAST(exact_count AS BIGINT) AS exact_count,
+         |  CAST(cm_estimate AS BIGINT) AS cm_estimate,
+         |  CAST(cm_estimate - exact_count AS BIGINT) AS overestimate
+         |FROM probe ORDER BY exact_count DESC, user_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val hs = Seq((0L, 2654435761L, 1013904223L), (1L, 2246822519L, 374761393L),
+        (2L, 3266489917L, 2654435769L), (3L, 668265263L, 1540483477L))
+        .toDF("i", "a", "b")
+      def bkt(key: Column) =
+        (key * col("a") + col("b")) % lit(2147483647L) % lit(1024L)
+      val e = ev(s, dir)
+      val cm = e.select(col("user_id")).crossJoin(broadcast(hs))
+        .groupBy(col("i"), bkt(col("user_id")).as("bkt"))
+        .agg(count(lit(1)).as("c"))
+      val top = e.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("user_id")).limit(20)
+      top.crossJoin(broadcast(hs))
+        .withColumn("bkt", bkt(col("user_id")))
+        .join(cm, Seq("i", "bkt"))
+        .groupBy(col("user_id"))
+        .agg(max(col("n")).as("exact_count"), min(col("c")).as("cm_estimate"))
+        .select(col("user_id"), col("exact_count"), col("cm_estimate"),
+          (col("cm_estimate") - col("exact_count")).as("overestimate"))
+        .orderBy(col("exact_count").desc, col("user_id"))
+    },
+
+    // SK3: bloom-filter membership audit — a 65536-bit / 3-hash bloom
+    // built over purchase event ids, probed with EVERY distinct event id.
+    // The single audit row pins the bloom contract exactly: every member
+    // passes (n_true_accept = member count, zero false negatives) and
+    // the false-positive count is deterministic for the fixed hash
+    // family. Scale shape: the bit set is <= 3*65536 (i, bkt) rows NO
+    // MATTER how many members — a broadcastable prune for shuffle-join
+    // avoidance — and the probe is hash-join + hash-agg, no sort.
+    QDef("sk3_bloom_membership",
+      s"""$E, hashes AS (
+         |  SELECT * FROM (VALUES (0, 2654435761, 1013904223),
+         |    (1, 2246822519, 374761393), (2, 3266489917, 2654435769))
+         |    AS t(i, a, b)),
+         |members AS (SELECT DISTINCT event_id AS k FROM e
+         |  WHERE event_type = 'purchase'),
+         |bits AS (SELECT DISTINCT h.i,
+         |    (m.k * h.a + h.b) % 2147483647 % 65536 AS bkt
+         |  FROM members m CROSS JOIN hashes h),
+         |probe AS (SELECT DISTINCT event_id AS k FROM e),
+         |hits AS (
+         |  SELECT p.k, count(*) AS nbits
+         |  FROM probe p CROSS JOIN hashes h
+         |  JOIN bits b ON b.i = h.i
+         |    AND b.bkt = (p.k * h.a + h.b) % 2147483647 % 65536
+         |  GROUP BY p.k),
+         |pass AS (SELECT h.k, CASE WHEN m.k IS NOT NULL THEN 1 END AS m
+         |  FROM hits h LEFT JOIN members m ON h.k = m.k
+         |  WHERE h.nbits = 3)
+         |SELECT
+         |  CAST((SELECT count(*) FROM probe) AS BIGINT) AS n_probe,
+         |  CAST(count(*) AS BIGINT) AS n_pass,
+         |  CAST(count(m) AS BIGINT) AS n_true_accept,
+         |  CAST(count(*) - count(m) AS BIGINT) AS n_false_pos
+         |FROM pass""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val hs = Seq((0L, 2654435761L, 1013904223L), (1L, 2246822519L, 374761393L),
+        (2L, 3266489917L, 2654435769L)).toDF("i", "a", "b")
+      def bkt(key: Column) =
+        (key * col("a") + col("b")) % lit(2147483647L) % lit(65536L)
+      val e = ev(s, dir)
+      val members = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("k")).distinct()
+      val bits = members.crossJoin(broadcast(hs))
+        .select(col("i"), bkt(col("k")).as("bkt")).distinct()
+      val probe = e.select(col("event_id").as("k")).distinct()
+      val pass = probe.crossJoin(broadcast(hs))
+        .withColumn("bkt", bkt(col("k")))
+        .join(broadcast(bits), Seq("i", "bkt"))
+        .groupBy(col("k")).agg(count(lit(1)).as("nbits"))
+        .filter(col("nbits") === 3)
+        .join(members.withColumn("m", lit(1)), Seq("k"), "left")
+      val stats = pass.agg(count(lit(1)).as("n_pass"),
+        count(col("m")).as("n_true_accept"),
+        (count(lit(1)) - count(col("m"))).as("n_false_pos"))
+      probe.agg(count(lit(1)).as("n_probe")).crossJoin(stats)
+        .select(col("n_probe"), col("n_pass"), col("n_true_accept"),
+          col("n_false_pos"))
     },
 
     // PIVOT: hour x event_type count matrix with an explicit (stable)
