@@ -1047,6 +1047,119 @@ object EventQueries {
           col("n_false_pos"))
     },
 
+    // ---- product analytics (funnel / cohort / transitions) ----
+
+    // FA1: ordered funnel with a 24h step window — users whose first view
+    // is followed by a click within 24h, then a purchase within 24h of
+    // that click (strict event-time ordering at each step). Conversion
+    // ratios in exact integer permille, zero-guarded because DuckDB `//`
+    // errors on zero where Spark DIV nulls. Scale shape: three per-user
+    // hash aggregates chained by shuffle joins on the SAME key
+    // (user_id), so the exchange is reusable; no window sort, no
+    // broadcast of the (unbounded) per-user frames.
+    QDef("fa1_funnel_24h",
+      s"""$E, s1 AS (
+         |  SELECT user_id, min(ts) AS t1 FROM e WHERE event_type = 'view'
+         |  GROUP BY 1),
+         |s2 AS (
+         |  SELECT e.user_id, min(e.ts) AS t2 FROM e
+         |  JOIN s1 ON e.user_id = s1.user_id
+         |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+         |    AND e.ts <= s1.t1 + INTERVAL 24 HOUR GROUP BY 1),
+         |s3 AS (
+         |  SELECT e.user_id, min(e.ts) AS t3 FROM e
+         |  JOIN s2 ON e.user_id = s2.user_id
+         |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+         |    AND e.ts <= s2.t2 + INTERVAL 24 HOUR GROUP BY 1)
+         |SELECT CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_view,
+         |  CAST((SELECT count(*) FROM s2) AS BIGINT) AS n_view_click,
+         |  CAST((SELECT count(*) FROM s3) AS BIGINT) AS n_view_click_purchase,
+         |  CAST(CASE WHEN (SELECT count(*) FROM s1) = 0 THEN 0
+         |    ELSE (SELECT count(*) FROM s2) * 1000 // (SELECT count(*) FROM s1)
+         |    END AS BIGINT) AS conv2_permille,
+         |  CAST(CASE WHEN (SELECT count(*) FROM s2) = 0 THEN 0
+         |    ELSE (SELECT count(*) FROM s3) * 1000 // (SELECT count(*) FROM s2)
+         |    END AS BIGINT) AS conv3_permille""".stripMargin) { (s, dir) =>
+      val e = ev(s, dir)
+      val s1 = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val s2 = e.filter(col("event_type") === "click").join(s1, "user_id")
+        .filter(col("ts") > col("t1") &&
+          col("ts") <= col("t1") + expr("INTERVAL 24 HOURS"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val s3 = e.filter(col("event_type") === "purchase").join(s2, "user_id")
+        .filter(col("ts") > col("t2") &&
+          col("ts") <= col("t2") + expr("INTERVAL 24 HOURS"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      s1.agg(count(lit(1)).as("n_view"))
+        .crossJoin(s2.agg(count(lit(1)).as("n_view_click")))
+        .crossJoin(s3.agg(count(lit(1)).as("n_view_click_purchase")))
+        .select(col("n_view"), col("n_view_click"),
+          col("n_view_click_purchase"),
+          when(col("n_view") === 0, lit(0L))
+            .otherwise(expr("n_view_click * 1000 DIV n_view"))
+            .cast("long").as("conv2_permille"),
+          when(col("n_view_click") === 0, lit(0L))
+            .otherwise(expr("n_view_click_purchase * 1000 DIV n_view_click"))
+            .cast("long").as("conv3_permille"))
+    },
+
+    // FA2: cohort retention — cohort = a user's first active calendar
+    // day; for offsets 0..7 count the distinct users of each cohort
+    // active again exactly that many days later. Calendar-day diff of
+    // pure DATEs is engine-identical (Spark datediff == DuckDB
+    // date_diff('day')). One distinct-pruned activity frame joined to
+    // the per-user cohort on user_id, then a grouped distinct count.
+    QDef("fa2_retention_cohorts",
+      s"""$E, c AS (
+         |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM e
+         |  GROUP BY 1),
+         |a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM e),
+         |r AS (
+         |  SELECT c.cohort_day, date_diff('day', c.cohort_day, a.d)
+         |    AS offset_days, a.user_id
+         |  FROM a JOIN c ON a.user_id = c.user_id
+         |  WHERE date_diff('day', c.cohort_day, a.d) BETWEEN 0 AND 7)
+         |SELECT cohort_day, CAST(offset_days AS BIGINT) AS offset_days,
+         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+         |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val e = ev(s, dir)
+      val c = e.groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("cohort_day"))
+      val a = e.select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      a.join(c, "user_id")
+        .withColumn("offset_days",
+          datediff(col("d"), col("cohort_day")).cast("long"))
+        .filter(col("offset_days").between(0, 7))
+        .groupBy(col("cohort_day"), col("offset_days"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy(col("cohort_day"), col("offset_days"))
+    },
+
+    // FA3: event-type transition matrix — per-user next-event via lead()
+    // over the (ts, event_id) total order, then a global pair count: the
+    // first-order Markov transition counts behind "what do users do
+    // after X" panels. One window shuffle on user_id, one hash agg over
+    // at most |types|^2 groups.
+    QDef("fa3_transition_matrix",
+      s"""$E, o AS (
+         |  SELECT event_type, lead(event_type) OVER (
+         |    PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+         |  FROM e)
+         |SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+         |FROM o WHERE next_type IS NOT NULL
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      ev(s, dir)
+        .select(col("event_type"),
+          lead(col("event_type"), 1).over(w).as("next_type"))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"), col("next_type"))
+    },
+
     // PIVOT: hour x event_type count matrix with an explicit (stable)
     // column list — the dashboard-facing wide shape. Missing cells are
     // 0, not NULL, so the frame is directly chartable.
