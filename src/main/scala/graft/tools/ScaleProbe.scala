@@ -190,6 +190,60 @@ object ScaleProbe {
       }.reduce(_ unionByName _)
       graft.sim.Similarity.pqEncodeTrained(bigEmb, iters = 1).count()
     }
+    // replicated events: ids and users shifted per replica so per-user
+    // event counts (funnel depth, per-user sequences) keep their original
+    // shape — user count scales, per-user history does not.
+    lazy val bigEv = {
+      val e = Tables.events(spark, dir)
+      (0 until mult).map { r =>
+        e.select((col("event_id") + lit(r.toLong * 1000000000L)).as("event_id"),
+          col("ts"), (col("user_id") + lit(r.toLong * 10000000L)).as("user_id"),
+          col("event_type"), col("value"))
+      }.reduce(_ unionByName _).localCheckpoint(true)
+    }
+    t(s"sk1b kmv aggregator ${mult}x") {
+      val minK = udaf(new graft.ops.Kmv.MinKDistinct(64))
+      bigEv.select(col("event_type"),
+          ((col("user_id") * lit(2654435761L) + lit(987654321L)) %
+            lit(graft.ops.Kmv.M)).as("hv"))
+        .groupBy(col("event_type")).agg(minK(col("hv")).as("mins")).count()
+    }
+    t(s"sk2 count-min build+probe ${mult}x") {
+      import spark.implicits._
+      val hs = Seq((0L, 2654435761L, 1013904223L), (1L, 2246822519L, 374761393L),
+        (2L, 3266489917L, 2654435769L), (3L, 668265263L, 1540483477L))
+        .toDF("i", "a", "b")
+      def bkt = (col("user_id") * col("a") + col("b")) %
+        lit(2147483647L) % lit(1024L)
+      val cm = bigEv.select(col("user_id")).crossJoin(broadcast(hs))
+        .groupBy(col("i"), bkt.as("bkt")).agg(count(lit(1)).as("c"))
+      val top = bigEv.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("user_id")).limit(20)
+      top.crossJoin(broadcast(hs)).withColumn("bkt", bkt)
+        .join(cm, Seq("i", "bkt")).groupBy(col("user_id"))
+        .agg(min(col("c")).as("est")).count()
+    }
+    t(s"fa1 funnel 24h ${mult}x") {
+      val s1 = bigEv.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val s2 = bigEv.filter(col("event_type") === "click").join(s1, "user_id")
+        .filter(col("ts") > col("t1") &&
+          col("ts") <= col("t1") + expr("INTERVAL 24 HOURS"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      bigEv.filter(col("event_type") === "purchase").join(s2, "user_id")
+        .filter(col("ts") > col("t2") &&
+          col("ts") <= col("t2") + expr("INTERVAL 24 HOURS"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3")).count()
+    }
+    t(s"fa3 transitions ${mult}x") {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      bigEv.select(col("event_type"),
+          lead(col("event_type"), 1).over(w).as("next_type"))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n")).count()
+    }
     t(s"j9 asof join events") {
       val e = Tables.events(spark, dir)
       val l = e.filter(col("event_type") === "click")
