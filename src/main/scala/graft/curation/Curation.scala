@@ -80,6 +80,26 @@ object Curation {
         row_number().over(Window.partitionBy(key).orderBy(order: _*)))
       .filter(col("__qrn") <= n).drop("__qrn")
 
+  /** Deterministic stratified sampling: keep a fixed per-stratum permille
+    * by thresholding a portable multiplicative hash of the id — the
+    * reproducible "downsample the over-represented sources" step
+    * (fixed-rate sibling of [[temperatureSample]]'s adaptive rates).
+    * Pure projection + filter: no shuffle, no RNG state, and the keep
+    * decision is a function of the row alone — so it is stable under
+    * retries/replays and partition re-splits, and any engine with 64-bit
+    * integer arithmetic reproduces the exact sample.
+    */
+  def stratifiedSample(df: DataFrame, key: Column, id: Column,
+                       rates: Seq[(String, Int)],
+                       defaultPermille: Int = 100): DataFrame = {
+    val slot = (id * lit(2654435761L) + lit(987654321L)) %
+      lit(2147483647L) % lit(1000L)
+    val rate = rates.foldLeft(lit(defaultPermille)) { case (acc, (k, r)) =>
+      when(key === k, lit(r)).otherwise(acc)
+    }
+    df.filter(slot < rate)
+  }
+
   /** Decontamination: corpus documents sharing ANY word `n`-gram with the
     * evaluation/benchmark set (the pre-training hygiene step — drop
     * training docs that leak eval content). Shingles via

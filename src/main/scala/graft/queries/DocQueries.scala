@@ -1786,6 +1786,41 @@ object DocQueries {
         .orderBy(col("doc_id"))
     },
 
+    // C17: deterministic stratified sampling — fixed per-source keep
+    // rates (src0 500‰, src1 800‰, src2 300‰, default 100‰) via a
+    // portable hash threshold on doc_id (Curation.stratifiedSample).
+    // The audit gates totals, kept counts, realized permille, and a
+    // kept-id checksum per source, so the EXACT sample membership is
+    // pinned, not just its size.
+    QDef("c17_stratified_sample",
+      """WITH s AS (SELECT doc_id, source,
+        |  (doc_id * 2654435761 + 987654321) % 2147483647 % 1000 AS slot,
+        |  CASE source WHEN 'src0' THEN 500 WHEN 'src1' THEN 800
+        |    WHEN 'src2' THEN 300 ELSE 100 END AS rate
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST(count(CASE WHEN slot < rate THEN 1 END) AS BIGINT) AS n_kept,
+        |  CAST(count(CASE WHEN slot < rate THEN 1 END) * 1000 // count(*)
+        |    AS BIGINT) AS realized_permille,
+        |  CAST(coalesce(sum(CASE WHEN slot < rate THEN doc_id END), 0)
+        |    AS BIGINT) AS kept_id_checksum
+        |FROM s GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val kept = graft.curation.Curation.stratifiedSample(d, col("source"),
+        col("doc_id"), Seq("src0" -> 500, "src1" -> 800, "src2" -> 300), 100)
+      val tot = d.groupBy(col("source")).agg(count(lit(1)).as("n_total"))
+      val k = kept.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).as("kept_id_checksum"))
+      tot.join(k, Seq("source"), "left")
+        .select(col("source"), col("n_total"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          expr("coalesce(n_kept, 0) * 1000 DIV n_total")
+            .cast("long").as("realized_permille"),
+          coalesce(col("kept_id_checksum"), lit(0L)).as("kept_id_checksum"))
+        .orderBy(col("source"))
+    },
+
     // Epoch plan for a weighted multi-source mix: per-mille target
     // weights + a token budget -> per-source epochs / effective tokens /
     // shortfall, upsampling capped at 4 epochs. All-integer arithmetic

@@ -357,6 +357,21 @@ class CurationSpec extends AnyFunSuite {
     assert(kept == Set(2L, 3L))
   }
 
+  test("stratifiedSample: deterministic subset, rate-monotone, rate-0/1000 exact") {
+    val df = (1L to 400L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
+    def keep(rates: Seq[(String, Int)], dflt: Int) =
+      Curation.stratifiedSample(df, col("source"), col("doc_id"), rates, dflt)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val a = keep(Seq("src0" -> 500, "src1" -> 300), 100)
+    assert(a == keep(Seq("src0" -> 500, "src1" -> 300), 100)) // replayable
+    assert(a.subsetOf((1L to 400L).toSet))
+    // raising any rate only ever ADDS rows (threshold semantics)
+    assert(a.subsetOf(keep(Seq("src0" -> 900, "src1" -> 300), 100)))
+    // degenerate rates are exact: 0 keeps nothing, 1000 keeps everything
+    assert(keep(Seq.empty, 0).isEmpty)
+    assert(keep(Seq.empty, 1000).size == 400)
+  }
+
   test("epochMix: zero-token source gets epochs 0, no divide-by-zero") {
     val df = Seq(("web", 100L), ("empty", 0L)).toDF("src", "n")
     val plan = Curation.epochMix(df, col("src"), col("n"),
