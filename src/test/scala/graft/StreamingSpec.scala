@@ -205,6 +205,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("KMV sketch works as a streaming aggregate across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long)]
+    val minK = udaf(new graft.ops.Kmv.MinKDistinct(4))
+    val df = in.toDS().toDF("k", "uid")
+      .select(col("k"),
+        ((col("uid") * lit(2654435761L) + lit(987654321L)) %
+          lit(graft.ops.Kmv.M)).as("hv"))
+      .groupBy(col("k")).agg(minK(col("hv")).as("mins"))
+    val q = df.writeStream.format("memory").queryName("kmv")
+      .outputMode("complete").start()
+    try {
+      in.addData(("a", 1L), ("a", 2L), ("b", 10L)); q.processAllAvailable()
+      in.addData(("a", 3L), ("a", 1L), ("a", 7L), ("a", 9L), ("b", 11L))
+      q.processAllAvailable()
+      val got = spark.table("kmv").as[(String, Seq[Long])].collect()
+        .toMap
+      // streaming state after two batches == batch fold over all input
+      val aggr = new graft.ops.Kmv.MinKDistinct(4)
+      def expect(ids: Seq[Long]) =
+        ids.map(graft.ops.Kmv.hash).foldLeft(aggr.zero)(aggr.reduce)
+      assert(got("a") == expect(Seq(1L, 2L, 3L, 1L, 7L, 9L)))
+      assert(got("b") == expect(Seq(10L, 11L)))
+    } finally q.stop()
+  }
+
   test("lastNPerKey keeps the n newest rows per key by event time (ST6)") {
     import spark.implicits._
     val df = Seq(
