@@ -816,6 +816,10 @@ object EventQueries {
     // no float interpolation, so the gate has no rounding knife-edge.
     // The oracle uses DuckDB's NATIVE percentile_disc, so two independent
     // implementations must agree on the tie/boundary semantics.
+    // Scale shape: aggregate to per-(type, cents) counts FIRST (map-side
+    // partial agg compresses to the distinct-value domain), then window
+    // over the compact frame — never a per-type sort of raw rows — and
+    // test thresholds in exact integers (4*cum >= tot ⇔ cume_dist >= .25).
     QDef("a24_percentile_disc",
       s"""$E, c AS (
          |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM e)
@@ -825,16 +829,22 @@ object EventQueries {
          |  percentile_disc(0.9)  WITHIN GROUP (ORDER BY cents) AS p90,
          |  percentile_disc(0.99) WITHIN GROUP (ORDER BY cents) AS p99
          |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
-      val c = ev(s, dir).select(col("event_type"),
-        round(col("value") * 100).cast("long").as("cents"))
-      val cd = c.withColumn("cd", cume_dist().over(
-        Window.partitionBy(col("event_type")).orderBy(col("cents"))))
-      cd.groupBy(col("event_type"))
+      val counts = ev(s, dir)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy(col("event_type"), col("cents"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+      val cum = counts
+        .withColumn("cum", sum(col("cnt")).over(w))
+        .withColumn("tot", sum(col("cnt")).over(
+          Window.partitionBy(col("event_type"))))
+      cum.groupBy(col("event_type"))
         .agg(
-          min(when(col("cd") >= 0.25, col("cents"))).as("p25"),
-          min(when(col("cd") >= 0.5, col("cents"))).as("p50"),
-          min(when(col("cd") >= 0.9, col("cents"))).as("p90"),
-          min(when(col("cd") >= 0.99, col("cents"))).as("p99"))
+          min(when(col("cum") * 4 >= col("tot"), col("cents"))).as("p25"),
+          min(when(col("cum") * 2 >= col("tot"), col("cents"))).as("p50"),
+          min(when(col("cum") * 10 >= col("tot") * 9, col("cents"))).as("p90"),
+          min(when(col("cum") * 100 >= col("tot") * 99, col("cents"))).as("p99"))
         .orderBy(col("event_type"))
     },
 
