@@ -1170,6 +1170,41 @@ object EventQueries {
         .orderBy(col("event_type"), col("next_type"))
     },
 
+    // FA4: DAU / trailing-7-day WAU / stickiness — each active (user,
+    // day) pair is EXPLODED to the 7 window-end days it contributes to,
+    // then a grouped distinct count per window day: bounded 7x row
+    // amplification on an already day-distinct frame, instead of a
+    // sliding RANGE-frame distinct (which Spark cannot do without a
+    // per-day re-scan or a giant state). Stickiness = DAU/WAU in exact
+    // integer permille. Window days are inner-joined back to real
+    // activity days, so no phantom trailing days appear.
+    QDef("fa4_dau_wau",
+      s"""$E, a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM e),
+         |off AS (SELECT * FROM (VALUES (0),(1),(2),(3),(4),(5),(6)) t(o)),
+         |dau AS (SELECT d, count(DISTINCT user_id) AS dau FROM a GROUP BY d),
+         |wau AS (
+         |  SELECT a.d + o.o AS wd, count(DISTINCT a.user_id) AS wau
+         |  FROM a CROSS JOIN off o GROUP BY 1)
+         |SELECT dau.d AS day, CAST(dau.dau AS BIGINT) AS dau,
+         |  CAST(wau.wau AS BIGINT) AS wau,
+         |  CAST(dau.dau * 1000 // wau.wau AS BIGINT) AS stickiness_permille
+         |FROM dau JOIN wau ON wau.wd = dau.d ORDER BY day""".stripMargin) {
+      (s, dir) =>
+      val a = ev(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      val dau = a.groupBy(col("d"))
+        .agg(countDistinct(col("user_id")).as("dau"))
+      val wau = a
+        .select(col("user_id"),
+          explode(sequence(lit(0), lit(6))).as("o"), col("d"))
+        .select(col("user_id"), date_add(col("d"), col("o")).as("wd"))
+        .groupBy(col("wd")).agg(countDistinct(col("user_id")).as("wau"))
+      dau.join(wau, col("d") === col("wd"))
+        .select(col("d").as("day"), col("dau"), col("wau"),
+          expr("dau * 1000 DIV wau").cast("long").as("stickiness_permille"))
+        .orderBy(col("day"))
+    },
+
     // PIVOT: hour x event_type count matrix with an explicit (stable)
     // column list — the dashboard-facing wide shape. Missing cells are
     // 0, not NULL, so the frame is directly chartable.
