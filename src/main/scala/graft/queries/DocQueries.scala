@@ -1477,6 +1477,29 @@ object DocQueries {
         .orderBy(col("doc_inner"), col("doc_outer"))
     },
 
+    // D13: edit-distance near-dup candidates — same-(lang, length-bucket)
+    // pairs whose normalized 32-char prefixes are within 5 Levenshtein
+    // edits. Same blocked-candidate recall contract as the d2 band joins
+    // and d4 prefix blocks. Both engines evaluate their NATIVE
+    // levenshtein (two independent DP implementations must agree on
+    // every distance), Spark through the thresholded early-termination
+    // form.
+    QDef("d13_edit_distance_pairs",
+      """WITH p AS (
+        |  SELECT doc_id, lang, substring(lower(trim(text)), 1, 32) AS pre
+        |  FROM documents WHERE text IS NOT NULL),
+        |b AS (SELECT doc_id, lang, pre, length(pre) // 8 AS lb FROM p)
+        |SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+        |  CAST(levenshtein(a.pre, c.pre) AS BIGINT) AS dist
+        |FROM b a JOIN b c ON a.lang = c.lang AND a.lb = c.lb
+        |  AND a.doc_id < c.doc_id
+        |WHERE levenshtein(a.pre, c.pre) <= 5
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      Dedup.editDistancePairs(Tables.documents(s, dir), col("text"),
+          col("doc_id"), col("lang"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // Corpus-pair resemblance via k-MinHash sketches (the "how much does
     // source B overlap source A" audit): one portable md5 signature per
     // source, estimated Jaccard = agreeing components / k. Every

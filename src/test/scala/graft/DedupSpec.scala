@@ -181,6 +181,23 @@ class DedupSpec extends AnyFunSuite {
     assert(ham(fp(1L), fp(3L)) < ham(fp(1L), fp(4L)))
   }
 
+  test("editDistancePairs: within-threshold same-block pairs only; nulls dropped") {
+    val d = Seq(
+      (1L, "en", "the quick brown fox jumps"),
+      (2L, "en", "the quick brown fox jumped"),  // 2 edits from doc 1
+      (3L, "en", "a totally different opening"), // far from both
+      (4L, "de", "the quick brown fox jumps"),   // same text, other lang block
+      (5L, "en", null.asInstanceOf[String])      // null text must be dropped
+    ).toDF("doc_id", "lang", "text")
+    val got = Dedup.editDistancePairs(d, col("text"), col("doc_id"),
+        col("lang"), prefixLen = 32, maxDist = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 2L, 2L)))
+    // tightening the threshold below the true distance drops the pair
+    assert(Dedup.editDistancePairs(d, col("text"), col("doc_id"),
+      col("lang"), prefixLen = 32, maxDist = 1).count() == 0L)
+  }
+
   test("corpusResemblance: identical corpora sketch to 1.0, disjoint to 0") {
     val d = Seq(
       (1L, "s1", "alpha beta gamma"), (2L, "s1", "delta eps"),
