@@ -848,6 +848,57 @@ object EventQueries {
         .orderBy(col("event_type"))
     },
 
+    // A25: z-score anomaly detection with an EXACT integer test — an
+    // event is an outlier when |x - mean| > 3*stddev, decided without
+    // ever computing a float mean or stddev: z^2 > 9 is algebraically
+    // (n*x - Σx)^2 > 9*(n*Σx^2 - (Σx)^2), all DECIMAL(38,0)-exact
+    // integers in cents (~1e18 at sf0.1, far under 38 digits; both
+    // engines keep (38,0)x(38,0) products exact at this magnitude), so
+    // the outlier SET is hash-gateable — no stddev rounding knife-edge.
+    // Scale shape: one grouped-moments pass, 5-row broadcast back, one
+    // grouped reduce. Two scans, no sort, no window.
+    QDef("a25_anomaly_zscore",
+      s"""$E, c AS (
+         |  SELECT event_type, event_id,
+         |    CAST(round(value * 100) AS BIGINT) AS x FROM e),
+         |s AS (SELECT event_type, CAST(count(*) AS DECIMAL(38,0)) AS n,
+         |    CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+         |    CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx
+         |  FROM c GROUP BY 1),
+         |f AS (SELECT c.event_type, c.x,
+         |    (s.n * c.x - s.sx) * (s.n * c.x - s.sx) AS lhs,
+         |    9 * (s.n * s.sxx - s.sx * s.sx) AS rhs
+         |  FROM c JOIN s ON c.event_type = s.event_type)
+         |SELECT event_type,
+         |  CAST(count(CASE WHEN lhs > rhs THEN 1 END) AS BIGINT) AS n_outliers,
+         |  CAST(min(CASE WHEN lhs > rhs THEN x END) AS BIGINT)
+         |    AS min_outlier_cents,
+         |  CAST(max(CASE WHEN lhs > rhs THEN x END) AS BIGINT)
+         |    AS max_outlier_cents
+         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val c = ev(s, dir).select(col("event_type"),
+        round(col("value") * 100).cast("long").as("x"))
+      val stats = c.groupBy(col("event_type")).agg(
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("x")).cast("decimal(38,0)").as("sx"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).cast("decimal(38,0)")
+          .as("sxx"))
+      val dev = col("n") * col("x") - col("sx")
+      c.join(broadcast(stats), "event_type")
+        .withColumn("lhs", dev * dev)
+        .withColumn("rhs",
+          lit(9) * (col("n") * col("sxx") - col("sx") * col("sx")))
+        .groupBy(col("event_type"))
+        .agg(
+          count(when(col("lhs") > col("rhs"), lit(1)))
+            .as("n_outliers"),
+          min(when(col("lhs") > col("rhs"), col("x")))
+            .cast("long").as("min_outlier_cents"),
+          max(when(col("lhs") > col("rhs"), col("x")))
+            .cast("long").as("max_outlier_cents"))
+        .orderBy(col("event_type"))
+    },
+
     // SK1: KMV (k-minimum-values) distinct sketch, k=64 — per-type
     // distinct-user estimate from the k smallest distinct multiplicative
     // hashes (graft.ops.Kmv). Deterministic for the fixed hash family,
