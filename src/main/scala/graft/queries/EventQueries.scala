@@ -899,6 +899,60 @@ object EventQueries {
         .orderBy(col("event_type"))
     },
 
+    // A26: Pearson correlation with NO floating point — the r^2 value is
+    // an exact integer rational: r^2 = cov^2 / (var_x * var_y) with
+    // cov = n*Σxy - Σx*Σy etc., all DECIMAL(38,0)-exact (max term
+    // ~1e34 < 1e38), reported as sign(r) plus r^2 in ppm via integral
+    // division. The usual corr() float can't be hash-gated across
+    // engines; this can. Zero-variance groups report 0 (guarded both
+    // sides — DuckDB // errors on zero where Spark nulls). The oracle
+    // divides in HUGEINT: DuckDB's // on DECIMAL operands computes in
+    // DOUBLE (and doesn't floor), which is off-by-one at 1e30 scale.
+    // One grouped-moments pass; 5-row result.
+    QDef("a26_correlation",
+      s"""$E, c AS (
+         |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x,
+         |    CAST(hour(ts) AS BIGINT) AS y FROM e),
+         |s AS (SELECT event_type,
+         |    CAST(count(*) AS DECIMAL(38,0)) AS n,
+         |    CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+         |    CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+         |    CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx,
+         |    CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS syy,
+         |    CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy
+         |  FROM c GROUP BY 1)
+         |SELECT event_type,
+         |  CAST(CASE WHEN (n*sxy - sx*sy) > 0 THEN 1
+         |    WHEN (n*sxy - sx*sy) < 0 THEN -1 ELSE 0 END AS BIGINT) AS r_sign,
+         |  CAST(CASE WHEN (n*sxx - sx*sx) * (n*syy - sy*sy) = 0 THEN 0
+         |    ELSE CAST((n*sxy - sx*sy) * (n*sxy - sx*sy) * 1000000 AS HUGEINT)
+         |      // CAST((n*sxx - sx*sx) * (n*syy - sy*sy) AS HUGEINT)
+         |    END AS BIGINT) AS r2_ppm
+         |FROM s ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val c = ev(s, dir).select(col("event_type"),
+        round(col("value") * 100).cast("long").as("x"),
+        hour(col("ts")).cast("long").as("y"))
+      val stats = c.groupBy(col("event_type")).agg(
+        dec(count(lit(1))).as("n"),
+        dec(sum(col("x"))).as("sx"), dec(sum(col("y"))).as("sy"),
+        dec(sum(dec(col("x")) * col("x"))).as("sxx"),
+        dec(sum(dec(col("y")) * col("y"))).as("syy"),
+        dec(sum(dec(col("x")) * col("y"))).as("sxy"))
+      val cov = col("n") * col("sxy") - col("sx") * col("sy")
+      val vxvy = (col("n") * col("sxx") - col("sx") * col("sx")) *
+        (col("n") * col("syy") - col("sy") * col("sy"))
+      stats
+        .withColumn("cov", cov).withColumn("vxvy", vxvy)
+        .select(col("event_type"),
+          when(col("cov") > 0, 1L).when(col("cov") < 0, -1L).otherwise(0L)
+            .cast("long").as("r_sign"),
+          when(col("vxvy") === 0, 0L)
+            .otherwise(expr("cov * cov * 1000000 DIV vxvy"))
+            .cast("long").as("r2_ppm"))
+        .orderBy(col("event_type"))
+    },
+
     // SK1: KMV (k-minimum-values) distinct sketch, k=64 — per-type
     // distinct-user estimate from the k smallest distinct multiplicative
     // hashes (graft.ops.Kmv). Deterministic for the fixed hash family,
