@@ -1310,6 +1310,84 @@ object EventQueries {
         .orderBy(col("day"))
     },
 
+    // FA5: longest same-type streak per user — classic gaps-and-islands
+    // via the double-row_number difference (rn over all events minus rn
+    // within the type is constant exactly along a run). Both windows
+    // partition by user_id, so ONE shuffle feeds two sorts; the island
+    // key (rn - rnt) is pure integer arithmetic. Top-20 by (streak,
+    // user_id) total order.
+    QDef("fa5_longest_streak",
+      s"""$E, o AS (
+         |  SELECT user_id, event_type,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS rn,
+         |    row_number() OVER (PARTITION BY user_id, event_type
+         |      ORDER BY ts, event_id) AS rnt
+         |  FROM e),
+         |g AS (SELECT user_id, event_type, rn - rnt AS grp, count(*) AS len
+         |      FROM o GROUP BY 1, 2, 3),
+         |m AS (SELECT user_id, max(len) AS max_streak FROM g GROUP BY 1)
+         |SELECT user_id, CAST(max_streak AS BIGINT) AS max_streak
+         |FROM m ORDER BY max_streak DESC, user_id LIMIT 20""".stripMargin) {
+      (s, dir) =>
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val byUserType = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      ev(s, dir)
+        .select(col("user_id"), col("event_type"),
+          row_number().over(byUser).as("rn"),
+          row_number().over(byUserType).as("rnt"))
+        .groupBy(col("user_id"), col("event_type"),
+          (col("rn") - col("rnt")).as("grp"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("user_id")).agg(max(col("len")).as("max_streak"))
+        .orderBy(col("max_streak").desc, col("user_id")).limit(20)
+    },
+
+    // A27: median absolute deviation — the robust spread statistic, both
+    // medians by exact rank selection (the a24 aggregate-first shape:
+    // per-(type, value) counts, window over the compact frame, integer
+    // threshold 2*cum >= tot). No floats anywhere, so median AND mad
+    // hash-gate against DuckDB's native percentile_disc.
+    QDef("a27_mad",
+      s"""$E, c AS (
+         |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x FROM e),
+         |med AS (SELECT event_type,
+         |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY x) AS BIGINT)
+         |    AS med
+         |  FROM c GROUP BY 1),
+         |dev AS (SELECT c.event_type, med.med, abs(c.x - med.med) AS d
+         |        FROM c JOIN med ON c.event_type = med.event_type)
+         |SELECT event_type, CAST(max(med) AS BIGINT) AS median_cents,
+         |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY d) AS BIGINT)
+         |    AS mad_cents
+         |FROM dev GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, dir) =>
+      def discMedian(df: DataFrame, out: String): DataFrame = {
+        val counts = df.groupBy(col("event_type"), col("v"))
+          .agg(count(lit(1)).as("cnt"))
+        val cum = counts
+          .withColumn("cum", sum(col("cnt")).over(
+            Window.partitionBy(col("event_type")).orderBy(col("v"))))
+          .withColumn("tot", sum(col("cnt")).over(
+            Window.partitionBy(col("event_type"))))
+        cum.groupBy(col("event_type"))
+          .agg(min(when(col("cum") * 2 >= col("tot"), col("v"))).as(out))
+      }
+      val c = ev(s, dir).select(col("event_type"),
+        round(col("value") * 100).cast("long").as("v"))
+      val med = discMedian(c, "median_cents")
+      val dev = c.join(broadcast(med), "event_type")
+        .select(col("event_type"), col("median_cents"),
+          abs(col("v") - col("median_cents")).as("v"))
+      dev.groupBy(col("event_type"))
+        .agg(max(col("median_cents")).as("median_cents"))
+        .join(discMedian(dev, "mad_cents"), "event_type")
+        .select(col("event_type"), col("median_cents"), col("mad_cents"))
+        .orderBy(col("event_type"))
+    },
+
     // PIVOT: hour x event_type count matrix with an explicit (stable)
     // column list — the dashboard-facing wide shape. Missing cells are
     // 0, not NULL, so the frame is directly chartable.
