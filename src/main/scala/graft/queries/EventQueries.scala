@@ -1388,6 +1388,46 @@ object EventQueries {
         .orderBy(col("event_type"))
     },
 
+    // FA6: Gini coefficient of per-user event share — the inequality
+    // panel ("how concentrated is activity"), exact to the permille:
+    // gini = (2*Σ(i*x_i) - (n+1)*Σx) / (n*Σx) over ascending-ranked
+    // per-user counts. Ties rank by (cnt, user_id) but Σ(i*x_i) is
+    // tie-order invariant, so the value is deterministic. The rank
+    // window runs over the per-user AGGREGATE (one row per user), never
+    // raw events; sums go through DECIMAL(38,0)/HUGEINT because at 1e9
+    // users the rank-weighted sum exceeds int64.
+    QDef("fa6_gini",
+      s"""$E, u AS (
+         |  SELECT event_type, user_id, count(*) AS cnt FROM e GROUP BY 1, 2),
+         |r AS (SELECT event_type, cnt,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY cnt, user_id)
+         |    AS i
+         |  FROM u),
+         |s AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+         |  CAST(sum(cnt) AS HUGEINT) AS tot,
+         |  CAST(sum(CAST(i AS HUGEINT) * cnt) AS HUGEINT) AS s1
+         |  FROM r GROUP BY 1)
+         |SELECT event_type, CAST(n AS BIGINT) AS n_users,
+         |  CAST(tot AS BIGINT) AS n_events,
+         |  CAST((2*s1 - (n+1)*tot) * 1000 // (n*tot) AS BIGINT)
+         |    AS gini_permille
+         |FROM s ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val u = ev(s, dir).groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+      val r = u.withColumn("i", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("cnt"), col("user_id"))))
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      r.groupBy(col("event_type"))
+        .agg(dec(count(lit(1))).as("n"), dec(sum(col("cnt"))).as("tot"),
+          dec(sum(dec(col("i")) * col("cnt"))).as("s1"))
+        .select(col("event_type"), col("n").cast("long").as("n_users"),
+          col("tot").cast("long").as("n_events"),
+          expr("(2*s1 - (n+1)*tot) * 1000 DIV (n*tot)")
+            .cast("long").as("gini_permille"))
+        .orderBy(col("event_type"))
+    },
+
     // PIVOT: hour x event_type count matrix with an explicit (stable)
     // column list — the dashboard-facing wide shape. Missing cells are
     // 0, not NULL, so the frame is directly chartable.
