@@ -1474,6 +1474,204 @@ object EventQueries {
       graft.ops.AsOf.asOfJoin(l, r2, "user_id", "ts", "ts",
           Seq("r_event", "r_value"))
         .orderBy(col("event_id"))
+    },
+
+    // A28: Spearman rank correlation between per-user activity (event
+    // count) and per-user spend (cents), with NO floating point: ranks
+    // are tie-averaged and doubled to stay integral (2*avg_rank =
+    // 2*min_rank + ties - 1), then the a26 exact-rational Pearson
+    // machinery runs on the doubled ranks — sign + rho^2 in ppm via
+    // integral division (HUGEINT on the oracle side; DuckDB's // on
+    // DECIMAL is unfloored DOUBLE). Bounds: doubled ranks <= 2n, so
+    // vxvy <= (n * n * 4n^2)^... stays under DECIMAL(38,0) up to
+    // n ~ 1e6 users; beyond that, permille-bucket the ranks first
+    // (rank DIV (n DIV 1000)) — same statistic to 3 digits, same plan.
+    // The rank windows are global but run over the per-user AGGREGATE
+    // (|users| rows, not |events|) — the only full-data shuffle is the
+    // groupBy(user_id).
+    QDef("a28_spearman",
+      s"""$E, u AS (
+         |  SELECT user_id, CAST(count(*) AS BIGINT) AS x,
+         |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+         |  FROM e GROUP BY 1),
+         |r AS (
+         |  SELECT user_id,
+         |    2 * rank() OVER (ORDER BY x) + count(*) OVER (PARTITION BY x) - 1 AS rx,
+         |    2 * rank() OVER (ORDER BY y) + count(*) OVER (PARTITION BY y) - 1 AS ry
+         |  FROM u),
+         |s AS (SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+         |    CAST(sum(rx) AS DECIMAL(38,0)) AS sx,
+         |    CAST(sum(ry) AS DECIMAL(38,0)) AS sy,
+         |    CAST(sum(CAST(rx AS DECIMAL(38,0)) * rx) AS DECIMAL(38,0)) AS sxx,
+         |    CAST(sum(CAST(ry AS DECIMAL(38,0)) * ry) AS DECIMAL(38,0)) AS syy,
+         |    CAST(sum(CAST(rx AS DECIMAL(38,0)) * ry) AS DECIMAL(38,0)) AS sxy
+         |  FROM r)
+         |SELECT CAST(n AS BIGINT) AS n_users,
+         |  CAST(CASE WHEN (n*sxy - sx*sy) > 0 THEN 1
+         |    WHEN (n*sxy - sx*sy) < 0 THEN -1 ELSE 0 END AS BIGINT) AS rho_sign,
+         |  CAST(CASE WHEN (n*sxx - sx*sx) * (n*syy - sy*sy) = 0 THEN 0
+         |    ELSE CAST((n*sxy - sx*sy) * (n*sxy - sx*sy) * 1000000 AS HUGEINT)
+         |      // CAST((n*sxx - sx*sx) * (n*syy - sy*sy) AS HUGEINT)
+         |    END AS BIGINT) AS rho2_ppm
+         |FROM s""".stripMargin) { (s, dir) =>
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val u = ev(s, dir).groupBy(col("user_id")).agg(
+        count(lit(1)).cast("long").as("x"),
+        sum(round(col("value") * 100).cast("long")).cast("long").as("y"))
+      def dblRank(c: String) =
+        (lit(2) * rank().over(Window.orderBy(col(c))) +
+          count(lit(1)).over(Window.partitionBy(col(c))) - 1).cast("long")
+      val r = u.select(dblRank("x").as("rx"), dblRank("y").as("ry"))
+      val st = r.agg(
+        dec(count(lit(1))).as("n"),
+        dec(sum(col("rx"))).as("sx"), dec(sum(col("ry"))).as("sy"),
+        dec(sum(dec(col("rx")) * col("rx"))).as("sxx"),
+        dec(sum(dec(col("ry")) * col("ry"))).as("syy"),
+        dec(sum(dec(col("rx")) * col("ry"))).as("sxy"))
+      val cov = col("n") * col("sxy") - col("sx") * col("sy")
+      val vxvy = (col("n") * col("sxx") - col("sx") * col("sx")) *
+        (col("n") * col("syy") - col("sy") * col("sy"))
+      st.withColumn("cov", cov).withColumn("vxvy", vxvy)
+        .select(col("n").cast("long").as("n_users"),
+          when(col("cov") > 0, 1L).when(col("cov") < 0, -1L).otherwise(0L)
+            .cast("long").as("rho_sign"),
+          when(col("vxvy") === 0, 0L)
+            .otherwise(expr("cov * cov * 1000000 DIV vxvy"))
+            .cast("long").as("rho2_ppm"))
+    },
+
+    // FA7: RFM customer segmentation over `orders` (recency in days vs
+    // the corpus max date, frequency, monetary cents), quartiled by
+    // NTILE with a unique custkey tie-break so the segmentation is
+    // deterministic on both engines. The three quartile windows are
+    // global but run over the per-customer AGGREGATE (|customers| <<
+    // |orders|); at 1e9+ customers the thresholds would come from the
+    // a24 aggregate-first percentile machinery instead (same cells,
+    // distributed plan). Day arithmetic goes through DATE on both
+    // sides — timestamp-granularity day_diff differs between engines.
+    QDef("fa7_rfm_segments",
+      """WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |mx AS (SELECT max(d) AS mxd FROM o),
+        |c AS (
+        |  SELECT o_custkey,
+        |    date_diff('day', max(d), (SELECT mxd FROM mx)) AS rec_days,
+        |    CAST(count(*) AS BIGINT) AS freq,
+        |    CAST(sum(cents) AS BIGINT) AS monetary
+        |  FROM o GROUP BY 1),
+        |q AS (
+        |  SELECT o_custkey,
+        |    ntile(4) OVER (ORDER BY rec_days ASC, o_custkey) AS r_q,
+        |    ntile(4) OVER (ORDER BY freq DESC, o_custkey) AS f_q,
+        |    ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_q,
+        |    monetary
+        |  FROM c)
+        |SELECT CAST(r_q AS INTEGER) AS r_q, CAST(f_q AS INTEGER) AS f_q,
+        |  CAST(m_q AS INTEGER) AS m_q,
+        |  CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(monetary) AS BIGINT) AS total_cents
+        |FROM q GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin) { (s, dir) =>
+      val o = Tables.orders(s, dir).select(col("o_custkey"),
+        to_date(col("o_orderdate")).as("d"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val mx = o.agg(max(col("d")).as("mxd"))
+      val c = o.groupBy(col("o_custkey"))
+        .agg(max(col("d")).as("lastd"),
+          count(lit(1)).cast("long").as("freq"),
+          sum(col("cents")).cast("long").as("monetary"))
+        .crossJoin(broadcast(mx))
+        .select(col("o_custkey"),
+          datediff(col("mxd"), col("lastd")).as("rec_days"),
+          col("freq"), col("monetary"))
+      val q = c.select(col("o_custkey"),
+        ntile(4).over(Window.orderBy(col("rec_days").asc, col("o_custkey")))
+          .as("r_q"),
+        ntile(4).over(Window.orderBy(col("freq").desc, col("o_custkey")))
+          .as("f_q"),
+        ntile(4).over(Window.orderBy(col("monetary").desc, col("o_custkey")))
+          .as("m_q"),
+        col("monetary"))
+      q.groupBy(col("r_q"), col("f_q"), col("m_q"))
+        .agg(count(lit(1)).cast("long").as("n_customers"),
+          sum(col("monetary")).cast("long").as("total_cents"))
+        .orderBy(col("r_q"), col("f_q"), col("m_q"))
+    },
+
+    // FA8: activity concentration curve (Lorenz points) — what share of
+    // all events the top 1/5/10/25% most-active users own, permille via
+    // integral division; cutoff k = ceil(p*n/100) in pure integers.
+    // Complements fa6 (Gini is the area summary; this is the curve).
+    // The cumulative window is global but over the per-user aggregate —
+    // at 1e9 users this becomes a two-pass range-partitioned prefix sum
+    // (partition boundaries from a sampled CDF), same semantics.
+    QDef("fa8_concentration",
+      s"""$E, u AS (
+         |  SELECT user_id, CAST(count(*) AS BIGINT) AS cnt FROM e GROUP BY 1),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS nu,
+         |    CAST(sum(cnt) AS BIGINT) AS tot FROM u),
+         |r AS (
+         |  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, user_id) AS rn
+         |  FROM u),
+         |cum AS (SELECT rn, sum(cnt) OVER (ORDER BY rn) AS ccnt FROM r),
+         |p AS (SELECT * FROM (VALUES (1),(5),(10),(25)) AS v(pct))
+         |SELECT CAST(p.pct AS INTEGER) AS pct,
+         |  CAST((p.pct * t.nu + 99) // 100 AS BIGINT) AS top_users,
+         |  CAST(c.ccnt AS BIGINT) AS events_covered,
+         |  CAST(c.ccnt * 1000 // t.tot AS BIGINT) AS share_permille
+         |FROM p, t JOIN cum c ON c.rn = (p.pct * t.nu + 99) // 100
+         |ORDER BY pct""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val u = ev(s, dir).groupBy(col("user_id"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+      val t = u.agg(count(lit(1)).cast("long").as("nu"),
+        sum(col("cnt")).cast("long").as("tot"))
+      val r = u.select(col("cnt"),
+        row_number().over(Window.orderBy(col("cnt").desc, col("user_id")))
+          .as("rn"))
+      val cum = r.select(col("rn"),
+        sum(col("cnt")).over(Window.orderBy(col("rn"))).as("ccnt"))
+      val p = Seq(1, 5, 10, 25).toDF("pct")
+      broadcast(p).crossJoin(broadcast(t))
+        .withColumn("k", expr("(pct * nu + 99) DIV 100"))
+        .join(cum, col("rn") === col("k"))
+        .select(col("pct").cast("int").as("pct"),
+          col("k").cast("long").as("top_users"),
+          col("ccnt").cast("long").as("events_covered"),
+          expr("ccnt * 1000 DIV tot").cast("long").as("share_permille"))
+        .orderBy(col("pct"))
+    },
+
+    // W8: time-RANGE window frame — per-user trailing-1h event count at
+    // every event (RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW over
+    // epoch millis, peers included identically on both engines), then
+    // the per-user maximum burst with earliest-ts tie-break. One shuffle
+    // on user_id; both windows share the partition key so Spark plans a
+    // single Exchange. This is the frame type F3's BETWEEN predicates
+    // cannot express — a true sliding aggregate, not a bucketed one.
+    QDef("w8_burst_1h",
+      s"""$E, w AS (
+         |  SELECT user_id, ts,
+         |    count(*) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+         |      RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS c1h
+         |  FROM e),
+         |m AS (
+         |  SELECT user_id, c1h, ts,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY c1h DESC, ts ASC) AS rn
+         |  FROM w)
+         |SELECT user_id, CAST(c1h AS BIGINT) AS max_burst_1h, ts AS burst_ts
+         |FROM m WHERE rn = 1 ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val w = ev(s, dir).select(col("user_id"), col("ts"))
+        .withColumn("c1h", count(lit(1)).over(
+          Window.partitionBy(col("user_id")).orderBy(unix_millis(col("ts")))
+            .rangeBetween(-3600000L, 0L)))
+      val m = w.withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("c1h").desc, col("ts").asc)))
+      m.filter(col("rn") === 1)
+        .select(col("user_id"), col("c1h").cast("long").as("max_burst_1h"),
+          col("ts").as("burst_ts"))
+        .orderBy(col("user_id"))
     }
   )
 }
