@@ -1997,6 +1997,56 @@ object DocQueries {
           Seq(0 -> Seq("hash", "join"), 1 -> Seq("window", "agg", "stream"),
             2 -> Seq("vector", "scan")), k = 10)
         .orderBy(col("query_id"), col("rank"))
+    },
+
+    // PMI collocations: top-20 bigrams by exact-integer lift (ppm) —
+    // lift is monotone in PMI, so this IS the PMI ranking with no
+    // cross-engine ln() hazard. min pair count 5 prunes the hapax tail.
+    QDef("t16_pmi_collocations",
+      """WITH l AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |u AS (SELECT unnest(t) AS tok FROM l),
+        |c1 AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY tok),
+        |n1 AS (SELECT CAST(sum(c) AS BIGINT) AS n1 FROM c1),
+        |bp AS (SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS bg FROM l),
+        |c2 AS (SELECT bg[1] AS w1, bg[2] AS w2, CAST(count(*) AS BIGINT) AS cxy
+        |       FROM bp GROUP BY 1, 2),
+        |n2 AS (SELECT CAST(sum(cxy) AS BIGINT) AS n2 FROM c2),
+        |sc AS (SELECT c2.w1, c2.w2, c2.cxy,
+        |    CAST(CAST(c2.cxy AS HUGEINT) * n1.n1 * n1.n1 * 1000000
+        |      // (CAST(n2.n2 AS HUGEINT) * ca.c * cb.c) AS BIGINT) AS lift_ppm
+        |  FROM c2, n1, n2
+        |  JOIN c1 ca ON c2.w1 = ca.tok
+        |  JOIN c1 cb ON c2.w2 = cb.tok
+        |  WHERE c2.cxy >= 5),
+        |rk AS (SELECT w1, w2, cxy, lift_ppm,
+        |    row_number() OVER (ORDER BY lift_ppm DESC, w1, w2) AS rank FROM sc)
+        |SELECT CAST(rank AS BIGINT) AS rank, w1, w2, cxy AS pair_count,
+        |  lift_ppm
+        |FROM rk WHERE rank <= 20 ORDER BY rank""".stripMargin) { (s, dir) =>
+      TextAnalysis.pmiCollocations(Tables.documents(s, dir), col("text"),
+          col("doc_id"), minCount = 5, k = 20)
+        .orderBy(col("rank"))
+    },
+
+    // Readability grade (FK shape) in exact milli-units: vowel-group
+    // syllables, terminal-punct+1 sentences, one integral division over
+    // the common denominator with a positive offset so negative grades
+    // floor identically on both engines.
+    QDef("t17_readability",
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+        |    CAST(len(regexp_extract_all(text, '[.!?]+')) + 1 AS BIGINT) AS s,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS sy
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id, w AS n_words, s AS n_sentences, sy AS n_syllables,
+        |  CAST(CASE WHEN w = 0 THEN NULL ELSE
+        |    CAST(390*w*w + 11800*sy*s + 1000000*s*w - 15590*s*w AS HUGEINT)
+        |      // CAST(s*w AS HUGEINT) - 1000000 END AS BIGINT) AS fk_grade_milli
+        |FROM d ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.readabilityGrade(Tables.documents(s, dir), col("text"),
+          col("doc_id"))
+        .orderBy(col("doc_id"))
     }
   )
 }

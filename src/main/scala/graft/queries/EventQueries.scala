@@ -1672,6 +1672,114 @@ object EventQueries {
         .select(col("user_id"), col("c1h").cast("long").as("max_burst_1h"),
           col("ts").as("burst_ts"))
         .orderBy(col("user_id"))
+    },
+
+    // A29: chi-squared independence machinery for event_type × iso-dow,
+    // over the FULL grid (zero cells included via a broadcast
+    // rowtotals×coltotals cross join — a groupBy alone would drop
+    // them and silently understate the statistic). All-integer output:
+    // expected counts in milli, the exact signed residual numerator
+    // O·N − rt·ct, and the per-cell chi-squared contribution in micro
+    // units via one DECIMAL(38,0) integral division per cell (resid²
+    // overflows int64 at 1e10 events — hence the decimal). The cell
+    // frame is materialized once (it feeds both margins, the total and
+    // the join — the multi-consumer contract); everything downstream of
+    // the single groupBy is margin-sized.
+    QDef("a29_chi2_independence",
+      s"""$E, c AS (
+         |  SELECT event_type, CAST(isodow(ts) AS BIGINT) AS dow,
+         |    CAST(count(*) AS BIGINT) AS o
+         |  FROM e GROUP BY 1, 2),
+         |rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt FROM c GROUP BY 1),
+         |ct AS (SELECT dow, CAST(sum(o) AS BIGINT) AS ct FROM c GROUP BY 1),
+         |n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM c),
+         |grid AS (SELECT rt.event_type, ct.dow, rt.rt, ct.ct FROM rt, ct),
+         |f AS (
+         |  SELECT g.event_type, g.dow, COALESCE(c.o, 0) AS o, g.rt, g.ct, n.n
+         |  FROM grid g LEFT JOIN c ON g.event_type = c.event_type
+         |    AND g.dow = c.dow, n)
+         |SELECT event_type, dow, CAST(o AS BIGINT) AS observed,
+         |  CAST(CAST(rt AS HUGEINT) * ct * 1000 // n AS BIGINT) AS expected_milli,
+         |  CAST(o * n - rt * ct AS BIGINT) AS resid_num,
+         |  CAST(CAST(o*n - rt*ct AS HUGEINT) * (o*n - rt*ct) * 1000000
+         |    // (CAST(rt AS HUGEINT) * ct * n) AS BIGINT) AS chi2_micro
+         |FROM f ORDER BY event_type, dow""".stripMargin) { (s, dir) =>
+      val c = ev(s, dir)
+        .groupBy(col("event_type"),
+          (expr("weekday(ts)") + 1).cast("long").as("dow"))
+        .agg(count(lit(1)).cast("long").as("o"))
+        .localCheckpoint(true) // cell-sized; feeds margins, total, join
+      val rt = c.groupBy(col("event_type")).agg(sum(col("o")).cast("long").as("rt"))
+      val ct = c.groupBy(col("dow")).agg(sum(col("o")).cast("long").as("ct"))
+      val n = c.agg(sum(col("o")).cast("long").as("n"))
+      broadcast(rt).crossJoin(broadcast(ct))
+        .join(c, Seq("event_type", "dow"), "left")
+        .withColumn("o", coalesce(col("o"), lit(0L)))
+        .crossJoin(broadcast(n))
+        .select(col("event_type"), col("dow"),
+          col("o").as("observed"),
+          expr("rt * ct * 1000 DIV n").cast("long").as("expected_milli"),
+          (col("o") * col("n") - col("rt") * col("ct")).cast("long")
+            .as("resid_num"),
+          expr("CAST(o*n - rt*ct AS DECIMAL(38,0)) * (o*n - rt*ct) * 1000000" +
+            " DIV (CAST(rt AS DECIMAL(38,0)) * ct * n)")
+            .cast("long").as("chi2_micro"))
+        .orderBy(col("event_type"), col("dow"))
+    },
+
+    // SK4: AMS F2 sketch — the second frequency moment of user activity
+    // (Σ count²_u, the self-join size / skew indicator) estimated by 64
+    // ±1-sign estimators (sign = md5 parity of `user:j`, the portable
+    // hash family of d2b), reported beside the exact moment and the
+    // permille error. Completes the sketch family: KMV (distinct),
+    // count-min (point freq), bloom (membership), AMS (F2). Plan: one
+    // shuffle to per-user counts (materialized once — it feeds the
+    // exact moment AND the 64-way explode), then the estimator frame is
+    // 64 rows. Expected relative error 1/√32 ≈ 18%; the sketch value
+    // itself is deterministic for the fixed family, hence hash-gated.
+    QDef("sk4_ams_f2",
+      s"""$E, u AS (
+         |  SELECT user_id, CAST(count(*) AS BIGINT) AS cnt FROM e GROUP BY 1),
+         |ex AS (SELECT CAST(sum(CAST(cnt AS DECIMAL(38,0)) * cnt)
+         |    AS DECIMAL(38,0)) AS f2 FROM u),
+         |j AS (SELECT unnest(range(64)) AS j),
+         |sgn AS (
+         |  SELECT j.j, u.cnt,
+         |    CASE WHEN substr(md5(CAST(u.user_id AS VARCHAR) || ':'
+         |        || CAST(j.j AS VARCHAR)), 32, 1)
+         |      IN ('1','3','5','7','9','b','d','f') THEN -1 ELSE 1 END AS s
+         |  FROM u, j),
+         |x AS (SELECT j, CAST(sum(cnt * s) AS BIGINT) AS z FROM sgn GROUP BY j),
+         |est AS (SELECT CAST(sum(CAST(z AS HUGEINT) * z) AS HUGEINT)
+         |    // 64 AS estv FROM x)
+         |SELECT CAST(ex.f2 AS BIGINT) AS exact_f2,
+         |  CAST(est.estv AS BIGINT) AS ams_estimate,
+         |  CAST(CAST(abs(CAST(est.estv AS DECIMAL(38,0)) - ex.f2) * 1000
+         |      AS HUGEINT) // CAST(ex.f2 AS HUGEINT)
+         |    AS BIGINT) AS err_permille
+         |FROM ex, est""".stripMargin) { (s, dir) =>
+      val u = ev(s, dir).groupBy(col("user_id"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+        .localCheckpoint(true) // |users| rows; exact moment + explode
+      val ex = u.agg(
+        sum(col("cnt").cast("decimal(38,0)") * col("cnt"))
+          .cast("decimal(38,0)").as("f2"))
+      val sgn = u.select(col("user_id"), col("cnt"),
+          explode(sequence(lit(0), lit(63))).as("j"))
+        .withColumn("s",
+          when(substring(md5(concat(col("user_id").cast("string"), lit(":"),
+              col("j").cast("string"))), 32, 1)
+            .isin("1", "3", "5", "7", "9", "b", "d", "f"), lit(-1L))
+            .otherwise(lit(1L)))
+      val x = sgn.groupBy(col("j")).agg(sum(col("cnt") * col("s")).as("z"))
+      val est = x.agg(
+        expr("CAST(sum(CAST(z AS DECIMAL(38,0)) * z) AS DECIMAL(38,0)) DIV 64")
+          .as("estv"))
+      ex.crossJoin(broadcast(est))
+        .select(col("f2").cast("long").as("exact_f2"),
+          col("estv").cast("long").as("ams_estimate"),
+          expr("abs(estv - f2) * 1000 DIV f2").cast("long")
+            .as("err_permille"))
     }
   )
 }

@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: quality scoring,
@@ -350,6 +351,78 @@ object TextAnalysis {
         round(col("num").cast("double") / (lit(2.0) * col("na") * col("nb")), 6)
           .as("tv_distance"))
   }
+
+  /** PMI collocations: top-k adjacent bigrams ranked by exact-integer
+    * lift = p(x,y)/(p(x)·p(y)) = c_xy·N₁² / (N₂·c_x·c_y), reported in
+    * ppm via integral division — the ratio is monotone in PMI (PMI =
+    * ln lift), so the ranking is the PMI ranking with zero floating
+    * point and no cross-engine ln() hazard. `minCount` prunes the
+    * hapax-dominated tail (the classic PMI failure mode — a pair seen
+    * once with rare parts maximizes lift).
+    *
+    * Scale: bigram + unigram models are one shuffle each on their keys
+    * (both vocab-bounded); the candidate set after the count filter is
+    * model-sized, so the global top-k runs orderBy+limit
+    * (TakeOrderedAndProject — no single-partition window over the
+    * corpus); the rank column is re-derived on the k survivors only.
+    * Unigram/bigram count frames are materialized once (multi-consumer
+    * contract, TextAnalysis idiom).
+    */
+  def pmiCollocations(df: DataFrame, text: Column, id: Column,
+                      minCount: Long = 5, k: Int = 20): DataFrame = {
+    val c1 = df.select(explode(toks(text)).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).cast("long").as("c"))
+      .localCheckpoint(true) // vocab-sized; feeds both sides + the total
+    val n1 = c1.agg(sum(col("c")).cast("long").as("n1"))
+    val c2 = bigramPairs(df, text, id)
+      .groupBy(col("prev"), col("tok")).agg(count(lit(1)).cast("long").as("cxy"))
+      .localCheckpoint(true) // model-sized; feeds the total AND the scores
+    val n2 = c2.agg(sum(col("cxy")).cast("long").as("n2"))
+    val sc = c2.filter(col("cxy") >= minCount)
+      .join(c1.select(col("tok").as("prev"), col("c").as("ca")), Seq("prev"))
+      .join(c1.select(col("tok"), col("c").as("cb")), Seq("tok"))
+      .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      .select(col("prev").as("w1"), col("tok").as("w2"),
+        col("cxy").as("pair_count"),
+        expr("CAST(cxy AS DECIMAL(38,0)) * n1 * n1 * 1000000" +
+          " DIV (CAST(n2 AS DECIMAL(38,0)) * ca * cb)")
+          .cast("long").as("lift_ppm"))
+    val top = sc
+      .orderBy(col("lift_ppm").desc, col("w1"), col("w2")).limit(k)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("lift_ppm").desc, col("w1"), col("w2"))))
+      .select(col("rank").cast("long").as("rank"), col("w1"), col("w2"),
+        col("pair_count"), col("lift_ppm"))
+  }
+
+  /** Readability grade (Flesch–Kincaid shape) with NO floating point:
+    * syllables are approximated by vowel-group runs (`[aeiouy]+`, the
+    * standard heuristic), sentences by terminal-punctuation runs plus
+    * one (trailing text counts), and the grade
+    * 0.39·W/S + 11.8·Sy/W − 15.59 is reported in milli-units as ONE
+    * exact integral division over the common denominator S·W. The
+    * numerator is offset by 10⁶·S·W before the division and 10⁶
+    * subtracted after, so a negative grade floors identically on both
+    * engines (Spark DIV truncates toward zero; the offset keeps the
+    * numerator positive). NULL-text docs are absent from the output
+    * (the repetitionMetrics contract). Pure scan-fused projection —
+    * no shuffle at any scale.
+    */
+  def readabilityGrade(df: DataFrame, text: Column, id: Column): DataFrame =
+    df.filter(text.isNotNull)
+      .select(id.as("doc_id"),
+        size(toks(text)).cast("long").as("w"),
+        (size(regexp_extract_all(text, lit("[.!?]+"), lit(0))) + 1)
+          .cast("long").as("s"),
+        size(regexp_extract_all(lower(text), lit("[aeiouy]+"), lit(0)))
+          .cast("long").as("sy"))
+      .select(col("doc_id"), col("w").as("n_words"),
+        col("s").as("n_sentences"), col("sy").as("n_syllables"),
+        when(col("w") === 0, lit(null).cast("long"))
+          .otherwise(expr(
+            "(390*w*w + 11800*sy*s + 1000000*s*w - 15590*s*w) DIV (s*w)" +
+              " - 1000000"))
+          .as("fk_grade_milli"))
 
   /** Deterministic weight vector for the classifier gate: index-derived
     * INTEGER-valued doubles in [-50, 50] (centi-units — the model scale
