@@ -1780,6 +1780,66 @@ object EventQueries {
           col("estv").cast("long").as("ams_estimate"),
           expr("abs(estv - f2) * 1000 DIV f2").cast("long")
             .as("err_permille"))
+    },
+
+    // G1: weighted PageRank over the event-type transition graph (the
+    // fa3 edge frame), 3 iterations in EXACT integer arithmetic
+    // (graft.ops.PageRank: pico-scaled ranks, damping 17/20, integral
+    // divisions) — which is what lets an ITERATIVE graph operator be
+    // hash-gated: the oracle unrolls the identical three rounds as CTEs.
+    // The graph here is label-sized (|V| = #event types), but the module
+    // plan is the generic one: per iteration one edges⋈ranks join + one
+    // groupBy(dst), rank lineage checkpoint-truncated (the d7 contract).
+    QDef("g1_pagerank",
+      s"""$E, o AS (
+         |  SELECT event_type AS src, lead(event_type) OVER (
+         |    PARTITION BY user_id ORDER BY ts, event_id) AS dst
+         |  FROM e),
+         |ed0 AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+         |        FROM o WHERE dst IS NOT NULL GROUP BY 1, 2),
+         |ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM ed0 GROUP BY 1),
+         |ed AS (SELECT ed0.src, ed0.dst, ed0.w, ow.outw
+         |       FROM ed0 JOIN ow ON ed0.src = ow.src),
+         |nodes AS (SELECT DISTINCT src AS node FROM ed0
+         |          UNION SELECT DISTINCT dst FROM ed0),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM nodes),
+         |nd AS (SELECT node, nn FROM nodes, nn),
+         |r0 AS (SELECT node, 1000000000000 // nn AS r FROM nd),
+         |r1 AS (
+         |  SELECT n.node,
+         |    (3000000000000 // (20 * n.nn)) + COALESCE(sum(
+         |      ((17 * r.r // 20) * ed.w) // ed.outw), 0) AS r
+         |  FROM nd n
+         |  LEFT JOIN (ed JOIN r0 r ON ed.src = r.node) ON ed.dst = n.node
+         |  GROUP BY n.node, n.nn),
+         |r2 AS (
+         |  SELECT n.node,
+         |    (3000000000000 // (20 * n.nn)) + COALESCE(sum(
+         |      ((17 * r.r // 20) * ed.w) // ed.outw), 0) AS r
+         |  FROM nd n
+         |  LEFT JOIN (ed JOIN r1 r ON ed.src = r.node) ON ed.dst = n.node
+         |  GROUP BY n.node, n.nn),
+         |r3 AS (
+         |  SELECT n.node,
+         |    (3000000000000 // (20 * n.nn)) + COALESCE(sum(
+         |      ((17 * r.r // 20) * ed.w) // ed.outw), 0) AS r
+         |  FROM nd n
+         |  LEFT JOIN (ed JOIN r2 r ON ed.src = r.node) ON ed.dst = n.node
+         |  GROUP BY n.node, n.nn)
+         |SELECT node AS event_type, CAST(r AS BIGINT) AS pagerank_pico
+         |FROM r3 ORDER BY node""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val edges = ev(s, dir)
+        .select(col("event_type").as("src"),
+          lead(col("event_type"), 1).over(w).as("dst"))
+        .filter(col("dst").isNotNull)
+        .groupBy(col("src"), col("dst"))
+        .agg(count(lit(1)).cast("long").as("w"))
+      graft.ops.PageRank.ranks(edges, iters = 3)
+        .select(col("node").as("event_type"),
+          col("rank_scaled").as("pagerank_pico"))
+        .orderBy(col("event_type"))
     }
   )
 }
