@@ -99,6 +99,51 @@ object DocQueries {
   private def duckDot(a: String, b: String): String =
     s"list_sum([CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE) FOR x IN list_zip($a, $b)])"
 
+  /** Unrolled MMR oracle (sim12): k greedy rounds as CTE pairs
+    * (rem_i = penalties vs the i-th pick, p_{i+1} = next argmax), the
+    * exact mirror of [[graft.sim.Similarity.mmrRerank]]'s loop — floor-
+    * micro cosine integers, first penalty assigned directly (NOT clamped
+    * through greatest(0, ·): negative sims must carry), later rounds
+    * fold with greatest.
+    */
+  private def mmrOracleSql(poolK: Int, k: Int): String = {
+    val rounds = (2 to k).map { r =>
+      val srcRem = if (r == 2) "c0" else s"r${r - 2}"
+      val sim = s"CAST(floor(${duckDot("c.embedding", "p.embedding")}" +
+        s" / (c.nrm * p.nrm) * 1000000) AS BIGINT)"
+      val pen = if (r == 2) sim else s"greatest(c.pen_u, $sim)"
+      s"""r${r - 1} AS (
+         |  SELECT c.vec_id, c.label, c.embedding, c.nrm, c.rel_u,
+         |    $pen AS pen_u
+         |  FROM $srcRem c, p${r - 1} p WHERE c.vec_id <> p.vec_id),
+         |p$r AS (SELECT vec_id, label, embedding, nrm, rel_u, pen_u
+         |  FROM r${r - 1} ORDER BY rel_u - pen_u DESC, vec_id LIMIT 1)"""
+        .stripMargin
+    }.mkString(",\n")
+    val sel = (1 to k).map(i =>
+      s"SELECT $i AS rank, vec_id, label, rel_u, pen_u FROM p$i")
+      .mkString(" UNION ALL ")
+    s"""WITH q AS (SELECT embedding AS qv,
+       |    sqrt(${duckDot("embedding", "embedding")}) AS qn
+       |  FROM embeddings WHERE vec_id = 0),
+       |c0 AS (
+       |  SELECT e.vec_id, e.label, e.embedding,
+       |    sqrt(${duckDot("e.embedding", "e.embedding")}) AS nrm,
+       |    CAST(floor(${duckDot("e.embedding", "q.qv")}
+       |      / (sqrt(${duckDot("e.embedding", "e.embedding")}) * q.qn)
+       |      * 1000000) AS BIGINT) AS rel_u
+       |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+       |  ORDER BY rel_u DESC, vec_id LIMIT $poolK),
+       |p1 AS (SELECT vec_id, label, embedding, nrm, rel_u,
+       |    CAST(0 AS BIGINT) AS pen_u
+       |  FROM c0 ORDER BY rel_u DESC, vec_id LIMIT 1),
+       |$rounds
+       |SELECT CAST(rank AS BIGINT) AS rank, vec_id, label,
+       |  rel_u AS rel_micro, pen_u AS penalty_micro,
+       |  rel_u - pen_u AS mmr_micro
+       |FROM ($sel) ORDER BY rank""".stripMargin
+  }
+
   /** The hyperplane-literal LSH bucket of [[graft.sim.Similarity
     * .lshBucket]] as a SQL fragment over `embCol`. Planes are cast
     * FLOAT[] first because the Spark side passes float literals to
@@ -2047,6 +2092,18 @@ object DocQueries {
       TextAnalysis.readabilityGrade(Tables.documents(s, dir), col("text"),
           col("doc_id"))
         .orderBy(col("doc_id"))
+    },
+
+    // MMR diversification re-rank (λ = 1/2): greedy 5-pick trajectory
+    // over a top-20 relevance pool, every argmax on floor-micro cosine
+    // integers — the full iterative rerank hash-gated against the
+    // unrolled-round oracle. The serving-scale contract: pool from one
+    // TakeOrderedAndProject scan (or an ANN front-end), greedy on the
+    // bounded checkpointed pool only.
+    QDef("sim12_mmr_rerank", mmrOracleSql(poolK = 20, k = 5)) { (s, dir) =>
+      Similarity.mmrRerank(Tables.embeddings(s, dir), queryVecId = 0L,
+          poolK = 20, k = 5)
+        .orderBy(col("rank"))
     }
   )
 }

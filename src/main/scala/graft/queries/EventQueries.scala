@@ -1840,6 +1840,63 @@ object EventQueries {
         .select(col("node").as("event_type"),
           col("rank_scaled").as("pagerank_pico"))
         .orderBy(col("event_type"))
+    },
+
+    // A30: OLS trend line of hourly event volume vs epoch-hour — the
+    // a26 exact-moment machinery reporting REGRESSION coefficients:
+    // slope as sign + abs milli-events/hour² via one integral division
+    // (sign split off because DIV truncates toward zero while // floors
+    // — negative quotients would disagree), plus the fit r² in ppm.
+    // Hours with zero events are absent buckets (trend over observed
+    // support — document the bucket-join densification if zeros must
+    // count). One groupBy(epoch-hour), then a single 1-row aggregate.
+    QDef("a30_ols_trend",
+      s"""$E, h AS (
+         |  SELECT CAST(epoch_ms(ts) // 3600000 AS BIGINT) AS x,
+         |    CAST(count(*) AS BIGINT) AS y
+         |  FROM e GROUP BY 1),
+         |s AS (SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+         |    CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+         |    CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+         |    CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx,
+         |    CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS syy,
+         |    CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy
+         |  FROM h)
+         |SELECT CAST(n AS BIGINT) AS n_hours,
+         |  CAST(CASE WHEN (n*sxy - sx*sy) > 0 THEN 1
+         |    WHEN (n*sxy - sx*sy) < 0 THEN -1 ELSE 0 END AS BIGINT) AS slope_sign,
+         |  CAST(CASE WHEN (n*sxx - sx*sx) = 0 THEN 0
+         |    ELSE CAST(abs(n*sxy - sx*sy) * 1000 AS HUGEINT)
+         |      // CAST(n*sxx - sx*sx AS HUGEINT) END AS BIGINT) AS slope_abs_milli,
+         |  CAST(CASE WHEN (n*sxx - sx*sx) * (n*syy - sy*sy) = 0 THEN 0
+         |    ELSE CAST((n*sxy - sx*sy) * (n*sxy - sx*sy) * 1000000 AS HUGEINT)
+         |      // CAST((n*sxx - sx*sx) * (n*syy - sy*sy) AS HUGEINT)
+         |    END AS BIGINT) AS r2_ppm
+         |FROM s""".stripMargin) { (s, dir) =>
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val h = ev(s, dir)
+        .groupBy(expr("unix_millis(ts) DIV 3600000").cast("long").as("x"))
+        .agg(count(lit(1)).cast("long").as("y"))
+      val st = h.agg(
+        dec(count(lit(1))).as("n"),
+        dec(sum(col("x"))).as("sx"), dec(sum(col("y"))).as("sy"),
+        dec(sum(dec(col("x")) * col("x"))).as("sxx"),
+        dec(sum(dec(col("y")) * col("y"))).as("syy"),
+        dec(sum(dec(col("x")) * col("y"))).as("sxy"))
+      val cov = col("n") * col("sxy") - col("sx") * col("sy")
+      val varx = col("n") * col("sxx") - col("sx") * col("sx")
+      val vxvy = varx * (col("n") * col("syy") - col("sy") * col("sy"))
+      st.withColumn("cov", cov).withColumn("varx", varx)
+        .withColumn("vxvy", vxvy)
+        .select(col("n").cast("long").as("n_hours"),
+          when(col("cov") > 0, 1L).when(col("cov") < 0, -1L).otherwise(0L)
+            .cast("long").as("slope_sign"),
+          when(col("varx") === 0, 0L)
+            .otherwise(expr("abs(cov) * 1000 DIV varx"))
+            .cast("long").as("slope_abs_milli"),
+          when(col("vxvy") === 0, 0L)
+            .otherwise(expr("cov * cov * 1000000 DIV vxvy"))
+            .cast("long").as("r2_ppm"))
     }
   )
 }

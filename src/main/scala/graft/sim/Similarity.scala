@@ -536,4 +536,64 @@ object Similarity {
       .orderBy(col("adc_micro").asc, col("vec_id"))
       .limit(k)
   }
+
+  /** MMR (maximal marginal relevance) diversification re-rank with
+    * λ = 1/2: greedily pick argmax(rel(d) − max_{s∈S} sim(d, s)) — the
+    * λ = 1/2 score doubled, so the ranking is identical with zero
+    * division. All comparisons run on FLOOR-MICRO integers over
+    * bit-identical cosine doubles (the c10 floor-gate discipline), so
+    * every greedy argmax is knife-edge-free and the whole k-round
+    * trajectory is hash-gatable against an unrolled SQL oracle
+    * (DocQueries sim12). First pick is pure relevance (max over the
+    * empty set contributes nothing); later penalties are the true max
+    * similarity INCLUDING negative values — anti-similar candidates are
+    * not clamped to zero.
+    *
+    * Scale shape: the pool is the top-`poolK` of a single corpus scan
+    * (TakeOrderedAndProject — swap in any ANN front-end for the scan at
+    * serving scale); the greedy loop then runs k bounded rounds on the
+    * checkpointed pool (≤ poolK rows), each one broadcast-join +
+    * filter — never a corpus-sized operation. Rerank pools are bounded
+    * by construction, so this shape IS the 100 TB shape.
+    */
+  def mmrRerank(emb: DataFrame, queryVecId: Long, poolK: Int = 20,
+                k: Int = 5): DataFrame = {
+    require(k >= 1 && poolK >= k, "need poolK >= k >= 1")
+    val q = emb.where(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qv"),
+        sqrt(Fns.dot(col("embedding"), col("embedding"))).as("qn"))
+    val cand = emb.where(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"), col("embedding"),
+        sqrt(Fns.dot(col("embedding"), col("embedding"))).as("nrm"),
+        floor(Fns.dot(col("embedding"), col("qv")) /
+            (sqrt(Fns.dot(col("embedding"), col("embedding"))) * col("qn")) *
+            lit(1000000)).cast("long").as("rel_u"))
+      .orderBy(col("rel_u").desc, col("vec_id")).limit(poolK)
+      .localCheckpoint(true) // bounded pool; the greedy runs only on this
+    var rem = cand.withColumn("pen_u", lit(0L))
+    var picks = List.empty[DataFrame]
+    for (r <- 1 to k) {
+      val pick = rem
+        .orderBy((col("rel_u") - col("pen_u")).desc, col("vec_id"))
+        .limit(1).localCheckpoint(true)
+      picks = picks :+ pick.withColumn("rank", lit(r.toLong))
+      if (r < k) {
+        val pv = pick.select(col("vec_id").as("p_vid"),
+          col("embedding").as("pv"), col("nrm").as("pnrm"))
+        val sim = floor(Fns.dot(col("embedding"), col("pv")) /
+          (col("nrm") * col("pnrm")) * lit(1000000)).cast("long")
+        rem = rem.crossJoin(broadcast(pv))
+          .filter(col("vec_id") =!= col("p_vid"))
+          .withColumn("pen_u",
+            if (r == 1) sim else greatest(col("pen_u"), sim))
+          .drop("p_vid", "pv", "pnrm")
+          .localCheckpoint(true) // ≤ poolK rows per round
+      }
+    }
+    picks.map(_.select(col("rank"), col("vec_id"), col("label"),
+        col("rel_u").as("rel_micro"), col("pen_u").as("penalty_micro"),
+        (col("rel_u") - col("pen_u")).as("mmr_micro")))
+      .reduce(_.unionAll(_))
+  }
 }
