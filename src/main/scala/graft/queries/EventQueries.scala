@@ -1897,6 +1897,133 @@ object EventQueries {
           when(col("vxvy") === 0, 0L)
             .otherwise(expr("cov * cov * 1000000 DIV vxvy"))
             .cast("long").as("r2_ppm"))
+    },
+
+    // FA9: session-size histogram — the w5 sessionization frame rolled
+    // up into product-analytics buckets (bounce / short / medium / long)
+    // with exact integer mean duration per bucket (sum DIV count — all
+    // nonneg, so truncate == floor on both engines). Same single
+    // user_id shuffle as w5; the histogram is bucket-sized.
+    QDef("fa9_session_histogram",
+      s"""$E, l AS (SELECT user_id, event_id, ts,
+         |  epoch_ms(ts) - epoch_ms(lag(ts) OVER (
+         |    PARTITION BY user_id ORDER BY ts, event_id)) AS gap_ms
+         |  FROM e),
+         |s AS (SELECT user_id, event_id, ts,
+         |  SUM(CASE WHEN gap_ms IS NULL OR gap_ms > 3600000 THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |          ROWS UNBOUNDED PRECEDING) AS session_id
+         |  FROM l),
+         |sess AS (SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+         |  epoch_ms(max(ts)) - epoch_ms(min(ts)) AS duration_ms
+         |  FROM s GROUP BY 1, 2),
+         |b AS (SELECT CASE WHEN n_events = 1 THEN '1'
+         |    WHEN n_events <= 4 THEN '2-4' WHEN n_events <= 9 THEN '5-9'
+         |    ELSE '10+' END AS size_bucket, n_events, duration_ms FROM sess)
+         |SELECT size_bucket, CAST(count(*) AS BIGINT) AS n_sessions,
+         |  CAST(sum(n_events) AS BIGINT) AS n_events,
+         |  CAST(CAST(sum(duration_ms) AS HUGEINT) // count(*) AS BIGINT)
+         |    AS mean_duration_ms
+         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val sess = graft.ops.Sessionize.byGap(ev(s, dir), col("user_id"),
+        col("ts"), col("event_id"), maxGapMs = 3600000L)
+      sess.select(
+          when(col("n_events") === 1, "1")
+            .when(col("n_events") <= 4, "2-4")
+            .when(col("n_events") <= 9, "5-9")
+            .otherwise("10+").as("size_bucket"),
+          col("n_events"), col("duration_ms"))
+        .groupBy(col("size_bucket"))
+        .agg(count(lit(1)).cast("long").as("n_sessions"),
+          sum(col("n_events")).cast("long").as("n_events"),
+          sum(col("duration_ms")).cast("long").as("sum_dur"),
+          count(lit(1)).cast("long").as("cnt"))
+        .select(col("size_bucket"), col("n_sessions"), col("n_events"),
+          expr("sum_dur DIV cnt").cast("long").as("mean_duration_ms"))
+        .orderBy(col("size_bucket"))
+    },
+
+    // W9: first_value / last_value / nth_value over the full partition
+    // frame (ROWS UNBOUNDED PRECEDING..UNBOUNDED FOLLOWING — last_value
+    // under the DEFAULT frame is a classic wrong-answer trap: it returns
+    // the CURRENT row). One user_id shuffle; all four window functions
+    // share the frame, the row_number picker shares the partition key.
+    QDef("w9_first_last_nth",
+      s"""$E, w AS (
+         |  SELECT user_id,
+         |    first_value(event_type) OVER uw AS first_type,
+         |    last_value(event_type) OVER uw AS last_type,
+         |    nth_value(CAST(round(value * 100) AS BIGINT), 2) OVER uw
+         |      AS second_value_cents,
+         |    count(*) OVER uw AS n_events,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+         |  FROM e
+         |  WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+         |SELECT user_id, first_type, last_type, second_value_cents,
+         |  CAST(n_events AS BIGINT) AS n_events
+         |FROM w WHERE rn = 1 ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val uw = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      ev(s, dir)
+        .select(col("user_id"),
+          first(col("event_type")).over(uw).as("first_type"),
+          last(col("event_type")).over(uw).as("last_type"),
+          nth_value(round(col("value") * 100).cast("long"), 2).over(uw)
+            .as("second_value_cents"),
+          count(lit(1)).over(uw).cast("long").as("n_events"),
+          row_number().over(Window.partitionBy(col("user_id"))
+            .orderBy(col("ts"), col("event_id"))).as("rn"))
+        .filter(col("rn") === 1)
+        .drop("rn")
+        .orderBy(col("user_id"))
+    },
+
+    // CUBE: all four margins of (event_type, iso-dow) in one pass —
+    // completes the multi-dimensional aggregation triple (a21 ROLLUP,
+    // a23 GROUPING SETS, a31 CUBE), same engine-neutral gid convention.
+    QDef("a31_cube",
+      s"""$E SELECT event_type, CAST(isodow(ts) AS BIGINT) AS dow,
+         |  CAST(grouping(event_type) * 2 + grouping(isodow(ts)) AS BIGINT) AS gid,
+         |  count(*) AS n
+         |FROM e GROUP BY CUBE(event_type, isodow(ts))
+         |ORDER BY gid, event_type NULLS FIRST, dow NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+      ev(s, dir)
+        .withColumn("dow", (expr("weekday(ts)") + 1).cast("long"))
+        .cube(col("event_type"), col("dow"))
+        .agg((grouping(col("event_type")) * 2 + grouping(col("dow")))
+          .cast("long").as("gid"),
+          count(lit(1)).as("n"))
+        .select(col("event_type"), col("dow"), col("gid"), col("n"))
+        .orderBy(col("gid"), col("event_type").asc_nulls_first,
+          col("dow").asc_nulls_first)
+    },
+
+    // A32: Benford first-significant-digit distribution of the value
+    // column in cents (the classic fraud/anomaly screen) — digit via
+    // one string head (no log10 float), share in exact permille.
+    QDef("a32_benford",
+      s"""$E, c AS (
+         |  SELECT CAST(left(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR), 1)
+         |    AS BIGINT) AS d
+         |  FROM e WHERE round(value * 100) >= 1),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM c)
+         |SELECT d AS digit, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(count(*) * 1000 // t.tot AS BIGINT) AS permille
+         |FROM c, t GROUP BY d, t.tot ORDER BY d""".stripMargin) { (s, dir) =>
+      val c = ev(s, dir)
+        .filter(round(col("value") * 100) >= 1)
+        .select(substring(round(col("value") * 100).cast("long")
+          .cast("string"), 1, 1).cast("long").as("d"))
+      val t = c.agg(count(lit(1)).cast("long").as("tot"))
+      c.groupBy(col("d"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .crossJoin(broadcast(t))
+        .select(col("d").as("digit"), col("n"),
+          expr("n * 1000 DIV tot").cast("long").as("permille"))
+        .orderBy(col("digit"))
     }
   )
 }
