@@ -254,6 +254,64 @@ object ScaleProbe {
       graft.ops.AsOf.asOfJoin(l, r, "user_id", "ts", "ts", Seq("r_event"))
         .count()
     }
+    t(s"g1 pagerank ${mult}x") {
+      // edge count is |types|²-bounded, but the edge BUILD (the window
+      // pass) scales with the corpus — that's what this probe times
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val edges = bigEv.select(col("event_type").as("src"),
+          lead(col("event_type"), 1).over(w).as("dst"))
+        .filter(col("dst").isNotNull)
+        .groupBy(col("src"), col("dst"))
+        .agg(count(lit(1)).cast("long").as("w"))
+      graft.ops.PageRank.ranks(edges, iters = 3).count()
+    }
+    t(s"sk4 ams f2 ${mult}x") {
+      val u = bigEv.groupBy(col("user_id"))
+        .agg(count(lit(1)).cast("long").as("cnt")).localCheckpoint(true)
+      val sgn = u.select(col("user_id"), col("cnt"),
+          explode(sequence(lit(0), lit(63))).as("j"))
+        .withColumn("s",
+          when(substring(md5(concat(col("user_id").cast("string"), lit(":"),
+              col("j").cast("string"))), 32, 1)
+            .isin("1", "3", "5", "7", "9", "b", "d", "f"), lit(-1L))
+            .otherwise(lit(1L)))
+      sgn.groupBy(col("j")).agg(sum(col("cnt") * col("s")).as("z")).count()
+    }
+    t(s"w8 burst window ${mult}x") {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(unix_millis(col("ts")))
+        .rangeBetween(-3600000L, 0L)
+      bigEv.select(col("user_id"), col("ts"))
+        .withColumn("c1h", count(lit(1)).over(w))
+        .groupBy(col("user_id")).agg(max(col("c1h")).as("mx")).count()
+    }
+    t(s"a28 spearman ${mult}x") {
+      val u = bigEv.groupBy(col("user_id")).agg(
+        count(lit(1)).cast("long").as("x"),
+        sum(round(col("value") * 100).cast("long")).cast("long").as("y"))
+      val win = org.apache.spark.sql.expressions.Window
+      val r = u.select(
+        (lit(2) * rank().over(win.orderBy(col("x"))) +
+          count(lit(1)).over(win.partitionBy(col("x"))) - 1).as("rx"),
+        (lit(2) * rank().over(win.orderBy(col("y"))) +
+          count(lit(1)).over(win.partitionBy(col("y"))) - 1).as("ry"))
+      r.agg(sum(col("rx") * col("ry"))).count()
+    }
+    t(s"t16 pmi collocations ${mult}x") {
+      graft.text.TextAnalysis.pmiCollocations(big, col("text"),
+        col("doc_id")).count()
+    }
+    t(s"t17 readability ${mult}x") {
+      graft.text.TextAnalysis.readabilityGrade(big, col("text"),
+        col("doc_id")).count()
+    }
+    t(s"sim12 mmr rerank embeddings") {
+      // the pool scan is sim1-shaped (probed via the corpus); the greedy
+      // rounds are bounded — this times the end-to-end serve path
+      graft.sim.Similarity.mmrRerank(Tables.embeddings(spark, dir),
+        queryVecId = 0L, poolK = 20, k = 5).count()
+    }
     spark.stop()
   }
 }
