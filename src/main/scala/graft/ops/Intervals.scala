@@ -135,4 +135,61 @@ object Intervals {
       .withColumn("time_to_next_ingest_ms",
         Fns.epochMsBetween(col(tsCol), col("interval_end")))
   }
+
+  /** Interval OVERLAP join (interval × interval, the shape neither J4
+    * nor J9 covers): all same-key pairs whose spans intersect, with the
+    * overlap duration. Left intervals are half-open `[lStart, lEnd)`
+    * with `lEnd` NULL = open (the J2 ingestion-interval contract); right
+    * intervals are closed `[rStart, rEnd]` (the w5 session contract).
+    * Overlap iff `lStart <= rEnd AND rStart < lEnd'` (sentinel-closed),
+    * duration `min(lEnd', rEnd) − max(lStart, rStart)` — 0 for boundary
+    * touches and point intervals.
+    *
+    * Scale path: both sides explode into coarse time buckets that join
+    * as an equi-key (the intervalJoinBucketed strategy) — but with
+    * intervals on BOTH sides a pair would match once per shared bucket,
+    * so the join keeps only the DESIGNATED bucket: the one containing
+    * the overlap start `max(lStart, rStart)`. That bucket is provably
+    * covered by both explode ranges whenever the pair overlaps, so each
+    * overlapping pair survives exactly once — no distinct/dedup shuffle
+    * afterward. Open left ends are capped at the right side's max end
+    * before exploding (they'd otherwise fan out to the 2999 sentinel).
+    * Fan-out cost is span/bucketLen rows per interval: pick
+    * `bucketSeconds` near the median interval length.
+    */
+  def overlapJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      lStart: String, lEnd: String,
+      rStart: String, rEnd: String,
+      bucketSeconds: Long = 86400L): DataFrame = {
+    val b = lit(bucketSeconds)
+    val maxRe = right.agg(max(col(rEnd)).as("_max_re"))
+    val lb = left
+      .crossJoin(broadcast(maxRe))
+      .withColumn("_l_end", coalesce(col(lEnd), Fns.openIntervalSentinel))
+      .withColumn("_l_cap",
+        least(col("_l_end"), greatest(col("_max_re"), col(lStart))))
+      .withColumn("_bucket",
+        explode(sequence(floor(unix_timestamp(col(lStart)) / b),
+          floor(unix_timestamp(col("_l_cap")) / b))))
+      .drop("_max_re", "_l_cap")
+    val rKeys = keys.map(k => s"ov_$k")
+    val rb = right
+      .toDF(right.columns.map(c => if (keys.contains(c)) s"ov_$c" else c): _*)
+      .withColumn("_r_bucket",
+        explode(sequence(floor(unix_timestamp(col(rStart)) / b),
+          floor(unix_timestamp(col(rEnd)) / b))))
+    val cond = keys.map(k => lb(k) === rb(s"ov_$k")).reduce(_ && _) &&
+      lb("_bucket") === rb("_r_bucket") &&
+      lb(lStart) <= rb(rEnd) && rb(rStart) < lb("_l_end") &&
+      lb("_bucket") ===
+        floor(unix_timestamp(greatest(lb(lStart), rb(rStart))) / b)
+    lb.join(rb, cond, "inner")
+      .withColumn("overlap_ms",
+        Fns.epochMsBetween(greatest(col(lStart), col(rStart)),
+          least(col("_l_end"), col(rEnd))))
+      .drop(rKeys :+ "_bucket" :+ "_r_bucket" :+ "_l_end": _*)
+  }
 }

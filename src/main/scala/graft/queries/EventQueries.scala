@@ -2024,6 +2024,127 @@ object EventQueries {
         .select(col("d").as("digit"), col("n"),
           expr("n * 1000 DIV tot").cast("long").as("permille"))
         .orderBy(col("digit"))
+    },
+
+    // J10: interval OVERLAP join (interval × interval — the shape J4
+    // point-in-interval and J9 as-of cannot express): every ingestion
+    // interval paired with every same-user session whose span
+    // intersects it, with exact overlap duration. Runs through
+    // Intervals.overlapJoin — both sides bucket-exploded, each pair
+    // kept only in the bucket of its overlap start, so the skew-safe
+    // equi-join emits every overlapping pair exactly once with NO
+    // dedup shuffle. The oracle is the direct inequality join (fine at
+    // oracle scale; the bucketed plan must reproduce it row-for-row).
+    QDef("j10_overlap_join",
+      s"""$E, iv AS (
+         |  SELECT user_id, ts AS a,
+         |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS b,
+         |    event_id AS iv_id
+         |  FROM e WHERE event_type = 'purchase'),
+         |l AS (SELECT user_id, event_id, ts,
+         |  epoch_ms(ts) - epoch_ms(lag(ts) OVER (
+         |    PARTITION BY user_id ORDER BY ts, event_id)) AS gap_ms
+         |  FROM e),
+         |s AS (SELECT user_id, event_id, ts,
+         |  SUM(CASE WHEN gap_ms IS NULL OR gap_ms > 3600000 THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |          ROWS UNBOUNDED PRECEDING) AS session_id
+         |  FROM l),
+         |sess AS (SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+         |  min(ts) AS s_start, max(ts) AS s_end
+         |  FROM s GROUP BY 1, 2),
+         |ov AS (
+         |  SELECT iv.user_id, iv.iv_id, sess.session_id,
+         |    epoch_ms(least(COALESCE(iv.b, TIMESTAMP '2999-12-31 00:00:00'),
+         |        sess.s_end))
+         |      - epoch_ms(greatest(iv.a, sess.s_start)) AS overlap_ms
+         |  FROM iv JOIN sess ON iv.user_id = sess.user_id
+         |    AND iv.a <= sess.s_end
+         |    AND sess.s_start < COALESCE(iv.b, TIMESTAMP '2999-12-31 00:00:00'))
+         |SELECT user_id, CAST(iv_id AS BIGINT) AS iv_id, session_id,
+         |  CAST(overlap_ms AS BIGINT) AS overlap_ms
+         |FROM ov ORDER BY user_id, iv_id, session_id""".stripMargin) { (s, dir) =>
+      val e = ev(s, dir)
+      val iv = Intervals.ingestionIntervals(
+          e.filter(col("event_type") === "purchase"),
+          Seq("user_id"), "ts", "event_id")
+        .select(col("user_id"), col("event_id").as("iv_id"),
+          col("current_ts").as("a"), col("next_ts").as("b"))
+      val uw = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val sess = e
+        .withColumn("gap_ms",
+          Fns.epochMsBetween(lag(col("ts"), 1).over(uw), col("ts")))
+        .withColumn("new_s",
+          when(col("gap_ms").isNull || col("gap_ms") > 3600000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_s")).over(
+          uw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
+      Intervals.overlapJoin(iv, sess, Seq("user_id"),
+          "a", "b", "s_start", "s_end", bucketSeconds = 86400L)
+        .select(col("user_id"), col("iv_id"),
+          col("session_id").cast("long").as("session_id"),
+          col("overlap_ms").cast("long").as("overlap_ms"))
+        .orderBy(col("user_id"), col("iv_id"), col("session_id"))
+    },
+
+    // A33: lag-1 autocorrelation of the hourly volume series — the a26
+    // exact-moment machinery over (y_t, y_{t+1}) pairs of CONSECUTIVE
+    // hours only (dx = 1 guard: a gap hour must break the pair, not
+    // silently correlate across it). The lead window is global but runs
+    // over the hour AGGREGATE (≤ 24·days rows).
+    QDef("a33_autocorrelation",
+      s"""$E, h AS (
+         |  SELECT CAST(epoch_ms(ts) // 3600000 AS BIGINT) AS x,
+         |    CAST(count(*) AS BIGINT) AS y
+         |  FROM e GROUP BY 1),
+         |p AS (
+         |  SELECT y AS a, lead(y) OVER (ORDER BY x) AS b,
+         |    lead(x) OVER (ORDER BY x) - x AS dx
+         |  FROM h),
+         |c AS (SELECT a, b FROM p WHERE b IS NOT NULL AND dx = 1),
+         |s AS (SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+         |    CAST(sum(a) AS DECIMAL(38,0)) AS sx,
+         |    CAST(sum(b) AS DECIMAL(38,0)) AS sy,
+         |    CAST(sum(CAST(a AS DECIMAL(38,0)) * a) AS DECIMAL(38,0)) AS sxx,
+         |    CAST(sum(CAST(b AS DECIMAL(38,0)) * b) AS DECIMAL(38,0)) AS syy,
+         |    CAST(sum(CAST(a AS DECIMAL(38,0)) * b) AS DECIMAL(38,0)) AS sxy
+         |  FROM c)
+         |SELECT CAST(n AS BIGINT) AS n_pairs,
+         |  CAST(CASE WHEN (n*sxy - sx*sy) > 0 THEN 1
+         |    WHEN (n*sxy - sx*sy) < 0 THEN -1 ELSE 0 END AS BIGINT) AS rho_sign,
+         |  CAST(CASE WHEN (n*sxx - sx*sx) * (n*syy - sy*sy) = 0 THEN 0
+         |    ELSE CAST((n*sxy - sx*sy) * (n*sxy - sx*sy) * 1000000 AS HUGEINT)
+         |      // CAST((n*sxx - sx*sx) * (n*syy - sy*sy) AS HUGEINT)
+         |    END AS BIGINT) AS rho2_ppm
+         |FROM s""".stripMargin) { (s, dir) =>
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val h = ev(s, dir)
+        .groupBy(expr("unix_millis(ts) DIV 3600000").cast("long").as("x"))
+        .agg(count(lit(1)).cast("long").as("y"))
+      val gw = Window.orderBy(col("x"))
+      val c = h.select(col("y").as("a"),
+          lead(col("y"), 1).over(gw).as("b"),
+          (lead(col("x"), 1).over(gw) - col("x")).as("dx"))
+        .filter(col("b").isNotNull && col("dx") === 1)
+      val st = c.agg(
+        dec(count(lit(1))).as("n"),
+        dec(sum(col("a"))).as("sx"), dec(sum(col("b"))).as("sy"),
+        dec(sum(dec(col("a")) * col("a"))).as("sxx"),
+        dec(sum(dec(col("b")) * col("b"))).as("syy"),
+        dec(sum(dec(col("a")) * col("b"))).as("sxy"))
+      val cov = col("n") * col("sxy") - col("sx") * col("sy")
+      val vxvy = (col("n") * col("sxx") - col("sx") * col("sx")) *
+        (col("n") * col("syy") - col("sy") * col("sy"))
+      st.withColumn("cov", cov).withColumn("vxvy", vxvy)
+        .select(col("n").cast("long").as("n_pairs"),
+          when(col("cov") > 0, 1L).when(col("cov") < 0, -1L).otherwise(0L)
+            .cast("long").as("rho_sign"),
+          when(col("vxvy") === 0, 0L)
+            .otherwise(expr("cov * cov * 1000000 DIV vxvy"))
+            .cast("long").as("rho2_ppm"))
     }
   )
 }

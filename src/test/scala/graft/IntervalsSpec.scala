@@ -68,4 +68,42 @@ class IntervalsSpec extends AnyFunSuite {
     assert(bucketed == plain)
     assert(plain.nonEmpty)
   }
+
+  test("overlapJoin equals the direct inequality join, incl. boundaries") {
+    // left: half-open [a, b) with one OPEN interval; right: closed
+    // [s, e] with a point interval ON a left boundary, a span crossing
+    // several 30-min buckets, and a no-overlap control
+    val left = Seq(
+      (1L, 10L, ts("2024-03-01 00:00:00"), Some(ts("2024-03-01 02:00:00"))),
+      (1L, 11L, ts("2024-03-01 02:00:00"), None), // open
+      (2L, 20L, ts("2024-03-01 00:00:00"), Some(ts("2024-03-01 00:30:00")))
+    ).toDF("key", "iv_id", "a", "b")
+    val right = Seq(
+      (1L, 1L, ts("2024-03-01 01:30:00"), ts("2024-03-01 03:40:00")), // spans both
+      (1L, 2L, ts("2024-03-01 02:00:00"), ts("2024-03-01 02:00:00")), // point on b
+      (1L, 3L, ts("2024-02-29 22:00:00"), ts("2024-02-29 23:00:00")), // before all
+      (2L, 4L, ts("2024-03-01 00:30:00"), ts("2024-03-01 01:00:00")) // touch at b
+    ).toDF("key", "sid", "s", "t")
+    val got = Intervals.overlapJoin(left, right, Seq("key"),
+        "a", "b", "s", "t", bucketSeconds = 1800L)
+      .select("key", "iv_id", "sid", "overlap_ms")
+      .collect().map(_.toSeq).toSet
+    val l2 = left.select($"key", $"iv_id", $"a",
+      coalesce($"b", lit(ts("2999-12-31 00:00:00"))).as("b2"))
+    val direct = l2.join(right.withColumnRenamed("key", "rkey"),
+        $"key" === $"rkey" && $"a" <= $"t" && $"s" < $"b2")
+      .select($"key", $"iv_id", $"sid",
+        (unix_millis(least($"b2", $"t")) -
+          unix_millis(greatest($"a", $"s"))).as("overlap_ms"))
+      .collect().map(_.toSeq).toSet
+    assert(got == direct)
+    // the boundary semantics themselves: session 2 starts AT left 10's
+    // open end (excluded, half-open) but inside 11 (zero-length overlap);
+    // session 4 touches left 20's end from inside — the point 00:30 is
+    // excluded from [00:00, 00:30) per s < b, so only iv 11/2 matches
+    val pairs = got.map(r => (r(1), r(2)))
+    assert(pairs.contains((11L, 2L)) && !pairs.contains((10L, 2L)))
+    assert(!pairs.contains((20L, 4L)))
+    assert(pairs.contains((10L, 1L)) && pairs.contains((11L, 1L)))
+  }
 }
