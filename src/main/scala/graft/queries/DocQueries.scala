@@ -2104,6 +2104,26 @@ object DocQueries {
       Similarity.mmrRerank(Tables.embeddings(s, dir), queryVecId = 0L,
           poolK = 20, k = 5)
         .orderBy(col("rank"))
+    },
+
+    // Per-source vocabulary richness (Heaps'-law corpus QA): tokens,
+    // vocab, hapax legomena, TTR + hapax share in exact permille.
+    QDef("t18_vocab_richness",
+      """WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+        |      FROM tk GROUP BY 1, 2),
+        |a AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS vocab,
+        |    CAST(count(CASE WHEN c = 1 THEN 1 END) AS BIGINT) AS hapax
+        |  FROM c GROUP BY 1)
+        |SELECT source, n_tokens, vocab, hapax,
+        |  CAST(vocab * 1000 // n_tokens AS BIGINT) AS ttr_permille,
+        |  CAST(hapax * 1000 // vocab AS BIGINT) AS hapax_permille
+        |FROM a ORDER BY source""".stripMargin) { (s, dir) =>
+      TextAnalysis.vocabularyRichness(Tables.documents(s, dir), col("text"),
+          col("source"))
+        .orderBy(col("source"))
     }
   )
 }

@@ -2145,6 +2145,28 @@ object EventQueries {
           when(col("vxvy") === 0, 0L)
             .otherwise(expr("cov * cov * 1000000 DIV vxvy"))
             .cast("long").as("rho2_ppm"))
+    },
+
+    // ST3b: SLIDING windows (1h length / 15min slide) as a batch twin of
+    // Structured Streaming's window(ts, len, slide) — Spark's NATIVE
+    // sliding-window generator on the engine side, the bounded 4-way
+    // explode (ceil(len/slide) windows per event) on the oracle side;
+    // both align window starts to epoch multiples of the slide. st3's
+    // tumbling gate is the slide == len special case.
+    QDef("st3b_sliding_window",
+      s"""$E, k AS (SELECT * FROM (VALUES (0),(1),(2),(3)) v(k)),
+         |w AS (
+         |  SELECT make_timestamp(((epoch_ms(ts) // 900000) - k.k) * 900000
+         |      * 1000) AS window_start, event_type
+         |  FROM e, k)
+         |SELECT window_start, event_type, CAST(count(*) AS BIGINT) AS n
+         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      ev(s, dir)
+        .select(window(col("ts"), "1 hour", "15 minutes")
+          .getField("start").as("window_start"), col("event_type"))
+        .groupBy(col("window_start"), col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .orderBy(col("window_start"), col("event_type"))
     }
   )
 }

@@ -424,6 +424,30 @@ object TextAnalysis {
               " - 1000000"))
           .as("fk_grade_milli"))
 
+  /** Per-source vocabulary richness: token total, distinct vocabulary,
+    * hapax legomena (frequency-1 tokens — the Heaps'-law tail that
+    * dominates open-vocab growth), type-token ratio and hapax share in
+    * exact permille. The corpus-QA probe behind "is this source
+    * template spam (tiny vocab) or OCR noise (hapax explosion)?".
+    * Plan: one explode + one (source, token) count shuffle, then a
+    * source-sized rollup — the t6/t12 shape, nothing new at 100 TB.
+    * NULL-text docs are absent (the repetitionMetrics contract).
+    */
+  def vocabularyRichness(df: DataFrame, text: Column,
+                         source: Column): DataFrame = {
+    val c = df.filter(text.isNotNull)
+      .select(source.as("source"), explode(toks(text)).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    c.groupBy(col("source"))
+      .agg(sum(col("c")).cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("vocab"),
+        count(when(col("c") === 1, lit(1))).cast("long").as("hapax"))
+      .select(col("source"), col("n_tokens"), col("vocab"), col("hapax"),
+        expr("vocab * 1000 DIV n_tokens").cast("long").as("ttr_permille"),
+        expr("hapax * 1000 DIV vocab").cast("long").as("hapax_permille"))
+  }
+
   /** Deterministic weight vector for the classifier gate: index-derived
     * INTEGER-valued doubles in [-50, 50] (centi-units — the model scale
     * lives in the 1/100 of the logit denominator). Integer values are the
