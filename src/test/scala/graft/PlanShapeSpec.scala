@@ -1,0 +1,97 @@
+package graft
+
+import graft.sim.Similarity
+import graft.text.TextAnalysis
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan guards for the round-7 additions — the properties the
+  * oracle gates can't see: shuffle counts, top-k pushdown, and
+  * bounded-pool shapes that make these operators the 100 TB plans and
+  * not just correct ones.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val ev =
+    Tables.events(spark, "/root/testdata/sf0.001")
+  private lazy val docs =
+    Tables.documents(spark, "/root/testdata/sf0.001")
+  private lazy val emb =
+    Tables.embeddings(spark, "/root/testdata/sf0.001")
+
+  private def phys(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("w8 burst: both windows share ONE user_id shuffle") {
+    val w = ev.select(col("user_id"), col("ts"))
+      .withColumn("c1h", count(lit(1)).over(
+        Window.partitionBy(col("user_id")).orderBy(unix_millis(col("ts")))
+          .rangeBetween(-3600000L, 0L)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("c1h").desc, col("ts").asc)))
+      .filter(col("rn") === 1)
+    val plan = phys(w)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"expected 1 hash exchange (shared user_id partition), got $exchanges:\n$plan")
+  }
+
+  test("t16 PMI: global top-k is TakeOrderedAndProject, not a global window") {
+    val plan = phys(TextAnalysis.pmiCollocations(docs, col("text"),
+      col("doc_id"), minCount = 2, k = 10))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // the rank window runs ABOVE the TakeOrdered (k survivors only) —
+    // it must not have forced a corpus-sized single-partition sort
+    assert(plan.indexOf("Window") < plan.indexOf("TakeOrderedAndProject"),
+      s"rank window below the top-k boundary:\n$plan")
+  }
+
+  test("sim12 MMR pool: corpus scan ends in TakeOrderedAndProject") {
+    // the pool construction is the only corpus-sized stage; localCheckpoint
+    // materializes it, so inspect the pool frame directly (mmrRerank's
+    // greedy rounds then only see ≤ poolK rows)
+    val q = emb.where(col("vec_id") === 0L)
+      .select(col("embedding").as("qv"),
+        sqrt(graft.fns.Fns.dot(col("embedding"), col("embedding"))).as("qn"))
+    val pool = emb.where(col("vec_id") =!= 0L)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        floor(graft.fns.Fns.dot(col("embedding"), col("qv")) /
+          (sqrt(graft.fns.Fns.dot(col("embedding"), col("embedding"))) *
+            col("qn")) * lit(1000000)).cast("long").as("rel_u"))
+      .orderBy(col("rel_u").desc, col("vec_id")).limit(20)
+    assert(phys(pool).contains("TakeOrderedAndProject"), phys(pool))
+  }
+
+  test("mmrRerank output is the documented bounded trajectory") {
+    val out = Similarity.mmrRerank(emb, queryVecId = 0L, poolK = 10, k = 3)
+      .collect()
+    assert(out.length == 3)
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // rank-1 pick is pure relevance: zero penalty by construction
+    assert(out.find(_.getLong(0) == 1L).get.getLong(4) == 0L)
+  }
+
+  test("j10 overlap join: bucketed equi-join, no nested-loop fallback") {
+    val left = Seq((1L, 10L, ts("2024-03-01 00:00:00"),
+      Option(ts("2024-03-01 02:00:00")))).toDF("key", "iv_id", "a", "b")
+    val right = Seq((1L, 1L, ts("2024-03-01 01:00:00"),
+      ts("2024-03-01 03:00:00"))).toDF("key", "sid", "s", "t")
+    val plan = phys(graft.ops.Intervals.overlapJoin(left, right,
+      Seq("key"), "a", "b", "s", "t", bucketSeconds = 1800L))
+    // the PAIR join must be an equi-join on (key, bucket); the only
+    // nested-loop allowed is the deliberate 1-row max-end broadcast
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),
+      s"overlap pair join is not an equi-join:\n$plan")
+    val products = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(products <= 1 && !plan.contains("CartesianProduct"),
+      s"unexpected product join beyond the 1-row max-end broadcast:\n$plan")
+  }
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+}
