@@ -49,6 +49,21 @@ object Streams {
       .select(col("window.start").as("window_start"), col(keyCol),
         col("n"), col("sum_value"))
 
+  /** SLIDING windows on a stream (the st3b batch twin's streaming side):
+    * window(len, slide) fans each event into ceil(len/slide) open windows,
+    * the watermark closes them `delay` past their end. slide == len
+    * degenerates to [[tumblingCounts]].
+    */
+  def slidingCounts(events: DataFrame, tsCol: String, keyCol: String,
+                    window: String, slide: String, delay: String): DataFrame =
+    events
+      .withWatermark(tsCol, delay)
+      .groupBy(
+        org.apache.spark.sql.functions.window(col(tsCol), window, slide),
+        col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col(keyCol), col("n"))
+
   /** ST8: watermarked streaming dedup by id — the principled upgrade of the
     * reference's DISTINCT-after-the-fact (U2).
     */

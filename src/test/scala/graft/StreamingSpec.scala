@@ -171,6 +171,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sliding windows stream: each event lands in len/slide windows (ST3b)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, Long)]
+    val df = in.toDS().toDF("ts", "key")
+    val q = Streams.slidingCounts(df, "ts", "key", "1 hour", "15 minutes",
+        "10 minutes")
+      .writeStream.format("memory").queryName("slide").outputMode("append")
+      .start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      // 00:31 → member of the 4 windows starting 23:45..00:30;
+      // 00:44 shares all four; 00:50 shares three and adds 00:45
+      in.addData((t("2024-03-01 00:31:00"), 1L), (t("2024-03-01 00:44:00"), 1L),
+        (t("2024-03-01 00:50:00"), 1L))
+      q.processAllAvailable()
+      in.addData((t("2024-03-01 04:00:00"), 9L)) // close everything
+      q.processAllAvailable()
+      val rows = spark.table("slide").as[(java.sql.Timestamp, Long, Long)]
+        .collect().filter(_._2 == 1L).sortBy(_._1.getTime)
+        .map(r => (r._1.toString, r._3)).toSeq
+      assert(rows == Seq(
+        ("2024-02-29 23:45:00.0", 2L),
+        ("2024-03-01 00:00:00.0", 3L),
+        ("2024-03-01 00:15:00.0", 3L),
+        ("2024-03-01 00:30:00.0", 3L),
+        ("2024-03-01 00:45:00.0", 1L)), rows.toString)
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark dedups by id (ST8)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, Long)]
