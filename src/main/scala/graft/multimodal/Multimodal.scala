@@ -308,6 +308,54 @@ object Multimodal {
       .toDF("id", "width", "height", "px_sum")
   }
 
+  /** ViT-style patch extraction: split each decoded image into a
+    * ⌊h/p⌋ × ⌊w/p⌋ grid of p×p patches (edge remainders dropped — the
+    * standard ViT contract) and emit one row per patch with the exact
+    * component sum over its p·p·4 RGBA values. The 100 TB shape for
+    * "image → token grid" preprocessing: one mapPartitions pass per
+    * payload batch, output fan-out bounded by (w/p)·(h/p) per image,
+    * no shuffle (downstream groupBys key on (id, patch) as needed).
+    * The per-patch checksum makes the whole decode→tile path
+    * SQL-oracle-gatable (mm7) without shipping raster blobs to the
+    * oracle.
+    */
+  def extractPatches(df: DataFrame, idCol: String, payloadCol: String,
+                     p: Int): DataFrame = {
+    require(p >= 1, s"bad patch size $p")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val img = Farbfeld.decode(bytes)
+          val (w, h) = (img.width, img.height)
+          for {
+            py <- 0 until h / p
+            px <- 0 until w / p
+          } yield {
+            var s = 0L
+            var r = 0
+            while (r < p) {
+              var c = 0
+              while (c < p) {
+                val pix = (py * p + r) * w + (px * p + c)
+                var ch = 0
+                while (ch < Farbfeld.Channels) {
+                  s += img.components(pix * Farbfeld.Channels + ch)
+                  ch += 1
+                }
+                c += 1
+              }
+              r += 1
+            }
+            (id, py, px, s)
+          }
+        }
+      }
+      .toDF("id", "patch_row", "patch_col", "px_sum")
+  }
+
   /** Nearest-neighbor resize of farbfeld payloads by a rational factor
     * `num/den` (dims floor-scaled, clamped to ≥1): for destination pixel
     * (x, y), the source pixel is (⌊x·w/nw⌋, ⌊y·h/nh⌋) — the standard

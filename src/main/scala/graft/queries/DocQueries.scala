@@ -2124,6 +2124,42 @@ object DocQueries {
       TextAnalysis.vocabularyRichness(Tables.documents(s, dir), col("text"),
           col("source"))
         .orderBy(col("source"))
+    },
+
+    // ViT-style 2×2 patch extraction over real farbfeld payloads: the
+    // decode→tile pipeline emits one row per grid patch with its exact
+    // RGBA component sum; the oracle recomputes every patch checksum
+    // arithmetically from the fixture formula (edge remainders dropped,
+    // the ViT contract).
+    QDef("mm7_patch_extract",
+      """WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+        |           FROM documents),
+        |pys AS (SELECT * FROM (VALUES (0),(1),(2)) v(py)),
+        |pxs AS (SELECT * FROM (VALUES (0),(1),(2),(3)) v(px)),
+        |g AS (SELECT d.doc_id, d.w, d.h, pys.py, pxs.px
+        |      FROM d, pys, pxs
+        |      WHERE pys.py < d.h // 2 AND pxs.px < d.w // 2)
+        |SELECT doc_id AS id, CAST(py AS INTEGER) AS patch_row,
+        |  CAST(px AS INTEGER) AS patch_col,
+        |  CAST(list_sum([
+        |    (doc_id*7919
+        |      + (((py*2 + (j//4)//2) * w) + (px*2 + (j//4)%2)) * 31
+        |      + (j%4) * 101) % 65536
+        |    FOR j IN range(0, 16)]) AS BIGINT) AS px_sum
+        |FROM g ORDER BY id, patch_row, patch_col""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val payloads = Tables.documents(s, dir).select(col("doc_id").cast("long"))
+        .as[Long]
+        .mapPartitions(_.map { id =>
+          val w = (4 + id % 5).toInt
+          val h = (3 + id % 4).toInt
+          (id, graft.multimodal.Multimodal.Farbfeld.encode(w, h, (i, c) =>
+            ((id * 7919L + i.toLong * 31L + c.toLong * 101L) % 65536L).toInt))
+        })
+        .toDF("doc_id", "payload")
+      graft.multimodal.Multimodal.extractPatches(payloads, "doc_id",
+          "payload", p = 2)
+        .orderBy(col("id"), col("patch_row"), col("patch_col"))
     }
   )
 }

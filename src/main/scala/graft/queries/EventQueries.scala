@@ -2167,6 +2167,60 @@ object EventQueries {
         .groupBy(col("window_start"), col("event_type"))
         .agg(count(lit(1)).cast("long").as("n"))
         .orderBy(col("window_start"), col("event_type"))
+    },
+
+    // A34: two-sample Kolmogorov–Smirnov statistic between the weekday
+    // and weekend value distributions — EXACT: the sup of the CDF gap is
+    // max |cumA·nB − cumB·nA| over the merged support (integer cross-
+    // products, no per-point division), reported in ppm by ONE integral
+    // division at the end. Completes the distribution-comparison kit
+    // (t11 total-variation drift = L1; KS = L∞). The cumulative window
+    // is global but runs over the distinct-value support (≤ |value
+    // domain| rows after the first groupBy) — two-pass range-partitioned
+    // prefix sums at open-domain scale.
+    QDef("a34_ks_statistic",
+      s"""$E, c AS (
+         |  SELECT CAST(round(value * 100) AS BIGINT) AS x,
+         |    CASE WHEN isodow(ts) <= 5 THEN 1 ELSE 0 END AS wk
+         |  FROM e),
+         |g AS (SELECT x,
+         |    CAST(count(CASE WHEN wk = 1 THEN 1 END) AS BIGINT) AS ca,
+         |    CAST(count(CASE WHEN wk = 0 THEN 1 END) AS BIGINT) AS cb
+         |  FROM c GROUP BY x),
+         |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+         |    CAST(sum(cb) AS BIGINT) AS nb FROM g),
+         |cum AS (
+         |  SELECT x,
+         |    sum(ca) OVER (ORDER BY x) AS cuma,
+         |    sum(cb) OVER (ORDER BY x) AS cumb
+         |  FROM g),
+         |d AS (SELECT max(abs(CAST(cuma AS HUGEINT) * t.nb
+         |    - CAST(cumb AS HUGEINT) * t.na)) AS dmax FROM cum, t)
+         |SELECT CAST(t.na AS BIGINT) AS n_weekday,
+         |  CAST(t.nb AS BIGINT) AS n_weekend,
+         |  CAST(CAST(d.dmax * 1000000 AS HUGEINT)
+         |    // (CAST(t.na AS HUGEINT) * t.nb) AS BIGINT) AS ks_ppm
+         |FROM d, t""".stripMargin) { (s, dir) =>
+      val c = ev(s, dir).select(
+        round(col("value") * 100).cast("long").as("x"),
+        when(expr("weekday(ts)") <= 4, 1).otherwise(0).as("wk"))
+      val g = c.groupBy(col("x")).agg(
+        count(when(col("wk") === 1, lit(1))).cast("long").as("ca"),
+        count(when(col("wk") === 0, lit(1))).cast("long").as("cb"))
+      val t = g.agg(sum(col("ca")).cast("long").as("na"),
+        sum(col("cb")).cast("long").as("nb"))
+      val gw = Window.orderBy(col("x"))
+      val cum = g.select(
+        sum(col("ca")).over(gw).as("cuma"),
+        sum(col("cb")).over(gw).as("cumb"))
+      val d = cum.crossJoin(broadcast(t))
+        .agg(max(abs(col("cuma").cast("decimal(38,0)") * col("nb") -
+          col("cumb").cast("decimal(38,0)") * col("na"))).as("dmax"))
+      d.crossJoin(broadcast(t))
+        .select(col("na").cast("long").as("n_weekday"),
+          col("nb").cast("long").as("n_weekend"),
+          expr("dmax * 1000000 DIV (CAST(na AS DECIMAL(38,0)) * nb)")
+            .cast("long").as("ks_ppm"))
     }
   )
 }
