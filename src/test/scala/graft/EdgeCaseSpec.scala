@@ -89,6 +89,48 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(thr.getLong(2) == 1000000L)
   }
 
+  test("round-7 ops tolerate degenerate inputs") {
+    import graft.ops.{Intervals, PageRank}
+    import graft.text.TextAnalysis
+
+    // PageRank: empty edge frame → no nodes, empty result (not a crash)
+    val noEdges = Seq.empty[(String, String, Long)].toDF("src", "dst", "w")
+    assert(PageRank.ranks(noEdges, iters = 2).count() == 0)
+
+    // PageRank: self-loop-only graph keeps all mass on the node
+    val selfLoop = Seq(("a", "a", 1L)).toDF("src", "dst", "w")
+    val r = PageRank.ranks(selfLoop, iters = 3).collect()
+    assert(r.length == 1 && r.head.getLong(1) > 999999990000L)
+
+    // overlapJoin: empty right side → empty output with the overlap col
+    val left = Seq((1L, 10L,
+      java.sql.Timestamp.valueOf("2024-03-01 00:00:00"),
+      Option.empty[java.sql.Timestamp])).toDF("key", "iv_id", "a", "b")
+    val noRight = Seq.empty[(Long, Long, java.sql.Timestamp, java.sql.Timestamp)]
+      .toDF("key", "sid", "s", "t")
+    val ov = Intervals.overlapJoin(left, noRight, Seq("key"), "a", "b", "s", "t")
+    assert(ov.count() == 0 && ov.columns.contains("overlap_ms"))
+
+    // PMI: a corpus where nothing clears minCount → empty, not a crash
+    val sparse = Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
+    assert(TextAnalysis.pmiCollocations(sparse, col("text"), col("doc_id"),
+      minCount = 5, k = 10).count() == 0)
+
+    // readability: empty string tokenizes to one empty word (w=1, sy=0)
+    // and must yield a finite negative grade, not NULL or a crash
+    val deg = Seq((1L, ""), (2L, "xyz qqq")).toDF("doc_id", "text")
+    val g = TextAnalysis.readabilityGrade(deg, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(g(1L) < 0) // no words, no syllables → far below grade 0
+    assert(g(2L) < 0) // vowel-free tokens → syllable count 0
+
+    // MMR: poolK larger than the corpus ranks everything; k capped by pool
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val m = Similarity.mmrRerank(emb, queryVecId = 0L, poolK = 1000, k = 3)
+      .collect()
+    assert(m.length == 3 && m.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("q1 plan pushes the shipdate filter and prunes columns (guard)") {
     val df = SparkEntry.queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
     val scan = df.queryExecution.executedPlan.toString
