@@ -2221,6 +2221,93 @@ object EventQueries {
           col("nb").cast("long").as("n_weekend"),
           expr("dmax * 1000000 DIV (CAST(na AS DECIMAL(38,0)) * nb)")
             .cast("long").as("ks_ppm"))
+    },
+
+    // SK5: KMV sketch SET ALGEBRA — the mergeability that makes KMV the
+    // distributed distinct sketch: the union sketch is just the k
+    // smallest hashes of A ∪ B, Jaccard ≈ the fraction of those present
+    // in both sides, intersection ≈ J · |A∪B|-estimate. Sets are
+    // (user, day) activity pairs of two event types (user-level sets
+    // are degenerate in this fixture — every user does everything).
+    // Exact union/intersection reported beside the estimates; the
+    // flagged-hash frame is materialized once (it feeds the exact
+    // aggregate AND the sketch window — the multi-consumer contract).
+    // Portable window form; ops/Kmv.MinKDistinct (sk1b) is the O(k)
+    // aggregator for the distributed path.
+    QDef("sk5_kmv_set_ops",
+      s"""$E, keyed AS (
+         |  SELECT user_id * 100 + CAST(day(ts) AS BIGINT) AS k, event_type
+         |  FROM e),
+         |a AS (SELECT DISTINCT k FROM keyed WHERE event_type = 'purchase'),
+         |b AS (SELECT DISTINCT k FROM keyed WHERE event_type = 'error'),
+         |h AS (
+         |  SELECT k,
+         |    (k * 2654435761 + 987654321) % 2147483647 AS hv,
+         |    max(CASE WHEN src = 'a' THEN 1 ELSE 0 END) AS in_a,
+         |    max(CASE WHEN src = 'b' THEN 1 ELSE 0 END) AS in_b
+         |  FROM (SELECT k, 'a' AS src FROM a
+         |        UNION ALL SELECT k, 'b' AS src FROM b)
+         |  GROUP BY k),
+         |ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_union,
+         |    CAST(sum(in_a * in_b) AS BIGINT) AS exact_inter FROM h),
+         |r AS (SELECT hv, in_a, in_b,
+         |    row_number() OVER (ORDER BY hv) AS rn, count(*) OVER () AS nu
+         |  FROM h),
+         |kk AS (SELECT max(nu) AS nu, max(CASE WHEN rn = 64 THEN hv END) AS h64,
+         |    CAST(count(CASE WHEN rn <= 64 AND in_a = 1 AND in_b = 1 THEN 1 END)
+         |      AS BIGINT) AS both_cnt,
+         |    CAST(count(CASE WHEN rn <= 64 THEN 1 END) AS BIGINT) AS topk
+         |  FROM r),
+         |est AS (SELECT
+         |    CASE WHEN nu < 64 THEN nu
+         |      ELSE (CAST(63 AS BIGINT) * 2147483647) // h64 END AS est_union,
+         |    both_cnt, topk FROM kk)
+         |SELECT ex.exact_union, ex.exact_inter,
+         |  CAST(est.est_union AS BIGINT) AS kmv_union,
+         |  CAST(est.both_cnt * est.est_union // est.topk AS BIGINT)
+         |    AS kmv_intersection,
+         |  CAST(est.both_cnt * 1000 // est.topk AS BIGINT)
+         |    AS jaccard_permille_est
+         |FROM ex, est""".stripMargin) { (s, dir) =>
+      val keyed = ev(s, dir).select(
+        (col("user_id") * 100 + dayofmonth(col("ts"))).cast("long").as("k"),
+        col("event_type"))
+      val a = keyed.filter(col("event_type") === "purchase")
+        .select(col("k")).distinct()
+      val b = keyed.filter(col("event_type") === "error")
+        .select(col("k")).distinct()
+      val h = a.select(col("k"), lit("a").as("src"))
+        .unionAll(b.select(col("k"), lit("b").as("src")))
+        .groupBy(col("k"))
+        .agg(max(when(col("src") === "a", 1).otherwise(0)).as("in_a"),
+          max(when(col("src") === "b", 1).otherwise(0)).as("in_b"))
+        .withColumn("hv",
+          (col("k") * lit(2654435761L) + lit(987654321L)) %
+            lit(graft.ops.Kmv.M))
+        .localCheckpoint(true) // feeds the exact aggregate AND the sketch
+      val ex = h.agg(count(lit(1)).cast("long").as("exact_union"),
+        sum(col("in_a") * col("in_b")).cast("long").as("exact_inter"))
+      val r = h.select(col("hv"), col("in_a"), col("in_b"),
+        row_number().over(Window.orderBy(col("hv"))).as("rn"),
+        count(lit(1)).over(Window.partitionBy()).as("nu"))
+      val kk = r.agg(max(col("nu")).as("nu"),
+        max(when(col("rn") === 64, col("hv"))).as("h64"),
+        count(when(col("rn") <= 64 && col("in_a") === 1 && col("in_b") === 1,
+          lit(1))).cast("long").as("both_cnt"),
+        count(when(col("rn") <= 64, lit(1))).cast("long").as("topk"))
+      val est = kk.select(
+        when(col("nu") < 64, col("nu"))
+          .otherwise(expr(
+            "(CAST(63 AS BIGINT) * CAST(2147483647 AS BIGINT)) DIV h64"))
+          .as("est_union"),
+        col("both_cnt"), col("topk"))
+      ex.crossJoin(broadcast(est))
+        .select(col("exact_union"), col("exact_inter"),
+          col("est_union").cast("long").as("kmv_union"),
+          expr("both_cnt * est_union DIV topk").cast("long")
+            .as("kmv_intersection"),
+          expr("both_cnt * 1000 DIV topk").cast("long")
+            .as("jaccard_permille_est"))
     }
   )
 }
