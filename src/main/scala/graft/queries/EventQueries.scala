@@ -2308,6 +2308,82 @@ object EventQueries {
             .as("kmv_intersection"),
           expr("both_cnt * 1000 DIV topk").cast("long")
             .as("jaccard_permille_est"))
+    },
+
+    // G2: single-source shortest path (3 min-plus relaxation rounds,
+    // ops/ShortestPath) over the transition graph from 'view', edge
+    // cost = 1e6 DIV weight — the "likeliest funnel path" reading:
+    // frequent transitions are cheap. Exact integers + NULL-skipping
+    // least() (identical semantics on both engines) make the iterative
+    // relaxation hash-gatable against three unrolled oracle rounds.
+    QDef("g2_shortest_path",
+      s"""$E, o AS (
+         |  SELECT event_type AS src, lead(event_type) OVER (
+         |    PARTITION BY user_id ORDER BY ts, event_id) AS dst
+         |  FROM e),
+         |ed0 AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+         |        FROM o WHERE dst IS NOT NULL GROUP BY 1, 2),
+         |ed AS (SELECT src, dst, 1000000 // w AS cost FROM ed0),
+         |nodes AS (SELECT DISTINCT src AS node FROM ed0
+         |          UNION SELECT DISTINCT dst FROM ed0),
+         |nd AS (SELECT node FROM nodes),
+         |r0 AS (SELECT node, CASE WHEN node = 'view' THEN 0 ELSE NULL END AS d
+         |       FROM nd),
+         |r1 AS (
+         |  SELECT n.node, least(p.d, m.md) AS d
+         |  FROM nd n JOIN r0 p ON p.node = n.node
+         |  LEFT JOIN (
+         |    SELECT ed.dst AS node, min(r.d + ed.cost) AS md
+         |    FROM ed JOIN r0 r ON ed.src = r.node WHERE r.d IS NOT NULL
+         |    GROUP BY ed.dst) m ON m.node = n.node),
+         |r2 AS (
+         |  SELECT n.node, least(p.d, m.md) AS d
+         |  FROM nd n JOIN r1 p ON p.node = n.node
+         |  LEFT JOIN (
+         |    SELECT ed.dst AS node, min(r.d + ed.cost) AS md
+         |    FROM ed JOIN r1 r ON ed.src = r.node WHERE r.d IS NOT NULL
+         |    GROUP BY ed.dst) m ON m.node = n.node),
+         |r3 AS (
+         |  SELECT n.node, least(p.d, m.md) AS d
+         |  FROM nd n JOIN r2 p ON p.node = n.node
+         |  LEFT JOIN (
+         |    SELECT ed.dst AS node, min(r.d + ed.cost) AS md
+         |    FROM ed JOIN r2 r ON ed.src = r.node WHERE r.d IS NOT NULL
+         |    GROUP BY ed.dst) m ON m.node = n.node)
+         |SELECT node AS event_type, CAST(d AS BIGINT) AS min_cost_micro
+         |FROM r3 ORDER BY node""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val edges = ev(s, dir)
+        .select(col("event_type").as("src"),
+          lead(col("event_type"), 1).over(w).as("dst"))
+        .filter(col("dst").isNotNull)
+        .groupBy(col("src"), col("dst"))
+        .agg(count(lit(1)).cast("long").as("w"))
+        .select(col("src"), col("dst"), expr("1000000 DIV w").as("cost"))
+      graft.ops.ShortestPath.sssp(edges, lit("view"), iters = 3)
+        .select(col("node").as("event_type"),
+          col("min_cost").as("min_cost_micro"))
+        .orderBy(col("event_type"))
+    },
+
+    // O8: keyset pagination — the scalable cursor pattern (WHERE
+    // (ts, id) > cursor ORDER BY LIMIT) that replaces OFFSET at scale:
+    // the composite-key predicate pushes into the scan and the plan is
+    // TakeOrderedAndProject, independent of page depth (OFFSET n scans
+    // and discards n rows — unusable at page 10⁶). Spark has no
+    // row-value comparison, so the predicate is the expanded disjunction.
+    QDef("o8_keyset_page",
+      s"""$E SELECT event_id, user_id, ts, event_type FROM e
+         |WHERE (ts, event_id) > (TIMESTAMP '2024-01-05 00:00:00', 0)
+         |ORDER BY ts, event_id LIMIT 20""".stripMargin) { (s, dir) =>
+      val cTs = lit("2024-01-05 00:00:00").cast("timestamp")
+      val cId = lit(0L)
+      ev(s, dir)
+        .filter(col("ts") > cTs || (col("ts") === cTs && col("event_id") > cId))
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+        .limit(20)
     }
   )
 }
