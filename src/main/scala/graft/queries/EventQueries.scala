@@ -2384,6 +2384,65 @@ object EventQueries {
         .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
         .orderBy(col("ts"), col("event_id"))
         .limit(20)
+    },
+
+    // FA10: funnel latency — median and p90 time-to-convert per funnel
+    // step (the fa1 24h funnel's "how fast", beside its "how many").
+    // Durations are exact epoch-ms integers; percentiles by the a24
+    // aggregate-first rank selection (oracle: native percentile_disc).
+    // One extra join per step to carry the previous step's timestamp.
+    QDef("fa10_funnel_latency",
+      s"""$E, s1 AS (
+         |  SELECT user_id, min(ts) AS t1 FROM e WHERE event_type = 'view'
+         |  GROUP BY 1),
+         |s2 AS (
+         |  SELECT e.user_id, s1.t1, min(e.ts) AS t2 FROM e
+         |  JOIN s1 ON e.user_id = s1.user_id
+         |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+         |    AND e.ts <= s1.t1 + INTERVAL 24 HOUR GROUP BY 1, 2),
+         |s3 AS (
+         |  SELECT e.user_id, s2.t2, min(e.ts) AS t3 FROM e
+         |  JOIN s2 ON e.user_id = s2.user_id
+         |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+         |    AND e.ts <= s2.t2 + INTERVAL 24 HOUR GROUP BY 1, 2),
+         |d AS (
+         |  SELECT 'click_to_purchase' AS step,
+         |    epoch_ms(t3) - epoch_ms(t2) AS ms FROM s3
+         |  UNION ALL
+         |  SELECT 'view_to_click' AS step, epoch_ms(t2) - epoch_ms(t1) AS ms
+         |  FROM s2)
+         |SELECT step, CAST(count(*) AS BIGINT) AS n_converted,
+         |  percentile_disc(0.5) WITHIN GROUP (ORDER BY ms) AS p50_ms,
+         |  percentile_disc(0.9) WITHIN GROUP (ORDER BY ms) AS p90_ms
+         |FROM d GROUP BY step ORDER BY step""".stripMargin) { (s, dir) =>
+      val e = ev(s, dir)
+      val s1 = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val s2 = e.filter(col("event_type") === "click").join(s1, "user_id")
+        .filter(col("ts") > col("t1") &&
+          col("ts") <= col("t1") + expr("INTERVAL 24 HOURS"))
+        .groupBy(col("user_id"), col("t1")).agg(min(col("ts")).as("t2"))
+      val s3 = e.filter(col("event_type") === "purchase")
+        .join(s2.select(col("user_id"), col("t2")), "user_id")
+        .filter(col("ts") > col("t2") &&
+          col("ts") <= col("t2") + expr("INTERVAL 24 HOURS"))
+        .groupBy(col("user_id"), col("t2")).agg(min(col("ts")).as("t3"))
+      val d = s3.select(lit("click_to_purchase").as("step"),
+          (unix_millis(col("t3")) - unix_millis(col("t2"))).as("ms"))
+        .unionAll(s2.select(lit("view_to_click").as("step"),
+          (unix_millis(col("t2")) - unix_millis(col("t1"))).as("ms")))
+      val counts = d.groupBy(col("step"), col("ms"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("step")).orderBy(col("ms"))
+      counts
+        .withColumn("cum", sum(col("cnt")).over(w))
+        .withColumn("tot",
+          sum(col("cnt")).over(Window.partitionBy(col("step"))))
+        .groupBy(col("step"))
+        .agg(max(col("tot")).cast("long").as("n_converted"),
+          min(when(col("cum") * 2 >= col("tot"), col("ms"))).as("p50_ms"),
+          min(when(col("cum") * 10 >= col("tot") * 9, col("ms"))).as("p90_ms"))
+        .orderBy(col("step"))
     }
   )
 }
