@@ -312,6 +312,78 @@ object ScaleProbe {
       graft.sim.Similarity.mmrRerank(Tables.embeddings(spark, dir),
         queryVecId = 0L, poolK = 20, k = 5).count()
     }
+    t(s"j10 overlap join ${mult}x") {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val iv = bigEv.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("iv_id"),
+          col("ts").as("a"),
+          lead(col("ts"), 1).over(w).as("b"))
+      val sess = bigEv
+        .withColumn("gap_ms", unix_millis(col("ts")) -
+          unix_millis(lag(col("ts"), 1).over(w)))
+        .withColumn("new_s",
+          when(col("gap_ms").isNull || col("gap_ms") > 3600000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_s")).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
+      graft.ops.Intervals.overlapJoin(iv, sess, Seq("user_id"),
+        "a", "b", "s_start", "s_end", bucketSeconds = 86400L).count()
+    }
+    t(s"g2 shortest path ${mult}x") {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val edges = bigEv.select(col("event_type").as("src"),
+          lead(col("event_type"), 1).over(w).as("dst"))
+        .filter(col("dst").isNotNull)
+        .groupBy(col("src"), col("dst"))
+        .agg(count(lit(1)).cast("long").as("w"))
+        .select(col("src"), col("dst"), expr("1000000 DIV w").as("cost"))
+      graft.ops.ShortestPath.sssp(edges, lit("view"), iters = 3).count()
+    }
+    t(s"sk5 kmv set ops ${mult}x") {
+      val keyed = bigEv.select(
+        (col("user_id") * 100 + dayofmonth(col("ts"))).cast("long").as("k"),
+        col("event_type"))
+      val a = keyed.filter(col("event_type") === "purchase")
+        .select(col("k")).distinct()
+      val b = keyed.filter(col("event_type") === "error")
+        .select(col("k")).distinct()
+      a.select(col("k"), lit("a").as("src"))
+        .unionByName(b.select(col("k"), lit("b").as("src")))
+        .groupBy(col("k"))
+        .agg(max(when(col("src") === "a", 1).otherwise(0)).as("in_a"))
+        .count()
+    }
+    t(s"a34 ks statistic ${mult}x") {
+      val c = bigEv.select(
+        round(col("value") * 100).cast("long").as("x"),
+        when(expr("weekday(ts)") <= 4, 1).otherwise(0).as("wk"))
+      c.groupBy(col("x")).agg(
+        count(when(col("wk") === 1, lit(1))).as("ca"),
+        count(when(col("wk") === 0, lit(1))).as("cb")).count()
+    }
+    t(s"st3b sliding windows ${mult}x") {
+      bigEv.select(window(col("ts"), "1 hour", "15 minutes")
+          .getField("start").as("ws"), col("event_type"))
+        .groupBy(col("ws"), col("event_type"))
+        .agg(count(lit(1))).count()
+    }
+    t(s"mm7 patch extract ${mult}x") {
+      import spark.implicits._
+      val payloads = big.select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = (4 + id % 5).toInt
+          val h = (3 + id % 4).toInt
+          (id, graft.multimodal.Multimodal.Farbfeld.encode(w, h, (i, c) =>
+            ((id * 7919L + i.toLong * 31L + c.toLong * 101L) % 65536L).toInt))
+        }).toDF("doc_id", "payload")
+      graft.multimodal.Multimodal.extractPatches(payloads, "doc_id",
+        "payload", p = 2).count()
+    }
     spark.stop()
   }
 }
