@@ -344,6 +344,28 @@ object Curation {
         sum(when(!col("__keep"), 1L).otherwise(0L)).as("n_lines_dropped"))
   }
 
+  /** WITHIN-document line dedup: keep only the first occurrence of each
+    * line inside its own document (repeated boilerplate paragraphs,
+    * scraped nav menus duplicated by the extractor). Complements the two
+    * cross-document variants: [[stripBoilerplateLines]] (corpus frequency
+    * threshold) and [[dedupLinesFirstOccurrence]] (global first instance)
+    * — here the unit of dedup is one document, so the whole operator is a
+    * single fused projection with ZERO shuffles and no state: the only
+    * corpus-wide op that stays embarrassingly parallel at 100 TB. The
+    * first-occurrence test is `array_position(lines, x) == i + 1` inside
+    * a higher-order `filter` — O(L²) per document worst case, but L is
+    * lines-per-doc (bounded, small), not corpus size. NULL text yields
+    * NULL output columns (same contract as the content-hash samplers).
+    */
+  def dedupLinesWithinDoc(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val ls = split(text, "\n")
+    val kept = filter(ls, (x, i) => array_position(ls, x) === i + 1)
+    df.select(id.as("doc_id"),
+      array_join(kept, "\n").as("clean_text"),
+      size(ls).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_lines_kept"))
+  }
+
   /** Per-key temperature-sampling thresholds: flatten the source
     * distribution p_s ∝ n_s to p'_s ∝ n_s^alpha (the standard
     * multi-source mixing knob) by accepting each key's documents with

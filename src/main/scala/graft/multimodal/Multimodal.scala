@@ -390,6 +390,40 @@ object Multimodal {
       .toDF(idCol, payloadCol)
   }
 
+  /** Center crop of farbfeld payloads to the rational fraction `num/den`
+    * of each dimension (floor-scaled, clamped to ≥1), offset to the image
+    * center with floor division — the standard vision-preprocessing
+    * companion to [[resizeNearest]] (crop-then-resize is the canonical
+    * training-input path). Exact integer arithmetic end to end, so the
+    * cropped raster's checksum is SQL-expressible and the `mm8` gate pins
+    * decode → crop → re-encode through [[decodeStats]] on the OUTPUT
+    * payloads. mapPartitions batched like every codec op here.
+    */
+  def centerCrop(df: DataFrame, idCol: String, payloadCol: String,
+                 num: Int, den: Int): DataFrame = {
+    require(num > 0 && den > 0 && num <= den, s"bad crop fraction $num/$den")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img = Farbfeld.decode(bytes)
+          val cw = math.max(img.width * num / den, 1)
+          val ch = math.max(img.height * num / den, 1)
+          val ox = (img.width - cw) / 2
+          val oy = (img.height - ch) / 2
+          val out = Farbfeld.encode(cw, ch, (i, c) => {
+            val sx = ox + i % cw
+            val sy = oy + i / cw
+            img.components((sy * img.width + sx) * Farbfeld.Channels + c)
+          })
+          (id, out)
+        }
+      }
+      .toDF(idCol, payloadCol)
+  }
+
   /** Frame sampling for video payloads: one output row per sampled frame,
     * preserving provenance (id, frame_idx). The sampler is a byte-window
     * chunker — a real, deterministic operation standing where a container

@@ -2160,6 +2160,106 @@ object DocQueries {
       graft.multimodal.Multimodal.extractPatches(payloads, "doc_id",
           "payload", p = 2)
         .orderBy(col("id"), col("patch_row"), col("patch_col"))
+    },
+
+    // MM8: center crop to half each dimension (floor, clamped ≥1) — the
+    // vision-preprocessing companion of mm6's resize; same synthetic
+    // farbfeld fixture, and the gate pins decode → crop → re-encode by
+    // checksumming the OUTPUT payloads through the verified decoder.
+    QDef("mm8_center_crop",
+      """WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+        |           FROM documents),
+        |r AS (SELECT doc_id, w, h,
+        |       greatest(w // 2, 1) AS cw, greatest(h // 2, 1) AS ch FROM d),
+        |o AS (SELECT doc_id, w, cw, ch,
+        |       (w - cw) // 2 AS ox, (h - ch) // 2 AS oy FROM r)
+        |SELECT doc_id AS id, CAST(cw AS INTEGER) AS width,
+        |  CAST(ch AS INTEGER) AS height,
+        |  CAST(list_sum([
+        |    (doc_id*7919
+        |      + ((oy + (j//4) // cw) * w + ox + (j//4) % cw) * 31
+        |      + (j%4) * 101) % 65536
+        |    FOR j IN range(0, cw*ch*4)]) AS BIGINT) AS px_sum
+        |FROM o ORDER BY id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val payloads = Tables.documents(s, dir).select(col("doc_id").cast("long"))
+        .as[Long]
+        .mapPartitions(_.map { id =>
+          val w = (4 + id % 5).toInt
+          val h = (3 + id % 4).toInt
+          (id, graft.multimodal.Multimodal.Farbfeld.encode(w, h, (i, c) =>
+            ((id * 7919L + i.toLong * 31L + c.toLong * 101L) % 65536L).toInt))
+        })
+        .toDF("doc_id", "payload")
+      val cropped = graft.multimodal.Multimodal.centerCrop(
+        payloads, "doc_id", "payload", num = 1, den = 2)
+      graft.multimodal.Multimodal.decodeStats(cropped, "doc_id", "payload")
+        .orderBy(col("id"))
+    },
+
+    // C18: WITHIN-document line dedup (extractor-duplicated paragraphs).
+    // Same reshaped 6-token-line input as c4/c8, plus a planted repeat —
+    // every 3rd doc gets its first line appended again, identically on
+    // both engines — so the gate removes real duplicates (167 lines at
+    // sf0.01), not an identity pass. The operator itself is the only
+    // corpus op with ZERO shuffles: one fused projection, O(L²) in
+    // lines-per-doc, embarrassingly parallel at 100 TB.
+    QDef("c18_intradoc_dedup",
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |l AS (SELECT doc_id, list_transform(range(1, CAST(ceil(len(toks)/6.0) AS INT) + 1),
+        |        i -> array_to_string(toks[(i-1)*6+1:(i-1)*6+6], ' ')) AS lines FROM d),
+        |x AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0
+        |        THEN list_append(lines, lines[1]) ELSE lines END AS lines FROM l),
+        |k AS (SELECT doc_id, lines,
+        |      list_filter(lines, (e, i) -> list_position(lines, e) = i) AS kept
+        |      FROM x)
+        |SELECT doc_id, array_to_string(kept, chr(10)) AS clean_text,
+        |  CAST(len(lines) AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_lines_kept
+        |FROM k ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val withDup = linedDocuments(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+            concat_ws("\n", col("text"), split(col("text"), "\n")(0)))
+          .otherwise(col("text")).as("text"))
+      graft.curation.Curation.dedupLinesWithinDoc(withDup, col("text"),
+          col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+
+    // G3: triangle count + global clustering coefficient of the d4
+    // near-dup similarity graph — the structural health check of a dedup
+    // candidate graph (triangle-dense regions are dup cliques worth a
+    // transitive keep-one; wedge-heavy sparse regions are chains needing
+    // per-pair review). The Spark plan is the at-scale standard
+    // degree-oriented algorithm: orient each edge from its lower-
+    // (degree, id) endpoint (a total order ⇒ a DAG), enumerate wedges at
+    // each source, close them with an equi-join on the oriented third
+    // edge — every triangle counted exactly once at its minimum vertex,
+    // and the wedge work is Σ d_out², which orientation bounds by
+    // O(m^1.5) regardless of hub degree. Pairs and oriented edges are
+    // multi-consumer frames → materialized once (house discipline). The
+    // oracle counts canonical a<b<c paths — orientation-free, same total.
+    QDef("g3_triangle_count",
+      """WITH d AS (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks FROM documents),
+        |p AS (SELECT a.doc_id AS a, b.doc_id AS b
+        |      FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+        |      WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |        / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.9),
+        |deg AS (SELECT v, count(*) AS dg FROM
+        |        (SELECT a AS v FROM p UNION ALL SELECT b AS v FROM p) u GROUP BY v),
+        |tri AS (SELECT count(*) AS t FROM p e1
+        |        JOIN p e2 ON e2.a = e1.a AND e2.b > e1.b
+        |        JOIN p e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |wed AS (SELECT COALESCE(sum((dg*(dg-1))//2), 0) AS w FROM deg)
+        |SELECT CAST(tri.t AS BIGINT) AS n_triangles,
+        |  CAST(wed.w AS BIGINT) AS n_wedges,
+        |  round(CASE WHEN wed.w > 0 THEN 3.0*tri.t/wed.w ELSE 0.0 END, 6)
+        |    AS clustering_coeff
+        |FROM tri, wed""".stripMargin) { (s, dir) =>
+      graft.ops.Triangles.countWithCoefficient(
+        Dedup.jaccardPairsPrefix(Tables.documents(s, dir),
+            col("text"), col("doc_id"), blockCol = "source", threshold = 0.9)
+          .select(col("doc_a").as("a"), col("doc_b").as("b")))
     }
   )
 }

@@ -2443,6 +2443,70 @@ object EventQueries {
           min(when(col("cum") * 2 >= col("tot"), col("ms"))).as("p50_ms"),
           min(when(col("cum") * 10 >= col("tot") * 9, col("ms"))).as("p90_ms"))
         .orderBy(col("step"))
+    },
+
+    // FA11: week-over-week engagement accounting — per calendar week, the
+    // active set decomposed into new (first week ever), retained (also
+    // active the prior week) and resurrected (seen before, but not last
+    // week), plus forward churn (active now, absent next week; NULL on
+    // the last week, where "next" is unobservable). The weekly-active
+    // frame is |users|·|weeks| — the prev/next self-joins key on
+    // (user_id, week±7) so they shuffle the compact distinct frame, not
+    // raw events, and the max-week guard is a broadcast single row.
+    QDef("fa11_wow_churn",
+      s"""$E, wa AS (
+         |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+         |  FROM e),
+         |f AS (SELECT user_id, min(wk) AS first_wk FROM wa GROUP BY 1),
+         |mx AS (SELECT max(wk) AS max_wk FROM wa),
+         |j AS (SELECT a.wk, a.user_id, f.first_wk,
+         |        p.user_id IS NOT NULL AS had_prev,
+         |        n.user_id IS NOT NULL AS has_next
+         |      FROM wa a JOIN f ON f.user_id = a.user_id
+         |      LEFT JOIN wa p ON p.user_id = a.user_id AND p.wk = a.wk - 7
+         |      LEFT JOIN wa n ON n.user_id = a.user_id AND n.wk = a.wk + 7)
+         |SELECT j.wk, CAST(count(*) AS BIGINT) AS n_active,
+         |  CAST(sum(CASE WHEN j.first_wk = j.wk THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_new,
+         |  CAST(sum(CASE WHEN j.had_prev THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_retained,
+         |  CAST(sum(CASE WHEN NOT j.had_prev AND j.first_wk < j.wk
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+         |  CASE WHEN j.wk = mx.max_wk THEN NULL
+         |       ELSE CAST(sum(CASE WHEN NOT j.has_next THEN 1 ELSE 0 END)
+         |         AS BIGINT) END AS n_churn_out
+         |FROM j, mx GROUP BY j.wk, mx.max_wk ORDER BY j.wk""".stripMargin) {
+      (s, dir) =>
+      val wa = ev(s, dir)
+        .select(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("wk"))
+        .distinct()
+        .localCheckpoint(true) // consumed by firsts, prev, next, max
+      val f = wa.groupBy(col("user_id")).agg(min(col("wk")).as("first_wk"))
+      val mx = wa.agg(max(col("wk")).as("max_wk"))
+      val prev = wa.select(col("user_id").as("p_uid"), col("wk").as("p_wk"))
+      val next = wa.select(col("user_id").as("n_uid"), col("wk").as("n_wk"))
+      wa.join(f, Seq("user_id"))
+        .join(prev, col("user_id") === col("p_uid") &&
+          col("p_wk") === date_sub(col("wk"), 7), "left")
+        .join(next, col("user_id") === col("n_uid") &&
+          col("n_wk") === date_add(col("wk"), 7), "left")
+        .crossJoin(broadcast(mx))
+        .groupBy(col("wk"), col("max_wk"))
+        .agg(count(lit(1)).cast("long").as("n_active"),
+          sum(when(col("first_wk") === col("wk"), 1L).otherwise(0L))
+            .cast("long").as("n_new"),
+          sum(when(col("p_uid").isNotNull, 1L).otherwise(0L))
+            .cast("long").as("n_retained"),
+          sum(when(col("p_uid").isNull && col("first_wk") < col("wk"), 1L)
+            .otherwise(0L)).cast("long").as("n_resurrected"),
+          sum(when(col("n_uid").isNull, 1L).otherwise(0L))
+            .cast("long").as("churn_raw"))
+        .select(col("wk"), col("n_active"), col("n_new"), col("n_retained"),
+          col("n_resurrected"),
+          when(col("wk") === col("max_wk"), lit(null).cast("long"))
+            .otherwise(col("churn_raw")).as("n_churn_out"))
+        .orderBy(col("wk"))
     }
   )
 }

@@ -381,6 +381,31 @@ class CurationSpec extends AnyFunSuite {
     assert(plan.toSeq == Seq(("empty", 0L, 0L), ("web", 4L, 400L)))
   }
 
+  test("dedupLinesWithinDoc: first occurrence kept per doc, cross-doc repeats untouched") {
+    val df = Seq(
+      (1L, "a\nb\na\nc\nb"),   // intra-doc repeats of a and b
+      (2L, "a\nb"),            // same lines in another doc: kept (not global)
+      (3L, "x"),               // single line
+      (4L, ""),                // empty text = one empty line
+      (5L, null.asInstanceOf[String])) // NULL text -> NULL output columns
+      .toDF("doc_id", "text")
+    val r = Curation.dedupLinesWithinDoc(df, col("text"), col("doc_id"))
+      .orderBy("doc_id").collect()
+    assert(r(0).getString(1) == "a\nb\nc" &&
+      r(0).getLong(2) == 5L && r(0).getLong(3) == 3L)
+    assert(r(1).getString(1) == "a\nb" && r(1).getLong(3) == 2L)
+    assert(r(2).getString(1) == "x")
+    assert(r(3).getString(1) == "" && r(3).getLong(2) == 1L)
+    assert(r(4).isNullAt(1) && r(4).isNullAt(2) && r(4).isNullAt(3))
+  }
+
+  test("dedupLinesWithinDoc plans as a single fused projection (zero shuffles)") {
+    val df = Seq((1L, "a\nb\na")).toDF("doc_id", "text")
+    val plan = Curation.dedupLinesWithinDoc(df, col("text"), col("doc_id"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("shardManifest: NULL-text documents surface as a NULL-shard audit row") {
     val df = Seq((1L, "a b"), (2L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")

@@ -114,6 +114,30 @@ class MultimodalSpec extends AnyFunSuite {
       Seq(30, 31, 32, 33))
   }
 
+  test("centerCrop: hand-mapped offsets, identity at num=den, clamp-to-1") {
+    import graft.multimodal.Multimodal
+    // 4x3 image, component c of pixel i = i*10+c
+    val src = Multimodal.Farbfeld.encode(4, 3, (i, c) => i * 10 + c)
+    val df = Seq((1L, src)).toDF("doc_id", "payload")
+    // half crop: cw=2, ch=1, ox=(4-2)/2=1, oy=(3-1)/2=1 -> pixels (1,1),(2,1)
+    val half = Multimodal.centerCrop(df, "doc_id", "payload", 1, 2)
+    val img = Multimodal.Farbfeld.decode(
+      half.collect().head.getAs[Array[Byte]]("payload"))
+    assert(img.width == 2 && img.height == 1)
+    assert(img.components.toSeq ==
+      Seq(50, 51, 52, 53, 60, 61, 62, 63)) // pixels 5 and 6 of the source
+    // identity crop returns the full raster unchanged
+    val same = Multimodal.centerCrop(df, "doc_id", "payload", 1, 1)
+    assert(same.collect().head.getAs[Array[Byte]]("payload").toSeq == src.toSeq)
+    // 1xN image crops clamp to >=1 in the degenerate dimension
+    val thin = Multimodal.Farbfeld.encode(1, 3, (i, c) => i + c)
+    val thinDf = Seq((2L, thin)).toDF("doc_id", "payload")
+    val tc = Multimodal.Farbfeld.decode(
+      Multimodal.centerCrop(thinDf, "doc_id", "payload", 1, 3)
+        .collect().head.getAs[Array[Byte]]("payload"))
+    assert(tc.width == 1 && tc.height == 1)
+  }
+
   test("sampleFrames fans out one row per frame with provenance") {
     val f = Multimodal.sampleFrames(media, "id", "payload", stride = 64)
     val counts = f.groupBy("id").count().collect()
