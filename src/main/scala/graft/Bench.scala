@@ -50,13 +50,30 @@ object Bench {
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     } catch { case _: Throwable => Map.empty }
 
+    // Storage hygiene between runs: localCheckpoint(eager) blocks persist in
+    // the BlockManager until their RDD is GC'd, so 197 queries × 3 reps pile
+    // up hundreds of dead storage blocks. The resulting memory pressure
+    // showed up as 25× inflation on TRIVIAL projections late in the
+    // alphabetical r7 suite (x5/x11/x13) — not plan damage. Unpersist every
+    // persistent RDD after each rep (each rep rebuilds its own checkpoints),
+    // and nudge GC every 25 queries to clear the broadcast/codegen litter.
+    def dropBlocks(): Unit =
+      try spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      catch { case _: Throwable => }
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double =
       (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        dropBlocks()
+        dt
       }.min
-    val results = selected.map { case (name, fn) => name -> time(fn) }
+    var qi = 0
+    val results = selected.map { case (name, fn) =>
+      qi += 1
+      if (qi % 25 == 0) System.gc()
+      name -> time(fn)
+    }
 
     // Self-adjudication (round-6 verdict ask): suite-order timings inflate
     // 4-6x under late-suite JVM state — q10-q13 in BENCH_r06 measured
@@ -64,11 +81,20 @@ object Bench {
     // the full pass, every query that regressed >3x vs the previous map
     // plus the 3 slowest overall (<=8 total), and report the rerun
     // minimums so no false regression needs manual adjudication.
+    // Suspects: >3x vs the previous map when one exists, PLUS anything that
+    // cost >1s while sitting >4x above the suite median (catches late-suite
+    // inflation even on a fresh machine with no /tmp/bench.json baseline —
+    // exactly how x5/x11/x13 escaped the r7 rerun net), plus the 3 slowest.
+    val med = {
+      val ts = results.map(_._2).sorted
+      if (ts.isEmpty) 0.0 else ts(ts.size / 2)
+    }
     val suspects = (
       results.filter { case (n, t) =>
         prev.get(n).exists(p => p > 0 && t > 3 * p) } .map(_._1) ++
+      results.filter { case (_, t) => t > 1.0 && t > 4 * med }.map(_._1) ++
       results.sortBy(-_._2).take(3).map(_._1)
-    ).distinct.take(8)
+    ).distinct.take(16)
     val reruns = suspects.flatMap { n =>
       selected.find(_._1 == n).map { case (_, fn) => n -> time(fn) }
     }

@@ -21,22 +21,23 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame      = table(spark, d, "part")
   def orders(spark: SparkSession, d: String): DataFrame    = table(spark, d, "orders")
   def lineitem(spark: SparkSession, d: String): DataFrame  = table(spark, d, "lineitem")
-  /** `events.parquet` stores TIMESTAMP(NANOS), which Spark's vectorized
-    * parquet reader rejects. Read nanos as long (legacy conf) and truncate
-    * to microseconds — exactly what DuckDB's `CAST(ts AS TIMESTAMP)` does,
-    * so both engines see the identical microsecond timeline.
-    *
-    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` on the session —
-    * set once at session construction (Bench/Verify/Explain/TestSpark all
-    * do) rather than mutated here: table loaders must not flip session-wide
-    * conf mid-flight under concurrent queries.
+  /** `events.parquet` has shipped with two physical `ts` encodings across
+    * testdata generations: TIMESTAMP(NANOS) (reads as `long` under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`) and TIMESTAMP(MICROS)
+    * without UTC adjustment (reads as TIMESTAMP_NTZ). Branch on the dtype
+    * the reader actually produced and normalize both to session-UTC
+    * `TimestampType` at microsecond precision — the same timeline DuckDB's
+    * naive `TIMESTAMP` sees, so oracle comparisons line up bit-for-bit.
     */
   def events(spark: SparkSession, d: String): DataFrame = {
-    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "set spark.sql.legacy.parquet.nanosAsLong=true at session build time " +
-        "(events.parquet stores TIMESTAMP(NANOS))")
-    table(spark, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = table(spark, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
   }
   def documents(spark: SparkSession, d: String): DataFrame = table(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")

@@ -28,6 +28,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // drop dead localCheckpoint blocks so 197 queries of storage litter
+      // can't build memory pressure late in the run (same hygiene as Bench)
+      try spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      catch { case _: Throwable => }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

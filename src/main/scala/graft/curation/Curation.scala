@@ -565,7 +565,10 @@ object Curation {
     * multi-consumer frame is checkpointed as an ID-plus-small-columns
     * projection (never text), so each stage executes once and consumers
     * pay only a docs re-scan against a tiny id set. Fully hash-gated end
-    * to end (`c13_training_manifest_v2`). Returns one row per surviving
+    * to end (`c13_training_manifest_v2`). The quality-rule thresholds pass
+    * through to [[qualityFilter]] exactly as in [[trainingManifest]]
+    * (defaults preserve the gate fixtures; real corpora want e.g.
+    * `maxTokens = Long.MaxValue`). Returns one row per surviving
     * document: `(doc_id, pack_key, split, n_tokens, quality, cum_tokens,
     * seq_id, seq_offset)`.
     */
@@ -574,9 +577,15 @@ object Curation {
                          classifierBias: Double = 0.0,
                          minLogitMicro: Long = Long.MinValue,
                          tokensPerSource: Long = Long.MaxValue,
-                         budget: Int = 512): DataFrame = {
+                         budget: Int = 512,
+                         minTokens: Long = 20, maxTokens: Long = 80,
+                         maxStopwordRatio: Double = 0.1,
+                         maxDupTokenRatio: Double = 0.6,
+                         maxTopBigramFrac: Double = 0.06): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
-    val keepRules = qualityFilter(docs, col("text"), col("doc_id"))
+    val keepRules = qualityFilter(docs, col("text"), col("doc_id"),
+        minTokens, maxTokens, maxStopwordRatio, maxDupTokenRatio,
+        maxTopBigramFrac)
       .filter(col("keep") === 1).select(col("doc_id"))
     val scored = graft.text.TextAnalysis.classifierScore(docs, col("text"),
         col("doc_id"), classifierWeights, classifierBias)

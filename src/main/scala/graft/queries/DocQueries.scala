@@ -1447,8 +1447,8 @@ object DocQueries {
          |  CAST(floor((-0.25 + dot / (100.0 * n_tokens)) * 1000000.0) AS BIGINT) AS quality
          |  FROM h),
          |c AS (SELECT doc_id, source, n_tokens, quality,
-         |  SUM(n_tokens) OVER (PARTITION BY source ORDER BY quality DESC, doc_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+         |  CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY quality DESC, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
          |  FROM q)
          |SELECT doc_id, source, n_tokens, quality, cum_tokens
          |FROM c WHERE cum_tokens <= 2000 ORDER BY source, quality DESC, doc_id""".stripMargin
@@ -1766,8 +1766,8 @@ object DocQueries {
          |  FROM (SELECT *, list_reduce(list_prepend(CAST(0 AS BIGINT),
          |    [CAST(ascii(c) AS BIGINT) FOR c IN string_split(text, '')]),
          |    (a, b) -> (a * 31 + b) % 1000000007) % 100 AS hm FROM dd)),
-         |mx AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY source ORDER BY quality DESC, doc_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens FROM sp),
+         |mx AS (SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY quality DESC, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens FROM sp),
          |mixed AS (SELECT * FROM mx WHERE cum_tokens <= 100),
          |pk AS (SELECT doc_id, source || '|' || split AS pack_key, split, n_tokens,
          |  quality, cum_tokens,

@@ -1235,7 +1235,8 @@ object EventQueries {
          |    AS offset_days, a.user_id
          |  FROM a JOIN c ON a.user_id = c.user_id
          |  WHERE date_diff('day', c.cohort_day, a.d) BETWEEN 0 AND 7)
-         |SELECT cohort_day, CAST(offset_days AS BIGINT) AS offset_days,
+         |SELECT CAST(cohort_day AS TIMESTAMP) AS cohort_day,
+         |  CAST(offset_days AS BIGINT) AS offset_days,
          |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
          |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
       val e = ev(s, dir)
@@ -1248,6 +1249,10 @@ object EventQueries {
         .filter(col("offset_days").between(0, 7))
         .groupBy(col("cohort_day"), col("offset_days"))
         .agg(countDistinct(col("user_id")).as("n_active"))
+        // DATE carries as midnight TIMESTAMP: pyarrow hands DuckDB DATE and
+        // parquet date32 to the driver as different py types (datetime64 vs
+        // date objects), which hash apart even when values agree
+        .withColumn("cohort_day", col("cohort_day").cast("timestamp"))
         .orderBy(col("cohort_day"), col("offset_days"))
     },
 
@@ -1290,7 +1295,7 @@ object EventQueries {
          |wau AS (
          |  SELECT a.d + o.o AS wd, count(DISTINCT a.user_id) AS wau
          |  FROM a CROSS JOIN off o GROUP BY 1)
-         |SELECT dau.d AS day, CAST(dau.dau AS BIGINT) AS dau,
+         |SELECT CAST(dau.d AS TIMESTAMP) AS day, CAST(dau.dau AS BIGINT) AS dau,
          |  CAST(wau.wau AS BIGINT) AS wau,
          |  CAST(dau.dau * 1000 // wau.wau AS BIGINT) AS stickiness_permille
          |FROM dau JOIN wau ON wau.wd = dau.d ORDER BY day""".stripMargin) {
@@ -1305,7 +1310,8 @@ object EventQueries {
         .select(col("user_id"), date_add(col("d"), col("o")).as("wd"))
         .groupBy(col("wd")).agg(countDistinct(col("user_id")).as("wau"))
       dau.join(wau, col("d") === col("wd"))
-        .select(col("d").as("day"), col("dau"), col("wau"),
+        // timestamp, not date, for the same driver-hash parity reason as fa2
+        .select(col("d").cast("timestamp").as("day"), col("dau"), col("wau"),
           expr("dau * 1000 DIV wau").cast("long").as("stickiness_permille"))
         .orderBy(col("day"))
     },
@@ -2465,7 +2471,7 @@ object EventQueries {
          |      FROM wa a JOIN f ON f.user_id = a.user_id
          |      LEFT JOIN wa p ON p.user_id = a.user_id AND p.wk = a.wk - 7
          |      LEFT JOIN wa n ON n.user_id = a.user_id AND n.wk = a.wk + 7)
-         |SELECT j.wk, CAST(count(*) AS BIGINT) AS n_active,
+         |SELECT CAST(j.wk AS TIMESTAMP) AS wk, CAST(count(*) AS BIGINT) AS n_active,
          |  CAST(sum(CASE WHEN j.first_wk = j.wk THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_new,
          |  CAST(sum(CASE WHEN j.had_prev THEN 1 ELSE 0 END) AS BIGINT)
@@ -2502,8 +2508,9 @@ object EventQueries {
             .otherwise(0L)).cast("long").as("n_resurrected"),
           sum(when(col("n_uid").isNull, 1L).otherwise(0L))
             .cast("long").as("churn_raw"))
-        .select(col("wk"), col("n_active"), col("n_new"), col("n_retained"),
-          col("n_resurrected"),
+        // timestamp, not date, for the same driver-hash parity reason as fa2
+        .select(col("wk").cast("timestamp").as("wk"), col("n_active"),
+          col("n_new"), col("n_retained"), col("n_resurrected"),
           when(col("wk") === col("max_wk"), lit(null).cast("long"))
             .otherwise(col("churn_raw")).as("n_churn_out"))
         .orderBy(col("wk"))

@@ -131,6 +131,42 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(m.length == 3 && m.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("temperatureSample: NULL keys are a sampled group, not a silent drop") {
+    import graft.curation.Curation
+    // 8 null-key docs + 2 'b' docs: n_min = 2, so the null group's
+    // threshold is sqrt(2/8)·1e6 = 500000 — null-key docs must flow
+    // through the null-safe threshold join and be sampled at that rate,
+    // never dropped wholesale (and never treated as threshold-free).
+    val df = (1 to 8).map(i => (Option.empty[String], s"null doc number $i")) ++
+      Seq((Some("b"), "doc b one"), (Some("b"), "doc b two"))
+    val docs = df.toDF("src", "text")
+    val thr = Curation.temperatureThresholds(docs, col("src"))
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(2)).toMap
+    assert(thr(None) == 500000L && thr(Some("b")) == 1000000L)
+    val kept = Curation.temperatureSample(docs, col("src"), col("text"))
+    // both 'b' docs always survive (threshold = mod); the null group keeps
+    // only docs whose content hash lands under 500000 — a strict subset
+    // decided per doc, and repeat runs agree (deterministic)
+    val k1 = kept.collect().map(r => (Option(r.getString(0)), r.getString(1))).toSet
+    assert(k1.count(_._1.contains("b")) == 2)
+    assert(k1.count(_._1.isEmpty) < 8)
+    val k2 = Curation.temperatureSample(docs, col("src"), col("text"))
+      .collect().map(r => (Option(r.getString(0)), r.getString(1))).toSet
+    assert(k1 == k2)
+  }
+
+  test("semanticDedup: embedding length != dim fails fast, not mis-buckets") {
+    val emb = Seq((0L, Array(1.0f, 0.0f, 0.0f), 0), (1L, Array(0.9f, 0.1f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val e = intercept[Exception] {
+      Similarity.semanticDedup(emb, nBits = 4, threshold = 0.9, dim = 8).count()
+    }
+    assert(e.getMessage.contains("semanticDedup"), e.getMessage)
+    // matching dim works on the same frame
+    assert(Similarity.semanticDedup(emb, nBits = 4, threshold = 0.9, dim = 3)
+      .count() >= 1)
+  }
+
   test("q1 plan pushes the shipdate filter and prunes columns (guard)") {
     val df = SparkEntry.queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
     val scan = df.queryExecution.executedPlan.toString
