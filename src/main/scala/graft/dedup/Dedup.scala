@@ -66,10 +66,16 @@ object Dedup {
     // \u0001 separator: shingles are space-joined words, so a plain space
     // join would make {"a b"} and {"a","b"} collide for ngram > 1
     val sig = array_join(array_sort(shingles(text, ngram)), "\u0001")
+    // reps is consumed TWICE (edge generation scans it, the keep-one
+    // anti-join scans it again) — materialize the signature window once
+    // instead of re-running it per consumer. The returned frame therefore
+    // retains one rep-corpus-sized block (the rep collapse is exactly the
+    // materialization a staged dedup pipeline wants on disk anyway).
     val reps = df
       .withColumn("__sig_rn", row_number().over(Window.partitionBy(sig).orderBy(id)))
       .filter(col("__sig_rn") === 1).drop("__sig_rn")
       .withColumn("__all", lit(0))
+      .localCheckpoint(true)
     val edges = jaccardPairsPrefix(reps, text, id, "__all", threshold, ngram)
     keepOnePerComponent(reps, id, edges).drop("__all")
   }
@@ -98,8 +104,11 @@ object Dedup {
     val marked = df
       .withColumn("__sig_rn", row_number().over(w.orderBy(id)))
       .withColumn("__dups", count(lit(1)).over(w))
+    // materialize the double window once: reps feeds edge generation AND
+    // the histogram join — uncheckpointed it re-runs per consumer
     val reps = marked.filter(col("__sig_rn") === 1)
       .drop("__sig_rn").withColumn("__all", lit(0))
+      .localCheckpoint(true)
     val edges = jaccardPairsPrefix(reps, text, id, "__all", threshold, ngram)
     val labels = components(edges)
     val hist = reps
@@ -107,8 +116,9 @@ object Dedup {
       .select(coalesce(col("comp"), id).as("__comp"), col("__dups"))
       .groupBy(col("__comp")).agg(sum(col("__dups")).as("cluster_size"))
       .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
-      .localCheckpoint(true) // histogram-sized; lets the label block go
+      .localCheckpoint(true) // histogram-sized; lets the larger blocks go
     Bridge.release(labels)
+    Bridge.release(reps)
     hist
   }
 
@@ -159,7 +169,6 @@ object Dedup {
     * is free to optimize candidate counts without affecting completeness.
     */
   private[graft] def prefixCandidates(d: DataFrame, threshold: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // Canonical order = ASCENDING document frequency (rarest shingle first,
     // ties by hash then value — a deterministic global total order, which is
     // all the prefix lemma requires). This is the textbook PPJoin ordering,
@@ -172,6 +181,20 @@ object Dedup {
     // join keys can't form. Costs one vocabulary-sized aggregation plus a
     // per-doc window over the exploded shingles — both keyed shuffles that
     // scale linearly with corpus tokens.
+    prefixCandidateInstances(d, threshold).distinct()
+  }
+
+  /** [[prefixCandidates]] WITHOUT the pair distinct: one row per surviving
+    * (prefix-shingle, doc_a, doc_b) instance. The verify stage dedups after
+    * thresholding instead — a distinct over the (tiny) edge set is far
+    * cheaper than one over the (large) candidate multiset (measured 2.5 s
+    * of a 4.6 s d12 pair stage at sf0.1 spent distinct-ing 1.96M instances
+    * down to 1.73M pairs that then produced 29k edges). Kept separate so
+    * SkewSpec can keep asserting the distinct-pair candidate bound.
+    */
+  private[graft] def prefixCandidateInstances(d: DataFrame,
+                                              threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val prefixLen = (col("n") - ceil(col("n") * threshold) + 1).cast("int")
     val tok = d.select(col("blk"), col("doc_id"), col("n"),
       explode(col("toks")).as("p"))
@@ -191,7 +214,7 @@ object Dedup {
     a.join(b, Seq("blk", "p"))
       .where(col("doc_a") < col("doc_b") && sizeOk &&
         (lit(1) + least(col("pn_a") - col("i_a"), col("pn_b") - col("i_b"))) >= alpha)
-      .select(col("doc_a"), col("doc_b")).distinct()
+      .select(col("doc_a"), col("doc_b"))
   }
 
   /** PPJoin-style prefix-filtered exact Jaccard (same results as
@@ -226,6 +249,11 @@ object Dedup {
     val d = df.select(col(blockCol).as("blk"), id.as("doc_id"),
         array_sort(transform(sh, t => xxhash64(t))).as("toks"), size(sh).as("n"))
       .localCheckpoint(true) // reused by candidates and both verify sides
+    // Distinct BEFORE verify (not after): tried the instance-stream shape —
+    // verify-per-instance then distinct the 29k edges — and it measured 4x
+    // WORSE (17 s vs 4.6 s at sf0.1): the un-materialized candidate stream
+    // forces sort-merge verify joins over 1.96M rows, while the distinct's
+    // exchange gives AQE the stats to broadcast the corpus side under it.
     val cand = prefixCandidates(d, threshold)
     val a = d.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
       col("n").as("n_a"))
