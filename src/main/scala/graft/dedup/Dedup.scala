@@ -506,8 +506,14 @@ object Dedup {
     val sym = edges.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionByName(edges.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .localCheckpoint(true)
-    var labels = sym.select(col("u").as("node")).distinct()
-      .withColumn("comp", col("node")).localCheckpoint(true)
+    // Fused init: with identity labels, round 1's propagate ⋈ groupBy(min)
+    // reduces to min(self, min-neighbor) straight off the edge list — one
+    // aggregation replaces the distinct + identity init + first join round
+    // (every node appears as `v` in the symmetrized frame, so coverage is
+    // identical to the old distinct).
+    var labels = sym.groupBy(col("v")).agg(min(col("u")).as("__mn"))
+      .select(col("v").as("node"), least(col("v"), col("__mn")).as("comp"))
+      .localCheckpoint(true)
     var i = 0
     var done = false
     while (!done && i < maxIter) {
