@@ -287,7 +287,14 @@ object RedsetPipeline {
       //    per bucket regardless of history length — speed.
       def stageSwapTouched(df: DataFrame, tmp: String, dst: String,
                            extraParts: Seq[String] = Nil): Unit = {
-        df.repartition(col("bucket")).write.mode("overwrite")
+        // repartition on the FULL partition-column tuple: each task then
+        // owns exactly one output dir (still one file per dir — no
+        // small-files regression), but writer parallelism is the number of
+        // (bucket, day) dirs instead of just buckets — a 16-bucket × 30-day
+        // batch engages every core instead of 16 writers doing 30
+        // sequential file opens each. Same layout, same file count.
+        val partCols = ("bucket" +: extraParts).map(col)
+        df.repartition(partCols: _*).write.mode("overwrite")
           .partitionBy("bucket" +: extraParts: _*).parquet(tmp)
         fs.mkdirs(new org.apache.hadoop.fs.Path(dst))
         touched.foreach { b =>
