@@ -2316,6 +2316,49 @@ object EventQueries {
             .as("jaccard_permille_est"))
     },
 
+    // SK6: HDR-histogram log-linear quantile sketch (ops/HdrHist) — the
+    // mergeable quantile summary (p50/p90/p99 per event type over value
+    // cents). O(subBuckets·log range) state per group, counts add under
+    // merge, and EVERY bucket boundary is exact integer bit arithmetic
+    // (msb via bin-string length, dynamic shifts) — no log()/pow(), so
+    // the oracle reproduces each bucket id and lower bound bit-for-bit.
+    // Relative error ≤ 2^-3 = 12.5% by construction; the gate pins the
+    // exact bucket, its lower bound, and the per-type row totals.
+    QDef("sk6_hdr_quantiles",
+      s"""$E, v AS (
+         |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM e),
+         |b AS (
+         |  SELECT event_type,
+         |    CASE WHEN v < 8 THEN v
+         |      ELSE CAST(length(bin(v)) - 4 AS BIGINT) * 8
+         |           + (v >> (length(bin(v)) - 4)) END AS bucket
+         |  FROM v),
+         |h AS (SELECT event_type, bucket, count(*) AS n FROM b GROUP BY 1, 2),
+         |c AS (
+         |  SELECT event_type, bucket, n,
+         |    sum(n) OVER (PARTITION BY event_type ORDER BY bucket
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    sum(n) OVER (PARTITION BY event_type) AS total
+         |  FROM h),
+         |p AS (
+         |  SELECT c.*, t.q, (total * t.q + 999) // 1000 AS rk
+         |  FROM c CROSS JOIN (VALUES (500), (900), (990)) t(q)),
+         |s AS (SELECT * FROM p WHERE cum >= rk AND cum - n < rk)
+         |SELECT event_type, q, CAST(bucket AS BIGINT) AS bucket,
+         |  CAST(CASE WHEN bucket < 8 THEN bucket
+         |    ELSE (bucket - ((bucket >> 3) - 1) * 8) << ((bucket >> 3) - 1)
+         |    END AS BIGINT) AS est_low,
+         |  CAST(total AS BIGINT) AS n_rows
+         |FROM s ORDER BY event_type, q""".stripMargin) { (s, dir) =>
+      graft.ops.HdrHist.quantiles(
+          ev(s, dir).withColumn("__cents",
+            round(col("value") * 100).cast("long")),
+          col("__cents"), Seq("event_type"), Seq(500, 900, 990), subBits = 3)
+        .select(col("event_type"), col("q"), col("bucket"), col("est_low"),
+          col("n_rows"))
+        .orderBy(col("event_type"), col("q"))
+    },
+
     // G2: single-source shortest path (3 min-plus relaxation rounds,
     // ops/ShortestPath) over the transition graph from 'view', edge
     // cost = 1e6 DIV weight — the "likeliest funnel path" reading:
