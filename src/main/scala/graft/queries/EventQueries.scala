@@ -629,6 +629,48 @@ object EventQueries {
         .orderBy(col("window_start"))
     },
 
+    // ST3c: per-window HDR quantile read-off — the batch twin of the
+    // streaming windowed sketch (Streams.hdrBuckets): hour windows ×
+    // value-cents buckets (sk6's exact integer bucketing), p50/p99 read
+    // off the cumulative histogram per window. What a live latency
+    // dashboard serves; the stream emits the mergeable sketch, this gate
+    // pins the window + bucket + rank arithmetic end to end.
+    QDef("st3c_window_hdr_p99",
+      s"""$E, v AS (
+         |  SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+         |    CAST(round(value * 100) AS BIGINT) AS v FROM e),
+         |b AS (
+         |  SELECT window_start,
+         |    CASE WHEN v < 8 THEN v
+         |      ELSE CAST(length(bin(v)) - 4 AS BIGINT) * 8
+         |           + (v >> (length(bin(v)) - 4)) END AS bucket
+         |  FROM v),
+         |h AS (SELECT window_start, bucket, count(*) AS n FROM b GROUP BY 1, 2),
+         |c AS (
+         |  SELECT window_start, bucket, n,
+         |    sum(n) OVER (PARTITION BY window_start ORDER BY bucket
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    sum(n) OVER (PARTITION BY window_start) AS total
+         |  FROM h),
+         |p AS (
+         |  SELECT c.*, t.q, (total * t.q + 999) // 1000 AS rk
+         |  FROM c CROSS JOIN (VALUES (500), (990)) t(q)),
+         |s AS (SELECT * FROM p WHERE cum >= rk AND cum - n < rk)
+         |SELECT window_start, q,
+         |  CAST(CASE WHEN bucket < 8 THEN bucket
+         |    ELSE (bucket - ((bucket >> 3) - 1) * 8) << ((bucket >> 3) - 1)
+         |    END AS BIGINT) AS est_low,
+         |  CAST(total AS BIGINT) AS n_rows
+         |FROM s ORDER BY window_start, q""".stripMargin) { (s, dir) =>
+      val windowed = ev(s, dir).select(
+        window(col("ts"), "1 hour").getField("start").as("window_start"),
+        round(col("value") * 100).cast("long").as("__cents"))
+      graft.ops.HdrHist.quantiles(windowed, col("__cents"),
+          Seq("window_start"), Seq(500, 990), subBits = 3)
+        .select(col("window_start"), col("q"), col("est_low"), col("n_rows"))
+        .orderBy(col("window_start"), col("q"))
+    },
+
     // W3: ranking for display (Dashboard_Live_Final.py:357) — top-3 per type.
     QDef("w3_rank_per_type",
       s"""$E SELECT event_type, CAST(rn AS BIGINT) AS rn, event_id, value FROM (

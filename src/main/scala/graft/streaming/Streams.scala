@@ -72,6 +72,31 @@ object Streams {
     events.withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Streaming windowed HDR quantile sketch (the [[graft.ops.HdrHist]]
+    * stream side): per event-time window and key, the mergeable
+    * `(bucket, n)` histogram — a plain watermarked groupBy-count, so
+    * partial aggregation absorbs the stream and state per (window, key)
+    * is O(subBuckets · log range) counters. The quantile READ-OFF stays
+    * downstream on the (tiny) emitted sketch — `HdrHist.bucketLow` over a
+    * cumulative sum — because rank selection needs the closed window's
+    * full histogram; emitting the sketch, not the percentile, is also
+    * what lets late windows merge and serving layers re-slice (p50 today,
+    * p99 tomorrow) without reprocessing. Batch twin: the
+    * `st3c_window_hdr_p99` gate pins window+bucket+count parity.
+    */
+  def hdrBuckets(events: DataFrame, tsCol: String, keyCol: String,
+                 value: org.apache.spark.sql.Column, window: String,
+                 delay: String, subBits: Int = 3): DataFrame =
+    events
+      .withWatermark(tsCol, delay)
+      .groupBy(
+        org.apache.spark.sql.functions.window(col(tsCol), window),
+        col(keyCol),
+        graft.ops.HdrHist.bucket(value, subBits).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col(keyCol),
+        col("bucket"), col("n"))
+
   /** EWMA state per key: the two time constants + last event time. */
   case class EwmaState(shortAvg: Double, longAvg: Double, lastTsMicros: Long)
 

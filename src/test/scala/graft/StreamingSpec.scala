@@ -171,6 +171,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming HDR buckets match the batch histogram per window (ST3c)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val df = in.toDS().toDF("ts", "key", "cents")
+    val q = Streams.hdrBuckets(df, "ts", "key", col("cents"), "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("hdrb").outputMode("append").start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      val data = Seq(
+        (t("2024-03-01 00:10:00"), 1L, 3L),    // exact bucket 3
+        (t("2024-03-01 00:20:00"), 1L, 9L),    // msb 3: bucket 0*8+9 = 9
+        (t("2024-03-01 00:30:00"), 1L, 9L),    // same bucket, n=2
+        (t("2024-03-01 00:40:00"), 1L, 1000L), // msb 9: shift 6, 1000>>6=15 -> 63
+        (t("2024-03-01 01:10:00"), 1L, 3L))
+      in.addData(data: _*)
+      q.processAllAvailable()
+      in.addData((t("2024-03-01 03:00:00"), 9L, 1L)) // close both windows
+      q.processAllAvailable()
+      val got = spark.table("hdrb").filter(col("key") === 1L)
+        .select("window_start", "bucket", "n")
+        .as[(java.sql.Timestamp, Long, Long)].collect()
+        .map(r => (r._1.toString, r._2, r._3)).toSet
+      assert(got == Set(
+        ("2024-03-01 00:00:00.0", 3L, 1L),
+        ("2024-03-01 00:00:00.0", 9L, 2L),
+        ("2024-03-01 00:00:00.0", 63L, 1L),
+        ("2024-03-01 01:00:00.0", 3L, 1L)))
+      // batch twin: same (window, bucket, n) from HdrHist.histogram
+      val batch = graft.ops.HdrHist.histogram(
+          data.toDF("ts", "key", "cents")
+            .filter(col("key") === 1L)
+            .select(window(col("ts"), "1 hour").getField("start")
+              .as("window_start"), col("cents")),
+          col("cents"), Seq("window_start"))
+        .as[(java.sql.Timestamp, Long, Long)].collect()
+        .map(r => (r._1.toString, r._2, r._3)).toSet
+      assert(batch == got)
+    } finally q.stop()
+  }
+
   test("sliding windows stream: each event lands in len/slide windows (ST3b)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, Long)]
