@@ -93,5 +93,33 @@ class PlanShapeSpec extends AnyFunSuite {
       s"unexpected product join beyond the 1-row max-end broadcast:\n$plan")
   }
 
+  test("sk6 HDR quantiles: one hash agg + one key window, zero joins, no UDF") {
+    val plan = phys(graft.ops.HdrHist.quantiles(
+      ev.select(col("event_type"),
+        round(col("value") * 100).cast("long").as("__cents")),
+      col("__cents"), Seq("event_type"), Seq(500, 990)))
+    // histogram shuffle + per-key window; the probe explode rides on the
+    // (bounded) histogram — no join, no extra exchange, all codegen'd
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"sk6 expected <=2 exchanges:\n$plan")
+    assert(!plan.contains("Join"), s"sk6 must not join:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"sk6 must stay UDF-free:\n$plan")
+  }
+
+  test("PPJoin prefix candidates: equi-join on (blk, shingle), no product join") {
+    val d = docs.select(lit(0).as("blk"), col("doc_id"),
+      array_sort(transform(graft.dedup.Dedup.shingles(col("text"), 1),
+        t => xxhash64(t))).as("toks"),
+      size(graft.dedup.Dedup.shingles(col("text"), 1)).as("n"))
+    val plan = phys(graft.dedup.Dedup.prefixCandidates(d, 0.9))
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"),
+      s"candidate join must be an equi-join:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must never fall back to a product join:\n$plan")
+  }
+
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 }
