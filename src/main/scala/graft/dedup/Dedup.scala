@@ -730,32 +730,127 @@ object Dedup {
       .distinct()
   }
 
-  /** Edit-distance near-dup candidate pairs: documents in the same
+  /** Edit-distance near-dup pairs: documents in the same
     * (lang, prefix-length-bucket) block whose normalized `prefixLen`-char
-    * prefixes are within `maxDist` Levenshtein edits. The blocked-
-    * candidate contract is the same recall trade as the LSH band joins
-    * (d2) and the prefix jaccard blocks (d4): candidates never cross a
-    * block. Spark evaluates the THRESHOLDED levenshtein (early
-    * termination at maxDist+1 cost, codegen'd) so the per-pair cost is
-    * O(prefixLen·maxDist), not O(prefixLen²); the length bucket is a
-    * free pre-filter because distance >= length difference.
+    * prefixes are within `maxDist` Levenshtein edits — same RESULT
+    * contract as ever (the oracle is unchanged), but candidate generation
+    * is a Pass-Join partition equi-join, not a per-block cross product
+    * (the old (lang, length DIV 8) block key held ~5 buckets per language,
+    * so the join was effectively O(n²) per language — the one plan in the
+    * repo that flatly died at 100×).
+    *
+    * Pass-Join pigeonhole (Li, Deng, Feng, Wang — VLDB'11): split the
+    * indexed string into `maxDist + 1` segments; ≤ maxDist edits touch at
+    * most maxDist of them, so at least one segment survives VERBATIM in
+    * the other string, displaced only by the net insertions/deletions
+    * before it. Candidates are therefore an equi-join on
+    * (lang, target-length, segment-index, segment-chars) between per-doc
+    * segment keys and per-doc substring probes — selective content keys,
+    * never a block cross product. Displacement windows are multi-match-
+    * aware: with δ = |probe| − |target|, insertions ≤ ⌊(k+δ)/2⌋ and
+    * deletions ≤ ⌊(k−δ)/2⌋, so probe positions range over
+    * [start − ⌊(k−δ)/2⌋, start + ⌊(k+δ)/2⌋] only (±⌊k/2⌋ for equal
+    * lengths, not ±k — 2× fewer probes and candidates).
+    *
+    * Verify evaluates the THRESHOLDED levenshtein (early termination at
+    * maxDist+1 cost, codegen'd) once per distinct candidate pair, keeping
+    * the same-length-bucket semantic filter; distance >= length difference
+    * prunes before that. Pairs whose SHORTER prefix has < maxDist+1 chars
+    * can't be segmented non-trivially, so docs up to 2·maxDist chars take
+    * an all-pairs route within (lang) — bounded: any partner of a
+    * sub-segment-length doc is itself within maxDist of that tiny length.
     */
   def editDistancePairs(df: DataFrame, text: Column, id: Column,
                         lang: Column, prefixLen: Int = 32,
                         maxDist: Int = 5): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
     val p = df.filter(text.isNotNull)
       .select(id.as("doc_id"), lang.as("lang"),
         substring(lower(trim(text)), 1, prefixLen).as("pre"))
-      .withColumn("lb", expr("length(pre) DIV 8"))
-    val a = p.select(col("lang"), col("lb"), col("doc_id").as("id_a"),
-      col("pre").as("pre_a"))
-    val b = p.select(col("lang"), col("lb"), col("doc_id").as("id_b"),
-      col("pre").as("pre_b"))
-    a.join(b, Seq("lang", "lb"))
-      .where(col("id_a") < col("id_b"))
+      .withColumn("len", length(col("pre")))
+      .localCheckpoint(true) // feeds segment keys, probes, and both verify sides
+    val cand = passJoinCandidates(p, maxDist)
+    val a = p.select(col("doc_id").as("id_a"), col("pre").as("pre_a"),
+      expr("len DIV 8").as("lb_a"))
+    val b = p.select(col("doc_id").as("id_b"), col("pre").as("pre_b"),
+      expr("len DIV 8").as("lb_b"))
+    val pairs = cand.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .where(col("lb_a") === col("lb_b")) // the length-bucket block semantic
       .withColumn("dist",
         levenshtein(col("pre_a"), col("pre_b"), maxDist).cast("long"))
       .where(col("dist") >= 0) // thresholded form returns -1 above maxDist
       .select(col("id_a"), col("id_b"), col("dist"))
+      .localCheckpoint(true) // result is pair-sized; lets the corpus block go
+    Bridge.release(p)
+    pairs
+  }
+
+  /** (start, length) of 1-based segment `i` of a length-`L` string split
+    * into `nSeg` contiguous segments: the first `nSeg - L%nSeg` get
+    * ⌊L/nSeg⌋ chars, the rest one extra (the canonical even partition).
+    */
+  private def segBounds(L: Column, i: Column, nSeg: Int): (Column, Column) = {
+    val base = floor(L / nSeg).cast("int")
+    val rem = pmod(L, lit(nSeg))
+    val ln = base + when(i > lit(nSeg) - rem, 1).otherwise(0)
+    val st = lit(1) + (i - 1) * base + greatest(lit(0), i - 1 - (lit(nSeg) - rem))
+    (st, ln)
+  }
+
+  /** Candidate stage of [[editDistancePairs]] over the prepared frame
+    * `(doc_id, lang, pre, len)`: distinct (id_a < id_b) pairs whose
+    * prefixes share a Pass-Join segment match (complete for edit distance
+    * ≤ maxDist). Package-private so SkewSpec can pin the candidate count —
+    * the quantity that decides whether the plan survives 100×.
+    */
+  private[graft] def passJoinCandidates(p: DataFrame, maxDist: Int): DataFrame = {
+    val k = maxDist
+    val nSeg = k + 1
+    // Index side: docs long enough for non-empty segments emit one row per
+    // segment, keyed on the verbatim segment content at its position.
+    val iCol = explode(sequence(lit(1), lit(nSeg))).as("i")
+    val idxBase = p.filter(col("len") >= nSeg)
+      .select(col("lang"), col("len").as("L"), col("doc_id"), col("pre"), iCol)
+    val (ist, iln) = segBounds(col("L"), col("i"), nSeg)
+    val idx = idxBase.select(col("lang"), col("L"), col("i"),
+      col("doc_id").as("doc_b"), col("pre").substr(ist, iln).as("chars"))
+    // Probe side: enumerate only target lengths that EXIST per language
+    // (tiny broadcast frame — ≤ languages × prefixLen rows), within the
+    // length-difference and length-bucket prefilters (distance ≥ |Δlen|;
+    // the bucket filter is the d13 block semantic pushed into candidates).
+    val lens = p.select(col("lang"), col("len").as("L")).distinct()
+    val probeBase = p.join(broadcast(lens), Seq("lang"))
+      .where(abs(col("len") - col("L")) <= k && col("L") >= nSeg &&
+        expr("len DIV 8") === expr("L DIV 8"))
+      .select(col("lang"), col("doc_id"), col("pre"), col("len"), col("L"), iCol)
+    val (pst, pln) = segBounds(col("L"), col("i"), nSeg)
+    val delta = col("len") - col("L")
+    val jLo = greatest(lit(1),
+      (pst - floor((lit(k) - delta) / 2)).cast("int"))
+    val jHi = least(col("len") - pln + 1,
+      (pst + floor((lit(k) + delta) / 2)).cast("int"))
+    val probe = probeBase
+      .select(col("lang"), col("L"), col("i"), col("doc_id"), col("pre"),
+        pln.as("ln"),
+        explode(when(jLo <= jHi, sequence(jLo, jHi))
+          .otherwise(array().cast("array<int>"))).as("j"))
+      .select(col("lang"), col("L"), col("i"), col("doc_id").as("doc_a"),
+        col("pre").substr(col("j"), col("ln")).as("chars"))
+      .distinct() // windows overlap: repetitive prefixes emit the same key
+    val segCand = probe.join(idx, Seq("lang", "L", "i", "chars"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
+    // Short route: a pair whose shorter prefix is sub-segment-length has
+    // both members ≤ nSeg-1+k chars (distance ≥ length difference), so the
+    // all-pairs join runs over the bounded tiny-doc set only.
+    val shorts = p.filter(col("len") <= nSeg - 1 + k)
+    val shortCand = shorts
+      .select(col("lang"), col("doc_id").as("id_a"), col("len").as("len_a"))
+      .join(shorts.select(col("lang"), col("doc_id").as("id_b"),
+        col("len").as("len_b")), Seq("lang"))
+      .where(col("id_a") < col("id_b") &&
+        abs(col("len_a") - col("len_b")) <= k)
+      .select(col("id_a"), col("id_b"))
+    segCand.unionByName(shortCand).distinct()
   }
 }

@@ -1522,13 +1522,15 @@ object DocQueries {
         .orderBy(col("doc_inner"), col("doc_outer"))
     },
 
-    // D13: edit-distance near-dup candidates — same-(lang, length-bucket)
+    // D13: edit-distance near-dup pairs — same-(lang, length-bucket)
     // pairs whose normalized 32-char prefixes are within 5 Levenshtein
-    // edits. Same blocked-candidate recall contract as the d2 band joins
-    // and d4 prefix blocks. Both engines evaluate their NATIVE
-    // levenshtein (two independent DP implementations must agree on
-    // every distance), Spark through the thresholded early-termination
-    // form.
+    // edits. The oracle verifies with an exhaustive blocked cross product
+    // while the engine generates candidates via the Pass-Join segment
+    // pigeonhole (equi-join on verbatim segment content — a
+    // candidate-completeness gap would hash-mismatch). Both engines
+    // evaluate their NATIVE levenshtein (two independent DP
+    // implementations must agree on every distance), Spark through the
+    // thresholded early-termination form.
     QDef("d13_edit_distance_pairs",
       """WITH p AS (
         |  SELECT doc_id, lang, substring(lower(trim(text)), 1, 32) AS pre

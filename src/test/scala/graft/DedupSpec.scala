@@ -198,6 +198,66 @@ class DedupSpec extends AnyFunSuite {
       col("lang"), prefixLen = 32, maxDist = 1).count() == 0L)
   }
 
+  test("editDistancePairs equals the exhaustive blocked join on a mixed-length corpus") {
+    // Adversarial mixed shapes for the Pass-Join candidate route: empty
+    // and sub-segment-length strings (the short all-pairs path), lengths
+    // crossing the DIV-8 bucket boundary, planted near-copies at 1..7
+    // edits (substitutions, insertions, deletions), and exact dups across
+    // languages. Fixed seed → deterministic corpus.
+    val rnd = new scala.util.Random(42)
+    val alpha = "abcdefgh "
+    def randStr(len: Int): String =
+      (0 until len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    def mutate(s: String, edits: Int): String = {
+      var t = s
+      (0 until edits).foreach { _ =>
+        val op = rnd.nextInt(3)
+        val pos = if (t.isEmpty) 0 else rnd.nextInt(t.length)
+        t = op match {
+          case 0 if t.nonEmpty => // substitute
+            t.updated(pos, alpha(rnd.nextInt(alpha.length)))
+          case 1 => // insert
+            t.substring(0, pos) + alpha(rnd.nextInt(alpha.length)) + t.substring(pos)
+          case _ if t.nonEmpty => // delete
+            t.substring(0, pos) + t.substring(pos + 1)
+          case _ => t
+        }
+      }
+      t
+    }
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
+    (0L until 300L).foreach { i =>
+      val lang = if (i % 3 == 0) "en" else "de"
+      val text =
+        if (i % 10 == 9) null
+        else if (i % 7 == 1 && i > 0)
+          mutate(Option(rows(i.toInt - 1)._3).getOrElse("fallback text"),
+            1 + (i % 7).toInt)
+        else randStr(rnd.nextInt(46)) // includes 0..5-char shorts
+      rows += ((i, lang, text))
+    }
+    val d = rows.toSeq.toDF("doc_id", "lang", "text")
+    val got = Dedup.editDistancePairs(d, col("text"), col("doc_id"),
+        col("lang"), prefixLen = 32, maxDist = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val p = d.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        substring(lower(trim(col("text"))), 1, 32).as("pre"))
+      .withColumn("lb", expr("length(pre) DIV 8"))
+    val a = p.select(col("lang"), col("lb"), col("doc_id").as("id_a"),
+      col("pre").as("pre_a"))
+    val b = p.select(col("lang"), col("lb"), col("doc_id").as("id_b"),
+      col("pre").as("pre_b"))
+    val brute = a.join(b, Seq("lang", "lb"))
+      .where(col("id_a") < col("id_b") &&
+        levenshtein(col("pre_a"), col("pre_b")) <= 5)
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("pre_a"), col("pre_b")).cast("long").as("dist"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute, s"missing=${brute -- got} extra=${got -- brute}")
+    assert(brute.nonEmpty, "fixture must plant at least one true pair")
+  }
+
   test("corpusResemblance: identical corpora sketch to 1.0, disjoint to 0") {
     val d = Seq(
       (1L, "s1", "alpha beta gamma"), (2L, "s1", "delta eps"),

@@ -121,5 +121,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"candidate generation must never fall back to a product join:\n$plan")
   }
 
+  test("d13 Pass-Join candidates: equi-join on segment content, no product join") {
+    val p = docs.select(col("doc_id"), col("lang"),
+        substring(lower(trim(col("text"))), 1, 32).as("pre"))
+      .withColumn("len", length(col("pre")))
+    val plan = phys(graft.dedup.Dedup.passJoinCandidates(p, 5))
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"),
+      s"candidate join must be an equi-join:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must never fall back to a product join:\n$plan")
+  }
+
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 }

@@ -189,4 +189,42 @@ class SkewSpec extends AnyFunSuite {
     assert(nRare * 20 < nFirst,
       s"rarest $nRare not ≪ first-gram $nFirst — skew guard lost its teeth")
   }
+
+  test("Pass-Join keeps a degenerate-length-bucket corpus's candidates near-linear") {
+    // The d13 scale scenario that killed the old plan: EVERY doc has the
+    // same 32-char prefix length, so the (lang, length DIV 8) block key
+    // has cardinality 1 per language and the old blocked join verified the
+    // full ~2M-pair cross product. Pass-Join keys candidates on verbatim
+    // segment content instead: for a content-diverse corpus (md5-hex
+    // prefixes) candidates collapse to the planted near-dups plus hash
+    // noise — orders of magnitude under the cross product.
+    val nDocs = 2000
+    val base = when(col("id") % 50 === 0 && col("id") > 0, col("id") - 1)
+      .otherwise(col("id"))
+    val docs = spark.range(nDocs).select(
+      col("id").as("doc_id"),
+      lit("en").as("lang"),
+      // planted rows (every 50th) mutate 2 chars of their predecessor's
+      // 32-char hex prefix -> true pairs at distance <= 2
+      when(col("id") % 50 === 0 && col("id") > 0,
+        concat(substring(md5(base.cast("string")), 1, 10), lit("zz"),
+          substring(md5(base.cast("string")), 13, 20)))
+        .otherwise(md5(base.cast("string"))).as("text"))
+    val p = docs.select(col("doc_id"), col("lang"),
+        substring(lower(trim(col("text"))), 1, 32).as("pre"))
+      .withColumn("len", length(col("pre")))
+    val cross = nDocs.toLong * (nDocs - 1) / 2
+    val candN = Dedup.passJoinCandidates(p, 5).count()
+    assert(candN < cross / 50,
+      s"candidates $candN vs degenerate-block cross product $cross")
+    // correctness under the same corpus: all planted pairs recovered at
+    // their true distance (and nothing below the threshold is missed —
+    // the candidate route is complete, so equality with the exhaustive
+    // join is pinned by DedupSpec; here we pin the planted recall)
+    val got = Dedup.editDistancePairs(docs, col("text"), col("doc_id"),
+        col("lang"), prefixLen = 32, maxDist = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (50L until nDocs by 50).map(i => (i - 1, i)).toSet
+    assert(planted.subsetOf(got), s"missing ${planted -- got}")
+  }
 }
