@@ -122,6 +122,43 @@ object Dedup {
     hist
   }
 
+  /** The SCALE-PATH dedup audit report: cluster-size histogram over the
+    * MinHash-LSH candidate graph instead of the exact Jaccard graph —
+    * [[nearDupClusterHistogram]]'s 100 TB twin. The exact form pays a
+    * global PPJoin whose verify constant grows with corpus similarity
+    * density; this one never computes a pairwise similarity at all:
+    * clusters are connected components of the banded-LSH spanning-edge
+    * graph (O(docs × bands) edges), so the whole report is two keyed
+    * aggregations, one bounded window, and the component loop. The
+    * S-curve (1-(1-j^r)^b) plays the role of the exact threshold; cluster
+    * semantics are single-linkage over band collisions, the same
+    * transitive-closure reading as the exact report. Uses the PORTABLE
+    * md5 family of [[minHashLshEdgesPortable]], so the entire candidate
+    * structure — and hence the histogram — is reproducible in engine-
+    * neutral SQL and the `d12b` gate hash-checks it end to end.
+    * Docs with no collisions are singleton clusters via the left join.
+    */
+  def lshClusterHistogram(df: DataFrame, text: Column, id: Column,
+                          numHashes: Int, bands: Int,
+                          ngram: Int = 1): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    // materialize the edge set once: components() consumes it on both
+    // sides of its symmetrizing union, and an unmaterialized plan would
+    // re-run the signature aggregation per branch
+    val edges = minHashLshEdgesPortable(df, text, id, numHashes, bands, ngram)
+      .localCheckpoint(true)
+    val labels = components(edges)
+    Bridge.release(edges)
+    val hist = df.select(id.as("doc_id"))
+      .join(labels, col("doc_id") === labels("node"), "left")
+      .select(coalesce(col("comp"), col("doc_id")).as("__comp"))
+      .groupBy(col("__comp")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .localCheckpoint(true) // histogram-sized; lets the label block go
+    Bridge.release(labels)
+    hist
+  }
+
   /** Token-set Jaccard near-dup pairs within a blocking key (the classic
     * n-gram Jaccard dedup, blocked so candidates are O(pairs-per-block)).
     * Threshold is applied to the *unrounded* similarity; output is rounded

@@ -37,14 +37,21 @@ object DocQueries {
     * an under-unrolled oracle turns the gate red rather than silently
     * passing a wrong answer. The sf0.1 graph converges in 7 rounds.
     */
-  private def d7Prelude(rounds: Int): String = {
-    val props = (1 to rounds).map { i =>
+  /** `rounds` unrolled min-label propagation CTEs l1..l`rounds` over an
+    * edge CTE `e` and init CTE `l0` — shared by every components-shaped
+    * oracle (d7/d12/d12b).
+    */
+  private def unrolledProps(rounds: Int): String =
+    (1 to rounds).map { i =>
       s"""l$i AS MATERIALIZED (SELECT node, min(comp) AS comp FROM (
          |  SELECT node, comp FROM l${i - 1}
          |  UNION ALL
          |  SELECT e.v AS node, l.comp FROM e JOIN l${i - 1} l ON e.u = l.node)
          |GROUP BY node)""".stripMargin
     }.mkString(",\n")
+
+  private def d7Prelude(rounds: Int): String = {
+    val props = unrolledProps(rounds)
     s"""WITH t AS MATERIALIZED (SELECT doc_id,
        |  list_sort(list_distinct(string_split(text, ' '))) AS toks
        |  FROM documents),
@@ -91,6 +98,44 @@ object DocQueries {
        |SELECT CAST(-1 AS BIGINT) AS cluster_size, CAST(-1 AS BIGINT) AS n_clusters
        |FROM (VALUES (1)) v(x) WHERE EXISTS (SELECT 1 FROM bad)
        |ORDER BY cluster_size""".stripMargin
+
+  /** The d12b oracle: [[graft.dedup.Dedup.lshClusterHistogram]] mirrored
+    * in SQL — the d2b md5 MinHash band/spanning-edge structure, then the
+    * d7-style unrolled min-label components over ALL docs (singletons
+    * included via the identity init), then the size histogram. Same
+    * convergence poison row as d7/d12 (the sf0.01 graph converges in 10
+    * rounds, sf0.1 in 9 — 14 leaves margin).
+    */
+  private def d12bOracleSql(numHashes: Int, bands: Int, rounds: Int): String = {
+    val r = numHashes / bands
+    val hcols = (0 until numHashes)
+      .map(i => s"min(md5('$i:' || tok)) AS h$i").mkString(", ")
+    val bandSelects = (0 until bands).map { j =>
+      val cat = (0 until r).map(k => s"h${j * r + k}").mkString(" || '|' || ")
+      s"SELECT doc_id, $j AS band, md5($cat || '|$j') AS bh FROM sig"
+    }.mkString("\n UNION ALL ")
+    s"""WITH t AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+       |  FROM documents),
+       |sig AS MATERIALIZED (SELECT doc_id, $hcols FROM t GROUP BY doc_id),
+       |bnd AS ($bandSelects),
+       |rw AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY band, bh) AS rep FROM bnd),
+       |pr AS MATERIALIZED (SELECT DISTINCT rep AS u, doc_id AS v FROM rw
+       |  WHERE doc_id <> rep),
+       |e AS MATERIALIZED (SELECT u, v FROM pr UNION ALL SELECT v AS u, u AS v FROM pr),
+       |l0 AS MATERIALIZED (SELECT doc_id AS node, doc_id AS comp FROM documents),
+       |${unrolledProps(rounds)},
+       |bad AS (SELECT 1 AS x FROM l$rounds a JOIN l${rounds - 1} b
+       |        ON a.node = b.node AND a.comp <> b.comp LIMIT 1),
+       |sizes AS (SELECT comp, CAST(count(*) AS BIGINT) AS cluster_size
+       |  FROM l$rounds GROUP BY comp)
+       |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+       |FROM sizes WHERE NOT EXISTS (SELECT 1 FROM bad)
+       |GROUP BY cluster_size
+       |UNION ALL
+       |SELECT CAST(-1 AS BIGINT) AS cluster_size, CAST(-1 AS BIGINT) AS n_clusters
+       |FROM (VALUES (1)) v(x) WHERE EXISTS (SELECT 1 FROM bad)
+       |ORDER BY cluster_size""".stripMargin
+  }
 
   /** DuckDB dot product mirroring `graft_dot` over float vectors: every
     * element widened float→double, products summed left-to-right (list_sum
@@ -886,6 +931,22 @@ object DocQueries {
     QDef("d12_cluster_histogram", d12OracleSql(rounds = 12)) { (s, dir) =>
       Dedup.nearDupClusterHistogram(Tables.documents(s, dir), col("text"),
           col("doc_id"), threshold = 0.9)
+        .orderBy(col("cluster_size"))
+    },
+
+    // The d12 scale twin: the same audit histogram over the LSH candidate
+    // graph instead of the exact Jaccard graph — no pairwise similarity is
+    // ever computed, so the report's cost is O(docs × bands) edges plus
+    // the component loop regardless of how dup-dense the corpus is (the
+    // exact form's PPJoin constant is what kept d12 at ~19 s). 16 hashes
+    // in 2 bands puts the S-curve midpoint at (1/2)^(1/8) ≈ 0.92 — the
+    // sketch analogue of d12's 0.9 threshold. The portable md5 family
+    // makes every band hash, spanning edge, and therefore the histogram
+    // itself reproducible in SQL: hash-gated end to end.
+    QDef("d12b_lsh_cluster_histogram",
+        d12bOracleSql(numHashes = 16, bands = 2, rounds = 14)) { (s, dir) =>
+      Dedup.lshClusterHistogram(Tables.documents(s, dir), col("text"),
+          col("doc_id"), numHashes = 16, bands = 2)
         .orderBy(col("cluster_size"))
     },
 

@@ -258,6 +258,17 @@ class DedupSpec extends AnyFunSuite {
     assert(brute.nonEmpty, "fixture must plant at least one true pair")
   }
 
+  test("lshClusterHistogram: sizes sum to corpus; exact dups share a cluster") {
+    val hist = Dedup.lshClusterHistogram(docs, col("text"), col("doc_id"),
+        numHashes = 16, bands = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // every doc is in exactly one cluster (singletons included)
+    assert(hist.map(p => p._1 * p._2).sum == docs.count())
+    // docs 1/2/5 share a token set -> identical signatures -> one cluster
+    // of size >= 3 exists
+    assert(hist.exists(_._1 >= 3), hist.toSeq.toString)
+  }
+
   test("corpusResemblance: identical corpora sketch to 1.0, disjoint to 0") {
     val d = Seq(
       (1L, "s1", "alpha beta gamma"), (2L, "s1", "delta eps"),
