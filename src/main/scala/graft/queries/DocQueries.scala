@@ -894,17 +894,14 @@ object DocQueries {
         .orderBy(col("vec_a"), col("vec_b"))
     },
 
-    // MinHash + banded LSH near-dup candidates — deterministic affine hash
-    // family over the token fingerprints; ScalaTest checks candidate
-    // superset vs. exact Jaccard (no SQL oracle: banding is engine-internal).
-    // Uses the spanning-edges variant: on this dup-heavy corpus all-pairs
-    // candidates are 6.5M rows (quadratic in cluster size) vs ~O(n) edges
-    // with identical downstream keep-one-per-component semantics.
-    QDef.noOracle("d2_minhash_lsh") { (s, dir) =>
-      Dedup.minHashLshEdges(Tables.documents(s, dir), col("text"), col("doc_id"),
-          numHashes = 16, bands = 4)
-        .orderBy(col("doc_a"), col("doc_b"))
-    },
+    // MinHash-LSH with the xxhash64 affine family (`Dedup.minHashLshEdges`
+    // — the scale-path hash, 8-byte longs instead of 16-byte md5 digests)
+    // is deliberately NOT registered: only Spark implements xxhash64, so
+    // the driver gate could check rows-only, which reads as a hole rather
+    // than a contract. The portable-family twin `d2b_minhash_lsh_portable`
+    // carries the full hash gate for the identical banding/spanning-edge
+    // machinery; the xxhash64 family itself is pinned by DedupSpec
+    // (candidate recall + spanning-edge connectivity).
 
     // The complete dedup action: near-dup edges -> connected components
     // (min-label propagation + pointer jumping) -> keep one doc per
@@ -950,11 +947,11 @@ object DocQueries {
         .orderBy(col("cluster_size"))
     },
 
-    // SimHash 32-bit fingerprints (Hamming-near pairs via the library op).
-    QDef.noOracle("d3_simhash") { (s, dir) =>
-      Dedup.simHash(Tables.documents(s, dir), col("text"), col("doc_id"))
-        .orderBy(col("doc_id"))
-    },
+    // The xxhash64-bit-source SimHash (`Dedup.simHash`) is likewise not
+    // registered (same contract as d2 above): the portable twin
+    // `d3b_simhash_portable` hash-gates every vote and sign of the shared
+    // fingerprint machinery, and the xxhash64 bit source is pinned by
+    // DedupSpec (identical-set fingerprint equality, Hamming ordering).
 
     // SimHash with the engine-portable rolling-hash bit source — the
     // hash-gated twin of d3 (every vote and sign is oracle-checked; the

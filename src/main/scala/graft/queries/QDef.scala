@@ -25,9 +25,6 @@ object QDef {
       fn: (SparkSession, String) => DataFrame): QDef =
     QDef(name, fn, Some(oracle))
 
-  def noOracle(name: String)(fn: (SparkSession, String) => DataFrame): QDef =
-    QDef(name, fn, None)
-
   /** Scratch dir for pipeline gates (staging + materialized output),
     * recursively deleted at JVM exit — the gate's result frame is read
     * lazily after the QDef returns, so eager deletion isn't possible, but
