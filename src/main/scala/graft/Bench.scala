@@ -21,6 +21,20 @@ object Bench {
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
+        // Late-suite driver-state control: even with the UI off, the app
+        // and SQL status stores retain the last 1000 jobs/stages/
+        // executions — ~600 query runs × (multi-job iterative loops +
+        // checkpoint jobs) keep thousands of stage/task wrappers and full
+        // plan-graph strings live in the InMemoryStore, and the element-
+        // tracking cleanup itself scans those collections. That standing
+        // heap is the main suspect for the in-suite vs fresh-session
+        // drift the adjudication pass keeps correcting (r8: 2–27×).
+        // Benchmarks need none of that history — keep only a handful.
+        .config("spark.ui.retainedJobs", "50")
+        .config("spark.ui.retainedStages", "50")
+        .config("spark.ui.retainedTasks", "1000")
+        .config("spark.sql.ui.retainedExecutions", "10")
+        .config("spark.worker.ui.retainedExecutors", "10")
         .getOrCreate()
       // ERROR, not WARN: the intentional global-window queries (w1 NTILE,
       // pipeline global row_number) each emit a WindowExec warning per rep,
@@ -97,22 +111,24 @@ object Bench {
     // Self-adjudication (round-6 verdict ask): suite-order timings inflate
     // 4-6x under late-suite JVM state — q10-q13 in BENCH_r06 measured
     // ~2-4s in the 119-query pass but 0.4-0.7s isolated. Re-time, after
-    // the full pass, every query that regressed >3x vs the previous map
-    // plus the 3 slowest overall (<=8 total), and report the rerun
+    // the full pass, every suspect (<=16 total) and report the rerun
     // minimums so no false regression needs manual adjudication.
-    // Suspects: >3x vs the previous map when one exists, PLUS anything that
-    // cost >1s while sitting >4x above the suite median (catches late-suite
-    // inflation even on a fresh machine with no /tmp/bench.json baseline —
-    // exactly how x5/x11/x13 escaped the r7 rerun net), plus the 3 slowest.
+    // Suspects, in priority order so cap truncation drops the weakest
+    // signal last: the 3 slowest overall first (those headline any
+    // verdict), then >3x vs the previous map when one exists, then
+    // anything that cost >1s while sitting >4x above the suite median
+    // (catches late-suite inflation even on a fresh machine with no
+    // /tmp/bench.json baseline — exactly how x5/x11/x13 escaped the r7
+    // rerun net).
     val med = {
       val ts = results.map(_._2).sorted
       if (ts.isEmpty) 0.0 else ts(ts.size / 2)
     }
     val suspects = (
+      results.sortBy(-_._2).take(3).map(_._1) ++
       results.filter { case (n, t) =>
         prev.get(n).exists(p => p > 0 && t > 3 * p) } .map(_._1) ++
-      results.filter { case (_, t) => t > 1.0 && t > 4 * med }.map(_._1) ++
-      results.sortBy(-_._2).take(3).map(_._1)
+      results.filter { case (_, t) => t > 1.0 && t > 4 * med }.map(_._1)
     ).distinct.take(16)
     // fresh driver for the adjudication pass — rerun numbers must measure
     // the query, not the end-of-suite driver state
