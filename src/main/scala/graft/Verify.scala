@@ -20,6 +20,7 @@ object Verify {
       .config("spark.ui.retainedStages", "50")
       .config("spark.ui.retainedTasks", "1000")
       .config("spark.sql.ui.retainedExecutions", "10")
+      .config("spark.worker.ui.retainedExecutors", "10")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
