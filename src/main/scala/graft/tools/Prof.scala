@@ -76,10 +76,80 @@ object Prof {
     println(s"  edges: ${edges.count()}")
     val labels = t("components") { Dedup.components(edges) }
     println(s"  nodes: ${labels.count()}")
+    // per-round attribution of the components loop (mirror of Dedup.components)
+    locally {
+      import org.apache.spark.sql.graftbridge.Bridge
+      val sym = t("cc sym ckpt") {
+        edges.select(col("doc_a").as("u"), col("doc_b").as("v"))
+          .unionByName(edges.select(col("doc_b").as("u"), col("doc_a").as("v")))
+          .localCheckpoint(true)
+      }
+      var lab = t("cc init") {
+        sym.groupBy(col("v")).agg(min(col("u")).as("__mn"))
+          .select(col("v").as("node"), least(col("v"), col("__mn")).as("comp"))
+          .localCheckpoint(true)
+      }
+      var i = 0
+      var done = false
+      while (!done && i < 20) {
+        val nextFull = t(s"cc round $i ckpt") {
+          val prop = sym.join(lab, sym("u") === lab("node"))
+            .groupBy(col("v").as("p_node")).agg(min(col("comp")).as("neighbor_min"))
+          val stepped = lab.join(prop, lab("node") === prop("p_node"), "left")
+            .select(col("node"), col("comp").as("prev"),
+              least(col("comp"), coalesce(col("neighbor_min"), col("comp"))).as("comp"))
+          val lut = stepped.select(col("node").as("c_node"), col("comp").as("c_comp"))
+          stepped.join(lut, stepped("comp") === lut("c_node"), "left")
+            .select(col("node"), col("prev"),
+              least(col("comp"), coalesce(col("c_comp"), col("comp"))).as("comp"))
+            .localCheckpoint(true)
+        }
+        val changed = t(s"cc round $i probe") {
+          nextFull.filter(col("comp") =!= col("prev")).limit(1).count()
+        }
+        Bridge.release(lab)
+        lab = nextFull
+        done = changed == 0
+        i += 1
+      }
+      Bridge.release(sym); Bridge.release(lab)
+    }
     val kept = t("keep-one anti join + count") {
       Dedup.keepOnePerComponent(reps, col("doc_id"), edges).count()
     }
     println(s"  kept: $kept")
+    // WARM per-stage attribution of the exact d12 path (3 reps, min): the
+    // bench is min-of-3 warm, so cold single-shot numbers above mislead.
+    for (rep <- 0 until 3) {
+      import org.apache.spark.sql.graftbridge.Bridge
+      def tw[A](name: String)(f: => A): A = {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"WARM$rep $name%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        r
+      }
+      val sig12 = array_join(array_sort(Dedup.shingles(col("text"), 1)), "")
+      val w = Window.partitionBy(sig12)
+      val reps12 = tw("d12 rep collapse ckpt") {
+        docs.withColumn("__sig_rn", row_number().over(w.orderBy(col("doc_id"))))
+          .withColumn("__dups", count(lit(1)).over(w))
+          .filter(col("__sig_rn") === 1)
+          .drop("__sig_rn").withColumn("__all", lit(0))
+          .localCheckpoint(true)
+      }
+      val e12 = tw("d12 ppjoin") {
+        Dedup.jaccardPairsPrefix(reps12, col("text"), col("doc_id"), "__all", 0.9)
+      }
+      val l12 = tw("d12 components") { Dedup.components(e12) }
+      tw("d12 hist") {
+        reps12.join(l12, col("doc_id") === l12("node"), "left")
+          .select(coalesce(col("comp"), col("doc_id")).as("__comp"), col("__dups"))
+          .groupBy(col("__comp")).agg(sum(col("__dups")).as("cluster_size"))
+          .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+          .count()
+      }
+      Bridge.release(l12); Bridge.release(reps12); Bridge.release(e12)
+    }
     spark.stop()
   }
 }
