@@ -548,6 +548,18 @@ object Dedup {
     * exit — blocks in flight stay O(1), not O(rounds). The RETURNED frame is
     * the final materialized label set (one block); free it with
     * `Bridge.release` when done (keepOnePerComponent does).
+    *
+    * Rejected alternative (round 10): min-neighbor CONTRACTION (merge each
+    * node into min(self, neighbors), rewrite edges, compose mappings). It
+    * measured ~25% faster on the clique-heavy sf0.1 rep graph (4 rounds,
+    * shrinking edge set) but is O(chain length) — not O(log) — on a path
+    * whose ids ascend along the path: every node hooks exactly one step
+    * down, the path shrinks by ONE node per round (DedupSpec's 20-group
+    * overlap chain hit maxIter, and Catalyst's size-estimation BigInts go
+    * exponential in round count on the way there). Propagation + jumping
+    * has no such degenerate family. A provably-logarithmic contraction
+    * needs large-star/small-star alternation — more joins per round than
+    * it saves here.
     */
   def components(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
