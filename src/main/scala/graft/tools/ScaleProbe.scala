@@ -74,6 +74,27 @@ object ScaleProbe {
     t(s"d2b md5 minhash edges ${mult}x") {
       Dedup.minHashLshEdgesPortable(big, col("text"), col("doc_id"), 8, 4).count()
     }
+    t(s"d12 exact cluster hist ${mult}x") {
+      // replicas are exact dups: the min_by rep collapse must absorb the
+      // replication before the PPJoin, so this scales with unique content
+      // (multiplicities just grow) — same property d7 probes
+      Dedup.nearDupClusterHistogram(big, col("text"), col("doc_id"), 0.9)
+        .count()
+    }
+    t(s"d12b lsh cluster hist ${mult}x") {
+      // the O(docs × bands) scale twin: cost should grow ~linearly in the
+      // corpus (band rows + component loop), never with pair density
+      Dedup.lshClusterHistogram(big, col("text"), col("doc_id"),
+        numHashes = 16, bands = 2).count()
+    }
+    t(s"d13 passjoin edit pairs ${mult}x") {
+      // Pass-Join candidates are an equi-join on (lang, segment content):
+      // replicas share prefixes, so candidate count grows with true
+      // near-pair mass — the probe watches that the verify stage, not a
+      // quadratic block, carries the growth
+      Dedup.editDistancePairs(big, col("text"), col("doc_id"), col("lang"),
+        prefixLen = 32, maxDist = 5).count()
+    }
     t(s"c4 line dedup ${mult}x") {
       // reshape into 6-token lines first (the c4 gate shape)
       val toks = split(col("text"), " ")

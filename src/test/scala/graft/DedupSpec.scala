@@ -231,8 +231,12 @@ class DedupSpec extends AnyFunSuite {
       val text =
         if (i % 10 == 9) null
         else if (i % 7 == 1 && i > 0)
+          // edit count varies INDEPENDENTLY of the i%7 selection guard
+          // (which would pin i%7 to the constant 1): (i/7)%7 walks 1..7,
+          // deliberately planting pairs on both sides of the maxDist=5
+          // boundary (distance 5 kept, 6 dropped)
           mutate(Option(rows(i.toInt - 1)._3).getOrElse("fallback text"),
-            1 + (i % 7).toInt)
+            1 + ((i / 7) % 7).toInt)
         else randStr(rnd.nextInt(46)) // includes 0..5-char shorts
       rows += ((i, lang, text))
     }

@@ -134,5 +134,33 @@ class PlanShapeSpec extends AnyFunSuite {
       s"candidate generation must never fall back to a product join:\n$plan")
   }
 
+  test("g3 triangles: wedge + closing joins broadcast off checkpointed stats") {
+    // The oriented edge frame is eagerly checkpointed inside
+    // countWithCoefficient, so AQE has EXACT sizes for both sides of the
+    // wedge self-join and the closing semi-join — on a gate-sized edge
+    // list they must both resolve to broadcast hash joins (no sort-merge
+    // anywhere in the final adaptive plan). At 100 TB the closing join
+    // over an O(m^1.5) wedge stream may legitimately go sort-merge; this
+    // pins that the LOCAL plan never pays shuffle-sort latency the stats
+    // say it doesn't need.
+    val pairs = graft.dedup.Dedup.jaccardPairsPrefix(docs, col("text"),
+        col("doc_id"), blockCol = "source", threshold = 0.9)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val res = graft.ops.Triangles.countWithCoefficient(pairs)
+    res.collect() // finalize the adaptive plan
+    // the AQE plan string appends the pre-adaptive "== Initial Plan ==",
+    // which legitimately contains the sort-merge fallback — assert on the
+    // final plan section only
+    val full = res.queryExecution.executedPlan.toString
+    val plan = full.indexOf("== Initial Plan ==") match {
+      case -1 => full
+      case i => full.substring(0, i)
+    }
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"wedge + closing joins should both broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no sort-merge join expected on a gate-sized edge list:\n$plan")
+  }
+
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 }
