@@ -241,6 +241,128 @@ object Curation {
         incrementalDedupBatch(batch, batchId, stagingPath, outputPath, nBuckets)
       }.start()
 
+  /** One micro-batch of INCREMENTAL d12b maintenance: keep the LSH
+    * spanning-edge graph — and therefore the dedup-audit cluster
+    * histogram — current as documents stream in, without ever recomputing
+    * signatures for already-ingested docs.
+    *
+    * Same staging discipline as [[incrementalDedupBatch]]: the batch's
+    * PORTABLE md5 band rows ([[graft.dedup.Dedup.minHashBandRowsPortable]])
+    * are staged partitioned by `(bucket = xxhash64(band, band_hash) mod
+    * nBuckets, batch_id)`; the spanning edges are then recomputed ONLY
+    * for the buckets this batch touched, from the full staged history of
+    * those buckets, and dynamically overwrite just those partitions of
+    * the materialized edge store.
+    *
+    * Exactness: a (band, band_hash) bucket's rows all land in one
+    * bucket-partition, and [[graft.dedup.Dedup.spanningEdgesFromBandRows]]
+    * is deterministic in the SET of band rows — so the maintained edge
+    * store is byte-identical to the edges a global
+    * `minHashLshEdgesPortable` would emit over everything ingested so
+    * far (asserted batch-vs-stream in CurationSpec). Idempotent per
+    * `batchId` (dynamic overwrite of its own staging partitions):
+    * at-least-once replays are no-ops. The HISTOGRAM itself is derived on
+    * read ([[lshHistogramFromStore]]) because connected components are
+    * global by nature; what the incremental layer saves is the signature
+    * computation and the untouched buckets' edge derivation — the two
+    * corpus-sized costs.
+    */
+  def incrementalLshHistogramBatch(batch: DataFrame, batchId: Long,
+                                   stagingPath: String, edgesPath: String,
+                                   numHashes: Int, bands: Int,
+                                   nBuckets: Int = 64,
+                                   text: Column = col("text"),
+                                   id: Column = col("doc_id")): Unit = {
+    val spark = batch.sparkSession
+    val bandRows = graft.dedup.Dedup
+      .minHashBandRowsPortable(batch, text, id, numHashes, bands)
+    val staged = bandRows
+      .withColumn("bucket",
+        pmod(xxhash64(col("band"), col("band_hash")), lit(nBuckets.toLong))
+          .cast("int"))
+      .withColumn("batch_id", lit(batchId))
+    staged.repartition(col("bucket")).write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket", "batch_id").parquet(stagingPath)
+    // bounded collect: ≤ nBuckets values
+    val touched = staged.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0))
+    if (touched.nonEmpty) {
+      // explicit schema: an early batch can stage zero rows for a bucket
+      // (footer-less dir) and inference would fail
+      val slice = spark.read.schema(staged.schema).parquet(stagingPath)
+        .filter(col("bucket").isin(touched.toIndexedSeq.map(Integer.valueOf): _*))
+      // bucket-aware spanning edges (same window as
+      // Dedup.spanningEdgesFromBandRows, with the bucket kept so each
+      // edge lands in its own bucket's partition — a (band, band_hash)
+      // group never spans buckets, so the per-bucket distinct equals the
+      // global one up to cross-band duplicates, which the store reader
+      // collapses)
+      val w = Window.partitionBy(col("band"), col("band_hash"))
+      val edges = slice.withColumn("rep", min(col("doc_id")).over(w))
+        .where(col("doc_id") =!= col("rep"))
+        .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"),
+          col("bucket"))
+        .distinct()
+      edges.repartition(col("bucket")).write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket").parquet(edgesPath)
+    }
+    ()
+  }
+
+  /** The d12b audit histogram over the [[incrementalLshHistogramBatch]]
+    * store: doc universe from the staged band rows (band 0 — every doc
+    * has one row per band), edges from the maintained store with
+    * cross-band duplicates collapsed, then the shared
+    * [[graft.dedup.Dedup.clusterHistogramFromEdges]] tail. Hash-identical
+    * to `Dedup.lshClusterHistogram` over everything ingested so far
+    * (asserted in CurationSpec).
+    *
+    * @param idType the staged `doc_id` type (explicit schemas: a young
+    *               store can have footer-less partition dirs)
+    */
+  /* Doc-universe caveat: the staged band rows ARE the universe, so a doc
+   * whose text yields no shingles (NULL text — `split` of NULL explodes
+   * to zero rows) never reaches the store and is absent from the
+   * histogram, while the one-shot `lshClusterHistogram(df, …)` counts it
+   * as a singleton. Clean ingestion upstream (the pipeline's F-family
+   * filters) makes the two forms identical; feed pre-cleaned docs. */
+  def lshHistogramFromStore(spark: org.apache.spark.sql.SparkSession,
+                            stagingPath: String, edgesPath: String,
+                            idType: org.apache.spark.sql.types.DataType =
+                              org.apache.spark.sql.types.LongType): DataFrame = {
+    import org.apache.spark.sql.types._
+    val stagedSchema = StructType(Seq(
+      StructField("doc_id", idType), StructField("band", IntegerType),
+      StructField("band_hash", StringType), StructField("bucket", IntegerType),
+      StructField("batch_id", LongType)))
+    val edgeSchema = StructType(Seq(
+      StructField("doc_a", idType), StructField("doc_b", idType),
+      StructField("bucket", IntegerType)))
+    val docs = spark.read.schema(stagedSchema).parquet(stagingPath)
+      .filter(col("band") === 0).select(col("doc_id")).distinct()
+    val edges = spark.read.schema(edgeSchema).parquet(edgesPath)
+      .select(col("doc_a"), col("doc_b")).distinct()
+    graft.dedup.Dedup.clusterHistogramFromEdges(docs, edges)
+  }
+
+  /** Streaming d12b maintenance: each micro-batch runs
+    * [[incrementalLshHistogramBatch]] — the audit histogram over
+    * everything ingested so far is always one [[lshHistogramFromStore]]
+    * read away. foreachBatch is at-least-once; staging idempotence makes
+    * replays no-ops.
+    */
+  def lshHistogramIngest(raw: DataFrame, stagingPath: String,
+                         edgesPath: String, numHashes: Int, bands: Int,
+                         nBuckets: Int = 64,
+                         queryName: String = "graft_lsh_hist_ingest"): org.apache.spark.sql.streaming.StreamingQuery =
+    raw.writeStream.queryName(queryName)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        incrementalLshHistogramBatch(batch, batchId, stagingPath, edgesPath,
+          numHashes, bands, nBuckets)
+      }.start()
+
   /** Sequence packing (training-batch prep): documents are concatenated
     * per `key` in `order` and SPLIT into fixed `budget`-token training
     * sequences — each row gets the sequence id and in-sequence offset of

@@ -146,16 +146,26 @@ object Dedup {
     */
   def lshClusterHistogram(df: DataFrame, text: Column, id: Column,
                           numHashes: Int, bands: Int,
-                          ngram: Int = 1): DataFrame = {
+                          ngram: Int = 1): DataFrame =
+    clusterHistogramFromEdges(df.select(id.as("doc_id")),
+      minHashLshEdgesPortable(df, text, id, numHashes, bands, ngram))
+
+  /** The histogram tail of [[lshClusterHistogram]] over an ALREADY-built
+    * edge set: components → per-component size over `docIds` (one
+    * `doc_id` row per document; docs without edges are singletons via the
+    * left-join coalesce) → size histogram. Shared by the one-shot form
+    * and the incremental store reader
+    * ([[graft.curation.Curation.lshHistogramFromStore]]).
+    */
+  def clusterHistogramFromEdges(docIds: DataFrame, edges: DataFrame): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
     // materialize the edge set once: components() consumes it on both
     // sides of its symmetrizing union, and an unmaterialized plan would
-    // re-run the signature aggregation per branch
-    val edges = minHashLshEdgesPortable(df, text, id, numHashes, bands, ngram)
-      .localCheckpoint(true)
-    val labels = components(edges)
-    Bridge.release(edges)
-    val hist = df.select(id.as("doc_id"))
+    // re-run the edge derivation per branch
+    val e = edges.localCheckpoint(true)
+    val labels = components(e)
+    Bridge.release(e)
+    val hist = docIds
       .join(labels, col("doc_id") === labels("node"), "left")
       .select(coalesce(col("comp"), col("doc_id")).as("__comp"))
       .groupBy(col("__comp")).agg(count(lit(1)).as("cluster_size"))
@@ -450,6 +460,20 @@ object Dedup {
     */
   def minHashLshEdgesPortable(df: DataFrame, text: Column, id: Column,
                               numHashes: Int, bands: Int,
+                              ngram: Int = 1): DataFrame =
+    spanningEdgesFromBandRows(
+      minHashBandRowsPortable(df, text, id, numHashes, bands, ngram))
+
+  /** The band-row stage of [[minHashLshEdgesPortable]]: one
+    * `(doc_id, band, band_hash)` row per (doc, band) under the portable
+    * md5 family. Exposed so incremental/streaming maintenance
+    * ([[graft.curation.Curation.incrementalLshHistogramBatch]]) can STAGE
+    * exactly the rows the batch form derives its buckets from — the
+    * candidate structure is then reproducible from the staged history
+    * alone, in any engine.
+    */
+  def minHashBandRowsPortable(df: DataFrame, text: Column, id: Column,
+                              numHashes: Int, bands: Int,
                               ngram: Int = 1): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
@@ -465,9 +489,16 @@ object Dedup {
       struct(lit(j).as("band"),
         md5(concat_ws("|", parts :+ lit(j.toString): _*)).as("band_hash"))
     }
-    val bandRows = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"),
         col("b.band_hash").as("band_hash"))
+  }
+
+  /** Spanning edges (bucket-min → member) over a band-row frame —
+    * deterministic in the SET of band rows, so a touched-bucket recompute
+    * from staged history reproduces exactly the global edge set.
+    */
+  def spanningEdgesFromBandRows(bandRows: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band"), col("band_hash"))
     bandRows.withColumn("rep", min(col("doc_id")).over(w))

