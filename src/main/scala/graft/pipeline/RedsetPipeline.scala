@@ -438,8 +438,17 @@ object RedsetPipeline {
     * reference (oracle parity); pass `perTable = true` for the scalable
     * per-table variant (SURVEY §7.4).
     */
-  def ingestDecileHistogram(flat: DataFrame, perTable: Boolean = false): DataFrame = {
-    val rel = outputTable(flat)
+  def ingestDecileHistogram(flat: DataFrame, perTable: Boolean = false): DataFrame =
+    ingestDecileHistogramFromOutput(outputTable(flat), perTable)
+
+  /** [[ingestDecileHistogram]] over an ALREADY-computed output table —
+    * like [[freshnessFromOutput]], lets dashboards derive the decile
+    * panel from the maintained store instead of re-running the interval
+    * join per panel.
+    */
+  def ingestDecileHistogramFromOutput(out: DataFrame,
+                                      perTable: Boolean = false): DataFrame = {
+    val rel = out
       .filter(col("query_type") === "select" &&
         col("time_to_next_ingest_ms").isNotNull)
       .withColumn("rel_pos",

@@ -366,7 +366,12 @@ object RedsetQueries {
          |SELECT bin, count(*) AS n FROM (
          |  SELECT CAST(ntile(10) OVER (ORDER BY rel_pos, query_id) AS BIGINT) AS bin FROM rel)
          |GROUP BY bin ORDER BY bin""".stripMargin) { (s, dir) =>
-      RedsetPipeline.ingestDecileHistogram(RedsetPipeline.flattened(raw(s, dir)))
+      // Derives from the shared drive's MATERIALIZED output table (same
+      // reuse rationale as `redset_freshness`): this gate pins the W1
+      // NTILE panel; the interval join under it is pinned by
+      // `redset_output_table`.
+      RedsetPipeline.ingestDecileHistogramFromOutput(
+          s.read.parquet(s"${sharedIncDrive(s, dir)}/out/output_table"))
         .select(col("bin").cast("long").as("bin"), col("n"))
         .orderBy(col("bin"))
     },
