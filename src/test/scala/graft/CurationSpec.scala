@@ -146,6 +146,22 @@ class CurationSpec extends AnyFunSuite {
     assert(full == Seq((1L, 2L), (2L, 2L), (3L, 1L)), full.toString)
   }
 
+  test("incremental LSH histogram: touched-bucket recompute reads prune partitions") {
+    val base = graft.queries.QDef.tempDir("graft_lsh_prune")
+    val b0 = Seq((1L, "a b c d e f"), (2L, "g h i j k l")).toDF("doc_id", "text")
+    Curation.incrementalLshHistogramBatch(b0, 0L, s"$base/staged",
+      s"$base/edges", numHashes = 8, bands = 2, nBuckets = 4)
+    // the recompute's staged-history read filters on bucket — that must be
+    // directory pruning (PartitionFilters), not a full-store scan, or the
+    // per-batch cost grows with corpus life instead of touched buckets
+    val read = spark.read.parquet(s"$base/staged")
+      .filter(col("bucket").isin(0, 1))
+    val scan = read.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("bucket"), scan)
+  }
+
   test("lshHistogramIngest streams batches through the histogram store e2e") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
