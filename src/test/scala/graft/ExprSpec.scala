@@ -117,6 +117,32 @@ class ExprSpec extends AnyFunSuite {
     assert(df.filter(native =!= hof).count() == 0L)
   }
 
+  test("native SortedIntersectCount equals size(array_intersect) on sorted distinct arrays") {
+    val rnd = new scala.util.Random(23)
+    def sortedDistinct(n: Int): Array[Long] =
+      Array.fill(n)(rnd.nextLong() % 1000).distinct.sorted
+    val rows = Seq.fill(300)((sortedDistinct(rnd.nextInt(40)),
+      sortedDistinct(rnd.nextInt(40)))) ++ Seq(
+      (Array.empty[Long], Array(1L, 2L)),      // one side empty
+      (Array.empty[Long], Array.empty[Long]),  // both empty
+      (Array(1L, 2L, 3L), Array(1L, 2L, 3L)),  // identical
+      (Array(1L, 3L, 5L), Array(2L, 4L, 6L)),  // interleaved disjoint
+      (Array(Long.MinValue, 0L, Long.MaxValue), // extremes
+        Array(Long.MinValue, Long.MaxValue)))
+    val df = rows.toDF("a", "b")
+    val native = graft.expr.SetExpressions.sortedIntersectCount(col("a"), col("b"))
+    val mismatches = df
+      .select(native.as("n"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("e"))
+      .filter(col("n") =!= col("e")).count()
+    assert(mismatches == 0)
+    // null propagation (nullIntolerant)
+    val nulls = Seq((Some(Array(1L)), None: Option[Array[Long]])).toDF("a", "b")
+    assert(nulls.select(
+      graft.expr.SetExpressions.sortedIntersectCount(col("a"), col("b")))
+      .head().isNullAt(0))
+  }
+
   test("graft_table_ids is SQL-callable, default and explicit sentinel") {
     graft.ext.GraftExtensions.register(spark)
     val got = spark.sql(
