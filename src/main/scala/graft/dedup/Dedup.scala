@@ -175,6 +175,89 @@ object Dedup {
     hist
   }
 
+  /** The dedup-audit AGREEMENT report: how faithfully would the LSH
+    * spanning-edge clustering ([[lshClusterHistogram]]'s structure)
+    * reproduce the exact ≥-threshold Jaccard clustering
+    * ([[nearDupClusterHistogram]]'s structure) on this corpus? Answered
+    * at DOC-PAIR granularity without ever enumerating pairs: label every
+    * doc with its exact component and its LSH component, build the
+    * cluster contingency table (one row per (exact_comp, lsh_comp),
+    * cluster-count sized), and read the pair counts off it —
+    * `pairs_both = Σ C(n_ij, 2)`, with the margins giving
+    * `pairs_exact` / `pairs_lsh`. `pair_precision = both/lsh` (LSH
+    * merges that are real), `pair_recall = both/exact` (real merges LSH
+    * finds). The report a pipeline owner reads before switching the
+    * keep-one stage from the exact PPJoin to the O(docs × bands) LSH
+    * path at 100 TB — and every stage here is itself scale-shaped (rep
+    * collapse, prefix join, banded edges, components; the contingency
+    * table is the only new aggregation and it is cluster-count sized).
+    *
+    * Exact side labels ALL docs via their exact-signature rep (Jaccard
+    * sees only the token set, so a doc inherits its rep's component);
+    * LSH side labels docs directly (band rows are per doc). Portable md5
+    * family → the whole report is oracle-expressible (`d14` gate).
+    */
+  def lshDedupAgreement(df: DataFrame, text: Column, id: Column,
+                        threshold: Double, numHashes: Int, bands: Int,
+                        ngram: Int = 1): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val sig = array_join(array_sort(shingles(text, ngram)), "")
+    // doc -> rep (min id per exact signature); carries text for the rep
+    // side of the prefix join
+    val withRep = df
+      .select(id.as("doc_id"), text.as("__text"), sig.as("__sig"))
+      .withColumn("__rep", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__sig"))))
+      .localCheckpoint(true)
+    val reps = withRep.filter(col("doc_id") === col("__rep"))
+      .select(col("doc_id"), col("__text").as("text"))
+      .withColumn("__all", lit(0))
+    val exactEdges = jaccardPairsPrefix(reps, col("text"), col("doc_id"),
+      "__all", threshold, ngram)
+    val exactLabels = components(exactEdges)
+    val lshEdges = minHashLshEdgesPortable(df, text, id, numHashes, bands,
+      ngram).localCheckpoint(true)
+    val lshLabels = components(lshEdges)
+    Bridge.release(lshEdges)
+    val labeled = withRep
+      .join(exactLabels, col("__rep") === exactLabels("node"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("__rep")).as("ec"))
+      .join(lshLabels, col("doc_id") === lshLabels("node"), "left")
+      .select(col("doc_id"), col("ec"),
+        coalesce(col("comp"), col("doc_id")).as("lc"))
+    val ct = labeled.groupBy(col("ec"), col("lc"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // contingency table: consumed by 3 aggregates
+    Bridge.release(withRep)
+    Bridge.release(exactLabels)
+    Bridge.release(lshLabels)
+    def c2(c: Column): Column = (c * (c - 1)) / 2
+    val both = ct.agg(sum(c2(col("n"))).as("pairs_both"),
+      sum(col("n")).as("n_docs"),
+      count_distinct(col("ec")).as("n_exact_clusters"),
+      count_distinct(col("lc")).as("n_lsh_clusters"))
+    val ex = ct.groupBy(col("ec")).agg(sum(col("n")).as("m"))
+      .agg(sum(c2(col("m"))).as("pairs_exact"))
+    val ls = ct.groupBy(col("lc")).agg(sum(col("n")).as("m"))
+      .agg(sum(c2(col("m"))).as("pairs_lsh"))
+    val rep = both.crossJoin(broadcast(ex)).crossJoin(broadcast(ls))
+      .select(col("n_docs").cast("long").as("n_docs"),
+        col("n_exact_clusters").cast("long").as("n_exact_clusters"),
+        col("n_lsh_clusters").cast("long").as("n_lsh_clusters"),
+        col("pairs_exact").cast("long").as("pairs_exact"),
+        col("pairs_lsh").cast("long").as("pairs_lsh"),
+        col("pairs_both").cast("long").as("pairs_both"),
+        round(when(col("pairs_lsh") > 0,
+            col("pairs_both").cast("double") / col("pairs_lsh"))
+          .otherwise(lit(0.0)), 6).as("pair_precision"),
+        round(when(col("pairs_exact") > 0,
+            col("pairs_both").cast("double") / col("pairs_exact"))
+          .otherwise(lit(0.0)), 6).as("pair_recall"))
+      .localCheckpoint(true) // one row; frees the contingency block
+    Bridge.release(ct)
+    rep
+  }
+
   /** Token-set Jaccard near-dup pairs within a blocking key (the classic
     * n-gram Jaccard dedup, blocked so candidates are O(pairs-per-block)).
     * Threshold is applied to the *unrounded* similarity; output is rounded

@@ -50,16 +50,17 @@ object DocQueries {
     * an under-unrolled oracle turns the gate red rather than silently
     * passing a wrong answer. The sf0.1 graph converges in 7 rounds.
     */
-  /** `rounds` unrolled min-label propagation CTEs l1..l`rounds` over an
-    * edge CTE `e` and init CTE `l0` — shared by every components-shaped
-    * oracle (d7/d12/d12b).
+  /** `rounds` unrolled min-label propagation CTEs `${p}l1..${p}l$rounds`
+    * over an edge CTE `${p}e` and init CTE `${p}l0` — shared by every
+    * components-shaped oracle (d7/d12/d12b); the prefix lets two chains
+    * coexist in one query (d14 runs the exact AND the LSH chain).
     */
-  private def unrolledProps(rounds: Int): String =
+  private def unrolledProps(rounds: Int, p: String = ""): String =
     (1 to rounds).map { i =>
-      s"""l$i AS MATERIALIZED (SELECT node, min(comp) AS comp FROM (
-         |  SELECT node, comp FROM l${i - 1}
+      s"""${p}l$i AS MATERIALIZED (SELECT node, min(comp) AS comp FROM (
+         |  SELECT node, comp FROM ${p}l${i - 1}
          |  UNION ALL
-         |  SELECT e.v AS node, l.comp FROM e JOIN l${i - 1} l ON e.u = l.node)
+         |  SELECT ${p}e.v AS node, l.comp FROM ${p}e JOIN ${p}l${i - 1} l ON ${p}e.u = l.node)
          |GROUP BY node)""".stripMargin
     }.mkString(",\n")
 
@@ -148,6 +149,84 @@ object DocQueries {
        |SELECT CAST(-1 AS BIGINT) AS cluster_size, CAST(-1 AS BIGINT) AS n_clusters
        |FROM (VALUES (1)) v(x) WHERE EXISTS (SELECT 1 FROM bad)
        |ORDER BY cluster_size""".stripMargin
+  }
+
+  /** The d14 oracle: BOTH component chains in one query — the exact
+    * ≥-threshold chain over signature reps (d7's shape, expanded to docs
+    * via the doc→rep map) and the portable-md5 LSH spanning-edge chain
+    * over all docs (d12b's shape) — then the cluster contingency table
+    * and the pair counts off its cells and margins. Poison row if EITHER
+    * chain is unconverged at its unroll depth.
+    */
+  private def d14OracleSql(numHashes: Int, bands: Int,
+                           roundsExact: Int, roundsLsh: Int): String = {
+    val r = numHashes / bands
+    val hcols = (0 until numHashes)
+      .map(i => s"min(md5('$i:' || tok)) AS h$i").mkString(", ")
+    val bandSelects = (0 until bands).map { j =>
+      val cat = (0 until r).map(k => s"h${j * r + k}").mkString(" || '|' || ")
+      s"SELECT doc_id, $j AS band, md5($cat || '|$j') AS bh FROM xsig"
+    }.mkString("\n UNION ALL ")
+    s"""WITH t AS MATERIALIZED (SELECT doc_id,
+       |  list_sort(list_distinct(string_split(text, ' '))) AS toks
+       |  FROM documents),
+       |reps AS MATERIALIZED (SELECT min(doc_id) AS rep, toks
+       |  FROM t GROUP BY toks),
+       |docrep AS MATERIALIZED (SELECT t.doc_id, r.rep
+       |  FROM t JOIN reps r ON t.toks = r.toks),
+       |p AS MATERIALIZED (SELECT da, db FROM (
+       |    SELECT a.rep AS da, b.rep AS db,
+       |           CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) AS i,
+       |           len(a.toks) + len(b.toks) AS s
+       |    FROM reps a JOIN reps b ON a.rep < b.rep
+       |      AND len(a.toks) * 10 >= len(b.toks) * 9
+       |      AND len(b.toks) * 10 >= len(a.toks) * 9)
+       |  WHERE i / (s - i) >= 0.9),
+       |e AS MATERIALIZED (SELECT da AS u, db AS v FROM p UNION ALL SELECT db AS u, da AS v FROM p),
+       |l0 AS MATERIALIZED (SELECT rep AS node, rep AS comp FROM reps),
+       |${unrolledProps(roundsExact)},
+       |badx AS (SELECT 1 AS x FROM l$roundsExact a JOIN l${roundsExact - 1} b
+       |        ON a.node = b.node AND a.comp <> b.comp LIMIT 1),
+       |xtok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+       |  FROM documents),
+       |xsig AS MATERIALIZED (SELECT doc_id, $hcols FROM xtok GROUP BY doc_id),
+       |xbnd AS ($bandSelects),
+       |xrw AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY band, bh) AS rep FROM xbnd),
+       |xpr AS MATERIALIZED (SELECT DISTINCT rep AS u, doc_id AS v FROM xrw
+       |  WHERE doc_id <> rep),
+       |xe AS MATERIALIZED (SELECT u, v FROM xpr UNION ALL SELECT v AS u, u AS v FROM xpr),
+       |xl0 AS MATERIALIZED (SELECT doc_id AS node, doc_id AS comp FROM documents),
+       |${unrolledProps(roundsLsh, "x")},
+       |badl AS (SELECT 1 AS x FROM xl$roundsLsh a JOIN xl${roundsLsh - 1} b
+       |        ON a.node = b.node AND a.comp <> b.comp LIMIT 1),
+       |bad AS (SELECT x FROM badx UNION ALL SELECT x FROM badl),
+       |lab AS MATERIALIZED (SELECT d.doc_id, ex.comp AS ec, lsh.comp AS lc
+       |  FROM docrep d
+       |  JOIN l$roundsExact ex ON d.rep = ex.node
+       |  JOIN xl$roundsLsh lsh ON d.doc_id = lsh.node),
+       |ct AS MATERIALIZED (SELECT ec, lc, count(*) AS n FROM lab GROUP BY ec, lc),
+       |m AS (SELECT sum(n*(n-1)//2) AS pairs_both, sum(n) AS n_docs,
+       |  count(DISTINCT ec) AS nec, count(DISTINCT lc) AS nlc FROM ct),
+       |me AS (SELECT sum(m*(m-1)//2) AS pairs_exact
+       |  FROM (SELECT sum(n) AS m FROM ct GROUP BY ec)),
+       |ml AS (SELECT sum(m*(m-1)//2) AS pairs_lsh
+       |  FROM (SELECT sum(n) AS m FROM ct GROUP BY lc))
+       |SELECT CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST(nec AS BIGINT) AS n_exact_clusters,
+       |  CAST(nlc AS BIGINT) AS n_lsh_clusters,
+       |  CAST(pairs_exact AS BIGINT) AS pairs_exact,
+       |  CAST(pairs_lsh AS BIGINT) AS pairs_lsh,
+       |  CAST(pairs_both AS BIGINT) AS pairs_both,
+       |  round(CASE WHEN pairs_lsh > 0
+       |    THEN CAST(pairs_both AS DOUBLE) / pairs_lsh ELSE 0.0 END, 6)
+       |    AS pair_precision,
+       |  round(CASE WHEN pairs_exact > 0
+       |    THEN CAST(pairs_both AS DOUBLE) / pairs_exact ELSE 0.0 END, 6)
+       |    AS pair_recall
+       |FROM m, me, ml WHERE NOT EXISTS (SELECT 1 FROM bad)
+       |UNION ALL
+       |SELECT -1, -1, -1, -1, -1, -1, -1.0, -1.0
+       |FROM (VALUES (1)) v(x) WHERE EXISTS (SELECT 1 FROM bad)""".stripMargin
   }
 
   /** DuckDB dot product mirroring `graft_dot` over float vectors: every
@@ -986,6 +1065,20 @@ object DocQueries {
       graft.curation.Curation
         .lshHistogramFromStore(s, s"$base/staged", s"$base/edges")
         .orderBy(col("cluster_size"))
+    },
+
+    // The dedup-audit agreement report (round 10): doc-pair precision /
+    // recall of the LSH single-linkage clustering against the exact
+    // >=0.9-Jaccard clustering, read off the cluster contingency table
+    // (never a pair enumeration) — the report that justifies switching
+    // the keep-one stage to the O(docs x bands) LSH path at scale. Both
+    // component chains run in the oracle too (exact over signature reps,
+    // LSH over all docs), each with its own convergence poison.
+    QDef("d14_lsh_agreement",
+        d14OracleSql(numHashes = 16, bands = 2,
+          roundsExact = 12, roundsLsh = 14)) { (s, dir) =>
+      Dedup.lshDedupAgreement(Tables.documents(s, dir), col("text"),
+        col("doc_id"), threshold = 0.9, numHashes = 16, bands = 2)
     },
 
     // The xxhash64-bit-source SimHash (`Dedup.simHash`) is likewise not
