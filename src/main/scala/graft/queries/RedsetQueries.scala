@@ -326,28 +326,21 @@ object RedsetQueries {
     // Q7 on the native pipeline: per-table select vs transform workload —
     // FULL OUTER JOIN with COALESCEd keys over the flattened frame
     // (A6+J5, Dashboard_Historical_Final.py:69-99).
-    QDef("redset_workload",
-      s"""$oraclePrelude,
-         |sel AS (
-         |  SELECT instance_id, read_table_id AS table_id,
-         |         count(*) AS select_count
-         |  FROM fl WHERE query_type = 'select' AND read_table_id IS NOT NULL
-         |  GROUP BY instance_id, read_table_id),
-         |tra AS (
-         |  SELECT instance_id, write_table_id AS table_id,
-         |         count(*) AS transform_count
-         |  FROM fl
-         |  WHERE query_type IN ('insert','copy','update','delete')
-         |    AND write_table_id IS NOT NULL
-         |  GROUP BY instance_id, write_table_id)
-         |SELECT COALESCE(s.instance_id, t.instance_id) AS instance_id,
-         |       COALESCE(s.table_id, t.table_id) AS table_id,
-         |       CAST(COALESCE(s.select_count, 0) AS BIGINT) AS select_count,
-         |       CAST(COALESCE(t.transform_count, 0) AS BIGINT) AS transform_count
-         |FROM sel s FULL OUTER JOIN tra t
-         |  ON s.instance_id = t.instance_id AND s.table_id = t.table_id
-         |ORDER BY instance_id, table_id""".stripMargin) { (s, dir) =>
+    QDef("redset_workload", workloadOracleSql) { (s, dir) =>
       RedsetPipeline.tablesWorkloadCount(storedFlattened(s, dir))
+        .orderBy(col("instance_id"), col("table_id"))
+    },
+
+    // The workload panel maintained INCREMENTALLY: third view of the
+    // shared 3-batch drive (after output_table and freshness) — workload
+    // is bucket-monotone, so per-bucket dynamic overwrite suffices, and
+    // this gate pins that maintenance path against the same global
+    // oracle as `redset_workload`.
+    QDef("redset_workload_inc", workloadOracleSql) { (s, dir) =>
+      val base = sharedIncDrive(s, dir)
+      s.read.parquet(s"$base/out/workload").drop("bucket")
+        .select(col("instance_id"), col("table_id"),
+          col("select_count"), col("transform_count"))
         .orderBy(col("instance_id"), col("table_id"))
     },
 
@@ -480,6 +473,29 @@ object RedsetQueries {
         }
       base
     })
+
+  /** Shared by `redset_workload` and its incremental twin. */
+  private lazy val workloadOracleSql: String =
+    s"""$oraclePrelude,
+       |sel AS (
+       |  SELECT instance_id, read_table_id AS table_id,
+       |         count(*) AS select_count
+       |  FROM fl WHERE query_type = 'select' AND read_table_id IS NOT NULL
+       |  GROUP BY instance_id, read_table_id),
+       |tra AS (
+       |  SELECT instance_id, write_table_id AS table_id,
+       |         count(*) AS transform_count
+       |  FROM fl
+       |  WHERE query_type IN ('insert','copy','update','delete')
+       |    AND write_table_id IS NOT NULL
+       |  GROUP BY instance_id, write_table_id)
+       |SELECT COALESCE(s.instance_id, t.instance_id) AS instance_id,
+       |       COALESCE(s.table_id, t.table_id) AS table_id,
+       |       CAST(COALESCE(s.select_count, 0) AS BIGINT) AS select_count,
+       |       CAST(COALESCE(t.transform_count, 0) AS BIGINT) AS transform_count
+       |FROM sel s FULL OUTER JOIN tra t
+       |  ON s.instance_id = t.instance_id AND s.table_id = t.table_id
+       |ORDER BY instance_id, table_id""".stripMargin
 
   /** Shared by `redset_freshness` and its incremental twin. */
   private lazy val freshnessOracleSql: String =
