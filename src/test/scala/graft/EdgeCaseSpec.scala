@@ -167,6 +167,43 @@ class EdgeCaseSpec extends AnyFunSuite {
       .count() >= 1)
   }
 
+  test("keepOneNearDup and the cluster histogram handle an empty corpus") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.keepOneNearDup(empty, col("text"), col("doc_id"), 0.9)
+      .count() == 0)
+    assert(Dedup.nearDupClusterHistogram(empty, col("text"), col("doc_id"), 0.9)
+      .count() == 0)
+  }
+
+  test("lshDedupAgreement on an all-singleton corpus guards zero denominators") {
+    // every doc unique and dissimilar: no exact pairs, no LSH pairs —
+    // both ratios must come out 0.0 (guarded), not NULL/NaN
+    val docs = (0L until 6L).map(i =>
+      (i, (0 until 8).map(j => s"u${i}_$j").mkString(" "))).toDF("doc_id", "text")
+    val r = Dedup.lshDedupAgreement(docs, col("text"), col("doc_id"),
+      threshold = 0.9, numHashes = 8, bands = 2).head()
+    assert(r.getAs[Long]("n_docs") == 6L)
+    assert(r.getAs[Long]("pairs_exact") == 0L)
+    assert(r.getAs[Long]("pairs_lsh") == 0L)
+    assert(r.getAs[Double]("pair_precision") == 0.0)
+    assert(r.getAs[Double]("pair_recall") == 0.0)
+  }
+
+  test("lshDedupAgreement is perfect when LSH and exact clusterings coincide") {
+    // two exact-dup families: identical token sets collide in every band
+    // AND are jaccard-1.0 pairs, so both clusterings agree exactly
+    val fam = (f: Int) => (0 until 10).map(j => s"f${f}_$j").mkString(" ")
+    val docs = Seq((1L, fam(0)), (2L, fam(0)), (3L, fam(1)), (4L, fam(1)),
+      (5L, fam(1))).toDF("doc_id", "text")
+    val r = Dedup.lshDedupAgreement(docs, col("text"), col("doc_id"),
+      threshold = 0.9, numHashes = 8, bands = 2).head()
+    assert(r.getAs[Long]("pairs_exact") == 4L)   // C(2,2)+C(3,2) = 1+3
+    assert(r.getAs[Long]("pairs_lsh") == 4L)
+    assert(r.getAs[Long]("pairs_both") == 4L)
+    assert(r.getAs[Double]("pair_precision") == 1.0)
+    assert(r.getAs[Double]("pair_recall") == 1.0)
+  }
+
   test("q1 plan pushes the shipdate filter and prunes columns (guard)") {
     val df = SparkEntry.queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
     val scan = df.queryExecution.executedPlan.toString
