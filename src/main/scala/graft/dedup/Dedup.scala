@@ -674,6 +674,14 @@ object Dedup {
     * has no such degenerate family. A provably-logarithmic contraction
     * needs large-star/small-star alternation — more joins per round than
     * it saves here.
+    *
+    * Also rejected (round 10): fusing TWO propagation rounds per
+    * materialization to halve checkpoint/probe actions. Measured ~20%
+    * WORSE across every components consumer at sf0.1: the second round's
+    * prop join then runs against an unmaterialized, stats-less label
+    * frame, so AQE loses the broadcast decision the per-round
+    * materialization feeds it — the extra action is cheaper than the
+    * degraded join strategy.
     */
   def components(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
