@@ -479,6 +479,53 @@ object Curation {
     * lines-per-doc (bounded, small), not corpus size. NULL text yields
     * NULL output columns (same contract as the content-hash samplers).
     */
+  /** ExactSubstr-style duplicated-SPAN removal (the token-window form of
+    * the "deduplicate any long substring that appears twice in the
+    * corpus" recipe): every `window`-token sliding gram is counted
+    * corpus-wide; a doc position covered by ANY gram occurring more than
+    * once (in any doc, including its own) is removed, and the kept
+    * tokens are re-joined. Complements the line-granular ops — [[
+    * stripBoilerplateLines]] (frequency-thresholded lines) and
+    * [[dedupLinesWithinDoc]] (intra-doc lines) — with the
+    * boundary-agnostic span form that catches templated runs crossing
+    * line breaks.
+    *
+    * Plan shape: one explode to the window stream (corpus tokens × 1
+    * rows), one gram-keyed count (the only corpus shuffle — key it on
+    * xxhash64(gram) at PB scale; kept as the raw gram here for oracle
+    * parity), one broadcast-size join back of the duplicated grams, one
+    * per-doc aggregation of flagged starts, then a doc-LOCAL coverage
+    * filter (HOF exists over the sorted start array — cost bounded by
+    * doc length × flagged starts, never cross-doc). Returns
+    * `(doc_id, clean_text, n_tokens, n_tokens_removed)`.
+    */
+  def dedupSpansAcrossDocs(df: DataFrame, text: Column, id: Column,
+                           window: Int): DataFrame = {
+    val toks = split(text, " ")
+    val base = df.select(id.as("doc_id"), toks.as("__toks"),
+      size(toks).as("__n"))
+    val starts = when(col("__n") >= window,
+      sequence(lit(1), col("__n") - (window - 1)))
+      .otherwise(array().cast("array<int>"))
+    val wins = base
+      .select(col("doc_id"), explode(starts).as("s"),
+        array_join(slice(col("__toks"), col("s"), lit(window)), " ").as("gram"))
+    val dup = wins.groupBy(col("gram")).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1).select(col("gram"))
+    val flagged = wins.join(dup, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(col("s"))).as("__fs"))
+    val fs = coalesce(col("__fs"), array().cast("array<int>"))
+    val keptIdx = filter(sequence(lit(1), col("__n")),
+      t => !exists(fs, s => s <= t && t < s + window))
+    base.join(flagged, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        array_join(transform(keptIdx, t => element_at(col("__toks"), t)), " ")
+          .as("clean_text"),
+        col("__n").cast("long").as("n_tokens"),
+        (col("__n") - size(keptIdx)).cast("long").as("n_tokens_removed"))
+  }
+
   def dedupLinesWithinDoc(df: DataFrame, text: Column, id: Column): DataFrame = {
     val ls = split(text, "\n")
     val kept = filter(ls, (x, i) => array_position(ls, x) === i + 1)

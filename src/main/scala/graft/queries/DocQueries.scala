@@ -2430,6 +2430,38 @@ object DocQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ExactSubstr-style duplicated-SPAN removal (round 10): every 8-token
+    // sliding gram counted corpus-wide; positions covered by any gram
+    // occurring more than once are removed (boundary-agnostic — catches
+    // templated runs line-level dedup can't). The fixture's near-dup
+    // families share long runs, so the gate removes real spans. One
+    // gram-keyed shuffle + broadcast-back join + doc-local coverage HOF.
+    QDef("c19_span_dedup",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |w AS (SELECT doc_id, unnest(range(1, greatest(len(toks) - 7, 0) + 1)) AS s,
+        |       toks FROM t),
+        |wg AS (SELECT doc_id, s, array_to_string(toks[s:s+7], ' ') AS gram FROM w),
+        |g AS (SELECT gram FROM wg GROUP BY gram HAVING count(*) > 1),
+        |fs AS (SELECT wg.doc_id, list_sort(list(wg.s)) AS starts
+        |       FROM wg JOIN g USING (gram) GROUP BY wg.doc_id),
+        |k AS (SELECT t.doc_id, toks,
+        |      list_filter(range(1, len(toks) + 1),
+        |        p -> len(list_filter(COALESCE(fs.starts, []),
+        |               q -> q <= p AND p < q + 8)) = 0) AS kept
+        |      FROM t LEFT JOIN fs ON t.doc_id = fs.doc_id)
+        |SELECT doc_id,
+        |  -- DuckDB's array_to_string of an EMPTY list is NULL (a fully
+        |  -- removed doc); Spark's array_join gives '' — coalesce to match
+        |  COALESCE(array_to_string(list_transform(kept, i -> toks[i]), ' '), '')
+        |    AS clean_text,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(toks) - len(kept) AS BIGINT) AS n_tokens_removed
+        |FROM k ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.curation.Curation.dedupSpansAcrossDocs(
+          Tables.documents(s, dir), col("text"), col("doc_id"), window = 8)
+        .orderBy(col("doc_id"))
+    },
+
     // G3: triangle count + global clustering coefficient of the d4
     // near-dup similarity graph — the structural health check of a dedup
     // candidate graph (triangle-dense regions are dup cliques worth a

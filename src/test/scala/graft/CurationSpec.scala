@@ -184,6 +184,28 @@ class CurationSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupSpansAcrossDocs removes every position covered by a duplicated window") {
+    // window=3; coverage of a flagged start s is positions [s, s+2].
+    // Docs 1 and 2 share the run "a b c d" → duplicated 3-grams "a b c"
+    // and "b c d"; doc 5's self-repeat makes "r r r" corpus-count 2.
+    val docs = Seq(
+      (1L, "a b c d x y z"),      // positions 1-4 covered, keeps "x y z"
+      (2L, "p q a b c d"),        // positions 3-6 covered, keeps "p q"
+      (3L, "m n o"),              // unique 3-gram, untouched
+      (4L, "s t"),                // shorter than the window, untouched
+      (5L, "r r r r")             // self-repeat: "r r r" at starts 1 AND 2
+    ).toDF("doc_id", "text")
+    val got = Curation.dedupSpansAcrossDocs(docs, col("text"), col("doc_id"),
+        window = 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got(0) == ((1L, "x y z", 7L, 4L)))
+    assert(got(1) == ((2L, "p q", 6L, 4L)))
+    assert(got(2) == ((3L, "m n o", 3L, 0L)))
+    assert(got(3) == ((4L, "s t", 2L, 0L)))
+    assert(got(4) == ((5L, "", 4L, 4L))) // fully removed, empty not null
+  }
+
   test("packSequences: concat-and-split offsets, boundary-spanning docs") {
     // budget 10; key "a": docs of 4, 8, 3 tokens → starts 0, 4, 12
     //   doc 11 starts seq 0 off 0; doc 12 starts seq 0 off 4 (spans into
