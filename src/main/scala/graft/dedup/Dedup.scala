@@ -77,7 +77,7 @@ object Dedup {
     // pipeline wants on disk anyway).
     val reps = df
       .groupBy(sig.as("__sig"))
-      .agg(min_by(struct(df.columns.map(col): _*), id).as("__rep"))
+      .agg(min_by(struct(df.columns.toIndexedSeq.map(col): _*), id).as("__rep"))
       .select(col("__rep.*"))
       .withColumn("__all", lit(0))
       .localCheckpoint(true)
@@ -110,7 +110,7 @@ object Dedup {
     // generation AND the histogram join.
     val reps = df
       .groupBy(sig.as("__sig"))
-      .agg(min_by(struct(df.columns.map(col): _*), id).as("__rep"),
+      .agg(min_by(struct(df.columns.toIndexedSeq.map(col): _*), id).as("__rep"),
         count(lit(1)).as("__dups"))
       .select(col("__rep.*"), col("__dups"))
       .withColumn("__all", lit(0))

@@ -177,7 +177,7 @@ object Intervals {
       .drop("_max_re", "_l_cap")
     val rKeys = keys.map(k => s"ov_$k")
     val rb = right
-      .toDF(right.columns.map(c => if (keys.contains(c)) s"ov_$c" else c): _*)
+      .toDF(right.columns.toIndexedSeq.map(c => if (keys.contains(c)) s"ov_$c" else c): _*)
       .withColumn("_r_bucket",
         explode(sequence(floor(unix_timestamp(col(rStart)) / b),
           floor(unix_timestamp(col(rEnd)) / b))))

@@ -87,6 +87,12 @@ object ScaleProbe {
       Dedup.lshClusterHistogram(big, col("text"), col("doc_id"),
         numHashes = 16, bands = 2).count()
     }
+    t(s"c19 span dedup ${mult}x") {
+      // the gram-keyed count is the only corpus shuffle; replicas multiply
+      // gram counts but coverage work stays doc-local
+      Curation.dedupSpansAcrossDocs(big, col("text"), col("doc_id"),
+        window = 8).count()
+    }
     t(s"d13 passjoin edit pairs ${mult}x") {
       // Pass-Join candidates are an equi-join on (lang, segment content):
       // replicas share prefixes, so candidate count grows with true
