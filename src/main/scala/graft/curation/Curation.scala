@@ -274,40 +274,47 @@ object Curation {
                                    text: Column = col("text"),
                                    id: Column = col("doc_id")): Unit = {
     val spark = batch.sparkSession
+    // Materialized once: the band-row derivation (numHashes md5
+    // aggregations over the batch) feeds both the staging write and the
+    // touched-bucket probe — uncheckpointed, the probe's collect would
+    // re-run the signature pipeline, and "signatures computed once per
+    // doc" is this operator's contract
     val bandRows = graft.dedup.Dedup
       .minHashBandRowsPortable(batch, text, id, numHashes, bands)
-    val staged = bandRows
       .withColumn("bucket",
         pmod(xxhash64(col("band"), col("band_hash")), lit(nBuckets.toLong))
           .cast("int"))
-      .withColumn("batch_id", lit(batchId))
+      .localCheckpoint(true)
+    val staged = bandRows.withColumn("batch_id", lit(batchId))
     staged.repartition(col("bucket")).write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket", "batch_id").parquet(stagingPath)
-    // bounded collect: ≤ nBuckets values
-    val touched = staged.select(col("bucket")).distinct()
+    // bounded collect: ≤ nBuckets values, off the checkpointed block
+    val touched = bandRows.select(col("bucket")).distinct()
       .collect().map(_.getInt(0))
+    org.apache.spark.sql.graftbridge.Bridge.release(bandRows)
     if (touched.nonEmpty) {
       // explicit schema: an early batch can stage zero rows for a bucket
       // (footer-less dir) and inference would fail
       val slice = spark.read.schema(staged.schema).parquet(stagingPath)
         .filter(col("bucket").isin(touched.toIndexedSeq.map(Integer.valueOf): _*))
-      // bucket-aware spanning edges (same window as
-      // Dedup.spanningEdgesFromBandRows, with the bucket kept so each
-      // edge lands in its own bucket's partition — a (band, band_hash)
-      // group never spans buckets, so the per-bucket distinct equals the
-      // global one up to cross-band duplicates, which the store reader
-      // collapses)
-      val w = Window.partitionBy(col("band"), col("band_hash"))
-      val edges = slice.withColumn("rep", min(col("doc_id")).over(w))
-        .where(col("doc_id") =!= col("rep"))
-        .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"),
-          col("bucket"))
-        .distinct()
+      // bucket rides through the shared edge rule so each edge lands in
+      // its own bucket's partition — a (band, band_hash) group never
+      // spans buckets, so the per-bucket distinct equals the global one
+      // up to cross-band duplicates, which the store reader collapses
+      val edges = graft.dedup.Dedup
+        .spanningEdgesFromBandRows(slice, carry = Seq("bucket"))
       edges.repartition(col("bucket")).write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bucket").parquet(edgesPath)
     }
+    // an all-empty or all-unshingleable first batch touches no bucket and
+    // writes no edges — still ensure the edge store DIR exists so a
+    // concurrent/subsequent lshHistogramFromStore read (explicit schema,
+    // empty dir ⇒ empty frame) never throws path-not-found
+    org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+      .mkdirs(new org.apache.hadoop.fs.Path(edgesPath))
     ()
   }
 
@@ -507,14 +514,23 @@ object Curation {
     val starts = when(col("__n") >= window,
       sequence(lit(1), col("__n") - (window - 1)))
       .otherwise(array().cast("array<int>"))
+    // the window stream feeds BOTH the gram count and the flagged-starts
+    // join-back — materialize it once (house idiom; uncheckpointed, the
+    // tokenize+explode pipeline would run twice). `flagged` (doc-count
+    // sized) is materialized in turn so the window stream's block can be
+    // released before the lazy result frame is handed back — the caller
+    // retains only the small flagged block plus the cheap base recompute.
     val wins = base
       .select(col("doc_id"), explode(starts).as("s"),
         array_join(slice(col("__toks"), col("s"), lit(window)), " ").as("gram"))
+      .localCheckpoint(true)
     val dup = wins.groupBy(col("gram")).agg(count(lit(1)).as("__c"))
       .filter(col("__c") > 1).select(col("gram"))
     val flagged = wins.join(dup, Seq("gram"))
       .groupBy(col("doc_id"))
       .agg(array_sort(collect_list(col("s"))).as("__fs"))
+      .localCheckpoint(true)
+    org.apache.spark.sql.graftbridge.Bridge.release(wins)
     val fs = coalesce(col("__fs"), array().cast("array<int>"))
     val keptIdx = filter(sequence(lit(1), col("__n")),
       t => !exists(fs, s => s <= t && t < s + window))

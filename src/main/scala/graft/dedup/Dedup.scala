@@ -201,7 +201,7 @@ object Dedup {
                         threshold: Double, numHashes: Int, bands: Int,
                         ngram: Int = 1): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
-    val sig = array_join(array_sort(shingles(text, ngram)), "")
+    val sig = array_join(array_sort(shingles(text, ngram)), "\u0001")
     // doc -> rep (min id per exact signature); carries text for the rep
     // side of the prefix join
     val withRep = df
@@ -215,6 +215,9 @@ object Dedup {
     val exactEdges = jaccardPairsPrefix(reps, col("text"), col("doc_id"),
       "__all", threshold, ngram)
     val exactLabels = components(exactEdges)
+    // jaccardPairsPrefix RETURNS a checkpointed frame — release it once
+    // components has consumed it, same as the lsh edge set below
+    Bridge.release(exactEdges)
     val lshEdges = minHashLshEdgesPortable(df, text, id, numHashes, bands,
       ngram).localCheckpoint(true)
     val lshLabels = components(lshEdges)
@@ -579,14 +582,20 @@ object Dedup {
 
   /** Spanning edges (bucket-min → member) over a band-row frame —
     * deterministic in the SET of band rows, so a touched-bucket recompute
-    * from staged history reproduces exactly the global edge set.
+    * from staged history reproduces exactly the global edge set. `carry`
+    * columns (e.g. the incremental store's partition bucket — constant
+    * within a (band, band_hash) group by construction) ride through to
+    * the output and participate in the distinct; the ONE edge-derivation
+    * rule lives here for both the one-shot and the incremental path.
     */
-  def spanningEdgesFromBandRows(bandRows: DataFrame): DataFrame = {
+  def spanningEdgesFromBandRows(bandRows: DataFrame,
+                                carry: Seq[String] = Nil): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band"), col("band_hash"))
     bandRows.withColumn("rep", min(col("doc_id")).over(w))
       .where(col("doc_id") =!= col("rep"))
-      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+      .select(col("rep").as("doc_a") +: col("doc_id").as("doc_b") +:
+        carry.map(col): _*)
       .distinct()
   }
 

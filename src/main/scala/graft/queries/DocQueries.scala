@@ -1073,7 +1073,12 @@ object DocQueries {
     // (never a pair enumeration) — the report that justifies switching
     // the keep-one stage to the O(docs x bands) LSH path at scale. Both
     // component chains run in the oracle too (exact over signature reps,
-    // LSH over all docs), each with its own convergence poison.
+    // LSH over all docs), each with its own convergence poison. Input
+    // contract (like lshHistogramFromStore): text non-null — a NULL text
+    // would be dropped by the oracle's toks-equality joins but counted by
+    // the engine's null-group rep collapse. The documents fixture has no
+    // NULL texts (asserted by the c19 gate's full-corpus coverage);
+    // pre-clean real corpora upstream.
     QDef("d14_lsh_agreement",
         d14OracleSql(numHashes = 16, bands = 2,
           roundsExact = 12, roundsLsh = 14)) { (s, dir) =>

@@ -128,13 +128,16 @@ object Prof {
         println(f"WARM$rep $name%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s")
         r
       }
-      val sig12 = array_join(array_sort(Dedup.shingles(col("text"), 1)), "")
-      val w = Window.partitionBy(sig12)
+      // mirror of the PRODUCTION rep collapse (groupBy + min_by, \u0001
+      // separator) -- keep in sync with nearDupClusterHistogram
+      val sig12 = array_join(array_sort(Dedup.shingles(col("text"), 1)), "\u0001")
       val reps12 = tw("d12 rep collapse ckpt") {
-        docs.withColumn("__sig_rn", row_number().over(w.orderBy(col("doc_id"))))
-          .withColumn("__dups", count(lit(1)).over(w))
-          .filter(col("__sig_rn") === 1)
-          .drop("__sig_rn").withColumn("__all", lit(0))
+        docs.groupBy(sig12.as("__sig"))
+          .agg(min_by(struct(docs.columns.toIndexedSeq.map(col): _*),
+            col("doc_id")).as("__rep"),
+            count(lit(1)).as("__dups"))
+          .select(col("__rep.*"), col("__dups"))
+          .withColumn("__all", lit(0))
           .localCheckpoint(true)
       }
       val e12 = tw("d12 ppjoin") {
