@@ -146,6 +146,24 @@ class CurationSpec extends AnyFunSuite {
     assert(full == Seq((1L, 2L), (2L, 2L), (3L, 1L)), full.toString)
   }
 
+  test("incremental LSH histogram: an empty first batch leaves a readable store") {
+    val base = graft.queries.QDef.tempDir("graft_lsh_empty")
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    Curation.incrementalLshHistogramBatch(empty, 0L, s"$base/staged",
+      s"$base/edges", numHashes = 8, bands = 2, nBuckets = 4)
+    // no bucket touched, no edges written — the store must still read as
+    // an empty histogram, not throw path-not-found
+    assert(Curation.lshHistogramFromStore(spark, s"$base/staged",
+      s"$base/edges").count() == 0)
+    // and a later real batch lands normally on the same store
+    val b1 = Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text")
+    Curation.incrementalLshHistogramBatch(b1, 1L, s"$base/staged",
+      s"$base/edges", numHashes = 8, bands = 2, nBuckets = 4)
+    val hist = Curation.lshHistogramFromStore(spark, s"$base/staged",
+      s"$base/edges").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(hist == Seq((2L, 1L)), hist.toString)
+  }
+
   test("incremental LSH histogram: touched-bucket recompute reads prune partitions") {
     val base = graft.queries.QDef.tempDir("graft_lsh_prune")
     val b0 = Seq((1L, "a b c d e f"), (2L, "g h i j k l")).toDF("doc_id", "text")
