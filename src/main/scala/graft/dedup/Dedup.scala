@@ -690,7 +690,11 @@ object Dedup {
     * prop join then runs against an unmaterialized, stats-less label
     * frame, so AQE loses the broadcast decision the per-round
     * materialization feeds it — the extra action is cheaper than the
-    * degraded join strategy.
+    * degraded join strategy. Likewise pre-repartitioning sym/labels on
+    * the join keys before each checkpoint (hoping to drop exchanges from
+    * the round): measured a wash — the explicit repartition pays its own
+    * exchange and the round's remaining exchanges are tiny-data
+    * scheduling cost either way.
     */
   def components(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
