@@ -507,13 +507,19 @@ object Curation {
     * `(doc_id, clean_text, n_tokens, n_tokens_removed)`.
     */
   def dedupSpansAcrossDocs(df: DataFrame, text: Column, id: Column,
-                           window: Int): DataFrame = {
+                           window: Int, hashKeys: Boolean = false): DataFrame = {
     val toks = split(text, " ")
     val base = df.select(id.as("doc_id"), toks.as("__toks"),
       size(toks).as("__n"))
     val starts = when(col("__n") >= window,
       sequence(lit(1), col("__n") - (window - 1)))
       .otherwise(array().cast("array<int>"))
+    // hashKeys (the c4b convention): count and join on xxhash64(gram) —
+    // 8-byte shuffle keys instead of W-token strings, same result up to
+    // negligible 64-bit collisions (a collision only over-flags one
+    // window). The raw-gram form stays the oracle-parity default.
+    val gramStr = array_join(slice(col("__toks"), col("s"), lit(window)), " ")
+    val gramKey = if (hashKeys) xxhash64(gramStr) else gramStr
     // the window stream feeds BOTH the gram count and the flagged-starts
     // join-back — materialize it once (house idiom; uncheckpointed, the
     // tokenize+explode pipeline would run twice). `flagged` (doc-count
@@ -521,8 +527,8 @@ object Curation {
     // released before the lazy result frame is handed back — the caller
     // retains only the small flagged block plus the cheap base recompute.
     val wins = base
-      .select(col("doc_id"), explode(starts).as("s"),
-        array_join(slice(col("__toks"), col("s"), lit(window)), " ").as("gram"))
+      .select(col("doc_id"), col("__toks"), explode(starts).as("s"))
+      .select(col("doc_id"), col("s"), gramKey.as("gram"))
       .localCheckpoint(true)
     val dup = wins.groupBy(col("gram")).agg(count(lit(1)).as("__c"))
       .filter(col("__c") > 1).select(col("gram"))

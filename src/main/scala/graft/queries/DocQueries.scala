@@ -151,7 +151,30 @@ object DocQueries {
        |ORDER BY cluster_size""".stripMargin
   }
 
-  /** The d14 oracle: BOTH component chains in one query — the exact
+  /** Shared by `c19_span_dedup` and its hashed-key scale twin. */
+  private lazy val c19OracleSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |w AS (SELECT doc_id, unnest(range(1, greatest(len(toks) - 7, 0) + 1)) AS s,
+        |       toks FROM t),
+        |wg AS (SELECT doc_id, s, array_to_string(toks[s:s+7], ' ') AS gram FROM w),
+        |g AS (SELECT gram FROM wg GROUP BY gram HAVING count(*) > 1),
+        |fs AS (SELECT wg.doc_id, list_sort(list(wg.s)) AS starts
+        |       FROM wg JOIN g USING (gram) GROUP BY wg.doc_id),
+        |k AS (SELECT t.doc_id, toks,
+        |      list_filter(range(1, len(toks) + 1),
+        |        p -> len(list_filter(COALESCE(fs.starts, []),
+        |               q -> q <= p AND p < q + 8)) = 0) AS kept
+        |      FROM t LEFT JOIN fs ON t.doc_id = fs.doc_id)
+        |SELECT doc_id,
+        |  -- DuckDB's array_to_string of an EMPTY list is NULL (a fully
+        |  -- removed doc); Spark's array_join gives '' — coalesce to match
+        |  COALESCE(array_to_string(list_transform(kept, i -> toks[i]), ' '), '')
+        |    AS clean_text,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(toks) - len(kept) AS BIGINT) AS n_tokens_removed
+        |FROM k ORDER BY doc_id""".stripMargin
+
+    /** The d14 oracle: BOTH component chains in one query — the exact
     * ≥-threshold chain over signature reps (d7's shape, expanded to docs
     * via the doc→rep map) and the portable-md5 LSH spanning-edge chain
     * over all docs (d12b's shape) — then the cluster contingency table
@@ -2441,29 +2464,19 @@ object DocQueries {
     // templated runs line-level dedup can't). The fixture's near-dup
     // families share long runs, so the gate removes real spans. One
     // gram-keyed shuffle + broadcast-back join + doc-local coverage HOF.
-    QDef("c19_span_dedup",
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |w AS (SELECT doc_id, unnest(range(1, greatest(len(toks) - 7, 0) + 1)) AS s,
-        |       toks FROM t),
-        |wg AS (SELECT doc_id, s, array_to_string(toks[s:s+7], ' ') AS gram FROM w),
-        |g AS (SELECT gram FROM wg GROUP BY gram HAVING count(*) > 1),
-        |fs AS (SELECT wg.doc_id, list_sort(list(wg.s)) AS starts
-        |       FROM wg JOIN g USING (gram) GROUP BY wg.doc_id),
-        |k AS (SELECT t.doc_id, toks,
-        |      list_filter(range(1, len(toks) + 1),
-        |        p -> len(list_filter(COALESCE(fs.starts, []),
-        |               q -> q <= p AND p < q + 8)) = 0) AS kept
-        |      FROM t LEFT JOIN fs ON t.doc_id = fs.doc_id)
-        |SELECT doc_id,
-        |  -- DuckDB's array_to_string of an EMPTY list is NULL (a fully
-        |  -- removed doc); Spark's array_join gives '' — coalesce to match
-        |  COALESCE(array_to_string(list_transform(kept, i -> toks[i]), ' '), '')
-        |    AS clean_text,
-        |  CAST(len(toks) AS BIGINT) AS n_tokens,
-        |  CAST(len(toks) - len(kept) AS BIGINT) AS n_tokens_removed
-        |FROM k ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    QDef("c19_span_dedup", c19OracleSql) { (s, dir) =>
       graft.curation.Curation.dedupSpansAcrossDocs(
           Tables.documents(s, dir), col("text"), col("doc_id"), window = 8)
+        .orderBy(col("doc_id"))
+    },
+
+    // The c19 scale twin (c4b convention): frequency counting and the
+    // flagged-starts join key on xxhash64(gram) — 8-byte shuffle keys
+    // instead of 8-token strings — gated against the SAME oracle.
+    QDef("c19b_span_dedup_hashed", c19OracleSql) { (s, dir) =>
+      graft.curation.Curation.dedupSpansAcrossDocs(
+          Tables.documents(s, dir), col("text"), col("doc_id"), window = 8,
+          hashKeys = true)
         .orderBy(col("doc_id"))
     },
 
