@@ -224,6 +224,41 @@ class CurationSpec extends AnyFunSuite {
     assert(got(4) == ((5L, "", 4L, 4L))) // fully removed, empty not null
   }
 
+  test("dedupSpansAcrossDocs matches a brute-force reference on random corpora") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 5) {
+      val window = 2 + trial % 3 // 2, 3, 4
+      // small alphabet → plenty of genuine gram collisions
+      val corpus = (0L until 40L).map { i =>
+        val n = rnd.nextInt(12)
+        (i, (0 until n).map(_ => s"t${rnd.nextInt(5)}").mkString(" "))
+      }
+      // brute force: global gram multiset, then per-doc coverage
+      def toks(s: String): Array[String] =
+        s.split(" ") // matches Spark split semantics: "" -> Array("")
+      val allGrams = corpus.flatMap { case (_, t) =>
+        toks(t).sliding(window).filter(_.length == window).map(_.mkString(" "))
+      }
+      val dupGrams = allGrams.groupBy(identity).filter(_._2.size > 1).keySet
+      val expected = corpus.map { case (id, t) =>
+        val ts = toks(t)
+        val flagged = ts.sliding(window).zipWithIndex
+          .filter { case (g, _) => g.length == window && dupGrams(g.mkString(" ")) }
+          .map(_._2).toSeq
+        val covered = flagged.flatMap(s => s until (s + window)).toSet
+        val kept = ts.indices.filterNot(covered).map(ts)
+        (id, kept.mkString(" "), ts.length.toLong,
+          (ts.length - kept.length).toLong)
+      }.sortBy(_._1)
+      val got = Curation.dedupSpansAcrossDocs(corpus.toDF("doc_id", "text"),
+          col("text"), col("doc_id"), window)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      assert(got == expected, s"trial $trial window $window")
+    }
+  }
+
   test("packSequences: concat-and-split offsets, boundary-spanning docs") {
     // budget 10; key "a": docs of 4, 8, 3 tokens → starts 0, 4, 12
     //   doc 11 starts seq 0 off 0; doc 12 starts seq 0 off 4 (spans into
