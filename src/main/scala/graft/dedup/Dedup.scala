@@ -201,6 +201,32 @@ object Dedup {
                         threshold: Double, numHashes: Int, bands: Int,
                         ngram: Int = 1): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
+    val labeled = dualClusterLabels(df, text, id, threshold, numHashes, bands,
+      ngram)
+    val rep = agreementFromLabels(labeled)
+    Bridge.release(labeled)
+    rep
+  }
+
+  /** BOTH clusterings as one per-doc label frame `(doc_id, ec, lc)` —
+    * `ec` = the doc's exact ≥-threshold Jaccard component (via its
+    * exact-signature rep; Jaccard sees only the token set, so a doc
+    * inherits its rep's component), `lc` = its LSH spanning-edge
+    * component. This is the MATERIALIZATION POINT of the whole dedup
+    * audit family: keep-one (docs whose `ec` is their own id), the exact
+    * and LSH cluster-size histograms (one groupBy each), and the
+    * agreement report ([[agreementFromLabels]]) are all single
+    * aggregations over this frame — at 100 TB you persist it once per
+    * corpus snapshot and every audit panel reads it, instead of
+    * re-running two clusterings per report (the d7/d12/d12b/d14 gates
+    * share one persisted store this way). Returned frame is a bare
+    * checkpoint (corpus-row sized, 3 longs wide); release with
+    * `Bridge.release` once persisted.
+    */
+  def dualClusterLabels(df: DataFrame, text: Column, id: Column,
+                        threshold: Double, numHashes: Int, bands: Int,
+                        ngram: Int = 1): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
     val sig = array_join(array_sort(shingles(text, ngram)), "\u0001")
     // doc -> rep (min id per exact signature); carries text for the rep
     // side of the prefix join
@@ -228,12 +254,24 @@ object Dedup {
       .join(lshLabels, col("doc_id") === lshLabels("node"), "left")
       .select(col("doc_id"), col("ec"),
         coalesce(col("comp"), col("doc_id")).as("lc"))
-    val ct = labeled.groupBy(col("ec"), col("lc"))
-      .agg(count(lit(1)).as("n"))
-      .localCheckpoint(true) // contingency table: consumed by 3 aggregates
+      .localCheckpoint(true)
     Bridge.release(withRep)
     Bridge.release(exactLabels)
     Bridge.release(lshLabels)
+    labeled
+  }
+
+  /** The agreement report off an ALREADY-built `(doc_id, ec, lc)` label
+    * frame ([[dualClusterLabels]] or its persisted form): cluster
+    * contingency table, then pair precision/recall read from its cells
+    * and margins — never a pair enumeration, so the report scales with
+    * cluster counts.
+    */
+  def agreementFromLabels(labeled: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val ct = labeled.groupBy(col("ec"), col("lc"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // contingency table: consumed by 3 aggregates
     def c2(c: Column): Column = (c * (c - 1)) / 2
     val both = ct.agg(sum(c2(col("n"))).as("pairs_both"),
       sum(col("n")).as("n_docs"),

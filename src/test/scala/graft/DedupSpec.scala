@@ -122,6 +122,47 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("dualClusterLabels: the store-derived gate shapes equal the one-shot APIs") {
+    // Same dup-dense corpus as the rep-collapse test: exact-dup groups of 3
+    // with 6/8-token overlaps chaining adjacent groups at low thresholds.
+    val corpus = (0L until 60L).map { i =>
+      val base = if (i % 3 != 0) i - (i % 3) else i
+      val toks = (0 until 8).map(j => s"t${(base / 3) * 2 + j}")
+      (i, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    val labeled = Dedup.dualClusterLabels(corpus, col("text"), col("doc_id"),
+      threshold = 0.9, numHashes = 16, bands = 2).localCheckpoint(true)
+    // d7 shape: kept = docs labeled with their own id
+    val keptStore = labeled.filter(col("ec") === col("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val keptApi = Dedup.keepOneNearDup(corpus, col("text"), col("doc_id"), 0.9)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptStore == keptApi)
+    // d12 shape: one groupBy over ec = the exact cluster-size histogram
+    val histStore = labeled.groupBy(col("ec"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val histApi = Dedup.nearDupClusterHistogram(corpus, col("text"),
+        col("doc_id"), 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(histStore == histApi)
+    // d12b shape: one groupBy over lc = the LSH cluster-size histogram
+    val lshStore = labeled.groupBy(col("lc"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshApi = Dedup.lshClusterHistogram(corpus, col("text"), col("doc_id"),
+        numHashes = 16, bands = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lshStore == lshApi)
+    // d14: the composed one-shot report equals the store-derived one
+    val repStore = Dedup.agreementFromLabels(labeled).collect().map(_.toSeq)
+    val repApi = Dedup.lshDedupAgreement(corpus, col("text"), col("doc_id"),
+      threshold = 0.9, numHashes = 16, bands = 2).collect().map(_.toSeq)
+    assert(repStore.toSeq == repApi.toSeq)
+  }
+
   test("end-to-end dedup: lsh edges -> exact verify -> components -> keep one") {
     val edges = Dedup.minHashLshEdges(docs, col("text"), col("doc_id"), 16, 4)
     // banding at j=0.8 likely links doc 3 (S-curve false positive) — the
