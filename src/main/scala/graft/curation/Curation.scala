@@ -502,9 +502,9 @@ object Curation {
     * xxhash64(gram) at PB scale; kept as the raw gram here for oracle
     * parity), one broadcast-size join back of the duplicated grams, one
     * per-doc aggregation of flagged starts, then a doc-LOCAL coverage
-    * filter (HOF exists over the sorted start array — cost bounded by
-    * doc length × flagged starts, never cross-doc). Returns
-    * `(doc_id, clean_text, n_tokens, n_tokens_removed)`.
+    * filter (the codegen'd [[graft.expr.CoverageKeptIndices]] linear
+    * merge sweep — O(tokens + flagged starts) per doc, never cross-doc).
+    * Returns `(doc_id, clean_text, n_tokens, n_tokens_removed)`.
     */
   def dedupSpansAcrossDocs(df: DataFrame, text: Column, id: Column,
                            window: Int, hashKeys: Boolean = false): DataFrame = {
@@ -538,8 +538,11 @@ object Curation {
       .localCheckpoint(true)
     org.apache.spark.sql.graftbridge.Bridge.release(wins)
     val fs = coalesce(col("__fs"), array().cast("array<int>"))
-    val keptIdx = filter(sequence(lit(1), col("__n")),
-      t => !exists(fs, s => s <= t && t < s + window))
+    // linear merge sweep over (positions, sorted flagged starts) — O(n+f)
+    // per doc; the HOF exists-per-position form was O(n·f), quadratic on a
+    // fully-duplicated long doc (see CoverageKeptIndices)
+    val keptIdx = graft.expr.SetExpressions
+      .coverageKeptIndices(fs, col("__n"), window)
     base.join(flagged, Seq("doc_id"), "left")
       .select(col("doc_id"),
         array_join(transform(keptIdx, t => element_at(col("__toks"), t)), " ")

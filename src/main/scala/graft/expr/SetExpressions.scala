@@ -5,8 +5,9 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 
 /** Intersection SIZE of two SORTED-ascending long arrays by linear merge
   * walk — the set-similarity verify kernel (PPJoin / LSH-verify stage).
@@ -92,8 +93,104 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** The UNCOVERED 1-based positions of a length-`n` token sequence under
+  * coverage intervals `[s, s + window)` for each `s` in the
+  * SORTED-ascending `starts` array — the doc-local coverage filter of
+  * ExactSubstr span dedup ([[graft.curation.Curation.dedupSpansAcrossDocs]])
+  * as ONE linear merge sweep.
+  *
+  * The HOF form it replaces — `filter(sequence(1, n), t -> !exists(starts,
+  * s -> s <= t AND t < s + window))` — is O(n · f) per document (every
+  * position re-scans the flagged-starts array). Fine at fixture scale; a
+  * fully-duplicated 100k-token document (exactly what ExactSubstr meets in
+  * a real crawl: every window flagged, f ≈ n) does 10^10 doc-local ops.
+  * The sweep walks positions and starts together carrying the running
+  * coverage end — O(n + f), allocation is one int buffer (same order as
+  * the `sequence(1, n)` the HOF form allocated anyway).
+  *
+  * PRECONDITION (callers own it): `starts` sorted ascending (violated ⇒
+  * under-coverage — positions before a late out-of-order start would be
+  * kept). Produced upstream by `array_sort(collect_list(s))`.
+  */
+case class CoverageKeptIndices(left: Expression, right: Expression,
+                               window: Int) extends BinaryExpression {
+  require(window >= 1, s"window must be >= 1: $window")
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_coverage_kept_indices"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<int> starts, int n), " +
+          s"got ${left.dataType.sql} and ${right.dataType.sql}")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val starts = a.asInstanceOf[ArrayData]
+    val n = b.asInstanceOf[Int]
+    val f = starts.numElements()
+    val tmp = new Array[Int](math.max(n, 0))
+    var j = 0
+    var cover = 0 // exclusive end of the merged coverage seen so far
+    var k = 0
+    var t = 1
+    while (t <= n) {
+      while (j < f && starts.getInt(j) <= t) {
+        val e = starts.getInt(j) + window
+        if (e > cover) cover = e
+        j += 1
+      }
+      if (cover <= t) { tmp(k) = t; k += 1 }
+      t += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(tmp, k))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, n) => {
+      val f = ctx.freshName("f")
+      val tmp = ctx.freshName("tmp")
+      val j = ctx.freshName("j")
+      val cover = ctx.freshName("cover")
+      val k = ctx.freshName("k")
+      val t = ctx.freshName("t")
+      val e = ctx.freshName("e")
+      s"""
+         |int $f = $s.numElements();
+         |int[] $tmp = new int[$n > 0 ? $n : 0];
+         |int $j = 0; int $cover = 0; int $k = 0;
+         |for (int $t = 1; $t <= $n; $t++) {
+         |  while ($j < $f && $s.getInt($j) <= $t) {
+         |    int $e = $s.getInt($j) + $window;
+         |    if ($e > $cover) $cover = $e;
+         |    $j++;
+         |  }
+         |  if ($cover <= $t) { $tmp[$k++] = $t; }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray(java.util.Arrays.copyOf($tmp, $k));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object SetExpressions {
   /** Codegen'd |A ∩ B| over sorted distinct long arrays (merge walk). */
   def sortedIntersectCount(a: Column, b: Column): Column =
     Bridge.column(SortedIntersectCount(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Codegen'd linear-sweep span-coverage filter: kept (uncovered)
+    * 1-based positions of 1..n under `[s, s+window)` intervals from a
+    * sorted start array.
+    */
+  def coverageKeptIndices(starts: Column, n: Column, window: Int): Column =
+    Bridge.column(CoverageKeptIndices(Bridge.expression(starts),
+      Bridge.expression(n), window))
 }

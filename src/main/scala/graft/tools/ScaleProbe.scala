@@ -93,6 +93,19 @@ object ScaleProbe {
       Curation.dedupSpansAcrossDocs(big, col("text"), col("doc_id"),
         window = 8).count()
     }
+    t(s"c19q full-dup long docs ${mult}x") {
+      // the ExactSubstr worst case: fully-duplicated LONG documents, so
+      // every window is flagged (f ≈ n_tokens). The old per-position HOF
+      // filter was O(n·f) ≈ n² per doc — 4 docs × (3000·mult tokens)²
+      // would be 10^9-10^11 doc-local ops; the CoverageKeptIndices merge
+      // sweep must keep this linear in corpus tokens.
+      import spark.implicits._
+      val nTok = 3000 * mult
+      val longText = (0 until nTok).map(i => s"w$i").mkString(" ")
+      val dupDocs = (0L until 4L).map(i => (i, longText)).toDF("doc_id", "text")
+      Curation.dedupSpansAcrossDocs(dupDocs, col("text"), col("doc_id"),
+        window = 8).count()
+    }
     t(s"d13 passjoin edit pairs ${mult}x") {
       // Pass-Join candidates are an equi-join on (lang, segment content):
       // replicas share prefixes, so candidate count grows with true

@@ -143,6 +143,37 @@ class ExprSpec extends AnyFunSuite {
       .head().isNullAt(0))
   }
 
+  test("native CoverageKeptIndices equals the HOF exists form on random inputs") {
+    val rnd = new scala.util.Random(41)
+    for (window <- Seq(1, 3, 8)) {
+      val rows = Seq.fill(300) {
+        val n = rnd.nextInt(60)
+        val f = if (n == 0) 0 else rnd.nextInt(n + 1)
+        (Array.fill(f)(rnd.nextInt(n.max(1)) + 1).distinct.sorted, n)
+      } ++ Seq(
+        (Array.empty[Int], 0),            // empty doc
+        (Array.empty[Int], 5),            // no flagged starts
+        (Array(1), 1),                    // single fully-covered token
+        (Array(1, 2, 3, 4, 5), 5))        // everything flagged
+      val df = rows.toDF("fs", "n")
+      val native = graft.expr.SetExpressions
+        .coverageKeptIndices(col("fs"), col("n"), window)
+      // n=0 guard is test-only: sequence(1, 0) steps DOWN to [1, 0] in
+      // Spark, and production __n = size(split(...)) is always >= 1
+      val hof = filter(
+        when(col("n") >= 1, sequence(lit(1), col("n")))
+          .otherwise(array().cast("array<int>")),
+        t => !exists(col("fs"), s => s <= t && t < s + window))
+      val mismatches = df.select(native.as("a"), hof.as("b"))
+        .filter(not(col("a") <=> col("b"))).count()
+      assert(mismatches == 0, s"window=$window")
+    }
+    // null propagation (nullIntolerant)
+    val nulls = Seq((None: Option[Array[Int]], 3)).toDF("fs", "n")
+    assert(nulls.select(graft.expr.SetExpressions
+      .coverageKeptIndices(col("fs"), col("n"), 8)).head().isNullAt(0))
+  }
+
   test("graft_table_ids is SQL-callable, default and explicit sentinel") {
     graft.ext.GraftExtensions.register(spark)
     val got = spark.sql(
