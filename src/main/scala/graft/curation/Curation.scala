@@ -261,7 +261,12 @@ object Curation {
     * `minHashLshEdgesPortable` would emit over everything ingested so
     * far (asserted batch-vs-stream in CurationSpec). Idempotent per
     * `batchId` (dynamic overwrite of its own staging partitions):
-    * at-least-once replays are no-ops. The HISTOGRAM itself is derived on
+    * at-least-once replays are no-ops — ASSUMING a replayed batchId
+    * carries identical data, which is Spark's foreachBatch replay
+    * contract (same offsets ⇒ same batch). A non-Spark driver re-using a
+    * batchId for DIFFERENT rows would strand the prior attempt's staged
+    * partitions for buckets absent from the retry (phantom docs/edges);
+    * point such drivers at a fresh batchId instead. The HISTOGRAM itself is derived on
     * read ([[lshHistogramFromStore]]) because connected components are
     * global by nature; what the incremental layer saves is the signature
     * computation and the untouched buckets' edge derivation — the two
@@ -537,10 +542,21 @@ object Curation {
       .agg(array_sort(collect_list(col("s"))).as("__fs"))
       .localCheckpoint(true)
     org.apache.spark.sql.graftbridge.Bridge.release(wins)
+    assembleSpanCleaned(base, flagged, window)
+  }
+
+  /** Shared tail of span dedup: join the flagged-starts frame
+    * `(doc_id, __fs sorted array<int>)` back onto the tokenized corpus
+    * `(doc_id, __toks, __n)` and rebuild each document from its uncovered
+    * positions (the [[graft.expr.CoverageKeptIndices]] linear merge
+    * sweep — O(n+f) per doc; the HOF exists-per-position form was
+    * O(n·f), quadratic on a fully-duplicated long doc). Used by the
+    * one-shot [[dedupSpansAcrossDocs]] and the incremental store reader
+    * [[spanDedupFromStore]].
+    */
+  private def assembleSpanCleaned(base: DataFrame, flagged: DataFrame,
+                                  window: Int): DataFrame = {
     val fs = coalesce(col("__fs"), array().cast("array<int>"))
-    // linear merge sweep over (positions, sorted flagged starts) — O(n+f)
-    // per doc; the HOF exists-per-position form was O(n·f), quadratic on a
-    // fully-duplicated long doc (see CoverageKeptIndices)
     val keptIdx = graft.expr.SetExpressions
       .coverageKeptIndices(fs, col("__n"), window)
     base.join(flagged, Seq("doc_id"), "left")
@@ -549,6 +565,121 @@ object Curation {
           .as("clean_text"),
         col("__n").cast("long").as("n_tokens"),
         (col("__n") - size(keptIdx)).cast("long").as("n_tokens_removed"))
+  }
+
+  /** One micro-batch of INCREMENTAL span-dedup maintenance
+    * ([[dedupSpansAcrossDocs]]'s streaming twin, the
+    * [[incrementalLshHistogramBatch]] staging discipline): the batch's
+    * sliding-window gram stream is hashed (xxhash64 — the c19b scale-twin
+    * convention, 8-byte keys) and staged partitioned by
+    * `(bucket = gram_h mod nBuckets, batch_id)`, the batch's raw docs are
+    * staged by `batch_id`, and the DUPLICATED-gram store is recomputed
+    * ONLY for the buckets this batch touched, from the full staged gram
+    * history of those buckets, dynamically overwriting just those bucket
+    * partitions.
+    *
+    * Exactness: a gram's instances all land in one bucket, so a bucket's
+    * count>1 set equals the global one restricted to that bucket; and
+    * dup-ness is MONOTONE (counts only grow), so per-bucket dynamic
+    * overwrite suffices — no stage-then-swap needed (the
+    * `redset_workload_inc` precedent). What the incremental form saves at
+    * scale: the window stream (corpus tokens × 1 rows) is derived once
+    * per doc EVER, and only touched buckets re-aggregate counts; the
+    * doc-local coverage rebuild happens on read
+    * ([[spanDedupFromStore]]) because one new duplicated gram can flag
+    * positions in OLD documents — span cleanliness is a global property,
+    * like the component step of the LSH histogram.
+    *
+    * Idempotent per `batchId` (dynamic overwrite of its own staging
+    * partitions): at-least-once replays are no-ops. As with
+    * [[incrementalLshHistogramBatch]], idempotence assumes a replayed
+    * batchId carries identical data — Spark's foreachBatch replay
+    * contract (same offsets ⇒ same batch); a non-Spark driver re-using a
+    * batchId for different rows would strand stale staged partitions.
+    */
+  def incrementalSpanDedupBatch(batch: DataFrame, batchId: Long,
+                                stagingPath: String, dupsPath: String,
+                                window: Int, nBuckets: Int = 64,
+                                text: Column = col("text"),
+                                id: Column = col("doc_id")): Unit = {
+    val spark = batch.sparkSession
+    val toks = split(text, " ")
+    val base = batch.select(id.as("doc_id"), toks.as("__toks"),
+      size(toks).as("__n"))
+    val starts = when(col("__n") >= window,
+      sequence(lit(1), col("__n") - (window - 1)))
+      .otherwise(array().cast("array<int>"))
+    val gramH = xxhash64(array_join(
+      slice(col("__toks"), col("s"), lit(window)), " "))
+    // materialized once: feeds the staging write AND the touched-bucket
+    // probe ("window stream derived once per doc ever" is the contract)
+    val winRows = base
+      .select(col("doc_id"), col("__toks"), explode(starts).as("s"))
+      .select(col("doc_id"), col("s"), gramH.as("gram_h"))
+      .withColumn("bucket",
+        pmod(col("gram_h"), lit(nBuckets.toLong)).cast("int"))
+      .localCheckpoint(true)
+    val staged = winRows.withColumn("batch_id", lit(batchId))
+    staged.repartition(col("bucket")).write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket", "batch_id").parquet(s"$stagingPath/grams")
+    batch.select(id.as("doc_id"), text.as("text"))
+      .withColumn("batch_id", lit(batchId))
+      .coalesce(1).write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(s"$stagingPath/docs")
+    // bounded collect: ≤ nBuckets values, off the checkpointed block
+    val touched = winRows.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0))
+    org.apache.spark.sql.graftbridge.Bridge.release(winRows)
+    if (touched.nonEmpty) {
+      // explicit schema: an early batch can stage zero rows for a bucket
+      // (footer-less dir) and inference would fail
+      val slice = spark.read.schema(staged.schema)
+        .parquet(s"$stagingPath/grams")
+        .filter(col("bucket").isin(touched.toIndexedSeq.map(Integer.valueOf): _*))
+      val dups = slice.groupBy(col("bucket"), col("gram_h"))
+        .agg(count(lit(1)).as("__c"))
+        .filter(col("__c") > 1).select(col("gram_h"), col("bucket"))
+      dups.repartition(col("bucket")).write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket").parquet(dupsPath)
+    }
+    // ensure the dup-store dir exists even if no bucket has a duplicate
+    // yet, so a concurrent/subsequent read never throws path-not-found
+    org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+      .mkdirs(new org.apache.hadoop.fs.Path(dupsPath))
+    ()
+  }
+
+  /** Span-dedup state of the world from the maintained store: re-derive
+    * each staged document's cleaned text against the CURRENT duplicated-
+    * gram store (bucket-partitioned on both sides, so the flag join
+    * prunes and co-partitions on `(bucket, gram_h)`). Must equal the
+    * one-shot [[dedupSpansAcrossDocs]] over everything ingested so far —
+    * the `c19c` gate hash-checks exactly that against the same oracle as
+    * `c19`/`c19b`.
+    */
+  def spanDedupFromStore(spark: org.apache.spark.sql.SparkSession,
+                         stagingPath: String, dupsPath: String,
+                         window: Int): DataFrame = {
+    import org.apache.spark.sql.types._
+    val gramSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("s", IntegerType),
+      StructField("gram_h", LongType), StructField("bucket", IntegerType),
+      StructField("batch_id", LongType)))
+    val dupSchema = StructType(Seq(
+      StructField("gram_h", LongType), StructField("bucket", IntegerType)))
+    val grams = spark.read.schema(gramSchema).parquet(s"$stagingPath/grams")
+    val dups = spark.read.schema(dupSchema).parquet(dupsPath)
+    val flagged = grams.join(dups, Seq("bucket", "gram_h"))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(col("s"))).as("__fs"))
+    val toks = split(col("text"), " ")
+    val base = spark.read.parquet(s"$stagingPath/docs")
+      .select(col("doc_id"), toks.as("__toks"), size(toks).as("__n"))
+    assembleSpanCleaned(base, flagged, window)
   }
 
   def dedupLinesWithinDoc(df: DataFrame, text: Column, id: Column): DataFrame = {

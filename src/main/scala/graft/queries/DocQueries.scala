@@ -31,6 +31,12 @@ object DocQueries {
   private val d12cDriveCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Memoized store dir for the c19c incremental span-dedup drive (same
+    * rationale as d12c: the 4-batch drive is the gate's setup).
+    */
+  private val c19cDriveCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Memoized dual cluster-label store `(doc_id, ec, lc)` per fixture dir
     * ([[graft.dedup.Dedup.dualClusterLabels]] persisted to parquet): the
     * exact ≥0.9-Jaccard component and the 16×2 portable-LSH component of
@@ -181,19 +187,29 @@ object DocQueries {
        |ORDER BY cluster_size""".stripMargin
   }
 
-  /** Shared by `c19_span_dedup` and its hashed-key scale twin. */
-  private lazy val c19OracleSql: String =
-    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |w AS (SELECT doc_id, unnest(range(1, greatest(len(toks) - 7, 0) + 1)) AS s,
+  /** The ONE window constant for the whole c19 family — interpolated into
+    * the oracle SQL and passed to every gate's engine call, so changing
+    * the window can never desynchronize the two sides silently (round-10
+    * advice: the SQL used to hard-code `s+7` / `q + 8` literals).
+    */
+  private val C19Window = 8
+
+  /** Shared by `c19_span_dedup`, its hashed-key scale twin, and the
+    * incremental store gate `c19c`.
+    */
+  private lazy val c19OracleSql: String = {
+    val w = C19Window
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |w AS (SELECT doc_id, unnest(range(1, greatest(len(toks) - ${w - 1}, 0) + 1)) AS s,
         |       toks FROM t),
-        |wg AS (SELECT doc_id, s, array_to_string(toks[s:s+7], ' ') AS gram FROM w),
+        |wg AS (SELECT doc_id, s, array_to_string(toks[s:s+${w - 1}], ' ') AS gram FROM w),
         |g AS (SELECT gram FROM wg GROUP BY gram HAVING count(*) > 1),
         |fs AS (SELECT wg.doc_id, list_sort(list(wg.s)) AS starts
         |       FROM wg JOIN g USING (gram) GROUP BY wg.doc_id),
         |k AS (SELECT t.doc_id, toks,
         |      list_filter(range(1, len(toks) + 1),
         |        p -> len(list_filter(COALESCE(fs.starts, []),
-        |               q -> q <= p AND p < q + 8)) = 0) AS kept
+        |               q -> q <= p AND p < q + $w)) = 0) AS kept
         |      FROM t LEFT JOIN fs ON t.doc_id = fs.doc_id)
         |SELECT doc_id,
         |  -- DuckDB's array_to_string of an EMPTY list is NULL (a fully
@@ -203,6 +219,7 @@ object DocQueries {
         |  CAST(len(toks) AS BIGINT) AS n_tokens,
         |  CAST(len(toks) - len(kept) AS BIGINT) AS n_tokens_removed
         |FROM k ORDER BY doc_id""".stripMargin
+  }
 
     /** The d14 oracle: BOTH component chains in one query — the exact
     * ≥-threshold chain over signature reps (d7's shape, expanded to docs
@@ -2517,7 +2534,8 @@ object DocQueries {
     // gram-keyed shuffle + broadcast-back join + doc-local coverage HOF.
     QDef("c19_span_dedup", c19OracleSql) { (s, dir) =>
       graft.curation.Curation.dedupSpansAcrossDocs(
-          Tables.documents(s, dir), col("text"), col("doc_id"), window = 8)
+          Tables.documents(s, dir), col("text"), col("doc_id"),
+          window = C19Window)
         .orderBy(col("doc_id"))
     },
 
@@ -2526,8 +2544,37 @@ object DocQueries {
     // instead of 8-token strings — gated against the SAME oracle.
     QDef("c19b_span_dedup_hashed", c19OracleSql) { (s, dir) =>
       graft.curation.Curation.dedupSpansAcrossDocs(
-          Tables.documents(s, dir), col("text"), col("doc_id"), window = 8,
-          hashKeys = true)
+          Tables.documents(s, dir), col("text"), col("doc_id"),
+          window = C19Window, hashKeys = true)
+        .orderBy(col("doc_id"))
+    },
+
+    // c19 maintained INCREMENTALLY (the d12c pattern on the gram-count
+    // store): the corpus split into three ingestion batches (doc_id mod
+    // 3), each staging its hashed window stream by (bucket, batch_id) and
+    // its docs by batch_id, recomputing the duplicated-gram store for
+    // touched buckets only (dup-ness is count-monotone, so per-bucket
+    // dynamic overwrite suffices); batch 1 REPLAYED to prove staging
+    // idempotence. The cleaned corpus read from the maintained store must
+    // hash-match the SAME global oracle as c19/c19b — pinning that a gram
+    // crossing count 1→2 in a LATE batch retroactively flags positions in
+    // EARLY docs (span cleanliness is a global property; the store reader
+    // re-derives coverage against the current dup set).
+    QDef("c19c_span_dedup_inc", c19OracleSql) { (s, dir) =>
+      val base = c19cDriveCache.computeIfAbsent(dir, _ => {
+        val b0 = QDef.tempDir("graft_span_inc_gate")
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val parts = (0 to 2).map(r => docs.filter(pmod(col("doc_id"), lit(3)) === r))
+        (Seq(0L -> parts(0), 1L -> parts(1), 1L -> parts(1) /* replay */,
+          2L -> parts(2))).foreach { case (bid, b) =>
+          graft.curation.Curation.incrementalSpanDedupBatch(b, bid,
+            s"$b0/staged", s"$b0/dups", window = C19Window, nBuckets = 8)
+        }
+        b0
+      })
+      graft.curation.Curation
+        .spanDedupFromStore(s, s"$base/staged", s"$base/dups",
+          window = C19Window)
         .orderBy(col("doc_id"))
     },
 

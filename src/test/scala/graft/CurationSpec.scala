@@ -259,6 +259,51 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental span dedup ≡ one-shot over the union, replay-idempotent, late batch retro-flags") {
+    val base = graft.queries.QDef.tempDir("graft_span_inc")
+    // window=3. Doc 1 (batch 0) shares the run "a b c d" with doc 3,
+    // which only arrives in batch 2 — the duplicated grams "a b c"/"b c d"
+    // cross batches, so doc 1's positions must be flagged RETROACTIVELY
+    // by the late batch's dup-store recompute.
+    val b0 = Seq((1L, "a b c d x y z"), (2L, "m n o p q")).toDF("doc_id", "text")
+    val b1 = Seq((4L, "u v w"), (5L, "s t")).toDF("doc_id", "text")
+    val b2 = Seq((3L, "k k a b c d")).toDF("doc_id", "text")
+    // replay batch 1 to prove staging + dup-store idempotence
+    Seq(0L -> b0, 1L -> b1, 1L -> b1, 2L -> b2).foreach { case (bid, b) =>
+      Curation.incrementalSpanDedupBatch(b, bid, s"$base/staged",
+        s"$base/dups", window = 3, nBuckets = 4)
+    }
+    val inc = Curation.spanDedupFromStore(spark, s"$base/staged",
+        s"$base/dups", window = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val full = Curation.dedupSpansAcrossDocs(
+        b0.unionByName(b1).unionByName(b2), col("text"), col("doc_id"),
+        window = 3, hashKeys = true)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(inc == full, s"inc=$inc full=$full")
+    // the retroactive flag actually fired: doc 1 lost positions 1-4
+    assert(inc.find(_._1 == 1L).get == ((1L, "x y z", 7L, 4L)))
+    assert(inc.find(_._1 == 3L).get == ((3L, "k k", 6L, 4L)))
+  }
+
+  test("incremental span dedup: a dup-free store still reads every doc intact") {
+    val base = graft.queries.QDef.tempDir("graft_span_nodup")
+    val b0 = Seq((1L, "a b c d"), (2L, "e f g h")).toDF("doc_id", "text")
+    Curation.incrementalSpanDedupBatch(b0, 0L, s"$base/staged",
+      s"$base/dups", window = 3, nBuckets = 4)
+    // no gram duplicated → dup store dir exists but is empty; the reader
+    // must not throw and must return the docs unchanged
+    val got = Curation.spanDedupFromStore(spark, s"$base/staged",
+        s"$base/dups", window = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSeq
+    assert(got == Seq((1L, "a b c d", 0L), (2L, "e f g h", 0L)), got.toString)
+  }
+
   test("packSequences: concat-and-split offsets, boundary-spanning docs") {
     // budget 10; key "a": docs of 4, 8, 3 tokens → starts 0, 4, 12
     //   doc 11 starts seq 0 off 0; doc 12 starts seq 0 off 4 (spans into
