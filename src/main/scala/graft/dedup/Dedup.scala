@@ -29,6 +29,35 @@ object Dedup {
     if (n <= 1) tokens(text)
     else graft.expr.TextStatsExpressions.ngrams(split(text, " "), n)
 
+  /** The canonical exact-dup signature: sorted distinct shingles joined
+    * on the 0x01 separator (shingles are space-joined words, so a plain
+    * space join would make {"a b"} and {"a","b"} collide for ngram > 1).
+    * THE one signature definition for every rep-collapse consumer.
+    */
+  private[graft] def exactSignature(text: Column, ngram: Int): Column =
+    array_join(array_sort(shingles(text, ngram)), "\u0001")
+
+  /** The map-side-combining rep collapse shared by [[keepOneNearDup]],
+    * [[nearDupClusterHistogram]] and the Prof stage-attribution tool:
+    * one row per exact signature carrying the min-id representative's
+    * full row plus the group multiplicity `__dups` and the constant
+    * block `__all`. groupBy + min_by, NOT a row_number window: the
+    * aggregate partially combines map-side, so the shuffle moves one rep
+    * row per (map partition, signature) instead of every corpus row — on
+    * a dup-heavy 100 TB crawl that is the difference between shuffling
+    * the corpus and shuffling its distinct-signature skeleton. Returned
+    * frame is a bare checkpoint (it is always multi-consumer); release
+    * with `Bridge.release` when done.
+    */
+  private[graft] def repCollapse(df: DataFrame, text: Column, id: Column,
+                                 ngram: Int): DataFrame =
+    df.groupBy(exactSignature(text, ngram).as("__sig"))
+      .agg(min_by(struct(df.columns.toIndexedSeq.map(col): _*), id).as("__rep"),
+        count(lit(1)).as("__dups"))
+      .select(col("__rep.*"), col("__dups"))
+      .withColumn("__all", lit(0))
+      .localCheckpoint(true)
+
   /** Exact dedup on a canonicalized signature: the sorted distinct token
     * set. One hash-shuffle on the signature; emits one row per duplicate
     * group `(keep_doc_id = min id, dup_count)`.
@@ -62,27 +91,14 @@ object Dedup {
     */
   def keepOneNearDup(df: DataFrame, text: Column, id: Column,
                      threshold: Double, ngram: Int = 1): DataFrame = {
-    // \u0001 separator: shingles are space-joined words, so a plain space
-    // join would make {"a b"} and {"a","b"} collide for ngram > 1
-    val sig = array_join(array_sort(shingles(text, ngram)), "\u0001")
-    // Rep collapse as groupBy + min_by, NOT a row_number window: the
-    // aggregate partially combines map-side, so the shuffle moves one rep
-    // row per (map partition, signature) instead of every corpus row — on
-    // a dup-heavy 100 TB crawl that is the difference between shuffling
-    // the corpus and shuffling its distinct-signature skeleton.
-    // Deterministic: min_by over the unique id. reps is consumed TWICE
-    // (edge generation scans it, the keep-one anti-join scans it again) —
-    // materialize once instead of re-running the aggregation per consumer
-    // (the rep collapse is exactly the materialization a staged dedup
-    // pipeline wants on disk anyway).
-    val reps = df
-      .groupBy(sig.as("__sig"))
-      .agg(min_by(struct(df.columns.toIndexedSeq.map(col): _*), id).as("__rep"))
-      .select(col("__rep.*"))
-      .withColumn("__all", lit(0))
-      .localCheckpoint(true)
+    // Shared [[repCollapse]] (min_by aggregate, 0x01-separated
+    // signature): reps is consumed TWICE (edge generation scans it, the
+    // keep-one anti-join scans it again) — materialized once inside the
+    // helper (the rep collapse is exactly the materialization a staged
+    // dedup pipeline wants on disk anyway).
+    val reps = repCollapse(df, text, id, ngram)
     val edges = jaccardPairsPrefix(reps, text, id, "__all", threshold, ngram)
-    keepOnePerComponent(reps, id, edges).drop("__all")
+    keepOnePerComponent(reps, id, edges).drop("__all", "__dups")
   }
 
   /** The dedup AUDIT report: near-dup cluster-size histogram —
@@ -103,18 +119,9 @@ object Dedup {
   def nearDupClusterHistogram(df: DataFrame, text: Column, id: Column,
                               threshold: Double, ngram: Int = 1): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
-    val sig = array_join(array_sort(shingles(text, ngram)), "\u0001")
-    // Same map-side-combining groupBy + min_by rep collapse as
-    // [[keepOneNearDup]], with the exact-dup multiplicity as one more
-    // aggregate on the SAME shuffle. Materialized once: reps feeds edge
-    // generation AND the histogram join.
-    val reps = df
-      .groupBy(sig.as("__sig"))
-      .agg(min_by(struct(df.columns.toIndexedSeq.map(col): _*), id).as("__rep"),
-        count(lit(1)).as("__dups"))
-      .select(col("__rep.*"), col("__dups"))
-      .withColumn("__all", lit(0))
-      .localCheckpoint(true)
+    // Shared [[repCollapse]]: the exact-dup multiplicity rides the SAME
+    // shuffle; reps feeds edge generation AND the histogram join.
+    val reps = repCollapse(df, text, id, ngram)
     val edges = jaccardPairsPrefix(reps, text, id, "__all", threshold, ngram)
     val labels = components(edges)
     val hist = reps
@@ -227,11 +234,11 @@ object Dedup {
                         threshold: Double, numHashes: Int, bands: Int,
                         ngram: Int = 1): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
-    val sig = array_join(array_sort(shingles(text, ngram)), "\u0001")
     // doc -> rep (min id per exact signature); carries text for the rep
     // side of the prefix join
     val withRep = df
-      .select(id.as("doc_id"), text.as("__text"), sig.as("__sig"))
+      .select(id.as("doc_id"), text.as("__text"),
+        exactSignature(text, ngram).as("__sig"))
       .withColumn("__rep", min(col("doc_id")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("__sig"))))
       .localCheckpoint(true)
@@ -345,6 +352,18 @@ object Dedup {
     * for ANY global total order over shingles, so the df-based order below
     * is free to optimize candidate counts without affecting completeness.
     */
+  /** The shingled-and-hashed scan frame `(blk, doc_id, toks, n)` under
+    * [[jaccardPairsPrefix]] — exposed (package-private) so Prof's
+    * substage attribution runs the REAL projection, not a mirror.
+    */
+  private[graft] def hashedShingleFrame(df: DataFrame, text: Column,
+                                        id: Column, blockCol: String,
+                                        ngram: Int): DataFrame = {
+    val sh = shingles(text, ngram)
+    df.select(col(blockCol).as("blk"), id.as("doc_id"),
+      array_sort(transform(sh, t => xxhash64(t))).as("toks"), size(sh).as("n"))
+  }
+
   private[graft] def prefixCandidates(d: DataFrame, threshold: Double): DataFrame = {
     // Canonical order = ASCENDING document frequency (rarest shingle first,
     // ties by hash then value — a deterministic global total order, which is
@@ -422,9 +441,7 @@ object Dedup {
     // collisions (~|pair union|²·2⁻⁶⁴ per verified pair — negligible at
     // any realistic corpus scale, and a collision only perturbs one
     // pair's intersection count by 1).
-    val sh = shingles(text, ngram)
-    val d = df.select(col(blockCol).as("blk"), id.as("doc_id"),
-        array_sort(transform(sh, t => xxhash64(t))).as("toks"), size(sh).as("n"))
+    val d = hashedShingleFrame(df, text, id, blockCol, ngram)
       .localCheckpoint(true) // reused by candidates and both verify sides
     // Verify per candidate INSTANCE, distinct only the final edge set.
     // History: round 7 measured the instance-stream shape 4x WORSE and put
@@ -734,7 +751,13 @@ object Dedup {
     * exchange and the round's remaining exchanges are tiny-data
     * scheduling cost either way.
     */
-  def components(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  /** `onRound`, when non-null, receives `(round, seconds, converged)` after
+    * every propagation+jump round — the instrumentation hook Prof uses for
+    * per-round attribution of the REAL loop (a mirrored copy silently
+    * measured a stale plan once; round-10 advice).
+    */
+  def components(edges: DataFrame, maxIter: Int = 20,
+                 onRound: (Int, Double, Boolean) => Unit = null): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
     // eager localCheckpoint (not persist) each round: iterative plans grow
     // linearly in lineage, so analysis cost goes quadratic and any cache
@@ -754,6 +777,7 @@ object Dedup {
     var i = 0
     var done = false
     while (!done && i < maxIter) {
+      val roundT0 = System.nanoTime()
       val prop = sym.join(labels, sym("u") === labels("node"))
         .groupBy(col("v").as("p_node")).agg(min(col("comp")).as("neighbor_min"))
       val stepped = labels.join(prop, labels("node") === prop("p_node"), "left")
@@ -781,6 +805,8 @@ object Dedup {
       Bridge.release(labels) // previous round's block is dead now
       labels = nextFull // full frame: release() needs the bare checkpoint
       done = changed == 0
+      if (onRound != null)
+        onRound(i, (System.nanoTime() - roundT0) / 1e9, done)
       i += 1
     }
     Bridge.release(sym)

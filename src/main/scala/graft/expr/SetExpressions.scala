@@ -50,6 +50,10 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    if (SortedIntersectCount.DebugChecks) {
+      SortedIntersectCount.assertSortedDistinct(x, "left")
+      SortedIntersectCount.assertSortedDistinct(y, "right")
+    }
     val nx = x.numElements()
     val ny = y.numElements()
     var i = 0
@@ -91,6 +95,29 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+object SortedIntersectCount {
+  /** Precondition violations UNDERCOUNT silently (never crash), so misuse
+    * by a future call site would produce wrong Jaccard values with no
+    * failure signal. Set `-Dgraft.debug.sortedCheck=true` (tests, dev
+    * runs) to verify sorted-ascending/distinct inputs on the INTERPRETED
+    * path — the codegen'd hot path stays check-free. The flag is read
+    * once per JVM.
+    */
+  private[expr] val DebugChecks: Boolean =
+    sys.props.get("graft.debug.sortedCheck").contains("true")
+
+  private[expr] def assertSortedDistinct(a: ArrayData, side: String): Unit = {
+    var i = 1
+    while (i < a.numElements()) {
+      if (a.getLong(i - 1) >= a.getLong(i))
+        throw new IllegalArgumentException(
+          s"graft_sorted_intersect_count: $side array not strictly " +
+            s"ascending at index $i (${a.getLong(i - 1)} >= ${a.getLong(i)})")
+      i += 1
+    }
+  }
 }
 
 /** The UNCOVERED 1-based positions of a length-`n` token sequence under
