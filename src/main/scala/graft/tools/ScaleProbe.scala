@@ -93,6 +93,24 @@ object ScaleProbe {
       Curation.dedupSpansAcrossDocs(big, col("text"), col("doc_id"),
         window = 8).count()
     }
+    t(s"c19b span dedup hashed ${mult}x") {
+      // the 8-byte-key scale twin: the gram shuffle moves xxhash64 longs
+      // instead of 8-token strings
+      Curation.dedupSpansAcrossDocs(big, col("text"), col("doc_id"),
+        window = 8, hashKeys = true).count()
+    }
+    t(s"d14 dual labels + agreement ${mult}x") {
+      // the store-build shape the d7/d12/d12b/d14 gates share: both
+      // clusterings once (this is the dominant cost, ~d7+d12b), then the
+      // agreement report is one contingency-table aggregation over the
+      // label frame — at scale the labels persist and every audit panel
+      // pays only the aggregation
+      val labeled = Dedup.dualClusterLabels(big, col("text"), col("doc_id"),
+        threshold = 0.9, numHashes = 16, bands = 2)
+      val n = Dedup.agreementFromLabels(labeled).count()
+      org.apache.spark.sql.graftbridge.Bridge.release(labeled)
+      n
+    }
     t(s"c19q full-dup long docs ${mult}x") {
       // the ExactSubstr worst case: fully-duplicated LONG documents, so
       // every window is flagged (f ≈ n_tokens). The old per-position HOF
