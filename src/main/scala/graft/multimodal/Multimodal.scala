@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -306,6 +306,46 @@ object Multimodal {
         }
       }
       .toDF("id", "width", "height", "px_sum")
+  }
+
+  /** CLIP-style image-text PAIR dedup — the model-free shape: two
+    * (text, image) training pairs are duplicates iff their canonical
+    * text token sets match AND their decoded image fingerprints (source
+    * dims + full 16-bit pixel checksum) match. The modality composition
+    * a multimodal curation pipeline runs before training: text-only
+    * dedup merges pairs whose captions repeat under DIFFERENT images
+    * (alt-text spam) — the image fingerprint keeps those apart, and
+    * vice versa.
+    *
+    * Plan shape for 100 TB: ONE fused mapPartitions pass decodes the
+    * real payload bytes and carries the text signature alongside (no
+    * join between the modalities — the pair row already holds both),
+    * then a single joint-key groupBy (map-side combined). The signature
+    * rides as the raw string for oracle parity; hash it (xxhash64) at
+    * PB scale — the d9 staging convention. Emits one row per joint
+    * group `(keep_doc_id, dup_count)`, min id kept, exact-dedup (d1)
+    * semantics on the composite key.
+    */
+  def imageTextPairDedup(df: DataFrame, idCol: String, payloadCol: String,
+                         text: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"),
+        graft.dedup.Dedup.exactSignature(text, 1))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { it =>
+        it.map { case (id, bytes, sig) =>
+          val img = Farbfeld.decode(bytes)
+          var s = 0L
+          var i = 0
+          while (i < img.components.length) { s += img.components(i); i += 1 }
+          (id, img.width, img.height, s, sig)
+        }
+      }
+      .toDF("id", "width", "height", "px_sum", "__tsig")
+      .groupBy(col("__tsig"), col("width"), col("height"), col("px_sum"))
+      .agg(min(col("id")).as("keep_doc_id"), count(lit(1)).as("dup_count"))
+      .select(col("keep_doc_id"), col("dup_count"))
   }
 
   /** ViT-style patch extraction: split each decoded image into a

@@ -1256,6 +1256,43 @@ object DocQueries {
         .orderBy(col("id"))
     },
 
+    // CLIP-style image-text pair dedup, model-free (round 11): each doc
+    // becomes a (caption, image) pair with a REAL farbfeld payload keyed
+    // on doc_id % 7 — so text-duplicate families get SPLIT across image
+    // identities and the joint key genuinely discriminates where text-only
+    // dedup (d1) would merge. One fused decode+signature mapPartitions
+    // pass, one joint groupBy. The oracle recomputes the pixel checksum
+    // arithmetically from the generating formula and the token-set
+    // signature in SQL — a decode slip or a signature/image mismatch in
+    // the joint key flips the hash.
+    QDef("mm9_image_text_dedup",
+      """WITH d AS (SELECT doc_id, doc_id % 7 AS fam,
+        |       list_sort(list_distinct(string_split(text, ' '))) AS toks
+        |       FROM documents),
+        |f AS (SELECT doc_id, toks, 4 + fam % 5 AS w, 3 + fam % 4 AS h,
+        |       CAST(list_sum([(fam*7919 + (j//4)*31 + (j%4)*101) % 65536
+        |            FOR j IN range(0, (4 + fam % 5) * (3 + fam % 4) * 4)])
+        |         AS BIGINT) AS px_sum
+        |       FROM d)
+        |SELECT min(doc_id) AS keep_doc_id, CAST(count(*) AS BIGINT) AS dup_count
+        |FROM f GROUP BY toks, w, h, px_sum ORDER BY keep_doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val pairs = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val fam = id % 7
+          val w = (4 + fam % 5).toInt
+          val h = (3 + fam % 4).toInt
+          (id, text, graft.multimodal.Multimodal.Farbfeld.encode(w, h, (i, c) =>
+            ((fam * 7919L + i.toLong * 31L + c.toLong * 101L) % 65536L).toInt))
+        })
+        .toDF("doc_id", "text", "payload")
+      graft.multimodal.Multimodal
+        .imageTextPairDedup(pairs, "doc_id", "payload", col("text"))
+        .orderBy(col("keep_doc_id"))
+    },
+
     // Nearest-neighbor half-resize of real farbfeld payloads (the image
     // preprocessing op): decode -> integer-mapped resize -> re-encode,
     // verified by running the VERIFIED decoder over the output payloads

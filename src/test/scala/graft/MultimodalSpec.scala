@@ -191,6 +191,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r.filter(_._1 == 2L).forall(_._3 == 0.0))
   }
 
+  test("imageTextPairDedup: joint key splits text dups with different images, merges full dups") {
+    def img(seed: Int): Array[Byte] =
+      Multimodal.Farbfeld.encode(2, 2, (i, c) => (seed * 31 + i * 7 + c) % 65536)
+    val pairs = Seq(
+      (1L, "a caption here", img(1)),  // full dup of 2 (text reordered:
+      (2L, "caption a here", img(1)),  //   same token SET, same image)
+      (3L, "a caption here", img(9)),  // same text, DIFFERENT image
+      (4L, "unrelated words", img(1))  // same image, different text
+    ).toDF("doc_id", "text", "payload")
+    val got = Multimodal.imageTextPairDedup(pairs, "doc_id", "payload",
+        col("text"))
+      .orderBy("keep_doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // {1,2} merge (joint dup); 3 survives (image differs); 4 survives
+    // (text differs)
+    assert(got == Seq((1L, 2L), (3L, 1L), (4L, 1L)), got.toString)
+  }
+
   test("BoundedTopK aggregator keeps k best with deterministic tie-break") {
     val topk = udaf(new TopK.BoundedTopK(3))
     val df = Seq((5.0, 1L), (9.0, 2L), (9.0, 1L), (1.0, 3L), (7.0, 4L))
