@@ -375,6 +375,21 @@ object Curation {
           numHashes, bands, nBuckets)
       }.start()
 
+  /** Streaming span-dedup ingestion: each micro-batch runs
+    * [[incrementalSpanDedupBatch]] — [[spanDedupFromStore]] then always
+    * reads the ExactSubstr-clean corpus over everything ingested so far.
+    * foreachBatch is at-least-once; staging idempotence makes replays
+    * no-ops (same contract as [[dedupIngest]] / [[lshHistogramIngest]]).
+    */
+  def spanDedupIngest(raw: DataFrame, stagingPath: String, dupsPath: String,
+                      window: Int, nBuckets: Int = 64,
+                      queryName: String = "graft_span_dedup_ingest"): org.apache.spark.sql.streaming.StreamingQuery =
+    raw.writeStream.queryName(queryName)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        incrementalSpanDedupBatch(batch, batchId, stagingPath, dupsPath,
+          window, nBuckets)
+      }.start()
+
   /** Sequence packing (training-batch prep): documents are concatenated
     * per `key` in `order` and SPLIT into fixed `budget`-token training
     * sequences — each row gets the sequence id and in-sequence offset of

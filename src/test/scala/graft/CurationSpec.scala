@@ -290,6 +290,49 @@ class CurationSpec extends AnyFunSuite {
     assert(inc.find(_._1 == 3L).get == ((3L, "k k", 6L, 4L)))
   }
 
+  test("incremental span dedup: gram staging reads prune bucket partitions") {
+    val base = graft.queries.QDef.tempDir("graft_span_prune")
+    val b0 = Seq((1L, "a b c d e f"), (2L, "g h i j k l")).toDF("doc_id", "text")
+    Curation.incrementalSpanDedupBatch(b0, 0L, s"$base/staged",
+      s"$base/dups", window = 3, nBuckets = 4)
+    // the touched-bucket recompute filters the staged gram history on
+    // bucket — that must be directory pruning, or per-batch cost grows
+    // with corpus life instead of touched buckets (d12c invariant)
+    val read = spark.read.parquet(s"$base/staged/grams")
+      .filter(col("bucket").isin(0, 1))
+    val scan = read.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("bucket"), scan)
+  }
+
+  test("spanDedupIngest streams batches through the span store e2e") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = graft.queries.QDef.tempDir("graft_span_ingest")
+    val in = MemoryStream[(Long, String)]
+    val q = Curation.spanDedupIngest(
+      in.toDF().toDF("doc_id", "text"), s"$base/staged", s"$base/dups",
+      window = 3, nBuckets = 4, queryName = "span_ingest_test")
+    try {
+      in.addData((1L, "a b c d x y z"), (2L, "m n o"))
+      q.processAllAvailable()
+      // doc 1 is still clean — no gram duplicated yet
+      val before = Curation.spanDedupFromStore(spark, s"$base/staged",
+          s"$base/dups", window = 3)
+        .filter(col("doc_id") === 1L).head()
+      assert(before.getString(1) == "a b c d x y z")
+      in.addData((3L, "k k a b c d")) // duplicates doc 1's run ACROSS batches
+      q.processAllAvailable()
+      val after = Curation.spanDedupFromStore(spark, s"$base/staged",
+          s"$base/dups", window = 3)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(after == Seq((1L, "x y z"), (2L, "m n o"), (3L, "k k")),
+        after.toString)
+    } finally q.stop()
+  }
+
   test("incremental span dedup: a dup-free store still reads every doc intact") {
     val base = graft.queries.QDef.tempDir("graft_span_nodup")
     val b0 = Seq((1L, "a b c d"), (2L, "e f g h")).toDF("doc_id", "text")
