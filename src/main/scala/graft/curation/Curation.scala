@@ -638,9 +638,12 @@ object Curation {
     staged.repartition(col("bucket")).write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket", "batch_id").parquet(s"$stagingPath/grams")
+    // no coalesce: the docs write stays as parallel as the batch (a
+    // single-task funnel would cap ingest at one writer at scale); gate-
+    // scale small files are a local-mode artifact, not a design cost
     batch.select(id.as("doc_id"), text.as("text"))
       .withColumn("batch_id", lit(batchId))
-      .coalesce(1).write.mode("overwrite")
+      .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(s"$stagingPath/docs")
     // bounded collect: ≤ nBuckets values, off the checkpointed block
@@ -686,13 +689,18 @@ object Curation {
       StructField("batch_id", LongType)))
     val dupSchema = StructType(Seq(
       StructField("gram_h", LongType), StructField("bucket", IntegerType)))
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("batch_id", LongType)))
     val grams = spark.read.schema(gramSchema).parquet(s"$stagingPath/grams")
     val dups = spark.read.schema(dupSchema).parquet(dupsPath)
     val flagged = grams.join(dups, Seq("bucket", "gram_h"))
       .groupBy(col("doc_id"))
       .agg(array_sort(collect_list(col("s"))).as("__fs"))
     val toks = split(col("text"), " ")
-    val base = spark.read.parquet(s"$stagingPath/docs")
+    // explicit schema (d12c convention): an all-empty first batch leaves a
+    // footer-less docs dir that inference would choke on
+    val base = spark.read.schema(docSchema).parquet(s"$stagingPath/docs")
       .select(col("doc_id"), toks.as("__toks"), size(toks).as("__n"))
     assembleSpanCleaned(base, flagged, window)
   }

@@ -333,6 +333,23 @@ class CurationSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("incremental span dedup: an empty first batch leaves a readable store") {
+    val base = graft.queries.QDef.tempDir("graft_span_empty")
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    Curation.incrementalSpanDedupBatch(empty, 0L, s"$base/staged",
+      s"$base/dups", window = 3, nBuckets = 4)
+    assert(Curation.spanDedupFromStore(spark, s"$base/staged",
+      s"$base/dups", window = 3).count() == 0)
+    val b1 = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    Curation.incrementalSpanDedupBatch(b1, 1L, s"$base/staged",
+      s"$base/dups", window = 3, nBuckets = 4)
+    val got = Curation.spanDedupFromStore(spark, s"$base/staged",
+        s"$base/dups", window = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, ""), (2L, "")), got.toString)
+  }
+
   test("incremental span dedup: a dup-free store still reads every doc intact") {
     val base = graft.queries.QDef.tempDir("graft_span_nodup")
     val b0 = Seq((1L, "a b c d"), (2L, "e f g h")).toDF("doc_id", "text")
