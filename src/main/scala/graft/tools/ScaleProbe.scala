@@ -111,6 +111,35 @@ object ScaleProbe {
       org.apache.spark.sql.graftbridge.Bridge.release(labeled)
       n
     }
+    t(s"c19c incremental span store ${mult}x") {
+      // the staged-maintenance path at scale: 3 ingestion batches (last
+      // one smallest — its cost should track ITS buckets' history, not
+      // corpus life), then one store read. Prints per-batch times.
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_probe_spanstore").toString
+      (0 to 2).foreach { r =>
+        val b = big.filter(pmod(col("doc_id"), lit(3)) === r)
+        val t0 = System.nanoTime()
+        Curation.incrementalSpanDedupBatch(b, r.toLong, s"$base/staged",
+          s"$base/dups", window = 8, nBuckets = 64)
+        println(f"SCALE   c19c batch $r ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      Curation.spanDedupFromStore(spark, s"$base/staged", s"$base/dups",
+        window = 8).count()
+    }
+    t(s"d12c incremental lsh store ${mult}x") {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_probe_lshstore").toString
+      (0 to 2).foreach { r =>
+        val b = big.filter(pmod(col("doc_id"), lit(3)) === r)
+        val t0 = System.nanoTime()
+        Curation.incrementalLshHistogramBatch(b, r.toLong, s"$base/staged",
+          s"$base/edges", numHashes = 16, bands = 2, nBuckets = 64)
+        println(f"SCALE   d12c batch $r ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      Curation.lshHistogramFromStore(spark, s"$base/staged", s"$base/edges")
+        .count()
+    }
     t(s"c19q full-dup long docs ${mult}x") {
       // the ExactSubstr worst case: fully-duplicated LONG documents, so
       // every window is flagged (f ≈ n_tokens). The old per-position HOF
