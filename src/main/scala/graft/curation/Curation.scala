@@ -317,9 +317,13 @@ object Curation {
     // writes no edges — still ensure the edge store DIR exists so a
     // concurrent/subsequent lshHistogramFromStore read (explicit schema,
     // empty dir ⇒ empty frame) never throws path-not-found
-    org.apache.hadoop.fs.FileSystem
-      .get(spark.sparkContext.hadoopConfiguration)
-      .mkdirs(new org.apache.hadoop.fs.Path(edgesPath))
+    {
+      // resolve the FS from the PATH, not the default FS: a qualified
+      // edgesPath (s3a://..., file://...) on a cluster whose defaultFS is
+      // hdfs:// would otherwise throw Wrong FS after the writes succeeded
+      val ep = new org.apache.hadoop.fs.Path(edgesPath)
+      ep.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(ep)
+    }
     ()
   }
 
@@ -528,28 +532,14 @@ object Curation {
     */
   def dedupSpansAcrossDocs(df: DataFrame, text: Column, id: Column,
                            window: Int, hashKeys: Boolean = false): DataFrame = {
-    val toks = split(text, " ")
-    val base = df.select(id.as("doc_id"), toks.as("__toks"),
-      size(toks).as("__n"))
-    val starts = when(col("__n") >= window,
-      sequence(lit(1), col("__n") - (window - 1)))
-      .otherwise(array().cast("array<int>"))
-    // hashKeys (the c4b convention): count and join on xxhash64(gram) —
-    // 8-byte shuffle keys instead of W-token strings, same result up to
-    // negligible 64-bit collisions (a collision only over-flags one
-    // window). The raw-gram form stays the oracle-parity default.
-    val gramStr = array_join(slice(col("__toks"), col("s"), lit(window)), " ")
-    val gramKey = if (hashKeys) xxhash64(gramStr) else gramStr
+    val (base, winStream) = spanWindowStream(df, text, id, window, hashKeys)
     // the window stream feeds BOTH the gram count and the flagged-starts
     // join-back — materialize it once (house idiom; uncheckpointed, the
     // tokenize+explode pipeline would run twice). `flagged` (doc-count
     // sized) is materialized in turn so the window stream's block can be
     // released before the lazy result frame is handed back — the caller
     // retains only the small flagged block plus the cheap base recompute.
-    val wins = base
-      .select(col("doc_id"), col("__toks"), explode(starts).as("s"))
-      .select(col("doc_id"), col("s"), gramKey.as("gram"))
-      .localCheckpoint(true)
+    val wins = winStream.localCheckpoint(true)
     val dup = wins.groupBy(col("gram")).agg(count(lit(1)).as("__c"))
       .filter(col("__c") > 1).select(col("gram"))
     val flagged = wins.join(dup, Seq("gram"))
@@ -558,6 +548,34 @@ object Curation {
       .localCheckpoint(true)
     org.apache.spark.sql.graftbridge.Bridge.release(wins)
     assembleSpanCleaned(base, flagged, window)
+  }
+
+  /** THE one sliding-window gram derivation, shared by the one-shot
+    * [[dedupSpansAcrossDocs]] and the incremental
+    * [[incrementalSpanDedupBatch]] (the c19c store ≡ one-shot
+    * equivalence depends on both sides deriving bit-identical grams —
+    * same tokenizer, same short-doc guard, same gram construction).
+    * Returns `(base = (doc_id, __toks, __n), wins = (doc_id, s, gram))`,
+    * both LAZY. `hashKeys` (the c4b convention): gram as xxhash64 —
+    * 8-byte shuffle keys instead of W-token strings, same result up to
+    * negligible 64-bit collisions (a collision only over-flags one
+    * window); the raw-gram form is the oracle-parity default.
+    */
+  private def spanWindowStream(df: DataFrame, text: Column, id: Column,
+                               window: Int,
+                               hashKeys: Boolean): (DataFrame, DataFrame) = {
+    val toks = split(text, " ")
+    val base = df.select(id.as("doc_id"), toks.as("__toks"),
+      size(toks).as("__n"))
+    val starts = when(col("__n") >= window,
+      sequence(lit(1), col("__n") - (window - 1)))
+      .otherwise(array().cast("array<int>"))
+    val gramStr = array_join(slice(col("__toks"), col("s"), lit(window)), " ")
+    val gramKey = if (hashKeys) xxhash64(gramStr) else gramStr
+    val wins = base
+      .select(col("doc_id"), col("__toks"), explode(starts).as("s"))
+      .select(col("doc_id"), col("s"), gramKey.as("gram"))
+    (base, wins)
   }
 
   /** Shared tail of span dedup: join the flagged-starts frame
@@ -571,7 +589,11 @@ object Curation {
     */
   private def assembleSpanCleaned(base: DataFrame, flagged: DataFrame,
                                   window: Int): DataFrame = {
-    val fs = coalesce(col("__fs"), array().cast("array<int>"))
+    // containsNull=false element type: CoverageKeptIndices rejects
+    // nullable elements at analysis (a null start would read as 0)
+    val fs = coalesce(col("__fs"), array().cast(
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType, containsNull = false)))
     val keptIdx = graft.expr.SetExpressions
       .coverageKeptIndices(fs, col("__n"), window)
     base.join(flagged, Seq("doc_id"), "left")
@@ -618,19 +640,14 @@ object Curation {
                                 text: Column = col("text"),
                                 id: Column = col("doc_id")): Unit = {
     val spark = batch.sparkSession
-    val toks = split(text, " ")
-    val base = batch.select(id.as("doc_id"), toks.as("__toks"),
-      size(toks).as("__n"))
-    val starts = when(col("__n") >= window,
-      sequence(lit(1), col("__n") - (window - 1)))
-      .otherwise(array().cast("array<int>"))
-    val gramH = xxhash64(array_join(
-      slice(col("__toks"), col("s"), lit(window)), " "))
-    // materialized once: feeds the staging write AND the touched-bucket
-    // probe ("window stream derived once per doc ever" is the contract)
-    val winRows = base
-      .select(col("doc_id"), col("__toks"), explode(starts).as("s"))
-      .select(col("doc_id"), col("s"), gramH.as("gram_h"))
+    // the SAME gram derivation as the one-shot path (shared helper — the
+    // store ≡ one-shot equivalence depends on it), hashed keys (c19b
+    // convention: 8-byte staging rows). Materialized once: feeds the
+    // staging write AND the touched-bucket probe ("window stream derived
+    // once per doc ever" is the contract).
+    val winRows = spanWindowStream(batch, text, id, window, hashKeys = true)
+      ._2
+      .withColumnRenamed("gram", "gram_h")
       .withColumn("bucket",
         pmod(col("gram_h"), lit(nBuckets.toLong)).cast("int"))
       .localCheckpoint(true)
@@ -665,9 +682,11 @@ object Curation {
     }
     // ensure the dup-store dir exists even if no bucket has a duplicate
     // yet, so a concurrent/subsequent read never throws path-not-found
-    org.apache.hadoop.fs.FileSystem
-      .get(spark.sparkContext.hadoopConfiguration)
-      .mkdirs(new org.apache.hadoop.fs.Path(dupsPath))
+    // (FS resolved from the path, not the default FS — see edgesPath note)
+    locally {
+      val dp = new org.apache.hadoop.fs.Path(dupsPath)
+      dp.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(dp)
+    }
     ()
   }
 
@@ -681,16 +700,21 @@ object Curation {
     */
   def spanDedupFromStore(spark: org.apache.spark.sql.SparkSession,
                          stagingPath: String, dupsPath: String,
-                         window: Int): DataFrame = {
+                         window: Int,
+                         idType: org.apache.spark.sql.types.DataType =
+                           org.apache.spark.sql.types.LongType): DataFrame = {
     import org.apache.spark.sql.types._
+    // idType mirrors lshHistogramFromStore: the batch writer accepts any
+    // id column, so a store staged with string/int ids must be readable
+    // (a hardcoded LongType would make such a store unreadable forever)
     val gramSchema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("s", IntegerType),
+      StructField("doc_id", idType), StructField("s", IntegerType),
       StructField("gram_h", LongType), StructField("bucket", IntegerType),
       StructField("batch_id", LongType)))
     val dupSchema = StructType(Seq(
       StructField("gram_h", LongType), StructField("bucket", IntegerType)))
     val docSchema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("doc_id", idType), StructField("text", StringType),
       StructField("batch_id", LongType)))
     val grams = spark.read.schema(gramSchema).parquet(s"$stagingPath/grams")
     val dups = spark.read.schema(dupSchema).parquet(dupsPath)

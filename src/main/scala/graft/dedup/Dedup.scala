@@ -388,13 +388,25 @@ object Dedup {
     * down to 1.73M pairs that then produced 29k edges). Kept separate so
     * SkewSpec can keep asserting the distinct-pair candidate bound.
     */
+  /** Exploded shingle stream `(blk, doc_id, n, p)` over a
+    * [[hashedShingleFrame]] — package-private so Prof times the real
+    * substage, not a mirror.
+    */
+  private[graft] def explodedShingles(d: DataFrame): DataFrame =
+    d.select(col("blk"), col("doc_id"), col("n"), explode(col("toks")).as("p"))
+
+  /** Document frequency per shingle over [[explodedShingles]] output —
+    * the vocabulary aggregation that orders PPJoin prefixes (df-ascending).
+    */
+  private[graft] def shingleDocFrequency(tok: DataFrame): DataFrame =
+    tok.groupBy(col("p")).agg(count(lit(1)).as("__df"))
+
   private[graft] def prefixCandidateInstances(d: DataFrame,
                                               threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val prefixLen = (col("n") - ceil(col("n") * threshold) + 1).cast("int")
-    val tok = d.select(col("blk"), col("doc_id"), col("n"),
-      explode(col("toks")).as("p"))
-    val freq = tok.groupBy(col("p")).agg(count(lit(1)).as("__df"))
+    val tok = explodedShingles(d)
+    val freq = shingleDocFrequency(tok)
     val pre = tok.join(freq, Seq("p"))
       .withColumn("i", row_number().over(
         Window.partitionBy(col("blk"), col("doc_id"))

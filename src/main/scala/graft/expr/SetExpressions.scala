@@ -103,7 +103,8 @@ object SortedIntersectCount {
     * failure signal. Set `-Dgraft.debug.sortedCheck=true` (tests, dev
     * runs) to verify sorted-ascending/distinct inputs on the INTERPRETED
     * path — the codegen'd hot path stays check-free. The flag is read
-    * once per JVM.
+    * once per JVM and also guards [[CoverageKeptIndices]]'s sorted-starts
+    * precondition.
     */
   private[expr] val DebugChecks: Boolean =
     sys.props.get("graft.debug.sortedCheck").contains("true")
@@ -149,8 +150,16 @@ case class CoverageKeptIndices(left: Expression, right: Expression,
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(IntegerType, _), IntegerType) =>
+      case (ArrayType(IntegerType, false), IntegerType) =>
         TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(IntegerType, true), IntegerType) =>
+        // a null element would read as start 0 via getInt (covering
+        // [0, window) silently) — fail at ANALYSIS, not wrong results;
+        // cast to array<int> with non-null elements upstream
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires non-nullable array elements " +
+            "(a null start would silently read as 0); cast the starts " +
+            "array to a containsNull=false element type")
       case _ => TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires (array<int> starts, int n), " +
           s"got ${left.dataType.sql} and ${right.dataType.sql}")
@@ -159,6 +168,16 @@ case class CoverageKeptIndices(left: Expression, right: Expression,
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val starts = a.asInstanceOf[ArrayData]
     val n = b.asInstanceOf[Int]
+    if (SortedIntersectCount.DebugChecks) {
+      var i = 1
+      while (i < starts.numElements()) {
+        if (starts.getInt(i - 1) > starts.getInt(i))
+          throw new IllegalArgumentException(
+            s"$prettyName: starts array not sorted ascending at index $i " +
+              s"(${starts.getInt(i - 1)} > ${starts.getInt(i)})")
+        i += 1
+      }
+    }
     val f = starts.numElements()
     val tmp = new Array[Int](math.max(n, 0))
     var j = 0

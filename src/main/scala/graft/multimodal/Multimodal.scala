@@ -325,7 +325,20 @@ object Multimodal {
     * PB scale — the d9 staging convention. Emits one row per joint
     * group `(keep_doc_id, dup_count)`, min id kept, exact-dedup (d1)
     * semantics on the composite key.
+    *
+    * The image identity is a POSITIONAL polynomial fingerprint of the
+    * component stream (`h := (h·31 + comp) mod P`, P prime < 2^31), not
+    * the commutative pixel SUM `decodeStats` reports: a sum is an
+    * integrity check, but as a dedup KEY it would merge distinct images
+    * whose values merely permute or compensate. The fold is
+    * order-sensitive, collides at ~1/P per pair, and stays exactly
+    * expressible in oracle SQL (`list_reduce`).
     */
+  /** Prime modulus of the positional image fingerprint (< 2^31, so the
+    * fold's `h·31 + comp` stays far under 2^63).
+    */
+  val FingerprintP: Long = 2038074743L
+
   def imageTextPairDedup(df: DataFrame, idCol: String, payloadCol: String,
                          text: Column): DataFrame = {
     val spark = df.sparkSession
@@ -336,14 +349,17 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { case (id, bytes, sig) =>
           val img = Farbfeld.decode(bytes)
-          var s = 0L
+          var h = 0L
           var i = 0
-          while (i < img.components.length) { s += img.components(i); i += 1 }
-          (id, img.width, img.height, s, sig)
+          while (i < img.components.length) {
+            h = (h * 31L + img.components(i)) % FingerprintP
+            i += 1
+          }
+          (id, img.width, img.height, h, sig)
         }
       }
-      .toDF("id", "width", "height", "px_sum", "__tsig")
-      .groupBy(col("__tsig"), col("width"), col("height"), col("px_sum"))
+      .toDF("id", "width", "height", "px_fp", "__tsig")
+      .groupBy(col("__tsig"), col("width"), col("height"), col("px_fp"))
       .agg(min(col("id")).as("keep_doc_id"), count(lit(1)).as("dup_count"))
       .select(col("keep_doc_id"), col("dup_count"))
   }

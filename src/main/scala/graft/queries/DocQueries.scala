@@ -1261,21 +1261,26 @@ object DocQueries {
     // on doc_id % 7 — so text-duplicate families get SPLIT across image
     // identities and the joint key genuinely discriminates where text-only
     // dedup (d1) would merge. One fused decode+signature mapPartitions
-    // pass, one joint groupBy. The oracle recomputes the pixel checksum
-    // arithmetically from the generating formula and the token-set
-    // signature in SQL — a decode slip or a signature/image mismatch in
-    // the joint key flips the hash.
+    // pass, one joint groupBy. The image identity is the POSITIONAL
+    // polynomial fold over the decoded component stream (a commutative
+    // sum would merge permuted/compensating images); the oracle
+    // recomputes the same fold with list_reduce from the generating
+    // formula plus the token-set signature in SQL — a decode slip, a
+    // fold-order slip, or a signature/image mismatch in the joint key
+    // flips the hash.
     QDef("mm9_image_text_dedup",
-      """WITH d AS (SELECT doc_id, doc_id % 7 AS fam,
+      s"""WITH d AS (SELECT doc_id, doc_id % 7 AS fam,
         |       list_sort(list_distinct(string_split(text, ' '))) AS toks
         |       FROM documents),
         |f AS (SELECT doc_id, toks, 4 + fam % 5 AS w, 3 + fam % 4 AS h,
-        |       CAST(list_sum([(fam*7919 + (j//4)*31 + (j%4)*101) % 65536
-        |            FOR j IN range(0, (4 + fam % 5) * (3 + fam % 4) * 4)])
-        |         AS BIGINT) AS px_sum
+        |       CAST(list_reduce(
+        |         list_prepend(0, [(fam*7919 + (j//4)*31 + (j%4)*101) % 65536
+        |            FOR j IN range(0, (4 + fam % 5) * (3 + fam % 4) * 4)]),
+        |         (a, b) -> (a * 31 + b) % ${graft.multimodal.Multimodal.FingerprintP})
+        |         AS BIGINT) AS px_fp
         |       FROM d)
         |SELECT min(doc_id) AS keep_doc_id, CAST(count(*) AS BIGINT) AS dup_count
-        |FROM f GROUP BY toks, w, h, px_sum ORDER BY keep_doc_id""".stripMargin) { (s, dir) =>
+        |FROM f GROUP BY toks, w, h, px_fp ORDER BY keep_doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
       val pairs = Tables.documents(s, dir)
         .select(col("doc_id").cast("long"), col("text"))

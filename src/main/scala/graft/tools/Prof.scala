@@ -41,10 +41,9 @@ object Prof {
       Dedup.hashedShingleFrame(reps, col("text"), col("doc_id"), "__all", 1)
         .localCheckpoint(true)
     }
-    val tok = d.select(col("blk"), col("doc_id"), col("n"),
-      explode(col("toks")).as("p"))
+    val tok = Dedup.explodedShingles(d)
     t("tok explode count")(println(s"  tok rows: ${tok.count()}"))
-    val freq = tok.groupBy(col("p")).agg(count(lit(1)).as("__df"))
+    val freq = Dedup.shingleDocFrequency(tok)
     t("freq agg count")(println(s"  vocab: ${freq.count()}"))
     t("instance stream count") {
       println("  instances: " +

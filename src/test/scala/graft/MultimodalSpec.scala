@@ -209,6 +209,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got == Seq((1L, 2L), (3L, 1L), (4L, 1L)), got.toString)
   }
 
+  test("imageTextPairDedup: permuted images with equal component sums stay distinct") {
+    // same dims, same component MULTISET (sum-equal), different order —
+    // a commutative checksum would merge these; the positional
+    // fingerprint must not
+    val a = Multimodal.Farbfeld.encode(1, 2, (i, c) => if (i == 0) 10 else 20)
+    val b = Multimodal.Farbfeld.encode(1, 2, (i, c) => if (i == 0) 20 else 10)
+    val pairs = Seq(
+      (1L, "same caption", a),
+      (2L, "same caption", b)
+    ).toDF("doc_id", "text", "payload")
+    val got = Multimodal.imageTextPairDedup(pairs, "doc_id", "payload",
+        col("text"))
+      .orderBy("keep_doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 1L), (2L, 1L)), got.toString)
+  }
+
   test("BoundedTopK aggregator keeps k best with deterministic tie-break") {
     val topk = udaf(new TopK.BoundedTopK(3))
     val df = Seq((5.0, 1L), (9.0, 2L), (9.0, 1L), (1.0, 3L), (7.0, 4L))
