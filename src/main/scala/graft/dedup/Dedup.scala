@@ -234,8 +234,27 @@ object Dedup {
                         threshold: Double, numHashes: Int, bands: Int,
                         ngram: Int = 1): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
-    // doc -> rep (min id per exact signature); carries text for the rep
-    // side of the prefix join
+    val ec = exactDocLabels(df, text, id, threshold, ngram)
+    val lc = docLabelsFromEdges(df.select(id.as("doc_id")),
+      minHashLshEdgesPortable(df, text, id, numHashes, bands, ngram), "lc")
+    val labeled = ec.join(lc, Seq("doc_id")).localCheckpoint(true)
+    Bridge.release(ec)
+    Bridge.release(lc)
+    labeled
+  }
+
+  /** Per-doc EXACT ≥-threshold Jaccard component labels `(doc_id, ec)`:
+    * rep collapse (the doc→rep MAP this time, not just reps — hence a
+    * window, which must carry text for the rep side of the prefix join),
+    * global PPJoin over reps, components, every doc inheriting its rep's
+    * component (singleton reps label themselves). The exact side of every
+    * agreement audit ([[dualClusterLabels]], [[simHashDedupAgreement]]).
+    * Returned frame is a bare checkpoint; release when consumed.
+    */
+  private[graft] def exactDocLabels(df: DataFrame, text: Column, id: Column,
+                                    threshold: Double,
+                                    ngram: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
     val withRep = df
       .select(id.as("doc_id"), text.as("__text"),
         exactSignature(text, ngram).as("__sig"))
@@ -249,23 +268,64 @@ object Dedup {
       "__all", threshold, ngram)
     val exactLabels = components(exactEdges)
     // jaccardPairsPrefix RETURNS a checkpointed frame — release it once
-    // components has consumed it, same as the lsh edge set below
+    // components has consumed it
     Bridge.release(exactEdges)
-    val lshEdges = minHashLshEdgesPortable(df, text, id, numHashes, bands,
-      ngram).localCheckpoint(true)
-    val lshLabels = components(lshEdges)
-    Bridge.release(lshEdges)
     val labeled = withRep
       .join(exactLabels, col("__rep") === exactLabels("node"), "left")
       .select(col("doc_id"), coalesce(col("comp"), col("__rep")).as("ec"))
-      .join(lshLabels, col("doc_id") === lshLabels("node"), "left")
-      .select(col("doc_id"), col("ec"),
-        coalesce(col("comp"), col("doc_id")).as("lc"))
       .localCheckpoint(true)
     Bridge.release(withRep)
     Bridge.release(exactLabels)
-    Bridge.release(lshLabels)
     labeled
+  }
+
+  /** Per-doc component labels over an ARBITRARY near-dup edge frame
+    * `(doc_a, doc_b)`: components, then every doc in `docIds` labeled
+    * (edge-less docs are singletons via the left-join coalesce). The
+    * label-level sibling of [[clusterHistogramFromEdges]]; shared by the
+    * LSH and SimHash sides of the agreement audits. Output
+    * `(doc_id, <outCol>)`, checkpointed.
+    */
+  private[graft] def docLabelsFromEdges(docIds: DataFrame, edges: DataFrame,
+                                        outCol: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val e = edges.localCheckpoint(true)
+    val labels = components(e)
+    Bridge.release(e)
+    val out = docIds
+      .join(labels, col("doc_id") === labels("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as(outCol))
+      .localCheckpoint(true)
+    Bridge.release(labels)
+    out
+  }
+
+  /** SimHash-vs-exact agreement audit — [[lshDedupAgreement]]'s report
+    * with the PORTABLE SimHash banded Hamming graph as the approximate
+    * clustering: clusters are single-linkage components over verified
+    * Hamming ≤ `maxDist` pairs ([[simHashNearPairsPortable]] — pigeonhole
+    * banding, so candidate generation is bucketed, never corpus²). Report
+    * columns keep the [[agreementFromLabels]] names (`*_lsh_*` = the
+    * approximate side). The third leg of the audit family: exact PPJoin
+    * vs MinHash-LSH (d14) vs SimHash (this) on one corpus tells a
+    * pipeline owner WHICH approximate dedup family preserves their exact
+    * clustering best before they commit the 100 TB run.
+    */
+  def simHashDedupAgreement(df: DataFrame, text: Column, id: Column,
+                            threshold: Double, nBits: Int,
+                            maxDist: Int, ngram: Int = 1): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val ec = exactDocLabels(df, text, id, threshold, ngram)
+    val sc = docLabelsFromEdges(df.select(id.as("doc_id")),
+      simHashNearPairsPortable(df, text, id, nBits, maxDist)
+        .select(col("doc_a"), col("doc_b")), "lc")
+    val labeled = ec.join(sc, Seq("doc_id")).localCheckpoint(true)
+    Bridge.release(ec)
+    Bridge.release(sc)
+    val rep = agreementFromLabels(labeled)
+    Bridge.release(labeled)
+    rep
   }
 
   /** The agreement report off an ALREADY-built `(doc_id, ec, lc)` label
@@ -987,13 +1047,34 @@ object Dedup {
     * silently drop pairs that differ by one bit in each band).
     */
   def simHashNearPairs(df: DataFrame, text: Column, id: Column,
-                       maxDist: Int = 1): DataFrame = {
-    require(maxDist >= 0 && maxDist < 32, s"maxDist must be in [0, 32): $maxDist")
+                       maxDist: Int = 1): DataFrame =
+    hammingNearPairs(simHash(df, text, id), 32, maxDist)
+
+  /** [[simHashNearPairs]] over the engine-portable rolling-hash
+    * fingerprint family ([[simHashPortable]]) — same pigeonhole banding,
+    * but every fingerprint bit, band key, and Hamming distance is
+    * reproducible in portable SQL, so the pair set (and anything built
+    * on it, e.g. the d15 agreement audit) is oracle-gatable end to end.
+    */
+  def simHashNearPairsPortable(df: DataFrame, text: Column, id: Column,
+                               nBits: Int = 24, maxDist: Int = 2): DataFrame =
+    hammingNearPairs(simHashPortable(df, text, id, nBits), nBits, maxDist)
+
+  /** Banded Hamming-near pair generation over a `(doc_id, simhash)`
+    * fingerprint frame: split the `nBits` fingerprint into `maxDist + 1`
+    * contiguous bands — by pigeonhole, two fingerprints within Hamming
+    * distance ≤ maxDist agree exactly on at least one band, so the
+    * self-join runs on (band, band-bits) buckets with complete recall.
+    * Shared by the xxhash64 and portable fingerprint families.
+    */
+  private[graft] def hammingNearPairs(fp: DataFrame, nBits: Int,
+                                      maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist < nBits,
+      s"maxDist must be in [0, $nBits): $maxDist")
     val nBands = maxDist + 1
-    val fp = simHash(df, text, id)
     val bandStructs = (0 until nBands).map { j =>
-      val lo = j * 32 / nBands
-      val width = (j + 1) * 32 / nBands - lo
+      val lo = j * nBits / nBands
+      val width = (j + 1) * nBits / nBands - lo
       struct(lit(j).as("band"),
         shiftright(col("simhash"), lo).bitwiseAND(lit((1L << width) - 1)).as("key"))
     }

@@ -228,16 +228,13 @@ object DocQueries {
     * and the pair counts off its cells and margins. Poison row if EITHER
     * chain is unconverged at its unroll depth.
     */
-  private def d14OracleSql(numHashes: Int, bands: Int,
-                           roundsExact: Int, roundsLsh: Int): String = {
-    val r = numHashes / bands
-    val hcols = (0 until numHashes)
-      .map(i => s"min(md5('$i:' || tok)) AS h$i").mkString(", ")
-    val bandSelects = (0 until bands).map { j =>
-      val cat = (0 until r).map(k => s"h${j * r + k}").mkString(" || '|' || ")
-      s"SELECT doc_id, $j AS band, md5($cat || '|$j') AS bh FROM xsig"
-    }.mkString("\n UNION ALL ")
-    s"""WITH t AS MATERIALIZED (SELECT doc_id,
+  /** Exact-chain CTEs shared by the d14 and d15 agreement oracles:
+    * token sets, signature reps, the doc→rep map, exhaustive ≥0.9 rep
+    * pairs, and `roundsExact` unrolled propagation rounds with the
+    * `badx` convergence probe.
+    */
+  private def exactAgreementCtes(roundsExact: Int): String =
+    s"""t AS MATERIALIZED (SELECT doc_id,
        |  list_sort(list_distinct(string_split(text, ' '))) AS toks
        |  FROM documents),
        |reps AS MATERIALIZED (SELECT min(doc_id) AS rep, toks
@@ -256,24 +253,21 @@ object DocQueries {
        |l0 AS MATERIALIZED (SELECT rep AS node, rep AS comp FROM reps),
        |${unrolledProps(roundsExact)},
        |badx AS (SELECT 1 AS x FROM l$roundsExact a JOIN l${roundsExact - 1} b
-       |        ON a.node = b.node AND a.comp <> b.comp LIMIT 1),
-       |xtok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
-       |  FROM documents),
-       |xsig AS MATERIALIZED (SELECT doc_id, $hcols FROM xtok GROUP BY doc_id),
-       |xbnd AS ($bandSelects),
-       |xrw AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY band, bh) AS rep FROM xbnd),
-       |xpr AS MATERIALIZED (SELECT DISTINCT rep AS u, doc_id AS v FROM xrw
-       |  WHERE doc_id <> rep),
-       |xe AS MATERIALIZED (SELECT u, v FROM xpr UNION ALL SELECT v AS u, u AS v FROM xpr),
-       |xl0 AS MATERIALIZED (SELECT doc_id AS node, doc_id AS comp FROM documents),
-       |${unrolledProps(roundsLsh, "x")},
-       |badl AS (SELECT 1 AS x FROM xl$roundsLsh a JOIN xl${roundsLsh - 1} b
+       |        ON a.node = b.node AND a.comp <> b.comp LIMIT 1)""".stripMargin
+
+  /** Contingency-table tail shared by the agreement oracles: the
+    * doc-level (ec, lc) label join (exact via docrep, approximate chain
+    * `x…` direct), pair counts from the table's cells and margins, and
+    * the dual-poison final select.
+    */
+  private def agreementTailSql(roundsExact: Int, roundsApprox: Int): String =
+    s"""badl AS (SELECT 1 AS x FROM xl$roundsApprox a JOIN xl${roundsApprox - 1} b
        |        ON a.node = b.node AND a.comp <> b.comp LIMIT 1),
        |bad AS (SELECT x FROM badx UNION ALL SELECT x FROM badl),
-       |lab AS MATERIALIZED (SELECT d.doc_id, ex.comp AS ec, lsh.comp AS lc
+       |lab AS MATERIALIZED (SELECT d.doc_id, ex.comp AS ec, apx.comp AS lc
        |  FROM docrep d
        |  JOIN l$roundsExact ex ON d.rep = ex.node
-       |  JOIN xl$roundsLsh lsh ON d.doc_id = lsh.node),
+       |  JOIN xl$roundsApprox apx ON d.doc_id = apx.node),
        |ct AS MATERIALIZED (SELECT ec, lc, count(*) AS n FROM lab GROUP BY ec, lc),
        |m AS (SELECT sum(n*(n-1)//2) AS pairs_both, sum(n) AS n_docs,
        |  count(DISTINCT ec) AS nec, count(DISTINCT lc) AS nlc FROM ct),
@@ -297,6 +291,60 @@ object DocQueries {
        |UNION ALL
        |SELECT -1, -1, -1, -1, -1, -1, -1.0, -1.0
        |FROM (VALUES (1)) v(x) WHERE EXISTS (SELECT 1 FROM bad)""".stripMargin
+
+  private def d14OracleSql(numHashes: Int, bands: Int,
+                           roundsExact: Int, roundsLsh: Int): String = {
+    val r = numHashes / bands
+    val hcols = (0 until numHashes)
+      .map(i => s"min(md5('$i:' || tok)) AS h$i").mkString(", ")
+    val bandSelects = (0 until bands).map { j =>
+      val cat = (0 until r).map(k => s"h${j * r + k}").mkString(" || '|' || ")
+      s"SELECT doc_id, $j AS band, md5($cat || '|$j') AS bh FROM xsig"
+    }.mkString("\n UNION ALL ")
+    s"""WITH ${exactAgreementCtes(roundsExact)},
+       |xtok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+       |  FROM documents),
+       |xsig AS MATERIALIZED (SELECT doc_id, $hcols FROM xtok GROUP BY doc_id),
+       |xbnd AS ($bandSelects),
+       |xrw AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY band, bh) AS rep FROM xbnd),
+       |xpr AS MATERIALIZED (SELECT DISTINCT rep AS u, doc_id AS v FROM xrw
+       |  WHERE doc_id <> rep),
+       |xe AS MATERIALIZED (SELECT u, v FROM xpr UNION ALL SELECT v AS u, u AS v FROM xpr),
+       |xl0 AS MATERIALIZED (SELECT doc_id AS node, doc_id AS comp FROM documents),
+       |${unrolledProps(roundsLsh, "x")},
+       |${agreementTailSql(roundsExact, roundsLsh)}""".stripMargin
+  }
+
+  /** The d15 oracle: exact chain (shared CTEs) + the PORTABLE SimHash
+    * chain — per-token rolling hashes (the d3b family), the vote
+    * fingerprint, pigeonhole bands, verified Hamming ≤ maxDist pairs,
+    * unrolled components — then the shared contingency tail.
+    */
+  private def d15OracleSql(nBits: Int, maxDist: Int,
+                           roundsExact: Int, roundsSim: Int): String = {
+    val nBands = maxDist + 1
+    val terms = (0 until nBits).map { b =>
+      s"(CASE WHEN 2 * len([x FOR x IN hs IF (x // ${1L << b}) % 2 = 1]) - len(hs) > 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString("\n + ")
+    val bandSelects = (0 until nBands).map { j =>
+      val lo = j * nBits / nBands
+      val width = (j + 1) * nBits / nBands - lo
+      s"SELECT doc_id, sh, $j AS band, (sh // ${1L << lo}) % ${1L << width} AS key FROM fp"
+    }.mkString("\n UNION ALL ")
+    s"""WITH ${exactAgreementCtes(roundsExact)},
+       |sh0 AS (SELECT doc_id, [list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  [CAST(ascii(c) AS BIGINT) FOR c IN string_split(tk, '')]),
+       |  (a, b) -> (a * 31 + b) % 1000000007) FOR tk IN toks] AS hs FROM t),
+       |fp AS MATERIALIZED (SELECT doc_id, CAST($terms AS BIGINT) AS sh FROM sh0),
+       |bnd AS ($bandSelects),
+       |xpr AS MATERIALIZED (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+       |  FROM bnd a JOIN bnd b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.sh, b.sh)) <= $maxDist),
+       |xe AS MATERIALIZED (SELECT u, v FROM xpr UNION ALL SELECT v AS u, u AS v FROM xpr),
+       |xl0 AS MATERIALIZED (SELECT doc_id AS node, doc_id AS comp FROM documents),
+       |${unrolledProps(roundsSim, "x")},
+       |${agreementTailSql(roundsExact, roundsSim)}""".stripMargin
   }
 
   /** DuckDB dot product mirroring `graft_dot` over float vectors: every
@@ -1175,6 +1223,24 @@ object DocQueries {
         d14OracleSql(numHashes = 16, bands = 2,
           roundsExact = 12, roundsLsh = 14)) { (s, dir) =>
       Dedup.agreementFromLabels(dedupLabelStore(s, dir))
+    },
+
+    // The THIRD leg of the agreement family (round 11): SimHash-vs-exact.
+    // Clusters on the approximate side are single-linkage components over
+    // VERIFIED Hamming <= 2 pairs of the 24-bit portable fingerprint
+    // (pigeonhole banding keeps candidate generation bucketed). Together
+    // with d14 (MinHash-LSH-vs-exact) the pair tells a pipeline owner
+    // which approximate dedup family preserves the exact clustering best
+    // before committing the 100 TB run. The oracle runs the exact chain
+    // (shared CTEs with d14), rebuilds every fingerprint bit from the
+    // rolling-hash family (d3b), re-derives the banded pairs with
+    // bit_count(xor(..)), and unrolls the components — dual convergence
+    // poisons as in d14.
+    QDef("d15_simhash_agreement",
+        d15OracleSql(nBits = 24, maxDist = 2,
+          roundsExact = 12, roundsSim = 14)) { (s, dir) =>
+      Dedup.simHashDedupAgreement(Tables.documents(s, dir), col("text"),
+        col("doc_id"), threshold = 0.9, nBits = 24, maxDist = 2)
     },
 
     // The xxhash64-bit-source SimHash (`Dedup.simHash`) is likewise not

@@ -163,6 +163,38 @@ class DedupSpec extends AnyFunSuite {
     assert(repStore.toSeq == repApi.toSeq)
   }
 
+  test("simHashNearPairsPortable: identical token sets pair at distance 0; banding matches brute force") {
+    val pairs = Dedup.simHashNearPairsPortable(docs, col("text"), col("doc_id"),
+        nBits = 24, maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 5L)) &&
+      pairs.contains((2L, 5L)))
+    // brute force over the portable fingerprints must equal the banded set
+    val fp = Dedup.simHashPortable(docs, col("text"), col("doc_id"), nBits = 24)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- fp.keys; b <- fp.keys if a < b
+      if java.lang.Long.bitCount(fp(a) ^ fp(b)) <= 2
+    } yield (a, b)).toSet
+    assert(pairs == brute, s"banded=$pairs brute=$brute")
+  }
+
+  test("simHashDedupAgreement: identical fingerprint corpus reads perfect agreement") {
+    // three exact-dup pairs, mutually dissimilar — both clusterings are
+    // identical, so every pair metric must read 1.0 / equality
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"), (2L, "delta gamma beta alpha"),
+      (3L, "one two three four"), (4L, "four three two one"),
+      (5L, "red green blue cyan"), (6L, "cyan blue green red")
+    ).toDF("doc_id", "text")
+    val r = Dedup.simHashDedupAgreement(corpus, col("text"), col("doc_id"),
+      threshold = 0.9, nBits = 24, maxDist = 0).head()
+    assert(r.getLong(0) == 6L)                      // n_docs
+    assert(r.getLong(1) == r.getLong(2))            // cluster counts agree
+    assert(r.getLong(3) == 3L && r.getLong(4) == 3L && r.getLong(5) == 3L)
+    assert(r.getDouble(6) == 1.0 && r.getDouble(7) == 1.0)
+  }
+
   test("end-to-end dedup: lsh edges -> exact verify -> components -> keep one") {
     val edges = Dedup.minHashLshEdges(docs, col("text"), col("doc_id"), 16, 4)
     // banding at j=0.8 likely links doc 3 (S-curve false positive) — the
