@@ -37,31 +37,42 @@ object DocQueries {
   private val c19cDriveCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Memoized dual cluster-label store `(doc_id, ec, lc)` per fixture dir
-    * ([[graft.dedup.Dedup.dualClusterLabels]] persisted to parquet): the
-    * exact ≥0.9-Jaccard component and the 16×2 portable-LSH component of
-    * every document, built ONCE per fixture and read by the four audit
+  /** Memoized cluster-label store `(doc_id, ec, lc, sc)` per fixture dir:
+    * the exact ≥0.9-Jaccard component, the 16×2 portable-MinHash-LSH
+    * component, and the 24-bit/Hamming≤2 portable-SimHash component of
+    * every document, built ONCE per fixture and read by the five audit
     * gates — d7 keep-one (`ec` = own id), d12 exact histogram, d12b LSH
-    * histogram, d14 agreement. Before this store each gate re-ran its
-    * clustering(s) from scratch (d14 alone recomputed BOTH — 8.1 s, ~9%
-    * of the r10 bench); this is the `cleanStore` idiom of
-    * [[RedsetQueries]]: a real deployment materializes the label frame
-    * once per corpus snapshot and every audit panel reads it. Parquet
-    * (not a checkpoint) so the store survives Bench's session recycling.
-    * The clustering MACHINERY stays live-gated: the store build itself
-    * runs rep collapse → PPJoin → components → LSH edges → components on
-    * first access, and d12c drives the incremental LSH path end-to-end.
+    * histogram, d14 LSH agreement, d15 SimHash agreement. Before this
+    * store each gate re-ran its clustering(s) from scratch (d14 alone
+    * recomputed two — 8.1 s, ~9% of the r10 bench); this is the
+    * `cleanStore` idiom of [[RedsetQueries]]: a real deployment
+    * materializes the label frame once per corpus snapshot and every
+    * audit panel reads it. Parquet (not a checkpoint) so the store
+    * survives Bench's session recycling. The clustering MACHINERY stays
+    * live-gated: the store build runs rep collapse → PPJoin → components
+    * → LSH edges → components → SimHash bands → components on first
+    * access, and d12c drives the incremental LSH path end-to-end.
     */
   private val dedupLabelCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def dedupLabelStore(s: org.apache.spark.sql.SparkSession,
                               dir: String): org.apache.spark.sql.DataFrame = {
     val p = dedupLabelCache.computeIfAbsent(dir, _ => {
+      import org.apache.spark.sql.graftbridge.Bridge
       val path = QDef.tempDir("graft_dedup_labels")
-      val labeled = Dedup.dualClusterLabels(Tables.documents(s, dir),
-        col("text"), col("doc_id"), threshold = 0.9, numHashes = 16, bands = 2)
-      labeled.write.mode("overwrite").parquet(path)
-      org.apache.spark.sql.graftbridge.Bridge.release(labeled)
+      val docs = Tables.documents(s, dir)
+      val ec = Dedup.exactDocLabels(docs, col("text"), col("doc_id"),
+        threshold = 0.9, ngram = 1)
+      val lc = Dedup.docLabelsFromEdges(docs.select(col("doc_id")),
+        Dedup.minHashLshEdgesPortable(docs, col("text"), col("doc_id"),
+          numHashes = 16, bands = 2), "lc")
+      val sc = Dedup.docLabelsFromEdges(docs.select(col("doc_id")),
+        Dedup.simHashNearPairsPortable(docs, col("text"), col("doc_id"),
+            nBits = 24, maxDist = 2)
+          .select(col("doc_a"), col("doc_b")), "sc")
+      ec.join(lc, Seq("doc_id")).join(sc, Seq("doc_id"))
+        .write.mode("overwrite").parquet(path)
+      Bridge.release(ec); Bridge.release(lc); Bridge.release(sc)
       path
     })
     s.read.parquet(p)
@@ -1222,7 +1233,8 @@ object DocQueries {
     QDef("d14_lsh_agreement",
         d14OracleSql(numHashes = 16, bands = 2,
           roundsExact = 12, roundsLsh = 14)) { (s, dir) =>
-      Dedup.agreementFromLabels(dedupLabelStore(s, dir))
+      Dedup.agreementFromLabels(
+        dedupLabelStore(s, dir).select(col("doc_id"), col("ec"), col("lc")))
     },
 
     // The THIRD leg of the agreement family (round 11): SimHash-vs-exact.
@@ -1236,11 +1248,16 @@ object DocQueries {
     // rolling-hash family (d3b), re-derives the banded pairs with
     // bit_count(xor(..)), and unrolls the components — dual convergence
     // poisons as in d14.
+    // Store-derived like its d14 sibling: the SimHash labels ride the
+    // shared store's `sc` column (built once per fixture); the one-shot
+    // `simHashDedupAgreement` composes the same stages and stays the API
+    // (DedupSpec pins it).
     QDef("d15_simhash_agreement",
         d15OracleSql(nBits = 24, maxDist = 2,
           roundsExact = 12, roundsSim = 14)) { (s, dir) =>
-      Dedup.simHashDedupAgreement(Tables.documents(s, dir), col("text"),
-        col("doc_id"), threshold = 0.9, nBits = 24, maxDist = 2)
+      Dedup.agreementFromLabels(
+        dedupLabelStore(s, dir)
+          .select(col("doc_id"), col("ec"), col("sc").as("lc")))
     },
 
     // The xxhash64-bit-source SimHash (`Dedup.simHash`) is likewise not
