@@ -317,15 +317,49 @@ object Dedup {
                             maxDist: Int, ngram: Int = 1): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
     val ec = exactDocLabels(df, text, id, threshold, ngram)
-    val sc = docLabelsFromEdges(df.select(id.as("doc_id")),
-      simHashNearPairsPortable(df, text, id, nBits, maxDist)
-        .select(col("doc_a"), col("doc_b")), "lc")
+    val sc = simHashDocLabels(df, text, id, nBits, maxDist, "lc")
     val labeled = ec.join(sc, Seq("doc_id")).localCheckpoint(true)
     Bridge.release(ec)
     Bridge.release(sc)
     val rep = agreementFromLabels(labeled)
     Bridge.release(labeled)
     rep
+  }
+
+  /** Per-doc SimHash single-linkage component labels `(doc_id, <outCol>)`
+    * — clusters of the verified Hamming ≤ `maxDist` graph over the
+    * portable fingerprint family, with the DUP-MASS-SAFE plan: Hamming
+    * distance depends only on the fingerprint, so docs collapse to one
+    * row per DISTINCT fingerprint (min-id rep) BEFORE the banded
+    * self-join, and labels expand back through the fingerprint. Lossless
+    * (identical fingerprints are distance-0 ⇒ one cluster; every doc
+    * pair edge maps to its fingerprint pair edge — the d7 rep-collapse
+    * argument), and the bucketed self-join now sees distinct
+    * fingerprints only: a viral page with 10^5 copies contributes ONE
+    * row instead of a 10^10-pair bucket. Labels are cluster-min doc ids
+    * (rep minima are doc minima), matching the oracle's min-label
+    * propagation over all docs.
+    */
+  private[graft] def simHashDocLabels(df: DataFrame, text: Column,
+                                      id: Column, nBits: Int, maxDist: Int,
+                                      outCol: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val fp = simHashPortable(df, text, id, nBits).localCheckpoint(true)
+    val frep = fp.groupBy(col("simhash")).agg(min(col("doc_id")).as("doc_id"))
+      .localCheckpoint(true) // feeds the pair join AND the label expansion
+    val pairs = hammingNearPairs(frep, nBits, maxDist)
+      .select(col("doc_a"), col("doc_b"))
+    val repLabels = docLabelsFromEdges(frep.select(col("doc_id")), pairs,
+      outCol)
+    val out = fp
+      .join(frep.withColumnRenamed("doc_id", "__rep"), Seq("simhash"))
+      .join(repLabels.withColumnRenamed("doc_id", "__rep"), Seq("__rep"))
+      .select(col("doc_id"), col(outCol))
+      .localCheckpoint(true)
+    Bridge.release(fp)
+    Bridge.release(frep)
+    Bridge.release(repLabels)
+    out
   }
 
   /** The agreement report off an ALREADY-built `(doc_id, ec, lc)` label

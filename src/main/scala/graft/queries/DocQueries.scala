@@ -66,10 +66,8 @@ object DocQueries {
       val lc = Dedup.docLabelsFromEdges(docs.select(col("doc_id")),
         Dedup.minHashLshEdgesPortable(docs, col("text"), col("doc_id"),
           numHashes = 16, bands = 2), "lc")
-      val sc = Dedup.docLabelsFromEdges(docs.select(col("doc_id")),
-        Dedup.simHashNearPairsPortable(docs, col("text"), col("doc_id"),
-            nBits = 24, maxDist = 2)
-          .select(col("doc_a"), col("doc_b")), "sc")
+      val sc = Dedup.simHashDocLabels(docs, col("text"), col("doc_id"),
+        nBits = 24, maxDist = 2, "sc")
       ec.join(lc, Seq("doc_id")).join(sc, Seq("doc_id"))
         .write.mode("overwrite").parquet(path)
       Bridge.release(ec); Bridge.release(lc); Bridge.release(sc)

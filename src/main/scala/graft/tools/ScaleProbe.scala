@@ -140,6 +140,14 @@ object ScaleProbe {
       Curation.lshHistogramFromStore(spark, s"$base/staged", s"$base/edges")
         .count()
     }
+    t(s"d15 simhash agreement ${mult}x") {
+      // replicas are EXACT dups of the base corpus → identical
+      // fingerprints; the fingerprint rep collapse must absorb the dup
+      // mass before the banded self-join (an all-pairs bucket would be
+      // O((mult·family)²) — the d7 absorption argument, probed)
+      Dedup.simHashDedupAgreement(big, col("text"), col("doc_id"),
+        threshold = 0.9, nBits = 24, maxDist = 2).count()
+    }
     t(s"c19q full-dup long docs ${mult}x") {
       // the ExactSubstr worst case: fully-duplicated LONG documents, so
       // every window is flagged (f ≈ n_tokens). The old per-position HOF

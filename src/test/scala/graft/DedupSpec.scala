@@ -179,6 +179,28 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == brute, s"banded=$pairs brute=$brute")
   }
 
+  test("simHashDocLabels: fingerprint rep collapse equals direct-pair labels on a dup-heavy corpus") {
+    // exact-dup groups of 3 with near groups — the fingerprint collapse
+    // must absorb the dup mass without changing any label
+    val corpus = (0L until 45L).map { i =>
+      val base = if (i % 3 != 0) i - (i % 3) else i
+      val toks = (0 until 8).map(j => s"t${(base / 3) * 2 + j}")
+      (i, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    for (maxDist <- Seq(0, 2)) {
+      val collapsed = Dedup.simHashDocLabels(corpus, col("text"),
+          col("doc_id"), nBits = 24, maxDist = maxDist, "sc")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val direct = Dedup.docLabelsFromEdges(
+          corpus.select(col("doc_id")),
+          Dedup.simHashNearPairsPortable(corpus, col("text"), col("doc_id"),
+            nBits = 24, maxDist = maxDist).select(col("doc_a"), col("doc_b")),
+          "sc")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(collapsed == direct, s"maxDist=$maxDist")
+    }
+  }
+
   test("simHashDedupAgreement: identical fingerprint corpus reads perfect agreement") {
     // three exact-dup pairs, mutually dissimilar — both clusterings are
     // identical, so every pair metric must read 1.0 / equality
