@@ -324,13 +324,13 @@ object DocQueries {
        |${agreementTailSql(roundsExact, roundsLsh)}""".stripMargin
   }
 
-  /** The d15 oracle: exact chain (shared CTEs) + the PORTABLE SimHash
-    * chain — per-token rolling hashes (the d3b family), the vote
-    * fingerprint, pigeonhole bands, verified Hamming ≤ maxDist pairs,
-    * unrolled components — then the shared contingency tail.
+  /** SimHash-chain CTEs (expects a `t(doc_id, toks)` CTE upstream):
+    * per-token rolling hashes (the d3b family), the vote fingerprint,
+    * pigeonhole bands, verified Hamming ≤ maxDist pairs, `roundsSim`
+    * unrolled component rounds (prefix `x`). Shared by d15 and d16.
     */
-  private def d15OracleSql(nBits: Int, maxDist: Int,
-                           roundsExact: Int, roundsSim: Int): String = {
+  private def simhashChainCtes(nBits: Int, maxDist: Int,
+                               roundsSim: Int): String = {
     val nBands = maxDist + 1
     val terms = (0 until nBits).map { b =>
       s"(CASE WHEN 2 * len([x FOR x IN hs IF (x // ${1L << b}) % 2 = 1]) - len(hs) > 0 THEN ${1L << b} ELSE 0 END)"
@@ -340,8 +340,7 @@ object DocQueries {
       val width = (j + 1) * nBits / nBands - lo
       s"SELECT doc_id, sh, $j AS band, (sh // ${1L << lo}) % ${1L << width} AS key FROM fp"
     }.mkString("\n UNION ALL ")
-    s"""WITH ${exactAgreementCtes(roundsExact)},
-       |sh0 AS (SELECT doc_id, [list_reduce(list_prepend(CAST(0 AS BIGINT),
+    s"""sh0 AS (SELECT doc_id, [list_reduce(list_prepend(CAST(0 AS BIGINT),
        |  [CAST(ascii(c) AS BIGINT) FOR c IN string_split(tk, '')]),
        |  (a, b) -> (a * 31 + b) % 1000000007) FOR tk IN toks] AS hs FROM t),
        |fp AS MATERIALIZED (SELECT doc_id, CAST($terms AS BIGINT) AS sh FROM sh0),
@@ -352,9 +351,37 @@ object DocQueries {
        |  WHERE bit_count(xor(a.sh, b.sh)) <= $maxDist),
        |xe AS MATERIALIZED (SELECT u, v FROM xpr UNION ALL SELECT v AS u, u AS v FROM xpr),
        |xl0 AS MATERIALIZED (SELECT doc_id AS node, doc_id AS comp FROM documents),
-       |${unrolledProps(roundsSim, "x")},
-       |${agreementTailSql(roundsExact, roundsSim)}""".stripMargin
+       |${unrolledProps(roundsSim, "x")}""".stripMargin
   }
+
+  /** The d15 oracle: exact chain (shared CTEs) + the SimHash chain, then
+    * the shared contingency tail.
+    */
+  private def d15OracleSql(nBits: Int, maxDist: Int,
+                           roundsExact: Int, roundsSim: Int): String =
+    s"""WITH ${exactAgreementCtes(roundsExact)},
+       |${simhashChainCtes(nBits, maxDist, roundsSim)},
+       |${agreementTailSql(roundsExact, roundsSim)}""".stripMargin
+
+  /** The d16 oracle: the SimHash chain alone, then the d12b-style
+    * cluster-size histogram with the convergence poison row.
+    */
+  private def d16OracleSql(nBits: Int, maxDist: Int, roundsSim: Int): String =
+    s"""WITH t AS MATERIALIZED (SELECT doc_id,
+       |  list_sort(list_distinct(string_split(text, ' '))) AS toks
+       |  FROM documents),
+       |${simhashChainCtes(nBits, maxDist, roundsSim)},
+       |bad AS (SELECT 1 AS x FROM xl$roundsSim a JOIN xl${roundsSim - 1} b
+       |        ON a.node = b.node AND a.comp <> b.comp LIMIT 1),
+       |sizes AS (SELECT comp, CAST(count(*) AS BIGINT) AS cluster_size
+       |  FROM xl$roundsSim GROUP BY comp)
+       |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+       |FROM sizes WHERE NOT EXISTS (SELECT 1 FROM bad)
+       |GROUP BY cluster_size
+       |UNION ALL
+       |SELECT CAST(-1 AS BIGINT) AS cluster_size, CAST(-1 AS BIGINT) AS n_clusters
+       |FROM (VALUES (1)) v(x) WHERE EXISTS (SELECT 1 FROM bad)
+       |ORDER BY cluster_size""".stripMargin
 
   /** DuckDB dot product mirroring `graft_dot` over float vectors: every
     * element widened float→double, products summed left-to-right (list_sum
@@ -1256,6 +1283,19 @@ object DocQueries {
       Dedup.agreementFromLabels(
         dedupLabelStore(s, dir)
           .select(col("doc_id"), col("ec"), col("sc").as("lc")))
+    },
+
+    // The SimHash cluster-size histogram — d12/d12b's sibling over the
+    // third clustering family, one groupBy over the store's `sc` labels.
+    // With d12 (exact) and d12b (MinHash-LSH) this completes the audit
+    // trio's histogram view: same corpus, three clusterings, three
+    // independently-oracled histograms.
+    QDef("d16_simhash_cluster_histogram",
+        d16OracleSql(nBits = 24, maxDist = 2, roundsSim = 14)) { (s, dir) =>
+      dedupLabelStore(s, dir)
+        .groupBy(col("sc")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+        .orderBy(col("cluster_size"))
     },
 
     // The xxhash64-bit-source SimHash (`Dedup.simHash`) is likewise not

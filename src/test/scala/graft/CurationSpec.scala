@@ -350,6 +350,20 @@ class CurationSpec extends AnyFunSuite {
     assert(got == Seq((1L, ""), (2L, "")), got.toString)
   }
 
+  test("incremental span dedup: string-id stores round-trip via idType") {
+    val base = graft.queries.QDef.tempDir("graft_span_strid")
+    val b0 = Seq(("u-b", "a b c d"), ("u-a", "a b c d")).toDF("doc_id", "text")
+    Curation.incrementalSpanDedupBatch(b0, 0L, s"$base/staged",
+      s"$base/dups", window = 3, nBuckets = 4)
+    val got = Curation.spanDedupFromStore(spark, s"$base/staged",
+        s"$base/dups", window = 3,
+        idType = org.apache.spark.sql.types.StringType)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    // both docs fully covered (shared grams); ids come back as strings
+    assert(got == Seq(("u-a", ""), ("u-b", "")), got.toString)
+  }
+
   test("incremental span dedup: a dup-free store still reads every doc intact") {
     val base = graft.queries.QDef.tempDir("graft_span_nodup")
     val b0 = Seq((1L, "a b c d"), (2L, "e f g h")).toDF("doc_id", "text")
