@@ -173,6 +173,19 @@ object Curation {
     * replayed batch and hash-checks the final corpus against a global
     * keep-one oracle).
     */
+  /** Ensure a store marker dir exists (readers with explicit schemas
+    * treat an empty dir as an empty frame, but a MISSING dir throws).
+    * The filesystem is resolved from the PATH, not the default FS — a
+    * qualified path (s3a://…, file://…) on a cluster whose defaultFS is
+    * hdfs:// would otherwise throw Wrong FS after the writes succeeded.
+    */
+  private def ensureDir(spark: org.apache.spark.sql.SparkSession,
+                        path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(p)
+    ()
+  }
+
   def incrementalDedupBatch(batch: DataFrame, batchId: Long,
                             stagingPath: String, outputPath: String,
                             nBuckets: Int = 64,
@@ -317,13 +330,7 @@ object Curation {
     // writes no edges — still ensure the edge store DIR exists so a
     // concurrent/subsequent lshHistogramFromStore read (explicit schema,
     // empty dir ⇒ empty frame) never throws path-not-found
-    {
-      // resolve the FS from the PATH, not the default FS: a qualified
-      // edgesPath (s3a://..., file://...) on a cluster whose defaultFS is
-      // hdfs:// would otherwise throw Wrong FS after the writes succeeded
-      val ep = new org.apache.hadoop.fs.Path(edgesPath)
-      ep.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(ep)
-    }
+    ensureDir(spark, edgesPath)
     ()
   }
 
@@ -682,11 +689,7 @@ object Curation {
     }
     // ensure the dup-store dir exists even if no bucket has a duplicate
     // yet, so a concurrent/subsequent read never throws path-not-found
-    // (FS resolved from the path, not the default FS — see edgesPath note)
-    locally {
-      val dp = new org.apache.hadoop.fs.Path(dupsPath)
-      dp.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(dp)
-    }
+    ensureDir(spark, dupsPath)
     ()
   }
 

@@ -229,6 +229,10 @@ object Dedup {
     * share one persisted store this way). Returned frame is a bare
     * checkpoint (corpus-row sized, 3 longs wide); release with
     * `Bridge.release` once persisted.
+    *
+    * Input contract: `id` unique per row (every dedup op here assumes
+    * it) — a duplicated id would multiply through the ec ⋈ lc join and
+    * silently inflate the agreement pair counts.
     */
   def dualClusterLabels(df: DataFrame, text: Column, id: Column,
                         threshold: Double, numHashes: Int, bands: Int,

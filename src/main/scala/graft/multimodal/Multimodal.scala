@@ -308,6 +308,11 @@ object Multimodal {
       .toDF("id", "width", "height", "px_sum")
   }
 
+  /** Prime modulus of the positional image fingerprint (< 2^31, so the
+    * fold's `h·31 + comp` stays far under 2^63).
+    */
+  val FingerprintP: Long = 2038074743L
+
   /** CLIP-style image-text PAIR dedup — the model-free shape: two
     * (text, image) training pairs are duplicates iff their canonical
     * text token sets match AND their decoded image fingerprints (source
@@ -334,11 +339,6 @@ object Multimodal {
     * order-sensitive, collides at ~1/P per pair, and stays exactly
     * expressible in oracle SQL (`list_reduce`).
     */
-  /** Prime modulus of the positional image fingerprint (< 2^31, so the
-    * fold's `h·31 + comp` stays far under 2^63).
-    */
-  val FingerprintP: Long = 2038074743L
-
   def imageTextPairDedup(df: DataFrame, idCol: String, payloadCol: String,
                          text: Column): DataFrame = {
     val spark = df.sparkSession

@@ -40,9 +40,10 @@ object DocQueries {
   /** Memoized cluster-label store `(doc_id, ec, lc, sc)` per fixture dir:
     * the exact ≥0.9-Jaccard component, the 16×2 portable-MinHash-LSH
     * component, and the 24-bit/Hamming≤2 portable-SimHash component of
-    * every document, built ONCE per fixture and read by the five audit
-    * gates — d7 keep-one (`ec` = own id), d12 exact histogram, d12b LSH
-    * histogram, d14 LSH agreement, d15 SimHash agreement. Before this
+    * every document, built ONCE per fixture and read by the SIX
+    * audit gates — d7 keep-one (`ec` = own id), d12 exact histogram,
+    * d12b LSH histogram, d14 LSH agreement, d15 SimHash agreement,
+    * d16 SimHash histogram. Before this
     * store each gate re-ran its clustering(s) from scratch (d14 alone
     * recomputed two — 8.1 s, ~9% of the r10 bench); this is the
     * `cleanStore` idiom of [[RedsetQueries]]: a real deployment
