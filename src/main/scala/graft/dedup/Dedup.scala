@@ -366,6 +366,33 @@ object Dedup {
     out
   }
 
+  /** Keep-one off a persisted per-doc label frame: the kept documents
+    * are exactly those labeled with their own id (component labels are
+    * cluster-min doc ids). The serving-side sibling of
+    * [[keepOneNearDup]] — at scale the clustering runs once per corpus
+    * snapshot ([[dualClusterLabels]] persisted) and the kept-set filter
+    * is a label-store scan + broadcast semi-join, which is what the
+    * `d7` gate runs.
+    */
+  def keepOneFromLabels(df: DataFrame, id: Column, labels: DataFrame,
+                        labelCol: String = "ec"): DataFrame = {
+    // renamed key column so the join condition can't capture df's own
+    // doc_id when `id` is itself named doc_id
+    val kept = labels.filter(col(labelCol) === col("doc_id"))
+      .select(col("doc_id").as("__keep_id"))
+    df.join(kept, id === col("__keep_id"), "left_semi")
+  }
+
+  /** Cluster-size histogram off a persisted per-doc label frame: one
+    * groupBy per report — the store-derived form of
+    * [[nearDupClusterHistogram]] / [[lshClusterHistogram]] (the d12,
+    * d12b and d16 gates are exactly this over their label columns).
+    */
+  def clusterHistogramFromLabels(labels: DataFrame,
+                                 labelCol: String): DataFrame =
+    labels.groupBy(col(labelCol)).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+
   /** The agreement report off an ALREADY-built `(doc_id, ec, lc)` label
     * frame ([[dualClusterLabels]] or its persisted form): cluster
     * contingency table, then pair precision/recall read from its cells

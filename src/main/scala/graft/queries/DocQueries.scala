@@ -1169,9 +1169,8 @@ object DocQueries {
     // three times (d7, d12, d14) and the LSH clustering twice (d12b,
     // d14); now each runs once, inside the store build.
     QDef("d7_dedup_keep_one", d7OracleSql(rounds = 12)) { (s, dir) =>
-      Tables.documents(s, dir)
-        .join(dedupLabelStore(s, dir), Seq("doc_id"))
-        .filter(col("ec") === col("doc_id"))
+      Dedup.keepOneFromLabels(Tables.documents(s, dir), col("doc_id"),
+          dedupLabelStore(s, dir))
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))
     },
@@ -1185,9 +1184,7 @@ object DocQueries {
     // cluster size); `nearDupClusterHistogram` remains the one-shot API,
     // equivalence-pinned in DedupSpec.
     QDef("d12_cluster_histogram", d12OracleSql(rounds = 12)) { (s, dir) =>
-      dedupLabelStore(s, dir)
-        .groupBy(col("ec")).agg(count(lit(1)).as("cluster_size"))
-        .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      Dedup.clusterHistogramFromLabels(dedupLabelStore(s, dir), "ec")
         .orderBy(col("cluster_size"))
     },
 
@@ -1206,9 +1203,7 @@ object DocQueries {
     // through the incremental store.
     QDef("d12b_lsh_cluster_histogram",
         d12bOracleSql(numHashes = 16, bands = 2, rounds = 14)) { (s, dir) =>
-      dedupLabelStore(s, dir)
-        .groupBy(col("lc")).agg(count(lit(1)).as("cluster_size"))
-        .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      Dedup.clusterHistogramFromLabels(dedupLabelStore(s, dir), "lc")
         .orderBy(col("cluster_size"))
     },
 
@@ -1293,9 +1288,7 @@ object DocQueries {
     // independently-oracled histograms.
     QDef("d16_simhash_cluster_histogram",
         d16OracleSql(nBits = 24, maxDist = 2, roundsSim = 14)) { (s, dir) =>
-      dedupLabelStore(s, dir)
-        .groupBy(col("sc")).agg(count(lit(1)).as("cluster_size"))
-        .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      Dedup.clusterHistogramFromLabels(dedupLabelStore(s, dir), "sc")
         .orderBy(col("cluster_size"))
     },
 
