@@ -958,6 +958,56 @@ object Dedup {
     result
   }
 
+  /** INCREMENTALLY extend a component labeling with NEW edges, without
+    * re-running components over the old edge history: the old labeling
+    * is a quotient of the old graph, so CC(old ∪ new) =
+    * expand(CC(quotient)): map each new edge endpoint through its
+    * current label (identity where unseen), run [[components]] over the
+    * resulting LABEL-graph — whose size is bounded by the new edge
+    * count, not the corpus — then compose `label' = merged(label)`.
+    * Labels remain cluster-min doc ids (quotient nodes are min ids and
+    * min propagates), so the result is bit-identical to a full
+    * [[components]] over the union (DedupSpec pins it on random graphs).
+    *
+    * This is the at-scale maintenance path for anything
+    * components-shaped that ingests edges in batches — e.g. the d12c
+    * LSH-histogram store, whose read currently re-clusters the full
+    * edge store; with a persisted label snapshot each batch pays
+    * O(new edges), and merges only ever COLLAPSE labels (monotone), so
+    * replays are natural no-ops. Endpoints absent from `oldLabels` are
+    * auto-initialized to identity; edge-LESS new docs are the caller's
+    * to append as identity rows (they are singletons by definition).
+    * Returns the full updated `(node, comp)` labeling, checkpointed.
+    */
+  def componentsIncremental(oldLabels: DataFrame,
+                            newEdges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val ends = newEdges.select(col("doc_a").as("node"))
+      .unionByName(newEdges.select(col("doc_b").as("node"))).distinct()
+    val base = oldLabels.select(col("node"), col("comp"))
+      .unionByName(ends.join(oldLabels.select(col("node")), Seq("node"),
+          "left_anti")
+        .select(col("node"), col("node").as("comp")))
+      .localCheckpoint(true) // feeds the quotient map AND the composition
+    val qEdges = newEdges
+      .join(base.select(col("node").as("doc_a"), col("comp").as("__ca")),
+        Seq("doc_a"))
+      .join(base.select(col("node").as("doc_b"), col("comp").as("__cb")),
+        Seq("doc_b"))
+      .select(col("__ca").as("doc_a"), col("__cb").as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .distinct()
+    val merged = components(qEdges) // label-graph: bounded by |newEdges|
+    val out = base
+      .join(merged.select(col("node").as("__mn"), col("comp").as("__mc")),
+        base("comp") === col("__mn"), "left")
+      .select(col("node"), coalesce(col("__mc"), col("comp")).as("comp"))
+      .localCheckpoint(true)
+    Bridge.release(base)
+    Bridge.release(merged)
+    out
+  }
+
   /** The keep-one-per-component dedup action: drops every doc whose
     * component representative is a different (smaller-id) doc. Docs with no
     * candidate edges survive untouched (left anti join on the non-rep set).

@@ -37,6 +37,10 @@ object DocQueries {
   private val c19cDriveCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Memoized store dir for the d12d incremental-label drive. */
+  private val d12dDriveCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Memoized cluster-label store `(doc_id, ec, lc, sc)` per fixture dir:
     * the exact ≥0.9-Jaccard component, the 16×2 portable-MinHash-LSH
     * component, and the 24-bit/Hamming≤2 portable-SimHash component of
@@ -1232,6 +1236,61 @@ object DocQueries {
       })
       graft.curation.Curation
         .lshHistogramFromStore(s, s"$base/staged", s"$base/edges")
+        .orderBy(col("cluster_size"))
+    },
+
+    // The label-maintenance twin of d12c (round 11): the SAME staged
+    // drive, but the cluster labels are maintained BATCH-WISE with
+    // Dedup.componentsIncremental — per batch the edge store is read,
+    // quotiented against the current labels (already-merged edges vanish
+    // at the self-loop filter), and components runs over a graph bounded
+    // by the genuinely-new connectivity, not the edge history. The
+    // maintained label snapshot is what the histogram reads: one groupBy,
+    // no re-clustering. Replayed batch proves label-merge idempotence
+    // (merges are monotone). Must hash-match the SAME oracle as d12b/d12c.
+    QDef("d12d_lsh_histogram_labels_inc",
+        d12bOracleSql(numHashes = 16, bands = 2, rounds = 14)) { (s, dir) =>
+      val base = d12dDriveCache.computeIfAbsent(dir, _ => {
+        import org.apache.spark.sql.types._
+        val b0 = QDef.tempDir("graft_lsh_lblinc_gate")
+        val labelSchema = StructType(Seq(
+          StructField("node", LongType), StructField("comp", LongType)))
+        val edgeSchema = StructType(Seq(
+          StructField("doc_a", LongType), StructField("doc_b", LongType),
+          StructField("bucket", IntegerType)))
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        // empty labels dir up-front so the first batch's snapshot read
+        // sees an empty frame, not path-not-found
+        val lp = new org.apache.hadoop.fs.Path(s"$b0/labels")
+        lp.getFileSystem(s.sparkContext.hadoopConfiguration).mkdirs(lp)
+        val parts = (0 to 2).map(r => docs.filter(pmod(col("doc_id"), lit(3)) === r))
+        (Seq(0L -> parts(0), 1L -> parts(1), 1L -> parts(1) /* replay */,
+          2L -> parts(2))).foreach { case (bid, b) =>
+          graft.curation.Curation.incrementalLshHistogramBatch(b, bid,
+            s"$b0/staged", s"$b0/edges", numHashes = 16, bands = 2,
+            nBuckets = 8)
+          val old = s.read.schema(labelSchema).parquet(s"$b0/labels")
+          // new docs enter as identity labels (edge-less docs are
+          // singletons); a replayed batch anti-joins to nothing
+          val withNew = old.unionByName(
+            b.select(col("doc_id").as("node"))
+              .join(old.select(col("node")), Seq("node"), "left_anti")
+              .select(col("node"), col("node").as("comp")))
+          val edges = s.read.schema(edgeSchema).parquet(s"$b0/edges")
+            .select(col("doc_a"), col("doc_b"))
+          // componentsIncremental checkpoints eagerly, so the read of the
+          // labels snapshot completes before the overwrite below
+          val updated = Dedup.componentsIncremental(withNew, edges)
+          updated.write.mode("overwrite").parquet(s"$b0/labels")
+          org.apache.spark.sql.graftbridge.Bridge.release(updated)
+        }
+        b0
+      })
+      import org.apache.spark.sql.types._
+      val labelSchema = StructType(Seq(
+        StructField("node", LongType), StructField("comp", LongType)))
+      Dedup.clusterHistogramFromLabels(
+          s.read.schema(labelSchema).parquet(s"$base/labels"), "comp")
         .orderBy(col("cluster_size"))
     },
 

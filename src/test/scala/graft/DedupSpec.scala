@@ -163,6 +163,31 @@ class DedupSpec extends AnyFunSuite {
     assert(repStore.toSeq == repApi.toSeq)
   }
 
+  test("componentsIncremental: batch-wise labels equal full components on random graphs") {
+    val rnd = new scala.util.Random(61)
+    for (trial <- 0 until 4) {
+      val n = 60L
+      val edges = Seq.fill(50)((rnd.nextLong().abs % n, rnd.nextLong().abs % n))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      val (first, second) = edges.splitAt(edges.size / 2)
+      val full = Dedup.components(edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val l0 = Dedup.components(first.toDF("doc_a", "doc_b"))
+      val l1 = Dedup.componentsIncremental(l0, second.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // full components only labels nodes with edges; incremental covers
+      // the same node set
+      assert(l1 == full, s"trial $trial")
+      // replay idempotence: re-applying the same batch changes nothing
+      val l2 = Dedup.componentsIncremental(
+          Dedup.componentsIncremental(l0, second.toDF("doc_a", "doc_b")),
+          second.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(l2 == full, s"trial $trial replay")
+    }
+  }
+
   test("simHashNearPairsPortable: identical token sets pair at distance 0; banding matches brute force") {
     val pairs = Dedup.simHashNearPairsPortable(docs, col("text"), col("doc_id"),
         nBits = 24, maxDist = 2)
