@@ -132,8 +132,9 @@ class DedupSpec extends AnyFunSuite {
     }.toDF("doc_id", "text")
     val labeled = Dedup.dualClusterLabels(corpus, col("text"), col("doc_id"),
       threshold = 0.9, numHashes = 16, bands = 2).localCheckpoint(true)
-    // d7 shape: kept = docs labeled with their own id
-    val keptStore = labeled.filter(col("ec") === col("doc_id"))
+    // d7 shape: kept = docs labeled with their own id (the library
+    // keepOneFromLabels serving path, exactly what the gate runs)
+    val keptStore = Dedup.keepOneFromLabels(corpus, col("doc_id"), labeled)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     val keptApi = Dedup.keepOneNearDup(corpus, col("text"), col("doc_id"), 0.9)
       .select("doc_id").collect().map(_.getLong(0)).toSet
