@@ -392,6 +392,68 @@ object Curation {
     * foreachBatch is at-least-once; staging idempotence makes replays
     * no-ops (same contract as [[dedupIngest]] / [[lshHistogramIngest]]).
     */
+  /** [[incrementalLshHistogramBatch]] PLUS batch-wise cluster-label
+    * maintenance: after the staged edge recompute, the label snapshot at
+    * `labelsPath` is extended with the batch's docs (identity rows) and
+    * updated via [[graft.dedup.Dedup.componentsIncremental]] — the
+    * quotient against current labels collapses already-merged history,
+    * so the per-batch components cost tracks NEW connectivity, not
+    * edge-store life (ScaleProbe: flat per-batch CC at 10× and 100×).
+    * The histogram is then ONE groupBy over the snapshot
+    * ([[graft.dedup.Dedup.clusterHistogramFromLabels]]) instead of a
+    * full re-cluster of the edge store. Replays are no-ops: the identity
+    * anti-join adds nothing and label merges are monotone. The d12d gate
+    * hash-checks the maintained snapshot's histogram against the same
+    * oracle as d12b/d12c.
+    */
+  def incrementalLshLabelsBatch(batch: DataFrame, batchId: Long,
+                                stagingPath: String, edgesPath: String,
+                                labelsPath: String,
+                                numHashes: Int, bands: Int,
+                                nBuckets: Int = 64,
+                                text: Column = col("text"),
+                                id: Column = col("doc_id"),
+                                idType: org.apache.spark.sql.types.DataType =
+                                  org.apache.spark.sql.types.LongType): Unit = {
+    import org.apache.spark.sql.types._
+    val spark = batch.sparkSession
+    incrementalLshHistogramBatch(batch, batchId, stagingPath, edgesPath,
+      numHashes, bands, nBuckets, text, id)
+    val labelSchema = StructType(Seq(
+      StructField("node", idType), StructField("comp", idType)))
+    val edgeSchema = StructType(Seq(
+      StructField("doc_a", idType), StructField("doc_b", idType),
+      StructField("bucket", IntegerType)))
+    ensureDir(spark, labelsPath)
+    val old = spark.read.schema(labelSchema).parquet(labelsPath)
+    val withNew = old.unionByName(
+      batch.select(id.as("node"))
+        .join(old.select(col("node")), Seq("node"), "left_anti")
+        .select(col("node"), col("node").as("comp")))
+    // componentsIncremental checkpoints eagerly, so the snapshot read
+    // completes before the overwrite below
+    val updated = graft.dedup.Dedup.componentsIncremental(withNew,
+      spark.read.schema(edgeSchema).parquet(edgesPath)
+        .select(col("doc_a"), col("doc_b")))
+    updated.write.mode("overwrite").parquet(labelsPath)
+    org.apache.spark.sql.graftbridge.Bridge.release(updated)
+    ()
+  }
+
+  /** Streaming label maintenance: each micro-batch runs
+    * [[incrementalLshLabelsBatch]] — the snapshot at `labelsPath` is
+    * always the cluster labeling of everything ingested so far.
+    */
+  def lshLabelsIngest(raw: DataFrame, stagingPath: String,
+                      edgesPath: String, labelsPath: String,
+                      numHashes: Int, bands: Int, nBuckets: Int = 64,
+                      queryName: String = "graft_lsh_labels_ingest"): org.apache.spark.sql.streaming.StreamingQuery =
+    raw.writeStream.queryName(queryName)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        incrementalLshLabelsBatch(batch, batchId, stagingPath, edgesPath,
+          labelsPath, numHashes, bands, nBuckets)
+      }.start()
+
   def spanDedupIngest(raw: DataFrame, stagingPath: String, dupsPath: String,
                       window: Int, nBuckets: Int = 64,
                       queryName: String = "graft_span_dedup_ingest"): org.apache.spark.sql.streaming.StreamingQuery =

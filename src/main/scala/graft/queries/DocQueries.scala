@@ -1251,38 +1251,14 @@ object DocQueries {
     QDef("d12d_lsh_histogram_labels_inc",
         d12bOracleSql(numHashes = 16, bands = 2, rounds = 14)) { (s, dir) =>
       val base = d12dDriveCache.computeIfAbsent(dir, _ => {
-        import org.apache.spark.sql.types._
         val b0 = QDef.tempDir("graft_lsh_lblinc_gate")
-        val labelSchema = StructType(Seq(
-          StructField("node", LongType), StructField("comp", LongType)))
-        val edgeSchema = StructType(Seq(
-          StructField("doc_a", LongType), StructField("doc_b", LongType),
-          StructField("bucket", IntegerType)))
         val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-        // empty labels dir up-front so the first batch's snapshot read
-        // sees an empty frame, not path-not-found
-        val lp = new org.apache.hadoop.fs.Path(s"$b0/labels")
-        lp.getFileSystem(s.sparkContext.hadoopConfiguration).mkdirs(lp)
         val parts = (0 to 2).map(r => docs.filter(pmod(col("doc_id"), lit(3)) === r))
         (Seq(0L -> parts(0), 1L -> parts(1), 1L -> parts(1) /* replay */,
           2L -> parts(2))).foreach { case (bid, b) =>
-          graft.curation.Curation.incrementalLshHistogramBatch(b, bid,
-            s"$b0/staged", s"$b0/edges", numHashes = 16, bands = 2,
-            nBuckets = 8)
-          val old = s.read.schema(labelSchema).parquet(s"$b0/labels")
-          // new docs enter as identity labels (edge-less docs are
-          // singletons); a replayed batch anti-joins to nothing
-          val withNew = old.unionByName(
-            b.select(col("doc_id").as("node"))
-              .join(old.select(col("node")), Seq("node"), "left_anti")
-              .select(col("node"), col("node").as("comp")))
-          val edges = s.read.schema(edgeSchema).parquet(s"$b0/edges")
-            .select(col("doc_a"), col("doc_b"))
-          // componentsIncremental checkpoints eagerly, so the read of the
-          // labels snapshot completes before the overwrite below
-          val updated = Dedup.componentsIncremental(withNew, edges)
-          updated.write.mode("overwrite").parquet(s"$b0/labels")
-          org.apache.spark.sql.graftbridge.Bridge.release(updated)
+          graft.curation.Curation.incrementalLshLabelsBatch(b, bid,
+            s"$b0/staged", s"$b0/edges", s"$b0/labels",
+            numHashes = 16, bands = 2, nBuckets = 8)
         }
         b0
       })

@@ -202,6 +202,31 @@ class CurationSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("lshLabelsIngest streams batches through the label snapshot e2e") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = graft.queries.QDef.tempDir("graft_lsh_lbl_ingest")
+    val in = MemoryStream[(Long, String)]
+    val q = Curation.lshLabelsIngest(
+      in.toDF().toDF("doc_id", "text"), s"$base/staged", s"$base/edges",
+      s"$base/labels", numHashes = 8, bands = 2, nBuckets = 4,
+      queryName = "lsh_labels_ingest_test")
+    def labels(): Map[Long, Long] =
+      spark.read.parquet(s"$base/labels").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    try {
+      val fam = (0 until 12).map(j => s"q$j").mkString(" ")
+      in.addData((5L, fam), (9L, "unique one two three four five"))
+      q.processAllAvailable()
+      assert(labels() == Map(5L -> 5L, 9L -> 9L))
+      // a LOWER-id exact dup arrives later: the cluster label must drop
+      // to the new min across micro-batches
+      in.addData((2L, fam))
+      q.processAllAvailable()
+      assert(labels() == Map(2L -> 2L, 5L -> 2L, 9L -> 9L))
+    } finally q.stop()
+  }
+
   test("dedupSpansAcrossDocs removes every position covered by a duplicated window") {
     // window=3; coverage of a flagged start s is positions [s, s+2].
     // Docs 1 and 2 share the run "a b c d" → duplicated 3-grams "a b c"
