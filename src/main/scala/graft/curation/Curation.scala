@@ -393,18 +393,22 @@ object Curation {
     * no-ops (same contract as [[dedupIngest]] / [[lshHistogramIngest]]).
     */
   /** [[incrementalLshHistogramBatch]] PLUS batch-wise cluster-label
-    * maintenance: after the staged edge recompute, the label snapshot at
-    * `labelsPath` is extended with the batch's docs (identity rows) and
-    * updated via [[graft.dedup.Dedup.componentsIncremental]] — the
-    * quotient against current labels collapses already-merged history,
-    * so the per-batch components cost tracks NEW connectivity, not
-    * edge-store life (ScaleProbe: flat per-batch CC at 10× and 100×).
-    * The histogram is then ONE groupBy over the snapshot
-    * ([[graft.dedup.Dedup.clusterHistogramFromLabels]]) instead of a
-    * full re-cluster of the edge store. Replays are no-ops: the identity
-    * anti-join adds nothing and label merges are monotone. The d12d gate
-    * hash-checks the maintained snapshot's histogram against the same
-    * oracle as d12b/d12c.
+    * maintenance ([[updateLabelsSnapshot]] — the label phase is its own
+    * op so maintenance drivers and probes can call/time it without
+    * mirroring its logic): after the staged edge recompute, the label
+    * snapshot under `labelsPath` is extended with the batch's docs
+    * (identity rows) and updated via
+    * [[graft.dedup.Dedup.componentsIncremental]] — the quotient against
+    * current labels collapses already-merged history, so the per-batch
+    * components cost tracks NEW connectivity, not edge-store life
+    * (ScaleProbe: flat per-batch CC at 10× and 100×). The histogram is
+    * then ONE groupBy over the snapshot ([[lshHistogramFromLabels]])
+    * instead of a full re-cluster of the edge store. Replays are no-ops:
+    * the identity anti-join adds nothing and label merges are monotone.
+    * The d12d gate hash-checks the maintained snapshot's histogram
+    * against the same oracle as d12b/d12c. This is the CANONICAL
+    * maintenance op of the LSH store family — [[lshHistogramFromStore]]
+    * (full re-cluster) is the recompute/audit form, not the read path.
     */
   def incrementalLshLabelsBatch(batch: DataFrame, batchId: Long,
                                 stagingPath: String, edgesPath: String,
@@ -415,28 +419,214 @@ object Curation {
                                 id: Column = col("doc_id"),
                                 idType: org.apache.spark.sql.types.DataType =
                                   org.apache.spark.sql.types.LongType): Unit = {
-    import org.apache.spark.sql.types._
-    val spark = batch.sparkSession
     incrementalLshHistogramBatch(batch, batchId, stagingPath, edgesPath,
       numHashes, bands, nBuckets, text, id)
-    val labelSchema = StructType(Seq(
-      StructField("node", idType), StructField("comp", idType)))
+    updateLabelsSnapshot(batch, batchId, edgesPath, labelsPath, id, idType)
+  }
+
+  /** The label phase of [[incrementalLshLabelsBatch]]: read the newest
+    * COMMITTED snapshot, add identity rows for the batch's docs, run
+    * [[graft.dedup.Dedup.componentsIncremental]] against the maintained
+    * edge store, and write the full updated labeling to a NEW versioned
+    * snapshot dir `labelsPath/snap=<batchId>`.
+    *
+    * Snapshots are versioned, never overwritten in place: foreachBatch
+    * replays happen precisely after failures, and an in-place overwrite
+    * deletes the only copy before the rewrite — a crash mid-overwrite
+    * would leave a partial snapshot from which `componentsIncremental`
+    * can only auto-heal edge ENDPOINTS, silently and permanently
+    * dropping edge-less docs from the labeling. With versioned dirs a
+    * crashed write leaves an UNCOMMITTED dir (no `_SUCCESS` marker) that
+    * [[readLabelsSnapshot]] skips, and the replay rewrites it. Merges
+    * are monotone and batch N's snapshot is computed from the newest
+    * committed base, so the max-batchId committed snapshot is always the
+    * complete labeling of everything ingested through that batch — even
+    * when a replayed older batchId lands after it. Snapshot accumulation
+    * is bounded by [[pruneLabelSnapshots]]. Single-writer contract (the
+    * foreachBatch serialization Spark already provides).
+    */
+  def updateLabelsSnapshot(batch: DataFrame, batchId: Long,
+                           edgesPath: String, labelsPath: String,
+                           id: Column = col("doc_id"),
+                           idType: org.apache.spark.sql.types.DataType =
+                             org.apache.spark.sql.types.LongType): Unit = {
+    import org.apache.spark.sql.types._
+    val spark = batch.sparkSession
     val edgeSchema = StructType(Seq(
       StructField("doc_a", idType), StructField("doc_b", idType),
       StructField("bucket", IntegerType)))
     ensureDir(spark, labelsPath)
-    val old = spark.read.schema(labelSchema).parquet(labelsPath)
+    val old = readLabelsSnapshot(spark, labelsPath, idType)
     val withNew = old.unionByName(
       batch.select(id.as("node"))
         .join(old.select(col("node")), Seq("node"), "left_anti")
         .select(col("node"), col("node").as("comp")))
-    // componentsIncremental checkpoints eagerly, so the snapshot read
-    // completes before the overwrite below
     val updated = graft.dedup.Dedup.componentsIncremental(withNew,
       spark.read.schema(edgeSchema).parquet(edgesPath)
         .select(col("doc_a"), col("doc_b")))
-    updated.write.mode("overwrite").parquet(labelsPath)
+    updated.write.mode("overwrite").parquet(s"$labelsPath/snap=$batchId")
     org.apache.spark.sql.graftbridge.Bridge.release(updated)
+    ()
+  }
+
+  /** Compact a duplicate-tolerant `(bucket, batch_id)`-partitioned
+    * staging store: rewrite each bucket's accumulated per-batch
+    * partitions into ONE snapshot partition `batch_id = compactId`
+    * (negative by convention — streaming batchIds are >= 0, so a
+    * compacted partition can never collide with a live batch, even
+    * after a checkpoint reset restarts batchIds at 0), then delete that
+    * bucket's superseded per-batch dirs. This bounds the partition-dir
+    * count a long-lived store accumulates: without it, file listings
+    * and every touched-bucket recompute walk O(ingested batches) dirs
+    * forever.
+    *
+    * Read equivalence: reads of these stores depend only on the SET of
+    * staged rows per bucket
+    * ([[graft.dedup.Dedup.spanningEdgesFromBandRows]] is
+    * `.distinct()`-terminated; the sig store's keep-one takes
+    * `row_number() = 1` per signature), and compaction preserves each
+    * bucket's row set (CurationSpec pins compact-then-read ≡ read).
+    * The same set semantics makes the crash window harmless: a failure
+    * between a bucket's snapshot write and its per-batch deletes leaves
+    * DUPLICATE rows, which those reads collapse — re-running compaction
+    * converges. Do NOT point this at a count-semantics store (the
+    * span-dedup gram store COUNTS staged rows, so duplicates would flag
+    * false dups; compacting that store needs a stop-the-world
+    * stage-and-swap instead).
+    *
+    * One bucket at a time: each bucket's slice is materialized before
+    * the rewrite (it is read from and written into the same store
+    * root), so peak footprint is one bucket's rows — size `nBuckets` so
+    * a bucket fits, the same contract as the recompute path. Single
+    * writer: run between ingest batches (the foreachBatch serialization
+    * the maintenance driver already has).
+    *
+    * @param stagedSchema the full staged schema including the `bucket`
+    *                     and `batch_id` partition columns (explicit for
+    *                     the same footer-less-dir reason as the readers)
+    */
+  def compactStagedStore(spark: org.apache.spark.sql.SparkSession,
+                         stagingPath: String,
+                         stagedSchema: org.apache.spark.sql.types.StructType,
+                         compactId: Long = -1L): Unit = {
+    require(compactId < 0,
+      s"compactId must be negative (live batchIds are >= 0), got $compactId")
+    import org.apache.spark.sql.graftbridge.Bridge
+    val p = new org.apache.hadoop.fs.Path(stagingPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    val bucketDirs = fs.listStatus(p).toSeq.filter(_.isDirectory)
+      .filter(_.getPath.getName.startsWith("bucket="))
+    bucketDirs.foreach { bst =>
+      val bdir = bst.getPath
+      val batchDirs = fs.listStatus(bdir).toSeq.filter(_.isDirectory)
+        .filter(_.getPath.getName.startsWith("batch_id="))
+      val stale = batchDirs.filter(_.getPath.getName != s"batch_id=$compactId")
+      if (stale.nonEmpty) {
+        val b = bdir.getName.stripPrefix("bucket=").toInt
+        val slice = spark.read.schema(stagedSchema).parquet(stagingPath)
+          .filter(col("bucket") === b)
+          .withColumn("batch_id", lit(compactId))
+          .localCheckpoint(true) // break file lineage before the rewrite
+        slice.repartition(col("bucket")).write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("bucket", "batch_id").parquet(stagingPath)
+        Bridge.release(slice)
+        stale.foreach(st => fs.delete(st.getPath, true))
+      }
+    }
+    ()
+  }
+
+  /** Committed `(batchId, dir)` snapshot list under a versioned label
+    * store, ascending by batchId. A snapshot is committed iff its dir
+    * carries the `_SUCCESS` marker Spark's file committer writes last —
+    * partial dirs from crashed writes are invisible to readers.
+    */
+  private def committedSnapshots(spark: org.apache.spark.sql.SparkSession,
+                                 labelsPath: String): Seq[(Long, org.apache.hadoop.fs.Path)] = {
+    val p = new org.apache.hadoop.fs.Path(labelsPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .flatMap { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("snap="))
+          scala.util.Try(name.stripPrefix("snap=").toLong).toOption
+            .map(_ -> st.getPath)
+        else None
+      }
+      .filter { case (_, dir) =>
+        fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS")) }
+      .sortBy(_._1)
+  }
+
+  /** Read the newest committed label snapshot under `labelsPath`
+    * (`(node, comp)` schema; empty frame if no snapshot committed yet).
+    * The read targets ONE leaf dir — no partition discovery over the
+    * snapshot history, so read cost is independent of how many
+    * snapshots have accumulated.
+    */
+  def readLabelsSnapshot(spark: org.apache.spark.sql.SparkSession,
+                         labelsPath: String,
+                         idType: org.apache.spark.sql.types.DataType =
+                           org.apache.spark.sql.types.LongType): DataFrame = {
+    import org.apache.spark.sql.types._
+    val labelSchema = StructType(Seq(
+      StructField("node", idType), StructField("comp", idType)))
+    committedSnapshots(spark, labelsPath).lastOption match {
+      case Some((_, dir)) =>
+        spark.read.schema(labelSchema).parquet(dir.toString)
+      case None =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], labelSchema)
+    }
+  }
+
+  /** The d12b audit histogram as ONE groupBy over the maintained label
+    * snapshot — the at-scale read path of the incremental LSH store
+    * family (its cost is label-store sized, independent of edge history;
+    * [[lshHistogramFromStore]] is the recompute/audit twin that
+    * re-clusters the full edge store to validate this snapshot).
+    */
+  def lshHistogramFromLabels(spark: org.apache.spark.sql.SparkSession,
+                             labelsPath: String,
+                             idType: org.apache.spark.sql.types.DataType =
+                               org.apache.spark.sql.types.LongType): DataFrame =
+    graft.dedup.Dedup.clusterHistogramFromLabels(
+      readLabelsSnapshot(spark, labelsPath, idType), "comp")
+
+  /** Prune old label snapshots, keeping the newest `keep` committed ones
+    * plus any uncommitted dir NEWER than the newest committed snapshot
+    * (a possibly in-flight write). Uncommitted dirs older than the
+    * newest committed snapshot are crash leftovers — deleted. Safe to
+    * run any time under the store's single-writer contract; readers only
+    * ever resolve committed dirs, and the newest committed snapshot is
+    * never deleted (`keep >= 1` enforced).
+    */
+  def pruneLabelSnapshots(spark: org.apache.spark.sql.SparkSession,
+                          labelsPath: String, keep: Int = 1): Unit = {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    val p = new org.apache.hadoop.fs.Path(labelsPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    val committed = committedSnapshots(spark, labelsPath)
+    if (committed.isEmpty) return
+    val newest = committed.last._1
+    val keepIds = committed.takeRight(keep).map(_._1).toSet
+    fs.listStatus(p).toSeq.filter(_.isDirectory).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("snap=")) {
+        scala.util.Try(name.stripPrefix("snap=").toLong).toOption.foreach {
+          bid =>
+            val isCommitted = fs.exists(
+              new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS"))
+            if (!keepIds.contains(bid) && (isCommitted || bid < newest))
+              fs.delete(st.getPath, true)
+        }
+      }
+    }
     ()
   }
 

@@ -247,6 +247,34 @@ object Dedup {
     labeled
   }
 
+  /** ALL THREE clusterings as one per-doc label frame
+    * `(doc_id, ec, lc, sc)` — [[dualClusterLabels]] plus the
+    * SimHash-banded Hamming component `sc`. The materialization point of
+    * the FULL audit family ([[dedupAuditReport]]): persist once per
+    * corpus snapshot; keep-one, all three cluster-size histograms and
+    * both agreement reports are then single aggregations over it (the
+    * d7/d12/d12b/d14/d15/d16 gates share one persisted store this way).
+    * Returned frame is a bare checkpoint (corpus-row sized, 4 longs
+    * wide); release with `Bridge.release` once persisted. Same
+    * unique-`id` input contract as [[dualClusterLabels]].
+    */
+  def tripleClusterLabels(df: DataFrame, text: Column, id: Column,
+                          threshold: Double, numHashes: Int, bands: Int,
+                          nBits: Int, maxDist: Int,
+                          ngram: Int = 1): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val ec = exactDocLabels(df, text, id, threshold, ngram)
+    val lc = docLabelsFromEdges(df.select(id.as("doc_id")),
+      minHashLshEdgesPortable(df, text, id, numHashes, bands, ngram), "lc")
+    val sc = simHashDocLabels(df, text, id, nBits, maxDist, "sc")
+    val labeled = ec.join(lc, Seq("doc_id")).join(sc, Seq("doc_id"))
+      .localCheckpoint(true)
+    Bridge.release(ec)
+    Bridge.release(lc)
+    Bridge.release(sc)
+    labeled
+  }
+
   /** Per-doc EXACT ≥-threshold Jaccard component labels `(doc_id, ec)`:
     * rep collapse (the doc→rep MAP this time, not just reps — hence a
     * window, which must carry text for the rep side of the prefix join),
@@ -376,11 +404,19 @@ object Dedup {
     */
   def keepOneFromLabels(df: DataFrame, id: Column, labels: DataFrame,
                         labelCol: String = "ec"): DataFrame = {
-    // renamed key column so the join condition can't capture df's own
-    // doc_id when `id` is itself named doc_id
-    val kept = labels.filter(col(labelCol) === col("doc_id"))
-      .select(col("doc_id").as("__keep_id"))
-    df.join(kept, id === col("__keep_id"), "left_semi")
+    // Anti-join on the LOSER set (docs labeled with a different, smaller
+    // id), not semi-join on winners: a df row absent from the label frame
+    // then survives as a singleton — same contract as
+    // [[keepOnePerComponent]]. With a semi-join on winners, a stale label
+    // snapshot would silently DROP newly-ingested docs from the kept
+    // corpus with no failure signal (the serving-time workflow this op
+    // exists for is exactly "labels persisted once per snapshot, filter
+    // at read time", where snapshot lag is routine).
+    // Renamed key column so the join condition can't capture df's own
+    // doc_id when `id` is itself named doc_id.
+    val losers = labels.filter(col(labelCol) =!= col("doc_id"))
+      .select(col("doc_id").as("__drop_id"))
+    df.join(losers, id === col("__drop_id"), "left_anti")
   }
 
   /** Cluster-size histogram off a persisted per-doc label frame: one
@@ -399,10 +435,19 @@ object Dedup {
     * and margins — never a pair enumeration, so the report scales with
     * cluster counts.
     */
-  def agreementFromLabels(labeled: DataFrame): DataFrame = {
+  def agreementFromLabels(labeled: DataFrame): DataFrame =
+    agreementFromCt(labeled.groupBy(col("ec"), col("lc"))
+      .agg(count(lit(1)).as("n")))
+
+  /** The agreement report off a pre-built contingency table
+    * `(ec, lc, n)` — ONE row per (ec, lc) cell with its exact doc count
+    * (the report's pair arithmetic reads c2(n) per cell, so a split cell
+    * would under-count pairs_both). Shared by [[agreementFromLabels]]
+    * and the [[DedupAuditReport]] margins.
+    */
+  private[graft] def agreementFromCt(ctIn: DataFrame): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
-    val ct = labeled.groupBy(col("ec"), col("lc"))
-      .agg(count(lit(1)).as("n"))
+    val ct = ctIn
       .localCheckpoint(true) // contingency table: consumed by 3 aggregates
     def c2(c: Column): Column = (c * (c - 1)) / 2
     val both = ct.agg(sum(c2(col("n"))).as("pairs_both"),
@@ -430,6 +475,44 @@ object Dedup {
     Bridge.release(ct)
     rep
   }
+
+  /** The WHOLE dedup-audit panel off one persisted `(doc_id, ec, lc, sc)`
+    * label frame ([[tripleClusterLabels]]): a single corpus-sized
+    * contingency groupBy — the (ec, lc, sc) cube, cluster-combination
+    * sized — feeds all five reports. Fields are lazy: each panel pays
+    * one CUBE-sized aggregation, the corpus is scanned exactly once at
+    * construction. This is the call a pipeline owner makes per corpus
+    * snapshot (the d12/d12b/d14/d15/d16 gates each read one field);
+    * `release()` the report once every consumed field is materialized.
+    */
+  final class DedupAuditReport private[dedup] (cube: DataFrame) {
+    private def hist(label: String): DataFrame =
+      cube.groupBy(col(label)).agg(sum(col("n")).as("cluster_size"))
+        .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+    /** d12: exact ≥-threshold Jaccard cluster-size histogram. */
+    lazy val histExact: DataFrame = hist("ec")
+    /** d12b: MinHash-LSH cluster-size histogram. */
+    lazy val histLsh: DataFrame = hist("lc")
+    /** d16: SimHash cluster-size histogram. */
+    lazy val histSimHash: DataFrame = hist("sc")
+    /** d14: MinHash-LSH vs exact pair precision/recall. */
+    lazy val agreementLsh: DataFrame = agreementFromCt(
+      cube.groupBy(col("ec"), col("lc")).agg(sum(col("n")).as("n")))
+    /** d15: SimHash vs exact pair precision/recall (the report's
+      * `*_lsh_*` columns are the approximate side, as in
+      * [[simHashDedupAgreement]]). */
+    lazy val agreementSimHash: DataFrame = agreementFromCt(
+      cube.groupBy(col("ec"), col("sc").as("lc")).agg(sum(col("n")).as("n")))
+    /** Release the cube's checkpoint block. Forced agreement fields are
+      * already self-contained (one-row checkpoints); HISTOGRAM fields
+      * are lazy over the cube — materialize them before releasing. */
+    def release(): Unit =
+      org.apache.spark.sql.graftbridge.Bridge.release(cube)
+  }
+
+  def dedupAuditReport(labels: DataFrame): DedupAuditReport =
+    new DedupAuditReport(labels.groupBy(col("ec"), col("lc"), col("sc"))
+      .agg(count(lit(1)).as("n")).localCheckpoint(true))
 
   /** Token-set Jaccard near-dup pairs within a blocking key (the classic
     * n-gram Jaccard dedup, blocked so candidates are O(pairs-per-block)).
@@ -982,14 +1065,19 @@ object Dedup {
   def componentsIncremental(oldLabels: DataFrame,
                             newEdges: DataFrame): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
-    val ends = newEdges.select(col("doc_a").as("node"))
-      .unionByName(newEdges.select(col("doc_b").as("node"))).distinct()
+    // newEdges is scanned three times below (ends + both quotient-map
+    // joins) and in the batch path it is the FULL parquet edge store —
+    // materialize the 2-long projection once so per-batch cost doesn't
+    // re-pay three complete store scans as the store grows
+    val ne = newEdges.select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+    val ends = ne.select(col("doc_a").as("node"))
+      .unionByName(ne.select(col("doc_b").as("node"))).distinct()
     val base = oldLabels.select(col("node"), col("comp"))
       .unionByName(ends.join(oldLabels.select(col("node")), Seq("node"),
           "left_anti")
         .select(col("node"), col("node").as("comp")))
       .localCheckpoint(true) // feeds the quotient map AND the composition
-    val qEdges = newEdges
+    val qEdges = ne
       .join(base.select(col("node").as("doc_a"), col("comp").as("__ca")),
         Seq("doc_a"))
       .join(base.select(col("node").as("doc_b"), col("comp").as("__cb")),
@@ -997,7 +1085,10 @@ object Dedup {
       .select(col("__ca").as("doc_a"), col("__cb").as("doc_b"))
       .filter(col("doc_a") =!= col("doc_b"))
       .distinct()
+      .localCheckpoint(true) // components scans its edges twice (sym union)
+    Bridge.release(ne)
     val merged = components(qEdges) // label-graph: bounded by |newEdges|
+    Bridge.release(qEdges)
     val out = base
       .join(merged.select(col("node").as("__mn"), col("comp").as("__mc")),
         base("comp") === col("__mn"), "left")

@@ -24,11 +24,16 @@ object DocQueries {
   private val d9DriveCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Memoized store dir for the d12c incremental-LSH-histogram drive,
-    * keyed on the fixture dir (same rationale: the drive is the gate's
+  /** Memoized store dir for the SHARED d12c/d12d incremental-LSH drive,
+    * keyed on the fixture dir (same rationale: the drive is the gates'
     * setup, re-driving it per bench rep re-measures small-file staging).
+    * One drive maintains staging + edges + label snapshots
+    * (Curation.incrementalLshLabelsBatch); d12d reads the maintained
+    * labels (the canonical at-scale read) and d12c re-clusters the edge
+    * store (the recompute/audit read that validates the labels) — both
+    * hash-gated against the same d12b oracle.
     */
-  private val d12cDriveCache =
+  private val lshIncDriveCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Memoized store dir for the c19c incremental span-dedup drive (same
@@ -37,9 +42,26 @@ object DocQueries {
   private val c19cDriveCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Memoized store dir for the d12d incremental-label drive. */
-  private val d12dDriveCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** The shared d12c/d12d drive: the corpus in three deterministic
+    * batches (doc_id mod 3), batch 1 replayed to prove staged-edge AND
+    * label-merge idempotence, each batch through the full canonical
+    * maintenance op (staging + touched-bucket edge recompute + versioned
+    * label snapshot).
+    */
+  private def lshIncDrive(s: org.apache.spark.sql.SparkSession,
+                          dir: String): String =
+    lshIncDriveCache.computeIfAbsent(dir, _ => {
+      val b0 = QDef.tempDir("graft_lsh_inc_gate")
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val parts = (0 to 2).map(r => docs.filter(pmod(col("doc_id"), lit(3)) === r))
+      (Seq(0L -> parts(0), 1L -> parts(1), 1L -> parts(1) /* replay */,
+        2L -> parts(2))).foreach { case (bid, b) =>
+        graft.curation.Curation.incrementalLshLabelsBatch(b, bid,
+          s"$b0/staged", s"$b0/edges", s"$b0/labels",
+          numHashes = 16, bands = 2, nBuckets = 8)
+      }
+      b0
+    })
 
   /** Memoized cluster-label store `(doc_id, ec, lc, sc)` per fixture dir:
     * the exact ≥0.9-Jaccard component, the 16×2 portable-MinHash-LSH
@@ -65,17 +87,11 @@ object DocQueries {
     val p = dedupLabelCache.computeIfAbsent(dir, _ => {
       import org.apache.spark.sql.graftbridge.Bridge
       val path = QDef.tempDir("graft_dedup_labels")
-      val docs = Tables.documents(s, dir)
-      val ec = Dedup.exactDocLabels(docs, col("text"), col("doc_id"),
-        threshold = 0.9, ngram = 1)
-      val lc = Dedup.docLabelsFromEdges(docs.select(col("doc_id")),
-        Dedup.minHashLshEdgesPortable(docs, col("text"), col("doc_id"),
-          numHashes = 16, bands = 2), "lc")
-      val sc = Dedup.simHashDocLabels(docs, col("text"), col("doc_id"),
-        nBits = 24, maxDist = 2, "sc")
-      ec.join(lc, Seq("doc_id")).join(sc, Seq("doc_id"))
-        .write.mode("overwrite").parquet(path)
-      Bridge.release(ec); Bridge.release(lc); Bridge.release(sc)
+      val labeled = Dedup.tripleClusterLabels(Tables.documents(s, dir),
+        col("text"), col("doc_id"), threshold = 0.9,
+        numHashes = 16, bands = 2, nBits = 24, maxDist = 2)
+      labeled.write.mode("overwrite").parquet(path)
+      Bridge.release(labeled)
       path
     })
     s.read.parquet(p)
@@ -1188,7 +1204,7 @@ object DocQueries {
     // cluster size); `nearDupClusterHistogram` remains the one-shot API,
     // equivalence-pinned in DedupSpec.
     QDef("d12_cluster_histogram", d12OracleSql(rounds = 12)) { (s, dir) =>
-      Dedup.clusterHistogramFromLabels(dedupLabelStore(s, dir), "ec")
+      Dedup.dedupAuditReport(dedupLabelStore(s, dir)).histExact
         .orderBy(col("cluster_size"))
     },
 
@@ -1207,66 +1223,47 @@ object DocQueries {
     // through the incremental store.
     QDef("d12b_lsh_cluster_histogram",
         d12bOracleSql(numHashes = 16, bands = 2, rounds = 14)) { (s, dir) =>
-      Dedup.clusterHistogramFromLabels(dedupLabelStore(s, dir), "lc")
+      Dedup.dedupAuditReport(dedupLabelStore(s, dir)).histLsh
         .orderBy(col("cluster_size"))
     },
 
-    // d12b maintained INCREMENTALLY (round-10 streaming twin): the corpus
-    // split into three deterministic ingestion batches (doc_id mod 3),
-    // driven through the band-row-staging bucket-recompute pipeline
-    // (Curation.incrementalLshHistogramBatch), batch 1 REPLAYED to prove
-    // edge-store idempotence — the histogram read from the maintained
-    // store must hash-match the SAME global oracle as `d12b`. What the
-    // incremental form saves at scale: signatures are computed once per
-    // doc ever, and only touched (band, bucket) partitions re-derive
-    // spanning edges; the component step stays global by nature.
+    // The RECOMPUTE/AUDIT read of the incrementally-maintained LSH store
+    // (round-12 re-scope; shared drive with d12d): the corpus ingested in
+    // three deterministic batches (doc_id mod 3) through the canonical
+    // maintenance op (band-row staging + touched-bucket edge recompute +
+    // versioned label snapshots), batch 1 REPLAYED to prove idempotence —
+    // then this gate re-clusters the FULL edge store from scratch
+    // (Curation.lshHistogramFromStore) and must hash-match the same
+    // global oracle as d12b. That full re-cluster is deliberately NOT the
+    // serving read (d12d's maintained-label groupBy is — flat per-batch
+    // cost, ScaleProbe-verified); it is the audit a store owner runs once
+    // per snapshot to validate the maintained labels against the edge
+    // history, and the gate that proves the staged edge store itself
+    // (not just its labels) stays byte-correct under incremental
+    // maintenance.
     QDef("d12c_lsh_histogram_inc",
         d12bOracleSql(numHashes = 16, bands = 2, rounds = 14)) { (s, dir) =>
-      val base = d12cDriveCache.computeIfAbsent(dir, _ => {
-        val b0 = QDef.tempDir("graft_lsh_inc_gate")
-        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-        val parts = (0 to 2).map(r => docs.filter(pmod(col("doc_id"), lit(3)) === r))
-        (Seq(0L -> parts(0), 1L -> parts(1), 1L -> parts(1) /* replay */,
-          2L -> parts(2))).foreach { case (bid, b) =>
-          graft.curation.Curation.incrementalLshHistogramBatch(b, bid,
-            s"$b0/staged", s"$b0/edges", numHashes = 16, bands = 2,
-            nBuckets = 8)
-        }
-        b0
-      })
+      val base = lshIncDrive(s, dir)
       graft.curation.Curation
         .lshHistogramFromStore(s, s"$base/staged", s"$base/edges")
         .orderBy(col("cluster_size"))
     },
 
-    // The label-maintenance twin of d12c (round 11): the SAME staged
-    // drive, but the cluster labels are maintained BATCH-WISE with
-    // Dedup.componentsIncremental — per batch the edge store is read,
-    // quotiented against the current labels (already-merged edges vanish
-    // at the self-loop filter), and components runs over a graph bounded
-    // by the genuinely-new connectivity, not the edge history. The
-    // maintained label snapshot is what the histogram reads: one groupBy,
-    // no re-clustering. Replayed batch proves label-merge idempotence
-    // (merges are monotone). Must hash-match the SAME oracle as d12b/d12c.
+    // The CANONICAL store read (round 11, re-scoped round 12): same
+    // shared drive as d12c, but the histogram is ONE groupBy over the
+    // batch-wise-maintained label snapshot — per ingest batch the edge
+    // store is quotiented against current labels (already-merged edges
+    // vanish at the self-loop filter) and components runs over a graph
+    // bounded by the genuinely-new connectivity, not the edge history
+    // (Dedup.componentsIncremental; ScaleProbe: flat per-batch CC at 10×
+    // and 100×). No registered read path re-clusters an edge store —
+    // this is the serving read; d12c is the recompute audit. The
+    // replayed batch proves label-merge idempotence (merges are
+    // monotone). Must hash-match the SAME oracle as d12b/d12c.
     QDef("d12d_lsh_histogram_labels_inc",
         d12bOracleSql(numHashes = 16, bands = 2, rounds = 14)) { (s, dir) =>
-      val base = d12dDriveCache.computeIfAbsent(dir, _ => {
-        val b0 = QDef.tempDir("graft_lsh_lblinc_gate")
-        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-        val parts = (0 to 2).map(r => docs.filter(pmod(col("doc_id"), lit(3)) === r))
-        (Seq(0L -> parts(0), 1L -> parts(1), 1L -> parts(1) /* replay */,
-          2L -> parts(2))).foreach { case (bid, b) =>
-          graft.curation.Curation.incrementalLshLabelsBatch(b, bid,
-            s"$b0/staged", s"$b0/edges", s"$b0/labels",
-            numHashes = 16, bands = 2, nBuckets = 8)
-        }
-        b0
-      })
-      import org.apache.spark.sql.types._
-      val labelSchema = StructType(Seq(
-        StructField("node", LongType), StructField("comp", LongType)))
-      Dedup.clusterHistogramFromLabels(
-          s.read.schema(labelSchema).parquet(s"$base/labels"), "comp")
+      val base = lshIncDrive(s, dir)
+      graft.curation.Curation.lshHistogramFromLabels(s, s"$base/labels")
         .orderBy(col("cluster_size"))
     },
 
@@ -1289,8 +1286,7 @@ object DocQueries {
     QDef("d14_lsh_agreement",
         d14OracleSql(numHashes = 16, bands = 2,
           roundsExact = 12, roundsLsh = 14)) { (s, dir) =>
-      Dedup.agreementFromLabels(
-        dedupLabelStore(s, dir).select(col("doc_id"), col("ec"), col("lc")))
+      Dedup.dedupAuditReport(dedupLabelStore(s, dir)).agreementLsh
     },
 
     // The THIRD leg of the agreement family (round 11): SimHash-vs-exact.
@@ -1311,9 +1307,7 @@ object DocQueries {
     QDef("d15_simhash_agreement",
         d15OracleSql(nBits = 24, maxDist = 2,
           roundsExact = 12, roundsSim = 14)) { (s, dir) =>
-      Dedup.agreementFromLabels(
-        dedupLabelStore(s, dir)
-          .select(col("doc_id"), col("ec"), col("sc").as("lc")))
+      Dedup.dedupAuditReport(dedupLabelStore(s, dir)).agreementSimHash
     },
 
     // The SimHash cluster-size histogram — d12/d12b's sibling over the
@@ -1323,7 +1317,7 @@ object DocQueries {
     // independently-oracled histograms.
     QDef("d16_simhash_cluster_histogram",
         d16OracleSql(nBits = 24, maxDist = 2, roundsSim = 14)) { (s, dir) =>
-      Dedup.clusterHistogramFromLabels(dedupLabelStore(s, dir), "sc")
+      Dedup.dedupAuditReport(dedupLabelStore(s, dir)).histSimHash
         .orderBy(col("cluster_size"))
     },
 

@@ -149,38 +149,26 @@ object ScaleProbe {
         threshold = 0.9, nBits = 24, maxDist = 2).count()
     }
     t(s"d12d labels inc ${mult}x") {
-      // batch-wise label maintenance vs re-clustering: per batch, stage
-      // LSH band rows, then componentsIncremental over the edge store
-      // quotiented against the current labels — the per-batch CC cost
-      // must track NEW connectivity, not edge history (printed per batch)
-      import org.apache.spark.sql.types._
+      // batch-wise label maintenance vs re-clustering, through the REAL
+      // library ops (a hand-mirrored copy here once measured a stale
+      // plan — round-10/11 advice): per batch, the staging phase runs
+      // untimed, then the label phase (Curation.updateLabelsSnapshot —
+      // snapshot read + componentsIncremental over the edge store
+      // quotiented against current labels + versioned snapshot write) is
+      // timed alone. The per-batch label cost must track NEW
+      // connectivity, not edge history (printed per batch).
       val base = java.nio.file.Files
         .createTempDirectory("graft_probe_lblinc").toString
-      val labelSchema = StructType(Seq(
-        StructField("node", LongType), StructField("comp", LongType)))
-      val edgeSchema = StructType(Seq(
-        StructField("doc_a", LongType), StructField("doc_b", LongType),
-        StructField("bucket", IntegerType)))
-      val lp = new org.apache.hadoop.fs.Path(s"$base/labels")
-      lp.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(lp)
       (0 to 2).foreach { r =>
         val b = big.filter(pmod(col("doc_id"), lit(3)) === r)
         Curation.incrementalLshHistogramBatch(b, r.toLong, s"$base/staged",
           s"$base/edges", numHashes = 16, bands = 2, nBuckets = 64)
         val t0 = System.nanoTime()
-        val old = spark.read.schema(labelSchema).parquet(s"$base/labels")
-        val withNew = old.unionByName(
-          b.select(col("doc_id").as("node"))
-            .join(old.select(col("node")), Seq("node"), "left_anti")
-            .select(col("node"), col("node").as("comp")))
-        val updated = Dedup.componentsIncremental(withNew,
-          spark.read.schema(edgeSchema).parquet(s"$base/edges")
-            .select(col("doc_a"), col("doc_b")))
-        updated.write.mode("overwrite").parquet(s"$base/labels")
-        org.apache.spark.sql.graftbridge.Bridge.release(updated)
+        Curation.updateLabelsSnapshot(b, r.toLong, s"$base/edges",
+          s"$base/labels")
         println(f"SCALE   d12d cc batch $r ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
-      spark.read.schema(labelSchema).parquet(s"$base/labels").count()
+      Curation.readLabelsSnapshot(spark, s"$base/labels").count()
     }
     t(s"c19q full-dup long docs ${mult}x") {
       // the ExactSubstr worst case: fully-duplicated LONG documents, so

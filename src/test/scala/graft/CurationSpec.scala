@@ -212,7 +212,7 @@ class CurationSpec extends AnyFunSuite {
       s"$base/labels", numHashes = 8, bands = 2, nBuckets = 4,
       queryName = "lsh_labels_ingest_test")
     def labels(): Map[Long, Long] =
-      spark.read.parquet(s"$base/labels").collect()
+      Curation.readLabelsSnapshot(spark, s"$base/labels").collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
     try {
       val fam = (0 until 12).map(j => s"q$j").mkString(" ")
@@ -224,7 +224,107 @@ class CurationSpec extends AnyFunSuite {
       in.addData((2L, fam))
       q.processAllAvailable()
       assert(labels() == Map(2L -> 2L, 5L -> 2L, 9L -> 9L))
+      // snapshots are VERSIONED: both batches' dirs exist; pruning keeps
+      // only the newest committed one and the read is unchanged
+      val fs = new org.apache.hadoop.fs.Path(s"$base/labels")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def snapDirs(): Set[String] =
+        fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/labels"))
+          .filter(_.isDirectory).map(_.getPath.getName)
+          .filter(_.startsWith("snap=")).toSet
+      assert(snapDirs() == Set("snap=0", "snap=1"), snapDirs().toString)
+      Curation.pruneLabelSnapshots(spark, s"$base/labels", keep = 1)
+      assert(snapDirs() == Set("snap=1"), snapDirs().toString)
+      assert(labels() == Map(2L -> 2L, 5L -> 2L, 9L -> 9L))
     } finally q.stop()
+  }
+
+  test("label snapshot reader skips uncommitted (crashed) snapshot dirs") {
+    val base = graft.queries.QDef.tempDir("graft_lbl_crash")
+    val b0 = Seq((7L, "a b c d e"), (8L, "a b c d e")).toDF("doc_id", "text")
+    Curation.incrementalLshHistogramBatch(b0, 0L, s"$base/staged",
+      s"$base/edges", numHashes = 8, bands = 2, nBuckets = 4)
+    Curation.updateLabelsSnapshot(b0, 0L, s"$base/edges", s"$base/labels")
+    def labels(): Map[Long, Long] =
+      Curation.readLabelsSnapshot(spark, s"$base/labels").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels() == Map(7L -> 7L, 8L -> 7L))
+    // simulate a crash mid-write of the NEXT snapshot: a partial dir with
+    // parquet data but no _SUCCESS marker — the reader must keep serving
+    // the last committed snapshot, not the torn one
+    val torn = s"$base/labels/snap=1"
+    Seq((99L, 99L)).toDF("node", "comp").write.parquet(torn)
+    val fs = new org.apache.hadoop.fs.Path(torn)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(torn, "_SUCCESS"), false)
+    assert(labels() == Map(7L -> 7L, 8L -> 7L))
+    // the foreachBatch replay of batch 1 rewrites the torn dir whole
+    val b1 = Seq((2L, "a b c d e")).toDF("doc_id", "text")
+    Curation.incrementalLshHistogramBatch(b1, 1L, s"$base/staged",
+      s"$base/edges", numHashes = 8, bands = 2, nBuckets = 4)
+    Curation.updateLabelsSnapshot(b1, 1L, s"$base/edges", s"$base/labels")
+    assert(labels() == Map(2L -> 2L, 7L -> 2L, 8L -> 2L))
+    // pruning removes crash leftovers OLDER than the newest committed
+    // snapshot but never an uncommitted NEWER dir (possibly in-flight)
+    val inflight = s"$base/labels/snap=2"
+    Seq((1L, 1L)).toDF("node", "comp").write.parquet(inflight)
+    fs.delete(new org.apache.hadoop.fs.Path(inflight, "_SUCCESS"), false)
+    Curation.pruneLabelSnapshots(spark, s"$base/labels", keep = 1)
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/labels"))
+      .filter(_.isDirectory).map(_.getPath.getName).toSet
+    assert(names == Set("snap=1", "snap=2"), names.toString)
+    assert(labels() == Map(2L -> 2L, 7L -> 2L, 8L -> 2L))
+  }
+
+  test("compactStagedStore: compact-then-read ≡ read, and ingest continues") {
+    import org.apache.spark.sql.types._
+    val base = graft.queries.QDef.tempDir("graft_lsh_compact")
+    val fam = (0 until 12).map(j => s"w$j").mkString(" ")
+    val batches = Seq(
+      Seq((1L, fam), (9L, "unique one two three four five")),
+      Seq((5L, fam), (6L, "other unrelated text here entirely")),
+      Seq((3L, fam)))
+    batches.zipWithIndex.foreach { case (rows, bid) =>
+      Curation.incrementalLshLabelsBatch(rows.toDF("doc_id", "text"),
+        bid.toLong, s"$base/staged", s"$base/edges", s"$base/labels",
+        numHashes = 8, bands = 2, nBuckets = 4)
+    }
+    def hist(): Seq[(Long, Long)] =
+      Curation.lshHistogramFromStore(spark, s"$base/staged", s"$base/edges")
+        .orderBy("cluster_size")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val before = hist()
+    val stagedSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("band", IntegerType),
+      StructField("band_hash", StringType), StructField("bucket", IntegerType),
+      StructField("batch_id", LongType)))
+    Curation.compactStagedStore(spark, s"$base/staged", stagedSchema)
+    // every bucket now holds exactly the batch_id=-1 snapshot partition
+    val fs = new org.apache.hadoop.fs.Path(s"$base/staged")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/staged"))
+      .filter(_.isDirectory).foreach { b =>
+        val kids = fs.listStatus(b.getPath).filter(_.isDirectory)
+          .map(_.getPath.getName).toSeq
+        assert(kids == Seq("batch_id=-1"), s"${b.getPath}: $kids")
+      }
+    assert(hist() == before, s"${hist()} vs $before")
+    // re-running compaction is a no-op (idempotent)
+    Curation.compactStagedStore(spark, s"$base/staged", stagedSchema)
+    assert(hist() == before)
+    // ingest continues against the compacted store: a new batch's
+    // touched-bucket recompute reads compacted + fresh partitions
+    Curation.incrementalLshLabelsBatch(Seq((0L, fam)).toDF("doc_id", "text"),
+      3L, s"$base/staged", s"$base/edges", s"$base/labels",
+      numHashes = 8, bands = 2, nBuckets = 4)
+    // docs 0,1,3,5 share fam → one size-4 cluster; 6 and 9 are singletons
+    val after = hist()
+    assert(after == Seq((1L, 2L), (4L, 1L)), after.toString)
+    // ...and the maintained labels agree with the recompute read
+    val lblHist = Curation.lshHistogramFromLabels(spark, s"$base/labels")
+      .orderBy("cluster_size")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(lblHist == after, s"$lblHist vs $after")
   }
 
   test("dedupSpansAcrossDocs removes every position covered by a duplicated window") {

@@ -164,6 +164,55 @@ class DedupSpec extends AnyFunSuite {
     assert(repStore.toSeq == repApi.toSeq)
   }
 
+  test("dedupAuditReport: every panel equals its composed one-shot") {
+    // dup-dense corpus with exact-dup groups and near-dup chains — all
+    // three clustering families produce non-trivial, DIFFERENT partitions
+    val corpus = (0L until 60L).map { i =>
+      val base = if (i % 3 != 0) i - (i % 3) else i
+      val toks = (0 until 8).map(j => s"t${(base / 3) * 2 + j}")
+      (i, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    val labels = Dedup.tripleClusterLabels(corpus, col("text"),
+      col("doc_id"), threshold = 0.9, numHashes = 16, bands = 2,
+      nBits = 24, maxDist = 2)
+    val report = Dedup.dedupAuditReport(labels)
+    def h(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(h(report.histExact) == h(Dedup.nearDupClusterHistogram(corpus,
+      col("text"), col("doc_id"), 0.9)))
+    assert(h(report.histLsh) == h(Dedup.lshClusterHistogram(corpus,
+      col("text"), col("doc_id"), numHashes = 16, bands = 2)))
+    // sc histogram against an INDEPENDENT composition: components over
+    // the verified banded Hamming pairs (no rep collapse on this side)
+    assert(h(report.histSimHash) == h(Dedup.clusterHistogramFromEdges(
+      corpus.select(col("doc_id")),
+      Dedup.simHashNearPairsPortable(corpus, col("text"), col("doc_id"),
+        nBits = 24, maxDist = 2))))
+    assert(report.agreementLsh.collect().map(_.toSeq).toSeq ==
+      Dedup.lshDedupAgreement(corpus, col("text"), col("doc_id"),
+        threshold = 0.9, numHashes = 16, bands = 2)
+        .collect().map(_.toSeq).toSeq)
+    assert(report.agreementSimHash.collect().map(_.toSeq).toSeq ==
+      Dedup.simHashDedupAgreement(corpus, col("text"), col("doc_id"),
+        threshold = 0.9, nBits = 24, maxDist = 2)
+        .collect().map(_.toSeq).toSeq)
+    report.release()
+    org.apache.spark.sql.graftbridge.Bridge.release(labels)
+  }
+
+  test("keepOneFromLabels: rows missing from a stale snapshot survive as singletons") {
+    // labels cover docs 1..3 (1 keeps, 2 and 3 lose to 1); docs 10, 11
+    // were ingested AFTER the snapshot — a winner-semi-join would
+    // silently drop them from the kept corpus; the loser-anti-join keeps
+    // them (they are singletons until the next snapshot says otherwise)
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "a"), (10L, "x"), (11L, "y"))
+      .toDF("doc_id", "text")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("doc_id", "ec")
+    val kept = Dedup.keepOneFromLabels(df, col("doc_id"), labels)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 10L, 11L))
+  }
+
   test("componentsIncremental: batch-wise labels equal full components on random graphs") {
     val rnd = new scala.util.Random(61)
     for (trial <- 0 until 4) {
