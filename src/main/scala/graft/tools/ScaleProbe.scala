@@ -170,6 +170,74 @@ object ScaleProbe {
       }
       Curation.readLabelsSnapshot(spark, s"$base/labels").count()
     }
+    t(s"d16 simhash label build ${mult}x") {
+      // the store-build leg behind the d16 histogram at mult× dup mass:
+      // replicas are exact dups ⇒ identical fingerprints, so the
+      // fingerprint rep collapse must absorb the replication BEFORE the
+      // banded self-join (cost tracks distinct fingerprints, not corpus
+      // size — the label-expansion join is the only corpus-sized stage)
+      val sc = Dedup.simHashDocLabels(big, col("text"), col("doc_id"),
+        nBits = 24, maxDist = 2, "sc")
+      val n = sc.count()
+      org.apache.spark.sql.graftbridge.Bridge.release(sc)
+      n
+    }
+    t(s"mm9 image-text pair dedup ${mult}x") {
+      // the fused decode+signature mapPartitions pass over REAL farbfeld
+      // payloads (the mm9 gate's construction, image keyed on doc_id%7):
+      // one corpus scan, one joint-key groupBy with map-side combine —
+      // should be embarrassingly linear in corpus bytes
+      import spark.implicits._
+      val pairs = big.select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val fam = id % 7
+          val w = (4 + fam % 5).toInt
+          val h = (3 + fam % 4).toInt
+          (id, text, graft.multimodal.Multimodal.Farbfeld.encode(w, h,
+            (i, c) => ((fam * 7919L + i.toLong * 31L + c.toLong * 101L)
+              % 65536L).toInt))
+        })
+        .toDF("doc_id", "text", "payload")
+      graft.multimodal.Multimodal
+        .imageTextPairDedup(pairs, "doc_id", "payload", col("text")).count()
+    }
+    t(s"compaction read cost ${mult}x") {
+      // staged-store lifecycle: ingest 12 small batches (per-batch dirs
+      // accumulate), time the full recompute read, compact every bucket
+      // to its batch_id=-1 snapshot, re-time the same read — the
+      // post-compaction read must be no slower (fewer dirs listed and
+      // opened; row set identical by the CurationSpec equivalence pin)
+      import org.apache.spark.sql.types._
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_probe_compact").toString
+      (0 to 11).foreach { r =>
+        val b = big.filter(pmod(col("doc_id"), lit(12)) === r)
+        Curation.incrementalLshHistogramBatch(b, r.toLong, s"$base/staged",
+          s"$base/edges", numHashes = 16, bands = 2, nBuckets = 64)
+      }
+      val t0 = System.nanoTime()
+      val nBefore = Curation
+        .lshHistogramFromStore(spark, s"$base/staged", s"$base/edges").count()
+      val tBefore = (System.nanoTime() - t0) / 1e9
+      val stagedSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("band", IntegerType),
+        StructField("band_hash", StringType),
+        StructField("bucket", IntegerType),
+        StructField("batch_id", LongType)))
+      val tc0 = System.nanoTime()
+      Curation.compactStagedStore(spark, s"$base/staged", stagedSchema)
+      val tCompact = (System.nanoTime() - tc0) / 1e9
+      val t1 = System.nanoTime()
+      val nAfter = Curation
+        .lshHistogramFromStore(spark, s"$base/staged", s"$base/edges").count()
+      val tAfter = (System.nanoTime() - t1) / 1e9
+      println(f"SCALE   compaction: read $tBefore%.2f s (12-batch store) -> " +
+        f"$tAfter%.2f s (compacted), compact itself $tCompact%.2f s, " +
+        s"rows $nBefore == $nAfter")
+      require(nBefore == nAfter, "compaction changed the histogram")
+      nAfter
+    }
     t(s"c19q full-dup long docs ${mult}x") {
       // the ExactSubstr worst case: fully-duplicated LONG documents, so
       // every window is flagged (f ≈ n_tokens). The old per-position HOF
