@@ -538,6 +538,84 @@ object Curation {
     ()
   }
 
+  /** Stop-the-world compaction for COUNT-SEMANTICS staged stores (the
+    * span-dedup gram store): same goal as [[compactStagedStore]] —
+    * collapse a bucket's accumulated `(bucket, batch_id)` partitions
+    * into one `batch_id = compactId` snapshot partition — but these
+    * stores count staged rows, so the duplicate-row crash window the
+    * set-semantics op tolerates would flag FALSE duplicates here.
+    * Each bucket therefore moves through a stage-and-swap (the
+    * `redset_freshness_inc` idiom): the compacted bucket is written
+    * durably to a side dir first (Spark's `_SUCCESS` marks the stage
+    * complete), then swapped in with two fs metadata ops (delete +
+    * rename). A crash anywhere is recovered by RE-RUNNING compaction:
+    * before the swap's delete the source bucket is intact (a torn
+    * stage dir has no `_SUCCESS` and is restaged from it); after it,
+    * the committed stage dir IS the bucket's data and the re-run
+    * completes the swap (the bucket universe is source ∪ staged dirs,
+    * so a swap-pending bucket whose source is already gone is still
+    * found).
+    *
+    * Contract: STOP-THE-WORLD — an ingest batch landing between a
+    * bucket's stage and its swap would be lost by the swap's delete;
+    * run in the maintenance window the single-writer foreachBatch loop
+    * already serializes (same contract as [[compactStagedStore]], which
+    * additionally survives concurrent READS; here a reader racing the
+    * two-op swap of one bucket can observe that bucket briefly empty —
+    * quiesce reads too, or accept one-bucket holes during the window).
+    *
+    * The span store's `docs` side (batch_id-partitioned raw text) is
+    * NOT compacted here: its rows are corpus bytes (a compaction is a
+    * full corpus rewrite for an O(batches)-dirs listing win with no
+    * bucket fan-out), and its per-batch dirs are exactly what replay
+    * idempotence overwrites. Compact it by re-sharding into a fresh
+    * store if listing cost ever dominates.
+    */
+  def compactCountedStore(spark: org.apache.spark.sql.SparkSession,
+                          stagingPath: String,
+                          stagedSchema: org.apache.spark.sql.types.StructType,
+                          compactId: Long = -1L): Unit = {
+    require(compactId < 0,
+      s"compactId must be negative (live batchIds are >= 0), got $compactId")
+    val p = new org.apache.hadoop.fs.Path(stagingPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    val tmpRoot = new org.apache.hadoop.fs.Path(stagingPath + ".compact_tmp")
+    def bucketsUnder(root: org.apache.hadoop.fs.Path): Seq[String] =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq.filter(_.isDirectory)
+        .map(_.getPath.getName).filter(_.startsWith("bucket="))
+    (bucketsUnder(p) ++ bucketsUnder(tmpRoot)).distinct.foreach { bname =>
+      val srcB = new org.apache.hadoop.fs.Path(p, bname)
+      val tmpB = new org.apache.hadoop.fs.Path(tmpRoot, bname)
+      def staged = fs.exists(new org.apache.hadoop.fs.Path(tmpB, "_SUCCESS"))
+      val srcBatches =
+        if (fs.exists(srcB)) fs.listStatus(srcB).toSeq.filter(_.isDirectory)
+          .map(_.getPath.getName).filter(_.startsWith("batch_id="))
+        else Seq.empty
+      val alreadyCompact = srcBatches == Seq(s"batch_id=$compactId")
+      if (!staged && !alreadyCompact && srcBatches.nonEmpty) {
+        if (fs.exists(tmpB)) fs.delete(tmpB, true) // torn stage: restage
+        val b = bname.stripPrefix("bucket=").toInt
+        // bucket is a partition column on the read and re-becomes one via
+        // the dir name after the rename — dropped from the staged files
+        // so discovery doesn't see it twice
+        spark.read.schema(stagedSchema).parquet(stagingPath)
+          .filter(col("bucket") === b)
+          .withColumn("batch_id", lit(compactId))
+          .drop("bucket")
+          .write.partitionBy("batch_id").parquet(tmpB.toString)
+      }
+      if (staged) {
+        fs.delete(srcB, true)
+        fs.rename(tmpB, srcB)
+        ()
+      }
+    }
+    fs.delete(tmpRoot, true)
+    ()
+  }
+
   /** Committed `(batchId, dir)` snapshot list under a versioned label
     * store, ascending by batchId. A snapshot is committed iff its dir
     * carries the `_SUCCESS` marker Spark's file committer writes last —

@@ -327,6 +327,66 @@ class CurationSpec extends AnyFunSuite {
     assert(lblHist == after, s"$lblHist vs $after")
   }
 
+  test("compactCountedStore: stage-and-swap compaction of the span gram store") {
+    import org.apache.spark.sql.types._
+    val base = graft.queries.QDef.tempDir("graft_span_compact")
+    val batches = Seq(
+      Seq((1L, "a b c d x y z"), (3L, "m n o")),
+      Seq((2L, "p q a b c d")),
+      Seq((5L, "r r r r")))
+    batches.zipWithIndex.foreach { case (rows, bid) =>
+      Curation.incrementalSpanDedupBatch(rows.toDF("doc_id", "text"),
+        bid.toLong, s"$base/staged", s"$base/dups", window = 3, nBuckets = 4)
+    }
+    def cleaned(): Seq[(Long, String)] =
+      Curation.spanDedupFromStore(spark, s"$base/staged", s"$base/dups",
+          window = 3)
+        .orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val before = cleaned()
+    val gramSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("s", IntegerType),
+      StructField("gram_h", LongType), StructField("bucket", IntegerType),
+      StructField("batch_id", LongType)))
+    Curation.compactCountedStore(spark, s"$base/staged/grams", gramSchema)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def bucketKids(): Seq[Seq[String]] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/staged/grams"))
+        .filter(_.isDirectory).toSeq.map { b =>
+          fs.listStatus(b.getPath).filter(_.isDirectory)
+            .map(_.getPath.getName).toSeq.sorted
+        }
+    // every bucket collapsed to its batch_id=-1 snapshot; counts intact
+    assert(bucketKids().forall(_ == Seq("batch_id=-1")), bucketKids().toString)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$base/staged/grams.compact_tmp")))
+    assert(cleaned() == before, s"${cleaned()} vs $before")
+    // idempotent re-run
+    Curation.compactCountedStore(spark, s"$base/staged/grams", gramSchema)
+    assert(cleaned() == before)
+    // crash recovery: simulate a failure between a bucket's swap delete
+    // and its rename — the committed staged dir holds the data, the
+    // source bucket is gone; a re-run must complete the swap
+    val grams = new org.apache.hadoop.fs.Path(s"$base/staged/grams")
+    val firstBucket = fs.listStatus(grams).filter(_.isDirectory).head.getPath
+    val tmpRoot = new org.apache.hadoop.fs.Path(
+      s"$base/staged/grams.compact_tmp")
+    fs.mkdirs(tmpRoot)
+    fs.rename(firstBucket,
+      new org.apache.hadoop.fs.Path(tmpRoot, firstBucket.getName))
+    Curation.compactCountedStore(spark, s"$base/staged/grams", gramSchema)
+    assert(cleaned() == before)
+    assert(!fs.exists(tmpRoot))
+    // ingest continues: doc 4 duplicates doc 3's "m n o" across batches
+    Curation.incrementalSpanDedupBatch(Seq((4L, "m n o")).toDF(
+      "doc_id", "text"), 3L, s"$base/staged", s"$base/dups",
+      window = 3, nBuckets = 4)
+    val after = cleaned()
+    assert(after.find(_._1 == 3L).get._2 == "", after.toString)
+    assert(after.find(_._1 == 4L).get._2 == "", after.toString)
+  }
+
   test("dedupSpansAcrossDocs removes every position covered by a duplicated window") {
     // window=3; coverage of a flagged start s is positions [s, s+2].
     // Docs 1 and 2 share the run "a b c d" → duplicated 3-grams "a b c"
