@@ -731,6 +731,73 @@ object Curation {
           window, nBuckets)
       }.start()
 
+  /** Canonical form of an absolute crawl URL — the normalization a
+    * crawl-dedup frontier applies before URL-keyed dedup, each rule a
+    * standard crawler convention:
+    *
+    *   1. drop the fragment (client-side only, never a distinct page);
+    *   2. lowercase the scheme and host (case-insensitive per RFC 3986)
+    *      — never the path, which is case-sensitive;
+    *   3. drop default ports (`http…:80`, `https…:443`);
+    *   4. strip trailing slashes from the path;
+    *   5. drop tracking params (`utm_*`, `gclid`, `fbclid`) and SORT
+    *      the survivors — query order is semantically irrelevant, and
+    *      sorting makes the key deterministic across re-crawls that
+    *      emit params in different orders.
+    *
+    * Pure `functions._` composition (one regexp parse + array ops), no
+    * UDF — evaluates scan-side, so at 100 TB the canonical key exists
+    * before the dedup shuffle and never needs a second pass. Input
+    * contract: absolute `scheme://…` URLs (a non-matching string
+    * canonicalizes to `"://"` garbage rather than throwing — filter
+    * frontier junk upstream).
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val re = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\\?([^#]*))?"
+    val scheme = lower(regexp_extract(url, re, 1))
+    val hostport = lower(regexp_extract(url, re, 2))
+    val host = when(scheme === "http" && hostport.endsWith(":80"),
+        regexp_replace(hostport, ":80$", ""))
+      .when(scheme === "https" && hostport.endsWith(":443"),
+        regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+    val path = regexp_replace(regexp_extract(url, re, 3), "/+$", "")
+    val params = filter(split(regexp_extract(url, re, 4), "&"), p =>
+      p =!= "" && !p.startsWith("utm_") && !p.startsWith("gclid=") &&
+        !p.startsWith("fbclid="))
+    val q = array_join(array_sort(params), "&")
+    concat(scheme, lit("://"), host, path,
+      when(q === "", lit("")).otherwise(concat(lit("?"), q)))
+  }
+
+  /** The registrable-host key of a canonical URL (everything between
+    * `://` and the first `/`, `?`, `:` or end) — the per-domain grain of
+    * crawl audits (pages per site, politeness budgets, domain-level
+    * block lists). Feed it [[canonicalizeUrl]] output so case/port noise
+    * is already gone.
+    */
+  def urlDomain(canonUrl: Column): Column =
+    regexp_extract(canonUrl, "^[^:]*://([^/?:]*)", 1)
+
+  /** URL-keyed crawl dedup groups: one row per canonical URL with the
+    * kept doc (min id — the d-family convention), its domain, and the
+    * duplicate count. A pure groupBy on the scan-side canonical key:
+    * map-side combine absorbs re-crawl dup mass (a page fetched 10^6
+    * times contributes one row per map partition, never a hot reduce
+    * task with 10^6 rows), so the plan is skew-proof by construction.
+    * Semi-join `df` against `(canon_url, keep_doc_id)` to materialize
+    * kept full rows.
+    */
+  def crawlUrlGroups(df: DataFrame, url: Column, id: Column): DataFrame = {
+    val canon = canonicalizeUrl(url)
+    df.select(id.as("doc_id"), canon.as("canon_url"))
+      .groupBy(col("canon_url"))
+      .agg(min(col("doc_id")).as("keep_doc_id"),
+        count(lit(1)).as("dup_count"))
+      .select(col("keep_doc_id"), urlDomain(col("canon_url")).as("domain"),
+        col("canon_url"), col("dup_count"))
+  }
+
   /** Sequence packing (training-batch prep): documents are concatenated
     * per `key` in `order` and SPLIT into fixed `budget`-token training
     * sequences — each row gets the sequence id and in-sequence offset of

@@ -97,6 +97,34 @@ object DocQueries {
     s.read.parquet(p)
   }
 
+  /** The constructed crawl frontier shared by the c20/c21 gates: a
+    * deterministic raw URL per document (the mm9 constructed-input
+    * pattern) exercising every canonicalization rule — mixed-case scheme
+    * and host, default (dropped) / explicit (kept) / absent ports, a
+    * trailing slash on every 4th doc, tracking params, the same query
+    * params in two different orders (classes 2 and 3 — canonically
+    * EQUAL, so the dedup gate genuinely merges re-crawls), fragments on
+    * every 6th doc.
+    */
+  private def gateCrawlUrl: org.apache.spark.sql.Column = concat(
+    when(col("doc_id") % 2 === 0, lit("HTTP")).otherwise(lit("https")),
+    lit("://WWW."), col("source"), lit(".Example.COM"),
+    when(col("doc_id") % 3 === 0,
+      when(col("doc_id") % 2 === 0, lit(":80")).otherwise(lit(":443")))
+      .when(col("doc_id") % 3 === 1, lit(":8080"))
+      .otherwise(lit("")),
+    lit("/"), col("lang"), lit("/Page"),
+    (col("doc_id") % 10).cast("string"),
+    when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
+    when(col("doc_id") % 5 === 0,
+      concat(lit("?utm_source=feed&id="), (col("doc_id") % 7).cast("string")))
+      .when(col("doc_id") % 5 === 1,
+        concat(lit("?id="), (col("doc_id") % 7).cast("string"), lit("&a=1")))
+      .when(col("doc_id") % 5 === 2, lit("?b=2&a=1"))
+      .when(col("doc_id") % 5 === 3, lit("?a=1&b=2"))
+      .otherwise(lit("")),
+    when(col("doc_id") % 6 === 0, lit("#sec2")).otherwise(lit("")))
+
   /** The d7 oracle: exact keep-one-per-near-dup-cluster in pure DuckDB SQL.
     *
     *  1. collapse exact-signature groups to their min-id representative
@@ -2762,6 +2790,63 @@ object DocQueries {
         .spanDedupFromStore(s, s"$base/staged", s"$base/dups",
           window = C19Window)
         .orderBy(col("doc_id"))
+    },
+
+    // URL canonicalization (round 12): each doc gets a deterministic
+    // crawl URL built from its fields (the mm9 constructed-input
+    // pattern), covering every normalization rule — mixed-case scheme and
+    // host, default vs explicit vs absent ports, trailing slashes,
+    // tracking params, unordered query params, fragments. The ENGINE
+    // parses the raw string (Curation.canonicalizeUrl: one regexp parse +
+    // array ops, scan-side); the oracle computes the expected canonical
+    // form directly from the generating fields — a parsing slip, a
+    // case-folding slip on the wrong component, or an unsorted query
+    // flips the hash.
+    QDef("c20_url_canonicalize",
+      s"""SELECT doc_id,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END)
+        |  || '://www.' || source || '.example.com'
+        |  || (CASE WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END)
+        |  || '/' || lang || '/Page' || CAST(doc_id % 10 AS VARCHAR)
+        |  || (CASE WHEN doc_id % 5 = 0 THEN '?id=' || CAST(doc_id % 7 AS VARCHAR)
+        |           WHEN doc_id % 5 = 1 THEN '?a=1&id=' || CAST(doc_id % 7 AS VARCHAR)
+        |           WHEN doc_id % 5 IN (2, 3) THEN '?a=1&b=2'
+        |           ELSE '' END) AS canon_url
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.curation.Curation.canonicalizeUrl(gateCrawlUrl)
+            .as("canon_url"))
+        .orderBy(col("doc_id"))
+    },
+
+    // URL-keyed crawl dedup (round 12): keep-one per canonical URL off
+    // the same constructed frontier — query classes 2 and 3 emit the
+    // SAME params in different orders, so the canonical key genuinely
+    // merges re-crawls that a raw-string dedup would keep apart, and the
+    // trailing-slash / fragment / default-port variants collapse
+    // likewise. One groupBy on the scan-side canonical key (map-side
+    // combine absorbs re-crawl dup mass — no hot reduce task for a viral
+    // URL); domain rides along, pinning the host extraction per row.
+    QDef("c21_crawl_dedup",
+      s"""WITH c AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END)
+        |  || '://www.' || source || '.example.com'
+        |  || (CASE WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END)
+        |  || '/' || lang || '/Page' || CAST(doc_id % 10 AS VARCHAR)
+        |  || (CASE WHEN doc_id % 5 = 0 THEN '?id=' || CAST(doc_id % 7 AS VARCHAR)
+        |           WHEN doc_id % 5 = 1 THEN '?a=1&id=' || CAST(doc_id % 7 AS VARCHAR)
+        |           WHEN doc_id % 5 IN (2, 3) THEN '?a=1&b=2'
+        |           ELSE '' END) AS canon_url,
+        |  'www.' || source || '.example.com' AS domain
+        |FROM documents)
+        |SELECT min(doc_id) AS keep_doc_id, any_value(domain) AS domain,
+        |  canon_url, CAST(count(*) AS BIGINT) AS dup_count
+        |FROM c GROUP BY canon_url ORDER BY keep_doc_id""".stripMargin) { (s, dir) =>
+      graft.curation.Curation
+        .crawlUrlGroups(Tables.documents(s, dir), gateCrawlUrl,
+          col("doc_id"))
+        .orderBy(col("keep_doc_id"))
     },
 
     // G3: triangle count + global clustering coefficient of the d4

@@ -387,6 +387,56 @@ class CurationSpec extends AnyFunSuite {
     assert(after.find(_._1 == 4L).get._2 == "", after.toString)
   }
 
+  test("canonicalizeUrl: each normalization rule, hand-checked") {
+    val cases = Seq(
+      // scheme+host lowercased, path case preserved, fragment dropped
+      ("HTTP://WWW.Ex.COM/A/B#frag", "http://www.ex.com/A/B"),
+      // default ports dropped per scheme; explicit ports kept
+      ("http://ex.com:80/p", "http://ex.com/p"),
+      ("https://ex.com:443/p", "https://ex.com/p"),
+      ("http://ex.com:8080/p", "http://ex.com:8080/p"),
+      ("https://ex.com:80/p", "https://ex.com:80/p"), // :80 not https default
+      // trailing slashes stripped (also multiple)
+      ("http://ex.com/a/", "http://ex.com/a"),
+      ("http://ex.com/a//", "http://ex.com/a"),
+      // tracking params dropped, survivors sorted; ?-only query gone
+      ("http://ex.com/p?utm_source=x&b=2&a=1", "http://ex.com/p?a=1&b=2"),
+      ("http://ex.com/p?gclid=1&fbclid=2&utm_medium=m", "http://ex.com/p"),
+      ("http://ex.com/p?z=1&a=2", "http://ex.com/p?a=2&z=1"),
+      // everything at once
+      ("HTTPS://Ex.Com:443/Dir/Page/?b=1&utm_c=z&a=0#x",
+        "https://ex.com/Dir/Page?a=0&b=1"))
+    val got = cases.map(_._1).zipWithIndex.map { case (u, i) => (i, u) }
+      .toDF("i", "url")
+      .select(col("i"), Curation.canonicalizeUrl(col("url")).as("c"))
+      .orderBy("i").collect().map(_.getString(1)).toSeq
+    assert(got == cases.map(_._2), got.mkString("\n"))
+    // domain extraction off the canonical form (port excluded)
+    val dom = Seq("http://ex.com:8080/p?a=1", "https://www.ex.com/x")
+      .zipWithIndex.map { case (u, i) => (i, u) }.toDF("i", "url")
+      .select(col("i"), Curation.urlDomain(
+        Curation.canonicalizeUrl(col("url"))).as("d"))
+      .orderBy("i").collect().map(_.getString(1)).toSeq
+    assert(dom == Seq("ex.com", "www.ex.com"), dom.toString)
+  }
+
+  test("crawlUrlGroups merges order-insensitive re-crawls, keeps min id") {
+    val df = Seq(
+      (1L, "http://a.com/p?x=1&y=2"),
+      (2L, "HTTP://A.COM/p/?y=2&x=1#f"), // same page: case+slash+order+frag
+      (3L, "http://a.com/p?x=1"),        // different query -> distinct
+      (4L, "https://b.com/q")
+    ).toDF("doc_id", "url")
+    val got = Curation.crawlUrlGroups(df, col("url"), col("doc_id"))
+      .orderBy("keep_doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(got == Seq(
+      (1L, "a.com", "http://a.com/p?x=1&y=2", 2L),
+      (3L, "a.com", "http://a.com/p?x=1", 1L),
+      (4L, "b.com", "https://b.com/q", 1L)), got.toString)
+  }
+
   test("dedupSpansAcrossDocs removes every position covered by a duplicated window") {
     // window=3; coverage of a flagged start s is positions [s, s+2].
     // Docs 1 and 2 share the run "a b c d" → duplicated 3-grams "a b c"
