@@ -1295,6 +1295,53 @@ object DocQueries {
         .orderBy(col("cluster_size"))
     },
 
+    // Tokenizer-aware token counting (round 12): greedy longest-match
+    // subword tokenization under a FIXED embedded vocabulary
+    // (TextAnalysis.BpeVocab), realized as ONE regex alternation ordered
+    // longest-first — leftmost-first alternation then IS the WordPiece
+    // greedy matching rule, and the identical pattern evaluates in
+    // DuckDB, so the count is hash-gated rather than
+    // whitespace-approximated. Every non-space char is consumed by a
+    // subword or a 1-char fallback (byte-fallback BPE counting). The
+    // whitespace count rides along for the calibration pair.
+    QDef("t19_bpe_token_count",
+      s"""SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '${graft.text.TextAnalysis.BpePattern}')) AS BIGINT) AS n_bpe,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.text.TextAnalysis.bpeTokenCountCol(col("text")).as("n_bpe"),
+          graft.text.TextAnalysis.nTokensCol(col("text")).as("n_ws"))
+        .orderBy(col("doc_id"))
+    },
+
+    // The per-language calibration artifact the token-budget ops (c11 /
+    // c14 / c15) need when budgets are denominated in TOKENIZER tokens
+    // but the corpus carries whitespace counts: subword-per-whitespace-
+    // token ratio per lang. At 100 TB this is one scan-side projection
+    // plus a lang-keyed aggregate (map-side combined, #langs rows) —
+    // compute once per snapshot, multiply budgets through.
+    QDef("t20_token_calibration",
+      s"""WITH b AS (SELECT lang,
+        |  CAST(len(regexp_extract_all(text, '${graft.text.TextAnalysis.BpePattern}')) AS BIGINT) AS n_bpe,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws
+        |FROM documents)
+        |SELECT lang, sum(n_bpe) AS total_bpe, sum(n_ws) AS total_ws,
+        |  round(CAST(sum(n_bpe) AS DOUBLE) / sum(n_ws), 6) AS bpe_per_ws
+        |FROM b GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          graft.text.TextAnalysis.bpeTokenCountCol(col("text")).as("n_bpe"),
+          graft.text.TextAnalysis.nTokensCol(col("text")).as("n_ws"))
+        .groupBy(col("lang"))
+        .agg(sum(col("n_bpe")).as("total_bpe"), sum(col("n_ws")).as("total_ws"))
+        .select(col("lang"), col("total_bpe"), col("total_ws"),
+          round(col("total_bpe").cast("double") / col("total_ws"), 6)
+            .as("bpe_per_ws"))
+        .orderBy(col("lang"))
+    },
+
     // The dedup-audit agreement report (round 10): doc-pair precision /
     // recall of the LSH single-linkage clustering against the exact
     // >=0.9-Jaccard clustering, read off the cluster contingency table

@@ -27,6 +27,58 @@ object TextAnalysis {
   // graft.curation.Curation: the whole score-and-filter stage stays a
   // single scan-fused select, no joins between metric frames).
   def nTokensCol(text: Column): Column = size(toks(text)).cast("long")
+
+  /** Fixed subword vocabulary for [[bpeTokenCountCol]] — common English
+    * subwords/merges, the flavor of a published BPE vocab's head (kept
+    * small and alphanumeric-only so the vocabulary embeds verbatim in a
+    * regex on BOTH engines). Token semantics depend only on the SET:
+    * the pattern builder orders by length (see below).
+    */
+  val BpeVocab: Seq[String] = Seq(
+    "the", "and", "ing", "ion", "tion", "ation", "ent", "ment", "ness",
+    "able", "ible", "ers", "er", "ed", "es", "est", "ly", "al", "ous",
+    "ive", "ize", "ise", "ful", "less", "ship", "ward", "wise", "like",
+    "pre", "pro", "con", "com", "sub", "super", "inter", "intra", "trans",
+    "over", "under", "out", "up", "down", "anti", "auto", "bi", "co",
+    "counter", "de", "dis", "en", "em", "ex", "extra", "fore", "in", "im",
+    "il", "ir", "mid", "mis", "non", "re", "semi", "un", "uni",
+    "that", "with", "for", "this", "from", "have", "has", "was", "were",
+    "are", "is", "be", "been", "will", "would", "can", "could", "should",
+    "may", "might", "must", "shall", "not", "but", "or", "as", "at", "by",
+    "to", "of", "on", "it", "an", "a", "i", "s", "t", "d", "m", "o", "n",
+    "e", "r", "y", "data", "base", "ware", "soft", "hard", "work", "time",
+    "ever", "any", "some", "no", "all", "one", "two", "ten", "per",
+    "qu", "th", "ch", "sh", "ph", "wh", "ck", "ng", "nk", "st", "sp",
+    "sc", "sk", "sm", "sn", "sw", "tw", "tr", "dr", "br", "cr", "fr",
+    "gr", "pr", "bl", "cl", "fl", "gl", "pl", "sl")
+
+  /** The greedy tokenization pattern: vocabulary entries longest-first
+    * (ties lexicographic — same-length literals can't compete at one
+    * position, the order is just determinism), then a single non-space
+    * fallback. Regex alternation is leftmost-FIRST in both Java and RE2,
+    * so longest-first ordering makes each match the longest vocabulary
+    * entry at that position — exactly greedy longest-match subword
+    * tokenization (the WordPiece matching rule), and the scan is one
+    * linear regex pass with NO per-token state. Spaces match nothing:
+    * they delimit, they don't count.
+    */
+  private[graft] val BpePattern: String =
+    BpeVocab.distinct.sortBy(v => (-v.length, v)).mkString("(?:", "|", "|[^ ])")
+
+  /** Subword token count under the fixed [[BpeVocab]] — the
+    * tokenizer-aware twin of [[nTokensCol]]: every non-space character
+    * is consumed by either a vocabulary subword (greedy longest match)
+    * or a 1-char fallback, matching how a byte-fallback BPE counts
+    * unknown text. One codegen'd regexp pass per row, scan-side — at
+    * 100 TB the count exists before any budget shuffle, same contract
+    * as `nTokensCol`. Exact-oracle-able: the identical alternation
+    * evaluates in DuckDB (`regexp_extract_all`), so budget semantics
+    * built on it stay hash-gated rather than whitespace-approximated.
+    */
+  def bpeTokenCountCol(text: Column): Column =
+    when(text.isNull, lit(0L))
+      .otherwise(size(regexp_extract_all(text, lit(BpePattern), lit(0)))
+        .cast("long"))
   def avgTokenLenCol(text: Column): Column =
     round(length(regexp_replace(text, " ", "")).cast("double") / size(toks(text)), 6)
   def stopwordRatioCol(text: Column): Column =

@@ -130,4 +130,41 @@ class TextStatsPropertySpec extends AnyFunSuite {
       } else assert(codes.forall(_ == 0))
     }
   }
+
+  test("bpeTokenCountCol: regex alternation equals direct greedy longest-match") {
+    import graft.text.TextAnalysis
+    // reference: per word, repeatedly consume the longest vocabulary
+    // prefix at the cursor (1-char fallback) — the WordPiece greedy rule
+    // the longest-first alternation is claimed to implement
+    def ref(text: String): Long = text.split(" ", -1).map { w =>
+      var i = 0; var n = 0L
+      while (i < w.length) {
+        val m = TextAnalysis.BpeVocab
+          .filter(v => w.startsWith(v, i)).map(_.length)
+          .maxOption.getOrElse(1)
+        n += 1; i += m
+      }
+      n
+    }.sum
+    val hand = Seq(
+      "the table scan",          // vocab hits: the=1, t+able=2, sc+an=2
+      "", " ", "a  b",           // empties and doubled separators
+      "zzz qqq",                 // pure fallback words
+      "überresolution data",     // non-ASCII falls back per char
+      "transformation")          // long chains of merges
+    val rnd = new scala.util.Random(509)
+    val words = Seq("the", "table", "scan", "window", "data", "stream",
+      "transformation", "überkid", "x", "qu", "counterexample", "")
+    val docs = hand ++ Seq.fill(120)(
+      Seq.fill(rnd.nextInt(8))(words(rnd.nextInt(words.length)))
+        .mkString(" "))
+    val got = docs.zipWithIndex.map { case (t, i) => (i, t) }
+      .toDF("i", "text")
+      .select(col("i"), TextAnalysis.bpeTokenCountCol(col("text")).as("n"))
+      .orderBy("i").collect().map(_.getLong(1)).toSeq
+    assert(got == docs.map(ref), docs.zip(got).zip(docs.map(ref))
+      .filter { case ((_, g), r) => g != r }.take(3).toString)
+    // the pattern never counts separators: spaces-only text is 0 tokens
+    assert(ref("   ") == 0 && got(hand.indexOf(" ")) == 0L)
+  }
 }
