@@ -238,6 +238,38 @@ object ScaleProbe {
       require(nBefore == nAfter, "compaction changed the histogram")
       nAfter
     }
+    t(s"c21 crawl dedup viral ${mult}x") {
+      // the skew case the map-side combine must absorb: 90% of the
+      // corpus is re-crawls of ONE url (same canonical key). With a
+      // groupBy the dup mass collapses per map partition; a window/
+      // row_number plan would funnel 0.9·corpus rows into one task.
+      // Printed pair: viral vs uniform — times should be comparable.
+      val urls = big.withColumn("url",
+        when(col("doc_id") % 10 =!= 0,
+          lit("HTTP://Viral.Example.COM:80/hot/page/?utm_source=x&b=2&a=1"))
+          .otherwise(concat(lit("https://"), col("source"),
+            lit(".example.com/"), col("doc_id"), lit("?a=1"))))
+      val t0 = System.nanoTime()
+      val nViral = Curation.crawlUrlGroups(urls, col("url"), col("doc_id"))
+        .count()
+      val tViral = (System.nanoTime() - t0) / 1e9
+      val uniform = big.withColumn("url",
+        concat(lit("https://"), col("source"), lit(".example.com/"),
+          col("doc_id"), lit("?a=1")))
+      val t1 = System.nanoTime()
+      val nUni = Curation.crawlUrlGroups(uniform, col("url"), col("doc_id"))
+        .count()
+      println(f"SCALE   c21 viral $tViral%.2f s ($nViral groups) vs " +
+        f"uniform ${(System.nanoTime() - t1) / 1e9}%.2f s ($nUni groups)")
+      nViral
+    }
+    t(s"t19 bpe token count ${mult}x") {
+      // one codegen'd regexp pass per row — must be linear in corpus
+      // chars, no shuffle (the count is scan-side by contract)
+      big.select(graft.text.TextAnalysis.bpeTokenCountCol(col("text"))
+        .as("n")).agg(sum(col("n"))).collect()
+      big.count()
+    }
     t(s"c19q full-dup long docs ${mult}x") {
       // the ExactSubstr worst case: fully-duplicated LONG documents, so
       // every window is flagged (f ≈ n_tokens). The old per-position HOF

@@ -162,5 +162,27 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no sort-merge join expected on a gate-sized edge list:\n$plan")
   }
 
+  test("c21 crawl dedup: scan-side canonical key, one shuffle, partial agg") {
+    val plan = phys(graft.curation.Curation.crawlUrlGroups(
+      docs.withColumn("url", concat(lit("http://"), col("source"),
+        lit(".example.com/"), col("doc_id"))),
+      col("url"), col("doc_id")))
+    // one exchange: the groupBy on the canonical key — canonicalization
+    // must not cost a second pass or a pre-shuffle
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+    // partial aggregation below the exchange: a viral URL's dup mass is
+    // absorbed map-side, never funneled into one reduce task
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final aggregates:\n$plan")
+    // plans print top-down: the PARTIAL aggregate must sit BELOW the
+    // exchange (later in the string), i.e. on the map side
+    assert(plan.lastIndexOf("HashAggregate") > plan.indexOf("Exchange"),
+      s"no map-side partial aggregate before the shuffle:\n$plan")
+    // no UDF anywhere in the canonicalization
+    assert(!plan.toLowerCase.contains("batchevalpython") &&
+      !plan.contains("ScalaUDF"), plan)
+  }
+
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 }
