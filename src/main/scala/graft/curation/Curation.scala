@@ -456,6 +456,17 @@ object Curation {
       StructField("doc_a", idType), StructField("doc_b", idType),
       StructField("bucket", IntegerType)))
     ensureDir(spark, labelsPath)
+    // Replay no-op BEFORE the write, not through it: if this batch's
+    // snapshot already committed, rewriting it would delete the committed
+    // dir at job start (mode overwrite) — and when pruning has removed
+    // the older snapshots, that committed dir can be the ONLY copy, so a
+    // crash mid-rewrite recreates exactly the destroy-the-only-copy
+    // window versioning exists to close. Skipping is safe by
+    // monotonicity: a replayed batch adds no merges its committed
+    // snapshot (or any newer one) doesn't already contain.
+    val snapDir = new org.apache.hadoop.fs.Path(s"$labelsPath/snap=$batchId")
+    val fs = snapDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(snapDir, "_SUCCESS"))) return
     val old = readLabelsSnapshot(spark, labelsPath, idType)
     val withNew = old.unionByName(
       batch.select(id.as("node"))
@@ -523,9 +534,11 @@ object Curation {
         .filter(_.getPath.getName.startsWith("batch_id="))
       val stale = batchDirs.filter(_.getPath.getName != s"batch_id=$compactId")
       if (stale.nonEmpty) {
-        val b = bdir.getName.stripPrefix("bucket=").toInt
-        val slice = spark.read.schema(stagedSchema).parquet(stagingPath)
-          .filter(col("bucket") === b)
+        // basePath keeps bucket/batch_id as partition columns while the
+        // read lists ONLY this bucket's dirs — a parent read per bucket
+        // would re-walk all nBuckets × batches dirs every iteration
+        val slice = spark.read.option("basePath", stagingPath)
+          .schema(stagedSchema).parquet(bdir.toString)
           .withColumn("batch_id", lit(compactId))
           .localCheckpoint(true) // break file lineage before the rewrite
         slice.repartition(col("bucket")).write.mode("overwrite")
@@ -564,6 +577,18 @@ object Curation {
     * two-op swap of one bucket can observe that bucket briefly empty —
     * quiesce reads too, or accept one-bucket holes during the window).
     *
+    * Replay safety: a batch STAGED here but not yet committed in the
+    * stream's checkpoint will be re-delivered by foreachBatch after a
+    * restart — if compaction had folded it into the snapshot partition,
+    * the replay's re-staged rows would COUNT TWICE (a once-occurring
+    * gram reads as a duplicate: silent text loss). Pass
+    * `committedThrough` = the highest batchId the streaming checkpoint
+    * has committed: only batches ≤ it are folded; newer dirs ride
+    * through the swap as their own partitions, which the replay then
+    * overwrites idempotently. The `Long.MaxValue` default is for batch
+    * backfills and cleanly-stopped streams (every staged batch
+    * committed).
+    *
     * The span store's `docs` side (batch_id-partitioned raw text) is
     * NOT compacted here: its rows are corpus bytes (a compaction is a
     * full corpus rewrite for an O(batches)-dirs listing win with no
@@ -574,7 +599,8 @@ object Curation {
   def compactCountedStore(spark: org.apache.spark.sql.SparkSession,
                           stagingPath: String,
                           stagedSchema: org.apache.spark.sql.types.StructType,
-                          compactId: Long = -1L): Unit = {
+                          compactId: Long = -1L,
+                          committedThrough: Long = Long.MaxValue): Unit = {
     require(compactId < 0,
       s"compactId must be negative (live batchIds are >= 0), got $compactId")
     val p = new org.apache.hadoop.fs.Path(stagingPath)
@@ -589,31 +615,48 @@ object Curation {
       val srcB = new org.apache.hadoop.fs.Path(p, bname)
       val tmpB = new org.apache.hadoop.fs.Path(tmpRoot, bname)
       def staged = fs.exists(new org.apache.hadoop.fs.Path(tmpB, "_SUCCESS"))
-      val srcBatches =
+      val srcBatchIds =
         if (fs.exists(srcB)) fs.listStatus(srcB).toSeq.filter(_.isDirectory)
           .map(_.getPath.getName).filter(_.startsWith("batch_id="))
+          .flatMap(n => scala.util.Try(
+            n.stripPrefix("batch_id=").toLong).toOption)
         else Seq.empty
-      val alreadyCompact = srcBatches == Seq(s"batch_id=$compactId")
-      if (!staged && !alreadyCompact && srcBatches.nonEmpty) {
+      // dirs this run may fold: committed batches other than an existing
+      // snapshot partition
+      val foldable = srcBatchIds
+        .filter(id => id != compactId && id <= committedThrough)
+      if (!staged && foldable.nonEmpty) {
         if (fs.exists(tmpB)) fs.delete(tmpB, true) // torn stage: restage
-        val b = bname.stripPrefix("bucket=").toInt
-        // bucket is a partition column on the read and re-becomes one via
-        // the dir name after the rename — dropped from the staged files
-        // so discovery doesn't see it twice
-        spark.read.schema(stagedSchema).parquet(stagingPath)
-          .filter(col("bucket") === b)
-          .withColumn("batch_id", lit(compactId))
-          .drop("bucket")
+        // basePath keeps bucket/batch_id as partition columns while the
+        // read lists ONLY this bucket's dirs — a parent read per bucket
+        // would re-walk all nBuckets × batches dirs every iteration,
+        // exactly the listing growth this op exists to remove
+        spark.read.option("basePath", stagingPath).schema(stagedSchema)
+          .parquet(srcB.toString)
+          .withColumn("batch_id",
+            when(col("batch_id") <= committedThrough, lit(compactId))
+              .otherwise(col("batch_id")))
+          .drop("bucket") // re-becomes a partition column via the dir name
           .write.partitionBy("batch_id").parquet(tmpB.toString)
       }
       if (staged) {
-        fs.delete(srcB, true)
-        fs.rename(tmpB, srcB)
-        ()
+        if (!fs.delete(srcB, true) && fs.exists(srcB))
+          throw new java.io.IOException(s"compaction: cannot delete $srcB")
+        if (!fs.rename(tmpB, srcB))
+          // the staged copy is the bucket's only data now — fail LOUD and
+          // leave it in place; a re-run resumes at this swap
+          throw new java.io.IOException(
+            s"compaction: rename $tmpB -> $srcB failed; staged copy kept")
       }
     }
-    fs.delete(tmpRoot, true)
-    ()
+    // only remove the side root once every staged bucket has swapped —
+    // an unconditional delete here would destroy a kept staged copy
+    // after a failed swap above (we throw first, but belt-and-braces
+    // for future edits)
+    if (!fs.exists(tmpRoot) || fs.listStatus(tmpRoot).isEmpty) {
+      fs.delete(tmpRoot, true)
+      ()
+    }
   }
 
   /** Committed `(batchId, dir)` snapshot list under a versioned label

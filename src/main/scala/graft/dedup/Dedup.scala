@@ -514,6 +514,16 @@ object Dedup {
     new DedupAuditReport(labels.groupBy(col("ec"), col("lc"), col("sc"))
       .agg(count(lit(1)).as("n")).localCheckpoint(true))
 
+  /** The report over an ALREADY-materialized `(ec, lc, sc, n)` cube —
+    * the serving shape: persist the cube (cluster-combination sized,
+    * trivially small next to the labels) alongside the label store, and
+    * every audit panel on every dashboard refresh is a cube-sized
+    * aggregation with NO corpus scan and no checkpoint to release (the
+    * d12/d12b/d14/d15/d16 gates read one memoized cube this way).
+    */
+  def dedupAuditReportFromCube(cube: DataFrame): DedupAuditReport =
+    new DedupAuditReport(cube)
+
   /** Token-set Jaccard near-dup pairs within a blocking key (the classic
     * n-gram Jaccard dedup, blocked so candidates are O(pairs-per-block)).
     * Threshold is applied to the *unrounded* similarity; output is rounded

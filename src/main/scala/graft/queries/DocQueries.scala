@@ -97,6 +97,27 @@ object DocQueries {
     s.read.parquet(p)
   }
 
+  /** Memoized (ec, lc, sc, n) contingency cube per fixture — the
+    * serving-side companion of [[dedupLabelStore]]: ONE corpus-sized
+    * groupBy at build time, persisted (cluster-combination sized —
+    * trivially small), and the five audit gates are then cube-sized
+    * aggregations with no corpus scan and no checkpoint lifecycle
+    * (Dedup.dedupAuditReportFromCube).
+    */
+  private val dedupCubeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def dedupAuditCube(s: org.apache.spark.sql.SparkSession,
+                             dir: String): org.apache.spark.sql.DataFrame = {
+    val p = dedupCubeCache.computeIfAbsent(dir, _ => {
+      val path = QDef.tempDir("graft_dedup_cube")
+      dedupLabelStore(s, dir).groupBy(col("ec"), col("lc"), col("sc"))
+        .agg(count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+    s.read.parquet(p)
+  }
+
   /** The constructed crawl frontier shared by the c20/c21 gates: a
     * deterministic raw URL per document (the mm9 constructed-input
     * pattern) exercising every canonicalization rule — mixed-case scheme
@@ -1232,7 +1253,7 @@ object DocQueries {
     // cluster size); `nearDupClusterHistogram` remains the one-shot API,
     // equivalence-pinned in DedupSpec.
     QDef("d12_cluster_histogram", d12OracleSql(rounds = 12)) { (s, dir) =>
-      Dedup.dedupAuditReport(dedupLabelStore(s, dir)).histExact
+      Dedup.dedupAuditReportFromCube(dedupAuditCube(s, dir)).histExact
         .orderBy(col("cluster_size"))
     },
 
@@ -1251,7 +1272,7 @@ object DocQueries {
     // through the incremental store.
     QDef("d12b_lsh_cluster_histogram",
         d12bOracleSql(numHashes = 16, bands = 2, rounds = 14)) { (s, dir) =>
-      Dedup.dedupAuditReport(dedupLabelStore(s, dir)).histLsh
+      Dedup.dedupAuditReportFromCube(dedupAuditCube(s, dir)).histLsh
         .orderBy(col("cluster_size"))
     },
 
@@ -1361,7 +1382,7 @@ object DocQueries {
     QDef("d14_lsh_agreement",
         d14OracleSql(numHashes = 16, bands = 2,
           roundsExact = 12, roundsLsh = 14)) { (s, dir) =>
-      Dedup.dedupAuditReport(dedupLabelStore(s, dir)).agreementLsh
+      Dedup.dedupAuditReportFromCube(dedupAuditCube(s, dir)).agreementLsh
     },
 
     // The THIRD leg of the agreement family (round 11): SimHash-vs-exact.
@@ -1382,7 +1403,7 @@ object DocQueries {
     QDef("d15_simhash_agreement",
         d15OracleSql(nBits = 24, maxDist = 2,
           roundsExact = 12, roundsSim = 14)) { (s, dir) =>
-      Dedup.dedupAuditReport(dedupLabelStore(s, dir)).agreementSimHash
+      Dedup.dedupAuditReportFromCube(dedupAuditCube(s, dir)).agreementSimHash
     },
 
     // The SimHash cluster-size histogram — d12/d12b's sibling over the
@@ -1392,7 +1413,7 @@ object DocQueries {
     // independently-oracled histograms.
     QDef("d16_simhash_cluster_histogram",
         d16OracleSql(nBits = 24, maxDist = 2, roundsSim = 14)) { (s, dir) =>
-      Dedup.dedupAuditReport(dedupLabelStore(s, dir)).histSimHash
+      Dedup.dedupAuditReportFromCube(dedupAuditCube(s, dir)).histSimHash
         .orderBy(col("cluster_size"))
     },
 

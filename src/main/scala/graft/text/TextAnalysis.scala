@@ -74,11 +74,13 @@ object TextAnalysis {
     * as `nTokensCol`. Exact-oracle-able: the identical alternation
     * evaluates in DuckDB (`regexp_extract_all`), so budget semantics
     * built on it stay hash-gated rather than whitespace-approximated.
+    * NULL text propagates NULL — the same contract as [[nTokensCol]]
+    * and the DuckDB `len(regexp_extract_all(NULL, …))` the oracle runs
+    * (a 0 here would silently diverge from both on a NULL-bearing
+    * corpus).
     */
   def bpeTokenCountCol(text: Column): Column =
-    when(text.isNull, lit(0L))
-      .otherwise(size(regexp_extract_all(text, lit(BpePattern), lit(0)))
-        .cast("long"))
+    size(regexp_extract_all(text, lit(BpePattern), lit(0))).cast("long")
   def avgTokenLenCol(text: Column): Column =
     round(length(regexp_replace(text, " ", "")).cast("double") / size(toks(text)), 6)
   def stopwordRatioCol(text: Column): Column =

@@ -274,6 +274,18 @@ class CurationSpec extends AnyFunSuite {
       .filter(_.isDirectory).map(_.getPath.getName).toSet
     assert(names == Set("snap=1", "snap=2"), names.toString)
     assert(labels() == Map(2L -> 2L, 7L -> 2L, 8L -> 2L))
+    // replay of an already-COMMITTED batch skips before the write: snap=1
+    // is now the only committed copy (snap=0 pruned) — an in-place
+    // rewrite would delete it before recreating it, so a crash mid-replay
+    // could destroy the whole labeling; the skip leaves the bytes alone
+    val snap1 = new org.apache.hadoop.fs.Path(s"$base/labels/snap=1")
+    val before1 = fs.listStatus(snap1).map(st =>
+      (st.getPath.getName, st.getModificationTime)).toSet
+    Curation.updateLabelsSnapshot(b1, 1L, s"$base/edges", s"$base/labels")
+    val after1 = fs.listStatus(snap1).map(st =>
+      (st.getPath.getName, st.getModificationTime)).toSet
+    assert(after1 == before1, s"replay rewrote committed snap=1")
+    assert(labels() == Map(2L -> 2L, 7L -> 2L, 8L -> 2L))
   }
 
   test("compactStagedStore: compact-then-read ≡ read, and ingest continues") {
@@ -385,6 +397,28 @@ class CurationSpec extends AnyFunSuite {
     val after = cleaned()
     assert(after.find(_._1 == 3L).get._2 == "", after.toString)
     assert(after.find(_._1 == 4L).get._2 == "", after.toString)
+    // replay safety: batch 4 is staged but NOT committed in the stream's
+    // checkpoint — compaction with committedThrough = 3 must leave its
+    // dirs unfolded so the at-least-once replay stays idempotent (folding
+    // them would double-count batch 4's grams on replay and falsely flag
+    // doc 6's unique text as duplicated)
+    Curation.incrementalSpanDedupBatch(Seq((6L, "u v w")).toDF(
+      "doc_id", "text"), 4L, s"$base/staged", s"$base/dups",
+      window = 3, nBuckets = 4)
+    val midCompact = cleaned()
+    assert(midCompact.find(_._1 == 6L).get._2 == "u v w")
+    Curation.compactCountedStore(spark, s"$base/staged/grams", gramSchema,
+      committedThrough = 3L)
+    val survivors = fs.listStatus(grams).filter(_.isDirectory).flatMap(b =>
+      fs.listStatus(b.getPath).filter(_.isDirectory).map(_.getPath.getName))
+      .toSet
+    assert(survivors.contains("batch_id=4"), survivors.toString)
+    assert(survivors.filterNot(
+      Set("batch_id=-1", "batch_id=4")).isEmpty, survivors.toString)
+    Curation.incrementalSpanDedupBatch(Seq((6L, "u v w")).toDF(
+      "doc_id", "text"), 4L, s"$base/staged", s"$base/dups",
+      window = 3, nBuckets = 4) // the replay
+    assert(cleaned() == midCompact, s"${cleaned()} vs $midCompact")
   }
 
   test("canonicalizeUrl: each normalization rule, hand-checked") {

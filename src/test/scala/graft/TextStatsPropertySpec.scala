@@ -166,5 +166,11 @@ class TextStatsPropertySpec extends AnyFunSuite {
       .filter { case ((_, g), r) => g != r }.take(3).toString)
     // the pattern never counts separators: spaces-only text is 0 tokens
     assert(ref("   ") == 0 && got(hand.indexOf(" ")) == 0L)
+    // NULL text propagates NULL (the nTokensCol / DuckDB len() contract),
+    // never a silent 0
+    val nullRow = Seq((0, Option.empty[String])).toDF("i", "text")
+      .select(TextAnalysis.bpeTokenCountCol(col("text")).as("n"))
+      .collect()(0)
+    assert(nullRow.isNullAt(0), nullRow.toString)
   }
 }
