@@ -339,6 +339,38 @@ class CurationSpec extends AnyFunSuite {
     assert(lblHist == after, s"$lblHist vs $after")
   }
 
+  test("compactStagedStore: d9 signature staging compacts with keep-one intact") {
+    import org.apache.spark.sql.types._
+    val base = graft.queries.QDef.tempDir("graft_sig_compact")
+    // keep-first winners span batches: doc 1 (b0) beats doc 11 (b1);
+    // doc 2 (b1) beats doc 22 (b2)
+    val batches = Seq(
+      Seq((1L, "x y z")),
+      Seq((11L, "x y z"), (2L, "p q")),
+      Seq((22L, "p q"), (3L, "solo")))
+    batches.zipWithIndex.foreach { case (rows, bid) =>
+      Curation.incrementalDedupBatch(rows.toDF("doc_id", "text"),
+        bid.toLong, s"$base/staged", s"$base/out", nBuckets = 4)
+    }
+    def kept(): Set[Long] = spark.read.parquet(s"$base/out")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept() == Set(1L, 2L, 3L))
+    val stagedSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("__sig_h", LongType), StructField("bucket", IntegerType),
+      StructField("batch_id", LongType)))
+    Curation.compactStagedStore(spark, s"$base/staged", stagedSchema)
+    // a replay against the compacted staging recomputes its buckets from
+    // the batch_id=-1 snapshot — same winners
+    Curation.incrementalDedupBatch(batches(1).toDF("doc_id", "text"), 1L,
+      s"$base/staged", s"$base/out", nBuckets = 4)
+    assert(kept() == Set(1L, 2L, 3L))
+    // ingest continues: a later dup of doc 1's signature still loses
+    Curation.incrementalDedupBatch(Seq((31L, "x y z")).toDF("doc_id", "text"),
+      3L, s"$base/staged", s"$base/out", nBuckets = 4)
+    assert(kept() == Set(1L, 2L, 3L))
+  }
+
   test("compactCountedStore: stage-and-swap compaction of the span gram store") {
     import org.apache.spark.sql.types._
     val base = graft.queries.QDef.tempDir("graft_span_compact")
