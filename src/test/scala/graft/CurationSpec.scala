@@ -219,6 +219,9 @@ class CurationSpec extends AnyFunSuite {
       in.addData((5L, fam), (9L, "unique one two three four five"))
       q.processAllAvailable()
       assert(labels() == Map(5L -> 5L, 9L -> 9L))
+      // pruning BETWEEN micro-batches is safe: the next batch builds on
+      // the newest committed snapshot, which prune always keeps
+      Curation.pruneLabelSnapshots(spark, s"$base/labels", keep = 1)
       // a LOWER-id exact dup arrives later: the cluster label must drop
       // to the new min across micro-batches
       in.addData((2L, fam))
