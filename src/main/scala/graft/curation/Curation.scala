@@ -463,10 +463,30 @@ object Curation {
     // crash mid-rewrite recreates exactly the destroy-the-only-copy
     // window versioning exists to close. Skipping is safe by
     // monotonicity: a replayed batch adds no merges its committed
-    // snapshot (or any newer one) doesn't already contain.
+    // snapshot (or any newer one) doesn't already contain — PROVIDED the
+    // replay carries the same docs (Spark's foreachBatch contract). A
+    // batchId collision carrying NEW docs (a checkpoint reset pointed at
+    // the same labelsPath, or a non-Spark driver reusing ids) would make
+    // the skip silently drop them from the labeling forever, so that
+    // case fails loud instead: the store is bound to one checkpoint
+    // lineage, same contract as the staged band-row store.
+    val labelSchema = StructType(Seq(
+      StructField("node", idType), StructField("comp", idType)))
     val snapDir = new org.apache.hadoop.fs.Path(s"$labelsPath/snap=$batchId")
     val fs = snapDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(snapDir, "_SUCCESS"))) return
+    if (fs.exists(new org.apache.hadoop.fs.Path(snapDir, "_SUCCESS"))) {
+      val committed = spark.read.schema(labelSchema).parquet(snapDir.toString)
+      val novel = batch.select(id.as("node"))
+        .join(committed.select(col("node")), Seq("node"), "left_anti")
+        .limit(1).count()
+      if (novel > 0)
+        throw new IllegalStateException(
+          s"labels store $labelsPath already holds a committed snapshot " +
+            s"for batch $batchId with DIFFERENT docs — the store is bound " +
+            "to one streaming-checkpoint lineage; after a checkpoint " +
+            "reset, point the stream at a fresh labelsPath")
+      return // true at-least-once replay: no-op
+    }
     val old = readLabelsSnapshot(spark, labelsPath, idType)
     val withNew = old.unionByName(
       batch.select(id.as("node"))
@@ -576,6 +596,12 @@ object Curation {
     * additionally survives concurrent READS; here a reader racing the
     * two-op swap of one bucket can observe that bucket briefly empty —
     * quiesce reads too, or accept one-bucket holes during the window).
+    * The window extends ACROSS a crash: a run that died mid-compaction
+    * must be re-run to completion before ingest resumes, because a
+    * committed staged bucket copy predates any post-crash ingest and the
+    * recovery swap would destroy it. That ordering is mechanically
+    * fenced, not just documented — [[incrementalSpanDedupBatch]] refuses
+    * to write while this op's side root (`<path>.compact_tmp`) exists.
     *
     * Replay safety: a batch STAGED here but not yet committed in the
     * stream's checkpoint will be re-delivered by foreachBatch after a
@@ -625,6 +651,13 @@ object Curation {
       // snapshot partition
       val foldable = srcBatchIds
         .filter(id => id != compactId && id <= committedThrough)
+      if (!staged && foldable.isEmpty && fs.exists(tmpB)) {
+        // torn stage from a crashed run, and this run has nothing to fold
+        // for the bucket — remove it here or the side root (and its
+        // orphaned partial parquet) would linger forever
+        fs.delete(tmpB, true)
+        ()
+      }
       if (!staged && foldable.nonEmpty) {
         if (fs.exists(tmpB)) fs.delete(tmpB, true) // torn stage: restage
         // basePath keeps bucket/batch_id as partition columns while the
@@ -1087,6 +1120,20 @@ object Curation {
                                 text: Column = col("text"),
                                 id: Column = col("doc_id")): Unit = {
     val spark = batch.sparkSession
+    // Compaction fence: [[compactCountedStore]]'s side root exists only
+    // while a compaction is in flight OR crashed mid-run. Ingesting past
+    // it would be destroyed by the recovery swap (a staged copy from
+    // before this batch replaces the bucket), so refuse loudly — the
+    // operator re-runs compaction to completion first. One fs.exists per
+    // micro-batch.
+    val fence = new org.apache.hadoop.fs.Path(
+      s"$stagingPath/grams.compact_tmp")
+    if (fence.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(fence))
+      throw new IllegalStateException(
+        s"compaction of $stagingPath/grams is in flight or crashed " +
+          "(side root exists) — re-run compactCountedStore to completion " +
+          "before ingesting")
     // the SAME gram derivation as the one-shot path (shared helper — the
     // store ≡ one-shot equivalence depends on it), hashed keys (c19b
     // convention: 8-byte staging rows). Materialized once: feeds the

@@ -84,14 +84,28 @@ object DocQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def dedupLabelStore(s: org.apache.spark.sql.SparkSession,
                               dir: String): org.apache.spark.sql.DataFrame = {
-    val p = dedupLabelCache.computeIfAbsent(dir, _ => {
-      import org.apache.spark.sql.graftbridge.Bridge
-      val path = QDef.tempDir("graft_dedup_labels")
-      val labeled = Dedup.tripleClusterLabels(Tables.documents(s, dir),
+    memoParquet(dedupLabelCache, "graft_dedup_labels", s, dir) {
+      Dedup.tripleClusterLabels(Tables.documents(s, dir),
         col("text"), col("doc_id"), threshold = 0.9,
         numHashes = 16, bands = 2, nBits = 24, maxDist = 2)
-      labeled.write.mode("overwrite").parquet(path)
-      Bridge.release(labeled)
+    }
+  }
+
+  /** The memoize-to-parquet idiom shared by the per-fixture stores:
+    * build once per fixture dir, persist under a temp dir (parquet, not
+    * a checkpoint — survives Bench's session recycling), release any
+    * checkpoint the builder materialized (no-op on lazy frames), read
+    * back lazily.
+    */
+  private def memoParquet(
+      cache: java.util.concurrent.ConcurrentHashMap[String, String],
+      prefix: String, s: org.apache.spark.sql.SparkSession, dir: String)(
+      build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val p = cache.computeIfAbsent(dir, _ => {
+      val path = QDef.tempDir(prefix)
+      val df = build
+      df.write.mode("overwrite").parquet(path)
+      org.apache.spark.sql.graftbridge.Bridge.release(df)
       path
     })
     s.read.parquet(p)
@@ -108,14 +122,10 @@ object DocQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def dedupAuditCube(s: org.apache.spark.sql.SparkSession,
                              dir: String): org.apache.spark.sql.DataFrame = {
-    val p = dedupCubeCache.computeIfAbsent(dir, _ => {
-      val path = QDef.tempDir("graft_dedup_cube")
+    memoParquet(dedupCubeCache, "graft_dedup_cube", s, dir) {
       dedupLabelStore(s, dir).groupBy(col("ec"), col("lc"), col("sc"))
         .agg(count(lit(1)).as("n"))
-        .write.mode("overwrite").parquet(path)
-      path
-    })
-    s.read.parquet(p)
+    }
   }
 
   /** The constructed crawl frontier shared by the c20/c21 gates: a

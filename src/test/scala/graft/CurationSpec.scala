@@ -289,6 +289,39 @@ class CurationSpec extends AnyFunSuite {
       (st.getPath.getName, st.getModificationTime)).toSet
     assert(after1 == before1, s"replay rewrote committed snap=1")
     assert(labels() == Map(2L -> 2L, 7L -> 2L, 8L -> 2L))
+    // a batchId COLLISION carrying new docs (checkpoint reset against the
+    // same labelsPath) must fail loud, not silently drop the new docs
+    val ex = intercept[IllegalStateException] {
+      Curation.updateLabelsSnapshot(
+        Seq((99L, "brand new")).toDF("doc_id", "text"), 1L,
+        s"$base/edges", s"$base/labels")
+    }
+    assert(ex.getMessage.contains("checkpoint lineage"), ex.getMessage)
+    assert(labels() == Map(2L -> 2L, 7L -> 2L, 8L -> 2L))
+  }
+
+  test("span ingest refuses to write past a crashed compaction's side root") {
+    val base = graft.queries.QDef.tempDir("graft_span_fence")
+    Curation.incrementalSpanDedupBatch(Seq((1L, "a b c d")).toDF(
+      "doc_id", "text"), 0L, s"$base/staged", s"$base/dups",
+      window = 3, nBuckets = 4)
+    val fence = new org.apache.hadoop.fs.Path(
+      s"$base/staged/grams.compact_tmp")
+    val fs = fence.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(fence)
+    val ex = intercept[IllegalStateException] {
+      Curation.incrementalSpanDedupBatch(Seq((2L, "e f g h")).toDF(
+        "doc_id", "text"), 1L, s"$base/staged", s"$base/dups",
+        window = 3, nBuckets = 4)
+    }
+    assert(ex.getMessage.contains("compaction"), ex.getMessage)
+    fs.delete(fence, true)
+    // fence lifted (compaction completed): ingest resumes
+    Curation.incrementalSpanDedupBatch(Seq((2L, "e f g h")).toDF(
+      "doc_id", "text"), 1L, s"$base/staged", s"$base/dups",
+      window = 3, nBuckets = 4)
+    assert(Curation.spanDedupFromStore(spark, s"$base/staged",
+      s"$base/dups", window = 3).count() == 2)
   }
 
   test("compactStagedStore: compact-then-read ≡ read, and ingest continues") {
