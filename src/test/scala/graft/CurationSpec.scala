@@ -522,6 +522,45 @@ class CurationSpec extends AnyFunSuite {
     assert(dom == Seq("ex.com", "www.ex.com"), dom.toString)
   }
 
+  test("canonicalizeUrl: idempotent and total on adversarial frontier junk") {
+    val rnd = new scala.util.Random(271)
+    val schemes = Seq("http", "HTTP", "https", "HtTpS", "ftp")
+    val hosts = Seq("Ex.COM", "ex.com", "WWW.a-b.ORG", "ex.com:80",
+      "ex.com:443", "ex.com:8080", "")
+    val paths = Seq("", "/", "/A/b", "/a/b/", "/a//", "/%7Euser")
+    val queries = Seq("", "?", "?a=1", "?b=2&a=1", "?utm_source=x",
+      "?gclid=9&z=3", "?a", "?=v", "?a=1&a=1", "?&&a=1")
+    val frags = Seq("", "#f", "#a#b")
+    val urls = (for {
+      _ <- 0 until 200
+    } yield schemes(rnd.nextInt(schemes.length)) + "://" +
+      hosts(rnd.nextInt(hosts.length)) + paths(rnd.nextInt(paths.length)) +
+      queries(rnd.nextInt(queries.length)) + frags(rnd.nextInt(frags.length))
+    ) ++ Seq("http://ex.com", "http://ex.com?a=1", "not a url", "")
+    val df = urls.zipWithIndex.map { case (u, i) => (i, u) }.toDF("i", "url")
+    val once = df.select(col("i"),
+      Curation.canonicalizeUrl(col("url")).as("c")).orderBy("i")
+      .collect().map(_.getString(1)).toSeq
+    // idempotence: canonical of canonical is canonical — a pipeline that
+    // re-canonicalizes stored keys must get the same key back
+    val twice = once.zipWithIndex.map { case (u, i) => (i, u) }
+      .toDF("i", "url")
+      .select(col("i"), Curation.canonicalizeUrl(col("url")).as("c"))
+      .orderBy("i").collect().map(_.getString(1)).toSeq
+    assert(twice == once,
+      once.zip(twice).filter(p => p._1 != p._2).take(3).toString)
+    // totality: junk never throws, never yields NULL (garbage in,
+    // deterministic garbage out — filter junk upstream)
+    assert(once.forall(_ != null))
+    // no-path and ?-only forms
+    val spot = Seq("http://EX.com", "http://ex.com?", "https://ex.com:443")
+      .zipWithIndex.map { case (u, i) => (i, u) }.toDF("i", "url")
+      .select(col("i"), Curation.canonicalizeUrl(col("url")).as("c"))
+      .orderBy("i").collect().map(_.getString(1)).toSeq
+    assert(spot == Seq("http://ex.com", "http://ex.com", "https://ex.com"),
+      spot.toString)
+  }
+
   test("crawlUrlGroups merges order-insensitive re-crawls, keeps min id") {
     val df = Seq(
       (1L, "http://a.com/p?x=1&y=2"),
