@@ -469,14 +469,15 @@ object Curation {
     // the same labelsPath, or a non-Spark driver reusing ids) would make
     // the skip silently drop them from the labeling forever, so that
     // case fails loud instead: the store is bound to one checkpoint
-    // lineage, same contract as the staged band-row store.
-    val labelSchema = StructType(Seq(
-      StructField("node", idType), StructField("comp", idType)))
+    // lineage, same contract as the staged band-row store. The id filter
+    // keeps a (garbage) NULL id from reading as perpetually novel — a
+    // NULL never joins, and a throw here would wedge a legitimate replay.
     val snapDir = new org.apache.hadoop.fs.Path(s"$labelsPath/snap=$batchId")
     val fs = snapDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new org.apache.hadoop.fs.Path(snapDir, "_SUCCESS"))) {
-      val committed = spark.read.schema(labelSchema).parquet(snapDir.toString)
-      val novel = batch.select(id.as("node"))
+      val committed = spark.read.schema(labelSchema(idType))
+        .parquet(snapDir.toString)
+      val novel = batch.select(id.as("node")).filter(col("node").isNotNull)
         .join(committed.select(col("node")), Seq("node"), "left_anti")
         .limit(1).count()
       if (novel > 0)
@@ -486,6 +487,23 @@ object Curation {
             "to one streaming-checkpoint lineage; after a checkpoint " +
             "reset, point the stream at a fresh labelsPath")
       return // true at-least-once replay: no-op
+    }
+    // The same lineage violation when pruning already removed the colliding
+    // snapshot: in ONE lineage a batchId below the newest committed
+    // snapshot always has its own dir (foreachBatch only ever replays the
+    // newest uncommitted batch; older batches completed long ago), so a
+    // missing dir here means a reset lineage — and the write would land a
+    // snapshot readers can never resolve (max-batchId wins), silently
+    // dropping this batch's docs. Fail loud instead.
+    committedSnapshots(spark, labelsPath).lastOption.foreach {
+      case (newest, _) =>
+        if (newest > batchId)
+          throw new IllegalStateException(
+            s"labels store $labelsPath newest committed snapshot is " +
+              s"snap=$newest but batch $batchId has no snapshot dir — " +
+              "batchIds have restarted (checkpoint reset?); the store is " +
+              "bound to one streaming-checkpoint lineage, point the " +
+              "stream at a fresh labelsPath")
     }
     val old = readLabelsSnapshot(spark, labelsPath, idType)
     val withNew = old.unionByName(
@@ -603,6 +621,13 @@ object Curation {
     * fenced, not just documented — [[incrementalSpanDedupBatch]] refuses
     * to write while this op's side root (`<path>.compact_tmp`) exists.
     *
+    * Filesystem contract: directory rename and recursive delete are
+    * assumed ATOMIC-or-fail (HDFS, local, ABFS). On an S3-class store
+    * where rename is copy+delete, a crash mid-rename can shear a staged
+    * dir into two partial halves — run this (and the whole
+    * `(bucket, batch_id)` dynamic-partition layout, which leans on the
+    * same committer semantics) behind a rename-atomic layer there.
+    *
     * Replay safety: a batch STAGED here but not yet committed in the
     * stream's checkpoint will be re-delivered by foreachBatch after a
     * restart — if compaction had folded it into the snapshot partition,
@@ -654,9 +679,13 @@ object Curation {
       if (!staged && foldable.isEmpty && fs.exists(tmpB)) {
         // torn stage from a crashed run, and this run has nothing to fold
         // for the bucket — remove it here or the side root (and its
-        // orphaned partial parquet) would linger forever
-        fs.delete(tmpB, true)
-        ()
+        // orphaned partial parquet) would linger forever, keeping the
+        // ingest fence up. Fail loud on a refused delete for the same
+        // reason: silently leaving it would fence ingest with no error
+        // pointing at the cause.
+        if (!fs.delete(tmpB, true) && fs.exists(tmpB))
+          throw new java.io.IOException(
+            s"compaction: cannot remove torn stage dir $tmpB")
       }
       if (!staged && foldable.nonEmpty) {
         if (fs.exists(tmpB)) fs.delete(tmpB, true) // torn stage: restage
@@ -690,6 +719,16 @@ object Curation {
       fs.delete(tmpRoot, true)
       ()
     }
+  }
+
+  /** THE on-disk schema of a label snapshot — one definition so the
+    * write path, the replay-check read, and [[readLabelsSnapshot]] can't
+    * drift apart.
+    */
+  private def labelSchema(idType: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("node", idType), StructField("comp", idType)))
   }
 
   /** Committed `(batchId, dir)` snapshot list under a versioned label
@@ -726,15 +765,13 @@ object Curation {
                          labelsPath: String,
                          idType: org.apache.spark.sql.types.DataType =
                            org.apache.spark.sql.types.LongType): DataFrame = {
-    import org.apache.spark.sql.types._
-    val labelSchema = StructType(Seq(
-      StructField("node", idType), StructField("comp", idType)))
     committedSnapshots(spark, labelsPath).lastOption match {
       case Some((_, dir)) =>
-        spark.read.schema(labelSchema).parquet(dir.toString)
+        spark.read.schema(labelSchema(idType)).parquet(dir.toString)
       case None =>
         spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], labelSchema)
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          labelSchema(idType))
     }
   }
 

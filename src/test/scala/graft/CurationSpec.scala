@@ -298,6 +298,18 @@ class CurationSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("checkpoint lineage"), ex.getMessage)
     assert(labels() == Map(2L -> 2L, 7L -> 2L, 8L -> 2L))
+    // ...and pruning must not defeat the check: snap=0 was pruned, so a
+    // reset-lineage batch 0 finds no colliding dir — but writing snap=0
+    // would be INVISIBLE to readers (max-batchId wins), silently dropping
+    // its docs. A batchId below the newest committed snapshot with no own
+    // dir is impossible in one lineage -> loud failure.
+    val ex0 = intercept[IllegalStateException] {
+      Curation.updateLabelsSnapshot(
+        Seq((98L, "also new")).toDF("doc_id", "text"), 0L,
+        s"$base/edges", s"$base/labels")
+    }
+    assert(ex0.getMessage.contains("restarted"), ex0.getMessage)
+    assert(labels() == Map(2L -> 2L, 7L -> 2L, 8L -> 2L))
   }
 
   test("span ingest refuses to write past a crashed compaction's side root") {
