@@ -494,20 +494,26 @@ object Curation {
     // newest uncommitted batch; older batches completed long ago), so a
     // missing dir here means a reset lineage — and the write would land a
     // snapshot readers can never resolve (max-batchId wins), silently
-    // dropping this batch's docs. Fail loud instead.
-    committedSnapshots(spark, labelsPath).lastOption.foreach {
-      case (newest, _) =>
-        if (newest > batchId)
-          throw new IllegalStateException(
-            s"labels store $labelsPath newest committed snapshot is " +
-              s"snap=$newest but batch $batchId has no snapshot dir — " +
-              "batchIds have restarted (checkpoint reset?); the store is " +
-              "bound to one streaming-checkpoint lineage, point the " +
-              "stream at a fresh labelsPath")
+    // dropping this batch's docs. Fail loud instead. One listing serves
+    // both the guard and the base-snapshot read (committedSnapshots costs
+    // a listStatus + one exists() per snap dir — don't pay it twice per
+    // micro-batch).
+    val snaps = committedSnapshots(spark, labelsPath)
+    snaps.lastOption.foreach { case (newest, _) =>
+      if (newest > batchId)
+        throw new IllegalStateException(
+          s"labels store $labelsPath newest committed snapshot is " +
+            s"snap=$newest but batch $batchId has no snapshot dir — " +
+            "batchIds have restarted (checkpoint reset?); the store is " +
+            "bound to one streaming-checkpoint lineage, point the " +
+            "stream at a fresh labelsPath")
     }
-    val old = readLabelsSnapshot(spark, labelsPath, idType)
+    val old = readSnapshot(spark, snaps.lastOption, idType)
+    // NULL ids are garbage across the whole dedup family (unique-id input
+    // contract) — excluded here exactly as in the replay check above, so
+    // a snapshot never carries a (null, null) row for readers to trip on
     val withNew = old.unionByName(
-      batch.select(id.as("node"))
+      batch.select(id.as("node")).filter(col("node").isNotNull)
         .join(old.select(col("node")), Seq("node"), "left_anti")
         .select(col("node"), col("node").as("comp")))
     val updated = graft.dedup.Dedup.componentsIncremental(withNew,
@@ -688,7 +694,12 @@ object Curation {
             s"compaction: cannot remove torn stage dir $tmpB")
       }
       if (!staged && foldable.nonEmpty) {
-        if (fs.exists(tmpB)) fs.delete(tmpB, true) // torn stage: restage
+        // torn stage: restage — and name a refused delete as the cause
+        // rather than letting the write's path-exists abort point at the
+        // wrong line
+        if (fs.exists(tmpB) && !fs.delete(tmpB, true) && fs.exists(tmpB))
+          throw new java.io.IOException(
+            s"compaction: cannot remove torn stage dir $tmpB")
         // basePath keeps bucket/batch_id as partition columns while the
         // read lists ONLY this bucket's dirs — a parent read per bucket
         // would re-walk all nBuckets × batches dirs every iteration,
@@ -721,9 +732,11 @@ object Curation {
     }
   }
 
-  /** THE on-disk schema of a label snapshot — one definition so the
-    * write path, the replay-check read, and [[readLabelsSnapshot]] can't
-    * drift apart.
+  /** The read schema of a label snapshot — one definition shared by the
+    * replay-check read and [[readLabelsSnapshot]]. The WRITE side's
+    * types come from the batch's `id` expression (input contract:
+    * `idType` must match the id column's actual type; a mismatch fails
+    * at read time as a parquet type error, never a silent cast).
     */
   private def labelSchema(idType: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
@@ -764,8 +777,17 @@ object Curation {
   def readLabelsSnapshot(spark: org.apache.spark.sql.SparkSession,
                          labelsPath: String,
                          idType: org.apache.spark.sql.types.DataType =
-                           org.apache.spark.sql.types.LongType): DataFrame = {
-    committedSnapshots(spark, labelsPath).lastOption match {
+                           org.apache.spark.sql.types.LongType): DataFrame =
+    readSnapshot(spark, committedSnapshots(spark, labelsPath).lastOption,
+      idType)
+
+  /** Shared tail of the snapshot readers: the frame for an
+    * already-resolved newest-committed dir (empty frame when none).
+    */
+  private def readSnapshot(spark: org.apache.spark.sql.SparkSession,
+                           newest: Option[(Long, org.apache.hadoop.fs.Path)],
+                           idType: org.apache.spark.sql.types.DataType): DataFrame =
+    newest match {
       case Some((_, dir)) =>
         spark.read.schema(labelSchema(idType)).parquet(dir.toString)
       case None =>
@@ -773,7 +795,6 @@ object Curation {
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           labelSchema(idType))
     }
-  }
 
   /** The d12b audit histogram as ONE groupBy over the maintained label
     * snapshot — the at-scale read path of the incremental LSH store
