@@ -444,6 +444,16 @@ object Curation {
     * when a replayed older batchId lands after it. Snapshot accumulation
     * is bounded by [[pruneLabelSnapshots]]. Single-writer contract (the
     * foreachBatch serialization Spark already provides).
+    *
+    * RECOVERY after a checkpoint reset (the lineage guards below fail
+    * loud on batchId restarts): do NOT just point the stream at a fresh
+    * `labelsPath` while keeping the old staging/edge stores — rebuilding
+    * labels from retained edges recovers edge ENDPOINTS only, so docs
+    * from the prior lineage that never matched anything (no edges)
+    * silently disappear from the new labeling. Recover by starting a
+    * fresh store family (staging + edges + labels paths together) and
+    * replaying/backfilling the prior corpus through it, so every
+    * previously-ingested doc re-contributes its identity row.
     */
   def updateLabelsSnapshot(batch: DataFrame, batchId: Long,
                            edgesPath: String, labelsPath: String,
@@ -485,7 +495,11 @@ object Curation {
           s"labels store $labelsPath already holds a committed snapshot " +
             s"for batch $batchId with DIFFERENT docs — the store is bound " +
             "to one streaming-checkpoint lineage; after a checkpoint " +
-            "reset, point the stream at a fresh labelsPath")
+            "reset, start a fresh store FAMILY (staging + edges + labels " +
+            "paths together) and backfill the prior corpus through it. " +
+            "Reusing only a fresh labelsPath against the old edge store " +
+            "rebuilds labels for edge ENDPOINTS only — edge-less docs " +
+            "from the prior lineage silently vanish from the labeling")
       return // true at-least-once replay: no-op
     }
     // The same lineage violation when pruning already removed the colliding
@@ -505,8 +519,11 @@ object Curation {
           s"labels store $labelsPath newest committed snapshot is " +
             s"snap=$newest but batch $batchId has no snapshot dir — " +
             "batchIds have restarted (checkpoint reset?); the store is " +
-            "bound to one streaming-checkpoint lineage, point the " +
-            "stream at a fresh labelsPath")
+            "bound to one streaming-checkpoint lineage. Start a fresh " +
+            "store FAMILY (staging + edges + labels paths together) and " +
+            "backfill the prior corpus through it — a fresh labelsPath " +
+            "alone rebuilds labels from edge ENDPOINTS only and silently " +
+            "drops edge-less docs from the prior lineage")
     }
     val old = readSnapshot(spark, snaps.lastOption, idType)
     // NULL ids are garbage across the whole dedup family (unique-id input
@@ -842,27 +859,113 @@ object Curation {
     ()
   }
 
+  /** One maintenance pass over the LSH label-store family: compact the
+    * band-row staging store's accumulated `(bucket, batch_id)` dirs into
+    * per-bucket snapshot partitions ([[compactStagedStore]] — the store
+    * is SET-semantics, reads collapse duplicate rows, so online
+    * compaction between batches is safe) and prune old label snapshots
+    * ([[pruneLabelSnapshots]]). Without a cadence for this pair, a
+    * long-lived [[lshLabelsIngest]] stream accumulates one staging dir
+    * per (touched bucket, batch) and one snapshot dir per batch forever
+    * — file listings, the touched-bucket recompute, and the snapshot
+    * resolve all walk O(batches) dirs. Single-writer contract: run
+    * between ingest batches (the foreachBatch hook below) or from an
+    * external maintenance window.
+    */
+  def lshStoreMaintenance(spark: org.apache.spark.sql.SparkSession,
+                          stagingPath: String, labelsPath: String,
+                          keepSnapshots: Int = 1,
+                          idType: org.apache.spark.sql.types.DataType =
+                            org.apache.spark.sql.types.LongType): Unit = {
+    import org.apache.spark.sql.types._
+    compactStagedStore(spark, stagingPath, StructType(Seq(
+      StructField("doc_id", idType), StructField("band", IntegerType),
+      StructField("band_hash", StringType),
+      StructField("bucket", IntegerType),
+      StructField("batch_id", LongType))))
+    pruneLabelSnapshots(spark, labelsPath, keepSnapshots)
+  }
+
+  /** One maintenance pass over the span-dedup gram store: stop-the-world
+    * [[compactCountedStore]] of `<stagingPath>/grams` (COUNT semantics —
+    * the set-tolerant online op would double-count). `committedThrough`
+    * must be the highest batchId the stream's checkpoint has committed;
+    * from inside foreachBatch processing batch B that is `B - 1` (B
+    * itself commits only after the hook returns — folding it would make
+    * its at-least-once replay double-count, i.e. silent text loss).
+    * The docs side is deliberately not compacted
+    * (see [[compactCountedStore]]'s scaladoc).
+    */
+  def spanStoreMaintenance(spark: org.apache.spark.sql.SparkSession,
+                           stagingPath: String, committedThrough: Long,
+                           idType: org.apache.spark.sql.types.DataType =
+                             org.apache.spark.sql.types.LongType): Unit = {
+    import org.apache.spark.sql.types._
+    compactCountedStore(spark, s"$stagingPath/grams", StructType(Seq(
+      StructField("doc_id", idType), StructField("s", IntegerType),
+      StructField("gram_h", LongType), StructField("bucket", IntegerType),
+      StructField("batch_id", LongType))),
+      committedThrough = committedThrough)
+  }
+
   /** Streaming label maintenance: each micro-batch runs
     * [[incrementalLshLabelsBatch]] — the snapshot at `labelsPath` is
     * always the cluster labeling of everything ingested so far.
+    * `maintainEvery = N > 0` additionally runs [[lshStoreMaintenance]]
+    * after every Nth batch (batchIds N-1, 2N-1, …), bounding staging-dir
+    * and snapshot-dir growth for a long-lived stream; foreachBatch's
+    * serialization IS the single-writer window the maintenance ops
+    * require. 0 (default) = caller owns maintenance. Reads are
+    * unaffected: compaction preserves each bucket's row SET and pruning
+    * never touches the newest committed snapshot.
     */
   def lshLabelsIngest(raw: DataFrame, stagingPath: String,
                       edgesPath: String, labelsPath: String,
                       numHashes: Int, bands: Int, nBuckets: Int = 64,
+                      maintainEvery: Int = 0, keepSnapshots: Int = 1,
                       queryName: String = "graft_lsh_labels_ingest"): org.apache.spark.sql.streaming.StreamingQuery =
     raw.writeStream.queryName(queryName)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         incrementalLshLabelsBatch(batch, batchId, stagingPath, edgesPath,
           labelsPath, numHashes, bands, nBuckets)
+        if (maintainEvery > 0 && (batchId + 1) % maintainEvery == 0)
+          lshStoreMaintenance(batch.sparkSession, stagingPath, labelsPath,
+            keepSnapshots)
       }.start()
 
+  /** `maintainEvery = N > 0` runs [[spanStoreMaintenance]] after every
+    * Nth batch, inside the foreachBatch single-writer window the
+    * stop-the-world gram compaction requires (`committedThrough` =
+    * current batchId - 1 — the current batch commits only after the
+    * hook returns, so it always rides through as its own partition and
+    * replays stay idempotent). A compaction that crashed mid-run leaves
+    * its side root and [[incrementalSpanDedupBatch]]'s fence would
+    * refuse the replayed batch, so the hook first re-runs the
+    * compaction to completion (recovery is convergent) — the operator
+    * intervention the fence otherwise demands, automated under the same
+    * serialization that makes it safe. 0 (default) = caller owns
+    * maintenance.
+    */
   def spanDedupIngest(raw: DataFrame, stagingPath: String, dupsPath: String,
                       window: Int, nBuckets: Int = 64,
+                      maintainEvery: Int = 0,
                       queryName: String = "graft_span_dedup_ingest"): org.apache.spark.sql.streaming.StreamingQuery =
     raw.writeStream.queryName(queryName)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (maintainEvery > 0) {
+          val fence = new org.apache.hadoop.fs.Path(
+            s"$stagingPath/grams.compact_tmp")
+          if (fence.getFileSystem(
+              batch.sparkSession.sparkContext.hadoopConfiguration)
+              .exists(fence))
+            spanStoreMaintenance(batch.sparkSession, stagingPath,
+              committedThrough = batchId - 1)
+        }
         incrementalSpanDedupBatch(batch, batchId, stagingPath, dupsPath,
           window, nBuckets)
+        if (maintainEvery > 0 && (batchId + 1) % maintainEvery == 0)
+          spanStoreMaintenance(batch.sparkSession, stagingPath,
+            committedThrough = batchId - 1)
       }.start()
 
   /** Canonical form of an absolute crawl URL — the normalization a
@@ -874,7 +977,10 @@ object Curation {
     *      — never the path, which is case-sensitive;
     *   3. drop default ports (`http…:80`, `https…:443`);
     *   4. strip trailing slashes from the path;
-    *   5. drop tracking params (`utm_*`, `gclid`, `fbclid`) and SORT
+    *   5. drop tracking params (`utm_*`, `gclid`, `fbclid` — matched on
+    *      the LOWERCASED key left of `=`, so `UTM_Source=x`, `GCLID=…`
+    *      and value-less bare forms like `fbclid` are all stripped; ad
+    *      trackers are not case-consistent across re-crawls) and SORT
     *      the survivors — query order is semantically irrelevant, and
     *      sorting makes the key deterministic across re-crawls that
     *      emit params in different orders.
@@ -896,9 +1002,11 @@ object Curation {
         regexp_replace(hostport, ":443$", ""))
       .otherwise(hostport)
     val path = regexp_replace(regexp_extract(url, re, 3), "/+$", "")
-    val params = filter(split(regexp_extract(url, re, 4), "&"), p =>
-      p =!= "" && !p.startsWith("utm_") && !p.startsWith("gclid=") &&
-        !p.startsWith("fbclid="))
+    val params = filter(split(regexp_extract(url, re, 4), "&"), p => {
+      val key = lower(element_at(split(p, "=", 2), 1))
+      p =!= "" && !key.startsWith("utm_") &&
+        key =!= "gclid" && key =!= "fbclid"
+    })
     val q = array_join(array_sort(params), "&")
     concat(scheme, lit("://"), host, path,
       when(q === "", lit("")).otherwise(concat(lit("?"), q)))

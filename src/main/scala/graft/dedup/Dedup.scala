@@ -483,12 +483,21 @@ object Dedup {
     * one CUBE-sized aggregation, the corpus is scanned exactly once at
     * construction. This is the call a pipeline owner makes per corpus
     * snapshot (the d12/d12b/d14/d15/d16 gates each read one field);
-    * `release()` the report once every consumed field is materialized.
+    * accessed fields are self-contained checkpoints, so `release()` is
+    * safe once every field the caller will ever read has been ACCESSED
+    * (no need to have collected them first).
     */
   final class DedupAuditReport private[dedup] (cube: DataFrame) {
+    // Histogram fields are checkpointed at first access (they are
+    // cluster-size histograms — a handful of rows), so like the
+    // agreement fields they are SELF-CONTAINED: a caller that touches a
+    // field and then release()s the cube holds a valid frame, never a
+    // lazy view over a freed checkpoint (ADVICE r12 — the old contract
+    // put that hazard in a scaladoc note and trusted callers to force).
     private def hist(label: String): DataFrame =
       cube.groupBy(col(label)).agg(sum(col("n")).as("cluster_size"))
         .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+        .localCheckpoint(true)
     /** d12: exact ≥-threshold Jaccard cluster-size histogram. */
     lazy val histExact: DataFrame = hist("ec")
     /** d12b: MinHash-LSH cluster-size histogram. */
@@ -503,9 +512,11 @@ object Dedup {
       * [[simHashDedupAgreement]]). */
     lazy val agreementSimHash: DataFrame = agreementFromCt(
       cube.groupBy(col("ec"), col("sc").as("lc")).agg(sum(col("n")).as("n")))
-    /** Release the cube's checkpoint block. Forced agreement fields are
-      * already self-contained (one-row checkpoints); HISTOGRAM fields
-      * are lazy over the cube — materialize them before releasing. */
+    /** Release the cube's checkpoint block. Every accessed field
+      * (agreement AND histogram) is an eager checkpoint of its own tiny
+      * result, so all remain valid after release; only an UNTOUCHED
+      * lazy field becomes unreachable — by then there is nothing to
+      * compute it for. */
     def release(): Unit =
       org.apache.spark.sql.graftbridge.Bridge.release(cube)
   }

@@ -135,7 +135,11 @@ object DocQueries {
     * trailing slash on every 4th doc, tracking params, the same query
     * params in two different orders (classes 2 and 3 — canonically
     * EQUAL, so the dedup gate genuinely merges re-crawls), fragments on
-    * every 6th doc.
+    * every 6th doc. Tracking params deliberately arrive in hostile form
+    * (round 13): mixed-case `UTM_Source=…`, mixed-case `GCLID=…`, and a
+    * bare value-less `fbclid` — the canonicalizer must match on the
+    * lowercased key left of `=`, or the canonical key leaks tracker
+    * noise and the hash flips.
     */
   private def gateCrawlUrl: org.apache.spark.sql.Column = concat(
     when(col("doc_id") % 2 === 0, lit("HTTP")).otherwise(lit("https")),
@@ -148,10 +152,11 @@ object DocQueries {
     (col("doc_id") % 10).cast("string"),
     when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
     when(col("doc_id") % 5 === 0,
-      concat(lit("?utm_source=feed&id="), (col("doc_id") % 7).cast("string")))
+      concat(lit("?UTM_Source=feed&id="), (col("doc_id") % 7).cast("string")))
       .when(col("doc_id") % 5 === 1,
-        concat(lit("?id="), (col("doc_id") % 7).cast("string"), lit("&a=1")))
-      .when(col("doc_id") % 5 === 2, lit("?b=2&a=1"))
+        concat(lit("?id="), (col("doc_id") % 7).cast("string"),
+          lit("&a=1&GCLID=CjW0")))
+      .when(col("doc_id") % 5 === 2, lit("?b=2&fbclid&a=1"))
       .when(col("doc_id") % 5 === 3, lit("?a=1&b=2"))
       .otherwise(lit("")),
     when(col("doc_id") % 6 === 0, lit("#sec2")).otherwise(lit("")))
@@ -1358,7 +1363,8 @@ object DocQueries {
         |  CAST(len(regexp_extract_all(text, '${graft.text.TextAnalysis.BpePattern}')) AS BIGINT) AS n_bpe,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws
         |FROM documents)
-        |SELECT lang, sum(n_bpe) AS total_bpe, sum(n_ws) AS total_ws,
+        |SELECT lang, CAST(sum(n_bpe) AS BIGINT) AS total_bpe,
+        |  CAST(sum(n_ws) AS BIGINT) AS total_ws,
         |  round(CAST(sum(n_bpe) AS DOUBLE) / sum(n_ws), 6) AS bpe_per_ws
         |FROM b GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
       Tables.documents(s, dir)

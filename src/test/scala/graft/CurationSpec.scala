@@ -516,6 +516,13 @@ class CurationSpec extends AnyFunSuite {
       // tracking params dropped, survivors sorted; ?-only query gone
       ("http://ex.com/p?utm_source=x&b=2&a=1", "http://ex.com/p?a=1&b=2"),
       ("http://ex.com/p?gclid=1&fbclid=2&utm_medium=m", "http://ex.com/p"),
+      // tracking match is on the LOWERCASED key left of '=': mixed-case
+      // and value-less bare forms are stripped too (ADVICE r12)
+      ("http://ex.com/p?UTM_Source=x&b=2&a=1", "http://ex.com/p?a=1&b=2"),
+      ("http://ex.com/p?GCLID=1&FBCLID=2&UTM_Medium=m", "http://ex.com/p"),
+      ("http://ex.com/p?gclid&fbclid&a=1", "http://ex.com/p?a=1"),
+      // ...but only the exact key / utm_ prefix: near-miss keys survive
+      ("http://ex.com/p?gclidx=1&fbclid2=2", "http://ex.com/p?fbclid2=2&gclidx=1"),
       ("http://ex.com/p?z=1&a=2", "http://ex.com/p?a=2&z=1"),
       // everything at once
       ("HTTPS://Ex.Com:443/Dir/Page/?b=1&utm_c=z&a=0#x",
@@ -719,6 +726,119 @@ class CurationSpec extends AnyFunSuite {
       assert(after == Seq((1L, "x y z"), (2L, "m n o"), (3L, "k k")),
         after.toString)
     } finally q.stop()
+  }
+
+  test("lshLabelsIngest maintainEvery: reads identical to unmaintained twin, dirs bounded") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = graft.queries.QDef.tempDir("graft_lsh_maint")
+    def doc(i: Long, fam: Int) =
+      (i, (0 until 12).map(j => s"m${fam}_$j").mkString(" "))
+    // four batches, dup families spanning batches so compaction must
+    // preserve cross-batch edge formation
+    val batches = Seq(
+      Seq(doc(5L, 0), (9L, "unique one two three four five")),
+      Seq(doc(7L, 1), doc(2L, 0)),
+      Seq(doc(4L, 1), (11L, "other wholly unrelated text tokens")),
+      Seq(doc(1L, 0)))
+    val in = MemoryStream[(Long, String)]
+    val q = Curation.lshLabelsIngest(
+      in.toDF().toDF("doc_id", "text"), s"$base/staged", s"$base/edges",
+      s"$base/labels", numHashes = 8, bands = 2, nBuckets = 4,
+      maintainEvery = 2, keepSnapshots = 1,
+      queryName = "lsh_maint_test")
+    try {
+      batches.foreach { b => in.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    // unmaintained twin over the same batch sequence
+    batches.zipWithIndex.foreach { case (b, bid) =>
+      Curation.incrementalLshLabelsBatch(b.toDF("doc_id", "text"), bid.toLong,
+        s"$base/staged2", s"$base/edges2", s"$base/labels2",
+        numHashes = 8, bands = 2, nBuckets = 4)
+    }
+    def labels(p: String): Map[Long, Long] =
+      Curation.readLabelsSnapshot(spark, p).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = labels(s"$base/labels")
+    assert(got == labels(s"$base/labels2"), got.toString)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 4L -> 4L, 7L -> 4L,
+      9L -> 9L, 11L -> 11L), got.toString)
+    // dir growth is bounded: maintenance after batch 3 leaves exactly the
+    // newest snapshot and one compacted partition per staged bucket
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def names(p: String): Seq[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(p)).toSeq
+        .filter(_.isDirectory).map(_.getPath.getName)
+    assert(names(s"$base/labels").filter(_.startsWith("snap=")) ==
+      Seq("snap=3"))
+    names(s"$base/staged").filter(_.startsWith("bucket=")).foreach { b =>
+      val bids = names(s"$base/staged/$b").filter(_.startsWith("batch_id="))
+      assert(bids == Seq("batch_id=-1"), s"$b: $bids")
+    }
+  }
+
+  test("spanDedupIngest maintainEvery: reads identical to unmaintained twin, gram dirs compacted") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = graft.queries.QDef.tempDir("graft_span_maint")
+    val batches = Seq(
+      Seq((1L, "a b c d x y z"), (2L, "m n o")),
+      Seq((3L, "k k a b c d")),     // duplicates doc 1's run across batches
+      Seq((4L, "p q r s")),
+      Seq((5L, "p q r s t")))       // duplicates doc 4's run across batches
+    val in = MemoryStream[(Long, String)]
+    val q = Curation.spanDedupIngest(
+      in.toDF().toDF("doc_id", "text"), s"$base/staged", s"$base/dups",
+      window = 3, nBuckets = 4, maintainEvery = 2,
+      queryName = "span_maint_test")
+    try {
+      batches.foreach { b => in.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    batches.zipWithIndex.foreach { case (b, bid) =>
+      Curation.incrementalSpanDedupBatch(b.toDF("doc_id", "text"),
+        bid.toLong, s"$base/staged2", s"$base/dups2", window = 3,
+        nBuckets = 4)
+    }
+    def readStore(staged: String, dups: String): Seq[(Long, String)] =
+      Curation.spanDedupFromStore(spark, s"$base/$staged", s"$base/$dups",
+        window = 3).orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val got = readStore("staged", "dups")
+    assert(got == readStore("staged2", "dups2"), got.toString)
+    assert(got == Seq((1L, "x y z"), (2L, "m n o"), (3L, "k k"),
+      (4L, ""), (5L, "t")), got.toString)
+    // maintenance after batch 3 folded committed batches 0-2 into the
+    // per-bucket snapshot partition; batch 3 (uncommitted at maintenance
+    // time) rides through as its own partition — replay idempotence
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def names(p: String): Seq[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(p)).toSeq
+        .filter(_.isDirectory).map(_.getPath.getName)
+    names(s"$base/staged/grams").filter(_.startsWith("bucket=")).foreach {
+      b =>
+        val bids = names(s"$base/staged/grams/$b")
+          .filter(_.startsWith("batch_id=")).sorted
+        assert(bids.forall(Set("batch_id=-1", "batch_id=3")), s"$b: $bids")
+    }
+    // crash-recovery branch: a leftover side root (crashed compaction)
+    // would fence plain ingest; the maintaining wrapper recovers first
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$base/staged/grams.compact_tmp"))
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = Curation.spanDedupIngest(
+      in2.toDF().toDF("doc_id", "text"), s"$base/staged", s"$base/dups",
+      window = 3, nBuckets = 4, maintainEvery = 2,
+      queryName = "span_maint_recover_test")
+    try {
+      in2.addData(Seq((6L, "fresh words after recovery")))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(!fs.exists(
+      new org.apache.hadoop.fs.Path(s"$base/staged/grams.compact_tmp")))
+    val afterRecovery = readStore("staged", "dups")
+    assert(afterRecovery.contains((6L, "fresh words after recovery")),
+      afterRecovery.toString)
   }
 
   test("incremental span dedup: an empty first batch leaves a readable store") {
