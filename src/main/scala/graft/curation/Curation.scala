@@ -1040,6 +1040,29 @@ object Curation {
         col("canon_url"), col("dup_count"))
   }
 
+  /** Per-domain crawl politeness/health stats over [[crawlUrlGroups]] —
+    * the report a frontier owner reads before re-budgeting a crawl:
+    * distinct pages per site, total fetches, duplicate fetch mass
+    * (re-crawls that URL dedup collapsed), the dup ratio, and the
+    * hottest page's fetch count (the "are we hammering one URL" probe).
+    * Scale shape: the domain aggregate runs over the URL-GROUPS frame,
+    * which is already dup-collapsed — a page fetched 10^6 times reaches
+    * this groupBy as ONE row with `dup_count = 10^6`, so viral re-crawl
+    * mass never inflates the domain shuffle; and a domain with millions
+    * of pages still partial-aggregates map-side (one row per map
+    * partition per domain reaches the reduce).
+    */
+  def crawlDomainStats(df: DataFrame, url: Column, id: Column): DataFrame =
+    crawlUrlGroups(df, url, id)
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_pages"), sum(col("dup_count")).as("n_fetches"),
+        max(col("dup_count")).as("max_page_fetches"))
+      .select(col("domain"), col("n_pages"), col("n_fetches"),
+        (col("n_fetches") - col("n_pages")).as("dup_mass"),
+        round(lit(1.0) - col("n_pages").cast("double") / col("n_fetches"), 6)
+          .as("dup_ratio"),
+        col("max_page_fetches"))
+
   /** Sequence packing (training-batch prep): documents are concatenated
     * per `key` in `order` and SPLIT into fixed `budget`-token training
     * sequences — each row gets the sequence id and in-sequence offset of
@@ -1456,6 +1479,40 @@ object Curation {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("cum_tokens", sum(nTokens).over(w))
       .filter(col("cum_tokens") <= budget)
+  }
+
+  /** [[tokenBudgetMix]] with the budget denominated in TOKENIZER tokens
+    * while documents carry WHITESPACE counts — the shape a real mix
+    * build has (corpora are profiled in cheap whitespace counts; the
+    * budget contract is "N subword tokens"). `calibration` is the t20
+    * artifact ([[graft.text.TextAnalysis.tokenCalibration]]): per-lang
+    * `bpe_per_ws`, #langs rows, joined in as a BROADCAST (null-safe on
+    * `lang` — a null-lang slice calibrates at its own row rather than
+    * silently dropping). Each document's estimated subword count is
+    * `nTokens × ratio`, kept EXACT-INTEGER end to end: the 6-decimal
+    * ratio becomes micro-units (`round(bpe_per_ws · 10⁶)` — integral by
+    * construction, one IEEE multiply both engines agree on), the window
+    * cumsum runs in micro-tokens (BIGINT — no float running sum to
+    * knife-edge a hash gate), and the budget compares as
+    * `budget · 10⁶`. A lang absent from the calibration falls back to
+    * ratio 1.0 (identity — whitespace counts pass through). Same single
+    * shuffle on the mix key as the plain form; the calibration join is
+    * scan-side. Returns the input columns plus `est_bpe_micro` and
+    * `cum_bpe_micro` (the audit trail; divide by 10⁶ for tokens).
+    */
+  def tokenBudgetMixCalibrated(df: DataFrame, nTokens: Column, lang: Column,
+                               key: Column, order: Seq[Column], budget: Long,
+                               calibration: DataFrame): DataFrame = {
+    val cal = calibration.select(col("lang").as("__clang"),
+      round(col("bpe_per_ws") * 1000000.0, 0).cast("long").as("__ratio"))
+    val w = Window.partitionBy(key).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.join(broadcast(cal), lang <=> col("__clang"), "left")
+      .withColumn("est_bpe_micro",
+        nTokens * coalesce(col("__ratio"), lit(1000000L)))
+      .drop("__clang", "__ratio")
+      .withColumn("cum_bpe_micro", sum(col("est_bpe_micro")).over(w))
+      .filter(col("cum_bpe_micro") <= budget * 1000000L)
   }
 
   /** Gopher-style composite quality filter with a per-rule audit trail:

@@ -1367,15 +1367,8 @@ object DocQueries {
         |  CAST(sum(n_ws) AS BIGINT) AS total_ws,
         |  round(CAST(sum(n_bpe) AS DOUBLE) / sum(n_ws), 6) AS bpe_per_ws
         |FROM b GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
-      Tables.documents(s, dir)
-        .select(col("lang"),
-          graft.text.TextAnalysis.bpeTokenCountCol(col("text")).as("n_bpe"),
-          graft.text.TextAnalysis.nTokensCol(col("text")).as("n_ws"))
-        .groupBy(col("lang"))
-        .agg(sum(col("n_bpe")).as("total_bpe"), sum(col("n_ws")).as("total_ws"))
-        .select(col("lang"), col("total_bpe"), col("total_ws"),
-          round(col("total_bpe").cast("double") / col("total_ws"), 6)
-            .as("bpe_per_ws"))
+      graft.text.TextAnalysis.tokenCalibration(
+          Tables.documents(s, dir), col("text"), col("lang"))
         .orderBy(col("lang"))
     },
 
@@ -2060,6 +2053,62 @@ object DocQueries {
           col("source"), Seq(col("quality").desc, col("doc_id")), budget = 2000L)
         .select(col("doc_id"), col("source"), col("n_tokens"),
           col("quality"), col("cum_tokens"))
+        .orderBy(col("source"), col("quality").desc, col("doc_id"))
+    },
+
+    // c11's budget denominated in TOKENIZER tokens (round 13 — the gap
+    // the t20 calibration artifact exists to close): the per-lang
+    // bpe-per-ws ratio converts each document's whitespace count to an
+    // estimated subword count, and the per-source cumsum fills a
+    // 3000-SUBWORD budget. Exact-integer end to end: the 6-decimal
+    // ratio becomes micro-units, the running sum is BIGINT micro-tokens
+    // — no float cumsum to knife-edge the hash. Same single shuffle on
+    // the mix key; the #langs calibration join is a broadcast.
+    QDef("c11b_token_budget_calibrated", {
+      val wLit = TextAnalysis.defaultClassifierWeights(64)
+        .map(_.toLong).mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT doc_id, source, lang, string_split(text, ' ') AS toks,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.BpePattern}')) AS BIGINT) AS n_bpe
+         |  FROM documents),
+         |h AS (SELECT doc_id, source, lang, n_bpe, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  list_sum([CAST((CAST($wLit AS BIGINT[]))[
+         |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      [CAST(ascii(c) AS BIGINT) FOR c IN string_split(tok, '')]),
+         |      (a, b) -> (a * 31 + b) % 1000000007) % 64) + 1] AS DOUBLE)
+         |    FOR tok IN toks]) AS dot
+         |  FROM t),
+         |cal AS (SELECT lang,
+         |  CAST(round(round(CAST(sum(n_bpe) AS DOUBLE) / sum(n_tokens), 6)
+         |    * 1000000.0, 0) AS BIGINT) AS ratio
+         |  FROM h GROUP BY lang),
+         |q AS (SELECT doc_id, source, h.lang AS lang, n_tokens,
+         |  CAST(floor((-0.25 + dot / (100.0 * n_tokens)) * 1000000.0) AS BIGINT) AS quality,
+         |  n_tokens * ratio AS est_bpe_micro
+         |  FROM h JOIN cal ON h.lang = cal.lang),
+         |c AS (SELECT doc_id, source, lang, n_tokens, quality, est_bpe_micro,
+         |  CAST(SUM(est_bpe_micro) OVER (PARTITION BY source ORDER BY quality DESC, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_bpe_micro
+         |  FROM q)
+         |SELECT doc_id, source, lang, n_tokens, quality, est_bpe_micro, cum_bpe_micro
+         |FROM c WHERE cum_bpe_micro <= 3000000000
+         |ORDER BY source, quality DESC, doc_id""".stripMargin
+    }) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val scored = TextAnalysis.classifierScore(docs, col("text"),
+          col("doc_id"), TextAnalysis.defaultClassifierWeights(64),
+          bias = -0.25)
+        .select(col("doc_id"), col("n_tokens"),
+          col("logit_micro").as("quality"))
+      val withKey = docs.select(col("doc_id"), col("source"), col("lang"))
+        .join(scored, Seq("doc_id"))
+      val cal = TextAnalysis.tokenCalibration(docs, col("text"), col("lang"))
+        .select(col("lang"), col("bpe_per_ws"))
+      graft.curation.Curation.tokenBudgetMixCalibrated(withKey,
+          col("n_tokens"), col("lang"), col("source"),
+          Seq(col("quality").desc, col("doc_id")), budget = 3000L,
+          calibration = cal)
+        .select(col("doc_id"), col("source"), col("lang"), col("n_tokens"),
+          col("quality"), col("est_bpe_micro"), col("cum_bpe_micro"))
         .orderBy(col("source"), col("quality").desc, col("doc_id"))
     },
 
@@ -2931,6 +2980,39 @@ object DocQueries {
         .crawlUrlGroups(Tables.documents(s, dir), gateCrawlUrl,
           col("doc_id"))
         .orderBy(col("keep_doc_id"))
+    },
+
+    // Per-domain crawl politeness stats (round 13 — the c21 follow-on a
+    // frontier owner asks for): pages per site, fetch totals, duplicate
+    // fetch mass and ratio, hottest page. The oracle re-derives the
+    // canonical key from the generating fields (c20/c21 pattern), then
+    // groups the other way (domain over distinct pages vs the engine's
+    // two-stage groups-then-domain) — agreeing hashes pin both the
+    // canonicalization and the aggregation arithmetic.
+    QDef("c22_crawl_domain_stats",
+      s"""WITH c AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END)
+        |  || '://www.' || source || '.example.com'
+        |  || (CASE WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END)
+        |  || '/' || lang || '/Page' || CAST(doc_id % 10 AS VARCHAR)
+        |  || (CASE WHEN doc_id % 5 = 0 THEN '?id=' || CAST(doc_id % 7 AS VARCHAR)
+        |           WHEN doc_id % 5 = 1 THEN '?a=1&id=' || CAST(doc_id % 7 AS VARCHAR)
+        |           WHEN doc_id % 5 IN (2, 3) THEN '?a=1&b=2'
+        |           ELSE '' END) AS canon_url,
+        |  'www.' || source || '.example.com' AS domain
+        |FROM documents),
+        |g AS (SELECT domain, canon_url, CAST(count(*) AS BIGINT) AS dup_count
+        |  FROM c GROUP BY domain, canon_url)
+        |SELECT domain, CAST(count(*) AS BIGINT) AS n_pages,
+        |  CAST(sum(dup_count) AS BIGINT) AS n_fetches,
+        |  CAST(sum(dup_count) - count(*) AS BIGINT) AS dup_mass,
+        |  round(1.0 - CAST(count(*) AS DOUBLE) / sum(dup_count), 6) AS dup_ratio,
+        |  max(dup_count) AS max_page_fetches
+        |FROM g GROUP BY domain ORDER BY domain""".stripMargin) { (s, dir) =>
+      graft.curation.Curation
+        .crawlDomainStats(Tables.documents(s, dir), gateCrawlUrl,
+          col("doc_id"))
+        .orderBy(col("domain"))
     },
 
     // G3: triangle count + global clustering coefficient of the d4

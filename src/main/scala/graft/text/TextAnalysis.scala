@@ -81,6 +81,24 @@ object TextAnalysis {
     */
   def bpeTokenCountCol(text: Column): Column =
     size(regexp_extract_all(text, lit(BpePattern), lit(0))).cast("long")
+
+  /** Per-language tokenizer calibration — the t20 artifact: total
+    * [[bpeTokenCountCol]] subword tokens, total whitespace tokens, and
+    * their ratio per `lang`, 6-decimal rounded. This is what converts a
+    * budget denominated in TOKENIZER tokens into the whitespace counts
+    * a corpus carries ([[graft.curation.Curation.tokenBudgetMixCalibrated]]
+    * joins it in, #langs rows — broadcast). At 100 TB: one scan-side
+    * projection + one lang-keyed aggregate (map-side combined) — compute
+    * once per corpus snapshot, multiply budgets through.
+    */
+  def tokenCalibration(df: DataFrame, text: Column, lang: Column): DataFrame =
+    df.select(lang.as("lang"), bpeTokenCountCol(text).as("n_bpe"),
+        nTokensCol(text).as("n_ws"))
+      .groupBy(col("lang"))
+      .agg(sum(col("n_bpe")).as("total_bpe"), sum(col("n_ws")).as("total_ws"))
+      .select(col("lang"), col("total_bpe"), col("total_ws"),
+        round(col("total_bpe").cast("double") / col("total_ws"), 6)
+          .as("bpe_per_ws"))
   def avgTokenLenCol(text: Column): Column =
     round(length(regexp_replace(text, " ", "")).cast("double") / size(toks(text)), 6)
   def stopwordRatioCol(text: Column): Column =

@@ -263,6 +263,45 @@ object ScaleProbe {
         f"uniform ${(System.nanoTime() - t1) / 1e9}%.2f s ($nUni groups)")
       nViral
     }
+    t(s"c22 domain stats mega-domain ${mult}x") {
+      // skew at the DOMAIN grain: one site owns ~90% of distinct pages
+      // (distinct URLs — stage 1 collapses nothing for them). Stage 2's
+      // map-side partials bound the mega-domain's reduce input by
+      // #map-partitions, never #pages. Printed pair vs uniform domains.
+      val urls = big.withColumn("url",
+        when(col("doc_id") % 10 =!= 0,
+          concat(lit("https://Mega.Example.COM/"), col("doc_id"),
+            lit("?a=1")))
+          .otherwise(concat(lit("https://"), col("source"),
+            lit(".example.com/"), col("doc_id"), lit("?a=1"))))
+      val t0 = System.nanoTime()
+      val nMega = Curation.crawlDomainStats(urls, col("url"), col("doc_id"))
+        .count()
+      val tMega = (System.nanoTime() - t0) / 1e9
+      val uniform = big.withColumn("url",
+        concat(lit("https://"), col("source"), lit(".example.com/"),
+          col("doc_id"), lit("?a=1")))
+      val t1 = System.nanoTime()
+      val nUni = Curation.crawlDomainStats(uniform, col("url"),
+        col("doc_id")).count()
+      println(f"SCALE   c22 mega-domain $tMega%.2f s ($nMega domains) vs " +
+        f"uniform ${(System.nanoTime() - t1) / 1e9}%.2f s ($nUni domains)")
+      nMega
+    }
+    t(s"c11b calibrated mix ${mult}x") {
+      // isolate the calibrated budget op: per-lang BPE calibration scan
+      // (one regex pass + #langs-row agg), broadcast ratio join, then
+      // the same single per-key window cumsum as the plain mix — cost
+      // must track the plain mix + one scan, with NO extra shuffle
+      val cal = graft.text.TextAnalysis
+        .tokenCalibration(big, col("text"), col("lang"))
+        .select(col("lang"), col("bpe_per_ws"))
+      Curation.tokenBudgetMixCalibrated(
+        big.select(col("doc_id"), col("source"), col("lang"),
+          graft.text.TextAnalysis.nTokensCol(col("text")).as("n_tokens")),
+        col("n_tokens"), col("lang"), col("source"),
+        Seq(col("doc_id")), budget = 1000000L, calibration = cal).count()
+    }
     t(s"t19 bpe token count ${mult}x") {
       // one codegen'd regexp pass per row — must be linear in corpus
       // chars, no shuffle (the count is scan-side by contract)

@@ -597,6 +597,23 @@ class CurationSpec extends AnyFunSuite {
       (4L, "b.com", "https://b.com/q", 1L)), got.toString)
   }
 
+  test("crawlDomainStats: pages, fetches, dup mass and hottest page per domain") {
+    val df = Seq(
+      (1L, "http://a.com/p?x=1&y=2"),
+      (2L, "HTTP://A.COM/p/?y=2&x=1#f"), // same page as 1
+      (3L, "http://a.com/p?x=1"),
+      (5L, "http://a.com/p?y=2&x=1"),    // same page as 1 again
+      (4L, "https://b.com/q")
+    ).toDF("doc_id", "url")
+    val got = Curation.crawlDomainStats(df, col("url"), col("doc_id"))
+      .orderBy("domain").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5))).toSeq
+    assert(got == Seq(
+      ("a.com", 2L, 4L, 2L, 0.5, 3L),
+      ("b.com", 1L, 1L, 0L, 0.0, 1L)), got.toString)
+  }
+
   test("dedupSpansAcrossDocs removes every position covered by a duplicated window") {
     // window=3; coverage of a flagged start s is positions [s, s+2].
     // Docs 1 and 2 share the run "a b c d" → duplicated 3-grams "a b c"
@@ -1055,6 +1072,42 @@ class CurationSpec extends AnyFunSuite {
     assert(mix(24L).toSeq == Seq((1L, 10L), (2L, 20L)))
     // budget 31: t keeps both (30, 31)
     assert(mix(31L).map(_._1).toSet == Set(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("tokenBudgetMixCalibrated: identity calibration ≡ plain mix; ratios scale the budget") {
+    val d = Seq(
+      (1L, "s", "en", 10L, 5L), (2L, "s", "en", 10L, 4L),
+      (3L, "s", "zh", 5L, 3L),
+      (4L, "t", "zh", 30L, 9L), (5L, "t", "en", 1L, 8L)
+    ).toDF("doc_id", "src", "lang", "n_tokens", "q")
+    def calibrated(budget: Long, cal: Seq[(String, Double)]) =
+      Curation.tokenBudgetMixCalibrated(d, col("n_tokens"), col("lang"),
+          col("src"), Seq(col("q").desc, col("doc_id")), budget,
+          cal.toDF("lang", "bpe_per_ws"))
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getAs[Long]("cum_bpe_micro")))
+    // ratio 1.0 everywhere ≡ the plain whitespace-budget mix (same kept
+    // set, cum trail in micro-units)
+    val idCal = Seq("en" -> 1.0, "zh" -> 1.0)
+    val plain = Curation.tokenBudgetMix(d, col("n_tokens"), col("src"),
+        Seq(col("q").desc, col("doc_id")), 25L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("cum_tokens")))
+    assert(calibrated(25L, idCal).toSeq ==
+      plain.map { case (id, c) => (id, c * 1000000L) }.toSeq)
+    // an ABSENT lang falls back to ratio 1.0 (identity), never drops
+    assert(calibrated(25L, Seq("en" -> 1.0)).map(_._1).toSeq ==
+      plain.map(_._1).toSeq)
+    // en costs 2× per ws token: source s at budget 25 keeps only doc 1
+    // (est 20; doc 2 would cum to 40) where the uncalibrated mix kept
+    // docs 1-3 — the calibration genuinely changes the kept set. In t,
+    // doc 4 (zh, 30) still crosses, and doc 5's cum includes it (32).
+    val twoX = Seq("en" -> 2.0, "zh" -> 1.0)
+    assert(calibrated(25L, twoX).map(_._1).toSeq == Seq(1L))
+    // fractional ratios stay exact in micro-units: 1.5 × 10 = 15 tokens
+    val frac = calibrated(45L, Seq("en" -> 1.5, "zh" -> 1.0))
+    assert(frac.toMap.get(1L).contains(15000000L), frac.toSeq.toString)
+    assert(frac.toMap.get(2L).contains(30000000L), frac.toSeq.toString)
   }
 
   test("temperatureSample: exact thresholds, small source kept whole, big source thinned, deterministic") {

@@ -184,5 +184,23 @@ class PlanShapeSpec extends AnyFunSuite {
       !plan.contains("ScalaUDF"), plan)
   }
 
+  test("c22 domain stats: two shuffles, both partial-aggregated map-side") {
+    val plan = phys(graft.curation.Curation.crawlDomainStats(
+      docs.withColumn("url", concat(lit("http://"), col("source"),
+        lit(".example.com/"), col("doc_id"))),
+      col("url"), col("doc_id")))
+    // exactly two exchanges: canonical-URL groups, then domain rollup —
+    // the domain agg must read the dup-collapsed groups, not the corpus
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n$plan")
+    // each exchange has a partial aggregate below it (4 HashAggregates
+    // total): viral URLs absorb map-side at stage 1, mega-domains at
+    // stage 2
+    assert("HashAggregate".r.findAllIn(plan).size >= 4,
+      s"expected partial+final aggregates at both stages:\n$plan")
+    assert(!plan.toLowerCase.contains("batchevalpython") &&
+      !plan.contains("ScalaUDF"), plan)
+  }
+
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 }
