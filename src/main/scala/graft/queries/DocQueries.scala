@@ -560,8 +560,13 @@ object DocQueries {
     * ranking uses the DOUBLE means (`cvd`) while assignment uses the
     * FLOAT casts (`cvf`), matching the engine's split precision.
     */
-  private def sim3OracleSql(iters: Int, nCentroids: Int = 16, stride: Int = 16,
-                            nProbe: Int = 2, k: Int = 10): String = {
+  /** The shared IVF prelude (everything through `assigned` / `q` / `qp`
+    * — seeding, `iters` unrolled Lloyd rounds, final assignment, query
+    * vector, probe-cid list), consumed by [[sim3OracleSql]] (cosine
+    * tail) and the sim13 oracle (ADC tail).
+    */
+  private def sim3Prelude(iters: Int, nCentroids: Int = 16, stride: Int = 16,
+                          nProbe: Int = 2): String = {
     require(iters >= 0, "iters must be non-negative")
     def assign(out: String, cn: String): String =
       s"""${out}d AS (SELECT e.vec_id, e.label, e.embedding, c.cid,
@@ -605,7 +610,12 @@ object DocQueries {
        |  ORDER BY list_sum([(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
        |    * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
        |    FOR x IN list_zip(c.cvd, q.qv)]), c.cid
-       |  LIMIT $nProbe),
+       |  LIMIT $nProbe)""".stripMargin
+  }
+
+  private def sim3OracleSql(iters: Int, nCentroids: Int = 16, stride: Int = 16,
+                            nProbe: Int = 2, k: Int = 10): String =
+    s"""${sim3Prelude(iters, nCentroids, stride, nProbe)},
        |s AS (SELECT a.vec_id, a.label,
        |  ${duckDot("a.embedding", "q.qv")} /
        |  (sqrt(${duckDot("a.embedding", "a.embedding")}) *
@@ -614,7 +624,42 @@ object DocQueries {
        |  WHERE a.vec_id <> 0 AND a.cid IN (SELECT cid FROM qp))
        |SELECT vec_id, label, round(cos, 6) AS cosine
        |FROM s ORDER BY round(cos, 6) DESC, vec_id LIMIT $k""".stripMargin
-  }
+
+  /** The sim13 oracle: [[sim3Prelude]]'s IVF assignment + probe list,
+    * then the sim10 ADC tail restricted to the probed candidates — the
+    * composed IVF-PQ search fully unrolled in SQL (one Lloyd round; the
+    * loop-count surface is sim3's).
+    */
+  private def sim13OracleSql(iters: Int = 1, nProbe: Int = 2, k: Int = 10,
+                             m: Int = 4, subDim: Int = 16,
+                             ks: Int = 8): String =
+    s"""${sim3Prelude(iters, nProbe = nProbe)},
+       |jm AS (SELECT range AS j FROM range($m)),
+       |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding
+       |          FROM embeddings WHERE vec_id < $ks),
+       |cent AS (SELECT c, j, embedding[(j*$subDim+1):((j+1)*$subDim)] AS cv
+       |         FROM seeds CROSS JOIN jm),
+       |qq AS (SELECT j, qv[(j*$subDim+1):((j+1)*$subDim)] AS qj
+       |       FROM q CROSS JOIN jm),
+       |tab AS (SELECT cent.j, cent.c,
+       |  CAST(floor(((${duckDot("qj", "qj")} - 2.0 * ${duckDot("qj", "cv")})
+       |    + ${duckDot("cv", "cv")}) * 1000000.0) AS BIGINT) AS dm
+       |  FROM cent JOIN qq ON cent.j = qq.j),
+       |sub AS (SELECT a.vec_id, a.label, jm.j,
+       |        a.embedding[(jm.j*$subDim+1):((jm.j+1)*$subDim)] AS xv
+       |        FROM assigned a CROSS JOIN jm
+       |        WHERE a.vec_id <> 0 AND a.cid IN (SELECT cid FROM qp)),
+       |cand AS (SELECT sub.vec_id, sub.label, sub.j, cent.c,
+       |  ((${duckDot("xv", "xv")} - 2.0 * ${duckDot("xv", "cv")})
+       |   + ${duckDot("cv", "cv")}) AS d
+       |  FROM sub JOIN cent ON sub.j = cent.j),
+       |best AS (SELECT vec_id, label, j, c,
+       |  row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn FROM cand),
+       |adc AS (SELECT b.vec_id, b.label, CAST(sum(t.dm) AS BIGINT) AS adc_micro
+       |  FROM best b JOIN tab t ON b.j = t.j AND b.c = t.c
+       |  WHERE b.rn = 1 GROUP BY b.vec_id, b.label)
+       |SELECT vec_id, label, adc_micro FROM adc
+       |ORDER BY adc_micro, vec_id LIMIT $k""".stripMargin
 
   /** The d2b oracle: the md5 MinHash family of
     * [[graft.dedup.Dedup.minHashLshEdgesPortable]] mirrored in SQL —
@@ -1131,6 +1176,17 @@ object DocQueries {
          |SELECT vec_id, label, adc_micro FROM adc
          |ORDER BY adc_micro, vec_id LIMIT 10""".stripMargin) { (s, dir) =>
       Similarity.pqAdcKnn(Tables.embeddings(s, dir), queryVecId = 0L, k = 10)
+    },
+
+    // IVF-PQ composed search (round 13): the two-level ANN serving
+    // stack — IVF probe prunes the corpus to the nProbe nearest
+    // inverted lists (one hash-gated Lloyd round), PQ ADC ranks only
+    // the probed candidates in the compressed domain. Assignment,
+    // encoding, and the table-sum fuse into ONE scan projection; top-k
+    // is TakeOrderedAndProject — no shuffle touches the corpus.
+    QDef("sim13_ivf_pq_knn", sim13OracleSql()) { (s, dir) =>
+      Similarity.ivfPqKnn(Tables.embeddings(s, dir), queryVecId = 0L,
+        k = 10)
     },
 
     // Hybrid retrieval: BM25 top-20 (lexical) fused with cosine KNN

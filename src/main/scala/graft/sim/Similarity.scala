@@ -189,6 +189,32 @@ object Similarity {
     */
   def ivfAnn(emb: DataFrame, queryVecId: Long, k: Int,
              nCentroids: Int = 16, nProbe: Int = 2, iters: Int = 3): DataFrame = {
+    val vecs = emb.select(col("vec_id"), col("label"), col("embedding"))
+    val centroids = ivfTrain(emb, nCentroids, iters)
+    val assigned = vecs.withColumn("cid", ivfAssignExpr(centroids))
+    val q = assigned.where(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qv"), col("cid").as("q_cid"))
+    // probe set: nProbe centroids nearest to the query vector
+    val qVec = q.collect()(0).getSeq[Float](0).toArray
+    val probeCids = nearestCids(centroids, qVec, nProbe)
+    assigned.where(col("vec_id") =!= queryVecId &&
+        col("cid").isin(probeCids: _*))
+      .crossJoin(broadcast(q.select(col("qv"))))
+      .select(col("vec_id"), col("label"),
+        round(Fns.cosineSim(col("embedding"), col("qv")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Deterministic IVF coarse-quantizer training — factored so
+    * [[ivfAnn]] and [[ivfPqKnn]] share one trainer: stride-seeded
+    * centroids (every 16th vector by id) refined by `iters` distributed
+    * Lloyd rounds. See [[ivfAnn]] for the integer-scaled mean
+    * determinism argument. Only the nCentroids × dim centroid matrix is
+    * ever collected.
+    */
+  private[graft] def ivfTrain(emb: DataFrame, nCentroids: Int,
+                              iters: Int): Array[(Int, Array[Double])] = {
     val spark = emb.sparkSession
     import spark.implicits._
     val vecs = emb.select(col("vec_id"), col("label"), col("embedding"))
@@ -199,26 +225,8 @@ object Similarity {
       .zipWithIndex.collect { case ((_, _, v), i) if i % 16 == 0 => v }
       .take(nCentroids)
       .zipWithIndex.map { case (v, cid) => (cid, v.map(_.toDouble)) }
-    def assignExpr(cs: Array[(Int, Array[Double])]): Column = {
-      // argmin over centroid distances, unrolled per centroid (few).
-      // ‖x−c‖² = ‖x‖² + ‖c‖² − 2·c·x and ‖x‖² is constant across centroids,
-      // so rank by ‖c‖² − 2·c·x: the centroid norm folds to a literal and
-      // the dot product is the native codegen'd expression — a nested
-      // aggregate∘zip_with HOF here falls out of whole-stage codegen
-      // (measured ~10x slower; the reason DotProductF exists).
-      val dists = cs.map { case (cid, c) =>
-        val cf = c.map(_.toFloat)
-        val cNormSq = cf.map(v => v.toDouble * v.toDouble).sum
-        struct(
-          (lit(cNormSq) - lit(2.0) *
-            graft.expr.VectorExpressions.dotF(typedlit(cf.toSeq), col("embedding")))
-            .as("dist"),
-          lit(cid).as("cid"))
-      }
-      array_min(array(dists.toIndexedSeq: _*)).getField("cid")
-    }
     for (_ <- 0 until iters) {
-      val assigned = vecs.withColumn("cid", assignExpr(centroids))
+      val assigned = vecs.withColumn("cid", ivfAssignExpr(centroids))
       val dim = centroids.head._2.length
       val sums = assigned
         .select(col("cid"), posexplode(col("embedding")).as(Seq("d", "x")))
@@ -238,22 +246,41 @@ object Similarity {
         }
       }
     }
-    val assigned = vecs.withColumn("cid", assignExpr(centroids))
-    val q = assigned.where(col("vec_id") === queryVecId)
-      .select(col("embedding").as("qv"), col("cid").as("q_cid"))
-    // probe set: nProbe centroids nearest to the query vector
-    val qVec = q.as[(Array[Float], Int)].head()._1.map(_.toDouble)
-    val probeCids = centroids.map { case (cid, c) =>
-      val d = c.zip(qVec).map { case (a, b) => (a - b) * (a - b) }.sum
+    centroids
+  }
+
+  /** Argmin over centroid distances, unrolled per centroid (few).
+    * ‖x−c‖² = ‖x‖² + ‖c‖² − 2·c·x and ‖x‖² is constant across centroids,
+    * so rank by ‖c‖² − 2·c·x: the centroid norm folds to a literal and
+    * the dot product is the native codegen'd expression — a nested
+    * aggregate∘zip_with HOF here falls out of whole-stage codegen
+    * (measured ~10x slower; the reason DotProductF exists).
+    */
+  private[graft] def ivfAssignExpr(
+      cs: Array[(Int, Array[Double])]): Column = {
+    val dists = cs.map { case (cid, c) =>
+      val cf = c.map(_.toFloat)
+      val cNormSq = cf.map(v => v.toDouble * v.toDouble).sum
+      struct(
+        (lit(cNormSq) - lit(2.0) *
+          graft.expr.VectorExpressions.dotF(typedlit(cf.toSeq), col("embedding")))
+          .as("dist"),
+        lit(cid).as("cid"))
+    }
+    array_min(array(dists.toIndexedSeq: _*)).getField("cid")
+  }
+
+  /** The `nProbe` centroid ids nearest to the query (exact double
+    * distances over the collected centroid matrix — driver-side, tiny;
+    * ties resolve by centroid order, which [[ivfTrain]] keeps ascending).
+    */
+  private[graft] def nearestCids(cs: Array[(Int, Array[Double])],
+                                 qVec: Array[Float], nProbe: Int): Seq[Int] = {
+    val qd = qVec.map(_.toDouble)
+    cs.map { case (cid, c) =>
+      val d = c.zip(qd).map { case (a, b) => (a - b) * (a - b) }.sum
       (d, cid)
     }.sortBy(_._1).take(nProbe).map(_._2).toSeq
-    assigned.where(col("vec_id") =!= queryVecId &&
-        col("cid").isin(probeCids: _*))
-      .crossJoin(broadcast(q.select(col("qv"))))
-      .select(col("vec_id"), col("label"),
-        round(Fns.cosineSim(col("embedding"), col("qv")), 6).as("cosine"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-      .limit(k)
   }
 
   /** BATCH LSH ANN: [[lshAnn]] generalized to a query set — corpus
@@ -513,6 +540,21 @@ object Similarity {
     val cb = pqSeedCodebooks(emb, m, subDim, ks)
     val qv = emb.where(col("vec_id") === queryVecId)
       .select(col("embedding")).collect()(0).getSeq[Float](0).toArray
+    emb.where(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"), col("label"),
+        adcMicroCol(cb, qv, m, subDim).as("adc_micro"))
+      .orderBy(col("adc_micro").asc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** The scan-fused ADC scoring column: encode `embedding` against the
+    * codebooks and sum the query's precomputed per-(subspace, centroid)
+    * floor-micro distance table — [[pqAdcKnn]]'s kernel, factored so
+    * [[ivfPqKnn]] applies the identical arithmetic to a probed subset.
+    */
+  private[graft] def adcMicroCol(cb: Array[Array[Array[Float]]],
+                                 qv: Array[Float], m: Int,
+                                 subDim: Int): Column = {
     // adcTable(j)(c) = floor(sqDist(q_j, cb(j)(c)) · 10⁶) — exact ints
     val adcTable: Seq[Seq[Long]] = (0 until m).map { j =>
       val qj = qv.slice(j * subDim, (j + 1) * subDim)
@@ -528,11 +570,38 @@ object Similarity {
       }
       array_min(array(cands: _*)).getField("c")
     }
-    val adc = (0 until m).map { j =>
+    (0 until m).map { j =>
       element_at(typedlit(adcTable(j)), bests(j) + 1)
     }.reduce(_ + _)
-    emb.where(col("vec_id") =!= queryVecId)
-      .select(col("vec_id"), col("label"), adc.as("adc_micro"))
+  }
+
+  /** IVF-PQ composed search (sim13): the IVF coarse quantizer prunes the
+    * corpus to the `nProbe` inverted lists nearest the query, then PQ
+    * ADC ranks ONLY the probed candidates in the compressed domain —
+    * the standard two-level ANN serving stack (here without residual
+    * encoding: codes quantize the raw vectors, as in [[pqEncode]], so
+    * the probed subset's ADC scores are exactly [[pqAdcKnn]]'s). At
+    * scale: the centroid matrix and the m·ks ADC table are driver-side
+    * literals; the corpus-side work is one scan projection (assign +
+    * encode + table-sum fused), the probe filter prunes
+    * 1 − nProbe/nCentroids of it, and top-k is TakeOrderedAndProject —
+    * no shuffle ever touches the corpus. `iters = 1` keeps one full
+    * hash-gated Lloyd round in the composition (the loop-count surface
+    * is sim3/sim3c's).
+    */
+  def ivfPqKnn(emb: DataFrame, queryVecId: Long, k: Int = 10,
+               nCentroids: Int = 16, nProbe: Int = 2, iters: Int = 1,
+               m: Int = 4, subDim: Int = 16, ks: Int = 8): DataFrame = {
+    val vecs = emb.select(col("vec_id"), col("label"), col("embedding"))
+    val centroids = ivfTrain(emb, nCentroids, iters)
+    val qv = emb.where(col("vec_id") === queryVecId)
+      .select(col("embedding")).collect()(0).getSeq[Float](0).toArray
+    val probeCids = nearestCids(centroids, qv, nProbe)
+    val cb = pqSeedCodebooks(emb, m, subDim, ks)
+    vecs.withColumn("cid", ivfAssignExpr(centroids))
+      .where(col("vec_id") =!= queryVecId && col("cid").isin(probeCids: _*))
+      .select(col("vec_id"), col("label"),
+        adcMicroCol(cb, qv, m, subDim).as("adc_micro"))
       .orderBy(col("adc_micro").asc, col("vec_id"))
       .limit(k)
   }

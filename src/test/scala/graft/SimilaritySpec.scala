@@ -106,6 +106,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top.forall(_.getAs[Int]("label") == 0))
   }
 
+  test("ivfPqKnn: full probe ≡ pqAdcKnn; narrow probe scores are true ADC scores") {
+    // dim=8 fixture: m=4 × subDim=2; nCentroids=4 (60 vecs / stride 16)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("adc_micro"))).toSeq
+    // probing EVERY list is exactly the corpus-wide ADC scan — the IVF
+    // layer is a pure candidate filter over identical arithmetic
+    val full = rows(Similarity.ivfPqKnn(emb, queryVecId = 0L, k = 10,
+      nCentroids = 4, nProbe = 4, iters = 1, m = 4, subDim = 2, ks = 8))
+    val adcAll = rows(Similarity.pqAdcKnn(emb, queryVecId = 0L,
+      m = 4, subDim = 2, ks = 8, k = 10))
+    assert(full == adcAll, s"$full vs $adcAll")
+    // a narrow probe returns a SUBSET of vectors, each with its exact
+    // corpus-wide ADC score (the filter never changes scores), ordered
+    val narrowDf = Similarity.ivfPqKnn(emb, queryVecId = 0L, k = 10,
+      nCentroids = 4, nProbe = 1, iters = 1, m = 4, subDim = 2, ks = 8)
+    val narrow = rows(narrowDf)
+    assert(narrow.nonEmpty && narrow.size <= 10)
+    val adcBig = rows(Similarity.pqAdcKnn(emb, queryVecId = 0L,
+      m = 4, subDim = 2, ks = 8, k = 60)).toMap
+    narrow.foreach { case (id, s) =>
+      assert(adcBig.get(id).contains(s), s"vec $id: $s vs ${adcBig.get(id)}")
+    }
+    val scores = narrow.map(_._2)
+    assert(scores.zip(scores.tail).forall { case (a, b) => a <= b })
+    // cluster-0 query on 3 tight clusters: the probed list is cluster-pure
+    assert(narrowDf.collect().forall(_.getAs[Int]("label") == 0))
+  }
+
   test("pqEncodeTrained: Lloyd round strictly reduces total quantization error") {
     def totalErr(df: org.apache.spark.sql.DataFrame) =
       df.agg(sum(col("qerr_micro"))).head().getLong(0)
