@@ -356,10 +356,7 @@ object Curation {
                             idType: org.apache.spark.sql.types.DataType =
                               org.apache.spark.sql.types.LongType): DataFrame = {
     import org.apache.spark.sql.types._
-    val stagedSchema = StructType(Seq(
-      StructField("doc_id", idType), StructField("band", IntegerType),
-      StructField("band_hash", StringType), StructField("bucket", IntegerType),
-      StructField("batch_id", LongType)))
+    val stagedSchema = lshStagedSchema(idType)
     val edgeSchema = StructType(Seq(
       StructField("doc_a", idType), StructField("doc_b", idType),
       StructField("bucket", IntegerType)))
@@ -643,6 +640,11 @@ object Curation {
     * recovery swap would destroy it. That ordering is mechanically
     * fenced, not just documented — [[incrementalSpanDedupBatch]] refuses
     * to write while this op's side root (`<path>.compact_tmp`) exists.
+    * The side root carries an `_owner` marker naming `owner` (written
+    * before any staging work, re-claimed by a recovery re-run), so
+    * automated recovery can distinguish its own crashed run from a
+    * foreign — possibly still in-flight — one; see
+    * [[compactionOwner]] and [[spanDedupIngest]].
     *
     * Filesystem contract: directory rename and recursive delete are
     * assumed ATOMIC-or-fail (HDFS, local, ABFS). On an S3-class store
@@ -674,13 +676,32 @@ object Curation {
                           stagingPath: String,
                           stagedSchema: org.apache.spark.sql.types.StructType,
                           compactId: Long = -1L,
-                          committedThrough: Long = Long.MaxValue): Unit = {
+                          committedThrough: Long = Long.MaxValue,
+                          owner: String = "external"): Unit = {
     require(compactId < 0,
       s"compactId must be negative (live batchIds are >= 0), got $compactId")
     val p = new org.apache.hadoop.fs.Path(stagingPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return
     val tmpRoot = new org.apache.hadoop.fs.Path(stagingPath + ".compact_tmp")
+    // Ownership marker: written into the side root before any staging
+    // work, so a crash always leaves a fence that NAMES who was
+    // compacting. [[spanDedupIngest]]'s auto-recovery resumes only
+    // fences carrying its own queryName; anything else (an external
+    // maintenance window's run, or an ownerless pre-claim crash) makes
+    // it fail loud instead of racing a possibly-in-flight second writer
+    // on the shared stage dirs. A recovery re-run re-claims the root
+    // with ITS owner — if the re-run crashes too, the fence names the
+    // most recent writer, which is who must finish the job.
+    var claimed = false
+    def claimSideRoot(): Unit = if (!claimed) {
+      fs.mkdirs(tmpRoot)
+      val out = fs.create(new org.apache.hadoop.fs.Path(tmpRoot, "_owner"), true)
+      try out.write(owner.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      claimed = true
+    }
+    if (fs.exists(tmpRoot)) claimSideRoot()
     def bucketsUnder(root: org.apache.hadoop.fs.Path): Seq[String] =
       if (!fs.exists(root)) Seq.empty
       else fs.listStatus(root).toSeq.filter(_.isDirectory)
@@ -717,6 +738,7 @@ object Curation {
         if (fs.exists(tmpB) && !fs.delete(tmpB, true) && fs.exists(tmpB))
           throw new java.io.IOException(
             s"compaction: cannot remove torn stage dir $tmpB")
+        claimSideRoot() // fence carries the owner BEFORE any partial stage
         // basePath keeps bucket/batch_id as partition columns while the
         // read lists ONLY this bucket's dirs — a parent read per bucket
         // would re-walk all nBuckets × batches dirs every iteration,
@@ -742,11 +764,69 @@ object Curation {
     // only remove the side root once every staged bucket has swapped —
     // an unconditional delete here would destroy a kept staged copy
     // after a failed swap above (we throw first, but belt-and-braces
-    // for future edits)
-    if (!fs.exists(tmpRoot) || fs.listStatus(tmpRoot).isEmpty) {
+    // for future edits). The `_owner` marker alone does not keep the
+    // root alive: only bucket= stage dirs count as pending work.
+    if (!fs.exists(tmpRoot) ||
+        !fs.listStatus(tmpRoot).exists(_.getPath.getName.startsWith("bucket="))) {
       fs.delete(tmpRoot, true)
       ()
     }
+  }
+
+  /** Owner token recorded in a counted store's compaction side root
+    * (`<countedStorePath>.compact_tmp/_owner`), if the root exists and
+    * carries one. `None` with the root present means a run crashed in
+    * the instants between creating the root and writing the marker (or
+    * the root predates the marker scheme) — treat as foreign.
+    */
+  def compactionOwner(spark: org.apache.spark.sql.SparkSession,
+                      countedStorePath: String): Option[String] = {
+    val f = new org.apache.hadoop.fs.Path(
+      countedStorePath + ".compact_tmp", "_owner")
+    val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](256)
+        var n = in.read(tmp)
+        while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+        Some(new String(buf.toByteArray,
+          java.nio.charset.StandardCharsets.UTF_8))
+      } finally in.close()
+    }
+  }
+
+  /** Staged band-row schema of the LSH label/histogram stores — ONE
+    * definition shared by every reader AND the maintenance compactor.
+    * The explicit schema exists because staged dirs are read
+    * footer-schema-free through `basePath` listings; keeping a second
+    * copy in the compactor would let a staged-column rename update the
+    * read path but leave compaction rewriting the store with the stale
+    * schema (parquet read-with-schema silently nulls a missing column —
+    * a corrupted snapshot partition, not a compile error).
+    */
+  private[curation] def lshStagedSchema(
+      idType: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("doc_id", idType), StructField("band", IntegerType),
+      StructField("band_hash", StringType),
+      StructField("bucket", IntegerType),
+      StructField("batch_id", LongType)))
+  }
+
+  /** Staged gram-row schema of the span-dedup store — shared by
+    * [[spanDedupFromStore]] and [[spanStoreMaintenance]] for the same
+    * single-definition reason as [[lshStagedSchema]]. */
+  private[curation] def spanGramSchema(
+      idType: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("doc_id", idType), StructField("s", IntegerType),
+      StructField("gram_h", LongType), StructField("bucket", IntegerType),
+      StructField("batch_id", LongType)))
   }
 
   /** The read schema of a label snapshot — one definition shared by the
@@ -877,12 +957,7 @@ object Curation {
                           keepSnapshots: Int = 1,
                           idType: org.apache.spark.sql.types.DataType =
                             org.apache.spark.sql.types.LongType): Unit = {
-    import org.apache.spark.sql.types._
-    compactStagedStore(spark, stagingPath, StructType(Seq(
-      StructField("doc_id", idType), StructField("band", IntegerType),
-      StructField("band_hash", StringType),
-      StructField("bucket", IntegerType),
-      StructField("batch_id", LongType))))
+    compactStagedStore(spark, stagingPath, lshStagedSchema(idType))
     pruneLabelSnapshots(spark, labelsPath, keepSnapshots)
   }
 
@@ -894,19 +969,18 @@ object Curation {
     * itself commits only after the hook returns — folding it would make
     * its at-least-once replay double-count, i.e. silent text loss).
     * The docs side is deliberately not compacted
-    * (see [[compactCountedStore]]'s scaladoc).
+    * (see [[compactCountedStore]]'s scaladoc). `owner` is recorded in
+    * the compaction side root so [[spanDedupIngest]]'s auto-recovery can
+    * tell a crashed compaction it started from a foreign one it must
+    * not touch.
     */
   def spanStoreMaintenance(spark: org.apache.spark.sql.SparkSession,
                            stagingPath: String, committedThrough: Long,
                            idType: org.apache.spark.sql.types.DataType =
-                             org.apache.spark.sql.types.LongType): Unit = {
-    import org.apache.spark.sql.types._
-    compactCountedStore(spark, s"$stagingPath/grams", StructType(Seq(
-      StructField("doc_id", idType), StructField("s", IntegerType),
-      StructField("gram_h", LongType), StructField("bucket", IntegerType),
-      StructField("batch_id", LongType))),
-      committedThrough = committedThrough)
-  }
+                             org.apache.spark.sql.types.LongType,
+                           owner: String = "external"): Unit =
+    compactCountedStore(spark, s"$stagingPath/grams", spanGramSchema(idType),
+      committedThrough = committedThrough, owner = owner)
 
   /** Streaming label maintenance: each micro-batch runs
     * [[incrementalLshLabelsBatch]] — the snapshot at `labelsPath` is
@@ -940,10 +1014,16 @@ object Curation {
     * hook returns, so it always rides through as its own partition and
     * replays stay idempotent). A compaction that crashed mid-run leaves
     * its side root and [[incrementalSpanDedupBatch]]'s fence would
-    * refuse the replayed batch, so the hook first re-runs the
-    * compaction to completion (recovery is convergent) — the operator
-    * intervention the fence otherwise demands, automated under the same
-    * serialization that makes it safe. 0 (default) = caller owns
+    * refuse the replayed batch, so the hook re-runs the compaction to
+    * completion (recovery is convergent) — but ONLY when the fence's
+    * `_owner` marker carries this stream's `queryName`, i.e. the
+    * crashed run was this hook's own. A fence owned by anyone else —
+    * an external [[compactCountedStore]] the operator started (maybe
+    * still in flight: a bare side root cannot tell crashed from
+    * running), or an ownerless root — fails LOUD instead of racing a
+    * possible second writer on the shared stage dirs. `queryName` is
+    * therefore the recovery identity: keep it stable across restarts
+    * of the same logical stream. 0 (default) = caller owns
     * maintenance.
     */
   def spanDedupIngest(raw: DataFrame, stagingPath: String, dupsPath: String,
@@ -957,15 +1037,29 @@ object Curation {
             s"$stagingPath/grams.compact_tmp")
           if (fence.getFileSystem(
               batch.sparkSession.sparkContext.hadoopConfiguration)
-              .exists(fence))
-            spanStoreMaintenance(batch.sparkSession, stagingPath,
-              committedThrough = batchId - 1)
+              .exists(fence)) {
+            val fenceOwner =
+              compactionOwner(batch.sparkSession, s"$stagingPath/grams")
+            if (fenceOwner.contains(queryName))
+              spanStoreMaintenance(batch.sparkSession, stagingPath,
+                committedThrough = batchId - 1, owner = queryName)
+            else
+              throw new IllegalStateException(
+                s"span gram store $stagingPath/grams is fenced by a " +
+                s"compaction this stream does not own (owner=" +
+                s"${fenceOwner.getOrElse("<none>")}, this stream=" +
+                s"$queryName): an external compactCountedStore is in " +
+                "flight or crashed. Stop it / re-run it to completion, " +
+                "then restart this stream; auto-recovery resumes only " +
+                "compactions started by this stream's own maintenance " +
+                "hook.")
+          }
         }
         incrementalSpanDedupBatch(batch, batchId, stagingPath, dupsPath,
           window, nBuckets)
         if (maintainEvery > 0 && (batchId + 1) % maintainEvery == 0)
           spanStoreMaintenance(batch.sparkSession, stagingPath,
-            committedThrough = batchId - 1)
+            committedThrough = batchId - 1, owner = queryName)
       }.start()
 
   /** Canonical form of an absolute crawl URL — the normalization a
@@ -1386,10 +1480,7 @@ object Curation {
     // idType mirrors lshHistogramFromStore: the batch writer accepts any
     // id column, so a store staged with string/int ids must be readable
     // (a hardcoded LongType would make such a store unreadable forever)
-    val gramSchema = StructType(Seq(
-      StructField("doc_id", idType), StructField("s", IntegerType),
-      StructField("gram_h", LongType), StructField("bucket", IntegerType),
-      StructField("batch_id", LongType)))
+    val gramSchema = spanGramSchema(idType)
     val dupSchema = StructType(Seq(
       StructField("gram_h", LongType), StructField("bucket", IntegerType)))
     val docSchema = StructType(Seq(

@@ -161,6 +161,32 @@ object DocQueries {
       .otherwise(lit("")),
     when(col("doc_id") % 6 === 0, lit("#sec2")).otherwise(lit("")))
 
+  /** The ORACLE's expected canonical form of [[gateCrawlUrl]], derived
+    * straight from the generating fields — ONE definition shared by the
+    * c20/c21/c22 oracles (round 13 changed the tracking-param rule; a
+    * per-gate copy would let the next rule change leave one gate
+    * silently testing the old rule). [[CrawlCanonCte]] wraps it as the
+    * `c` CTE, with the domain column, for the grouping gates.
+    */
+  private val CrawlCanonUrlSql: String =
+    """(CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END)
+      |  || '://www.' || source || '.example.com'
+      |  || (CASE WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END)
+      |  || '/' || lang || '/Page' || CAST(doc_id % 10 AS VARCHAR)
+      |  || (CASE WHEN doc_id % 5 = 0 THEN '?id=' || CAST(doc_id % 7 AS VARCHAR)
+      |           WHEN doc_id % 5 = 1 THEN '?a=1&id=' || CAST(doc_id % 7 AS VARCHAR)
+      |           WHEN doc_id % 5 IN (2, 3) THEN '?a=1&b=2'
+      |           ELSE '' END)""".stripMargin
+
+  // NB: spliced via replace AFTER stripMargin — interpolating before it
+  // would let the margin strip eat the first `|` of each line-leading SQL
+  // `||` concat operator.
+  private val CrawlCanonCte: String =
+    """WITH c AS (SELECT doc_id,
+      |  @CANON@ AS canon_url,
+      |  'www.' || source || '.example.com' AS domain
+      |FROM documents)""".stripMargin.replace("@CANON@", CrawlCanonUrlSql)
+
   /** The d7 oracle: exact keep-one-per-near-dup-cluster in pure DuckDB SQL.
     *
     *  1. collapse exact-signature groups to their min-id representative
@@ -2139,8 +2165,8 @@ object DocQueries {
          |  FROM h GROUP BY lang),
          |q AS (SELECT doc_id, source, h.lang AS lang, n_tokens,
          |  CAST(floor((-0.25 + dot / (100.0 * n_tokens)) * 1000000.0) AS BIGINT) AS quality,
-         |  n_tokens * ratio AS est_bpe_micro
-         |  FROM h JOIN cal ON h.lang = cal.lang),
+         |  n_tokens * coalesce(ratio, 1000000) AS est_bpe_micro
+         |  FROM h LEFT JOIN cal ON h.lang IS NOT DISTINCT FROM cal.lang),
          |c AS (SELECT doc_id, source, lang, n_tokens, quality, est_bpe_micro,
          |  CAST(SUM(est_bpe_micro) OVER (PARTITION BY source ORDER BY quality DESC, doc_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_bpe_micro
@@ -2992,16 +3018,10 @@ object DocQueries {
     // case-folding slip on the wrong component, or an unsorted query
     // flips the hash.
     QDef("c20_url_canonicalize",
-      s"""SELECT doc_id,
-        |  (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END)
-        |  || '://www.' || source || '.example.com'
-        |  || (CASE WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END)
-        |  || '/' || lang || '/Page' || CAST(doc_id % 10 AS VARCHAR)
-        |  || (CASE WHEN doc_id % 5 = 0 THEN '?id=' || CAST(doc_id % 7 AS VARCHAR)
-        |           WHEN doc_id % 5 = 1 THEN '?a=1&id=' || CAST(doc_id % 7 AS VARCHAR)
-        |           WHEN doc_id % 5 IN (2, 3) THEN '?a=1&b=2'
-        |           ELSE '' END) AS canon_url
-        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      """SELECT doc_id,
+        |  @CANON@ AS canon_url
+        |FROM documents ORDER BY doc_id""".stripMargin
+        .replace("@CANON@", CrawlCanonUrlSql)) { (s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"),
           graft.curation.Curation.canonicalizeUrl(gateCrawlUrl)
@@ -3018,20 +3038,11 @@ object DocQueries {
     // combine absorbs re-crawl dup mass — no hot reduce task for a viral
     // URL); domain rides along, pinning the host extraction per row.
     QDef("c21_crawl_dedup",
-      s"""WITH c AS (SELECT doc_id,
-        |  (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END)
-        |  || '://www.' || source || '.example.com'
-        |  || (CASE WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END)
-        |  || '/' || lang || '/Page' || CAST(doc_id % 10 AS VARCHAR)
-        |  || (CASE WHEN doc_id % 5 = 0 THEN '?id=' || CAST(doc_id % 7 AS VARCHAR)
-        |           WHEN doc_id % 5 = 1 THEN '?a=1&id=' || CAST(doc_id % 7 AS VARCHAR)
-        |           WHEN doc_id % 5 IN (2, 3) THEN '?a=1&b=2'
-        |           ELSE '' END) AS canon_url,
-        |  'www.' || source || '.example.com' AS domain
-        |FROM documents)
+      """@CTE@
         |SELECT min(doc_id) AS keep_doc_id, any_value(domain) AS domain,
         |  canon_url, CAST(count(*) AS BIGINT) AS dup_count
-        |FROM c GROUP BY canon_url ORDER BY keep_doc_id""".stripMargin) { (s, dir) =>
+        |FROM c GROUP BY canon_url ORDER BY keep_doc_id""".stripMargin
+        .replace("@CTE@", CrawlCanonCte)) { (s, dir) =>
       graft.curation.Curation
         .crawlUrlGroups(Tables.documents(s, dir), gateCrawlUrl,
           col("doc_id"))
@@ -3046,17 +3057,7 @@ object DocQueries {
     // two-stage groups-then-domain) — agreeing hashes pin both the
     // canonicalization and the aggregation arithmetic.
     QDef("c22_crawl_domain_stats",
-      s"""WITH c AS (SELECT doc_id,
-        |  (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END)
-        |  || '://www.' || source || '.example.com'
-        |  || (CASE WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END)
-        |  || '/' || lang || '/Page' || CAST(doc_id % 10 AS VARCHAR)
-        |  || (CASE WHEN doc_id % 5 = 0 THEN '?id=' || CAST(doc_id % 7 AS VARCHAR)
-        |           WHEN doc_id % 5 = 1 THEN '?a=1&id=' || CAST(doc_id % 7 AS VARCHAR)
-        |           WHEN doc_id % 5 IN (2, 3) THEN '?a=1&b=2'
-        |           ELSE '' END) AS canon_url,
-        |  'www.' || source || '.example.com' AS domain
-        |FROM documents),
+      """@CTE@,
         |g AS (SELECT domain, canon_url, CAST(count(*) AS BIGINT) AS dup_count
         |  FROM c GROUP BY domain, canon_url)
         |SELECT domain, CAST(count(*) AS BIGINT) AS n_pages,
@@ -3064,7 +3065,8 @@ object DocQueries {
         |  CAST(sum(dup_count) - count(*) AS BIGINT) AS dup_mass,
         |  round(1.0 - CAST(count(*) AS DOUBLE) / sum(dup_count), 6) AS dup_ratio,
         |  max(dup_count) AS max_page_fetches
-        |FROM g GROUP BY domain ORDER BY domain""".stripMargin) { (s, dir) =>
+        |FROM g GROUP BY domain ORDER BY domain""".stripMargin
+        .replace("@CTE@", CrawlCanonCte)) { (s, dir) =>
       graft.curation.Curation
         .crawlDomainStats(Tables.documents(s, dir), gateCrawlUrl,
           col("doc_id"))

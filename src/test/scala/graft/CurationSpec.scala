@@ -839,9 +839,15 @@ class CurationSpec extends AnyFunSuite {
           .filter(_.startsWith("batch_id=")).sorted
         assert(bids.forall(Set("batch_id=-1", "batch_id=3")), s"$b: $bids")
     }
-    // crash-recovery branch: a leftover side root (crashed compaction)
-    // would fence plain ingest; the maintaining wrapper recovers first
-    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$base/staged/grams.compact_tmp"))
+    // crash-recovery branch: a leftover side root from a compaction THIS
+    // stream started (the _owner marker carries its queryName) would
+    // fence plain ingest; the maintaining wrapper recovers it first
+    val fenceRoot = new org.apache.hadoop.fs.Path(
+      s"$base/staged/grams.compact_tmp")
+    fs.mkdirs(fenceRoot)
+    val ownOut = fs.create(
+      new org.apache.hadoop.fs.Path(fenceRoot, "_owner"), true)
+    ownOut.write("span_maint_recover_test".getBytes("UTF-8")); ownOut.close()
     val in2 = MemoryStream[(Long, String)]
     val q2 = Curation.spanDedupIngest(
       in2.toDF().toDF("doc_id", "text"), s"$base/staged", s"$base/dups",
@@ -851,11 +857,60 @@ class CurationSpec extends AnyFunSuite {
       in2.addData(Seq((6L, "fresh words after recovery")))
       q2.processAllAvailable()
     } finally q2.stop()
-    assert(!fs.exists(
-      new org.apache.hadoop.fs.Path(s"$base/staged/grams.compact_tmp")))
+    assert(!fs.exists(fenceRoot))
     val afterRecovery = readStore("staged", "dups")
     assert(afterRecovery.contains((6L, "fresh words after recovery")),
       afterRecovery.toString)
+  }
+
+  test("spanDedupIngest refuses to auto-recover a FOREIGN compaction fence") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = graft.queries.QDef.tempDir("graft_span_foreign_fence")
+    // seed the store so the gram root exists
+    Curation.incrementalSpanDedupBatch(
+      Seq((1L, "a b c d")).toDF("doc_id", "text"), 0L,
+      s"$base/staged", s"$base/dups", window = 3, nBuckets = 4)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // an EXTERNAL compactCountedStore's fence (default owner) — the
+    // wrapper cannot tell crashed from in-flight, so it must fail loud,
+    // never launch a second compaction over the shared stage dirs
+    val fenceRoot = new org.apache.hadoop.fs.Path(
+      s"$base/staged/grams.compact_tmp")
+    fs.mkdirs(fenceRoot)
+    val out = fs.create(new org.apache.hadoop.fs.Path(fenceRoot, "_owner"), true)
+    out.write("external".getBytes("UTF-8")); out.close()
+    val in = MemoryStream[(Long, String)]
+    val q = Curation.spanDedupIngest(
+      in.toDF().toDF("doc_id", "text"), s"$base/staged", s"$base/dups",
+      window = 3, nBuckets = 4, maintainEvery = 2,
+      queryName = "span_foreign_fence_test")
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try { in.addData(Seq((2L, "e f g h"))); q.processAllAvailable() }
+      finally q.stop()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(ex).exists(c => c.isInstanceOf[IllegalStateException] &&
+      c.getMessage.contains("does not own")), ex.toString)
+    // the fence (and the foreign run's claim to it) is untouched
+    assert(Curation.compactionOwner(spark, s"$base/staged/grams")
+      .contains("external"))
+    // an OWNERLESS fence (crash before the marker landed, or a pre-marker
+    // root) is treated as foreign too
+    fs.delete(new org.apache.hadoop.fs.Path(fenceRoot, "_owner"), false)
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = Curation.spanDedupIngest(
+      in2.toDF().toDF("doc_id", "text"), s"$base/staged", s"$base/dups",
+      window = 3, nBuckets = 4, maintainEvery = 2,
+      queryName = "span_foreign_fence_test2")
+    val ex2 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try { in2.addData(Seq((3L, "i j k l"))); q2.processAllAvailable() }
+      finally q2.stop()
+    }
+    assert(causes(ex2).exists(c => c.isInstanceOf[IllegalStateException] &&
+      c.getMessage.contains("<none>")), ex2.toString)
   }
 
   test("incremental span dedup: an empty first batch leaves a readable store") {
