@@ -1663,6 +1663,75 @@ object Curation {
         round(sum(col("f_bigram")).cast("double") / count(lit(1)), 6).as("r_bigram"))
   }
 
+  /** The curation FUNNEL — per-stage attrition attribution over the
+    * [[trainingManifest]] pipeline: every corpus document is labeled with
+    * the FIRST stage that removed it (`1_quality` rule violation →
+    * `2_contaminated` eval overlap → `3_duplicate` signature loser →
+    * `4_kept`), and the report is one row per stage with the exit count,
+    * the count that ENTERED the stage, and the exit rate. This is the
+    * "where did my corpus go?" breakdown a pipeline owner reads before
+    * touching any threshold — c9 hash-gates the survivors, this gate
+    * hash-gates the attrition itself (a silent upstream regression that
+    * drops 10% more at quality but backfills at dedup leaves c9's row
+    * count similar and this report loudly different).
+    *
+    * Stage semantics match [[trainingManifest]] exactly — the funnel
+    * RUNS the same operators ([[qualityFilter]], [[decontaminate]] over
+    * quality survivors only, [[keepOneExact]] over clean docs only), so
+    * attribution is sequential by construction: a duplicated AND
+    * low-quality doc exits at quality, like it does in the pipeline.
+    *
+    * Plan shape: the three id-only outcome frames (quality keepers,
+    * contaminated, dedup survivors) are checkpointed (the
+    * [[trainingManifest]] discipline — multi-consumer, O(ids)), then ONE
+    * projection of `docs` left-joins the three marker sets (doc_id-keyed;
+    * AQE co-partitions) into the stage label, and the report is a
+    * 4-row aggregate + a 4-row window for the entering counts. At 100 TB
+    * nothing here is new corpus work — the funnel rides the pipeline's
+    * own stage outputs.
+    */
+  def curationFunnel(docs: DataFrame, evalDocs: DataFrame,
+                     minTokens: Long = 20, maxTokens: Long = 80,
+                     maxStopwordRatio: Double = 0.1,
+                     maxDupTokenRatio: Double = 0.6,
+                     maxTopBigramFrac: Double = 0.06): DataFrame = {
+    val qKeep = qualityFilter(docs, col("text"), col("doc_id"),
+        minTokens, maxTokens, maxStopwordRatio, maxDupTokenRatio,
+        maxTopBigramFrac)
+      .filter(col("keep") === 1).select(col("doc_id"))
+      .localCheckpoint(true)
+    val q = docs.join(qKeep, Seq("doc_id"))
+    val contaminated = decontaminate(q, evalDocs).localCheckpoint(true)
+    val clean = q.join(contaminated, Seq("doc_id"), "left_anti")
+    val survivors = keepOneExact(clean, col("text"), col("doc_id"))
+      .select(col("doc_id"))
+    val stage = docs.select(col("doc_id"))
+      .join(qKeep.withColumn("__q", lit(1)), Seq("doc_id"), "left")
+      .join(contaminated.withColumn("__c", lit(1)), Seq("doc_id"), "left")
+      .join(survivors.withColumn("__s", lit(1)), Seq("doc_id"), "left")
+      .select(when(col("__q").isNull, lit("1_quality"))
+        .when(col("__c").isNotNull, lit("2_contaminated"))
+        .when(col("__s").isNull, lit("3_duplicate"))
+        .otherwise(lit("4_kept")).as("stage"))
+    val agg = stage.groupBy(col("stage")).agg(count(lit(1)).as("n_exit"))
+    // Entering count per stage: corpus total minus everything that exited
+    // earlier. Total = sum over stages (each doc exits exactly once), so
+    // both columns come from two 4-row windows — no second corpus count.
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val wPrev = Window.orderBy(col("stage"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // qKeep/contaminated stay pinned: the result is consumed lazily and a
+    // local checkpoint has no lineage to recompute from (callers release
+    // via the standard post-query unpersist sweep).
+    agg
+      .withColumn("n_in",
+        sum(col("n_exit")).over(wAll) -
+          coalesce(sum(col("n_exit")).over(wPrev), lit(0L)))
+      .select(col("stage"), col("n_exit"), col("n_in"),
+        round(col("n_exit").cast("double") / col("n_in"), 6).as("exit_rate"))
+  }
+
   /** The END-TO-END training-data manifest — the full modern pipeline
     * composed from this module's operators, in the order a real corpus
     * build runs them:

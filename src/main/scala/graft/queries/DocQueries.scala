@@ -128,6 +128,74 @@ object DocQueries {
     }
   }
 
+  /** Merge count for the t21/t22 BPE-training gates — small enough that
+    * the k-level unrolled oracle stays readable, large enough that the
+    * learned table exercises multi-char remerges (char pairs first, then
+    * pairs built on earlier merges).
+    */
+  private val BpeTrainK = 8
+
+  /** Memoized (merges, vocab) artifact pair of ONE BPE training run per
+    * fixture (graft.text.BpeTrain) — t21 reads the learned merge table,
+    * t22 the final vocab's symbol frequencies. Like [[dedupAuditCube]]:
+    * the training chain is the gates' shared setup; re-driving the k
+    * iterations per bench rep would re-measure driver-side sequencing,
+    * not the operator.
+    */
+  private val bpeTrainCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def bpeArtifacts(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val base = bpeTrainCache.computeIfAbsent(dir, _ => {
+      val p = QDef.tempDir("graft_bpe_train")
+      val (mergeDf, vocab) = graft.text.BpeTrain.trainArtifacts(
+        s, Tables.documents(s, dir), col("text"), BpeTrainK)
+      mergeDf.write.mode("overwrite").parquet(s"$p/merges")
+      vocab.write.mode("overwrite").parquet(s"$p/vocab")
+      org.apache.spark.sql.graftbridge.Bridge.release(vocab)
+      p
+    })
+    (s.read.parquet(s"$base/merges"), s.read.parquet(s"$base/vocab"))
+  }
+
+  /** The c9/c23 shared oracle chain — quality filter over the %47
+    * corpus/eval split, eval 3-gram decontamination of the survivors,
+    * exact-signature dedup of the clean set (`ded.rn = 1` = survivor).
+    * ONE definition (the c20/c21/c22 discipline): c9 hash-gates the
+    * survivors' manifest, c23 hash-gates the per-stage attrition, and a
+    * stage-semantics change in either is a change in both.
+    */
+  private val ManifestChainCtes: String =
+    """corpus AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 47 <> 0),
+      |ev AS (SELECT text FROM documents WHERE doc_id % 47 = 0),
+      |t AS (SELECT doc_id, source, text, string_split(text,' ') AS toks FROM corpus),
+      |sm AS (SELECT doc_id, source, text, toks,
+      |  CAST(len(toks) AS BIGINT) AS n_tokens,
+      |  round(CAST(len([x FOR x IN toks IF x IN ('the','a')]) AS DOUBLE)/len(toks),6) AS stop_ratio,
+      |  round(1 - CAST(len(list_distinct(toks)) AS DOUBLE)/len(toks),6) AS dup_ratio,
+      |  list_transform(range(1, greatest(len(toks)-1,1)+1),
+      |    i -> array_to_string(toks[i:i+1],' ')) AS gs
+      |  FROM t),
+      |bg AS (SELECT doc_id, unnest(gs) AS g FROM sm),
+      |bf AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+      |bm AS (SELECT doc_id, round(CAST(max(c) AS DOUBLE)/sum(c),6) AS top_bigram
+      |       FROM bf GROUP BY doc_id),
+      |keepq AS (SELECT sm.doc_id, sm.source, sm.text, sm.toks, sm.n_tokens
+      |  FROM sm JOIN bm ON sm.doc_id = bm.doc_id
+      |  WHERE NOT (sm.n_tokens < 20 OR sm.n_tokens > 80) AND stop_ratio <= 0.1
+      |    AND dup_ratio <= 0.6 AND top_bigram <= 0.06),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks)-2,1)+1),
+      |   i -> array_to_string(toks[i:i+2],' '))) AS g3 FROM keepq),
+      |eg AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+      |   range(1, greatest(len(string_split(text,' '))-2,1)+1),
+      |   i -> array_to_string(string_split(text,' ')[i:i+2],' ')))) AS g FROM ev),
+      |cg AS (SELECT doc_id, unnest(g3) AS g FROM sh),
+      |cont AS (SELECT DISTINCT cg.doc_id FROM cg JOIN eg ON cg.g = eg.g),
+      |clean AS (SELECT * FROM keepq WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+      |ded AS (SELECT *, row_number() OVER (
+      |    PARTITION BY array_to_string(list_sort(list_distinct(toks)), ' ')
+      |    ORDER BY doc_id) AS rn FROM clean)""".stripMargin
+
   /** The constructed crawl frontier shared by the c20/c21 gates: a
     * deterministic raw URL per document (the mm9 constructed-input
     * pattern) exercising every canonicalization rule — mixed-case scheme
@@ -1454,6 +1522,33 @@ object DocQueries {
         .orderBy(col("lang"))
     },
 
+    // BPE merge TRAINING (round 13) — the upstream of t19/t20: learn the
+    // merge table from the corpus instead of assuming a shipped vocab.
+    // Word-frequency BPE (Sennrich 2016): ONE corpus pass to word
+    // counts, then k iterations on the |V|-row vocab frame (pair-count
+    // shuffle + 1-row argmax collect + map-only fold per iteration) —
+    // at 100 TB the corpus is scanned once and the iterations run on a
+    // frame millions of times smaller. The oracle replays the ENTIRE
+    // training chain in DuckDB (k unrolled CTE levels, argmax with the
+    // shared (count DESC, pair ASC) tie-break, the identical greedy-left
+    // fold via list_reduce), so the learned table is hash-gated.
+    QDef("t21_bpe_train_merges",
+        graft.text.BpeTrain.mergesOracleSql(BpeTrainK)) { (s, dir) =>
+      bpeArtifacts(s, dir)._1.orderBy(col("step"))
+    },
+
+    // The learned-subword usage report over the SAME training run: corpus
+    // frequency of every symbol in the post-k-merges vocab (explode +
+    // one groupBy, map-side combined). Multi-char rows are the merges
+    // paying for themselves on this corpus; the single-char tail is the
+    // byte-fallback mass a vocab-size decision trades against — the
+    // report a tokenizer owner reads before committing a vocab size.
+    QDef("t22_bpe_learned_vocab",
+        graft.text.BpeTrain.symbolFreqOracleSql(BpeTrainK)) { (s, dir) =>
+      graft.text.BpeTrain.symbolFrequencies(bpeArtifacts(s, dir)._2)
+        .orderBy(col("total").desc, col("sym"))
+    },
+
     // The dedup-audit agreement report (round 10): doc-pair precision /
     // recall of the LSH single-linkage clustering against the exact
     // >=0.9-Jaccard clustering, read off the cluster contingency table
@@ -2390,37 +2485,12 @@ object DocQueries {
     // decontamination -> exact dedup -> split assignment -> per
     // (source, split) sequence packing — the whole modern pipeline in
     // one hash-checked composition (budget 64 so the packing arithmetic
-    // produces nonzero seq ids at gate scale).
+    // produces nonzero seq ids at gate scale). The quality -> decontam ->
+    // dedup CTE chain is ONE definition ([[ManifestChainCtes]]) shared
+    // with the c23 funnel oracle — the c20/c21/c22 discipline: a stage
+    // semantics change cannot leave one gate testing the old chain.
     QDef("c9_training_manifest",
-      """WITH corpus AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 47 <> 0),
-        |ev AS (SELECT text FROM documents WHERE doc_id % 47 = 0),
-        |t AS (SELECT doc_id, source, text, string_split(text,' ') AS toks FROM corpus),
-        |sm AS (SELECT doc_id, source, text, toks,
-        |  CAST(len(toks) AS BIGINT) AS n_tokens,
-        |  round(CAST(len([x FOR x IN toks IF x IN ('the','a')]) AS DOUBLE)/len(toks),6) AS stop_ratio,
-        |  round(1 - CAST(len(list_distinct(toks)) AS DOUBLE)/len(toks),6) AS dup_ratio,
-        |  list_transform(range(1, greatest(len(toks)-1,1)+1),
-        |    i -> array_to_string(toks[i:i+1],' ')) AS gs
-        |  FROM t),
-        |bg AS (SELECT doc_id, unnest(gs) AS g FROM sm),
-        |bf AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
-        |bm AS (SELECT doc_id, round(CAST(max(c) AS DOUBLE)/sum(c),6) AS top_bigram
-        |       FROM bf GROUP BY doc_id),
-        |keepq AS (SELECT sm.doc_id, sm.source, sm.text, sm.toks, sm.n_tokens
-        |  FROM sm JOIN bm ON sm.doc_id = bm.doc_id
-        |  WHERE NOT (sm.n_tokens < 20 OR sm.n_tokens > 80) AND stop_ratio <= 0.1
-        |    AND dup_ratio <= 0.6 AND top_bigram <= 0.06),
-        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks)-2,1)+1),
-        |   i -> array_to_string(toks[i:i+2],' '))) AS g3 FROM keepq),
-        |eg AS (SELECT DISTINCT unnest(list_distinct(list_transform(
-        |   range(1, greatest(len(string_split(text,' '))-2,1)+1),
-        |   i -> array_to_string(string_split(text,' ')[i:i+2],' ')))) AS g FROM ev),
-        |cg AS (SELECT doc_id, unnest(g3) AS g FROM sh),
-        |cont AS (SELECT DISTINCT cg.doc_id FROM cg JOIN eg ON cg.g = eg.g),
-        |clean AS (SELECT * FROM keepq WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
-        |ded AS (SELECT *, row_number() OVER (
-        |    PARTITION BY array_to_string(list_sort(list_distinct(toks)), ' ')
-        |    ORDER BY doc_id) AS rn FROM clean),
+      s"""WITH $ManifestChainCtes,
         |dd AS (SELECT doc_id, source, text, n_tokens FROM ded WHERE rn = 1),
         |sp AS (SELECT doc_id, source, n_tokens,
         |  CASE WHEN hm < 80 THEN 'train' WHEN hm < 90 THEN 'val' ELSE 'test' END AS split
@@ -2442,6 +2512,45 @@ object DocQueries {
           docs.filter(pmod(col("doc_id"), lit(47)) === 0),
           budget = 64)
         .orderBy(col("doc_id"))
+    },
+
+    // The curation FUNNEL (round 13): per-stage attrition over the c9
+    // pipeline — every corpus doc labeled with the FIRST stage that
+    // removed it (quality -> contaminated -> duplicate -> kept), one row
+    // per stage with exit count, entering count, exit rate. c9 gates the
+    // survivors; this gates the attrition itself (a regression that
+    // drops more at quality but backfills at dedup leaves c9's row count
+    // similar and this report loudly different). Oracle: the SHARED
+    // ManifestChainCtes chain + three marker left-joins + a 4-row window.
+    QDef("c23_curation_funnel",
+      s"""WITH $ManifestChainCtes,
+        |surv AS (SELECT doc_id FROM ded WHERE rn = 1),
+        |lab AS (SELECT c.doc_id,
+        |  CASE WHEN k.doc_id IS NULL THEN '1_quality'
+        |       WHEN ct.doc_id IS NOT NULL THEN '2_contaminated'
+        |       WHEN sv.doc_id IS NULL THEN '3_duplicate'
+        |       ELSE '4_kept' END AS stage
+        |  FROM corpus c
+        |  LEFT JOIN (SELECT doc_id FROM keepq) k ON c.doc_id = k.doc_id
+        |  LEFT JOIN cont ct ON c.doc_id = ct.doc_id
+        |  LEFT JOIN surv sv ON c.doc_id = sv.doc_id),
+        |agg AS (SELECT stage, CAST(count(*) AS BIGINT) AS n_exit
+        |        FROM lab GROUP BY stage),
+        |fin AS (SELECT stage, n_exit,
+        |  CAST(SUM(n_exit) OVER ()
+        |    - coalesce(SUM(n_exit) OVER (ORDER BY stage
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS n_in
+        |  FROM agg)
+        |SELECT stage, n_exit, n_in,
+        |  round(CAST(n_exit AS DOUBLE) / n_in, 6) AS exit_rate
+        |FROM fin ORDER BY stage""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      graft.curation.Curation.curationFunnel(
+          docs.filter(pmod(col("doc_id"), lit(47)) =!= 0)
+            .select(col("doc_id"), col("source"), col("text")),
+          docs.filter(pmod(col("doc_id"), lit(47)) === 0))
+        .orderBy(col("stage"))
     },
 
     // The manifest v2: the c9 pipeline with the model-based stages

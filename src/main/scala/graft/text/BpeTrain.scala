@@ -1,0 +1,209 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** BPE merge TRAINING over a corpus — the learn-the-tokenizer step the
+  * fixed-vocab counters ([[TextAnalysis.bpeTokenCountCol]], t19/t20) sit
+  * downstream of. Reference scope: the reference ships no tokenizer
+  * trainer; this is the LLM-pipeline widening the builder brief asks for
+  * (token counting's upstream: where the vocab comes from).
+  *
+  * Algorithm: classic word-frequency BPE (Sennrich et al. 2016,
+  * arXiv:1508.07909) — and its Spark shape is the whole 100 TB story:
+  *
+  *  1. ONE corpus-scale pass builds the word-frequency table
+  *     ([[wordFreq]]: explode words, groupBy, map-side combined). At
+  *     100 TB this is the only scan of the data; everything after runs
+  *     on the |V|-row vocab frame (distinct words — millions of rows
+  *     where the corpus is billions), cached on the cluster.
+  *  2. k merge iterations over the vocab frame. Each iteration is one
+  *     small pair-count shuffle (adjacent symbol pairs weighted by word
+  *     count, partial-aggregated map-side), a 1-row argmax collect
+  *     (count DESC, pair ASC — the deterministic tie-break both engines
+  *     share), and a map-only fold that applies the merge
+  *     ([[applyMergeCol]] — no shuffle). `localCheckpoint` per iteration
+  *     keeps the lineage flat (the d9/pagerank discipline) and the dead
+  *     predecessor's blocks are released.
+  *
+  * The naive alternative — re-scanning the corpus per merge — is k
+  * corpus passes; this is 1 + k vocab-frame passes. That asymmetry IS
+  * why word-freq BPE is the industry algorithm.
+  *
+  * Merge-application semantics (shared bit-for-bit with the DuckDB
+  * oracle): symbols are pipe-joined (the word alphabet is [a-z], so '|'
+  * never collides), and one merge (l, r) is applied by a greedy
+  * LEFT-TO-RIGHT fold over the symbol list — append `r` to the
+  * accumulator WITHOUT a separator when the accumulator's last symbol is
+  * exactly `l` (the `|`-anchored suffix test makes "last symbol == l"
+  * exact even when another symbol merely ends with `l`), else append
+  * `|r`. Greedy-left resolves overlaps the standard way: aaa under
+  * (a,a) -> [aa, a]. The oracle runs the IDENTICAL fold via DuckDB
+  * `list_reduce`, so the learned merge table is hash-gated, not
+  * spot-checked.
+  *
+  * No end-of-word marker is modelled (merges never cross word
+  * boundaries here, which is the property the marker exists to encode
+  * for detokenization; counts and merge choices are unaffected for the
+  * in-word merges this trainer learns).
+  */
+object BpeTrain {
+
+  /** One learned merge: `step` is 1-based rank order, `c` the weighted
+    * adjacent-pair count at selection time.
+    */
+  final case class Merge(step: Int, lft: String, rgt: String, c: Long)
+
+  /** The one corpus-scale pass: lowercase [a-z]+ word extraction, global
+    * word counts (map-side combined), symbols initialized to the word's
+    * characters pipe-joined. Output schema: (syms STRING, cnt BIGINT).
+    */
+  def wordFreq(df: DataFrame, text: Column): DataFrame =
+    df.select(explode(regexp_extract_all(lower(text), lit("[a-z]+"), lit(0)))
+        .as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      // Char-split via regexp_extract_all (NOT split(word, "(?!^)"):
+      // the lookahead also matches at end-of-string, leaving a trailing
+      // empty symbol) — and it is the identical expression the oracle
+      // runs, so the initial symbolization is shared by construction.
+      .select(
+        concat_ws("|", regexp_extract_all(col("word"), lit("[a-z]"), lit(0)))
+          .as("syms"),
+        col("cnt"))
+
+  /** Apply ONE merge (l, r) to a pipe-joined symbol string: greedy
+    * left-to-right fold (see object doc for the shared semantics).
+    * Map-only — the fold is a `functions.aggregate` HOF over the split
+    * array, seeded with the first symbol.
+    */
+  def applyMergeCol(syms: Column, lft: String, rgt: String): Column = {
+    val arr = split(syms, "\\|")
+    aggregate(
+      slice(arr, lit(2), size(arr) - 1),
+      element_at(arr, 1),
+      (acc, x) =>
+        when(x === lit(rgt) &&
+            (acc === lit(lft) || acc.endsWith(lit("|" + lft))),
+          concat(acc, x))
+        .otherwise(concat(acc, lit("|"), x)))
+  }
+
+  /** Adjacent-pair counts over the current vocab frame, weighted by word
+    * count: ONE small shuffle (pairs partial-aggregated map-side;
+    * single-symbol words contribute nothing — their zipped slice is
+    * empty and `explode` drops the row).
+    */
+  def pairCounts(words: DataFrame): DataFrame = {
+    val arr = split(col("syms"), "\\|")
+    words
+      .select(col("cnt"), slice(arr, lit(1), size(arr) - 1).as("ls"),
+        slice(arr, lit(2), size(arr) - 1).as("rs"))
+      .select(col("cnt"), explode(arrays_zip(col("ls"), col("rs"))).as("p"))
+      .select(col("p.ls").as("lft"), col("p.rs").as("rgt"), col("cnt"))
+      .groupBy(col("lft"), col("rgt")).agg(sum(col("cnt")).as("c"))
+  }
+
+  /** Train `k` merges over a (syms, cnt) vocab frame. Returns the merge
+    * list (<= k if the corpus runs dry — fewer than k distinct adjacent
+    * pairs) and the final vocab frame (localCheckpoint-materialized; the
+    * caller owns its release). Per iteration: one pair-count shuffle, one
+    * 1-row argmax collect (bounded — the iteration must sequence on the
+    * chosen pair), one map-only fold.
+    */
+  def trainMerges(words0: DataFrame, k: Int): (Seq[Merge], DataFrame) = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    var words = words0.localCheckpoint(true)
+    val merges = Seq.newBuilder[Merge]
+    var step = 1
+    var dry = false
+    while (step <= k && !dry) {
+      val top = pairCounts(words)
+        .orderBy(col("c").desc, col("lft"), col("rgt"))
+        .limit(1).collect()
+      if (top.isEmpty) dry = true
+      else {
+        val r = top(0)
+        val (lft, rgt, c) = (r.getString(0), r.getString(1), r.getLong(2))
+        merges += Merge(step, lft, rgt, c)
+        val prev = words
+        words = words
+          .select(applyMergeCol(col("syms"), lft, rgt).as("syms"), col("cnt"))
+          .localCheckpoint(true)
+        Bridge.release(prev)
+        step += 1
+      }
+    }
+    (merges.result(), words)
+  }
+
+  /** The t21 gate body: learn `k` merges from `text` and return the merge
+    * table (step, lft, rgt, c) — k driver-side rows parallelized back
+    * into a frame so the gate result is a DataFrame like every other.
+    * The paired final vocab is exposed via [[trainArtifacts]] so t22
+    * shares one training run.
+    */
+  def trainArtifacts(s: SparkSession, df: DataFrame, text: Column, k: Int)
+      : (DataFrame, DataFrame) = {
+    val (merges, vocab) = trainMerges(wordFreq(df, text), k)
+    import s.implicits._
+    val mergeDf = merges.toDF("step", "lft", "rgt", "c")
+    (mergeDf, vocab)
+  }
+
+  /** Corpus frequency of every symbol in a trained vocab frame — the
+    * learned-subword usage report (t22): explode the symbols, weight by
+    * word count, one groupBy. Multi-char rows are the merges actually
+    * paying for themselves on this corpus; the single-char tail is the
+    * byte-fallback mass a vocab-size decision trades against.
+    */
+  def symbolFrequencies(vocab: DataFrame): DataFrame =
+    vocab
+      .select(explode(split(col("syms"), "\\|")).as("sym"), col("cnt"))
+      .groupBy(col("sym")).agg(sum(col("cnt")).as("total"))
+
+  /** DuckDB oracle twin of the full training chain: k unrolled CTE
+    * levels, each one pair-count + deterministic argmax + the IDENTICAL
+    * greedy-left fold via `list_reduce` (the `|`-anchored suffix test
+    * spelled with string slicing). `finalSelect` chooses the gate tail
+    * (merge table for t21, symbol frequencies over w`k` for t22).
+    */
+  def oracleCtes(k: Int): String = {
+    val levels = (0 until k).map { i =>
+      s"""p$i AS (SELECT lft, rgt, CAST(sum(cnt) AS BIGINT) AS c FROM (
+         |    SELECT l[j] AS lft, l[j+1] AS rgt, cnt FROM (
+         |      SELECT string_split(syms, '|') AS l, cnt,
+         |        unnest(range(1, len(string_split(syms, '|')))) AS j
+         |      FROM w$i)) GROUP BY lft, rgt),
+         |m$i AS (SELECT lft, rgt, c FROM p$i ORDER BY c DESC, lft, rgt LIMIT 1),
+         |w${i + 1} AS (SELECT list_reduce(string_split(w.syms, '|'), (acc, x) ->
+         |    CASE WHEN x = m.rgt AND (acc = m.lft
+         |                             OR acc[-(length(m.lft) + 1):] = '|' || m.lft)
+         |    THEN acc || x ELSE acc || '|' || x END) AS syms, w.cnt
+         |  FROM w$i w, m$i m)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH wf AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+       |    FROM documents) GROUP BY word),
+       |w0 AS (SELECT array_to_string(regexp_extract_all(word, '[a-z]'), '|') AS syms,
+       |    cnt FROM wf),
+       |$levels""".stripMargin
+  }
+
+  /** t21 oracle: the learned merge table. */
+  def mergesOracleSql(k: Int): String = {
+    val rows = (0 until k)
+      .map(i => s"SELECT ${i + 1} AS step, lft, rgt, c FROM m$i")
+      .mkString("\n  UNION ALL ")
+    s"""${oracleCtes(k)}
+       |SELECT step, lft, rgt, c FROM (
+       |  $rows) ORDER BY step""".stripMargin
+  }
+
+  /** t22 oracle: symbol frequencies of the final (post-k-merges) vocab. */
+  def symbolFreqOracleSql(k: Int): String =
+    s"""${oracleCtes(k)}
+       |SELECT sym, CAST(sum(cnt) AS BIGINT) AS total FROM (
+       |  SELECT unnest(string_split(syms, '|')) AS sym, cnt FROM w$k)
+       |GROUP BY sym ORDER BY total DESC, sym""".stripMargin
+}

@@ -1,0 +1,72 @@
+package graft
+
+import graft.text.BpeTrain
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class BpeTrainSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fold(syms: String, lft: String, rgt: String): String =
+    Seq(syms).toDF("s")
+      .select(BpeTrain.applyMergeCol(col("s"), lft, rgt))
+      .as[String].collect().head
+
+  test("applyMergeCol: greedy left-to-right fold, |-anchored last-symbol test") {
+    assert(fold("a|b|a|b|b", "a", "b") == "ab|ab|b")
+    // overlap run: greedy-left pairs from the left, aaa -> [aa, a]
+    assert(fold("a|a|a", "a", "a") == "aa|a")
+    assert(fold("a|a|a|a", "a", "a") == "aa|aa")
+    // single symbol word: fold over empty tail returns the seed
+    assert(fold("a", "a", "b") == "a")
+    // the anchor: last symbol "ba" must NOT satisfy lft = "a"
+    assert(fold("b|ba|a", "a", "a") == "b|ba|a")
+    // multi-char participants merge like any other symbol
+    assert(fold("m|er|g|er", "g", "er") == "m|er|ger")
+  }
+
+  test("wordFreq: lowercased [a-z]+ words, char-wise syms, no empty symbols") {
+    val got = Seq("Low lower, LOWEST low!").toDF("text")
+      .transform(d => BpeTrain.wordFreq(d, col("text")))
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("l|o|w" -> 2L, "l|o|w|e|r" -> 1L, "l|o|w|e|s|t" -> 1L))
+  }
+
+  test("trainMerges matches a hand-run of word-frequency BPE") {
+    // Corpus of Sennrich's flavor: low x5, lower x2, newest x6, widest x3.
+    val corpus = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val words = BpeTrain.wordFreq(Seq(corpus).toDF("text"), col("text"))
+    val (merges, vocab) = BpeTrain.trainMerges(words, 4)
+    // Hand-run: pair counts round 1 — (e,s)=9, (s,t)=9, (w,e)=8, (l,o)=7,
+    // (o,w)=7, ... tie (e,s)/(s,t) broken lexicographically -> (e,s).
+    // Round 2: (es,t)=9 wins. Round 3: (w,est)=8? no — after es,t merge:
+    // newest = n|e|w|est, widest = w|i|d|est: (w,est)=6, (d,est)=3,
+    // (l,o)=7, (o,w)=7 -> tie (l,o)/(o,w) -> (l,o) wins lex. Round 4:
+    // (lo,w)=7.
+    assert(merges.map(m => (m.step, m.lft, m.rgt, m.c)) == Seq(
+      (1, "e", "s", 9L), (2, "es", "t", 9L), (3, "l", "o", 7L),
+      (4, "lo", "w", 7L)))
+    val vocabMap = vocab.as[(String, Long)].collect().toMap
+    assert(vocabMap == Map(
+      "low" -> 5L, "low|e|r" -> 2L, "n|e|w|est" -> 6L, "w|i|d|est" -> 3L))
+    org.apache.spark.sql.graftbridge.Bridge.release(vocab)
+  }
+
+  test("trainMerges runs dry gracefully when pairs are exhausted") {
+    // Single 2-char word: exactly one merge possible, then no pairs left.
+    val words = BpeTrain.wordFreq(Seq("ab").toDF("text"), col("text"))
+    val (merges, vocab) = BpeTrain.trainMerges(words, 10)
+    assert(merges.map(m => (m.lft, m.rgt, m.c)) == Seq(("a", "b", 1L)))
+    assert(vocab.as[(String, Long)].collect().toSeq == Seq(("ab", 1L)))
+    org.apache.spark.sql.graftbridge.Bridge.release(vocab)
+  }
+
+  test("symbolFrequencies weights symbols by word count") {
+    val vocab = Seq(("low", 5L), ("low|e|r", 2L)).toDF("syms", "cnt")
+    val got = BpeTrain.symbolFrequencies(vocab)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("low" -> 7L, "e" -> 2L, "r" -> 2L))
+  }
+}

@@ -1291,4 +1291,31 @@ class CurationSpec extends AnyFunSuite {
     assert(nullRow.get.getAs[Long]("n_docs") == 1L)
     assert(m.map(_.getAs[Long]("n_docs")).sum == 2L)
   }
+
+  test("curationFunnel: all four arms fire, attribution is first-stage-wins") {
+    // 20+ distinct tokens so every doc intended to survive quality does
+    // (length in [20,80], no 'the'/'a', all bigrams unique).
+    val base = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, "web", base),                                   // 4_kept
+      (2L, "web", (1 to 20).map(i => s"tok${21 - i}").mkString(" ")),
+      // ^ same token SET as doc 1 -> 3_duplicate
+      (3L, "web", ((1 to 17).map(i => s"oth$i") ++
+        Seq("zeta", "yota", "kappa")).mkString(" ")),      // 2_contaminated
+      (4L, "web", "tiny doc"),                             // 1_quality (length)
+      // doc 1's token set again, but padded with repeats past the 0.6
+      // dup-token ratio: fails quality FIRST even though it would also
+      // be a duplicate — pins sequential attribution.
+      (5L, "web", (base + " " + Seq.fill(40)("tok1").mkString(" ")))
+    ).toDF("doc_id", "source", "text")
+    val evalDocs = Seq("zeta yota kappa").toDF("text")
+    val got = Curation.curationFunnel(docs, evalDocs)
+      .orderBy(col("stage"))
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("1_quality", 2L, 5L, 0.4),
+      ("2_contaminated", 1L, 3L, 0.333333),
+      ("3_duplicate", 1L, 2L, 0.5),
+      ("4_kept", 1L, 1L, 1.0)))
+  }
 }
