@@ -724,9 +724,12 @@ object DocQueries {
     * composed IVF-PQ search fully unrolled in SQL (one Lloyd round; the
     * loop-count surface is sim3's).
     */
-  private def sim13OracleSql(iters: Int = 1, nProbe: Int = 2, k: Int = 10,
-                             m: Int = 4, subDim: Int = 16,
-                             ks: Int = 8): String =
+  /** The sim13/sim14 shared oracle chain through the `adc` CTE (IVF
+    * probe + PQ ADC scores of the probed candidates) — one definition so
+    * the refine gate can't drift from the stack it refines.
+    */
+  private def sim13Ctes(iters: Int = 1, nProbe: Int = 2, m: Int = 4,
+                        subDim: Int = 16, ks: Int = 8): String =
     s"""${sim3Prelude(iters, nProbe = nProbe)},
        |jm AS (SELECT range AS j FROM range($m)),
        |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding
@@ -751,9 +754,31 @@ object DocQueries {
        |  row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn FROM cand),
        |adc AS (SELECT b.vec_id, b.label, CAST(sum(t.dm) AS BIGINT) AS adc_micro
        |  FROM best b JOIN tab t ON b.j = t.j AND b.c = t.c
-       |  WHERE b.rn = 1 GROUP BY b.vec_id, b.label)
+       |  WHERE b.rn = 1 GROUP BY b.vec_id, b.label)""".stripMargin
+
+  private def sim13OracleSql(iters: Int = 1, nProbe: Int = 2, k: Int = 10,
+                             m: Int = 4, subDim: Int = 16,
+                             ks: Int = 8): String =
+    s"""${sim13Ctes(iters, nProbe, m, subDim, ks)}
        |SELECT vec_id, label, adc_micro FROM adc
        |ORDER BY adc_micro, vec_id LIMIT $k""".stripMargin
+
+  /** sim14: the sim13 chain LIMITed to the ADC shortlist, then exact
+    * round-6 cosine (sim1's convention and double-op order) re-ranks the
+    * shortlist to the final k.
+    */
+  private def sim14OracleSql(k: Int = 5, shortlist: Int = 20,
+                             iters: Int = 1, nProbe: Int = 2, m: Int = 4,
+                             subDim: Int = 16, ks: Int = 8): String =
+    s"""${sim13Ctes(iters, nProbe, m, subDim, ks)},
+       |sl AS (SELECT vec_id, label, adc_micro FROM adc
+       |       ORDER BY adc_micro, vec_id LIMIT $shortlist)
+       |SELECT sl.vec_id, sl.label, sl.adc_micro,
+       |  round(${duckDot("e.embedding", "q.qv")} /
+       |    (sqrt(${duckDot("e.embedding", "e.embedding")})
+       |     * sqrt(${duckDot("q.qv", "q.qv")})), 6) AS cosine
+       |FROM sl JOIN embeddings e ON sl.vec_id = e.vec_id CROSS JOIN q
+       |ORDER BY cosine DESC, sl.vec_id LIMIT $k""".stripMargin
 
   /** The d2b oracle: the md5 MinHash family of
     * [[graft.dedup.Dedup.minHashLshEdgesPortable]] mirrored in SQL —
@@ -1283,6 +1308,18 @@ object DocQueries {
         k = 10)
     },
 
+    // IVF-PQ + exact REFINE (round 13): the full three-level serving
+    // stack — probe prunes, ADC shortlists, exact cosine re-ranks the
+    // shortlist only (the standard recall-repair stage: quantization
+    // error moves true neighbors a few ADC ranks; the shortlist keeps
+    // them reachable, the refine restores exact order at sim1's round-6
+    // cosine convention). Refine cost is shortlist-bounded: a broadcast
+    // id-join back for raw vectors, never a second corpus pass.
+    QDef("sim14_ivf_pq_refine", sim14OracleSql()) { (s, dir) =>
+      Similarity.ivfPqRefineKnn(Tables.embeddings(s, dir), queryVecId = 0L,
+        k = 5, shortlist = 20)
+    },
+
     // Hybrid retrieval: BM25 top-20 (lexical) fused with cosine KNN
     // top-20 (vector) by reciprocal-rank fusion. Fusion scores are EXACT
     // integers (1e9 div (60 + rank) summed), so the combined ranking is
@@ -1547,6 +1584,21 @@ object DocQueries {
         graft.text.BpeTrain.symbolFreqOracleSql(BpeTrainK)) { (s, dir) =>
       graft.text.BpeTrain.symbolFrequencies(bpeArtifacts(s, dir)._2)
         .orderBy(col("total").desc, col("sym"))
+    },
+
+    // The train -> APPLY loop closed: per-document token counts under
+    // the tokenizer t21 just learned. Tokenizing with a trained BPE at
+    // corpus scale is a LOOKUP against the final vocab (each word's
+    // post-merge symbol count — the fold was paid once per DISTINCT
+    // word at training time), so this is one corpus word-explode joined
+    // to the |V|-row lookup plus a doc-keyed aggregate. The learned
+    // twin of t19's fixed-vocab count; the oracle replays training AND
+    // the lookup join.
+    QDef("t23_bpe_tokenize",
+        graft.text.BpeTrain.tokenCountsOracleSql(BpeTrainK)) { (s, dir) =>
+      graft.text.BpeTrain.tokenCounts(Tables.documents(s, dir), col("text"),
+          col("doc_id"), bpeArtifacts(s, dir)._2)
+        .orderBy(col("doc_id"))
     },
 
     // The dedup-audit agreement report (round 10): doc-pair precision /
@@ -2551,6 +2603,21 @@ object DocQueries {
             .select(col("doc_id"), col("source"), col("text")),
           docs.filter(pmod(col("doc_id"), lit(47)) === 0))
         .orderBy(col("stage"))
+    },
+
+    // ANALYZE-style corpus profile (round 13): per-column non-null count,
+    // exact distinct count, min/max — the stats a CBO's join-reorder /
+    // broadcast decisions and a corpus owner's sanity pass start from.
+    // One scan (multi-distinct via Expand), stack-unpivoted to a row per
+    // column; the KMV sketch family (sk1) is the approximate path when
+    // an estimate serves. Restricted to int/string columns: float min/max
+    // string-rendering diverges across engines (determinism contract).
+    QDef("c24_column_profile",
+        graft.ops.Profile.columnProfileOracleSql("documents",
+          Seq("doc_id", "lang", "n_chars", "source", "text"))) { (s, dir) =>
+      graft.ops.Profile.columnProfile(Tables.documents(s, dir),
+          Seq("doc_id", "lang", "n_chars", "source", "text"))
+        .orderBy(col("column_name"))
     },
 
     // The manifest v2: the c9 pipeline with the model-based stages

@@ -606,6 +606,40 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-PQ search with an exact REFINE stage (sim14) — the full
+    * three-level ANN serving stack: the IVF probe prunes the corpus to
+    * `nProbe` inverted lists, PQ ADC ranks the probed candidates in the
+    * compressed domain to a `shortlist`, and exact cosine re-ranks ONLY
+    * the shortlist to the final top-k (the standard recall-repair stage:
+    * quantization error moves true neighbors a few ADC ranks, the
+    * shortlist keeps them reachable, the refine restores exact order).
+    * Exact-score convention and double-op order are [[bruteForceKnn]]'s
+    * (round-6 cosine), so the refined scores match sim1's for the same
+    * ids. At scale the refine touches `shortlist` rows — a broadcast
+    * id-join back to the corpus for their raw vectors, never a second
+    * corpus scan of any width beyond the scan [[ivfPqKnn]] already pays.
+    */
+  def ivfPqRefineKnn(emb: DataFrame, queryVecId: Long, k: Int = 5,
+                     shortlist: Int = 20, nCentroids: Int = 16,
+                     nProbe: Int = 2, iters: Int = 1, m: Int = 4,
+                     subDim: Int = 16, ks: Int = 8): DataFrame = {
+    require(shortlist >= k, "shortlist must cover the final k")
+    val sl = ivfPqKnn(emb, queryVecId, shortlist, nCentroids, nProbe,
+        iters, m, subDim, ks)
+      .select(col("vec_id"), col("adc_micro"))
+    val q = emb.where(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qv"),
+        sqrt(Fns.dot(col("embedding"), col("embedding"))).as("q_norm"))
+    emb.join(broadcast(sl), Seq("vec_id"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"), col("adc_micro"),
+        round(Fns.dot(col("embedding"), col("qv")) /
+            (sqrt(Fns.dot(col("embedding"), col("embedding"))) * col("q_norm")),
+          6).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** MMR (maximal marginal relevance) diversification re-rank with
     * λ = 1/2: greedily pick argmax(rel(d) − max_{s∈S} sim(d, s)) — the
     * λ = 1/2 score doubled, so the ranking is identical with zero

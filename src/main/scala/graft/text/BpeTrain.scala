@@ -57,7 +57,11 @@ object BpeTrain {
 
   /** The one corpus-scale pass: lowercase [a-z]+ word extraction, global
     * word counts (map-side combined), symbols initialized to the word's
-    * characters pipe-joined. Output schema: (syms STRING, cnt BIGINT).
+    * characters pipe-joined. Output schema: (word STRING, syms STRING,
+    * cnt BIGINT) — `word` rides through training untouched so the final
+    * vocab doubles as the word → tokenization LOOKUP table
+    * ([[tokenCounts]]): applying a trained BPE at corpus scale is a join,
+    * not a re-fold.
     */
   def wordFreq(df: DataFrame, text: Column): DataFrame =
     df.select(explode(regexp_extract_all(lower(text), lit("[a-z]+"), lit(0)))
@@ -67,7 +71,7 @@ object BpeTrain {
       // the lookahead also matches at end-of-string, leaving a trailing
       // empty symbol) — and it is the identical expression the oracle
       // runs, so the initial symbolization is shared by construction.
-      .select(
+      .select(col("word"),
         concat_ws("|", regexp_extract_all(col("word"), lit("[a-z]"), lit(0)))
           .as("syms"),
         col("cnt"))
@@ -128,7 +132,8 @@ object BpeTrain {
         merges += Merge(step, lft, rgt, c)
         val prev = words
         words = words
-          .select(applyMergeCol(col("syms"), lft, rgt).as("syms"), col("cnt"))
+          .select(col("word"), applyMergeCol(col("syms"), lft, rgt).as("syms"),
+            col("cnt"))
           .localCheckpoint(true)
         Bridge.release(prev)
         step += 1
@@ -162,6 +167,29 @@ object BpeTrain {
       .select(explode(split(col("syms"), "\\|")).as("sym"), col("cnt"))
       .groupBy(col("sym")).agg(sum(col("cnt")).as("total"))
 
+  /** Per-document token counts under the TRAINED tokenizer — the
+    * train → apply loop closed (t23): tokenizing with a learned BPE at
+    * corpus scale is a LOOKUP against the final vocab frame (each word's
+    * post-merge symbol count), never a per-document re-fold — the same
+    * word tokenizes identically everywhere, so the fold is paid once per
+    * DISTINCT word, at training time. One corpus word-explode joined to
+    * the |V|-row lookup (AQE broadcasts it while it fits; a 10⁸-word
+    * vocab at 100 TB degrades to a word-keyed shuffle join, still corpus
+    * pass + vocab frame), one doc-keyed aggregate. Contract: `vocab` was
+    * trained on the same word-extraction rule, so every corpus word hits
+    * the lookup (inner join).
+    */
+  def tokenCounts(docs: DataFrame, text: Column, id: Column,
+                  vocab: DataFrame): DataFrame = {
+    val lut = vocab.select(col("word"),
+      size(split(col("syms"), "\\|")).cast("long").as("n_syms"))
+    docs.select(id.as("doc_id"),
+        explode(regexp_extract_all(lower(text), lit("[a-z]+"), lit(0)))
+          .as("word"))
+      .join(lut, Seq("word"))
+      .groupBy(col("doc_id")).agg(sum(col("n_syms")).as("n_bpe_learned"))
+  }
+
   /** DuckDB oracle twin of the full training chain: k unrolled CTE
     * levels, each one pair-count + deterministic argmax + the IDENTICAL
     * greedy-left fold via `list_reduce` (the `|`-anchored suffix test
@@ -176,7 +204,7 @@ object BpeTrain {
          |        unnest(range(1, len(string_split(syms, '|')))) AS j
          |      FROM w$i)) GROUP BY lft, rgt),
          |m$i AS (SELECT lft, rgt, c FROM p$i ORDER BY c DESC, lft, rgt LIMIT 1),
-         |w${i + 1} AS (SELECT list_reduce(string_split(w.syms, '|'), (acc, x) ->
+         |w${i + 1} AS (SELECT w.word, list_reduce(string_split(w.syms, '|'), (acc, x) ->
          |    CASE WHEN x = m.rgt AND (acc = m.lft
          |                             OR acc[-(length(m.lft) + 1):] = '|' || m.lft)
          |    THEN acc || x ELSE acc || '|' || x END) AS syms, w.cnt
@@ -185,7 +213,8 @@ object BpeTrain {
     s"""WITH wf AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
        |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
        |    FROM documents) GROUP BY word),
-       |w0 AS (SELECT array_to_string(regexp_extract_all(word, '[a-z]'), '|') AS syms,
+       |w0 AS (SELECT word,
+       |    array_to_string(regexp_extract_all(word, '[a-z]'), '|') AS syms,
        |    cnt FROM wf),
        |$levels""".stripMargin
   }
@@ -206,4 +235,18 @@ object BpeTrain {
        |SELECT sym, CAST(sum(cnt) AS BIGINT) AS total FROM (
        |  SELECT unnest(string_split(syms, '|')) AS sym, cnt FROM w$k)
        |GROUP BY sym ORDER BY total DESC, sym""".stripMargin
+
+  /** t23 oracle: per-document counts under the trained tokenizer — the
+    * final vocab as a word → symbol-count lookup, joined to the corpus
+    * word explode.
+    */
+  def tokenCountsOracleSql(k: Int): String =
+    s"""${oracleCtes(k)},
+       |vk AS (SELECT word, CAST(len(string_split(syms, '|')) AS BIGINT) AS n_syms
+       |       FROM w$k),
+       |dw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+       |       FROM documents)
+       |SELECT dw.doc_id, CAST(sum(vk.n_syms) AS BIGINT) AS n_bpe_learned
+       |FROM dw JOIN vk ON dw.word = vk.word
+       |GROUP BY dw.doc_id ORDER BY dw.doc_id""".stripMargin
 }

@@ -640,6 +640,35 @@ object ScaleProbe {
       graft.multimodal.Multimodal.extractPatches(payloads, "doc_id",
         "payload", p = 2).count()
     }
+    // Round-13 additions: BPE training (corpus pass + k vocab-frame
+    // iterations — the iterations should be insensitive to corpus mult
+    // since replicas reuse the same words), trained-tokenizer apply
+    // (word-explode + |V|-lookup join), funnel attribution, profile.
+    var bpeVocab: org.apache.spark.sql.DataFrame = null
+    t(s"t21 bpe train ${mult}x") {
+      val (merges, vocab) = graft.text.BpeTrain.trainMerges(
+        graft.text.BpeTrain.wordFreq(big, col("text")), 8)
+      bpeVocab = vocab
+      merges.length.toLong
+    }
+    t(s"t23 bpe tokenize ${mult}x") {
+      if (bpeVocab == null) {
+        bpeVocab = graft.text.BpeTrain.trainMerges(
+          graft.text.BpeTrain.wordFreq(big, col("text")), 8)._2
+      }
+      graft.text.BpeTrain.tokenCounts(big, col("text"), col("doc_id"),
+        bpeVocab).count()
+    }
+    t(s"c23 curation funnel ${mult}x") {
+      Curation.curationFunnel(
+        big.filter(pmod(col("doc_id"), lit(47)) =!= 0)
+          .select(col("doc_id"), col("source"), col("text")),
+        big.filter(pmod(col("doc_id"), lit(47)) === 0)).count()
+    }
+    t(s"c24 column profile ${mult}x") {
+      graft.ops.Profile.columnProfile(big,
+        Seq("doc_id", "lang", "source", "text")).count()
+    }
     spark.stop()
   }
 }

@@ -29,8 +29,9 @@ class BpeTrainSpec extends AnyFunSuite {
   test("wordFreq: lowercased [a-z]+ words, char-wise syms, no empty symbols") {
     val got = Seq("Low lower, LOWEST low!").toDF("text")
       .transform(d => BpeTrain.wordFreq(d, col("text")))
-      .as[(String, Long)].collect().toMap
-    assert(got == Map("l|o|w" -> 2L, "l|o|w|e|r" -> 1L, "l|o|w|e|s|t" -> 1L))
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("low", "l|o|w", 2L), ("lower", "l|o|w|e|r", 1L),
+      ("lowest", "l|o|w|e|s|t", 1L)))
   }
 
   test("trainMerges matches a hand-run of word-frequency BPE") {
@@ -48,9 +49,11 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(merges.map(m => (m.step, m.lft, m.rgt, m.c)) == Seq(
       (1, "e", "s", 9L), (2, "es", "t", 9L), (3, "l", "o", 7L),
       (4, "lo", "w", 7L)))
-    val vocabMap = vocab.as[(String, Long)].collect().toMap
+    val vocabMap = vocab.select("word", "syms").as[(String, String)]
+      .collect().toMap
     assert(vocabMap == Map(
-      "low" -> 5L, "low|e|r" -> 2L, "n|e|w|est" -> 6L, "w|i|d|est" -> 3L))
+      "low" -> "low", "lower" -> "low|e|r", "newest" -> "n|e|w|est",
+      "widest" -> "w|i|d|est"))
     org.apache.spark.sql.graftbridge.Bridge.release(vocab)
   }
 
@@ -59,8 +62,22 @@ class BpeTrainSpec extends AnyFunSuite {
     val words = BpeTrain.wordFreq(Seq("ab").toDF("text"), col("text"))
     val (merges, vocab) = BpeTrain.trainMerges(words, 10)
     assert(merges.map(m => (m.lft, m.rgt, m.c)) == Seq(("a", "b", 1L)))
-    assert(vocab.as[(String, Long)].collect().toSeq == Seq(("ab", 1L)))
+    assert(vocab.as[(String, String, Long)].collect().toSeq ==
+      Seq(("ab", "ab", 1L)))
     org.apache.spark.sql.graftbridge.Bridge.release(vocab)
+  }
+
+  test("tokenCounts: trained-vocab lookup counts per document") {
+    val docs = Seq((1L, "low lower"), (2L, "newest newest widest low"))
+      .toDF("doc_id", "text")
+    val vocab = Seq(
+      ("low", "low", 7L), ("lower", "low|e|r", 2L),
+      ("newest", "n|e|w|est", 6L), ("widest", "w|i|d|est", 3L))
+      .toDF("word", "syms", "cnt")
+    val got = BpeTrain.tokenCounts(docs, col("text"), col("doc_id"), vocab)
+      .as[(Long, Long)].collect().toMap
+    // doc 1: low(1) + lower(3) = 4; doc 2: newest(4)*2 + widest(4) + low(1)
+    assert(got == Map(1L -> 4L, 2L -> 13L))
   }
 
   test("symbolFrequencies weights symbols by word count") {

@@ -202,5 +202,38 @@ class PlanShapeSpec extends AnyFunSuite {
       !plan.contains("ScalaUDF"), plan)
   }
 
+  test("t21 pair counts: one shuffle, viral words absorbed map-side") {
+    // the per-iteration pair count over the vocab frame: a corpus-hot
+    // adjacent pair ('t','h' everywhere) must partial-aggregate below
+    // the single exchange, never funnel into one reduce task
+    val words = Seq(("t|h|e", 100L), ("t|h|a|t", 50L)).toDF("syms", "cnt")
+    val plan = phys(graft.text.BpeTrain.pairCounts(words))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final aggregates:\n$plan")
+    assert(plan.lastIndexOf("HashAggregate") > plan.indexOf("Exchange"),
+      s"no map-side partial aggregate before the shuffle:\n$plan")
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
+  test("c24 column profile: ONE scan, one Expand, no per-column passes") {
+    val plan = phys(graft.ops.Profile.columnProfile(docs,
+      Seq("doc_id", "lang", "source")))
+    assert("Scan parquet".r.findAllIn(plan).size == 1,
+      s"profile must not rescan per column:\n$plan")
+    assert("Expand".r.findAllIn(plan).size == 1,
+      s"expected the single multi-distinct Expand:\n$plan")
+  }
+
+  test("sim14 refine: broadcast-only joins, top-k pushed down, no corpus shuffle") {
+    val plan = phys(Similarity.ivfPqRefineKnn(emb, queryVecId = 0L,
+      k = 5, shortlist = 20))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"refine must not shuffle the corpus:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 }

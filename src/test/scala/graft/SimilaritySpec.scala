@@ -134,6 +134,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(narrowDf.collect().forall(_.getAs[Int]("label") == 0))
   }
 
+  test("ivfPqRefineKnn: full-probe full-shortlist refine ≡ exact brute-force top-k") {
+    // probe every list and shortlist the whole corpus: the ADC stage is a
+    // pure pass-through and the refine must reproduce sim1's exact order
+    def ranked(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cosine"))).toSeq
+    val refined = ranked(Similarity.ivfPqRefineKnn(emb, queryVecId = 0L,
+      k = 5, shortlist = 60, nCentroids = 4, nProbe = 4, iters = 1,
+      m = 4, subDim = 2, ks = 8))
+    val exact = ranked(Similarity.bruteForceKnn(emb, queryVecId = 0L, k = 5))
+    assert(refined == exact, s"$refined vs $exact")
+    // a narrow shortlist returns ids FROM that shortlist, exact-ranked
+    val sl = Similarity.ivfPqKnn(emb, queryVecId = 0L, k = 8,
+      nCentroids = 4, nProbe = 4, iters = 1, m = 4, subDim = 2, ks = 8)
+      .collect().map(_.getLong(0)).toSet
+    val narrow = Similarity.ivfPqRefineKnn(emb, queryVecId = 0L,
+      k = 5, shortlist = 8, nCentroids = 4, nProbe = 4, iters = 1,
+      m = 4, subDim = 2, ks = 8).collect()
+    assert(narrow.map(_.getAs[Long]("vec_id")).forall(sl.contains))
+    val cos = narrow.map(_.getAs[Double]("cosine"))
+    assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+  }
+
   test("pqEncodeTrained: Lloyd round strictly reduces total quantization error") {
     def totalErr(df: org.apache.spark.sql.DataFrame) =
       df.agg(sum(col("qerr_micro"))).head().getLong(0)
