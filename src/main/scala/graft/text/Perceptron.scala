@@ -1,0 +1,185 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** POCKET-perceptron TRAINING over hashed bag-of-words features — the
+  * learn-the-model step upstream of the fixed-weight classifier scorer
+  * (`TextAnalysis.classifierScore`, c10), the same widening move as
+  * [[BpeTrain]]: the reference pipelines assume a shipped model; a real
+  * corpus owner trains one on their own data.
+  *
+  * Full-batch perceptron (Rosenblatt's rule) with Gallant's POCKET:
+  * all-INTEGER arithmetic end to end — features are token counts, the
+  * label is ±1, weights live in Z, one iteration adds Σ y·x over the
+  * currently-misclassified set (margin ≤ 0 counts as a mistake, the
+  * convention both engines share), and the pocket returns the
+  * fewest-mistakes weights among the k evaluated candidates (plain batch
+  * updates OSCILLATE on non-separable data — hashed-BoW language vs
+  * language is not separable — and the pocket makes the output monotone
+  * in k). No learning rate, no float, no knife edge anywhere — which is
+  * what makes the whole k-iteration trajectory hash-gatable against an
+  * unrolled SQL oracle, exactly like t21's merge chain.
+  *
+  * Spark shape (the 100 TB story):
+  *  1. ONE corpus pass builds the sparse feature frame ([[features]]:
+  *     word explode → rolling-hash dim → (doc, dim) counts, plus a bias
+  *     slot `dim = -1` per document), repartitioned by `doc_id` and
+  *     cached. This is the only corpus-scale scan.
+  *  2. k iterations over the cached frame. Scoring joins the 65-row
+  *     weight map as a LITERAL (map-only), the per-doc margin groupBy
+  *     rides the frame's existing doc_id partitioning (no exchange),
+  *     the misclassified-set join is co-partitioned, and the update
+  *     aggregate returns ≤ dims+1 rows (one bounded collect per
+  *     iteration — the t21 argmax discipline). At real scale you train
+  *     on a sample; the per-iteration shape is unchanged.
+  */
+object Perceptron {
+
+  /** Sparse hashed-BoW features: one row per (doc, dim) with an integer
+    * count, dims assigned by the portable rolling hash (base 31 mod
+    * 1e9+7 — the c2/c9 split-hash family, exactly mirrorable in SQL),
+    * plus a `dim = -1` bias row (cnt = 1) for EVERY document — including
+    * word-less ones, so the bias keeps them scoreable. `label` must
+    * evaluate to ±1. Repartitioned by doc_id and checkpointed: the
+    * training loop's groupBys and joins all ride this one partitioning.
+    */
+  def features(docs: DataFrame, text: Column, id: Column, label: Column,
+               dims: Int): DataFrame = {
+    val feat = docs
+      .select(id.as("doc_id"), label.as("y"),
+        explode(regexp_extract_all(lower(text), lit("[a-z]+"), lit(0)))
+          .as("word"))
+      .select(col("doc_id"), col("y"),
+        pmod(graft.fns.Fns.rollingHash(col("word")), lit(dims.toLong))
+          .cast("int").as("dim"))
+      .groupBy(col("doc_id"), col("y"), col("dim"))
+      .agg(count(lit(1)).as("cnt"))
+    val bias = docs.select(id.as("doc_id"), label.as("y"),
+      lit(-1).as("dim"), lit(1L).as("cnt"))
+    feat.unionByName(bias).repartition(col("doc_id")).localCheckpoint(true)
+  }
+
+  /** Run `k` POCKET-perceptron iterations over a [[features]] frame:
+    * each iteration evaluates the current weights (mistake = margin ≤ 0),
+    * applies the full-batch update Σ y·x over the misclassified set, and
+    * the POCKET keeps the weights with the fewest mistakes among the k
+    * evaluated candidates (w₀ … w₍k₋₁₎; ties → earliest — the shared
+    * deterministic rule). On non-separable data the plain batch rule
+    * oscillates; the pocket makes the output monotone in k (more
+    * iterations can only match or improve the returned model) — Gallant's
+    * pocket algorithm, the standard fix, and still all-integer.
+    * Returns the pocket weights (dim → weight, `-1` = bias) and the
+    * per-iteration mistake counts. The caller owns the frame's release.
+    */
+  def train(feats: DataFrame, k: Int, dims: Int)
+      : (Map[Int, Long], Seq[(Int, Long)]) = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    var w: Map[Int, Long] = (-1 until dims).map(_ -> 0L).toMap
+    var pocket = w
+    var pocketNm = Long.MaxValue
+    val trace = Seq.newBuilder[(Int, Long)]
+    for (it <- 1 to k) {
+      val scores = feats
+        .withColumn("contrib",
+          col("cnt") * coalesce(element_at(typedlit(w), col("dim")), lit(0L)))
+        .groupBy(col("doc_id"), col("y"))
+        .agg(sum(col("contrib")).as("s"))
+      val miscl = scores.filter(col("y") * col("s") <= 0)
+        .select(col("doc_id")).localCheckpoint(true)
+      val nm = miscl.count()
+      trace += ((it, nm))
+      if (nm < pocketNm) { pocket = w; pocketNm = nm }
+      val upd = feats.join(miscl, Seq("doc_id"))
+        .groupBy(col("dim")).agg(sum(col("y") * col("cnt")).as("delta"))
+        .collect() // ≤ dims + 1 rows
+      Bridge.release(miscl)
+      upd.foreach { r =>
+        val d = r.getInt(0)
+        w = w.updated(d, w(d) + r.getLong(1))
+      }
+    }
+    (pocket, trace.result())
+  }
+
+  /** Margin-based accuracy report under a weight map: per label value,
+    * document count and correctly-classified count (margin > 0 — the
+    * mistake convention's complement). One pass over the feature frame.
+    */
+  def accuracyReport(feats: DataFrame, w: Map[Int, Long]): DataFrame =
+    feats
+      .withColumn("contrib",
+        col("cnt") * coalesce(element_at(typedlit(w), col("dim")), lit(0L)))
+      .groupBy(col("doc_id"), col("y"))
+      .agg(sum(col("contrib")).as("s"))
+      .groupBy(col("y"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("y") * col("s") > 0, 1L).otherwise(0L)).as("n_correct"))
+
+  /** Weight map as a (dim, weight) frame — the c25 gate body. */
+  def weightsDf(s: SparkSession, w: Map[Int, Long]): DataFrame = {
+    import s.implicits._
+    w.toSeq.sortBy(_._1).toDF("dim", "weight")
+  }
+
+  /** The shared oracle chain: feature CTEs (same rolling-hash fold the
+    * c9 split oracle uses, bias rows straight from `documents`), w0 = 0,
+    * k unrolled iterations of score → misclassified → Σ y·x → weight
+    * update, then the POCKET pick: the evaluated level (w0 … w₍k₋₁₎)
+    * with the fewest mistakes, ties to the earliest — the engine's exact
+    * rule. `wp` is the pocket weight table. `labelSql` must yield ±1
+    * (engine twin: the gate's `label` column).
+    */
+  def oracleCtes(k: Int, dims: Int, labelSql: String): String = {
+    val levels = (0 until k).map { i =>
+      s"""s$i AS (SELECT f.doc_id, f.y, CAST(sum(f.cnt * w.wt) AS BIGINT) AS s
+         |  FROM feats f JOIN w$i w ON f.dim = w.dim GROUP BY f.doc_id, f.y),
+         |m$i AS (SELECT doc_id FROM s$i WHERE y * s <= 0),
+         |u$i AS (SELECT f.dim, CAST(sum(f.y * f.cnt) AS BIGINT) AS delta
+         |  FROM feats f JOIN m$i USING (doc_id) GROUP BY f.dim),
+         |w${i + 1} AS (SELECT w.dim, CAST(w.wt + coalesce(u.delta, 0) AS BIGINT) AS wt
+         |  FROM w$i w LEFT JOIN u$i u ON w.dim = u.dim)""".stripMargin
+    }.mkString(",\n")
+    val mcs = (0 until k)
+      .map(i => s"SELECT $i AS l, CAST((SELECT count(*) FROM m$i) AS BIGINT) AS mk")
+      .mkString("\n  UNION ALL ")
+    val allw = (0 until k)
+      .map(i => s"SELECT $i AS l, dim, wt FROM w$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH words AS (SELECT doc_id, $labelSql AS y,
+       |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+       |  FROM documents),
+       |dimmed AS (SELECT doc_id, y,
+       |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      [CAST(ascii(c) AS BIGINT) FOR c IN string_split(word, '')]),
+       |      (a, b) -> (a * 31 + b) % 1000000007) % $dims AS INT) AS dim
+       |  FROM words),
+       |feats AS (SELECT doc_id, y, dim, CAST(count(*) AS BIGINT) AS cnt
+       |    FROM dimmed GROUP BY doc_id, y, dim
+       |  UNION ALL
+       |  SELECT doc_id, $labelSql AS y, -1 AS dim, CAST(1 AS BIGINT) AS cnt
+       |    FROM documents),
+       |w0 AS (SELECT CAST(range - 1 AS INT) AS dim, CAST(0 AS BIGINT) AS wt
+       |  FROM range(${dims + 1})),
+       |$levels,
+       |mcs AS ($mcs),
+       |best AS (SELECT l FROM mcs ORDER BY mk, l LIMIT 1),
+       |allw AS ($allw),
+       |wp AS (SELECT dim, wt FROM allw JOIN best USING (l))""".stripMargin
+  }
+
+  /** c25 oracle: the pocket weight vector. */
+  def weightsOracleSql(k: Int, dims: Int, labelSql: String): String =
+    s"""${oracleCtes(k, dims, labelSql)}
+       |SELECT dim, wt AS weight FROM wp ORDER BY dim""".stripMargin
+
+  /** c26 oracle: per-label accuracy under the pocket weights. */
+  def accuracyOracleSql(k: Int, dims: Int, labelSql: String): String =
+    s"""${oracleCtes(k, dims, labelSql)},
+       |sf AS (SELECT f.doc_id, f.y, CAST(sum(f.cnt * w.wt) AS BIGINT) AS s
+       |  FROM feats f JOIN wp w ON f.dim = w.dim GROUP BY f.doc_id, f.y)
+       |SELECT y, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN y * s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+       |FROM sf GROUP BY y ORDER BY y""".stripMargin
+}

@@ -669,6 +669,17 @@ object ScaleProbe {
       graft.ops.Profile.columnProfile(big,
         Seq("doc_id", "lang", "source", "text")).count()
     }
+    t(s"c25 perceptron train ${mult}x") {
+      // corpus pass (feature build) + 4 iterations over the cached
+      // doc_id-partitioned frame; iteration cost should track corpus
+      // rows with NO extra exchanges (scoring rides the partitioning)
+      val feats = graft.text.Perceptron.features(big, col("text"),
+        col("doc_id"), when(col("lang") === "en", lit(1)).otherwise(lit(-1)),
+        dims = 64)
+      val (w, trace) = graft.text.Perceptron.train(feats, k = 4, dims = 64)
+      org.apache.spark.sql.graftbridge.Bridge.release(feats)
+      trace.map(_._2).sum + w.size.toLong
+    }
     spark.stop()
   }
 }
