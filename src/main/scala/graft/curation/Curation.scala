@@ -1106,6 +1106,67 @@ object Curation {
       when(q === "", lit("")).otherwise(concat(lit("?"), q)))
   }
 
+  /** One micro-batch of INCREMENTAL crawl dedup — [[crawlUrlGroups]]'s
+    * maintained twin, the [[incrementalDedupBatch]] machinery keyed on
+    * the canonical URL: a crawl frontier is the one corpus that truly
+    * ARRIVES as a stream, and re-running the full-corpus groupBy per
+    * batch would re-scan the whole fetch history every time.
+    *
+    * Staging is partitioned by `(bucket = xxhash64(canon_url) mod
+    * nBuckets, batch_id)` and stores only `(doc_id, canon_url)` — the
+    * canonical STRING (URL-sized, not corpus-sized; the serving table
+    * needs it, unlike d9's corpus-sized signatures which stage as
+    * hashes). Each batch appends its fetches (dynamic overwrite of its
+    * own partitions ⇒ at-least-once replays are no-ops), then the URL
+    * groups are recomputed ONLY for the buckets this batch touched —
+    * a canonical URL's rows all land in one bucket, so a touched-bucket
+    * recompute over the staged history reproduces exactly what the
+    * one-shot groupBy would, and untouched buckets are already
+    * byte-identical. Per-batch cost is O(touched buckets), not O(crawl
+    * life). The output table is [[crawlUrlGroups]]'s schema exactly
+    * (keep_doc_id, domain, canon_url, dup_count) plus the bucket
+    * partition column; [[crawlDomainStats]]-shaped rollups read it
+    * directly. The `c21b_crawl_dedup_inc` gate drives 3 batches plus a
+    * replayed one and must hash-match c21's one-shot oracle.
+    */
+  def incrementalCrawlBatch(batch: DataFrame, batchId: Long,
+                            stagingPath: String, outputPath: String,
+                            nBuckets: Int = 64,
+                            url: Column = col("url"),
+                            id: Column = col("doc_id")): Unit = {
+    val spark = batch.sparkSession
+    val staged = batch
+      .select(id.as("doc_id"), canonicalizeUrl(url).as("canon_url"))
+      .withColumn("bucket",
+        pmod(xxhash64(col("canon_url")), lit(nBuckets.toLong)).cast("int"))
+      .withColumn("batch_id", lit(batchId))
+    staged.repartition(col("bucket")).write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket", "batch_id").parquet(stagingPath)
+    // bounded collect: ≤ nBuckets values
+    val touched = staged.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0))
+    if (touched.nonEmpty) {
+      // explicit schema: a cleaning-emptied first batch leaves a
+      // footer-less dir that inference chokes on (the d9 discipline)
+      val slice = spark.read.schema(staged.schema).parquet(stagingPath)
+        .filter(col("bucket")
+          .isin(touched.toIndexedSeq.map(Integer.valueOf): _*))
+      val groups = slice.groupBy(col("canon_url"))
+        .agg(min(col("doc_id")).as("keep_doc_id"),
+          count(lit(1)).as("dup_count"))
+        .select(col("keep_doc_id"),
+          urlDomain(col("canon_url")).as("domain"),
+          col("canon_url"), col("dup_count"),
+          pmod(xxhash64(col("canon_url")), lit(nBuckets.toLong)).cast("int")
+            .as("bucket"))
+      groups.repartition(col("bucket")).write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket").parquet(outputPath)
+    }
+    ()
+  }
+
   /** The registrable-host key of a canonical URL (everything between
     * `://` and the first `/`, `?`, `:` or end) — the per-domain grain of
     * crawl audits (pages per site, politeness budgets, domain-level

@@ -26,6 +26,10 @@ object Profile {
 
   def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "columnProfile needs at least one column")
+    // names are interpolated into a selectExpr stack (and into the SQL
+    // oracle) — restrict to plain identifiers so quoting can't break
+    require(cols.forall(_.matches("[A-Za-z_][A-Za-z0-9_]*")),
+      s"columnProfile needs plain identifier column names, got: $cols")
     val aggs = cols.flatMap { c =>
       Seq(count(col(c)).as(s"__n_$c"),
         countDistinct(col(c)).as(s"__d_$c"),

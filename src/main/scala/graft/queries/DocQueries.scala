@@ -128,6 +128,41 @@ object DocQueries {
     }
   }
 
+  /** The ONE canonical-URL-groups oracle shared verbatim by c21 (the
+    * one-shot groupBy) and c21b (the maintained store) — the d12b/c/d
+    * "same oracle" discipline: the incremental path must reproduce the
+    * one-shot result bit-for-bit, so the gates share one SQL definition.
+    */
+  private lazy val CrawlGroupsOracleSql: String =
+    """@CTE@
+      |SELECT min(doc_id) AS keep_doc_id, any_value(domain) AS domain,
+      |  canon_url, CAST(count(*) AS BIGINT) AS dup_count
+      |FROM c GROUP BY canon_url ORDER BY keep_doc_id""".stripMargin
+      .replace("@CTE@", CrawlCanonCte)
+
+  /** Memoized store dir for the c21b incremental crawl-dedup drive
+    * (the lshIncDrive rationale): the constructed frontier ingested as
+    * 3 batches with batch 1 replayed, through
+    * `Curation.incrementalCrawlBatch`.
+    */
+  private val crawlIncDriveCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def crawlIncDrive(s: org.apache.spark.sql.SparkSession,
+                            dir: String): String =
+    crawlIncDriveCache.computeIfAbsent(dir, _ => {
+      val b0 = QDef.tempDir("graft_crawl_inc_gate")
+      val frontier = Tables.documents(s, dir)
+        .select(col("doc_id"), gateCrawlUrl.as("url"))
+      val parts =
+        (0 to 2).map(r => frontier.filter(pmod(col("doc_id"), lit(3)) === r))
+      (Seq(0L -> parts(0), 1L -> parts(1), 1L -> parts(1) /* replay */,
+        2L -> parts(2))).foreach { case (bid, b) =>
+        graft.curation.Curation.incrementalCrawlBatch(b, bid,
+          s"$b0/staged", s"$b0/groups", nBuckets = 8)
+      }
+      b0
+    })
+
   /** Merge count for the t21/t22 BPE-training gates — small enough that
     * the k-level unrolled oracle stays readable, large enough that the
     * learned table exercises multi-char remerges (char pairs first, then
@@ -150,6 +185,12 @@ object DocQueries {
       val p = QDef.tempDir("graft_bpe_train")
       val (mergeDf, vocab) = graft.text.BpeTrain.trainArtifacts(
         s, Tables.documents(s, dir), col("text"), BpeTrainK)
+      // the oracle unrolls exactly BpeTrainK levels and a DRY level
+      // empties its w-CTEs (BpeTrain.oracleCtes contract) — fail loud
+      // here instead of hash-failing t22/t23 confusingly
+      val nMerges = mergeDf.count()
+      require(nMerges == BpeTrainK,
+        s"BPE training ran dry: $nMerges/$BpeTrainK merges on $dir")
       mergeDf.write.mode("overwrite").parquet(s"$p/merges")
       vocab.write.mode("overwrite").parquet(s"$p/vocab")
       org.apache.spark.sql.graftbridge.Bridge.release(vocab)
@@ -3273,12 +3314,7 @@ object DocQueries {
     // likewise. One groupBy on the scan-side canonical key (map-side
     // combine absorbs re-crawl dup mass — no hot reduce task for a viral
     // URL); domain rides along, pinning the host extraction per row.
-    QDef("c21_crawl_dedup",
-      """@CTE@
-        |SELECT min(doc_id) AS keep_doc_id, any_value(domain) AS domain,
-        |  canon_url, CAST(count(*) AS BIGINT) AS dup_count
-        |FROM c GROUP BY canon_url ORDER BY keep_doc_id""".stripMargin
-        .replace("@CTE@", CrawlCanonCte)) { (s, dir) =>
+    QDef("c21_crawl_dedup", CrawlGroupsOracleSql) { (s, dir) =>
       graft.curation.Curation
         .crawlUrlGroups(Tables.documents(s, dir), gateCrawlUrl,
           col("doc_id"))
@@ -3307,6 +3343,22 @@ object DocQueries {
         .crawlDomainStats(Tables.documents(s, dir), gateCrawlUrl,
           col("doc_id"))
         .orderBy(col("domain"))
+    },
+
+    // The crawl frontier is the one corpus that truly ARRIVES as a
+    // stream — c21's maintained twin (round 13): canonical-URL-bucketed
+    // staging, touched-bucket group recompute per batch, dynamic
+    // partition overwrite (Curation.incrementalCrawlBatch — the d9
+    // machinery keyed on canon_url). The drive ingests the SAME
+    // constructed frontier as 3 batches with batch 1 REPLAYED (at-least-
+    // once idempotence), and the maintained table must hash-match c21's
+    // one-shot oracle exactly.
+    QDef("c21b_crawl_dedup_inc", CrawlGroupsOracleSql) { (s, dir) =>
+      val out = crawlIncDrive(s, dir)
+      s.read.parquet(s"$out/groups")
+        .select(col("keep_doc_id"), col("domain"), col("canon_url"),
+          col("dup_count"))
+        .orderBy(col("keep_doc_id"))
     },
 
     // G3: triangle count + global clustering coefficient of the d4

@@ -193,8 +193,16 @@ object BpeTrain {
   /** DuckDB oracle twin of the full training chain: k unrolled CTE
     * levels, each one pair-count + deterministic argmax + the IDENTICAL
     * greedy-left fold via `list_reduce` (the `|`-anchored suffix test
-    * spelled with string slicing). `finalSelect` chooses the gate tail
-    * (merge table for t21, symbol frequencies over w`k` for t22).
+    * spelled with string slicing). The gate oracles below append their
+    * own tail (merge table for t21, symbol frequencies for t22, the
+    * lookup join for t23).
+    *
+    * Contract: the corpus must offer at least k mergeable pairs. The
+    * engine runs dry GRACEFULLY (vocab intact, fewer merges), but a dry
+    * level here cross-joins an EMPTY argmax and empties every later
+    * `w` CTE — so a dry corpus would fail t22/t23 confusingly instead
+    * of loudly. Gate wiring asserts `merges.length == k` up front
+    * (DocQueries.bpeArtifacts) to convert that into an explicit error.
     */
   def oracleCtes(k: Int): String = {
     val levels = (0 until k).map { i =>

@@ -47,6 +47,7 @@ object Perceptron {
     */
   def features(docs: DataFrame, text: Column, id: Column, label: Column,
                dims: Int): DataFrame = {
+    require(dims >= 1, s"dims must be >= 1, got $dims")
     val feat = docs
       .select(id.as("doc_id"), label.as("y"),
         explode(regexp_extract_all(lower(text), lit("[a-z]+"), lit(0)))
@@ -96,8 +97,11 @@ object Perceptron {
         .collect() // ≤ dims + 1 rows
       Bridge.release(miscl)
       upd.foreach { r =>
+        // getOrElse: a feature frame carrying dims outside [-1, dims)
+        // (caller mismatch) must not crash the loop mid-training — the
+        // rogue dim just gets its own weight slot
         val d = r.getInt(0)
-        w = w.updated(d, w(d) + r.getLong(1))
+        w = w.updated(d, w.getOrElse(d, 0L) + r.getLong(1))
       }
     }
     (pocket, trace.result())

@@ -669,6 +669,24 @@ object ScaleProbe {
       graft.ops.Profile.columnProfile(big,
         Seq("doc_id", "lang", "source", "text")).count()
     }
+    t(s"c21b crawl inc ${mult}x") {
+      // 3 ingest batches over the replicated frontier (each replica's
+      // URLs distinct via the shifted source): per-batch cost must track
+      // batch size + touched buckets, not crawl-store life
+      val tmp = java.nio.file.Files.createTempDirectory("probe_crawl").toString
+      val frontier = big.select(col("doc_id"),
+        concat(lit("http://www."), col("source"), lit(".example.com/p"),
+          (col("doc_id") % 97).cast("string")).as("url"))
+      val times = (0 to 2).map { r =>
+        val b = frontier.filter(pmod(col("doc_id"), lit(3)) === r)
+        val t0 = System.nanoTime()
+        Curation.incrementalCrawlBatch(b, r.toLong, s"$tmp/staged",
+          s"$tmp/groups", nBuckets = 64)
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"SCALE   c21b per-batch ${times.map(t => f"$t%.2f").mkString("/")} s")
+      spark.read.parquet(s"$tmp/groups").count()
+    }
     t(s"c25 perceptron train ${mult}x") {
       // corpus pass (feature build) + 4 iterations over the cached
       // doc_id-partitioned frame; iteration cost should track corpus

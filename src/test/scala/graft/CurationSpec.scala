@@ -1292,6 +1292,35 @@ class CurationSpec extends AnyFunSuite {
     assert(m.map(_.getAs[Long]("n_docs")).sum == 2L)
   }
 
+  test("incrementalCrawlBatch: batches + replay ≡ one-shot crawlUrlGroups") {
+    val tmp = java.nio.file.Files.createTempDirectory("crawl_inc").toString
+    val frontier = Seq(
+      (1L, "HTTP://WWW.Example.COM:80/a/?b=2&a=1"),
+      (2L, "http://www.example.com/a?a=1&b=2#frag"),    // dup of 1
+      (3L, "https://other.example.com/x?UTM_Source=f"),
+      (4L, "https://other.example.com/x"),               // dup of 3
+      (5L, "http://www.example.com/solo")
+    ).toDF("doc_id", "url")
+    val oneShot = Curation.crawlUrlGroups(frontier, col("url"), col("doc_id"))
+      .orderBy(col("keep_doc_id"))
+      .collect().map(_.toSeq).toSeq
+    val parts = (0 to 2).map(r =>
+      frontier.filter(pmod(col("doc_id"), lit(3)) === r))
+    Seq(0L -> parts(0), 1L -> parts(1), 1L -> parts(1) /* replay */,
+      2L -> parts(2)).foreach { case (bid, b) =>
+      Curation.incrementalCrawlBatch(b, bid, s"$tmp/staged", s"$tmp/groups",
+        nBuckets = 4)
+    }
+    val maintained = spark.read.parquet(s"$tmp/groups")
+      .select(col("keep_doc_id"), col("domain"), col("canon_url"),
+        col("dup_count"))
+      .orderBy(col("keep_doc_id"))
+      .collect().map(_.toSeq).toSeq
+    assert(maintained == oneShot)
+    // and the dedup genuinely merged: 5 fetches -> 3 canonical pages
+    assert(oneShot.length == 3)
+  }
+
   test("curationFunnel: all four arms fire, attribution is first-stage-wins") {
     // 20+ distinct tokens so every doc intended to survive quality does
     // (length in [20,80], no 'the'/'a', all bigrams unique).
