@@ -40,6 +40,47 @@ object Curation {
       .otherwise("test")
   }
 
+  /** Train/val/test LEAKAGE report (c27): group documents by the exact
+    * canonical token signature ([[keepOneExact]]'s key), record the SET
+    * of splits each signature spans, and aggregate signatures/documents
+    * per span class — `train+test` rows are eval contamination by exact
+    * duplication, the classic leakage bug a split-by-hash pipeline can
+    * still have when dedup runs AFTER splitting (or not at all). The
+    * report to read before trusting any eval number. One signature
+    * shuffle + a span-class-sized aggregate; the span set is a sorted
+    * `collect_set` (bounded at 3 splits per signature).
+    */
+  private def canonicalSigExpr(text: Column): Column =
+    array_join(array_sort(array_distinct(split(text, " "))), " ")
+
+  def splitLeakage(docs: DataFrame, text: Column,
+                   trainPct: Int = 80, valPct: Int = 10,
+                   splitKey: Option[Column] = None): DataFrame =
+    docs
+      .select(canonicalSigExpr(text).as("__sig"),
+        splitColumn(splitKey.getOrElse(text), trainPct, valPct)
+          .as("__split"))
+      .groupBy(col("__sig"))
+      .agg(sort_array(collect_set(col("__split"))).as("__splits"),
+        count(lit(1)).as("__n_docs"))
+      .select(array_join(col("__splits"), "+").as("span"), col("__n_docs"))
+      .groupBy(col("span"))
+      .agg(count(lit(1)).as("n_sigs"), sum(col("__n_docs")).as("n_docs"))
+
+  /** The FIX c27 points at, audited by the same report: key the split by
+    * the SIGNATURE instead of the raw text, so exact duplicates land in
+    * the same split by construction — every span class is single-split,
+    * leakage-by-exact-duplication is structurally impossible, and the
+    * per-split proportions still follow the hash percentages (now over
+    * signatures rather than documents). This is "dedup-aware splitting"
+    * without running dedup first.
+    */
+  def splitLeakageBySignature(docs: DataFrame, text: Column,
+                              trainPct: Int = 80,
+                              valPct: Int = 10): DataFrame =
+    splitLeakage(docs, text, trainPct, valPct,
+      splitKey = Some(canonicalSigExpr(text)))
+
   /** Keep one document per exact-duplicate group (canonical sorted distinct
     * token set), choosing the lowest id — one shuffle on the signature via
     * a window, no join back. At PB scale group on `xxhash64(sig)` (8-byte
@@ -1129,12 +1170,34 @@ object Curation {
     * directly. The `c21b_crawl_dedup_inc` gate drives 3 batches plus a
     * replayed one and must hash-match c21's one-shot oracle.
     */
+  /** Staged fetch-row schema of the crawl-dedup store — shared by the
+    * batch op's touched-bucket read and [[crawlStoreMaintenance]], for
+    * the same single-definition reason as [[spanGramSchema]]. */
+  private[curation] def crawlStagedSchema(
+      idType: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("doc_id", idType), StructField("canon_url", StringType),
+      StructField("bucket", IntegerType),
+      StructField("batch_id", LongType)))
+  }
+
   def incrementalCrawlBatch(batch: DataFrame, batchId: Long,
                             stagingPath: String, outputPath: String,
                             nBuckets: Int = 64,
                             url: Column = col("url"),
                             id: Column = col("doc_id")): Unit = {
     val spark = batch.sparkSession
+    // compaction fence (the incrementalSpanDedupBatch contract): a side
+    // root means a crawl-store compaction is in flight or crashed —
+    // ingesting past it would be destroyed by the recovery swap
+    val fence = new org.apache.hadoop.fs.Path(s"$stagingPath.compact_tmp")
+    if (fence.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(fence))
+      throw new IllegalStateException(
+        s"compaction of $stagingPath is in flight or crashed (side root " +
+          "exists) — re-run compactCountedStore to completion before " +
+          "ingesting")
     val staged = batch
       .select(id.as("doc_id"), canonicalizeUrl(url).as("canon_url"))
       .withColumn("bucket",
@@ -1147,9 +1210,12 @@ object Curation {
     val touched = staged.select(col("bucket")).distinct()
       .collect().map(_.getInt(0))
     if (touched.nonEmpty) {
-      // explicit schema: a cleaning-emptied first batch leaves a
-      // footer-less dir that inference chokes on (the d9 discipline)
-      val slice = spark.read.schema(staged.schema).parquet(stagingPath)
+      // explicit SHARED schema: a cleaning-emptied first batch leaves a
+      // footer-less dir that inference chokes on (the d9 discipline),
+      // and the maintenance compactor must read the same shape
+      val slice = spark.read
+        .schema(crawlStagedSchema(staged.schema("doc_id").dataType))
+        .parquet(stagingPath)
         .filter(col("bucket")
           .isin(touched.toIndexedSeq.map(Integer.valueOf): _*))
       val groups = slice.groupBy(col("canon_url"))
@@ -1166,6 +1232,74 @@ object Curation {
     }
     ()
   }
+
+  /** One maintenance pass over the crawl-dedup staging store:
+    * stop-the-world [[compactCountedStore]] (COUNT semantics —
+    * `dup_count` counts staged rows, so the set-tolerant online op
+    * would double-count). `committedThrough` follows the
+    * [[spanStoreMaintenance]] rule: from inside foreachBatch processing
+    * batch B pass `B - 1` (B commits only after the hook returns —
+    * folding it would make its at-least-once replay double-count
+    * fetches). The groups OUTPUT table is bucket-partitioned with one
+    * dir per bucket (no batch_id fan-out) and needs no compaction.
+    */
+  def crawlStoreMaintenance(spark: org.apache.spark.sql.SparkSession,
+                            stagingPath: String, committedThrough: Long,
+                            idType: org.apache.spark.sql.types.DataType =
+                              org.apache.spark.sql.types.LongType,
+                            owner: String = "external"): Unit =
+    compactCountedStore(spark, stagingPath, crawlStagedSchema(idType),
+      committedThrough = committedThrough, owner = owner)
+
+  /** Streaming crawl-frontier ingestion: each micro-batch runs
+    * [[incrementalCrawlBatch]] — the groups table at `groupsPath` is
+    * always the canonical-URL dedup of every fetch ingested so far.
+    * `maintainEvery = N > 0` additionally runs [[crawlStoreMaintenance]]
+    * after every Nth batch (foreachBatch's serialization IS the
+    * single-writer window the stop-the-world compaction requires), with
+    * the same crash-recovery ownership rule as [[spanDedupIngest]]: a
+    * leftover compaction fence is auto-recovered ONLY when its `_owner`
+    * marker carries this stream's `queryName`; a foreign or ownerless
+    * fence fails loud instead of racing a possibly-in-flight second
+    * writer. Keep `queryName` stable across restarts of the same
+    * logical stream — it is the recovery identity. 0 (default) = caller
+    * owns maintenance.
+    */
+  def crawlIngest(raw: DataFrame, stagingPath: String, groupsPath: String,
+                  nBuckets: Int = 64, maintainEvery: Int = 0,
+                  queryName: String = "graft_crawl_ingest",
+                  url: Column = col("url"),
+                  id: Column = col("doc_id")): org.apache.spark.sql.streaming.StreamingQuery =
+    raw.writeStream.queryName(queryName)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (maintainEvery > 0) {
+          val fence = new org.apache.hadoop.fs.Path(
+            s"$stagingPath.compact_tmp")
+          if (fence.getFileSystem(
+              batch.sparkSession.sparkContext.hadoopConfiguration)
+              .exists(fence)) {
+            val fenceOwner = compactionOwner(batch.sparkSession, stagingPath)
+            if (fenceOwner.contains(queryName))
+              crawlStoreMaintenance(batch.sparkSession, stagingPath,
+                committedThrough = batchId - 1, owner = queryName)
+            else
+              throw new IllegalStateException(
+                s"crawl store $stagingPath is fenced by a compaction " +
+                s"this stream does not own (owner=" +
+                s"${fenceOwner.getOrElse("<none>")}, this stream=" +
+                s"$queryName): an external compactCountedStore is in " +
+                "flight or crashed. Stop it / re-run it to completion, " +
+                "then restart this stream; auto-recovery resumes only " +
+                "compactions started by this stream's own maintenance " +
+                "hook.")
+          }
+        }
+        incrementalCrawlBatch(batch, batchId, stagingPath, groupsPath,
+          nBuckets, url, id)
+        if (maintainEvery > 0 && (batchId + 1) % maintainEvery == 0)
+          crawlStoreMaintenance(batch.sparkSession, stagingPath,
+            committedThrough = batchId - 1, owner = queryName)
+      }.start()
 
   /** The registrable-host key of a canonical URL (everything between
     * `://` and the first `/`, `?`, `:` or end) — the per-domain grain of

@@ -1627,6 +1627,20 @@ object DocQueries {
         .orderBy(col("lang"))
     },
 
+    // Heaps-law vocabulary-growth curve (round 13): cumulative docs /
+    // tokens / DISTINCT vocab at 10 doc_id-range checkpoints — the curve
+    // a corpus owner fits before sizing a tokenizer vocab or projecting
+    // dedup yield. The scale trick is the FIRST-OCCURRENCE identity
+    // (vocab at threshold t = #words with min(doc_id) <= t): cumulative
+    // distinct without a global sort or per-prefix rescans; buckets are
+    // exact integer ranges off ONE max() aggregate, never an NTILE.
+    QDef("t24_vocab_growth",
+        TextAnalysis.vocabGrowthOracleSql(nBuckets = 10)) { (s, dir) =>
+      TextAnalysis.vocabGrowth(Tables.documents(s, dir), col("text"),
+          col("doc_id"), nBuckets = 10)
+        .orderBy(col("bucket"))
+    },
+
     // BPE merge TRAINING (round 13) — the upstream of t19/t20: learn the
     // merge table from the corpus instead of assuming a shipped vocab.
     // Word-frequency BPE (Sennrich 2016): ONE corpus pass to word
@@ -2719,6 +2733,58 @@ object DocQueries {
       graft.ops.Profile.columnProfile(Tables.documents(s, dir),
           Seq("doc_id", "lang", "n_chars", "source", "text"))
         .orderBy(col("column_name"))
+    },
+
+    // Train/val/test LEAKAGE report (round 13): signatures grouped by the
+    // SET of splits they span — 'train+test' rows are eval contamination
+    // by exact duplication, the classic bug when split-by-hash runs
+    // before (or without) dedup. On this fixture one 29-doc signature
+    // spans all three splits — exactly what the report exists to catch.
+    // Split rule and signature are THE library definitions (splitColumn,
+    // keepOneExact's canonical token key), so the gate also pins their
+    // composition.
+    QDef("c27_split_leakage",
+      """WITH h AS (SELECT text, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    [CAST(ascii(c) AS BIGINT) FOR c IN string_split(text, '')]),
+        |    (a, b) -> (a * 31 + b) % 1000000007) % 100 AS hm FROM documents),
+        |s AS (SELECT array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS sig,
+        |  CASE WHEN hm < 80 THEN 'train' WHEN hm < 90 THEN 'val' ELSE 'test' END AS split
+        |  FROM h),
+        |g AS (SELECT sig,
+        |  array_to_string(list_sort(list_distinct(list(split))), '+') AS span,
+        |  CAST(count(*) AS BIGINT) AS n_docs FROM s GROUP BY sig)
+        |SELECT span, CAST(count(*) AS BIGINT) AS n_sigs,
+        |  CAST(sum(n_docs) AS BIGINT) AS n_docs
+        |FROM g GROUP BY span ORDER BY span""".stripMargin) { (s, dir) =>
+      graft.curation.Curation.splitLeakage(Tables.documents(s, dir),
+          col("text"))
+        .orderBy(col("span"))
+    },
+
+    // The FIX c27 points at, audited by the same report: split keyed by
+    // the SIGNATURE, so exact dups land in one split by construction —
+    // every span class must come back single-split (the oracle hashes
+    // the signature instead of the text; 'train+test' rows are
+    // structurally impossible). Dedup-aware splitting without running
+    // dedup first.
+    QDef("c28_leakproof_split",
+      """WITH s0 AS (SELECT array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS sig
+        |  FROM documents),
+        |h AS (SELECT sig, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    [CAST(ascii(c) AS BIGINT) FOR c IN string_split(sig, '')]),
+        |    (a, b) -> (a * 31 + b) % 1000000007) % 100 AS hm FROM s0),
+        |s AS (SELECT sig,
+        |  CASE WHEN hm < 80 THEN 'train' WHEN hm < 90 THEN 'val' ELSE 'test' END AS split
+        |  FROM h),
+        |g AS (SELECT sig,
+        |  array_to_string(list_sort(list_distinct(list(split))), '+') AS span,
+        |  CAST(count(*) AS BIGINT) AS n_docs FROM s GROUP BY sig)
+        |SELECT span, CAST(count(*) AS BIGINT) AS n_sigs,
+        |  CAST(sum(n_docs) AS BIGINT) AS n_docs
+        |FROM g GROUP BY span ORDER BY span""".stripMargin) { (s, dir) =>
+      graft.curation.Curation.splitLeakageBySignature(
+          Tables.documents(s, dir), col("text"))
+        .orderBy(col("span"))
     },
 
     // The manifest v2: the c9 pipeline with the model-based stages

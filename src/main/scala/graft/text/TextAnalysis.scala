@@ -605,4 +605,84 @@ object TextAnalysis {
         round(rs.getField("max_bigram").cast("double") /
           greatest(size(t) - 1, lit(1)), 6).as("top_bigram_frac"): _*)
   }
+
+  /** Heaps-law vocabulary-growth curve (t24): cumulative document,
+    * token, and DISTINCT-vocabulary counts at `nBuckets` doc_id-range
+    * checkpoints — THE curve a corpus owner fits before sizing a
+    * tokenizer vocab or projecting dedup yield (sub-linear vocab growth
+    * is Heaps' law; a corpus whose curve bends flat early is repetitive).
+    *
+    * The scale trick is the FIRST-OCCURRENCE identity: the vocabulary
+    * size at threshold t equals the number of words whose MINIMUM doc_id
+    * is ≤ t — so cumulative-distinct needs no global sort and no
+    * per-prefix rescan: one word-explode → min(doc_id) per word →
+    * bucket → count, then a `nBuckets`-row window cumsum. Buckets are
+    * integer doc_id ranges off ONE max() aggregate (`(id·n) div
+    * (max+1)` — exact integer division on both engines), never an NTILE
+    * (a global-sort single-partition window would be the 100 TB
+    * bottleneck). Token totals ride the same bucketing; both sides of
+    * the report come from one corpus scan each.
+    */
+  def vocabGrowth(df: DataFrame, text: Column, id: Column,
+                  nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val mx = df.agg(max(id).as("__max_id"))
+    // exact integer bucketing: `div` (Spark) / `//` (DuckDB) — expects
+    // the input frame to carry `__b_src` (the bucketing id) + `__max_id`
+    val bucketCol =
+      least(lit(nBuckets - 1),
+        expr(s"(__b_src * $nBuckets) div (__max_id + 1)")).as("bucket")
+    val perDoc = df.crossJoin(broadcast(mx))
+      .select(id.as("__b_src"), size(regexp_extract_all(lower(text),
+        lit("[a-z]+"), lit(0))).cast("long").as("n_toks"), col("__max_id"))
+      .select(bucketCol, col("n_toks"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("new_docs"), sum(col("n_toks")).as("new_toks"))
+    val firsts = df
+      .select(id.as("doc_id"), explode(regexp_extract_all(lower(text),
+        lit("[a-z]+"), lit(0))).as("word"))
+      .groupBy(col("word")).agg(min(col("doc_id")).as("__b_src"))
+      .crossJoin(broadcast(mx))
+      .select(bucketCol)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("new_words"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDoc.join(firsts, Seq("bucket"), "left")
+      .select(col("bucket"),
+        sum(col("new_docs")).over(w).as("cum_docs"),
+        sum(col("new_toks")).over(w).as("cum_tokens"),
+        sum(coalesce(col("new_words"), lit(0L))).over(w).as("vocab_size"))
+      .select(col("bucket"), col("cum_docs"), col("cum_tokens"),
+        col("vocab_size"),
+        round(col("vocab_size").cast("double") / col("cum_tokens"), 6)
+          .as("type_token_ratio"))
+  }
+
+  /** t24 oracle: the identical first-occurrence formulation in SQL. */
+  def vocabGrowthOracleSql(nBuckets: Int = 10): String =
+    s"""WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+       |pd AS (SELECT least(${nBuckets - 1}, (doc_id * $nBuckets) // (m + 1)) AS bucket,
+       |    CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_toks
+       |  FROM documents, mx),
+       |tb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS new_docs,
+       |    CAST(sum(n_toks) AS BIGINT) AS new_toks
+       |  FROM pd GROUP BY bucket),
+       |fo AS (SELECT word, min(doc_id) AS fd FROM (
+       |    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+       |    FROM documents) GROUP BY word),
+       |fb AS (SELECT least(${nBuckets - 1}, (fd * $nBuckets) // (m + 1)) AS bucket,
+       |    CAST(count(*) AS BIGINT) AS new_words
+       |  FROM fo, mx GROUP BY 1),
+       |j AS (SELECT tb.bucket, tb.new_docs, tb.new_toks,
+       |    coalesce(fb.new_words, 0) AS new_words
+       |  FROM tb LEFT JOIN fb ON tb.bucket = fb.bucket)
+       |SELECT bucket,
+       |  CAST(sum(new_docs) OVER wc AS BIGINT) AS cum_docs,
+       |  CAST(sum(new_toks) OVER wc AS BIGINT) AS cum_tokens,
+       |  CAST(sum(new_words) OVER wc AS BIGINT) AS vocab_size,
+       |  round(CAST(sum(new_words) OVER wc AS DOUBLE)
+       |    / sum(new_toks) OVER wc, 6) AS type_token_ratio
+       |FROM j
+       |WINDOW wc AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |ORDER BY bucket""".stripMargin
 }

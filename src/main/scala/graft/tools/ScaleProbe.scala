@@ -687,6 +687,10 @@ object ScaleProbe {
       println(f"SCALE   c21b per-batch ${times.map(t => f"$t%.2f").mkString("/")} s")
       spark.read.parquet(s"$tmp/groups").count()
     }
+    t(s"t24 vocab growth ${mult}x") {
+      graft.text.TextAnalysis.vocabGrowth(big, col("text"), col("doc_id"),
+        nBuckets = 10).count()
+    }
     t(s"c25 perceptron train ${mult}x") {
       // corpus pass (feature build) + 4 iterations over the cached
       // doc_id-partitioned frame; iteration cost should track corpus

@@ -1321,6 +1321,91 @@ class CurationSpec extends AnyFunSuite {
     assert(oneShot.length == 3)
   }
 
+  test("crawlIngest maintainEvery: reads identical to unmaintained twin, dirs compacted") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = graft.queries.QDef.tempDir("graft_crawl_maint")
+    val batches = Seq(
+      Seq((1L, "HTTP://WWW.Example.COM:80/a/?b=2&a=1"),
+        (2L, "http://www.example.com/a?a=1&b=2#f")),
+      Seq((3L, "https://other.example.com/x?UTM_Source=f")),
+      Seq((4L, "https://other.example.com/x")),
+      Seq((5L, "http://www.example.com/solo")))
+    val in = MemoryStream[(Long, String)]
+    val q = Curation.crawlIngest(in.toDF().toDF("doc_id", "url"),
+      s"$base/staged", s"$base/groups", nBuckets = 4, maintainEvery = 2,
+      queryName = "crawl_maint_test")
+    try {
+      batches.foreach { b => in.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    batches.zipWithIndex.foreach { case (b, bid) =>
+      Curation.incrementalCrawlBatch(b.toDF("doc_id", "url"), bid.toLong,
+        s"$base/staged2", s"$base/groups2", nBuckets = 4)
+    }
+    def readGroups(p: String): Seq[Seq[Any]] =
+      spark.read.parquet(s"$base/$p")
+        .select(col("keep_doc_id"), col("domain"), col("canon_url"),
+          col("dup_count"))
+        .orderBy(col("keep_doc_id")).collect().map(_.toSeq).toSeq
+    val got = readGroups("groups")
+    assert(got == readGroups("groups2"), got.toString)
+    assert(got.length == 3) // 5 fetches -> 3 canonical pages
+    // maintenance after batch 3 folded committed batches 0-2 into the
+    // per-bucket snapshot; batch 3 (uncommitted at maintenance time)
+    // rides through as its own partition — replay idempotence
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def names(p: String): Seq[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(p)).toSeq
+        .filter(_.isDirectory).map(_.getPath.getName)
+    names(s"$base/staged").filter(_.startsWith("bucket=")).foreach { b =>
+      val bids = names(s"$base/staged/$b")
+        .filter(_.startsWith("batch_id=")).sorted
+      assert(bids.forall(Set("batch_id=-1", "batch_id=3")), s"$b: $bids")
+    }
+    // a foreign fence must fail loud, not be auto-recovered
+    val fenceRoot = new org.apache.hadoop.fs.Path(
+      s"$base/staged.compact_tmp")
+    fs.mkdirs(fenceRoot)
+    val ownOut = fs.create(
+      new org.apache.hadoop.fs.Path(fenceRoot, "_owner"), true)
+    ownOut.write("someone_else".getBytes("UTF-8")); ownOut.close()
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = Curation.crawlIngest(in2.toDF().toDF("doc_id", "url"),
+      s"$base/staged", s"$base/groups", nBuckets = 4, maintainEvery = 2,
+      queryName = "crawl_maint_test")
+    val thrown = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try {
+        in2.addData(Seq((6L, "http://www.example.com/new")))
+        q2.processAllAvailable()
+      } finally q2.stop()
+    }
+    assert(thrown.getMessage.contains("does not own") ||
+      Option(thrown.getCause).exists(_.getMessage.contains("does not own")))
+    fs.delete(fenceRoot, true)
+  }
+
+  test("splitLeakage: same-signature docs in different splits are flagged") {
+    // rolling-hash %100: "x y z"->27 (train), "z y x"->67 (train),
+    // "y x z"->87 (val) — one signature {x,y,z} spanning train+val —
+    // plus a clean singleton
+    val docs = Seq((1L, "x y z"), (2L, "z y x"), (3L, "y x z"),
+      (4L, "unique words entirely")).toDF("doc_id", "text")
+    val got = Curation.splitLeakage(docs, col("text"))
+      .as[(String, Long, Long)].collect().toSet
+    val solo = Curation.splitColumn(lit("unique words entirely"))
+    val soloSplit = docs.limit(1).select(solo).as[String].head()
+    assert(got == Set(("train+val", 1L, 3L), (soloSplit, 1L, 1L)), got)
+    // signature-keyed assignment makes cross-split spans structurally
+    // impossible: same docs, zero multi-split rows, dup group intact
+    val fixed = Curation.splitLeakageBySignature(docs, col("text"))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(fixed.forall(!_._1.contains("+")), fixed)
+    // 2 signatures, 4 docs total — span classes may merge signatures
+    // that landed in the same split
+    assert(fixed.map(_._2).sum == 2L && fixed.map(_._3).sum == 4L, fixed)
+  }
+
   test("curationFunnel: all four arms fire, attribution is first-stage-wins") {
     // 20+ distinct tokens so every doc intended to survive quality does
     // (length in [20,80], no 'the'/'a', all bigrams unique).

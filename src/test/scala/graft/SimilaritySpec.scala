@@ -222,6 +222,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r(1).getAs[Long]("n_emails") == 0L)
   }
 
+  test("vocabGrowth: first-occurrence identity gives the cumulative vocab") {
+    val docs = Seq((0L, "A b"), (5L, "b c C!")).toDF("doc_id", "text")
+    val got = graft.text.TextAnalysis.vocabGrowth(docs, col("text"),
+        col("doc_id"), nBuckets = 2)
+      .orderBy(col("bucket"))
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    // max=5: doc 0 -> bucket 0, doc 5 -> bucket 1. Bucket 0: 1 doc,
+    // 2 tokens (a, b), vocab {a, b}. Bucket 1 cumulative: 2 docs,
+    // 5 tokens, vocab {a, b, c} (b's first occurrence stays in bucket 0).
+    assert(got == Seq((0L, 1L, 2L, 2L, 1.0), (1L, 2L, 5L, 3L, 0.6)))
+  }
+
   test("tokenDistributionDrift: hand-computed total variation, 0 for identical slices") {
     val a = Seq((1L, "x x y")).toDF("doc_id", "text")   // p = {x: 2/3, y: 1/3}
     val b = Seq((2L, "x y y y")).toDF("doc_id", "text") // p = {x: 1/4, y: 3/4}
