@@ -208,6 +208,12 @@ object DocQueries {
   private val PerceptronK = 4
   private val PerceptronDims = 64
   private val PerceptronLabelSql = "CASE WHEN lang = 'en' THEN 1 ELSE -1 END"
+
+  /** c31 DSIR hashed-unigram bucket count (the published pipeline uses
+    * 10k hashed buckets; 256 keeps the fixture's bucket-collision mix
+    * realistic while the model table stays trivially broadcastable).
+    */
+  private val DsirBuckets = 256
   private def perceptronLabelCol =
     when(col("lang") === "en", lit(1)).otherwise(lit(-1))
   private val perceptronCache =
@@ -3461,6 +3467,59 @@ object DocQueries {
         Dedup.jaccardPairsPrefix(Tables.documents(s, dir),
             col("text"), col("doc_id"), blockCol = "source", threshold = 0.9)
           .select(col("doc_a").as("a"), col("doc_b").as("b")))
+    },
+
+    // Gopher quality-rule attrition panel (round 13, Rae et al. 2021):
+    // per published rule, pass/fail census plus the all-rules row — the
+    // report read BEFORE enabling a filter (which rule cuts, which is
+    // degenerate on this corpus). All thresholds in cross-multiplied
+    // integer arithmetic (no float ratio exists → no boundary
+    // knife-edge); one codegen'd scan projection + one scalar combine.
+    QDef("c29_gopher_rules", TextAnalysis.gopherRulesOracleSql()) {
+      (s, dir) =>
+        TextAnalysis.gopherRulesReport(Tables.documents(s, dir), col("text"))
+          .orderBy(col("rule"))
+    },
+
+    // CCNet perplexity terciles (round 13, Wenzek et al. 2020): each
+    // language's docs ranked by the t10 unigram-LM score and cut into
+    // head/middle/tail — the published curation split (train on
+    // head+middle). Output = per-bucket census + score range (the
+    // cutoff table a 100 TB run precomputes once, then applies
+    // scan-side). Per-LANG window, doc_id tie-break → total-order
+    // deterministic ntile on both engines.
+    QDef("c30_perplexity_buckets", TextAnalysis.perplexityBucketsOracleSql) {
+      (s, dir) =>
+        TextAnalysis.perplexityBuckets(Tables.documents(s, dir), col("text"),
+            col("doc_id"), col("lang"))
+          .orderBy(col("lang"), col("bucket"))
+    },
+
+    // DSIR importance weights (round 13, Xie et al. 2023): per-doc
+    // log-ratio of hashed-unigram target vs raw LMs (target = the 'en'
+    // slice standing in for the curated domain) — the data-selection
+    // score the published pipeline resamples by. DECIMAL-summed 6dp
+    // bucket ratios → order-independent, hash-gatable; the ≤256-row
+    // model joins broadcast, so scoring is map-only + one doc-key agg.
+    QDef("c31_dsir_weights",
+        TextAnalysis.dsirOracleSql("lang = 'en'", DsirBuckets)) { (s, dir) =>
+      TextAnalysis.dsirWeights(Tables.documents(s, dir), col("text"),
+          col("doc_id"), col("lang") === "en", DsirBuckets)
+        .orderBy(col("doc_id"))
+    },
+
+    // EXACT ROC-AUC of the c25-trained scorer (round 13): tie-aware
+    // Mann-Whitney rank-sum over the integer scores, emitted as an
+    // exact rational (auc_num/auc_den) + rounded value — the
+    // threshold-free number that tells a majority-class model (c26's
+    // blind spot on imbalance) from one that ranks. Rides the memoized
+    // pocket weights; the global cumsum runs over the score HISTOGRAM
+    // (post-reduction, the w1/sk6 discipline).
+    QDef("c32_classifier_roc",
+        graft.text.Perceptron.rocAucOracleSql(PerceptronK, PerceptronDims,
+          PerceptronLabelSql)) { (s, dir) =>
+      graft.text.Perceptron.rocAuc(perceptronFeatures(s, dir),
+        perceptronWeights(s, dir))
     }
   )
 }

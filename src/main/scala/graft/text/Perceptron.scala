@@ -186,4 +186,68 @@ object Perceptron {
        |SELECT y, CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(sum(CASE WHEN y * s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
        |FROM sf GROUP BY y ORDER BY y""".stripMargin
+
+  /** EXACT ROC-AUC of the trained scorer (c32) — the threshold-free
+    * quality number c26's fixed-threshold accuracy can't give (on an
+    * imbalanced corpus a majority-class model scores high accuracy and
+    * AUC 0.5; THIS report tells them apart). Because scores are exact
+    * integers, AUC is computed as an exact RATIONAL via the tie-aware
+    * Mann-Whitney rank-sum: with ascending-score ranks (tied scores
+    * take the average rank), `AUC = (2·R⁺ − n₊(n₊+1)) / (2·n₊·n₋)` —
+    * the output carries the integer numerator/denominator alongside the
+    * rounded value, so the gate hash-checks integers, never a float
+    * boundary.
+    *
+    * Plan shape: one scoring pass over the feature frame (doc-key
+    * aggregate riding its partitioning), a distributed score HISTOGRAM
+    * (`s → (n, n₊)` — the corpus reduces here), then one cumulative
+    * window over the histogram for the sub-rank offsets and a scalar
+    * combine. The global window runs over the already-reduced histogram
+    * (distinct integer scores), the same post-reduction discipline as
+    * the w1/sk6 percentile family — the corpus-scale stages are all
+    * key-partitioned.
+    */
+  def rocAuc(feats: DataFrame, w: Map[Int, Long]): DataFrame = {
+    val hist = feats
+      .withColumn("contrib",
+        col("cnt") * coalesce(element_at(typedlit(w), col("dim")), lit(0L)))
+      .groupBy(col("doc_id"), col("y"))
+      .agg(sum(col("contrib")).as("s"))
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y") === 1, 1L).otherwise(0L)).as("np"))
+    val below = org.apache.spark.sql.expressions.Window.orderBy(col("s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    hist
+      .withColumn("cless", coalesce(sum(col("n")).over(below), lit(0L)))
+      // 2 × (sum of average ranks of the positives in this tie group)
+      .agg(sum(col("np")).as("n_pos"), sum(col("n") - col("np")).as("n_neg"),
+        sum(col("np") * (col("cless") * 2L + col("n") + 1L)).as("r2"))
+      .select(col("n_pos"), col("n_neg"),
+        (col("r2") - col("n_pos") * (col("n_pos") + 1L)).as("auc_num"),
+        (col("n_pos") * col("n_neg") * 2L).as("auc_den"),
+        round((col("r2") - col("n_pos") * (col("n_pos") + 1L)).cast("double")
+          / (col("n_pos") * col("n_neg") * 2L), 6).as("auc"))
+  }
+
+  /** c32 oracle: score under `wp`, histogram, tie-aware rank sum. */
+  def rocAucOracleSql(k: Int, dims: Int, labelSql: String): String =
+    s"""${oracleCtes(k, dims, labelSql)},
+       |sf AS (SELECT f.doc_id, f.y, CAST(sum(f.cnt * w.wt) AS BIGINT) AS s
+       |  FROM feats f JOIN wp w ON f.dim = w.dim GROUP BY f.doc_id, f.y),
+       |h AS (SELECT s, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS np
+       |  FROM sf GROUP BY s),
+       |r AS (SELECT s, n, np, CAST(coalesce(sum(n) OVER
+       |    (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |    0) AS BIGINT) AS cless FROM h),
+       |a AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+       |    CAST(sum(n - np) AS BIGINT) AS n_neg,
+       |    CAST(sum(np * (cless * 2 + n + 1)) AS BIGINT) AS r2 FROM r)
+       |SELECT n_pos, n_neg,
+       |  CAST(r2 - n_pos * (n_pos + 1) AS BIGINT) AS auc_num,
+       |  CAST(n_pos * n_neg * 2 AS BIGINT) AS auc_den,
+       |  round(CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)
+       |    / (n_pos * n_neg * 2), 6) AS auc
+       |FROM a""".stripMargin
 }

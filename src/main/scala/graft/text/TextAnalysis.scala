@@ -685,4 +685,234 @@ object TextAnalysis {
        |FROM j
        |WINDOW wc AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
        |ORDER BY bucket""".stripMargin
+
+  /** The Gopher rule-panel stopword list (Rae et al. 2021 §A1.1: a doc
+    * must contain ≥ 2 of these to pass the stopword rule).
+    */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style quality-rule attrition panel (c29): for each published
+    * rule, how many documents fail it, plus the all-rules row — the
+    * attribution report a corpus owner reads BEFORE turning the filter
+    * on (which rule is doing the cutting, and is any rule degenerate on
+    * this corpus). Rules are the Gopher paper's repetition-free subset
+    * (word-count bounds, mean-word-length bounds, symbol-to-word ratio,
+    * alphabetic-word ratio, stopword presence); the repetition rules
+    * live in [[repetitionMetrics]].
+    *
+    * Determinism: every threshold is evaluated in cross-multiplied
+    * INTEGER arithmetic (`3·nsym·10 ≤ 3·n`, `5·nalpha ≥ 4·n`, …) — no
+    * float ratio ever exists, so there is no boundary knife-edge for an
+    * oracle to disagree on. Plan shape: ONE scan-fused codegen'd
+    * projection (counts via `replace`-length deltas, one anchored
+    * regexp pass for alphabetic words, the native [[TextStatsExpressions
+    * .countInSet]] for stopwords), one global aggregate, a 6-row stack
+    * unpivot — zero corpus shuffles beyond the final scalar combine, so
+    * at 100 TB the panel costs exactly one map-side pass.
+    */
+  def gopherRulesReport(df: DataFrame, text: Column,
+                        minWords: Long = 50L,
+                        maxWords: Long = 100000L): DataFrame = {
+    val n = nTokensCol(text)
+    val sumLen = length(regexp_replace(text, " ", "")).cast("long")
+    // symbol chars ×3: '#' and '…' count 3 each, a literal "..." counts
+    // its 3 chars — keeps the ratio-×10 comparison divide-free
+    val sym3 = (length(text) - length(replace(text, lit("#")))).cast("long") * 3L +
+      (length(text) - length(replace(text, lit("…")))).cast("long") * 3L +
+      (length(text) - length(replace(text, lit("...")))).cast("long")
+    // each word is preceded by exactly one space after the concat, so the
+    // anchored pattern matches once per letter-bearing word
+    val nAlpha = size(regexp_extract_all(concat(lit(" "), text),
+      lit(" [^ ]*[a-zA-Z][^ ]*"), lit(0))).cast("long")
+    val nStop = TextStatsExpressions.countInSet(toks(text), GopherStops)
+    val flags = df.select(
+      n.between(minWords, maxWords).as("r1"),
+      (sumLen >= n * 3L && sumLen <= n * 10L).as("r2"),
+      (sym3 * 10L <= n * 3L).as("r3"),
+      (nAlpha * 5L >= n * 4L).as("r4"),
+      (nStop >= 2L).as("r5"))
+    val f = (c: String) => sum(when(col(c), 0L).otherwise(1L))
+    flags.agg(
+        count(lit(1)).as("nd"), f("r1").as("f1"), f("r2").as("f2"),
+        f("r3").as("f3"), f("r4").as("f4"), f("r5").as("f5"),
+        sum(when(col("r1") && col("r2") && col("r3") && col("r4") &&
+          col("r5"), 0L).otherwise(1L)).as("fa"))
+      .select(expr(
+        """stack(6,
+          |  '1_word_count', f1, '2_mean_word_len', f2, '3_symbol_ratio', f3,
+          |  '4_alpha_words', f4, '5_stopwords', f5, '6_all_rules', fa)
+          |  AS (rule, n_fail)""".stripMargin), col("nd"))
+      .select(col("rule"), (col("nd") - col("n_fail")).as("n_pass"),
+        col("n_fail"))
+  }
+
+  /** c29 oracle: the identical integer-arithmetic rules in SQL. */
+  def gopherRulesOracleSql(minWords: Long = 50L,
+                           maxWords: Long = 100000L): String =
+    s"""WITH d AS (SELECT
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+       |    CAST(len(replace(text, ' ', '')) AS BIGINT) AS sumlen,
+       |    CAST((len(text) - len(replace(text, '#', ''))) * 3
+       |      + (len(text) - len(replace(text, '…', ''))) * 3
+       |      + (len(text) - len(replace(text, '...', ''))) AS BIGINT) AS sym3,
+       |    CAST(len([t FOR t IN string_split(text, ' ')
+       |      IF regexp_matches(t, '[a-zA-Z]')]) AS BIGINT) AS nalpha,
+       |    CAST(len([t FOR t IN string_split(text, ' ')
+       |      IF t IN (${GopherStops.map("'" + _ + "'").mkString(", ")})])
+       |      AS BIGINT) AS nstop
+       |  FROM documents),
+       |r AS (SELECT (n BETWEEN $minWords AND $maxWords) AS r1,
+       |    (sumlen >= n * 3 AND sumlen <= n * 10) AS r2,
+       |    (sym3 * 10 <= n * 3) AS r3, (nalpha * 5 >= n * 4) AS r4,
+       |    (nstop >= 2) AS r5 FROM d),
+       |a AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+       |    CAST(sum(CASE WHEN r1 THEN 0 ELSE 1 END) AS BIGINT) AS f1,
+       |    CAST(sum(CASE WHEN r2 THEN 0 ELSE 1 END) AS BIGINT) AS f2,
+       |    CAST(sum(CASE WHEN r3 THEN 0 ELSE 1 END) AS BIGINT) AS f3,
+       |    CAST(sum(CASE WHEN r4 THEN 0 ELSE 1 END) AS BIGINT) AS f4,
+       |    CAST(sum(CASE WHEN r5 THEN 0 ELSE 1 END) AS BIGINT) AS f5,
+       |    CAST(sum(CASE WHEN r1 AND r2 AND r3 AND r4 AND r5 THEN 0 ELSE 1
+       |      END) AS BIGINT) AS fa FROM r),
+       |u AS (SELECT '1_word_count' AS rule, f1 AS n_fail, nd FROM a
+       |  UNION ALL SELECT '2_mean_word_len', f2, nd FROM a
+       |  UNION ALL SELECT '3_symbol_ratio', f3, nd FROM a
+       |  UNION ALL SELECT '4_alpha_words', f4, nd FROM a
+       |  UNION ALL SELECT '5_stopwords', f5, nd FROM a
+       |  UNION ALL SELECT '6_all_rules', fa, nd FROM a)
+       |SELECT rule, CAST(nd - n_fail AS BIGINT) AS n_pass, n_fail
+       |FROM u ORDER BY rule""".stripMargin
+
+  /** CCNet-style perplexity bucketing (c30): rank each language's
+    * documents by the unigram-LM quality score ([[unigramLogProb]] — the
+    * perplexity proxy, higher = more in-distribution) and split into
+    * head / middle / tail terciles, CCNet's published curation cut
+    * (Wenzek et al. 2020: train on head+middle, drop tail). Output is
+    * the per-(lang, bucket) census with the score range each bucket
+    * spans — the cutoff table a 100 TB run would precompute once and
+    * apply scan-side thereafter (min/max are order-independent; no
+    * float is ever summed).
+    *
+    * Plan shape: the t10 scoring pass (corpus scan + vocab-sized model
+    * join), a co-keyed lang join, then ONE lang-partitioned window for
+    * the tercile assignment — the sort is per-language, not global, and
+    * the ntile tie-break (`doc_id`) makes the assignment total-order
+    * deterministic on both engines.
+    */
+  def perplexityBuckets(df: DataFrame, text: Column, id: Column,
+                        lang: Column): DataFrame = {
+    val scored = unigramLogProb(df, text, id)
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("avg_logprob").desc, col("doc_id"))
+    df.select(id.as("doc_id"), lang.as("lang"))
+      .join(scored, Seq("doc_id"))
+      .withColumn("__t", ntile(3).over(w))
+      .withColumn("bucket", when(col("__t") === 1, "head")
+        .when(col("__t") === 2, "middle").otherwise("tail"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("avg_logprob")).as("lp_min"),
+        max(col("avg_logprob")).as("lp_max"))
+  }
+
+  /** c30 oracle: the t10 scoring chain + the identical tercile window. */
+  def perplexityBucketsOracleSql: String =
+    """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |cnt AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+      |n AS (SELECT CAST(sum(c) AS DOUBLE) AS nt FROM cnt),
+      |lp AS (SELECT tok, CAST(round(ln(CAST(c AS DOUBLE) / n.nt), 6) AS DECIMAL(18,6)) AS lp6
+      |       FROM cnt, n),
+      |s AS (SELECT tk.doc_id, sum(lp.lp6) AS slp, count(*) AS n_tokens
+      |      FROM tk JOIN lp ON tk.tok = lp.tok GROUP BY tk.doc_id),
+      |sc AS (SELECT d.lang, s.doc_id,
+      |      round(CAST(s.slp AS DOUBLE) / s.n_tokens, 6) AS avg_logprob
+      |      FROM s JOIN documents d ON s.doc_id = d.doc_id),
+      |b AS (SELECT lang, avg_logprob,
+      |      ntile(3) OVER (PARTITION BY lang
+      |        ORDER BY avg_logprob DESC, doc_id) AS t FROM sc)
+      |SELECT lang,
+      |  CASE WHEN t = 1 THEN 'head' WHEN t = 2 THEN 'middle'
+      |       ELSE 'tail' END AS bucket,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  min(avg_logprob) AS lp_min, max(avg_logprob) AS lp_max
+      |FROM b GROUP BY lang, t ORDER BY lang, bucket""".stripMargin
+
+  /** DSIR importance model (Xie et al. 2023): hashed-unigram bag models
+    * of the TARGET slice and the RAW corpus, as the ≤`buckets`-row
+    * `(b, lp6)` table of 6-decimal smoothed log-probability ratios
+    * `ln p_target(b) − ln p_raw(b)` (add-1 smoothing over the bucket
+    * domain). Like [[unigramModel]] this is the persist-once artifact;
+    * both counts come out of ONE corpus pass (the target count is a
+    * conditional sum inside the same bucket aggregate).
+    */
+  def dsirModel(df: DataFrame, text: Column, isTarget: Column,
+                buckets: Int = 256): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val c = df.select(isTarget.as("__t"), explode(toks(text)).as("tok"))
+      .select(col("__t"),
+        pmod(graft.fns.Fns.rollingHash(col("tok")), lit(buckets.toLong))
+          .cast("int").as("b"))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("cr"),
+        sum(when(col("__t"), 1L).otherwise(0L)).as("ct"))
+      .localCheckpoint(true) // ≤ buckets rows; feeds totals AND ratios
+    val totals = c.agg(sum(col("cr")).as("__nr"), sum(col("ct")).as("__nt"))
+    c.crossJoin(broadcast(totals))
+      .select(col("b"),
+        round(log((col("ct") + 1L).cast("double") /
+            (col("__nt") + buckets.toLong).cast("double")) -
+          log((col("cr") + 1L).cast("double") /
+            (col("__nr") + buckets.toLong).cast("double")), 6)
+          .cast("decimal(18,6)").as("lp6"))
+  }
+
+  /** DSIR per-document importance weight (c31): each token scores its
+    * bucket's log ratio from a [[dsirModel]]; the document weight is the
+    * DECIMAL sum (order-independent — hash-gatable). High weight = looks
+    * like the target distribution; the published use resamples the raw
+    * corpus proportional to exp(weight). Plan shape: one corpus scan with
+    * the ≤buckets-row model joined BROADCAST (map-only), then the doc-key
+    * aggregate — at 100 TB the model is computed once and the scoring
+    * pass is embarrassingly parallel.
+    */
+  def dsirScore(df: DataFrame, model: DataFrame, text: Column,
+                id: Column, buckets: Int = 256): DataFrame =
+    df.select(id.as("doc_id"), explode(toks(text)).as("tok"))
+      .select(col("doc_id"),
+        pmod(graft.fns.Fns.rollingHash(col("tok")), lit(buckets.toLong))
+          .cast("int").as("b"))
+      .join(broadcast(model), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("lp6")).cast("double"), 6).as("dsir_weight"))
+
+  /** [[dsirModel]] + [[dsirScore]] composed — the c31 gate body. */
+  def dsirWeights(df: DataFrame, text: Column, id: Column,
+                  isTarget: Column, buckets: Int = 256): DataFrame =
+    dsirScore(df, dsirModel(df, text, isTarget, buckets), text, id, buckets)
+
+  /** c31 oracle: the identical rolling-hash bucket fold, one-pass counts,
+    * smoothed ratio table, and DECIMAL-summed doc weights in SQL.
+    */
+  def dsirOracleSql(targetSql: String, buckets: Int = 256): String =
+    s"""WITH tk AS (SELECT doc_id, ($targetSql) AS t,
+       |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      [CAST(ascii(c) AS BIGINT) FOR c IN string_split(tok, '')]),
+       |      (a, b) -> (a * 31 + b) % 1000000007) % $buckets AS INT) AS b
+       |  FROM (SELECT doc_id, lang,
+       |      unnest(string_split(text, ' ')) AS tok FROM documents)),
+       |c AS (SELECT b, CAST(count(*) AS BIGINT) AS cr,
+       |    CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS ct
+       |  FROM tk GROUP BY b),
+       |n AS (SELECT CAST(sum(cr) AS BIGINT) AS nr,
+       |    CAST(sum(ct) AS BIGINT) AS nt FROM c),
+       |m AS (SELECT b, CAST(round(
+       |    ln((ct + 1.0) / (nt + $buckets.0))
+       |    - ln((cr + 1.0) / (nr + $buckets.0)), 6) AS DECIMAL(18,6)) AS lp6
+       |  FROM c, n),
+       |s AS (SELECT tk.doc_id, sum(m.lp6) AS slp,
+       |    CAST(count(*) AS BIGINT) AS n_tokens
+       |  FROM tk JOIN m USING (b) GROUP BY tk.doc_id)
+       |SELECT doc_id, n_tokens, round(CAST(slp AS DOUBLE), 6) AS dsir_weight
+       |FROM s ORDER BY doc_id""".stripMargin
 }

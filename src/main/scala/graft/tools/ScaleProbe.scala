@@ -702,6 +702,35 @@ object ScaleProbe {
       org.apache.spark.sql.graftbridge.Bridge.release(feats)
       trace.map(_._2).sum + w.size.toLong
     }
+    t(s"c29 gopher panel ${mult}x") {
+      // one codegen'd scan + scalar combine — should be pure-linear in
+      // corpus chars, no shuffle to skew
+      graft.text.TextAnalysis.gopherRulesReport(big, col("text")).count()
+    }
+    t(s"c30 perplexity buckets ${mult}x") {
+      // t10 scoring pass + per-LANG tercile window: the sort is
+      // per-language, so a decade of corpus growth widens partitions,
+      // never funnels into one task
+      graft.text.TextAnalysis.perplexityBuckets(big, col("text"),
+        col("doc_id"), col("lang")).count()
+    }
+    t(s"c31 dsir weights ${mult}x") {
+      // one bucket-count pass + broadcast-model scoring pass; both
+      // corpus-linear, the model fixed at 256 rows regardless of mult
+      graft.text.TextAnalysis.dsirWeights(big, col("text"), col("doc_id"),
+        col("lang") === "en", buckets = 256).count()
+    }
+    t(s"c32 roc auc ${mult}x") {
+      // scoring pass over the feature frame + score histogram; the
+      // global cumsum runs over distinct INTEGER scores (post-reduction)
+      val feats = graft.text.Perceptron.features(big, col("text"),
+        col("doc_id"), when(col("lang") === "en", lit(1)).otherwise(lit(-1)),
+        dims = 64)
+      val (w, _) = graft.text.Perceptron.train(feats, k = 4, dims = 64)
+      val n = graft.text.Perceptron.rocAuc(feats, w).count()
+      org.apache.spark.sql.graftbridge.Bridge.release(feats)
+      n
+    }
     spark.stop()
   }
 }

@@ -217,6 +217,37 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("ScalaUDF"), plan)
   }
 
+  test("c29 gopher panel: ONE scan, scalar combine, no corpus shuffle, no UDF") {
+    val plan = phys(graft.text.TextAnalysis.gopherRulesReport(docs,
+      col("text")))
+    assert("Scan parquet".r.findAllIn(plan).size == 1,
+      s"rule panel must be one corpus pass:\n$plan")
+    // the only exchange is the SinglePartition scalar combine — rule
+    // counting never key-shuffles the corpus
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"unexpected key shuffle in the rule panel:\n$plan")
+    // partial aggregate below the combine: per-rule counts reduce
+    // map-side, the driver-side input is #partitions rows
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final aggregates:\n$plan")
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
+  test("c31 dsir scoring: model joins BROADCAST, one doc-key shuffle") {
+    val model = graft.text.TextAnalysis.dsirModel(docs, col("text"),
+      col("lang") === "en", buckets = 64)
+    val plan = phys(graft.text.TextAnalysis.dsirScore(docs, model,
+      col("text"), col("doc_id"), buckets = 64))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the ≤buckets-row model must broadcast:\n$plan")
+    // exactly one key exchange: the doc_id aggregate after the map-only
+    // scoring join (the model build's own tiny bucket agg is upstream of
+    // the checkpoint, not in this plan)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
   test("c24 column profile: ONE scan, one Expand, no per-column passes") {
     val plan = phys(graft.ops.Profile.columnProfile(docs,
       Seq("doc_id", "lang", "source")))

@@ -1,0 +1,135 @@
+package graft
+
+import graft.text.{Perceptron, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-computed oracles for the round-13 published-pipeline reports:
+  * Gopher rule panel (c29), CCNet perplexity terciles (c30), DSIR
+  * importance weights (c31), exact ROC-AUC (c32).
+  */
+class TextPipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("gopherRules: each rule fails exactly the crafted offender") {
+    val docs = Seq(
+      // passes all but stopwords (no GopherStops member)
+      (1L, "them cats sat onto mats"),
+      // symbols only: fails mean-word-len, symbol-ratio, alpha, stopwords
+      (2L, "# … ab..."),
+      // all five pass
+      (3L, "to be and that with"),
+      // below the word-count floor; also no stopwords
+      (4L, "word")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRulesReport(docs, col("text"),
+        minWords = 2L, maxWords = 5L)
+      .orderBy("rule").as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("1_word_count", 3L, 1L),
+      ("2_mean_word_len", 3L, 1L),
+      ("3_symbol_ratio", 3L, 1L),
+      ("4_alpha_words", 3L, 1L),
+      ("5_stopwords", 1L, 3L),
+      ("6_all_rules", 1L, 3L)))
+  }
+
+  test("gopherRules: '...' runs, '#' and '…' chars all count as symbols") {
+    // "a. .. ab" has no 3-dot run; "ab... cd" has one (3 chars)
+    val docs = Seq((1L, "ab... cd"), (2L, "a. .. ab")).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRulesReport(docs, col("text"),
+        minWords = 1L, maxWords = 10L)
+      .orderBy("rule").as[(String, Long, Long)].collect()
+      .map(r => r._1 -> r._3).toMap
+    // doc 1: sym3 = 3, n = 2 -> 30 <= 6 false (fail); doc 2: sym3 = 0
+    assert(got("3_symbol_ratio") == 1L)
+  }
+
+  test("perplexityBuckets: single-token docs land in hand-ranked terciles") {
+    // corpus counts: a=3, b=2, c=1 (total 6); lp(a) > lp(b) > lp(c)
+    val docs = Seq((1L, "x", "a"), (2L, "x", "a"), (3L, "x", "a"),
+        (4L, "x", "b"), (5L, "x", "b"), (6L, "x", "c"))
+      .toDF("doc_id", "lang", "text")
+    val lpA = r6(math.log(3.0 / 6)); val lpB = r6(math.log(2.0 / 6))
+    val lpC = r6(math.log(1.0 / 6))
+    val got = TextAnalysis.perplexityBuckets(docs, col("text"), col("doc_id"),
+        col("lang"))
+      .orderBy("bucket").as[(String, String, Long, Double, Double)]
+      .collect().toSeq
+    // desc order (d1 d2 d3 d4 d5 d6) -> ntile(3): {d1,d2} {d3,d4} {d5,d6}
+    assert(got == Seq(
+      ("x", "head", 2L, lpA, lpA),
+      ("x", "middle", 2L, lpB, lpA),
+      ("x", "tail", 2L, lpC, lpB)))
+  }
+
+  test("perplexityBuckets: terciles are assigned per language partition") {
+    // identical doc multisets per lang -> identical per-lang censuses
+    val docs = Seq((1L, "x", "a"), (2L, "x", "a"), (3L, "x", "b"),
+        (11L, "y", "a"), (12L, "y", "a"), (13L, "y", "b"))
+      .toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.perplexityBuckets(docs, col("text"), col("doc_id"),
+        col("lang"))
+      .as[(String, String, Long, Double, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3, t._4, t._5)).toSet)
+      .toMap
+    assert(got("x") == got("y"))
+    // 3 docs per lang -> one per tercile
+    assert(got("x").size == 3 && got("x").forall(_._2 == 1L))
+  }
+
+  test("dsirWeights: hand-computed smoothed log-ratios, decimal-summed") {
+    def bucket(s: String, b: Int): Int =
+      (s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L) % b).toInt
+    // tokens: 'a' -> bucket 97%4=1 (cr=2, ct=2), 'b' -> 98%4=2 (cr=1, ct=0)
+    assert(bucket("a", 4) == 1 && bucket("b", 4) == 2)
+    val docs = Seq((1L, "en", "a a"), (2L, "de", "b")).toDF("doc_id", "lang", "text")
+    val lpB1 = r6(math.log(3.0 / 6) - math.log(3.0 / 7)) // (ct+1)/(Nt+B) vs (cr+1)/(Nr+B)
+    val lpB2 = r6(math.log(1.0 / 6) - math.log(2.0 / 7))
+    val got = TextAnalysis.dsirWeights(docs, col("text"), col("doc_id"),
+        col("lang") === "en", buckets = 4)
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, r6(2 * lpB1)), (2L, 1L, lpB2)))
+  }
+
+  test("dsirScore against a persisted model ≡ the composed dsirWeights") {
+    val docs = Seq((1L, "en", "a a b"), (2L, "de", "b c"), (3L, "en", "c a"))
+      .toDF("doc_id", "lang", "text")
+    val model = TextAnalysis.dsirModel(docs, col("text"),
+      col("lang") === "en", buckets = 8)
+    val viaModel = TextAnalysis.dsirScore(docs, model, col("text"),
+      col("doc_id"), buckets = 8).orderBy("doc_id").collect().toSeq
+    val composed = TextAnalysis.dsirWeights(docs, col("text"), col("doc_id"),
+      col("lang") === "en", buckets = 8).orderBy("doc_id").collect().toSeq
+    assert(viaModel == composed)
+  }
+
+  test("rocAuc: tie-aware rank-sum on a hand-ranked score set") {
+    // score = cnt under w = {0 -> 1, bias -> 0}: pos {3, 1}, neg {2, 1}
+    // ascending avg ranks: 1 -> 1.5 (tied), 2 -> 3, 3 -> 4
+    // R+ = 1.5 + 4 = 5.5; AUC = (11 - 2*3) / (2*2*2) = 5/8
+    val feats = Seq((1L, 1, 0, 3L), (2L, 1, 0, 1L),
+        (3L, -1, 0, 2L), (4L, -1, 0, 1L))
+      .toDF("doc_id", "y", "dim", "cnt")
+    val w = Map(-1 -> 0L, 0 -> 1L)
+    val got = Perceptron.rocAuc(feats, w)
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(got == ((2L, 2L, 5L, 8L, 0.625)))
+  }
+
+  test("rocAuc: all-tied scores give exactly 1/2; separation gives 1") {
+    val w = Map(-1 -> 0L, 0 -> 1L)
+    val tied = Seq((1L, 1, 0, 2L), (2L, -1, 0, 2L))
+      .toDF("doc_id", "y", "dim", "cnt")
+    val t = Perceptron.rocAuc(tied, w).as[(Long, Long, Long, Long, Double)].head()
+    assert(t == ((1L, 1L, 1L, 2L, 0.5)))
+    val sep = Seq((1L, 1, 0, 5L), (2L, -1, 0, 1L))
+      .toDF("doc_id", "y", "dim", "cnt")
+    val s = Perceptron.rocAuc(sep, w).as[(Long, Long, Long, Long, Double)].head()
+    assert(s == ((1L, 1L, 2L, 2L, 1.0)))
+  }
+}
