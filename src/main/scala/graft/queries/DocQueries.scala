@@ -3520,6 +3520,28 @@ object DocQueries {
           PerceptronLabelSql)) { (s, dir) =>
       graft.text.Perceptron.rocAuc(perceptronFeatures(s, dir),
         perceptronWeights(s, dir))
+    },
+
+    // DSIR data SELECTION (round 13) — the step c31's weights exist
+    // for: the 25 raw docs most like the target distribution, by
+    // (weight DESC, doc_id) — the deterministic rank-k variant of the
+    // published proportional resample. TakeOrderedAndProject: per-
+    // partition top-k, no global sort.
+    QDef("c33_dsir_topk",
+        TextAnalysis.dsirTopKOracleSql("lang = 'en'", 25, DsirBuckets)) {
+      (s, dir) =>
+        TextAnalysis.dsirTopK(Tables.documents(s, dir), col("text"),
+          col("doc_id"), col("lang") === "en", k = 25, DsirBuckets)
+    },
+
+    // CCNet filtering (round 13) — the cut c30's terciles exist for:
+    // keep each language's head+middle, drop the tail; output the
+    // per-lang kept census + the lp cutoff (what a budget planner and
+    // a scan-side filter consume at 100 TB).
+    QDef("c34_ccnet_filter", TextAnalysis.ccnetFilterOracleSql) { (s, dir) =>
+      TextAnalysis.ccnetFilter(Tables.documents(s, dir), col("text"),
+          col("doc_id"), col("lang"))
+        .orderBy(col("lang"))
     }
   )
 }

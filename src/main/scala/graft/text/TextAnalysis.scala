@@ -710,6 +710,11 @@ object TextAnalysis {
     * .countInSet]] for stopwords), one global aggregate, a 6-row stack
     * unpivot — zero corpus shuffles beyond the final scalar combine, so
     * at 100 TB the panel costs exactly one map-side pass.
+    *
+    * NULL-text documents count in `n_docs` and FAIL every rule (each
+    * flag evaluates NULL, and a non-true flag is a fail) — a NULL doc
+    * is certainly not trainable text, and silently excluding it would
+    * make the panel's rows disagree with the corpus census.
     */
   def gopherRulesReport(df: DataFrame, text: Column,
                         minWords: Long = 50L,
@@ -890,6 +895,74 @@ object TextAnalysis {
   def dsirWeights(df: DataFrame, text: Column, id: Column,
                   isTarget: Column, buckets: Int = 256): DataFrame =
     dsirScore(df, dsirModel(df, text, isTarget, buckets), text, id, buckets)
+
+  /** DSIR data SELECTION (c33) — the step the weights exist for: the
+    * `k` raw-corpus documents most like the target distribution, by
+    * `(dsir_weight DESC, doc_id)` (the deterministic rank-k variant of
+    * the published proportional resampling; weights are exact 6dp
+    * decimals, doc_id breaks ties — no float-order knife edge). Plan
+    * shape: the [[dsirScore]] pass, then TakeOrderedAndProject — per-
+    * partition top-k merged at the driver, never a global sort.
+    */
+  def dsirTopK(df: DataFrame, text: Column, id: Column, isTarget: Column,
+               k: Int, buckets: Int = 256): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    dsirWeights(df, text, id, isTarget, buckets)
+      .orderBy(col("dsir_weight").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** c33 oracle: the c31 chain + the identical deterministic top-k. */
+  def dsirTopKOracleSql(targetSql: String, k: Int,
+                        buckets: Int = 256): String = {
+    val base = dsirOracleSql(targetSql, buckets)
+    // swap the per-doc ORDER BY for the selection's rank-k order
+    base.stripSuffix("ORDER BY doc_id") +
+      s"ORDER BY dsir_weight DESC, doc_id LIMIT $k"
+  }
+
+  /** CCNet filtering (c34) — the cut [[perplexityBuckets]] exists for:
+    * keep each language's head+middle terciles, drop the tail (Wenzek
+    * et al. 2020 train on head+middle). Returns the per-language kept
+    * census (docs and whitespace tokens) — the manifest a budget
+    * planner consumes; the kept doc set itself is the same frame before
+    * the final aggregate. Same plan as c30 plus one lang-keyed
+    * aggregate over the kept two-thirds.
+    */
+  def ccnetFilter(df: DataFrame, text: Column, id: Column,
+                  lang: Column): DataFrame = {
+    val scored = unigramLogProb(df, text, id)
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("avg_logprob").desc, col("doc_id"))
+    df.select(id.as("doc_id"), lang.as("lang"))
+      .join(scored, Seq("doc_id"))
+      .withColumn("__t", ntile(3).over(w))
+      .filter(col("__t") <= 2)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_tokens")).as("tokens_kept"),
+        min(col("avg_logprob")).as("lp_cutoff"))
+  }
+
+  /** c34 oracle: the c30 chain, tail filtered, per-lang census. */
+  def ccnetFilterOracleSql: String =
+    """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |cnt AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+      |n AS (SELECT CAST(sum(c) AS DOUBLE) AS nt FROM cnt),
+      |lp AS (SELECT tok, CAST(round(ln(CAST(c AS DOUBLE) / n.nt), 6) AS DECIMAL(18,6)) AS lp6
+      |       FROM cnt, n),
+      |s AS (SELECT tk.doc_id, sum(lp.lp6) AS slp, count(*) AS n_tokens
+      |      FROM tk JOIN lp ON tk.tok = lp.tok GROUP BY tk.doc_id),
+      |sc AS (SELECT d.lang, s.doc_id, s.n_tokens,
+      |      round(CAST(s.slp AS DOUBLE) / s.n_tokens, 6) AS avg_logprob
+      |      FROM s JOIN documents d ON s.doc_id = d.doc_id),
+      |b AS (SELECT lang, n_tokens, avg_logprob,
+      |      ntile(3) OVER (PARTITION BY lang
+      |        ORDER BY avg_logprob DESC, doc_id) AS t FROM sc)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+      |  CAST(sum(n_tokens) AS BIGINT) AS tokens_kept,
+      |  min(avg_logprob) AS lp_cutoff
+      |FROM b WHERE t <= 2 GROUP BY lang ORDER BY lang""".stripMargin
 
   /** c31 oracle: the identical rolling-hash bucket fold, one-pass counts,
     * smoothed ratio table, and DECIMAL-summed doc weights in SQL.

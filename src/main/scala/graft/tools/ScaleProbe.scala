@@ -720,6 +720,17 @@ object ScaleProbe {
       graft.text.TextAnalysis.dsirWeights(big, col("text"), col("doc_id"),
         col("lang") === "en", buckets = 256).count()
     }
+    t(s"c33 dsir topk ${mult}x") {
+      // scoring pass + TakeOrderedAndProject: per-partition top-k, cost
+      // tracks the c31 scan, never a global sort
+      graft.text.TextAnalysis.dsirTopK(big, col("text"), col("doc_id"),
+        col("lang") === "en", k = 25, buckets = 256).count()
+    }
+    t(s"c34 ccnet filter ${mult}x") {
+      // c30's plan + one lang-keyed aggregate over the kept two-thirds
+      graft.text.TextAnalysis.ccnetFilter(big, col("text"), col("doc_id"),
+        col("lang")).count()
+    }
     t(s"c32 roc auc ${mult}x") {
       // scoring pass over the feature frame + score histogram; the
       // global cumsum runs over distinct INTEGER scores (post-reduction)

@@ -248,6 +248,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("ScalaUDF"), plan)
   }
 
+  test("c33 dsir top-k: TakeOrderedAndProject, never a global sort") {
+    val plan = phys(graft.text.TextAnalysis.dsirTopK(docs, col("text"),
+      col("doc_id"), col("lang") === "en", k = 25, buckets = 64))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"selection must be per-partition top-k:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"selection must not globally sort the corpus:\n$plan")
+  }
+
   test("c24 column profile: ONE scan, one Expand, no per-column passes") {
     val plan = phys(graft.ops.Profile.columnProfile(docs,
       Seq("doc_id", "lang", "source")))

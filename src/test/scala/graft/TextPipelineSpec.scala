@@ -49,6 +49,16 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(got("3_symbol_ratio") == 1L)
   }
 
+  test("gopherRules: NULL-text docs count as failing every rule") {
+    val docs = Seq((1L, Option("to be and that with")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRulesReport(docs, col("text"),
+        minWords = 2L, maxWords = 5L)
+      .orderBy("rule").as[(String, Long, Long)].collect().toSeq
+    // the NULL doc is in n_docs and fails all rows; the real doc passes
+    assert(got.forall { case (_, p, f) => p == 1L && f == 1L })
+  }
+
   test("perplexityBuckets: single-token docs land in hand-ranked terciles") {
     // corpus counts: a=3, b=2, c=1 (total 6); lp(a) > lp(b) > lp(c)
     val docs = Seq((1L, "x", "a"), (2L, "x", "a"), (3L, "x", "a"),
@@ -106,6 +116,33 @@ class TextPipelineSpec extends AnyFunSuite {
     val composed = TextAnalysis.dsirWeights(docs, col("text"), col("doc_id"),
       col("lang") === "en", buckets = 8).orderBy("doc_id").collect().toSeq
     assert(viaModel == composed)
+  }
+
+  test("dsirTopK: rank-k by (weight desc, doc_id), ties to smaller id") {
+    // same corpus as the hand-computed weights test: d1 weight 2·lpB1 > 0,
+    // d2 weight lpB2 < 0; add d3 as an exact-dup of d1 (tied weight)
+    val docs = Seq((1L, "en", "a a"), (2L, "de", "b"), (3L, "de", "a a"))
+      .toDF("doc_id", "lang", "text")
+    val top2 = TextAnalysis.dsirTopK(docs, col("text"), col("doc_id"),
+        col("lang") === "en", k = 2, buckets = 4)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(top2 == Seq(1L, 3L)) // tied positives before the negative, id order
+    val top1 = TextAnalysis.dsirTopK(docs, col("text"), col("doc_id"),
+        col("lang") === "en", k = 1, buckets = 4)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(top1 == Seq(1L))
+  }
+
+  test("ccnetFilter: keeps head+middle per lang, cutoff = worst kept score") {
+    // corpus counts: a=3, b=2, c=1; terciles {d1,d2} {d3,d4} {d5,d6}
+    val docs = Seq((1L, "x", "a"), (2L, "x", "a"), (3L, "x", "a"),
+        (4L, "x", "b"), (5L, "x", "b"), (6L, "x", "c"))
+      .toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.ccnetFilter(docs, col("text"), col("doc_id"),
+        col("lang"))
+      .as[(String, Long, Long, Double)].collect().toSeq
+    // kept = d1..d4 (4 docs, 4 tokens); worst kept = d4's lp(b)
+    assert(got == Seq(("x", 4L, 4L, r6(math.log(2.0 / 6)))))
   }
 
   test("rocAuc: tie-aware rank-sum on a hand-ranked score set") {
