@@ -143,6 +143,105 @@ object TextStatsHelper {
     s
   }
 
+  /** The full Gopher repetition suite (Rae et al. 2021, Table A1's
+    * n-gram rows) in ONE pass over the token array, all-integer output:
+    *
+    *  - `total_chars`: Σ token char lengths in CODE POINTS (the SQL
+    *    `length` collation; separators excluded, so the number is
+    *    whitespace-normalization-invariant);
+    *  - `top{2,3,4}_chars`: occurrences × token-char-length of the MOST
+    *    FREQUENT word n-gram (ties broken count DESC, char-length DESC,
+    *    gram string ASC — the same three-key order a SQL `row_number`
+    *    spells, so both engines pick the identical gram);
+    *  - `dup{5..10}_chars`: token chars covered by the UNION of all
+    *    occurrences of n-grams appearing ≥ 2 times (overlapping spans
+    *    counted once — the union-of-spans coverage the published filter
+    *    family uses, same discipline as [[SetExpressions]]' coverage
+    *    sweep). A doc shorter than n tokens has no n-gram → 0.
+    *
+    * Emitting raw integer numerators (fractions are numerator/total
+    * cross-multiplications downstream) keeps every derived keep-decision
+    * exact and engine-portable — no float ratio ever exists.
+    * Memory is O(L) per n (a gram-string table + count map), time
+    * O(Σ n·L) char work — embarrassingly parallel per document.
+    */
+  def gopherRepStats(arr: ArrayData): InternalRow = {
+    val L = arr.numElements()
+    val toks = new Array[String](L)
+    val cps = new Array[Int](L) // code-point lengths (SQL `length` collation)
+    var total = 0L
+    var i = 0
+    while (i < L) {
+      toks(i) = arr.getUTF8String(i).toString
+      cps(i) = toks(i).codePointCount(0, toks(i).length)
+      total += cps(i)
+      i += 1
+    }
+    val out = new Array[Any](10)
+    out(0) = total
+    val sb = new java.lang.StringBuilder(64)
+    var n = 2
+    while (n <= 10) {
+      val m = L - n + 1 // n-gram count; <= 0 means no gram of this size
+      var result = 0L
+      if (m >= 1) {
+        val grams = new Array[String](m)
+        val counts = new java.util.HashMap[String, Integer](m * 2)
+        var s = 0
+        while (s < m) {
+          sb.setLength(0)
+          var j = s
+          while (j < s + n) {
+            if (j > s) sb.append(' ')
+            sb.append(toks(j))
+            j += 1
+          }
+          grams(s) = sb.toString
+          counts.merge(grams(s), 1, (a, b) => a + b)
+          s += 1
+        }
+        if (n <= 4) {
+          // most frequent gram: count DESC, code-point length DESC, gram
+          // ASC in UTF-8 byte order (= code-point order, the SQL binary
+          // collation) — the identical three-key order the oracle's
+          // row_number spells, so both engines pick the same gram
+          var bc = 0L; var bl = 0L; var bg: UTF8String = null
+          val it = counts.entrySet().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            val c = e.getValue.toLong
+            val k = e.getKey
+            val l = (k.codePointCount(0, k.length) - (n - 1)).toLong
+            if (c > bc || (c == bc && (l > bl || (l == bl &&
+                UTF8String.fromString(k).compareTo(bg) < 0)))) {
+              bc = c; bl = l; bg = UTF8String.fromString(k)
+            }
+          }
+          result = bc * bl
+        } else {
+          val covered = new Array[Boolean](L)
+          var s2 = 0
+          while (s2 < m) {
+            if (counts.get(grams(s2)) >= 2) {
+              var p = s2
+              while (p < s2 + n) { covered(p) = true; p += 1 }
+            }
+            s2 += 1
+          }
+          var p = 0
+          while (p < L) {
+            if (covered(p)) result += cps(p)
+            p += 1
+          }
+        }
+      }
+      // slots: 1..3 = top2..top4, 4..9 = dup5..dup10
+      out(n - 1) = result
+      n += 1
+    }
+    new GenericInternalRow(out)
+  }
+
   /** Distinct word n-gram shingles in FIRST-OCCURRENCE order — exactly
     * `array_distinct(transform(sequence(1, greatest(L-n+1, 1)), i ->
     * array_join(slice(t, i, n), ' ')))`, including the shorter-than-n
@@ -200,6 +299,32 @@ case class RepStats(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
       c => s"graft.expr.TextStatsHelper.repStats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Codegen'd struct of the full Gopher repetition suite: total token
+  * chars, top-{2,3,4}-gram repeated chars, duplicated-{5..10}-gram
+  * union-of-spans covered chars — one pass, all-integer, so every
+  * downstream keep-decision is an exact cross-multiplication.
+  */
+case class GopherRepStats(child: Expression)
+    extends UnaryExpression with StringArrayInput {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StructType(
+    StructField("total_chars", LongType, nullable = false) +:
+      (2 to 4).map(n => StructField(s"top${n}_chars", LongType, nullable = false)) ++:
+      (5 to 10).map(n => StructField(s"dup${n}_chars", LongType, nullable = false)))
+  override def prettyName: String = "graft_gopher_rep_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextStatsHelper.gopherRepStats(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expr.TextStatsHelper.gopherRepStats($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -377,6 +502,10 @@ object TextStatsExpressions {
   /** struct(n_distinct, max_bigram) of a token-array column, one pass. */
   def repStats(tokens: Column): Column =
     Bridge.column(RepStats(Bridge.expression(tokens)))
+
+  /** Full Gopher repetition suite of a token-array column, one pass. */
+  def gopherRepStats(tokens: Column): Column =
+    Bridge.column(GopherRepStats(Bridge.expression(tokens)))
 
   /** Count of tokens belonging to the fixed `words` set. */
   def countInSet(tokens: Column, words: Seq[String]): Column =

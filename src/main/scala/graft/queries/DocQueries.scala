@@ -3542,6 +3542,20 @@ object DocQueries {
       TextAnalysis.ccnetFilter(Tables.documents(s, dir), col("text"),
           col("doc_id"), col("lang"))
         .orderBy(col("lang"))
+    },
+
+    // The FULL Gopher repetition suite (round 13) — t5 covers the
+    // dup-token/top-bigram pair; this is the published table's whole
+    // n-gram half: top-{2,3,4}-gram chars, dup-{5..10}-gram
+    // union-of-spans coverage, and the integer cross-multiplied keep
+    // decision, all from ONE codegen'd scan pass (the oracle rebuilds
+    // each positional n-gram table and the identical three-key top-gram
+    // order in SQL).
+    QDef("t25_gopher_repetition", TextAnalysis.gopherRepetitionOracleSql) {
+      (s, dir) =>
+        TextAnalysis.gopherRepetitionMetrics(Tables.documents(s, dir),
+            col("text"), col("doc_id"))
+          .orderBy(col("doc_id"))
     }
   )
 }

@@ -606,6 +606,100 @@ object TextAnalysis {
           greatest(size(t) - 1, lit(1)), 6).as("top_bigram_frac"): _*)
   }
 
+  /** The FULL Gopher repetition suite (t25; Rae et al. 2021 Table A1's
+    * n-gram rows — [[repetitionMetrics]] covers only the dup-token /
+    * top-bigram pair): per document, the integer char numerators for
+    * top-{2,3,4}-gram repetition and duplicated-{5..10}-gram
+    * union-of-spans coverage, plus the published keep decision
+    * (thresholds 20/18/16% for top-grams, 15..10% for dup-grams)
+    * evaluated by INTEGER cross-multiplication — no float fraction ever
+    * exists, so the decision can't sit on a rounding knife-edge. The
+    * line/paragraph rows of the published table are the line-dedup
+    * family's domain (`c4`/`c8`); this op is the n-gram half.
+    *
+    * Plan shape: ONE scan-fused projection, ZERO shuffles — all nine
+    * metrics come from the single-pass codegen'd
+    * [[graft.expr.GopherRepStats]] expression (O(Σ n·L) per doc,
+    * embarrassingly parallel; the explode alternative is 9 corpus-wide
+    * explode→groupBy shuffle pairs, exactly the cliff
+    * [[repetitionMetrics]]' scaladoc documents). NULL-text docs are
+    * absent from the output (the [[repetitionMetrics]] contract).
+    */
+  def gopherRepetitionMetrics(df: DataFrame, text: Column,
+                              id: Column): DataFrame = {
+    val rs = graft.expr.TextStatsExpressions.gopherRepStats(toks(text))
+    val total = rs.getField("total_chars")
+    val keep = GopherRepThresholds.map { case (f, thr) =>
+      rs.getField(f) * lit(100L) <= lit(thr) * total
+    }.reduce(_ && _)
+    df.filter(text.isNotNull).select(
+      (id.as("doc_id") +: total.as("total_chars") +:
+        GopherRepThresholds.map { case (f, _) => rs.getField(f).as(f) }) :+
+        keep.cast("long").as("keep"): _*)
+  }
+
+  /** Published Gopher n-gram repetition thresholds, as integer percents
+    * (field → max allowed percent of total chars): shared by the engine
+    * op and the oracle builder so the rule can't drift between them.
+    */
+  private val GopherRepThresholds: Seq[(String, Long)] =
+    Seq("top2_chars" -> 20L, "top3_chars" -> 18L, "top4_chars" -> 16L) ++
+      (5 to 10).map(n => s"dup${n}_chars" -> (20L - n).toLong)
+
+  /** t25 oracle: the identical positional n-gram table per n — top gram
+    * by the same (count DESC, length DESC, gram ASC) three-key order,
+    * dup coverage as DISTINCT covered positions — and the identical
+    * integer cross-multiplied keep decision.
+    */
+  def gopherRepetitionOracleSql: String = {
+    val pieces = GopherRepThresholds.map { case (f, _) =>
+      val n = f.filter(_.isDigit).toInt
+      val g =
+        s"""g$n AS (SELECT doc_id, i, array_to_string(ts[i:i+${n - 1}], ' ') AS gram
+           |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - ${n - 2})) AS i
+           |        FROM tk WHERE len(ts) >= $n)),
+           |c$n AS (SELECT doc_id, gram, count(*) AS c FROM g$n GROUP BY doc_id, gram)""".stripMargin
+      val v =
+        if (n <= 4)
+          s"""v$n AS (SELECT doc_id, CAST(c * (length(gram) - ${n - 1}) AS BIGINT) AS $f
+             |  FROM (SELECT doc_id, gram, c, row_number() OVER (PARTITION BY doc_id
+             |          ORDER BY c DESC, length(gram) DESC, gram) AS rn FROM c$n)
+             |  WHERE rn = 1)""".stripMargin
+        else
+          s"""u$n AS (SELECT DISTINCT doc_id, p FROM
+             |  (SELECT g.doc_id, unnest(range(g.i, g.i + $n)) AS p
+             |   FROM g$n g JOIN c$n c ON g.doc_id = c.doc_id AND g.gram = c.gram
+             |   WHERE c.c >= 2)),
+             |v$n AS (SELECT u.doc_id, CAST(sum(length(tk.ts[u.p])) AS BIGINT) AS $f
+             |  FROM u$n u JOIN tk ON u.doc_id = tk.doc_id GROUP BY u.doc_id)""".stripMargin
+      s"$g,\n$v"
+    }
+    val cols = GopherRepThresholds.map { case (f, _) =>
+      val n = f.filter(_.isDigit).toInt
+      s"CAST(coalesce(v$n.$f, 0) AS BIGINT) AS $f"
+    }
+    val keep = GopherRepThresholds.map { case (f, thr) =>
+      val n = f.filter(_.isDigit).toInt
+      s"coalesce(v$n.$f, 0) * 100 <= $thr * tot.total_chars"
+    }
+    val joins = GopherRepThresholds.map { case (f, _) =>
+      val n = f.filter(_.isDigit).toInt
+      s"LEFT JOIN v$n ON d.doc_id = v$n.doc_id"
+    }
+    s"""WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+       |tk AS (SELECT doc_id, string_split(text, ' ') AS ts FROM d),
+       |tot AS (SELECT doc_id,
+       |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS total_chars FROM d),
+       |${pieces.mkString(",\n")}
+       |SELECT d.doc_id, tot.total_chars,
+       |  ${cols.mkString(",\n  ")},
+       |  CAST(CASE WHEN ${keep.mkString("\n    AND ")}
+       |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM d JOIN tot ON d.doc_id = tot.doc_id
+       |${joins.mkString("\n")}
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** Heaps-law vocabulary-growth curve (t24): cumulative document,
     * token, and DISTINCT-vocabulary counts at `nBuckets` doc_id-range
     * checkpoints — THE curve a corpus owner fits before sizing a

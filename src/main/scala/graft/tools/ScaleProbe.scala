@@ -731,6 +731,12 @@ object ScaleProbe {
       graft.text.TextAnalysis.ccnetFilter(big, col("text"), col("doc_id"),
         col("lang")).count()
     }
+    t(s"t25 gopher repetition ${mult}x") {
+      // ONE scan-fused codegen'd pass (O(sum n*L) per doc, no shuffle);
+      // must scale linearly with corpus size like t5/t19
+      graft.text.TextAnalysis.gopherRepetitionMetrics(big, col("text"),
+        col("doc_id")).agg(sum(col("keep"))).collect().head.getLong(0)
+    }
     t(s"c32 roc auc ${mult}x") {
       // scoring pass over the feature frame + score histogram; the
       // global cumsum runs over distinct INTEGER scores (post-reduction)

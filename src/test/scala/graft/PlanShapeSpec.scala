@@ -248,6 +248,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("ScalaUDF"), plan)
   }
 
+  test("t25 gopher repetition: ONE scan-fused pass, zero shuffles, no UDF") {
+    val plan = phys(TextAnalysis.gopherRepetitionMetrics(docs,
+      col("text"), col("doc_id")))
+    assert(!plan.contains("Exchange"),
+      s"all nine metrics must be per-doc scan work, never a shuffle:\n$plan")
+    assert(!plan.contains("Generate"),
+      s"no explode — the single-pass expression replaces 9 of them:\n$plan")
+    assert(plan.contains("graft_gopher_rep_stats"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
   test("c33 dsir top-k: TakeOrderedAndProject, never a global sort") {
     val plan = phys(graft.text.TextAnalysis.dsirTopK(docs, col("text"),
       col("doc_id"), col("lang") === "en", k = 25, buckets = 64))

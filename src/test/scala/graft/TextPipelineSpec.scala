@@ -59,6 +59,30 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(got.forall { case (_, p, f) => p == 1L && f == 1L })
   }
 
+  test("gopherRepetitionMetrics: hand-computed suite + union-of-spans coverage") {
+    val docs = Seq(
+      (1L, "a b a b c"),       // top2 "a b"x2; top3/top4 tie -> gram ASC
+      (2L, "a a a a a a"),     // two OVERLAPPING dup-5-gram spans
+      (3L, "aa bb cc d")       // top2 all x1: length DESC picks "aa bb"
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRepetitionMetrics(docs, col("text"),
+        col("doc_id"))
+      .orderBy("doc_id").collect().map(_.toSeq)
+    // (doc_id, total, top2, top3, top4, dup5..dup10, keep)
+    assert(got(0) == Seq(1L, 5L, 4L, 3L, 4L, 0L, 0L, 0L, 0L, 0L, 0L, 0L))
+    // union coverage: spans 1-5 and 2-6 cover all 6 chars ONCE, never 10
+    assert(got(1) == Seq(2L, 6L, 10L, 12L, 12L, 6L, 0L, 0L, 0L, 0L, 0L, 0L))
+    assert(got(2) == Seq(3L, 7L, 4L, 6L, 7L, 0L, 0L, 0L, 0L, 0L, 0L, 0L))
+  }
+
+  test("gopherRepetitionMetrics: an unrepetitive doc passes every threshold") {
+    val docs = Seq((1L, ('a' to 'z').map(_.toString).mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRepetitionMetrics(docs, col("text"),
+        col("doc_id")).select("keep").as[Long].collect()
+    assert(got.toSeq == Seq(1L)) // top2 2/26 < 20% etc.
+  }
+
   test("perplexityBuckets: single-token docs land in hand-ranked terciles") {
     // corpus counts: a=3, b=2, c=1 (total 6); lp(a) > lp(b) > lp(c)
     val docs = Seq((1L, "x", "a"), (2L, "x", "a"), (3L, "x", "a"),
