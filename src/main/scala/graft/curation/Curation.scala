@@ -1908,23 +1908,88 @@ object Curation {
         .when(col("__c").isNotNull, lit("2_contaminated"))
         .when(col("__s").isNull, lit("3_duplicate"))
         .otherwise(lit("4_kept")).as("stage"))
+    // qKeep/contaminated stay pinned: the result is consumed lazily and a
+    // local checkpoint has no lineage to recompute from (callers release
+    // via the standard post-query unpersist sweep).
+    funnelReport(stage)
+  }
+
+  /** The funnel census tail shared by [[curationFunnel]] and
+    * [[publishedFunnel]]: per first-exit stage, the exit count, the
+    * count that ENTERED the stage, and the exit rate. Entering count =
+    * corpus total minus everything that exited earlier; total = sum
+    * over stages (each doc exits exactly once), so both columns come
+    * from two stage-count-row windows — no second corpus count.
+    */
+  private def funnelReport(stage: DataFrame): DataFrame = {
     val agg = stage.groupBy(col("stage")).agg(count(lit(1)).as("n_exit"))
-    // Entering count per stage: corpus total minus everything that exited
-    // earlier. Total = sum over stages (each doc exits exactly once), so
-    // both columns come from two 4-row windows — no second corpus count.
     val wAll = Window.rowsBetween(Window.unboundedPreceding,
       Window.unboundedFollowing)
     val wPrev = Window.orderBy(col("stage"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    // qKeep/contaminated stay pinned: the result is consumed lazily and a
-    // local checkpoint has no lineage to recompute from (callers release
-    // via the standard post-query unpersist sweep).
     agg
       .withColumn("n_in",
         sum(col("n_exit")).over(wAll) -
           coalesce(sum(col("n_exit")).over(wPrev), lit(0L)))
       .select(col("stage"), col("n_exit"), col("n_in"),
         round(col("n_exit").cast("double") / col("n_in"), 6).as("exit_rate"))
+  }
+
+  /** The PUBLISHED-pipeline funnel (c35) — the FineWeb-order stage
+    * chain, each stage one of this engine's already-gated published
+    * filters, with the same first-exit attribution as
+    * [[curationFunnel]]:
+    *
+    *  1. `1_gopher_rules` — fails the c29 Gopher rule panel
+    *     ([[graft.text.TextAnalysis.gopherRuleKeepIds]]);
+    *  2. `2_repetition` — fails the t25 full repetition suite
+    *     ([[graft.text.TextAnalysis.gopherRepetitionMetrics]]);
+    *  3. `3_ccnet_tail` — lands in the per-language perplexity tail
+    *     tercile, with the LM fit on the SURVIVING corpus (the order a
+    *     real build runs: quality first, then distribution cuts —
+    *     [[graft.text.TextAnalysis.ccnetKeepIds]]);
+    *  4. `4_duplicate` — exact keep-one loser ([[keepOneExact]]);
+    *  5. `5_kept`.
+    *
+    * Plan shape (the [[curationFunnel]] discipline): stages 1+2 are
+    * both per-doc functions of the text, so their flags come from ONE
+    * fused scan pass checkpointed as an O(ids) id+flags frame (pinned —
+    * it feeds both the stage-3 input and the label join); ccnet adds
+    * the LM token aggregate over stage-2 survivors only; dedup one
+    * signature window over stage-3 survivors; the label is one
+    * projection of `docs` joining three marker sets; the census is the
+    * shared 5-row window tail.
+    */
+  def publishedFunnel(docs: DataFrame, minWords: Long = 20L,
+                      maxWords: Long = 100000L): DataFrame = {
+    import graft.text.TextAnalysis
+    // Stages 1+2 are both per-doc functions of the text, so their flags
+    // come from ONE fused scan pass (sequential attribution is just
+    // flag precedence); the checkpoint is O(ids): id + two booleans.
+    val flags = docs.select(col("doc_id"),
+        TextAnalysis.gopherAllRulesCol(col("text"), minWords, maxWords)
+          .as("__gk"),
+        TextAnalysis.gopherRepKeepCol(col("text")).as("__rk"))
+      .localCheckpoint(true)
+    val s2 = flags.filter(col("__gk") && col("__rk")).select(col("doc_id"))
+    val cKeep = TextAnalysis.ccnetKeepIds(docs.join(s2, Seq("doc_id")),
+        col("text"), col("doc_id"), col("lang"))
+      .localCheckpoint(true)
+    val survivors = keepOneExact(docs.join(cKeep, Seq("doc_id")),
+        col("text"), col("doc_id"))
+      .select(col("doc_id"))
+    // flags has one row per doc, so the first join is a plain equi join;
+    // NULL-text docs carry NULL flags and exit at the rules stage.
+    val stage = docs.select(col("doc_id"))
+      .join(flags, Seq("doc_id"))
+      .join(cKeep.withColumn("__c", lit(1)), Seq("doc_id"), "left")
+      .join(survivors.withColumn("__s", lit(1)), Seq("doc_id"), "left")
+      .select(when(!coalesce(col("__gk"), lit(false)), lit("1_gopher_rules"))
+        .when(!coalesce(col("__rk"), lit(false)), lit("2_repetition"))
+        .when(col("__c").isNull, lit("3_ccnet_tail"))
+        .when(col("__s").isNull, lit("4_duplicate"))
+        .otherwise(lit("5_kept")).as("stage"))
+    funnelReport(stage)
   }
 
   /** The END-TO-END training-data manifest — the full modern pipeline

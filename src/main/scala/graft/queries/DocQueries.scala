@@ -3556,6 +3556,19 @@ object DocQueries {
         TextAnalysis.gopherRepetitionMetrics(Tables.documents(s, dir),
             col("text"), col("doc_id"))
           .orderBy(col("doc_id"))
+    },
+
+    // PUBLISHED-pipeline funnel (round 13) — the FineWeb-order chain of
+    // this engine's published filters (c29 Gopher rules → t25 repetition
+    // → c34 CCNet tail cut, LM fit on survivors → exact keep-one), with
+    // c23-style first-exit attribution. minWords=20 (the c6 floor; the
+    // c29 census default of 50 would let rule 1 swallow this corpus and
+    // starve every later stage of the gate's coverage).
+    QDef("c35_published_funnel",
+        TextAnalysis.publishedFunnelOracleSql(minWords = 20L)) { (s, dir) =>
+      graft.curation.Curation.publishedFunnel(
+          Tables.documents(s, dir), minWords = 20L)
+        .orderBy(col("stage"))
     }
   )
 }

@@ -628,14 +628,24 @@ object TextAnalysis {
   def gopherRepetitionMetrics(df: DataFrame, text: Column,
                               id: Column): DataFrame = {
     val rs = graft.expr.TextStatsExpressions.gopherRepStats(toks(text))
+    df.filter(text.isNotNull).select(
+      (id.as("doc_id") +: rs.getField("total_chars").as("total_chars") +:
+        GopherRepThresholds.map { case (f, _) => rs.getField(f).as(f) }) :+
+        gopherRepKeepCol(text).cast("long").as("keep"): _*)
+  }
+
+  /** The t25 keep decision as ONE boolean column (NULL on NULL text) —
+    * shared by [[gopherRepetitionMetrics]] and the c35 funnel's fused
+    * flag scan, so the threshold set can't drift between consumers.
+    * Subexpression elimination collapses the repeated single-pass
+    * expression inside one projection.
+    */
+  def gopherRepKeepCol(text: Column): Column = {
+    val rs = graft.expr.TextStatsExpressions.gopherRepStats(toks(text))
     val total = rs.getField("total_chars")
-    val keep = GopherRepThresholds.map { case (f, thr) =>
+    GopherRepThresholds.map { case (f, thr) =>
       rs.getField(f) * lit(100L) <= lit(thr) * total
     }.reduce(_ && _)
-    df.filter(text.isNotNull).select(
-      (id.as("doc_id") +: total.as("total_chars") +:
-        GopherRepThresholds.map { case (f, _) => rs.getField(f).as(f) }) :+
-        keep.cast("long").as("keep"): _*)
   }
 
   /** Published Gopher n-gram repetition thresholds, as integer percents
@@ -646,12 +656,13 @@ object TextAnalysis {
     Seq("top2_chars" -> 20L, "top3_chars" -> 18L, "top4_chars" -> 16L) ++
       (5 to 10).map(n => s"dup${n}_chars" -> (20L - n).toLong)
 
-  /** t25 oracle: the identical positional n-gram table per n — top gram
-    * by the same (count DESC, length DESC, gram ASC) three-key order,
-    * dup coverage as DISTINCT covered positions — and the identical
-    * integer cross-multiplied keep decision.
+  /** t25's oracle CTE body (per-n positional n-gram tables over the
+    * `documents` relation) + the join list and integer keep predicate —
+    * factored so the c35 funnel oracle runs the IDENTICAL definition
+    * (the repetition metrics are per-doc, so computing them over the
+    * full corpus and joining to a stage's survivors is exact).
     */
-  def gopherRepetitionOracleSql: String = {
+  private def gopherRepCtes: String = {
     val pieces = GopherRepThresholds.map { case (f, _) =>
       val n = f.filter(_.isDigit).toInt
       val g =
@@ -674,29 +685,42 @@ object TextAnalysis {
              |  FROM u$n u JOIN tk ON u.doc_id = tk.doc_id GROUP BY u.doc_id)""".stripMargin
       s"$g,\n$v"
     }
+    s"""d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+       |tk AS (SELECT doc_id, string_split(text, ' ') AS ts FROM d),
+       |tot AS (SELECT doc_id,
+       |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS total_chars FROM d),
+       |${pieces.mkString(",\n")}""".stripMargin
+  }
+
+  private def gopherRepJoins: String =
+    GopherRepThresholds.map { case (f, _) =>
+      val n = f.filter(_.isDigit).toInt
+      s"LEFT JOIN v$n ON d.doc_id = v$n.doc_id"
+    }.mkString("\n")
+
+  private def gopherRepKeepPred: String =
+    GopherRepThresholds.map { case (f, thr) =>
+      val n = f.filter(_.isDigit).toInt
+      s"coalesce(v$n.$f, 0) * 100 <= $thr * tot.total_chars"
+    }.mkString("\n    AND ")
+
+  /** t25 oracle: the identical positional n-gram table per n — top gram
+    * by the same (count DESC, length DESC, gram ASC) three-key order,
+    * dup coverage as DISTINCT covered positions — and the identical
+    * integer cross-multiplied keep decision.
+    */
+  def gopherRepetitionOracleSql: String = {
     val cols = GopherRepThresholds.map { case (f, _) =>
       val n = f.filter(_.isDigit).toInt
       s"CAST(coalesce(v$n.$f, 0) AS BIGINT) AS $f"
     }
-    val keep = GopherRepThresholds.map { case (f, thr) =>
-      val n = f.filter(_.isDigit).toInt
-      s"coalesce(v$n.$f, 0) * 100 <= $thr * tot.total_chars"
-    }
-    val joins = GopherRepThresholds.map { case (f, _) =>
-      val n = f.filter(_.isDigit).toInt
-      s"LEFT JOIN v$n ON d.doc_id = v$n.doc_id"
-    }
-    s"""WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
-       |tk AS (SELECT doc_id, string_split(text, ' ') AS ts FROM d),
-       |tot AS (SELECT doc_id,
-       |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS total_chars FROM d),
-       |${pieces.mkString(",\n")}
+    s"""WITH $gopherRepCtes
        |SELECT d.doc_id, tot.total_chars,
        |  ${cols.mkString(",\n  ")},
-       |  CAST(CASE WHEN ${keep.mkString("\n    AND ")}
+       |  CAST(CASE WHEN $gopherRepKeepPred
        |       THEN 1 ELSE 0 END AS BIGINT) AS keep
        |FROM d JOIN tot ON d.doc_id = tot.doc_id
-       |${joins.mkString("\n")}
+       |$gopherRepJoins
        |ORDER BY d.doc_id""".stripMargin
   }
 
@@ -810,9 +834,17 @@ object TextAnalysis {
     * is certainly not trainable text, and silently excluding it would
     * make the panel's rows disagree with the corpus census.
     */
-  def gopherRulesReport(df: DataFrame, text: Column,
-                        minWords: Long = 50L,
-                        maxWords: Long = 100000L): DataFrame = {
+  /** The five Gopher rule flags as columns — ONE definition shared by
+    * the census report (c29) and the funnel's keep stage (c35), so a
+    * threshold change can't leave one consumer testing the old rule.
+    */
+  private def gopherRuleCols(text: Column, minWords: Long,
+                             maxWords: Long): Seq[Column] =
+    gopherRuleColsRaw(text, minWords, maxWords).zipWithIndex
+      .map { case (c, i) => c.as(s"r${i + 1}") }
+
+  private def gopherRuleColsRaw(text: Column, minWords: Long,
+                                maxWords: Long): Seq[Column] = {
     val n = nTokensCol(text)
     val sumLen = length(regexp_replace(text, " ", "")).cast("long")
     // symbol chars ×3: '#' and '…' count 3 each, a literal "..." counts
@@ -825,12 +857,35 @@ object TextAnalysis {
     val nAlpha = size(regexp_extract_all(concat(lit(" "), text),
       lit(" [^ ]*[a-zA-Z][^ ]*"), lit(0))).cast("long")
     val nStop = TextStatsExpressions.countInSet(toks(text), GopherStops)
-    val flags = df.select(
-      n.between(minWords, maxWords).as("r1"),
-      (sumLen >= n * 3L && sumLen <= n * 10L).as("r2"),
-      (sym3 * 10L <= n * 3L).as("r3"),
-      (nAlpha * 5L >= n * 4L).as("r4"),
-      (nStop >= 2L).as("r5"))
+    Seq(
+      n.between(minWords, maxWords),
+      sumLen >= n * 3L && sumLen <= n * 10L,
+      sym3 * 10L <= n * 3L,
+      nAlpha * 5L >= n * 4L,
+      nStop >= 2L)
+  }
+
+  /** The c29 all-rules decision as ONE column (NULL on NULL text) —
+    * the per-doc form the c35 funnel's fused flag scan consumes.
+    */
+  def gopherAllRulesCol(text: Column, minWords: Long = 50L,
+                        maxWords: Long = 100000L): Column =
+    gopherRuleColsRaw(text, minWords, maxWords).reduce(_ && _)
+
+  /** Ids of the docs that pass ALL five Gopher rules (the per-doc form
+    * of the c29 all-rules row).
+    */
+  def gopherRuleKeepIds(df: DataFrame, text: Column, id: Column,
+                        minWords: Long = 50L,
+                        maxWords: Long = 100000L): DataFrame =
+    df.select(id.as("doc_id"),
+        gopherAllRulesCol(text, minWords, maxWords).as("__keep"))
+      .filter(col("__keep")).select(col("doc_id"))
+
+  def gopherRulesReport(df: DataFrame, text: Column,
+                        minWords: Long = 50L,
+                        maxWords: Long = 100000L): DataFrame = {
+    val flags = df.select(gopherRuleCols(text, minWords, maxWords): _*)
     val f = (c: String) => sum(when(col(c), 0L).otherwise(1L))
     flags.agg(
         count(lit(1)).as("nd"), f("r1").as("f1"), f("r2").as("f2"),
@@ -846,10 +901,13 @@ object TextAnalysis {
         col("n_fail"))
   }
 
-  /** c29 oracle: the identical integer-arithmetic rules in SQL. */
-  def gopherRulesOracleSql(minWords: Long = 50L,
-                           maxWords: Long = 100000L): String =
-    s"""WITH d AS (SELECT
+  /** Per-doc Gopher flag CTEs (`gd` metrics + `gr` flags, doc_id-keyed)
+    * — ONE definition shared by the c29 census oracle and the c35
+    * funnel oracle, so a rule change can't leave one gate testing the
+    * old thresholds.
+    */
+  private def gopherFlagsCtes(minWords: Long, maxWords: Long): String =
+    s"""gd AS (SELECT doc_id,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
        |    CAST(len(replace(text, ' ', '')) AS BIGINT) AS sumlen,
        |    CAST((len(text) - len(replace(text, '#', ''))) * 3
@@ -861,10 +919,16 @@ object TextAnalysis {
        |      IF t IN (${GopherStops.map("'" + _ + "'").mkString(", ")})])
        |      AS BIGINT) AS nstop
        |  FROM documents),
-       |r AS (SELECT (n BETWEEN $minWords AND $maxWords) AS r1,
+       |gr AS (SELECT doc_id, (n BETWEEN $minWords AND $maxWords) AS r1,
        |    (sumlen >= n * 3 AND sumlen <= n * 10) AS r2,
        |    (sym3 * 10 <= n * 3) AS r3, (nalpha * 5 >= n * 4) AS r4,
-       |    (nstop >= 2) AS r5 FROM d),
+       |    (nstop >= 2) AS r5 FROM gd)""".stripMargin
+
+  /** c29 oracle: the identical integer-arithmetic rules in SQL. */
+  def gopherRulesOracleSql(minWords: Long = 50L,
+                           maxWords: Long = 100000L): String =
+    s"""WITH ${gopherFlagsCtes(minWords, maxWords)},
+       |r AS (SELECT r1, r2, r3, r4, r5 FROM gr),
        |a AS (SELECT CAST(count(*) AS BIGINT) AS nd,
        |    CAST(sum(CASE WHEN r1 THEN 0 ELSE 1 END) AS BIGINT) AS f1,
        |    CAST(sum(CASE WHEN r2 THEN 0 ELSE 1 END) AS BIGINT) AS f2,
@@ -1023,40 +1087,117 @@ object TextAnalysis {
     * the final aggregate. Same plan as c30 plus one lang-keyed
     * aggregate over the kept two-thirds.
     */
-  def ccnetFilter(df: DataFrame, text: Column, id: Column,
-                  lang: Column): DataFrame = {
+  /** The CCNet tercile assignment — ONE definition (LM over the input
+    * corpus, per-lang ntile(3) by score DESC with doc_id tie-break)
+    * shared by the census (c30 via its own window), the filter report
+    * (c34) and the funnel's tail-cut stage (c35).
+    */
+  private def ccnetTerciled(df: DataFrame, text: Column, id: Column,
+                            lang: Column): DataFrame = {
     val scored = unigramLogProb(df, text, id)
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("avg_logprob").desc, col("doc_id"))
     df.select(id.as("doc_id"), lang.as("lang"))
       .join(scored, Seq("doc_id"))
       .withColumn("__t", ntile(3).over(w))
+  }
+
+  /** Ids of the docs CCNet keeps (head+middle terciles; the c35
+    * funnel's tail-cut stage). The LM is fit on `df` itself — in a
+    * staged pipeline, pass the survivors of the preceding stage.
+    */
+  def ccnetKeepIds(df: DataFrame, text: Column, id: Column,
+                   lang: Column): DataFrame =
+    ccnetTerciled(df, text, id, lang)
+      .filter(col("__t") <= 2).select(col("doc_id"))
+
+  def ccnetFilter(df: DataFrame, text: Column, id: Column,
+                  lang: Column): DataFrame =
+    ccnetTerciled(df, text, id, lang)
       .filter(col("__t") <= 2)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_kept"),
         sum(col("n_tokens")).as("tokens_kept"),
         min(col("avg_logprob")).as("lp_cutoff"))
-  }
+
+  /** CCNet tercile CTE chain over `src` (a relation exposing doc_id,
+    * text, lang): LM fit on `src` ITSELF, ending in `cc_b(lang, doc_id,
+    * n_tokens, avg_logprob, t)` — ONE definition shared by the c34
+    * filter oracle (src = documents) and the c35 funnel oracle (src =
+    * the preceding stage's survivors), mirroring [[ccnetTerciled]].
+    */
+  private def ccnetTercileCtes(src: String): String =
+    s"""cc_tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM $src),
+       |cc_cnt AS (SELECT tok, count(*) AS c FROM cc_tk GROUP BY tok),
+       |cc_n AS (SELECT CAST(sum(c) AS DOUBLE) AS nt FROM cc_cnt),
+       |cc_lp AS (SELECT tok, CAST(round(ln(CAST(c AS DOUBLE) / cc_n.nt), 6)
+       |        AS DECIMAL(18,6)) AS lp6 FROM cc_cnt, cc_n),
+       |cc_s AS (SELECT cc_tk.doc_id, sum(cc_lp.lp6) AS slp, count(*) AS n_tokens
+       |      FROM cc_tk JOIN cc_lp ON cc_tk.tok = cc_lp.tok GROUP BY cc_tk.doc_id),
+       |cc_sc AS (SELECT d.lang, cc_s.doc_id, cc_s.n_tokens,
+       |      round(CAST(cc_s.slp AS DOUBLE) / cc_s.n_tokens, 6) AS avg_logprob
+       |      FROM cc_s JOIN $src d ON cc_s.doc_id = d.doc_id),
+       |cc_b AS (SELECT lang, doc_id, n_tokens, avg_logprob,
+       |      ntile(3) OVER (PARTITION BY lang
+       |        ORDER BY avg_logprob DESC, doc_id) AS t FROM cc_sc)""".stripMargin
 
   /** c34 oracle: the c30 chain, tail filtered, per-lang census. */
   def ccnetFilterOracleSql: String =
-    """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-      |cnt AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
-      |n AS (SELECT CAST(sum(c) AS DOUBLE) AS nt FROM cnt),
-      |lp AS (SELECT tok, CAST(round(ln(CAST(c AS DOUBLE) / n.nt), 6) AS DECIMAL(18,6)) AS lp6
-      |       FROM cnt, n),
-      |s AS (SELECT tk.doc_id, sum(lp.lp6) AS slp, count(*) AS n_tokens
-      |      FROM tk JOIN lp ON tk.tok = lp.tok GROUP BY tk.doc_id),
-      |sc AS (SELECT d.lang, s.doc_id, s.n_tokens,
-      |      round(CAST(s.slp AS DOUBLE) / s.n_tokens, 6) AS avg_logprob
-      |      FROM s JOIN documents d ON s.doc_id = d.doc_id),
-      |b AS (SELECT lang, n_tokens, avg_logprob,
-      |      ntile(3) OVER (PARTITION BY lang
-      |        ORDER BY avg_logprob DESC, doc_id) AS t FROM sc)
-      |SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
-      |  CAST(sum(n_tokens) AS BIGINT) AS tokens_kept,
-      |  min(avg_logprob) AS lp_cutoff
-      |FROM b WHERE t <= 2 GROUP BY lang ORDER BY lang""".stripMargin
+    s"""WITH ${ccnetTercileCtes("documents")}
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+       |  CAST(sum(n_tokens) AS BIGINT) AS tokens_kept,
+       |  min(avg_logprob) AS lp_cutoff
+       |FROM cc_b WHERE t <= 2 GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** c35 oracle: the FineWeb-order published funnel — the SAME shared
+    * CTE chains as the per-stage gates (c29 [[gopherFlagsCtes]], t25
+    * [[gopherRepCtes]] + keep predicate, c34 [[ccnetTercileCtes]] fit
+    * over stage-2 survivors, the c9/c23 exact keep-one window) composed
+    * sequentially, with first-exit labels and the c23 census tail.
+    */
+  def publishedFunnelOracleSql(minWords: Long = 20L,
+                               maxWords: Long = 100000L): String =
+    s"""WITH ${gopherFlagsCtes(minWords, maxWords)},
+       |s1 AS (SELECT doc_id FROM gr WHERE r1 AND r2 AND r3 AND r4 AND r5),
+       |$gopherRepCtes,
+       |grk AS (SELECT d.doc_id
+       |  FROM d JOIN tot ON d.doc_id = tot.doc_id
+       |  $gopherRepJoins
+       |  WHERE $gopherRepKeepPred),
+       |s2 AS (SELECT s1.doc_id FROM s1 JOIN grk ON s1.doc_id = grk.doc_id),
+       |s2docs AS (SELECT dd.doc_id, dd.text, dd.lang
+       |  FROM documents dd JOIN s2 ON dd.doc_id = s2.doc_id),
+       |${ccnetTercileCtes("s2docs")},
+       |s3 AS (SELECT doc_id FROM cc_b WHERE t <= 2),
+       |s3docs AS (SELECT dd.doc_id, dd.text
+       |  FROM documents dd JOIN s3 ON dd.doc_id = s3.doc_id),
+       |ded AS (SELECT doc_id, row_number() OVER (
+       |    PARTITION BY array_to_string(list_sort(list_distinct(
+       |      string_split(text, ' '))), ' ')
+       |    ORDER BY doc_id) AS rn FROM s3docs),
+       |surv AS (SELECT doc_id FROM ded WHERE rn = 1),
+       |lab AS (SELECT dd.doc_id,
+       |  CASE WHEN s1.doc_id IS NULL THEN '1_gopher_rules'
+       |       WHEN s2.doc_id IS NULL THEN '2_repetition'
+       |       WHEN s3.doc_id IS NULL THEN '3_ccnet_tail'
+       |       WHEN sv.doc_id IS NULL THEN '4_duplicate'
+       |       ELSE '5_kept' END AS stage
+       |  FROM documents dd
+       |  LEFT JOIN s1 ON dd.doc_id = s1.doc_id
+       |  LEFT JOIN s2 ON dd.doc_id = s2.doc_id
+       |  LEFT JOIN s3 ON dd.doc_id = s3.doc_id
+       |  LEFT JOIN surv sv ON dd.doc_id = sv.doc_id),
+       |agg AS (SELECT stage, CAST(count(*) AS BIGINT) AS n_exit
+       |        FROM lab GROUP BY stage),
+       |fin AS (SELECT stage, n_exit,
+       |  CAST(SUM(n_exit) OVER ()
+       |    - coalesce(SUM(n_exit) OVER (ORDER BY stage
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    AS BIGINT) AS n_in
+       |  FROM agg)
+       |SELECT stage, n_exit, n_in,
+       |  round(CAST(n_exit AS DOUBLE) / n_in, 6) AS exit_rate
+       |FROM fin ORDER BY stage""".stripMargin
 
   /** c31 oracle: the identical rolling-hash bucket fold, one-pass counts,
     * smoothed ratio table, and DECIMAL-summed doc weights in SQL.

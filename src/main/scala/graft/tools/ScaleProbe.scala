@@ -737,6 +737,12 @@ object ScaleProbe {
       graft.text.TextAnalysis.gopherRepetitionMetrics(big, col("text"),
         col("doc_id")).agg(sum(col("keep"))).collect().head.getLong(0)
     }
+    t(s"c35 published funnel ${mult}x") {
+      // two per-doc scan stages + the ccnet LM aggregate over stage-2
+      // survivors + one signature window over stage-3 survivors; the
+      // LM token groupBy dominates and must stay corpus-linear
+      graft.curation.Curation.publishedFunnel(big).count()
+    }
     t(s"c32 roc auc ${mult}x") {
       // scoring pass over the feature frame + score histogram; the
       // global cumsum runs over distinct INTEGER scores (post-reduction)

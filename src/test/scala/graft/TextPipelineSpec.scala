@@ -142,6 +142,31 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(viaModel == composed)
   }
 
+  test("publishedFunnel: each crafted doc exits at its hand-placed stage") {
+    // G: 24 distinct 4-letter words + 2 stopwords — passes the rule
+    // panel (n=26, sumLen=104 in [78,260], 2 stopwords) AND the t25
+    // suite (all-distinct tokens: top4 = 16*100 = 1600 <= 16*104)
+    val g = (('a' to 'x').map(c => s"$c$c$c$c") ++ Seq("that", "with"))
+      .mkString(" ")
+    val docs = Seq(
+      (1L, g, "x"),                       // survives everything -> 5_kept
+      (2L, g, "x"),                       // exact dup of 1 -> 4_duplicate
+      (3L, g, "x"),                       // tercile 3 of the G trio -> 3_ccnet_tail
+      (4L, "word", "x"),                  // < 2 words -> 1_gopher_rules
+      (5L, "to be and that with", "x")    // rules pass (sumLen 15 = n*3);
+        //   top2 "that with" = 8 chars > 20% of 15 -> 2_repetition
+    ).toDF("doc_id", "text", "lang")
+    val got = graft.curation.Curation.publishedFunnel(docs,
+        minWords = 2L, maxWords = 60L)
+      .orderBy("stage").as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("1_gopher_rules", 1L, 5L, 0.2),
+      ("2_repetition", 1L, 4L, 0.25),
+      ("3_ccnet_tail", 1L, 3L, r6(1.0 / 3)),
+      ("4_duplicate", 1L, 2L, 0.5),
+      ("5_kept", 1L, 1L, 1.0)))
+  }
+
   test("dsirTopK: rank-k by (weight desc, doc_id), ties to smaller id") {
     // same corpus as the hand-computed weights test: d1 weight 2·lpB1 > 0,
     // d2 weight lpB2 < 0; add d3 as an exact-dup of d1 (tied weight)
