@@ -1941,7 +1941,7 @@ object Curation {
     * [[curationFunnel]]:
     *
     *  1. `1_gopher_rules` — fails the c29 Gopher rule panel
-    *     ([[graft.text.TextAnalysis.gopherRuleKeepIds]]);
+    *     ([[graft.text.TextAnalysis.gopherAllRulesCol]]);
     *  2. `2_repetition` — fails the t25 full repetition suite
     *     ([[graft.text.TextAnalysis.gopherRepetitionMetrics]]);
     *  3. `3_ccnet_tail` — lands in the per-language perplexity tail
@@ -1956,9 +1956,9 @@ object Curation {
     * fused scan pass checkpointed as an O(ids) id+flags frame (pinned —
     * it feeds both the stage-3 input and the label join); ccnet adds
     * the LM token aggregate over stage-2 survivors only; dedup one
-    * signature window over stage-3 survivors; the label is one
-    * projection of `docs` joining three marker sets; the census is the
-    * shared 5-row window tail.
+    * signature window over stage-3 survivors; the label rides the
+    * checkpointed flags frame itself (no corpus re-scan) left-joining
+    * the two marker sets; the census is the shared 5-row window tail.
     */
   def publishedFunnel(docs: DataFrame, minWords: Long = 20L,
                       maxWords: Long = 100000L): DataFrame = {
@@ -1978,10 +1978,10 @@ object Curation {
     val survivors = keepOneExact(docs.join(cKeep, Seq("doc_id")),
         col("text"), col("doc_id"))
       .select(col("doc_id"))
-    // flags has one row per doc, so the first join is a plain equi join;
+    // flags already has exactly one row per doc, so the label chain
+    // starts FROM the checkpointed flags frame — no corpus re-scan.
     // NULL-text docs carry NULL flags and exit at the rules stage.
-    val stage = docs.select(col("doc_id"))
-      .join(flags, Seq("doc_id"))
+    val stage = flags
       .join(cKeep.withColumn("__c", lit(1)), Seq("doc_id"), "left")
       .join(survivors.withColumn("__s", lit(1)), Seq("doc_id"), "left")
       .select(when(!coalesce(col("__gk"), lit(false)), lit("1_gopher_rules"))

@@ -810,6 +810,45 @@ object TextAnalysis {
   val GopherStops: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
+  /** The five Gopher rule flags (unaliased) — ONE definition shared by
+    * the census report (c29, via [[gopherRuleCols]]) and the funnel's
+    * fused flag scan (c35, via [[gopherAllRulesCol]]), so a threshold
+    * change can't leave one consumer testing the old rule.
+    */
+  private def gopherRuleColsRaw(text: Column, minWords: Long,
+                                maxWords: Long): Seq[Column] = {
+    val n = nTokensCol(text)
+    val sumLen = length(regexp_replace(text, " ", "")).cast("long")
+    // symbol chars ×3: '#' and '…' count 3 each, a literal "..." counts
+    // its 3 chars — keeps the ratio-×10 comparison divide-free
+    val sym3 = (length(text) - length(replace(text, lit("#")))).cast("long") * 3L +
+      (length(text) - length(replace(text, lit("…")))).cast("long") * 3L +
+      (length(text) - length(replace(text, lit("...")))).cast("long")
+    // each word is preceded by exactly one space after the concat, so the
+    // anchored pattern matches once per letter-bearing word
+    val nAlpha = size(regexp_extract_all(concat(lit(" "), text),
+      lit(" [^ ]*[a-zA-Z][^ ]*"), lit(0))).cast("long")
+    val nStop = TextStatsExpressions.countInSet(toks(text), GopherStops)
+    Seq(
+      n.between(minWords, maxWords),
+      sumLen >= n * 3L && sumLen <= n * 10L,
+      sym3 * 10L <= n * 3L,
+      nAlpha * 5L >= n * 4L,
+      nStop >= 2L)
+  }
+
+  private def gopherRuleCols(text: Column, minWords: Long,
+                             maxWords: Long): Seq[Column] =
+    gopherRuleColsRaw(text, minWords, maxWords).zipWithIndex
+      .map { case (c, i) => c.as(s"r${i + 1}") }
+
+  /** The c29 all-rules decision as ONE column (NULL on NULL text) —
+    * the per-doc form the c35 funnel's fused flag scan consumes.
+    */
+  def gopherAllRulesCol(text: Column, minWords: Long = 50L,
+                        maxWords: Long = 100000L): Column =
+    gopherRuleColsRaw(text, minWords, maxWords).reduce(_ && _)
+
   /** Gopher-style quality-rule attrition panel (c29): for each published
     * rule, how many documents fail it, plus the all-rules row — the
     * attribution report a corpus owner reads BEFORE turning the filter
@@ -834,54 +873,6 @@ object TextAnalysis {
     * is certainly not trainable text, and silently excluding it would
     * make the panel's rows disagree with the corpus census.
     */
-  /** The five Gopher rule flags as columns — ONE definition shared by
-    * the census report (c29) and the funnel's keep stage (c35), so a
-    * threshold change can't leave one consumer testing the old rule.
-    */
-  private def gopherRuleCols(text: Column, minWords: Long,
-                             maxWords: Long): Seq[Column] =
-    gopherRuleColsRaw(text, minWords, maxWords).zipWithIndex
-      .map { case (c, i) => c.as(s"r${i + 1}") }
-
-  private def gopherRuleColsRaw(text: Column, minWords: Long,
-                                maxWords: Long): Seq[Column] = {
-    val n = nTokensCol(text)
-    val sumLen = length(regexp_replace(text, " ", "")).cast("long")
-    // symbol chars ×3: '#' and '…' count 3 each, a literal "..." counts
-    // its 3 chars — keeps the ratio-×10 comparison divide-free
-    val sym3 = (length(text) - length(replace(text, lit("#")))).cast("long") * 3L +
-      (length(text) - length(replace(text, lit("…")))).cast("long") * 3L +
-      (length(text) - length(replace(text, lit("...")))).cast("long")
-    // each word is preceded by exactly one space after the concat, so the
-    // anchored pattern matches once per letter-bearing word
-    val nAlpha = size(regexp_extract_all(concat(lit(" "), text),
-      lit(" [^ ]*[a-zA-Z][^ ]*"), lit(0))).cast("long")
-    val nStop = TextStatsExpressions.countInSet(toks(text), GopherStops)
-    Seq(
-      n.between(minWords, maxWords),
-      sumLen >= n * 3L && sumLen <= n * 10L,
-      sym3 * 10L <= n * 3L,
-      nAlpha * 5L >= n * 4L,
-      nStop >= 2L)
-  }
-
-  /** The c29 all-rules decision as ONE column (NULL on NULL text) —
-    * the per-doc form the c35 funnel's fused flag scan consumes.
-    */
-  def gopherAllRulesCol(text: Column, minWords: Long = 50L,
-                        maxWords: Long = 100000L): Column =
-    gopherRuleColsRaw(text, minWords, maxWords).reduce(_ && _)
-
-  /** Ids of the docs that pass ALL five Gopher rules (the per-doc form
-    * of the c29 all-rules row).
-    */
-  def gopherRuleKeepIds(df: DataFrame, text: Column, id: Column,
-                        minWords: Long = 50L,
-                        maxWords: Long = 100000L): DataFrame =
-    df.select(id.as("doc_id"),
-        gopherAllRulesCol(text, minWords, maxWords).as("__keep"))
-      .filter(col("__keep")).select(col("doc_id"))
-
   def gopherRulesReport(df: DataFrame, text: Column,
                         minWords: Long = 50L,
                         maxWords: Long = 100000L): DataFrame = {
@@ -963,42 +954,26 @@ object TextAnalysis {
     * deterministic on both engines.
     */
   def perplexityBuckets(df: DataFrame, text: Column, id: Column,
-                        lang: Column): DataFrame = {
-    val scored = unigramLogProb(df, text, id)
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(col("avg_logprob").desc, col("doc_id"))
-    df.select(id.as("doc_id"), lang.as("lang"))
-      .join(scored, Seq("doc_id"))
-      .withColumn("__t", ntile(3).over(w))
+                        lang: Column): DataFrame =
+    ccnetTerciled(df, text, id, lang)
       .withColumn("bucket", when(col("__t") === 1, "head")
         .when(col("__t") === 2, "middle").otherwise("tail"))
       .groupBy(col("lang"), col("bucket"))
       .agg(count(lit(1)).as("n_docs"),
         min(col("avg_logprob")).as("lp_min"),
         max(col("avg_logprob")).as("lp_max"))
-  }
 
-  /** c30 oracle: the t10 scoring chain + the identical tercile window. */
+  /** c30 oracle: the SHARED [[ccnetTercileCtes]] chain + the per-bucket
+    * census — the same single tercile definition c34/c35 consume.
+    */
   def perplexityBucketsOracleSql: String =
-    """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-      |cnt AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
-      |n AS (SELECT CAST(sum(c) AS DOUBLE) AS nt FROM cnt),
-      |lp AS (SELECT tok, CAST(round(ln(CAST(c AS DOUBLE) / n.nt), 6) AS DECIMAL(18,6)) AS lp6
-      |       FROM cnt, n),
-      |s AS (SELECT tk.doc_id, sum(lp.lp6) AS slp, count(*) AS n_tokens
-      |      FROM tk JOIN lp ON tk.tok = lp.tok GROUP BY tk.doc_id),
-      |sc AS (SELECT d.lang, s.doc_id,
-      |      round(CAST(s.slp AS DOUBLE) / s.n_tokens, 6) AS avg_logprob
-      |      FROM s JOIN documents d ON s.doc_id = d.doc_id),
-      |b AS (SELECT lang, avg_logprob,
-      |      ntile(3) OVER (PARTITION BY lang
-      |        ORDER BY avg_logprob DESC, doc_id) AS t FROM sc)
-      |SELECT lang,
-      |  CASE WHEN t = 1 THEN 'head' WHEN t = 2 THEN 'middle'
-      |       ELSE 'tail' END AS bucket,
-      |  CAST(count(*) AS BIGINT) AS n_docs,
-      |  min(avg_logprob) AS lp_min, max(avg_logprob) AS lp_max
-      |FROM b GROUP BY lang, t ORDER BY lang, bucket""".stripMargin
+    s"""WITH ${ccnetTercileCtes("documents")}
+       |SELECT lang,
+       |  CASE WHEN t = 1 THEN 'head' WHEN t = 2 THEN 'middle'
+       |       ELSE 'tail' END AS bucket,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  min(avg_logprob) AS lp_min, max(avg_logprob) AS lp_max
+       |FROM cc_b GROUP BY lang, t ORDER BY lang, bucket""".stripMargin
 
   /** DSIR importance model (Xie et al. 2023): hashed-unigram bag models
     * of the TARGET slice and the RAW corpus, as the ≤`buckets`-row
@@ -1070,27 +1045,19 @@ object TextAnalysis {
       .limit(k)
   }
 
-  /** c33 oracle: the c31 chain + the identical deterministic top-k. */
-  def dsirTopKOracleSql(targetSql: String, k: Int,
-                        buckets: Int = 256): String = {
-    val base = dsirOracleSql(targetSql, buckets)
-    // swap the per-doc ORDER BY for the selection's rank-k order
-    base.stripSuffix("ORDER BY doc_id") +
-      s"ORDER BY dsir_weight DESC, doc_id LIMIT $k"
-  }
-
-  /** CCNet filtering (c34) — the cut [[perplexityBuckets]] exists for:
-    * keep each language's head+middle terciles, drop the tail (Wenzek
-    * et al. 2020 train on head+middle). Returns the per-language kept
-    * census (docs and whitespace tokens) — the manifest a budget
-    * planner consumes; the kept doc set itself is the same frame before
-    * the final aggregate. Same plan as c30 plus one lang-keyed
-    * aggregate over the kept two-thirds.
+  /** c33 oracle: the c31 chain + the identical deterministic top-k
+    * (the rank-k tail replaces the per-doc ORDER BY via the shared
+    * builder's tail parameter — no string surgery on the base SQL).
     */
+  def dsirTopKOracleSql(targetSql: String, k: Int,
+                        buckets: Int = 256): String =
+    dsirOracleSql(targetSql, buckets,
+      tailSql = s"ORDER BY dsir_weight DESC, doc_id LIMIT $k")
+
   /** The CCNet tercile assignment — ONE definition (LM over the input
     * corpus, per-lang ntile(3) by score DESC with doc_id tie-break)
-    * shared by the census (c30 via its own window), the filter report
-    * (c34) and the funnel's tail-cut stage (c35).
+    * shared by the bucket census (c30 via [[perplexityBuckets]]), the
+    * filter report (c34) and the funnel's tail-cut stage (c35).
     */
   private def ccnetTerciled(df: DataFrame, text: Column, id: Column,
                             lang: Column): DataFrame = {
@@ -1111,6 +1078,14 @@ object TextAnalysis {
     ccnetTerciled(df, text, id, lang)
       .filter(col("__t") <= 2).select(col("doc_id"))
 
+  /** CCNet filtering (c34) — the cut [[perplexityBuckets]] exists for:
+    * keep each language's head+middle terciles, drop the tail (Wenzek
+    * et al. 2020 train on head+middle). Returns the per-language kept
+    * census (docs and whitespace tokens) — the manifest a budget
+    * planner consumes; the kept doc set itself is the same frame before
+    * the final aggregate. Same plan as c30 plus one lang-keyed
+    * aggregate over the kept two-thirds.
+    */
   def ccnetFilter(df: DataFrame, text: Column, id: Column,
                   lang: Column): DataFrame =
     ccnetTerciled(df, text, id, lang)
@@ -1202,7 +1177,8 @@ object TextAnalysis {
   /** c31 oracle: the identical rolling-hash bucket fold, one-pass counts,
     * smoothed ratio table, and DECIMAL-summed doc weights in SQL.
     */
-  def dsirOracleSql(targetSql: String, buckets: Int = 256): String =
+  def dsirOracleSql(targetSql: String, buckets: Int = 256,
+                    tailSql: String = "ORDER BY doc_id"): String =
     s"""WITH tk AS (SELECT doc_id, ($targetSql) AS t,
        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
        |      [CAST(ascii(c) AS BIGINT) FOR c IN string_split(tok, '')]),
@@ -1222,5 +1198,5 @@ object TextAnalysis {
        |    CAST(count(*) AS BIGINT) AS n_tokens
        |  FROM tk JOIN m USING (b) GROUP BY tk.doc_id)
        |SELECT doc_id, n_tokens, round(CAST(slp AS DOUBLE), 6) AS dsir_weight
-       |FROM s ORDER BY doc_id""".stripMargin
+       |FROM s $tailSql""".stripMargin
 }
