@@ -173,4 +173,64 @@ class TextStatsPropertySpec extends AnyFunSuite {
       .collect()(0)
     assert(nullRow.isNullAt(0), nullRow.toString)
   }
+
+  /** Independent reference for GopherRepStats, written against Scala
+    * collections with sliding windows (nothing shared with the
+    * expression's gram-table construction): code-point lengths,
+    * (count DESC, length DESC, UTF-8-unsigned-byte ASC) top-gram
+    * tie-break, and union-of-spans dup coverage.
+    */
+  private def refGopherRep(text: String): Seq[Long] = {
+    val tokens = text.split(" ", -1).toSeq // Spark split keeps trailing empties
+    def cp(s: String): Long = s.codePointCount(0, s.length).toLong
+    val total = tokens.map(cp).sum
+    val tops = (2 to 4).map { n =>
+      if (tokens.length < n) 0L
+      else {
+        val slices = tokens.sliding(n).toVector
+        val counts = slices.groupBy(_.mkString(" "))
+          .map { case (g, o) => (g, (o.size.toLong, o.head.map(cp).sum)) }
+        val (_, (bc, bl)) = counts.toSeq.sortWith {
+          case ((g1, (c1, l1)), (g2, (c2, l2))) =>
+            if (c1 != c2) c1 > c2
+            else if (l1 != l2) l1 > l2
+            else java.util.Arrays.compareUnsigned(
+              g1.getBytes("UTF-8"), g2.getBytes("UTF-8")) < 0
+        }.head
+        bc * bl
+      }
+    }
+    val dups = (5 to 10).map { n =>
+      if (tokens.length < n) 0L
+      else {
+        val grams = tokens.sliding(n).map(_.mkString(" ")).toVector
+        val counts = grams.groupBy(identity).map { case (g, o) => (g, o.size) }
+        val covered = Array.fill(tokens.length)(false)
+        for (i <- grams.indices; if counts(grams(i)) >= 2;
+             j <- i until i + n) covered(j) = true
+        tokens.indices.collect { case i if covered(i) => cp(tokens(i)) }.sum
+      }
+    }
+    (total +: tops) ++ dups
+  }
+
+  test("GopherRepStats ≡ sliding-window reference on random unicode docs") {
+    // repetitive vocabulary (tiny alphabet) so dup-{5..10}-grams and
+    // top-gram count ties actually occur; unicode words exercise the
+    // code-point-vs-UTF-16 length split (😀 is a surrogate pair) and
+    // the unsigned-byte tie-break order
+    val df = docsDf(202L, 400).withColumn("doc_id",
+      monotonically_increasing_id()).localCheckpoint(true)
+    val rs = TextStatsExpressions.gopherRepStats(split(col("text"), " "))
+    val fields = "total_chars" +: ((2 to 4).map(n => s"top${n}_chars") ++
+      (5 to 10).map(n => s"dup${n}_chars"))
+    val native = df.select(col("doc_id"), col("text"),
+        struct(fields.map(f => rs.getField(f).as(f)): _*).as("s"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getString(1), r.getStruct(2).toSeq.map(_.asInstanceOf[Long])))
+    native.foreach { case (text, got) =>
+      val want = refGopherRep(text)
+      assert(got == want, s"doc <$text>: got $got want $want")
+    }
+  }
 }
