@@ -1916,13 +1916,19 @@ object Curation {
 
   /** The funnel census tail shared by [[curationFunnel]] and
     * [[publishedFunnel]]: per first-exit stage, the exit count, the
-    * count that ENTERED the stage, and the exit rate. Entering count =
+    * count that ENTERED the stage, and the exit rate — plus, when a
+    * `tokens` column is supplied, the whitespace-token mass exiting at
+    * each stage (budgets are denominated in tokens, and a stage that
+    * drops 5% of docs can drop 40% of tokens). Entering count =
     * corpus total minus everything that exited earlier; total = sum
     * over stages (each doc exits exactly once), so both columns come
     * from two stage-count-row windows — no second corpus count.
     */
-  private def funnelReport(stage: DataFrame): DataFrame = {
-    val agg = stage.groupBy(col("stage")).agg(count(lit(1)).as("n_exit"))
+  private def funnelReport(stage: DataFrame,
+                           tokens: Option[Column] = None): DataFrame = {
+    val extra = tokens.toSeq.map(t => sum(t).as("tokens_exit"))
+    val agg = stage.groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_exit"), extra: _*)
     val wAll = Window.rowsBetween(Window.unboundedPreceding,
       Window.unboundedFollowing)
     val wPrev = Window.orderBy(col("stage"))
@@ -1931,8 +1937,9 @@ object Curation {
       .withColumn("n_in",
         sum(col("n_exit")).over(wAll) -
           coalesce(sum(col("n_exit")).over(wPrev), lit(0L)))
-      .select(col("stage"), col("n_exit"), col("n_in"),
-        round(col("n_exit").cast("double") / col("n_in"), 6).as("exit_rate"))
+      .select(col("stage") +: col("n_exit") +: col("n_in") +:
+        round(col("n_exit").cast("double") / col("n_in"), 6).as("exit_rate") +:
+        tokens.toSeq.map(_ => col("tokens_exit")): _*)
   }
 
   /** The PUBLISHED-pipeline funnel (c35) — the FineWeb-order stage
@@ -1969,7 +1976,8 @@ object Curation {
     val flags = docs.select(col("doc_id"),
         TextAnalysis.gopherAllRulesCol(col("text"), minWords, maxWords)
           .as("__gk"),
-        TextAnalysis.gopherRepKeepCol(col("text")).as("__rk"))
+        TextAnalysis.gopherRepKeepCol(col("text")).as("__rk"),
+        TextAnalysis.nTokensCol(col("text")).as("__nt"))
       .localCheckpoint(true)
     val s2 = flags.filter(col("__gk") && col("__rk")).select(col("doc_id"))
     val cKeep = TextAnalysis.ccnetKeepIds(docs.join(s2, Seq("doc_id")),
@@ -1988,8 +1996,8 @@ object Curation {
         .when(!coalesce(col("__rk"), lit(false)), lit("2_repetition"))
         .when(col("__c").isNull, lit("3_ccnet_tail"))
         .when(col("__s").isNull, lit("4_duplicate"))
-        .otherwise(lit("5_kept")).as("stage"))
-    funnelReport(stage)
+        .otherwise(lit("5_kept")).as("stage"), col("__nt"))
+    funnelReport(stage, tokens = Some(col("__nt")))
   }
 
   /** The END-TO-END training-data manifest — the full modern pipeline

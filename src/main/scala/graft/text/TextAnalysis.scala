@@ -1156,22 +1156,24 @@ object TextAnalysis {
        |       WHEN s2.doc_id IS NULL THEN '2_repetition'
        |       WHEN s3.doc_id IS NULL THEN '3_ccnet_tail'
        |       WHEN sv.doc_id IS NULL THEN '4_duplicate'
-       |       ELSE '5_kept' END AS stage
+       |       ELSE '5_kept' END AS stage,
+       |  CAST(len(string_split(dd.text, ' ')) AS BIGINT) AS nt
        |  FROM documents dd
        |  LEFT JOIN s1 ON dd.doc_id = s1.doc_id
        |  LEFT JOIN s2 ON dd.doc_id = s2.doc_id
        |  LEFT JOIN s3 ON dd.doc_id = s3.doc_id
        |  LEFT JOIN surv sv ON dd.doc_id = sv.doc_id),
-       |agg AS (SELECT stage, CAST(count(*) AS BIGINT) AS n_exit
+       |agg AS (SELECT stage, CAST(count(*) AS BIGINT) AS n_exit,
+       |        CAST(sum(nt) AS BIGINT) AS tokens_exit
        |        FROM lab GROUP BY stage),
-       |fin AS (SELECT stage, n_exit,
+       |fin AS (SELECT stage, n_exit, tokens_exit,
        |  CAST(SUM(n_exit) OVER ()
        |    - coalesce(SUM(n_exit) OVER (ORDER BY stage
        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
        |    AS BIGINT) AS n_in
        |  FROM agg)
        |SELECT stage, n_exit, n_in,
-       |  round(CAST(n_exit AS DOUBLE) / n_in, 6) AS exit_rate
+       |  round(CAST(n_exit AS DOUBLE) / n_in, 6) AS exit_rate, tokens_exit
        |FROM fin ORDER BY stage""".stripMargin
 
   /** c31 oracle: the identical rolling-hash bucket fold, one-pass counts,

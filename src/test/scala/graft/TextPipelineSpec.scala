@@ -158,13 +158,13 @@ class TextPipelineSpec extends AnyFunSuite {
     ).toDF("doc_id", "text", "lang")
     val got = graft.curation.Curation.publishedFunnel(docs,
         minWords = 2L, maxWords = 60L)
-      .orderBy("stage").as[(String, Long, Long, Double)].collect().toSeq
+      .orderBy("stage").as[(String, Long, Long, Double, Long)].collect().toSeq
     assert(got == Seq(
-      ("1_gopher_rules", 1L, 5L, 0.2),
-      ("2_repetition", 1L, 4L, 0.25),
-      ("3_ccnet_tail", 1L, 3L, r6(1.0 / 3)),
-      ("4_duplicate", 1L, 2L, 0.5),
-      ("5_kept", 1L, 1L, 1.0)))
+      ("1_gopher_rules", 1L, 5L, 0.2, 1L),
+      ("2_repetition", 1L, 4L, 0.25, 5L),
+      ("3_ccnet_tail", 1L, 3L, r6(1.0 / 3), 26L),
+      ("4_duplicate", 1L, 2L, 0.5, 26L),
+      ("5_kept", 1L, 1L, 1.0, 26L)))
   }
 
   test("dsirTopK: rank-k by (weight desc, doc_id), ties to smaller id") {
