@@ -3522,6 +3522,21 @@ object DocQueries {
         perceptronWeights(s, dir))
     },
 
+    // Classifier GAINS / operating-point table (round 13) — completes
+    // the eval suite: c26 fixed-threshold accuracy, c32 threshold-free
+    // AUC, and THIS — "keep everything scoring >= s" fully costed per
+    // cutoff (volume, captured positives, precision), the table a
+    // filter owner reads to SET the c10 keep threshold. Rides the same
+    // memoized pocket training run; both cumulative windows run over
+    // the post-reduction integer score histogram.
+    QDef("c36_classifier_gains",
+        graft.text.Perceptron.gainsOracleSql(PerceptronK, PerceptronDims,
+          PerceptronLabelSql)) { (s, dir) =>
+      graft.text.Perceptron.gainsTable(perceptronFeatures(s, dir),
+          perceptronWeights(s, dir))
+        .orderBy(col("cutoff").desc)
+    },
+
     // DSIR data SELECTION (round 13) — the step c31's weights exist
     // for: the 25 raw docs most like the target distribution, by
     // (weight DESC, doc_id) — the deterministic rank-k variant of the

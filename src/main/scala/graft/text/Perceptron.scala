@@ -208,14 +208,7 @@ object Perceptron {
     * key-partitioned.
     */
   def rocAuc(feats: DataFrame, w: Map[Int, Long]): DataFrame = {
-    val hist = feats
-      .withColumn("contrib",
-        col("cnt") * coalesce(element_at(typedlit(w), col("dim")), lit(0L)))
-      .groupBy(col("doc_id"), col("y"))
-      .agg(sum(col("contrib")).as("s"))
-      .groupBy(col("s"))
-      .agg(count(lit(1)).as("n"),
-        sum(when(col("y") === 1, 1L).otherwise(0L)).as("np"))
+    val hist = scoreHistogram(feats, w)
     val below = org.apache.spark.sql.expressions.Window.orderBy(col("s"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     hist
@@ -229,6 +222,75 @@ object Perceptron {
         round((col("r2") - col("n_pos") * (col("n_pos") + 1L)).cast("double")
           / (col("n_pos") * col("n_neg") * 2L), 6).as("auc"))
   }
+
+  /** The exact-integer score HISTOGRAM `s → (n, n₊)` shared by the ROC
+    * (c32) and gains-table (c36) reports: one scoring pass over the
+    * feature frame (doc-key aggregate riding its partitioning), then
+    * the corpus reduces to one row per distinct integer score.
+    */
+  private def scoreHistogram(feats: DataFrame, w: Map[Int, Long]): DataFrame =
+    feats
+      .withColumn("contrib",
+        col("cnt") * coalesce(element_at(typedlit(w), col("dim")), lit(0L)))
+      .groupBy(col("doc_id"), col("y"))
+      .agg(sum(col("contrib")).as("s"))
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y") === 1, 1L).otherwise(0L)).as("np"))
+
+  /** Cumulative GAINS / operating-point table of the trained scorer
+    * (c36) — the artifact a filter owner reads to SET the c10 keep
+    * threshold, which neither c26's fixed-threshold accuracy nor c32's
+    * threshold-free AUC gives: one row per distinct integer score
+    * cutoff, with the volume kept at that cutoff (`cum_n`, `volume`),
+    * the positives captured (`cum_pos`, `recall`), and the precision of
+    * the kept set — "keep everything scoring ≥ s" fully costed, so the
+    * owner picks the recall/volume trade they can afford at 100 TB.
+    *
+    * Determinism: every count is an exact integer off the shared
+    * [[scoreHistogram]]; the rounded ratios divide identical integers
+    * on both engines. Plan shape: the corpus reduces to the histogram,
+    * and BOTH cumulative windows run over the already-reduced distinct
+    * integer scores (the w1/sk6 post-reduction discipline).
+    */
+  def gainsTable(feats: DataFrame, w: Map[Int, Long]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val above = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    scoreHistogram(feats, w)
+      .withColumn("cum_n", sum(col("n")).over(above))
+      .withColumn("cum_pos", sum(col("np")).over(above))
+      .withColumn("tot_pos", sum(col("np")).over(wAll))
+      .withColumn("tot_n", sum(col("n")).over(wAll))
+      .select(col("s").as("cutoff"), col("n"), col("np").as("n_pos"),
+        col("cum_n"), col("cum_pos"),
+        round(col("cum_pos").cast("double") / col("cum_n"), 6).as("prec"),
+        round(col("cum_pos").cast("double") / col("tot_pos"), 6).as("recall"),
+        round(col("cum_n").cast("double") / col("tot_n"), 6).as("volume"))
+  }
+
+  /** c36 oracle: the identical histogram + top-down cumulative table. */
+  def gainsOracleSql(k: Int, dims: Int, labelSql: String): String =
+    s"""${oracleCtes(k, dims, labelSql)},
+       |sf AS (SELECT f.doc_id, f.y, CAST(sum(f.cnt * w.wt) AS BIGINT) AS s
+       |  FROM feats f JOIN wp w ON f.dim = w.dim GROUP BY f.doc_id, f.y),
+       |h AS (SELECT s, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS np
+       |  FROM sf GROUP BY s),
+       |g AS (SELECT s, n, np,
+       |    CAST(sum(n) OVER (ORDER BY s DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+       |    CAST(sum(np) OVER (ORDER BY s DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos,
+       |    CAST(sum(np) OVER () AS BIGINT) AS tot_pos,
+       |    CAST(sum(n) OVER () AS BIGINT) AS tot_n FROM h)
+       |SELECT s AS cutoff, n, np AS n_pos, cum_n, cum_pos,
+       |  round(CAST(cum_pos AS DOUBLE) / cum_n, 6) AS prec,
+       |  round(CAST(cum_pos AS DOUBLE) / tot_pos, 6) AS recall,
+       |  round(CAST(cum_n AS DOUBLE) / tot_n, 6) AS volume
+       |FROM g ORDER BY cutoff DESC""".stripMargin
 
   /** c32 oracle: score under `wp`, histogram, tie-aware rank sum. */
   def rocAucOracleSql(k: Int, dims: Int, labelSql: String): String =

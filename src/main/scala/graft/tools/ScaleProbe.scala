@@ -743,6 +743,19 @@ object ScaleProbe {
       // LM token groupBy dominates and must stay corpus-linear
       graft.curation.Curation.publishedFunnel(big).count()
     }
+    t(s"c36 gains table ${mult}x") {
+      // isolates the c36 plan (scoring pass + histogram + two windows
+      // over the post-reduction distinct scores) under FIXED weights —
+      // no training confound; must track the c32 scoring increment
+      val feats = graft.text.Perceptron.features(big, col("text"),
+        col("doc_id"), when(col("lang") === "en", lit(1)).otherwise(lit(-1)),
+        dims = 64)
+      val fixed = (0 until 64).map(d => d -> ((d % 7) - 3).toLong).toMap +
+        (-1 -> 0L)
+      val n = graft.text.Perceptron.gainsTable(feats, fixed).count()
+      org.apache.spark.sql.graftbridge.Bridge.release(feats)
+      n
+    }
     t(s"c32 roc auc ${mult}x") {
       // scoring pass over the feature frame + score histogram; the
       // global cumsum runs over distinct INTEGER scores (post-reduction)

@@ -207,6 +207,22 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(got == ((2L, 2L, 5L, 8L, 0.625)))
   }
 
+  test("gainsTable: hand-computed operating points on the rocAuc fixture") {
+    // scores: pos {3, 1}, neg {2, 1} -> histogram s=3:(1,1) s=2:(1,0)
+    // s=1:(2,1); tot_pos=2, tot_n=4
+    val feats = Seq((1L, 1, 0, 3L), (2L, 1, 0, 1L),
+        (3L, -1, 0, 2L), (4L, -1, 0, 1L))
+      .toDF("doc_id", "y", "dim", "cnt")
+    val got = Perceptron.gainsTable(feats, Map(-1 -> 0L, 0 -> 1L))
+      .orderBy(col("cutoff").desc)
+      .as[(Long, Long, Long, Long, Long, Double, Double, Double)]
+      .collect().toSeq
+    assert(got == Seq(
+      (3L, 1L, 1L, 1L, 1L, 1.0, 0.5, 0.25),   // keep >= 3: pure, half recall
+      (2L, 1L, 0L, 2L, 1L, 0.5, 0.5, 0.5),    // keep >= 2: dilution, no gain
+      (1L, 2L, 1L, 4L, 2L, 0.5, 1.0, 1.0)))   // keep all
+  }
+
   test("rocAuc: all-tied scores give exactly 1/2; separation gives 1") {
     val w = Map(-1 -> 0L, 0 -> 1L)
     val tied = Seq((1L, 1, 0, 2L), (2L, -1, 0, 2L))
