@@ -89,9 +89,19 @@ object Curation {
     */
   def keepOneExact(df: DataFrame, text: Column, id: Column): DataFrame = {
     val sig = array_join(array_sort(array_distinct(split(text, " "))), " ")
-    df.withColumn("__rn",
-        row_number().over(Window.partitionBy(sig).orderBy(id)))
-      .filter(col("__rn") === 1).drop("__rn")
+    // Per-signature argmin AGGREGATE + semi join back on the id (round
+    // 13) — never a signature-partitioned window over full rows: the
+    // aggregate shuffles (sig, id) pairs only WITH map-side partial
+    // combine, so a viral duplicate (10⁶ copies of one text) contributes
+    // one row per map partition instead of funneling every full-payload
+    // copy into a single window task. Semantics identical: the min-id
+    // copy survives (ids are unique, so the semi join keeps exactly one
+    // row per signature — CurationSpec pins window-form equivalence).
+    val winners = df
+      .select(sig.as("__sig"), id.as("__kid"))
+      .groupBy(col("__sig")).agg(min(col("__kid")).as("__kid"))
+      .select(col("__kid"))
+    df.join(winners, id === col("__kid"), "left_semi")
   }
 
   /** [[keepOneExact]] with an explicit keep preference: when the same
@@ -99,16 +109,19 @@ object Curation {
     * the copy with the LOWEST `priority` (ties → lowest id) — "prefer
     * the curated copy over the crawl copy of identical content", the
     * cross-corpus merge policy every multi-source build needs. Same
-    * single signature-key shuffle as [[keepOneExact]]; a combiner-
-    * friendly min-struct aggregate (the c8 discipline) would replace the
-    * window if the kept columns were bounded.
+    * skew-proof shape as [[keepOneExact]]: the combiner-friendly
+    * min-STRUCT aggregate (struct comparison is lexicographic, exactly
+    * the `(priority, id)` window order it replaces) + the id semi join.
     */
   def keepOnePreferred(df: DataFrame, text: Column, id: Column,
                        priority: Column): DataFrame = {
     val sig = array_join(array_sort(array_distinct(split(text, " "))), " ")
-    df.withColumn("__rn",
-        row_number().over(Window.partitionBy(sig).orderBy(priority, id)))
-      .filter(col("__rn") === 1).drop("__rn")
+    val winners = df
+      .select(sig.as("__sig"),
+        struct(priority.as("p"), id.as("i")).as("__pi"))
+      .groupBy(col("__sig")).agg(min(col("__pi")).as("__pi"))
+      .select(col("__pi").getField("i").as("__kid"))
+    df.join(winners, id === col("__kid"), "left_semi")
   }
 
   /** Per-source quota: cap each source at `n` documents, preferring longer

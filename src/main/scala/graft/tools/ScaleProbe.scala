@@ -438,6 +438,15 @@ object ScaleProbe {
         big.withColumn("pri", pmod(col("doc_id"), lit(2))),
         col("text"), col("doc_id"), col("pri")).count()
     }
+    t(s"c9k exact keep-one viral ${mult}x") {
+      // 90% of the corpus is ONE duplicated text: the argmin partial agg
+      // must absorb the viral mass map-side (flat across dup decades);
+      // the old signature-window shape funneled every copy into one task
+      val viral = big.withColumn("text",
+        when(pmod(col("doc_id"), lit(10)) =!= 0, lit("the the viral copy"))
+          .otherwise(col("text")))
+      Curation.keepOneExact(viral, col("text"), col("doc_id")).count()
+    }
     t(s"sim9b pq trained ${mult}x") {
       val emb = Tables.embeddings(spark, dir)
       val bigEmb = (0 until mult).map { r =>

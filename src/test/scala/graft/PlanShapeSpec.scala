@@ -248,6 +248,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("ScalaUDF"), plan)
   }
 
+  test("keepOneExact: partial min below the exchange, never a signature window") {
+    val plan = phys(graft.curation.Curation.keepOneExact(docs,
+      col("text"), col("doc_id")))
+    // the round-13 rewrite: a viral duplicate's full-payload copies must
+    // be absorbed map-side (argmin partial agg), never funneled into one
+    // signature-window task; the survivors come back via an id semi join
+    assert(!plan.contains("Window"),
+      s"keep-one must not sort full rows in a signature window:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final min aggregates:\n$plan")
+    assert(plan.contains("LeftSemi"), plan)
+  }
+
   test("t25 gopher repetition: ONE scan-fused pass, zero shuffles, no UDF") {
     val plan = phys(TextAnalysis.gopherRepetitionMetrics(docs,
       col("text"), col("doc_id")))
