@@ -214,6 +214,31 @@ class TextStatsPropertySpec extends AnyFunSuite {
     (total +: tops) ++ dups
   }
 
+  test("keepOneExact/Preferred ≡ the signature window they replaced") {
+    // random docs with heavy dup mass (tiny vocab, short docs) — the
+    // argmin-aggregate + semi-join rewrite must keep EXACTLY the rows
+    // the row_number window kept, including (priority, id) tie-breaks
+    import org.apache.spark.sql.expressions.Window
+    val base = docsDf(307L, 300).withColumn("doc_id",
+        monotonically_increasing_id())
+      .withColumn("pri", pmod(col("doc_id"), lit(3)))
+      .localCheckpoint(true)
+    val sig = array_join(array_sort(array_distinct(split(col("text"), " "))), " ")
+    def winForm(order: Seq[org.apache.spark.sql.Column]) = base
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(sig).orderBy(order: _*)))
+      .filter(col("__rn") === 1).drop("__rn")
+      .select("doc_id").as[Long].collect().toSet
+    val exactNew = graft.curation.Curation.keepOneExact(base,
+        col("text"), col("doc_id"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(exactNew == winForm(Seq(col("doc_id"))))
+    val prefNew = graft.curation.Curation.keepOnePreferred(base,
+        col("text"), col("doc_id"), col("pri"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(prefNew == winForm(Seq(col("pri"), col("doc_id"))))
+  }
+
   test("GopherRepStats ≡ sliding-window reference on random unicode docs") {
     // repetitive vocabulary (tiny alphabet) so dup-{5..10}-grams and
     // top-gram count ties actually occur; unicode words exercise the
