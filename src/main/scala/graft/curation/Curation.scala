@@ -82,26 +82,33 @@ object Curation {
       splitKey = Some(canonicalSigExpr(text)))
 
   /** Keep one document per exact-duplicate group (canonical sorted distinct
-    * token set), choosing the lowest id — one shuffle on the signature via
-    * a window, no join back. At PB scale group on `xxhash64(sig)` (8-byte
-    * shuffle key); raw signature kept here for oracle bit-parity, matching
-    * `Dedup.exactByCanonicalTokens`.
+    * token set), choosing the lowest NON-NULL id. At PB scale group on
+    * `xxhash64(sig)` (8-byte shuffle key); raw signature kept here for
+    * oracle bit-parity, matching `Dedup.exactByCanonicalTokens`.
+    *
+    * Plan shape (round 13): per-signature argmin AGGREGATE (map-side
+    * partial combine) + a `(sig, id)` LEFT SEMI join back — never a
+    * signature-partitioned window over full rows. A viral duplicate
+    * (10⁶ copies of one text) contributes one row per map partition
+    * instead of funneling every full-payload copy into a single window
+    * task, and even the non-broadcast join path can't skew (the join
+    * key is the near-unique winner pair, not the bare signature).
+    * CONTRACT (narrower than the window form it replaced): `df` is
+    * evaluated TWICE (winner branch + probe side) — checkpoint first if
+    * any input column is non-deterministic — and `id` must be non-null
+    * (null-id rows are dropped; ids need not be globally unique — the
+    * signature participates in the join, so an id reused across
+    * signature groups can't smuggle a loser through).
+    * CurationSpec + the TextStatsPropertySpec equivalence test pin
+    * window-form semantics.
     */
   def keepOneExact(df: DataFrame, text: Column, id: Column): DataFrame = {
     val sig = array_join(array_sort(array_distinct(split(text, " "))), " ")
-    // Per-signature argmin AGGREGATE + semi join back on the id (round
-    // 13) — never a signature-partitioned window over full rows: the
-    // aggregate shuffles (sig, id) pairs only WITH map-side partial
-    // combine, so a viral duplicate (10⁶ copies of one text) contributes
-    // one row per map partition instead of funneling every full-payload
-    // copy into a single window task. Semantics identical: the min-id
-    // copy survives (ids are unique, so the semi join keeps exactly one
-    // row per signature — CurationSpec pins window-form equivalence).
     val winners = df
       .select(sig.as("__sig"), id.as("__kid"))
       .groupBy(col("__sig")).agg(min(col("__kid")).as("__kid"))
-      .select(col("__kid"))
-    df.join(winners, id === col("__kid"), "left_semi")
+    df.join(winners,
+      sig <=> col("__sig") && id === col("__kid"), "left_semi")
   }
 
   /** [[keepOneExact]] with an explicit keep preference: when the same
@@ -109,9 +116,10 @@ object Curation {
     * the copy with the LOWEST `priority` (ties → lowest id) — "prefer
     * the curated copy over the crawl copy of identical content", the
     * cross-corpus merge policy every multi-source build needs. Same
-    * skew-proof shape as [[keepOneExact]]: the combiner-friendly
-    * min-STRUCT aggregate (struct comparison is lexicographic, exactly
-    * the `(priority, id)` window order it replaces) + the id semi join.
+    * skew-proof shape and CONTRACT as [[keepOneExact]]: the combiner-
+    * friendly min-STRUCT aggregate (struct comparison is lexicographic,
+    * exactly the `(priority, id)` window order it replaces) + the
+    * `(sig, id)` semi join.
     */
   def keepOnePreferred(df: DataFrame, text: Column, id: Column,
                        priority: Column): DataFrame = {
@@ -120,8 +128,9 @@ object Curation {
       .select(sig.as("__sig"),
         struct(priority.as("p"), id.as("i")).as("__pi"))
       .groupBy(col("__sig")).agg(min(col("__pi")).as("__pi"))
-      .select(col("__pi").getField("i").as("__kid"))
-    df.join(winners, id === col("__kid"), "left_semi")
+      .select(col("__sig"), col("__pi").getField("i").as("__kid"))
+    df.join(winners,
+      sig <=> col("__sig") && id === col("__kid"), "left_semi")
   }
 
   /** Per-source quota: cap each source at `n` documents, preferring longer
@@ -1976,7 +1985,8 @@ object Curation {
     * fused scan pass checkpointed as an O(ids) id+flags frame (pinned —
     * it feeds both the stage-3 input and the label join); ccnet adds
     * the LM token aggregate over stage-2 survivors only; dedup one
-    * signature window over stage-3 survivors; the label rides the
+    * signature argmin+semi-join pass over stage-3 survivors (the
+    * skew-proof [[keepOneExact]] shape); the label rides the
     * checkpointed flags frame itself (no corpus re-scan) left-joining
     * the two marker sets; the census is the shared 5-row window tail.
     */
@@ -1985,7 +1995,8 @@ object Curation {
     import graft.text.TextAnalysis
     // Stages 1+2 are both per-doc functions of the text, so their flags
     // come from ONE fused scan pass (sequential attribution is just
-    // flag precedence); the checkpoint is O(ids): id + two booleans.
+    // flag precedence); the checkpoint is O(ids): id, two booleans,
+    // and the whitespace token count the census tail sums.
     val flags = docs.select(col("doc_id"),
         TextAnalysis.gopherAllRulesCol(col("text"), minWords, maxWords)
           .as("__gk"),

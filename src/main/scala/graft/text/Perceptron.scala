@@ -178,11 +178,22 @@ object Perceptron {
     s"""${oracleCtes(k, dims, labelSql)}
        |SELECT dim, wt AS weight FROM wp ORDER BY dim""".stripMargin
 
+  /** The scored-docs (`sf`) and exact-integer score-histogram (`h`)
+    * oracle CTEs — ONE definition shared by the c26/c32/c36 oracles,
+    * mirroring the Scala-side [[scoreHistogram]] so a scoring-semantics
+    * change can't leave one gate testing the old rule.
+    */
+  private def scoreCtes: String =
+    """sf AS (SELECT f.doc_id, f.y, CAST(sum(f.cnt * w.wt) AS BIGINT) AS s
+      |  FROM feats f JOIN wp w ON f.dim = w.dim GROUP BY f.doc_id, f.y),
+      |h AS (SELECT s, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS np
+      |  FROM sf GROUP BY s)""".stripMargin
+
   /** c26 oracle: per-label accuracy under the pocket weights. */
   def accuracyOracleSql(k: Int, dims: Int, labelSql: String): String =
     s"""${oracleCtes(k, dims, labelSql)},
-       |sf AS (SELECT f.doc_id, f.y, CAST(sum(f.cnt * w.wt) AS BIGINT) AS s
-       |  FROM feats f JOIN wp w ON f.dim = w.dim GROUP BY f.doc_id, f.y)
+       |$scoreCtes
        |SELECT y, CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(sum(CASE WHEN y * s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
        |FROM sf GROUP BY y ORDER BY y""".stripMargin
@@ -219,8 +230,12 @@ object Perceptron {
       .select(col("n_pos"), col("n_neg"),
         (col("r2") - col("n_pos") * (col("n_pos") + 1L)).as("auc_num"),
         (col("n_pos") * col("n_neg") * 2L).as("auc_den"),
-        round((col("r2") - col("n_pos") * (col("n_pos") + 1L)).cast("double")
-          / (col("n_pos") * col("n_neg") * 2L), 6).as("auc"))
+        // single-class corpus: AUC is undefined (den = 0) — NULL on both
+        // engines, never a NaN knife-edge
+        when(col("n_pos") * col("n_neg") === 0L, lit(null).cast("double"))
+          .otherwise(
+            round((col("r2") - col("n_pos") * (col("n_pos") + 1L)).cast("double")
+              / (col("n_pos") * col("n_neg") * 2L), 6)).as("auc"))
   }
 
   /** The exact-integer score HISTOGRAM `s → (n, n₊)` shared by the ROC
@@ -267,18 +282,19 @@ object Perceptron {
       .select(col("s").as("cutoff"), col("n"), col("np").as("n_pos"),
         col("cum_n"), col("cum_pos"),
         round(col("cum_pos").cast("double") / col("cum_n"), 6).as("prec"),
-        round(col("cum_pos").cast("double") / col("tot_pos"), 6).as("recall"),
+        // a corpus with zero positives has no recall to report — NULL on
+        // both engines, never a NaN/inf knife-edge (cum_n/tot_n are ≥ 1
+        // on any existing histogram row, so only this ratio needs it)
+        when(col("tot_pos") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("cum_pos").cast("double") / col("tot_pos"), 6))
+          .as("recall"),
         round(col("cum_n").cast("double") / col("tot_n"), 6).as("volume"))
   }
 
   /** c36 oracle: the identical histogram + top-down cumulative table. */
   def gainsOracleSql(k: Int, dims: Int, labelSql: String): String =
     s"""${oracleCtes(k, dims, labelSql)},
-       |sf AS (SELECT f.doc_id, f.y, CAST(sum(f.cnt * w.wt) AS BIGINT) AS s
-       |  FROM feats f JOIN wp w ON f.dim = w.dim GROUP BY f.doc_id, f.y),
-       |h AS (SELECT s, CAST(count(*) AS BIGINT) AS n,
-       |    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS np
-       |  FROM sf GROUP BY s),
+       |$scoreCtes,
        |g AS (SELECT s, n, np,
        |    CAST(sum(n) OVER (ORDER BY s DESC
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
@@ -288,18 +304,15 @@ object Perceptron {
        |    CAST(sum(n) OVER () AS BIGINT) AS tot_n FROM h)
        |SELECT s AS cutoff, n, np AS n_pos, cum_n, cum_pos,
        |  round(CAST(cum_pos AS DOUBLE) / cum_n, 6) AS prec,
-       |  round(CAST(cum_pos AS DOUBLE) / tot_pos, 6) AS recall,
+       |  CASE WHEN tot_pos = 0 THEN NULL
+       |       ELSE round(CAST(cum_pos AS DOUBLE) / tot_pos, 6) END AS recall,
        |  round(CAST(cum_n AS DOUBLE) / tot_n, 6) AS volume
        |FROM g ORDER BY cutoff DESC""".stripMargin
 
   /** c32 oracle: score under `wp`, histogram, tie-aware rank sum. */
   def rocAucOracleSql(k: Int, dims: Int, labelSql: String): String =
     s"""${oracleCtes(k, dims, labelSql)},
-       |sf AS (SELECT f.doc_id, f.y, CAST(sum(f.cnt * w.wt) AS BIGINT) AS s
-       |  FROM feats f JOIN wp w ON f.dim = w.dim GROUP BY f.doc_id, f.y),
-       |h AS (SELECT s, CAST(count(*) AS BIGINT) AS n,
-       |    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS np
-       |  FROM sf GROUP BY s),
+       |$scoreCtes,
        |r AS (SELECT s, n, np, CAST(coalesce(sum(n) OVER
        |    (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
        |    0) AS BIGINT) AS cless FROM h),
@@ -309,7 +322,8 @@ object Perceptron {
        |SELECT n_pos, n_neg,
        |  CAST(r2 - n_pos * (n_pos + 1) AS BIGINT) AS auc_num,
        |  CAST(n_pos * n_neg * 2 AS BIGINT) AS auc_den,
-       |  round(CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)
-       |    / (n_pos * n_neg * 2), 6) AS auc
+       |  CASE WHEN n_pos * n_neg = 0 THEN NULL
+       |       ELSE round(CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)
+       |         / (n_pos * n_neg * 2), 6) END AS auc
        |FROM a""".stripMargin
 }

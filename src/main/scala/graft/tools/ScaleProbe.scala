@@ -748,7 +748,7 @@ object ScaleProbe {
     }
     t(s"c35 published funnel ${mult}x") {
       // two per-doc scan stages + the ccnet LM aggregate over stage-2
-      // survivors + one signature window over stage-3 survivors; the
+      // survivors + the keepOneExact argmin+semi-join over stage-3; the
       // LM token groupBy dominates and must stay corpus-linear
       graft.curation.Curation.publishedFunnel(big).count()
     }
