@@ -1394,6 +1394,27 @@ object DocQueries {
         k = 5, shortlist = 20)
     },
 
+    // Cluster-stratified DIVERSITY sample (round 13) — the SemDedup-
+    // adjacent selection: k lowest-id vectors of EVERY IVF cluster, so
+    // the sample covers all embedding-space regions instead of over-
+    // picking dense modes. Assignment is the hash-gated sim3b/sim3c
+    // arithmetic (one Lloyd round); rank-k per cluster rides the o6
+    // bounded Aggregator (partial state <= k per partition — never a
+    // mega-cluster window). Oracle: the SHARED sim3Prelude + a per-cid
+    // rank filter.
+    QDef("sim15_cluster_sample",
+      s"""${sim3Prelude(iters = 1)},
+         |r AS (SELECT cid, vec_id,
+         |  row_number() OVER (PARTITION BY cid ORDER BY vec_id) AS rn
+         |  FROM assigned)
+         |SELECT CAST(cid AS INT) AS cid, vec_id
+         |FROM r WHERE rn <= 5 ORDER BY cid, vec_id""".stripMargin) {
+      (s, dir) =>
+        Similarity.clusterStratifiedSample(Tables.embeddings(s, dir),
+            perCluster = 5)
+          .orderBy(col("cid"), col("vec_id"))
+    },
+
     // Hybrid retrieval: BM25 top-20 (lexical) fused with cosine KNN
     // top-20 (vector) by reciprocal-rank fusion. Fusion scores are EXACT
     // integers (1e9 div (60 + rank) summed), so the combined ranking is

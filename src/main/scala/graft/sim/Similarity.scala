@@ -606,6 +606,37 @@ object Similarity {
       .limit(k)
   }
 
+  /** Cluster-stratified DIVERSITY sample (sim15) — the cluster-balanced
+    * selection a curation pipeline runs AFTER semantic dedup
+    * (SemDedup-style): keep the `perCluster` lowest-id vectors of EVERY
+    * IVF cluster, so the sample covers all embedding-space regions
+    * instead of over-picking dense modes the way frequency-weighted
+    * sampling does. Deterministic by construction (id rank within an
+    * exact-arithmetic assignment).
+    *
+    * Plan shape: assignment is the sim3 scan expression (codegen'd
+    * DotProductF, no shuffle), and rank-k per cluster runs through the
+    * bounded [[graft.ops.TopK.BoundedTopK]] Aggregator — partial state
+    * ≤ `perCluster` rows per cluster per partition, so a mega-cluster
+    * ships k rows per map partition instead of funneling its full
+    * membership into one window task (the keepOneExact discipline).
+    */
+  def clusterStratifiedSample(emb: DataFrame, perCluster: Int = 5,
+                              nCentroids: Int = 16,
+                              iters: Int = 1): DataFrame = {
+    require(perCluster >= 1, s"perCluster must be >= 1, got $perCluster")
+    val centroids = ivfTrain(emb, nCentroids, iters)
+    val topk = udaf(new graft.ops.TopK.BoundedTopK(perCluster))
+    emb.select(col("vec_id"), col("embedding"))
+      .withColumn("cid", ivfAssignExpr(centroids))
+      // the aggregator keeps top-k by value DESC (id tie-break), so the
+      // k SMALLEST ids ride value = −id (exact: ids ≪ 2⁵³)
+      .groupBy(col("cid"))
+      .agg(topk((-col("vec_id")).cast("double"), col("vec_id")).as("tk"))
+      .select(col("cid"), explode(col("tk")).as("s"))
+      .select(col("cid"), col("s").getField("id").as("vec_id"))
+  }
+
   /** IVF-PQ search with an exact REFINE stage (sim14) — the full
     * three-level ANN serving stack: the IVF probe prunes the corpus to
     * `nProbe` inverted lists, PQ ADC ranks the probed candidates in the

@@ -577,6 +577,18 @@ object ScaleProbe {
       graft.sim.Similarity.mmrRerank(Tables.embeddings(spark, dir),
         queryVecId = 0L, poolK = 20, k = 5).count()
     }
+    t(s"sim15 cluster sample ${mult}x") {
+      // assignment scan (codegen'd DotProductF) + bounded-TopK aggregate:
+      // partial state <= k per cluster per partition; replicated vectors
+      // grow cluster membership, the shipped state must not grow with it
+      val emb = Tables.embeddings(spark, dir)
+      val bigEmb = (0 until mult).map { r =>
+        emb.select((col("vec_id") + lit(r.toLong * 10000000L)).as("vec_id"),
+          col("label"), col("embedding"))
+      }.reduce(_ unionByName _)
+      graft.sim.Similarity.clusterStratifiedSample(bigEmb,
+        perCluster = 5).count()
+    }
     t(s"j10 overlap join ${mult}x") {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))

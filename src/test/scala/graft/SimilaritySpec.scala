@@ -20,6 +20,27 @@ class SimilaritySpec extends AnyFunSuite {
     }.toDF("vec_id", "embedding", "label")
   }
 
+  test("clusterStratifiedSample ≡ per-cluster window rank-k on the same assignment") {
+    import org.apache.spark.sql.expressions.Window
+    val got = Similarity.clusterStratifiedSample(emb, perCluster = 3,
+        nCentroids = 4, iters = 1)
+      .orderBy("cid", "vec_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    // reference: the window formulation over the identical assignment
+    val cents = Similarity.ivfTrain(emb, 4, 1)
+    val want = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("cid", Similarity.ivfAssignExpr(cents))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("cid")).orderBy(col("vec_id"))))
+      .filter(col("rn") <= 3).select("cid", "vec_id")
+      .orderBy("cid", "vec_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(got == want)
+    // every populated cluster contributes, none more than k
+    val perCid = got.groupBy(_._1).view.mapValues(_.size)
+    assert(perCid.values.forall(n => n >= 1 && n <= 3), perCid.toMap.toString)
+  }
+
   test("bruteForceKnn returns k nearest, same-cluster first, ordered desc") {
     val top = Similarity.bruteForceKnn(emb, queryVecId = 0L, k = 10).collect()
     assert(top.length == 10)
