@@ -98,9 +98,14 @@ object Curation {
     * any input column is non-deterministic — and `id` must be non-null
     * (null-id rows are dropped; ids need not be globally unique — the
     * signature participates in the join, so an id reused across
-    * signature groups can't smuggle a loser through).
-    * CurationSpec + the TextStatsPropertySpec equivalence test pin
-    * window-form semantics.
+    * signature groups can't smuggle a loser through) and UNIQUE WITHIN
+    * each signature group: rows sharing BOTH signature and id are
+    * byte-identical keep decisions the semi join cannot tell apart, so
+    * all of them survive (the window form kept an arbitrary one — if
+    * "exactly one physical row" matters under id collisions, dedup ids
+    * per group first or use [[keepOnePreferred]] with a distinguishing
+    * priority). CurationSpec + the TextStatsPropertySpec equivalence
+    * test pin window-form semantics.
     */
   def keepOneExact(df: DataFrame, text: Column, id: Column): DataFrame = {
     val sig = array_join(array_sort(array_distinct(split(text, " "))), " ")
@@ -118,8 +123,15 @@ object Curation {
     * cross-corpus merge policy every multi-source build needs. Same
     * skew-proof shape and CONTRACT as [[keepOneExact]]: the combiner-
     * friendly min-STRUCT aggregate (struct comparison is lexicographic,
-    * exactly the `(priority, id)` window order it replaces) + the
-    * `(sig, id)` semi join.
+    * exactly the `(priority, id)` window order it replaces) + a
+    * `(sig, priority, id)` semi join. Priority IS part of the join key:
+    * the documented use case is two sources reusing one id for
+    * identical text with different priorities, and a `(sig, id)`-only
+    * probe would keep both copies — with priority in the key only the
+    * preferred copy matches the winner. The per-group uniqueness
+    * contract therefore narrows to the full `(priority, id)` pair:
+    * rows duplicated on signature AND priority AND id are
+    * indistinguishable keep decisions and all survive.
     */
   def keepOnePreferred(df: DataFrame, text: Column, id: Column,
                        priority: Column): DataFrame = {
@@ -128,9 +140,11 @@ object Curation {
       .select(sig.as("__sig"),
         struct(priority.as("p"), id.as("i")).as("__pi"))
       .groupBy(col("__sig")).agg(min(col("__pi")).as("__pi"))
-      .select(col("__sig"), col("__pi").getField("i").as("__kid"))
+      .select(col("__sig"), col("__pi").getField("p").as("__kp"),
+        col("__pi").getField("i").as("__kid"))
     df.join(winners,
-      sig <=> col("__sig") && id === col("__kid"), "left_semi")
+      sig <=> col("__sig") && priority <=> col("__kp") &&
+        id === col("__kid"), "left_semi")
   }
 
   /** Per-source quota: cap each source at `n` documents, preferring longer
@@ -1228,16 +1242,23 @@ object Curation {
     staged.repartition(col("bucket")).write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket", "batch_id").parquet(stagingPath)
-    // bounded collect: ≤ nBuckets values
-    val touched = staged.select(col("bucket")).distinct()
+    // explicit SHARED schema: a cleaning-emptied first batch leaves a
+    // footer-less dir that inference chokes on (the d9 discipline),
+    // and the maintenance compactor must read the same shape
+    val store = spark.read
+      .schema(crawlStagedSchema(staged.schema("doc_id").dataType))
+      .parquet(stagingPath)
+    // touched buckets come from the JUST-WRITTEN batch partitions, not
+    // a re-evaluation of the input (a non-deterministic url/id
+    // expression could otherwise disagree with what the staging write
+    // persisted and leave a stale groups partition — this op makes no
+    // double-evaluation demand, unlike keepOneExact's documented one).
+    // Partition-pruned on batch_id; bounded collect: ≤ nBuckets values.
+    val touched = store.filter(col("batch_id") === lit(batchId))
+      .select(col("bucket")).distinct()
       .collect().map(_.getInt(0))
     if (touched.nonEmpty) {
-      // explicit SHARED schema: a cleaning-emptied first batch leaves a
-      // footer-less dir that inference chokes on (the d9 discipline),
-      // and the maintenance compactor must read the same shape
-      val slice = spark.read
-        .schema(crawlStagedSchema(staged.schema("doc_id").dataType))
-        .parquet(stagingPath)
+      val slice = store
         .filter(col("bucket")
           .isin(touched.toIndexedSeq.map(Integer.valueOf): _*))
       val groups = slice.groupBy(col("canon_url"))
@@ -1294,6 +1315,11 @@ object Curation {
                   id: Column = col("doc_id")): org.apache.spark.sql.streaming.StreamingQuery =
     raw.writeStream.queryName(queryName)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // the ACTUAL id column type, threaded into maintenance — the
+        // compactor's LongType default stages a non-Long id stream fine
+        // and then dies at the first compaction with a parquet
+        // schema-conversion error (analysis-only: no job runs here)
+        val idType = batch.select(id.as("doc_id")).schema("doc_id").dataType
         if (maintainEvery > 0) {
           val fence = new org.apache.hadoop.fs.Path(
             s"$stagingPath.compact_tmp")
@@ -1303,7 +1329,8 @@ object Curation {
             val fenceOwner = compactionOwner(batch.sparkSession, stagingPath)
             if (fenceOwner.contains(queryName))
               crawlStoreMaintenance(batch.sparkSession, stagingPath,
-                committedThrough = batchId - 1, owner = queryName)
+                committedThrough = batchId - 1, idType = idType,
+                owner = queryName)
             else
               throw new IllegalStateException(
                 s"crawl store $stagingPath is fenced by a compaction " +
@@ -1320,7 +1347,8 @@ object Curation {
           nBuckets, url, id)
         if (maintainEvery > 0 && (batchId + 1) % maintainEvery == 0)
           crawlStoreMaintenance(batch.sparkSession, stagingPath,
-            committedThrough = batchId - 1, owner = queryName)
+            committedThrough = batchId - 1, idType = idType,
+            owner = queryName)
       }.start()
 
   /** The registrable-host key of a canonical URL (everything between
@@ -1930,10 +1958,15 @@ object Curation {
         .when(col("__c").isNotNull, lit("2_contaminated"))
         .when(col("__s").isNull, lit("3_duplicate"))
         .otherwise(lit("4_kept")).as("stage"))
-    // qKeep/contaminated stay pinned: the result is consumed lazily and a
-    // local checkpoint has no lineage to recompute from (callers release
-    // via the standard post-query unpersist sweep).
-    funnelReport(stage)
+    // Force the ≤4-row census NOW (a trivial checkpoint), then release
+    // the internal marker frames — callers can't reference qKeep /
+    // contaminated, so leaving them pinned until a harness-wide
+    // unpersist sweep accumulates dead blocks under repeated library
+    // use. The returned frame is self-contained.
+    val report = funnelReport(stage).localCheckpoint(true)
+    org.apache.spark.sql.graftbridge.Bridge.release(qKeep)
+    org.apache.spark.sql.graftbridge.Bridge.release(contaminated)
+    report
   }
 
   /** The funnel census tail shared by [[curationFunnel]] and
@@ -2021,7 +2054,14 @@ object Curation {
         .when(col("__c").isNull, lit("3_ccnet_tail"))
         .when(col("__s").isNull, lit("4_duplicate"))
         .otherwise(lit("5_kept")).as("stage"), col("__nt"))
-    funnelReport(stage, tokens = Some(col("__nt")))
+    // Materialize the ≤5-row census, then release the internal
+    // checkpoints (the curationFunnel rule): the returned frame is
+    // self-contained, nothing stays pinned past this call.
+    val report = funnelReport(stage, tokens = Some(col("__nt")))
+      .localCheckpoint(true)
+    org.apache.spark.sql.graftbridge.Bridge.release(flags)
+    org.apache.spark.sql.graftbridge.Bridge.release(cKeep)
+    report
   }
 
   /** The END-TO-END training-data manifest — the full modern pipeline

@@ -92,17 +92,22 @@ object Perceptron {
       val nm = miscl.count()
       trace += ((it, nm))
       if (nm < pocketNm) { pocket = w; pocketNm = nm }
-      val upd = feats.join(miscl, Seq("doc_id"))
-        .groupBy(col("dim")).agg(sum(col("y") * col("cnt")).as("delta"))
-        .collect() // ≤ dims + 1 rows
-      Bridge.release(miscl)
-      upd.foreach { r =>
-        // getOrElse: a feature frame carrying dims outside [-1, dims)
-        // (caller mismatch) must not crash the loop mid-training — the
-        // rogue dim just gets its own weight slot
-        val d = r.getInt(0)
-        w = w.updated(d, w.getOrElse(d, 0L) + r.getLong(1))
+      // the k-th candidate w_k is never evaluated, returned, or
+      // pocket-eligible — skip its update pass entirely (one feature-
+      // frame aggregate + collect saved per training run)
+      if (it < k) {
+        val upd = feats.join(miscl, Seq("doc_id"))
+          .groupBy(col("dim")).agg(sum(col("y") * col("cnt")).as("delta"))
+          .collect() // ≤ dims + 1 rows
+        upd.foreach { r =>
+          // getOrElse: a feature frame carrying dims outside [-1, dims)
+          // (caller mismatch) must not crash the loop mid-training — the
+          // rogue dim just gets its own weight slot
+          val d = r.getInt(0)
+          w = w.updated(d, w.getOrElse(d, 0L) + r.getLong(1))
+        }
       }
+      Bridge.release(miscl)
     }
     (pocket, trace.result())
   }

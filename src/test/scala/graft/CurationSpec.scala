@@ -1232,6 +1232,24 @@ class CurationSpec extends AnyFunSuite {
     assert(kept == Set(2L, 3L))
   }
 
+  test("keepOnePreferred: duplicated id across sources keeps only the " +
+      "preferred copy (priority is part of the probe key)") {
+    // the cross-corpus merge case the op documents: two sources reuse
+    // id 7 for identical text with different priorities — a (sig, id)-
+    // only semi join would keep BOTH rows; the (sig, priority, id) key
+    // keeps exactly the curated one
+    val df = Seq(
+      (7L, "a b c", "curated", 0),
+      (7L, "c b a", "crawl", 1),
+      (9L, "z", "crawl", 1)
+    ).toDF("doc_id", "text", "src", "pri")
+    val kept = Curation.keepOnePreferred(df, col("text"), col("doc_id"),
+        col("pri"))
+      .select("doc_id", "src").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(kept == Set((7L, "curated"), (9L, "crawl")))
+  }
+
   test("stratifiedSample: deterministic subset, rate-monotone, rate-0/1000 exact") {
     val df = (1L to 400L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
     def keep(rates: Seq[(String, Int)], dflt: Int) =
