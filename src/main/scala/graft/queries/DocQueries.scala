@@ -3558,6 +3558,24 @@ object DocQueries {
         .orderBy(col("cutoff").desc)
     },
 
+    // CALIBRATED quality filter (round 14) — closes the classifier
+    // loop: the keep decision consumes c36's gains table instead of a
+    // hand-set threshold (the c11b move — calibration artifact wired
+    // into the decision it exists for). Keep every doc scoring >= the
+    // highest cutoff that still captures >= 90% of positives; exact
+    // integer recall inequality, cutoff rides the output so the gate
+    // pins the chosen operating point. Histogram + windows run over the
+    // reduced distinct scores; the 1-row cutoff broadcasts into a
+    // scan-shaped keep pass.
+    QDef("c10b_quality_filter_calibrated",
+        graft.text.Perceptron.calibratedKeepOracleSql(PerceptronK,
+          PerceptronDims, PerceptronLabelSql,
+          targetRecallPermille = 900)) { (s, dir) =>
+      graft.text.Perceptron.calibratedKeep(perceptronFeatures(s, dir),
+          perceptronWeights(s, dir), targetRecallPermille = 900)
+        .orderBy(col("doc_id"))
+    },
+
     // DSIR data SELECTION (round 13) — the step c31's weights exist
     // for: the 25 raw docs most like the target distribution, by
     // (weight DESC, doc_id) — the deterministic rank-k variant of the

@@ -243,17 +243,25 @@ object Perceptron {
               / (col("n_pos") * col("n_neg") * 2L), 6)).as("auc"))
   }
 
+  /** One scoring pass: per-document integer score under a weight map —
+    * `(doc_id, y, s)`, the doc-key aggregate riding the feature frame's
+    * partitioning. Shared by the histogram reports and the calibrated
+    * keep filter (c10b).
+    */
+  private def scoredDocs(feats: DataFrame, w: Map[Int, Long]): DataFrame =
+    feats
+      .withColumn("contrib",
+        col("cnt") * coalesce(element_at(typedlit(w), col("dim")), lit(0L)))
+      .groupBy(col("doc_id"), col("y"))
+      .agg(sum(col("contrib")).as("s"))
+
   /** The exact-integer score HISTOGRAM `s → (n, n₊)` shared by the ROC
     * (c32) and gains-table (c36) reports: one scoring pass over the
     * feature frame (doc-key aggregate riding its partitioning), then
     * the corpus reduces to one row per distinct integer score.
     */
   private def scoreHistogram(feats: DataFrame, w: Map[Int, Long]): DataFrame =
-    feats
-      .withColumn("contrib",
-        col("cnt") * coalesce(element_at(typedlit(w), col("dim")), lit(0L)))
-      .groupBy(col("doc_id"), col("y"))
-      .agg(sum(col("contrib")).as("s"))
+    scoredDocs(feats, w)
       .groupBy(col("s"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("y") === 1, 1L).otherwise(0L)).as("np"))
@@ -313,6 +321,81 @@ object Perceptron {
        |       ELSE round(CAST(cum_pos AS DOUBLE) / tot_pos, 6) END AS recall,
        |  round(CAST(cum_n AS DOUBLE) / tot_n, 6) AS volume
        |FROM g ORDER BY cutoff DESC""".stripMargin
+
+  /** The operating point CHOSEN from the gains table (c36's consumer —
+    * the c11b move applied to the classifier family): the HIGHEST score
+    * cutoff whose kept set still captures at least
+    * `targetRecallPermille`/1000 of the positives, i.e. the smallest
+    * "keep everything scoring ≥ s" set meeting the recall target. The
+    * comparison is exact integer arithmetic
+    * (`cum_pos · 1000 ≥ target · tot_pos`) — no float recall boundary
+    * to knife-edge. One row: `(cutoff)`. Degenerate corpora: zero
+    * positives make every cutoff satisfy the target vacuously (0 ≥ 0),
+    * so the max score wins — the conservative "keep almost nothing"
+    * answer, matching the oracle bit for bit; an empty corpus yields a
+    * NULL cutoff.
+    *
+    * Plan shape: the corpus reduces to the integer score histogram
+    * (doc-key aggregate riding the feature frame's partitioning, then a
+    * per-score reduce); the cumulative window and the max run over the
+    * already-reduced distinct scores (the w1/sk6 post-reduction
+    * discipline) and a 1-row scalar.
+    */
+  def chooseCutoff(feats: DataFrame, w: Map[Int, Long],
+                   targetRecallPermille: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val above = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    scoreHistogram(feats, w)
+      .withColumn("cum_pos", sum(col("np")).over(above))
+      .withColumn("tot_pos", sum(col("np")).over(wAll))
+      .filter(col("cum_pos") * lit(1000L) >=
+        lit(targetRecallPermille.toLong) * col("tot_pos"))
+      .agg(max(col("s")).as("cutoff"))
+  }
+
+  /** CALIBRATED quality filter — the keep decision c36's gains table
+    * exists to set, closed as one operator: score every document under
+    * the trained weights and keep those at or above the
+    * [[chooseCutoff]] operating point for the recall target. Output
+    * `(doc_id, y, s, cutoff)` — the cutoff rides along so downstream
+    * audits (and the gate hash) pin WHICH operating point filtered the
+    * corpus, not just its survivors.
+    *
+    * Plan shape: two map-side-combined scoring aggregates over the
+    * feature frame (histogram branch + kept branch — deterministic, so
+    * re-evaluation is safe and nothing corpus-sized is pinned), and the
+    * 1-row cutoff enters as a BROADCAST cross join (never a shuffle).
+    * At 100 TB the cutoff is chosen once on a sample or the full
+    * histogram (tiny either way) and the keep pass is scan-shaped.
+    */
+  def calibratedKeep(feats: DataFrame, w: Map[Int, Long],
+                     targetRecallPermille: Int): DataFrame =
+    scoredDocs(feats, w)
+      .crossJoin(broadcast(chooseCutoff(feats, w, targetRecallPermille)))
+      .filter(col("s") >= col("cutoff"))
+      .select(col("doc_id"), col("y"), col("s"), col("cutoff"))
+
+  /** c10b oracle: the identical histogram → integer recall inequality →
+    * max-cutoff scalar → keep filter, composed from the SAME shared
+    * `wp`/`sf`/`h` fragments as c26/c32/c36 (one scoring definition,
+    * four gates — a semantics change can't leave a stale sibling).
+    */
+  def calibratedKeepOracleSql(k: Int, dims: Int, labelSql: String,
+                              targetRecallPermille: Int): String =
+    s"""${oracleCtes(k, dims, labelSql)},
+       |$scoreCtes,
+       |g AS (SELECT s,
+       |    CAST(sum(np) OVER (ORDER BY s DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos,
+       |    CAST(sum(np) OVER () AS BIGINT) AS tot_pos FROM h),
+       |cut AS (SELECT max(s) AS cutoff FROM g
+       |  WHERE cum_pos * 1000 >= $targetRecallPermille * tot_pos)
+       |SELECT sf.doc_id, sf.y, sf.s, cut.cutoff
+       |FROM sf, cut WHERE sf.s >= cut.cutoff
+       |ORDER BY sf.doc_id""".stripMargin
 
   /** c32 oracle: score under `wp`, histogram, tie-aware rank sum. */
   def rocAucOracleSql(k: Int, dims: Int, labelSql: String): String =

@@ -65,4 +65,50 @@ class PerceptronSpec extends AnyFunSuite {
     assert(trace == Seq((1, 1L), (2, 0L)))
     assert(w(-1) == -1L)
   }
+
+  // scores under w={0->1, b->0}: docs 1..5 score 5,4,3,2,1 with labels
+  // +,+,-,+,- (tot_pos = 3). Gains desc: s=5 cum_pos=1, s=4 2, s=3 2,
+  // s=2 3, s=1 3.
+  private def gainsFixture = Seq(
+    (1L, 1, 0, 5L), (1L, 1, -1, 1L),
+    (2L, 1, 0, 4L), (2L, 1, -1, 1L),
+    (3L, -1, 0, 3L), (3L, -1, -1, 1L),
+    (4L, 1, 0, 2L), (4L, 1, -1, 1L),
+    (5L, -1, 0, 1L), (5L, -1, -1, 1L)
+  ).toDF("doc_id", "y", "dim", "cnt")
+  private val gainsW = Map(-1 -> 0L, 0 -> 1L)
+
+  test("chooseCutoff: highest cutoff meeting the integer recall target") {
+    def cut(t: Int): Option[Long] =
+      Perceptron.chooseCutoff(gainsFixture, gainsW, t)
+        .collect().map(r => Option(r.get(0)).map(_ => r.getLong(0))).head
+    // 900‰ of 3 positives needs cum_pos*1000 >= 2700 -> cum_pos = 3 ->
+    // cutoffs {2, 1} qualify, max = 2
+    assert(cut(900) == Some(2L))
+    // 600‰ -> cum_pos >= 2 (1.8 exact-int) -> max qualifying cutoff = 4
+    assert(cut(600) == Some(4L))
+    assert(cut(1000) == Some(2L))
+  }
+
+  test("calibratedKeep: kept set, cutoff column, target monotonicity") {
+    def kept(t: Int) = Perceptron.calibratedKeep(gainsFixture, gainsW, t)
+      .as[(Long, Int, Long, Long)].collect().toSet
+    val k900 = kept(900)
+    assert(k900 == Set((1L, 1, 5L, 2L), (2L, 1, 4L, 2L),
+      (3L, -1, 3L, 2L), (4L, 1, 2L, 2L)))
+    val k600 = kept(600)
+    assert(k600 == Set((1L, 1, 5L, 4L), (2L, 1, 4L, 4L)))
+    // raising the recall target only ever ADDS survivors
+    assert(k600.map(_._1).subsetOf(k900.map(_._1)))
+  }
+
+  test("calibratedKeep: zero-positive corpus keeps only the top tie group") {
+    // no positives -> every cutoff satisfies the target vacuously ->
+    // max score wins (documented conservative degenerate)
+    val feats = Seq((1L, -1, 0, 3L), (2L, -1, 0, 1L))
+      .toDF("doc_id", "y", "dim", "cnt")
+    val got = Perceptron.calibratedKeep(feats, Map(0 -> 1L), 900)
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(got == Set((1L, -1, 3L, 3L)))
+  }
 }

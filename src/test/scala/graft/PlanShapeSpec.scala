@@ -261,6 +261,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("LeftSemi"), plan)
   }
 
+  test("c10b calibrated keep: 1-row cutoff BROADCASTS into the keep pass") {
+    val feats = graft.text.Perceptron.features(docs, col("text"),
+      col("doc_id"), when(col("lang") === "en", lit(1)).otherwise(lit(-1)),
+      dims = 8)
+    val plan = phys(graft.text.Perceptron.calibratedKeep(feats,
+      (-1 until 8).map(_ -> 1L).toMap, targetRecallPermille = 900))
+    // the scalar operating point must enter as a broadcast nested-loop
+    // cross join — never a shuffled join keyed on nothing
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"cutoff must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
   test("t25 gopher repetition: ONE scan-fused pass, zero shuffles, no UDF") {
     val plan = phys(TextAnalysis.gopherRepetitionMetrics(docs,
       col("text"), col("doc_id")))
