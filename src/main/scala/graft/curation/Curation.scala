@@ -82,9 +82,13 @@ object Curation {
       splitKey = Some(canonicalSigExpr(text)))
 
   /** Keep one document per exact-duplicate group (canonical sorted distinct
-    * token set), choosing the lowest NON-NULL id. At PB scale group on
-    * `xxhash64(sig)` (8-byte shuffle key); raw signature kept here for
-    * oracle bit-parity, matching `Dedup.exactByCanonicalTokens`.
+    * token set), choosing the lowest NON-NULL id. `hashSig = true` is
+    * the PB-scale path (the c4b/c19b convention): the group/probe key
+    * becomes `xxhash64(sig)` — an 8-byte shuffle key instead of the
+    * full sorted token set (KBs per row on real documents), with the
+    * usual 64-bit collision trade (~n²/2⁶⁵ false merges). Default
+    * `false` keeps raw-signature bit-parity with
+    * `Dedup.exactByCanonicalTokens`.
     *
     * Plan shape (round 13): per-signature argmin AGGREGATE (map-side
     * partial combine) + a `(sig, id)` LEFT SEMI join back — never a
@@ -107,13 +111,23 @@ object Curation {
     * priority). CurationSpec + the TextStatsPropertySpec equivalence
     * test pin window-form semantics.
     */
-  def keepOneExact(df: DataFrame, text: Column, id: Column): DataFrame = {
-    val sig = array_join(array_sort(array_distinct(split(text, " "))), " ")
+  def keepOneExact(df: DataFrame, text: Column, id: Column,
+                   hashSig: Boolean = false): DataFrame = {
+    val sig = keepOneSig(text, hashSig)
     val winners = df
       .select(sig.as("__sig"), id.as("__kid"))
       .groupBy(col("__sig")).agg(min(col("__kid")).as("__kid"))
     df.join(winners,
       sig <=> col("__sig") && id === col("__kid"), "left_semi")
+  }
+
+  /** The keep-one group/probe key: canonical sorted distinct token set,
+    * optionally collapsed to its xxhash64 (8 bytes on the wire — the
+    * only part of the row either keep-one shape ever shuffles).
+    */
+  private def keepOneSig(text: Column, hashSig: Boolean): Column = {
+    val raw = array_join(array_sort(array_distinct(split(text, " "))), " ")
+    if (hashSig) xxhash64(raw) else raw
   }
 
   /** [[keepOneExact]] with an explicit keep preference: when the same
@@ -131,11 +145,13 @@ object Curation {
     * preferred copy matches the winner. The per-group uniqueness
     * contract therefore narrows to the full `(priority, id)` pair:
     * rows duplicated on signature AND priority AND id are
-    * indistinguishable keep decisions and all survive.
+    * indistinguishable keep decisions and all survive. `hashSig` as in
+    * [[keepOneExact]]: true = 8-byte xxhash64 shuffle/probe key, the
+    * PB-scale twin (c16b).
     */
   def keepOnePreferred(df: DataFrame, text: Column, id: Column,
-                       priority: Column): DataFrame = {
-    val sig = array_join(array_sort(array_distinct(split(text, " "))), " ")
+                       priority: Column, hashSig: Boolean = false): DataFrame = {
+    val sig = keepOneSig(text, hashSig)
     val winners = df
       .select(sig.as("__sig"),
         struct(priority.as("p"), id.as("i")).as("__pi"))

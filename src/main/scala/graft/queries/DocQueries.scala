@@ -968,6 +968,19 @@ object DocQueries {
       |SELECT doc_inner, doc_outer FROM p
       |ORDER BY doc_inner, doc_outer""".stripMargin
 
+  /** Shared by c16 and its hashed-key scale twin c16b — one oracle, two
+    * engine plans (the c4/c4b convention).
+    */
+  private val c16OracleSql: String =
+    """WITH p AS (SELECT doc_id, source, text,
+      |  CASE WHEN source IN ('src0', 'src1') THEN 0 ELSE 1 END AS priority
+      |  FROM documents),
+      |r AS (SELECT doc_id, source, priority, row_number() OVER (
+      |  PARTITION BY array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')
+      |  ORDER BY priority, doc_id) AS rn FROM p)
+      |SELECT doc_id, source, CAST(priority AS BIGINT) AS priority
+      |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   /** Shared by c4 and its hashed-key scale twin c4b — one oracle, two
     * engine plans.
     */
@@ -2935,19 +2948,26 @@ object DocQueries {
     // in several sources keeps the copy from the PREFERRED source
     // (priority asc, id tiebreak) — the multi-corpus merge policy
     // ("curated beats crawl for identical text").
-    QDef("c16_keep_preferred",
-      """WITH p AS (SELECT doc_id, source, text,
-        |  CASE WHEN source IN ('src0', 'src1') THEN 0 ELSE 1 END AS priority
-        |  FROM documents),
-        |r AS (SELECT doc_id, source, priority, row_number() OVER (
-        |  PARTITION BY array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')
-        |  ORDER BY priority, doc_id) AS rn FROM p)
-        |SELECT doc_id, source, CAST(priority AS BIGINT) AS priority
-        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    QDef("c16_keep_preferred", c16OracleSql) { (s, dir) =>
       val pri = when(col("source").isin("src0", "src1"), lit(0)).otherwise(lit(1))
       graft.curation.Curation.keepOnePreferred(
           Tables.documents(s, dir).withColumn("priority", pri),
           col("text"), col("doc_id"), col("priority"))
+        .select(col("doc_id"), col("source"),
+          col("priority").cast("long").as("priority"))
+        .orderBy(col("doc_id"))
+    },
+
+    // The c16 scale twin (c4b convention): identical semantics, but the
+    // winner aggregate and semi-join probe key on xxhash64 of the
+    // canonical signature — an 8-byte shuffle key instead of the full
+    // sorted token set (keepOneExact's own scaladoc prescribes exactly
+    // this at PB scale). Gated against the SAME oracle as c16.
+    QDef("c16b_keep_preferred_hashed", c16OracleSql) { (s, dir) =>
+      val pri = when(col("source").isin("src0", "src1"), lit(0)).otherwise(lit(1))
+      graft.curation.Curation.keepOnePreferred(
+          Tables.documents(s, dir).withColumn("priority", pri),
+          col("text"), col("doc_id"), col("priority"), hashSig = true)
         .select(col("doc_id"), col("source"),
           col("priority").cast("long").as("priority"))
         .orderBy(col("doc_id"))

@@ -1230,6 +1230,11 @@ class CurationSpec extends AnyFunSuite {
         col("pri"))
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(2L, 3L))
+    // the hashed scale twin agrees row for row (c16b's contract)
+    val hashed = Curation.keepOnePreferred(df, col("text"), col("doc_id"),
+        col("pri"), hashSig = true)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(hashed == kept)
   }
 
   test("keepOnePreferred: duplicated id across sources keeps only the " +

@@ -276,6 +276,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("ScalaUDF"), plan)
   }
 
+  test("c16b hashed keep-one: shuffles key on the 8-byte hash, never the signature string") {
+    val pri = when(col("source") === "src0", lit(0)).otherwise(lit(1))
+    val kept = graft.curation.Curation.keepOnePreferred(
+      docs.withColumn("priority", pri), col("text"), col("doc_id"),
+      col("priority"), hashSig = true)
+    val plan = phys(kept)
+    assert(plan.contains("xxhash64"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("LeftSemi"), plan)
+    // every __sig exchange keys on a LongType attribute (prints with the
+    // L suffix); a raw-signature shuffle would print __sig#N (string)
+    val sigParts = """hashpartitioning\(__sig#\d+(L?)""".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(sigParts.nonEmpty, s"expected a __sig exchange:\n$plan")
+    assert(sigParts.forall(_ == "L"),
+      s"a __sig exchange carries the raw signature string:\n$plan")
+  }
+
   test("t25 gopher repetition: ONE scan-fused pass, zero shuffles, no UDF") {
     val plan = phys(TextAnalysis.gopherRepetitionMetrics(docs,
       col("text"), col("doc_id")))

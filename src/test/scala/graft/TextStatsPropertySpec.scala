@@ -237,6 +237,17 @@ class TextStatsPropertySpec extends AnyFunSuite {
         col("text"), col("doc_id"), col("pri"))
       .select("doc_id").as[Long].collect().toSet
     assert(prefNew == winForm(Seq(col("pri"), col("doc_id"))))
+    // the hashed 8-byte-key twins (c16b's PB-scale path) keep the
+    // identical sets — xxhash64 collisions are the only divergence
+    // channel and 300 docs over a tiny vocab can't produce one
+    val exactHashed = graft.curation.Curation.keepOneExact(base,
+        col("text"), col("doc_id"), hashSig = true)
+      .select("doc_id").as[Long].collect().toSet
+    assert(exactHashed == exactNew)
+    val prefHashed = graft.curation.Curation.keepOnePreferred(base,
+        col("text"), col("doc_id"), col("pri"), hashSig = true)
+      .select("doc_id").as[Long].collect().toSet
+    assert(prefHashed == prefNew)
   }
 
   test("GopherRepStats ≡ sliding-window reference on random unicode docs") {
