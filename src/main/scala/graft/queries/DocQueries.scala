@@ -3596,6 +3596,27 @@ object DocQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Domain-mixture weight OPTIMIZATION (round 14, DoReMi-lite —
+    // arXiv:2305.10429): SOLVE for per-domain sampling weights from
+    // clipped per-domain excess loss via k floor-exact linearized-EG
+    // steps — the missing member of the mix family (c22 measures, c31
+    // weighs docs, c11/c11b fill budgets; this sets the domain mix).
+    // Loss proxy here: chars-per-token in micro units (exact BIGINT).
+    // One corpus pass reduces to the |D|-row domain frame; all k steps
+    // ride it with 1-row broadcast scalars — never a corpus rescan. The
+    // whole trajectory hash-gates against the k-level unrolled oracle
+    // (the c25/t21 trainer discipline).
+    QDef("c37_domain_mixture",
+        graft.text.DomainMixture.oracleSql("source",
+          "(CAST(n_chars AS BIGINT) * 1000000) // len(string_split(text, ' '))",
+          k = 5)) { (s, dir) =>
+      graft.text.DomainMixture.solve(Tables.documents(s, dir),
+          col("source"),
+          expr("(CAST(n_chars AS BIGINT) * 1000000) div size(split(text, ' '))"),
+          k = 5)
+        .orderBy(col("domain"))
+    },
+
     // DSIR data SELECTION (round 13) — the step c31's weights exist
     // for: the 25 raw docs most like the target distribution, by
     // (weight DESC, doc_id) — the deterministic rank-k variant of the

@@ -1,0 +1,143 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** Domain-mixture weight OPTIMIZATION (DoReMi-lite, after Xie et al.
+  * 2023, arXiv:2305.10429): solve for per-domain sampling weights from
+  * per-domain EXCESS LOSS, instead of hand-setting them. The published
+  * pipeline family already measures per-domain stats (c22), importance
+  * weights (c31) and fills budget mixes (c11/c11b); this is the missing
+  * member that SOLVES for the mix — the reference repo has no
+  * counterpart (LLM-pipeline widening, like `Perceptron`/`BpeTrain`).
+  *
+  * Algorithm (the DoReMi Group-DRO loop, linearized to exact integer
+  * arithmetic so the whole trajectory hash-gates):
+  *
+  *  1. ONE corpus-scale pass reduces to the |D|-row per-domain frame
+  *     `(domain, n_docs, sum_loss_micro)` (map-side combined groupBy —
+  *     at 100 TB this is the only scan; D is tens of domains).
+  *  2. Excess loss per domain: `max(0, mean_d − global_mean)` in
+  *     micro-units with floor division — DoReMi's clipped excess (only
+  *     harder-than-reference domains get upweighted), computed once
+  *     from the frozen per-domain sums (the "lite": the published loop
+  *     retrains the proxy between steps; with a fixed scorer the
+  *     excess is a constant of the corpus).
+  *  3. `k` exponentiated-gradient steps on the |D|-row frame, with the
+  *     exp linearized to keep integers exact:
+  *     `u_d = w_d · (10⁶ + η‰·excess_d/10³) / 10⁶` (floor), then
+  *     renormalize `w'_d = u_d · 10⁶ / Σu` (floor). Each step is |D|
+  *     rows — never a corpus rescan. The floor-renormalization between
+  *     steps is what makes k steps differ from one f^k step, and the
+  *     oracle unrolls the identical k CTE levels (the c25/t21 trainer
+  *     discipline).
+  *  4. Final uniform smoothing (the paper's mixing step):
+  *     `w = (1−s‰)·w + s‰·(10⁶/D)`, all floored micro-units.
+  *
+  * Determinism contract: `domain` non-null, `lossMicro` a non-negative
+  * BIGINT micro-quantity (the caller picks the loss proxy — a
+  * reference-model score, a perplexity proxy, chars-per-token); every
+  * division is integer floor on non-negative operands so DuckDB `//`
+  * and Spark `div` agree bit for bit.
+  */
+object DomainMixture {
+
+  /** Per-domain stats + solved mixture weights: one row per domain —
+    * `(domain, n_docs, mean_loss_micro, excess_micro, weight_micro)`.
+    * Plan shape: corpus reduces in stage 1 (one shuffle on the domain
+    * key, partial-aggregated map-side); the global mean and Σu scalars
+    * enter as 1-row BROADCAST cross joins; the k-step loop rides a
+    * localCheckpoint-materialized |D|-row frame with per-step lineage
+    * truncation (the BpeTrain discipline) and the dead step's blocks
+    * released.
+    */
+  def solve(docs: DataFrame, domain: Column, lossMicro: Column, k: Int,
+            etaPermille: Long = 100L,
+            smoothPermille: Long = 200L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(etaPermille >= 0 && smoothPermille >= 0 &&
+      smoothPermille <= 1000, "eta >= 0, 0 <= smooth <= 1000")
+    // stage 1: the ONE corpus pass
+    val perDomain = docs
+      .select(domain.as("domain"), lossMicro.as("__loss"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__loss")).as("__sum"))
+      .localCheckpoint(true)
+    // global mean over the |D|-row frame (1-row broadcast, never a
+    // second corpus pass); nDomains rides the same scalar
+    val globals = perDomain
+      .agg((sum(col("__sum")) cast "long").as("__gsum"),
+        sum(col("n_docs")).as("__gn"), count(lit(1)).as("__nd"))
+    val base = perDomain
+      .crossJoin(broadcast(globals))
+      .select(col("domain"), col("n_docs"),
+        expr("__sum div n_docs").as("mean_loss_micro"),
+        greatest(expr("__sum div n_docs") - expr("__gsum div __gn"), lit(0L))
+          .as("excess_micro"),
+        expr("1000000 div __nd").as("__w"),
+        expr("1000000 div __nd").as("__uniform"))
+    var cur = base.localCheckpoint(true)
+    Bridge.release(perDomain)
+    for (_ <- 1 to k) {
+      val stepped = cur.withColumn("__u",
+        expr(s"(__w * (1000000 + ($etaPermille * excess_micro) div 1000)) " +
+          "div 1000000"))
+      val norm = stepped.agg(sum(col("__u")).as("__su"))
+      val next = stepped
+        .crossJoin(broadcast(norm))
+        .select(col("domain"), col("n_docs"), col("mean_loss_micro"),
+          col("excess_micro"), expr("(__u * 1000000) div __su").as("__w"),
+          col("__uniform"))
+        .localCheckpoint(true)
+      Bridge.release(cur)
+      cur = next
+    }
+    val out = cur.select(col("domain"), col("n_docs"),
+      col("mean_loss_micro"), col("excess_micro"),
+      (expr(s"((1000 - $smoothPermille) * __w) div 1000") +
+        expr(s"($smoothPermille * __uniform) div 1000")).as("weight_micro"))
+      .localCheckpoint(true)
+    Bridge.release(cur)
+    out
+  }
+
+  /** c37 oracle: the identical per-domain reduction, clipped excess,
+    * and k unrolled floor-renormalized EG levels. `lossSql` is the
+    * per-document loss expression over `documents` (must mirror the
+    * gate's `lossMicro` column bit for bit); `domainSql` the domain
+    * key. Every division is `//` on non-negative BIGINTs with HUGEINT
+    * casts at each aggregate (the SURVEY §6.1 rule).
+    */
+  def oracleSql(domainSql: String, lossSql: String, k: Int,
+                etaPermille: Long = 100L,
+                smoothPermille: Long = 200L): String = {
+    val levels = (1 to k).map { i =>
+      val prev = if (i == 1) "l0" else s"l${i - 1}n"
+      s"""l$i AS (SELECT domain, n_docs, mean_loss_micro, excess_micro, uni,
+         |  CAST((w * (1000000 + ($etaPermille * excess_micro) // 1000)) // 1000000 AS BIGINT) AS u
+         |  FROM $prev),
+         |l${i}n AS (SELECT domain, n_docs, mean_loss_micro, excess_micro, uni,
+         |  CAST((u * 1000000) // (SELECT CAST(sum(u) AS BIGINT) FROM l$i) AS BIGINT) AS w
+         |  FROM l$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pd AS (SELECT $domainSql AS domain,
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum($lossSql) AS BIGINT) AS sum_loss
+       |  FROM documents GROUP BY 1),
+       |g AS (SELECT CAST(sum(sum_loss) AS BIGINT) AS gsum,
+       |    CAST(sum(n_docs) AS BIGINT) AS gn,
+       |    CAST(count(*) AS BIGINT) AS nd FROM pd),
+       |l0 AS (SELECT domain, n_docs,
+       |    CAST(sum_loss // n_docs AS BIGINT) AS mean_loss_micro,
+       |    CAST(greatest(sum_loss // n_docs - (SELECT gsum // gn FROM g), 0) AS BIGINT) AS excess_micro,
+       |    CAST(1000000 // (SELECT nd FROM g) AS BIGINT) AS w,
+       |    CAST(1000000 // (SELECT nd FROM g) AS BIGINT) AS uni
+       |  FROM pd),
+       |$levels
+       |SELECT domain, n_docs, mean_loss_micro, excess_micro,
+       |  CAST(((1000 - $smoothPermille) * w) // 1000
+       |    + ($smoothPermille * uni) // 1000 AS BIGINT) AS weight_micro
+       |FROM l${k}n ORDER BY domain""".stripMargin
+  }
+}

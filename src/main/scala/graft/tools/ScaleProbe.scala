@@ -302,6 +302,15 @@ object ScaleProbe {
         col("n_tokens"), col("lang"), col("source"),
         Seq(col("doc_id")), budget = 1000000L, calibration = cal).count()
     }
+    t(s"c37 domain mixture ${mult}x") {
+      // stage 1 is the only corpus pass (domain-key groupBy, map-side
+      // combined); the 5 EG steps ride the |D|-row frame with 1-row
+      // broadcast scalars — wall time must track ONE corpus scan, flat
+      // in k, regardless of mult
+      graft.text.DomainMixture.solve(big, col("source"),
+        expr("(CAST(length(text) AS BIGINT) * 1000000) " +
+          "div size(split(text, ' '))"), k = 5).count()
+    }
     t(s"t19 bpe token count ${mult}x") {
       // one codegen'd regexp pass per row — must be linear in corpus
       // chars, no shuffle (the count is scan-side by contract)

@@ -1,0 +1,59 @@
+package graft
+
+import graft.text.DomainMixture
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DomainMixtureSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // domain a: losses 30e6, 10e6 (mean 20e6); domain b: 10e6, 10e6
+  // (mean 10e6). Global mean 15e6 -> excess a = 5e6, b = 0 (clipped).
+  private def fixture = Seq(
+    ("a", 30000000L), ("a", 10000000L),
+    ("b", 10000000L), ("b", 10000000L)
+  ).toDF("d", "loss")
+
+  private def run(k: Int, eta: Long = 100L, smooth: Long = 200L) =
+    DomainMixture.solve(fixture, col("d"), col("loss"), k, eta, smooth)
+      .orderBy("domain")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+
+  test("solve: one hand-run EG step with clipped excess and smoothing") {
+    // step: f_a = 1e6 + (100*5e6)//1000 = 1.5e6 -> u_a = 750000,
+    // u_b = 500000, su = 1.25e6 -> w = (600000, 400000);
+    // smooth 200‰ toward uniform 500000 -> (580000, 420000)
+    assert(run(1) == Seq(
+      ("a", 2L, 20000000L, 5000000L, 580000L),
+      ("b", 2L, 10000000L, 0L, 420000L)))
+  }
+
+  test("solve: second step compounds on the renormalized weights") {
+    // from (600000, 400000): u = (900000, 400000), su = 1.3e6 ->
+    // floor-normalized (692307, 307692); smoothed (653845, 346153)
+    assert(run(2).map(r => (r._1, r._5)) ==
+      Seq(("a", 653845L), ("b", 346153L)))
+  }
+
+  test("solve: zero eta (or zero excess) leaves the uniform mixture") {
+    assert(run(3, eta = 0L, smooth = 0L).map(_._5) == Seq(500000L, 500000L))
+    val flat = Seq(("a", 7000000L), ("b", 7000000L))
+      .toDF("d", "loss")
+    val got = DomainMixture.solve(flat, col("d"), col("loss"), k = 4)
+      .orderBy("domain").select("weight_micro")
+      .as[Long].collect().toSeq
+    assert(got == Seq(500000L, 500000L))
+  }
+
+  test("solve: harder domains only ever gain weight as k grows") {
+    val w = (1 to 4).map(k => run(k, smooth = 0L))
+    val wa = w.map(_.head._5)
+    assert(wa == wa.sorted, s"domain a must be monotone in k: $wa")
+    // weights stay a (floored) distribution
+    w.foreach { r =>
+      val s = r.map(_._5).sum
+      assert(s <= 1000000L && s >= 999990L, s"sum drifted: $s")
+    }
+  }
+}
