@@ -1723,6 +1723,20 @@ object DocQueries {
         .orderBy(col("doc_id"))
     },
 
+    // DETOKENIZATION round trip (round 14) — tokenize's inverse under
+    // the same trained vocab: per-word subword concat (exact because
+    // merges never cross word boundaries — the no-end-of-word-marker
+    // caveat PINNED as a gated theorem instead of a trusted scaladoc),
+    // order-preserving doc reassembly, and a roundtrip_ok comparison
+    // against the canonical [a-z]+ form. Same memoized training run as
+    // t21-t24; the oracle replays training + the identical reassembly.
+    QDef("t26_bpe_detokenize",
+        graft.text.BpeTrain.detokenizeOracleSql(BpeTrainK)) { (s, dir) =>
+      graft.text.BpeTrain.detokenize(Tables.documents(s, dir), col("text"),
+          col("doc_id"), bpeArtifacts(s, dir)._2)
+        .orderBy(col("doc_id"))
+    },
+
     // The dedup-audit agreement report (round 10): doc-pair precision /
     // recall of the LSH single-linkage clustering against the exact
     // >=0.9-Jaccard clustering, read off the cluster contingency table

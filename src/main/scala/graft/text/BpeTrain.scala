@@ -248,6 +248,68 @@ object BpeTrain {
     * final vocab as a word → symbol-count lookup, joined to the corpus
     * word explode.
     */
+  /** DETOKENIZATION under the trained vocab — the inverse of [[tokenCounts]],
+    * closing the round trip (t26): each word's subword tokens concatenate
+    * back to the word EXACTLY because merges never cross word boundaries
+    * (the no-end-of-word-marker caveat documented in the object scaladoc,
+    * PINNED here instead of trusted: word-internal reconstruction needs no
+    * marker; the marker exists for flat token STREAMS, and this operator
+    * keeps the per-word grouping a columnar pipeline naturally has). The
+    * document then reassembles in word order, and `roundtrip_ok` compares
+    * against the canonical form (lowercased [a-z]+ words joined by single
+    * spaces — the exact alphabet the trainer consumed; on a corpus already
+    * in canonical form the round trip is the identity).
+    *
+    * Plan shape: one corpus word-explode joined to the |V|-row vocab
+    * lookup (AQE broadcasts it while it fits — the t23 shape), a doc-keyed
+    * order-preserving reassembly aggregate, and a doc-keyed join back to
+    * the canonical projection (word-less docs survive with detok = '').
+    */
+  def detokenize(docs: DataFrame, text: Column, id: Column,
+                 vocab: DataFrame): DataFrame = {
+    val lut = vocab.select(col("word"),
+      translate(col("syms"), "|", "").as("dword"))
+    val reassembled = docs
+      .select(id.as("doc_id"),
+        posexplode(regexp_extract_all(lower(text), lit("[a-z]+"), lit(0)))
+          .as(Seq("pos", "word")))
+      .join(lut, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("dword")))),
+          x => x.getField("dword")), " ").as("detok_text"))
+    docs
+      .select(id.as("doc_id"),
+        array_join(regexp_extract_all(lower(text), lit("[a-z]+"), lit(0)),
+          " ").as("__canon"))
+      .join(reassembled, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("detok_text"), lit("")).as("detok_text"),
+        (coalesce(col("detok_text"), lit("")) === col("__canon"))
+          .as("roundtrip_ok"))
+  }
+
+  /** t26 oracle: training chain + the identical lookup-join reassembly
+    * and canonical-form comparison.
+    */
+  def detokenizeOracleSql(k: Int): String =
+    s"""${oracleCtes(k)},
+       |lut AS (SELECT word, replace(syms, '|', '') AS dword FROM w$k),
+       |d AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+       |      FROM documents),
+       |p AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS pos FROM d),
+       |e AS (SELECT doc_id, pos, ws[pos] AS word FROM p),
+       |dt AS (SELECT e.doc_id,
+       |    string_agg(lut.dword, ' ' ORDER BY e.pos) AS detok
+       |  FROM e JOIN lut ON e.word = lut.word GROUP BY e.doc_id),
+       |c AS (SELECT doc_id,
+       |    array_to_string(regexp_extract_all(lower(text), '[a-z]+'), ' ') AS canon
+       |  FROM documents)
+       |SELECT c.doc_id, coalesce(dt.detok, '') AS detok_text,
+       |  (coalesce(dt.detok, '') = c.canon) AS roundtrip_ok
+       |FROM c LEFT JOIN dt ON c.doc_id = dt.doc_id
+       |ORDER BY c.doc_id""".stripMargin
+
   def tokenCountsOracleSql(k: Int): String =
     s"""${oracleCtes(k)},
        |vk AS (SELECT word, CAST(len(string_split(syms, '|')) AS BIGINT) AS n_syms

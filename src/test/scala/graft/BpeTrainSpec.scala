@@ -86,4 +86,41 @@ class BpeTrainSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toMap
     assert(got == Map("low" -> 7L, "e" -> 2L, "r" -> 2L))
   }
+
+  test("detokenize: word order preserved, canonical round trip, empty docs") {
+    val docs = Seq((1L, "lower low lower"), (2L, "LOW, newest!"),
+      (3L, "42 --"), (4L, "low")).toDF("doc_id", "text")
+    val vocab = Seq(
+      ("low", "low", 7L), ("lower", "low|e|r", 2L),
+      ("newest", "n|e|w|est", 6L)).toDF("word", "syms", "cnt")
+    val got = BpeTrain.detokenize(docs, col("text"), col("doc_id"), vocab)
+      .as[(Long, String, Boolean)].collect().toSet
+    assert(got == Set(
+      (1L, "lower low lower", true),
+      // punctuation/case normalize away: detok equals the CANONICAL form
+      (2L, "low newest", true),
+      // word-less doc survives with the empty canonical form
+      (3L, "", true),
+      (4L, "low", true)))
+  }
+
+  test("detokenize: round-trip identity on random [a-z ]+ corpora (property)") {
+    // the t26 theorem: for ANY trained vocab over the corpus's own
+    // word-extraction rule, detok(tok(doc)) == canonical(doc) — merges
+    // never cross word boundaries, so no end-of-word marker is needed
+    // when per-word grouping is preserved
+    val rnd = new scala.util.Random(2614L)
+    def word() = (1 to 1 + rnd.nextInt(6))
+      .map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    val docs = (1L to 60L)
+      .map(i => (i, (1 to 1 + rnd.nextInt(12)).map(_ => word())
+        .mkString(" ")))
+      .toDF("doc_id", "text")
+    val (_, vocab) = BpeTrain.trainMerges(
+      BpeTrain.wordFreq(docs, col("text")), k = 6)
+    val bad = BpeTrain.detokenize(docs, col("text"), col("doc_id"), vocab)
+      .filter(!col("roundtrip_ok")).count()
+    assert(bad == 0L)
+    org.apache.spark.sql.graftbridge.Bridge.release(vocab)
+  }
 }
