@@ -3610,6 +3610,21 @@ object DocQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Per-batch accuracy/DRIFT panel of the deployed scorer (round 14)
+    // — the model-monitoring read after shipping the c25 weights: per
+    // batch (doc_id slices here; ingest batch ids in the streaming
+    // twin, Perceptron.driftIngest — one shared driftTail), doc count,
+    // correct count, floor-micro accuracy, and the delta vs the
+    // previous batch (NULL first). One scoring pass + per-batch reduce;
+    // the lag window rides the <=#batches-row panel.
+    QDef("c38_classifier_drift",
+        graft.text.Perceptron.driftOracleSql(PerceptronK, PerceptronDims,
+          PerceptronLabelSql, nBatches = 5)) { (s, dir) =>
+      graft.text.Perceptron.driftPanel(perceptronFeatures(s, dir),
+          perceptronWeights(s, dir), pmod(col("doc_id"), lit(5L)))
+        .orderBy(col("batch_id"))
+    },
+
     // Domain-mixture weight OPTIMIZATION (round 14, DoReMi-lite —
     // arXiv:2305.10429): SOLVE for per-domain sampling weights from
     // clipped per-domain excess loss via k floor-exact linearized-EG

@@ -397,6 +397,101 @@ object Perceptron {
        |FROM sf, cut WHERE sf.s >= cut.cutoff
        |ORDER BY sf.doc_id""".stripMargin
 
+  /** Per-batch accuracy / DRIFT panel of a FIXED trained scorer (c38) —
+    * the model-monitoring read a filter owner watches after deploying
+    * the c25 weights: one row per batch with doc count, correct count
+    * (margin > 0, the c26 convention), exact floor-micro accuracy, and
+    * the accuracy DELTA vs the previous batch (NULL on the first — no
+    * previous to drift from). A drifting panel is the signal to retrain
+    * or re-choose the c10b operating point. `batch` is any expression
+    * over `(doc_id, y, s)` — a time bucket, an ingest batch id, a
+    * doc_id slice.
+    *
+    * Plan shape: one scoring pass riding the feature frame's
+    * partitioning, a per-batch reduce, then the lag window over the
+    * ≤#batches-row panel (post-reduction, the w1/sk6 discipline).
+    */
+  def driftPanel(feats: DataFrame, w: Map[Int, Long],
+                 batch: Column): DataFrame =
+    driftTail(scoredDocs(feats, w)
+      .groupBy(batch.as("batch_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("y") * col("s") > 0, 1L).otherwise(0L))
+          .as("n_correct")))
+
+  /** The shared panel tail over a `(batch_id, n_docs, n_correct)`
+    * counts frame — ONE definition for the batch gate (c38) and the
+    * streaming store read ([[driftReport]]), so the two surfaces can't
+    * diverge. Exact integers: floor-micro accuracy, integer drift.
+    */
+  private def driftTail(counts: DataFrame): DataFrame = {
+    val ord = org.apache.spark.sql.expressions.Window.orderBy(col("batch_id"))
+    counts
+      .withColumn("acc_micro", expr("(n_correct * 1000000) div n_docs"))
+      .withColumn("drift_micro",
+        col("acc_micro") - lag(col("acc_micro"), 1).over(ord))
+      .select(col("batch_id"), col("n_docs"), col("n_correct"),
+        col("acc_micro"), col("drift_micro"))
+  }
+
+  /** Staged drift-store row schema (explicit: a footer-less first read
+    * must not choke inference — the d9 discipline). */
+  private def driftSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("n_docs", LongType),
+      StructField("n_correct", LongType),
+      StructField("batch_id", LongType)))
+  }
+
+  /** STREAMING twin of the panel: score each micro-batch under the
+    * fixed trained weights inside `foreachBatch` and append its 1-row
+    * `(batch_id, n_docs, n_correct)` census to a parquet store — the
+    * batch's own partition is dynamically overwritten, so at-least-once
+    * replays are no-ops (the crawl-ingest idempotence convention).
+    * [[driftReport]] reads the store through the SAME [[driftTail]] as
+    * the batch gate. The per-batch cost is one feature pass over the
+    * micro-batch; the corpus-scale trajectory lives in the store, never
+    * in memory.
+    */
+  def driftIngest(raw: DataFrame, text: Column, id: Column, label: Column,
+                  dims: Int, w: Map[Int, Long], storePath: String,
+                  queryName: String = "graft_classifier_drift")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    raw.writeStream.queryName(queryName)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val feats = features(batch, text, id, label, dims)
+        scoredDocs(feats, w)
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("y") * col("s") > 0, 1L).otherwise(0L))
+              .as("n_correct"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(storePath)
+        Bridge.release(feats)
+      }.start()
+
+  /** The drift panel over an ingested store — [[driftIngest]]'s read. */
+  def driftReport(spark: SparkSession, storePath: String): DataFrame =
+    driftTail(spark.read.schema(driftSchema).parquet(storePath))
+
+  /** c38 oracle: score under `wp`, per-batch reduce, floor-micro
+    * accuracy, lag drift (NULL first batch on both engines).
+    */
+  def driftOracleSql(k: Int, dims: Int, labelSql: String,
+                     nBatches: Int): String =
+    s"""${oracleCtes(k, dims, labelSql)},
+       |$scoreCtes,
+       |p AS (SELECT doc_id % $nBatches AS batch_id,
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(CASE WHEN y * s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+       |  FROM sf GROUP BY 1),
+       |a AS (SELECT batch_id, n_docs, n_correct,
+       |    CAST((n_correct * 1000000) // n_docs AS BIGINT) AS acc_micro FROM p)
+       |SELECT batch_id, n_docs, n_correct, acc_micro,
+       |  CAST(acc_micro - lag(acc_micro) OVER (ORDER BY batch_id) AS BIGINT) AS drift_micro
+       |FROM a ORDER BY batch_id""".stripMargin
+
   /** c32 oracle: score under `wp`, histogram, tie-aware rank sum. */
   def rocAucOracleSql(k: Int, dims: Int, labelSql: String): String =
     s"""${oracleCtes(k, dims, labelSql)},

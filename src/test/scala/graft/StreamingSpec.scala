@@ -76,6 +76,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("driftIngest: per-micro-batch scorer panel matches the batch driftPanel twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val w = Map(-1 -> 0L, 0 -> 1L, 1 -> 1L, 2 -> -2L, 3 -> 1L,
+      4 -> -1L, 5 -> 2L, 6 -> -1L, 7 -> 1L)
+    val label = when(col("lang") === "en", lit(1)).otherwise(lit(-1))
+    val dir = java.nio.file.Files.createTempDirectory("drift").toString
+    val in = MemoryStream[(Long, String, String)]
+    val q = graft.text.Perceptron.driftIngest(
+      in.toDS().toDF("doc_id", "lang", "text"), col("text"), col("doc_id"),
+      label, dims = 8, w, s"$dir/store")
+    val batches = Seq(
+      Seq((1L, "en", "the quick fox"), (2L, "de", "der der der")),
+      Seq((3L, "en", "a a b"), (4L, "en", "zz yy xx"), (5L, "de", "nein")),
+      Seq((6L, "de", "doch doch")))
+    try {
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      val got = graft.text.Perceptron.driftReport(spark, s"$dir/store")
+        .orderBy("batch_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSeq
+      // batch twin over the SAME docs with the micro-batch assignment
+      val all = batches.zipWithIndex
+        .flatMap { case (b, i) => b.map(d => (d._1, d._2, d._3, i.toLong)) }
+        .toDF("doc_id", "lang", "text", "b")
+      val feats = graft.text.Perceptron.features(all, col("text"),
+        col("doc_id"), label, dims = 8)
+      // batch of a doc = its micro-batch index (doc_id ranges per batch)
+      val twin = graft.text.Perceptron.driftPanel(feats, w,
+          when(col("doc_id") <= 2, 0L).when(col("doc_id") <= 5, 1L)
+            .otherwise(2L))
+        .orderBy("batch_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSeq
+      assert(got == twin)
+      assert(got.head._5.isEmpty) // first batch has nothing to drift from
+      assert(got.size == 3)
+    } finally q.stop()
+  }
+
   test("sessionization streams: watermarked session_window matches batch byGap membership") {
     implicit val sqlCtx = spark.sqlContext
     // (user, epoch-sec): user 1 has two sessions split by a >60s gap
