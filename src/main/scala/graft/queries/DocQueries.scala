@@ -3646,6 +3646,26 @@ object DocQueries {
         .orderBy(col("domain"))
     },
 
+    // Mixture APPLICATION (round 14) — the consumer c37's weights exist
+    // for (the c10b/c11b loop-closing move): per-domain quota
+    // (budget * weight) filled deterministically by the portable
+    // multiplicative id hash (the c17 stratifiedSample hash — selection
+    // is a function of the row, replay/retry-stable). Quota table joins
+    // BROADCAST; rank is one per-domain window shuffle. Oracle composes
+    // the SAME mixture CTE chain as c37.
+    QDef("c39_mixture_apply",
+        graft.text.DomainMixture.applyOracleSql("source",
+          "(CAST(n_chars AS BIGINT) * 1000000) // len(string_split(text, ' '))",
+          k = 5, budget = 300L)) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val weights = graft.text.DomainMixture.solve(docs, col("source"),
+        expr("(CAST(n_chars AS BIGINT) * 1000000) div size(split(text, ' '))"),
+        k = 5)
+      graft.text.DomainMixture.applyMixture(docs, col("source"),
+          col("doc_id"), weights, budget = 300L)
+        .orderBy(col("doc_id"))
+    },
+
     // DSIR data SELECTION (round 13) — the step c31's weights exist
     // for: the 25 raw docs most like the target distribution, by
     // (weight DESC, doc_id) — the deterministic rank-k variant of the

@@ -111,7 +111,18 @@ object DomainMixture {
     */
   def oracleSql(domainSql: String, lossSql: String, k: Int,
                 etaPermille: Long = 100L,
-                smoothPermille: Long = 200L): String = {
+                smoothPermille: Long = 200L): String =
+    s"""WITH ${mixtureCtes(domainSql, lossSql, k, etaPermille, smoothPermille)}
+       |SELECT domain, n_docs, mean_loss_micro, excess_micro, weight_micro
+       |FROM mix ORDER BY domain""".stripMargin
+
+  /** The shared mixture CTE chain ending in `mix(domain, n_docs,
+    * mean_loss_micro, excess_micro, weight_micro)` — ONE definition for
+    * the solver gate (c37) and the application gate (c39), so a solver
+    * semantics change can't leave a stale consumer oracle.
+    */
+  private def mixtureCtes(domainSql: String, lossSql: String, k: Int,
+                          etaPermille: Long, smoothPermille: Long): String = {
     val levels = (1 to k).map { i =>
       val prev = if (i == 1) "l0" else s"l${i - 1}n"
       s"""l$i AS (SELECT domain, n_docs, mean_loss_micro, excess_micro, uni,
@@ -121,7 +132,7 @@ object DomainMixture {
          |  CAST((u * 1000000) // (SELECT CAST(sum(u) AS BIGINT) FROM l$i) AS BIGINT) AS w
          |  FROM l$i)""".stripMargin
     }.mkString(",\n")
-    s"""WITH pd AS (SELECT $domainSql AS domain,
+    s"""pd AS (SELECT $domainSql AS domain,
        |    CAST(count(*) AS BIGINT) AS n_docs,
        |    CAST(sum($lossSql) AS BIGINT) AS sum_loss
        |  FROM documents GROUP BY 1),
@@ -134,10 +145,57 @@ object DomainMixture {
        |    CAST(1000000 // (SELECT nd FROM g) AS BIGINT) AS w,
        |    CAST(1000000 // (SELECT nd FROM g) AS BIGINT) AS uni
        |  FROM pd),
-       |$levels
-       |SELECT domain, n_docs, mean_loss_micro, excess_micro,
+       |$levels,
+       |mix AS (SELECT domain, n_docs, mean_loss_micro, excess_micro,
        |  CAST(((1000 - $smoothPermille) * w) // 1000
        |    + ($smoothPermille * uni) // 1000 AS BIGINT) AS weight_micro
-       |FROM l${k}n ORDER BY domain""".stripMargin
+       |FROM l${k}n)""".stripMargin
   }
+
+  /** APPLY a solved mixture (c39 — the consumer c37's weights exist
+    * for, the c10b/c11b loop-closing move): per-domain document QUOTA
+    * `(budget · weight_micro) / 10⁶` (floor), filled deterministically
+    * by the portable multiplicative id hash (the `stratifiedSample`
+    * hash — selection is a function of the row, unbiased by id
+    * assignment order, reproducible on any engine with 64-bit integer
+    * arithmetic; ties broken by id). A domain whose quota exceeds its
+    * document count just keeps everything (under-full domains donate
+    * nothing — the budget is a cap, not an exact total; real builds
+    * re-solve with epochs, see `Curation.epochMix`).
+    *
+    * Plan shape: the |D|-row quota table joins BROADCAST; the rank is
+    * a per-domain window (one shuffle on the domain key — the
+    * quotaPerKey shape).
+    */
+  def applyMixture(docs: DataFrame, domain: Column, id: Column,
+                   weights: DataFrame, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = weights.select(col("domain"),
+      expr(s"($budget * weight_micro) div 1000000").as("__quota"))
+    val slot = (col("doc_id") * lit(2654435761L) + lit(987654321L)) %
+      lit(2147483647L)
+    docs.select(domain.as("domain"), id.as("doc_id"))
+      .join(broadcast(q), Seq("domain"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("domain")).orderBy(slot, col("doc_id"))))
+      .filter(col("__rn") <= col("__quota"))
+      .select(col("doc_id"), col("domain"), col("__quota").as("quota"))
+  }
+
+  /** c39 oracle: the shared mixture chain + quota + the identical
+    * portable-hash rank fill.
+    */
+  def applyOracleSql(domainSql: String, lossSql: String, k: Int,
+                     budget: Long, etaPermille: Long = 100L,
+                     smoothPermille: Long = 200L): String =
+    s"""WITH ${mixtureCtes(domainSql, lossSql, k, etaPermille, smoothPermille)},
+       |q AS (SELECT domain,
+       |    CAST(($budget * weight_micro) // 1000000 AS BIGINT) AS quota FROM mix),
+       |d AS (SELECT doc_id, $domainSql AS domain FROM documents),
+       |r AS (SELECT d.doc_id, d.domain, q.quota, row_number() OVER (
+       |    PARTITION BY d.domain
+       |    ORDER BY (d.doc_id * 2654435761 + 987654321) % 2147483647, d.doc_id) AS rn
+       |  FROM d JOIN q ON d.domain = q.domain)
+       |SELECT doc_id, domain, quota FROM r WHERE rn <= quota
+       |ORDER BY doc_id""".stripMargin
 }

@@ -46,6 +46,31 @@ class DomainMixtureSpec extends AnyFunSuite {
     assert(got == Seq(500000L, 500000L))
   }
 
+  test("applyMixture: quota math, portable-hash fill, over-quota keeps all") {
+    val docs = ((1L to 10L).map(i => (i, "a")) ++ Seq((11L, "b"), (12L, "b")))
+      .toDF("doc_id", "src")
+    val weights = Seq(("a", 500000L), ("b", 500000L))
+      .toDF("domain", "weight_micro")
+    // budget 8 -> quota 4 per domain; b has only 2 docs -> keeps both
+    val kept = DomainMixture.applyMixture(docs, col("src"), col("doc_id"),
+        weights, budget = 8L)
+      .as[(Long, String, Long)].collect()
+    val byDom = kept.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(kept.forall(_._3 == 4L))
+    assert(byDom("b") == Set(11L, 12L))
+    assert(byDom("a").size == 4)
+    // the fill is the portable multiplicative hash order (c17's), so it
+    // is reproducible arithmetic, not an engine artifact
+    def slot(i: Long) = (i * 2654435761L + 987654321L) % 2147483647L
+    val expectA = (1L to 10L).sortBy(i => (slot(i), i)).take(4).toSet
+    assert(byDom("a") == expectA)
+    // replay-stable
+    val again = DomainMixture.applyMixture(docs, col("src"), col("doc_id"),
+        weights, budget = 8L)
+      .as[(Long, String, Long)].collect().toSet
+    assert(again == kept.toSet)
+  }
+
   test("solve: harder domains only ever gain weight as k grows") {
     val w = (1 to 4).map(k => run(k, smooth = 0L))
     val wa = w.map(_.head._5)
