@@ -1974,15 +1974,27 @@ object Curation {
         .when(col("__c").isNotNull, lit("2_contaminated"))
         .when(col("__s").isNull, lit("3_duplicate"))
         .otherwise(lit("4_kept")).as("stage"))
-    // Force the ≤4-row census NOW (a trivial checkpoint), then release
-    // the internal marker frames — callers can't reference qKeep /
-    // contaminated, so leaving them pinned until a harness-wide
-    // unpersist sweep accumulates dead blocks under repeated library
-    // use. The returned frame is self-contained.
-    val report = funnelReport(stage).localCheckpoint(true)
-    org.apache.spark.sql.graftbridge.Bridge.release(qKeep)
-    org.apache.spark.sql.graftbridge.Bridge.release(contaminated)
-    report
+    // Force the ≤4-row census NOW, then release the internal marker
+    // frames — callers can't reference qKeep / contaminated, so leaving
+    // them pinned until a harness-wide unpersist sweep accumulates dead
+    // blocks under repeated library use. The rows come back as a
+    // LocalRelation (cheaper than checkpointing: no BlockManager
+    // round-trip for a ≤4-row result), so the returned frame is
+    // self-contained.
+    localizeReport(funnelReport(stage), Seq(qKeep, contaminated))
+  }
+
+  /** Force a ≤handful-row report, release the listed internal
+    * checkpoints, and return the rows as a LocalRelation-backed frame —
+    * the shared census tail of both funnels (leak-free without paying a
+    * BlockManager checkpoint for a few rows).
+    */
+  private def localizeReport(report: DataFrame,
+                             releases: Seq[DataFrame]): DataFrame = {
+    val rows = report.collect()
+    releases.foreach(org.apache.spark.sql.graftbridge.Bridge.release)
+    report.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), report.schema)
   }
 
   /** The funnel census tail shared by [[curationFunnel]] and
@@ -2071,13 +2083,10 @@ object Curation {
         .when(col("__s").isNull, lit("4_duplicate"))
         .otherwise(lit("5_kept")).as("stage"), col("__nt"))
     // Materialize the ≤5-row census, then release the internal
-    // checkpoints (the curationFunnel rule): the returned frame is
-    // self-contained, nothing stays pinned past this call.
-    val report = funnelReport(stage, tokens = Some(col("__nt")))
-      .localCheckpoint(true)
-    org.apache.spark.sql.graftbridge.Bridge.release(flags)
-    org.apache.spark.sql.graftbridge.Bridge.release(cKeep)
-    report
+    // checkpoints (the curationFunnel rule): the returned frame is a
+    // self-contained LocalRelation, nothing stays pinned past this call.
+    localizeReport(funnelReport(stage, tokens = Some(col("__nt"))),
+      Seq(flags, cKeep))
   }
 
   /** The END-TO-END training-data manifest — the full modern pipeline
