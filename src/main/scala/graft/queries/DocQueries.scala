@@ -1737,6 +1737,20 @@ object DocQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Per-language tokenizer FERTILITY (round 14) — subword tokens per
+    // word under the trained vocab, the standard multilingual-tokenizer
+    // health metric (a language with fertility >> the mean is
+    // under-served by the learned merges and costs proportionally more
+    // sequence budget). Exact floor-micro ratio of two corpus counts;
+    // word-explode + broadcast vocab lookup + <=#langs-row aggregate.
+    // Same memoized training run as t21-t26.
+    QDef("t27_bpe_fertility",
+        graft.text.BpeTrain.fertilityOracleSql(BpeTrainK)) { (s, dir) =>
+      graft.text.BpeTrain.fertilityReport(Tables.documents(s, dir),
+          col("text"), col("lang"), bpeArtifacts(s, dir)._2)
+        .orderBy(col("lang"))
+    },
+
     // The dedup-audit agreement report (round 10): doc-pair precision /
     // recall of the LSH single-linkage clustering against the exact
     // >=0.9-Jaccard clustering, read off the cluster contingency table

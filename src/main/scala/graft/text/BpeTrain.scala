@@ -289,6 +289,46 @@ object BpeTrain {
           .as("roundtrip_ok"))
   }
 
+  /** Per-language FERTILITY of the trained tokenizer (t27) — subword
+    * tokens per word, the standard multilingual-tokenizer health metric
+    * (a language with fertility ≫ the corpus mean is under-served by
+    * the learned merges: its text costs proportionally more sequence
+    * budget — the number a vocab-allocation decision reads next to
+    * t24's growth curve). Exact integers: floor-micro ratio of two
+    * corpus counts. Same plan shape as [[tokenCounts]]: word-explode
+    * joined to the broadcastable |V|-row lookup, then a ≤#langs-row
+    * aggregate.
+    */
+  def fertilityReport(docs: DataFrame, text: Column, lang: Column,
+                      vocab: DataFrame): DataFrame =
+    docs
+      .select(lang.as("lang"),
+        explode(regexp_extract_all(lower(text), lit("[a-z]+"), lit(0)))
+          .as("word"))
+      .join(vocab.select(col("word"),
+        size(split(col("syms"), "\\|")).cast("long").as("n_syms")),
+        Seq("word"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_syms")).as("n_subwords"))
+      .withColumn("fertility_micro",
+        expr("(n_subwords * 1000000) div n_words"))
+
+  /** t27 oracle: training chain + the identical lookup join and
+    * per-language floor-micro ratio.
+    */
+  def fertilityOracleSql(k: Int): String =
+    s"""${oracleCtes(k)},
+       |vk AS (SELECT word, CAST(len(string_split(syms, '|')) AS BIGINT) AS n_syms
+       |       FROM w$k),
+       |dw AS (SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+       |       FROM documents),
+       |p AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+       |    CAST(sum(n_syms) AS BIGINT) AS n_subwords
+       |  FROM dw JOIN vk ON dw.word = vk.word GROUP BY lang)
+       |SELECT lang, n_words, n_subwords,
+       |  CAST((n_subwords * 1000000) // n_words AS BIGINT) AS fertility_micro
+       |FROM p ORDER BY lang""".stripMargin
+
   /** t26 oracle: training chain + the identical lookup-join reassembly
     * and canonical-form comparison.
     */

@@ -104,6 +104,17 @@ class BpeTrainSpec extends AnyFunSuite {
       (4L, "low", true)))
   }
 
+  test("fertilityReport: per-lang floor-micro tokens-per-word") {
+    val docs = Seq(("en", "low lower low"), ("en", "newest"),
+      ("de", "lower lower")).toDF("lang", "text")
+    val vocab = Seq(("low", "low", 7L), ("lower", "low|e|r", 2L),
+      ("newest", "n|e|w|est", 6L)).toDF("word", "syms", "cnt")
+    val got = BpeTrain.fertilityReport(docs, col("text"), col("lang"), vocab)
+      .as[(String, Long, Long, Long)].collect().toSet
+    // en: 4 words -> 1+3+1+4 = 9 subwords -> 2250000; de: 2 -> 6 -> 3000000
+    assert(got == Set(("en", 4L, 9L, 2250000L), ("de", 2L, 6L, 3000000L)))
+  }
+
   test("detokenize: round-trip identity on random [a-z ]+ corpora (property)") {
     // the t26 theorem: for ANY trained vocab over the corpus's own
     // word-extraction rule, detok(tok(doc)) == canonical(doc) — merges
