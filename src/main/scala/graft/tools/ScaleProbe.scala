@@ -302,6 +302,31 @@ object ScaleProbe {
         col("n_tokens"), col("lang"), col("source"),
         Seq(col("doc_id")), budget = 1000000L, calibration = cal).count()
     }
+    t(s"c39 mixture apply ${mult}x") {
+      // quota table broadcasts; the rank is one window shuffle keyed on
+      // the domain — replicas multiply the DOMAIN COUNT (sources are
+      // suffixed per replica), so partitions scale out while per-domain
+      // size stays constant: the shape must stay near-linear
+      val w = graft.text.DomainMixture.solve(big, col("source"),
+        expr("(CAST(length(text) AS BIGINT) * 1000000) " +
+          "div size(split(text, ' '))"), k = 5)
+      graft.text.DomainMixture.applyMixture(big, col("source"),
+        col("doc_id"), w, budget = 300L * mult).count()
+    }
+    t(s"c10b calibrated keep ${mult}x") {
+      // fixed weights (no training confound, the c36 probe convention):
+      // two map-side-combined scoring passes + the broadcast cutoff —
+      // must track the corpus scan, with the histogram/window stages
+      // flat (distinct integer scores, not rows)
+      val feats = graft.text.Perceptron.features(big, col("text"),
+        col("doc_id"),
+        when(col("lang") === "en", lit(1)).otherwise(lit(-1)), dims = 64)
+      val n = graft.text.Perceptron.calibratedKeep(feats,
+        (-1 until 64).map(d => d -> (d % 7 - 3).toLong).toMap,
+        targetRecallPermille = 900).count()
+      org.apache.spark.sql.graftbridge.Bridge.release(feats)
+      n
+    }
     t(s"c37 domain mixture ${mult}x") {
       // stage 1 is the only corpus pass (domain-key groupBy, map-side
       // combined); the 5 EG steps ride the |D|-row frame with 1-row
