@@ -1751,6 +1751,24 @@ object DocQueries {
         .orderBy(col("lang"))
     },
 
+    // Merge-sequence COMPRESSION CURVE (round 14): corpus subword count
+    // and fertility after EACH merge prefix j = 0..k — the marginal
+    // value of every learned merge, the curve whose knee sizes the
+    // vocab (read next to t24's growth curve). After the one wordFreq
+    // corpus pass the whole curve is k map-only folds + k |V|-row
+    // reduces — never a corpus rescan. Oracle reads one census off each
+    // unrolled merge level.
+    QDef("t28_bpe_compression_curve",
+        graft.text.BpeTrain.compressionCurveOracleSql(BpeTrainK)) { (s, dir) =>
+      val merges = bpeArtifacts(s, dir)._1
+        .select(col("step"), col("lft"), col("rgt")).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+      graft.text.BpeTrain.compressionCurve(
+          graft.text.BpeTrain.wordFreq(Tables.documents(s, dir),
+            col("text")), merges)
+        .orderBy(col("step"))
+    },
+
     // The dedup-audit agreement report (round 10): doc-pair precision /
     // recall of the LSH single-linkage clustering against the exact
     // >=0.9-Jaccard clustering, read off the cluster contingency table

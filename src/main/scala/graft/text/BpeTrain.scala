@@ -329,6 +329,62 @@ object BpeTrain {
        |  CAST((n_subwords * 1000000) // n_words AS BIGINT) AS fertility_micro
        |FROM p ORDER BY lang""".stripMargin
 
+  /** COMPRESSION CURVE of the merge sequence (t28) — after each merge
+    * prefix j = 0..k, the corpus-wide subword token count and
+    * floor-micro fertility: the marginal value of every learned merge,
+    * read next to t24's vocab-growth curve when SIZING the vocab (the
+    * curve flattens where additional merges stop paying — that knee is
+    * the budget decision). All j states are VOCAB-FRAME aggregates:
+    * `Σ cnt · |syms_j|` — after the one wordFreq corpus pass, the whole
+    * curve costs k map-only merge folds + k |V|-row reduces, never a
+    * corpus rescan (the t21 asymmetry, extended to evaluation).
+    * `merges` is the trained (step, lft, rgt) table, ≤k rows collected
+    * driver-side (bounded — it IS the model).
+    */
+  def compressionCurve(words0: DataFrame, merges: Seq[(Int, String, String)])
+      : DataFrame = {
+    val spark = words0.sparkSession
+    import spark.implicits._
+    var words = words0.localCheckpoint(true)
+    def census(step: Int): (Int, Long, Long) = {
+      val r = words.agg(
+        sum(col("cnt")).as("nw"),
+        sum(col("cnt") * size(split(col("syms"), "\\|"))).as("ns"))
+        .collect()(0)
+      (step, r.getLong(0), r.getLong(1))
+    }
+    val curve = Seq.newBuilder[(Int, Long, Long)]
+    curve += census(0)
+    merges.sortBy(_._1).foreach { case (step, lft, rgt) =>
+      val prev = words
+      words = words
+        .select(col("word"), applyMergeCol(col("syms"), lft, rgt).as("syms"),
+          col("cnt"))
+        .localCheckpoint(true)
+      Bridge.release(prev)
+      curve += census(step)
+    }
+    Bridge.release(words)
+    curve.result()
+      .map { case (s, nw, ns) =>
+        (s.toLong, nw, ns, ns * 1000000L / nw) }
+      .toDF("step", "n_words", "n_subwords", "fertility_micro")
+  }
+
+  /** t28 oracle: one per-prefix census off each unrolled merge level. */
+  def compressionCurveOracleSql(k: Int): String = {
+    val rows = (0 to k).map { j =>
+      s"""SELECT $j AS step, CAST(sum(cnt) AS BIGINT) AS n_words,
+         |  CAST(sum(cnt * len(string_split(syms, '|'))) AS BIGINT) AS n_subwords,
+         |  CAST((sum(cnt * len(string_split(syms, '|'))) * 1000000) // sum(cnt) AS BIGINT) AS fertility_micro
+         |FROM w$j""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""${oracleCtes(k)},
+       |curve AS ($rows)
+       |SELECT CAST(step AS BIGINT) AS step, n_words, n_subwords, fertility_micro
+       |FROM curve ORDER BY step""".stripMargin
+  }
+
   /** t26 oracle: training chain + the identical lookup-join reassembly
     * and canonical-form comparison.
     */

@@ -115,6 +115,23 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(got == Set(("en", 4L, 9L, 2250000L), ("de", 2L, 6L, 3000000L)))
   }
 
+  test("compressionCurve: per-prefix census, monotone non-increasing subwords") {
+    // low x2, lower x1: w0 = 2*3 + 1*5 = 11 subwords over 3 words.
+    // merge (l,o): low -> lo|w (2), lower -> lo|w|e|r (4) => 2*2+4 = 8
+    // merge (lo,w): low -> low (1), lower -> low|e|r (3) => 2*1+3 = 5
+    val words = BpeTrain.wordFreq(Seq("low low lower").toDF("text"),
+      col("text"))
+    val got = BpeTrain.compressionCurve(words,
+        Seq((1, "l", "o"), (2, "lo", "w")))
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq(
+      (0L, 3L, 11L, 3666666L),
+      (1L, 3L, 8L, 2666666L),
+      (2L, 3L, 5L, 1666666L)))
+    // subword mass never increases along a merge sequence
+    assert(got.map(_._3) == got.map(_._3).sorted.reverse)
+  }
+
   test("detokenize: round-trip identity on random [a-z ]+ corpora (property)") {
     // the t26 theorem: for ANY trained vocab over the corpus's own
     // word-extraction rule, detok(tok(doc)) == canonical(doc) — merges
