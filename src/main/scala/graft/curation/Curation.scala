@@ -1955,7 +1955,8 @@ object Curation {
                      minTokens: Long = 20, maxTokens: Long = 80,
                      maxStopwordRatio: Double = 0.1,
                      maxDupTokenRatio: Double = 0.6,
-                     maxTopBigramFrac: Double = 0.06): DataFrame = {
+                     maxTopBigramFrac: Double = 0.06,
+                     hashSig: Boolean = false): DataFrame = {
     val qKeep = qualityFilter(docs, col("text"), col("doc_id"),
         minTokens, maxTokens, maxStopwordRatio, maxDupTokenRatio,
         maxTopBigramFrac)
@@ -1964,7 +1965,8 @@ object Curation {
     val q = docs.join(qKeep, Seq("doc_id"))
     val contaminated = decontaminate(q, evalDocs).localCheckpoint(true)
     val clean = q.join(contaminated, Seq("doc_id"), "left_anti")
-    val survivors = keepOneExact(clean, col("text"), col("doc_id"))
+    val survivors = keepOneExact(clean, col("text"), col("doc_id"),
+        hashSig)
       .select(col("doc_id"))
     val stage = docs.select(col("doc_id"))
       .join(qKeep.withColumn("__q", lit(1)), Seq("doc_id"), "left")
@@ -2052,7 +2054,8 @@ object Curation {
     * the two marker sets; the census is the shared 5-row window tail.
     */
   def publishedFunnel(docs: DataFrame, minWords: Long = 20L,
-                      maxWords: Long = 100000L): DataFrame = {
+                      maxWords: Long = 100000L,
+                      hashSig: Boolean = false): DataFrame = {
     import graft.text.TextAnalysis
     // Stages 1+2 are both per-doc functions of the text, so their flags
     // come from ONE fused scan pass (sequential attribution is just
@@ -2069,7 +2072,7 @@ object Curation {
         col("text"), col("doc_id"), col("lang"))
       .localCheckpoint(true)
     val survivors = keepOneExact(docs.join(cKeep, Seq("doc_id")),
-        col("text"), col("doc_id"))
+        col("text"), col("doc_id"), hashSig)
       .select(col("doc_id"))
     // flags already has exactly one row per doc, so the label chain
     // starts FROM the checkpointed flags frame — no corpus re-scan.
@@ -2126,7 +2129,8 @@ object Curation {
                        minTokens: Long = 20, maxTokens: Long = 80,
                        maxStopwordRatio: Double = 0.1,
                        maxDupTokenRatio: Double = 0.6,
-                       maxTopBigramFrac: Double = 0.06): DataFrame = {
+                       maxTopBigramFrac: Double = 0.06,
+                       hashSig: Boolean = false): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
     // O(ids): one long column, safe to pin in executor memory.
     val keepIds = qualityFilter(docs, col("text"), col("doc_id"),
@@ -2138,7 +2142,8 @@ object Curation {
     val contaminated = decontaminate(q, evalDocs)
     val clean = q.join(contaminated, Seq("doc_id"), "left_anti")
     // O(ids) again: survivors of the signature window, plus their split.
-    val dedupedIds = keepOneExact(clean, col("text"), col("doc_id"))
+    val dedupedIds = keepOneExact(clean, col("text"), col("doc_id"),
+        hashSig)
       .select(col("doc_id"), splitColumn(col("text")).as("split"))
       .localCheckpoint(true)
     Bridge.release(keepIds) // dedupedIds subsumes it
@@ -2183,7 +2188,8 @@ object Curation {
                          minTokens: Long = 20, maxTokens: Long = 80,
                          maxStopwordRatio: Double = 0.1,
                          maxDupTokenRatio: Double = 0.6,
-                         maxTopBigramFrac: Double = 0.06): DataFrame = {
+                         maxTopBigramFrac: Double = 0.06,
+                         hashSig: Boolean = false): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
     val keepRules = qualityFilter(docs, col("text"), col("doc_id"),
         minTokens, maxTokens, maxStopwordRatio, maxDupTokenRatio,
@@ -2198,7 +2204,8 @@ object Curation {
     val q = docs.join(keep2.select(col("doc_id")), Seq("doc_id"))
     val contaminated = decontaminate(q, evalDocs)
     val clean = q.join(contaminated, Seq("doc_id"), "left_anti")
-    val dedupedIds = keepOneExact(clean, col("text"), col("doc_id"))
+    val dedupedIds = keepOneExact(clean, col("text"), col("doc_id"),
+        hashSig)
       .select(col("doc_id"), splitColumn(col("text")).as("split"))
       .localCheckpoint(true)
     val hydrated = docs.join(dedupedIds, Seq("doc_id"))

@@ -1063,6 +1063,15 @@ class CurationSpec extends AnyFunSuite {
       .collect()
     assert(capped.length < v1.size && capped.nonEmpty)
     assert(capped.forall(_.getAs[Long]("cum_tokens") <= 60L))
+    // the PB-scale dedup key (hashSig = true, the c16b path) threads
+    // through the composition without changing a single row
+    val v2h = Curation.trainingManifestV2(corpus, eval_,
+        classifierWeights = graft.text.TextAnalysis.defaultClassifierWeights(64),
+        classifierBias = -0.25, minLogitMicro = Long.MinValue,
+        tokensPerSource = Long.MaxValue, budget = 64, hashSig = true)
+      .select("doc_id", "pack_key", "split", "n_tokens", "seq_id", "seq_offset")
+      .collect().map(_.toSeq).toSet
+    assert(v2h == v2)
   }
 
   test("dedupLinesFirstOccurrence keeps only the globally first instance of a line") {
