@@ -459,17 +459,28 @@ object Perceptron {
       : org.apache.spark.sql.streaming.StreamingQuery =
     raw.writeStream.queryName(queryName)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val feats = features(batch, text, id, label, dims)
-        scoredDocs(feats, w)
-          .agg(count(lit(1)).as("n_docs"),
-            sum(when(col("y") * col("s") > 0, 1L).otherwise(0L))
-              .as("n_correct"))
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id").parquet(storePath)
-        Bridge.release(feats)
+        driftBatch(batch, batchId, text, id, label, dims, w, storePath)
       }.start()
+
+  /** One micro-batch of the drift store — [[driftIngest]]'s body,
+    * exposed so replay idempotence is testable directly: the batch's
+    * own partition is dynamically overwritten, so running the same
+    * (batch, batchId) twice leaves the store byte-identical.
+    */
+  def driftBatch(batch: DataFrame, batchId: Long, text: Column, id: Column,
+                 label: Column, dims: Int, w: Map[Int, Long],
+                 storePath: String): Unit = {
+    val feats = features(batch, text, id, label, dims)
+    scoredDocs(feats, w)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("y") * col("s") > 0, 1L).otherwise(0L))
+          .as("n_correct"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(storePath)
+    Bridge.release(feats)
+  }
 
   /** The drift panel over an ingested store — [[driftIngest]]'s read. */
   def driftReport(spark: SparkSession, storePath: String): DataFrame =

@@ -102,6 +102,25 @@ class PerceptronSpec extends AnyFunSuite {
     assert(k600.map(_._1).subsetOf(k900.map(_._1)))
   }
 
+  test("driftBatch: at-least-once replay leaves the store byte-identical") {
+    val dir = java.nio.file.Files.createTempDirectory("driftb").toString
+    val label = when(col("lang") === "en", lit(1)).otherwise(lit(-1))
+    val w = Map(-1 -> 0L, 0 -> 1L)
+    val b0 = Seq((1L, "en", "a b"), (2L, "de", "c")).toDF("doc_id", "lang", "text")
+    val b1 = Seq((3L, "en", "d")).toDF("doc_id", "lang", "text")
+    Perceptron.driftBatch(b0, 0L, col("text"), col("doc_id"), label, 4, w, dir)
+    Perceptron.driftBatch(b1, 1L, col("text"), col("doc_id"), label, 4, w, dir)
+    val before = Perceptron.driftReport(spark, dir)
+      .collect().map(_.toSeq).toSet
+    // replay batch 0 (at-least-once delivery): dynamic overwrite of its
+    // own partition -> the report is unchanged, no duplicate rows
+    Perceptron.driftBatch(b0, 0L, col("text"), col("doc_id"), label, 4, w, dir)
+    val after = Perceptron.driftReport(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(after == before)
+    assert(after.size == 2)
+  }
+
   test("calibratedKeep: zero-positive corpus keeps only the top tie group") {
     // no positives -> every cutoff satisfies the target vacuously ->
     // max score wins (documented conservative degenerate)

@@ -294,6 +294,35 @@ class PlanShapeSpec extends AnyFunSuite {
       s"a __sig exchange carries the raw signature string:\n$plan")
   }
 
+  test("c38 drift panel: one doc-key exchange; lag rides the reduced panel") {
+    val feats = graft.text.Perceptron.features(docs, col("text"),
+      col("doc_id"), when(col("lang") === "en", lit(1)).otherwise(lit(-1)),
+      dims = 8)
+    val plan = phys(graft.text.Perceptron.driftPanel(feats,
+      (-1 until 8).map(_ -> 1L).toMap, pmod(col("doc_id"), lit(5L))))
+    // corpus-scale shuffles: the doc-key scoring agg + the batch reduce;
+    // the lag window must run over the already-reduced <=#batches rows
+    // (a Window directly over corpus rows would be the 100 TB funnel)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"expected <=2 key exchanges, got $exchanges:\n$plan")
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
+  test("c39 mixture apply: quota table broadcasts; one domain-key window shuffle") {
+    val weights = Seq(("src0", 500000L), ("src1", 500000L))
+      .toDF("domain", "weight_micro")
+    val plan = phys(graft.text.DomainMixture.applyMixture(docs,
+      col("source"), col("doc_id"), weights, budget = 100L))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the |D|-row quota table must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // exactly one corpus shuffle: the per-domain rank window
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
   test("t25 gopher repetition: ONE scan-fused pass, zero shuffles, no UDF") {
     val plan = phys(TextAnalysis.gopherRepetitionMetrics(docs,
       col("text"), col("doc_id")))
