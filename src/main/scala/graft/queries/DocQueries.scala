@@ -163,6 +163,37 @@ object DocQueries {
       b0
     })
 
+  /** The c37/c37b/c39 loss proxy and its DuckDB mirror — ONE definition
+    * so the solver, its incremental twin, and the consumer gate all
+    * score documents identically.
+    */
+  private val MixtureLossCol =
+    "(CAST(n_chars AS BIGINT) * 1000000) div size(split(text, ' '))"
+  private val MixtureLossSql =
+    "(CAST(n_chars AS BIGINT) * 1000000) // len(string_split(text, ' '))"
+
+  /** c37b drive: the SAME corpus ingested as 3 batches with batch 1
+    * REPLAYED (at-least-once idempotence), maintaining the per-batch
+    * domain-stats store the solver reads — the crawlIncDrive pattern.
+    */
+  private val mixtureIncDriveCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def mixtureIncDrive(s: org.apache.spark.sql.SparkSession,
+                              dir: String): String =
+    mixtureIncDriveCache.computeIfAbsent(dir, _ => {
+      val b0 = QDef.tempDir("graft_mixture_inc_gate")
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), expr(MixtureLossCol).as("loss"))
+      val parts =
+        (0 to 2).map(r => docs.filter(pmod(col("doc_id"), lit(3)) === r))
+      (Seq(0L -> parts(0), 1L -> parts(1), 1L -> parts(1) /* replay */,
+        2L -> parts(2))).foreach { case (bid, b) =>
+        graft.text.DomainMixture.domainStatsBatch(b, bid, col("source"),
+          col("loss"), s"$b0/stats")
+      }
+      b0
+    })
+
   /** Merge count for the t21/t22 BPE-training gates — small enough that
     * the k-level unrolled oracle stays readable, large enough that the
     * learned table exercises multi-char remerges (char pairs first, then
@@ -3668,13 +3699,24 @@ object DocQueries {
     // whole trajectory hash-gates against the k-level unrolled oracle
     // (the c25/t21 trainer discipline).
     QDef("c37_domain_mixture",
-        graft.text.DomainMixture.oracleSql("source",
-          "(CAST(n_chars AS BIGINT) * 1000000) // len(string_split(text, ' '))",
+        graft.text.DomainMixture.oracleSql("source", MixtureLossSql,
           k = 5)) { (s, dir) =>
       graft.text.DomainMixture.solve(Tables.documents(s, dir),
-          col("source"),
-          expr("(CAST(n_chars AS BIGINT) * 1000000) div size(split(text, ' '))"),
-          k = 5)
+          col("source"), expr(MixtureLossCol), k = 5)
+        .orderBy(col("domain"))
+    },
+
+    // The c37 maintained twin (round 14): per-batch domain censuses
+    // staged by batch_id (counts and loss sums are batch-additive, so
+    // the store re-reduce reproduces the one-shot stage-1 frame
+    // exactly), dynamic partition overwrite for replay idempotence. The
+    // drive ingests the corpus as 3 batches with batch 1 REPLAYED, and
+    // the solved mixture must hash-match c37's one-shot oracle.
+    QDef("c37b_domain_mixture_inc",
+        graft.text.DomainMixture.oracleSql("source", MixtureLossSql,
+          k = 5)) { (s, dir) =>
+      graft.text.DomainMixture.solveFromStore(s,
+          s"${mixtureIncDrive(s, dir)}/stats", k = 5)
         .orderBy(col("domain"))
     },
 
@@ -3686,13 +3728,11 @@ object DocQueries {
     // BROADCAST; rank is one per-domain window shuffle. Oracle composes
     // the SAME mixture CTE chain as c37.
     QDef("c39_mixture_apply",
-        graft.text.DomainMixture.applyOracleSql("source",
-          "(CAST(n_chars AS BIGINT) * 1000000) // len(string_split(text, ' '))",
+        graft.text.DomainMixture.applyOracleSql("source", MixtureLossSql,
           k = 5, budget = 300L)) { (s, dir) =>
       val docs = Tables.documents(s, dir)
       val weights = graft.text.DomainMixture.solve(docs, col("source"),
-        expr("(CAST(n_chars AS BIGINT) * 1000000) div size(split(text, ' '))"),
-        k = 5)
+        expr(MixtureLossCol), k = 5)
       graft.text.DomainMixture.applyMixture(docs, col("source"),
           col("doc_id"), weights, budget = 300L)
         .orderBy(col("doc_id"))

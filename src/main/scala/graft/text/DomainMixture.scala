@@ -54,16 +54,25 @@ object DomainMixture {
     */
   def solve(docs: DataFrame, domain: Column, lossMicro: Column, k: Int,
             etaPermille: Long = 100L,
-            smoothPermille: Long = 200L): DataFrame = {
+            smoothPermille: Long = 200L): DataFrame =
+    // stage 1: the ONE corpus pass
+    solveFromStats(docs
+      .select(domain.as("domain"), lossMicro.as("__loss"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__loss")).as("__sum")),
+      k, etaPermille, smoothPermille)
+
+  /** Stages 2–4 over an already-reduced `(domain, n_docs, __sum)` frame
+    * — shared by the one-shot [[solve]] and the maintained-store read
+    * ([[solveFromStore]]), so the two surfaces can't diverge.
+    */
+  private def solveFromStats(perDomain0: DataFrame, k: Int,
+                             etaPermille: Long,
+                             smoothPermille: Long): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(etaPermille >= 0 && smoothPermille >= 0 &&
       smoothPermille <= 1000, "eta >= 0, 0 <= smooth <= 1000")
-    // stage 1: the ONE corpus pass
-    val perDomain = docs
-      .select(domain.as("domain"), lossMicro.as("__loss"))
-      .groupBy(col("domain"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("__loss")).as("__sum"))
-      .localCheckpoint(true)
+    val perDomain = perDomain0.localCheckpoint(true)
     // global mean over the |D|-row frame (1-row broadcast, never a
     // second corpus pass); nDomains rides the same scalar
     val globals = perDomain
@@ -101,6 +110,64 @@ object DomainMixture {
     Bridge.release(cur)
     out
   }
+
+  /** Staged per-batch domain-stats row schema (explicit: a footer-less
+    * first read must not choke inference — the d9 discipline). */
+  private def statsSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("domain", StringType),
+      StructField("n_docs", LongType), StructField("sum_loss", LongType),
+      StructField("batch_id", LongType)))
+  }
+
+  /** One micro-batch of the MAINTAINED domain-stats store (c37b) — the
+    * mixture solver's inputs kept current as the corpus arrives: each
+    * batch reduces to its ≤|D|-row `(domain, n_docs, sum_loss)` census
+    * and dynamically overwrites its own `batch_id` partition, so
+    * at-least-once replays are no-ops (the crawl-ingest convention).
+    * Per-batch cost is one batch-sized pass; the store holds
+    * batches × |D| tiny rows, never documents.
+    */
+  def domainStatsBatch(batch: DataFrame, batchId: Long, domain: Column,
+                       lossMicro: Column, storePath: String): Unit =
+    batch
+      .select(domain.as("domain"), lossMicro.as("__loss"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__loss")).as("sum_loss"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(storePath)
+
+  /** Streaming wrapper: maintain the domain-stats store per micro-batch
+    * ([[domainStatsBatch]] in `foreachBatch`); [[solveFromStore]] is
+    * the read. No compaction hook needed — the store is ≤|D| rows per
+    * batch.
+    */
+  def mixtureIngest(raw: DataFrame, domain: Column, lossMicro: Column,
+                    storePath: String,
+                    queryName: String = "graft_domain_mixture")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    raw.writeStream.queryName(queryName)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        domainStatsBatch(batch, batchId, domain, lossMicro, storePath)
+      }.start()
+
+  /** Solve the mixture FROM the maintained store: re-reduce the staged
+    * per-batch censuses to per-domain totals (counts and sums are
+    * batch-additive, so this reproduces the one-shot stage-1 frame
+    * exactly), then the SAME [[solveFromStats]] stages 2–4. The gate
+    * (`c37b`) hash-matches c37's one-shot oracle.
+    */
+  def solveFromStore(spark: org.apache.spark.sql.SparkSession,
+                     storePath: String, k: Int, etaPermille: Long = 100L,
+                     smoothPermille: Long = 200L): DataFrame =
+    solveFromStats(
+      spark.read.schema(statsSchema).parquet(storePath)
+        .groupBy(col("domain"))
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("sum_loss")).as("__sum")),
+      k, etaPermille, smoothPermille)
 
   /** c37 oracle: the identical per-domain reduction, clipped excess,
     * and k unrolled floor-renormalized EG levels. `lossSql` is the

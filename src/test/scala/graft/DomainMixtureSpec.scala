@@ -71,6 +71,21 @@ class DomainMixtureSpec extends AnyFunSuite {
     assert(again == kept.toSet)
   }
 
+  test("domainStatsBatch/solveFromStore: batch-additive, replay-idempotent, one-shot-identical") {
+    val dir = java.nio.file.Files.createTempDirectory("mixinc").toString
+    val all = fixture
+    val b0 = all.limit(2)   // deterministic fixture order is fine here:
+    val b1 = all.offset(2)  // the SPLIT does not affect additive sums
+    DomainMixture.domainStatsBatch(b0, 0L, col("d"), col("loss"), dir)
+    DomainMixture.domainStatsBatch(b1, 1L, col("d"), col("loss"), dir)
+    // at-least-once replay of batch 1: store result unchanged
+    DomainMixture.domainStatsBatch(b1, 1L, col("d"), col("loss"), dir)
+    val inc = DomainMixture.solveFromStore(spark, dir, k = 2)
+      .orderBy("domain")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(inc == run(2))
+  }
+
   test("solve: harder domains only ever gain weight as k grows") {
     val w = (1 to 4).map(k => run(k, smooth = 0L))
     val wa = w.map(_.head._5)
