@@ -185,8 +185,12 @@ object Curation {
   def stratifiedSample(df: DataFrame, key: Column, id: Column,
                        rates: Seq[(String, Int)],
                        defaultPermille: Int = 100): DataFrame = {
-    val slot = (id * lit(2654435761L) + lit(987654321L)) %
-      lit(2147483647L) % lit(1000L)
+    // id reduced mod 2^31−1 BEFORE the multiply: the raw product
+    // overflows Long for id ≥ ~3.47e9 and engines disagree on overflow
+    // (Spark wraps, DuckDB raises), so the unreduced form would break
+    // the documented any-64-bit-engine reproducibility at PB-scale ids
+    val slot = ((id % lit(2147483647L)) * lit(2654435761L) +
+      lit(987654321L)) % lit(2147483647L) % lit(1000L)
     val rate = rates.foldLeft(lit(defaultPermille)) { case (acc, (k, r)) =>
       when(key === k, lit(r)).otherwise(acc)
     }

@@ -3058,7 +3058,7 @@ object DocQueries {
     // pinned, not just its size.
     QDef("c17_stratified_sample",
       """WITH s AS (SELECT doc_id, source,
-        |  (doc_id * 2654435761 + 987654321) % 2147483647 % 1000 AS slot,
+        |  ((doc_id % 2147483647) * 2654435761 + 987654321) % 2147483647 % 1000 AS slot,
         |  CASE source WHEN 'src0' THEN 500 WHEN 'src1' THEN 800
         |    WHEN 'src2' THEN 300 ELSE 100 END AS rate
         |  FROM documents)

@@ -273,7 +273,12 @@ object BpeTrain {
       .select(id.as("doc_id"),
         posexplode(regexp_extract_all(lower(text), lit("[a-z]+"), lit(0)))
           .as(Seq("pos", "word")))
-      .join(lut, Seq("word"))
+      // LEFT join: an OOV word (corpus ≠ the training corpus) falls
+      // back to itself — real BPE char-splits OOV, and char pieces
+      // reassemble to the word, so the round trip must not silently
+      // DROP the word (an inner join would, corrupting detok_text)
+      .join(lut, Seq("word"), "left")
+      .withColumn("dword", coalesce(col("dword"), col("word")))
       .groupBy(col("doc_id"))
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("pos"), col("dword")))),
@@ -305,9 +310,16 @@ object BpeTrain {
       .select(lang.as("lang"),
         explode(regexp_extract_all(lower(text), lit("[a-z]+"), lit(0)))
           .as("word"))
+      // LEFT join with the char-split fallback (OOV costs one token per
+      // char — the BPE byte/char fallback): an inner join would DROP
+      // OOV words and understate fertility for exactly the under-served
+      // languages this metric exists to expose when the report runs on
+      // a corpus other than the one the vocab was trained on
       .join(vocab.select(col("word"),
         size(split(col("syms"), "\\|")).cast("long").as("n_syms")),
-        Seq("word"))
+        Seq("word"), "left")
+      .withColumn("n_syms",
+        coalesce(col("n_syms"), length(col("word")).cast("long")))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_words"), sum(col("n_syms")).as("n_subwords"))
       .withColumn("fertility_micro",
@@ -323,8 +335,8 @@ object BpeTrain {
        |dw AS (SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
        |       FROM documents),
        |p AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
-       |    CAST(sum(n_syms) AS BIGINT) AS n_subwords
-       |  FROM dw JOIN vk ON dw.word = vk.word GROUP BY lang)
+       |    CAST(sum(coalesce(n_syms, CAST(length(dw.word) AS BIGINT))) AS BIGINT) AS n_subwords
+       |  FROM dw LEFT JOIN vk ON dw.word = vk.word GROUP BY lang)
        |SELECT lang, n_words, n_subwords,
        |  CAST((n_subwords * 1000000) // n_words AS BIGINT) AS fertility_micro
        |FROM p ORDER BY lang""".stripMargin
@@ -346,12 +358,16 @@ object BpeTrain {
     val spark = words0.sparkSession
     import spark.implicits._
     var words = words0.localCheckpoint(true)
+    // an EMPTY word frame (empty corpus) yields NULL sums — emit the
+    // degenerate empty curve instead of NPE-ing on getLong / dividing
+    // by a zero word count (word counts are constant across merge
+    // steps, so empty-at-step-0 means empty at every step)
     def census(step: Int): (Int, Long, Long) = {
       val r = words.agg(
         sum(col("cnt")).as("nw"),
         sum(col("cnt") * size(split(col("syms"), "\\|"))).as("ns"))
         .collect()(0)
-      (step, r.getLong(0), r.getLong(1))
+      if (r.isNullAt(0)) (step, 0L, 0L) else (step, r.getLong(0), r.getLong(1))
     }
     val curve = Seq.newBuilder[(Int, Long, Long)]
     curve += census(0)
@@ -366,6 +382,7 @@ object BpeTrain {
     }
     Bridge.release(words)
     curve.result()
+      .filter { case (_, nw, _) => nw > 0L }
       .map { case (s, nw, ns) =>
         (s.toLong, nw, ns, ns * 1000000L / nw) }
       .toDF("step", "n_words", "n_subwords", "fertility_micro")
@@ -396,8 +413,8 @@ object BpeTrain {
        |p AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS pos FROM d),
        |e AS (SELECT doc_id, pos, ws[pos] AS word FROM p),
        |dt AS (SELECT e.doc_id,
-       |    string_agg(lut.dword, ' ' ORDER BY e.pos) AS detok
-       |  FROM e JOIN lut ON e.word = lut.word GROUP BY e.doc_id),
+       |    string_agg(coalesce(lut.dword, e.word), ' ' ORDER BY e.pos) AS detok
+       |  FROM e LEFT JOIN lut ON e.word = lut.word GROUP BY e.doc_id),
        |c AS (SELECT doc_id,
        |    array_to_string(regexp_extract_all(lower(text), '[a-z]+'), ' ') AS canon
        |  FROM documents)

@@ -239,8 +239,13 @@ object DomainMixture {
     import org.apache.spark.sql.expressions.Window
     val q = weights.select(col("domain"),
       expr(s"($budget * weight_micro) div 1000000").as("__quota"))
-    val slot = (col("doc_id") * lit(2654435761L) + lit(987654321L)) %
-      lit(2147483647L)
+    // ids reduce mod 2^31−1 BEFORE the multiply: the raw product
+    // overflows Long for id ≥ ~3.47e9 (realistic at PB scale), and
+    // engines disagree on overflow (Spark wraps, DuckDB raises) — the
+    // reduced form keeps every intermediate < 2^63 so the documented
+    // any-64-bit-engine portability contract actually holds
+    val slot = ((col("doc_id") % lit(2147483647L)) * lit(2654435761L) +
+      lit(987654321L)) % lit(2147483647L)
     docs.select(domain.as("domain"), id.as("doc_id"))
       .join(broadcast(q), Seq("domain"))
       .withColumn("__rn", row_number().over(
@@ -261,7 +266,7 @@ object DomainMixture {
        |d AS (SELECT doc_id, $domainSql AS domain FROM documents),
        |r AS (SELECT d.doc_id, d.domain, q.quota, row_number() OVER (
        |    PARTITION BY d.domain
-       |    ORDER BY (d.doc_id * 2654435761 + 987654321) % 2147483647, d.doc_id) AS rn
+       |    ORDER BY ((d.doc_id % 2147483647) * 2654435761 + 987654321) % 2147483647, d.doc_id) AS rn
        |  FROM d JOIN q ON d.domain = q.domain)
        |SELECT doc_id, domain, quota FROM r WHERE rn <= quota
        |ORDER BY doc_id""".stripMargin

@@ -423,10 +423,18 @@ object Perceptron {
     * counts frame — ONE definition for the batch gate (c38) and the
     * streaming store read ([[driftReport]]), so the two surfaces can't
     * diverge. Exact integers: floor-micro accuracy, integer drift.
+    * Empty-batch census rows (`n_docs = 0` — a store ingested while the
+    * source was quiet) are dropped BEFORE the lag, so the drift signal
+    * spans real batches only: an `(0, NULL)` row would otherwise yield
+    * NULL `acc_micro` AND blank the NEXT batch's drift
+    * (`acc − lag(NULL)`) — two silently missing panel points per quiet
+    * interval. [[driftBatch]] also skips the write, so the filter here
+    * is defense against stores written by earlier library versions.
     */
   private def driftTail(counts: DataFrame): DataFrame = {
     val ord = org.apache.spark.sql.expressions.Window.orderBy(col("batch_id"))
     counts
+      .filter(col("n_docs") > 0L)
       .withColumn("acc_micro", expr("(n_correct * 1000000) div n_docs"))
       .withColumn("drift_micro",
         col("acc_micro") - lag(col("acc_micro"), 1).over(ord))
@@ -475,6 +483,12 @@ object Perceptron {
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("y") * col("s") > 0, 1L).otherwise(0L))
           .as("n_correct"))
+      // an EMPTY micro-batch (streaming sources do go quiet) must not
+      // stage an (n_docs=0, n_correct=NULL) census row — its NULL
+      // acc_micro would blank the drift signal across the gap (see
+      // [[driftTail]]); a zero-row write is a dynamic-overwrite no-op,
+      // so replays of the empty batch stay idempotent too
+      .filter(col("n_docs") > 0L)
       .withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")

@@ -115,6 +115,34 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(got == Set(("en", 4L, 9L, 2250000L), ("de", 2L, 6L, 3000000L)))
   }
 
+  test("fertilityReport: OOV words char-split instead of silently dropping") {
+    // 'unseen' (6 chars) is not in the vocab: real BPE falls back to
+    // char pieces, so it must count 6 subwords — an inner join would
+    // drop it and UNDERSTATE fertility for exactly the under-served
+    // language the metric targets
+    val docs = Seq(("xx", "low unseen")).toDF("lang", "text")
+    val vocab = Seq(("low", "low", 7L)).toDF("word", "syms", "cnt")
+    val got = BpeTrain.fertilityReport(docs, col("text"), col("lang"), vocab)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(("xx", 2L, 7L, 3500000L)))
+  }
+
+  test("detokenize: OOV words survive as themselves (char-split fallback)") {
+    val docs = Seq((1L, "low unseen")).toDF("doc_id", "text")
+    val vocab = Seq(("low", "low", 7L)).toDF("word", "syms", "cnt")
+    val got = BpeTrain.detokenize(docs, col("text"), col("doc_id"), vocab)
+      .as[(Long, String, Boolean)].collect().toSet
+    // an inner join would drop 'unseen' and corrupt the round trip
+    assert(got == Set((1L, "low unseen", true)))
+  }
+
+  test("compressionCurve: empty corpus yields the empty curve, not an NPE") {
+    val words = BpeTrain.wordFreq(
+      Seq.empty[String].toDF("text"), col("text"))
+    val got = BpeTrain.compressionCurve(words, Seq((1, "l", "o")))
+    assert(got.count() == 0L)
+  }
+
   test("compressionCurve: per-prefix census, monotone non-increasing subwords") {
     // low x2, lower x1: w0 = 2*3 + 1*5 = 11 subwords over 3 words.
     // merge (l,o): low -> lo|w (2), lower -> lo|w|e|r (4) => 2*2+4 = 8

@@ -121,6 +121,30 @@ class PerceptronSpec extends AnyFunSuite {
     assert(after.size == 2)
   }
 
+  test("driftBatch: empty micro-batch stages nothing; drift spans real batches") {
+    val dir = java.nio.file.Files.createTempDirectory("driftE").toString
+    val label = when(col("lang") === "en", lit(1)).otherwise(lit(-1))
+    val w = Map(-1 -> 0L, 0 -> 1L)
+    val b0 = Seq((1L, "en", "a b"), (2L, "de", "c")).toDF("doc_id", "lang", "text")
+    val empty = b0.filter(lit(false))
+    val b2 = Seq((3L, "en", "d")).toDF("doc_id", "lang", "text")
+    Perceptron.driftBatch(b0, 0L, col("text"), col("doc_id"), label, 4, w, dir)
+    // a quiet source: the empty batch must NOT stage an (n_docs=0,
+    // n_correct=NULL) census row — that row would NULL acc_micro AND
+    // blank the NEXT batch's drift (acc - lag(NULL))
+    Perceptron.driftBatch(empty, 1L, col("text"), col("doc_id"), label, 4, w, dir)
+    Perceptron.driftBatch(b2, 2L, col("text"), col("doc_id"), label, 4, w, dir)
+    val rows = Perceptron.driftReport(spark, dir)
+      .orderBy(col("batch_id"))
+      .select(col("batch_id"), col("acc_micro"), col("drift_micro"))
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 2L))
+    assert(rows.forall(!_.isNullAt(1)), "acc_micro must never be NULL")
+    // batch 2's drift bridges the gap: acc(2) - acc(0), not NULL
+    assert(!rows(1).isNullAt(2), "drift across a quiet interval must not blank")
+    assert(rows(1).getLong(2) == rows(1).getLong(1) - rows(0).getLong(1))
+  }
+
   test("calibratedKeep: zero-positive corpus keeps only the top tie group") {
     // no positives -> every cutoff satisfies the target vacuously ->
     // max score wins (documented conservative degenerate)
