@@ -173,6 +173,84 @@ object Curation {
         row_number().over(Window.partitionBy(key).orderBy(order: _*)))
       .filter(col("__qrn") <= n).drop("__qrn")
 
+  /** TWO-PHASE exact per-key quota fill — the scale-safe twin of the
+    * per-key `row_number` window (which funnels EVERY row of a key into
+    * one task: a mega-domain holding 30–90% of a web corpus would drag
+    * the whole slice through a single executor). Same keep set, bit for
+    * bit; the c10b broadcast-cutoff discipline applied to rank-k:
+    *
+    *  1. HISTOGRAM: one map-side-combined reduce to `(key, bucket,
+    *     count)` where `bucket` is a monotone non-decreasing function
+    *     of the sort key (≤ |K|·B tiny rows, checkpointed — it IS the
+    *     decision model, like a trained vocab).
+    *  2. THRESHOLD: per key, the first bucket whose cumulative count
+    *     reaches the quota (a window over the REDUCED histogram), and
+    *     how many rows fall strictly below it. Broadcast.
+    *  3. FILL: rows in buckets below the threshold keep scan-shaped
+    *     (pure filter, no shuffle); ONLY the boundary-bucket slice —
+    *     expected 1/B of each key — is exact-ranked to fill the
+    *     residual. Monotonicity makes the composition exactly the
+    *     global per-key `(sort, tie)` rank.
+    *
+    * `quotas` receives the distinct-key frame (derived from the reduced
+    * histogram, never a second corpus pass) and must return
+    * `(__k, __quota)`; keys it omits are DROPPED (the c39 inner-join
+    * semantics). `bucket` may reference `__sa` (the staged sort key).
+    * CONTRACT: `df` is evaluated twice (histogram + fill pass — the
+    * [[keepOneExact]] double-eval contract); ties on `(key, sortA,
+    * tieId)` are indistinguishable keep decisions, so make `tieId`
+    * unique per key. Output: `df`'s columns + the key's `__quota`.
+    */
+  private[graft] def twoPhaseQuotaFill(df: DataFrame, key: Column,
+      quotas: DataFrame => DataFrame, sortA: Column, tieId: Column,
+      bucket: Column): DataFrame = {
+    val base = df.withColumn("__k2", key).withColumn("__sa", sortA)
+      .withColumn("__ti", tieId).withColumn("__b", bucket)
+    val hist = base.groupBy(col("__k2"), col("__b"))
+      .agg(count(lit(1)).as("__c")).localCheckpoint(true)
+    val q = quotas(hist.select(col("__k2").as("__k")).distinct())
+    val cum = hist.withColumn("__cum", sum(col("__c"))
+      .over(Window.partitionBy(col("__k2")).orderBy(col("__b"))))
+    val boundary = cum.join(broadcast(q), col("__k2") === col("__k"))
+      .filter(col("__cum") >= col("__quota"))
+      .groupBy(col("__k2"))
+      .agg(min(struct(col("__b").as("b"),
+        (col("__cum") - col("__c")).as("below"))).as("__bd"))
+      .select(col("__k2").as("__bk"), col("__bd").getField("b").as("__tb"),
+        col("__bd").getField("below").as("__below"))
+    // a key whose quota exceeds its row count has NO boundary bucket
+    // (left join → NULL threshold): it keeps everything, scan-shaped
+    val th = q.join(boundary, col("__k") === col("__bk"), "left")
+      .select(col("__k"), col("__quota"), col("__tb"), col("__below"))
+    val joined = base.join(broadcast(th), col("__k2") === col("__k"))
+    val kept = joined.filter(col("__tb").isNull || col("__b") < col("__tb"))
+    val slice = joined.filter(col("__b") === col("__tb"))
+      .withColumn("__rn", row_number().over(Window.partitionBy(col("__k2"))
+        .orderBy(col("__sa"), col("__ti"))))
+      .filter(col("__rn") <= col("__quota") - col("__below"))
+      .drop("__rn")
+    kept.unionByName(slice)
+      .drop("__k2", "__sa", "__ti", "__b", "__k", "__tb", "__below")
+  }
+
+  /** [[quotaPerKey]]'s scale twin via [[twoPhaseQuotaFill]]: identical
+    * keep set for order `(sortAsc ASC, tieId ASC)` (express "longest
+    * first" as `-n_tokens`), but the only corpus-scale window runs over
+    * the boundary-bucket slice. `bucketWidth` trades histogram size
+    * against slice width (buckets = sort-key range / width; truncating
+    * integer division is monotone on negatives too, so descending
+    * sort keys bucket correctly).
+    */
+  def quotaPerKeyScalable(df: DataFrame, key: Column, n: Int,
+                          sortAsc: Column, tieId: Column,
+                          bucketWidth: Long = 64L): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    twoPhaseQuotaFill(df, key,
+        keys => keys.withColumn("__quota", lit(n.toLong)),
+        sortAsc, tieId, expr(s"__sa div $bucketWidth"))
+      .drop("__quota")
+  }
+
   /** Deterministic stratified sampling: keep a fixed per-stratum permille
     * by thresholding a portable multiplicative hash of the id — the
     * reproducible "downsample the over-represented sources" step
@@ -2250,7 +2328,8 @@ object Curation {
              maxStopwordRatio: Double = 0.6,
              minLangScore: Long = 1,
              samplePct: Int = 80,
-             quotaPerSource: Int = 60): DataFrame = {
+             quotaPerSource: Int = 60,
+             scalableQuota: Boolean = false): DataFrame = {
     val best = TextAnalysis.langBestCol(text)
     val scored = docs.select(
       id.as("doc_id"), source.as("source"), text.as("text"),
@@ -2264,10 +2343,17 @@ object Curation {
         col("lang_score") >= minLangScore &&
         hashSampleFilter(col("text"), samplePct))
     val deduped = keepOneExact(kept, col("text"), col("doc_id"))
-    quotaPerKey(deduped, col("source"), quotaPerSource,
-      Seq(col("n_tokens").desc, col("doc_id")))
-      .select(col("doc_id"), col("source"), col("lang_pred"),
-        col("n_tokens"), col("stopword_ratio"))
+    // scalableQuota = the skew-proof two-phase fill (identical keep
+    // set): "longest first" becomes the ascending -n_tokens sort key
+    val quotad =
+      if (scalableQuota)
+        quotaPerKeyScalable(deduped, col("source"), quotaPerSource,
+          -col("n_tokens"), col("doc_id"))
+      else
+        quotaPerKey(deduped, col("source"), quotaPerSource,
+          Seq(col("n_tokens").desc, col("doc_id")))
+    quotad.select(col("doc_id"), col("source"), col("lang_pred"),
+      col("n_tokens"), col("stopword_ratio"))
   }
 
   /** Epoch plan for a weighted multi-source mix: given target mix weights

@@ -163,6 +163,42 @@ object DocQueries {
       b0
     })
 
+  /** The c1/c1b composed-curation oracle — ONE definition for the
+    * window-exact pipeline gate and its two-phase-quota scale twin, so
+    * a pipeline semantics change can't leave a stale sibling.
+    */
+  private val C1OracleSql =
+    """WITH t AS (SELECT doc_id, source, text, string_split(text, ' ') AS toks
+      |  FROM documents),
+      |s AS (SELECT doc_id, source, text, toks,
+      |  CAST(len(toks) AS BIGINT) AS n_tokens,
+      |  round(CAST(len([x FOR x IN toks IF x IN ('the','a')]) AS DOUBLE)
+      |        / len(toks), 6) AS stopword_ratio,
+      |  CAST(len([x FOR x IN toks IF x IN ('der','die','das','und','ist','nicht','ein','zu')]) AS BIGINT) AS s_de,
+      |  CAST(len([x FOR x IN toks IF x IN ('the','a','and','of','to','in','is','that')]) AS BIGINT) AS s_en,
+      |  CAST(len([x FOR x IN toks IF x IN ('el','la','de','que','y','en','un','los')]) AS BIGINT) AS s_es,
+      |  CAST(len([x FOR x IN toks IF x IN ('le','la','les','et','des','un','est','que')]) AS BIGINT) AS s_fr,
+      |  CAST(len([x FOR x IN toks IF x IN ('的','是','了','在','我','有','和','不')]) AS BIGINT) AS s_zh
+      |FROM t),
+      |m AS (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS mx FROM s),
+      |f AS (SELECT doc_id, source, text, toks, n_tokens, stopword_ratio,
+      |  CASE WHEN s_zh = mx THEN 'zh' WHEN s_fr = mx THEN 'fr'
+      |       WHEN s_es = mx THEN 'es' WHEN s_en = mx THEN 'en'
+      |       ELSE 'de' END AS lang_pred
+      |  FROM m
+      |  WHERE n_tokens >= 5 AND stopword_ratio <= 0.6 AND mx >= 1
+      |    AND list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |          [CAST(ascii(c) AS BIGINT) FOR c IN string_split(text, '')]),
+      |          (a, b) -> (a * 31 + b) % 1000000007) % 100 < 80),
+      |d AS (SELECT *, row_number() OVER (
+      |        PARTITION BY array_to_string(list_sort(list_distinct(toks)), ' ')
+      |        ORDER BY doc_id) AS rn FROM f),
+      |q AS (SELECT *, row_number() OVER (
+      |        PARTITION BY source ORDER BY n_tokens DESC, doc_id) AS qrn
+      |      FROM d WHERE rn = 1)
+      |SELECT doc_id, source, lang_pred, n_tokens, stopword_ratio
+      |FROM q WHERE qrn <= 60 ORDER BY doc_id""".stripMargin
+
   /** The c37/c37b/c39 loss proxy and its DuckDB mirror — ONE definition
     * so the solver, its incremental twin, and the consumer gate all
     * score documents identically.
@@ -2986,38 +3022,19 @@ object DocQueries {
     // exact-dedup keep-one → per-source quota. Every stage is
     // engine-portable, so the END-TO-END keep set is hash-checked, not
     // just each operator in isolation.
-    QDef("c1_curated_corpus",
-      """WITH t AS (SELECT doc_id, source, text, string_split(text, ' ') AS toks
-        |  FROM documents),
-        |s AS (SELECT doc_id, source, text, toks,
-        |  CAST(len(toks) AS BIGINT) AS n_tokens,
-        |  round(CAST(len([x FOR x IN toks IF x IN ('the','a')]) AS DOUBLE)
-        |        / len(toks), 6) AS stopword_ratio,
-        |  CAST(len([x FOR x IN toks IF x IN ('der','die','das','und','ist','nicht','ein','zu')]) AS BIGINT) AS s_de,
-        |  CAST(len([x FOR x IN toks IF x IN ('the','a','and','of','to','in','is','that')]) AS BIGINT) AS s_en,
-        |  CAST(len([x FOR x IN toks IF x IN ('el','la','de','que','y','en','un','los')]) AS BIGINT) AS s_es,
-        |  CAST(len([x FOR x IN toks IF x IN ('le','la','les','et','des','un','est','que')]) AS BIGINT) AS s_fr,
-        |  CAST(len([x FOR x IN toks IF x IN ('的','是','了','在','我','有','和','不')]) AS BIGINT) AS s_zh
-        |FROM t),
-        |m AS (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS mx FROM s),
-        |f AS (SELECT doc_id, source, text, toks, n_tokens, stopword_ratio,
-        |  CASE WHEN s_zh = mx THEN 'zh' WHEN s_fr = mx THEN 'fr'
-        |       WHEN s_es = mx THEN 'es' WHEN s_en = mx THEN 'en'
-        |       ELSE 'de' END AS lang_pred
-        |  FROM m
-        |  WHERE n_tokens >= 5 AND stopword_ratio <= 0.6 AND mx >= 1
-        |    AND list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |          [CAST(ascii(c) AS BIGINT) FOR c IN string_split(text, '')]),
-        |          (a, b) -> (a * 31 + b) % 1000000007) % 100 < 80),
-        |d AS (SELECT *, row_number() OVER (
-        |        PARTITION BY array_to_string(list_sort(list_distinct(toks)), ' ')
-        |        ORDER BY doc_id) AS rn FROM f),
-        |q AS (SELECT *, row_number() OVER (
-        |        PARTITION BY source ORDER BY n_tokens DESC, doc_id) AS qrn
-        |      FROM d WHERE rn = 1)
-        |SELECT doc_id, source, lang_pred, n_tokens, stopword_ratio
-        |FROM q WHERE qrn <= 60 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    QDef("c1_curated_corpus", C1OracleSql) { (s, dir) =>
       graft.curation.Curation.curate(Tables.documents(s, dir))
+        .orderBy(col("doc_id"))
+    },
+
+    // c1's quota stage through the SKEW-PROOF two-phase fill (round 15,
+    // the c39b move applied to quotaPerKey): same end-to-end oracle,
+    // but the per-source "longest first" rank runs only on the
+    // boundary token-length bucket instead of funneling every document
+    // of a source into one window task.
+    QDef("c1b_curated_corpus_scalable", C1OracleSql) { (s, dir) =>
+      graft.curation.Curation.curate(Tables.documents(s, dir),
+          scalableQuota = true)
         .orderBy(col("doc_id"))
     },
 
@@ -3735,6 +3752,26 @@ object DocQueries {
         expr(MixtureLossCol), k = 5)
       graft.text.DomainMixture.applyMixture(docs, col("source"),
           col("doc_id"), weights, budget = 300L)
+        .orderBy(col("doc_id"))
+    },
+
+    // c39's SCALE twin (round 15): identical keep set vs the SAME
+    // oracle, but the per-domain rank never sees a whole domain — a
+    // slot-bucket histogram picks a broadcast per-domain threshold,
+    // sub-threshold rows keep scan-shaped, and only the boundary bucket
+    // (~1/B of the domain) is exact-ranked. The skew funnel c39 carries
+    // at a mega-domain (30-90% of a web corpus in one domain = one
+    // window task) is gone; ScaleProbe's mega-domain case is the
+    // evidence. nBuckets=16 here so sf0.01 actually EXERCISES the
+    // boundary-slice path instead of degenerating to all-in-one-bucket.
+    QDef("c39b_mixture_apply_scalable",
+        graft.text.DomainMixture.applyOracleSql("source", MixtureLossSql,
+          k = 5, budget = 300L)) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val weights = graft.text.DomainMixture.solve(docs, col("source"),
+        expr(MixtureLossCol), k = 5)
+      graft.text.DomainMixture.applyMixtureScalable(docs, col("source"),
+          col("doc_id"), weights, budget = 300L, nBuckets = 16)
         .orderBy(col("doc_id"))
     },
 

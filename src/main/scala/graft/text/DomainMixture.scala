@@ -254,6 +254,36 @@ object DomainMixture {
       .select(col("doc_id"), col("domain"), col("__quota").as("quota"))
   }
 
+  /** [[applyMixture]]'s SCALE twin (c39b) — identical keep set, but
+    * skew-proof: the exact form ranks every document of a domain in ONE
+    * window task, and real web corpora have a mega-domain holding
+    * 30–90% of documents — the whole corpus slice through one executor
+    * at 100 TB. This form goes through
+    * [[graft.curation.Curation.twoPhaseQuotaFill]]: a map-side-combined
+    * `(domain, slot-bucket)` histogram picks a per-domain slot
+    * THRESHOLD (broadcast, the c10b cutoff discipline), rows below it
+    * keep scan-shaped, and only the boundary bucket — expected 1/B of
+    * the domain — is exact-ranked for the residual. Same oracle as c39
+    * (the scale-twin convention).
+    */
+  def applyMixtureScalable(docs: DataFrame, domain: Column, id: Column,
+                           weights: DataFrame, budget: Long,
+                           nBuckets: Int = 1024): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val q = weights.select(col("domain").as("__k"),
+      expr(s"($budget * weight_micro) div 1000000").as("__quota"))
+    val slot = ((col("doc_id") % lit(2147483647L)) * lit(2654435761L) +
+      lit(987654321L)) % lit(2147483647L)
+    // slots are uniform on [0, 2^31-1): fixed-width buckets split the
+    // range evenly, so the boundary slice is ~1/nBuckets of the domain
+    val width = 2147483647L / nBuckets + 1L
+    graft.curation.Curation.twoPhaseQuotaFill(
+        docs.select(domain.as("domain"), id.as("doc_id")),
+        col("domain"), _ => q, slot, col("doc_id"),
+        expr(s"__sa div $width"))
+      .select(col("doc_id"), col("domain"), col("__quota").as("quota"))
+  }
+
   /** c39 oracle: the shared mixture chain + quota + the identical
     * portable-hash rank fill.
     */

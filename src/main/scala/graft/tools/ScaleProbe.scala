@@ -313,6 +313,45 @@ object ScaleProbe {
       graft.text.DomainMixture.applyMixture(big, col("source"),
         col("doc_id"), w, budget = 300L * mult).count()
     }
+    t(s"c39b mega-domain fill ${mult}x") {
+      // the dominance case (the c21/c22 probe convention): ~90% of
+      // documents in ONE domain — the real web-corpus shape, where the
+      // exact c39 form funnels the whole mega slice through a single
+      // window task. The two-phase fill keeps sub-threshold rows
+      // scan-shaped and ranks only the ~1/B boundary bucket, so its
+      // cost must stay near the corpus scan as the mega domain grows.
+      // Printed triple: two-phase vs exact window vs mega-domain solve
+      // (the c37 stage-1 aggregate under the same skew).
+      val mega = big.select(col("doc_id"),
+        when(col("doc_id") % 10 =!= 0, lit("mega"))
+          .otherwise(col("source")).as("source"), col("text"))
+        .localCheckpoint(true)
+      // fixed weights (no solver confound): deep quota for the mega
+      // domain so the fill actually ranks, token ones for the rest
+      val w = mega.select(col("source").as("domain")).distinct()
+        .withColumn("weight_micro",
+          when(col("domain") === "mega", lit(900000L)).otherwise(lit(1000L)))
+        .localCheckpoint(true)
+      val budget = n0 * mult / 2
+      val t0 = System.nanoTime()
+      val nTwo = graft.text.DomainMixture.applyMixtureScalable(mega,
+        col("source"), col("doc_id"), w, budget, nBuckets = 1024).count()
+      val tTwo = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val nEx = graft.text.DomainMixture.applyMixture(mega, col("source"),
+        col("doc_id"), w, budget).count()
+      val tEx = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      graft.text.DomainMixture.solve(mega, col("source"),
+        expr("(CAST(length(text) AS BIGINT) * 1000000) " +
+          "div size(split(text, ' '))"), k = 5).count()
+      println(f"SCALE   c39b two-phase $tTwo%.2f s ($nTwo rows) vs exact " +
+        f"window $tEx%.2f s ($nEx rows); mega-domain c37 solve " +
+        f"${(System.nanoTime() - t2) / 1e9}%.2f s")
+      org.apache.spark.sql.graftbridge.Bridge.release(mega)
+      org.apache.spark.sql.graftbridge.Bridge.release(w)
+      nTwo
+    }
     t(s"c10b calibrated keep ${mult}x") {
       // fixed weights (no training confound, the c36 probe convention):
       // two map-side-combined scoring passes + the broadcast cutoff —

@@ -36,6 +36,33 @@ class CurationSpec extends AnyFunSuite {
     assert(q.intersect(Set(6L)).isEmpty) // the 2-token doc loses its slot
   }
 
+  test("quotaPerKeyScalable ≡ quotaPerKey across widths, skew, and edge quotas") {
+    // skewed: key 'mega' holds 90% of rows; sort-key ties abound
+    val rnd = new scala.util.Random(1513L)
+    val rows = (1L to 400L).map { i =>
+      val k = if (i % 10 != 0) "mega" else s"k${i % 3}"
+      (i, k, rnd.nextInt(12).toLong) // small len range -> many ties
+    }
+    val df = rows.toDF("doc_id", "source", "len")
+    def exact(n: Int) = Curation.quotaPerKey(df, col("source"), n,
+      Seq(col("len").desc, col("doc_id")))
+      .select("doc_id").as[Long].collect().toSet
+    for (n <- Seq(0, 1, 17, 50, 1000); w <- Seq(1L, 4L, 1000000L)) {
+      val got = Curation.quotaPerKeyScalable(df, col("source"), n,
+        -col("len"), col("doc_id"), bucketWidth = w)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == exact(n), s"mismatch at n=$n width=$w")
+    }
+  }
+
+  test("curate(scalableQuota) keeps the identical end-to-end corpus") {
+    val base = Curation.curate(docs).select("doc_id")
+      .as[Long].collect().toSet
+    val scal = Curation.curate(docs, scalableQuota = true).select("doc_id")
+      .as[Long].collect().toSet
+    assert(scal == base)
+  }
+
   test("hashSampleFilter is deterministic and roughly proportional") {
     val n = 1000
     val big = (1 to n).map(i => (i.toLong, s"document number $i with words"))

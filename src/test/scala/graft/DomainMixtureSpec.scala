@@ -71,6 +71,38 @@ class DomainMixtureSpec extends AnyFunSuite {
     assert(again == kept.toSet)
   }
 
+  test("applyMixtureScalable ≡ applyMixture under mega-domain skew, any bucket count") {
+    // 90% of docs in ONE domain — the web-corpus shape the two-phase
+    // fill exists for; equivalence must hold for any bucket count,
+    // including the degenerate 1 (all rows in the boundary bucket) and
+    // counts far beyond the distinct slot values
+    val docs = (1L to 300L)
+      .map(i => (i, if (i % 10 != 0) "mega" else s"s${i % 3}"))
+      .toDF("doc_id", "src")
+    val weights = Seq(("mega", 700000L), ("s0", 200000L), ("s1", 100000L))
+      .toDF("domain", "weight_micro")
+    val exact = DomainMixture.applyMixture(docs, col("src"), col("doc_id"),
+        weights, budget = 120L)
+      .as[(Long, String, Long)].collect().toSet
+    for (b <- Seq(1, 16, 1024, 1 << 20)) {
+      val got = DomainMixture.applyMixtureScalable(docs, col("src"),
+          col("doc_id"), weights, budget = 120L, nBuckets = b)
+        .as[(Long, String, Long)].collect().toSet
+      assert(got == exact, s"mismatch at nBuckets=$b")
+    }
+    // domains absent from the weights drop on BOTH paths (inner join)
+    assert(!exact.exists(_._2 == "s2"))
+    // over-quota domains keep everything; zero-quota domains keep none
+    val w2 = Seq(("mega", 0L), ("s0", 1000000L)).toDF("domain", "weight_micro")
+    val e2 = DomainMixture.applyMixture(docs, col("src"), col("doc_id"),
+      w2, budget = 1000L).as[(Long, String, Long)].collect().toSet
+    val g2 = DomainMixture.applyMixtureScalable(docs, col("src"),
+      col("doc_id"), w2, budget = 1000L, nBuckets = 8)
+      .as[(Long, String, Long)].collect().toSet
+    assert(g2 == e2)
+    assert(!g2.exists(_._2 == "mega") && g2.count(_._2 == "s0") == 10)
+  }
+
   test("domainStatsBatch/solveFromStore: batch-additive, replay-idempotent, one-shot-identical") {
     val dir = java.nio.file.Files.createTempDirectory("mixinc").toString
     val all = fixture

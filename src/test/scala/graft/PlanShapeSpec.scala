@@ -323,6 +323,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("ScalaUDF"), plan)
   }
 
+  test("c39b scalable mixture apply: rank only over the boundary-bucket slice") {
+    val weights = Seq(("src0", 500000L), ("src1", 500000L))
+      .toDF("domain", "weight_micro")
+    val plan = phys(graft.text.DomainMixture.applyMixtureScalable(docs,
+      col("source"), col("doc_id"), weights, budget = 100L, nBuckets = 16))
+    // exactly ONE rank window in the whole plan (the cum window runs
+    // over the checkpointed histogram, which is sum(), not row_number)
+    assert("row_number\\(\\)".r.findAllIn(plan).size == 1, plan)
+    // ... and its input is the boundary-bucket slice: Catalyst turns
+    // the __b === __tb filter into an equi-join key, so the window
+    // never sees a whole domain — the mega-domain funnel c39 carries
+    // is structurally absent here
+    assert("""BroadcastHashJoin \[__b#\d+L, __k2#\d+\], \[__tb#\d+L, __k#\d+\]"""
+      .r.findFirstIn(plan).isDefined,
+      s"rank input must equi-join on the boundary bucket:\n$plan")
+    // the below-threshold keep is scan-shaped: the threshold predicate
+    // rides the broadcast join, no window, no extra exchange
+    assert("""isnull\(__tb#\d+L\) OR \(__b#\d+L < __tb#\d+L\)"""
+      .r.findFirstIn(plan).isDefined,
+      s"sub-threshold keep must be a pushed broadcast-join predicate:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ScalaUDF"), plan)
+  }
+
   test("t25 gopher repetition: ONE scan-fused pass, zero shuffles, no UDF") {
     val plan = phys(TextAnalysis.gopherRepetitionMetrics(docs,
       col("text"), col("doc_id")))
