@@ -3705,6 +3705,23 @@ object DocQueries {
         .orderBy(col("batch_id"))
     },
 
+    // The RETRAIN decision c38's panel exists to drive (round 15 — the
+    // c10b/c39 loop-closing move applied to monitoring): |drift| >=
+    // 25000 micro (2.5 points of accuracy moved batch-over-batch, a
+    // value both SFs straddle so the gate pins BOTH actions) →
+    // 'retrain', NULL/first-batch drift → 'hold'. Oracle composes the
+    // SAME dp panel chain as c38.
+    QDef("c40_retrain_decision",
+        graft.text.Perceptron.retrainOracleSql(PerceptronK, PerceptronDims,
+          PerceptronLabelSql, nBatches = 5, thresholdMicro = 25000L)) {
+      (s, dir) =>
+        graft.text.Perceptron.retrainDecision(
+            graft.text.Perceptron.driftPanel(perceptronFeatures(s, dir),
+              perceptronWeights(s, dir), pmod(col("doc_id"), lit(5L))),
+            thresholdMicro = 25000L)
+          .orderBy(col("batch_id"))
+    },
+
     // Domain-mixture weight OPTIMIZATION (round 14, DoReMi-lite —
     // arXiv:2305.10429): SOLVE for per-domain sampling weights from
     // clipped per-domain excess loss via k floor-exact linearized-EG
@@ -3734,6 +3751,21 @@ object DocQueries {
           k = 5)) { (s, dir) =>
       graft.text.DomainMixture.solveFromStore(s,
           s"${mixtureIncDrive(s, dir)}/stats", k = 5)
+        .orderBy(col("domain"))
+    },
+
+    // RE-SOLVE trigger over the c37b maintained store (round 15 — the
+    // monitoring loop-closer, c40's move for the mixture family):
+    // latest-batch domain mean vs cumulative mean, 'resolve' when it
+    // moved >= 20000 micro (a band the SFs' deltas straddle, so the
+    // gate pins BOTH actions). Zero corpus cost: everything rides the
+    // ≤batches×|D|-row store; the oracle rebuilds the drive's batches
+    // (doc_id % 3, replay-idempotent) from documents.
+    QDef("c41_mixture_resolve_decision",
+        graft.text.DomainMixture.mixtureDriftOracleSql("source",
+          MixtureLossSql, nBatches = 3, bandMicro = 20000L)) { (s, dir) =>
+      graft.text.DomainMixture.mixtureDriftDecision(s,
+          s"${mixtureIncDrive(s, dir)}/stats", bandMicro = 20000L)
         .orderBy(col("domain"))
     },
 

@@ -254,6 +254,64 @@ object DomainMixture {
       .select(col("doc_id"), col("domain"), col("__quota").as("quota"))
   }
 
+  /** RE-SOLVE trigger over the maintained domain-stats store (c41 —
+    * the monitoring loop-closer, the c40 move for the mixture family):
+    * per domain, compare the LATEST batch's mean loss against the
+    * all-batches cumulative mean and emit `resolve` when it moved at
+    * least `bandMicro` micro-units in either direction, else `hold` —
+    * re-run [[solveFromStore]] only when some domain says `resolve`,
+    * instead of on a blind cadence. A domain absent from the latest
+    * batch has NULL recent mean → NULL delta → `hold` (no evidence is
+    * not drift; pinned by spec). All work is over the ≤batches×|D|-row
+    * store — zero corpus cost; the 1-row latest-batch scalar enters as
+    * a broadcast.
+    */
+  def mixtureDriftDecision(spark: org.apache.spark.sql.SparkSession,
+                           storePath: String, bandMicro: Long): DataFrame = {
+    require(bandMicro >= 0, s"band must be >= 0: $bandMicro")
+    val st = spark.read.schema(statsSchema).parquet(storePath)
+    val latest = st.agg(max(col("batch_id")).as("__mb"))
+    val all = st.groupBy(col("domain"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_loss")).as("__sum"))
+      .select(col("domain"), col("n_docs"),
+        expr("__sum div n_docs").as("mean_all_micro"))
+    val recent = st.crossJoin(broadcast(latest))
+      .filter(col("batch_id") === col("__mb"))
+      .select(col("domain"),
+        expr("sum_loss div n_docs").as("mean_recent_micro"))
+    all.join(recent, Seq("domain"), "left")
+      .select(col("domain"), col("n_docs"), col("mean_all_micro"),
+        col("mean_recent_micro"),
+        (col("mean_recent_micro") - col("mean_all_micro")).as("delta_micro"),
+        when(abs(col("mean_recent_micro") - col("mean_all_micro")) >=
+          bandMicro, lit("resolve")).otherwise(lit("hold")).as("action"))
+  }
+
+  /** c41 oracle: rebuild the drive's per-batch censuses from
+    * `documents` (`doc_id % nBatches` is the drive's batching rule;
+    * replays are idempotent so the staged store equals one clean pass),
+    * then the identical cumulative-vs-latest comparison and CASE (NULL
+    * delta falls through to 'hold' on both engines).
+    */
+  def mixtureDriftOracleSql(domainSql: String, lossSql: String,
+                            nBatches: Int, bandMicro: Long): String =
+    s"""WITH pb AS (SELECT $domainSql AS domain, doc_id % $nBatches AS batch_id,
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum($lossSql) AS BIGINT) AS sum_loss
+       |  FROM documents GROUP BY 1, 2),
+       |al AS (SELECT domain, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       |    CAST(sum(sum_loss) AS BIGINT) AS s FROM pb GROUP BY domain),
+       |a2 AS (SELECT domain, n_docs,
+       |    CAST(s // n_docs AS BIGINT) AS mean_all_micro FROM al),
+       |rc AS (SELECT domain, CAST(sum_loss // n_docs AS BIGINT) AS mean_recent_micro
+       |  FROM pb WHERE batch_id = (SELECT max(batch_id) FROM pb))
+       |SELECT a2.domain, a2.n_docs, a2.mean_all_micro, rc.mean_recent_micro,
+       |  CAST(rc.mean_recent_micro - a2.mean_all_micro AS BIGINT) AS delta_micro,
+       |  CASE WHEN abs(rc.mean_recent_micro - a2.mean_all_micro) >= $bandMicro
+       |       THEN 'resolve' ELSE 'hold' END AS action
+       |FROM a2 LEFT JOIN rc ON a2.domain = rc.domain
+       |ORDER BY a2.domain""".stripMargin
+
   /** [[applyMixture]]'s SCALE twin (c39b) — identical keep set, but
     * skew-proof: the exact form ranks every document of a domain in ONE
     * window task, and real web corpora have a mega-domain holding

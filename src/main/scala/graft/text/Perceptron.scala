@@ -500,11 +500,14 @@ object Perceptron {
   def driftReport(spark: SparkSession, storePath: String): DataFrame =
     driftTail(spark.read.schema(driftSchema).parquet(storePath))
 
-  /** c38 oracle: score under `wp`, per-batch reduce, floor-micro
-    * accuracy, lag drift (NULL first batch on both engines).
+  /** The shared c38/c40 drift-panel CTE chain ending in
+    * `dp(batch_id, n_docs, n_correct, acc_micro, drift_micro)` — ONE
+    * definition for the monitoring gate and the decision gate that
+    * consumes it, so a panel semantics change can't leave a stale
+    * sibling oracle (the c37/c39 mixtureCtes discipline).
     */
-  def driftOracleSql(k: Int, dims: Int, labelSql: String,
-                     nBatches: Int): String =
+  private def driftPanelCtes(k: Int, dims: Int, labelSql: String,
+                             nBatches: Int): String =
     s"""${oracleCtes(k, dims, labelSql)},
        |$scoreCtes,
        |p AS (SELECT doc_id % $nBatches AS batch_id,
@@ -512,10 +515,48 @@ object Perceptron {
        |    CAST(sum(CASE WHEN y * s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
        |  FROM sf GROUP BY 1),
        |a AS (SELECT batch_id, n_docs, n_correct,
-       |    CAST((n_correct * 1000000) // n_docs AS BIGINT) AS acc_micro FROM p)
-       |SELECT batch_id, n_docs, n_correct, acc_micro,
+       |    CAST((n_correct * 1000000) // n_docs AS BIGINT) AS acc_micro FROM p),
+       |dp AS (SELECT batch_id, n_docs, n_correct, acc_micro,
        |  CAST(acc_micro - lag(acc_micro) OVER (ORDER BY batch_id) AS BIGINT) AS drift_micro
-       |FROM a ORDER BY batch_id""".stripMargin
+       |  FROM a)""".stripMargin
+
+  /** c38 oracle: score under `wp`, per-batch reduce, floor-micro
+    * accuracy, lag drift (NULL first batch on both engines).
+    */
+  def driftOracleSql(k: Int, dims: Int, labelSql: String,
+                     nBatches: Int): String =
+    s"""${driftPanelCtes(k, dims, labelSql, nBatches)}
+       |SELECT batch_id, n_docs, n_correct, acc_micro, drift_micro
+       |FROM dp ORDER BY batch_id""".stripMargin
+
+  /** The RETRAIN decision the drift panel exists to drive (c40 — the
+    * c10b/c39 loop-closing move applied to monitoring): per batch,
+    * `retrain` when the accuracy moved at least `thresholdMicro`
+    * micro-units in EITHER direction vs the previous batch (a drop is
+    * degradation; a spike still means the input distribution moved
+    * under a fixed scorer), else `hold`. The first batch (and any
+    * quiet-gap NULL drift) is `hold` — no drift, no action, pinned by
+    * spec. Pure integer comparison on the already-reduced ≤#batches-row
+    * panel: zero added corpus work, works identically over
+    * [[driftPanel]] (batch) and [[driftReport]] (maintained store).
+    */
+  def retrainDecision(panel: DataFrame, thresholdMicro: Long): DataFrame = {
+    require(thresholdMicro >= 0, s"threshold must be >= 0: $thresholdMicro")
+    panel.withColumn("action",
+      when(abs(col("drift_micro")) >= thresholdMicro, lit("retrain"))
+        .otherwise(lit("hold")))
+  }
+
+  /** c40 oracle: the SAME panel chain + the identical CASE (NULL drift
+    * falls through to 'hold' on both engines).
+    */
+  def retrainOracleSql(k: Int, dims: Int, labelSql: String, nBatches: Int,
+                       thresholdMicro: Long): String =
+    s"""${driftPanelCtes(k, dims, labelSql, nBatches)}
+       |SELECT batch_id, n_docs, n_correct, acc_micro, drift_micro,
+       |  CASE WHEN abs(drift_micro) >= $thresholdMicro THEN 'retrain'
+       |       ELSE 'hold' END AS action
+       |FROM dp ORDER BY batch_id""".stripMargin
 
   /** c32 oracle: score under `wp`, histogram, tie-aware rank sum. */
   def rocAucOracleSql(k: Int, dims: Int, labelSql: String): String =

@@ -118,6 +118,33 @@ class DomainMixtureSpec extends AnyFunSuite {
     assert(inc == run(2))
   }
 
+  test("mixtureDriftDecision: stable store holds; moved domain resolves; absent domain holds") {
+    val dir = java.nio.file.Files.createTempDirectory("mixdrift").toString
+    // batch 0: a=2e6, b=1e6, c=4e6; batch 1: a identical (stable),
+    // b mean moves +2e6 (beyond band), c absent from the latest batch
+    val b0 = Seq(("a", 2000000L), ("a", 2000000L), ("b", 1000000L),
+      ("c", 4000000L)).toDF("d", "loss")
+    val b1 = Seq(("a", 2000000L), ("b", 5000000L)).toDF("d", "loss")
+    DomainMixture.domainStatsBatch(b0, 0L, col("d"), col("loss"), dir)
+    DomainMixture.domainStatsBatch(b1, 1L, col("d"), col("loss"), dir)
+    val got = DomainMixture.mixtureDriftDecision(spark, dir,
+        bandMicro = 1000000L)
+      .orderBy("domain")
+      .select("domain", "action").as[(String, String)].collect().toSeq
+    // a: delta 0 -> hold; b: all-mean 3e6, recent 5e6, delta 2e6 ->
+    // resolve; c: no latest-batch evidence -> NULL delta -> hold
+    assert(got == Seq(("a", "hold"), ("b", "resolve"), ("c", "hold")))
+    // no drift anywhere -> no action anywhere (replay batch 1 changes
+    // nothing; a fully stable two-batch store is all-hold)
+    val dir2 = java.nio.file.Files.createTempDirectory("mixdrift2").toString
+    DomainMixture.domainStatsBatch(b0, 0L, col("d"), col("loss"), dir2)
+    DomainMixture.domainStatsBatch(b0, 1L, col("d"), col("loss"), dir2)
+    val stable = DomainMixture.mixtureDriftDecision(spark, dir2,
+        bandMicro = 1L)
+      .select("action").as[String].collect().toSet
+    assert(stable == Set("hold"))
+  }
+
   test("solve: harder domains only ever gain weight as k grows") {
     val w = (1 to 4).map(k => run(k, smooth = 0L))
     val wa = w.map(_.head._5)

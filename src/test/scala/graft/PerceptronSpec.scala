@@ -145,6 +145,19 @@ class PerceptronSpec extends AnyFunSuite {
     assert(rows(1).getLong(2) == rows(1).getLong(1) - rows(0).getLong(1))
   }
 
+  test("retrainDecision: no drift → no action; band edges exact") {
+    val panel = Seq(
+      (0L, 10L, 8L, 800000L, None),            // first batch: NULL drift
+      (1L, 10L, 8L, 800000L, Some(0L)),        // perfectly stable
+      (2L, 10L, 8L, 776000L, Some(-24000L)),   // inside the band
+      (3L, 10L, 8L, 751000L, Some(-25000L)),   // exactly AT the band
+      (4L, 10L, 8L, 791000L, Some(40000L)))    // spike UP also triggers
+      .toDF("batch_id", "n_docs", "n_correct", "acc_micro", "drift_micro")
+    val got = Perceptron.retrainDecision(panel, thresholdMicro = 25000L)
+      .orderBy("batch_id").select("action").as[String].collect().toSeq
+    assert(got == Seq("hold", "hold", "hold", "retrain", "retrain"))
+  }
+
   test("calibratedKeep: zero-positive corpus keeps only the top tie group") {
     // no positives -> every cutoff satisfies the target vacuously ->
     // max score wins (documented conservative degenerate)
