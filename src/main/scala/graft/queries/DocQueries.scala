@@ -266,6 +266,29 @@ object DocQueries {
     (s.read.parquet(s"$base/merges"), s.read.parquet(s"$base/vocab"))
   }
 
+  /** t23b drive: the corpus tokenized under the FROZEN [[bpeArtifacts]]
+    * vocab as 3 batches with batch 1 REPLAYED (at-least-once
+    * idempotence), maintaining the per-batch token-census store — the
+    * mixtureIncDrive pattern for the t-family.
+    */
+  private val bpeIncDriveCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def bpeIncDrive(s: org.apache.spark.sql.SparkSession,
+                          dir: String): String =
+    bpeIncDriveCache.computeIfAbsent(dir, _ => {
+      val b0 = QDef.tempDir("graft_bpe_inc_gate")
+      val vocab = bpeArtifacts(s, dir)._2
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val parts =
+        (0 to 2).map(r => docs.filter(pmod(col("doc_id"), lit(3)) === r))
+      (Seq(0L -> parts(0), 1L -> parts(1), 1L -> parts(1) /* replay */,
+        2L -> parts(2))).foreach { case (bid, b) =>
+        graft.text.BpeTrain.tokenCountBatch(b, bid, col("text"),
+          col("doc_id"), vocab, s"$b0/census")
+      }
+      b0
+    })
+
   /** The c25/c26 perceptron-training config: 4 batch iterations over
     * 64 hashed dims, label = (lang = 'en' ? +1 : -1). Weights memoized
     * per fixture (the bpeArtifacts rationale: training is the gates'
@@ -1787,6 +1810,19 @@ object DocQueries {
         graft.text.BpeTrain.tokenCountsOracleSql(BpeTrainK)) { (s, dir) =>
       graft.text.BpeTrain.tokenCounts(Tables.documents(s, dir), col("text"),
           col("doc_id"), bpeArtifacts(s, dir)._2)
+        .orderBy(col("doc_id"))
+    },
+
+    // t23's STREAMING twin (round 15 — the c19c/c21b/c37b convention,
+    // the t-family's first member): the frozen trained vocab applied
+    // per micro-batch, each batch's token census staged in its own
+    // partition (replay-idempotent), read back as the same per-doc
+    // report. Drive: 3 batches with batch 1 REPLAYED; hash-matches
+    // t23's oracle.
+    QDef("t23b_bpe_tokenize_inc",
+        graft.text.BpeTrain.tokenCountsOracleSql(BpeTrainK)) { (s, dir) =>
+      graft.text.BpeTrain.tokenCountsFromStore(s,
+          s"${bpeIncDrive(s, dir)}/census")
         .orderBy(col("doc_id"))
     },
 

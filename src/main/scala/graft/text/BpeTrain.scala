@@ -190,6 +190,59 @@ object BpeTrain {
       .groupBy(col("doc_id")).agg(sum(col("n_syms")).as("n_bpe_learned"))
   }
 
+  /** Staged per-batch token-census row schema (explicit: a footer-less
+    * first read must not choke inference — the d9 discipline). */
+  private def tokenStoreSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("doc_id", LongType),
+      StructField("n_bpe_learned", LongType),
+      StructField("batch_id", LongType)))
+  }
+
+  /** One micro-batch of the MAINTAINED token-census store (t23b) — the
+    * FROZEN trained vocab applied to documents as they arrive: the
+    * batch's [[tokenCounts]] rows land in its own `batch_id` partition
+    * via dynamic overwrite, so at-least-once replays are no-ops (the
+    * crawl-ingest convention). Per-batch cost is one batch-sized
+    * lookup-join pass; an empty batch stages nothing. CONTRACT: a
+    * doc_id appears in ONE batch (replays of the same batch are
+    * handled; the same doc re-sent under a different batch_id would
+    * duplicate its census row — same contract as every staged store).
+    */
+  def tokenCountBatch(batch: DataFrame, batchId: Long, text: Column,
+                      id: Column, vocab: DataFrame,
+                      storePath: String): Unit =
+    tokenCounts(batch, text, id, vocab)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(storePath)
+
+  /** Streaming twin of [[tokenCounts]] (the c19c/c21b/c37b convention,
+    * closing the t-family's gap): apply the frozen vocab per
+    * micro-batch in `foreachBatch` ([[tokenCountBatch]] is the exposed
+    * body, so replay idempotence is directly spec-testable);
+    * [[tokenCountsFromStore]] is the read.
+    */
+  def tokenizeIngest(raw: DataFrame, text: Column, id: Column,
+                     vocab: DataFrame, storePath: String,
+                     queryName: String = "graft_bpe_tokenize")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    raw.writeStream.queryName(queryName)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        tokenCountBatch(batch, batchId, text, id, vocab, storePath)
+      }.start()
+
+  /** The per-document token report over an ingested store — since each
+    * document's census lives in exactly one batch partition, the union
+    * of staged rows IS [[tokenCounts]] of the whole ingested corpus
+    * (the t23b gate hash-matches t23's oracle).
+    */
+  def tokenCountsFromStore(spark: org.apache.spark.sql.SparkSession,
+                           storePath: String): DataFrame =
+    spark.read.schema(tokenStoreSchema).parquet(storePath)
+      .select(col("doc_id"), col("n_bpe_learned"))
+
   /** DuckDB oracle twin of the full training chain: k unrolled CTE
     * levels, each one pair-count + deterministic argmax + the IDENTICAL
     * greedy-left fold via `list_reduce` (the `|`-anchored suffix test

@@ -160,6 +160,49 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(got.map(_._3) == got.map(_._3).sorted.reverse)
   }
 
+  test("tokenCountBatch: replay-idempotent store ≡ one-shot tokenCounts") {
+    val dir = java.nio.file.Files.createTempDirectory("bpeinc").toString
+    val vocab = Seq(("low", "low", 7L), ("lower", "low|e|r", 2L),
+      ("newest", "n|e|w|est", 6L)).toDF("word", "syms", "cnt")
+    val b0 = Seq((1L, "low lower"), (2L, "newest")).toDF("doc_id", "text")
+    val b1 = Seq((3L, "lower lower low")).toDF("doc_id", "text")
+    val empty = b0.filter(lit(false))
+    BpeTrain.tokenCountBatch(b0, 0L, col("text"), col("doc_id"), vocab, dir)
+    BpeTrain.tokenCountBatch(b1, 1L, col("text"), col("doc_id"), vocab, dir)
+    // at-least-once replay of batch 1 + a quiet empty batch: no dupes,
+    // no phantom rows
+    BpeTrain.tokenCountBatch(b1, 1L, col("text"), col("doc_id"), vocab, dir)
+    BpeTrain.tokenCountBatch(empty, 2L, col("text"), col("doc_id"), vocab, dir)
+    val got = BpeTrain.tokenCountsFromStore(spark, dir)
+      .as[(Long, Long)].collect().toSet
+    val oneShot = BpeTrain.tokenCounts(b0.unionByName(b1), col("text"),
+        col("doc_id"), vocab)
+      .as[(Long, Long)].collect().toSet
+    assert(got == oneShot)
+    assert(got == Set((1L, 4L), (2L, 4L), (3L, 7L)))
+  }
+
+  test("tokenizeIngest streams batches through the census store e2e") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("bpeing").toString
+    val vocab = Seq(("low", "low", 7L), ("lower", "low|e|r", 2L))
+      .toDF("word", "syms", "cnt")
+    val in = MemoryStream[(Long, String)]
+    val q = BpeTrain.tokenizeIngest(in.toDF().toDF("doc_id", "text"),
+      col("text"), col("doc_id"), vocab, dir,
+      queryName = "bpe_tokenize_ingest_test")
+    try {
+      in.addData((1L, "low lower"))
+      q.processAllAvailable()
+      in.addData((2L, "lower lower"))
+      q.processAllAvailable()
+      val got = BpeTrain.tokenCountsFromStore(spark, dir)
+        .as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 4L), (2L, 6L)))
+    } finally q.stop()
+  }
+
   test("detokenize: round-trip identity on random [a-z ]+ corpora (property)") {
     // the t26 theorem: for ANY trained vocab over the corpus's own
     // word-extraction rule, detok(tok(doc)) == canonical(doc) — merges
