@@ -289,6 +289,28 @@ object DocQueries {
       b0
     })
 
+  /** sim16 drive: IVF centroids trained ONCE (one Lloyd round — the
+    * sim3c oracle surface), frozen, then the embedding corpus assigned
+    * as 3 batches with batch 1 REPLAYED, maintaining the per-batch
+    * assignment store — the mixtureIncDrive pattern for the sim family.
+    */
+  private val ivfIncDriveCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfIncDrive(s: org.apache.spark.sql.SparkSession,
+                          dir: String): String =
+    ivfIncDriveCache.computeIfAbsent(dir, _ => {
+      val b0 = QDef.tempDir("graft_ivf_inc_gate")
+      val emb = Tables.embeddings(s, dir)
+      val centroids = Similarity.ivfTrain(emb, nCentroids = 16, iters = 1)
+      val parts =
+        (0 to 2).map(r => emb.filter(pmod(col("vec_id"), lit(3)) === r))
+      (Seq(0L -> parts(0), 1L -> parts(1), 1L -> parts(1) /* replay */,
+        2L -> parts(2))).foreach { case (bid, b) =>
+        Similarity.ivfAssignBatch(b, bid, centroids, s"$b0/assign")
+      }
+      b0
+    })
+
   /** The c25/c26 perceptron-training config: 4 batch iterations over
     * 64 hashed dims, label = (lang = 'en' ? +1 : -1). Weights memoized
     * per fixture (the bpeArtifacts rationale: training is the gates'
@@ -1961,6 +1983,22 @@ object DocQueries {
     QDef("sim3_ann_ivf", sim3OracleSql(iters = 3)) { (s, dir) =>
       Similarity.ivfAnn(Tables.embeddings(s, dir), queryVecId = 0L, k = 10,
           nCentroids = 16, nProbe = 2, iters = 3)
+    },
+
+    // MAINTAINED IVF assignment store (round 15 — the d12d move for the
+    // sim family): arriving vectors assigned against the FROZEN trained
+    // centroids per micro-batch (no re-train, no corpus re-assign),
+    // staged by batch_id (replay-idempotent), read back as the
+    // inverted-list membership. Drive: 3 batches with batch 1 REPLAYED;
+    // the oracle is the sim3c chain's fully-unrolled one-Lloyd-round
+    // `assigned` table — so the store provably equals the one-shot
+    // assignment of the whole ingested corpus.
+    QDef("sim16_ann_assign_inc",
+        s"""${sim3Prelude(iters = 1)}
+           |SELECT vec_id, cid FROM assigned ORDER BY vec_id""".stripMargin) {
+      (s, dir) =>
+        Similarity.assignmentsFromStore(s, s"${ivfIncDrive(s, dir)}/assign")
+          .orderBy(col("vec_id"))
     },
 
     // Multimodal frame-sampling plumbing: text bytes stand in for a video

@@ -249,6 +249,60 @@ object Similarity {
     centroids
   }
 
+  /** Staged per-batch IVF-assignment row schema (explicit: a
+    * footer-less first read must not choke inference — the d9
+    * discipline). */
+  private def assignStoreSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("vec_id", LongType),
+      StructField("cid", IntegerType), StructField("batch_id", LongType)))
+  }
+
+  /** One micro-batch of the MAINTAINED IVF assignment store (sim16) —
+    * the serving-index upkeep the one-shot [[ivfAnn]] implies but never
+    * materializes: arriving vectors are assigned against the FROZEN
+    * trained centroids (scan + broadcast argmin, the [[ivfAssignExpr]]
+    * plan — no re-train, no re-assign of the existing corpus) and the
+    * batch's `(vec_id, cid)` rows land in their own `batch_id`
+    * partition via dynamic overwrite, so at-least-once replays are
+    * no-ops (the crawl-ingest convention). Re-training the quantizer
+    * stays a deliberate act (the c40/c41 decision convention), exactly
+    * like d12d's labels vs d12c's recompute. `batch` must carry
+    * `(vec_id, embedding)`.
+    */
+  def ivfAssignBatch(batch: DataFrame, batchId: Long,
+                     centroids: Array[(Int, Array[Double])],
+                     storePath: String): Unit =
+    batch.select(col("vec_id"), ivfAssignExpr(centroids).as("cid"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(storePath)
+
+  /** Streaming wrapper: maintain the assignment store per micro-batch
+    * ([[ivfAssignBatch]] in `foreachBatch` — the exposed body makes
+    * replay idempotence directly spec-testable).
+    */
+  def ivfIngest(raw: DataFrame, centroids: Array[(Int, Array[Double])],
+                storePath: String,
+                queryName: String = "graft_ivf_assign")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    raw.writeStream.queryName(queryName)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ivfAssignBatch(batch, batchId, centroids, storePath)
+      }.start()
+
+  /** The inverted-list membership over an ingested store — each vector
+    * assigned in exactly one batch, so the union of staged rows IS the
+    * frozen-centroid assignment of the whole ingested corpus (the
+    * sim16 gate hash-matches the unrolled Lloyd oracle's `assigned`
+    * table). At serving time this is the `cid IN probe-list` read.
+    */
+  def assignmentsFromStore(spark: org.apache.spark.sql.SparkSession,
+                           storePath: String): DataFrame =
+    spark.read.schema(assignStoreSchema).parquet(storePath)
+      .select(col("vec_id"), col("cid"))
+
   /** Argmin over centroid distances, unrolled per centroid (few).
     * ‖x−c‖² = ‖x‖² + ‖c‖² − 2·c·x and ‖x‖² is constant across centroids,
     * so rank by ‖c‖² − 2·c·x: the centroid norm folds to a literal and

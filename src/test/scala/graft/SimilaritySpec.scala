@@ -41,6 +41,43 @@ class SimilaritySpec extends AnyFunSuite {
     assert(perCid.values.forall(n => n >= 1 && n <= 3), perCid.toMap.toString)
   }
 
+  test("ivfAssignBatch: replay-idempotent store ≡ one-shot frozen-centroid assignment") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfinc").toString
+    val centroids = Similarity.ivfTrain(emb, nCentroids = 3, iters = 1)
+    val b0 = emb.filter(col("vec_id") % 2 === 0)
+    val b1 = emb.filter(col("vec_id") % 2 === 1)
+    Similarity.ivfAssignBatch(b0, 0L, centroids, dir)
+    Similarity.ivfAssignBatch(b1, 1L, centroids, dir)
+    // at-least-once replay of batch 1: same store content, no dupes
+    Similarity.ivfAssignBatch(b1, 1L, centroids, dir)
+    val got = Similarity.assignmentsFromStore(spark, dir)
+      .as[(Long, Int)].collect().toSet
+    val oneShot = emb.select(col("vec_id"),
+        Similarity.ivfAssignExpr(centroids).as("cid"))
+      .as[(Long, Int)].collect().toSet
+    assert(got == oneShot)
+    assert(got.size == 60)
+  }
+
+  test("ivfIngest streams batches into the assignment store e2e") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ivfing").toString
+    val centroids = Similarity.ivfTrain(emb, nCentroids = 3, iters = 1)
+    val rows = emb.as[(Long, Array[Float], Int)].collect()
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = Similarity.ivfIngest(in.toDF().toDF("vec_id", "embedding"),
+      centroids, dir, queryName = "ivf_ingest_test")
+    try {
+      in.addData(rows.take(30).map(r => (r._1, r._2)).toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(rows.drop(30).map(r => (r._1, r._2)).toIndexedSeq)
+      q.processAllAvailable()
+      val n = Similarity.assignmentsFromStore(spark, dir).count()
+      assert(n == 60)
+    } finally q.stop()
+  }
+
   test("bruteForceKnn returns k nearest, same-cluster first, ordered desc") {
     val top = Similarity.bruteForceKnn(emb, queryVecId = 0L, k = 10).collect()
     assert(top.length == 10)
