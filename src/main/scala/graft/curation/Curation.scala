@@ -130,6 +130,21 @@ object Curation {
     if (hashSig) xxhash64(raw) else raw
   }
 
+  /** The ONE 100 TB dedup-key switch: composed pipelines
+    * ([[trainingManifest]]/[[trainingManifestV2]]/[[curationFunnel]]/
+    * [[publishedFunnel]]) whose callers don't choose explicitly
+    * (`hashSig = None`) read the session conf
+    * `spark.graft.dedup.hashSig` — so a 100 TB deployment flips one
+    * config instead of opting in per call. Defaults to `false` (the
+    * raw-signature key) for oracle bit-parity; the primitive
+    * [[keepOneExact]]/[[keepOnePreferred]] keep their explicit Boolean
+    * (a primitive should never read ambient state).
+    */
+  private def resolveHashSig(df: DataFrame,
+                             hashSig: Option[Boolean]): Boolean =
+    hashSig.getOrElse(df.sparkSession.conf
+      .get("spark.graft.dedup.hashSig", "false").toBoolean)
+
   /** [[keepOneExact]] with an explicit keep preference: when the same
     * canonical token signature appears in several corpora/sources, keep
     * the copy with the LOWEST `priority` (ties → lowest id) — "prefer
@@ -2038,7 +2053,8 @@ object Curation {
                      maxStopwordRatio: Double = 0.1,
                      maxDupTokenRatio: Double = 0.6,
                      maxTopBigramFrac: Double = 0.06,
-                     hashSig: Boolean = false): DataFrame = {
+                     hashSig: Option[Boolean] = None): DataFrame = {
+    val hs = resolveHashSig(docs, hashSig)
     val qKeep = qualityFilter(docs, col("text"), col("doc_id"),
         minTokens, maxTokens, maxStopwordRatio, maxDupTokenRatio,
         maxTopBigramFrac)
@@ -2047,8 +2063,7 @@ object Curation {
     val q = docs.join(qKeep, Seq("doc_id"))
     val contaminated = decontaminate(q, evalDocs).localCheckpoint(true)
     val clean = q.join(contaminated, Seq("doc_id"), "left_anti")
-    val survivors = keepOneExact(clean, col("text"), col("doc_id"),
-        hashSig)
+    val survivors = keepOneExact(clean, col("text"), col("doc_id"), hs)
       .select(col("doc_id"))
     val stage = docs.select(col("doc_id"))
       .join(qKeep.withColumn("__q", lit(1)), Seq("doc_id"), "left")
@@ -2137,7 +2152,8 @@ object Curation {
     */
   def publishedFunnel(docs: DataFrame, minWords: Long = 20L,
                       maxWords: Long = 100000L,
-                      hashSig: Boolean = false): DataFrame = {
+                      hashSig: Option[Boolean] = None): DataFrame = {
+    val hs = resolveHashSig(docs, hashSig)
     import graft.text.TextAnalysis
     // Stages 1+2 are both per-doc functions of the text, so their flags
     // come from ONE fused scan pass (sequential attribution is just
@@ -2154,7 +2170,7 @@ object Curation {
         col("text"), col("doc_id"), col("lang"))
       .localCheckpoint(true)
     val survivors = keepOneExact(docs.join(cKeep, Seq("doc_id")),
-        col("text"), col("doc_id"), hashSig)
+        col("text"), col("doc_id"), hs)
       .select(col("doc_id"))
     // flags already has exactly one row per doc, so the label chain
     // starts FROM the checkpointed flags frame — no corpus re-scan.
@@ -2212,7 +2228,8 @@ object Curation {
                        maxStopwordRatio: Double = 0.1,
                        maxDupTokenRatio: Double = 0.6,
                        maxTopBigramFrac: Double = 0.06,
-                       hashSig: Boolean = false): DataFrame = {
+                       hashSig: Option[Boolean] = None): DataFrame = {
+    val hs = resolveHashSig(docs, hashSig)
     import org.apache.spark.sql.graftbridge.Bridge
     // O(ids): one long column, safe to pin in executor memory.
     val keepIds = qualityFilter(docs, col("text"), col("doc_id"),
@@ -2224,8 +2241,7 @@ object Curation {
     val contaminated = decontaminate(q, evalDocs)
     val clean = q.join(contaminated, Seq("doc_id"), "left_anti")
     // O(ids) again: survivors of the signature window, plus their split.
-    val dedupedIds = keepOneExact(clean, col("text"), col("doc_id"),
-        hashSig)
+    val dedupedIds = keepOneExact(clean, col("text"), col("doc_id"), hs)
       .select(col("doc_id"), splitColumn(col("text")).as("split"))
       .localCheckpoint(true)
     Bridge.release(keepIds) // dedupedIds subsumes it
@@ -2271,7 +2287,8 @@ object Curation {
                          maxStopwordRatio: Double = 0.1,
                          maxDupTokenRatio: Double = 0.6,
                          maxTopBigramFrac: Double = 0.06,
-                         hashSig: Boolean = false): DataFrame = {
+                         hashSig: Option[Boolean] = None): DataFrame = {
+    val hs = resolveHashSig(docs, hashSig)
     import org.apache.spark.sql.graftbridge.Bridge
     val keepRules = qualityFilter(docs, col("text"), col("doc_id"),
         minTokens, maxTokens, maxStopwordRatio, maxDupTokenRatio,
@@ -2286,8 +2303,7 @@ object Curation {
     val q = docs.join(keep2.select(col("doc_id")), Seq("doc_id"))
     val contaminated = decontaminate(q, evalDocs)
     val clean = q.join(contaminated, Seq("doc_id"), "left_anti")
-    val dedupedIds = keepOneExact(clean, col("text"), col("doc_id"),
-        hashSig)
+    val dedupedIds = keepOneExact(clean, col("text"), col("doc_id"), hs)
       .select(col("doc_id"), splitColumn(col("text")).as("split"))
       .localCheckpoint(true)
     val hydrated = docs.join(dedupedIds, Seq("doc_id"))

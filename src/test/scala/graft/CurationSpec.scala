@@ -1090,15 +1090,36 @@ class CurationSpec extends AnyFunSuite {
       .collect()
     assert(capped.length < v1.size && capped.nonEmpty)
     assert(capped.forall(_.getAs[Long]("cum_tokens") <= 60L))
-    // the PB-scale dedup key (hashSig = true, the c16b path) threads
-    // through the composition without changing a single row
+    // the PB-scale dedup key (hashSig, the c16b path) threads through
+    // the composition without changing a single row
     val v2h = Curation.trainingManifestV2(corpus, eval_,
         classifierWeights = graft.text.TextAnalysis.defaultClassifierWeights(64),
         classifierBias = -0.25, minLogitMicro = Long.MinValue,
-        tokensPerSource = Long.MaxValue, budget = 64, hashSig = true)
+        tokensPerSource = Long.MaxValue, budget = 64, hashSig = Some(true))
       .select("doc_id", "pack_key", "split", "n_tokens", "seq_id", "seq_offset")
       .collect().map(_.toSeq).toSet
     assert(v2h == v2)
+    // ... and the SESSION switch (spark.graft.dedup.hashSig) is the
+    // same opt-in without touching the call site — one config flips a
+    // 100 TB deployment
+    spark.conf.set("spark.graft.dedup.hashSig", "true")
+    try {
+      val v2c = Curation.trainingManifestV2(corpus, eval_,
+          classifierWeights = graft.text.TextAnalysis.defaultClassifierWeights(64),
+          classifierBias = -0.25, minLogitMicro = Long.MinValue,
+          tokensPerSource = Long.MaxValue, budget = 64)
+        .select("doc_id", "pack_key", "split", "n_tokens", "seq_id", "seq_offset")
+        .collect().map(_.toSeq).toSet
+      assert(v2c == v2)
+      // an explicit per-call choice still beats the session conf
+      val v2e = Curation.trainingManifestV2(corpus, eval_,
+          classifierWeights = graft.text.TextAnalysis.defaultClassifierWeights(64),
+          classifierBias = -0.25, minLogitMicro = Long.MinValue,
+          tokensPerSource = Long.MaxValue, budget = 64, hashSig = Some(false))
+        .select("doc_id", "pack_key", "split", "n_tokens", "seq_id", "seq_offset")
+        .collect().map(_.toSeq).toSet
+      assert(v2e == v2)
+    } finally spark.conf.set("spark.graft.dedup.hashSig", "false")
   }
 
   test("dedupLinesFirstOccurrence keeps only the globally first instance of a line") {
