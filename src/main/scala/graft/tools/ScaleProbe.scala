@@ -490,6 +490,28 @@ object ScaleProbe {
       }.reduce(_ unionByName _)
       graft.sim.Similarity.pqEncode(bigEmb).count()
     }
+    t(s"sim16 ivf assign inc ${mult}x") {
+      // frozen centroids, 3 assign batches: per-batch cost must track
+      // BATCH size (scan + broadcast argmin), not index-store life
+      val emb = Tables.embeddings(spark, dir)
+      val bigEmb = (0 until mult).map { r =>
+        emb.select((col("vec_id") + lit(r.toLong * 10000000L)).as("vec_id"),
+          col("embedding"), col("label"))
+      }.reduce(_ unionByName _).localCheckpoint(true)
+      val cs = graft.sim.Similarity.ivfTrain(emb, nCentroids = 16, iters = 1)
+      val tmp = java.nio.file.Files.createTempDirectory("probe_ivf").toString
+      val times = (0 to 2).map { r =>
+        val b = bigEmb.filter(pmod(col("vec_id"), lit(3)) === r)
+        val t0 = System.nanoTime()
+        graft.sim.Similarity.ivfAssignBatch(b, r.toLong, cs, s"$tmp/assign")
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"SCALE   sim16 per-batch ${times.map(t => f"$t%.2f").mkString("/")} s")
+      val n = graft.sim.Similarity.assignmentsFromStore(spark,
+        s"$tmp/assign").count()
+      org.apache.spark.sql.graftbridge.Bridge.release(bigEmb)
+      n
+    }
     t(s"sim10 pq adc knn ${mult}x") {
       val emb = Tables.embeddings(spark, dir)
       val bigEmb = (0 until mult).map { r =>
@@ -780,6 +802,22 @@ object ScaleProbe {
       }
       println(f"SCALE   c21b per-batch ${times.map(t => f"$t%.2f").mkString("/")} s")
       spark.read.parquet(s"$tmp/groups").count()
+    }
+    t(s"t23b tokenize inc ${mult}x") {
+      // 3 ingest batches under a small frozen vocab: per-batch cost
+      // must track BATCH size (one lookup-join pass), not store life
+      val tmp = java.nio.file.Files.createTempDirectory("probe_tok").toString
+      val vocab = graft.text.BpeTrain.trainMerges(
+        graft.text.BpeTrain.wordFreq(docs, col("text")), k = 8)._2
+      val times = (0 to 2).map { r =>
+        val b = big.filter(pmod(col("doc_id"), lit(3)) === r)
+        val t0 = System.nanoTime()
+        graft.text.BpeTrain.tokenCountBatch(b, r.toLong, col("text"),
+          col("doc_id"), vocab, s"$tmp/census")
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"SCALE   t23b per-batch ${times.map(t => f"$t%.2f").mkString("/")} s")
+      graft.text.BpeTrain.tokenCountsFromStore(spark, s"$tmp/census").count()
     }
     t(s"t24 vocab growth ${mult}x") {
       graft.text.TextAnalysis.vocabGrowth(big, col("text"), col("doc_id"),
