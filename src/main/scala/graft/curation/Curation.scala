@@ -1930,6 +1930,56 @@ object Curation {
       .filter(col("cum_tokens") <= budget)
   }
 
+  /** [[tokenBudgetMix]]'s SCALE twin (c11c) — the same kept rows and
+    * the same exact `cum_tokens` values, but no per-key corpus window:
+    * the plain form's prefix sum funnels every document of a source
+    * into ONE task (the c39 mega-domain shape, in disguise — a budget
+    * mix over a web corpus ranks the mega source's whole slice). Here
+    * the per-key PREFIX SUM itself is distributed:
+    *
+    *  1. a map-side-combined `(key, sort-bucket)` token-mass histogram
+    *     (tiny, checkpointed);
+    *  2. per bucket, the exact token mass of all strictly-earlier
+    *     buckets (`__base`, a window over the REDUCED histogram);
+    *     buckets whose base already exceeds the budget are PRUNED
+    *     before touching the corpus — the windowed slice is
+    *     budget-bounded, not corpus-bounded;
+    *  3. the running sum re-partitions by `(key, bucket)` — a mega
+    *     source spreads across its B bucket-tasks — and each row's
+    *     global `cum_tokens` is `__base` + its within-bucket prefix
+    *     (exact: bucketing is monotone in the sort key, so bucket
+    *     order composes with in-bucket order to the global order).
+    *
+    * Order is `(sortAsc ASC, tieId ASC)` — express "best quality
+    * first" as `-quality`. Same double-eval contract as
+    * [[twoPhaseQuotaFill]] (histogram pass + fill pass).
+    */
+  def tokenBudgetMixScalable(df: DataFrame, nTokens: Column, key: Column,
+                             sortAsc: Column, tieId: Column, budget: Long,
+                             bucketWidth: Long = 65536L): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    val base = df.withColumn("__k2", key).withColumn("__sa", sortAsc)
+      .withColumn("__ti", tieId).withColumn("__tok", nTokens)
+      .withColumn("__b", expr(s"__sa div $bucketWidth"))
+    val hist = base.groupBy(col("__k2"), col("__b"))
+      .agg(sum(col("__tok")).as("__tc")).localCheckpoint(true)
+    val offs = hist
+      .withColumn("__cum", sum(col("__tc")).over(
+        Window.partitionBy(col("__k2")).orderBy(col("__b"))))
+      .select(col("__k2").as("__ok"), col("__b").as("__ob"),
+        (col("__cum") - col("__tc")).as("__base"))
+      .filter(col("__base") <= budget)
+    val joined = base.join(broadcast(offs),
+      col("__k2") === col("__ok") && col("__b") === col("__ob"))
+    joined
+      .withColumn("cum_tokens", col("__base") + sum(col("__tok")).over(
+        Window.partitionBy(col("__k2"), col("__b"))
+          .orderBy(col("__sa"), col("__ti"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum_tokens") <= budget)
+      .drop("__k2", "__sa", "__ti", "__tok", "__b", "__ok", "__ob", "__base")
+  }
+
   /** [[tokenBudgetMix]] with the budget denominated in TOKENIZER tokens
     * while documents carry WHITESPACE counts — the shape a real mix
     * build has (corpora are profiled in cheap whitespace counts; the

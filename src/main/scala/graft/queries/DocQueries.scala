@@ -163,6 +163,45 @@ object DocQueries {
       b0
     })
 
+  /** The c11/c11c budget-mix oracle — ONE definition for the
+    * window-exact gate and its distributed-prefix-sum scale twin.
+    */
+  private val C11OracleSql = {
+    val wLit = TextAnalysis.defaultClassifierWeights(64)
+      .map(_.toLong).mkString("[", ", ", "]")
+    s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+       |h AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  list_sum([CAST((CAST($wLit AS BIGINT[]))[
+       |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      [CAST(ascii(c) AS BIGINT) FOR c IN string_split(tok, '')]),
+       |      (a, b) -> (a * 31 + b) % 1000000007) % 64) + 1] AS DOUBLE)
+       |    FOR tok IN toks]) AS dot
+       |  FROM t),
+       |q AS (SELECT doc_id, source, n_tokens,
+       |  CAST(floor((-0.25 + dot / (100.0 * n_tokens)) * 1000000.0) AS BIGINT) AS quality
+       |  FROM h),
+       |c AS (SELECT doc_id, source, n_tokens, quality,
+       |  CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY quality DESC, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+       |  FROM q)
+       |SELECT doc_id, source, n_tokens, quality, cum_tokens
+       |FROM c WHERE cum_tokens <= 2000 ORDER BY source, quality DESC, doc_id""".stripMargin
+  }
+
+  /** The c11/c11c scored-and-keyed input frame (classifier quality +
+    * source key) — shared so the twin gates mix the identical rows.
+    */
+  private def c11Scored(s: org.apache.spark.sql.SparkSession,
+                        dir: String): org.apache.spark.sql.DataFrame = {
+    val scored = TextAnalysis.classifierScore(
+        Tables.documents(s, dir), col("text"), col("doc_id"),
+        TextAnalysis.defaultClassifierWeights(64), bias = -0.25)
+      .select(col("doc_id"), col("n_tokens"),
+        col("logit_micro").as("quality"))
+    Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      .join(scored, Seq("doc_id"))
+  }
+
   /** The c1/c1b composed-curation oracle — ONE definition for the
     * window-exact pipeline gate and its two-phase-quota scale twin, so
     * a pipeline semantics change can't leave a stale sibling.
@@ -2559,36 +2598,28 @@ object DocQueries {
     // budget fills — the final "build the training mix" step. One window
     // cumsum per source; exact integer cumulative counts, total order
     // (quality desc, doc_id), so the kept set hash-checks.
-    QDef("c11_token_budget_mix", {
-      val wLit = TextAnalysis.defaultClassifierWeights(64)
-        .map(_.toLong).mkString("[", ", ", "]")
-      s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
-         |h AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens,
-         |  list_sum([CAST((CAST($wLit AS BIGINT[]))[
-         |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |      [CAST(ascii(c) AS BIGINT) FOR c IN string_split(tok, '')]),
-         |      (a, b) -> (a * 31 + b) % 1000000007) % 64) + 1] AS DOUBLE)
-         |    FOR tok IN toks]) AS dot
-         |  FROM t),
-         |q AS (SELECT doc_id, source, n_tokens,
-         |  CAST(floor((-0.25 + dot / (100.0 * n_tokens)) * 1000000.0) AS BIGINT) AS quality
-         |  FROM h),
-         |c AS (SELECT doc_id, source, n_tokens, quality,
-         |  CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY quality DESC, doc_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
-         |  FROM q)
-         |SELECT doc_id, source, n_tokens, quality, cum_tokens
-         |FROM c WHERE cum_tokens <= 2000 ORDER BY source, quality DESC, doc_id""".stripMargin
-    }) { (s, dir) =>
-      val scored = TextAnalysis.classifierScore(
-          Tables.documents(s, dir), col("text"), col("doc_id"),
-          TextAnalysis.defaultClassifierWeights(64), bias = -0.25)
-        .select(col("doc_id"), col("n_tokens"),
-          col("logit_micro").as("quality"))
-      val withKey = Tables.documents(s, dir).select(col("doc_id"), col("source"))
-        .join(scored, Seq("doc_id"))
-      graft.curation.Curation.tokenBudgetMix(withKey, col("n_tokens"),
+    QDef("c11_token_budget_mix", C11OracleSql) { (s, dir) =>
+      graft.curation.Curation.tokenBudgetMix(c11Scored(s, dir),
+          col("n_tokens"),
           col("source"), Seq(col("quality").desc, col("doc_id")), budget = 2000L)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("quality"), col("cum_tokens"))
+        .orderBy(col("source"), col("quality").desc, col("doc_id"))
+    },
+
+    // c11's SCALE twin (round 15 — the c39b move for PREFIX SUMS): the
+    // plain budget mix ranks every document of a source in one window
+    // task; this form distributes the per-key prefix sum itself — a
+    // (source, quality-bucket) token-mass histogram yields each
+    // bucket's exact base offset (broadcast, budget-pruned), and the
+    // running sum re-partitions by (source, bucket) so a mega source
+    // spreads across its bucket-tasks. Same oracle, same exact
+    // cum_tokens values. bucketWidth=250000 (quality is in micro units)
+    // so the gate corpus actually splits into multiple buckets.
+    QDef("c11c_token_budget_scalable", C11OracleSql) { (s, dir) =>
+      graft.curation.Curation.tokenBudgetMixScalable(c11Scored(s, dir),
+          col("n_tokens"), col("source"), -col("quality"), col("doc_id"),
+          budget = 2000L, bucketWidth = 250000L)
         .select(col("doc_id"), col("source"), col("n_tokens"),
           col("quality"), col("cum_tokens"))
         .orderBy(col("source"), col("quality").desc, col("doc_id"))

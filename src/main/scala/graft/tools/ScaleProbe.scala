@@ -302,6 +302,32 @@ object ScaleProbe {
         col("n_tokens"), col("lang"), col("source"),
         Seq(col("doc_id")), budget = 1000000L, calibration = cal).count()
     }
+    t(s"c11c mega-source mix ${mult}x") {
+      // 90% of rows in ONE source: the plain budget mix funnels the
+      // mega slice into a single prefix-sum task; the distributed form
+      // spreads it across (source, bucket) tasks AND prunes buckets
+      // past the budget before the window. Printed pair: scalable vs
+      // exact window on the same frame.
+      val mega = big.select(col("doc_id"),
+        when(col("doc_id") % 10 =!= 0, lit("mega"))
+          .otherwise(col("source")).as("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        ((col("doc_id") * 37L) % 1000000L).as("quality"))
+        .localCheckpoint(true)
+      val budget = 500L * mult
+      val t0 = System.nanoTime()
+      val nS = Curation.tokenBudgetMixScalable(mega, col("n_tokens"),
+        col("source"), -col("quality"), col("doc_id"), budget,
+        bucketWidth = 1024L).count()
+      val tS = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val nE = Curation.tokenBudgetMix(mega, col("n_tokens"), col("source"),
+        Seq(col("quality").desc, col("doc_id")), budget).count()
+      println(f"SCALE   c11c scalable $tS%.2f s ($nS rows) vs exact " +
+        f"window ${(System.nanoTime() - t1) / 1e9}%.2f s ($nE rows)")
+      org.apache.spark.sql.graftbridge.Bridge.release(mega)
+      nS
+    }
     t(s"c39 mixture apply ${mult}x") {
       // quota table broadcasts; the rank is one window shuffle keyed on
       // the domain — replicas multiply the DOMAIN COUNT (sources are

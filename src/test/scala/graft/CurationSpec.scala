@@ -55,6 +55,30 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("tokenBudgetMixScalable ≡ tokenBudgetMix: rows AND exact cum_tokens") {
+    // mega source (90% of rows), negative qualities, heavy sort-key
+    // ties — the distributed prefix sum must reproduce the window's
+    // cumulative values bit for bit at any bucket width
+    val rnd = new scala.util.Random(1519L)
+    val rows = (1L to 500L).map { i =>
+      val k = if (i % 10 != 0) "mega" else s"k${i % 3}"
+      (i, k, 1L + rnd.nextInt(9).toLong, (rnd.nextInt(21) - 10).toLong)
+    }
+    val df = rows.toDF("doc_id", "source", "n_tokens", "quality")
+    for (budget <- Seq(0L, 37L, 500L, 1000000L); w <- Seq(1L, 4L, 1000L)) {
+      val exact = Curation.tokenBudgetMix(df, col("n_tokens"), col("source"),
+          Seq(col("quality").desc, col("doc_id")), budget)
+        .select("doc_id", "cum_tokens")
+        .as[(Long, Long)].collect().toSet
+      val got = Curation.tokenBudgetMixScalable(df, col("n_tokens"),
+          col("source"), -col("quality"), col("doc_id"), budget,
+          bucketWidth = w)
+        .select("doc_id", "cum_tokens")
+        .as[(Long, Long)].collect().toSet
+      assert(got == exact, s"mismatch at budget=$budget width=$w")
+    }
+  }
+
   test("curate(scalableQuota) keeps the identical end-to-end corpus") {
     val base = Curation.curate(docs).select("doc_id")
       .as[Long].collect().toSet

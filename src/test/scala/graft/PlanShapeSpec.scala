@@ -347,6 +347,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ScalaUDF"), plan)
   }
 
+  test("c11c scalable budget mix: running sum partitions by (key, bucket)") {
+    val df = docs.select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      (col("doc_id") % 100).as("quality"))
+    val plan = phys(graft.curation.Curation.tokenBudgetMixScalable(df,
+      col("n_tokens"), col("source"), -col("quality"), col("doc_id"),
+      budget = 2000L, bucketWidth = 8L))
+    // the corpus-side running sum must partition by BOTH the key and
+    // the sort bucket — a mega source spreads across its bucket-tasks
+    // (a windowspec partitioned on __k2 alone is the funnel)
+    assert("""windowspecdefinition\(__k2#\d+, __b#\d+L, __sa#\d+L ASC"""
+      .r.findFirstIn(plan).isDefined,
+      s"running sum must partition by (key, bucket):\n$plan")
+    // base offsets enter broadcast; no sort-merge join anywhere
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ScalaUDF"), plan)
+  }
+
   test("t25 gopher repetition: ONE scan-fused pass, zero shuffles, no UDF") {
     val plan = phys(TextAnalysis.gopherRepetitionMetrics(docs,
       col("text"), col("doc_id")))
