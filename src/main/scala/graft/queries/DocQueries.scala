@@ -2040,6 +2040,34 @@ object DocQueries {
           .orderBy(col("vec_id"))
     },
 
+    // RE-TRAIN trigger over the sim16 assignment store (round 15 — the
+    // c40/c41 decision convention completing the sim family): latest
+    // batch's per-centroid assignment share vs the cumulative share;
+    // 'retrain' beyond 8 permille (a band the SFs' deltas straddle, so
+    // the gate pins BOTH actions). Oracle rebuilds the drive's batches
+    // (vec_id % 3) over the SAME unrolled one-Lloyd-round assignment
+    // chain as sim16.
+    QDef("sim17_ann_drift_decision",
+        s"""${sim3Prelude(iters = 1)},
+           |pb AS (SELECT cid, vec_id % 3 AS batch_id,
+           |    CAST(count(*) AS BIGINT) AS n FROM assigned GROUP BY 1, 2),
+           |al AS (SELECT cid, CAST(sum(n) AS BIGINT) AS n_all FROM pb GROUP BY cid),
+           |rc AS (SELECT cid, n AS n_recent FROM pb
+           |  WHERE batch_id = (SELECT max(batch_id) FROM pb)),
+           |j AS (SELECT al.cid, al.n_all,
+           |    CAST((al.n_all * 1000) // (SELECT sum(n_all) FROM al) AS BIGINT) AS share_all_permille,
+           |    CAST((rc.n_recent * 1000) // (SELECT sum(n_recent) FROM rc) AS BIGINT) AS share_recent_permille
+           |  FROM al LEFT JOIN rc ON al.cid = rc.cid)
+           |SELECT cid, n_all, share_all_permille, share_recent_permille,
+           |  CAST(share_recent_permille - share_all_permille AS BIGINT) AS delta_permille,
+           |  CASE WHEN abs(share_recent_permille - share_all_permille) >= 8
+           |       THEN 'retrain' ELSE 'hold' END AS action
+           |FROM j ORDER BY cid""".stripMargin) { (s, dir) =>
+      Similarity.ivfDriftDecision(s, s"${ivfIncDrive(s, dir)}/assign",
+          bandPermille = 8L)
+        .orderBy(col("cid"))
+    },
+
     // Multimodal frame-sampling plumbing: text bytes stand in for a video
     // payload; one row per sampled frame, re-aggregated to frame counts
     // (deterministic -> exact oracle on ceil(n_bytes/stride)).

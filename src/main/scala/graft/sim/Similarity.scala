@@ -303,6 +303,45 @@ object Similarity {
     spark.read.schema(assignStoreSchema).parquet(storePath)
       .select(col("vec_id"), col("cid"))
 
+  /** RE-TRAIN trigger over the maintained assignment store (sim17 —
+    * the c40/c41 decision convention completing the sim family): per
+    * centroid, compare the LATEST batch's assignment SHARE (permille)
+    * against the all-batches cumulative share and emit `retrain` when
+    * it moved at least `bandPermille` either way — the quantizer is
+    * stale when arriving data stops distributing like the data it was
+    * trained on. A centroid absent from the latest batch has NULL
+    * recent share → NULL delta → `hold` (no evidence is not drift, the
+    * c41 rule; a centroid the corpus abandoned will drag every OTHER
+    * share up past the band instead). Cost: one map-side-combined
+    * reduce over the store + a partition-PRUNED read of the latest
+    * batch (`batch_id` is the partition column); totals enter as 1-row
+    * broadcasts; the max-batch-id read is a bounded 1-row collect.
+    */
+  def ivfDriftDecision(spark: org.apache.spark.sql.SparkSession,
+                       storePath: String, bandPermille: Long): DataFrame = {
+    require(bandPermille >= 0, s"band must be >= 0: $bandPermille")
+    val st = spark.read.schema(assignStoreSchema).parquet(storePath)
+    val all = st.groupBy(col("cid")).agg(count(lit(1)).as("n_all"))
+    val ga = all.agg(sum(col("n_all")).as("__tot"))
+    val mbRow = st.agg(max(col("batch_id"))).collect()(0)
+    val mb: java.lang.Long =
+      if (mbRow.isNullAt(0)) null else java.lang.Long.valueOf(mbRow.getLong(0))
+    val recent = st.filter(col("batch_id") <=> lit(mb))
+      .groupBy(col("cid")).agg(count(lit(1)).as("n_recent"))
+    val gr = recent.agg(sum(col("n_recent")).as("__totr"))
+    all.crossJoin(broadcast(ga))
+      .join(recent, Seq("cid"), "left")
+      .crossJoin(broadcast(gr))
+      .select(col("cid"), col("n_all"),
+        expr("(n_all * 1000) div __tot").as("share_all_permille"),
+        expr("(n_recent * 1000) div __totr").as("share_recent_permille"))
+      .withColumn("delta_permille",
+        col("share_recent_permille") - col("share_all_permille"))
+      .withColumn("action",
+        when(abs(col("delta_permille")) >= bandPermille, lit("retrain"))
+          .otherwise(lit("hold")))
+  }
+
   /** Argmin over centroid distances, unrolled per centroid (few).
     * ‖x−c‖² = ‖x‖² + ‖c‖² − 2·c·x and ‖x‖² is constant across centroids,
     * so rank by ‖c‖² − 2·c·x: the centroid norm folds to a literal and

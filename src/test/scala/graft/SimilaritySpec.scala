@@ -59,6 +59,43 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.size == 60)
   }
 
+  test("ivfDriftDecision: stable shares hold; shifted centroid retrains; absent holds") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("ivfdrift").toString
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("cid", IntegerType), StructField("batch_id", LongType)))
+    def writeTo(d: String, rows: Seq[(Long, Int)], bid: Long): Unit =
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.map { case (v, c) =>
+            org.apache.spark.sql.Row(v, c, bid) }), schema)
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(d)
+    def write(rows: Seq[(Long, Int)], bid: Long): Unit = writeTo(dir, rows, bid)
+    // batch 0: cid0 x5, cid1 x5, cid2 x2 (cid2 exists only early)
+    write((1L to 5L).map((_, 0)) ++ (6L to 10L).map((_, 1)) ++
+      Seq((11L, 2), (12L, 2)), 0L)
+    // batch 1 (latest): cid0 x9, cid1 x1 — cid0's share jumps, cid1's
+    // collapses, cid2 absent
+    write((13L to 21L).map((_, 0)) ++ Seq((22L, 1)), 1L)
+    val got = Similarity.ivfDriftDecision(spark, dir, bandPermille = 100L)
+      .orderBy("cid")
+      .select("cid", "share_all_permille", "share_recent_permille", "action")
+      .collect().map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getString(3))).toSeq
+    // all: cid0 14/22=636, cid1 6/22=272, cid2 2/22=90;
+    // recent: cid0 9/10=900, cid1 1/10=100; cid2 NULL -> hold
+    assert(got == Seq((0, 636L, 900L, "retrain"), (1, 272L, 100L, "retrain"),
+      (2, 90L, -1L, "hold")))
+    // a replayed identical latest batch changes nothing; and when the
+    // latest batch distributes exactly like history, everything holds
+    val dir2 = java.nio.file.Files.createTempDirectory("ivfdrift2").toString
+    writeTo(dir2, (1L to 5L).map((_, 0)) ++ (6L to 10L).map((_, 1)), 0L)
+    writeTo(dir2, (11L to 15L).map((_, 0)) ++ (16L to 20L).map((_, 1)), 1L)
+    val stable = Similarity.ivfDriftDecision(spark, dir2, bandPermille = 1L)
+      .select("action").collect().map(_.getString(0)).toSet
+    assert(stable == Set("hold"))
+  }
+
   test("ivfIngest streams batches into the assignment store e2e") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
