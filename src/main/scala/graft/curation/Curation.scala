@@ -1980,6 +1980,28 @@ object Curation {
       .drop("__k2", "__sa", "__ti", "__tok", "__b", "__ok", "__ob", "__base")
   }
 
+  /** [[tokenBudgetMixCalibrated]]'s SCALE twin (c11d): the identical
+    * broadcast calibration join + `est_bpe_micro` projection, then the
+    * micro-token budget runs through [[tokenBudgetMixScalable]]'s
+    * distributed prefix sum instead of the per-key corpus window. Same
+    * rows, same exact `cum_bpe_micro` values.
+    */
+  def tokenBudgetMixCalibratedScalable(df: DataFrame, nTokens: Column,
+                                       lang: Column, key: Column,
+                                       sortAsc: Column, tieId: Column,
+                                       budget: Long, calibration: DataFrame,
+                                       bucketWidth: Long = 65536L): DataFrame = {
+    val cal = calibration.select(col("lang").as("__clang"),
+      round(col("bpe_per_ws") * 1000000.0, 0).cast("long").as("__ratio"))
+    val est = df.join(broadcast(cal), lang <=> col("__clang"), "left")
+      .withColumn("est_bpe_micro",
+        nTokens * coalesce(col("__ratio"), lit(1000000L)))
+      .drop("__clang", "__ratio")
+    tokenBudgetMixScalable(est, col("est_bpe_micro"), key, sortAsc, tieId,
+        budget * 1000000L, bucketWidth)
+      .withColumnRenamed("cum_tokens", "cum_bpe_micro")
+  }
+
   /** [[tokenBudgetMix]] with the budget denominated in TOKENIZER tokens
     * while documents carry WHITESPACE counts — the shape a real mix
     * build has (corpora are profiled in cheap whitespace counts; the

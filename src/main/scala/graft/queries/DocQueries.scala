@@ -163,6 +163,57 @@ object DocQueries {
       b0
     })
 
+  /** The c11b/c11d calibrated-budget oracle — ONE definition for the
+    * window-exact gate and its distributed-prefix-sum scale twin.
+    */
+  private val C11bOracleSql = {
+        val wLit = TextAnalysis.defaultClassifierWeights(64)
+          .map(_.toLong).mkString("[", ", ", "]")
+        s"""WITH t AS (SELECT doc_id, source, lang, string_split(text, ' ') AS toks,
+           |  CAST(len(regexp_extract_all(text, '${TextAnalysis.BpePattern}')) AS BIGINT) AS n_bpe
+           |  FROM documents),
+           |h AS (SELECT doc_id, source, lang, n_bpe, CAST(len(toks) AS BIGINT) AS n_tokens,
+           |  list_sum([CAST((CAST($wLit AS BIGINT[]))[
+           |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      [CAST(ascii(c) AS BIGINT) FOR c IN string_split(tok, '')]),
+           |      (a, b) -> (a * 31 + b) % 1000000007) % 64) + 1] AS DOUBLE)
+           |    FOR tok IN toks]) AS dot
+           |  FROM t),
+           |cal AS (SELECT lang,
+           |  CAST(round(round(CAST(sum(n_bpe) AS DOUBLE) / sum(n_tokens), 6)
+           |    * 1000000.0, 0) AS BIGINT) AS ratio
+           |  FROM h GROUP BY lang),
+           |q AS (SELECT doc_id, source, h.lang AS lang, n_tokens,
+           |  CAST(floor((-0.25 + dot / (100.0 * n_tokens)) * 1000000.0) AS BIGINT) AS quality,
+           |  n_tokens * coalesce(ratio, 1000000) AS est_bpe_micro
+           |  FROM h LEFT JOIN cal ON h.lang IS NOT DISTINCT FROM cal.lang),
+           |c AS (SELECT doc_id, source, lang, n_tokens, quality, est_bpe_micro,
+           |  CAST(SUM(est_bpe_micro) OVER (PARTITION BY source ORDER BY quality DESC, doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_bpe_micro
+           |  FROM q)
+           |SELECT doc_id, source, lang, n_tokens, quality, est_bpe_micro, cum_bpe_micro
+           |FROM c WHERE cum_bpe_micro <= 3000000000
+           |ORDER BY source, quality DESC, doc_id""".stripMargin
+  }
+
+  /** The c11b/c11d scored-keyed-calibrated inputs — shared so the
+    * twin gates mix the identical rows under the identical ratios.
+    */
+  private def c11bInputs(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val docs = Tables.documents(s, dir)
+    val scored = TextAnalysis.classifierScore(docs, col("text"),
+        col("doc_id"), TextAnalysis.defaultClassifierWeights(64),
+        bias = -0.25)
+      .select(col("doc_id"), col("n_tokens"),
+        col("logit_micro").as("quality"))
+    val withKey = docs.select(col("doc_id"), col("source"), col("lang"))
+      .join(scored, Seq("doc_id"))
+    val cal = TextAnalysis.tokenCalibration(docs, col("text"), col("lang"))
+      .select(col("lang"), col("bpe_per_ws"))
+    (withKey, cal)
+  }
+
   /** The c11/c11c budget-mix oracle — ONE definition for the
     * window-exact gate and its distributed-prefix-sum scale twin.
     */
@@ -2661,45 +2712,8 @@ object DocQueries {
     // ratio becomes micro-units, the running sum is BIGINT micro-tokens
     // — no float cumsum to knife-edge the hash. Same single shuffle on
     // the mix key; the #langs calibration join is a broadcast.
-    QDef("c11b_token_budget_calibrated", {
-      val wLit = TextAnalysis.defaultClassifierWeights(64)
-        .map(_.toLong).mkString("[", ", ", "]")
-      s"""WITH t AS (SELECT doc_id, source, lang, string_split(text, ' ') AS toks,
-         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.BpePattern}')) AS BIGINT) AS n_bpe
-         |  FROM documents),
-         |h AS (SELECT doc_id, source, lang, n_bpe, CAST(len(toks) AS BIGINT) AS n_tokens,
-         |  list_sum([CAST((CAST($wLit AS BIGINT[]))[
-         |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |      [CAST(ascii(c) AS BIGINT) FOR c IN string_split(tok, '')]),
-         |      (a, b) -> (a * 31 + b) % 1000000007) % 64) + 1] AS DOUBLE)
-         |    FOR tok IN toks]) AS dot
-         |  FROM t),
-         |cal AS (SELECT lang,
-         |  CAST(round(round(CAST(sum(n_bpe) AS DOUBLE) / sum(n_tokens), 6)
-         |    * 1000000.0, 0) AS BIGINT) AS ratio
-         |  FROM h GROUP BY lang),
-         |q AS (SELECT doc_id, source, h.lang AS lang, n_tokens,
-         |  CAST(floor((-0.25 + dot / (100.0 * n_tokens)) * 1000000.0) AS BIGINT) AS quality,
-         |  n_tokens * coalesce(ratio, 1000000) AS est_bpe_micro
-         |  FROM h LEFT JOIN cal ON h.lang IS NOT DISTINCT FROM cal.lang),
-         |c AS (SELECT doc_id, source, lang, n_tokens, quality, est_bpe_micro,
-         |  CAST(SUM(est_bpe_micro) OVER (PARTITION BY source ORDER BY quality DESC, doc_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_bpe_micro
-         |  FROM q)
-         |SELECT doc_id, source, lang, n_tokens, quality, est_bpe_micro, cum_bpe_micro
-         |FROM c WHERE cum_bpe_micro <= 3000000000
-         |ORDER BY source, quality DESC, doc_id""".stripMargin
-    }) { (s, dir) =>
-      val docs = Tables.documents(s, dir)
-      val scored = TextAnalysis.classifierScore(docs, col("text"),
-          col("doc_id"), TextAnalysis.defaultClassifierWeights(64),
-          bias = -0.25)
-        .select(col("doc_id"), col("n_tokens"),
-          col("logit_micro").as("quality"))
-      val withKey = docs.select(col("doc_id"), col("source"), col("lang"))
-        .join(scored, Seq("doc_id"))
-      val cal = TextAnalysis.tokenCalibration(docs, col("text"), col("lang"))
-        .select(col("lang"), col("bpe_per_ws"))
+    QDef("c11b_token_budget_calibrated", C11bOracleSql) { (s, dir) =>
+      val (withKey, cal) = c11bInputs(s, dir)
       graft.curation.Curation.tokenBudgetMixCalibrated(withKey,
           col("n_tokens"), col("lang"), col("source"),
           Seq(col("quality").desc, col("doc_id")), budget = 3000L,
@@ -2708,6 +2722,23 @@ object DocQueries {
           col("quality"), col("est_bpe_micro"), col("cum_bpe_micro"))
         .orderBy(col("source"), col("quality").desc, col("doc_id"))
     },
+
+    // c11b's SCALE twin (round 15 - the c11c distributed prefix sum
+    // applied to the CALIBRATED budget): broadcast calibration join +
+    // est_bpe_micro projection, then the same (source, quality-bucket)
+    // histogram / broadcast base offsets / (source, bucket) running
+    // sum. Same oracle, same exact cum_bpe_micro values.
+    QDef("c11d_token_budget_calibrated_scalable", C11bOracleSql) { (s, dir) =>
+      val (withKey, cal) = c11bInputs(s, dir)
+      graft.curation.Curation.tokenBudgetMixCalibratedScalable(withKey,
+          col("n_tokens"), col("lang"), col("source"), -col("quality"),
+          col("doc_id"), budget = 3000L, calibration = cal,
+          bucketWidth = 250000L)
+        .select(col("doc_id"), col("source"), col("lang"), col("n_tokens"),
+          col("quality"), col("est_bpe_micro"), col("cum_bpe_micro"))
+        .orderBy(col("source"), col("quality").desc, col("doc_id"))
+    },
+
 
     // Token-distribution drift between the deterministic train and val
     // splits: exact total-variation distance (all-integer inner sum) —

@@ -79,6 +79,31 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("tokenBudgetMixCalibratedScalable ≡ calibrated window form") {
+    val rnd = new scala.util.Random(1523L)
+    val rows = (1L to 300L).map { i =>
+      val k = if (i % 10 != 0) "mega" else s"k${i % 3}"
+      val lg = Seq("en", "de", null)(rnd.nextInt(3))
+      (i, k, lg, 1L + rnd.nextInt(9).toLong, (rnd.nextInt(31) - 15).toLong)
+    }
+    val df = rows.toDF("doc_id", "source", "lang", "n_tokens", "quality")
+    val cal = Seq(("en", 1.31), ("de", 1.72)).toDF("lang", "bpe_per_ws")
+    val exact = Curation.tokenBudgetMixCalibrated(df, col("n_tokens"),
+        col("lang"), col("source"),
+        Seq(col("quality").desc, col("doc_id")), budget = 400L,
+        calibration = cal)
+      .select("doc_id", "est_bpe_micro", "cum_bpe_micro")
+      .as[(Long, Long, Long)].collect().toSet
+    for (w <- Seq(1L, 7L, 1000000L)) {
+      val got = Curation.tokenBudgetMixCalibratedScalable(df,
+          col("n_tokens"), col("lang"), col("source"), -col("quality"),
+          col("doc_id"), budget = 400L, calibration = cal, bucketWidth = w)
+        .select("doc_id", "est_bpe_micro", "cum_bpe_micro")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == exact, s"mismatch at width=$w")
+    }
+  }
+
   test("curate(scalableQuota) keeps the identical end-to-end corpus") {
     val base = Curation.curate(docs).select("doc_id")
       .as[Long].collect().toSet

@@ -347,6 +347,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ScalaUDF"), plan)
   }
 
+  test("w3 rank-k keep: WindowGroupLimit prunes map-side before the shuffle") {
+    // row_number <= k is the one per-key window Spark itself makes
+    // scale-safe: WindowGroupLimit keeps k rows per key per input
+    // partition BEFORE the exchange, so a mega event-type ships
+    // k×partitions rows, never its whole slice — pin that the
+    // optimization actually fires (losing it would silently
+    // reintroduce the funnel this suite exists to prevent)
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("event_id"))
+    val plan = phys(ev
+      .select(col("event_type"), col("event_id"), col("value"),
+        row_number().over(w).cast("long").as("rn"))
+      .filter(col("rn") <= 3))
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 2,
+      s"expected partial+final WindowGroupLimit around the exchange:\n$plan")
+  }
+
   test("c11c scalable budget mix: running sum partitions by (key, bucket)") {
     val df = docs.select(col("doc_id"), col("source"),
       size(split(col("text"), " ")).cast("long").as("n_tokens"),
