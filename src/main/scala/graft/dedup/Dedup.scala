@@ -287,11 +287,18 @@ object Dedup {
                                     threshold: Double,
                                     ngram: Int): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
-    val withRep = df
-      .select(id.as("doc_id"), text.as("__text"),
-        exactSignature(text, ngram).as("__sig"))
-      .withColumn("__rep", min(col("doc_id")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("__sig"))))
+    // the doc→rep map via the argmin AGGREGATE + signature join (the
+    // keepOneExact skew discipline, round 15): the min is absorbed
+    // map-side and the join back gets AQE skew splitting — the window
+    // form this replaces funneled every row of a mega-signature
+    // (all-identical corpora do happen) into ONE task, with the full
+    // text riding the shuffle
+    val base = df.select(id.as("doc_id"), text.as("__text"),
+      exactSignature(text, ngram).as("__sig"))
+    val winners = base.groupBy(col("__sig"))
+      .agg(min(col("doc_id")).as("__rep"))
+    val withRep = base.join(winners, Seq("__sig"))
+      .select(col("doc_id"), col("__text"), col("__sig"), col("__rep"))
       .localCheckpoint(true)
     val reps = withRep.filter(col("doc_id") === col("__rep"))
       .select(col("doc_id"), col("__text").as("text"))
