@@ -207,10 +207,13 @@ object Curation {
     *     residual. Monotonicity makes the composition exactly the
     *     global per-key `(sort, tie)` rank.
     *
-    * `quotas` receives the distinct-key frame (derived from the reduced
-    * histogram, never a second corpus pass) and must return
-    * `(__k, __quota)`; keys it omits are DROPPED (the c39 inner-join
-    * semantics). `bucket` may reference `__sa` (the staged sort key).
+    * `quotas` receives the per-key `(__k, __n)` count frame (derived
+    * from the reduced histogram, never a second corpus pass) and must
+    * return `(__k, __quota)` (extra columns tolerated); keys it omits —
+    * and NULL keys, which the equi-joins drop (coalesce upstream if a
+    * null-key group must participate) — are DROPPED (the c39
+    * inner-join semantics). `bucket` may reference `__sa` (the staged
+    * sort key).
     * CONTRACT: `df` is evaluated twice (histogram + fill pass — the
     * [[keepOneExact]] double-eval contract); ties on `(key, sortA,
     * tieId)` are indistinguishable keep decisions, so make `tieId`
@@ -223,7 +226,9 @@ object Curation {
       .withColumn("__ti", tieId).withColumn("__b", bucket)
     val hist = base.groupBy(col("__k2"), col("__b"))
       .agg(count(lit(1)).as("__c")).localCheckpoint(true)
-    val q = quotas(hist.select(col("__k2").as("__k")).distinct())
+    val q = quotas(hist.groupBy(col("__k2"))
+      .agg(sum(col("__c")).as("__n")).select(col("__k2").as("__k"),
+        col("__n")))
     val cum = hist.withColumn("__cum", sum(col("__c"))
       .over(Window.partitionBy(col("__k2")).orderBy(col("__b"))))
     val boundary = cum.join(broadcast(q), col("__k2") === col("__k"))
@@ -1538,6 +1543,26 @@ object Curation {
         pmod(col("start_tok"), lit(budget.toLong)).as("seq_offset"))
   }
 
+  /** [[packSequences]]'s SCALE twin (c15b): identical packing — same
+    * seq_id/seq_offset for every document — but the per-key token
+    * prefix sum runs through [[distributedPrefixSum]] (id-bucketed base
+    * offsets, `(key, bucket)` windows) instead of one window task per
+    * pack key, so a mega shard/source no longer serializes through a
+    * single executor. `bucketWidth` buckets the id range.
+    */
+  def packSequencesScalable(df: DataFrame, text: Column, id: Column,
+                            key: Column, budget: Int,
+                            bucketWidth: Long = 1L << 20): DataFrame =
+    distributedPrefixSum(
+        df.select(id.as("doc_id"), key.as("pack_key"),
+          TextAnalysis.nTokensCol(text).as("n_tokens")),
+        col("n_tokens"), col("pack_key"), col("doc_id"), col("doc_id"),
+        bucketWidth)
+      .withColumn("start_tok", col("__cum_value") - col("n_tokens"))
+      .select(col("doc_id"), col("pack_key"), col("n_tokens"),
+        floor(col("start_tok") / budget).cast("long").as("seq_id"),
+        pmod(col("start_tok"), lit(budget.toLong)).as("seq_offset"))
+
   /** CCNet-style line-level boilerplate removal: a line appearing in at
     * least `minDocs` DISTINCT documents is boilerplate (nav bars, cookie
     * banners, licence footers — the dominant web-crawl noise) and is
@@ -1956,27 +1981,50 @@ object Curation {
     */
   def tokenBudgetMixScalable(df: DataFrame, nTokens: Column, key: Column,
                              sortAsc: Column, tieId: Column, budget: Long,
-                             bucketWidth: Long = 65536L): DataFrame = {
+                             bucketWidth: Long = 65536L): DataFrame =
+    distributedPrefixSum(df, nTokens, key, sortAsc, tieId, bucketWidth,
+        pruneAbove = Some(budget))
+      .withColumnRenamed("__cum_value", "cum_tokens")
+      .filter(col("cum_tokens") <= budget)
+
+  /** The DISTRIBUTED per-key prefix sum both scale twins above ride
+    * (c11c/c11d, and [[packSequencesScalable]]): appends `__cum_value`
+    * — each row's running sum of `valueCol` in `(sortAsc, tieId)`
+    * order within `key` — WITHOUT a per-key corpus window. A
+    * `(key, sort-bucket)` histogram (map-side combined, checkpointed)
+    * yields each bucket's exact base offset (broadcast); the running
+    * sum re-partitions by `(key, bucket)` so a mega key spreads across
+    * its B bucket-tasks; `__cum_value` = base + within-bucket prefix,
+    * bit-identical to the window form because bucketing is monotone in
+    * the sort key. `pruneAbove`: drop whole buckets whose base already
+    * exceeds the bound BEFORE the corpus join (rows there can never
+    * satisfy `cum ≤ bound`) — the windowed slice becomes bound-bounded.
+    * Same double-eval contract as [[twoPhaseQuotaFill]].
+    */
+  private[graft] def distributedPrefixSum(df: DataFrame, valueCol: Column,
+                                          key: Column, sortAsc: Column,
+                                          tieId: Column, bucketWidth: Long,
+                                          pruneAbove: Option[Long] = None)
+      : DataFrame = {
     require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
     val base = df.withColumn("__k2", key).withColumn("__sa", sortAsc)
-      .withColumn("__ti", tieId).withColumn("__tok", nTokens)
+      .withColumn("__ti", tieId).withColumn("__tok", valueCol)
       .withColumn("__b", expr(s"__sa div $bucketWidth"))
     val hist = base.groupBy(col("__k2"), col("__b"))
       .agg(sum(col("__tok")).as("__tc")).localCheckpoint(true)
-    val offs = hist
+    val offs0 = hist
       .withColumn("__cum", sum(col("__tc")).over(
         Window.partitionBy(col("__k2")).orderBy(col("__b"))))
       .select(col("__k2").as("__ok"), col("__b").as("__ob"),
         (col("__cum") - col("__tc")).as("__base"))
-      .filter(col("__base") <= budget)
+    val offs = pruneAbove.fold(offs0)(b => offs0.filter(col("__base") <= b))
     val joined = base.join(broadcast(offs),
       col("__k2") === col("__ok") && col("__b") === col("__ob"))
     joined
-      .withColumn("cum_tokens", col("__base") + sum(col("__tok")).over(
+      .withColumn("__cum_value", col("__base") + sum(col("__tok")).over(
         Window.partitionBy(col("__k2"), col("__b"))
           .orderBy(col("__sa"), col("__ti"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .filter(col("cum_tokens") <= budget)
       .drop("__k2", "__sa", "__ti", "__tok", "__b", "__ok", "__ob", "__base")
   }
 

@@ -214,6 +214,21 @@ object DocQueries {
     (withKey, cal)
   }
 
+  /** The c3/c3b packing oracle — ONE definition for the window-exact
+    * gate and its distributed-prefix-sum scale twin.
+    */
+  private val C3OracleSql =
+        """WITH t AS (SELECT doc_id, source,
+          |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+          |c AS (SELECT doc_id, source, n,
+          |  SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS start_tok
+          |  FROM t)
+          |SELECT doc_id, source AS pack_key, n AS n_tokens,
+          |  CAST(start_tok // 512 AS BIGINT) AS seq_id,
+          |  CAST(start_tok % 512 AS BIGINT) AS seq_offset
+          |FROM c ORDER BY doc_id""".stripMargin
+
   /** The c11/c11c budget-mix oracle — ONE definition for the
     * window-exact gate and its distributed-prefix-sum scale twin.
     */
@@ -2374,21 +2389,24 @@ object DocQueries {
     // into 512-token sequences — each doc's (seq_id, seq_offset) from a
     // running token sum. One shuffle on the packing key; window arithmetic
     // only.
-    QDef("c3_sequence_packing",
-      """WITH t AS (SELECT doc_id, source,
-        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
-        |c AS (SELECT doc_id, source, n,
-        |  SUM(n) OVER (PARTITION BY source ORDER BY doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS start_tok
-        |  FROM t)
-        |SELECT doc_id, source AS pack_key, n AS n_tokens,
-        |  CAST(start_tok // 512 AS BIGINT) AS seq_id,
-        |  CAST(start_tok % 512 AS BIGINT) AS seq_offset
-        |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    QDef("c3_sequence_packing", C3OracleSql) { (s, dir) =>
       graft.curation.Curation.packSequences(Tables.documents(s, dir),
           col("text"), col("doc_id"), col("source"), budget = 512)
         .orderBy(col("doc_id"))
     },
+
+    // c3's SCALE twin (round 15): the per-key token prefix sum through
+    // distributedPrefixSum (id-bucketed broadcast base offsets +
+    // (key, bucket) windows) instead of one window task per pack key -
+    // a mega shard no longer serializes through a single executor.
+    // Identical seq_id/seq_offset for every document, same oracle.
+    QDef("c3b_sequence_packing_scalable", C3OracleSql) { (s, dir) =>
+      graft.curation.Curation.packSequencesScalable(Tables.documents(s, dir),
+          col("text"), col("doc_id"), col("source"), budget = 512,
+          bucketWidth = 64L)
+        .orderBy(col("doc_id"))
+    },
+
 
     // Exact per-source token-count quantiles (corpus QA / robust stats):
     // Spark's exact percentile aggregate vs DuckDB quantile_cont — both
@@ -3991,6 +4009,19 @@ object DocQueries {
       TextAnalysis.ccnetFilter(Tables.documents(s, dir), col("text"),
           col("doc_id"), col("lang"))
         .orderBy(col("lang"))
+    },
+
+    // c34's keep set through the SKEW-PROOF two-phase fill (round 15):
+    // per-lang ntile(3) funnels a mega-language into one window task;
+    // "keep head+middle terciles" IS a per-lang quota (n - n div 3),
+    // filled on the micro-integer score rank — identical keep set,
+    // exact-ranked only at the boundary score bucket. Oracle is the
+    // SAME ccnetTercileCtes chain as c30/c34/c35.
+    QDef("c34b_ccnet_keep_scalable", TextAnalysis.ccnetKeepOracleSql) {
+      (s, dir) =>
+        TextAnalysis.ccnetKeepIdsScalable(Tables.documents(s, dir),
+            col("text"), col("doc_id"), col("lang"), bucketWidth = 100000L)
+          .orderBy(col("doc_id"))
     },
 
     // The FULL Gopher repetition suite (round 13) — t5 covers the

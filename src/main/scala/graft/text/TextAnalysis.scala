@@ -1078,6 +1078,39 @@ object TextAnalysis {
     ccnetTerciled(df, text, id, lang)
       .filter(col("__t") <= 2).select(col("doc_id"))
 
+  /** [[ccnetKeepIds]]'s SCALE twin (c34b): the per-lang `ntile(3)`
+    * funnels a mega-language (English is half the web) into ONE window
+    * task; this form observes that "keep the head+middle terciles" is
+    * a per-lang QUOTA — ntile(3) always gives the LAST tercile
+    * `⌊n/3⌋` rows, so keep-count = `n − n div 3` — and runs it
+    * through [[graft.curation.Curation.twoPhaseQuotaFill]] on the
+    * micro-integer score (6-decimal `avg_logprob` × 10⁶ is integral
+    * and order-isomorphic, so the rank — score DESC, doc_id — is the
+    * tercile order exactly). Identical keep set; only the ~1/B
+    * boundary score-bucket is exact-ranked.
+    */
+  def ccnetKeepIdsScalable(df: DataFrame, text: Column, id: Column,
+                           lang: Column,
+                           bucketWidth: Long = 250000L): DataFrame = {
+    val scored = unigramLogProb(df, text, id)
+    val base = df.select(id.as("doc_id"), lang.as("lang"))
+      .join(scored, Seq("doc_id"))
+      .withColumn("__lpm",
+        round(col("avg_logprob") * 1000000.0, 0).cast("long"))
+    graft.curation.Curation.twoPhaseQuotaFill(base, col("lang"),
+        counts => counts.withColumn("__quota",
+          col("__n") - expr("__n div 3")),
+        -col("__lpm"), col("doc_id"), expr(s"__sa div $bucketWidth"))
+      .select(col("doc_id"))
+  }
+
+  /** c34b oracle: the SHARED [[ccnetTercileCtes]] chain, keep =
+    * head+middle terciles — the SAME tercile definition as c30/c34/c35.
+    */
+  def ccnetKeepOracleSql: String =
+    s"""WITH ${ccnetTercileCtes("documents")}
+       |SELECT doc_id FROM cc_b WHERE t <= 2 ORDER BY doc_id""".stripMargin
+
   /** CCNet filtering (c34) — the cut [[perplexityBuckets]] exists for:
     * keep each language's head+middle terciles, drop the tail (Wenzek
     * et al. 2020 train on head+middle). Returns the per-language kept

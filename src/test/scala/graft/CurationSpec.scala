@@ -104,6 +104,24 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("packSequencesScalable ≡ packSequences: identical seq_id/seq_offset") {
+    val rnd = new scala.util.Random(1529L)
+    val rows = (1L to 300L).map { i =>
+      val k = if (i % 10 != 0) "mega" else s"k${i % 3}"
+      (i, k, (1 to 1 + rnd.nextInt(8)).map(_ => "w").mkString(" "))
+    }
+    val df = rows.toDF("doc_id", "source", "text")
+    val exact = Curation.packSequences(df, col("text"), col("doc_id"),
+        col("source"), budget = 16)
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    for (w <- Seq(1L, 16L, 1000000L)) {
+      val got = Curation.packSequencesScalable(df, col("text"),
+          col("doc_id"), col("source"), budget = 16, bucketWidth = w)
+        .as[(Long, String, Long, Long, Long)].collect().toSet
+      assert(got == exact, s"mismatch at width=$w")
+    }
+  }
+
   test("curate(scalableQuota) keeps the identical end-to-end corpus") {
     val base = Curation.curate(docs).select("doc_id")
       .as[Long].collect().toSet

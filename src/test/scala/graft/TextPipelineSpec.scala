@@ -194,6 +194,28 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(got == Seq(("x", 4L, 4L, r6(math.log(2.0 / 6)))))
   }
 
+  test("ccnetKeepIdsScalable ≡ ccnetKeepIds across bucket widths") {
+    // random multi-lang corpus with a mega language (90% of docs) and
+    // plenty of score ties — the quota reformulation (keep n − n÷3)
+    // must reproduce the ntile(3) head+middle set exactly
+    val rnd = new scala.util.Random(1531L)
+    val words = Seq("a", "b", "c", "d", "e")
+    val docs = (1L to 200L).map { i =>
+      val lg = if (i % 10 != 0) "mega" else Seq("de", "fr")((i % 2).toInt)
+      val txt = (1 to 1 + rnd.nextInt(5))
+        .map(_ => words(rnd.nextInt(words.length))).mkString(" ")
+      (i, lg, txt)
+    }.toDF("doc_id", "lang", "text")
+    val exact = TextAnalysis.ccnetKeepIds(docs, col("text"), col("doc_id"),
+      col("lang")).as[Long].collect().toSet
+    for (w <- Seq(1L, 50000L, 1000000000L)) {
+      val got = TextAnalysis.ccnetKeepIdsScalable(docs, col("text"),
+          col("doc_id"), col("lang"), bucketWidth = w)
+        .as[Long].collect().toSet
+      assert(got == exact, s"mismatch at width=$w")
+    }
+  }
+
   test("rocAuc: tie-aware rank-sum on a hand-ranked score set") {
     // score = cnt under w = {0 -> 1, bias -> 0}: pos {3, 1}, neg {2, 1}
     // ascending avg ranks: 1 -> 1.5 (tied), 2 -> 3, 3 -> 4
