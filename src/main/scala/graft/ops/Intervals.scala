@@ -49,6 +49,47 @@ object Intervals {
             .orderBy(col("current_ts"), col(idCol))))
   }
 
+  /** [[ingestionIntervals]]'s SCALE twin (j2b): identical intervals, but
+    * no per-key corpus window — a mega entity (one instance producing
+    * half the events) no longer funnels its whole history into one
+    * task. Events bucket by time (`unix_millis(ts) div width`, monotone
+    * in the sort order since ties on ts share a bucket); the lead runs
+    * per `(key, bucket)`, and each bucket's LAST row takes its
+    * successor from the CARRY — the next non-empty bucket's first
+    * event, computed per key on the REDUCED `(key, bucket, first)`
+    * frame and joined back broadcast. The last event overall carries
+    * NULL (the open interval), exactly the window form.
+    */
+  def ingestionIntervalsScalable(
+      ingests: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      idCol: String,
+      bucketWidthMs: Long = 3600000L): DataFrame = {
+    require(bucketWidthMs >= 1, s"bucketWidthMs must be >= 1: $bucketWidthMs")
+    val kcols = keys.map(col)
+    val base = ingests.select((keys :+ idCol :+ tsCol).map(col): _*)
+      .withColumnRenamed(tsCol, "current_ts")
+      .withColumn("__b", expr(s"unix_millis(current_ts) div $bucketWidthMs"))
+    val carries = base
+      .groupBy((kcols :+ col("__b")): _*)
+      .agg(min(struct(col("current_ts"), col(idCol))).as("__f"))
+      .withColumn("__carry",
+        lead(col("__f").getField("current_ts"), 1).over(
+          Window.partitionBy(kcols: _*).orderBy(col("__b"))))
+      .select((kcols :+ col("__b") :+ col("__carry")): _*)
+    base
+      .join(broadcast(carries), keys :+ "__b", "left")
+      .withColumn("next_ts", coalesce(
+        lead(col("current_ts"), 1).over(
+          Window.partitionBy((kcols :+ col("__b")): _*)
+            .orderBy(col("current_ts"), col(idCol))),
+        col("__carry")))
+      .drop("__b", "__carry")
+      .select((keys :+ idCol).map(col) :+ col("current_ts") :+
+        col("next_ts"): _*)
+  }
+
   /** J4 + X1/X2: match every probe row to the ingestion interval containing
     * it: `probe.ts ∈ [current_ts, coalesce(next_ts, sentinel))` on the same
     * entity keys. Equi-keys make this a hash/sort-merge join with a range

@@ -67,16 +67,34 @@ object EventQueries {
        |  WHERE p.event_type <> 'purchase')
        |""".stripMargin
 
+  /** The j2/j2b intervals oracle — ONE definition for the window-exact
+    * gate and its bucketed-lead scale twin.
+    */
+  private lazy val J2OracleSql =
+    s"""$E SELECT user_id, event_id, ts AS current_ts,
+       |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+       |FROM e WHERE event_type = 'purchase'
+       |ORDER BY user_id, current_ts, event_id""".stripMargin
+
   val defs: Seq[QDef] = Seq(
 
     // ---- historical pipeline core (SURVEY §2.3/§2.5/§2.7) ----
 
-    QDef("j2_ingestion_intervals",
-      s"""$E SELECT user_id, event_id, ts AS current_ts,
-         |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
-         |FROM e WHERE event_type = 'purchase'
-         |ORDER BY user_id, current_ts, event_id""".stripMargin) { (s, dir) =>
+    QDef("j2_ingestion_intervals", J2OracleSql) { (s, dir) =>
       intervals(s, dir).orderBy(col("user_id"), col("current_ts"), col("event_id"))
+    },
+
+    // j2's SCALE twin (round 15): the per-user lead window funnels a
+    // mega entity's whole history into one task; the bucketed form
+    // leads within (user, time-bucket) and stitches bucket boundaries
+    // with the broadcast carry (next non-empty bucket's first event).
+    // Same oracle; 10-minute buckets so the gate corpus actually
+    // exercises the carry path.
+    QDef("j2b_ingestion_intervals_scalable", J2OracleSql) { (s, dir) =>
+      Intervals.ingestionIntervalsScalable(
+          ev(s, dir).filter(col("event_type") === "purchase"),
+          Seq("user_id"), "ts", "event_id", bucketWidthMs = 600000L)
+        .orderBy(col("user_id"), col("current_ts"), col("event_id"))
     },
 
     QDef("j4_interval_join",

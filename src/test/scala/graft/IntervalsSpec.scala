@@ -27,6 +27,30 @@ class IntervalsSpec extends AnyFunSuite {
     assert(iv(3).isNullAt(iv(3).fieldIndex("next_ts"))) // other key unaffected
   }
 
+  test("ingestionIntervalsScalable ≡ ingestionIntervals at any bucket width") {
+    // random per-key event histories with a mega key (90% of events),
+    // ts ties, empty time gaps. width=1 ms puts EVERY row in its own
+    // bucket so every successor comes through the carry path; the huge
+    // width degenerates to one bucket (pure window); middle widths mix
+    val rnd = new scala.util.Random(1537L)
+    val rows = (1L to 400L).map { i =>
+      val k = if (i % 10 != 0) 1L else 1L + (i % 4)
+      // coarse ts grid -> deliberate duplicates (tie-break by id)
+      (k, i, new java.sql.Timestamp(1700000000000L + rnd.nextInt(5000) * 1000L))
+    }
+    val df = rows.toDF("key", "id", "ts")
+    val exact = Intervals.ingestionIntervals(df, Seq("key"), "ts", "id")
+      .select("key", "id", "current_ts", "next_ts")
+      .collect().map(_.toSeq).toSet
+    for (w <- Seq(1L, 7000L, 1000L * 86400 * 365)) {
+      val got = Intervals.ingestionIntervalsScalable(df, Seq("key"), "ts",
+          "id", bucketWidthMs = w)
+        .select("key", "id", "current_ts", "next_ts")
+        .collect().map(_.toSeq).toSet
+      assert(got == exact, s"mismatch at width=$w")
+    }
+  }
+
   test("intervalJoin matches probes to containing interval, inclusive bounds (J4)") {
     val iv = Intervals.ingestionIntervals(ingests, Seq("key"), "ts", "id").drop("id")
     val probes = Seq(
