@@ -145,6 +145,19 @@ object Curation {
     hashSig.getOrElse(df.sparkSession.conf
       .get("spark.graft.dedup.hashSig", "false").toBoolean)
 
+  /** The ONE skew-safety switch (the `hashSig` pattern generalized):
+    * composed pipelines whose callers don't choose explicitly read
+    * `spark.graft.scalableWindows` — when true, every per-key corpus
+    * window inside a composition swaps to its funnel-free twin
+    * (two-phase quota fill, distributed prefix sum) with bit-identical
+    * results. Default `false`: the window forms are cheaper at small
+    * scale and are the oracle-parity plans.
+    */
+  private def resolveScalable(df: DataFrame,
+                              scalable: Option[Boolean]): Boolean =
+    scalable.getOrElse(df.sparkSession.conf
+      .get("spark.graft.scalableWindows", "false").toBoolean)
+
   /** [[keepOneExact]] with an explicit keep preference: when the same
     * canonical token signature appears in several corpora/sources, keep
     * the copy with the LOWEST `priority` (ties → lowest id) — "prefer
@@ -2348,8 +2361,10 @@ object Curation {
                        maxStopwordRatio: Double = 0.1,
                        maxDupTokenRatio: Double = 0.6,
                        maxTopBigramFrac: Double = 0.06,
-                       hashSig: Option[Boolean] = None): DataFrame = {
+                       hashSig: Option[Boolean] = None,
+                       scalable: Option[Boolean] = None): DataFrame = {
     val hs = resolveHashSig(docs, hashSig)
+    val sw = resolveScalable(docs, scalable)
     import org.apache.spark.sql.graftbridge.Bridge
     // O(ids): one long column, safe to pin in executor memory.
     val keepIds = qualityFilter(docs, col("text"), col("doc_id"),
@@ -2368,8 +2383,12 @@ object Curation {
     // Rehydrate text/source for packing with one more scan of `docs`
     // (cheap columnar read) instead of re-running the dedup window.
     val deduped = docs.join(dedupedIds, Seq("doc_id"))
-    packSequences(deduped, col("text"), col("doc_id"),
+    val packed0 =
+      if (sw) packSequencesScalable(deduped, col("text"), col("doc_id"),
         concat(col("source"), lit("|"), col("split")), budget)
+      else packSequences(deduped, col("text"), col("doc_id"),
+        concat(col("source"), lit("|"), col("split")), budget)
+    packed0
       .join(dedupedIds, Seq("doc_id"))
       .select(col("doc_id"), col("pack_key"), col("split"),
         col("n_tokens"), col("seq_id"), col("seq_offset"))
@@ -2407,8 +2426,10 @@ object Curation {
                          maxStopwordRatio: Double = 0.1,
                          maxDupTokenRatio: Double = 0.6,
                          maxTopBigramFrac: Double = 0.06,
-                         hashSig: Option[Boolean] = None): DataFrame = {
+                         hashSig: Option[Boolean] = None,
+                       scalable: Option[Boolean] = None): DataFrame = {
     val hs = resolveHashSig(docs, hashSig)
+    val sw = resolveScalable(docs, scalable)
     import org.apache.spark.sql.graftbridge.Bridge
     val keepRules = qualityFilter(docs, col("text"), col("doc_id"),
         minTokens, maxTokens, maxStopwordRatio, maxDupTokenRatio,
@@ -2430,15 +2451,21 @@ object Curation {
       .join(keep2, Seq("doc_id"))
       .withColumn("n_tokens", TextAnalysis.nTokensCol(col("text")))
     // O(ids + 4 small cols): the budget-mixed survivors
-    val mixedIds = tokenBudgetMix(hydrated, col("n_tokens"), col("source"),
-        Seq(col("quality").desc, col("doc_id")), tokensPerSource)
+    val mixedIds = (if (sw)
+        tokenBudgetMixScalable(hydrated, col("n_tokens"), col("source"),
+          -col("quality"), col("doc_id"), tokensPerSource)
+      else tokenBudgetMix(hydrated, col("n_tokens"), col("source"),
+        Seq(col("quality").desc, col("doc_id")), tokensPerSource))
       .select(col("doc_id"), col("split"), col("quality"), col("cum_tokens"))
       .localCheckpoint(true)
     Bridge.release(keep2)
     Bridge.release(dedupedIds)
-    val packed = packSequences(
-      docs.join(mixedIds, Seq("doc_id")), col("text"), col("doc_id"),
-      concat(col("source"), lit("|"), col("split")), budget)
+    val packed = (if (sw) packSequencesScalable(
+        docs.join(mixedIds, Seq("doc_id")), col("text"), col("doc_id"),
+        concat(col("source"), lit("|"), col("split")), budget)
+      else packSequences(
+        docs.join(mixedIds, Seq("doc_id")), col("text"), col("doc_id"),
+        concat(col("source"), lit("|"), col("split")), budget))
     packed.join(mixedIds, Seq("doc_id"))
       .select(col("doc_id"), col("pack_key"), col("split"), col("n_tokens"),
         col("quality"), col("cum_tokens"), col("seq_id"), col("seq_offset"))
@@ -2465,7 +2492,8 @@ object Curation {
              minLangScore: Long = 1,
              samplePct: Int = 80,
              quotaPerSource: Int = 60,
-             scalableQuota: Boolean = false): DataFrame = {
+             scalableQuota: Option[Boolean] = None): DataFrame = {
+    val sq = resolveScalable(docs, scalableQuota)
     val best = TextAnalysis.langBestCol(text)
     val scored = docs.select(
       id.as("doc_id"), source.as("source"), text.as("text"),
@@ -2482,7 +2510,7 @@ object Curation {
     // scalableQuota = the skew-proof two-phase fill (identical keep
     // set): "longest first" becomes the ascending -n_tokens sort key
     val quotad =
-      if (scalableQuota)
+      if (sq)
         quotaPerKeyScalable(deduped, col("source"), quotaPerSource,
           -col("n_tokens"), col("doc_id"))
       else

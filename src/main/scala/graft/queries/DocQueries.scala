@@ -3216,7 +3216,7 @@ object DocQueries {
     // of a source into one window task.
     QDef("c1b_curated_corpus_scalable", C1OracleSql) { (s, dir) =>
       graft.curation.Curation.curate(Tables.documents(s, dir),
-          scalableQuota = true)
+          scalableQuota = Some(true))
         .orderBy(col("doc_id"))
     },
 

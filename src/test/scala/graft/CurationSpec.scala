@@ -104,6 +104,29 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("spark.graft.scalableWindows flips compositions to funnel-free twins, rows identical") {
+    // ONE session switch swaps curate's quota, the manifest's packing
+    // and V2's budget mix to their scale twins — a 100 TB deployment
+    // flips one config; rows must be bit-identical
+    val base = Curation.curate(docs).collect().map(_.toSeq).toSet
+    val mBase = Curation.trainingManifest(docs,
+        docs.filter(col("doc_id") % 7 === 0), budget = 64)
+      .collect().map(_.toSeq).toSet
+    spark.conf.set("spark.graft.scalableWindows", "true")
+    try {
+      val c = Curation.curate(docs).collect().map(_.toSeq).toSet
+      assert(c == base)
+      val m = Curation.trainingManifest(docs,
+          docs.filter(col("doc_id") % 7 === 0), budget = 64)
+        .collect().map(_.toSeq).toSet
+      assert(m == mBase)
+      // explicit per-call choice still beats the session conf
+      val e = Curation.curate(docs, scalableQuota = Some(false))
+        .collect().map(_.toSeq).toSet
+      assert(e == base)
+    } finally spark.conf.set("spark.graft.scalableWindows", "false")
+  }
+
   test("packSequencesScalable ≡ packSequences: identical seq_id/seq_offset") {
     val rnd = new scala.util.Random(1529L)
     val rows = (1L to 300L).map { i =>
@@ -125,7 +148,7 @@ class CurationSpec extends AnyFunSuite {
   test("curate(scalableQuota) keeps the identical end-to-end corpus") {
     val base = Curation.curate(docs).select("doc_id")
       .as[Long].collect().toSet
-    val scal = Curation.curate(docs, scalableQuota = true).select("doc_id")
+    val scal = Curation.curate(docs, scalableQuota = Some(true)).select("doc_id")
       .as[Long].collect().toSet
     assert(scal == base)
   }
