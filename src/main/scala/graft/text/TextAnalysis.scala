@@ -1093,10 +1093,15 @@ object TextAnalysis {
                            lang: Column,
                            bucketWidth: Long = 250000L): DataFrame = {
     val scored = unigramLogProb(df, text, id)
+    // checkpointed O(ids): 3 narrow columns, so the two-phase fill's
+    // histogram + fill passes don't re-run the LM scoring join twice
+    // (the curationFunnel qKeep/cKeep precedent — scoring dominates
+    // this operator's cost, the fill itself is scan-shaped)
     val base = df.select(id.as("doc_id"), lang.as("lang"))
       .join(scored, Seq("doc_id"))
-      .withColumn("__lpm",
-        round(col("avg_logprob") * 1000000.0, 0).cast("long"))
+      .select(col("doc_id"), col("lang"),
+        round(col("avg_logprob") * 1000000.0, 0).cast("long").as("__lpm"))
+      .localCheckpoint(true)
     graft.curation.Curation.twoPhaseQuotaFill(base, col("lang"),
         counts => counts.withColumn("__quota",
           col("__n") - expr("__n div 3")),

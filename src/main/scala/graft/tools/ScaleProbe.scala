@@ -587,6 +587,49 @@ object ScaleProbe {
           col("event_type"), col("value"))
       }.reduce(_ unionByName _).localCheckpoint(true)
     }
+    t(s"j2b mega-entity lead ${mult}x") {
+      // 90% of purchases on ONE user: the exact lead window funnels the
+      // mega entity's whole history into one task; the bucketed form
+      // leads within (user, hour-bucket) + the broadcast carry and must
+      // stay near the corpus scan. Printed pair: bucketed vs exact.
+      val mega = bigEv.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("ts"),
+          when(col("event_id") % 10 =!= 0, lit(1L))
+            .otherwise(col("user_id")).as("user_id"))
+        .localCheckpoint(true)
+      val t0 = System.nanoTime()
+      val nB = graft.ops.Intervals.ingestionIntervalsScalable(mega,
+        Seq("user_id"), "ts", "event_id", bucketWidthMs = 3600000L).count()
+      val tB = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val nE = graft.ops.Intervals.ingestionIntervals(mega,
+        Seq("user_id"), "ts", "event_id").count()
+      println(f"SCALE   j2b bucketed $tB%.2f s ($nB rows) vs exact " +
+        f"window ${(System.nanoTime() - t1) / 1e9}%.2f s ($nE rows)")
+      org.apache.spark.sql.graftbridge.Bridge.release(mega)
+      nB
+    }
+    t(s"c34b mega-language ccnet ${mult}x") {
+      // 90% of documents in ONE language (English is half the web):
+      // the exact ntile(3) funnels the mega language into one task;
+      // the quota reformulation exact-ranks only the boundary score
+      // bucket. Printed pair: quota form vs exact ntile.
+      val mega = big.select(col("doc_id"), col("text"),
+        when(col("doc_id") % 10 =!= 0, lit("mega"))
+          .otherwise(col("lang")).as("lang"))
+        .localCheckpoint(true)
+      val t0 = System.nanoTime()
+      val nS = graft.text.TextAnalysis.ccnetKeepIdsScalable(mega,
+        col("text"), col("doc_id"), col("lang")).count()
+      val tS = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val nE = graft.text.TextAnalysis.ccnetKeepIds(mega, col("text"),
+        col("doc_id"), col("lang")).count()
+      println(f"SCALE   c34b quota form $tS%.2f s ($nS kept) vs exact " +
+        f"ntile ${(System.nanoTime() - t1) / 1e9}%.2f s ($nE kept)")
+      org.apache.spark.sql.graftbridge.Bridge.release(mega)
+      nS
+    }
     t(s"sk1b kmv aggregator ${mult}x") {
       val minK = udaf(new graft.ops.Kmv.MinKDistinct(64))
       bigEv.select(col("event_type"),
