@@ -416,6 +416,31 @@ object DocQueries {
       b0
     })
 
+  /** c40b drive: the corpus scored under the FROZEN c25 weights as 5
+    * batches (`doc_id % 5`, matching the c38/c40 oracle batching) with
+    * batch 1 REPLAYED, maintaining the per-batch drift store — so the
+    * retrain decision is gated over the STREAMING store read too (the
+    * d12c/d12d symmetry for the monitoring family).
+    */
+  private val driftIncDriveCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def driftIncDrive(s: org.apache.spark.sql.SparkSession,
+                            dir: String): String =
+    driftIncDriveCache.computeIfAbsent(dir, _ => {
+      val b0 = QDef.tempDir("graft_drift_inc_gate")
+      val w = perceptronWeights(s, dir)
+      val docs = Tables.documents(s, dir)
+      val label = perceptronLabelCol
+      val parts =
+        (0 to 4).map(r => docs.filter(pmod(col("doc_id"), lit(5)) === r))
+      ((0 to 4).map(r => r.toLong -> parts(r)) :+ (1L -> parts(1) /* replay */))
+        .foreach { case (bid, b) =>
+          graft.text.Perceptron.driftBatch(b, bid, col("text"),
+            col("doc_id"), label, PerceptronDims, w, s"$b0/drift")
+        }
+      b0
+    })
+
   /** The c25/c26 perceptron-training config: 4 batch iterations over
     * 64 hashed dims, label = (lang = 'en' ? +1 : -1). Weights memoized
     * per fixture (the bpeArtifacts rationale: training is the gates'
@@ -3900,6 +3925,22 @@ object DocQueries {
         graft.text.Perceptron.retrainDecision(
             graft.text.Perceptron.driftPanel(perceptronFeatures(s, dir),
               perceptronWeights(s, dir), pmod(col("doc_id"), lit(5L))),
+            thresholdMicro = 25000L)
+          .orderBy(col("batch_id"))
+    },
+
+    // c40 over the MAINTAINED drift store (round 15 — the d12c/d12d
+    // symmetry for monitoring): the same retrain decision read through
+    // driftReport over a store ingested as 5 batches with batch 1
+    // REPLAYED; hash-matches the c40 oracle, proving the streaming
+    // surface and the batch panel can't diverge (shared driftTail).
+    QDef("c40b_retrain_decision_inc",
+        graft.text.Perceptron.retrainOracleSql(PerceptronK, PerceptronDims,
+          PerceptronLabelSql, nBatches = 5, thresholdMicro = 25000L)) {
+      (s, dir) =>
+        graft.text.Perceptron.retrainDecision(
+            graft.text.Perceptron.driftReport(s,
+              s"${driftIncDrive(s, dir)}/drift"),
             thresholdMicro = 25000L)
           .orderBy(col("batch_id"))
     },
