@@ -308,6 +308,37 @@ object Curation {
     df.filter(slot < rate)
   }
 
+  /** The AUDIT read of [[decontaminate]] (d8b): per EVAL document, how
+    * many distinct corpus documents share at least one word n-gram
+    * with it, and how many distinct grams leak — "how contaminated is
+    * my benchmark", the report an eval owner reads before trusting a
+    * score (the dropped-training-docs view answers the opposite
+    * question). Eval docs with no leakage appear with zeros. Same plan
+    * economics as [[decontaminate]]: eval grams BROADCAST, corpus side
+    * map-side joined, one aggregation shuffle keyed on the (small)
+    * eval-doc id.
+    */
+  def contaminationReport(docs: DataFrame, evalDocs: DataFrame,
+                          text: Column = col("text"),
+                          id: Column = col("doc_id"),
+                          ngram: Int = 3): DataFrame = {
+    import graft.dedup.Dedup
+    val evalGrams = evalDocs.select(id.as("eval_doc_id"),
+      explode(array_distinct(Dedup.shingles(text, ngram))).as("g"))
+    val corpusGrams = docs.select(id.as("doc_id"),
+      explode(array_distinct(Dedup.shingles(text, ngram))).as("g"))
+    val hits = corpusGrams.join(broadcast(evalGrams), Seq("g"))
+      .groupBy(col("eval_doc_id"))
+      .agg(countDistinct(col("doc_id")).as("n_contaminating_docs"),
+        countDistinct(col("g")).as("n_shared_grams"))
+    evalDocs.select(id.as("eval_doc_id"))
+      .join(hits, Seq("eval_doc_id"), "left")
+      .select(col("eval_doc_id"),
+        coalesce(col("n_contaminating_docs"), lit(0L))
+          .as("n_contaminating_docs"),
+        coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"))
+  }
+
   /** Decontamination: corpus documents sharing ANY word `n`-gram with the
     * evaluation/benchmark set (the pre-training hygiene step — drop
     * training docs that leak eval content). Shingles via

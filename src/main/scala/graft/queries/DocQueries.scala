@@ -2535,6 +2535,35 @@ object DocQueries {
         .orderBy(col("doc_id"))
     },
 
+    // The AUDIT read of d8 (round 15): per EVAL doc, distinct
+    // contaminating corpus docs + distinct leaked grams — "how
+    // contaminated is my benchmark", zeros included. Same shingle
+    // definition as d8 (the gram CTEs mirror Dedup.shingles).
+    QDef("d8b_contamination_report",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(
+        |    list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+        |      i -> array_to_string(toks[i:i+2], ' '))) AS gs FROM t),
+        |eg AS (SELECT doc_id AS eval_id, unnest(gs) AS g FROM sh
+        |  WHERE doc_id % 47 = 0),
+        |cg AS (SELECT doc_id, unnest(gs) AS g FROM sh WHERE doc_id % 47 <> 0),
+        |j AS (SELECT eg.eval_id, cg.doc_id, cg.g
+        |  FROM cg JOIN eg ON cg.g = eg.g),
+        |h AS (SELECT eval_id, CAST(count(DISTINCT doc_id) AS BIGINT) AS nd,
+        |    CAST(count(DISTINCT g) AS BIGINT) AS ng FROM j GROUP BY eval_id)
+        |SELECT sh.doc_id AS eval_doc_id,
+        |  coalesce(h.nd, 0) AS n_contaminating_docs,
+        |  coalesce(h.ng, 0) AS n_shared_grams
+        |FROM sh LEFT JOIN h ON sh.doc_id = h.eval_id
+        |WHERE sh.doc_id % 47 = 0
+        |ORDER BY eval_doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      graft.curation.Curation.contaminationReport(
+          docs.filter(pmod(col("doc_id"), lit(47)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(47)) === 0))
+        .orderBy(col("eval_doc_id"))
+    },
+
     // MinHash+LSH spanning edges with the engine-portable md5 family —
     // the hash-gated twin of d2 (same banding, same edge semantics;
     // different hash family). d2's xxhash64 family stays the scale path.

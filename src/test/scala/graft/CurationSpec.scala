@@ -180,6 +180,21 @@ class CurationSpec extends AnyFunSuite {
     assert(langs(4L) == "en")
   }
 
+  test("contaminationReport: per-eval distinct leaking docs/grams, zeros kept") {
+    // eval 100 shares 'a b c' with corpus 1 AND 2 (2 docs, 1 gram);
+    // eval 200 shares two grams with corpus 3 only; eval 300 is clean
+    val corpus = Seq(
+      (1L, "a b c x y"), (2L, "z a b c"), (3L, "p q r s t")
+    ).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (100L, "a b c"), (200L, "p q r s"), (300L, "u v w")
+    ).toDF("doc_id", "text")
+    val got = Curation.contaminationReport(corpus, eval_)
+      .as[(Long, Long, Long)].collect().toSet
+    // eval 200's grams {p q r, q r s} both live in corpus doc 3
+    assert(got == Set((100L, 2L, 1L), (200L, 1L, 2L), (300L, 0L, 0L)))
+  }
+
   test("decontaminate flags n-gram overlap with the eval set, broadcast plan") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),   // contains eval 3-gram
