@@ -2316,8 +2316,10 @@ object Curation {
     */
   def publishedFunnel(docs: DataFrame, minWords: Long = 20L,
                       maxWords: Long = 100000L,
-                      hashSig: Option[Boolean] = None): DataFrame = {
+                      hashSig: Option[Boolean] = None,
+                      scalable: Option[Boolean] = None): DataFrame = {
     val hs = resolveHashSig(docs, hashSig)
+    val sw = resolveScalable(docs, scalable)
     import graft.text.TextAnalysis
     // Stages 1+2 are both per-doc functions of the text, so their flags
     // come from ONE fused scan pass (sequential attribution is just
@@ -2330,8 +2332,13 @@ object Curation {
         TextAnalysis.nTokensCol(col("text")).as("__nt"))
       .localCheckpoint(true)
     val s2 = flags.filter(col("__gk") && col("__rk")).select(col("doc_id"))
-    val cKeep = TextAnalysis.ccnetKeepIds(docs.join(s2, Seq("doc_id")),
-        col("text"), col("doc_id"), col("lang"))
+    // scalableWindows swaps the tail cut to the quota reformulation —
+    // the per-lang ntile is the funnel stage at a mega language
+    val cKeep = (if (sw)
+        TextAnalysis.ccnetKeepIdsScalable(docs.join(s2, Seq("doc_id")),
+          col("text"), col("doc_id"), col("lang"))
+      else TextAnalysis.ccnetKeepIds(docs.join(s2, Seq("doc_id")),
+        col("text"), col("doc_id"), col("lang")))
       .localCheckpoint(true)
     val survivors = keepOneExact(docs.join(cKeep, Seq("doc_id")),
         col("text"), col("doc_id"), hs)

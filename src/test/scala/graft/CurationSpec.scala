@@ -125,6 +125,15 @@ class CurationSpec extends AnyFunSuite {
         .collect().map(_.toSeq).toSet
       assert(e == base)
     } finally spark.conf.set("spark.graft.scalableWindows", "false")
+    // publishedFunnel's ccnet tail cut flips too, rows identical
+    val langed = docs.withColumn("lang",
+      when(col("doc_id") % 3 === 0, "de").otherwise("en"))
+    val fBase = Curation.publishedFunnel(langed, minWords = 1L)
+      .collect().map(_.toSeq).toSet
+    val fScal = Curation.publishedFunnel(langed, minWords = 1L,
+        scalable = Some(true))
+      .collect().map(_.toSeq).toSet
+    assert(fScal == fBase)
   }
 
   test("packSequencesScalable ≡ packSequences: identical seq_id/seq_offset") {
