@@ -382,6 +382,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ScalaUDF"), plan)
   }
 
+  test("j2b bucketed lead: window partitions by (key, bucket); carry joins broadcast") {
+    val plan = phys(graft.ops.Intervals.ingestionIntervalsScalable(
+      ev.filter(col("event_type") === "purchase"),
+      Seq("user_id"), "ts", "event_id", bucketWidthMs = 600000L))
+    // the corpus-side lead must partition by BOTH the entity and the
+    // time bucket — a mega entity spreads across its bucket-tasks
+    assert("""lead\(current_ts#\d+, 1, null\) windowspecdefinition\(user_id#\d+L, __b#\d+L"""
+      .r.findFirstIn(plan).isDefined,
+      s"lead must partition by (key, bucket):\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("ScalaUDF"), plan)
+  }
+
+  test("c34b ccnet quota cut: rank only over the boundary score bucket") {
+    val plan = phys(graft.text.TextAnalysis.ccnetKeepIdsScalable(docs,
+      col("text"), col("doc_id"), col("lang"), bucketWidth = 100000L))
+    // ONE rank window, fed by the boundary-bucket equi-join (the c39b
+    // structural guard applied to the tercile cut)
+    assert("row_number\\(\\)".r.findAllIn(plan).size == 1, plan)
+    assert("""BroadcastHashJoin \[__b#\d+L, __k2#\d+\], \[__tb#\d+L, __k#\d+\]"""
+      .r.findFirstIn(plan).isDefined,
+      s"rank input must equi-join on the boundary bucket:\n$plan")
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
   test("t25 gopher repetition: ONE scan-fused pass, zero shuffles, no UDF") {
     val plan = phys(TextAnalysis.gopherRepetitionMetrics(docs,
       col("text"), col("doc_id")))
