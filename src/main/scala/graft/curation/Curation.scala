@@ -226,7 +226,10 @@ object Curation {
     * and NULL keys, which the equi-joins drop (coalesce upstream if a
     * null-key group must participate) — are DROPPED (the c39
     * inner-join semantics). `bucket` may reference `__sa` (the staged
-    * sort key).
+    * sort key) and must map a NULL sort key to a NON-NULL sentinel
+    * sorting before all real buckets (`coalesce(…, Long.MinValue)`,
+    * matching the window form's nulls-first order) — a NULL bucket
+    * would silently drop the row at the threshold equi-join.
     * CONTRACT: `df` is evaluated twice (histogram + fill pass — the
     * [[keepOneExact]] double-eval contract); ties on `(key, sortA,
     * tieId)` are indistinguishable keep decisions, so make `tieId`
@@ -280,7 +283,8 @@ object Curation {
     require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
     twoPhaseQuotaFill(df, key,
         keys => keys.withColumn("__quota", lit(n.toLong)),
-        sortAsc, tieId, expr(s"__sa div $bucketWidth"))
+        sortAsc, tieId,
+        coalesce(expr(s"__sa div $bucketWidth"), lit(Long.MinValue)))
       .drop("__quota")
   }
 
@@ -1587,7 +1591,7 @@ object Curation {
         pmod(col("start_tok"), lit(budget.toLong)).as("seq_offset"))
   }
 
-  /** [[packSequences]]'s SCALE twin (c15b): identical packing — same
+  /** [[packSequences]]'s SCALE twin (c3b): identical packing — same
     * seq_id/seq_offset for every document — but the per-key token
     * prefix sum runs through [[distributedPrefixSum]] (id-bucketed base
     * offsets, `(key, bucket)` windows) instead of one window task per
@@ -2040,10 +2044,19 @@ object Curation {
     * sum re-partitions by `(key, bucket)` so a mega key spreads across
     * its B bucket-tasks; `__cum_value` = base + within-bucket prefix,
     * bit-identical to the window form because bucketing is monotone in
-    * the sort key. `pruneAbove`: drop whole buckets whose base already
-    * exceeds the bound BEFORE the corpus join (rows there can never
-    * satisfy `cum ≤ bound`) — the windowed slice becomes bound-bounded.
-    * Same double-eval contract as [[twoPhaseQuotaFill]].
+    * the sort key (NULL sort keys land in a `Long.MinValue` sentinel
+    * bucket, matching the window form's nulls-first order — parity
+    * holds on NULL inputs too). `pruneAbove`: drop whole buckets whose
+    * base already exceeds the bound BEFORE the corpus join (rows there
+    * can never satisfy `cum ≤ bound`) — the windowed slice becomes
+    * bound-bounded. The offsets frame enters BROADCAST only on that
+    * pruned path (where it is bound-bounded per key); unpruned, it is
+    * one row per non-empty (key, bucket) — corpus-bounded, not
+    * key-bounded — so the join stays a plain unhinted equi-join whose
+    * keys equal the running-sum window's partition keys (one reused
+    * corpus-side exchange; AQE may still elect a broadcast when stats
+    * say the frame is genuinely small). Same double-eval contract as
+    * [[twoPhaseQuotaFill]].
     */
   private[graft] def distributedPrefixSum(df: DataFrame, valueCol: Column,
                                           key: Column, sortAsc: Column,
@@ -2053,7 +2066,8 @@ object Curation {
     require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
     val base = df.withColumn("__k2", key).withColumn("__sa", sortAsc)
       .withColumn("__ti", tieId).withColumn("__tok", valueCol)
-      .withColumn("__b", expr(s"__sa div $bucketWidth"))
+      .withColumn("__b", coalesce(expr(s"__sa div $bucketWidth"),
+        lit(Long.MinValue)))
     val hist = base.groupBy(col("__k2"), col("__b"))
       .agg(sum(col("__tok")).as("__tc")).localCheckpoint(true)
     val offs0 = hist
@@ -2062,7 +2076,8 @@ object Curation {
       .select(col("__k2").as("__ok"), col("__b").as("__ob"),
         (col("__cum") - col("__tc")).as("__base"))
     val offs = pruneAbove.fold(offs0)(b => offs0.filter(col("__base") <= b))
-    val joined = base.join(broadcast(offs),
+    val offsJ = if (pruneAbove.isDefined) broadcast(offs) else offs
+    val joined = base.join(offsJ,
       col("__k2") === col("__ok") && col("__b") === col("__ob"))
     joined
       .withColumn("__cum_value", col("__base") + sum(col("__tok")).over(

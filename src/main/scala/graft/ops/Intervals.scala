@@ -53,12 +53,23 @@ object Intervals {
     * no per-key corpus window — a mega entity (one instance producing
     * half the events) no longer funnels its whole history into one
     * task. Events bucket by time (`unix_millis(ts) div width`, monotone
-    * in the sort order since ties on ts share a bucket); the lead runs
-    * per `(key, bucket)`, and each bucket's LAST row takes its
-    * successor from the CARRY — the next non-empty bucket's first
+    * in the sort order since ties on ts share a bucket; NULL timestamps
+    * land in a `Long.MinValue` sentinel bucket, matching the window
+    * form's nulls-first order — parity holds on NULL inputs too); the
+    * lead runs per `(key, bucket)`, and each bucket's LAST row takes
+    * its successor from the CARRY — the next non-empty bucket's first
     * event, computed per key on the REDUCED `(key, bucket, first)`
-    * frame and joined back broadcast. The last event overall carries
-    * NULL (the open interval), exactly the window form.
+    * frame and joined back. The carry join is a PLAIN equi-join on
+    * `(keys, bucket)`, deliberately unhinted: the carry frame is one
+    * row per non-empty (key, time-bucket) — corpus-bounded, not
+    * key-bounded — so a forced broadcast could OOM the driver at
+    * exactly the high-cardinality-key scale this twin exists for,
+    * while the shuffle it avoids is free anyway (the join keys equal
+    * the in-bucket lead window's partition keys, so Catalyst reuses
+    * ONE corpus-side exchange for both; AQE may still elect a
+    * broadcast when stats say the carry side is genuinely small). The
+    * last event overall carries NULL (the open interval), exactly the
+    * window form.
     */
   def ingestionIntervalsScalable(
       ingests: DataFrame,
@@ -70,7 +81,9 @@ object Intervals {
     val kcols = keys.map(col)
     val base = ingests.select((keys :+ idCol :+ tsCol).map(col): _*)
       .withColumnRenamed(tsCol, "current_ts")
-      .withColumn("__b", expr(s"unix_millis(current_ts) div $bucketWidthMs"))
+      .withColumn("__b", coalesce(
+        expr(s"unix_millis(current_ts) div $bucketWidthMs"),
+        lit(Long.MinValue)))
     val carries = base
       .groupBy((kcols :+ col("__b")): _*)
       .agg(min(struct(col("current_ts"), col(idCol))).as("__f"))
@@ -78,14 +91,18 @@ object Intervals {
         lead(col("__f").getField("current_ts"), 1).over(
           Window.partitionBy(kcols: _*).orderBy(col("__b"))))
       .select((kcols :+ col("__b") :+ col("__carry")): _*)
+    // lead a STRUCT so "no next row in bucket" (null struct → carry)
+    // stays distinct from "next row has NULL ts" (non-null struct with
+    // a null field → NULL, the window form's answer)
+    val nxt = lead(struct(col("current_ts")), 1).over(
+      Window.partitionBy((kcols :+ col("__b")): _*)
+        .orderBy(col("current_ts"), col(idCol)))
     base
-      .join(broadcast(carries), keys :+ "__b", "left")
-      .withColumn("next_ts", coalesce(
-        lead(col("current_ts"), 1).over(
-          Window.partitionBy((kcols :+ col("__b")): _*)
-            .orderBy(col("current_ts"), col(idCol))),
-        col("__carry")))
-      .drop("__b", "__carry")
+      .join(carries, keys :+ "__b", "left")
+      .withColumn("__nx", nxt)
+      .withColumn("next_ts", when(col("__nx").isNull, col("__carry"))
+        .otherwise(col("__nx").getField("current_ts")))
+      .drop("__b", "__carry", "__nx")
       .select((keys :+ idCol).map(col) :+ col("current_ts") :+
         col("next_ts"): _*)
   }

@@ -2432,7 +2432,6 @@ object DocQueries {
         .orderBy(col("doc_id"))
     },
 
-
     // Exact per-source token-count quantiles (corpus QA / robust stats):
     // Spark's exact percentile aggregate vs DuckDB quantile_cont — both
     // interpolate at p*(n-1), so the doubles hash-match.
@@ -2810,7 +2809,6 @@ object DocQueries {
           col("quality"), col("est_bpe_micro"), col("cum_bpe_micro"))
         .orderBy(col("source"), col("quality").desc, col("doc_id"))
     },
-
 
     // Token-distribution drift between the deterministic train and val
     // splits: exact total-variation distance (all-integer inner sum) —

@@ -79,6 +79,42 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("scale twins keep NULL sort keys (sentinel bucket ≡ nulls-first window)") {
+    // the twins' contract order is (sortAsc ASC, tieId ASC) — ASC sorts
+    // NULLs FIRST — and a NULL sort key must not silently drop at the
+    // bucket equi-join: it routes through the Long.MinValue sentinel
+    val rnd = new scala.util.Random(1531L)
+    val rows = (1L to 300L).map { i =>
+      val k = if (i % 10 != 0) "mega" else s"k${i % 3}"
+      val q = if (i % 7 == 0) None else Some((rnd.nextInt(21) - 10).toLong)
+      (i, k, 1L + rnd.nextInt(9).toLong, q)
+    }
+    val df = rows.toDF("doc_id", "source", "n_tokens", "quality")
+    // prefix sum: exact window in the contract order, nulls first
+    for (budget <- Seq(40L, 1000000L); w <- Seq(1L, 5L)) {
+      val exact = Curation.tokenBudgetMix(df, col("n_tokens"), col("source"),
+          Seq(col("quality").asc, col("doc_id")), budget)
+        .select("doc_id", "cum_tokens").as[(Long, Long)].collect().toSet
+      val got = Curation.tokenBudgetMixScalable(df, col("n_tokens"),
+          col("source"), col("quality"), col("doc_id"), budget,
+          bucketWidth = w)
+        .select("doc_id", "cum_tokens").as[(Long, Long)].collect().toSet
+      assert(got == exact, s"NULL-sa prefix-sum mismatch budget=$budget w=$w")
+      assert(got.nonEmpty)
+    }
+    // quota fill: NULL-quality rows are the BEST (nulls first) and must
+    // be kept, not dropped
+    for (n <- Seq(3, 50); w <- Seq(1L, 5L)) {
+      val exact = Curation.quotaPerKey(df, col("source"), n,
+          Seq(col("quality").asc, col("doc_id")))
+        .select("doc_id").as[Long].collect().toSet
+      val got = Curation.quotaPerKeyScalable(df, col("source"), n,
+          col("quality"), col("doc_id"), bucketWidth = w)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == exact, s"NULL-sa quota mismatch n=$n w=$w")
+    }
+  }
+
   test("tokenBudgetMixCalibratedScalable ≡ calibrated window form") {
     val rnd = new scala.util.Random(1523L)
     val rows = (1L to 300L).map { i =>

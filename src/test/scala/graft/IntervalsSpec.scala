@@ -51,6 +51,38 @@ class IntervalsSpec extends AnyFunSuite {
     }
   }
 
+  test("ingestionIntervalsScalable ≡ ingestionIntervals on NULL timestamps") {
+    // NULL ts rows sort FIRST in the window form (asc nulls first); the
+    // twin routes them through a Long.MinValue sentinel bucket instead
+    // of silently dropping them at the carry equi-join. Interior NULL
+    // rows must get next_ts = NULL (the next ROW's ts, which is null),
+    // not the carry — the struct-lead distinction.
+    val df = Seq(
+      (1L, 1L, Option(ts("2024-03-01 02:00:00"))),
+      (1L, 2L, None: Option[java.sql.Timestamp]),
+      (1L, 3L, None: Option[java.sql.Timestamp]),
+      (1L, 4L, Option(ts("2024-03-01 01:00:00"))),
+      (2L, 5L, None: Option[java.sql.Timestamp]), // all-null key
+      (2L, 6L, None: Option[java.sql.Timestamp])
+    ).toDF("key", "id", "ts")
+    val exact = Intervals.ingestionIntervals(df, Seq("key"), "ts", "id")
+      .select("key", "id", "current_ts", "next_ts")
+      .collect().map(_.toSeq).toSet
+    for (w <- Seq(1L, 3600000L)) {
+      val got = Intervals.ingestionIntervalsScalable(df, Seq("key"), "ts",
+          "id", bucketWidthMs = w)
+        .select("key", "id", "current_ts", "next_ts")
+        .collect().map(_.toSeq).toSet
+      assert(got == exact, s"NULL-ts mismatch at width=$w:\n$got\nvs\n$exact")
+    }
+    // sanity on the semantics themselves: last NULL row hands off to the
+    // first real event; interior NULL rows stay NULL
+    val m = exact.map(r => (r(1), r(3))).toMap
+    assert(m(2L) == null && m(3L) == ts("2024-03-01 01:00:00"))
+    assert(m(4L) == ts("2024-03-01 02:00:00") && m(1L) == null)
+    assert(m(5L) == null && m(6L) == null)
+  }
+
   test("intervalJoin matches probes to containing interval, inclusive bounds (J4)") {
     val iv = Intervals.ingestionIntervals(ingests, Seq("key"), "ts", "id").drop("id")
     val probes = Seq(

@@ -382,16 +382,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ScalaUDF"), plan)
   }
 
-  test("j2b bucketed lead: window partitions by (key, bucket); carry joins broadcast") {
-    val plan = phys(graft.ops.Intervals.ingestionIntervalsScalable(
+  test("j2b bucketed lead: window partitions by (key, bucket); carry join unhinted") {
+    val df = graft.ops.Intervals.ingestionIntervalsScalable(
       ev.filter(col("event_type") === "purchase"),
-      Seq("user_id"), "ts", "event_id", bucketWidthMs = 600000L))
+      Seq("user_id"), "ts", "event_id", bucketWidthMs = 600000L)
+    val plan = phys(df)
     // the corpus-side lead must partition by BOTH the entity and the
     // time bucket — a mega entity spreads across its bucket-tasks
-    assert("""lead\(current_ts#\d+, 1, null\) windowspecdefinition\(user_id#\d+L, __b#\d+L"""
+    assert("""windowspecdefinition\(user_id#\d+L, __b#\d+L, current_ts#\d+ ASC"""
       .r.findFirstIn(plan).isDefined,
       s"lead must partition by (key, bucket):\n$plan")
-    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the carry frame is O(#keys × #time-buckets) — corpus-bounded, not
+    // key-bounded — so it must NOT be force-broadcast (a 100 TB frame of
+    // high-cardinality (instance, table) keys would OOM the driver); the
+    // join keys equal the lead window's partition keys, so a shuffle
+    // join reuses the window's own exchange. Stats-elected broadcasts
+    // (AQE / autoBroadcastJoinThreshold) remain legal.
+    assert(!df.queryExecution.optimizedPlan.toString.contains("strategy=broadcast"),
+      s"carry join must carry no forced broadcast hint:\n" +
+        df.queryExecution.optimizedPlan.toString)
     assert(!plan.contains("CartesianProduct") && !plan.contains("ScalaUDF"), plan)
   }
 
