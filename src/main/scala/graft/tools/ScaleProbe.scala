@@ -609,6 +609,26 @@ object ScaleProbe {
       org.apache.spark.sql.graftbridge.Bridge.release(mega)
       nB
     }
+    t(s"j2b high-card carry join ${mult}x") {
+      // the OTHER j2b regime: ~10^5 distinct (instance, table)-like
+      // keys, so the carry frame is one row per (key, hour-bucket) —
+      // corpus-bounded, far past any broadcast threshold. With the
+      // forced broadcast removed this must stay flat: the carry join
+      // is a plain equi-join co-partitioned with the in-bucket lead's
+      // own shuffle (Redset's real key shape at the 100 TB point).
+      val wide = bigEv
+        .select(col("event_id"), col("ts"),
+          (col("event_id") % 100000L).as("user_id"))
+        .localCheckpoint(true)
+      val keys = wide.select(col("user_id")).distinct().count()
+      val t0 = System.nanoTime()
+      val nB = graft.ops.Intervals.ingestionIntervalsScalable(wide,
+        Seq("user_id"), "ts", "event_id", bucketWidthMs = 3600000L).count()
+      println(f"SCALE   j2b high-card ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+        f"($nB rows, $keys keys)")
+      org.apache.spark.sql.graftbridge.Bridge.release(wide)
+      nB
+    }
     t(s"c34b mega-language ccnet ${mult}x") {
       // 90% of documents in ONE language (English is half the web):
       // the exact ntile(3) funnels the mega language into one task;
