@@ -234,10 +234,16 @@ object Curation {
     * [[keepOneExact]] double-eval contract); ties on `(key, sortA,
     * tieId)` are indistinguishable keep decisions, so make `tieId`
     * unique per key. Output: `df`'s columns + the key's `__quota`.
+    * `boundarySplit` (conf fallback `spark.graft.boundarySplit`, the
+    * [[resolveBoundarySplit]] convention): route the boundary rank
+    * through [[splitBoundaryRank]]'s tie-id second level — bit-identical
+    * keeps, two extra slice passes, and no funnel even when one modal
+    * sort value holds 90% of a key (equal sort keys MUST share a
+    * level-1 bucket, so only the tie-id split can spread them).
     */
   private[graft] def twoPhaseQuotaFill(df: DataFrame, key: Column,
       quotas: DataFrame => DataFrame, sortA: Column, tieId: Column,
-      bucket: Column): DataFrame = {
+      bucket: Column, boundarySplit: Option[Boolean] = None): DataFrame = {
     val base = df.withColumn("__k2", key).withColumn("__sa", sortA)
       .withColumn("__ti", tieId).withColumn("__b", bucket)
     val hist = base.groupBy(col("__k2"), col("__b"))
@@ -260,13 +266,88 @@ object Curation {
       .select(col("__k"), col("__quota"), col("__tb"), col("__below"))
     val joined = base.join(broadcast(th), col("__k2") === col("__k"))
     val kept = joined.filter(col("__tb").isNull || col("__b") < col("__tb"))
-    val slice = joined.filter(col("__b") === col("__tb"))
+    val slice0 = joined.filter(col("__b") === col("__tb"))
+    val tiNumeric = base.schema("__ti").dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val filled =
+      if (resolveBoundarySplit(df, boundarySplit) && tiNumeric)
+        splitBoundaryRank(slice0, th)
+      else slice0
+        .withColumn("__rn", row_number().over(Window.partitionBy(col("__k2"))
+          .orderBy(col("__sa"), col("__ti"))))
+        .filter(col("__rn") <= col("__quota") - col("__below"))
+        .drop("__rn")
+    kept.unionByName(filled)
+      .drop("__k2", "__sa", "__ti", "__b", "__k", "__tb", "__below")
+  }
+
+  /** `spark.graft.boundarySplit` — when true (and `tieId` is numeric),
+    * [[twoPhaseQuotaFill]]'s boundary-bucket rank gets a SECOND level:
+    * the degenerate-sort-key defence. Equal sort keys must share a
+    * level-1 bucket (monotonicity), so a key whose rows concentrate on
+    * ONE modal sort value (a mega-domain of same-length snippets —
+    * c1b's real shape) funnels into the boundary rank the twin exists
+    * to remove. Default `false`: the single-level form is the
+    * oracle-parity plan and skips the extra slice passes.
+    */
+  private def resolveBoundarySplit(df: DataFrame,
+                                   split: Option[Boolean]): Boolean =
+    split.getOrElse(df.sparkSession.conf
+      .get("spark.graft.boundarySplit", "false").toBoolean)
+
+  /** SECOND-LEVEL exact fill of the boundary-bucket slice: sub-bucket
+    * by `(sortA, tieId-range)` — lexicographically monotone in the
+    * `(sortA, tieId)` rank order because equal sort keys order by the
+    * (unique) tie id — and exact-rank ONLY the sub-boundary bucket, so
+    * the one remaining window sees an expected 1/B₂ of the slice even
+    * when every row shares one sort value. Tie-id edges derive
+    * equi-width from the slice's per-key min/max in DOUBLE arithmetic:
+    * no ANSI overflow on extreme id ranges, and a double conversion is
+    * monotone non-decreasing, so precision loss can only MERGE
+    * adjacent sub-buckets (a performance matter), never reorder them
+    * (the correctness one). Input/output: [[twoPhaseQuotaFill]]'s
+    * staged slice columns; bit-identical keep set to the plain rank.
+    */
+  private def splitBoundaryRank(slice: DataFrame, th: DataFrame): DataFrame = {
+    val b2n = 4096.0
+    val stats = slice.groupBy(col("__k2"))
+      .agg(min(col("__ti").cast("double")).as("__tmin"),
+        max(col("__ti").cast("double")).as("__tmax"))
+      .withColumn("__w2",
+        greatest((col("__tmax") - col("__tmin") + 1.0) / lit(b2n), lit(1.0)))
+      .select(col("__k2").as("__sk"), col("__tmin"), col("__w2"))
+      .localCheckpoint(true)
+    val s2 = slice.join(broadcast(stats), col("__k2") === col("__sk"))
+      .withColumn("__b2", struct(col("__sa").as("sa"),
+        floor((col("__ti").cast("double") - col("__tmin")) / col("__w2"))
+          .as("tb")))
+    val hist2 = s2.groupBy(col("__k2"), col("__b2"))
+      .agg(count(lit(1)).as("__c2")).localCheckpoint(true)
+    // residual quota per key off the (tiny, per-key) threshold frame —
+    // never a second corpus pass
+    val resid = th.filter(col("__tb").isNotNull)
+      .select(col("__k").as("__rk"),
+        (col("__quota") - col("__below")).as("__rq"))
+    val boundary2 = hist2
+      .withColumn("__cum2", sum(col("__c2")).over(
+        Window.partitionBy(col("__k2")).orderBy(col("__b2"))))
+      .join(broadcast(resid), col("__k2") === col("__rk"))
+      .filter(col("__cum2") >= col("__rq"))
+      .groupBy(col("__k2"))
+      .agg(min(struct(col("__b2").as("b"),
+        (col("__cum2") - col("__c2")).as("below"))).as("__bd2"))
+      .select(col("__k2").as("__bk2"), col("__bd2").getField("b").as("__tb2"),
+        col("__bd2").getField("below").as("__below2"))
+    val j2 = s2.join(broadcast(boundary2), col("__k2") === col("__bk2"))
+    val kept2 = j2.filter(col("__b2") < col("__tb2"))
+    val ranked2 = j2.filter(col("__b2") === col("__tb2"))
       .withColumn("__rn", row_number().over(Window.partitionBy(col("__k2"))
         .orderBy(col("__sa"), col("__ti"))))
-      .filter(col("__rn") <= col("__quota") - col("__below"))
+      .filter(col("__rn") <=
+        col("__quota") - col("__below") - col("__below2"))
       .drop("__rn")
-    kept.unionByName(slice)
-      .drop("__k2", "__sa", "__ti", "__b", "__k", "__tb", "__below")
+    kept2.unionByName(ranked2)
+      .drop("__sk", "__tmin", "__w2", "__b2", "__bk2", "__tb2", "__below2")
   }
 
   /** [[quotaPerKey]]'s scale twin via [[twoPhaseQuotaFill]]: identical
@@ -279,12 +360,14 @@ object Curation {
     */
   def quotaPerKeyScalable(df: DataFrame, key: Column, n: Int,
                           sortAsc: Column, tieId: Column,
-                          bucketWidth: Long = 64L): DataFrame = {
+                          bucketWidth: Long = 64L,
+                          boundarySplit: Option[Boolean] = None): DataFrame = {
     require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
     twoPhaseQuotaFill(df, key,
         keys => keys.withColumn("__quota", lit(n.toLong)),
         sortAsc, tieId,
-        coalesce(expr(s"__sa div $bucketWidth"), lit(Long.MinValue)))
+        coalesce(expr(s"__sa div $bucketWidth"), lit(Long.MinValue)),
+        boundarySplit)
       .drop("__quota")
   }
 
@@ -2029,9 +2112,10 @@ object Curation {
     */
   def tokenBudgetMixScalable(df: DataFrame, nTokens: Column, key: Column,
                              sortAsc: Column, tieId: Column, budget: Long,
-                             bucketWidth: Long = 65536L): DataFrame =
+                             bucketWidth: Long = 65536L,
+                             boundarySplit: Option[Boolean] = None): DataFrame =
     distributedPrefixSum(df, nTokens, key, sortAsc, tieId, bucketWidth,
-        pruneAbove = Some(budget))
+        pruneAbove = Some(budget), boundarySplit = boundarySplit)
       .withColumnRenamed("__cum_value", "cum_tokens")
       .filter(col("cum_tokens") <= budget)
 
@@ -2061,7 +2145,8 @@ object Curation {
   private[graft] def distributedPrefixSum(df: DataFrame, valueCol: Column,
                                           key: Column, sortAsc: Column,
                                           tieId: Column, bucketWidth: Long,
-                                          pruneAbove: Option[Long] = None)
+                                          pruneAbove: Option[Long] = None,
+                                          boundarySplit: Option[Boolean] = None)
       : DataFrame = {
     require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
     val base = df.withColumn("__k2", key).withColumn("__sa", sortAsc)
@@ -2079,12 +2164,75 @@ object Curation {
     val offsJ = if (pruneAbove.isDefined) broadcast(offs) else offs
     val joined = base.join(offsJ,
       col("__k2") === col("__ok") && col("__b") === col("__ob"))
-    joined
-      .withColumn("__cum_value", col("__base") + sum(col("__tok")).over(
-        Window.partitionBy(col("__k2"), col("__b"))
-          .orderBy(col("__sa"), col("__ti"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tiNumeric = base.schema("__ti").dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val summed =
+      if (resolveBoundarySplit(df, boundarySplit) && tiNumeric)
+        splitPrefixSum(joined, pruneAbove)
+      else joined
+        .withColumn("__cum_value", col("__base") + sum(col("__tok")).over(
+          Window.partitionBy(col("__k2"), col("__b"))
+            .orderBy(col("__sa"), col("__ti"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    summed
       .drop("__k2", "__sa", "__ti", "__tok", "__b", "__ok", "__ob", "__base")
+  }
+
+  /** SECOND-LEVEL distribution of [[distributedPrefixSum]]'s in-bucket
+    * running sum (`spark.graft.boundarySplit`): equal sort keys must
+    * share a level-1 bucket, so a key whose token mass concentrates on
+    * ONE modal sort value still funnels that bucket's window — here the
+    * bucket itself sub-divides by `(sortA, tieId-range)` (the
+    * [[splitBoundaryRank]] edges: per-key equi-width tie-id ranges in
+    * monotone DOUBLE arithmetic), each sub-bucket's base mass comes off
+    * a reduced `(key, bucket, sub)` histogram, and the remaining window
+    * sees an expected 1/B₂ of any bucket. With `pruneAbove`, whole
+    * sub-buckets whose combined base already exceeds the bound drop
+    * before the final window. Same values bit for bit: level-1 base +
+    * level-2 base + in-sub-bucket prefix composes to the exact per-key
+    * running sum because both bucket functions are monotone in the
+    * `(sortA, tieId)` order.
+    */
+  private def splitPrefixSum(joined: DataFrame,
+                             pruneAbove: Option[Long]): DataFrame = {
+    val b2n = 4096.0
+    val stats = joined.groupBy(col("__k2"))
+      .agg(min(col("__ti").cast("double")).as("__tmin"),
+        max(col("__ti").cast("double")).as("__tmax"))
+      .withColumn("__w2",
+        greatest((col("__tmax") - col("__tmin") + 1.0) / lit(b2n), lit(1.0)))
+      .select(col("__k2").as("__sk"), col("__tmin"), col("__w2"))
+      .localCheckpoint(true)
+    val s2 = joined.join(broadcast(stats), col("__k2") === col("__sk"))
+      .withColumn("__b2", struct(col("__sa").as("sa"),
+        floor((col("__ti").cast("double") - col("__tmin")) / col("__w2"))
+          .as("tb")))
+    // __base is constant per (key, bucket), so carrying it in the group
+    // keys leaves the histogram's grain unchanged — it's there so the
+    // combined-base prune drops whole sub-buckets BEFORE the corpus join
+    val hist2 = s2.groupBy(col("__k2"), col("__b"),
+        col("__base").as("__bse"), col("__b2"))
+      .agg(sum(col("__tok")).as("__tc2")).localCheckpoint(true)
+    val offs2a = hist2
+      .withColumn("__cum2", sum(col("__tc2")).over(
+        Window.partitionBy(col("__k2"), col("__b")).orderBy(col("__b2"))))
+      .select(col("__k2").as("__ok2"), col("__b").as("__ob2"),
+        col("__b2").as("__obb"),
+        (col("__bse") + col("__cum2") - col("__tc2")).as("__base12"))
+    val offs2 = pruneAbove.fold(offs2a)(b =>
+      offs2a.filter(col("__base12") <= b))
+    // corpus-bounded frame: plain equi-join, co-partitioned with the
+    // final window's (key, bucket, sub-bucket) keys — never broadcast
+    val j2 = s2.join(offs2,
+      col("__k2") === col("__ok2") && col("__b") === col("__ob2") &&
+        col("__b2") === col("__obb"))
+    j2.withColumn("__cum_value",
+        col("__base12") + sum(col("__tok")).over(
+          Window.partitionBy(col("__k2"), col("__b"), col("__b2"))
+            .orderBy(col("__sa"), col("__ti"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__sk", "__tmin", "__w2", "__b2", "__ok2", "__ob2", "__obb",
+        "__base12")
   }
 
   /** [[tokenBudgetMixCalibrated]]'s SCALE twin (c11d): the identical

@@ -378,6 +378,39 @@ object ScaleProbe {
       org.apache.spark.sql.graftbridge.Bridge.release(w)
       nTwo
     }
+    t(s"c1b degenerate modal sort key ${mult}x") {
+      // the boundary-bucket degeneracy the level-2 split exists for:
+      // 90% of a mega key's rows share ONE sort value (same-length web
+      // snippets), so they all land in a single level-1 bucket — which
+      // becomes the boundary bucket, and the single-level fill re-grows
+      // the funnel it removed. With spark.graft.boundarySplit the rank
+      // runs over (sort, tie-id range) sub-buckets and must stay flat.
+      // Printed triple: split fill vs single-level fill vs exact window.
+      val mega = big.select(col("doc_id"),
+        when(col("doc_id") % 10 =!= 0, lit("mega"))
+          .otherwise(col("source")).as("source"),
+        when(col("doc_id") % 10 =!= 3, lit(5L))
+          .otherwise((col("doc_id") % 40).cast("long")).as("len"))
+        .localCheckpoint(true)
+      val quota = (n0 * mult / 2).toInt
+      val t0 = System.nanoTime()
+      val nSp = Curation.quotaPerKeyScalable(mega, col("source"), quota,
+        -col("len"), col("doc_id"), bucketWidth = 1L,
+        boundarySplit = Some(true)).count()
+      val tSp = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val nOne = Curation.quotaPerKeyScalable(mega, col("source"), quota,
+        -col("len"), col("doc_id"), bucketWidth = 1L).count()
+      val tOne = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      val nEx = Curation.quotaPerKey(mega, col("source"), quota,
+        Seq(col("len").desc, col("doc_id"))).count()
+      println(f"SCALE   c1b modal split $tSp%.2f s ($nSp rows) vs " +
+        f"single-level $tOne%.2f s ($nOne rows) vs exact window " +
+        f"${(System.nanoTime() - t2) / 1e9}%.2f s ($nEx rows)")
+      org.apache.spark.sql.graftbridge.Bridge.release(mega)
+      nSp
+    }
     t(s"c10b calibrated keep ${mult}x") {
       // fixed weights (no training confound, the c36 probe convention):
       // two map-side-combined scoring passes + the broadcast cutoff —

@@ -115,6 +115,59 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("boundarySplit second level is bit-identical on degenerate sort keys") {
+    // the shape the split exists for: 90% of a mega key's rows share
+    // ONE modal sort value, so they all land in one level-1 bucket and
+    // only the tie-id sub-buckets can spread the boundary work. Keeps,
+    // cum values, NULL sort keys, sparse/huge tie ids — all must match
+    // the single-level twin exactly, at any width, with the split
+    // turned on per-call AND via the session conf.
+    val rnd = new scala.util.Random(1543L)
+    val rows = (1L to 600L).map { i =>
+      val k = if (i % 10 != 0) "mega" else s"k${i % 3}"
+      // modal: 90% of rows share sort value 5; a few NULLs; sparse ids
+      val sa = if (i % 13 == 0) None
+               else if (i % 10 != 3) Some(5L)
+               else Some(rnd.nextInt(40).toLong)
+      val id = i * 982451653L // sparse tie-id domain (~2^59 span)
+      (id, k, 1L + rnd.nextInt(9).toLong, sa)
+    }
+    val df = rows.toDF("doc_id", "source", "n_tokens", "quality")
+    for (n <- Seq(0, 7, 120, 1000); w <- Seq(1L, 16L)) {
+      val plain = Curation.quotaPerKeyScalable(df, col("source"), n,
+          col("quality"), col("doc_id"), bucketWidth = w)
+        .select("doc_id").as[Long].collect().toSet
+      val split = Curation.quotaPerKeyScalable(df, col("source"), n,
+          col("quality"), col("doc_id"), bucketWidth = w,
+          boundarySplit = Some(true))
+        .select("doc_id").as[Long].collect().toSet
+      assert(split == plain, s"quota split mismatch n=$n w=$w")
+    }
+    for (budget <- Seq(0L, 90L, 1000000L); w <- Seq(1L, 16L)) {
+      val plain = Curation.tokenBudgetMixScalable(df, col("n_tokens"),
+          col("source"), col("quality"), col("doc_id"), budget,
+          bucketWidth = w)
+        .select("doc_id", "cum_tokens").as[(Long, Long)].collect().toSet
+      val split = Curation.tokenBudgetMixScalable(df, col("n_tokens"),
+          col("source"), col("quality"), col("doc_id"), budget,
+          bucketWidth = w, boundarySplit = Some(true))
+        .select("doc_id", "cum_tokens").as[(Long, Long)].collect().toSet
+      assert(split == plain, s"prefix-sum split mismatch budget=$budget w=$w")
+    }
+    // session-conf path: flip spark.graft.boundarySplit, no explicit arg
+    spark.conf.set("spark.graft.boundarySplit", "true")
+    try {
+      val viaConf = Curation.quotaPerKeyScalable(df, col("source"), 7,
+          col("quality"), col("doc_id"), bucketWidth = 16L)
+        .select("doc_id").as[Long].collect().toSet
+      spark.conf.set("spark.graft.boundarySplit", "false")
+      val off = Curation.quotaPerKeyScalable(df, col("source"), 7,
+          col("quality"), col("doc_id"), bucketWidth = 16L)
+        .select("doc_id").as[Long].collect().toSet
+      assert(viaConf == off)
+    } finally spark.conf.unset("spark.graft.boundarySplit")
+  }
+
   test("tokenBudgetMixCalibratedScalable ≡ calibrated window form") {
     val rnd = new scala.util.Random(1523L)
     val rows = (1L to 300L).map { i =>

@@ -347,6 +347,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ScalaUDF"), plan)
   }
 
+  test("boundarySplit: still ONE rank window, fed by the SECOND-level boundary") {
+    // degenerate-sort-key defence on: the boundary-bucket rank
+    // sub-divides by (sort, tie-id range), and the only row_number in
+    // the whole plan runs over the level-2 boundary sub-bucket — even a
+    // key whose rows all share one sort value never funnels
+    val df = docs.select(col("doc_id"), col("source"),
+      (col("doc_id") % 3).as("quality"))
+    val plan = phys(graft.curation.Curation.quotaPerKeyScalable(df,
+      col("source"), 10, col("quality"), col("doc_id"), bucketWidth = 1L,
+      boundarySplit = Some(true)))
+    assert("row_number\\(\\)".r.findAllIn(plan).size == 1,
+      s"exactly one rank window expected:\n$plan")
+    // its input equi-joins on the level-2 sub-bucket threshold (struct
+    // keys: (sa, tie-range)); the level-1 slice join is still there too
+    assert("""BroadcastHashJoin \[__b2#\d+, __k2#\d+\], \[__tb2#\d+, __bk2#\d+\]"""
+      .r.findFirstIn(plan).isDefined,
+      s"rank input must equi-join on the level-2 boundary sub-bucket:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ScalaUDF"), plan)
+  }
+
   test("w3 rank-k keep: WindowGroupLimit prunes map-side before the shuffle") {
     // row_number <= k is the one per-key window Spark itself makes
     // scale-safe: WindowGroupLimit keeps k rows per key per input
