@@ -312,10 +312,16 @@ object Similarity {
     * trained on. A centroid absent from the latest batch has NULL
     * recent share → NULL delta → `hold` (no evidence is not drift, the
     * c41 rule; a centroid the corpus abandoned will drag every OTHER
-    * share up past the band instead). Cost: one map-side-combined
-    * reduce over the store + a partition-PRUNED read of the latest
-    * batch (`batch_id` is the partition column); totals enter as 1-row
-    * broadcasts; the max-batch-id read is a bounded 1-row collect.
+    * share up past the band instead). Cost: two map-side-combined
+    * reduces over the ≤assignments-row store; totals and the 1-row
+    * latest-batch scalar enter as broadcasts. The latest batch is
+    * computed INSIDE the plan (the c41 broadcast-latest convention),
+    * not collected at build time: cumulative and recent shares always
+    * come from the SAME store snapshot — a build-time max could
+    * silently compare fresh totals against a stale batch — and a
+    * missing store path surfaces lazily like any other read. (The
+    * snapshot itself is pinned by the parquet read's file listing, as
+    * for any path read: build a fresh panel to see newer batches.)
     */
   def ivfDriftDecision(spark: org.apache.spark.sql.SparkSession,
                        storePath: String, bandPermille: Long): DataFrame = {
@@ -323,10 +329,9 @@ object Similarity {
     val st = spark.read.schema(assignStoreSchema).parquet(storePath)
     val all = st.groupBy(col("cid")).agg(count(lit(1)).as("n_all"))
     val ga = all.agg(sum(col("n_all")).as("__tot"))
-    val mbRow = st.agg(max(col("batch_id"))).collect()(0)
-    val mb: java.lang.Long =
-      if (mbRow.isNullAt(0)) null else java.lang.Long.valueOf(mbRow.getLong(0))
-    val recent = st.filter(col("batch_id") <=> lit(mb))
+    val latest = st.agg(max(col("batch_id")).as("__mb"))
+    val recent = st.crossJoin(broadcast(latest))
+      .filter(col("batch_id") <=> col("__mb"))
       .groupBy(col("cid")).agg(count(lit(1)).as("n_recent"))
     val gr = recent.agg(sum(col("n_recent")).as("__totr"))
     all.crossJoin(broadcast(ga))

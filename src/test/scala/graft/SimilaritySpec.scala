@@ -94,6 +94,13 @@ class SimilaritySpec extends AnyFunSuite {
     val stable = Similarity.ivfDriftDecision(spark, dir2, bandPermille = 1L)
       .select("action").collect().map(_.getString(0)).toSet
     assert(stable == Set("hold"))
+    // the latest batch is resolved INSIDE the plan, not collected at
+    // build time: after a drifted batch 2 lands, a rebuilt panel must
+    // compare the grown totals against the NEW latest — cid0 19/30=633
+    // vs recent 900, cid1 11/30=366 vs 100, both past the band
+    writeTo(dir2, (21L to 29L).map((_, 0)) ++ Seq((30L, 1)), 2L)
+    val drifted = Similarity.ivfDriftDecision(spark, dir2, bandPermille = 100L)
+    assert(drifted.filter(col("action") === "retrain").count() == 2)
   }
 
   test("ivfIngest streams batches into the assignment store e2e") {
