@@ -158,6 +158,34 @@ object Curation {
     scalable.getOrElse(df.sparkSession.conf
       .get("spark.graft.scalableWindows", "false").toBoolean)
 
+  /** Decompose a window `order` into the scale twins' canonical
+    * `(sortAsc, tieId)` pair so the PLAIN entry points can dispatch on
+    * [[resolveScalable]] (one convention everywhere — the composed
+    * pipelines already have it). Supported: exactly two columns, the
+    * tie ascending; a DESCENDING primary maps to its negation (numeric
+    * only — anything else fails analysis with Spark's own error).
+    * CAVEAT: `x.desc` orders NULLs LAST, `-x` ASC orders them FIRST —
+    * on NULL sort keys the two paths differ; coalesce upstream or call
+    * the twin directly with an explicit NULL policy.
+    */
+  private def twinOrder(order: Seq[Column]): (Column, Column) = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    require(order.length == 2,
+      s"scalable dispatch needs order = Seq(primary, tieId), got ${order.length} columns")
+    val sa = Bridge.sortOrder(order.head) match {
+      case Some((child, true)) => negate(child)
+      case Some((child, false)) => child
+      case None => order.head
+    }
+    val ti = Bridge.sortOrder(order(1)) match {
+      case Some((_, true)) => throw new IllegalArgumentException(
+        "scalable dispatch needs an ASCENDING tieId (the twins' contract)")
+      case Some((child, false)) => child
+      case None => order(1)
+    }
+    (sa, ti)
+  }
+
   /** [[keepOneExact]] with an explicit keep preference: when the same
     * canonical token signature appears in several corpora/sources, keep
     * the copy with the LOWEST `priority` (ties → lowest id) — "prefer
@@ -196,8 +224,12 @@ object Curation {
     * operator. One shuffle on the source key.
     */
   def quotaPerKey(df: DataFrame, key: Column, n: Int,
-                  order: Seq[Column]): DataFrame =
-    df.withColumn("__qrn",
+                  order: Seq[Column],
+                  scalable: Option[Boolean] = None): DataFrame =
+    if (resolveScalable(df, scalable)) {
+      val (sa, ti) = twinOrder(order)
+      quotaPerKeyScalable(df, key, n, sa, ti)
+    } else df.withColumn("__qrn",
         row_number().over(Window.partitionBy(key).orderBy(order: _*)))
       .filter(col("__qrn") <= n).drop("__qrn")
 
@@ -1662,17 +1694,21 @@ object Curation {
     * through one task for no training benefit.
     */
   def packSequences(df: DataFrame, text: Column, id: Column, key: Column,
-                    budget: Int): DataFrame = {
-    val n = TextAnalysis.nTokensCol(text)
-    val cum = sum(n).over(
-      Window.partitionBy(key).orderBy(id)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    df.select(id.as("doc_id"), key.as("pack_key"), n.as("n_tokens"),
-        (cum - n).as("start_tok"))
-      .select(col("doc_id"), col("pack_key"), col("n_tokens"),
-        floor(col("start_tok") / budget).cast("long").as("seq_id"),
-        pmod(col("start_tok"), lit(budget.toLong)).as("seq_offset"))
-  }
+                    budget: Int,
+                    scalable: Option[Boolean] = None): DataFrame =
+    if (resolveScalable(df, scalable))
+      packSequencesScalable(df, text, id, key, budget)
+    else {
+      val n = TextAnalysis.nTokensCol(text)
+      val cum = sum(n).over(
+        Window.partitionBy(key).orderBy(id)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      df.select(id.as("doc_id"), key.as("pack_key"), n.as("n_tokens"),
+          (cum - n).as("start_tok"))
+        .select(col("doc_id"), col("pack_key"), col("n_tokens"),
+          floor(col("start_tok") / budget).cast("long").as("seq_id"),
+          pmod(col("start_tok"), lit(budget.toLong)).as("seq_offset"))
+    }
 
   /** [[packSequences]]'s SCALE twin (c3b): identical packing — same
     * seq_id/seq_offset for every document — but the per-key token
@@ -2079,12 +2115,17 @@ object Curation {
     * the input columns plus `cum_tokens` (the budget audit trail).
     */
   def tokenBudgetMix(df: DataFrame, nTokens: Column, key: Column,
-                     order: Seq[Column], budget: Long): DataFrame = {
-    val w = Window.partitionBy(key).orderBy(order: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("cum_tokens", sum(nTokens).over(w))
-      .filter(col("cum_tokens") <= budget)
-  }
+                     order: Seq[Column], budget: Long,
+                     scalable: Option[Boolean] = None): DataFrame =
+    if (resolveScalable(df, scalable)) {
+      val (sa, ti) = twinOrder(order)
+      tokenBudgetMixScalable(df, nTokens, key, sa, ti, budget)
+    } else {
+      val w = Window.partitionBy(key).orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.withColumn("cum_tokens", sum(nTokens).over(w))
+        .filter(col("cum_tokens") <= budget)
+    }
 
   /** [[tokenBudgetMix]]'s SCALE twin (c11c) — the same kept rows and
     * the same exact `cum_tokens` values, but no per-key corpus window:
@@ -2278,18 +2319,24 @@ object Curation {
     */
   def tokenBudgetMixCalibrated(df: DataFrame, nTokens: Column, lang: Column,
                                key: Column, order: Seq[Column], budget: Long,
-                               calibration: DataFrame): DataFrame = {
-    val cal = calibration.select(col("lang").as("__clang"),
-      round(col("bpe_per_ws") * 1000000.0, 0).cast("long").as("__ratio"))
-    val w = Window.partitionBy(key).orderBy(order: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.join(broadcast(cal), lang <=> col("__clang"), "left")
-      .withColumn("est_bpe_micro",
-        nTokens * coalesce(col("__ratio"), lit(1000000L)))
-      .drop("__clang", "__ratio")
-      .withColumn("cum_bpe_micro", sum(col("est_bpe_micro")).over(w))
-      .filter(col("cum_bpe_micro") <= budget * 1000000L)
-  }
+                               calibration: DataFrame,
+                               scalable: Option[Boolean] = None): DataFrame =
+    if (resolveScalable(df, scalable)) {
+      val (sa, ti) = twinOrder(order)
+      tokenBudgetMixCalibratedScalable(df, nTokens, lang, key, sa, ti,
+        budget, calibration)
+    } else {
+      val cal = calibration.select(col("lang").as("__clang"),
+        round(col("bpe_per_ws") * 1000000.0, 0).cast("long").as("__ratio"))
+      val w = Window.partitionBy(key).orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.join(broadcast(cal), lang <=> col("__clang"), "left")
+        .withColumn("est_bpe_micro",
+          nTokens * coalesce(col("__ratio"), lit(1000000L)))
+        .drop("__clang", "__ratio")
+        .withColumn("cum_bpe_micro", sum(col("est_bpe_micro")).over(w))
+        .filter(col("cum_bpe_micro") <= budget * 1000000L)
+    }
 
   /** Gopher-style composite quality filter with a per-rule audit trail:
     * every document gets a 0/1 flag per violated rule (length band,
@@ -2584,11 +2631,9 @@ object Curation {
     // Rehydrate text/source for packing with one more scan of `docs`
     // (cheap columnar read) instead of re-running the dedup window.
     val deduped = docs.join(dedupedIds, Seq("doc_id"))
-    val packed0 =
-      if (sw) packSequencesScalable(deduped, col("text"), col("doc_id"),
-        concat(col("source"), lit("|"), col("split")), budget)
-      else packSequences(deduped, col("text"), col("doc_id"),
-        concat(col("source"), lit("|"), col("split")), budget)
+    val packed0 = packSequences(deduped, col("text"), col("doc_id"),
+      concat(col("source"), lit("|"), col("split")), budget,
+      scalable = Some(sw))
     packed0
       .join(dedupedIds, Seq("doc_id"))
       .select(col("doc_id"), col("pack_key"), col("split"),
@@ -2652,21 +2697,17 @@ object Curation {
       .join(keep2, Seq("doc_id"))
       .withColumn("n_tokens", TextAnalysis.nTokensCol(col("text")))
     // O(ids + 4 small cols): the budget-mixed survivors
-    val mixedIds = (if (sw)
-        tokenBudgetMixScalable(hydrated, col("n_tokens"), col("source"),
-          -col("quality"), col("doc_id"), tokensPerSource)
-      else tokenBudgetMix(hydrated, col("n_tokens"), col("source"),
-        Seq(col("quality").desc, col("doc_id")), tokensPerSource))
+    val mixedIds = tokenBudgetMix(hydrated, col("n_tokens"), col("source"),
+        Seq(col("quality").desc, col("doc_id")), tokensPerSource,
+        scalable = Some(sw))
       .select(col("doc_id"), col("split"), col("quality"), col("cum_tokens"))
       .localCheckpoint(true)
     Bridge.release(keep2)
     Bridge.release(dedupedIds)
-    val packed = (if (sw) packSequencesScalable(
-        docs.join(mixedIds, Seq("doc_id")), col("text"), col("doc_id"),
-        concat(col("source"), lit("|"), col("split")), budget)
-      else packSequences(
-        docs.join(mixedIds, Seq("doc_id")), col("text"), col("doc_id"),
-        concat(col("source"), lit("|"), col("split")), budget))
+    val packed = packSequences(
+      docs.join(mixedIds, Seq("doc_id")), col("text"), col("doc_id"),
+      concat(col("source"), lit("|"), col("split")), budget,
+      scalable = Some(sw))
     packed.join(mixedIds, Seq("doc_id"))
       .select(col("doc_id"), col("pack_key"), col("split"), col("n_tokens"),
         col("quality"), col("cum_tokens"), col("seq_id"), col("seq_offset"))
@@ -2710,13 +2751,8 @@ object Curation {
     val deduped = keepOneExact(kept, col("text"), col("doc_id"))
     // scalableQuota = the skew-proof two-phase fill (identical keep
     // set): "longest first" becomes the ascending -n_tokens sort key
-    val quotad =
-      if (sq)
-        quotaPerKeyScalable(deduped, col("source"), quotaPerSource,
-          -col("n_tokens"), col("doc_id"))
-      else
-        quotaPerKey(deduped, col("source"), quotaPerSource,
-          Seq(col("n_tokens").desc, col("doc_id")))
+    val quotad = quotaPerKey(deduped, col("source"), quotaPerSource,
+      Seq(col("n_tokens").desc, col("doc_id")), scalable = Some(sq))
     quotad.select(col("doc_id"), col("source"), col("lang_pred"),
       col("n_tokens"), col("stopword_ratio"))
   }

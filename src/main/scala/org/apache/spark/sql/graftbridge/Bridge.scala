@@ -13,6 +13,18 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Decompose a `.asc`/`.desc` Column into `(child, isDescending)`;
+    * None for a plain value column. Works on the internal ColumnNode
+    * (Spark 4 builds SortOrder lazily — it is NOT visible through
+    * [[expression]] until plan resolution).
+    */
+  def sortOrder(c: Column): Option[(Column, Boolean)] = c.node match {
+    case org.apache.spark.sql.internal.SortOrder(child, dir, _, _) =>
+      Some((new Column(child),
+        dir == org.apache.spark.sql.internal.SortOrder.Descending))
+    case _ => None
+  }
+
   /** Register a SQL function on an already-running session (extensions via
     * `spark.sql.extensions` only apply at session construction).
     */

@@ -225,6 +225,40 @@ class CurationSpec extends AnyFunSuite {
     assert(fScal == fBase)
   }
 
+  test("scalableWindows flips the STANDALONE entry points too (plan + rows)") {
+    // the plain functions carry the same scalable/conf convention as
+    // the composed pipelines: a conf flip swaps the physical plan to
+    // the bucketed twin (descending orders decompose via negation),
+    // rows bit-identical
+    val df = docs.withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+    def plans(f: => org.apache.spark.sql.DataFrame): (String, Set[Seq[Any]]) =
+      (f.queryExecution.executedPlan.toString,
+        f.collect().map(_.toSeq).toSet)
+    val (p0, r0) = plans(Curation.quotaPerKey(df, col("source"), 2,
+      Seq(col("n_tokens").desc, col("doc_id"))))
+    val (q0, s0) = plans(Curation.tokenBudgetMix(df, col("n_tokens"),
+      col("source"), Seq(col("n_tokens").desc, col("doc_id")), 20L))
+    val (k0, t0) = plans(Curation.packSequences(df, col("text"),
+      col("doc_id"), col("source"), 16))
+    assert(!p0.contains("__b#") && !q0.contains("__b#") && !k0.contains("__b#"))
+    spark.conf.set("spark.graft.scalableWindows", "true")
+    try {
+      val (p1, r1) = plans(Curation.quotaPerKey(df, col("source"), 2,
+        Seq(col("n_tokens").desc, col("doc_id"))))
+      val (q1, s1) = plans(Curation.tokenBudgetMix(df, col("n_tokens"),
+        col("source"), Seq(col("n_tokens").desc, col("doc_id")), 20L))
+      val (k1, t1) = plans(Curation.packSequences(df, col("text"),
+        col("doc_id"), col("source"), 16))
+      assert(p1.contains("__b#") && q1.contains("__b#") && k1.contains("__b#"),
+        "conf flip must swap the physical plan to the bucketed twin")
+      assert(r1 == r0 && s1 == s0 && t1 == t0)
+      // explicit per-call choice still beats the session conf
+      val (p2, r2) = plans(Curation.quotaPerKey(df, col("source"), 2,
+        Seq(col("n_tokens").desc, col("doc_id")), scalable = Some(false)))
+      assert(!p2.contains("__b#") && r2 == r0)
+    } finally spark.conf.set("spark.graft.scalableWindows", "false")
+  }
+
   test("packSequencesScalable ≡ packSequences: identical seq_id/seq_offset") {
     val rnd = new scala.util.Random(1529L)
     val rows = (1L to 300L).map { i =>
