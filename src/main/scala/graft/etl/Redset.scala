@@ -146,14 +146,37 @@ object Clean {
   /** Synthetic batch_id (§1.2 last row; producer_Final.py:111): sequential
     * index over the event-time order, integer-divided by batchSize. The
     * global row_number window reproduces the reference exactly; at scale
-    * prefer per-partition `monotonically_increasing_id` when batch
-    * boundaries need not be globally dense.
+    * use [[withBatchIdScalable]] when batch boundaries need not be
+    * globally dense.
     */
   def withBatchId(cleaned: DataFrame, batchSize: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     cleaned.withColumn("batch_id",
       ((row_number().over(Window.orderBy(col("arrival_timestamp"), col("query_id")))
         - 1) / batchSize).cast("long"))
+  }
+
+  /** [[withBatchId]]'s SCALE twin: the reference's globally-DENSE batch
+    * ids need a single-task global sort window — the whole event stream
+    * funnels through one executor. Here `batch_id` is
+    * `monotonically_increasing_id() div batchSize`: pure projection,
+    * zero shuffles, and the properties every downstream consumer
+    * actually relies on still hold — ids are non-negative, each batch
+    * holds AT MOST `batchSize` rows (a partition's id block starts at
+    * `partitionId << 33`, so blocks never interleave below ~8.6e9 rows
+    * per input partition), and rows of one batch are contiguous
+    * arrivals WITHIN an input partition. What is given up is exactly
+    * the part that cannot scale: global density and cross-partition
+    * arrival order of the ids (batches at partition edges may run
+    * short). The S4 fan-out multiplexes per batch and never interprets
+    * id magnitude — spec-pinned on both forms. Gated rows-only: ids
+    * are engine-internal (they depend on the partitioning), so the
+    * dense window form stays the oracle-parity plan.
+    */
+  def withBatchIdScalable(cleaned: DataFrame, batchSize: Int): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    cleaned.withColumn("batch_id",
+      expr(s"monotonically_increasing_id() div ${batchSize}L"))
   }
 
   /** X10: flatten the comma-separated table-id lists into one row per

@@ -412,7 +412,27 @@ object RedsetQueries {
           round(col("avg_since_ms"), 3).as("avg_since_ms"),
           round(col("avg_to_next_ms"), 3).as("avg_to_next_ms"))
         .orderBy(col("instance_id"), col("table_id"))
-    }
+    },
+
+    // withBatchId's SCALE twin (Clean.withBatchIdScalable): batch ids
+    // from monotonically_increasing_id, no global sort window. The ids
+    // are engine-internal (a function of the partitioning), so there is
+    // NO DuckDB oracle — the gate audits the invariants the downstream
+    // fan-out relies on instead: every batch at most batchSize rows, no
+    // negative ids, total row count preserved (deterministic), zero
+    // violations. The dense window form stays the oracle-parity plan
+    // (ReferenceEquivalenceSpec pins it against the producer's rule).
+    QDef("redset_batch_id_scalable",
+      (s: SparkSession, dir: String) => {
+        val cleaned = graft.etl.Clean(raw(s, dir))
+        val b = graft.etl.Clean.withBatchIdScalable(cleaned, 64)
+        b.groupBy(col("batch_id")).agg(count(lit(1)).as("__n"))
+          .agg(sum(col("__n")).as("n_rows"),
+            sum(when(col("__n") > 64, 1L).otherwise(0L))
+              .as("n_oversized_batches"),
+            sum(when(col("batch_id") < 0, 1L).otherwise(0L))
+              .as("n_negative_ids"))
+      }, None)
   )
 
   /** The shared 3-batch incremental drive: fixture split into two

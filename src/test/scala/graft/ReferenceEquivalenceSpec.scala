@@ -50,4 +50,23 @@ class ReferenceEquivalenceSpec extends AnyFunSuite {
     assert(got.toSeq == (0 until 200).map(i => (i / 10).toLong))
     assert(got.distinct.length == 20)
   }
+
+  test("withBatchIdScalable: bounded batches, shuffle-free, rows preserved") {
+    val cleaned = ingests.withColumnRenamed("ts", "arrival_timestamp")
+      .withColumnRenamed("id", "query_id")
+      .repartition(7) // id blocks must not collide across partitions
+      .localCheckpoint(true) // pin the layout; keeps the plan below bare
+    val b = graft.etl.Clean.withBatchIdScalable(cleaned, 10)
+    val per = b.groupBy("batch_id").count().collect()
+    // the invariants the fan-out relies on: every batch at most
+    // batchSize rows, no negative ids, nothing lost
+    assert(per.map(_.getLong(1)).sum == 200L)
+    assert(per.map(_.getLong(1)).max <= 10L)
+    assert(per.map(_.getLong(0)).min >= 0L)
+    // the point of the twin: a pure projection — no global sort window,
+    // no exchange of any kind in the whole plan
+    val plan = b.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Window"),
+      s"scalable batch ids must not shuffle or sort:\n$plan")
+  }
 }

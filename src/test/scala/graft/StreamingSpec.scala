@@ -374,6 +374,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("fanOut consumes both batch-id forms identically (S4 over the J-twin)") {
+    // the live topology assigns batch ids inside foreachBatch; the
+    // fan-out must behave the same whether they come from the dense
+    // window form or the scalable monotonic form — same rows reach the
+    // sinks, and both forms satisfy the ≤batchSize / non-negative
+    // invariants the multiplex relies on
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, Long)]
+    val df = in.toDS().toDF("arrival_timestamp", "query_id")
+    val rows = scala.collection.concurrent.TrieMap[String, Set[Long]]()
+    val ok = scala.collection.concurrent.TrieMap[String, Boolean]()
+    def audit(form: String, b: org.apache.spark.sql.DataFrame): Unit = {
+      val per = b.groupBy("batch_id").count().collect()
+      ok(form) = per.forall(r => r.getLong(1) <= 3 && r.getLong(0) >= 0)
+      rows(form) = b.select("query_id").as[Long].collect().toSet
+    }
+    val q = Streams.fanOut(df, Map(
+      "dense" -> (Seq("arrival_timestamp", "query_id"),
+        (b: org.apache.spark.sql.DataFrame) =>
+          audit("dense", graft.etl.Clean.withBatchId(b, 3))),
+      "scalable" -> (Seq("arrival_timestamp", "query_id"),
+        (b: org.apache.spark.sql.DataFrame) =>
+          audit("scalable", graft.etl.Clean.withBatchIdScalable(b, 3)))
+    )).start()
+    try {
+      in.addData((1L to 8L).map(i =>
+        (new java.sql.Timestamp(1700000000000L + i * 1000L), i)): _*)
+      q.processAllAvailable()
+      assert(rows("dense") == (1L to 8L).toSet)
+      assert(rows("scalable") == rows("dense"))
+      assert(ok("dense") && ok("scalable"))
+    } finally q.stop()
+  }
+
   test("asOfEnrich: stateful streaming as-of matches the batch operator on ordered input") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.Streams.{AsOfEvent, AsOfMatch}
