@@ -662,6 +662,47 @@ object ScaleProbe {
       org.apache.spark.sql.graftbridge.Bridge.release(wide)
       nB
     }
+    t(s"st5 ewma streaming ${mult}x") {
+      // the streaming family's scale evidence (the stores already have
+      // theirs): state is O(keys) — one 3-field struct per key, never
+      // per event — and per-batch cost is O(batch events). Two equal
+      // batches over the SAME keys: batch 1 rebuilds state from empty,
+      // batch 2 folds onto existing state; both must cost the same, and
+      // the cost must track the feed size across mults.
+      import spark.implicits._
+      import graft.streaming.Streams
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val base = Tables.events(spark, dir)
+        .select(col("user_id"), expr("unix_micros(ts)").as("ts"),
+          col("value").cast("double").as("v"))
+        .as[(Long, Long, Double)].collect()
+      // driver-side cap: MemoryStream materializes the feed on the heap
+      // next to the checkpointed probe corpus (2M events OOMed the 8g
+      // probe JVM at 100x) — the 1x→10x pair already shows the linear
+      // per-batch cost; state size is the key count either way
+      val rep = math.min(mult, 10)
+      if (rep < mult)
+        println(s"SCALE   st5 feed capped at ${rep}x of ${mult}x " +
+          "(MemoryStream is driver-side; cost model unchanged)")
+      def batch(b: Int): Seq[Streams.MetricEvent] =
+        (0 until rep).flatMap(r => base.map { case (u, t0, v) =>
+          Streams.MetricEvent(u + r * 10000000L, t0 + b * 86400000000L, v)
+        })
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[Streams.MetricEvent]
+      val q = Streams.ewmaStress(in.toDS()).writeStream.format("noop")
+        .outputMode("append").start()
+      try {
+        for (b <- 0 until 2) {
+          val t0 = System.nanoTime()
+          in.addData(batch(b): _*)
+          q.processAllAvailable()
+          println(f"SCALE   st5 batch$b ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+            f"(${base.length.toLong * rep} events)")
+        }
+      } finally q.stop()
+      base.length.toLong * rep * 2
+    }
     t(s"c34b mega-language ccnet ${mult}x") {
       // 90% of documents in ONE language (English is half the web):
       // the exact ntile(3) funnels the mega language into one task;
