@@ -101,6 +101,17 @@ class DomainMixtureSpec extends AnyFunSuite {
       .as[(Long, String, Long)].collect().toSet
     assert(g2 == e2)
     assert(!g2.exists(_._2 == "mega") && g2.count(_._2 == "s0") == 10)
+    // the boundary-split conf reaches this caller through
+    // twoPhaseQuotaFill's own fallback — bit-identical keeps with the
+    // level-2 split on (slot ties all share one level-1 bucket at b=1,
+    // the degenerate shape the split exists for)
+    spark.conf.set("spark.graft.boundarySplit", "true")
+    try {
+      val split = DomainMixture.applyMixtureScalable(docs, col("src"),
+          col("doc_id"), weights, budget = 120L, nBuckets = 1)
+        .as[(Long, String, Long)].collect().toSet
+      assert(split == exact)
+    } finally spark.conf.unset("spark.graft.boundarySplit")
   }
 
   test("domainStatsBatch/solveFromStore: batch-additive, replay-idempotent, one-shot-identical") {

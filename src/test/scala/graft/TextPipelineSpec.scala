@@ -214,6 +214,16 @@ class TextPipelineSpec extends AnyFunSuite {
         .as[Long].collect().toSet
       assert(got == exact, s"mismatch at width=$w")
     }
+    // boundary-split conf (level-2 tie-id sub-buckets) keeps the set
+    // bit-identical — the giant width puts EVERY score in one level-1
+    // bucket, the degenerate shape the split handles
+    spark.conf.set("spark.graft.boundarySplit", "true")
+    try {
+      val split = TextAnalysis.ccnetKeepIdsScalable(docs, col("text"),
+          col("doc_id"), col("lang"), bucketWidth = 1000000000L)
+        .as[Long].collect().toSet
+      assert(split == exact)
+    } finally spark.conf.unset("spark.graft.boundarySplit")
   }
 
   test("rocAuc: tie-aware rank-sum on a hand-ranked score set") {
