@@ -408,6 +408,20 @@ object ScaleProbe {
       println(f"SCALE   c1b modal split $tSp%.2f s ($nSp rows) vs " +
         f"single-level $tOne%.2f s ($nOne rows) vs exact window " +
         f"${(System.nanoTime() - t2) / 1e9}%.2f s ($nEx rows)")
+      // same modal shape through the OTHER split machine — the
+      // prefix-sum's in-bucket running sum (c11c path)
+      val t3 = System.nanoTime()
+      val nPs = Curation.tokenBudgetMixScalable(mega, lit(1L),
+        col("source"), col("len"), col("doc_id"),
+        budget = (n0 * mult / 2), bucketWidth = 1L,
+        boundarySplit = Some(true)).count()
+      val tPs = (System.nanoTime() - t3) / 1e9
+      val t4 = System.nanoTime()
+      val nP1 = Curation.tokenBudgetMixScalable(mega, lit(1L),
+        col("source"), col("len"), col("doc_id"),
+        budget = (n0 * mult / 2), bucketWidth = 1L).count()
+      println(f"SCALE   c11c modal split $tPs%.2f s ($nPs rows) vs " +
+        f"single-level ${(System.nanoTime() - t4) / 1e9}%.2f s ($nP1 rows)")
       org.apache.spark.sql.graftbridge.Bridge.release(mega)
       nSp
     }
