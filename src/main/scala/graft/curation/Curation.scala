@@ -2824,4 +2824,37 @@ object Curation {
         sum(col("n_tokens")).as("n_tokens"),
         sum(col("__hm")).as("checksum"))
   }
+
+  /** Corpus snapshot DIFF (c42) — the version-management read every
+    * managed corpus needs: classify every document id across two
+    * snapshots as `added` / `removed` / `changed` / `unchanged`. "What
+    * did this crawl refresh actually change?" is the question a
+    * manifest owner asks before re-triggering the downstream curation;
+    * the per-id frame groups into the one-line census and joins back
+    * to either snapshot for the changed slice.
+    *
+    * Plan: both sides project scan-side to `(id, content-signature)`
+    * and meet in ONE full-outer equi-join on the id — no broadcast
+    * (both sides are corpus-scale by definition). `hashContent = true`
+    * is the PB-scale twin (the [[keepOneExact]] `hashSig` convention):
+    * the signature becomes 8-byte `xxhash64` so the shuffle carries
+    * 16 bytes/row instead of the document text; default compares the
+    * raw text (exact — no collision caveat, the oracle-parity form).
+    * NULL texts compare null-safely: NULL vs NULL is `unchanged`,
+    * NULL vs text is `changed`. CONTRACT: `id` unique per snapshot (a
+    * duplicated id fans the join out).
+    */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame,
+                 id: Column = col("doc_id"), text: Column = col("text"),
+                 hashContent: Boolean = false): DataFrame = {
+    def sig(c: Column) = if (hashContent) xxhash64(c) else c
+    val o = oldDf.select(id.as("__oid"), sig(text).as("__osig"))
+    val n = newDf.select(id.as("__nid"), sig(text).as("__nsig"))
+    o.join(n, col("__oid") === col("__nid"), "full_outer")
+      .select(coalesce(col("__oid"), col("__nid")).as("doc_id"),
+        when(col("__oid").isNull, lit("added"))
+          .when(col("__nid").isNull, lit("removed"))
+          .when(!(col("__osig") <=> col("__nsig")), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
 }

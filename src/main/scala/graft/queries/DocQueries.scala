@@ -3384,6 +3384,38 @@ object DocQueries {
         .orderBy(col("shard"))
     },
 
+    // Corpus snapshot diff (version management): the NEW snapshot is a
+    // deterministic edit of documents — ids % 7 dropped (removed), % 11
+    // texts suffixed (changed, unless also % 7), % 13 re-added under a
+    // shifted id (added) — so both engines derive identical snapshots
+    // and the per-id status frame hash-matches. NULL texts ride the
+    // null-safe compare (NULL || ' v2' is NULL on both engines).
+    QDef("c42_corpus_diff",
+      """WITH oldc AS (SELECT doc_id, text FROM documents),
+        |newc AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, text FROM documents WHERE doc_id % 13 = 0)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.text IS DISTINCT FROM n.text THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM oldc o FULL OUTER JOIN newc n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val newc = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 1000000000L).as("doc_id"), col("text")))
+      graft.curation.Curation.corpusDiff(docs, newc)
+        .orderBy(col("doc_id"))
+    },
+
     // Inverted index over the corpus: term -> (df, total_tf, postings).
     // Pure integer/string output — fully engine-portable; the serialized
     // postings string doubles as an order-sensitive checksum of the

@@ -193,6 +193,31 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("corpusDiff: added/removed/changed/unchanged, NULL-safe, hash twin agrees") {
+    val oldc = Seq((1L, Some("a b")), (2L, Some("c d")), (3L, Some("e")),
+        (4L, None: Option[String]), (5L, None: Option[String]))
+      .toDF("doc_id", "text")
+    val newc = Seq((1L, Some("a b")), (2L, Some("c d CHANGED")),
+        (4L, None: Option[String]), (5L, Some("now text")),
+        (6L, Some("brand new")))
+      .toDF("doc_id", "text")
+    val got = Curation.corpusDiff(oldc, newc)
+      .as[(Long, String)].collect().toMap
+    // 1 same, 2 changed, 3 only-old, 4 NULL≡NULL, 5 NULL→text, 6 only-new
+    assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "unchanged", 5L -> "changed", 6L -> "added"))
+    // PB-scale twin: 8-byte signatures, same statuses
+    val hashed = Curation.corpusDiff(oldc, newc, hashContent = true)
+      .as[(Long, String)].collect().toMap
+    assert(hashed == got)
+    // plan: the hashed twin's shuffle carries the 8-byte sig, not text
+    // (analyzed plan — the optimizer constant-folds the hash over this
+    // literal fixture, which is itself proof the sig is scan-side)
+    val plan = Curation.corpusDiff(oldc, newc, hashContent = true)
+      .queryExecution.analyzed.toString
+    assert(plan.contains("xxhash64"), plan)
+  }
+
   test("spark.graft.scalableWindows flips compositions to funnel-free twins, rows identical") {
     // ONE session switch swaps curate's quota, the manifest's packing
     // and V2's budget mix to their scale twins — a 100 TB deployment
