@@ -337,7 +337,12 @@ object Curation {
     * no ANSI overflow on extreme id ranges, and a double conversion is
     * monotone non-decreasing, so precision loss can only MERGE
     * adjacent sub-buckets (a performance matter), never reorder them
-    * (the correctness one). Input/output: [[twoPhaseQuotaFill]]'s
+    * (the correctness one). The sub-histogram is CORPUS-INDEPENDENT:
+    * an integral sort key is range-pinned inside its level-1 bucket
+    * (`sa div w = b` ⇒ at most w distinct values), so the per-key
+    * reduced frame holds ≤ (level-1 width × 4096) rows no matter how
+    * many corpus rows share the bucket — shrink the level-1 width if
+    * that product matters. Input/output: [[twoPhaseQuotaFill]]'s
     * staged slice columns; bit-identical keep set to the plain rank.
     */
   private def splitBoundaryRank(slice: DataFrame, th: DataFrame): DataFrame = {
@@ -2232,7 +2237,10 @@ object Curation {
     * before the final window. Same values bit for bit: level-1 base +
     * level-2 base + in-sub-bucket prefix composes to the exact per-key
     * running sum because both bucket functions are monotone in the
-    * `(sortA, tieId)` order.
+    * `(sortA, tieId)` order. The reduced sub-histogram stays bounded
+    * by (level-1 width × 4096) rows per (key, bucket) — the integral
+    * sort key is range-pinned inside its level-1 bucket — so its
+    * offset window never sees corpus-scale input.
     */
   private def splitPrefixSum(joined: DataFrame,
                              pruneAbove: Option[Long]): DataFrame = {
