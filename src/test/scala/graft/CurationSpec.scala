@@ -193,6 +193,25 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("scalable dispatch rejects unsupported window orders loudly") {
+    val df = docs.withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+    // a descending tie id has no twin form — must throw, never silently
+    // reorder
+    val e1 = intercept[IllegalArgumentException] {
+      Curation.quotaPerKey(df, col("source"), 2,
+        Seq(col("n_tokens").desc, col("doc_id").desc),
+        scalable = Some(true)).collect()
+    }
+    assert(e1.getMessage.contains("ASCENDING tieId"))
+    // and only the two-column (primary, tieId) shape decomposes
+    val e2 = intercept[IllegalArgumentException] {
+      Curation.quotaPerKey(df, col("source"), 2,
+        Seq(col("n_tokens").desc, col("lang"), col("doc_id")),
+        scalable = Some(true)).collect()
+    }
+    assert(e2.getMessage.contains("Seq(primary, tieId)"))
+  }
+
   test("corpusDiff: added/removed/changed/unchanged, NULL-safe, hash twin agrees") {
     val oldc = Seq((1L, Some("a b")), (2L, Some("c d")), (3L, Some("e")),
         (4L, None: Option[String]), (5L, None: Option[String]))
