@@ -2758,8 +2758,18 @@ object Curation {
         hashSampleFilter(col("text"), samplePct))
     val deduped = keepOneExact(kept, col("text"), col("doc_id"))
     // scalableQuota = the skew-proof two-phase fill (identical keep
-    // set): "longest first" becomes the ascending -n_tokens sort key
-    val quotad = quotaPerKey(deduped, col("source"), quotaPerSource,
+    // set): "longest first" becomes the ascending -n_tokens sort key.
+    // The fill's histogram+fill DOUBLE-EVAL would re-run the whole
+    // scoring/dedup chain, so the scalable path first pins the 5
+    // narrow output columns as an O(ids) checkpoint (the
+    // curationFunnel/ccnetKeepIdsScalable precedent — scoring
+    // dominates this pipeline's cost, the fill itself is scan-shaped)
+    val qin =
+      if (sq) deduped.select(col("doc_id"), col("source"), col("lang_pred"),
+          col("n_tokens"), col("stopword_ratio"))
+        .localCheckpoint(true)
+      else deduped
+    val quotad = quotaPerKey(qin, col("source"), quotaPerSource,
       Seq(col("n_tokens").desc, col("doc_id")), scalable = Some(sq))
     quotad.select(col("doc_id"), col("source"), col("lang_pred"),
       col("n_tokens"), col("stopword_ratio"))

@@ -2800,7 +2800,11 @@ object DocQueries {
     // histogram / broadcast base offsets / (source, bucket) running
     // sum. Same oracle, same exact cum_bpe_micro values.
     QDef("c11d_token_budget_calibrated_scalable", C11bOracleSql) { (s, dir) =>
-      val (withKey, cal) = c11bInputs(s, dir)
+      // the prefix sum's histogram+fill double-eval would re-run the
+      // classifier scoring join twice — pin the 5-narrow-column scored
+      // frame once (O(ids) checkpoint, the curate/c34b precedent)
+      val (withKey0, cal) = c11bInputs(s, dir)
+      val withKey = withKey0.localCheckpoint(true)
       graft.curation.Curation.tokenBudgetMixCalibratedScalable(withKey,
           col("n_tokens"), col("lang"), col("source"), -col("quality"),
           col("doc_id"), budget = 3000L, calibration = cal,
