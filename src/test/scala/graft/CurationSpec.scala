@@ -235,6 +235,13 @@ class CurationSpec extends AnyFunSuite {
     val plan = Curation.corpusDiff(oldc, newc, hashContent = true)
       .queryExecution.analyzed.toString
     assert(plan.contains("xxhash64"), plan)
+    // empty snapshots: a first publish is all added; a wipe all removed
+    val empty = oldc.limit(0)
+    assert(Curation.corpusDiff(empty, newc)
+      .select("status").as[String].collect().toSet == Set("added"))
+    assert(Curation.corpusDiff(oldc, empty)
+      .select("status").as[String].collect().toSet == Set("removed"))
+    assert(Curation.corpusDiff(empty, empty).count() == 0)
   }
 
   test("spark.graft.scalableWindows flips compositions to funnel-free twins, rows identical") {

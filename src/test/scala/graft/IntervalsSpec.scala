@@ -83,6 +83,38 @@ class IntervalsSpec extends AnyFunSuite {
     assert(m(5L) == null && m(6L) == null)
   }
 
+  test("ingestionIntervalsScalable ≡ exact on 8 random histories × widths (property)") {
+    // multi-seed sweep over the shapes the single-seed test fixes:
+    // varying key counts, mega-key skew, duplicate timestamps, NULL
+    // timestamps, sparse time gaps — at a carry-forcing width, an
+    // hour, and a one-bucket width
+    for (seed <- 1L to 8L) {
+      val rnd = new scala.util.Random(7000L + seed)
+      val nKeys = 1 + rnd.nextInt(5)
+      val skew = rnd.nextBoolean()
+      val nulls = rnd.nextBoolean()
+      val rows = (1L to (100L + rnd.nextInt(200))).map { i =>
+        val k = if (skew && i % 10 != 0) 1L else 1L + (i % nKeys)
+        val ts: Option[java.sql.Timestamp] =
+          if (nulls && i % 13 == 0) None
+          else Some(new java.sql.Timestamp(
+            1700000000000L + rnd.nextInt(100000) * 1000L))
+        (k, i, ts)
+      }
+      val df = rows.toDF("key", "id", "ts")
+      val exact = Intervals.ingestionIntervals(df, Seq("key"), "ts", "id")
+        .select("key", "id", "current_ts", "next_ts")
+        .collect().map(_.toSeq).toSet
+      for (w <- Seq(1L, 3600000L, 1000L * 86400 * 3650)) {
+        val got = Intervals.ingestionIntervalsScalable(df, Seq("key"), "ts",
+            "id", bucketWidthMs = w)
+          .select("key", "id", "current_ts", "next_ts")
+          .collect().map(_.toSeq).toSet
+        assert(got == exact, s"seed=$seed width=$w")
+      }
+    }
+  }
+
   test("intervalJoin matches probes to containing interval, inclusive bounds (J4)") {
     val iv = Intervals.ingestionIntervals(ingests, Seq("key"), "ts", "id").drop("id")
     val probes = Seq(
