@@ -164,23 +164,43 @@ object Curation {
     * pipelines already have it). Supported: exactly two columns, the
     * tie ascending; a DESCENDING primary maps to its negation (numeric
     * only — anything else fails analysis with Spark's own error).
-    * CAVEAT: `x.desc` orders NULLs LAST, `-x` ASC orders them FIRST —
-    * on NULL sort keys the two paths differ; coalesce upstream or call
-    * the twin directly with an explicit NULL policy.
+    * Anything the twins cannot honor fails LOUDLY, never silently
+    * reorders: explicit non-default null orders (`asc_nulls_last`,
+    * `desc_nulls_first`) are rejected at build — the twins' sentinel
+    * machinery is nulls-first-ascending — and a plain `.desc` primary
+    * (nulls LAST, where `-x` ASC would put a NULL first) gets a
+    * runtime `raise_error` guard that fires only if a NULL sort key
+    * actually appears; coalesce upstream or call the twin directly
+    * with an explicit NULL policy. Integral `Long.MinValue` under a
+    * desc primary raises (ANSI negate overflow, the session default)
+    * rather than mis-ranking; do not disable ANSI around a desc
+    * dispatch.
     */
   private def twinOrder(order: Seq[Column]): (Column, Column) = {
     import org.apache.spark.sql.graftbridge.Bridge
     require(order.length == 2,
       s"scalable dispatch needs order = Seq(primary, tieId), got ${order.length} columns")
     val sa = Bridge.sortOrder(order.head) match {
-      case Some((child, true)) => negate(child)
-      case Some((child, false)) => child
+      case Some((_, _, false)) => throw new IllegalArgumentException(
+        "scalable dispatch cannot honor an explicit non-default null " +
+          "ordering (asc_nulls_last / desc_nulls_first) — the twins rank " +
+          "ascending nulls-first; coalesce NULLs upstream or call the " +
+          "twin directly")
+      case Some((child, true, _)) =>
+        when(child.isNull, raise_error(lit(
+          "NULL sort key under a DESCENDING scalable dispatch: the window " +
+            "form ranks it last, the twin would rank it first — coalesce " +
+            "upstream or call the twin directly with an explicit NULL " +
+            "policy"))).otherwise(negate(child))
+      case Some((child, false, _)) => child
       case None => order.head
     }
     val ti = Bridge.sortOrder(order(1)) match {
-      case Some((_, true)) => throw new IllegalArgumentException(
+      case Some((_, true, _)) => throw new IllegalArgumentException(
         "scalable dispatch needs an ASCENDING tieId (the twins' contract)")
-      case Some((child, false)) => child
+      case Some((_, _, false)) => throw new IllegalArgumentException(
+        "scalable dispatch needs the default nulls-first tieId ordering")
+      case Some((child, _, _)) => child
       case None => order(1)
     }
     (sa, ti)
@@ -345,19 +365,34 @@ object Curation {
     * that product matters. Input/output: [[twoPhaseQuotaFill]]'s
     * staged slice columns; bit-identical keep set to the plain rank.
     */
-  private def splitBoundaryRank(slice: DataFrame, th: DataFrame): DataFrame = {
+  /** The SHARED sub-bucket edge derivation both split paths ride
+    * ([[splitBoundaryRank]], [[splitPrefixSum]]): per-key equi-width
+    * tie-id ranges off the frame's min/max in DOUBLE arithmetic
+    * (monotone — precision loss can only MERGE adjacent sub-buckets,
+    * never reorder them — and total: no ANSI overflow on extreme id
+    * spans), appended as `__b2 = struct(__sa, tie-range)`, which is
+    * lexicographically monotone in the `(__sa, __ti)` rank order. The
+    * per-key stats frame is checkpointed (tiny) and enters broadcast.
+    * ONE definition so the 4096 fan-out, the monotonicity argument and
+    * the edge handling cannot drift apart between the two paths.
+    */
+  private def withTieSubBuckets(df: DataFrame): DataFrame = {
     val b2n = 4096.0
-    val stats = slice.groupBy(col("__k2"))
+    val stats = df.groupBy(col("__k2"))
       .agg(min(col("__ti").cast("double")).as("__tmin"),
         max(col("__ti").cast("double")).as("__tmax"))
       .withColumn("__w2",
         greatest((col("__tmax") - col("__tmin") + 1.0) / lit(b2n), lit(1.0)))
       .select(col("__k2").as("__sk"), col("__tmin"), col("__w2"))
       .localCheckpoint(true)
-    val s2 = slice.join(broadcast(stats), col("__k2") === col("__sk"))
+    df.join(broadcast(stats), col("__k2") === col("__sk"))
       .withColumn("__b2", struct(col("__sa").as("sa"),
         floor((col("__ti").cast("double") - col("__tmin")) / col("__w2"))
           .as("tb")))
+  }
+
+  private def splitBoundaryRank(slice: DataFrame, th: DataFrame): DataFrame = {
+    val s2 = withTieSubBuckets(slice)
     val hist2 = s2.groupBy(col("__k2"), col("__b2"))
       .agg(count(lit(1)).as("__c2")).localCheckpoint(true)
     // residual quota per key off the (tiny, per-key) threshold frame —
@@ -2229,7 +2264,7 @@ object Curation {
     * share a level-1 bucket, so a key whose token mass concentrates on
     * ONE modal sort value still funnels that bucket's window — here the
     * bucket itself sub-divides by `(sortA, tieId-range)` (the
-    * [[splitBoundaryRank]] edges: per-key equi-width tie-id ranges in
+    * [[withTieSubBuckets]] edges: per-key equi-width tie-id ranges in
     * monotone DOUBLE arithmetic), each sub-bucket's base mass comes off
     * a reduced `(key, bucket, sub)` histogram, and the remaining window
     * sees an expected 1/B₂ of any bucket. With `pruneAbove`, whole
@@ -2244,18 +2279,7 @@ object Curation {
     */
   private def splitPrefixSum(joined: DataFrame,
                              pruneAbove: Option[Long]): DataFrame = {
-    val b2n = 4096.0
-    val stats = joined.groupBy(col("__k2"))
-      .agg(min(col("__ti").cast("double")).as("__tmin"),
-        max(col("__ti").cast("double")).as("__tmax"))
-      .withColumn("__w2",
-        greatest((col("__tmax") - col("__tmin") + 1.0) / lit(b2n), lit(1.0)))
-      .select(col("__k2").as("__sk"), col("__tmin"), col("__w2"))
-      .localCheckpoint(true)
-    val s2 = joined.join(broadcast(stats), col("__k2") === col("__sk"))
-      .withColumn("__b2", struct(col("__sa").as("sa"),
-        floor((col("__ti").cast("double") - col("__tmin")) / col("__w2"))
-          .as("tb")))
+    val s2 = withTieSubBuckets(joined)
     // __base is constant per (key, bucket), so carrying it in the group
     // keys leaves the histogram's grain unchanged — it's there so the
     // combined-base prune drops whole sub-buckets BEFORE the corpus join

@@ -13,15 +13,22 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
-  /** Decompose a `.asc`/`.desc` Column into `(child, isDescending)`;
-    * None for a plain value column. Works on the internal ColumnNode
-    * (Spark 4 builds SortOrder lazily — it is NOT visible through
-    * [[expression]] until plan resolution).
+  /** Decompose a `.asc`/`.desc` Column into
+    * `(child, isDescending, isDefaultNullOrdering)`; None for a plain
+    * value column. Works on the internal ColumnNode (Spark 4 builds
+    * SortOrder lazily — it is NOT visible through [[expression]] until
+    * plan resolution). The default null ordering is nulls-first for
+    * ascending and nulls-last for descending (Spark's own); explicit
+    * deviations (`asc_nulls_last`, `desc_nulls_first`) surface as
+    * `false` so callers can refuse orders they cannot honor.
     */
-  def sortOrder(c: Column): Option[(Column, Boolean)] = c.node match {
-    case org.apache.spark.sql.internal.SortOrder(child, dir, _, _) =>
-      Some((new Column(child),
-        dir == org.apache.spark.sql.internal.SortOrder.Descending))
+  def sortOrder(c: Column): Option[(Column, Boolean, Boolean)] = c.node match {
+    case org.apache.spark.sql.internal.SortOrder(child, dir, no, _) =>
+      val desc = dir == org.apache.spark.sql.internal.SortOrder.Descending
+      val defaultNulls =
+        if (desc) no == org.apache.spark.sql.internal.SortOrder.NullsLast
+        else no == org.apache.spark.sql.internal.SortOrder.NullsFirst
+      Some((new Column(child), desc, defaultNulls))
     case _ => None
   }
 

@@ -210,6 +210,35 @@ class CurationSpec extends AnyFunSuite {
         scalable = Some(true)).collect()
     }
     assert(e2.getMessage.contains("Seq(primary, tieId)"))
+    // explicit non-default null orders cannot be honored (the twins
+    // rank nulls-first-ascending) — rejected at build, never silent
+    val e3 = intercept[IllegalArgumentException] {
+      Curation.quotaPerKey(df, col("source"), 2,
+        Seq(col("n_tokens").asc_nulls_last, col("doc_id")),
+        scalable = Some(true)).collect()
+    }
+    assert(e3.getMessage.contains("non-default null ordering"))
+    val e4 = intercept[IllegalArgumentException] {
+      Curation.quotaPerKey(df, col("source"), 2,
+        Seq(col("n_tokens").desc_nulls_first, col("doc_id")),
+        scalable = Some(true)).collect()
+    }
+    assert(e4.getMessage.contains("non-default null ordering"))
+    // a DESC primary with an ACTUAL NULL sort key raises at runtime
+    // (window form ranks it last, twin would rank it first) — loud,
+    // not a silent keep-set divergence; non-null desc stays fine
+    val withNull = df.withColumn("q",
+      when(col("doc_id") % 3 === 0, lit(null).cast("long"))
+        .otherwise(col("n_tokens")))
+    val e5 = intercept[Exception] {
+      Curation.quotaPerKey(withNull, col("source"), 2,
+        Seq(col("q").desc, col("doc_id")), scalable = Some(true)).collect()
+    }
+    assert(e5.getMessage.contains("NULL sort key under a DESCENDING"),
+      e5.getMessage)
+    val fine = Curation.quotaPerKey(df, col("source"), 2,
+      Seq(col("n_tokens").desc, col("doc_id")), scalable = Some(true))
+    assert(fine.count() > 0)
   }
 
   test("corpusDiff: added/removed/changed/unchanged, NULL-safe, hash twin agrees") {
