@@ -2899,4 +2899,105 @@ object Curation {
           .when(!(col("__osig") <=> col("__nsig")), lit("changed"))
           .otherwise(lit("unchanged")).as("status"))
   }
+
+  /** Changelog APPLY (c43) — the inverse of [[corpusDiff]], closing the
+    * corpus version-management round trip: reconstruct snapshot B from
+    * snapshot A plus a changelog of `(id, status, payload)` rows where
+    * `added`/`changed` rows carry the NEW text. This is how a managed
+    * corpus ships a crawl refresh to every downstream site: the
+    * changelog (usually ≪ the corpus) travels, the receiver folds it
+    * into its local snapshot, and `apply(A, diff(A, B)) == B` holds
+    * bit-exactly (gated by `c43_diff_apply`'s round-trip oracle).
+    *
+    * B = (A anti⋈ touched-ids) ∪ payload(added ∪ changed). `removed`
+    * and `changed` ids drop A's row; `added` ids are anti-joined away
+    * too, defensively — an id marked `added` that nonetheless exists in
+    * A would otherwise duplicate (last-writer-wins, matching the diff's
+    * full-outer semantics). `unchanged`/`removed` payloads are ignored
+    * (may be NULL); a NULL `added`/`changed` payload is a legitimate
+    * NULL-text document and rides through.
+    *
+    * Plan: ONE left-anti equi-join on the id (the changelog projects
+    * scan-side to its touched-id set) plus a union — deliberately NO
+    * broadcast hint: a refresh changelog is corpus-bounded, not
+    * small-by-construction, so AQE broadcasts it only when runtime
+    * stats say it fits. CONTRACT: one changelog row per id, `status`
+    * non-NULL in the four [[corpusDiff]] values (a NULL status keeps
+    * A's row and contributes no payload — the `unchanged` reading).
+    */
+  def applyCorpusDiff(oldDf: DataFrame, changelog: DataFrame,
+                      id: Column = col("doc_id"),
+                      text: Column = col("text"),
+                      status: Column = col("status")): DataFrame = {
+    val cl = changelog.select(id.as("doc_id"), status.as("__st"),
+      text.as("text"))
+    val touched = cl.filter(col("__st").isin("added", "removed", "changed"))
+      .select(col("doc_id"))
+    oldDf.select(id.as("doc_id"), text.as("text"))
+      .join(touched, Seq("doc_id"), "left_anti")
+      .unionByName(cl.filter(col("__st").isin("added", "changed"))
+        .select(col("doc_id"), col("text")))
+  }
+
+  /** Changelog COMPACTION (c44) — compose two consecutive changelogs
+    * (A→B, then B→C) into ONE A→C changelog, so a receiver N versions
+    * behind folds one compacted log instead of replaying N (the Kafka
+    * log-compaction / Delta-checkpoint move, re-expressed over the
+    * [[corpusDiff]]/[[applyCorpusDiff]] contract). The CONTRACT is
+    * apply-equivalence, not label-equivalence:
+    * `apply(A, compact(cl1, cl2)) == apply(apply(A, cl1), cl2)`
+    * bit-exactly for every A consistent with the logs — gated by
+    * `c44_changelog_compact`'s round trip onto the direct snapshot C.
+    *
+    * Status algebra (full-outer join on id; `one-sided` = carry that
+    * side through):
+    *   - added→removed nets to NO row (the id never existed in A or C);
+    *   - added→(changed|unchanged) stays `added` with the NEW payload;
+    *   - (changed|unchanged)→removed is `removed`;
+    *   - removed→added compacts to `changed` — without A's content the
+    *     compactor can't prove the re-added text equals the original,
+    *     and `changed` (drop + re-add on apply) is correct either way
+    *     (a fresh `diff(A, C)` may label such an id `unchanged`; the
+    *     APPLIED result is identical — spec-pinned);
+    *   - otherwise the second log's status and payload win.
+    * Payload: the second log's text wherever it still describes the id
+    * (`s2` non-removed), else the first's.
+    *
+    * `keepUnchanged = false` (default) also drops `unchanged` rows —
+    * [[applyCorpusDiff]] ignores them, so the compacted log shrinks to
+    * the touched set (the whole point at 100 TB: the log a receiver
+    * pulls is O(churn), not O(corpus)); `true` keeps the full per-id
+    * census for audit parity with [[corpusDiff]]. Plan: ONE full-outer
+    * equi-join on the id, scan-side projections, no broadcast hint
+    * (changelogs are corpus-bounded; AQE decides).
+    */
+  def compactChangelog(cl1: DataFrame, cl2: DataFrame,
+                       id: Column = col("doc_id"),
+                       text: Column = col("text"),
+                       status: Column = col("status"),
+                       keepUnchanged: Boolean = false): DataFrame = {
+    val a = cl1.select(id.as("__id1"), status.as("__s1"), text.as("__t1"))
+    val b = cl2.select(id.as("__id2"), status.as("__s2"), text.as("__t2"))
+    val s1 = col("__s1"); val s2 = col("__s2")
+    val joined = a.join(b, col("__id1") === col("__id2"), "full_outer")
+      .select(coalesce(col("__id1"), col("__id2")).as("doc_id"),
+        when(s1.isNull, s2)
+          .when(s2.isNull, s1)
+          .when(s1 === "added" && s2 === "removed", lit(null: String))
+          .when(s1 === "added", lit("added"))
+          .when(s2 === "removed", lit("removed"))
+          .when(s1 === "removed", lit("changed"))
+          .when(s2 === "unchanged", s1)
+          .otherwise(s2).as("status"),
+        when(s2.isNotNull && s2 =!= "removed", col("__t2"))
+          .otherwise(col("__t1")).as("text"))
+      .filter(col("status").isNotNull)
+      // removed rows ship NO payload — apply ignores it, the log is
+      // smaller, and full-census and pre-compacted inputs compose to
+      // the same bytes (a kept B-side payload would differ between them)
+      .withColumn("text",
+        when(col("status") === "removed", lit(null).cast("string"))
+          .otherwise(col("text")))
+    if (keepUnchanged) joined else joined.filter(col("status") =!= "unchanged")
+  }
 }

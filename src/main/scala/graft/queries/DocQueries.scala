@@ -3420,6 +3420,79 @@ object DocQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Changelog apply (the c42 inverse): the Spark side reconstructs the
+    // NEW snapshot from the OLD one plus the diff-derived changelog
+    // (status + payload), and the oracle is the DIRECT new snapshot —
+    // so the gate IS the round trip apply(A, diff(A,B)) == B, bit-exact
+    // per row. Removed ids carry a NULL payload; NULL-text docs ride
+    // both directions of the null-safe compare.
+    QDef("c43_diff_apply",
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+        |FROM documents WHERE doc_id % 7 <> 0
+        |UNION ALL
+        |SELECT doc_id + 1000000000 AS doc_id, text
+        |FROM documents WHERE doc_id % 13 = 0
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val newc = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 1000000000L).as("doc_id"), col("text")))
+      val changelog = graft.curation.Curation.corpusDiff(docs, newc)
+        .join(newc, Seq("doc_id"), "left")
+      graft.curation.Curation.applyCorpusDiff(docs, changelog)
+        .orderBy(col("doc_id"))
+    },
+
+    // Changelog compaction: two consecutive diffs (A→B, B→C) compose
+    // into ONE A→C log, and applying the compacted log to A must land
+    // exactly on the DIRECT snapshot C — the oracle. The fixture's C
+    // re-adds %21 ids that B removed, under their ORIGINAL text, so the
+    // removed→added branch (compacted as 'changed', label-divergent
+    // from a fresh diff but apply-identical) is exercised at every SF.
+    QDef("c44_changelog_compact",
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, text FROM documents WHERE doc_id % 13 = 0)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN text || ' v3' ELSE text END AS text
+        |FROM b WHERE doc_id % 17 <> 0
+        |UNION ALL
+        |SELECT doc_id, text FROM documents WHERE doc_id % 21 = 0
+        |UNION ALL
+        |SELECT doc_id + 2000000000 AS doc_id, text
+        |FROM documents WHERE doc_id % 19 = 0
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val snapB = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 1000000000L).as("doc_id"), col("text")))
+      val snapC = snapB.filter(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v3")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 21 === 0)
+          .select(col("doc_id"), col("text")))
+        .unionByName(docs.filter(col("doc_id") % 19 === 0)
+          .select((col("doc_id") + 2000000000L).as("doc_id"), col("text")))
+      def cl(a: org.apache.spark.sql.DataFrame,
+             b: org.apache.spark.sql.DataFrame) =
+        graft.curation.Curation.corpusDiff(a, b).join(b, Seq("doc_id"), "left")
+      graft.curation.Curation.applyCorpusDiff(docs,
+          graft.curation.Curation.compactChangelog(cl(docs, snapB),
+            cl(snapB, snapC)))
+        .orderBy(col("doc_id"))
+    },
+
     // Inverted index over the corpus: term -> (df, total_tf, postings).
     // Pure integer/string output — fully engine-portable; the serialized
     // postings string doubles as an order-sensitive checksum of the

@@ -1076,6 +1076,24 @@ object ScaleProbe {
       org.apache.spark.sql.graftbridge.Bridge.release(feats)
       n
     }
+    t(s"c42-44 diff/compact/apply ${mult}x") {
+      // the version-management chain at corpus scale: diff ×2 (full-outer
+      // equi-joins), compact (one more full-outer), apply (anti + union).
+      // All plain id-key shuffles, no windows, no broadcast hints — must
+      // scale linearly with the corpus like d1
+      val snapB = big.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      val snapC = snapB.filter(col("doc_id") % 17 =!= 0)
+        .unionByName(big.filter(col("doc_id") % 21 === 0)
+          .select(col("doc_id"), col("text")))
+      def cl(a: org.apache.spark.sql.DataFrame,
+             b: org.apache.spark.sql.DataFrame) =
+        Curation.corpusDiff(a, b).join(b, Seq("doc_id"), "left")
+      Curation.applyCorpusDiff(big,
+        Curation.compactChangelog(cl(big, snapB), cl(snapB, snapC))).count()
+    }
     spark.stop()
   }
 }

@@ -273,6 +273,109 @@ class CurationSpec extends AnyFunSuite {
     assert(Curation.corpusDiff(empty, empty).count() == 0)
   }
 
+  test("applyCorpusDiff: round trip, two-hop chaining, defensive added, NULL status") {
+    val snapA = Seq((1L, Some("a b")), (2L, Some("c d")), (3L, Some("e")),
+        (4L, None: Option[String]), (5L, None: Option[String]))
+      .toDF("doc_id", "text")
+    val snapB = Seq((1L, Some("a b")), (2L, Some("c d CHANGED")),
+        (4L, None: Option[String]), (5L, Some("now text")),
+        (6L, None: Option[String]))
+      .toDF("doc_id", "text")
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Option[String])].collect().toSet
+    def changelog(a: org.apache.spark.sql.DataFrame,
+                  b: org.apache.spark.sql.DataFrame) =
+      Curation.corpusDiff(a, b).join(b, Seq("doc_id"), "left")
+    // the round trip: apply(A, diff(A,B)) == B — incl. text→NULL (2→6
+    // added with NULL payload), NULL→text, NULL≡NULL unchanged, removal
+    assert(asSet(Curation.applyCorpusDiff(snapA, changelog(snapA, snapB)))
+      == asSet(snapB))
+    // two-hop chaining: A →cl1 B →cl2 C lands exactly on C
+    val snapC = Seq((2L, Some("c d CHANGED")), (6L, Some("backfilled")),
+        (7L, Some("new in C"))).toDF("doc_id", "text")
+    val viaB = Curation.applyCorpusDiff(snapA, changelog(snapA, snapB))
+    assert(asSet(Curation.applyCorpusDiff(viaB, changelog(snapB, snapC)))
+      == asSet(snapC))
+    // defensive: an id marked added that ALREADY exists in A must not
+    // duplicate — last-writer-wins on the payload
+    val badCl = Seq((1L, "added", Some("overwrite")))
+      .toDF("doc_id", "status", "text")
+    val defended = Curation.applyCorpusDiff(snapA, badCl)
+    assert(defended.filter($"doc_id" === 1L).count() == 1)
+    assert(asSet(defended).contains((1L, Some("overwrite"))))
+    // NULL status keeps A's row and contributes no payload
+    val nullCl = Seq((1L, null: String, Some("ignored")))
+      .toDF("doc_id", "status", "text")
+    assert(asSet(Curation.applyCorpusDiff(snapA, nullCl)) == asSet(snapA))
+    // empty changelog is the identity; full-wipe changelog empties A
+    assert(asSet(Curation.applyCorpusDiff(snapA, badCl.limit(0)))
+      == asSet(snapA))
+    assert(Curation.applyCorpusDiff(snapA,
+      changelog(snapA, snapA.limit(0))).count() == 0)
+    // plan: the touched-id join is an anti join with NO broadcast hint
+    // baked into the logical plan (AQE decides at runtime)
+    val lp = Curation.applyCorpusDiff(snapA, changelog(snapA, snapB))
+      .queryExecution.logical.toString
+    assert(!lp.contains("hint"), lp)
+  }
+
+  test("compactChangelog: status algebra, apply-equivalence, pre-compacted closure") {
+    // A→B→C chain covering every algebra branch:
+    //   1: unchanged→unchanged  2: changed→changed  3: removed (then gone)
+    //   4: added→changed        5: added→removed (nets to NO row)
+    //   6: removed→added with the ORIGINAL text (label-divergent branch)
+    //   7: unchanged→removed    8: (absent)→added in hop 2 only
+    val snapA = Seq((1L, "one"), (2L, "two"), (3L, "three"), (6L, "six"),
+      (7L, "seven")).toDF("doc_id", "text")
+    val snapB = Seq((1L, "one"), (2L, "two B"), (4L, "four"), (5L, "five"),
+      (7L, "seven")).toDF("doc_id", "text")
+    val snapC = Seq((1L, "one"), (2L, "two C"), (4L, "four C"),
+      (6L, "six"), (8L, "eight")).toDF("doc_id", "text")
+    def cl(a: org.apache.spark.sql.DataFrame,
+           b: org.apache.spark.sql.DataFrame) =
+      Curation.corpusDiff(a, b).join(b, Seq("doc_id"), "left")
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Option[String])].collect().toSet
+    val compacted = Curation.compactChangelog(cl(snapA, snapB),
+      cl(snapB, snapC))
+    val byId = compacted.as[(Long, String, Option[String])]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byId == Map(
+      2L -> (("changed", Some("two C"))),
+      3L -> (("removed", None)),
+      4L -> (("added", Some("four C"))),
+      6L -> (("changed", Some("six"))), // removed→added, conservative label
+      7L -> (("removed", None)),
+      8L -> (("added", Some("eight")))))
+    // id 5 (added→removed) netted away; id 1 (unchanged) compacted out
+    assert(!byId.contains(5L) && !byId.contains(1L))
+    // the CONTRACT: one compacted apply == two sequential applies == C —
+    // including id 6, whose label diverges from a fresh diff(A, C)
+    assert(asSet(Curation.applyCorpusDiff(snapA, compacted)) == asSet(snapC))
+    assert(asSet(Curation.applyCorpusDiff(
+      Curation.applyCorpusDiff(snapA, cl(snapA, snapB)),
+      cl(snapB, snapC))) == asSet(snapC))
+    // keepUnchanged=true restores the full per-id census (id 1 present)
+    val census = Curation.compactChangelog(cl(snapA, snapB),
+      cl(snapB, snapC), keepUnchanged = true)
+    assert(census.filter($"doc_id" === 1L && $"status" === "unchanged")
+      .count() == 1)
+    // closure under PRE-compacted inputs: dropping unchanged rows from
+    // both input logs composes to the same compacted log
+    val pre = Curation.compactChangelog(
+      cl(snapA, snapB).filter($"status" =!= "unchanged"),
+      cl(snapB, snapC).filter($"status" =!= "unchanged"))
+    assert(pre.as[(Long, String, Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap == byId)
+    // identity edges: compacting with an empty second log is the first
+    // log's touched set; empty-with-empty is empty
+    val e = cl(snapA, snapB).limit(0)
+    assert(Curation.compactChangelog(cl(snapA, snapB), e)
+      .as[(Long, String, Option[String])].collect().map(_._1).toSet
+      == Set(2L, 3L, 4L, 5L, 6L))
+    assert(Curation.compactChangelog(e, e).count() == 0)
+  }
+
   test("spark.graft.scalableWindows flips compositions to funnel-free twins, rows identical") {
     // ONE session switch swaps curate's quota, the manifest's packing
     // and V2's budget mix to their scale twins — a 100 TB deployment
