@@ -3000,4 +3000,113 @@ object Curation {
           .otherwise(col("text")))
     if (keepUnchanged) joined else joined.filter(col("status") =!= "unchanged")
   }
+
+  /** Schema of the maintained snapshot store's data + partition columns
+    * (explicit on every read: a just-ensured empty store dir has no
+    * footers to infer from).
+    */
+  private val snapshotSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("text",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("bucket",
+      org.apache.spark.sql.types.IntegerType)))
+
+  /** One micro-batch of MAINTAINED snapshot upkeep (c45) — the at-scale
+    * serving shape of [[applyCorpusDiff]]: the corpus snapshot lives as
+    * a `bucket = xxhash64(id) mod nBuckets`-partitioned parquet store,
+    * and each changelog batch rewrites ONLY the buckets it touches
+    * (partition-pruned read → [[applyCorpusDiff]] → dynamic overwrite).
+    * Per-batch cost is O(batch + touched-bucket rows), never O(corpus):
+    * at 100 TB the receiver folds a crawl refresh by rewriting the
+    * churned slice of the store, not re-materializing the snapshot —
+    * and, unlike the staged-history stores, keeps NO changelog history
+    * at all (apply is last-writer-complete), so there is nothing to
+    * compact and the dir count is a constant `nBuckets`.
+    *
+    * Idempotence is SEMANTIC, not staging-based: applying the same
+    * changelog twice is a no-op by [[applyCorpusDiff]]'s construction
+    * (removed ids are already gone; added/changed ids re-land on the
+    * identical payload), so foreachBatch's at-least-once replays — and
+    * crash-torn dynamic overwrites, which leave some touched buckets
+    * new and some old — converge on replay. Buckets whose every row is
+    * removed are fs-deleted BEFORE the write (dynamic overwrite only
+    * replaces partitions present in the written frame, so an all-removed
+    * bucket would otherwise keep its stale rows forever); deletion-first
+    * is crash-safe because deletion IS those buckets' final state. The
+    * touched slice is localCheckpoint-materialized before the rewrite
+    * (it reads from the store root it overwrites — the
+    * [[compactStagedStore]] lineage-break idiom), so size `nBuckets`
+    * such that a bucket's rows fit an executor. Single writer
+    * (foreachBatch already serializes). Store contract: `doc_id` LONG
+    * unique per snapshot, `text` STRING; `unchanged` changelog rows are
+    * dropped unread, so pre-compacted O(churn) logs are the natural
+    * input ([[compactChangelog]] squashes a catch-up backlog into one).
+    */
+  def snapshotApplyBatch(changelog: DataFrame, snapshotPath: String,
+                         nBuckets: Int = 64,
+                         id: Column = col("doc_id"),
+                         text: Column = col("text"),
+                         status: Column = col("status")): Unit = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val spark = changelog.sparkSession
+    ensureDir(spark, snapshotPath)
+    val cl = changelog
+      .select(id.as("doc_id"), status.as("__st"), text.as("text"))
+      .filter(col("__st").isin("added", "removed", "changed"))
+      .withColumn("bucket",
+        pmod(xxhash64(col("doc_id")), lit(nBuckets.toLong)).cast("int"))
+      .localCheckpoint(true)
+    try {
+      val touched = cl.select("bucket").distinct().collect().map(_.getInt(0))
+      if (touched.nonEmpty) {
+        val slice = spark.read.schema(snapshotSchema).parquet(snapshotPath)
+          .filter(col("bucket")
+            .isin(touched.toIndexedSeq.map(Integer.valueOf): _*))
+          .localCheckpoint(true) // break lineage: the rewrite overwrites its own source
+        try {
+          val next = applyCorpusDiff(slice, cl, status = col("__st"))
+            .withColumn("bucket",
+              pmod(xxhash64(col("doc_id")), lit(nBuckets.toLong)).cast("int"))
+            .localCheckpoint(true) // ONE eval feeds the emptied-set probe and the write
+          try {
+            val keptBuckets = next.select("bucket").distinct()
+              .collect().map(_.getInt(0)).toSet
+            val root = new org.apache.hadoop.fs.Path(snapshotPath)
+            val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            touched.filterNot(keptBuckets).foreach { b =>
+              fs.delete(new org.apache.hadoop.fs.Path(root, s"bucket=$b"), true)
+            }
+            next.repartition(col("bucket")).write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("bucket").parquet(snapshotPath)
+          } finally Bridge.release(next)
+        } finally Bridge.release(slice)
+      }
+    } finally Bridge.release(cl)
+    ()
+  }
+
+  /** Read the maintained snapshot store as a `(doc_id, text)` frame
+    * (explicit schema: an empty store is an empty frame, not an error).
+    */
+  def readSnapshot(spark: org.apache.spark.sql.SparkSession,
+                   snapshotPath: String): DataFrame =
+    spark.read.schema(snapshotSchema).parquet(snapshotPath)
+      .select(col("doc_id"), col("text"))
+
+  /** Streaming snapshot maintenance: each micro-batch of changelog rows
+    * folds into the bucket-partitioned store via [[snapshotApplyBatch]] —
+    * the store at `snapshotPath` is always the snapshot after every
+    * changelog ingested so far. foreachBatch is at-least-once; apply's
+    * semantic idempotence makes replays no-ops.
+    */
+  def snapshotIngest(changelogs: DataFrame, snapshotPath: String,
+                     nBuckets: Int = 64,
+                     queryName: String = "graft_snapshot_ingest"): org.apache.spark.sql.streaming.StreamingQuery =
+    changelogs.writeStream.queryName(queryName)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        snapshotApplyBatch(b, snapshotPath, nBuckets)
+      }.start()
 }

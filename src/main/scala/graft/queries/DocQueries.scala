@@ -42,6 +42,14 @@ object DocQueries {
   private val c19cDriveCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Memoized store dir for the c45 maintained-snapshot drive (same
+    * rationale as d9: the 4-batch changelog drive is the gate's setup,
+    * and re-driving it per bench rep re-measures small-file overwrite
+    * cost, not the engine).
+    */
+  private val c45DriveCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** The shared d12c/d12d drive: the corpus in three deterministic
     * batches (doc_id mod 3), batch 1 replayed to prove staged-edge AND
     * label-merge idempotence, each batch through the full canonical
@@ -3490,6 +3498,57 @@ object DocQueries {
       graft.curation.Curation.applyCorpusDiff(docs,
           graft.curation.Curation.compactChangelog(cl(docs, snapB),
             cl(snapB, snapC)))
+        .orderBy(col("doc_id"))
+    },
+
+    // Maintained snapshot store (the c43 serving shape): a bootstrap
+    // changelog (diff against an empty snapshot = all added) plus the
+    // A→B and B→C diffs fold into the bucket-partitioned store, batch 1
+    // REPLAYED to prove apply's semantic idempotence — the materialized
+    // store must equal the DIRECT snapshot C (same oracle as c44).
+    QDef("c45_snapshot_store_inc",
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, text FROM documents WHERE doc_id % 13 = 0)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN text || ' v3' ELSE text END AS text
+        |FROM b WHERE doc_id % 17 <> 0
+        |UNION ALL
+        |SELECT doc_id, text FROM documents WHERE doc_id % 21 = 0
+        |UNION ALL
+        |SELECT doc_id + 2000000000 AS doc_id, text
+        |FROM documents WHERE doc_id % 19 = 0
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val base = c45DriveCache.computeIfAbsent(dir, _ => {
+        val b0 = QDef.tempDir("graft_snapshot_gate")
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val snapB = docs.filter(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")).as("text"))
+          .unionByName(docs.filter(col("doc_id") % 13 === 0)
+            .select((col("doc_id") + 1000000000L).as("doc_id"), col("text")))
+        val snapC = snapB.filter(col("doc_id") % 17 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v3")))
+              .otherwise(col("text")).as("text"))
+          .unionByName(docs.filter(col("doc_id") % 21 === 0)
+            .select(col("doc_id"), col("text")))
+          .unionByName(docs.filter(col("doc_id") % 19 === 0)
+            .select((col("doc_id") + 2000000000L).as("doc_id"), col("text")))
+        def cl(a: org.apache.spark.sql.DataFrame,
+               b: org.apache.spark.sql.DataFrame) =
+          graft.curation.Curation.corpusDiff(a, b).join(b, Seq("doc_id"), "left")
+        Seq(cl(docs.limit(0), docs), cl(docs, snapB),
+          cl(docs, snapB) /* at-least-once replay */, cl(snapB, snapC))
+          .foreach(c => graft.curation.Curation.snapshotApplyBatch(
+            c, s"$b0/snap", nBuckets = 8))
+        b0
+      })
+      graft.curation.Curation.readSnapshot(s, s"$base/snap")
         .orderBy(col("doc_id"))
     },
 

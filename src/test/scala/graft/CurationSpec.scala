@@ -376,6 +376,58 @@ class CurationSpec extends AnyFunSuite {
     assert(Curation.compactChangelog(e, e).count() == 0)
   }
 
+  test("snapshotApplyBatch: maintained store ≡ direct snapshot, replay + wipe + re-add") {
+    val base = graft.queries.QDef.tempDir("graft_snap_store")
+    val path = s"$base/snap"
+    val snapA = Seq((1L, Some("one")), (2L, Some("two")), (3L, Some("three")),
+      (4L, None: Option[String])).toDF("doc_id", "text")
+    val snapB = Seq((1L, Some("one")), (2L, Some("two B")),
+      (5L, Some("five"))).toDF("doc_id", "text")
+    def cl(a: org.apache.spark.sql.DataFrame,
+           b: org.apache.spark.sql.DataFrame) =
+      Curation.corpusDiff(a, b).join(b, Seq("doc_id"), "left")
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Option[String])].collect().toSet
+    // bootstrap (all added), then A→B, REPLAYED to prove idempotence
+    Seq(cl(snapA.limit(0), snapA), cl(snapA, snapB), cl(snapA, snapB))
+      .foreach(c => Curation.snapshotApplyBatch(c, path, nBuckets = 2))
+    assert(asSet(Curation.readSnapshot(spark, path)) == asSet(snapB))
+    // full wipe: every bucket emptied — the store must NOT keep stale
+    // rows (the dynamic-overwrite-skips-empty-partitions trap)
+    Curation.snapshotApplyBatch(cl(snapB, snapB.limit(0)), path, nBuckets = 2)
+    assert(Curation.readSnapshot(spark, path).count() == 0)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .count(s => s.isDirectory && s.getPath.getName.startsWith("bucket=")) == 0)
+    // re-add after the wipe works (the store dir survived as empty)
+    Curation.snapshotApplyBatch(cl(snapB.limit(0), snapA), path, nBuckets = 2)
+    assert(asSet(Curation.readSnapshot(spark, path)) == asSet(snapA))
+    // an all-unchanged changelog is a no-op that touches nothing
+    Curation.snapshotApplyBatch(cl(snapA, snapA), path, nBuckets = 2)
+    assert(asSet(Curation.readSnapshot(spark, path)) == asSet(snapA))
+  }
+
+  test("snapshotIngest streams changelog batches into the maintained store e2e") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = graft.queries.QDef.tempDir("graft_snap_ingest")
+    val in = MemoryStream[(Long, String, String)]
+    val q = Curation.snapshotIngest(
+      in.toDF().toDF("doc_id", "status", "text"), s"$base/snap",
+      nBuckets = 2, queryName = "snapshot_ingest_test")
+    try {
+      in.addData((1L, "added", "one"), (2L, "added", "two"))
+      q.processAllAvailable()
+      in.addData((2L, "changed", "two B"), (1L, "removed", null),
+        (3L, "added", "three"))
+      q.processAllAvailable()
+      val got = Curation.readSnapshot(spark, s"$base/snap")
+        .as[(Long, String)].collect().toSet
+      assert(got == Set((2L, "two B"), (3L, "three")))
+    } finally q.stop()
+  }
+
   test("spark.graft.scalableWindows flips compositions to funnel-free twins, rows identical") {
     // ONE session switch swaps curate's quota, the manifest's packing
     // and V2's budget mix to their scale twins — a 100 TB deployment
