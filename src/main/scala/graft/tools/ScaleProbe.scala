@@ -1094,6 +1094,35 @@ object ScaleProbe {
       Curation.applyCorpusDiff(big,
         Curation.compactChangelog(cl(big, snapB), cl(snapB, snapC))).count()
     }
+    t(s"c45 snapshot store inc ${mult}x") {
+      // bootstrap the store with the FULL corpus, then fold 3 SPARSE
+      // changelog batches (~0.05% churn). The store's cost model is
+      // per-batch ∝ batch + (touched buckets / nBuckets) × store —
+      // churn ids hash anywhere, so ~k churn ids touch ≤ k of the
+      // nBuckets buckets and the partition-pruned read covers ~k/nBuckets
+      // of the store (random churn ≥ nBuckets rows degrades to a full
+      // rewrite — that's inherent to hash-bucketed stores, and the
+      // regime the changelog-compaction catch-up path exists for). The
+      // printed per-batch times are the evidence: flat across batches,
+      // a small fraction of the bootstrap
+      val base = java.nio.file.Files.createTempDirectory("probe_snap").toString
+      val t0 = System.nanoTime()
+      Curation.snapshotApplyBatch(
+        big.select(col("doc_id"), lit("added").as("status"), col("text")),
+        s"$base/snap", nBuckets = 256)
+      println(f"SCALE   c45 bootstrap ${mult}x      ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      (0 to 2).foreach { r =>
+        val churn = big.filter(pmod(col("doc_id"), lit(2111L)) === r)
+          .select(col("doc_id"),
+            when(col("doc_id") % 2 === 0, lit("changed"))
+              .otherwise(lit("removed")).as("status"),
+            concat(col("text"), lit(s" r$r")).as("text"))
+        val tb = System.nanoTime()
+        Curation.snapshotApplyBatch(churn, s"$base/snap", nBuckets = 256)
+        println(f"SCALE   c45 churn batch $r          ${(System.nanoTime() - tb) / 1e9}%.2f s")
+      }
+      Curation.readSnapshot(spark, s"$base/snap").count()
+    }
     spark.stop()
   }
 }

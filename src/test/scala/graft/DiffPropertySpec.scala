@@ -1,0 +1,108 @@
+package graft
+
+import graft.curation.Curation
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based closure for the version-management family
+  * (diff → apply → compact → maintained store): RANDOM snapshot chains
+  * A→B→C with overlapping ids, repeated texts (so `changed` vs
+  * `unchanged` collide), NULL texts and full add/drop churn must
+  * reproduce the direct snapshots bit-exactly through every composed
+  * path. The CurationSpec hand cases pin the designed-for branches;
+  * this sweeps the chains nobody designed for.
+  */
+class DiffPropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val pool = Vector("alpha", "beta", "gamma", "delta", "epsilon")
+
+  /** One random snapshot: each universe id present with ~70% odds, text
+    * from a tiny pool (forcing accidental equality across snapshots) or
+    * NULL with ~15% odds.
+    */
+  private def snapshot(seed: Long, universe: Int): Seq[(Long, Option[String])] = {
+    val p = Gen.Parameters.default.withSize(60)
+    def run[A](g: Gen[A], s: Long): A =
+      g.apply(p, org.scalacheck.rng.Seed(s)).getOrElse(sys.error("gen failed"))
+    (1 to universe).flatMap { i =>
+      if (!run(Gen.prob(0.7), seed + i)) None
+      else if (run(Gen.prob(0.15), seed + 1000 + i)) Some(i.toLong -> None)
+      else Some(i.toLong ->
+        Some(pool(run(Gen.chooseNum(0, pool.size - 1), seed + 2000 + i))))
+    }
+  }
+
+  private def cl(a: DataFrame, b: DataFrame): DataFrame =
+    Curation.corpusDiff(a, b).join(b, Seq("doc_id"), "left")
+
+  private def asSet(df: DataFrame): Set[(Long, Option[String])] =
+    df.select(col("doc_id"), col("text"))
+      .as[(Long, Option[String])].collect().toSet
+
+  test("diff/apply/compact reproduce random snapshot chains exactly (10 seeds)") {
+    for (seed <- 1L to 10L) {
+      val universe = 20 + (seed % 4).toInt * 15
+      val snapA = snapshot(seed * 7919L, universe).toDF("doc_id", "text")
+        .localCheckpoint(true)
+      val snapB = snapshot(seed * 7919L + 31L, universe).toDF("doc_id", "text")
+        .localCheckpoint(true)
+      val snapC = snapshot(seed * 7919L + 62L, universe).toDF("doc_id", "text")
+        .localCheckpoint(true)
+      val (sa, sb, sc) = (asSet(snapA), asSet(snapB), asSet(snapC))
+      // 1. the apply round trip lands on the direct snapshot
+      assert(asSet(Curation.applyCorpusDiff(snapA, cl(snapA, snapB))) == sb,
+        s"seed=$seed apply(A, diff(A,B)) != B")
+      // 2. ONE compacted log ≡ two sequential applies ≡ direct C
+      val compacted = Curation.compactChangelog(cl(snapA, snapB), cl(snapB, snapC))
+        .localCheckpoint(true)
+      assert(asSet(Curation.applyCorpusDiff(snapA, compacted)) == sc,
+        s"seed=$seed apply(A, compact) != C")
+      // 3. closure under pre-compacted inputs: same compacted bytes
+      val pre = Curation.compactChangelog(
+        cl(snapA, snapB).filter(col("status") =!= "unchanged"),
+        cl(snapB, snapC).filter(col("status") =!= "unchanged"))
+      def logSet(df: DataFrame) = df
+        .as[(Long, String, Option[String])].collect().toSet
+      assert(logSet(pre) == logSet(compacted), s"seed=$seed closure broke")
+      // 4. diff statuses against an independently computed expectation
+      val got = Curation.corpusDiff(snapA, snapB)
+        .as[(Long, String)].collect().toMap
+      val expect = (sa.map(_._1) ++ sb.map(_._1)).map { i =>
+        val (inA, inB) = (sa.exists(_._1 == i), sb.exists(_._1 == i))
+        i -> (if (!inA) "added" else if (!inB) "removed"
+        else if (sa.find(_._1 == i).get._2 == sb.find(_._1 == i).get._2)
+          "unchanged" else "changed")
+      }.toMap
+      assert(got == expect, s"seed=$seed status census diverged")
+    }
+  }
+
+  test("maintained store lands on the direct snapshot over random chains (3 seeds)") {
+    for (seed <- 20L to 22L) {
+      val universe = 40
+      val snapA = snapshot(seed * 104729L, universe).toDF("doc_id", "text")
+        .localCheckpoint(true)
+      val snapB = snapshot(seed * 104729L + 31L, universe).toDF("doc_id", "text")
+        .localCheckpoint(true)
+      val snapC = snapshot(seed * 104729L + 62L, universe).toDF("doc_id", "text")
+        .localCheckpoint(true)
+      val path = s"${graft.queries.QDef.tempDir("graft_snap_prop")}/snap"
+      // bootstrap + A→B (replayed) + B→C, then the COMPACTED catch-up
+      // log re-applied on top (must be a no-op: the store is already at C)
+      Seq(cl(snapA.limit(0), snapA), cl(snapA, snapB), cl(snapA, snapB),
+        cl(snapB, snapC)).foreach(c =>
+        Curation.snapshotApplyBatch(c, path, nBuckets = 4))
+      assert(asSet(Curation.readSnapshot(spark, path)) == asSet(snapC),
+        s"seed=$seed store != C")
+      Curation.snapshotApplyBatch(
+        Curation.compactChangelog(cl(snapA, snapB), cl(snapB, snapC)),
+        path, nBuckets = 4)
+      assert(asSet(Curation.readSnapshot(spark, path)) == asSet(snapC),
+        s"seed=$seed compacted catch-up on a current store was not a no-op")
+    }
+  }
+}
