@@ -3055,6 +3055,20 @@ object Curation {
     val cl = changelog
       .select(id.as("doc_id"), status.as("__st"), text.as("text"))
       .filter(col("__st").isin("added", "removed", "changed"))
+      // fail-fast on a lying log: a duplicated changelog id would fan
+      // the apply join out and write DUPLICATE snapshot rows — silent,
+      // durable corruption. The per-id count rides the batch frame
+      // (one batch-sized shuffle), and the raise fires in the same
+      // materialization that feeds the rewrite, so nothing is written.
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy(col("doc_id"))))
+      .withColumn("doc_id", when(col("__n") > 1, raise_error(concat(
+          lit("snapshotApplyBatch: changelog carries duplicate rows for " +
+            "doc_id "), col("doc_id").cast("string"),
+          lit(" — one row per id is the applyCorpusDiff contract; " +
+            "compact the log (compactChangelog) or dedup upstream"))))
+        .otherwise(col("doc_id")))
+      .drop("__n")
       .withColumn("bucket",
         pmod(xxhash64(col("doc_id")), lit(nBuckets.toLong)).cast("int"))
       .localCheckpoint(true)

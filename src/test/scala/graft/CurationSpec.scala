@@ -406,6 +406,15 @@ class CurationSpec extends AnyFunSuite {
     // an all-unchanged changelog is a no-op that touches nothing
     Curation.snapshotApplyBatch(cl(snapA, snapA), path, nBuckets = 2)
     assert(asSet(Curation.readSnapshot(spark, path)) == asSet(snapA))
+    // a LYING log (duplicate rows for one id) must raise before any
+    // write, not fan out into duplicate snapshot rows
+    val lying = Seq((9L, "added", Some("x")), (9L, "changed", Some("y")))
+      .toDF("doc_id", "status", "text")
+    val e = intercept[Exception] {
+      Curation.snapshotApplyBatch(lying, path, nBuckets = 2)
+    }
+    assert(e.getMessage.contains("duplicate rows"), e.getMessage)
+    assert(asSet(Curation.readSnapshot(spark, path)) == asSet(snapA))
   }
 
   test("snapshotIngest streams changelog batches into the maintained store e2e") {
