@@ -3001,6 +3001,53 @@ object Curation {
     if (keepUnchanged) joined else joined.filter(col("status") =!= "unchanged")
   }
 
+  /** [[corpusDiff]] with BOTH payload images (c46) — the CDC
+    * before/after shape: `(doc_id, status, old_text, new_text)`. The
+    * thin diff + a payload join serves forward replication; carrying
+    * the OLD image too is what makes a changelog REVERSIBLE
+    * ([[invertChangelog]]) — the rollback story a managed corpus needs
+    * when a bad refresh ships. Same ONE full-outer equi-join as the
+    * thin diff (the payloads ride the same shuffle rows the signatures
+    * did — no extra join), raw-text compare (no hashed twin: rollback
+    * needs the images, so there is nothing to shrink).
+    */
+  def corpusDiffFull(oldDf: DataFrame, newDf: DataFrame,
+                     id: Column = col("doc_id"),
+                     text: Column = col("text")): DataFrame = {
+    val o = oldDf.select(id.as("__oid"), text.as("__ot"),
+      lit(true).as("__inOld"))
+    val n = newDf.select(id.as("__nid"), text.as("__nt"),
+      lit(true).as("__inNew"))
+    o.join(n, col("__oid") === col("__nid"), "full_outer")
+      .select(coalesce(col("__oid"), col("__nid")).as("doc_id"),
+        when(col("__inOld").isNull, lit("added"))
+          .when(col("__inNew").isNull, lit("removed"))
+          .when(!(col("__ot") <=> col("__nt")), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"),
+        col("__ot").as("old_text"), col("__nt").as("new_text"))
+  }
+
+  /** Invert a FULL changelog (c46): the A→B log becomes the B→A log —
+    * `added`↔`removed`, `changed` keeps its status with the images
+    * swapped — in [[applyCorpusDiff]]'s thin `(doc_id, status, text)`
+    * shape, so `apply(B, invert(diffFull(A, B))) == A` bit-exactly
+    * (the rollback round trip `c46_rollback` gates). Pure projection:
+    * no join, no shuffle. NULL-image flags are NOT trusted to infer
+    * presence ([[corpusDiffFull]] emits explicit statuses precisely
+    * because a NULL text is a legitimate document).
+    */
+  def invertChangelog(full: DataFrame,
+                      status: Column = col("status"),
+                      oldText: Column = col("old_text"),
+                      newText: Column = col("new_text"),
+                      id: Column = col("doc_id")): DataFrame =
+    full.select(id.as("doc_id"),
+      when(status === "added", lit("removed"))
+        .when(status === "removed", lit("added"))
+        .otherwise(status).as("status"),
+      when(status === "added", lit(null).cast("string"))
+        .otherwise(oldText).as("text"))
+
   /** Schema of the maintained snapshot store's data + partition columns
     * (explicit on every read: a just-ensured empty store dir has no
     * footers to infer from).

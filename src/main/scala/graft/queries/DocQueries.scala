@@ -3552,6 +3552,27 @@ object DocQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Rollback (the reversible-changelog read): the full CDC diff
+    // carries BOTH images, so inverting it and applying to the NEW
+    // snapshot must land exactly on the OLD one — the oracle is the
+    // raw documents table itself. Exercises added→removed inversion,
+    // removed→re-added originals, changed image swaps, and NULL texts.
+    QDef("c46_rollback",
+      """SELECT doc_id, text FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val snapB = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 1000000000L).as("doc_id"), col("text")))
+      graft.curation.Curation.applyCorpusDiff(snapB,
+          graft.curation.Curation.invertChangelog(
+            graft.curation.Curation.corpusDiffFull(docs, snapB)))
+        .orderBy(col("doc_id"))
+    },
+
     // Inverted index over the corpus: term -> (df, total_tf, postings).
     // Pure integer/string output — fully engine-portable; the serialized
     // postings string doubles as an order-sensitive checksum of the

@@ -319,6 +319,43 @@ class CurationSpec extends AnyFunSuite {
     assert(!lp.contains("hint"), lp)
   }
 
+  test("corpusDiffFull + invertChangelog: CDC images and the rollback round trip") {
+    val snapA = Seq((1L, Some("one")), (2L, Some("two")), (3L, Some("three")),
+      (4L, None: Option[String])).toDF("doc_id", "text")
+    val snapB = Seq((1L, Some("one")), (2L, Some("two B")),
+      (4L, Some("was null")), (5L, Some("five"))).toDF("doc_id", "text")
+    val full = Curation.corpusDiffFull(snapA, snapB)
+      .as[(Long, String, Option[String], Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(full == Map(
+      1L -> (("unchanged", Some("one"), Some("one"))),
+      2L -> (("changed", Some("two"), Some("two B"))),
+      3L -> (("removed", Some("three"), None)),
+      4L -> (("changed", None, Some("was null"))), // NULL→text IS a change
+      5L -> (("added", None, Some("five")))))
+    // statuses agree with the thin diff on the same snapshots
+    assert(Curation.corpusDiff(snapA, snapB).as[(Long, String)].collect()
+      .toMap == full.view.mapValues(_._1).toMap)
+    // the rollback round trip: apply(B, invert(diffFull(A,B))) == A —
+    // incl. re-adding 3's original, reverting 4 to NULL, dropping 5
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Option[String])].collect().toSet
+    assert(asSet(Curation.applyCorpusDiff(snapB,
+      Curation.invertChangelog(Curation.corpusDiffFull(snapA, snapB))))
+      == asSet(snapA))
+    // invert is a pure projection over its input — no join, no exchange
+    val lit_ = Seq((1L, "changed", Some("a"), Some("b")))
+      .toDF("doc_id", "status", "old_text", "new_text")
+    val plan = Curation.invertChangelog(lit_)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"), plan)
+    // double inversion via re-deriving the full log lands back on the
+    // forward log's applied result (derived involution)
+    assert(asSet(Curation.applyCorpusDiff(snapA,
+      Curation.invertChangelog(Curation.corpusDiffFull(snapB, snapA))))
+      == asSet(snapB))
+  }
+
   test("compactChangelog: status algebra, apply-equivalence, pre-compacted closure") {
     // A→B→C chain covering every algebra branch:
     //   1: unchanged→unchanged  2: changed→changed  3: removed (then gone)

@@ -68,7 +68,11 @@ class DiffPropertySpec extends AnyFunSuite {
       def logSet(df: DataFrame) = df
         .as[(Long, String, Option[String])].collect().toSet
       assert(logSet(pre) == logSet(compacted), s"seed=$seed closure broke")
-      // 4. diff statuses against an independently computed expectation
+      // 4. the rollback round trip: the inverted full log undoes A→B
+      assert(asSet(Curation.applyCorpusDiff(snapB,
+        Curation.invertChangelog(Curation.corpusDiffFull(snapA, snapB))))
+        == sa, s"seed=$seed rollback != A")
+      // 5. diff statuses against an independently computed expectation
       val got = Curation.corpusDiff(snapA, snapB)
         .as[(Long, String)].collect().toMap
       val expect = (sa.map(_._1) ++ sb.map(_._1)).map { i =>
