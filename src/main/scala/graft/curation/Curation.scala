@@ -3091,6 +3091,95 @@ object Curation {
     * dropped unread, so pre-compacted O(churn) logs are the natural
     * input ([[compactChangelog]] squashes a catch-up backlog into one).
     */
+  /** The store's persisted bucket count (`_graft_nbuckets`, leading
+    * underscore so parquet readers ignore it like `_SUCCESS`): the
+    * bucket is a pure function of `(id, nBuckets)`, so applying a batch
+    * with a DIFFERENT nBuckets than the store was written with would
+    * compute the wrong touched set and write an id's new row into one
+    * bucket while its old row survives in another — silent duplication.
+    * The marker turns that into a fail-fast.
+    */
+  private def bucketMarkerPath(root: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(root, "_graft_nbuckets")
+
+  private def readBucketMarker(fs: org.apache.hadoop.fs.FileSystem,
+                               root: org.apache.hadoop.fs.Path): Option[Int] = {
+    val p = bucketMarkerPath(root)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new Array[Byte](32)
+        val n = in.read(buf)
+        Some(new String(buf, 0, math.max(n, 0), "UTF-8").trim.toInt)
+      } finally in.close()
+    }
+  }
+
+  private def writeBucketMarker(fs: org.apache.hadoop.fs.FileSystem,
+                                root: org.apache.hadoop.fs.Path,
+                                n: Int): Unit = {
+    val out = fs.create(bucketMarkerPath(root), true)
+    try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Fence the store's bucket count: initialize the marker on a store
+    * with no data yet, verify it afterwards, and refuse BOTH a
+    * mismatched `nBuckets` and a data-bearing store with no marker at
+    * all (the signature of a [[rebucketSnapshot]] that crashed between
+    * its rewrite and its marker commit — re-run it to completion).
+    */
+  private def fenceBucketCount(fs: org.apache.hadoop.fs.FileSystem,
+                               root: org.apache.hadoop.fs.Path,
+                               nBuckets: Int): Unit =
+    readBucketMarker(fs, root) match {
+      case Some(m) if m != nBuckets => throw new IllegalStateException(
+        s"snapshot store $root was written with nBuckets=$m but this " +
+          s"call uses nBuckets=$nBuckets — a mismatched bucket fn would " +
+          "silently duplicate ids across buckets; pass the store's " +
+          "bucket count, or rebucketSnapshot to migrate it")
+      case Some(_) => ()
+      case None =>
+        val hasData = fs.exists(root) && fs.listStatus(root)
+          .exists(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+        if (hasData) throw new IllegalStateException(
+          s"snapshot store $root has bucket data but no _graft_nbuckets " +
+            "marker — a rebucketSnapshot crashed between its rewrite and " +
+            "its marker commit (or the store predates the marker); re-run " +
+            "rebucketSnapshot to completion before ingesting")
+        writeBucketMarker(fs, root, nBuckets)
+    }
+
+  /** STOP-THE-WORLD bucket-count migration for the maintained snapshot
+    * store: as the corpus grows, nBuckets must grow with it (the store
+    * contract sizes a bucket to fit an executor) — this rewrites the
+    * whole store under the new bucket function and commits the new
+    * marker. Crash-safe by the no-marker fence: the marker is deleted
+    * FIRST, so a crash anywhere mid-rewrite leaves a store that
+    * [[snapshotApplyBatch]] refuses to touch until a re-run completes
+    * (the rewrite itself is an idempotent full recompute). Single
+    * writer, no concurrent ingest — same contract as
+    * [[compactCountedStore]].
+    */
+  def rebucketSnapshot(spark: org.apache.spark.sql.SparkSession,
+                       snapshotPath: String, newNBuckets: Int): Unit = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val root = new org.apache.hadoop.fs.Path(snapshotPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = readSnapshot(spark, snapshotPath)
+      .localCheckpoint(true) // the rewrite replaces its own source dir
+    try {
+      fs.delete(bucketMarkerPath(root), false)
+      cur.withColumn("bucket",
+          pmod(xxhash64(col("doc_id")), lit(newNBuckets.toLong)).cast("int"))
+        .repartition(col("bucket")).write.mode("overwrite")
+        .option("partitionOverwriteMode", "static") // FULL dir replace
+        .partitionBy("bucket").parquet(snapshotPath)
+      writeBucketMarker(fs, root, newNBuckets)
+    } finally Bridge.release(cur)
+    ()
+  }
+
   def snapshotApplyBatch(changelog: DataFrame, snapshotPath: String,
                          nBuckets: Int = 64,
                          id: Column = col("doc_id"),
@@ -3099,6 +3188,10 @@ object Curation {
     import org.apache.spark.sql.graftbridge.Bridge
     val spark = changelog.sparkSession
     ensureDir(spark, snapshotPath)
+    val fenceRoot = new org.apache.hadoop.fs.Path(snapshotPath)
+    fenceBucketCount(
+      fenceRoot.getFileSystem(spark.sparkContext.hadoopConfiguration),
+      fenceRoot, nBuckets)
     val cl = changelog
       .select(id.as("doc_id"), status.as("__st"), text.as("text"))
       .filter(col("__st").isin("added", "removed", "changed"))

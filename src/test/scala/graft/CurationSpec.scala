@@ -454,6 +454,49 @@ class CurationSpec extends AnyFunSuite {
     assert(asSet(Curation.readSnapshot(spark, path)) == asSet(snapA))
   }
 
+  test("snapshot store bucket fence: mismatch raises, rebucket migrates, crash recovers") {
+    val base = graft.queries.QDef.tempDir("graft_snap_fence")
+    val path = s"$base/snap"
+    val snapA = Seq((1L, Some("one")), (2L, Some("two")), (3L, Some("three")))
+      .toDF("doc_id", "text")
+    def cl(a: org.apache.spark.sql.DataFrame,
+           b: org.apache.spark.sql.DataFrame) =
+      Curation.corpusDiff(a, b).join(b, Seq("doc_id"), "left")
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Option[String])].collect().toSet
+    Curation.snapshotApplyBatch(cl(snapA.limit(0), snapA), path, nBuckets = 2)
+    // a mismatched nBuckets must refuse BEFORE any write — the bucket
+    // fn is (id, nBuckets), so a wrong count silently duplicates ids
+    val e = intercept[IllegalStateException] {
+      Curation.snapshotApplyBatch(cl(snapA, snapA.limit(0)), path, nBuckets = 4)
+    }
+    assert(e.getMessage.contains("nBuckets=2"), e.getMessage)
+    assert(asSet(Curation.readSnapshot(spark, path)) == asSet(snapA))
+    // the migration path: rebucket, then ingest at the NEW count works
+    // and the OLD count now refuses
+    Curation.rebucketSnapshot(spark, path, newNBuckets = 4)
+    assert(asSet(Curation.readSnapshot(spark, path)) == asSet(snapA))
+    val snapB = Seq((1L, Some("one")), (4L, Some("four")))
+      .toDF("doc_id", "text")
+    Curation.snapshotApplyBatch(cl(snapA, snapB), path, nBuckets = 4)
+    assert(asSet(Curation.readSnapshot(spark, path)) == asSet(snapB))
+    assert(intercept[IllegalStateException] {
+      Curation.snapshotApplyBatch(cl(snapB, snapA), path, nBuckets = 2)
+    }.getMessage.contains("nBuckets=4"))
+    // crash simulation: a rebucket that died between rewrite and marker
+    // commit leaves data with NO marker — ingest refuses, re-running
+    // the rebucket recovers
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root, "_graft_nbuckets"), false)
+    assert(intercept[IllegalStateException] {
+      Curation.snapshotApplyBatch(cl(snapB, snapA), path, nBuckets = 4)
+    }.getMessage.contains("no _graft_nbuckets marker"))
+    Curation.rebucketSnapshot(spark, path, newNBuckets = 4)
+    Curation.snapshotApplyBatch(cl(snapB, snapA), path, nBuckets = 4)
+    assert(asSet(Curation.readSnapshot(spark, path)) == asSet(snapA))
+  }
+
   test("snapshotIngest streams changelog batches into the maintained store e2e") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
