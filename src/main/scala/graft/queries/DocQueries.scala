@@ -3573,6 +3573,47 @@ object DocQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Data-quality expectations (the publish gate): four row-level
+    // rules in ONE scan (conditional-sum aggregates unpivoted to rows,
+    // NULL predicates count as violations) plus a key-uniqueness check.
+    // The fixture plants real violations: 553-char texts break the
+    // length rule, zh breaks the language list.
+    QDef("c47_data_expectations",
+      """WITH d AS (SELECT * FROM documents),
+        |r AS (
+        |  SELECT 'doc_id_not_null' AS rule, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(coalesce(sum(CASE WHEN NOT coalesce(doc_id IS NOT NULL, FALSE)
+        |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_violations FROM d
+        |  UNION ALL
+        |  SELECT 'lang_western', CAST(count(*) AS BIGINT),
+        |    CAST(coalesce(sum(CASE WHEN NOT coalesce(
+        |      lang IN ('en','es','de','fr'), FALSE)
+        |      THEN 1 ELSE 0 END), 0) AS BIGINT) FROM d
+        |  UNION ALL
+        |  SELECT 'n_chars_consistent', CAST(count(*) AS BIGINT),
+        |    CAST(coalesce(sum(CASE WHEN NOT coalesce(n_chars = length(text), FALSE)
+        |      THEN 1 ELSE 0 END), 0) AS BIGINT) FROM d
+        |  UNION ALL
+        |  SELECT 'text_max_256', CAST(count(*) AS BIGINT),
+        |    CAST(coalesce(sum(CASE WHEN NOT coalesce(length(text) <= 256, FALSE)
+        |      THEN 1 ELSE 0 END), 0) AS BIGINT) FROM d
+        |  UNION ALL
+        |  SELECT 'doc_id_unique', CAST(coalesce(sum(c), 0) AS BIGINT),
+        |    CAST(coalesce(sum(c - 1), 0) AS BIGINT)
+        |  FROM (SELECT count(*) AS c FROM d GROUP BY doc_id))
+        |SELECT rule, n_rows, n_violations,
+        |  CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass
+        |FROM r ORDER BY rule""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      graft.ops.Expectations.report(docs,
+        rules = Seq(
+          "doc_id_not_null" -> col("doc_id").isNotNull,
+          "lang_western" -> col("lang").isin("en", "es", "de", "fr"),
+          "n_chars_consistent" -> (col("n_chars") === length(col("text"))),
+          "text_max_256" -> (length(col("text")) <= 256)),
+        uniqueKeys = Seq("doc_id_unique" -> Seq(col("doc_id"))))
+    },
+
     // Inverted index over the corpus: term -> (df, total_tf, postings).
     // Pure integer/string output — fully engine-portable; the serialized
     // postings string doubles as an order-sensitive checksum of the

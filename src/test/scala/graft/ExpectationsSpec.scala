@@ -1,0 +1,65 @@
+package graft
+
+import graft.ops.Expectations
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExpectationsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, Some("short"), Some("en")),
+    (2L, Some("x" * 300), Some("en")),      // breaks text_max_256
+    (3L, None: Option[String], Some("zh")), // NULL text + non-western lang
+    (3L, Some("dup id"), Some("de")),       // duplicate doc_id
+    (4L, Some("ok"), None)                  // NULL lang
+  ).toDF("doc_id", "text", "lang")
+
+  test("validate: NULL predicates are violations, counts exact, one-pass plan") {
+    val got = Expectations.validate(docs, Seq(
+        "text_max_256" -> (length($"text") <= 256),
+        "lang_western" -> $"lang".isin("en", "de", "fr"),
+        "doc_id_not_null" -> $"doc_id".isNotNull))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc 2 too long; doc 3's NULL text is a VIOLATION (the ternary
+    // trap), so text_max_256 has 2; zh + NULL lang give lang_western 2
+    assert(got == Map(
+      "text_max_256" -> ((5L, 2L, 0L)),
+      "lang_western" -> ((5L, 2L, 0L)),
+      "doc_id_not_null" -> ((5L, 0L, 1L))))
+    // every row rule rides ONE aggregation — no union, no join, no
+    // per-rule re-scan
+    val plan = Expectations.validate(docs,
+      Seq("a" -> $"doc_id".isNotNull, "b" -> (length($"text") > 0)))
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Union") && !plan.contains("Join"), plan)
+  }
+
+  test("uniqueViolations: dup rows beyond the first, NULL keys are a real group") {
+    val u = Expectations.uniqueViolations(docs, "doc_id_unique", Seq($"doc_id"))
+      .as[(String, Long, Long, Long)].collect().head
+    assert(u == (("doc_id_unique", 5L, 1L, 0L)))
+    val withNulls = docs.unionByName(
+      Seq((0L, Some("n1"), Some("en")), (0L, Some("n2"), Some("en")))
+        .toDF("doc_id", "text", "lang")
+        .withColumn("doc_id", lit(null).cast("long")))
+    val n = Expectations.uniqueViolations(withNulls, "u", Seq($"doc_id"))
+      .as[(String, Long, Long, Long)].collect().head
+    assert(n == (("u", 7L, 2L, 0L))) // the two NULL ids duplicate too
+  }
+
+  test("report: suite unions row rules and uniqueness; empty frame all-pass") {
+    val rep = Expectations.report(docs,
+        rules = Seq("doc_id_not_null" -> $"doc_id".isNotNull),
+        uniqueKeys = Seq("doc_id_unique" -> Seq($"doc_id")))
+      .as[(String, Long, Long, Long)].collect().map(_._1).toSeq
+    assert(rep == Seq("doc_id_not_null", "doc_id_unique")) // ordered
+    val empty = Expectations.report(docs.limit(0),
+        rules = Seq("r1" -> $"doc_id".isNotNull),
+        uniqueKeys = Seq("u1" -> Seq($"doc_id")))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(empty == Set(("r1", 0L, 0L, 1L), ("u1", 0L, 0L, 1L)))
+  }
+}
