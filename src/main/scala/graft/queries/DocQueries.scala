@@ -50,6 +50,41 @@ object DocQueries {
   private val c45DriveCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** The version-management gates' SHARED snapshot fixtures (c42–c46):
+    * snapshot B is a deterministic edit of `documents` (ids %7 dropped,
+    * %11 texts suffixed, %13 re-added under a shifted id), snapshot C a
+    * second edit of B (%17 dropped, %5 suffixed, %21 of the ORIGINALS
+    * re-added — the removed→re-added-identical branch — and %19 added
+    * shifted). One builder per snapshot so the five gates' Spark
+    * fixtures can't drift from each other (the oracles repeat the same
+    * expressions in SQL).
+    */
+  private def vmSnapB(docs: org.apache.spark.sql.DataFrame) =
+    docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 1000000000L).as("doc_id"), col("text")))
+
+  private def vmSnapC(docs: org.apache.spark.sql.DataFrame,
+                      snapB: org.apache.spark.sql.DataFrame) =
+    snapB.filter(col("doc_id") % 17 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v3")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 21 === 0)
+        .select(col("doc_id"), col("text")))
+      .unionByName(docs.filter(col("doc_id") % 19 === 0)
+        .select((col("doc_id") + 2000000000L).as("doc_id"), col("text")))
+
+  /** Diff + payload join: the thin changelog the apply/compact/store
+    * gates feed ([[graft.curation.Curation.applyCorpusDiff]]'s shape).
+    */
+  private def vmChangelog(a: org.apache.spark.sql.DataFrame,
+                          b: org.apache.spark.sql.DataFrame) =
+    graft.curation.Curation.corpusDiff(a, b).join(b, Seq("doc_id"), "left")
+
   /** The shared d12c/d12d drive: the corpus in three deterministic
     * batches (doc_id mod 3), batch 1 replayed to prove staged-edge AND
     * label-merge idempotence, each batch through the full canonical
@@ -3418,13 +3453,7 @@ object DocQueries {
         |FROM oldc o FULL OUTER JOIN newc n ON o.doc_id = n.doc_id
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      val newc = docs.filter(col("doc_id") % 7 =!= 0)
-        .select(col("doc_id"),
-          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
-            .otherwise(col("text")).as("text"))
-        .unionByName(docs.filter(col("doc_id") % 13 === 0)
-          .select((col("doc_id") + 1000000000L).as("doc_id"), col("text")))
-      graft.curation.Curation.corpusDiff(docs, newc)
+      graft.curation.Curation.corpusDiff(docs, vmSnapB(docs))
         .orderBy(col("doc_id"))
     },
 
@@ -3443,15 +3472,8 @@ object DocQueries {
         |FROM documents WHERE doc_id % 13 = 0
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      val newc = docs.filter(col("doc_id") % 7 =!= 0)
-        .select(col("doc_id"),
-          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
-            .otherwise(col("text")).as("text"))
-        .unionByName(docs.filter(col("doc_id") % 13 === 0)
-          .select((col("doc_id") + 1000000000L).as("doc_id"), col("text")))
-      val changelog = graft.curation.Curation.corpusDiff(docs, newc)
-        .join(newc, Seq("doc_id"), "left")
-      graft.curation.Curation.applyCorpusDiff(docs, changelog)
+      graft.curation.Curation.applyCorpusDiff(docs,
+          vmChangelog(docs, vmSnapB(docs)))
         .orderBy(col("doc_id"))
     },
 
@@ -3478,26 +3500,10 @@ object DocQueries {
         |FROM documents WHERE doc_id % 19 = 0
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      val snapB = docs.filter(col("doc_id") % 7 =!= 0)
-        .select(col("doc_id"),
-          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
-            .otherwise(col("text")).as("text"))
-        .unionByName(docs.filter(col("doc_id") % 13 === 0)
-          .select((col("doc_id") + 1000000000L).as("doc_id"), col("text")))
-      val snapC = snapB.filter(col("doc_id") % 17 =!= 0)
-        .select(col("doc_id"),
-          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v3")))
-            .otherwise(col("text")).as("text"))
-        .unionByName(docs.filter(col("doc_id") % 21 === 0)
-          .select(col("doc_id"), col("text")))
-        .unionByName(docs.filter(col("doc_id") % 19 === 0)
-          .select((col("doc_id") + 2000000000L).as("doc_id"), col("text")))
-      def cl(a: org.apache.spark.sql.DataFrame,
-             b: org.apache.spark.sql.DataFrame) =
-        graft.curation.Curation.corpusDiff(a, b).join(b, Seq("doc_id"), "left")
+      val snapB = vmSnapB(docs)
       graft.curation.Curation.applyCorpusDiff(docs,
-          graft.curation.Curation.compactChangelog(cl(docs, snapB),
-            cl(snapB, snapC)))
+          graft.curation.Curation.compactChangelog(vmChangelog(docs, snapB),
+            vmChangelog(snapB, vmSnapC(docs, snapB))))
         .orderBy(col("doc_id"))
     },
 
@@ -3525,25 +3531,10 @@ object DocQueries {
       val base = c45DriveCache.computeIfAbsent(dir, _ => {
         val b0 = QDef.tempDir("graft_snapshot_gate")
         val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-        val snapB = docs.filter(col("doc_id") % 7 =!= 0)
-          .select(col("doc_id"),
-            when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
-              .otherwise(col("text")).as("text"))
-          .unionByName(docs.filter(col("doc_id") % 13 === 0)
-            .select((col("doc_id") + 1000000000L).as("doc_id"), col("text")))
-        val snapC = snapB.filter(col("doc_id") % 17 =!= 0)
-          .select(col("doc_id"),
-            when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v3")))
-              .otherwise(col("text")).as("text"))
-          .unionByName(docs.filter(col("doc_id") % 21 === 0)
-            .select(col("doc_id"), col("text")))
-          .unionByName(docs.filter(col("doc_id") % 19 === 0)
-            .select((col("doc_id") + 2000000000L).as("doc_id"), col("text")))
-        def cl(a: org.apache.spark.sql.DataFrame,
-               b: org.apache.spark.sql.DataFrame) =
-          graft.curation.Curation.corpusDiff(a, b).join(b, Seq("doc_id"), "left")
-        Seq(cl(docs.limit(0), docs), cl(docs, snapB),
-          cl(docs, snapB) /* at-least-once replay */, cl(snapB, snapC))
+        val snapB = vmSnapB(docs)
+        Seq(vmChangelog(docs.limit(0), docs), vmChangelog(docs, snapB),
+          vmChangelog(docs, snapB) /* at-least-once replay */,
+          vmChangelog(snapB, vmSnapC(docs, snapB)))
           .foreach(c => graft.curation.Curation.snapshotApplyBatch(
             c, s"$b0/snap", nBuckets = 8))
         b0
@@ -3561,12 +3552,7 @@ object DocQueries {
       """SELECT doc_id, text FROM documents
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val snapB = docs.filter(col("doc_id") % 7 =!= 0)
-        .select(col("doc_id"),
-          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
-            .otherwise(col("text")).as("text"))
-        .unionByName(docs.filter(col("doc_id") % 13 === 0)
-          .select((col("doc_id") + 1000000000L).as("doc_id"), col("text")))
+      val snapB = vmSnapB(docs)
       graft.curation.Curation.applyCorpusDiff(snapB,
           graft.curation.Curation.invertChangelog(
             graft.curation.Curation.corpusDiffFull(docs, snapB)))
