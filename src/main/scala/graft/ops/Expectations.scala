@@ -66,4 +66,39 @@ object Expectations {
     val uniq = uniqueKeys.map { case (n, ks) => uniqueViolations(df, n, ks) }
     (rows.toSeq ++ uniq).reduce(_ unionByName _).orderBy(col("rule"))
   }
+
+  /** One micro-batch of the quality TIME SERIES: this batch's
+    * [[report]] lands in a `(batch_id → rules)` parquet store —
+    * dynamic overwrite of the batch's OWN partition, so at-least-once
+    * replays are no-ops (the d9 staging idempotence convention). The
+    * store is ≤ batches × rules rows: the per-batch panel the c40-style
+    * drift/decision reads consume, at zero marginal corpus cost beyond
+    * the batch's own validation pass. Uniqueness here is WITHIN-batch
+    * (cross-batch uniqueness is the snapshot store's fence, not a
+    * streaming expectation).
+    */
+  def validateBatch(batch: DataFrame, batchId: Long, reportPath: String,
+                    rules: Seq[(String, Column)],
+                    uniqueKeys: Seq[(String, Seq[Column])] = Nil): Unit = {
+    report(batch, rules, uniqueKeys)
+      .withColumn("batch_id", lit(batchId))
+      .coalesce(1) // ≤ |rules| rows — one tiny file per batch
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(reportPath)
+    ()
+  }
+
+  /** Streaming data-quality monitoring: every micro-batch appends its
+    * expectation report to the store via [[validateBatch]] — the
+    * pass/fail time series a publish gate or alerting read consumes.
+    */
+  def expectationsIngest(raw: DataFrame, reportPath: String,
+                         rules: Seq[(String, Column)],
+                         uniqueKeys: Seq[(String, Seq[Column])] = Nil,
+                         queryName: String = "graft_expectations_ingest"): org.apache.spark.sql.streaming.StreamingQuery =
+    raw.writeStream.queryName(queryName)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        validateBatch(b, id, reportPath, rules, uniqueKeys)
+      }.start()
 }

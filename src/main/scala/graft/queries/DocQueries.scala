@@ -50,6 +50,12 @@ object DocQueries {
   private val c45DriveCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Memoized report-store dir for the c47b expectations drive (same
+    * rationale as d9: the 4-batch drive incl. replay is gate setup).
+    */
+  private val c47bDriveCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** The version-management gates' SHARED snapshot fixtures (c42–c46):
     * snapshot B is a deterministic edit of `documents` (ids %7 dropped,
     * %11 texts suffixed, %13 re-added under a shifted id), snapshot C a
@@ -3598,6 +3604,45 @@ object DocQueries {
           "n_chars_consistent" -> (col("n_chars") === length(col("text"))),
           "text_max_256" -> (length(col("text")) <= 256)),
         uniqueKeys = Seq("doc_id_unique" -> Seq(col("doc_id"))))
+    },
+
+    // The quality TIME SERIES (c47's maintained twin): three ingest
+    // batches (doc_id mod 3) validated into the per-batch report store,
+    // batch 1 REPLAYED (its partition overwrites, never doubles) — the
+    // store is the ≤ batches × rules panel a publish gate reads.
+    QDef("c47b_expectations_inc",
+      """WITH b AS (SELECT doc_id % 3 AS bid, text, lang FROM documents),
+        |r AS (
+        |  SELECT bid, 'lang_western' AS rule, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(coalesce(sum(CASE WHEN NOT coalesce(
+        |      lang IN ('en','es','de','fr'), FALSE)
+        |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_violations
+        |  FROM b GROUP BY bid
+        |  UNION ALL
+        |  SELECT bid, 'text_max_256', CAST(count(*) AS BIGINT),
+        |    CAST(coalesce(sum(CASE WHEN NOT coalesce(length(text) <= 256, FALSE)
+        |      THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |  FROM b GROUP BY bid)
+        |SELECT CAST(bid AS BIGINT) AS batch_id, rule, n_rows, n_violations,
+        |  CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass
+        |FROM r ORDER BY batch_id, rule""".stripMargin) { (s, dir) =>
+      val base = c47bDriveCache.computeIfAbsent(dir, _ => {
+        val b0 = QDef.tempDir("graft_exp_gate")
+        val docs = Tables.documents(s, dir)
+        val rules = Seq(
+          "lang_western" -> col("lang").isin("en", "es", "de", "fr"),
+          "text_max_256" -> (length(col("text")) <= 256))
+        Seq(0L, 1L, 1L /* at-least-once replay */, 2L).foreach { r =>
+          graft.ops.Expectations.validateBatch(
+            docs.filter(pmod(col("doc_id"), lit(3)) === r), r,
+            s"$b0/report", rules)
+        }
+        b0
+      })
+      s.read.parquet(s"$base/report")
+        .select(col("batch_id").cast("long").as("batch_id"), col("rule"),
+          col("n_rows"), col("n_violations"), col("pass"))
+        .orderBy(col("batch_id"), col("rule"))
     },
 
     // Inverted index over the corpus: term -> (df, total_tf, postings).

@@ -50,6 +50,36 @@ class ExpectationsSpec extends AnyFunSuite {
     assert(n == (("u", 7L, 2L, 0L))) // the two NULL ids duplicate too
   }
 
+  test("expectationsIngest: per-batch quality time series, replay-idempotent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = graft.queries.QDef.tempDir("graft_exp_ingest")
+    val in = MemoryStream[(Long, String)]
+    val q = Expectations.expectationsIngest(
+      in.toDF().toDF("doc_id", "text"), s"$base/report",
+      rules = Seq("text_short" -> (length($"text") <= 8)),
+      queryName = "exp_ingest_test")
+    try {
+      in.addData((1L, "ok"), (2L, "also ok"))
+      q.processAllAvailable()
+      in.addData((3L, "this one is far too long"), (4L, "fine"))
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$base/report")
+        .select("batch_id", "rule", "n_rows", "n_violations", "pass")
+        .as[(Long, String, Long, Long, Long)].collect().toSet
+      assert(got == Set(
+        (0L, "text_short", 2L, 0L, 1L),
+        (1L, "text_short", 2L, 1L, 0L)))
+      // replay idempotence: re-running a batch overwrites its OWN
+      // partition, never doubles it
+      Expectations.validateBatch(
+        Seq((3L, "this one is far too long"), (4L, "fine"))
+          .toDF("doc_id", "text"),
+        1L, s"$base/report", Seq("text_short" -> (length($"text") <= 8)))
+      assert(spark.read.parquet(s"$base/report").count() == 2)
+    } finally q.stop()
+  }
+
   test("report: suite unions row rules and uniqueness; empty frame all-pass") {
     val rep = Expectations.report(docs,
         rules = Seq("doc_id_not_null" -> $"doc_id".isNotNull),
