@@ -2839,6 +2839,41 @@ object Curation {
         col("target_tokens") - col("effective_tokens"))
   }
 
+  /** Deterministic per-EPOCH shuffle keys (c48) — the training-order
+    * assignment: epoch e orders the corpus by
+    * `md5(e ':' id)` (portable — any engine, any partitioning, any
+    * re-run derives the SAME order), so multi-epoch training reads a
+    * genuinely different, reproducible permutation each epoch without
+    * ever materializing a global sort: the writer shards by the key's
+    * first hex char and sorts WITHIN each shard (shard boundaries are
+    * key ranges, so shard-local order concatenates to the global
+    * order). Pure projection × a bounded `epochs`-way explode — zero
+    * shuffles until the writer's own per-shard sort.
+    */
+  def epochShuffle(df: DataFrame, id: Column, epochs: Int): DataFrame = {
+    require(epochs > 0, s"epochs must be positive, got $epochs")
+    df.select(id.as("doc_id"))
+      .withColumn("epoch",
+        explode(array((0 until epochs).map(e => lit(e.toLong)): _*)))
+      .withColumn("shuffle_key",
+        md5(concat(col("epoch").cast("string"), lit(":"),
+          col("doc_id").cast("string"))))
+      .select(col("epoch"), col("doc_id"), col("shuffle_key"))
+  }
+
+  /** The c48 audit read: per (epoch, shard = first hex char) doc count
+    * and key range — proves the ~16-way shard split stays balanced and
+    * the assignment is deterministic (the manifest hash-matches any
+    * other engine's). One (epoch, shard) groupBy over the projection.
+    */
+  def epochShuffleManifest(df: DataFrame, id: Column,
+                           epochs: Int): DataFrame =
+    epochShuffle(df, id, epochs)
+      .groupBy(col("epoch"), substring(col("shuffle_key"), 1, 1).as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("shuffle_key")).as("min_key"),
+        max(col("shuffle_key")).as("max_key"))
+
   /** Deterministic shard manifest — the "write the training data" audit:
     * every document lands in `shard = rollingHash(text) mod nShards`
     * (portable content hash, so re-runs, re-partitionings, and other

@@ -3645,6 +3645,26 @@ object DocQueries {
         .orderBy(col("batch_id"), col("rule"))
     },
 
+    // Deterministic per-epoch shuffle (training order): epoch e orders
+    // the corpus by md5(e ':' id) — engine-portable, so both sides
+    // derive the SAME three permutations; the gate reads the
+    // (epoch, shard) manifest (counts + key ranges) that the sharded
+    // writer would use to realize each order without a global sort.
+    QDef("c48_epoch_shuffle",
+      """WITH e AS (SELECT unnest([0, 1, 2]) AS epoch),
+        |k AS (SELECT CAST(e.epoch AS BIGINT) AS epoch, d.doc_id,
+        |  md5(e.epoch || ':' || d.doc_id) AS sk
+        |  FROM documents d CROSS JOIN e)
+        |SELECT epoch, substring(sk, 1, 1) AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(sk) AS min_key, max(sk) AS max_key
+        |FROM k GROUP BY epoch, substring(sk, 1, 1)
+        |ORDER BY epoch, shard""".stripMargin) { (s, dir) =>
+      graft.curation.Curation.epochShuffleManifest(
+          Tables.documents(s, dir), col("doc_id"), epochs = 3)
+        .orderBy(col("epoch"), col("shard"))
+    },
+
     // Inverted index over the corpus: term -> (df, total_tf, postings).
     // Pure integer/string output — fully engine-portable; the serialized
     // postings string doubles as an order-sensitive checksum of the

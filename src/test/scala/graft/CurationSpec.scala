@@ -319,6 +319,32 @@ class CurationSpec extends AnyFunSuite {
     assert(!lp.contains("hint"), lp)
   }
 
+  test("epochShuffle: deterministic, epoch-distinct orders, shuffle-free projection") {
+    val docs = (1L to 40L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val k = Curation.epochShuffle(docs, $"doc_id", epochs = 3)
+      .as[(Long, Long, String)].collect()
+    // every (epoch, id) exactly once
+    assert(k.length == 120 && k.map(r => (r._1, r._2)).toSet.size == 120)
+    // deterministic: a second derivation is bit-identical
+    assert(Curation.epochShuffle(docs, $"doc_id", epochs = 3)
+      .as[(Long, Long, String)].collect().toSet == k.toSet)
+    // epochs really are DIFFERENT permutations: the ids sorted by key
+    // disagree between epoch 0 and 1 (md5 would have to conspire)
+    def order(e: Long) =
+      k.filter(_._1 == e).sortBy(_._3).map(_._2).toSeq
+    assert(order(0) != order(1) && order(1) != order(2))
+    // the key projection itself is shuffle-free (one Generate, no
+    // Exchange) — the writer's per-shard sort is the only sort anywhere
+    val plan = Curation.epochShuffle(docs, $"doc_id", epochs = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    // manifest: 3 epochs × ≤16 shards, counts conserve the corpus
+    val m = Curation.epochShuffleManifest(docs, $"doc_id", epochs = 3)
+      .as[(Long, String, Long, String, String)].collect()
+    assert(m.map(_._3).sum == 120)
+    assert(m.forall(r => r._4 <= r._5 && r._4.startsWith(r._2)))
+  }
+
   test("corpusDiffFull + invertChangelog: CDC images and the rollback round trip") {
     val snapA = Seq((1L, Some("one")), (2L, Some("two")), (3L, Some("three")),
       (4L, None: Option[String])).toDF("doc_id", "text")
