@@ -474,5 +474,37 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("c48 epoch shuffle: the scan prunes to the id column alone") {
+    val plan = phys(graft.curation.Curation.epochShuffle(docs,
+      col("doc_id"), epochs = 3))
+    val read = "ReadSchema: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(read.contains("doc_id") && !read.contains("text"),
+      s"key derivation must not drag document text through the scan:\n$read")
+    assert(!plan.contains("Exchange"),
+      s"the key projection is shuffle-free:\n$plan")
+  }
+
+  test("c47 expectations: row rules ride ONE pruned scan, no per-rule pass") {
+    val plan = phys(graft.ops.Expectations.validate(docs, Seq(
+      "lang_western" -> col("lang").isin("en", "de"),
+      "id_not_null" -> col("doc_id").isNotNull)))
+    assert("Scan parquet".r.findAllIn(plan).size == 1,
+      s"N rules must not rescan N times:\n$plan")
+    val read = "ReadSchema: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(!read.contains("text"),
+      s"rules over (doc_id, lang) must prune text from the scan:\n$read")
+  }
+
+  test("c42 corpus diff: both sides project scan-side before the one join") {
+    val plan = phys(graft.curation.Curation.corpusDiff(docs, docs,
+      hashContent = true))
+    val reads = "ReadSchema: [^\\n]*".r.findAllIn(plan).toSeq
+    assert(reads.size == 2 && reads.forall(r =>
+      r.contains("doc_id") && r.contains("text") && !r.contains("lang")),
+      s"diff must read only (id, text) on each side:\n$reads")
+    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(plan).size == 1,
+      s"exactly ONE corpus join:\n$plan")
+  }
+
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 }
