@@ -3083,6 +3083,46 @@ object Curation {
       when(status === "added", lit(null).cast("string"))
         .otherwise(oldText).as("text"))
 
+  /** REFRESH AUDIT (c49) — the composed publish report a corpus owner
+    * reads before [[applyCorpusDiff]]-ing a candidate refresh: the
+    * diff census (added/removed/changed/unchanged counts), how many
+    * ADDED docs are exact duplicates of content already in the corpus
+    * (the [[graft.dedup.Dedup]] canonical-token signature — a crawl
+    * that "adds" what you already have should not pass silently), and
+    * how many incoming (added ∪ changed) payloads violate a length
+    * expectation (the `ops.Expectations` NULL-is-violation convention).
+    * One `(audit, n)` row per line.
+    *
+    * Plan: ONE full-outer diff join feeds all three panels; the dup
+    * check is a semi join of the added docs' signatures against the
+    * old corpus' distinct signatures (both sides scan-side
+    * projections, no broadcast hint — both are corpus-bounded); the
+    * violation count is a 1-row aggregate over the incoming slice. At
+    * 100 TB every panel is a projection + one equi-shuffle — nothing
+    * quadratic, nothing driver-side.
+    */
+  def refreshAudit(oldDf: DataFrame, newDf: DataFrame,
+                   id: Column = col("doc_id"), text: Column = col("text"),
+                   maxChars: Int = 256): DataFrame = {
+    val full = corpusDiffFull(oldDf, newDf, id, text)
+    def sig(c: Column) =
+      array_join(array_sort(array_distinct(split(c, " "))), " ")
+    val counts = full.groupBy(col("status").as("audit"))
+      .agg(count(lit(1)).as("n"))
+    val dup = full.filter(col("status") === "added")
+      .select(sig(col("new_text")).as("__sig"))
+      .join(oldDf.select(sig(text).as("__sig")).distinct(),
+        Seq("__sig"), "left_semi")
+      .agg(count(lit(1)).as("n"))
+      .select(lit("added_dup_of_existing").as("audit"), col("n"))
+    val viol = full.filter(col("status").isin("added", "changed"))
+      .agg(coalesce(sum(
+        when(coalesce(length(col("new_text")) <= maxChars, lit(false)),
+          lit(0L)).otherwise(lit(1L))), lit(0L)).as("n"))
+      .select(lit("incoming_rule_violations").as("audit"), col("n"))
+    counts.unionByName(dup).unionByName(viol).orderBy(col("audit"))
+  }
+
   /** Schema of the maintained snapshot store's data + partition columns
     * (explicit on every read: a just-ensured empty store dir has no
     * footers to infer from).

@@ -3645,6 +3645,45 @@ object DocQueries {
         .orderBy(col("batch_id"), col("rule"))
     },
 
+    // The composed refresh-audit report: diff census + "added docs
+    // that duplicate existing content" (canonical-token signature semi
+    // join — the %13 re-adds are copies of originals, so the count is
+    // non-trivial by construction) + incoming length-rule violations.
+    // The publish gate a corpus owner reads before applying a refresh.
+    QDef("c49_refresh_audit",
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, text FROM documents WHERE doc_id % 13 = 0),
+        |d AS (SELECT o.doc_id AS oid, n.doc_id AS nid, o.text AS ot, n.text AS nt
+        |      FROM documents o FULL OUTER JOIN b n ON o.doc_id = n.doc_id),
+        |st AS (SELECT CASE WHEN oid IS NULL THEN 'added'
+        |                   WHEN nid IS NULL THEN 'removed'
+        |                   WHEN ot IS DISTINCT FROM nt THEN 'changed'
+        |                   ELSE 'unchanged' END AS status, nt FROM d),
+        |counts AS (SELECT status AS audit, CAST(count(*) AS BIGINT) AS n
+        |           FROM st GROUP BY status),
+        |osig AS (SELECT DISTINCT array_to_string(list_sort(list_distinct(
+        |           string_split(text, ' '))), ' ') AS sig FROM documents),
+        |dup AS (SELECT 'added_dup_of_existing' AS audit,
+        |          CAST(count(*) AS BIGINT) AS n
+        |        FROM st WHERE status = 'added'
+        |          AND array_to_string(list_sort(list_distinct(
+        |            string_split(nt, ' '))), ' ') IN (SELECT sig FROM osig)),
+        |viol AS (SELECT 'incoming_rule_violations' AS audit,
+        |          CAST(coalesce(sum(CASE WHEN NOT coalesce(length(nt) <= 256,
+        |            FALSE) THEN 1 ELSE 0 END), 0) AS BIGINT) AS n
+        |         FROM st WHERE status IN ('added', 'changed'))
+        |SELECT audit, n FROM counts
+        |UNION ALL SELECT audit, n FROM dup
+        |UNION ALL SELECT audit, n FROM viol
+        |ORDER BY audit""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      graft.curation.Curation.refreshAudit(docs, vmSnapB(docs))
+    },
+
     // Deterministic per-epoch shuffle (training order): epoch e orders
     // the corpus by md5(e ':' id) — engine-portable, so both sides
     // derive the SAME three permutations; the gate reads the

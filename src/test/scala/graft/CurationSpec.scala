@@ -319,6 +319,36 @@ class CurationSpec extends AnyFunSuite {
     assert(!lp.contains("hint"), lp)
   }
 
+  test("refreshAudit: census + dup-of-existing + incoming violations, hand-pinned") {
+    val snapA = Seq((1L, Some("alpha beta")), (2L, Some("gamma")),
+      (3L, Some("to be removed")), (4L, None: Option[String]))
+      .toDF("doc_id", "text")
+    val snapB = Seq(
+      (1L, Some("alpha beta")),            // unchanged
+      (2L, Some("gamma changed " + "x" * 300)), // changed AND too long
+      (4L, None: Option[String]),          // NULL ≡ NULL unchanged
+      (5L, Some("beta alpha")),            // added, sig-dup of doc 1 (reordered)
+      (6L, Some("brand new")),             // added, genuinely new
+      (7L, None: Option[String])           // added with NULL text → violation
+    ).toDF("doc_id", "text")
+    val got = Curation.refreshAudit(snapA, snapB, maxChars = 256)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map(
+      "added" -> 3L, "removed" -> 1L, "changed" -> 1L, "unchanged" -> 2L,
+      // doc 5 reorders doc 1's tokens — canonical signature matches;
+      // docs 6 and 7 (NULL sig never matches) do not
+      "added_dup_of_existing" -> 1L,
+      // doc 2's 300-char payload + doc 7's NULL payload (NULL length
+      // is a violation, the Expectations convention)
+      "incoming_rule_violations" -> 2L))
+    // a refresh with nothing incoming still reports the zero panels
+    val empty = Curation.refreshAudit(snapA, snapA).as[(String, Long)]
+      .collect().toMap
+    assert(empty("added_dup_of_existing") == 0L
+      && empty("incoming_rule_violations") == 0L
+      && empty("unchanged") == 4L && !empty.contains("added"))
+  }
+
   test("epochShuffle: deterministic, epoch-distinct orders, shuffle-free projection") {
     val docs = (1L to 40L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val k = Curation.epochShuffle(docs, $"doc_id", epochs = 3)
