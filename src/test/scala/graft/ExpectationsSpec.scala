@@ -80,6 +80,39 @@ class ExpectationsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("property: validate/unique match an independent evaluation on 8 random frames") {
+    import org.scalacheck.Gen
+    val p = Gen.Parameters.default.withSize(60)
+    def run[A](g: Gen[A], s: Long): A =
+      g.apply(p, org.scalacheck.rng.Seed(s)).getOrElse(sys.error("gen failed"))
+    for (seed <- 1L to 8L) {
+      val n = run(Gen.chooseNum(0, 120), seed)
+      val rows: Seq[(Long, Option[Long], Option[String])] = (1 to n).map { i =>
+        val id = run(Gen.chooseNum(1L, 30L), seed + i) // dups by design
+        val v = if (run(Gen.prob(0.2), seed + 1000 + i)) None
+          else Some(run(Gen.chooseNum(-50L, 50L), seed + 2000 + i))
+        val t = if (run(Gen.prob(0.2), seed + 3000 + i)) None
+          else Some(Seq("a", "b", "c")(run(Gen.chooseNum(0, 2), seed + 4000 + i)))
+        (id, v, t)
+      }
+      val df = rows.toDF("id", "v", "tag").localCheckpoint(true)
+      val thr = run(Gen.chooseNum(-20L, 20L), seed + 9000)
+      val got = Expectations.validate(df, Seq(
+          "v_le_thr" -> ($"v" <= thr),
+          "tag_ab" -> $"tag".isin("a", "b")))
+        .as[(String, Long, Long, Long)].collect()
+        .map(r => r._1 -> r._3).toMap
+      // independent evaluation: NULL predicate (NULL operand) = violation
+      val expV = rows.count(r => !r._2.exists(_ <= thr)).toLong
+      val expT = rows.count(r => !r._3.exists(Set("a", "b"))).toLong
+      assert(got == Map("v_le_thr" -> expV, "tag_ab" -> expT), s"seed=$seed")
+      val uq = Expectations.uniqueViolations(df, "u", Seq($"id"))
+        .as[(String, Long, Long, Long)].collect().head
+      val expDup = rows.groupBy(_._1).values.map(g => g.size - 1L).sum
+      assert(uq._2 == n.toLong && uq._3 == expDup, s"seed=$seed unique")
+    }
+  }
+
   test("report: suite unions row rules and uniqueness; empty frame all-pass") {
     val rep = Expectations.report(docs,
         rules = Seq("doc_id_not_null" -> $"doc_id".isNotNull),
