@@ -1123,6 +1123,32 @@ object ScaleProbe {
       }
       Curation.readSnapshot(spark, s"$base/snap").count()
     }
+    t(s"c47 expectations ${mult}x") {
+      // 4 row rules in ONE scan + the uniqueness groupBy — must be
+      // two corpus passes total at any rule count
+      graft.ops.Expectations.report(big,
+        rules = Seq(
+          "id_not_null" -> col("doc_id").isNotNull,
+          "lang_known" -> col("lang").isin("en", "es", "de", "fr", "zh"),
+          "text_max_600" -> (length(col("text")) <= 600),
+          "text_nonempty" -> (length(col("text")) > 0)),
+        uniqueKeys = Seq("id_unique" -> Seq(col("doc_id")))).count()
+    }
+    t(s"c48 epoch shuffle ${mult}x") {
+      // pure projection × 3-way explode + one (epoch, shard) groupBy
+      Curation.epochShuffleManifest(big, col("doc_id"), epochs = 3).count()
+    }
+    t(s"c49 refresh audit ${mult}x") {
+      // one full-outer diff + sig semi join + 1-row aggregate
+      val snapB = big.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(big.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 100000000000L).as("doc_id"), col("text")))
+      Curation.refreshAudit(big.select(col("doc_id"), col("text")),
+        snapB).count()
+    }
     spark.stop()
   }
 }
