@@ -210,4 +210,41 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(scan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
     assert(!scan.contains("l_comment"), "projection must prune unused columns")
   }
+
+  test("version-management ops on degenerate inputs") {
+    import graft.curation.Curation
+    val a = Seq((1L, Some("x y")), (2L, None: Option[String]))
+      .toDF("doc_id", "text")
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Option[String])].collect().toSet
+    // a changelog removing an id A never had is a harmless no-op
+    val ghost = Seq((99L, "removed", None: Option[String]))
+      .toDF("doc_id", "status", "text")
+    assert(asSet(Curation.applyCorpusDiff(a, ghost)) == asSet(a))
+    // compaction with FULL-census inputs (keepUnchanged upstream) equals
+    // compaction of the thin logs — unchanged rows are algebra-neutral
+    val b = Seq((1L, Some("x y CHANGED"))).toDF("doc_id", "text")
+    def cl(x: org.apache.spark.sql.DataFrame,
+           y: org.apache.spark.sql.DataFrame) =
+      Curation.corpusDiff(x, y).join(y, Seq("doc_id"), "left")
+    val thin = Curation.compactChangelog(cl(a, b), cl(b, b))
+      .as[(Long, String, Option[String])].collect().toSet
+    val census = Curation.compactChangelog(
+      Curation.compactChangelog(cl(a, b), cl(b, b).limit(0),
+        keepUnchanged = true),
+      cl(b, b), keepUnchanged = false)
+      .as[(Long, String, Option[String])].collect().toSet
+    assert(thin == census)
+    // first publish: refreshAudit against an EMPTY corpus — everything
+    // added, nothing can be a dup of existing content
+    val audit = Curation.refreshAudit(a.limit(0), a)
+      .as[(String, Long)].collect().toMap
+    assert(audit("added") == 2L && audit("added_dup_of_existing") == 0L)
+    // epochs = 1 is a single deterministic permutation
+    assert(Curation.epochShuffle(a, $"doc_id", epochs = 1).count() == 2L)
+    // full diff of a frame against itself is all-unchanged with equal images
+    val self = Curation.corpusDiffFull(a, a)
+      .as[(Long, String, Option[String], Option[String])].collect()
+    assert(self.forall(r => r._2 == "unchanged" && r._3 == r._4))
+  }
 }
