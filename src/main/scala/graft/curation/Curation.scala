@@ -3338,4 +3338,57 @@ object Curation {
       .foreachBatch { (b: DataFrame, _: Long) =>
         snapshotApplyBatch(b, snapshotPath, nBuckets)
       }.start()
+
+  /** QUALITY-GATED snapshot upkeep — the publish gate realized in the
+    * ingestion path: the batch's INCOMING payloads (added ∪ changed
+    * rows) are validated against the expectation rules first, the
+    * report lands in the `(batch_id → rules)` store either way (the
+    * audit trail of what was refused and why), and the batch folds into
+    * the snapshot ONLY if every rule passes — a poisoned refresh is
+    * quarantined instead of corrupting the serving corpus. Returns
+    * whether the batch was applied.
+    *
+    * Replay-safe end to end: the report write is idempotent (its own
+    * partition), the pass/fail decision is a pure function of the
+    * batch, and apply is semantically idempotent — so an at-least-once
+    * replay of either outcome converges. The decision read is ≤ |rules|
+    * rows (bounded collect). Removed-only batches validate an empty
+    * incoming frame (all-pass) and apply.
+    */
+  def guardedSnapshotApplyBatch(changelog: DataFrame, batchId: Long,
+                                snapshotPath: String, reportPath: String,
+                                rules: Seq[(String, Column)],
+                                nBuckets: Int = 64,
+                                id: Column = col("doc_id"),
+                                text: Column = col("text"),
+                                status: Column = col("status")): Boolean = {
+    val incoming = changelog
+      .select(id.as("doc_id"), status.as("status"), text.as("text"))
+      .filter(col("status").isin("added", "changed"))
+    graft.ops.Expectations.validateBatch(incoming, batchId, reportPath, rules)
+    val spark = changelog.sparkSession
+    val ok = spark.read.parquet(reportPath)
+      .filter(col("batch_id") === batchId)
+      .agg(coalesce(min(col("pass")), lit(1L)).as("ok"))
+      .collect()(0).getLong(0) == 1L
+    if (ok) snapshotApplyBatch(changelog, snapshotPath, nBuckets,
+      id, text, status)
+    ok
+  }
+
+  /** Streaming quality-gated snapshot maintenance: [[snapshotIngest]]
+    * with the [[guardedSnapshotApplyBatch]] publish gate in front of
+    * every fold.
+    */
+  def guardedSnapshotIngest(changelogs: DataFrame, snapshotPath: String,
+                            reportPath: String,
+                            rules: Seq[(String, Column)],
+                            nBuckets: Int = 64,
+                            queryName: String = "graft_guarded_snapshot_ingest"): org.apache.spark.sql.streaming.StreamingQuery =
+    changelogs.writeStream.queryName(queryName)
+      .foreachBatch { (b: DataFrame, bid: Long) =>
+        guardedSnapshotApplyBatch(b, bid, snapshotPath, reportPath, rules,
+          nBuckets)
+        ()
+      }.start()
 }

@@ -553,6 +553,37 @@ class CurationSpec extends AnyFunSuite {
     assert(asSet(Curation.readSnapshot(spark, path)) == asSet(snapA))
   }
 
+  test("guardedSnapshotIngest quarantines a failing batch, applies clean ones") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = graft.queries.QDef.tempDir("graft_guarded_snap")
+    val in = MemoryStream[(Long, String, String)]
+    val rules = Seq("text_short" -> (length($"text") <= 10))
+    val q = Curation.guardedSnapshotIngest(
+      in.toDF().toDF("doc_id", "status", "text"), s"$base/snap",
+      s"$base/report", rules, nBuckets = 2,
+      queryName = "guarded_snap_test")
+    try {
+      in.addData((1L, "added", "ok one"), (2L, "added", "ok two"))
+      q.processAllAvailable()
+      // batch 1 carries a poisoned payload — the WHOLE batch quarantines
+      in.addData((3L, "added", "this text is far too long to pass"),
+        (1L, "changed", "fine"))
+      q.processAllAvailable()
+      // batch 2 is clean again (incl. a removal) and applies
+      in.addData((2L, "removed", null), (4L, "added", "ok four"))
+      q.processAllAvailable()
+      val snap = Curation.readSnapshot(spark, s"$base/snap")
+        .as[(Long, String)].collect().toSet
+      // 3 never landed, 1 kept its ORIGINAL text (the change quarantined)
+      assert(snap == Set((1L, "ok one"), (4L, "ok four")))
+      // the audit trail records the refusal
+      val report = spark.read.parquet(s"$base/report")
+        .select("batch_id", "pass").as[(Long, Long)].collect().toMap
+      assert(report == Map(0L -> 1L, 1L -> 0L, 2L -> 1L))
+    } finally q.stop()
+  }
+
   test("snapshotIngest streams changelog batches into the maintained store e2e") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
