@@ -287,11 +287,18 @@ object Curation {
     * tieId)` are indistinguishable keep decisions, so make `tieId`
     * unique per key. Output: `df`'s columns + the key's `__quota`.
     * `boundarySplit` (conf fallback `spark.graft.boundarySplit`, the
-    * [[resolveBoundarySplit]] convention): route the boundary rank
-    * through [[splitBoundaryRank]]'s tie-id second level — bit-identical
+    * [[resolveBoundarySplitMode]] convention; unset = evidence-based
+    * per-key engagement): route the boundary rank through
+    * [[splitBoundaryRank]]'s tie-id second level — bit-identical
     * keeps, two extra slice passes, and no funnel even when one modal
     * sort value holds 90% of a key (equal sort keys MUST share a
     * level-1 bucket, so only the tie-id split can spread them).
+    * BROADCAST CONTRACT: the per-key quota/threshold frames are
+    * force-broadcast (they are reduced to ≤ |K| rows) — the KEY
+    * CARDINALITY must fit a broadcast (sources, domains, languages:
+    * thousands to low millions). Lifting this onto a high-cardinality
+    * key (e.g. per-document) needs a shuffle-join fallback instead of
+    * the `broadcast(...)` hints below.
     */
   private[graft] def twoPhaseQuotaFill(df: DataFrame, key: Column,
       quotas: DataFrame => DataFrame, sortA: Column, tieId: Column,
@@ -321,31 +328,69 @@ object Curation {
     val slice0 = joined.filter(col("__b") === col("__tb"))
     val tiNumeric = base.schema("__ti").dataType
       .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    def plainRank(s: DataFrame): DataFrame = s
+      .withColumn("__rn", row_number().over(Window.partitionBy(col("__k2"))
+        .orderBy(col("__sa"), col("__ti"))))
+      .filter(col("__rn") <= col("__quota") - col("__below"))
+      .drop("__rn")
     val filled =
-      if (resolveBoundarySplit(df, boundarySplit) && tiNumeric)
-        splitBoundaryRank(slice0, th)
-      else slice0
-        .withColumn("__rn", row_number().over(Window.partitionBy(col("__k2"))
-          .orderBy(col("__sa"), col("__ti"))))
-        .filter(col("__rn") <= col("__quota") - col("__below"))
-        .drop("__rn")
+      if (!tiNumeric) plainRank(slice0)
+      else resolveBoundarySplitMode(df, boundarySplit) match {
+        case Some(true)  => splitBoundaryRank(slice0, th)
+        case Some(false) => plainRank(slice0)
+        case None =>
+          // EVIDENCE-BASED (the default): the level-1 histogram already
+          // holds the boundary bucket's row count per key — engage the
+          // second level ONLY for keys whose boundary bucket exceeds
+          // the single-task bound, off the checkpointed tiny frame (no
+          // corpus pass). A modal-key corpus engages itself; everyone
+          // else keeps the single-level oracle-parity plan at zero
+          // extra cost. Bit-identical either way (the two paths agree
+          // per key and route whole keys).
+          val heavyKeys = hist
+            .join(th.select(col("__k"), col("__tb")),
+              col("__k2") === col("__k") && col("__b") === col("__tb"))
+            .filter(col("__c") > boundarySplitRows(df))
+            .select(col("__k2")).collect().map(_.get(0)).toSeq
+          if (heavyKeys.isEmpty) plainRank(slice0)
+          else plainRank(slice0.filter(!col("__k2").isin(heavyKeys: _*)))
+            .unionByName(
+              splitBoundaryRank(slice0.filter(col("__k2").isin(heavyKeys: _*)),
+                th))
+      }
     kept.unionByName(filled)
       .drop("__k2", "__sa", "__ti", "__b", "__k", "__tb", "__below")
   }
 
-  /** `spark.graft.boundarySplit` — when true (and `tieId` is numeric),
-    * [[twoPhaseQuotaFill]]'s boundary-bucket rank gets a SECOND level:
-    * the degenerate-sort-key defence. Equal sort keys must share a
-    * level-1 bucket (monotonicity), so a key whose rows concentrate on
-    * ONE modal sort value (a mega-domain of same-length snippets —
-    * c1b's real shape) funnels into the boundary rank the twin exists
-    * to remove. Default `false`: the single-level form is the
-    * oracle-parity plan and skips the extra slice passes.
+  /** `spark.graft.boundarySplit` — the SECOND-level (degenerate-sort-key)
+    * defence for [[twoPhaseQuotaFill]]/[[distributedPrefixSum]]. Equal
+    * sort keys must share a level-1 bucket (monotonicity), so a key
+    * whose rows concentrate on ONE modal sort value (a mega-domain of
+    * same-length snippets — c1b's real shape) funnels into the boundary
+    * rank the twin exists to remove. Three-state:
+    *   - explicit `Some(true)` / conf `"true"`: split EVERYWHERE;
+    *   - explicit `Some(false)` / conf `"false"`: single-level rank
+    *     everywhere (the minimal oracle-parity plan);
+    *   - UNSET (the default): EVIDENCE-BASED — per key/bucket, the
+    *     second level engages only when the (already-checkpointed)
+    *     level-1 histogram shows a funnel bucket holding more than
+    *     `spark.graft.boundarySplit.rows` rows (default 2^22 — a
+    *     single task ranks a few million narrow rows comfortably;
+    *     beyond that the funnel dominates). A 100 TB operator should
+    *     not need a session flag flipped before the modal-key corpus
+    *     arrives; the bit-identical keep set makes auto-routing safe.
     */
-  private def resolveBoundarySplit(df: DataFrame,
-                                   split: Option[Boolean]): Boolean =
-    split.getOrElse(df.sparkSession.conf
-      .get("spark.graft.boundarySplit", "false").toBoolean)
+  private def resolveBoundarySplitMode(df: DataFrame,
+                                       split: Option[Boolean]): Option[Boolean] =
+    split.orElse(df.sparkSession.conf
+      .getOption("spark.graft.boundarySplit").map(_.toBoolean))
+
+  /** The evidence bound for auto boundary-split engagement (rows in one
+    * funnel bucket before the second level pays for itself).
+    */
+  private def boundarySplitRows(df: DataFrame): Long =
+    df.sparkSession.conf
+      .get("spark.graft.boundarySplit.rows", "4194304").toLong
 
   /** SECOND-LEVEL exact fill of the boundary-bucket slice: sub-bucket
     * by `(sortA, tieId-range)` — lexicographically monotone in the
@@ -2235,7 +2280,8 @@ object Curation {
       .withColumn("__b", coalesce(expr(s"__sa div $bucketWidth"),
         lit(Long.MinValue)))
     val hist = base.groupBy(col("__k2"), col("__b"))
-      .agg(sum(col("__tok")).as("__tc")).localCheckpoint(true)
+      .agg(sum(col("__tok")).as("__tc"), count(lit(1)).as("__rc"))
+      .localCheckpoint(true)
     val offs0 = hist
       .withColumn("__cum", sum(col("__tc")).over(
         Window.partitionBy(col("__k2")).orderBy(col("__b"))))
@@ -2247,14 +2293,37 @@ object Curation {
       col("__k2") === col("__ok") && col("__b") === col("__ob"))
     val tiNumeric = base.schema("__ti").dataType
       .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    def plainWindow(s: DataFrame): DataFrame = s
+      .withColumn("__cum_value", col("__base") + sum(col("__tok")).over(
+        Window.partitionBy(col("__k2"), col("__b"))
+          .orderBy(col("__sa"), col("__ti"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val summed =
-      if (resolveBoundarySplit(df, boundarySplit) && tiNumeric)
-        splitPrefixSum(joined, pruneAbove)
-      else joined
-        .withColumn("__cum_value", col("__base") + sum(col("__tok")).over(
-          Window.partitionBy(col("__k2"), col("__b"))
-            .orderBy(col("__sa"), col("__ti"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      if (!tiNumeric) plainWindow(joined)
+      else resolveBoundarySplitMode(df, boundarySplit) match {
+        case Some(true)  => splitPrefixSum(joined, pruneAbove)
+        case Some(false) => plainWindow(joined)
+        case None =>
+          // EVIDENCE-BASED (the default): the level-1 histogram already
+          // carries each bucket's ROW count — sub-divide only the
+          // buckets a single window task could not absorb, off the
+          // checkpointed tiny frame. Routing is whole (key, bucket)
+          // groups, so the composed running sum stays bit-identical.
+          // NULL keys never survive the offsets equi-join, and a NULL
+          // literal in the routing predicate would three-value-logic
+          // rows out of BOTH branches — exclude them here
+          val heavy = hist.filter(col("__rc") > boundarySplitRows(df)
+              && col("__k2").isNotNull)
+            .select(col("__k2"), col("__b")).collect()
+          if (heavy.isEmpty) plainWindow(joined)
+          else {
+            val pred = heavy.toSeq.map(r =>
+              col("__k2") === lit(r.get(0)) && col("__b") === lit(r.get(1)))
+              .reduce(_ || _)
+            plainWindow(joined.filter(!pred))
+              .unionByName(splitPrefixSum(joined.filter(pred), pruneAbove))
+          }
+      }
     summed
       .drop("__k2", "__sa", "__ti", "__tok", "__b", "__ok", "__ob", "__base")
   }
@@ -3024,7 +3093,11 @@ object Curation {
           .when(s1 === "removed", lit("changed"))
           .when(s2 === "unchanged", s1)
           .otherwise(s2).as("status"),
-        when(s2.isNotNull && s2 =!= "removed", col("__t2"))
+        // `unchanged` rows may legally carry a NULL payload (apply
+        // ignores them), so an unchanged second log must not erase the
+        // first log's payload — fall back to __t1 when __t2 is NULL.
+        when(s2 === "unchanged", coalesce(col("__t2"), col("__t1")))
+          .when(s2.isNotNull && s2 =!= "removed", col("__t2"))
           .otherwise(col("__t1")).as("text"))
       .filter(col("status").isNotNull)
       // removed rows ship NO payload — apply ignores it, the log is
@@ -3100,10 +3173,21 @@ object Curation {
     * violation count is a 1-row aggregate over the incoming slice. At
     * 100 TB every panel is a projection + one equi-shuffle — nothing
     * quadratic, nothing driver-side.
+    *
+    * `censusRules`: CENSUS-LEVEL expectations — predicates over the
+    * one-row diff census `(n_added, n_changed, n_removed, n_unchanged,
+    * n_old, n_new)` — the classic bad-refresh killer the row rules
+    * cannot see (a refresh that deletes half the corpus passes every
+    * per-row check on the survivors). Each rule lands as an
+    * `(audit = name, n = 0|1)` violation-flag row; NULL predicates
+    * count as violations (the `ops.Expectations` convention). Stays
+    * in-plan (a 1-row aggregate + unpivot), so the audit remains one
+    * oracle-checkable frame.
     */
   def refreshAudit(oldDf: DataFrame, newDf: DataFrame,
                    id: Column = col("doc_id"), text: Column = col("text"),
-                   maxChars: Int = 256): DataFrame = {
+                   maxChars: Int = 256,
+                   censusRules: Seq[(String, Column)] = Nil): DataFrame = {
     val full = corpusDiffFull(oldDf, newDf, id, text)
     def sig(c: Column) =
       array_join(array_sort(array_distinct(split(c, " "))), " ")
@@ -3120,7 +3204,25 @@ object Curation {
         when(coalesce(length(col("new_text")) <= maxChars, lit(false)),
           lit(0L)).otherwise(lit(1L))), lit(0L)).as("n"))
       .select(lit("incoming_rule_violations").as("audit"), col("n"))
-    counts.unionByName(dup).unionByName(viol).orderBy(col("audit"))
+    val base = counts.unionByName(dup).unionByName(viol)
+    val all = if (censusRules.isEmpty) base else {
+      def cnt(s: String) = coalesce(sum(
+        when(col("status") === s, lit(1L)).otherwise(lit(0L))), lit(0L))
+      val census = full.agg(cnt("added").as("n_added"),
+          cnt("changed").as("n_changed"), cnt("removed").as("n_removed"),
+          cnt("unchanged").as("n_unchanged"))
+        // the diff is a full census, so both corpus sizes derive from it
+        .withColumn("n_old",
+          col("n_removed") + col("n_changed") + col("n_unchanged"))
+        .withColumn("n_new",
+          col("n_added") + col("n_changed") + col("n_unchanged"))
+      val perRule = censusRules.map { case (name, p) =>
+        struct(lit(name).as("audit"),
+          when(coalesce(p, lit(false)), lit(0L)).otherwise(lit(1L)).as("n"))
+      }
+      base.unionByName(census.select(inline(array(perRule: _*))))
+    }
+    all.orderBy(col("audit"))
   }
 
   /** Schema of the maintained snapshot store's data + partition columns
@@ -3184,9 +3286,17 @@ object Curation {
     else {
       val in = fs.open(p)
       try {
+        // InputStream.read may legally return fewer bytes than
+        // available — loop to EOF so the digits are never truncated.
         val buf = new Array[Byte](32)
-        val n = in.read(buf)
-        Some(new String(buf, 0, math.max(n, 0), "UTF-8").trim.toInt)
+        var off = 0
+        var n = in.read(buf, off, buf.length - off)
+        while (n > 0 && off + n < buf.length) {
+          off += n
+          n = in.read(buf, off, buf.length - off)
+        }
+        if (n > 0) off += n
+        Some(new String(buf, 0, off, "UTF-8").trim.toInt)
       } finally in.close()
     }
   }
@@ -3255,6 +3365,59 @@ object Curation {
     ()
   }
 
+  /** CATCH-UP fold for the snapshot store's HIGH-CHURN regime (the
+    * honest cliff c45 documents): uniform random churn touching
+    * ≥ nBuckets buckets per batch degrades per-batch folding to a
+    * full-store rewrite PER BATCH — a receiver N batches behind must
+    * not replay N rewrites. This compacts the backlog into ONE
+    * changelog first ([[compactChangelog]] left-fold: N−1 equi-joins
+    * over O(churn) frames, never the corpus; the accumulator is
+    * checkpointed every 8 folds so plan depth stays bounded), then
+    * folds once — ONE store rewrite regardless of backlog depth.
+    * Same final snapshot bit for bit, by compactChangelog's
+    * apply-equivalence (spec-pinned, closed under composition).
+    */
+  def snapshotCatchUp(changelogs: Seq[DataFrame], snapshotPath: String,
+                      nBuckets: Int = 64): Unit = {
+    require(changelogs.nonEmpty, "snapshotCatchUp needs >= 1 changelog")
+    val compacted = changelogs.zipWithIndex.tail
+      .foldLeft(changelogs.head) { case (acc, (l, i)) =>
+        val c = compactChangelog(acc, l)
+        if (i % 8 == 0) c.localCheckpoint(true) else c
+      }
+    snapshotApplyBatch(compacted, snapshotPath, nBuckets)
+  }
+
+  /** GROWTH trigger for the maintained store's bucket count: the store
+    * contract sizes a bucket to fit an executor, so as the corpus grows
+    * past `targetRowsPerBucket × nBuckets` the count must grow with it.
+    * Doubles the bucket count (via the crash-safe [[rebucketSnapshot]])
+    * until the target holds again; returns the store's (possibly new)
+    * bucket count — pass it to subsequent [[snapshotApplyBatch]] calls.
+    * The size read is a parquet metadata count (footers, no data scan);
+    * call between batches (single writer, same contract as rebucket).
+    */
+  def maybeRebucketSnapshot(spark: org.apache.spark.sql.SparkSession,
+                            snapshotPath: String,
+                            targetRowsPerBucket: Long): Int = {
+    require(targetRowsPerBucket >= 1,
+      s"targetRowsPerBucket must be >= 1, got $targetRowsPerBucket")
+    val root = new org.apache.hadoop.fs.Path(snapshotPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readBucketMarker(fs, root) match {
+      case None => throw new IllegalStateException(
+        s"snapshot store $snapshotPath has no _graft_nbuckets marker — " +
+          "initialize it with a first snapshotApplyBatch (or complete a " +
+          "crashed rebucketSnapshot) before asking for a growth check")
+      case Some(cur) =>
+        val n = readSnapshot(spark, snapshotPath).count()
+        var next = cur
+        while (next < (1 << 29) && n > targetRowsPerBucket * next) next *= 2
+        if (next != cur) rebucketSnapshot(spark, snapshotPath, next)
+        next
+    }
+  }
+
   def snapshotApplyBatch(changelog: DataFrame, snapshotPath: String,
                          nBuckets: Int = 64,
                          id: Column = col("doc_id"),
@@ -3263,10 +3426,6 @@ object Curation {
     import org.apache.spark.sql.graftbridge.Bridge
     val spark = changelog.sparkSession
     ensureDir(spark, snapshotPath)
-    val fenceRoot = new org.apache.hadoop.fs.Path(snapshotPath)
-    fenceBucketCount(
-      fenceRoot.getFileSystem(spark.sparkContext.hadoopConfiguration),
-      fenceRoot, nBuckets)
     val cl = changelog
       .select(id.as("doc_id"), status.as("__st"), text.as("text"))
       .filter(col("__st").isin("added", "removed", "changed"))
@@ -3286,8 +3445,16 @@ object Curation {
       .drop("__n")
       .withColumn("bucket",
         pmod(xxhash64(col("doc_id")), lit(nBuckets.toLong)).cast("int"))
-      .localCheckpoint(true)
+      .localCheckpoint(true) // duplicate-id raise fires HERE, before the fence
     try {
+      // Fence AFTER the changelog materializes cleanly: a rejected first
+      // batch (lying log) on a virgin store must not pin the store's
+      // bucket count — a later legitimate first ingest with a different
+      // nBuckets would otherwise be refused on an empty store.
+      val fenceRoot = new org.apache.hadoop.fs.Path(snapshotPath)
+      fenceBucketCount(
+        fenceRoot.getFileSystem(spark.sparkContext.hadoopConfiguration),
+        fenceRoot, nBuckets)
       val touched = cl.select("bucket").distinct().collect().map(_.getInt(0))
       if (touched.nonEmpty) {
         val slice = spark.read.schema(snapshotSchema).parquet(snapshotPath)
@@ -3355,22 +3522,58 @@ object Curation {
     * rows (bounded collect). Removed-only batches validate an empty
     * incoming frame (all-pass) and apply.
     */
+  /** `censusRules` (census-level guards, the mass-delete defence):
+    * predicates over a ONE-ROW census of the batch against the CURRENT
+    * store — columns `n_added, n_changed, n_removed, n_unchanged,
+    * n_batch` (changelog rows by status), `n_old` (current corpus
+    * size, a parquet metadata count) and `n_new`
+    * (= n_old + n_added − n_removed). A refresh that deletes half the
+    * corpus quarantines on `n_removed * 2 <= n_old` even when every
+    * surviving row passes the row rules. Census lines ride the SAME
+    * per-batch report write (`n_rows = 1`, violation flag) and count
+    * toward the verdict; rule names must not collide with row rules.
+    */
   def guardedSnapshotApplyBatch(changelog: DataFrame, batchId: Long,
                                 snapshotPath: String, reportPath: String,
                                 rules: Seq[(String, Column)],
                                 nBuckets: Int = 64,
                                 id: Column = col("doc_id"),
                                 text: Column = col("text"),
-                                status: Column = col("status")): Boolean = {
+                                status: Column = col("status"),
+                                censusRules: Seq[(String, Column)] = Nil)
+      : Boolean = {
+    val spark = changelog.sparkSession
     val incoming = changelog
       .select(id.as("doc_id"), status.as("status"), text.as("text"))
       .filter(col("status").isin("added", "changed"))
-    graft.ops.Expectations.validateBatch(incoming, batchId, reportPath, rules)
-    val spark = changelog.sparkSession
-    val ok = spark.read.parquet(reportPath)
-      .filter(col("batch_id") === batchId)
-      .agg(coalesce(min(col("pass")), lit(1L)).as("ok"))
-      .collect()(0).getLong(0) == 1L
+    val censusLines: Seq[(String, Long, Long)] =
+      if (censusRules.isEmpty) Nil
+      else {
+        ensureDir(spark, snapshotPath)
+        val nOld = readSnapshot(spark, snapshotPath).count()
+        def cnt(s: String) = coalesce(sum(
+          when(col("__st") === s, lit(1L)).otherwise(lit(0L))), lit(0L))
+        val census = changelog.select(status.as("__st"))
+          .agg(cnt("added").as("n_added"), cnt("changed").as("n_changed"),
+            cnt("removed").as("n_removed"),
+            cnt("unchanged").as("n_unchanged"),
+            count(lit(1)).as("n_batch"))
+          .withColumn("n_old", lit(nOld))
+          .withColumn("n_new", lit(nOld) + col("n_added") - col("n_removed"))
+        val flags = census.select(censusRules.zipWithIndex.map {
+          case ((_, p), i) =>
+            when(coalesce(p, lit(false)), lit(0L)).otherwise(lit(1L))
+              .as(s"__cv_$i")
+        }: _*).collect()(0)
+        censusRules.zipWithIndex.map { case ((n, _), i) =>
+          (n, 1L, flags.getLong(i))
+        }
+      }
+    // validateBatch hands back the verdict it just computed (≤ |rules|
+    // rows) — the per-batch decision is O(1), never a listing of the
+    // whole (growing) report store.
+    val ok = graft.ops.Expectations.validateBatch(
+      incoming, batchId, reportPath, rules, extraReport = censusLines)
     if (ok) snapshotApplyBatch(changelog, snapshotPath, nBuckets,
       id, text, status)
     ok
@@ -3384,11 +3587,12 @@ object Curation {
                             reportPath: String,
                             rules: Seq[(String, Column)],
                             nBuckets: Int = 64,
-                            queryName: String = "graft_guarded_snapshot_ingest"): org.apache.spark.sql.streaming.StreamingQuery =
+                            queryName: String = "graft_guarded_snapshot_ingest",
+                            censusRules: Seq[(String, Column)] = Nil): org.apache.spark.sql.streaming.StreamingQuery =
     changelogs.writeStream.queryName(queryName)
       .foreachBatch { (b: DataFrame, bid: Long) =>
         guardedSnapshotApplyBatch(b, bid, snapshotPath, reportPath, rules,
-          nBuckets)
+          nBuckets, censusRules = censusRules)
         ()
       }.start()
 }

@@ -62,6 +62,8 @@ object Expectations {
     */
   def report(df: DataFrame, rules: Seq[(String, Column)],
              uniqueKeys: Seq[(String, Seq[Column])] = Nil): DataFrame = {
+    require(rules.nonEmpty || uniqueKeys.nonEmpty,
+      "report needs at least one rule or unique-key check")
     val rows = if (rules.nonEmpty) Some(validate(df, rules)) else None
     val uniq = uniqueKeys.map { case (n, ks) => uniqueViolations(df, n, ks) }
     (rows.toSeq ++ uniq).reduce(_ unionByName _).orderBy(col("rule"))
@@ -77,16 +79,49 @@ object Expectations {
     * (cross-batch uniqueness is the snapshot store's fence, not a
     * streaming expectation).
     */
+  /** The `(rule, n_rows, n_violations, pass)` report schema every
+    * suite/report write shares.
+    */
+  val reportSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("rule",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_rows",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_violations",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("pass",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+
+  /** `extraReport`: precomputed `(rule, n_rows, n_violations)` lines a
+    * caller derived OUTSIDE the batch frame (e.g. census-level guards
+    * over a changelog + store count) — they land in the same per-batch
+    * partition write and count toward the verdict.
+    */
   def validateBatch(batch: DataFrame, batchId: Long, reportPath: String,
                     rules: Seq[(String, Column)],
-                    uniqueKeys: Seq[(String, Seq[Column])] = Nil): Unit = {
-    report(batch, rules, uniqueKeys)
+                    uniqueKeys: Seq[(String, Seq[Column])] = Nil,
+                    extraReport: Seq[(String, Long, Long)] = Nil): Boolean = {
+    require(rules.nonEmpty || uniqueKeys.nonEmpty || extraReport.nonEmpty,
+      "validateBatch needs at least one rule, unique-key or extra line")
+    val spark = batch.sparkSession
+    // Collect ONCE (≤ |rules| + |uniqueKeys| rows): the same tiny frame
+    // feeds the store write AND the pass/fail verdict, so a publish
+    // gate's decision is O(1) — no re-read of the growing report store.
+    val frameRows: Seq[org.apache.spark.sql.Row] =
+      if (rules.isEmpty && uniqueKeys.isEmpty) Nil
+      else report(batch, rules, uniqueKeys).collect().toIndexedSeq
+    val extraRows = extraReport.map { case (n, nr, nv) =>
+      org.apache.spark.sql.Row(n, nr, nv, if (nv == 0L) 1L else 0L)
+    }
+    val rows = (frameRows ++ extraRows).sortBy(_.getString(0))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), reportSchema)
       .withColumn("batch_id", lit(batchId))
-      .coalesce(1) // ≤ |rules| rows — one tiny file per batch
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(reportPath)
-    ()
+    rows.forall(_.getLong(3) == 1L) // pass column (extra rows are schema-less)
   }
 
   /** Streaming data-quality monitoring: every micro-batch appends its
@@ -100,5 +135,6 @@ object Expectations {
     raw.writeStream.queryName(queryName)
       .foreachBatch { (b: DataFrame, id: Long) =>
         validateBatch(b, id, reportPath, rules, uniqueKeys)
+        ()
       }.start()
 }

@@ -56,6 +56,14 @@ object DocQueries {
   private val c47bDriveCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Memoized store dirs for the c51 census-guard and c52 catch-up
+    * drives (same rationale as c45: the multi-batch drive is setup).
+    */
+  private val c51DriveCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val c52DriveCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** The version-management gates' SHARED snapshot fixtures (c42–c46):
     * snapshot B is a deterministic edit of `documents` (ids %7 dropped,
     * %11 texts suffixed, %13 re-added under a shifted id), snapshot C a
@@ -3682,6 +3690,148 @@ object DocQueries {
         |ORDER BY audit""".stripMargin) { (s, dir) =>
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       graft.curation.Curation.refreshAudit(docs, vmSnapB(docs))
+    },
+
+    // Census-level expectations riding the refresh audit (the
+    // mass-delete defence): rules over the one-row diff census land as
+    // (audit, 0|1) violation-flag rows in the same frame. The fixture's
+    // B refresh removes ~1/7 of the corpus and shrinks it, so the 10%
+    // removal cap and the no-shrink guard both FIRE while the additions
+    // guard passes — all three flags plus every c49 panel, one oracle.
+    QDef("c50_refresh_audit_census",
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, text FROM documents WHERE doc_id % 13 = 0),
+        |d AS (SELECT o.doc_id AS oid, n.doc_id AS nid, o.text AS ot, n.text AS nt
+        |      FROM documents o FULL OUTER JOIN b n ON o.doc_id = n.doc_id),
+        |st AS (SELECT CASE WHEN oid IS NULL THEN 'added'
+        |                   WHEN nid IS NULL THEN 'removed'
+        |                   WHEN ot IS DISTINCT FROM nt THEN 'changed'
+        |                   ELSE 'unchanged' END AS status, nt FROM d),
+        |counts AS (SELECT status AS audit, CAST(count(*) AS BIGINT) AS n
+        |           FROM st GROUP BY status),
+        |osig AS (SELECT DISTINCT array_to_string(list_sort(list_distinct(
+        |           string_split(text, ' '))), ' ') AS sig FROM documents),
+        |dup AS (SELECT 'added_dup_of_existing' AS audit,
+        |          CAST(count(*) AS BIGINT) AS n
+        |        FROM st WHERE status = 'added'
+        |          AND array_to_string(list_sort(list_distinct(
+        |            string_split(nt, ' '))), ' ') IN (SELECT sig FROM osig)),
+        |viol AS (SELECT 'incoming_rule_violations' AS audit,
+        |          CAST(coalesce(sum(CASE WHEN NOT coalesce(length(nt) <= 256,
+        |            FALSE) THEN 1 ELSE 0 END), 0) AS BIGINT) AS n
+        |         FROM st WHERE status IN ('added', 'changed')),
+        |census AS (SELECT
+        |  sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS n_added,
+        |  sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS n_changed,
+        |  sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS n_removed,
+        |  sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS n_unchanged
+        |  FROM st),
+        |crules AS (
+        |  SELECT 'census_added_nonneg' AS audit,
+        |    CAST(CASE WHEN n_added >= 0 THEN 0 ELSE 1 END AS BIGINT) AS n
+        |  FROM census
+        |  UNION ALL
+        |  SELECT 'census_no_shrink' AS audit,
+        |    CAST(CASE WHEN n_added + n_changed + n_unchanged >=
+        |      n_removed + n_changed + n_unchanged THEN 0 ELSE 1 END AS BIGINT)
+        |  FROM census
+        |  UNION ALL
+        |  SELECT 'census_removed_max_10pct' AS audit,
+        |    CAST(CASE WHEN n_removed * 10 <=
+        |      n_removed + n_changed + n_unchanged THEN 0 ELSE 1 END AS BIGINT)
+        |  FROM census)
+        |SELECT audit, n FROM counts
+        |UNION ALL SELECT audit, n FROM dup
+        |UNION ALL SELECT audit, n FROM viol
+        |UNION ALL SELECT audit, n FROM crules
+        |ORDER BY audit""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      graft.curation.Curation.refreshAudit(docs, vmSnapB(docs),
+        censusRules = Seq(
+          "census_added_nonneg" -> (col("n_added") >= 0),
+          "census_no_shrink" -> (col("n_new") >= col("n_old")),
+          "census_removed_max_10pct" ->
+            (col("n_removed") * 10 <= col("n_old"))))
+    },
+
+    // The census guard realized in the INGESTION path: a mass-delete
+    // changelog (half the corpus removed) is QUARANTINED by the
+    // census rule even though its (empty) incoming payload passes every
+    // row rule, while the bootstrap and the legitimate B refresh fold —
+    // the maintained store must land exactly on snapshot B, untouched
+    // by the poisoned batch. Round-trip oracle: the direct snapshot.
+    QDef("c51_guarded_census_store",
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+        |FROM documents WHERE doc_id % 7 <> 0
+        |UNION ALL
+        |SELECT doc_id + 1000000000 AS doc_id, text
+        |FROM documents WHERE doc_id % 13 = 0
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val base = c51DriveCache.computeIfAbsent(dir, _ => {
+        val b0 = QDef.tempDir("graft_census_guard")
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val rules = Seq("doc_id_not_null" -> col("doc_id").isNotNull)
+        // deletion cap: at most 20% of the current corpus per refresh
+        val census = Seq(
+          "census_removed_max_20pct" ->
+            (col("n_removed") * 5 <= col("n_old")))
+        val massDelete = docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), lit("removed").as("status"),
+            lit(null).cast("string").as("text"))
+        val applied = Seq(
+          vmChangelog(docs.limit(0), docs), // bootstrap: n_old=0, passes
+          massDelete,                       // ~50% removal: REFUSED
+          vmChangelog(docs, vmSnapB(docs))  // ~14% removal: passes
+        ).zipWithIndex.map { case (c, i) =>
+          graft.curation.Curation.guardedSnapshotApplyBatch(
+            c, i.toLong, s"$b0/snap", s"$b0/report", rules,
+            nBuckets = 8, censusRules = census)
+        }
+        assert(applied == Seq(true, false, true),
+          s"census guard verdicts: $applied")
+        b0
+      })
+      graft.curation.Curation.readSnapshot(s, s"$base/snap")
+        .orderBy(col("doc_id"))
+    },
+
+    // High-churn CATCH-UP (the c45 cliff's pairing): a receiver three
+    // changelogs behind compacts the backlog into ONE log and folds it
+    // once — the store must land exactly on the direct snapshot C
+    // (c45's oracle), with ONE rewrite instead of three.
+    QDef("c52_snapshot_catchup",
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, text FROM documents WHERE doc_id % 13 = 0)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN text || ' v3' ELSE text END AS text
+        |FROM b WHERE doc_id % 17 <> 0
+        |UNION ALL
+        |SELECT doc_id, text FROM documents WHERE doc_id % 21 = 0
+        |UNION ALL
+        |SELECT doc_id + 2000000000 AS doc_id, text
+        |FROM documents WHERE doc_id % 19 = 0
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val base = c52DriveCache.computeIfAbsent(dir, _ => {
+        val b0 = QDef.tempDir("graft_snapshot_catchup")
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val snapB = vmSnapB(docs)
+        graft.curation.Curation.snapshotCatchUp(
+          Seq(vmChangelog(docs.limit(0), docs), vmChangelog(docs, snapB),
+            vmChangelog(snapB, vmSnapC(docs, snapB))),
+          s"$b0/snap", nBuckets = 8)
+        b0
+      })
+      graft.curation.Curation.readSnapshot(s, s"$base/snap")
+        .orderBy(col("doc_id"))
     },
 
     // Deterministic per-epoch shuffle (training order): epoch e orders

@@ -414,25 +414,46 @@ object RedsetQueries {
         .orderBy(col("instance_id"), col("table_id"))
     },
 
+    // The reference's DENSE batch-id rule itself (producer_Final.py:111;
+    // §1.2 last row), hash-gated: batch_id = (row_number over the
+    // event-time order − 1) div 64. (arrival_timestamp, query_id) is a
+    // total order (query_id is the unique event_id), so the assignment
+    // is deterministic and DuckDB-expressible.
+    QDef("redset_batch_id",
+      s"""$oraclePrelude
+         |SELECT query_id,
+         |       CAST((row_number() OVER (
+         |         ORDER BY arrival_timestamp, query_id) - 1) // 64
+         |         AS BIGINT) AS batch_id
+         |FROM kept ORDER BY query_id""".stripMargin) { (s, dir) =>
+      graft.etl.Clean.withBatchId(graft.etl.Clean(raw(s, dir)), 64)
+        .select(col("query_id"), col("batch_id"))
+        .orderBy(col("query_id"))
+    },
+
     // withBatchId's SCALE twin (Clean.withBatchIdScalable): batch ids
-    // from monotonically_increasing_id, no global sort window. The ids
-    // are engine-internal (a function of the partitioning), so there is
-    // NO DuckDB oracle — the gate audits the invariants the downstream
-    // fan-out relies on instead: every batch at most batchSize rows, no
-    // negative ids, total row count preserved (deterministic), zero
-    // violations. The dense window form stays the oracle-parity plan
-    // (ReferenceEquivalenceSpec pins it against the producer's rule).
+    // from monotonically_increasing_id, no global sort window. The id
+    // VALUES are engine-internal (a function of the partitioning), so
+    // the gate hashes the invariants the downstream fan-out relies on
+    // instead: total row count preserved (the cleaned count, from the
+    // shared clean-semantics CTE), every batch at most batchSize rows,
+    // no negative ids — the two violation counters are 0 by the
+    // invariant, and the oracle pins them as literals.
     QDef("redset_batch_id_scalable",
-      (s: SparkSession, dir: String) => {
-        val cleaned = graft.etl.Clean(raw(s, dir))
-        val b = graft.etl.Clean.withBatchIdScalable(cleaned, 64)
-        b.groupBy(col("batch_id")).agg(count(lit(1)).as("__n"))
-          .agg(sum(col("__n")).as("n_rows"),
-            sum(when(col("__n") > 64, 1L).otherwise(0L))
-              .as("n_oversized_batches"),
-            sum(when(col("batch_id") < 0, 1L).otherwise(0L))
-              .as("n_negative_ids"))
-      }, None)
+      s"""$oraclePrelude
+         |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(0 AS BIGINT) AS n_oversized_batches,
+         |       CAST(0 AS BIGINT) AS n_negative_ids
+         |FROM kept""".stripMargin) { (s, dir) =>
+      val cleaned = graft.etl.Clean(raw(s, dir))
+      val b = graft.etl.Clean.withBatchIdScalable(cleaned, 64)
+      b.groupBy(col("batch_id")).agg(count(lit(1)).as("__n"))
+        .agg(coalesce(sum(col("__n")), lit(0L)).as("n_rows"),
+          coalesce(sum(when(col("__n") > 64, 1L).otherwise(0L)), lit(0L))
+            .as("n_oversized_batches"),
+          coalesce(sum(when(col("batch_id") < 0, 1L).otherwise(0L)), lit(0L))
+            .as("n_negative_ids"))
+    }
   )
 
   /** The shared 3-batch incremental drive: fixture split into two

@@ -1138,6 +1138,65 @@ object ScaleProbe {
       // pure projection × 3-way explode + one (epoch, shard) groupBy
       Curation.epochShuffleManifest(big, col("doc_id"), epochs = 3).count()
     }
+    t(s"st5b ewma file-source ${mult}x") {
+      // the st5 probe caps at 10x: MemoryStream materializes the feed
+      // on the DRIVER heap (2M events OOMed the probe JVM at 100x). A
+      // FILE source feeds the same mapGroupsWithState topology from
+      // executor-side parquet in bounded micro-batches, so the full
+      // mult streams through — the streaming family's 100x point.
+      import spark.implicits._
+      import graft.streaming.Streams
+      val feedDir =
+        java.nio.file.Files.createTempDirectory("probe_ewma_feed").toString
+      (0 until mult).map { r =>
+        Tables.events(spark, dir).select(
+          (col("user_id") + lit(r * 10000000L)).as("key"),
+          expr("unix_micros(ts)").as("tsMicros"),
+          col("value").cast("double").as("value"))
+      }.reduce(_ unionByName _)
+        .repartition(32).write.mode("overwrite").parquet(feedDir)
+      val nFeed = spark.read.parquet(feedDir).count()
+      val src = spark.readStream
+        .schema("key LONG, tsMicros LONG, value DOUBLE")
+        .option("maxFilesPerTrigger", 8)
+        .parquet(feedDir).as[Streams.MetricEvent]
+      val q = Streams.ewmaStress(src).writeStream.format("noop")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      nFeed
+    }
+    t(s"c52 catchup uniform churn ${mult}x") {
+      // the c45 cliff measured head-on: UNIFORM random churn touches
+      // ~every bucket, so per-batch folding rewrites the whole store
+      // PER BATCH; the catch-up path compacts the backlog into one log
+      // first — K batches cost K−1 churn-sized joins + ONE rewrite.
+      // Printed pair: 3-batch per-batch replay vs the same backlog via
+      // snapshotCatchUp (the flat-cost evidence).
+      import graft.curation.Curation
+      def churn(r: Int) = big
+        .filter(pmod(xxhash64(col("doc_id") + r), lit(97L)) === 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 2 === 0, lit("changed"))
+            .otherwise(lit("removed")).as("status"),
+          concat(col("text"), lit(s" u$r")).as("text"))
+      val bootstrap = big.select(col("doc_id"), lit("added").as("status"),
+        col("text"))
+      val baseA =
+        java.nio.file.Files.createTempDirectory("probe_catchup_a").toString
+      val baseB =
+        java.nio.file.Files.createTempDirectory("probe_catchup_b").toString
+      Curation.snapshotApplyBatch(bootstrap, s"$baseA/snap", nBuckets = 256)
+      Curation.snapshotApplyBatch(bootstrap, s"$baseB/snap", nBuckets = 256)
+      val logs = (0 to 2).map(churn)
+      val tA0 = System.nanoTime()
+      logs.foreach(Curation.snapshotApplyBatch(_, s"$baseA/snap",
+        nBuckets = 256))
+      println(f"SCALE   c52 per-batch x3          ${(System.nanoTime() - tA0) / 1e9}%.2f s")
+      val tB0 = System.nanoTime()
+      Curation.snapshotCatchUp(logs, s"$baseB/snap", nBuckets = 256)
+      println(f"SCALE   c52 catch-up (compacted)  ${(System.nanoTime() - tB0) / 1e9}%.2f s")
+      Curation.readSnapshot(spark, s"$baseB/snap").count()
+    }
     t(s"c49 refresh audit ${mult}x") {
       // one full-outer diff + sig semi join + 1-row aggregate
       val snapB = big.filter(col("doc_id") % 7 =!= 0)

@@ -469,6 +469,34 @@ class CurationSpec extends AnyFunSuite {
     assert(Curation.compactChangelog(e, e).count() == 0)
   }
 
+  test("compactChangelog: census second log with NULL unchanged payloads keeps the first log's text") {
+    // applyCorpusDiff's contract lets `unchanged` rows ship a NULL
+    // payload (apply ignores them) — a full-census second log in that
+    // shape must NOT erase the first log's payload when compacting
+    // added→unchanged / changed→unchanged chains
+    val cl1 = Seq((1L, "added", Some("one")), (2L, "changed", Some("two B")))
+      .toDF("doc_id", "status", "text")
+    val cl2 = Seq((1L, "unchanged", None: Option[String]),
+      (2L, "unchanged", None: Option[String]),
+      (3L, "added", Some("three")))
+      .toDF("doc_id", "status", "text")
+    val compacted = Curation.compactChangelog(cl1, cl2)
+    val byId = compacted.as[(Long, String, Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byId == Map(
+      1L -> (("added", Some("one"))),
+      2L -> (("changed", Some("two B"))),
+      3L -> (("added", Some("three")))))
+    // apply-equivalence on a consistent A: one compacted apply == two
+    // sequential applies
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Option[String])].collect().toSet
+    val snapA = Seq((2L, Some("two"))).toDF("doc_id", "text")
+    assert(asSet(Curation.applyCorpusDiff(snapA, compacted)) ==
+      asSet(Curation.applyCorpusDiff(
+        Curation.applyCorpusDiff(snapA, cl1), cl2)))
+  }
+
   test("snapshotApplyBatch: maintained store ≡ direct snapshot, replay + wipe + re-add") {
     val base = graft.queries.QDef.tempDir("graft_snap_store")
     val path = s"$base/snap"
@@ -551,6 +579,124 @@ class CurationSpec extends AnyFunSuite {
     Curation.rebucketSnapshot(spark, path, newNBuckets = 4)
     Curation.snapshotApplyBatch(cl(snapB, snapA), path, nBuckets = 4)
     assert(asSet(Curation.readSnapshot(spark, path)) == asSet(snapA))
+  }
+
+  test("census guard: a mass-delete refresh is refused even when every row rule passes") {
+    val base = graft.queries.QDef.tempDir("graft_census_spec")
+    val path = s"$base/snap"; val rep = s"$base/report"
+    val snapA = (1L to 20L).map(i => (i, Some(s"doc $i")))
+      .toDF("doc_id", "text")
+    def cl(a: org.apache.spark.sql.DataFrame,
+           b: org.apache.spark.sql.DataFrame) =
+      Curation.corpusDiff(a, b).join(b, Seq("doc_id"), "left")
+    val rules = Seq("text_not_null" -> col("text").isNotNull)
+    val census = Seq("removed_max_20pct" ->
+      (col("n_removed") * 5 <= col("n_old")))
+    // bootstrap applies (n_old = 0)
+    assert(Curation.guardedSnapshotApplyBatch(cl(snapA.limit(0), snapA), 0L,
+      path, rep, rules, nBuckets = 2, censusRules = census))
+    // a refresh deleting half the corpus: every SURVIVING row passes the
+    // row rules, the census rule quarantines it
+    val half = snapA.filter($"doc_id" <= 10L)
+    assert(!Curation.guardedSnapshotApplyBatch(cl(snapA, half), 1L,
+      path, rep, rules, nBuckets = 2, censusRules = census))
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Option[String])].collect().toSet
+    assert(asSet(Curation.readSnapshot(spark, path)) == asSet(snapA))
+    // the audit trail recorded BOTH the row rule and the census line
+    val recorded = spark.read.parquet(rep)
+      .filter(col("batch_id") === 1L)
+      .select("rule", "n_violations", "pass")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(recorded("removed_max_20pct") == ((1L, 0L)))
+    assert(recorded("text_not_null") == ((0L, 1L)))
+    // a modest refresh (2 of 20 removed = 10%) passes the census rule
+    val modest = snapA.filter($"doc_id" > 2L)
+    assert(Curation.guardedSnapshotApplyBatch(cl(snapA, modest), 2L,
+      path, rep, rules, nBuckets = 2, censusRules = census))
+    assert(asSet(Curation.readSnapshot(spark, path)) == asSet(modest))
+  }
+
+  test("snapshotCatchUp: compacted backlog lands on the same snapshot as per-batch replay") {
+    val snapA = (1L to 30L).map(i => (i, Some(s"doc $i"))).toDF("doc_id", "text")
+    val snapB = snapA.filter($"doc_id" % 3 =!= 0L)
+      .unionByName(Seq((100L, Some("new b"))).toDF("doc_id", "text"))
+    val snapC = snapB.filter($"doc_id" % 5 =!= 0L)
+      .unionByName(Seq((3L, Some("doc 3")), (200L, None: Option[String]))
+        .toDF("doc_id", "text"))
+    def cl(a: org.apache.spark.sql.DataFrame,
+           b: org.apache.spark.sql.DataFrame) =
+      Curation.corpusDiff(a, b).join(b, Seq("doc_id"), "left")
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Option[String])].collect().toSet
+    val logs = Seq(cl(snapA.limit(0), snapA), cl(snapA, snapB),
+      cl(snapB, snapC))
+    // per-batch replay
+    val p1 = s"${graft.queries.QDef.tempDir("graft_catchup_a")}/snap"
+    logs.foreach(Curation.snapshotApplyBatch(_, p1, nBuckets = 4))
+    // catch-up: one compacted fold
+    val p2 = s"${graft.queries.QDef.tempDir("graft_catchup_b")}/snap"
+    Curation.snapshotCatchUp(logs, p2, nBuckets = 4)
+    assert(asSet(Curation.readSnapshot(spark, p2)) == asSet(snapC))
+    assert(asSet(Curation.readSnapshot(spark, p1))
+      == asSet(Curation.readSnapshot(spark, p2)))
+    // a single-log backlog degrades to plain apply
+    val p3 = s"${graft.queries.QDef.tempDir("graft_catchup_c")}/snap"
+    Curation.snapshotCatchUp(Seq(cl(snapA.limit(0), snapA)), p3, nBuckets = 4)
+    assert(asSet(Curation.readSnapshot(spark, p3)) == asSet(snapA))
+  }
+
+  test("maybeRebucketSnapshot: growth trigger doubles the bucket count, small store is a no-op") {
+    val base = graft.queries.QDef.tempDir("graft_rebucket_auto")
+    val path = s"$base/snap"
+    val snapA = (1L to 64L).map(i => (i, Some(s"doc $i"))).toDF("doc_id", "text")
+    def cl(a: org.apache.spark.sql.DataFrame,
+           b: org.apache.spark.sql.DataFrame) =
+      Curation.corpusDiff(a, b).join(b, Seq("doc_id"), "left")
+    Curation.snapshotApplyBatch(cl(snapA.limit(0), snapA), path, nBuckets = 2)
+    // 64 rows / 2 buckets = 32 per bucket; target 40 → no-op at 2
+    assert(Curation.maybeRebucketSnapshot(spark, path, 40L) == 2)
+    // target 10 → grows until 64/n ≤ 10: 2→4→8
+    assert(Curation.maybeRebucketSnapshot(spark, path, 10L) == 8)
+    // the store still serves the same snapshot, and ingest at the new
+    // count works while the old count is fenced off
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Option[String])].collect().toSet
+    assert(asSet(Curation.readSnapshot(spark, path)) == asSet(snapA))
+    assert(intercept[IllegalStateException] {
+      Curation.snapshotApplyBatch(cl(snapA, snapA), path, nBuckets = 2)
+    }.getMessage.contains("nBuckets=8"))
+    Curation.snapshotApplyBatch(cl(snapA, snapA), path, nBuckets = 8)
+    // a virgin path refuses the growth check (nothing to measure)
+    assert(intercept[IllegalStateException] {
+      Curation.maybeRebucketSnapshot(spark,
+        s"$base/none", 10L)
+    }.getMessage.contains("no _graft_nbuckets"))
+  }
+
+  test("snapshot store: a rejected first batch on a virgin store does not pin the bucket count") {
+    // a lying log refused on an EMPTY store must leave the store
+    // virgin — a later legitimate first ingest may pick any nBuckets
+    val base = graft.queries.QDef.tempDir("graft_snap_virgin")
+    val path = s"$base/snap"
+    val lying = Seq((9L, "added", Some("x")), (9L, "changed", Some("y")))
+      .toDF("doc_id", "status", "text")
+    assert(intercept[Exception] {
+      Curation.snapshotApplyBatch(lying, path, nBuckets = 2)
+    }.getMessage.contains("duplicate rows"))
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "_graft_nbuckets")))
+    // first LEGITIMATE ingest with a different count succeeds
+    val snapA = Seq((1L, Some("one")), (2L, Some("two"))).toDF("doc_id", "text")
+    def cl(a: org.apache.spark.sql.DataFrame,
+           b: org.apache.spark.sql.DataFrame) =
+      Curation.corpusDiff(a, b).join(b, Seq("doc_id"), "left")
+    Curation.snapshotApplyBatch(cl(snapA.limit(0), snapA), path, nBuckets = 4)
+    assert(Curation.readSnapshot(spark, path)
+      .as[(Long, Option[String])].collect().toSet ==
+      Set((1L, Some("one")), (2L, Some("two"))))
   }
 
   test("guardedSnapshotIngest quarantines a failing batch, applies clean ones") {

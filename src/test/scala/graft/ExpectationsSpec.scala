@@ -124,5 +124,24 @@ class ExpectationsSpec extends AnyFunSuite {
         uniqueKeys = Seq("u1" -> Seq($"doc_id")))
       .as[(String, Long, Long, Long)].collect().toSet
     assert(empty == Set(("r1", 0L, 0L, 1L), ("u1", 0L, 0L, 1L)))
+    // an empty suite is a misconfiguration, not an opaque reduce error
+    val err = intercept[IllegalArgumentException] {
+      Expectations.report(docs, Nil, Nil)
+    }
+    assert(err.getMessage.contains("at least one rule"), err.getMessage)
+  }
+
+  test("validateBatch: returns the batch's own verdict without reading the store") {
+    val base = graft.queries.QDef.tempDir("graft_exp_verdict")
+    val rules = Seq("text_short" -> (length($"text") <= 8))
+    assert(Expectations.validateBatch(
+      Seq((1L, "ok")).toDF("doc_id", "text"), 0L, s"$base/report", rules))
+    assert(!Expectations.validateBatch(
+      Seq((2L, "far far far too long")).toDF("doc_id", "text"),
+      1L, s"$base/report", rules))
+    // the verdict matches what the store records for each batch
+    val stored = spark.read.parquet(s"$base/report")
+      .select("batch_id", "pass").as[(Long, Long)].collect().toMap
+    assert(stored == Map(0L -> 1L, 1L -> 0L))
   }
 }

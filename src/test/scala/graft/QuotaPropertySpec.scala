@@ -46,42 +46,92 @@ class QuotaPropertySpec extends AnyFunSuite {
   }
 
   test("quotaPerKeyScalable ≡ window form on 12 random corpora × widths × split") {
-    for (seed <- 1L to 12L) {
-      val df = corpus(seed * 977L)
-        .toDF("doc_id", "key", "n_tokens", "quality")
-        .localCheckpoint(true)
-      val n = (seed % 5).toInt * 13 // 0, 13, 26, 39, 52
-      val exact = Curation.quotaPerKey(df, col("key"), n,
-          Seq(col("quality").asc, col("doc_id")))
-        .select("doc_id").as[Long].collect().toSet
-      for (w <- Seq(1L, 8L); split <- Seq(false, true)) {
-        val got = Curation.quotaPerKeyScalable(df, col("key"), n,
-            col("quality"), col("doc_id"), bucketWidth = w,
-            boundarySplit = Some(split))
+    // AUTO (None) runs with a tiny evidence bound so the per-key routing
+    // genuinely mixes engaged and plain keys within one frame
+    spark.conf.set("spark.graft.boundarySplit.rows", "20")
+    try {
+      for (seed <- 1L to 12L) {
+        val df = corpus(seed * 977L)
+          .toDF("doc_id", "key", "n_tokens", "quality")
+          .localCheckpoint(true)
+        val n = (seed % 5).toInt * 13 // 0, 13, 26, 39, 52
+        val exact = Curation.quotaPerKey(df, col("key"), n,
+            Seq(col("quality").asc, col("doc_id")))
           .select("doc_id").as[Long].collect().toSet
-        assert(got == exact, s"seed=$seed n=$n w=$w split=$split")
+        for (w <- Seq(1L, 8L);
+             split <- Seq(Some(false), Some(true), None)) {
+          val got = Curation.quotaPerKeyScalable(df, col("key"), n,
+              col("quality"), col("doc_id"), bucketWidth = w,
+              boundarySplit = split)
+            .select("doc_id").as[Long].collect().toSet
+          assert(got == exact, s"seed=$seed n=$n w=$w split=$split")
+        }
+        org.apache.spark.sql.graftbridge.Bridge.release(df)
       }
-      org.apache.spark.sql.graftbridge.Bridge.release(df)
-    }
+    } finally spark.conf.unset("spark.graft.boundarySplit.rows")
   }
 
   test("tokenBudgetMixScalable ≡ window form on 12 random corpora × widths × split") {
-    for (seed <- 1L to 12L) {
-      val df = corpus(seed * 1259L)
-        .toDF("doc_id", "key", "n_tokens", "quality")
-        .localCheckpoint(true)
-      val budget = Seq(0L, 25L, 120L, 1000000L)((seed % 4).toInt)
-      val exact = Curation.tokenBudgetMix(df, col("n_tokens"), col("key"),
-          Seq(col("quality").asc, col("doc_id")), budget)
-        .select("doc_id", "cum_tokens").as[(Long, Long)].collect().toSet
-      for (w <- Seq(1L, 8L); split <- Seq(false, true)) {
-        val got = Curation.tokenBudgetMixScalable(df, col("n_tokens"),
-            col("key"), col("quality"), col("doc_id"), budget,
-            bucketWidth = w, boundarySplit = Some(split))
+    spark.conf.set("spark.graft.boundarySplit.rows", "20")
+    try {
+      for (seed <- 1L to 12L) {
+        val df = corpus(seed * 1259L)
+          .toDF("doc_id", "key", "n_tokens", "quality")
+          .localCheckpoint(true)
+        val budget = Seq(0L, 25L, 120L, 1000000L)((seed % 4).toInt)
+        val exact = Curation.tokenBudgetMix(df, col("n_tokens"), col("key"),
+            Seq(col("quality").asc, col("doc_id")), budget)
           .select("doc_id", "cum_tokens").as[(Long, Long)].collect().toSet
-        assert(got == exact, s"seed=$seed budget=$budget w=$w split=$split")
+        for (w <- Seq(1L, 8L);
+             split <- Seq(Some(false), Some(true), None)) {
+          val got = Curation.tokenBudgetMixScalable(df, col("n_tokens"),
+              col("key"), col("quality"), col("doc_id"), budget,
+              bucketWidth = w, boundarySplit = split)
+            .select("doc_id", "cum_tokens").as[(Long, Long)].collect().toSet
+          assert(got == exact, s"seed=$seed budget=$budget w=$w split=$split")
+        }
+        org.apache.spark.sql.graftbridge.Bridge.release(df)
       }
-      org.apache.spark.sql.graftbridge.Bridge.release(df)
-    }
+    } finally spark.conf.unset("spark.graft.boundarySplit.rows")
+  }
+
+  test("auto boundary split: modal heavy key engages, uniform corpus does not") {
+    // engagement evidence is the level-1 histogram: with the bound at 50,
+    // a modal key funneling 300 rows into one boundary bucket must route
+    // through the second level, while a uniform corpus (all buckets tiny)
+    // must keep the single-level plan — both bit-identical to the window
+    // form. The plan check keys on the second level's struct sub-bucket.
+    spark.conf.set("spark.graft.boundarySplit.rows", "50")
+    try {
+      // modal: one key, 90% of rows share quality 7 → with width 8 the
+      // boundary bucket holds ~360 rows (> 50): engages.
+      val modal = (1 to 400).map { i =>
+        (i.toLong, "k0", 1L, Some(if (i % 10 != 3) 7L else i.toLong % 30L))
+      }.toDF("doc_id", "key", "n_tokens", "quality").localCheckpoint(true)
+      // uniform: 4 keys × 100 rows spread over qualities 0..999 → every
+      // width-8 bucket holds ≤ a handful of rows: stays single-level.
+      val uniform = (1 to 400).map { i =>
+        (i.toLong, s"k${i % 4}", 1L, Some(i.toLong * 31L % 1000L))
+      }.toDF("doc_id", "key", "n_tokens", "quality").localCheckpoint(true)
+      def run(df: org.apache.spark.sql.DataFrame, n: Int) =
+        Curation.quotaPerKeyScalable(df, col("key"), n,
+          col("quality"), col("doc_id"), bucketWidth = 8L)
+      def exact(df: org.apache.spark.sql.DataFrame, n: Int) =
+        Curation.quotaPerKey(df, col("key"), n,
+          Seq(col("quality").asc, col("doc_id")))
+      // bit-identity on both shapes
+      assert(run(modal, 120).select("doc_id").as[Long].collect().toSet ==
+        exact(modal, 120).select("doc_id").as[Long].collect().toSet)
+      assert(run(uniform, 50).select("doc_id").as[Long].collect().toSet ==
+        exact(uniform, 50).select("doc_id").as[Long].collect().toSet)
+      // the modal plan engaged the second level (tie-range sub-bucket
+      // struct appears); the uniform plan did not
+      assert(run(modal, 120).queryExecution.optimizedPlan.toString
+        .contains("__b2"))
+      assert(!run(uniform, 50).queryExecution.optimizedPlan.toString
+        .contains("__b2"))
+      org.apache.spark.sql.graftbridge.Bridge.release(modal)
+      org.apache.spark.sql.graftbridge.Bridge.release(uniform)
+    } finally spark.conf.unset("spark.graft.boundarySplit.rows")
   }
 }
