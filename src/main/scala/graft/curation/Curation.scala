@@ -3225,6 +3225,129 @@ object Curation {
     all.orderBy(col("audit"))
   }
 
+  /** Schema of the maintained SIGNATURE store's data + partition
+    * columns (explicit on every read — an empty store has no footers;
+    * public because [[compactCountedStore]] takes it as the staged
+    * schema when squashing the store's per-batch dirs).
+    */
+  val sigStoreStagedSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("sig",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("delta",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("bucket",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("batch_id",
+      org.apache.spark.sql.types.LongType)))
+
+  /** The canonical-token signature the dedup/audit family keys on
+    * (sorted distinct whitespace tokens — word-order/duplication
+    * insensitive). ONE definition so the maintained store and the
+    * direct audit cannot drift.
+    */
+  private def tokenSig(c: Column): Column =
+    array_join(array_sort(array_distinct(split(c, " "))), " ")
+
+  /** One batch of MAINTAINED signature upkeep (the c49 100 TB note
+    * closed): the corpus' distinct canonical-token signatures with
+    * REFERENCE COUNTS, folded incrementally from FULL (CDC) changelogs
+    * ([[corpusDiffFull]]'s shape — the old image is what makes a
+    * removal decrementable). With the store maintained, the refresh
+    * audit's "added duplicates existing content" panel is O(refresh +
+    * store) — never a per-audit corpus-wide text scan + distinct.
+    *
+    * Layout: `(bucket = xxhash64(sig) mod nBuckets, batch_id)` staged
+    * parquet of `(sig, delta)` rows, each batch dynamic-overwriting its
+    * OWN partitions — at-least-once replays are no-ops (the d9 staging
+    * idempotence convention), and [[compactCountedStore]] squashes the
+    * per-batch dirs when listing growth matters (same layout contract).
+    * Read = `groupBy(sig).sum(delta) > 0`. A changed row whose old and
+    * new signatures coincide nets to zero and is never written; NULL
+    * texts carry no signature (a NULL sig could never semi-join a dup
+    * check anyway).
+    */
+  def sigStoreApplyBatch(fullChangelog: DataFrame, sigStorePath: String,
+                         batchId: Long, nBuckets: Int = 64,
+                         status: Column = col("status"),
+                         oldText: Column = col("old_text"),
+                         newText: Column = col("new_text")): Unit = {
+    val gains = fullChangelog.filter(status.isin("added", "changed"))
+      .select(tokenSig(newText).as("sig"), lit(1L).as("delta"))
+    val losses = fullChangelog.filter(status.isin("removed", "changed"))
+      .select(tokenSig(oldText).as("sig"), lit(-1L).as("delta"))
+    gains.unionByName(losses)
+      .filter(col("sig").isNotNull)
+      .groupBy(col("sig")).agg(sum(col("delta")).as("delta"))
+      .filter(col("delta") =!= 0L)
+      .withColumn("bucket",
+        pmod(xxhash64(col("sig")), lit(nBuckets.toLong)).cast("int"))
+      .withColumn("batch_id", lit(batchId))
+      .repartition(col("bucket")).write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket", "batch_id").parquet(sigStorePath)
+    ()
+  }
+
+  /** The maintained signature census: `(sig, cnt)` for every signature
+    * currently carried by ≥1 corpus document (one pre-reduced groupBy
+    * over the staged deltas — store rows ≤ distinct sigs × batches,
+    * compacted by [[compactCountedStore]]).
+    */
+  def readSigStore(spark: org.apache.spark.sql.SparkSession,
+                   sigStorePath: String): DataFrame =
+    spark.read.schema(sigStoreStagedSchema).parquet(sigStorePath)
+      .groupBy(col("sig")).agg(sum(col("delta")).as("cnt"))
+      .filter(col("cnt") > 0L)
+
+  /** [[refreshAudit]] with the dup panel served by the MAINTAINED
+    * signature store instead of a per-audit corpus scan: the candidate
+    * refresh arrives as a FULL (CDC) changelog (it IS the diff, so no
+    * full-outer join either), and every panel is O(refresh) except the
+    * one pre-reduced store read. Output is IDENTICAL to [[refreshAudit]]
+    * on the corresponding snapshots — gated against the same oracle.
+    * The store must reflect the corpus BEFORE this refresh applies
+    * (audit first, then [[sigStoreApplyBatch]] the log if it ships).
+    */
+  def refreshAuditMaintained(fullChangelog: DataFrame,
+                             sigStorePath: String,
+                             maxChars: Int = 256,
+                             censusRules: Seq[(String, Column)] = Nil)
+      : DataFrame = {
+    val spark = fullChangelog.sparkSession
+    val counts = fullChangelog.groupBy(col("status").as("audit"))
+      .agg(count(lit(1)).as("n"))
+    val dup = fullChangelog.filter(col("status") === "added")
+      .select(tokenSig(col("new_text")).as("sig"))
+      .join(readSigStore(spark, sigStorePath).select(col("sig")),
+        Seq("sig"), "left_semi")
+      .agg(count(lit(1)).as("n"))
+      .select(lit("added_dup_of_existing").as("audit"), col("n"))
+    val viol = fullChangelog.filter(col("status").isin("added", "changed"))
+      .agg(coalesce(sum(
+        when(coalesce(length(col("new_text")) <= maxChars, lit(false)),
+          lit(0L)).otherwise(lit(1L))), lit(0L)).as("n"))
+      .select(lit("incoming_rule_violations").as("audit"), col("n"))
+    val base = counts.unionByName(dup).unionByName(viol)
+    val all = if (censusRules.isEmpty) base else {
+      def cnt(s: String) = coalesce(sum(
+        when(col("status") === s, lit(1L)).otherwise(lit(0L))), lit(0L))
+      val census = fullChangelog.agg(cnt("added").as("n_added"),
+          cnt("changed").as("n_changed"), cnt("removed").as("n_removed"),
+          cnt("unchanged").as("n_unchanged"))
+        .withColumn("n_old",
+          col("n_removed") + col("n_changed") + col("n_unchanged"))
+        .withColumn("n_new",
+          col("n_added") + col("n_changed") + col("n_unchanged"))
+      val perRule = censusRules.map { case (name, p) =>
+        struct(lit(name).as("audit"),
+          when(coalesce(p, lit(false)), lit(0L)).otherwise(lit(1L)).as("n"))
+      }
+      base.unionByName(census.select(inline(array(perRule: _*))))
+    }
+    all.orderBy(col("audit"))
+  }
+
   /** Schema of the maintained snapshot store's data + partition columns
     * (explicit on every read: a just-ensured empty store dir has no
     * footers to infer from).

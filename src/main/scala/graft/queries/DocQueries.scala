@@ -63,6 +63,10 @@ object DocQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val c52DriveCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val c53DriveCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val c54DriveCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** The version-management gates' SHARED snapshot fixtures (c42–c46):
     * snapshot B is a deterministic edit of `documents` (ids %7 dropped,
@@ -3798,6 +3802,94 @@ object DocQueries {
       })
       graft.curation.Curation.readSnapshot(s, s"$base/snap")
         .orderBy(col("doc_id"))
+    },
+
+    // The refresh audit served by the MAINTAINED signature store: the
+    // store bootstraps from the CDC log of the corpus itself, then the
+    // SAME B-refresh audit as c49 runs off the store + the incoming
+    // full changelog — no per-audit corpus text scan, and the output
+    // must hash-match c49's direct-computation oracle line for line.
+    QDef("c53_refresh_audit_maintained",
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, text FROM documents WHERE doc_id % 13 = 0),
+        |d AS (SELECT o.doc_id AS oid, n.doc_id AS nid, o.text AS ot, n.text AS nt
+        |      FROM documents o FULL OUTER JOIN b n ON o.doc_id = n.doc_id),
+        |st AS (SELECT CASE WHEN oid IS NULL THEN 'added'
+        |                   WHEN nid IS NULL THEN 'removed'
+        |                   WHEN ot IS DISTINCT FROM nt THEN 'changed'
+        |                   ELSE 'unchanged' END AS status, nt FROM d),
+        |counts AS (SELECT status AS audit, CAST(count(*) AS BIGINT) AS n
+        |           FROM st GROUP BY status),
+        |osig AS (SELECT DISTINCT array_to_string(list_sort(list_distinct(
+        |           string_split(text, ' '))), ' ') AS sig FROM documents),
+        |dup AS (SELECT 'added_dup_of_existing' AS audit,
+        |          CAST(count(*) AS BIGINT) AS n
+        |        FROM st WHERE status = 'added'
+        |          AND array_to_string(list_sort(list_distinct(
+        |            string_split(nt, ' '))), ' ') IN (SELECT sig FROM osig)),
+        |viol AS (SELECT 'incoming_rule_violations' AS audit,
+        |          CAST(coalesce(sum(CASE WHEN NOT coalesce(length(nt) <= 256,
+        |            FALSE) THEN 1 ELSE 0 END), 0) AS BIGINT) AS n
+        |         FROM st WHERE status IN ('added', 'changed'))
+        |SELECT audit, n FROM counts
+        |UNION ALL SELECT audit, n FROM dup
+        |UNION ALL SELECT audit, n FROM viol
+        |ORDER BY audit""".stripMargin) { (s, dir) =>
+      val base = c53DriveCache.computeIfAbsent(dir, _ => {
+        val b0 = QDef.tempDir("graft_sig_store")
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        // bootstrap the store to the CURRENT corpus (batch 0 replayed
+        // to pin the staged-write idempotence)
+        val boot = graft.curation.Curation.corpusDiffFull(docs.limit(0), docs)
+        graft.curation.Curation.sigStoreApplyBatch(boot, s"$b0/sig", 0L,
+          nBuckets = 8)
+        graft.curation.Curation.sigStoreApplyBatch(boot, s"$b0/sig", 0L,
+          nBuckets = 8)
+        b0
+      })
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      graft.curation.Curation.refreshAuditMaintained(
+        graft.curation.Curation.corpusDiffFull(docs, vmSnapB(docs)),
+        s"$base/sig")
+    },
+
+    // The maintained signature CENSUS itself: after folding the
+    // bootstrap AND the A→B refresh deltas (plus a compaction of the
+    // staged dirs), the store must hold exactly snapshot B's per-sig
+    // document counts — the direct census is the oracle.
+    QDef("c54_sig_store_census",
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, text FROM documents WHERE doc_id % 13 = 0)
+        |SELECT array_to_string(list_sort(list_distinct(
+        |         string_split(text, ' '))), ' ') AS sig,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        |FROM b WHERE text IS NOT NULL
+        |GROUP BY 1 ORDER BY sig""".stripMargin) { (s, dir) =>
+      val base = c54DriveCache.computeIfAbsent(dir, _ => {
+        val b0 = QDef.tempDir("graft_sig_census")
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val snapB = vmSnapB(docs)
+        graft.curation.Curation.sigStoreApplyBatch(
+          graft.curation.Curation.corpusDiffFull(docs.limit(0), docs),
+          s"$b0/sig", 0L, nBuckets = 8)
+        graft.curation.Curation.sigStoreApplyBatch(
+          graft.curation.Curation.corpusDiffFull(docs, snapB),
+          s"$b0/sig", 1L, nBuckets = 8)
+        // squash the per-batch dirs; the read must not change
+        graft.curation.Curation.compactCountedStore(s, s"$b0/sig",
+          graft.curation.Curation.sigStoreStagedSchema)
+        b0
+      })
+      graft.curation.Curation.readSigStore(s, s"$base/sig")
+        .orderBy(col("sig"))
     },
 
     // High-churn CATCH-UP (the c45 cliff's pairing): a receiver three

@@ -1197,6 +1197,34 @@ object ScaleProbe {
       println(f"SCALE   c52 catch-up (compacted)  ${(System.nanoTime() - tB0) / 1e9}%.2f s")
       Curation.readSnapshot(spark, s"$baseB/snap").count()
     }
+    t(s"c53 maintained audit ${mult}x") {
+      // the c49 scale note closed: the direct audit recomputes the OLD
+      // corpus' distinct signatures per audit (a corpus-scale text scan
+      // + distinct); the maintained store pre-reduces them once and the
+      // audit reads O(refresh + store). The refresh CDC log is
+      // checkpointed first — production receives it as input. Printed
+      // pair: direct vs maintained on the same refresh.
+      import graft.curation.Curation
+      val snapB = big.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      val old = big.select(col("doc_id"), col("text"))
+      val sigDir =
+        java.nio.file.Files.createTempDirectory("probe_sig").toString + "/sig"
+      Curation.sigStoreApplyBatch(
+        Curation.corpusDiffFull(old.limit(0), old), sigDir, 0L,
+        nBuckets = 256)
+      val refresh = Curation.corpusDiffFull(old, snapB).localCheckpoint(true)
+      val tD = System.nanoTime()
+      Curation.refreshAudit(old, snapB).count()
+      println(f"SCALE   c53 direct audit          ${(System.nanoTime() - tD) / 1e9}%.2f s")
+      val tM = System.nanoTime()
+      val n = Curation.refreshAuditMaintained(refresh, sigDir).count()
+      println(f"SCALE   c53 maintained audit      ${(System.nanoTime() - tM) / 1e9}%.2f s")
+      org.apache.spark.sql.graftbridge.Bridge.release(refresh)
+      n
+    }
     t(s"c49 refresh audit ${mult}x") {
       // one full-outer diff + sig semi join + 1-row aggregate
       val snapB = big.filter(col("doc_id") % 7 =!= 0)

@@ -581,6 +581,52 @@ class CurationSpec extends AnyFunSuite {
     assert(asSet(Curation.readSnapshot(spark, path)) == asSet(snapA))
   }
 
+  test("sig store: incremental census tracks the corpus; maintained audit ≡ direct audit") {
+    val base = graft.queries.QDef.tempDir("graft_sig_spec")
+    val path = s"$base/sig"
+    // shared-sig corpus: 1 and 2 carry the SAME signature (sorted
+    // distinct tokens), 4 has NULL text
+    val snapA = Seq((1L, Some("b a")), (2L, Some("a b a")),
+      (3L, Some("c")), (4L, None: Option[String])).toDF("doc_id", "text")
+    // B: drop 1 (sig 'a b' survives via 2), change 3, add 5 dup of 'c'?
+    // no — 3 changed away from 'c', 5 re-adds 'c' in the same refresh
+    val snapB = Seq((2L, Some("a b a")), (3L, Some("d c")),
+      (4L, None: Option[String]), (5L, Some("c"))).toDF("doc_id", "text")
+    def full(a: org.apache.spark.sql.DataFrame,
+             b: org.apache.spark.sql.DataFrame) =
+      Curation.corpusDiffFull(a, b)
+    def census() = Curation.readSigStore(spark, path)
+      .as[(String, Long)].collect().toMap
+    Curation.sigStoreApplyBatch(full(snapA.limit(0), snapA), path, 0L,
+      nBuckets = 2)
+    assert(census() == Map("a b" -> 2L, "c" -> 1L))
+    // replay of batch 0 is a no-op (own-partition overwrite)
+    Curation.sigStoreApplyBatch(full(snapA.limit(0), snapA), path, 0L,
+      nBuckets = 2)
+    assert(census() == Map("a b" -> 2L, "c" -> 1L))
+    // the maintained audit over the A→B refresh equals the direct one
+    val direct = Curation.refreshAudit(snapA, snapB)
+      .as[(String, Long)].collect().toSeq
+    val maintained = Curation.refreshAuditMaintained(full(snapA, snapB), path)
+      .as[(String, Long)].collect().toSeq
+    assert(maintained == direct)
+    // doc 5's 'c' duplicates existing content (doc 3 still carries 'c'
+    // in the OLD corpus) — the dup panel sees it from the store
+    assert(maintained.toMap.apply("added_dup_of_existing") == 1L)
+    // fold the refresh; census reflects B exactly (sig 'a b' decremented
+    // not dropped, 'c' count unchanged via 5, 'c d' appears)
+    Curation.sigStoreApplyBatch(full(snapA, snapB), path, 1L, nBuckets = 2)
+    assert(census() == Map("a b" -> 1L, "c" -> 1L, "c d" -> 1L))
+    // compaction squashes the batch dirs without changing the read
+    Curation.compactCountedStore(spark, path, Curation.sigStoreStagedSchema)
+    assert(census() == Map("a b" -> 1L, "c" -> 1L, "c d" -> 1L))
+    // census rules ride the maintained audit too
+    val guarded = Curation.refreshAuditMaintained(full(snapB, snapA), path,
+        censusRules = Seq("no_shrink" -> (col("n_new") >= col("n_old"))))
+      .as[(String, Long)].collect().toMap
+    assert(guarded("no_shrink") == 0L) // B→A grows (4 -> 4... equal) passes
+  }
+
   test("census guard: a mass-delete refresh is refused even when every row rule passes") {
     val base = graft.queries.QDef.tempDir("graft_census_spec")
     val path = s"$base/snap"; val rep = s"$base/report"
