@@ -3702,6 +3702,62 @@ object Curation {
     ok
   }
 
+  /** One micro-batch of a fully MANAGED corpus — the round's families
+    * composed into the serving story: the refresh arrives as a FULL
+    * CDC changelog ([[corpusDiffFull]]'s shape), row rules validate the
+    * incoming payloads and census rules the refresh's shape (report
+    * rides the per-batch store either way, the audit trail of what was
+    * refused and why), and ONLY a passing batch folds — into BOTH
+    * maintained artifacts: the thin log into the bucket-fenced snapshot
+    * store, the CDC log into the signature store (so the next
+    * [[refreshAuditMaintained]] stays O(refresh)). Returns whether the
+    * batch shipped.
+    *
+    * Crash/replay: the report write and the sig-store write overwrite
+    * their own batch partitions, the snapshot fold is semantically
+    * idempotent — a crash between the two folds is healed by the
+    * at-least-once replay re-running both. The CDC frame is
+    * checkpointed once here: it feeds the census, the row rules, and
+    * both folds, and a computed diff re-evaluating per consumer would
+    * re-run the corpus join four times.
+    */
+  def managedCorpusApplyBatch(fullChangelog: DataFrame, batchId: Long,
+                              snapshotPath: String, sigStorePath: String,
+                              reportPath: String,
+                              rules: Seq[(String, Column)],
+                              censusRules: Seq[(String, Column)] = Nil,
+                              nBuckets: Int = 64): Boolean = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val f = fullChangelog
+      .select(col("doc_id"), col("status"), col("old_text"),
+        col("new_text"))
+      .localCheckpoint(true)
+    try {
+      val thin = f.select(col("doc_id"), col("status"),
+        col("new_text").as("text"))
+      val ok = guardedSnapshotApplyBatch(thin, batchId, snapshotPath,
+        reportPath, rules, nBuckets, censusRules = censusRules)
+      if (ok) sigStoreApplyBatch(f, sigStorePath, batchId, nBuckets)
+      ok
+    } finally Bridge.release(f)
+  }
+
+  /** Streaming managed-corpus maintenance: every micro-batch of CDC
+    * changelog rows through [[managedCorpusApplyBatch]].
+    */
+  def managedCorpusIngest(changelogs: DataFrame, snapshotPath: String,
+                          sigStorePath: String, reportPath: String,
+                          rules: Seq[(String, Column)],
+                          censusRules: Seq[(String, Column)] = Nil,
+                          nBuckets: Int = 64,
+                          queryName: String = "graft_managed_corpus_ingest"): org.apache.spark.sql.streaming.StreamingQuery =
+    changelogs.writeStream.queryName(queryName)
+      .foreachBatch { (b: DataFrame, bid: Long) =>
+        managedCorpusApplyBatch(b, bid, snapshotPath, sigStorePath,
+          reportPath, rules, censusRules, nBuckets)
+        ()
+      }.start()
+
   /** Streaming quality-gated snapshot maintenance: [[snapshotIngest]]
     * with the [[guardedSnapshotApplyBatch]] publish gate in front of
     * every fold.

@@ -67,6 +67,43 @@ object DocQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val c54DriveCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val c55DriveCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The shared c55/c56 managed-corpus drive: CDC batches through
+    * [[graft.curation.Curation.managedCorpusApplyBatch]] — bootstrap,
+    * a census-refused mass delete, the legitimate B refresh, and a
+    * replay of the B refresh (dual-fold idempotence). Both maintained
+    * artifacts (`snap`, `sig`) come out of ONE drive so the two gates
+    * cannot drift.
+    */
+  private def c55Drive(s: org.apache.spark.sql.SparkSession,
+                       dir: String): String =
+    c55DriveCache.computeIfAbsent(dir, _ => {
+      val b0 = QDef.tempDir("graft_managed_corpus")
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      def diffFull(a: org.apache.spark.sql.DataFrame,
+                   b: org.apache.spark.sql.DataFrame) =
+        graft.curation.Curation.corpusDiffFull(a, b)
+      val massDelete = diffFull(docs, docs.filter(col("doc_id") % 2 =!= 0))
+      val goodRefresh = diffFull(docs, vmSnapB(docs))
+      val rules = Seq("doc_id_not_null" -> col("doc_id").isNotNull)
+      val census = Seq("census_removed_max_20pct" ->
+        (col("n_removed") * 5 <= col("n_old")))
+      val shipped = Seq(
+        0L -> diffFull(docs.limit(0), docs), // bootstrap
+        1L -> massDelete,                    // REFUSED (~50% removal)
+        2L -> goodRefresh,                   // ships (~14% removal)
+        2L -> goodRefresh                    // at-least-once replay
+      ).map { case (bid, log) =>
+        graft.curation.Curation.managedCorpusApplyBatch(log, bid,
+          s"$b0/snap", s"$b0/sig", s"$b0/report", rules,
+          censusRules = census, nBuckets = 8)
+      }
+      assert(shipped == Seq(true, false, true, true),
+        s"managed-corpus verdicts: $shipped")
+      b0
+    })
 
   /** The version-management gates' SHARED snapshot fixtures (c42–c46):
     * snapshot B is a deterministic edit of `documents` (ids %7 dropped,
@@ -3889,6 +3926,46 @@ object DocQueries {
         b0
       })
       graft.curation.Curation.readSigStore(s, s"$base/sig")
+        .orderBy(col("sig"))
+    },
+
+    // The MANAGED corpus end to end (c51 + c53/c54 composed): CDC
+    // batches through audit-gated dual folds — bootstrap ships, a
+    // mass-delete refresh is refused by the census rule, the
+    // legitimate B refresh ships, and batch 2 REPLAYS to pin the dual
+    // idempotence. The serving snapshot must land exactly on B,
+    // untouched by the poisoned batch.
+    QDef("c55_managed_corpus",
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+        |FROM documents WHERE doc_id % 7 <> 0
+        |UNION ALL
+        |SELECT doc_id + 1000000000 AS doc_id, text
+        |FROM documents WHERE doc_id % 13 = 0
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.curation.Curation.readSnapshot(s,
+          s"${c55Drive(s, dir)}/snap")
+        .orderBy(col("doc_id"))
+    },
+
+    // ... and its signature store after the same drive: the refused
+    // batch must not have polluted it, the shipped ones must have — the
+    // direct per-sig census of snapshot B is the oracle (the c54 gate
+    // shape, reached through the composed path).
+    QDef("c56_managed_corpus_sigs",
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, text FROM documents WHERE doc_id % 13 = 0)
+        |SELECT array_to_string(list_sort(list_distinct(
+        |         string_split(text, ' '))), ' ') AS sig,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        |FROM b WHERE text IS NOT NULL
+        |GROUP BY 1 ORDER BY sig""".stripMargin) { (s, dir) =>
+      graft.curation.Curation.readSigStore(s,
+          s"${c55Drive(s, dir)}/sig")
         .orderBy(col("sig"))
     },
 

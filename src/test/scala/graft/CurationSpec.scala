@@ -776,6 +776,49 @@ class CurationSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("managedCorpusIngest: dual-fold stream with row + census gates e2e") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = graft.queries.QDef.tempDir("graft_managed_ingest")
+    val in = MemoryStream[(Long, String, String, String)]
+    val q = Curation.managedCorpusIngest(
+      in.toDF().toDF("doc_id", "status", "old_text", "new_text"),
+      s"$base/snap", s"$base/sig", s"$base/report",
+      rules = Seq("text_short" -> (length($"text") <= 10)),
+      censusRules = Seq("removed_max_20pct" ->
+        (col("n_removed") * 5 <= col("n_old"))),
+      nBuckets = 2, queryName = "managed_ingest_test")
+    try {
+      // bootstrap: five docs, two sharing a signature
+      in.addData((1L, "added", null, "b a"), (2L, "added", null, "a b a"),
+        (3L, "added", null, "c"), (4L, "added", null, "d"),
+        (5L, "added", null, "e"))
+      q.processAllAvailable()
+      // mass delete (3 of 5 = 60%): census-refused, NOTHING moves
+      in.addData((3L, "removed", "c", null), (4L, "removed", "d", null),
+        (5L, "removed", "e", null))
+      q.processAllAvailable()
+      // legitimate refresh (1 of 5 = 20% removed, one change): ships
+      // into BOTH maintained artifacts
+      in.addData((1L, "removed", "b a", null),
+        (3L, "changed", "c", "c e"))
+      q.processAllAvailable()
+      val snap = Curation.readSnapshot(spark, s"$base/snap")
+        .as[(Long, String)].collect().toSet
+      assert(snap == Set((2L, "a b a"), (3L, "c e"), (4L, "d"),
+        (5L, "e")))
+      val sigs = Curation.readSigStore(spark, s"$base/sig")
+        .as[(String, Long)].collect().toMap
+      assert(sigs == Map("a b" -> 1L, "c e" -> 1L, "d" -> 1L, "e" -> 1L))
+      val report = spark.read.parquet(s"$base/report")
+        .select("batch_id", "rule", "pass").as[(Long, String, Long)]
+        .collect().groupBy(_._1).view
+        .mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+      assert(report(1L) == Map("text_short" -> 1L, "removed_max_20pct" -> 0L))
+      assert(report(2L) == Map("text_short" -> 1L, "removed_max_20pct" -> 1L))
+    } finally q.stop()
+  }
+
   test("snapshotIngest streams changelog batches into the maintained store e2e") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
