@@ -3629,6 +3629,45 @@ object Curation {
         snapshotApplyBatch(b, snapshotPath, nBuckets)
       }.start()
 
+  /** The store's committed bucket count, if it has one — the public
+    * read of the `_graft_nbuckets` fence, for callers that must follow
+    * a store across [[rebucketSnapshot]] migrations.
+    */
+  def storeBucketCount(spark: org.apache.spark.sql.SparkSession,
+                       snapshotPath: String): Option[Int] = {
+    val root = new org.apache.hadoop.fs.Path(snapshotPath)
+    readBucketMarker(
+      root.getFileSystem(spark.sparkContext.hadoopConfiguration), root)
+  }
+
+  /** [[snapshotIngest]] with the GROWTH maintenance loop built in:
+    * every `rebucketEvery` batches, [[maybeRebucketSnapshot]] checks
+    * the store/bucket ratio and doubles the bucket count when a bucket
+    * outgrows `targetRowsPerBucket` (stop-the-world is safe here —
+    * foreachBatch serializes, so the rebucket runs between folds).
+    * Each fold reads the CURRENT count off the store's own marker, so
+    * a restarted stream follows a store that was migrated while it was
+    * down instead of tripping the fence; `nBuckets` only seeds a
+    * virgin store.
+    */
+  def snapshotIngestMaintained(changelogs: DataFrame, snapshotPath: String,
+                               targetRowsPerBucket: Long,
+                               nBuckets: Int = 64,
+                               rebucketEvery: Int = 8,
+                               queryName: String = "graft_snapshot_ingest_maintained"): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(rebucketEvery >= 1,
+      s"rebucketEvery must be >= 1, got $rebucketEvery")
+    changelogs.writeStream.queryName(queryName)
+      .foreachBatch { (b: DataFrame, bid: Long) =>
+        val spark = b.sparkSession
+        val cur = storeBucketCount(spark, snapshotPath).getOrElse(nBuckets)
+        snapshotApplyBatch(b, snapshotPath, cur)
+        if ((bid + 1) % rebucketEvery == 0)
+          maybeRebucketSnapshot(spark, snapshotPath, targetRowsPerBucket)
+        ()
+      }.start()
+  }
+
   /** QUALITY-GATED snapshot upkeep — the publish gate realized in the
     * ingestion path: the batch's INCOMING payloads (added ∪ changed
     * rows) are validated against the expectation rules first, the

@@ -819,6 +819,34 @@ class CurationSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("snapshotIngestMaintained: growth rebucket fires mid-stream, folds follow the marker") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = graft.queries.QDef.tempDir("graft_snap_maint")
+    val in = MemoryStream[(Long, String, String)]
+    // target 4 rows/bucket, check every 2 batches, seed at 2 buckets
+    val q = Curation.snapshotIngestMaintained(
+      in.toDF().toDF("doc_id", "status", "text"), s"$base/snap",
+      targetRowsPerBucket = 4L, nBuckets = 2, rebucketEvery = 2,
+      queryName = "snap_maint_test")
+    try {
+      in.addData((1L to 8L).map(i => (i, "added", s"doc $i")): _*)
+      q.processAllAvailable()
+      assert(Curation.storeBucketCount(spark, s"$base/snap") == Some(2))
+      // batch 2 grows the store to 16 rows; the post-batch check (bid 1,
+      // every 2) doubles 2 -> 4 (16/4 = 4/bucket)
+      in.addData((9L to 16L).map(i => (i, "added", s"doc $i")): _*)
+      q.processAllAvailable()
+      assert(Curation.storeBucketCount(spark, s"$base/snap") == Some(4))
+      // the next fold follows the NEW marker (no fence trip) and serves
+      in.addData((1L, "changed", "doc 1 v2"))
+      q.processAllAvailable()
+      val got = Curation.readSnapshot(spark, s"$base/snap")
+        .as[(Long, String)].collect().toMap
+      assert(got.size == 16 && got(1L) == "doc 1 v2" && got(16L) == "doc 16")
+    } finally q.stop()
+  }
+
   test("snapshotIngest streams changelog batches into the maintained store e2e") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -109,4 +109,50 @@ class DiffPropertySpec extends AnyFunSuite {
         s"seed=$seed compacted catch-up on a current store was not a no-op")
     }
   }
+
+  test("catch-up fold, sig store and maintained audit track random 4-chains (3 seeds)") {
+    for (seed <- 30L to 32L) {
+      val universe = 40
+      val snaps = (0 to 3).map(k =>
+        snapshot(seed * 15485863L + k * 31L, universe).toDF("doc_id", "text")
+          .localCheckpoint(true))
+      val chain = snaps.head.limit(0) +: snaps
+      // 1. snapshotCatchUp over the whole backlog lands on the LAST
+      //    snapshot (N-log compaction fold, not just the 2-log case)
+      val logs = chain.sliding(2).map { case Seq(a, b) => cl(a, b) }.toSeq
+      val path = s"${graft.queries.QDef.tempDir("graft_catchup_prop")}/snap"
+      Curation.snapshotCatchUp(logs, path, nBuckets = 4)
+      assert(asSet(Curation.readSnapshot(spark, path)) == asSet(snaps.last),
+        s"seed=$seed catch-up != final snapshot")
+      // 2. the sig store folded batch by batch equals an independent
+      //    per-sig census of each PREFIX state's final snapshot
+      val sigPath = s"${graft.queries.QDef.tempDir("graft_sig_prop")}/sig"
+      val fulls = chain.sliding(2).map { case Seq(a, b) =>
+        Curation.corpusDiffFull(a, b) }.toSeq
+      fulls.take(3).zipWithIndex.foreach { case (l, i) =>
+        Curation.sigStoreApplyBatch(l, sigPath, i.toLong, nBuckets = 4) }
+      def directCensus(s: Set[(Long, Option[String])]): Map[String, Long] =
+        s.toSeq.flatMap(_._2)
+          .map(t => t.split(" ").distinct.sorted.mkString(" "))
+          .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val storeAtC = Curation.readSigStore(spark, sigPath)
+        .as[(String, Long)].collect().toMap
+      assert(storeAtC == directCensus(asSet(snaps(2))),
+        s"seed=$seed sig store at C != direct census")
+      // 3. the maintained audit of the LAST hop (store at C) equals the
+      //    direct audit on the same snapshots
+      val direct = Curation.refreshAudit(snaps(2), snaps(3))
+        .as[(String, Long)].collect().toSeq
+      val maintained = Curation
+        .refreshAuditMaintained(fulls(3), sigPath)
+        .as[(String, Long)].collect().toSeq
+      assert(maintained == direct, s"seed=$seed maintained audit diverged")
+      // 4. fold the last hop too; the store tracks D
+      Curation.sigStoreApplyBatch(fulls(3), sigPath, 3L, nBuckets = 4)
+      assert(Curation.readSigStore(spark, sigPath)
+        .as[(String, Long)].collect().toMap == directCensus(asSet(snaps(3))),
+        s"seed=$seed sig store at D != direct census")
+      snaps.foreach(org.apache.spark.sql.graftbridge.Bridge.release)
+    }
+  }
 }

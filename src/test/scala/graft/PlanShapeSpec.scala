@@ -495,6 +495,31 @@ class PlanShapeSpec extends AnyFunSuite {
       s"rules over (doc_id, lang) must prune text from the scan:\n$read")
   }
 
+  test("c53 maintained audit: no full-outer diff, the dup panel reads the sig store") {
+    // the direct audit's cost signature is a full-outer corpus diff +
+    // a corpus-wide distinct; the maintained form must show NEITHER —
+    // its only join is the added-sigs semi against the pre-reduced
+    // store read
+    import spark.implicits._
+    val sigDir =
+      s"${graft.queries.QDef.tempDir("graft_plan_sig")}/sig"
+    graft.curation.Curation.sigStoreApplyBatch(
+      Seq((1L, "added", None: Option[String], Some("seed text")))
+        .toDF("doc_id", "status", "old_text", "new_text"),
+      sigDir, 0L, nBuckets = 2)
+    val log = Seq((2L, "added", None: Option[String], Some("new text")))
+      .toDF("doc_id", "status", "old_text", "new_text")
+    val direct = phys(graft.curation.Curation.refreshAudit(docs, docs))
+    assert(direct.contains("FullOuter"),
+      s"the direct audit diffs full-outer (contrast pin):\n$direct")
+    val maintained =
+      phys(graft.curation.Curation.refreshAuditMaintained(log, sigDir))
+    assert(!maintained.contains("FullOuter"),
+      s"maintained audit must not re-diff the corpus:\n$maintained")
+    assert("LeftSemi".r.findAllIn(maintained).nonEmpty,
+      s"dup panel is a semi join against the store:\n$maintained")
+  }
+
   test("c42 corpus diff: both sides project scan-side before the one join") {
     val plan = phys(graft.curation.Curation.corpusDiff(docs, docs,
       hashContent = true))
