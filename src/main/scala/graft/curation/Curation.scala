@@ -3741,6 +3741,141 @@ object Curation {
     ok
   }
 
+  /** Schema of the versioned store's archived CDC logs (data +
+    * `version` partition column — explicit on every read).
+    */
+  private val versionedLogSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("status",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("old_text",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("new_text",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("version",
+      org.apache.spark.sql.types.LongType)))
+
+  private def versionFloorPath(root: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(root, "_graft_version_floor")
+
+  /** One batch of VERSIONED snapshot upkeep — time travel from the
+    * existing CDC primitives: the current snapshot stays maintained in
+    * `<base>/snap` (the bucket-fenced store), and the batch's FULL
+    * changelog is archived under `<base>/log/version=<v>` (dynamic
+    * overwrite of its OWN partition — replay-idempotent). Because every
+    * archived log is REVERSIBLE ([[invertChangelog]]), any historical
+    * version is reconstructable from the CURRENT snapshot plus the
+    * inverted logs above it — no per-version snapshot copies, storage
+    * is O(total churn), and serving reads stay on the plain maintained
+    * store. Versions must be applied in increasing order (single
+    * writer, the foreachBatch contract).
+    */
+  def versionedSnapshotApplyBatch(fullChangelog: DataFrame,
+                                  basePath: String, version: Long,
+                                  nBuckets: Int = 64): Unit = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val f = fullChangelog
+      .select(col("doc_id"), col("status"), col("old_text"),
+        col("new_text"))
+      .localCheckpoint(true) // feeds the archive AND the fold
+    try {
+      f.withColumn("version", lit(version))
+        .coalesce(1) // one churn-sized file per version dir
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("version").parquet(s"$basePath/log")
+      snapshotApplyBatch(
+        f.select(col("doc_id"), col("status"),
+          col("new_text").as("text")),
+        s"$basePath/snap", nBuckets)
+    } finally Bridge.release(f)
+  }
+
+  /** TIME-TRAVEL read: the snapshot AS OF `version` (i.e. after that
+    * version's log applied, before any later one) — reconstructed as
+    * current snapshot + the COMPACTED fold of the inverted logs above
+    * `version`. The inverted logs run newest→oldest, which makes them
+    * consecutive (C→B, B→A, …), so [[compactChangelog]] squashes the
+    * whole walk-back into ONE O(churn-above-version) log and the read
+    * costs one corpus pass regardless of how far back it reaches —
+    * the [[snapshotCatchUp]] argument run in reverse. `asOf` below the
+    * prune floor ([[pruneSnapshotVersions]]) is refused: the logs that
+    * would reach it are gone, and a silent partial walk-back would
+    * serve a corpus that never existed.
+    */
+  def readSnapshotAsOf(spark: org.apache.spark.sql.SparkSession,
+                       basePath: String, version: Long): DataFrame = {
+    val logRoot = new org.apache.hadoop.fs.Path(s"$basePath/log")
+    val fs = logRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val floor = {
+      val p = versionFloorPath(logRoot)
+      if (!fs.exists(p)) -1L
+      else {
+        val in = fs.open(p)
+        try {
+          val buf = new Array[Byte](32)
+          var off = 0
+          var n = in.read(buf, off, buf.length - off)
+          while (n > 0 && off + n < buf.length) {
+            off += n; n = in.read(buf, off, buf.length - off)
+          }
+          if (n > 0) off += n
+          new String(buf, 0, off, "UTF-8").trim.toLong
+        } finally in.close()
+      }
+    }
+    if (version < floor) throw new IllegalStateException(
+      s"time-travel read asOf=$version is below the prune floor $floor " +
+        s"of $basePath — the logs that reach it were pruned " +
+        "(pruneSnapshotVersions); retained history starts at the floor")
+    val versionsAbove =
+      if (!fs.exists(logRoot)) Seq.empty[Long]
+      else fs.listStatus(logRoot).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("version="))
+        .flatMap(s => scala.util.Try(
+          s.getPath.getName.stripPrefix("version=").toLong).toOption)
+        .filter(_ > version).sorted.reverse
+    val current = readSnapshot(spark, s"$basePath/snap")
+    if (versionsAbove.isEmpty) current
+    else {
+      def invertedLog(v: Long) = invertChangelog(
+        spark.read.option("basePath", s"$basePath/log")
+          .schema(versionedLogSchema)
+          .parquet(s"$basePath/log/version=$v"))
+      val inverted = versionsAbove.map(invertedLog)
+      val walkBack = inverted.tail.zipWithIndex
+        .foldLeft(inverted.head) { case (acc, (l, i)) =>
+          val c = compactChangelog(acc, l)
+          // bound plan depth on deep walk-backs (the catch-up idiom)
+          if (i % 8 == 7) c.localCheckpoint(true) else c
+        }
+      applyCorpusDiff(current, walkBack)
+    }
+  }
+
+  /** Move the time-travel floor up: drop archived logs at or below
+    * `floor` (their history is no longer reachable) and persist the
+    * floor so [[readSnapshotAsOf]] refuses reads the remaining logs
+    * cannot serve. Floor-marker-first is crash-safe: a crash between
+    * the marker and the deletes leaves extra logs behind (harmless),
+    * never a floor that promises history the store lost.
+    */
+  def pruneSnapshotVersions(spark: org.apache.spark.sql.SparkSession,
+                            basePath: String, floor: Long): Unit = {
+    val logRoot = new org.apache.hadoop.fs.Path(s"$basePath/log")
+    val fs = logRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(logRoot)) fs.mkdirs(logRoot)
+    val out = fs.create(versionFloorPath(logRoot), true)
+    try out.write(floor.toString.getBytes("UTF-8")) finally out.close()
+    fs.listStatus(logRoot).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("version="))
+      .filter(s => scala.util.Try(
+        s.getPath.getName.stripPrefix("version=").toLong).toOption
+        .exists(_ <= floor))
+      .foreach(s => fs.delete(s.getPath, true))
+  }
+
   /** One micro-batch of a fully MANAGED corpus — the round's families
     * composed into the serving story: the refresh arrives as a FULL
     * CDC changelog ([[corpusDiffFull]]'s shape), row rules validate the

@@ -69,6 +69,31 @@ object DocQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val c55DriveCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val c57DriveCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The shared c57/c58 versioned-store drive: bootstrap, A→B
+    * (REPLAYED — archive + fold idempotence), B→C, each archived as a
+    * CDC log beside the maintained snapshot.
+    */
+  private def c57Drive(s: org.apache.spark.sql.SparkSession,
+                       dir: String): String =
+    c57DriveCache.computeIfAbsent(dir, _ => {
+      val b0 = QDef.tempDir("graft_time_travel_gate")
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val snapB = vmSnapB(docs)
+      def full(a: org.apache.spark.sql.DataFrame,
+               b: org.apache.spark.sql.DataFrame) =
+        graft.curation.Curation.corpusDiffFull(a, b)
+      Seq(0L -> full(docs.limit(0), docs), 1L -> full(docs, snapB),
+        1L -> full(docs, snapB) /* at-least-once replay */,
+        2L -> full(snapB, vmSnapC(docs, snapB)))
+        .foreach { case (v, log) =>
+          graft.curation.Curation.versionedSnapshotApplyBatch(log, b0, v,
+            nBuckets = 8)
+        }
+      b0
+    })
 
   /** The shared c55/c56 managed-corpus drive: CDC batches through
     * [[graft.curation.Curation.managedCorpusApplyBatch]] — bootstrap,
@@ -3967,6 +3992,34 @@ object DocQueries {
       graft.curation.Curation.readSigStore(s,
           s"${c55Drive(s, dir)}/sig")
         .orderBy(col("sig"))
+    },
+
+    // TIME TRAVEL over the versioned store: bootstrap + A→B + B→C CDC
+    // logs archived beside the maintained snapshot; reading AS OF
+    // version 1 walks back from the CURRENT store through the inverted
+    // v2 log and must land exactly on the direct snapshot B — history
+    // from one maintained store + O(churn) logs, no version copies.
+    QDef("c57_time_travel",
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+        |FROM documents WHERE doc_id % 7 <> 0
+        |UNION ALL
+        |SELECT doc_id + 1000000000 AS doc_id, text
+        |FROM documents WHERE doc_id % 13 = 0
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.curation.Curation.readSnapshotAsOf(s, c57Drive(s, dir), 1L)
+        .orderBy(col("doc_id"))
+    },
+
+    // ... and the two-hop walk-back to version 0: the ORIGINAL corpus
+    // reconstructed through the compacted fold of the inverted v2+v1
+    // logs (the raw documents table is the oracle, the c46 shape
+    // reached through the archive).
+    QDef("c58_time_travel_origin",
+      """SELECT doc_id, text FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.curation.Curation.readSnapshotAsOf(s, c57Drive(s, dir), 0L)
+        .orderBy(col("doc_id"))
     },
 
     // High-churn CATCH-UP (the c45 cliff's pairing): a receiver three

@@ -1197,6 +1197,38 @@ object ScaleProbe {
       println(f"SCALE   c52 catch-up (compacted)  ${(System.nanoTime() - tB0) / 1e9}%.2f s")
       Curation.readSnapshot(spark, s"$baseB/snap").count()
     }
+    t(s"c57 time travel ${mult}x") {
+      // a 5-deep versioned history of ~0.5% churn batches over the full
+      // corpus; the as-of-0 walk-back compacts the inverted logs into
+      // ONE O(total churn) fold, so the deepest read costs one corpus
+      // pass + the churn joins — not a pass per version. Printed pair:
+      // as-of latest (pure store read) vs as-of 0 (deepest walk-back).
+      import graft.curation.Curation
+      val base =
+        java.nio.file.Files.createTempDirectory("probe_tt").toString
+      Curation.versionedSnapshotApplyBatch(
+        big.select(col("doc_id"), lit("added").as("status"),
+          lit(null).cast("string").as("old_text"),
+          col("text").as("new_text")),
+        base, 0L, nBuckets = 256)
+      // disjoint id slices per version keep the hand-built CDC chain
+      // consistent (old_text is genuinely the prior image)
+      (1 to 5).foreach { v =>
+        Curation.versionedSnapshotApplyBatch(
+          big.filter(pmod(col("doc_id"), lit(211L)) === v)
+            .select(col("doc_id"), lit("changed").as("status"),
+              col("text").as("old_text"),
+              concat(col("text"), lit(s" v$v")).as("new_text")),
+          base, v.toLong, nBuckets = 256)
+      }
+      val tL = System.nanoTime()
+      Curation.readSnapshotAsOf(spark, base, 5L).count()
+      println(f"SCALE   c57 as-of latest          ${(System.nanoTime() - tL) / 1e9}%.2f s")
+      val t0w = System.nanoTime()
+      val n = Curation.readSnapshotAsOf(spark, base, 0L).count()
+      println(f"SCALE   c57 as-of 0 (5-deep)      ${(System.nanoTime() - t0w) / 1e9}%.2f s")
+      n
+    }
     t(s"c53 maintained audit ${mult}x") {
       // the c49 scale note closed: the direct audit recomputes the OLD
       // corpus' distinct signatures per audit (a corpus-scale text scan

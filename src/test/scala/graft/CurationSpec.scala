@@ -627,6 +627,46 @@ class CurationSpec extends AnyFunSuite {
     assert(guarded("no_shrink") == 0L) // B→A grows (4 -> 4... equal) passes
   }
 
+  test("time travel: readSnapshotAsOf reconstructs every version; prune moves the floor") {
+    val base = graft.queries.QDef.tempDir("graft_time_travel")
+    val snapA = Seq((1L, Some("one")), (2L, Some("two")),
+      (3L, None: Option[String])).toDF("doc_id", "text")
+    val snapB = Seq((1L, Some("one v2")), (3L, Some("three")),
+      (4L, Some("four"))).toDF("doc_id", "text")
+    val snapC = Seq((1L, Some("one v2")), (2L, Some("two")),
+      (4L, None: Option[String])).toDF("doc_id", "text")
+    def full(a: org.apache.spark.sql.DataFrame,
+             b: org.apache.spark.sql.DataFrame) =
+      Curation.corpusDiffFull(a, b)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Option[String])].collect().toSet
+    Curation.versionedSnapshotApplyBatch(full(snapA.limit(0), snapA),
+      base, 0L, nBuckets = 2)
+    Curation.versionedSnapshotApplyBatch(full(snapA, snapB),
+      base, 1L, nBuckets = 2)
+    // replay of version 1 is a no-op for BOTH the archive and the fold
+    Curation.versionedSnapshotApplyBatch(full(snapA, snapB),
+      base, 1L, nBuckets = 2)
+    Curation.versionedSnapshotApplyBatch(full(snapB, snapC),
+      base, 2L, nBuckets = 2)
+    // every version reconstructs; as-of latest is the current store
+    assert(asSet(Curation.readSnapshotAsOf(spark, base, 2L)) == asSet(snapC))
+    assert(asSet(Curation.readSnapshotAsOf(spark, base, 1L)) == asSet(snapB))
+    assert(asSet(Curation.readSnapshotAsOf(spark, base, 0L)) == asSet(snapA))
+    // before the bootstrap: the corpus did not exist yet
+    assert(Curation.readSnapshotAsOf(spark, base, -1L).count() == 0)
+    // prune versions <= 0: the A-era history is gone, the floor refuses
+    Curation.pruneSnapshotVersions(spark, base, 0L)
+    assert(asSet(Curation.readSnapshotAsOf(spark, base, 1L)) == asSet(snapB))
+    val e = intercept[IllegalStateException] {
+      Curation.readSnapshotAsOf(spark, base, -1L)
+    }
+    assert(e.getMessage.contains("prune floor"), e.getMessage)
+    // as-of exactly the floor still serves (its log dir was dropped but
+    // the walk-back only needs logs ABOVE it)
+    assert(asSet(Curation.readSnapshotAsOf(spark, base, 0L)) == asSet(snapA))
+  }
+
   test("census guard: a mass-delete refresh is refused even when every row rule passes") {
     val base = graft.queries.QDef.tempDir("graft_census_spec")
     val path = s"$base/snap"; val rep = s"$base/report"

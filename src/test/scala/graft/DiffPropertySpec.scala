@@ -155,4 +155,28 @@ class DiffPropertySpec extends AnyFunSuite {
       snaps.foreach(org.apache.spark.sql.graftbridge.Bridge.release)
     }
   }
+
+  test("time travel reconstructs every version of random 4-chains (3 seeds)") {
+    for (seed <- 40L to 42L) {
+      val universe = 40
+      val snaps = (0 to 3).map(k =>
+        snapshot(seed * 32452843L + k * 31L, universe).toDF("doc_id", "text")
+          .localCheckpoint(true))
+      val chain = snaps.head.limit(0) +: snaps
+      val base = graft.queries.QDef.tempDir("graft_tt_prop")
+      chain.sliding(2).zipWithIndex.foreach { case (Seq(a, b), v) =>
+        Curation.versionedSnapshotApplyBatch(
+          Curation.corpusDiffFull(a, b), base, v.toLong, nBuckets = 4)
+      }
+      // every as-of read lands exactly on its direct snapshot — the
+      // whole history from ONE maintained store + O(churn) logs
+      (0 to 3).foreach { v =>
+        assert(asSet(Curation.readSnapshotAsOf(spark, base, v.toLong))
+          == asSet(snaps(v)), s"seed=$seed asOf=$v diverged")
+      }
+      assert(Curation.readSnapshotAsOf(spark, base, -1L).count() == 0,
+        s"seed=$seed pre-bootstrap corpus must be empty")
+      snaps.foreach(org.apache.spark.sql.graftbridge.Bridge.release)
+    }
+  }
 }
