@@ -3780,8 +3780,11 @@ object Curation {
         col("new_text"))
       .localCheckpoint(true) // feeds the archive AND the fold
     try {
+      // no coalesce: a 100 TB refresh's churn log is itself large — the
+      // archive keeps the frame's parallelism (tiny logs cost a few
+      // small files per version; compaction is pruneSnapshotVersions'
+      // floor, not a file merge)
       f.withColumn("version", lit(version))
-        .coalesce(1) // one churn-sized file per version dir
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("version").parquet(s"$basePath/log")
@@ -3912,6 +3915,43 @@ object Curation {
       val ok = guardedSnapshotApplyBatch(thin, batchId, snapshotPath,
         reportPath, rules, nBuckets, censusRules = censusRules)
       if (ok) sigStoreApplyBatch(f, sigStorePath, batchId, nBuckets)
+      ok
+    } finally Bridge.release(f)
+  }
+
+  /** [[managedCorpusApplyBatch]] with TIME TRAVEL: a passing batch
+    * additionally archives its CDC log under `<basePath>/log/version=
+    * <batchId>` (the [[versionedSnapshotApplyBatch]] layout, snapshot
+    * at `<basePath>/snap`), so [[readSnapshotAsOf]] serves the managed
+    * corpus' full retained history. A QUARANTINED batch archives
+    * nothing — its version number simply never exists, and an as-of
+    * read at it returns the state the corpus actually had then (the
+    * previous applied version). Crash between the folds heals on
+    * replay, as in the unversioned form.
+    */
+  def managedVersionedApplyBatch(fullChangelog: DataFrame, batchId: Long,
+                                 basePath: String, sigStorePath: String,
+                                 reportPath: String,
+                                 rules: Seq[(String, Column)],
+                                 censusRules: Seq[(String, Column)] = Nil,
+                                 nBuckets: Int = 64): Boolean = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val f = fullChangelog
+      .select(col("doc_id"), col("status"), col("old_text"),
+        col("new_text"))
+      .localCheckpoint(true)
+    try {
+      val thin = f.select(col("doc_id"), col("status"),
+        col("new_text").as("text"))
+      val ok = guardedSnapshotApplyBatch(thin, batchId, s"$basePath/snap",
+        reportPath, rules, nBuckets, censusRules = censusRules)
+      if (ok) {
+        f.withColumn("version", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("version").parquet(s"$basePath/log")
+        sigStoreApplyBatch(f, sigStorePath, batchId, nBuckets)
+      }
       ok
     } finally Bridge.release(f)
   }

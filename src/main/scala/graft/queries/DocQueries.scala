@@ -71,6 +71,39 @@ object DocQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val c57DriveCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val c59DriveCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The shared c59/c60 managed-VERSIONED drive: CDC batches through
+    * [[graft.curation.Curation.managedVersionedApplyBatch]] —
+    * bootstrap (v0 ships), a census-refused mass delete (v1 archives
+    * NOTHING), the legitimate B refresh (v2 ships, replayed).
+    */
+  private def c59Drive(s: org.apache.spark.sql.SparkSession,
+                       dir: String): String =
+    c59DriveCache.computeIfAbsent(dir, _ => {
+      val b0 = QDef.tempDir("graft_managed_versioned")
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      def full(a: org.apache.spark.sql.DataFrame,
+               b: org.apache.spark.sql.DataFrame) =
+        graft.curation.Curation.corpusDiffFull(a, b)
+      val rules = Seq("doc_id_not_null" -> col("doc_id").isNotNull)
+      val census = Seq("census_removed_max_20pct" ->
+        (col("n_removed") * 5 <= col("n_old")))
+      val shipped = Seq(
+        0L -> full(docs.limit(0), docs),
+        1L -> full(docs, docs.filter(col("doc_id") % 2 =!= 0)), // refused
+        2L -> full(docs, vmSnapB(docs)),
+        2L -> full(docs, vmSnapB(docs)) // at-least-once replay
+      ).map { case (v, log) =>
+        graft.curation.Curation.managedVersionedApplyBatch(log, v,
+          s"$b0/corpus", s"$b0/sig", s"$b0/report", rules,
+          censusRules = census, nBuckets = 8)
+      }
+      assert(shipped == Seq(true, false, true, true),
+        s"managed-versioned verdicts: $shipped")
+      b0
+    })
 
   /** The shared c57/c58 versioned-store drive: bootstrap, A→B
     * (REPLAYED — archive + fold idempotence), B→C, each archived as a
@@ -3992,6 +4025,36 @@ object DocQueries {
       graft.curation.Curation.readSigStore(s,
           s"${c55Drive(s, dir)}/sig")
         .orderBy(col("sig"))
+    },
+
+    // Time travel on the MANAGED path: version 1 was a census-REFUSED
+    // mass delete, so it archived nothing — an as-of read AT the
+    // quarantined version number returns the corpus the owner actually
+    // had then (the bootstrap state = the raw table), pinning the
+    // refused-versions-don't-exist semantics end to end.
+    QDef("c59_managed_time_travel",
+      """SELECT doc_id, text FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.curation.Curation.readSnapshotAsOf(s,
+          s"${c59Drive(s, dir)}/corpus", 1L)
+        .orderBy(col("doc_id"))
+    },
+
+    // ... and the same managed-versioned drive's LATEST state: the
+    // refused batch left no trace, the applied refresh shipped — the
+    // serving snapshot is B (the c55 oracle reached through the
+    // versioned path).
+    QDef("c60_managed_versioned_head",
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+        |FROM documents WHERE doc_id % 7 <> 0
+        |UNION ALL
+        |SELECT doc_id + 1000000000 AS doc_id, text
+        |FROM documents WHERE doc_id % 13 = 0
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.curation.Curation.readSnapshot(s,
+          s"${c59Drive(s, dir)}/corpus/snap")
+        .orderBy(col("doc_id"))
     },
 
     // TIME TRAVEL over the versioned store: bootstrap + A→B + B→C CDC

@@ -667,6 +667,43 @@ class CurationSpec extends AnyFunSuite {
     assert(asSet(Curation.readSnapshotAsOf(spark, base, 0L)) == asSet(snapA))
   }
 
+  test("managedVersionedApplyBatch: refused versions don't exist, history serves around them") {
+    val base = graft.queries.QDef.tempDir("graft_mv_spec")
+    val corpus = s"$base/corpus"
+    val snapA = (1L to 10L).map(i => (i, Some(s"doc $i"))).toDF("doc_id", "text")
+    val snapB = snapA.filter($"doc_id" =!= 1L)
+      .unionByName(Seq((11L, Some("new"))).toDF("doc_id", "text"))
+    def full(a: org.apache.spark.sql.DataFrame,
+             b: org.apache.spark.sql.DataFrame) =
+      Curation.corpusDiffFull(a, b)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Option[String])].collect().toSet
+    val rules = Seq("id_not_null" -> col("doc_id").isNotNull)
+    val census = Seq("removed_max_20pct" ->
+      (col("n_removed") * 5 <= col("n_old")))
+    def apply(v: Long, log: org.apache.spark.sql.DataFrame) =
+      Curation.managedVersionedApplyBatch(log, v, corpus, s"$base/sig",
+        s"$base/report", rules, censusRules = census, nBuckets = 2)
+    assert(apply(0L, full(snapA.limit(0), snapA)))
+    // v1: mass delete (50%) — refused, NO version dir, sig store clean
+    assert(!apply(1L, full(snapA, snapA.filter($"doc_id" > 5L))))
+    val fs = new org.apache.hadoop.fs.Path(corpus)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$corpus/log/version=1")))
+    // v2: legitimate refresh (10% removal) ships
+    assert(apply(2L, full(snapA, snapB)))
+    // as-of the REFUSED version = the state the corpus actually had
+    assert(asSet(Curation.readSnapshotAsOf(spark, corpus, 1L)) == asSet(snapA))
+    assert(asSet(Curation.readSnapshotAsOf(spark, corpus, 2L)) == asSet(snapB))
+    assert(asSet(Curation.readSnapshotAsOf(spark, corpus, 0L)) == asSet(snapA))
+    // the sig store reflects only the SHIPPED versions
+    assert(Curation.readSigStore(spark, s"$base/sig")
+      .as[(String, Long)].collect().toMap ==
+      asSet(snapB).toSeq.flatMap(_._2)
+        .map(t => t.split(" ").distinct.sorted.mkString(" "))
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong })
+  }
+
   test("census guard: a mass-delete refresh is refused even when every row rule passes") {
     val base = graft.queries.QDef.tempDir("graft_census_spec")
     val path = s"$base/snap"; val rep = s"$base/report"
