@@ -3956,6 +3956,23 @@ object Curation {
     } finally Bridge.release(f)
   }
 
+  /** Streaming managed-VERSIONED maintenance: every micro-batch of CDC
+    * changelog rows through [[managedVersionedApplyBatch]] — the batch
+    * id is the version, so the stream's history is the store's.
+    */
+  def managedVersionedIngest(changelogs: DataFrame, basePath: String,
+                             sigStorePath: String, reportPath: String,
+                             rules: Seq[(String, Column)],
+                             censusRules: Seq[(String, Column)] = Nil,
+                             nBuckets: Int = 64,
+                             queryName: String = "graft_managed_versioned_ingest"): org.apache.spark.sql.streaming.StreamingQuery =
+    changelogs.writeStream.queryName(queryName)
+      .foreachBatch { (b: DataFrame, bid: Long) =>
+        managedVersionedApplyBatch(b, bid, basePath, sigStorePath,
+          reportPath, rules, censusRules, nBuckets)
+        ()
+      }.start()
+
   /** Streaming managed-corpus maintenance: every micro-batch of CDC
     * changelog rows through [[managedCorpusApplyBatch]].
     */

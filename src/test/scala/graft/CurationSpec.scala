@@ -667,6 +667,30 @@ class CurationSpec extends AnyFunSuite {
     assert(asSet(Curation.readSnapshotAsOf(spark, base, 0L)) == asSet(snapA))
   }
 
+  test("managedVersionedIngest: streamed history is time-travelable") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = graft.queries.QDef.tempDir("graft_mv_ingest")
+    val in = MemoryStream[(Long, String, String, String)]
+    val q = Curation.managedVersionedIngest(
+      in.toDF().toDF("doc_id", "status", "old_text", "new_text"),
+      s"$base/corpus", s"$base/sig", s"$base/report",
+      rules = Seq("id_not_null" -> col("doc_id").isNotNull),
+      nBuckets = 2, queryName = "mv_ingest_test")
+    try {
+      in.addData((1L, "added", null, "one"), (2L, "added", null, "two"))
+      q.processAllAvailable()
+      in.addData((1L, "changed", "one", "one v2"),
+        (3L, "added", null, "three"))
+      q.processAllAvailable()
+      val got = (v: Long) =>
+        Curation.readSnapshotAsOf(spark, s"$base/corpus", v)
+          .as[(Long, String)].collect().toSet
+      assert(got(1L) == Set((1L, "one v2"), (2L, "two"), (3L, "three")))
+      assert(got(0L) == Set((1L, "one"), (2L, "two")))
+    } finally q.stop()
+  }
+
   test("managedVersionedApplyBatch: refused versions don't exist, history serves around them") {
     val base = graft.queries.QDef.tempDir("graft_mv_spec")
     val corpus = s"$base/corpus"
