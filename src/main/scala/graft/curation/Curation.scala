@@ -3695,6 +3695,13 @@ object Curation {
     * per-batch report write (`n_rows = 1`, violation flag) and count
     * toward the verdict; rule names must not collide with row rules.
     */
+  /** `guardUniqueIds = true` additionally checks the changelog itself
+    * for duplicate ids (over the rows apply consumes — added, removed,
+    * changed) and QUARANTINES a lying log with a
+    * `changelog_id_unique` report line instead of letting the fold's
+    * in-plan `raise_error` kill the stream AFTER the report said pass —
+    * the fence stays as the last resort for ungated applies.
+    */
   def guardedSnapshotApplyBatch(changelog: DataFrame, batchId: Long,
                                 snapshotPath: String, reportPath: String,
                                 rules: Seq[(String, Column)],
@@ -3702,7 +3709,8 @@ object Curation {
                                 id: Column = col("doc_id"),
                                 text: Column = col("text"),
                                 status: Column = col("status"),
-                                censusRules: Seq[(String, Column)] = Nil)
+                                censusRules: Seq[(String, Column)] = Nil,
+                                guardUniqueIds: Boolean = false)
       : Boolean = {
     val spark = changelog.sparkSession
     val incoming = changelog
@@ -3731,11 +3739,21 @@ object Curation {
           (n, 1L, flags.getLong(i))
         }
       }
+    val uniqLines: Seq[(String, Long, Long)] =
+      if (!guardUniqueIds) Nil
+      else {
+        val r = graft.ops.Expectations.uniqueViolations(
+          changelog.select(id.as("doc_id"), status.as("__st"))
+            .filter(col("__st").isin("added", "removed", "changed")),
+          "changelog_id_unique", Seq(col("doc_id"))).collect()(0)
+        Seq(("changelog_id_unique", r.getLong(1), r.getLong(2)))
+      }
     // validateBatch hands back the verdict it just computed (≤ |rules|
     // rows) — the per-batch decision is O(1), never a listing of the
     // whole (growing) report store.
     val ok = graft.ops.Expectations.validateBatch(
-      incoming, batchId, reportPath, rules, extraReport = censusLines)
+      incoming, batchId, reportPath, rules,
+      extraReport = censusLines ++ uniqLines)
     if (ok) snapshotApplyBatch(changelog, snapshotPath, nBuckets,
       id, text, status)
     ok
@@ -3903,7 +3921,8 @@ object Curation {
                               reportPath: String,
                               rules: Seq[(String, Column)],
                               censusRules: Seq[(String, Column)] = Nil,
-                              nBuckets: Int = 64): Boolean = {
+                              nBuckets: Int = 64,
+                              guardUniqueIds: Boolean = false): Boolean = {
     import org.apache.spark.sql.graftbridge.Bridge
     val f = fullChangelog
       .select(col("doc_id"), col("status"), col("old_text"),
@@ -3913,7 +3932,8 @@ object Curation {
       val thin = f.select(col("doc_id"), col("status"),
         col("new_text").as("text"))
       val ok = guardedSnapshotApplyBatch(thin, batchId, snapshotPath,
-        reportPath, rules, nBuckets, censusRules = censusRules)
+        reportPath, rules, nBuckets, censusRules = censusRules,
+        guardUniqueIds = guardUniqueIds)
       if (ok) sigStoreApplyBatch(f, sigStorePath, batchId, nBuckets)
       ok
     } finally Bridge.release(f)
@@ -3934,7 +3954,8 @@ object Curation {
                                  reportPath: String,
                                  rules: Seq[(String, Column)],
                                  censusRules: Seq[(String, Column)] = Nil,
-                                 nBuckets: Int = 64): Boolean = {
+                                 nBuckets: Int = 64,
+                                 guardUniqueIds: Boolean = false): Boolean = {
     import org.apache.spark.sql.graftbridge.Bridge
     val f = fullChangelog
       .select(col("doc_id"), col("status"), col("old_text"),
@@ -3944,7 +3965,8 @@ object Curation {
       val thin = f.select(col("doc_id"), col("status"),
         col("new_text").as("text"))
       val ok = guardedSnapshotApplyBatch(thin, batchId, s"$basePath/snap",
-        reportPath, rules, nBuckets, censusRules = censusRules)
+        reportPath, rules, nBuckets, censusRules = censusRules,
+        guardUniqueIds = guardUniqueIds)
       if (ok) {
         f.withColumn("version", lit(batchId))
           .write.mode("overwrite")
@@ -3998,11 +4020,13 @@ object Curation {
                             rules: Seq[(String, Column)],
                             nBuckets: Int = 64,
                             queryName: String = "graft_guarded_snapshot_ingest",
-                            censusRules: Seq[(String, Column)] = Nil): org.apache.spark.sql.streaming.StreamingQuery =
+                            censusRules: Seq[(String, Column)] = Nil,
+                            guardUniqueIds: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
     changelogs.writeStream.queryName(queryName)
       .foreachBatch { (b: DataFrame, bid: Long) =>
         guardedSnapshotApplyBatch(b, bid, snapshotPath, reportPath, rules,
-          nBuckets, censusRules = censusRules)
+          nBuckets, censusRules = censusRules,
+          guardUniqueIds = guardUniqueIds)
         ()
       }.start()
 }

@@ -667,6 +667,38 @@ class CurationSpec extends AnyFunSuite {
     assert(asSet(Curation.readSnapshotAsOf(spark, base, 0L)) == asSet(snapA))
   }
 
+  test("guardUniqueIds: a lying log quarantines cleanly instead of crashing the fold") {
+    val base = graft.queries.QDef.tempDir("graft_uniq_guard")
+    val path = s"$base/snap"; val rep = s"$base/report"
+    val rules = Seq("id_not_null" -> col("doc_id").isNotNull)
+    val good = Seq((1L, "added", Some("one")), (2L, "added", Some("two")))
+      .toDF("doc_id", "status", "text")
+    assert(Curation.guardedSnapshotApplyBatch(good, 0L, path, rep, rules,
+      nBuckets = 2, guardUniqueIds = true))
+    // a duplicated id (removed + re-added in ONE log — the lying shape
+    // the in-plan raise_error fence kills mid-fold when ungated) is
+    // quarantined with its own report line, store untouched
+    val lying = Seq((1L, "removed", None: Option[String]),
+      (1L, "added", Some("one B")), (3L, "added", Some("three")))
+      .toDF("doc_id", "status", "text")
+    assert(!Curation.guardedSnapshotApplyBatch(lying, 1L, path, rep, rules,
+      nBuckets = 2, guardUniqueIds = true))
+    assert(Curation.readSnapshot(spark, path)
+      .as[(Long, Option[String])].collect().toSet ==
+      Set((1L, Some("one")), (2L, Some("two"))))
+    val line = spark.read.parquet(rep)
+      .filter(col("batch_id") === 1L && col("rule") === "changelog_id_unique")
+      .select("n_rows", "n_violations", "pass")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(line == Seq((3L, 1L, 0L)))
+    // unchanged duplicates are NOT lying (apply drops them unread)
+    val unchangedDup = Seq((2L, "unchanged", Some("two")),
+      (2L, "unchanged", Some("two")), (4L, "added", Some("four")))
+      .toDF("doc_id", "status", "text")
+    assert(Curation.guardedSnapshotApplyBatch(unchangedDup, 2L, path, rep,
+      rules, nBuckets = 2, guardUniqueIds = true))
+  }
+
   test("managedVersionedIngest: streamed history is time-travelable") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
