@@ -3269,13 +3269,33 @@ object Curation {
     */
   def sigStoreApplyBatch(fullChangelog: DataFrame, sigStorePath: String,
                          batchId: Long, nBuckets: Int = 64,
+                         id: Column = col("doc_id"),
                          status: Column = col("status"),
                          oldText: Column = col("old_text"),
                          newText: Column = col("new_text")): Unit = {
-    val gains = fullChangelog.filter(status.isin("added", "changed"))
-      .select(tokenSig(newText).as("sig"), lit(1L).as("delta"))
-    val losses = fullChangelog.filter(status.isin("removed", "changed"))
-      .select(tokenSig(oldText).as("sig"), lit(-1L).as("delta"))
+    // fail-fast on a lying log, like the snapshot store: a duplicated
+    // changelog id would DOUBLE-COUNT its signature deltas — silent
+    // census drift the refcounts could never recover from. The per-id
+    // count rides the batch frame, and the raise lives INSIDE the
+    // consumed delta column (a guard in a pruned column would be
+    // optimized away), so it fires in the same materialization that
+    // feeds the store write and nothing lands.
+    val base = fullChangelog
+      .filter(status.isin("added", "removed", "changed"))
+      .select(id.as("__sid"), status.as("__st"), oldText.as("__ot"),
+        newText.as("__nt"))
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy(col("__sid"))))
+    def guardedDelta(d: Long) = when(col("__n") > 1, raise_error(concat(
+        lit("sigStoreApplyBatch: changelog carries duplicate rows for " +
+          "doc_id "), col("__sid").cast("string"),
+        lit(" — duplicate deltas would silently corrupt the signature " +
+          "census; compact the log (compactChangelog) or dedup upstream"))))
+      .otherwise(lit(d))
+    val gains = base.filter(col("__st").isin("added", "changed"))
+      .select(tokenSig(col("__nt")).as("sig"), guardedDelta(1L).as("delta"))
+    val losses = base.filter(col("__st").isin("removed", "changed"))
+      .select(tokenSig(col("__ot")).as("sig"), guardedDelta(-1L).as("delta"))
     gains.unionByName(losses)
       .filter(col("sig").isNotNull)
       .groupBy(col("sig")).agg(sum(col("delta")).as("delta"))

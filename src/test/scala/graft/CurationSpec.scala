@@ -667,6 +667,34 @@ class CurationSpec extends AnyFunSuite {
     assert(asSet(Curation.readSnapshotAsOf(spark, base, 0L)) == asSet(snapA))
   }
 
+  test("sigStoreApplyBatch: a lying log raises before any delta lands") {
+    val base = graft.queries.QDef.tempDir("graft_sig_lying")
+    val path = s"$base/sig"
+    val good = Seq((1L, "added", None: Option[String], Some("a b")))
+      .toDF("doc_id", "status", "old_text", "new_text")
+    Curation.sigStoreApplyBatch(good, path, 0L, nBuckets = 2)
+    val lying = Seq(
+      (2L, "added", None: Option[String], Some("c")),
+      (2L, "added", None: Option[String], Some("c")))
+      .toDF("doc_id", "status", "old_text", "new_text")
+    val e = intercept[Exception] {
+      Curation.sigStoreApplyBatch(lying, path, 1L, nBuckets = 2)
+    }
+    assert(e.getMessage.contains("duplicate rows"), e.getMessage)
+    // nothing landed: the census is exactly the good batch's
+    assert(Curation.readSigStore(spark, path)
+      .as[(String, Long)].collect().toMap == Map("a b" -> 1L))
+    // duplicate UNCHANGED rows are not lying (apply-consumed rows only)
+    val okDup = Seq(
+      (1L, "unchanged", Some("a b"), None: Option[String]),
+      (1L, "unchanged", Some("a b"), None: Option[String]),
+      (3L, "added", None: Option[String], Some("d")))
+      .toDF("doc_id", "status", "old_text", "new_text")
+    Curation.sigStoreApplyBatch(okDup, path, 2L, nBuckets = 2)
+    assert(Curation.readSigStore(spark, path)
+      .as[(String, Long)].collect().toMap == Map("a b" -> 1L, "d" -> 1L))
+  }
+
   test("guardUniqueIds: a lying log quarantines cleanly instead of crashing the fold") {
     val base = graft.queries.QDef.tempDir("graft_uniq_guard")
     val path = s"$base/snap"; val rep = s"$base/report"
