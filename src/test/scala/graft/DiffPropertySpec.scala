@@ -156,6 +156,59 @@ class DiffPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("managed-versioned path under random refusals: only shipped hops exist (3 seeds)") {
+    // random 5-chains where a census rule (no hop may remove more than
+    // 30% of the corpus) refuses some hops at random: the serving head
+    // must equal the fold of ONLY the shipped hops, every as-of read
+    // must land on its shipped-prefix state, and the sig store must
+    // census the head exactly — quarantine correctness under chains
+    // nobody designed.
+    for (seed <- 50L to 52L) {
+      val universe = 40
+      val snaps = (0 to 4).map(k =>
+        snapshot(seed * 49979687L + k * 31L, universe).toDF("doc_id", "text")
+          .localCheckpoint(true))
+      val base = graft.queries.QDef.tempDir("graft_mv_prop")
+      val rules = Seq("id_not_null" -> col("doc_id").isNotNull)
+      val census = Seq("removed_max_30pct" ->
+        (col("n_removed") * 10 <= col("n_old") * 3))
+      // the EXPECTED evolution: apply a hop only if the census rule
+      // would pass against the CURRENT state (independent arithmetic)
+      var state = Set.empty[(Long, Option[String])]
+      val expectedByVersion = scala.collection.mutable.Map[Long, Set[(Long, Option[String])]]()
+      (0 to 4).foreach { v =>
+        val target = asSet(snaps(v))
+        val removed = state.map(_._1).diff(target.map(_._1)).size
+        val passes = removed * 10 <= state.size * 3
+        val shipped = graft.curation.Curation.managedVersionedApplyBatch(
+          Curation.corpusDiffFull(
+            state.toSeq.toDF("doc_id", "text"), snaps(v)),
+          v.toLong, s"$base/corpus", s"$base/sig", s"$base/report", rules,
+          censusRules = census, nBuckets = 4)
+        assert(shipped == passes, s"seed=$seed v=$v verdict diverged " +
+          s"(removed=$removed of ${state.size})")
+        if (passes) state = target
+        expectedByVersion(v.toLong) = state
+      }
+      // head and sig store census the final shipped state
+      assert(asSet(Curation.readSnapshot(spark, s"$base/corpus/snap"))
+        == state, s"seed=$seed head diverged")
+      val expCensus = state.toSeq.flatMap(_._2)
+        .map(t => t.split(" ").distinct.sorted.mkString(" "))
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      assert(Curation.readSigStore(spark, s"$base/sig")
+        .as[(String, Long)].collect().toMap == expCensus,
+        s"seed=$seed sig census diverged")
+      // every as-of read lands on its shipped-prefix state
+      (0 to 4).foreach { v =>
+        assert(asSet(Curation.readSnapshotAsOf(spark, s"$base/corpus",
+          v.toLong)) == expectedByVersion(v.toLong),
+          s"seed=$seed asOf=$v diverged")
+      }
+      snaps.foreach(org.apache.spark.sql.graftbridge.Bridge.release)
+    }
+  }
+
   test("time travel reconstructs every version of random 4-chains (3 seeds)") {
     for (seed <- 40L to 42L) {
       val universe = 40
