@@ -2309,19 +2309,23 @@ object Curation {
           // buckets a single window task could not absorb, off the
           // checkpointed tiny frame. Routing is whole (key, bucket)
           // groups, so the composed running sum stays bit-identical.
-          // NULL keys never survive the offsets equi-join, and a NULL
-          // literal in the routing predicate would three-value-logic
-          // rows out of BOTH branches — exclude them here
+          // Route via a BROADCAST semi/anti join against the heavy
+          // (key, bucket) frame, never a collected literal predicate —
+          // at 100 TB the default threshold admits tens of thousands of
+          // heavy pairs, and an OR-chain that size is a driver collect
+          // plus a Catalyst tree that blows up analysis/codegen. NULL
+          // keys never survive the offsets equi-join, so neither branch
+          // can lose them to three-value logic.
           val heavy = hist.filter(col("__rc") > boundarySplitRows(df)
               && col("__k2").isNotNull)
-            .select(col("__k2"), col("__b")).collect()
+            .select(col("__k2"), col("__b"))
           if (heavy.isEmpty) plainWindow(joined)
           else {
-            val pred = heavy.toSeq.map(r =>
-              col("__k2") === lit(r.get(0)) && col("__b") === lit(r.get(1)))
-              .reduce(_ || _)
-            plainWindow(joined.filter(!pred))
-              .unionByName(splitPrefixSum(joined.filter(pred), pruneAbove))
+            val route = broadcast(heavy)
+            plainWindow(joined.join(route, Seq("__k2", "__b"), "left_anti"))
+              .unionByName(splitPrefixSum(
+                joined.join(route, Seq("__k2", "__b"), "left_semi"),
+                pruneAbove))
           }
       }
     summed
@@ -3523,12 +3527,23 @@ object Curation {
   def snapshotCatchUp(changelogs: Seq[DataFrame], snapshotPath: String,
                       nBuckets: Int = 64): Unit = {
     require(changelogs.nonEmpty, "snapshotCatchUp needs >= 1 changelog")
+    import org.apache.spark.sql.graftbridge.Bridge
+    // each lineage checkpoint feeds only the folds up to the next one —
+    // chain-release keeps at most ONE alive, and the survivor is
+    // released once the apply below has materialized past it (the §6.1
+    // storage-litter lesson: persistent blocks must not outlive the op)
+    var lastCk: Option[DataFrame] = None
     val compacted = changelogs.zipWithIndex.tail
       .foldLeft(changelogs.head) { case (acc, (l, i)) =>
         val c = compactChangelog(acc, l)
-        if (i % 8 == 0) c.localCheckpoint(true) else c
+        if (i % 8 == 0) {
+          val ck = c.localCheckpoint(true)
+          lastCk.foreach(Bridge.release(_)); lastCk = Some(ck)
+          ck
+        } else c
       }
-    snapshotApplyBatch(compacted, snapshotPath, nBuckets)
+    try snapshotApplyBatch(compacted, snapshotPath, nBuckets)
+    finally lastCk.foreach(Bridge.release(_))
   }
 
   /** GROWTH trigger for the maintained store's bucket count: the store
@@ -3537,8 +3552,12 @@ object Curation {
     * Doubles the bucket count (via the crash-safe [[rebucketSnapshot]])
     * until the target holds again; returns the store's (possibly new)
     * bucket count — pass it to subsequent [[snapshotApplyBatch]] calls.
-    * The size read is a parquet metadata count (footers, no data scan);
-    * call between batches (single writer, same contract as rebucket).
+    * The size read is a real Spark `count()` JOB over the store — but
+    * the aggregate prunes the read schema to zero columns, so each task
+    * decodes NO pages: it reads footers and sums row-group counts
+    * (metadata IO per file, not a data scan). Budget it as one
+    * store-wide footer pass every `rebucketEvery` batches; call between
+    * batches (single writer, same contract as rebucket).
     */
   def maybeRebucketSnapshot(spark: org.apache.spark.sql.SparkSession,
                             snapshotPath: String,
@@ -3698,11 +3717,13 @@ object Curation {
     * whether the batch was applied.
     *
     * Replay-safe end to end: the report write is idempotent (its own
-    * partition), the pass/fail decision is a pure function of the
-    * batch, and apply is semantically idempotent — so an at-least-once
-    * replay of either outcome converges. The decision read is ≤ |rules|
-    * rows (bounded collect). Removed-only batches validate an empty
-    * incoming frame (all-pass) and apply.
+    * partition), a replay REUSES the committed report's verdict instead
+    * of recomputing it (census rules read the live store's `n_old`,
+    * which the first attempt may already have mutated — see
+    * [[readBatchVerdict]]), and apply is semantically idempotent — so
+    * an at-least-once replay of either outcome converges. The decision
+    * read is ≤ |rules| rows (bounded collect). Removed-only batches
+    * validate an empty incoming frame (all-pass) and apply.
     */
   /** `censusRules` (census-level guards, the mass-delete defence):
     * predicates over a ONE-ROW census of the batch against the CURRENT
@@ -3732,7 +3753,41 @@ object Curation {
                                 censusRules: Seq[(String, Column)] = Nil,
                                 guardUniqueIds: Boolean = false)
       : Boolean = {
+    val ok = validateSnapshotBatch(changelog, batchId, snapshotPath,
+      reportPath, rules, id, text, status, censusRules, guardUniqueIds)
+    if (ok) snapshotApplyBatch(changelog, snapshotPath, nBuckets,
+      id, text, status)
+    ok
+  }
+
+  /** The publish-gate VERDICT alone — [[guardedSnapshotApplyBatch]]
+    * without the fold, for composites that must order their own writes
+    * between the verdict and the apply (archive-first time travel).
+    * Writes the batch's report and returns pass/fail.
+    *
+    * REPLAY-STABLE: if the batch's report partition already committed,
+    * its recorded verdict is reused verbatim ([[readBatchVerdict]]) —
+    * census rules read `n_old` from the LIVE store, so recomputing the
+    * verdict on an at-least-once replay of a batch whose first attempt
+    * already folded would judge it against the store it itself mutated
+    * (a shipped 19%-removal batch under a 20% cap re-judges as ~23% of
+    * the smaller store and flips to refused). The first attempt's
+    * report is written BEFORE any fold, so it is always the pre-apply
+    * verdict.
+    */
+  def validateSnapshotBatch(changelog: DataFrame, batchId: Long,
+                            snapshotPath: String, reportPath: String,
+                            rules: Seq[(String, Column)],
+                            id: Column = col("doc_id"),
+                            text: Column = col("text"),
+                            status: Column = col("status"),
+                            censusRules: Seq[(String, Column)] = Nil,
+                            guardUniqueIds: Boolean = false): Boolean = {
     val spark = changelog.sparkSession
+    readBatchVerdict(spark, reportPath, batchId) match {
+      case Some(recorded) => return recorded
+      case None => ()
+    }
     val incoming = changelog
       .select(id.as("doc_id"), status.as("status"), text.as("text"))
       .filter(col("status").isin("added", "changed"))
@@ -3771,12 +3826,9 @@ object Curation {
     // validateBatch hands back the verdict it just computed (≤ |rules|
     // rows) — the per-batch decision is O(1), never a listing of the
     // whole (growing) report store.
-    val ok = graft.ops.Expectations.validateBatch(
+    graft.ops.Expectations.validateBatch(
       incoming, batchId, reportPath, rules,
       extraReport = censusLines ++ uniqLines)
-    if (ok) snapshotApplyBatch(changelog, snapshotPath, nBuckets,
-      id, text, status)
-    ok
   }
 
   /** Schema of the versioned store's archived CDC logs (data +
@@ -3797,6 +3849,73 @@ object Curation {
   private def versionFloorPath(root: org.apache.hadoop.fs.Path) =
     new org.apache.hadoop.fs.Path(root, "_graft_version_floor")
 
+  /** The versioned store's FOLDED-version marker (`_graft_snap_version`
+    * in the log dir): the highest version whose log has been applied to
+    * `<base>/snap`. Written AFTER each fold, it is what lets the archive
+    * lead the fold (archive-first ordering) without a torn window
+    * corrupting as-of reads — [[readSnapshotAsOf]] never inverts an
+    * archived log above the marker, because the snapshot does not
+    * contain its changes yet.
+    */
+  private def snapVersionPath(root: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(root, "_graft_snap_version")
+
+  private def readLongMarker(fs: org.apache.hadoop.fs.FileSystem,
+                             p: org.apache.hadoop.fs.Path): Option[Long] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        // InputStream.read may legally return fewer bytes than available
+        // — loop to EOF so the digits are never truncated.
+        val buf = new Array[Byte](32)
+        var off = 0
+        var n = in.read(buf, off, buf.length - off)
+        while (n > 0 && off + n < buf.length) {
+          off += n; n = in.read(buf, off, buf.length - off)
+        }
+        if (n > 0) off += n
+        Some(new String(buf, 0, off, "UTF-8").trim.toLong)
+      } finally in.close()
+    }
+
+  private def writeLongMarker(fs: org.apache.hadoop.fs.FileSystem,
+                              p: org.apache.hadoop.fs.Path, v: Long): Unit = {
+    val out = fs.create(p, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The recorded verdict of a batch whose report partition already
+    * COMMITTED — the publish gate's replay-stability read. The census
+    * verdict is a function of the store state the FIRST attempt saw
+    * (`n_old`); a replay after a crash mid-fold would re-derive it from
+    * the store that attempt already mutated, so a shipped batch sitting
+    * near a census threshold (19% removal vs a 20% cap) could be
+    * REFUSED on replay — permanently desyncing the maintained artifacts
+    * and overwriting the batch's report with a failing verdict for a
+    * batch that actually applied. The committed report partition IS the
+    * durable pre-fold verdict, so the gate reuses it verbatim.
+    *
+    * Committed = the `batch_id=<id>` dir holds a data file: the report
+    * write is a single-task job into one partition, so its one file is
+    * either absent (job never committed — validate fresh) or complete.
+    * `batchId` therefore identifies a batch's CONTENT across replays,
+    * the same contract every staged store in this file already carries.
+    */
+  def readBatchVerdict(spark: org.apache.spark.sql.SparkSession,
+                       reportPath: String, batchId: Long): Option[Boolean] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$reportPath/batch_id=$batchId")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir) || !fs.listStatus(dir).exists(f =>
+        f.isFile && f.getPath.getName.endsWith(".parquet"))) None
+    else {
+      val pass = spark.read
+        .schema(graft.ops.Expectations.reportSchema).parquet(dir.toString)
+        .select(col("pass")).collect()
+      if (pass.isEmpty) None else Some(pass.forall(_.getLong(0) == 1L))
+    }
+  }
+
   /** One batch of VERSIONED snapshot upkeep — time travel from the
     * existing CDC primitives: the current snapshot stays maintained in
     * `<base>/snap` (the bucket-fenced store), and the batch's FULL
@@ -3808,6 +3927,21 @@ object Curation {
     * is O(total churn), and serving reads stay on the plain maintained
     * store. Versions must be applied in increasing order (single
     * writer, the foreachBatch contract).
+    *
+    * Write order and crash safety: the log is VALIDATED first (a
+    * duplicate-id lying log throws before anything lands — were it
+    * archived first, the fold's in-plan raise would reject it on every
+    * replay while the archive durably held a log the snapshot never
+    * applied, and as-of reads below it would invert a phantom),
+    * then archived, then folded, then the `_graft_snap_version` marker
+    * commits the fold. [[readSnapshotAsOf]] never inverts an archived
+    * log above the marker, so a crash between the archive and the fold
+    * leaves every as-of read CORRECT (the not-yet-folded log is simply
+    * invisible until the replay folds it and moves the marker); the
+    * only torn residue is the benign one — a crash between the fold and
+    * the one-file marker write serves version v's corpus labeled v−1
+    * until the replay completes. Mid-fold crashes are the store's usual
+    * torn-bucket window, healed by the same replay.
     */
   def versionedSnapshotApplyBatch(fullChangelog: DataFrame,
                                   basePath: String, version: Long,
@@ -3818,6 +3952,7 @@ object Curation {
         col("new_text"))
       .localCheckpoint(true) // feeds the archive AND the fold
     try {
+      requireUniqueLogIds(f, "versionedSnapshotApplyBatch")
       // no coalesce: a 100 TB refresh's churn log is itself large — the
       // archive keeps the frame's parallelism (tiny logs cost a few
       // small files per version; compaction is pruneSnapshotVersions'
@@ -3830,7 +3965,41 @@ object Curation {
         f.select(col("doc_id"), col("status"),
           col("new_text").as("text")),
         s"$basePath/snap", nBuckets)
+      commitSnapVersion(f.sparkSession, basePath, version)
     } finally Bridge.release(f)
+  }
+
+  /** Fail-fast validation of a CDC log BEFORE it is archived: a
+    * duplicate id among the apply-consumed rows (added/removed/changed)
+    * is the lying-log shape the fold's in-plan `raise_error` rejects —
+    * catching it pre-archive keeps the refused log out of the durable
+    * version history. One O(batch) agg job over the (already
+    * checkpointed) frame.
+    */
+  private def requireUniqueLogIds(f: DataFrame, who: String): Unit = {
+    val dup = f.filter(col("status").isin("added", "removed", "changed"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).limit(1).collect()
+    if (dup.nonEmpty) throw new IllegalStateException(
+      s"$who: changelog carries duplicate rows for doc_id " +
+        s"${dup(0).get(0)} — archiving a lying log would durably " +
+        "corrupt the version history (the fold refuses it on every " +
+        "replay while as-of reads invert a log the snapshot never " +
+        "applied); compact the log (compactChangelog) or dedup upstream")
+  }
+
+  /** Commit a fold to the versioned store's `_graft_snap_version`
+    * marker (monotone: never moves backwards, so a replayed older
+    * version cannot roll the marker under logs already folded).
+    */
+  private def commitSnapVersion(spark: org.apache.spark.sql.SparkSession,
+                                basePath: String, version: Long): Unit = {
+    val logRoot = new org.apache.hadoop.fs.Path(s"$basePath/log")
+    val fs = logRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(logRoot)) fs.mkdirs(logRoot)
+    val cur = readLongMarker(fs, snapVersionPath(logRoot))
+    if (cur.forall(_ < version))
+      writeLongMarker(fs, snapVersionPath(logRoot), version)
   }
 
   /** TIME-TRAVEL read: the snapshot AS OF `version` (i.e. after that
@@ -3844,39 +4013,42 @@ object Curation {
     * prune floor ([[pruneSnapshotVersions]]) is refused: the logs that
     * would reach it are gone, and a silent partial walk-back would
     * serve a corpus that never existed.
+    *
+    * The walk-back is CAPPED at the `_graft_snap_version` marker: a log
+    * archived but not yet folded (the archive-first crash window, or a
+    * writer mid-batch) is invisible — inverting it would undo changes
+    * the snapshot does not contain. An as-of at or above the marker is
+    * the current snapshot (for a version number that never shipped —
+    * a quarantined batch — that IS the state the corpus had then).
+    * Stores written before the marker existed fall back to inverting
+    * every archived log (the pre-marker semantics).
+    *
+    * Storage hygiene: the every-8th-fold lineage checkpoints are
+    * CHAIN-RELEASED (each new checkpoint releases the previous one — a
+    * checkpoint only feeds the folds up to the next), so a deep
+    * walk-back leaves at most ONE persistent RDD behind: the final
+    * accumulator the returned lazy plan still reads.
     */
   def readSnapshotAsOf(spark: org.apache.spark.sql.SparkSession,
                        basePath: String, version: Long): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
     val logRoot = new org.apache.hadoop.fs.Path(s"$basePath/log")
     val fs = logRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val floor = {
-      val p = versionFloorPath(logRoot)
-      if (!fs.exists(p)) -1L
-      else {
-        val in = fs.open(p)
-        try {
-          val buf = new Array[Byte](32)
-          var off = 0
-          var n = in.read(buf, off, buf.length - off)
-          while (n > 0 && off + n < buf.length) {
-            off += n; n = in.read(buf, off, buf.length - off)
-          }
-          if (n > 0) off += n
-          new String(buf, 0, off, "UTF-8").trim.toLong
-        } finally in.close()
-      }
-    }
+    val floor = readLongMarker(fs, versionFloorPath(logRoot)).getOrElse(-1L)
     if (version < floor) throw new IllegalStateException(
       s"time-travel read asOf=$version is below the prune floor $floor " +
         s"of $basePath — the logs that reach it were pruned " +
         "(pruneSnapshotVersions); retained history starts at the floor")
+    val foldedThrough = readLongMarker(fs, snapVersionPath(logRoot))
     val versionsAbove =
       if (!fs.exists(logRoot)) Seq.empty[Long]
       else fs.listStatus(logRoot).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("version="))
         .flatMap(s => scala.util.Try(
           s.getPath.getName.stripPrefix("version=").toLong).toOption)
-        .filter(_ > version).sorted.reverse
+        .filter(_ > version)
+        .filter(v => foldedThrough.forall(v <= _))
+        .sorted.reverse
     val current = readSnapshot(spark, s"$basePath/snap")
     if (versionsAbove.isEmpty) current
     else {
@@ -3885,11 +4057,18 @@ object Curation {
           .schema(versionedLogSchema)
           .parquet(s"$basePath/log/version=$v"))
       val inverted = versionsAbove.map(invertedLog)
+      var prevCk: Option[DataFrame] = None
       val walkBack = inverted.tail.zipWithIndex
         .foldLeft(inverted.head) { case (acc, (l, i)) =>
           val c = compactChangelog(acc, l)
-          // bound plan depth on deep walk-backs (the catch-up idiom)
-          if (i % 8 == 7) c.localCheckpoint(true) else c
+          // bound plan depth on deep walk-backs (the catch-up idiom);
+          // the PREVIOUS checkpoint fed only the folds between the two
+          // — release its blocks as soon as the new one materializes
+          if (i % 8 == 7) {
+            val ck = c.localCheckpoint(true)
+            prevCk.foreach(Bridge.release(_)); prevCk = Some(ck)
+            ck
+          } else c
         }
       applyCorpusDiff(current, walkBack)
     }
@@ -3900,15 +4079,22 @@ object Curation {
     * floor so [[readSnapshotAsOf]] refuses reads the remaining logs
     * cannot serve. Floor-marker-first is crash-safe: a crash between
     * the marker and the deletes leaves extra logs behind (harmless),
-    * never a floor that promises history the store lost.
+    * never a floor that promises history the store lost. MONOTONE: a
+    * floor below the current one is a no-op — the logs under the old
+    * floor are already gone, so lowering the marker would promise
+    * history the store cannot serve (a retention knob shrinking after
+    * a restart must not corrupt as-of reads).
     */
   def pruneSnapshotVersions(spark: org.apache.spark.sql.SparkSession,
                             basePath: String, floor: Long): Unit = {
     val logRoot = new org.apache.hadoop.fs.Path(s"$basePath/log")
     val fs = logRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(logRoot)) fs.mkdirs(logRoot)
-    val out = fs.create(versionFloorPath(logRoot), true)
-    try out.write(floor.toString.getBytes("UTF-8")) finally out.close()
+    // equal floor re-runs the deletes (recovery of a crash between the
+    // marker write and the deletes is a re-run at the same floor)
+    if (readLongMarker(fs, versionFloorPath(logRoot)).exists(_ > floor))
+      return
+    writeLongMarker(fs, versionFloorPath(logRoot), floor)
     fs.listStatus(logRoot).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("version="))
       .filter(s => scala.util.Try(
@@ -3930,8 +4116,11 @@ object Curation {
     *
     * Crash/replay: the report write and the sig-store write overwrite
     * their own batch partitions, the snapshot fold is semantically
-    * idempotent — a crash between the two folds is healed by the
-    * at-least-once replay re-running both. The CDC frame is
+    * idempotent, and the replay REUSES the committed report's verdict
+    * ([[readBatchVerdict]]) rather than re-judging census rules against
+    * the store the first attempt already mutated — so a crash between
+    * the folds is healed by the at-least-once replay re-running both
+    * under the original verdict. The CDC frame is
     * checkpointed once here: it feeds the census, the row rules, and
     * both folds, and a computed diff re-evaluating per consumer would
     * re-run the corpus join four times.
@@ -3966,8 +4155,17 @@ object Curation {
     * corpus' full retained history. A QUARANTINED batch archives
     * nothing — its version number simply never exists, and an as-of
     * read at it returns the state the corpus actually had then (the
-    * previous applied version). Crash between the folds heals on
-    * replay, as in the unversioned form.
+    * previous applied version).
+    *
+    * Write order matches the primitive: VERDICT first (validate only,
+    * no fold — the report is the durable pre-apply decision a replay
+    * reuses), then archive the log, then fold snapshot + sig store,
+    * then commit the `_graft_snap_version` marker. A crash anywhere
+    * heals on the at-least-once replay: the reused verdict cannot flip
+    * (census `n_old` is never re-derived from a store the first attempt
+    * mutated), the archive/fold/marker are each idempotent, and as-of
+    * reads during the window stay correct because the marker caps the
+    * walk-back below the not-yet-folded log.
     */
   def managedVersionedApplyBatch(fullChangelog: DataFrame, batchId: Long,
                                  basePath: String, sigStorePath: String,
@@ -3984,15 +4182,22 @@ object Curation {
     try {
       val thin = f.select(col("doc_id"), col("status"),
         col("new_text").as("text"))
-      val ok = guardedSnapshotApplyBatch(thin, batchId, s"$basePath/snap",
-        reportPath, rules, nBuckets, censusRules = censusRules,
+      val ok = validateSnapshotBatch(thin, batchId, s"$basePath/snap",
+        reportPath, rules, censusRules = censusRules,
         guardUniqueIds = guardUniqueIds)
       if (ok) {
+        // ungated lying logs (guardUniqueIds = false) must still fail
+        // BEFORE the archive — never durably archive a log the fold
+        // will refuse on every replay
+        if (!guardUniqueIds)
+          requireUniqueLogIds(f, "managedVersionedApplyBatch")
         f.withColumn("version", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("version").parquet(s"$basePath/log")
+        snapshotApplyBatch(thin, s"$basePath/snap", nBuckets)
         sigStoreApplyBatch(f, sigStorePath, batchId, nBuckets)
+        commitSnapVersion(f.sparkSession, basePath, batchId)
       }
       ok
     } finally Bridge.release(f)
@@ -4001,35 +4206,75 @@ object Curation {
   /** Streaming managed-VERSIONED maintenance: every micro-batch of CDC
     * changelog rows through [[managedVersionedApplyBatch]] — the batch
     * id is the version, so the stream's history is the store's.
+    *
+    * `guardUniqueIds` quarantines a duplicate-id lying log with a
+    * `changelog_id_unique` report line instead of killing the stream.
+    * `retainVersions = Some(k)`: every `pruneEvery` batches the stream
+    * bounds its own history via [[pruneSnapshotVersions]] (floor =
+    * batchId − k, monotone) — a production stream never accumulates an
+    * unbounded archive. `compactEvery > 0`: every that-many batches the
+    * sig store's per-batch dirs squash through [[compactCountedStore]]
+    * (committedThrough = the PREVIOUS batch — the current one is not in
+    * the stream's checkpoint yet, and folding it would double-count on
+    * replay); the store's own readers must tolerate the documented
+    * stop-the-world window (foreachBatch serializes the writer side).
     */
   def managedVersionedIngest(changelogs: DataFrame, basePath: String,
                              sigStorePath: String, reportPath: String,
                              rules: Seq[(String, Column)],
                              censusRules: Seq[(String, Column)] = Nil,
                              nBuckets: Int = 64,
-                             queryName: String = "graft_managed_versioned_ingest"): org.apache.spark.sql.streaming.StreamingQuery =
+                             queryName: String = "graft_managed_versioned_ingest",
+                             guardUniqueIds: Boolean = false,
+                             retainVersions: Option[Long] = None,
+                             pruneEvery: Int = 8,
+                             compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(pruneEvery >= 1, s"pruneEvery must be >= 1, got $pruneEvery")
+    require(compactEvery >= 0,
+      s"compactEvery must be >= 0 (0 = never), got $compactEvery")
     changelogs.writeStream.queryName(queryName)
       .foreachBatch { (b: DataFrame, bid: Long) =>
         managedVersionedApplyBatch(b, bid, basePath, sigStorePath,
-          reportPath, rules, censusRules, nBuckets)
+          reportPath, rules, censusRules, nBuckets,
+          guardUniqueIds = guardUniqueIds)
+        retainVersions.foreach { k =>
+          if ((bid + 1) % pruneEvery == 0 && bid - k >= 0)
+            pruneSnapshotVersions(b.sparkSession, basePath, bid - k)
+        }
+        if (compactEvery > 0 && (bid + 1) % compactEvery == 0)
+          compactCountedStore(b.sparkSession, sigStorePath,
+            sigStoreStagedSchema, committedThrough = bid - 1,
+            owner = queryName)
         ()
       }.start()
+  }
 
   /** Streaming managed-corpus maintenance: every micro-batch of CDC
     * changelog rows through [[managedCorpusApplyBatch]].
+    * `guardUniqueIds` / `compactEvery` as on [[managedVersionedIngest]].
     */
   def managedCorpusIngest(changelogs: DataFrame, snapshotPath: String,
                           sigStorePath: String, reportPath: String,
                           rules: Seq[(String, Column)],
                           censusRules: Seq[(String, Column)] = Nil,
                           nBuckets: Int = 64,
-                          queryName: String = "graft_managed_corpus_ingest"): org.apache.spark.sql.streaming.StreamingQuery =
+                          queryName: String = "graft_managed_corpus_ingest",
+                          guardUniqueIds: Boolean = false,
+                          compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(compactEvery >= 0,
+      s"compactEvery must be >= 0 (0 = never), got $compactEvery")
     changelogs.writeStream.queryName(queryName)
       .foreachBatch { (b: DataFrame, bid: Long) =>
         managedCorpusApplyBatch(b, bid, snapshotPath, sigStorePath,
-          reportPath, rules, censusRules, nBuckets)
+          reportPath, rules, censusRules, nBuckets,
+          guardUniqueIds = guardUniqueIds)
+        if (compactEvery > 0 && (bid + 1) % compactEvery == 0)
+          compactCountedStore(b.sparkSession, sigStorePath,
+            sigStoreStagedSchema, committedThrough = bid - 1,
+            owner = queryName)
         ()
       }.start()
+  }
 
   /** Streaming quality-gated snapshot maintenance: [[snapshotIngest]]
     * with the [[guardedSnapshotApplyBatch]] publish gate in front of

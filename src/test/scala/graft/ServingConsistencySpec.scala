@@ -1,0 +1,291 @@
+package graft
+
+import graft.curation.Curation
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-18 hardening of the serving layer: replay-stable publish
+  * verdicts, the archive-first torn window closed by the folded-version
+  * marker, lying logs refused BEFORE the version archive, stream-owned
+  * retention and sig-store compaction, and checkpoint hygiene on deep
+  * walk-backs.
+  */
+class ServingConsistencySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def full(a: org.apache.spark.sql.DataFrame,
+                   b: org.apache.spark.sql.DataFrame) =
+    Curation.corpusDiffFull(a, b)
+
+  private def thinCl(a: org.apache.spark.sql.DataFrame,
+                     b: org.apache.spark.sql.DataFrame) =
+    Curation.corpusDiff(a, b).join(b, Seq("doc_id"), "left")
+
+  private def asSet(df: org.apache.spark.sql.DataFrame) =
+    df.as[(Long, Option[String])].collect().toSet
+
+  private def fsFor(path: String) = new org.apache.hadoop.fs.Path(path)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  test("census verdict is replay-stable: a shipped threshold batch cannot flip to refused on replay") {
+    val base = graft.queries.QDef.tempDir("graft_replay_verdict")
+    val path = s"$base/snap"; val rep = s"$base/report"
+    val snapA = (1L to 10L).map(i => (i, Some(s"doc $i"))).toDF("doc_id", "text")
+    // removes EXACTLY the 20% cap: passes against n_old = 10, but would
+    // re-judge as 2/8 = 25% against the store the first attempt mutated
+    val snapB = snapA.filter($"doc_id" > 2L)
+    val rules = Seq("text_not_null" -> col("text").isNotNull)
+    val census = Seq("removed_max_20pct" ->
+      (col("n_removed") * 5 <= col("n_old")))
+    assert(Curation.guardedSnapshotApplyBatch(thinCl(snapA.limit(0), snapA),
+      0L, path, rep, rules, nBuckets = 2, censusRules = census))
+    assert(Curation.guardedSnapshotApplyBatch(thinCl(snapA, snapB), 1L,
+      path, rep, rules, nBuckets = 2, censusRules = census))
+    // the at-least-once replay of the SAME batch id: the recorded
+    // verdict is reused — re-deriving n_old from the live store (now 8)
+    // would refuse a batch that actually applied and overwrite its
+    // report with a failing verdict
+    assert(Curation.guardedSnapshotApplyBatch(thinCl(snapA, snapB), 1L,
+      path, rep, rules, nBuckets = 2, censusRules = census),
+      "replayed shipped batch flipped to refused")
+    assert(asSet(Curation.readSnapshot(spark, path)) == asSet(snapB))
+    // the audit trail still carries the ORIGINAL passing verdict
+    val recorded = spark.read.parquet(rep).filter(col("batch_id") === 1L)
+      .select("rule", "pass").as[(String, Long)].collect().toMap
+    assert(recorded("removed_max_20pct") == 1L)
+    // and a genuinely NEW batch still validates fresh against the store
+    assert(!Curation.guardedSnapshotApplyBatch(
+      thinCl(snapB, snapB.filter($"doc_id" > 5L)), 2L,
+      path, rep, rules, nBuckets = 2, censusRules = census))
+  }
+
+  test("readBatchVerdict: absent until the report commits, then the recorded verdict") {
+    val base = graft.queries.QDef.tempDir("graft_verdict_read")
+    val rep = s"$base/report"
+    assert(Curation.readBatchVerdict(spark, rep, 0L).isEmpty)
+    val batch = Seq((1L, Some("one"))).toDF("doc_id", "text")
+    assert(graft.ops.Expectations.validateBatch(batch, 0L, rep,
+      Seq("text_not_null" -> col("text").isNotNull)))
+    assert(Curation.readBatchVerdict(spark, rep, 0L).contains(true))
+    assert(!graft.ops.Expectations.validateBatch(
+      Seq((2L, None: Option[String])).toDF("doc_id", "text"), 1L, rep,
+      Seq("text_not_null" -> col("text").isNotNull)))
+    assert(Curation.readBatchVerdict(spark, rep, 1L).contains(false))
+    assert(Curation.readBatchVerdict(spark, rep, 2L).isEmpty)
+  }
+
+  test("as-of walk-back is capped at the folded-version marker: an archived, not-yet-folded log is invisible") {
+    val base = graft.queries.QDef.tempDir("graft_torn_window")
+    val snapA = Seq((1L, Some("one")), (2L, Some("two"))).toDF("doc_id", "text")
+    val snapB = Seq((1L, Some("one v2")), (3L, Some("three"))).toDF("doc_id", "text")
+    val snapC = Seq((3L, Some("three")), (4L, Some("four"))).toDF("doc_id", "text")
+    Curation.versionedSnapshotApplyBatch(full(snapA.limit(0), snapA),
+      base, 0L, nBuckets = 2)
+    Curation.versionedSnapshotApplyBatch(full(snapA, snapB),
+      base, 1L, nBuckets = 2)
+    // simulate the archive-first crash window: version 2's log lands in
+    // the archive, the fold never runs (no marker move)
+    full(snapB, snapC).withColumn("version", lit(2L))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("version").parquet(s"$base/log")
+    // every as-of read during the window is CORRECT: the walk-back
+    // never inverts the not-yet-folded log (inverting it would undo
+    // changes the snapshot does not contain)
+    assert(asSet(Curation.readSnapshotAsOf(spark, base, 1L)) == asSet(snapB))
+    assert(asSet(Curation.readSnapshotAsOf(spark, base, 0L)) == asSet(snapA))
+    // as-of the in-flight version serves the last APPLIED state
+    assert(asSet(Curation.readSnapshotAsOf(spark, base, 2L)) == asSet(snapB))
+    // the replay completes the batch; history extends past it
+    Curation.versionedSnapshotApplyBatch(full(snapB, snapC),
+      base, 2L, nBuckets = 2)
+    assert(asSet(Curation.readSnapshotAsOf(spark, base, 2L)) == asSet(snapC))
+    assert(asSet(Curation.readSnapshotAsOf(spark, base, 1L)) == asSet(snapB))
+    assert(asSet(Curation.readSnapshotAsOf(spark, base, 0L)) == asSet(snapA))
+  }
+
+  test("a duplicate-id log is refused BEFORE the version archive — no phantom history") {
+    val base = graft.queries.QDef.tempDir("graft_no_phantom")
+    val snapA = Seq((1L, Some("one")), (2L, Some("two"))).toDF("doc_id", "text")
+    Curation.versionedSnapshotApplyBatch(full(snapA.limit(0), snapA),
+      base, 0L, nBuckets = 2)
+    val lying = Seq(
+      (1L, "removed", Some("one"), None: Option[String]),
+      (1L, "added", None: Option[String], Some("one B")))
+      .toDF("doc_id", "status", "old_text", "new_text")
+    val e = intercept[IllegalStateException] {
+      Curation.versionedSnapshotApplyBatch(lying, base, 1L, nBuckets = 2)
+    }
+    assert(e.getMessage.contains("duplicate rows"), e.getMessage)
+    // nothing landed: no archived version dir, snapshot untouched, and
+    // the history below it still serves (pre-fix, the durably archived
+    // phantom would corrupt every earlier as-of read forever)
+    assert(!fsFor(base).exists(
+      new org.apache.hadoop.fs.Path(s"$base/log/version=1")))
+    assert(asSet(Curation.readSnapshotAsOf(spark, base, 0L)) == asSet(snapA))
+    // the managed composite (ungated) refuses pre-archive too
+    val mBase = graft.queries.QDef.tempDir("graft_no_phantom_managed")
+    assert(Curation.managedVersionedApplyBatch(full(snapA.limit(0), snapA),
+      0L, s"$mBase/corpus", s"$mBase/sig", s"$mBase/report",
+      Seq("id_not_null" -> col("doc_id").isNotNull), nBuckets = 2))
+    val e2 = intercept[IllegalStateException] {
+      Curation.managedVersionedApplyBatch(lying, 1L, s"$mBase/corpus",
+        s"$mBase/sig", s"$mBase/report",
+        Seq("id_not_null" -> col("doc_id").isNotNull), nBuckets = 2)
+    }
+    assert(e2.getMessage.contains("duplicate rows"), e2.getMessage)
+    assert(!fsFor(mBase).exists(
+      new org.apache.hadoop.fs.Path(s"$mBase/corpus/log/version=1")))
+    assert(asSet(Curation.readSnapshot(spark, s"$mBase/corpus/snap"))
+      == asSet(snapA))
+  }
+
+  test("managedVersionedIngest: guardUniqueIds quarantines a lying batch without killing the stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = graft.queries.QDef.tempDir("graft_mv_uniq_ingest")
+    val in = MemoryStream[(Long, String, String, String)]
+    val q = Curation.managedVersionedIngest(
+      in.toDF().toDF("doc_id", "status", "old_text", "new_text"),
+      s"$base/corpus", s"$base/sig", s"$base/report",
+      rules = Seq("id_not_null" -> col("doc_id").isNotNull),
+      nBuckets = 2, queryName = "mv_uniq_ingest_test",
+      guardUniqueIds = true)
+    try {
+      in.addData((1L, "added", null, "one"), (2L, "added", null, "two"))
+      q.processAllAvailable()
+      // batch 1 is a lying log: removed + re-added id in ONE log
+      in.addData((1L, "removed", "one", null), (1L, "added", null, "one B"))
+      q.processAllAvailable() // quarantined, NOT a stream crash
+      in.addData((3L, "added", null, "three"))
+      q.processAllAvailable()
+      assert(q.isActive, "stream died on a guarded lying log")
+      // the lying version never existed; later history is intact
+      assert(!fsFor(base).exists(
+        new org.apache.hadoop.fs.Path(s"$base/corpus/log/version=1")))
+      val got = (v: Long) =>
+        Curation.readSnapshotAsOf(spark, s"$base/corpus", v)
+          .as[(Long, String)].collect().toSet
+      assert(got(2L) == Set((1L, "one"), (2L, "two"), (3L, "three")))
+      assert(got(1L) == Set((1L, "one"), (2L, "two")))
+      val line = spark.read.parquet(s"$base/report")
+        .filter(col("batch_id") === 1L && col("rule") === "changelog_id_unique")
+        .select("pass").as[Long].collect().toSeq
+      assert(line == Seq(0L))
+    } finally q.stop()
+  }
+
+  test("managedVersionedIngest: retainVersions bounds the archive, floor refuses below, serves at") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = graft.queries.QDef.tempDir("graft_mv_retain")
+    val in = MemoryStream[(Long, String, String, String)]
+    val q = Curation.managedVersionedIngest(
+      in.toDF().toDF("doc_id", "status", "old_text", "new_text"),
+      s"$base/corpus", s"$base/sig", s"$base/report",
+      rules = Seq("id_not_null" -> col("doc_id").isNotNull),
+      nBuckets = 2, queryName = "mv_retain_ingest_test",
+      retainVersions = Some(1L), pruneEvery = 1)
+    try {
+      in.addData((1L, "added", null, "one")); q.processAllAvailable()
+      in.addData((2L, "added", null, "two")); q.processAllAvailable()
+      in.addData((1L, "changed", "one", "one v2")); q.processAllAvailable()
+      // floor advanced to 2 − 1 = 1: version 0's log is gone
+      assert(!fsFor(base).exists(
+        new org.apache.hadoop.fs.Path(s"$base/corpus/log/version=0")))
+      val got = (v: Long) =>
+        Curation.readSnapshotAsOf(spark, s"$base/corpus", v)
+          .as[(Long, String)].collect().toSet
+      assert(got(2L) == Set((1L, "one v2"), (2L, "two")))
+      assert(got(1L) == Set((1L, "one"), (2L, "two"))) // at the floor
+      val e = intercept[IllegalStateException] {
+        Curation.readSnapshotAsOf(spark, s"$base/corpus", 0L)
+      }
+      assert(e.getMessage.contains("prune floor"), e.getMessage)
+    } finally q.stop()
+  }
+
+  test("pruneSnapshotVersions is monotone: a lower floor cannot re-promise pruned history") {
+    val base = graft.queries.QDef.tempDir("graft_prune_monotone")
+    val snapA = Seq((1L, Some("one"))).toDF("doc_id", "text")
+    val snapB = Seq((1L, Some("one")), (2L, Some("two"))).toDF("doc_id", "text")
+    Curation.versionedSnapshotApplyBatch(full(snapA.limit(0), snapA),
+      base, 0L, nBuckets = 2)
+    Curation.versionedSnapshotApplyBatch(full(snapA, snapB),
+      base, 1L, nBuckets = 2)
+    Curation.pruneSnapshotVersions(spark, base, 0L)
+    // a shrunken retention knob after a restart asks for a LOWER floor:
+    // the logs under the old floor are gone — no-op, never a regression
+    Curation.pruneSnapshotVersions(spark, base, -1L)
+    val e = intercept[IllegalStateException] {
+      Curation.readSnapshotAsOf(spark, base, -1L)
+    }
+    assert(e.getMessage.contains("prune floor"), e.getMessage)
+    assert(asSet(Curation.readSnapshotAsOf(spark, base, 0L)) == asSet(snapA))
+  }
+
+  test("managedCorpusIngest: compactEvery squashes the sig store mid-stream without changing its census") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = graft.queries.QDef.tempDir("graft_mc_compact")
+    val in = MemoryStream[(Long, String, String, String)]
+    val q = Curation.managedCorpusIngest(
+      in.toDF().toDF("doc_id", "status", "old_text", "new_text"),
+      s"$base/snap", s"$base/sig", s"$base/report",
+      rules = Seq("id_not_null" -> col("doc_id").isNotNull),
+      nBuckets = 2, queryName = "mc_compact_ingest_test",
+      compactEvery = 2)
+    try {
+      in.addData((1L, "added", null, "a b"), (2L, "added", null, "c"))
+      q.processAllAvailable()
+      in.addData((3L, "added", null, "a b")); q.processAllAvailable()
+      in.addData((2L, "changed", "c", "c d")); q.processAllAvailable()
+      in.addData((4L, "added", null, "e")); q.processAllAvailable()
+      assert(Curation.readSigStore(spark, s"$base/sig")
+        .as[(String, Long)].collect().toMap ==
+        Map("a b" -> 2L, "c d" -> 1L, "e" -> 1L))
+      // the per-batch dirs actually squashed: every bucket holds at most
+      // the snapshot partition plus the not-yet-committed tail batches
+      val fs = fsFor(s"$base/sig")
+      val root = new org.apache.hadoop.fs.Path(s"$base/sig")
+      fs.listStatus(root).filter(_.isDirectory)
+        .filter(_.getPath.getName.startsWith("bucket=")).foreach { b =>
+          val batchDirs = fs.listStatus(b.getPath).filter(_.isDirectory)
+            .map(_.getPath.getName).filter(_.startsWith("batch_id="))
+          assert(batchDirs.length <= 3,
+            s"bucket ${b.getPath.getName} kept ${batchDirs.mkString(",")}")
+        }
+    } finally q.stop()
+  }
+
+  test("deep walk-back and catch-up leave no orphaned checkpoint blocks") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val chain = (0 to 24).map(v => (1L to 6L)
+      .map(i => (i, Some(s"doc $i v${v - v % (i.toInt + 1)}")))
+      .toDF("doc_id", "text"))
+    val base = graft.queries.QDef.tempDir("graft_ck_release")
+    (chain.head.limit(0) +: chain).sliding(2).zipWithIndex.foreach {
+      case (Seq(a, b), v) =>
+        Curation.versionedSnapshotApplyBatch(full(a, b), base, v.toLong,
+          nBuckets = 2)
+    }
+    // 25 versions → the as-of(0) walk-back folds 24 inverted logs with
+    // multiple lineage checkpoints — chain-released down to at most the
+    // final accumulator
+    assert(asSet(Curation.readSnapshotAsOf(spark, base, 0L))
+      == asSet(chain.head))
+    assert(spark.sparkContext.getPersistentRDDs.size <= before + 1,
+      s"walk-back leaked checkpoints: $before -> " +
+        s"${spark.sparkContext.getPersistentRDDs.size}")
+    // catch-up releases EVERYTHING once its fold materializes
+    val logs = (chain.head.limit(0) +: chain).sliding(2).toSeq.map {
+      case Seq(a, b) => thinCl(a, b)
+    }
+    val p2 = s"${graft.queries.QDef.tempDir("graft_ck_release_cu")}/snap"
+    Curation.snapshotCatchUp(logs, p2, nBuckets = 2)
+    assert(asSet(Curation.readSnapshot(spark, p2)) == asSet(chain.last))
+    assert(spark.sparkContext.getPersistentRDDs.size <= before + 1,
+      "catch-up leaked checkpoints")
+  }
+}
