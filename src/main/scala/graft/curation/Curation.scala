@@ -4294,4 +4294,262 @@ object Curation {
           guardUniqueIds = guardUniqueIds)
         ()
       }.start()
+
+  // ──────────────────────────────────────────────────────────────────
+  // READER-ISOLATED snapshot store: the in-place store
+  // ([[snapshotApplyBatch]]) dynamic-overwrites buckets at the serving
+  // path, so a reader concurrent with a fold can see a mix of old and
+  // new buckets (single-reader contract). This variant gives
+  // MULTI-READER isolation with the same O(touched buckets) fold cost,
+  // via the manifest idiom every table format uses (and the repo's own
+  // _SUCCESS-gated label snapshots): each batch writes ONLY its own
+  // generation dir `gen=<batchId>/bucket=<b>/…`, never a committed one,
+  // and a tiny bucket→generation MANIFEST (`_graft_manifest_<batchId>`,
+  // written tmp-then-rename: one atomic commit point) defines what
+  // readers see. [[readSnapshotCommitted]] resolves the newest manifest
+  // and reads exactly its files — a fold racing the read changes
+  // nothing the manifest references. Storage is bounded by
+  // [[pruneSnapshotGens]] (delete generations no manifest in the
+  // retained tail references).
+  // ──────────────────────────────────────────────────────────────────
+
+  private val manifestPrefix = "_graft_manifest_"
+
+  /** Newest committed manifest: `(batchId, nBuckets, bucket → gen)`. */
+  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+                           root: org.apache.hadoop.fs.Path)
+      : Option[(Long, Int, Map[Int, Long])] = {
+    if (!fs.exists(root)) return None
+    val ids = fs.listStatus(root).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith(manifestPrefix)
+        && !s.getPath.getName.endsWith(".tmp"))
+      .flatMap(s => scala.util.Try(
+        s.getPath.getName.stripPrefix(manifestPrefix).toLong).toOption)
+    if (ids.isEmpty) None
+    else {
+      val id = ids.max
+      val in = fs.open(new org.apache.hadoop.fs.Path(root, s"$manifestPrefix$id"))
+      val text = try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        var n = in.read(buf)
+        while (n > 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        new String(bytes.toByteArray, "UTF-8")
+      } finally in.close()
+      val lines = text.split("\n").map(_.trim).filter(_.nonEmpty)
+      val nBuckets = lines.head.stripPrefix("nbuckets ").toInt
+      val m = lines.tail.map { l =>
+        val Array(b, g) = l.split(" ", 2)
+        b.toInt -> g.toLong
+      }.toMap
+      Some((id, nBuckets, m))
+    }
+  }
+
+  private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
+                            root: org.apache.hadoop.fs.Path, batchId: Long,
+                            nBuckets: Int, m: Map[Int, Long]): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(root,
+      s"$manifestPrefix$batchId.tmp")
+    val fin = new org.apache.hadoop.fs.Path(root, s"$manifestPrefix$batchId")
+    val body = (s"nbuckets $nBuckets" +:
+      m.toSeq.sortBy(_._1).map { case (b, g) => s"$b $g" }).mkString("\n")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(fin)) fs.delete(fin, false) // replay re-commit
+    if (!fs.rename(tmp, fin)) throw new java.io.IOException(
+      s"isolated snapshot store: manifest rename $tmp -> $fin refused")
+  }
+
+  /** One micro-batch of reader-ISOLATED snapshot upkeep — the
+    * [[snapshotApplyBatch]] fold with committed-read semantics: the
+    * touched buckets' CURRENT rows come off the newest manifest, the
+    * updated buckets land under this batch's OWN `gen=<batchId>` dir
+    * (never touching a committed file), and the new manifest (old
+    * entries, touched buckets re-pointed here, emptied buckets dropped)
+    * commits with one atomic rename. Readers concurrent with the fold
+    * see the previous committed state until that rename, the new one
+    * after — never a mix.
+    *
+    * Crash/replay: a batch whose manifest already committed is a no-op
+    * (batchId identifies content, the staging convention); a crash
+    * before the manifest commit leaves an orphan gen dir the replay
+    * overwrites (mode Overwrite of its own dir). Same per-batch cost
+    * shape as the in-place store: O(batch + touched-bucket rows), one
+    * bounded ≤ nBuckets collect per batch, plus one tiny manifest.
+    * Single writer (foreachBatch serializes); batchIds must be
+    * increasing (the manifest max defines "newest").
+    */
+  def snapshotApplyBatchIsolated(changelog: DataFrame, storePath: String,
+                                 batchId: Long, nBuckets: Int = 64,
+                                 id: Column = col("doc_id"),
+                                 text: Column = col("text"),
+                                 status: Column = col("status")): Unit = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val spark = changelog.sparkSession
+    ensureDir(spark, storePath)
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifest = readManifest(fs, root)
+    manifest.foreach { case (newest, storeN, _) =>
+      if (newest == batchId) return // committed replay: true no-op
+      if (newest > batchId) throw new IllegalStateException(
+        s"isolated snapshot store $storePath newest manifest is $newest " +
+          s"but this fold carries batchId=$batchId — batchIds must be " +
+          "increasing (checkpoint reset? start a fresh store)")
+      if (storeN != nBuckets) throw new IllegalStateException(
+        s"isolated snapshot store $storePath was written with " +
+          s"nBuckets=$storeN but this call uses nBuckets=$nBuckets — " +
+          "pass the store's bucket count")
+    }
+    val cl = changelog
+      .select(id.as("doc_id"), status.as("__st"), text.as("text"))
+      .filter(col("__st").isin("added", "removed", "changed"))
+      // same lying-log fence as the in-place store: a duplicated id
+      // would fan the apply join out into duplicate snapshot rows
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy(col("doc_id"))))
+      .withColumn("doc_id", when(col("__n") > 1, raise_error(concat(
+          lit("snapshotApplyBatchIsolated: changelog carries duplicate " +
+            "rows for doc_id "), col("doc_id").cast("string"),
+          lit(" — one row per id is the applyCorpusDiff contract; " +
+            "compact the log (compactChangelog) or dedup upstream"))))
+        .otherwise(col("doc_id")))
+      .drop("__n")
+      .withColumn("bucket",
+        pmod(xxhash64(col("doc_id")), lit(nBuckets.toLong)).cast("int"))
+      .localCheckpoint(true)
+    try {
+      val touched = cl.select("bucket").distinct().collect()
+        .map(_.getInt(0)).toSet
+      val entries = manifest.fold(Map.empty[Int, Long])(_._3)
+      val slice = readCommittedBuckets(spark, storePath,
+        entries.filter { case (b, _) => touched(b) })
+      val next = applyCorpusDiff(slice, cl, status = col("__st"))
+        .withColumn("bucket",
+          pmod(xxhash64(col("doc_id")), lit(nBuckets.toLong)).cast("int"))
+        .localCheckpoint(true) // ONE eval feeds the kept-set probe and the write
+      try {
+        val kept = next.select("bucket").distinct().collect()
+          .map(_.getInt(0)).toSet
+        if (kept.nonEmpty)
+          next.repartition(col("bucket")).write.mode("overwrite")
+            .partitionBy("bucket").parquet(s"$storePath/gen=$batchId")
+        val updated = (entries -- touched) ++
+          kept.map(b => b -> batchId).toMap
+        writeManifest(fs, root, batchId, nBuckets, updated)
+      } finally Bridge.release(next)
+    } finally Bridge.release(cl)
+    ()
+  }
+
+  /** The union read behind a manifest: group the wanted buckets by the
+    * generation that owns them — one partition-pruned parquet read per
+    * DISTINCT generation (≤ nBuckets reads, typically far fewer once
+    * churn concentrates), each with an explicit schema.
+    */
+  private def readCommittedBuckets(spark: org.apache.spark.sql.SparkSession,
+                                   storePath: String,
+                                   owned: Map[Int, Long]): DataFrame = {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snapshotSchema)
+    if (owned.isEmpty) empty
+    else owned.groupBy(_._2).toSeq.map { case (gen, bs) =>
+      spark.read.option("basePath", s"$storePath/gen=$gen")
+        .schema(snapshotSchema).parquet(s"$storePath/gen=$gen")
+        .filter(col("bucket")
+          .isin(bs.keys.toIndexedSeq.map(Integer.valueOf): _*))
+    }.reduce(_ unionByName _)
+  }
+
+  /** COMMITTED read of the isolated store: exactly the newest
+    * manifest's files, regardless of concurrent folds (`(doc_id,
+    * text)`; an empty or virgin store is an empty frame). Snapshot
+    * semantics: the frame keeps serving that manifest's state even if
+    * newer batches commit while it is consumed — re-call for fresher
+    * data. Run [[pruneSnapshotGens]] with a retention tail long enough
+    * to cover your slowest reader.
+    */
+  def readSnapshotCommitted(spark: org.apache.spark.sql.SparkSession,
+                            storePath: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readManifest(fs, root) match {
+      case None => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          snapshotSchema)
+        .select(col("doc_id"), col("text"))
+      case Some((_, _, m)) =>
+        readCommittedBuckets(spark, storePath, m)
+          .select(col("doc_id"), col("text"))
+    }
+  }
+
+  /** GC for the isolated store: keep the newest `retainManifests`
+    * manifests and every generation dir any of them references; delete
+    * the rest. `retainManifests >= 2` leaves a grace window for readers
+    * that resolved the previous manifest just before a commit. Single
+    * writer (run from the ingest loop or a maintenance window).
+    */
+  def pruneSnapshotGens(spark: org.apache.spark.sql.SparkSession,
+                        storePath: String, retainManifests: Int = 2): Unit = {
+    require(retainManifests >= 1,
+      s"retainManifests must be >= 1, got $retainManifests")
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val manifests = fs.listStatus(root).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith(manifestPrefix)
+        && !s.getPath.getName.endsWith(".tmp"))
+      .flatMap(s => scala.util.Try(
+        s.getPath.getName.stripPrefix(manifestPrefix).toLong).toOption)
+      .sorted.reverse
+    if (manifests.isEmpty) return
+    val keep = manifests.take(retainManifests).toSet
+    val referenced = keep.flatMap { mid =>
+      val in = fs.open(new org.apache.hadoop.fs.Path(root, s"$manifestPrefix$mid"))
+      val text = try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        var n = in.read(buf)
+        while (n > 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        new String(bytes.toByteArray, "UTF-8")
+      } finally in.close()
+      text.split("\n").map(_.trim).filter(_.nonEmpty).drop(1)
+        .map(_.split(" ", 2)(1).toLong).toSet
+    }
+    val newest = manifests.head
+    manifests.filterNot(keep).foreach(mid =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"$manifestPrefix$mid"),
+        false))
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen="))
+      .flatMap(s => scala.util.Try(
+        s.getPath.getName.stripPrefix("gen=").toLong).toOption
+        .map(g => (s.getPath, g)))
+      // never touch a gen NEWER than the newest manifest: that's an
+      // in-flight batch's dir, committed a moment from now
+      .filter { case (_, g) => g < newest && !referenced(g) }
+      .foreach { case (p, _) => fs.delete(p, true) }
+  }
+
+  /** Streaming isolated-snapshot maintenance: [[snapshotIngest]]'s
+    * shape over [[snapshotApplyBatchIsolated]], with the GC cadence
+    * built in (every `pruneEvery` batches, retaining
+    * `retainManifests`).
+    */
+  def snapshotIngestIsolated(changelogs: DataFrame, storePath: String,
+                             nBuckets: Int = 64,
+                             retainManifests: Int = 2,
+                             pruneEvery: Int = 8,
+                             queryName: String = "graft_snapshot_ingest_isolated"): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(pruneEvery >= 1, s"pruneEvery must be >= 1, got $pruneEvery")
+    changelogs.writeStream.queryName(queryName)
+      .foreachBatch { (b: DataFrame, bid: Long) =>
+        snapshotApplyBatchIsolated(b, storePath, bid, nBuckets)
+        if ((bid + 1) % pruneEvery == 0)
+          pruneSnapshotGens(b.sparkSession, storePath, retainManifests)
+        ()
+      }.start()
+  }
 }

@@ -73,6 +73,8 @@ object DocQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val c59DriveCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val c61DriveCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** The shared c59/c60 managed-VERSIONED drive: CDC batches through
     * [[graft.curation.Curation.managedVersionedApplyBatch]] —
@@ -3653,6 +3655,48 @@ object DocQueries {
         b0
       })
       graft.curation.Curation.readSnapshot(s, s"$base/snap")
+        .orderBy(col("doc_id"))
+    },
+
+    // The reader-ISOLATED store (c45's multi-reader twin): the same
+    // three-batch history folded through manifest-committed generation
+    // dirs — batch 1 replayed (manifest no-op), a mid-drive prune GCs
+    // the unreferenced generations — must land on the identical corpus.
+    // Readers resolve ONE manifest, so a fold can never serve them a
+    // mix of old and new buckets (IsolatedStoreSpec pins the races).
+    QDef("c61_isolated_snapshot_store",
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, text FROM documents WHERE doc_id % 13 = 0)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN text || ' v3' ELSE text END AS text
+        |FROM b WHERE doc_id % 17 <> 0
+        |UNION ALL
+        |SELECT doc_id, text FROM documents WHERE doc_id % 21 = 0
+        |UNION ALL
+        |SELECT doc_id + 2000000000 AS doc_id, text
+        |FROM documents WHERE doc_id % 19 = 0
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val base = c61DriveCache.computeIfAbsent(dir, _ => {
+        val b0 = QDef.tempDir("graft_isolated_gate")
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val snapB = vmSnapB(docs)
+        Seq(0L -> vmChangelog(docs.limit(0), docs),
+          1L -> vmChangelog(docs, snapB),
+          1L -> vmChangelog(docs, snapB) /* committed replay: no-op */,
+          2L -> vmChangelog(snapB, vmSnapC(docs, snapB)))
+          .foreach { case (bid, c) =>
+            graft.curation.Curation.snapshotApplyBatchIsolated(
+              c, s"$b0/store", bid, nBuckets = 8)
+          }
+        graft.curation.Curation.pruneSnapshotGens(s, s"$b0/store",
+          retainManifests = 1)
+        b0
+      })
+      graft.curation.Curation.readSnapshotCommitted(s, s"$base/store")
         .orderBy(col("doc_id"))
     },
 

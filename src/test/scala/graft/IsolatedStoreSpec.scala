@@ -1,0 +1,152 @@
+package graft
+
+import graft.curation.Curation
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The reader-ISOLATED snapshot store: manifest-committed generation
+  * dirs, so readers never see a fold's partial state — the round-18
+  * answer to the in-place store's single-reader contract.
+  */
+class IsolatedStoreSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def cl(a: org.apache.spark.sql.DataFrame,
+                 b: org.apache.spark.sql.DataFrame) =
+    Curation.corpusDiff(a, b).join(b, Seq("doc_id"), "left")
+
+  private def asSet(df: org.apache.spark.sql.DataFrame) =
+    df.as[(Long, Option[String])].collect().toSet
+
+  private lazy val snapA = (1L to 30L).map(i => (i, Some(s"doc $i")))
+    .toDF("doc_id", "text").localCheckpoint(true)
+  private lazy val snapB = snapA.filter($"doc_id" % 3 =!= 0L)
+    .unionByName(Seq((100L, Some("new b"))).toDF("doc_id", "text"))
+    .localCheckpoint(true)
+  private lazy val snapC = snapB.filter($"doc_id" % 5 =!= 0L)
+    .unionByName(Seq((3L, Some("doc 3")), (200L, None: Option[String]))
+      .toDF("doc_id", "text")).localCheckpoint(true)
+
+  test("fold + committed read round-trips a three-batch history") {
+    val p = s"${graft.queries.QDef.tempDir("graft_iso_basic")}/store"
+    Curation.snapshotApplyBatchIsolated(cl(snapA.limit(0), snapA), p, 0L,
+      nBuckets = 4)
+    assert(asSet(Curation.readSnapshotCommitted(spark, p)) == asSet(snapA))
+    Curation.snapshotApplyBatchIsolated(cl(snapA, snapB), p, 1L, nBuckets = 4)
+    Curation.snapshotApplyBatchIsolated(cl(snapB, snapC), p, 2L, nBuckets = 4)
+    assert(asSet(Curation.readSnapshotCommitted(spark, p)) == asSet(snapC))
+    // matches the in-place store bit for bit
+    val q = s"${graft.queries.QDef.tempDir("graft_iso_vs_inplace")}/snap"
+    Seq(cl(snapA.limit(0), snapA), cl(snapA, snapB), cl(snapB, snapC))
+      .foreach(Curation.snapshotApplyBatch(_, q, nBuckets = 4))
+    assert(asSet(Curation.readSnapshotCommitted(spark, p))
+      == asSet(Curation.readSnapshot(spark, q)))
+  }
+
+  test("a reader holding the previous manifest is untouched by a concurrent fold") {
+    val p = s"${graft.queries.QDef.tempDir("graft_iso_reader")}/store"
+    Curation.snapshotApplyBatchIsolated(cl(snapA.limit(0), snapA), p, 0L,
+      nBuckets = 4)
+    // the reader resolves the manifest NOW (plan build time) …
+    val reader = Curation.readSnapshotCommitted(spark, p)
+    // … a fold commits a new generation while the reader is open …
+    Curation.snapshotApplyBatchIsolated(cl(snapA, snapB), p, 1L, nBuckets = 4)
+    // … and the reader still serves its snapshot: the fold wrote only
+    // its own gen dir and a new manifest, never a file the old
+    // manifest references (the in-place store would have dynamic-
+    // overwritten the touched buckets out from under this plan)
+    assert(asSet(reader) == asSet(snapA))
+    assert(asSet(Curation.readSnapshotCommitted(spark, p)) == asSet(snapB))
+  }
+
+  test("a crashed fold (gen dir written, manifest not committed) is invisible, then heals on replay") {
+    val p = s"${graft.queries.QDef.tempDir("graft_iso_crash")}/store"
+    Curation.snapshotApplyBatchIsolated(cl(snapA.limit(0), snapA), p, 0L,
+      nBuckets = 4)
+    // simulate the crash window: batch 1's generation lands, no manifest
+    snapB.withColumn("bucket",
+        pmod(xxhash64(col("doc_id")), lit(4L)).cast("int"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$p/gen=1")
+    assert(asSet(Curation.readSnapshotCommitted(spark, p)) == asSet(snapA))
+    // the at-least-once replay overwrites the orphan dir and commits
+    Curation.snapshotApplyBatchIsolated(cl(snapA, snapB), p, 1L, nBuckets = 4)
+    assert(asSet(Curation.readSnapshotCommitted(spark, p)) == asSet(snapB))
+    // a replay of the COMMITTED batch is a true no-op
+    Curation.snapshotApplyBatchIsolated(cl(snapA, snapB), p, 1L, nBuckets = 4)
+    assert(asSet(Curation.readSnapshotCommitted(spark, p)) == asSet(snapB))
+  }
+
+  test("emptied buckets drop out of the manifest; lying logs raise before anything lands") {
+    val p = s"${graft.queries.QDef.tempDir("graft_iso_empty")}/store"
+    val tiny = Seq((1L, Some("one")), (2L, Some("two"))).toDF("doc_id", "text")
+    Curation.snapshotApplyBatchIsolated(cl(tiny.limit(0), tiny), p, 0L,
+      nBuckets = 2)
+    Curation.snapshotApplyBatchIsolated(cl(tiny, tiny.limit(0)), p, 1L,
+      nBuckets = 2)
+    assert(Curation.readSnapshotCommitted(spark, p).count() == 0)
+    val lying = Seq((5L, "added", Some("x")), (5L, "added", Some("x")))
+      .toDF("doc_id", "status", "text")
+    val e = intercept[Exception] {
+      Curation.snapshotApplyBatchIsolated(lying, p, 2L, nBuckets = 2)
+    }
+    assert(e.getMessage.contains("duplicate rows"), e.getMessage)
+    assert(Curation.readSnapshotCommitted(spark, p).count() == 0)
+  }
+
+  test("prune keeps the retained manifest tail's generations and nothing older") {
+    val p = s"${graft.queries.QDef.tempDir("graft_iso_prune")}/store"
+    Curation.snapshotApplyBatchIsolated(cl(snapA.limit(0), snapA), p, 0L,
+      nBuckets = 4)
+    Curation.snapshotApplyBatchIsolated(cl(snapA, snapB), p, 1L, nBuckets = 4)
+    Curation.snapshotApplyBatchIsolated(cl(snapB, snapC), p, 2L, nBuckets = 4)
+    Curation.pruneSnapshotGens(spark, p, retainManifests = 1)
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(p))
+      .map(_.getPath.getName).toSet
+    assert(names.contains("_graft_manifest_2"))
+    assert(!names.contains("_graft_manifest_0") &&
+      !names.contains("_graft_manifest_1"))
+    // gen=0 still holds buckets the newest manifest references (untouched
+    // buckets stay owned by their original generation) — prune must keep
+    // every referenced generation, not just the newest
+    assert(asSet(Curation.readSnapshotCommitted(spark, p)) == asSet(snapC))
+  }
+
+  test("fail-fast fences: batchId regression and bucket-count mismatch") {
+    val p = s"${graft.queries.QDef.tempDir("graft_iso_fence")}/store"
+    Curation.snapshotApplyBatchIsolated(cl(snapA.limit(0), snapA), p, 5L,
+      nBuckets = 4)
+    val e1 = intercept[IllegalStateException] {
+      Curation.snapshotApplyBatchIsolated(cl(snapA, snapB), p, 3L,
+        nBuckets = 4)
+    }
+    assert(e1.getMessage.contains("must be increasing"), e1.getMessage)
+    val e2 = intercept[IllegalStateException] {
+      Curation.snapshotApplyBatchIsolated(cl(snapA, snapB), p, 6L,
+        nBuckets = 8)
+    }
+    assert(e2.getMessage.contains("nBuckets"), e2.getMessage)
+  }
+
+  test("snapshotIngestIsolated: streamed folds with the GC cadence built in") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val p = s"${graft.queries.QDef.tempDir("graft_iso_ingest")}/store"
+    val in = MemoryStream[(Long, String, String)]
+    val q = Curation.snapshotIngestIsolated(
+      in.toDF().toDF("doc_id", "status", "text"), p, nBuckets = 2,
+      retainManifests = 1, pruneEvery = 2,
+      queryName = "iso_ingest_test")
+    try {
+      in.addData((1L, "added", "one"), (2L, "added", "two"))
+      q.processAllAvailable()
+      in.addData((1L, "changed", "one v2")); q.processAllAvailable()
+      in.addData((3L, "added", "three")); q.processAllAvailable()
+      assert(Curation.readSnapshotCommitted(spark, p)
+        .as[(Long, String)].collect().toSet ==
+        Set((1L, "one v2"), (2L, "two"), (3L, "three")))
+    } finally q.stop()
+  }
+}
