@@ -4533,6 +4533,49 @@ object Curation {
       .foreach { case (p, _) => fs.delete(p, true) }
   }
 
+  /** Bucket-count migration for the ISOLATED store — where the
+    * manifest turns the in-place store's stop-the-world rewrite
+    * ([[rebucketSnapshot]]'s delete-marker fence) into an ordinary
+    * commit: the whole committed corpus rewrites under the new bucket
+    * function into `gen=<batchId>`, and the new manifest (every kept
+    * bucket → this generation, the new `nbuckets` header) lands with
+    * the same atomic rename as any fold. Readers are NEVER fenced out:
+    * they serve the old manifest until the rename and the new one
+    * after; a crash mid-rewrite leaves an orphan gen dir and the old
+    * manifest intact (re-run to complete — no refused-store window at
+    * all). Single writer; `batchId` must exceed the newest manifest's.
+    */
+  def rebucketSnapshotIsolated(spark: org.apache.spark.sql.SparkSession,
+                               storePath: String, batchId: Long,
+                               newNBuckets: Int): Unit = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifest = readManifest(fs, root).getOrElse(throw
+      new IllegalStateException(
+        s"isolated snapshot store $storePath has no committed manifest — " +
+          "nothing to rebucket; bootstrap it with a first " +
+          "snapshotApplyBatchIsolated"))
+    if (manifest._1 >= batchId) throw new IllegalStateException(
+      s"isolated snapshot store $storePath newest manifest is " +
+        s"${manifest._1} but this rebucket carries batchId=$batchId — " +
+        "batchIds must be increasing")
+    val cur = readCommittedBuckets(spark, storePath, manifest._3)
+      .select(col("doc_id"), col("text"))
+      .withColumn("bucket",
+        pmod(xxhash64(col("doc_id")), lit(newNBuckets.toLong)).cast("int"))
+      .localCheckpoint(true) // ONE eval feeds the kept-set probe and the write
+    try {
+      val kept = cur.select("bucket").distinct().collect()
+        .map(_.getInt(0)).toSet
+      if (kept.nonEmpty)
+        cur.repartition(col("bucket")).write.mode("overwrite")
+          .partitionBy("bucket").parquet(s"$storePath/gen=$batchId")
+      writeManifest(fs, root, batchId, newNBuckets,
+        kept.map(b => b -> batchId).toMap)
+    } finally Bridge.release(cur)
+  }
+
   /** Streaming isolated-snapshot maintenance: [[snapshotIngest]]'s
     * shape over [[snapshotApplyBatchIsolated]], with the GC cadence
     * built in (every `pruneEvery` batches, retaining

@@ -1257,6 +1257,91 @@ object ScaleProbe {
       org.apache.spark.sql.graftbridge.Bridge.release(refresh)
       n
     }
+    t(s"c54b sig compaction cadence ${mult}x") {
+      // the round-18 compactEvery knob measured: 24 churn batches into
+      // two identical sig stores, one never compacted (per-batch dirs
+      // accumulate), one compacted every 8 batches from the ingest loop
+      // (committedThrough = previous batch, the replay-safe cadence).
+      // Printed pair: the maintained-census read after all 24 batches —
+      // the compacted store's read cost stays flat as batches accrue
+      // because its dir/file count does.
+      import graft.curation.Curation
+      val old = big.select(col("doc_id"), col("text"))
+      val root = java.nio.file.Files
+        .createTempDirectory("probe_sig_compact").toString
+      val dirA = s"$root/uncompacted"; val dirB = s"$root/compacted"
+      Seq(dirA, dirB).foreach(d => Curation.sigStoreApplyBatch(
+        Curation.corpusDiffFull(old.limit(0), old), d, 0L, nBuckets = 64))
+      // disjoint id slices per batch keep the hand-built CDC chain
+      // consistent (old_text is genuinely the prior image)
+      def churn(r: Int) = big
+        .filter(pmod(col("doc_id"), lit(211L)) === r)
+        .select(col("doc_id"), lit("changed").as("status"),
+          col("text").as("old_text"),
+          concat(col("text"), lit(s" c$r")).as("new_text"))
+      (1 to 24).foreach { r =>
+        val log = churn(r).localCheckpoint(true)
+        Curation.sigStoreApplyBatch(log, dirA, r.toLong, nBuckets = 64)
+        Curation.sigStoreApplyBatch(log, dirB, r.toLong, nBuckets = 64)
+        if ((r + 1) % 8 == 0)
+          Curation.compactCountedStore(spark, dirB,
+            Curation.sigStoreStagedSchema, committedThrough = r - 1L,
+            owner = "scale_probe")
+        org.apache.spark.sql.graftbridge.Bridge.release(log)
+      }
+      def batchDirs(d: String) = {
+        val p = new org.apache.hadoop.fs.Path(d)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.listStatus(p).filter(_.isDirectory)
+          .filter(_.getPath.getName.startsWith("bucket="))
+          .map(b => fs.listStatus(b.getPath)
+            .count(_.getPath.getName.startsWith("batch_id="))).sum
+      }
+      val tA = System.nanoTime()
+      Curation.readSigStore(spark, dirA).count()
+      println(f"SCALE   c54b read, 24 batch dirs  ${(System.nanoTime() - tA) / 1e9}%.2f s (${batchDirs(dirA)} dirs)")
+      val tB = System.nanoTime()
+      val n = Curation.readSigStore(spark, dirB).count()
+      println(f"SCALE   c54b read, compacted      ${(System.nanoTime() - tB) / 1e9}%.2f s (${batchDirs(dirB)} dirs)")
+      n
+    }
+    t(s"c61 isolated store ${mult}x") {
+      // reader isolation priced against the in-place store: the SAME
+      // bootstrap + churn fold through snapshotApplyBatch (in-place
+      // dynamic overwrite) and snapshotApplyBatchIsolated (own gen dir
+      // + manifest rename). Printed: the two fold times and the
+      // committed read — isolation costs one manifest file per batch,
+      // not a different fold shape.
+      import graft.curation.Curation
+      val bootstrap = big.select(col("doc_id"), lit("added").as("status"),
+        col("text"))
+      val churn = big
+        .filter(pmod(xxhash64(col("doc_id")), lit(97L)) === 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 2 === 0, lit("changed"))
+            .otherwise(lit("removed")).as("status"),
+          concat(col("text"), lit(" u")).as("text"))
+        .localCheckpoint(true)
+      val baseA = java.nio.file.Files
+        .createTempDirectory("probe_iso_a").toString
+      val baseB = java.nio.file.Files
+        .createTempDirectory("probe_iso_b").toString
+      Curation.snapshotApplyBatch(bootstrap, s"$baseA/snap", nBuckets = 256)
+      Curation.snapshotApplyBatchIsolated(bootstrap, s"$baseB/store", 0L,
+        nBuckets = 256)
+      val tA = System.nanoTime()
+      Curation.snapshotApplyBatch(churn, s"$baseA/snap", nBuckets = 256)
+      println(f"SCALE   c61 in-place fold         ${(System.nanoTime() - tA) / 1e9}%.2f s")
+      val tB = System.nanoTime()
+      Curation.snapshotApplyBatchIsolated(churn, s"$baseB/store", 1L,
+        nBuckets = 256)
+      println(f"SCALE   c61 isolated fold         ${(System.nanoTime() - tB) / 1e9}%.2f s")
+      org.apache.spark.sql.graftbridge.Bridge.release(churn)
+      val tR = System.nanoTime()
+      val n = Curation.readSnapshotCommitted(spark, s"$baseB/store").count()
+      println(f"SCALE   c61 committed read        ${(System.nanoTime() - tR) / 1e9}%.2f s")
+      n
+    }
     t(s"c49 refresh audit ${mult}x") {
       // one full-outer diff + sig semi join + 1-row aggregate
       val snapB = big.filter(col("doc_id") % 7 =!= 0)

@@ -130,6 +130,34 @@ class IsolatedStoreSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("nBuckets"), e2.getMessage)
   }
 
+  test("rebucketSnapshotIsolated: migration is one commit — readers never fenced, folds follow the new count") {
+    val p = s"${graft.queries.QDef.tempDir("graft_iso_rebucket")}/store"
+    Curation.snapshotApplyBatchIsolated(cl(snapA.limit(0), snapA), p, 0L,
+      nBuckets = 2)
+    val reader = Curation.readSnapshotCommitted(spark, p)
+    Curation.rebucketSnapshotIsolated(spark, p, 1L, newNBuckets = 8)
+    // the pre-migration reader still serves its manifest's files
+    assert(asSet(reader) == asSet(snapA))
+    assert(asSet(Curation.readSnapshotCommitted(spark, p)) == asSet(snapA))
+    // folds now follow the migrated count (and refuse the old one)
+    val e = intercept[IllegalStateException] {
+      Curation.snapshotApplyBatchIsolated(cl(snapA, snapB), p, 2L,
+        nBuckets = 2)
+    }
+    assert(e.getMessage.contains("nBuckets"), e.getMessage)
+    Curation.snapshotApplyBatchIsolated(cl(snapA, snapB), p, 2L,
+      nBuckets = 8)
+    assert(asSet(Curation.readSnapshotCommitted(spark, p)) == asSet(snapB))
+    // a crashed rebucket (gen dir written, manifest not committed)
+    // leaves the store fully serving — re-run completes it
+    snapB.withColumn("bucket",
+        pmod(xxhash64(col("doc_id")), lit(16L)).cast("int"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$p/gen=3")
+    assert(asSet(Curation.readSnapshotCommitted(spark, p)) == asSet(snapB))
+    Curation.rebucketSnapshotIsolated(spark, p, 3L, newNBuckets = 16)
+    assert(asSet(Curation.readSnapshotCommitted(spark, p)) == asSet(snapB))
+  }
+
   test("snapshotIngestIsolated: streamed folds with the GC cadence built in") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
