@@ -3782,7 +3782,27 @@ object Curation {
                             text: Column = col("text"),
                             status: Column = col("status"),
                             censusRules: Seq[(String, Column)] = Nil,
-                            guardUniqueIds: Boolean = false): Boolean = {
+                            guardUniqueIds: Boolean = false): Boolean =
+    validateBatchImpl(changelog, batchId, reportPath, rules, id, text,
+      status, censusRules, guardUniqueIds,
+      nOldReader = () => {
+        ensureDir(changelog.sparkSession, snapshotPath)
+        readSnapshot(changelog.sparkSession, snapshotPath).count()
+      })
+
+  /** The gate body behind [[validateSnapshotBatch]], with the census'
+    * current-corpus-size read abstracted — the ISOLATED composite
+    * judges `n_old` against the COMMITTED manifest, the in-place one
+    * against the store dir. Only invoked when `censusRules` is
+    * non-empty and no recorded verdict exists.
+    */
+  private def validateBatchImpl(changelog: DataFrame, batchId: Long,
+                                reportPath: String,
+                                rules: Seq[(String, Column)],
+                                id: Column, text: Column, status: Column,
+                                censusRules: Seq[(String, Column)],
+                                guardUniqueIds: Boolean,
+                                nOldReader: () => Long): Boolean = {
     val spark = changelog.sparkSession
     readBatchVerdict(spark, reportPath, batchId) match {
       case Some(recorded) => return recorded
@@ -3794,8 +3814,7 @@ object Curation {
     val censusLines: Seq[(String, Long, Long)] =
       if (censusRules.isEmpty) Nil
       else {
-        ensureDir(spark, snapshotPath)
-        val nOld = readSnapshot(spark, snapshotPath).count()
+        val nOld = nOldReader()
         def cnt(s: String) = coalesce(sum(
           when(col("__st") === s, lit(1L)).otherwise(lit(0L))), lit(0L))
         val census = changelog.select(status.as("__st"))
@@ -4315,10 +4334,15 @@ object Curation {
 
   private val manifestPrefix = "_graft_manifest_"
 
-  /** Newest committed manifest: `(batchId, nBuckets, bucket → gen)`. */
+  /** Newest committed manifest:
+    * `(batchId, nBuckets, bucket → gen, kind)` — `kind` is "fold" for
+    * an ordinary batch commit, "rebucket" for a migration commit (the
+    * distinction keeps a stream batch whose id collides with a manual
+    * migration's from silently skipping as a replay no-op).
+    */
   private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
                            root: org.apache.hadoop.fs.Path)
-      : Option[(Long, Int, Map[Int, Long])] = {
+      : Option[(Long, Int, Map[Int, Long], String)] = {
     if (!fs.exists(root)) return None
     val ids = fs.listStatus(root).toSeq
       .filter(s => s.isFile && s.getPath.getName.startsWith(manifestPrefix)
@@ -4338,21 +4362,24 @@ object Curation {
       } finally in.close()
       val lines = text.split("\n").map(_.trim).filter(_.nonEmpty)
       val nBuckets = lines.head.stripPrefix("nbuckets ").toInt
-      val m = lines.tail.map { l =>
+      val kind = lines.lift(1).filter(_.startsWith("kind "))
+        .map(_.stripPrefix("kind ")).getOrElse("fold")
+      val m = lines.tail.filterNot(_.startsWith("kind ")).map { l =>
         val Array(b, g) = l.split(" ", 2)
         b.toInt -> g.toLong
       }.toMap
-      Some((id, nBuckets, m))
+      Some((id, nBuckets, m, kind))
     }
   }
 
   private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
                             root: org.apache.hadoop.fs.Path, batchId: Long,
-                            nBuckets: Int, m: Map[Int, Long]): Unit = {
+                            nBuckets: Int, m: Map[Int, Long],
+                            kind: String = "fold"): Unit = {
     val tmp = new org.apache.hadoop.fs.Path(root,
       s"$manifestPrefix$batchId.tmp")
     val fin = new org.apache.hadoop.fs.Path(root, s"$manifestPrefix$batchId")
-    val body = (s"nbuckets $nBuckets" +:
+    val body = (Seq(s"nbuckets $nBuckets", s"kind $kind") ++
       m.toSeq.sortBy(_._1).map { case (b, g) => s"$b $g" }).mkString("\n")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
@@ -4391,8 +4418,21 @@ object Curation {
     val root = new org.apache.hadoop.fs.Path(storePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val manifest = readManifest(fs, root)
-    manifest.foreach { case (newest, storeN, _) =>
-      if (newest == batchId) return // committed replay: true no-op
+    manifest.foreach { case (newest, storeN, _, kind) =>
+      if (newest == batchId) {
+        // a FOLD manifest at this id means the batch committed — the
+        // replay is a true no-op. A REBUCKET manifest at this id means
+        // a manual migration took the id this stream batch now needs:
+        // treating it as a replay would SILENTLY DROP the batch's
+        // changelog, so fail loud instead.
+        if (kind == "rebucket") throw new IllegalStateException(
+          s"isolated snapshot store $storePath manifest $batchId was " +
+            "committed by a REBUCKET migration, not a batch fold — this " +
+            "batch's id collides with the migration's; re-run the batch " +
+            "under a fresh id above it (a migration between stream " +
+            "batches must use an id the stream will never produce)")
+        return
+      }
       if (newest > batchId) throw new IllegalStateException(
         s"isolated snapshot store $storePath newest manifest is $newest " +
           s"but this fold carries batchId=$batchId — batchIds must be " +
@@ -4479,7 +4519,7 @@ object Curation {
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           snapshotSchema)
         .select(col("doc_id"), col("text"))
-      case Some((_, _, m)) =>
+      case Some((_, _, m, _)) =>
         readCommittedBuckets(spark, storePath, m)
           .select(col("doc_id"), col("text"))
     }
@@ -4516,6 +4556,7 @@ object Curation {
         new String(bytes.toByteArray, "UTF-8")
       } finally in.close()
       text.split("\n").map(_.trim).filter(_.nonEmpty).drop(1)
+        .filterNot(_.startsWith("kind "))
         .map(_.split(" ", 2)(1).toLong).toSet
     }
     val newest = manifests.head
@@ -4572,7 +4613,7 @@ object Curation {
         cur.repartition(col("bucket")).write.mode("overwrite")
           .partitionBy("bucket").parquet(s"$storePath/gen=$batchId")
       writeManifest(fs, root, batchId, newNBuckets,
-        kept.map(b => b -> batchId).toMap)
+        kept.map(b => b -> batchId).toMap, kind = "rebucket")
     } finally Bridge.release(cur)
   }
 
@@ -4592,6 +4633,79 @@ object Curation {
         snapshotApplyBatchIsolated(b, storePath, bid, nBuckets)
         if ((bid + 1) % pruneEvery == 0)
           pruneSnapshotGens(b.sparkSession, storePath, retainManifests)
+        ()
+      }.start()
+  }
+
+  /** [[managedCorpusApplyBatch]] over the reader-ISOLATED store — the
+    * full managed serving story without the single-reader contract:
+    * row + census gates (verdict replay-stable via the committed
+    * report; `n_old` judged against the COMMITTED manifest, never a
+    * half-folded dir), then the dual fold — the thin log into the
+    * manifest-committed snapshot store, the CDC log into the signature
+    * store. Readers concurrent with the whole batch see the previous
+    * committed corpus until the manifest rename. A quarantined batch
+    * commits NO manifest — its generation never exists.
+    */
+  def managedCorpusApplyBatchIsolated(fullChangelog: DataFrame,
+                                      batchId: Long, storePath: String,
+                                      sigStorePath: String,
+                                      reportPath: String,
+                                      rules: Seq[(String, Column)],
+                                      censusRules: Seq[(String, Column)] = Nil,
+                                      nBuckets: Int = 64,
+                                      guardUniqueIds: Boolean = false): Boolean = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val f = fullChangelog
+      .select(col("doc_id"), col("status"), col("old_text"),
+        col("new_text"))
+      .localCheckpoint(true)
+    try {
+      val thin = f.select(col("doc_id"), col("status"),
+        col("new_text").as("text"))
+      val ok = validateBatchImpl(thin, batchId, reportPath, rules,
+        col("doc_id"), col("text"), col("status"), censusRules,
+        guardUniqueIds,
+        nOldReader = () =>
+          readSnapshotCommitted(f.sparkSession, storePath).count())
+      if (ok) {
+        snapshotApplyBatchIsolated(thin, storePath, batchId, nBuckets)
+        sigStoreApplyBatch(f, sigStorePath, batchId, nBuckets)
+      }
+      ok
+    } finally Bridge.release(f)
+  }
+
+  /** Streaming managed-ISOLATED maintenance: every micro-batch of CDC
+    * changelog rows through [[managedCorpusApplyBatchIsolated]], with
+    * the store's GC (`pruneEvery`/`retainManifests`) and the sig
+    * store's compaction (`compactEvery`) cadences built in — the
+    * multi-reader twin of [[managedCorpusIngest]].
+    */
+  def managedCorpusIngestIsolated(changelogs: DataFrame, storePath: String,
+                                  sigStorePath: String, reportPath: String,
+                                  rules: Seq[(String, Column)],
+                                  censusRules: Seq[(String, Column)] = Nil,
+                                  nBuckets: Int = 64,
+                                  queryName: String = "graft_managed_isolated_ingest",
+                                  guardUniqueIds: Boolean = false,
+                                  retainManifests: Int = 2,
+                                  pruneEvery: Int = 8,
+                                  compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(pruneEvery >= 1, s"pruneEvery must be >= 1, got $pruneEvery")
+    require(compactEvery >= 0,
+      s"compactEvery must be >= 0 (0 = never), got $compactEvery")
+    changelogs.writeStream.queryName(queryName)
+      .foreachBatch { (b: DataFrame, bid: Long) =>
+        managedCorpusApplyBatchIsolated(b, bid, storePath, sigStorePath,
+          reportPath, rules, censusRules, nBuckets,
+          guardUniqueIds = guardUniqueIds)
+        if ((bid + 1) % pruneEvery == 0)
+          pruneSnapshotGens(b.sparkSession, storePath, retainManifests)
+        if (compactEvery > 0 && (bid + 1) % compactEvery == 0)
+          compactCountedStore(b.sparkSession, sigStorePath,
+            sigStoreStagedSchema, committedThrough = bid - 1,
+            owner = queryName)
         ()
       }.start()
   }

@@ -75,6 +75,43 @@ object DocQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val c61DriveCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val c62DriveCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The c62 managed-ISOLATED drive: the c55 batch sequence (bootstrap,
+    * census-refused mass delete, B refresh, replay) through
+    * [[graft.curation.Curation.managedCorpusApplyBatchIsolated]] — the
+    * refused batch must commit NO manifest generation.
+    */
+  private def c62Drive(s: org.apache.spark.sql.SparkSession,
+                       dir: String): String =
+    c62DriveCache.computeIfAbsent(dir, _ => {
+      val b0 = QDef.tempDir("graft_managed_isolated")
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      def diffFull(a: org.apache.spark.sql.DataFrame,
+                   b: org.apache.spark.sql.DataFrame) =
+        graft.curation.Curation.corpusDiffFull(a, b)
+      val massDelete = diffFull(docs, docs.filter(col("doc_id") % 2 =!= 0))
+      val goodRefresh = diffFull(docs, vmSnapB(docs))
+      val rules = Seq("doc_id_not_null" -> col("doc_id").isNotNull)
+      val census = Seq("census_removed_max_20pct" ->
+        (col("n_removed") * 5 <= col("n_old")))
+      val shipped = Seq(
+        0L -> diffFull(docs.limit(0), docs), // bootstrap
+        1L -> massDelete,                    // REFUSED (~50% removal)
+        2L -> goodRefresh,                   // ships (~14% removal)
+        2L -> goodRefresh                    // at-least-once replay
+      ).map { case (bid, log) =>
+        graft.curation.Curation.managedCorpusApplyBatchIsolated(log, bid,
+          s"$b0/store", s"$b0/sig", s"$b0/report", rules,
+          censusRules = census, nBuckets = 8)
+      }
+      assert(shipped == Seq(true, false, true, true),
+        s"managed-isolated verdicts: $shipped")
+      graft.curation.Curation.pruneSnapshotGens(s, s"$b0/store",
+        retainManifests = 1)
+      b0
+    })
 
   /** The shared c59/c60 managed-VERSIONED drive: CDC batches through
     * [[graft.curation.Curation.managedVersionedApplyBatch]] —
@@ -3697,6 +3734,25 @@ object DocQueries {
         b0
       })
       graft.curation.Curation.readSnapshotCommitted(s, s"$base/store")
+        .orderBy(col("doc_id"))
+    },
+
+    // The managed story over the ISOLATED store (c55 ∘ c61): the same
+    // gated batch sequence — bootstrap, census-REFUSED mass delete
+    // (commits NO manifest generation), the B refresh, a replay — but
+    // the serving read is the committed manifest, so a reader racing
+    // any of those folds sees only whole corpus states. Same oracle
+    // as c55 (the composed paths must agree on the final corpus).
+    QDef("c62_managed_isolated",
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+        |FROM documents WHERE doc_id % 7 <> 0
+        |UNION ALL
+        |SELECT doc_id + 1000000000 AS doc_id, text
+        |FROM documents WHERE doc_id % 13 = 0
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.curation.Curation.readSnapshotCommitted(s,
+          s"${c62Drive(s, dir)}/store")
         .orderBy(col("doc_id"))
     },
 

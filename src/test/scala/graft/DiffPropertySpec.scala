@@ -209,6 +209,34 @@ class DiffPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("isolated store ≡ in-place store over random 4-chains (3 seeds)") {
+    // the reader-isolated manifest store must land on the identical
+    // corpus as the in-place bucket store after EVERY hop of chains
+    // nobody designed — same fold semantics, different commit protocol.
+    for (seed <- 60L to 62L) {
+      val universe = 40
+      val snaps = (0 to 3).map(k =>
+        snapshot(seed * 27644437L + k * 31L, universe).toDF("doc_id", "text")
+          .localCheckpoint(true))
+      val base = graft.queries.QDef.tempDir("graft_iso_prop")
+      val pIn = s"$base/snap"; val pIso = s"$base/store"
+      (snaps.head.limit(0) +: snaps).sliding(2).zipWithIndex.foreach {
+        case (Seq(a, b), v) =>
+          val log = cl(a, b).localCheckpoint(true)
+          Curation.snapshotApplyBatch(log, pIn, nBuckets = 4)
+          Curation.snapshotApplyBatchIsolated(log, pIso, v.toLong,
+            nBuckets = 4)
+          assert(asSet(Curation.readSnapshotCommitted(spark, pIso))
+            == asSet(Curation.readSnapshot(spark, pIn)),
+            s"seed=$seed hop=$v stores diverged")
+          org.apache.spark.sql.graftbridge.Bridge.release(log)
+      }
+      assert(asSet(Curation.readSnapshotCommitted(spark, pIso))
+        == asSet(snaps(3)), s"seed=$seed final != direct D")
+      snaps.foreach(org.apache.spark.sql.graftbridge.Bridge.release)
+    }
+  }
+
   test("time travel reconstructs every version of random 4-chains (3 seeds)") {
     for (seed <- 40L to 42L) {
       val universe = 40

@@ -156,6 +156,17 @@ class IsolatedStoreSpec extends AnyFunSuite {
     assert(asSet(Curation.readSnapshotCommitted(spark, p)) == asSet(snapB))
     Curation.rebucketSnapshotIsolated(spark, p, 3L, newNBuckets = 16)
     assert(asSet(Curation.readSnapshotCommitted(spark, p)) == asSet(snapB))
+    // a stream batch whose id collides with the MIGRATION's id must
+    // fail loud — a silent replay-no-op would drop its changelog
+    val e3 = intercept[IllegalStateException] {
+      Curation.snapshotApplyBatchIsolated(cl(snapB, snapC), p, 3L,
+        nBuckets = 16)
+    }
+    assert(e3.getMessage.contains("REBUCKET"), e3.getMessage)
+    // the batch proceeds under the next free id
+    Curation.snapshotApplyBatchIsolated(cl(snapB, snapC), p, 4L,
+      nBuckets = 16)
+    assert(asSet(Curation.readSnapshotCommitted(spark, p)) == asSet(snapC))
   }
 
   test("snapshotIngestIsolated: streamed folds with the GC cadence built in") {

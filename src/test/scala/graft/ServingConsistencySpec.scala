@@ -259,6 +259,67 @@ class ServingConsistencySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("managedCorpusApplyBatchIsolated: quarantine commits nothing, readers race whole batches, replay reuses the verdict") {
+    val base = graft.queries.QDef.tempDir("graft_managed_iso")
+    val store = s"$base/store"
+    val snapA = (1L to 10L).map(i => (i, Some(s"doc $i"))).toDF("doc_id", "text")
+    val snapB = snapA.filter($"doc_id" > 2L) // exactly the 20% census cap
+    val rules = Seq("id_not_null" -> col("doc_id").isNotNull)
+    val census = Seq("removed_max_20pct" ->
+      (col("n_removed") * 5 <= col("n_old")))
+    def apply(bid: Long, log: org.apache.spark.sql.DataFrame) =
+      Curation.managedCorpusApplyBatchIsolated(log, bid, store,
+        s"$base/sig", s"$base/report", rules, censusRules = census,
+        nBuckets = 2)
+    assert(apply(0L, full(snapA.limit(0), snapA)))
+    // a reader resolved before the mass delete / refresh sequence …
+    val reader = Curation.readSnapshotCommitted(spark, store)
+    // mass delete (80%): REFUSED — no manifest generation, store intact
+    assert(!apply(1L, full(snapA, snapA.filter($"doc_id" > 8L))))
+    val fs = fsFor(store)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$store/gen=1")))
+    assert(asSet(Curation.readSnapshotCommitted(spark, store)) == asSet(snapA))
+    // the threshold refresh ships; the replay must reuse the verdict
+    // (n_old re-derived from the committed manifest would read 8 and
+    // flip the 2-of-10 removal to refused)
+    assert(apply(2L, full(snapA, snapB)))
+    assert(apply(2L, full(snapA, snapB)), "replay flipped to refused")
+    assert(asSet(Curation.readSnapshotCommitted(spark, store)) == asSet(snapB))
+    // … still serves the corpus it resolved, through all of the above
+    assert(asSet(reader) == asSet(snapA))
+    // the sig store reflects only the shipped batches
+    assert(Curation.readSigStore(spark, s"$base/sig")
+      .as[(String, Long)].collect().toMap ==
+      asSet(snapB).toSeq.flatMap(_._2)
+        .map(t => t.split(" ").distinct.sorted.mkString(" "))
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong })
+  }
+
+  test("managedCorpusIngestIsolated: streamed gated folds with GC + compaction cadences") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = graft.queries.QDef.tempDir("graft_managed_iso_ingest")
+    val in = MemoryStream[(Long, String, String, String)]
+    val q = Curation.managedCorpusIngestIsolated(
+      in.toDF().toDF("doc_id", "status", "old_text", "new_text"),
+      s"$base/store", s"$base/sig", s"$base/report",
+      rules = Seq("id_not_null" -> col("doc_id").isNotNull),
+      nBuckets = 2, queryName = "mi_ingest_test",
+      retainManifests = 1, pruneEvery = 2, compactEvery = 2)
+    try {
+      in.addData((1L, "added", null, "a b"), (2L, "added", null, "c"))
+      q.processAllAvailable()
+      in.addData((1L, "changed", "a b", "a b2")); q.processAllAvailable()
+      in.addData((3L, "added", null, "d")); q.processAllAvailable()
+      assert(Curation.readSnapshotCommitted(spark, s"$base/store")
+        .as[(Long, String)].collect().toSet ==
+        Set((1L, "a b2"), (2L, "c"), (3L, "d")))
+      assert(Curation.readSigStore(spark, s"$base/sig")
+        .as[(String, Long)].collect().toMap ==
+        Map("a b2" -> 1L, "c" -> 1L, "d" -> 1L))
+    } finally q.stop()
+  }
+
   test("deep walk-back and catch-up leave no orphaned checkpoint blocks") {
     val before = spark.sparkContext.getPersistentRDDs.size
     val chain = (0 to 24).map(v => (1L to 6L)
