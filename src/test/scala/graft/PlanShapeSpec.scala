@@ -520,6 +520,31 @@ class PlanShapeSpec extends AnyFunSuite {
       s"dup panel is a semi join against the store:\n$maintained")
   }
 
+  test("c61 committed read: one partition-pruned scan per referenced generation") {
+    // the committed read must stay a union of per-generation scans with
+    // the bucket ownership pushed as PARTITION filters — a scan that
+    // reads a generation's whole dir and row-filters afterwards would
+    // re-read buckets newer generations already own
+    import graft.curation.Curation
+    val p = s"${graft.queries.QDef.tempDir("graft_plan_iso")}/store"
+    val snapA = (1L to 30L).map(i => (i, Some(s"doc $i"))).toDF("doc_id", "text")
+    val snapB = snapA.filter($"doc_id" =!= 1L) // one doc → one touched bucket
+    def cl(a: org.apache.spark.sql.DataFrame,
+           b: org.apache.spark.sql.DataFrame) =
+      Curation.corpusDiff(a, b).join(b, Seq("doc_id"), "left")
+    Curation.snapshotApplyBatchIsolated(cl(snapA.limit(0), snapA), p, 0L,
+      nBuckets = 4)
+    Curation.snapshotApplyBatchIsolated(cl(snapA, snapB), p, 1L,
+      nBuckets = 4)
+    val plan = phys(Curation.readSnapshotCommitted(spark, p))
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 2, s"one scan per referenced generation (2):\n$plan")
+    val pf = "PartitionFilters: \\[[^\\]]*bucket[^\\]]*\\]".r
+      .findAllIn(plan).size
+    assert(pf == 2,
+      s"bucket ownership must push as partition filters on BOTH scans:\n$plan")
+  }
+
   test("c42 corpus diff: both sides project scan-side before the one join") {
     val plan = phys(graft.curation.Curation.corpusDiff(docs, docs,
       hashContent = true))
