@@ -4637,6 +4637,90 @@ object Curation {
       }.start()
   }
 
+  /** The isolated store's committed `(manifestId, nBuckets)`, if it has
+    * a manifest — the public read callers use to follow a store across
+    * [[rebucketSnapshotIsolated]] migrations (the [[storeBucketCount]]
+    * analogue).
+    */
+  def committedManifestInfo(spark: org.apache.spark.sql.SparkSession,
+                            storePath: String): Option[(Long, Int)] = {
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    readManifest(root.getFileSystem(spark.sparkContext.hadoopConfiguration),
+      root).map { case (id, n, _, _) => (id, n) }
+  }
+
+  /** GROWTH trigger for the isolated store ([[maybeRebucketSnapshot]]'s
+    * analogue): doubles the committed bucket count via
+    * [[rebucketSnapshotIsolated]] (under `migrationId`) while the
+    * committed corpus exceeds `targetRowsPerBucket × nBuckets`; returns
+    * the (possibly new) bucket count. No-op — and no manifest — when
+    * the target holds, or when the newest manifest already reached
+    * `migrationId` (a replay whose migration slot is spent must not
+    * regress the id sequence). The size read is a Spark count() job
+    * whose pruned empty read schema decodes no pages (footer row
+    * counts). Single writer.
+    */
+  def maybeRebucketSnapshotIsolated(spark: org.apache.spark.sql.SparkSession,
+                                    storePath: String, migrationId: Long,
+                                    targetRowsPerBucket: Long): Int = {
+    require(targetRowsPerBucket >= 1,
+      s"targetRowsPerBucket must be >= 1, got $targetRowsPerBucket")
+    committedManifestInfo(spark, storePath) match {
+      case None => throw new IllegalStateException(
+        s"isolated snapshot store $storePath has no committed manifest — " +
+          "bootstrap it with a first snapshotApplyBatchIsolated before " +
+          "asking for a growth check")
+      case Some((newest, cur)) if newest >= migrationId => cur
+      case Some((_, cur)) =>
+        val n = readSnapshotCommitted(spark, storePath).count()
+        var next = cur
+        while (next < (1 << 29) && n > targetRowsPerBucket * next) next *= 2
+        if (next != cur)
+          rebucketSnapshotIsolated(spark, storePath, migrationId, next)
+        next
+    }
+  }
+
+  /** [[snapshotIngestIsolated]] with the GROWTH loop built in — the
+    * isolated analogue of [[snapshotIngestMaintained]]. Each stream
+    * batch owns TWO manifest ids (`2·bid` for a possible migration,
+    * `2·bid + 1` for the fold), so a migration always has a free id
+    * below its batch's fold and the sequence stays strictly increasing
+    * across crashes: a replay whose migration already committed skips
+    * it (the newest-manifest guard in [[maybeRebucketSnapshotIsolated]]),
+    * a replay whose fold already committed no-ops on the fold, and a
+    * crash between the two re-runs the fold under the migrated count
+    * (each fold re-reads the committed manifest's bucket count, so a
+    * restarted stream follows a store migrated while it was down).
+    * `nBuckets` only seeds a virgin store.
+    */
+  def snapshotIngestMaintainedIsolated(changelogs: DataFrame,
+                                       storePath: String,
+                                       targetRowsPerBucket: Long,
+                                       nBuckets: Int = 64,
+                                       rebucketEvery: Int = 8,
+                                       retainManifests: Int = 2,
+                                       pruneEvery: Int = 8,
+                                       queryName: String = "graft_snapshot_ingest_maintained_isolated"): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(rebucketEvery >= 1,
+      s"rebucketEvery must be >= 1, got $rebucketEvery")
+    require(pruneEvery >= 1, s"pruneEvery must be >= 1, got $pruneEvery")
+    changelogs.writeStream.queryName(queryName)
+      .foreachBatch { (b: DataFrame, bid: Long) =>
+        val spark = b.sparkSession
+        val info = committedManifestInfo(spark, storePath)
+        if (info.isDefined && bid > 0 && bid % rebucketEvery == 0)
+          maybeRebucketSnapshotIsolated(spark, storePath, 2L * bid,
+            targetRowsPerBucket)
+        val cur = committedManifestInfo(spark, storePath)
+          .map(_._2).getOrElse(nBuckets)
+        snapshotApplyBatchIsolated(b, storePath, 2L * bid + 1L, cur)
+        if ((bid + 1) % pruneEvery == 0)
+          pruneSnapshotGens(spark, storePath, retainManifests)
+        ()
+      }.start()
+  }
+
   /** [[managedCorpusApplyBatch]] over the reader-ISOLATED store — the
     * full managed serving story without the single-reader contract:
     * row + census gates (verdict replay-stable via the committed

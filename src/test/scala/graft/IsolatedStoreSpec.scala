@@ -169,6 +169,58 @@ class IsolatedStoreSpec extends AnyFunSuite {
     assert(asSet(Curation.readSnapshotCommitted(spark, p)) == asSet(snapC))
   }
 
+  test("maybeRebucketSnapshotIsolated: growth doubles, spent migration slots skip, virgin refuses") {
+    val p = s"${graft.queries.QDef.tempDir("graft_iso_growth")}/store"
+    val e0 = intercept[IllegalStateException] {
+      Curation.maybeRebucketSnapshotIsolated(spark, p, 10L, 4L)
+    }
+    assert(e0.getMessage.contains("no committed manifest"), e0.getMessage)
+    Curation.snapshotApplyBatchIsolated(cl(snapA.limit(0), snapA), p, 0L,
+      nBuckets = 2) // 30 docs in 2 buckets
+    // under target: no-op, count unchanged, NO new manifest
+    assert(Curation.maybeRebucketSnapshotIsolated(spark, p, 1L, 100L) == 2)
+    assert(Curation.committedManifestInfo(spark, p).map(_._1).contains(0L))
+    // over target (≤4 rows/bucket on 30 docs): doubles until it holds
+    val grown = Curation.maybeRebucketSnapshotIsolated(spark, p, 1L, 4L)
+    assert(grown == 8, s"expected 2->8 doubling, got $grown")
+    assert(Curation.committedManifestInfo(spark, p).contains((1L, 8)))
+    assert(asSet(Curation.readSnapshotCommitted(spark, p)) == asSet(snapA))
+    // the SPENT migration slot skips (a replay must not regress the ids)
+    assert(Curation.maybeRebucketSnapshotIsolated(spark, p, 1L, 1L) == 8)
+    assert(Curation.committedManifestInfo(spark, p).contains((1L, 8)))
+    // folds continue under the migrated count (crash-between window)
+    Curation.snapshotApplyBatchIsolated(cl(snapA, snapB), p, 2L,
+      nBuckets = 8)
+    assert(asSet(Curation.readSnapshotCommitted(spark, p)) == asSet(snapB))
+  }
+
+  test("snapshotIngestMaintainedIsolated: bucket count grows mid-stream, reads stay whole") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val p = s"${graft.queries.QDef.tempDir("graft_iso_maintained")}/store"
+    val in = MemoryStream[(Long, String, String)]
+    val q = Curation.snapshotIngestMaintainedIsolated(
+      in.toDF().toDF("doc_id", "status", "text"), p,
+      targetRowsPerBucket = 4L, nBuckets = 2, rebucketEvery = 1,
+      retainManifests = 2, pruneEvery = 2,
+      queryName = "iso_maintained_test")
+    try {
+      in.addData((1L to 6L).map(i => (i, "added", s"doc $i")): _*)
+      q.processAllAvailable() // batch 0: fold at manifest 1, no growth check
+      assert(Curation.committedManifestInfo(spark, p).contains((1L, 2)))
+      in.addData((7L to 12L).map(i => (i, "added", s"doc $i")): _*)
+      q.processAllAvailable() // batch 1: 6 docs <= 4*2 pre-check, no growth
+      assert(Curation.committedManifestInfo(spark, p).contains((3L, 2)))
+      in.addData((1L, "removed", null.asInstanceOf[String]))
+      q.processAllAvailable() // batch 2: 12 > 4*2 -> migrate to 4 at id 4, fold at 5
+      val info = Curation.committedManifestInfo(spark, p).get
+      assert(info == ((5L, 4)), s"expected 2->4 growth before batch 2, got $info")
+      assert(Curation.readSnapshotCommitted(spark, p)
+        .as[(Long, String)].collect().toSet ==
+        (2L to 12L).map(i => (i, s"doc $i")).toSet)
+    } finally q.stop()
+  }
+
   test("snapshotIngestIsolated: streamed folds with the GC cadence built in") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
