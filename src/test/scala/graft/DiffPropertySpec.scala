@@ -237,6 +237,48 @@ class DiffPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("managed-ISOLATED path under random refusals: committed head and sig census track shipped hops (3 seeds)") {
+    // the c62 composite swept over chains nobody designed: random
+    // 5-chains where the 30%-removal census rule refuses hops at
+    // random — the committed read must equal the fold of ONLY the
+    // shipped hops after EVERY hop (not just at the end: a refused
+    // batch must leave no manifest), and the sig store must census the
+    // head exactly.
+    for (seed <- 70L to 72L) {
+      val universe = 40
+      val snaps = (0 to 4).map(k =>
+        snapshot(seed * 15485863L + k * 31L, universe).toDF("doc_id", "text")
+          .localCheckpoint(true))
+      val base = graft.queries.QDef.tempDir("graft_mi_prop")
+      val rules = Seq("id_not_null" -> col("doc_id").isNotNull)
+      val census = Seq("removed_max_30pct" ->
+        (col("n_removed") * 10 <= col("n_old") * 3))
+      var state = Set.empty[(Long, Option[String])]
+      (0 to 4).foreach { v =>
+        val target = asSet(snaps(v))
+        val removed = state.map(_._1).diff(target.map(_._1)).size
+        val passes = removed * 10 <= state.size * 3
+        val shipped = Curation.managedCorpusApplyBatchIsolated(
+          Curation.corpusDiffFull(
+            state.toSeq.toDF("doc_id", "text"), snaps(v)),
+          v.toLong, s"$base/store", s"$base/sig", s"$base/report", rules,
+          censusRules = census, nBuckets = 4)
+        assert(shipped == passes, s"seed=$seed v=$v verdict diverged " +
+          s"(removed=$removed of ${state.size})")
+        if (passes) state = target
+        assert(asSet(Curation.readSnapshotCommitted(spark, s"$base/store"))
+          == state, s"seed=$seed v=$v committed head diverged")
+      }
+      val expCensus = state.toSeq.flatMap(_._2)
+        .map(t => t.split(" ").distinct.sorted.mkString(" "))
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      assert(Curation.readSigStore(spark, s"$base/sig")
+        .as[(String, Long)].collect().toMap == expCensus,
+        s"seed=$seed sig census diverged")
+      snaps.foreach(org.apache.spark.sql.graftbridge.Bridge.release)
+    }
+  }
+
   test("time travel reconstructs every version of random 4-chains (3 seeds)") {
     for (seed <- 40L to 42L) {
       val universe = 40
