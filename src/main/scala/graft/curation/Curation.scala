@@ -17,6 +17,9 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  private lazy val log =
+    org.slf4j.LoggerFactory.getLogger(Curation.getClass)
+
   /** Deterministic content-hash sample: keep a document iff its portable
     * rolling-hash (base-31 mod 1e9+7 — `Fns.rollingHash`, bit-identical on
     * any engine) lands below `pct` of `mod`. Unlike `rand()`-based
@@ -3724,6 +3727,16 @@ object Curation {
     * an at-least-once replay of either outcome converges. The decision
     * read is ≤ |rules| rows (bounded collect). Removed-only batches
     * validate an empty incoming frame (all-pass) and apply.
+    *
+    * OPERATOR CONTRACT — verdicts are sticky per batchId: because the
+    * replay path reuses the committed verdict verbatim, a REFUSED
+    * verdict is permanent for its id — an operator who fixes a
+    * quarantined batch's content must resubmit it under a FRESH
+    * batchId (and a batchId reused after a checkpoint reset silently
+    * adopts the old verdict for different content — reset stores and
+    * report paths together). The reuse is logged
+    * (`verdict … REUSED from the committed report`) so a silently
+    * refused resubmission is diagnosable.
     */
   /** `censusRules` (census-level guards, the mass-delete defence):
     * predicates over a ONE-ROW census of the batch against the CURRENT
@@ -3774,6 +3787,12 @@ object Curation {
     * the smaller store and flips to refused). The first attempt's
     * report is written BEFORE any fold, so it is always the pre-apply
     * verdict.
+    *
+    * The flip side is the sticky-verdict OPERATOR CONTRACT documented
+    * on [[guardedSnapshotApplyBatch]]: a refused batch's corrected
+    * content must re-enter under a fresh batchId — a resubmission
+    * under the old id returns the recorded verdict without
+    * re-validating (logged as `verdict … REUSED`).
     */
   def validateSnapshotBatch(changelog: DataFrame, batchId: Long,
                             snapshotPath: String, reportPath: String,
@@ -3805,7 +3824,18 @@ object Curation {
                                 nOldReader: () => Long): Boolean = {
     val spark = changelog.sparkSession
     readBatchVerdict(spark, reportPath, batchId) match {
-      case Some(recorded) => return recorded
+      case Some(recorded) =>
+        // surfaced so a silently-refused RESUBMISSION is diagnosable:
+        // the reuse is invisible in the report store (the committed
+        // report is byte-identical), and an operator who "fixed and
+        // re-ran" a quarantined batch under its old id would otherwise
+        // see the old verdict with no hint that nothing re-validated
+        log.info("batch {} at {}: verdict {} REUSED from the committed " +
+          "report (no re-validation, no apply on a refused batch) — " +
+          "corrected content must re-enter under a fresh batchId",
+          Long.box(batchId), reportPath,
+          if (recorded) "PASS" else "REFUSED")
+        return recorded
       case None => ()
     }
     val incoming = changelog
@@ -3898,10 +3928,26 @@ object Curation {
       } finally in.close()
     }
 
+  /** tmp-then-atomic-rename, the manifest idiom: a bare create+write
+    * crashed mid-write would leave an empty/truncated marker that
+    * [[readLongMarker]] can only refuse (`''.trim.toLong` throws) —
+    * permanently wedging every as-of read, the fold-commit of every
+    * replay, and the prune path, i.e. exactly the self-healing the
+    * markers exist to provide. The rename uses `FileContext` OVERWRITE
+    * semantics (atomic for files on HDFS/local) so a marker UPDATE
+    * never opens a no-marker window either — a reader between a
+    * delete and a rename of `_graft_snap_version` would fall back to
+    * the pre-marker invert-everything walk-back mid archive-first
+    * window.
+    */
   private def writeLongMarker(fs: org.apache.hadoop.fs.FileSystem,
                               p: org.apache.hadoop.fs.Path, v: Long): Unit = {
-    val out = fs.create(p, true)
+    val tmp = new org.apache.hadoop.fs.Path(
+      p.getParent, p.getName + ".tmp")
+    val out = fs.create(tmp, true)
     try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
+      .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** The recorded verdict of a batch whose report partition already
@@ -4050,25 +4096,54 @@ object Curation {
     */
   def readSnapshotAsOf(spark: org.apache.spark.sql.SparkSession,
                        basePath: String, version: Long): DataFrame = {
-    import org.apache.spark.sql.graftbridge.Bridge
     val logRoot = new org.apache.hadoop.fs.Path(s"$basePath/log")
     val fs = logRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireAboveFloor(fs, logRoot, basePath, version)
+    val foldedThrough = readLongMarker(fs, snapVersionPath(logRoot))
+    val versionsAbove = archivedVersionsAbove(fs, logRoot, version,
+      v => foldedThrough.forall(v <= _))
+    walkBackAsOf(spark, basePath, readSnapshot(spark, s"$basePath/snap"),
+      versionsAbove)
+  }
+
+  private def requireAboveFloor(fs: org.apache.hadoop.fs.FileSystem,
+                                logRoot: org.apache.hadoop.fs.Path,
+                                basePath: String, version: Long): Unit = {
     val floor = readLongMarker(fs, versionFloorPath(logRoot)).getOrElse(-1L)
     if (version < floor) throw new IllegalStateException(
       s"time-travel read asOf=$version is below the prune floor $floor " +
         s"of $basePath — the logs that reach it were pruned " +
         "(pruneSnapshotVersions); retained history starts at the floor")
-    val foldedThrough = readLongMarker(fs, snapVersionPath(logRoot))
-    val versionsAbove =
-      if (!fs.exists(logRoot)) Seq.empty[Long]
-      else fs.listStatus(logRoot).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("version="))
-        .flatMap(s => scala.util.Try(
-          s.getPath.getName.stripPrefix("version=").toLong).toOption)
-        .filter(_ > version)
-        .filter(v => foldedThrough.forall(v <= _))
-        .sorted.reverse
-    val current = readSnapshot(spark, s"$basePath/snap")
+  }
+
+  /** Archived log versions strictly above `version` that also satisfy
+    * `capped` (the folded-through cap), newest first.
+    */
+  private def archivedVersionsAbove(fs: org.apache.hadoop.fs.FileSystem,
+                                    logRoot: org.apache.hadoop.fs.Path,
+                                    version: Long,
+                                    capped: Long => Boolean): Seq[Long] =
+    if (!fs.exists(logRoot)) Seq.empty[Long]
+    else fs.listStatus(logRoot).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("version="))
+      .flatMap(s => scala.util.Try(
+        s.getPath.getName.stripPrefix("version=").toLong).toOption)
+      .filter(_ > version)
+      .filter(capped)
+      .sorted.reverse
+
+  /** The shared inverted-log walk-back behind both as-of readers: fold
+    * `versionsAbove` (newest first — consecutive, so the compaction
+    * squashes them into ONE O(churn-above-version) log) and apply it to
+    * `current` in one corpus pass. Lineage checkpoints on deep
+    * walk-backs are CHAIN-RELEASED (each new checkpoint releases the
+    * previous — at most one persistent RDD outlives the call: the final
+    * accumulator the returned lazy plan still reads).
+    */
+  private def walkBackAsOf(spark: org.apache.spark.sql.SparkSession,
+                           basePath: String, current: DataFrame,
+                           versionsAbove: Seq[Long]): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
     if (versionsAbove.isEmpty) current
     else {
       def invertedLog(v: Long) = invertChangelog(
@@ -4340,37 +4415,49 @@ object Curation {
     * distinction keeps a stream batch whose id collides with a manual
     * migration's from silently skipping as a replay no-op).
     */
-  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
-                           root: org.apache.hadoop.fs.Path)
-      : Option[(Long, Int, Map[Int, Long], String)] = {
-    if (!fs.exists(root)) return None
-    val ids = fs.listStatus(root).toSeq
+  /** Committed manifest ids under `root`, newest first (`.tmp` staging
+    * files excluded).
+    */
+  private def listManifestIds(fs: org.apache.hadoop.fs.FileSystem,
+                              root: org.apache.hadoop.fs.Path): Seq[Long] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
       .filter(s => s.isFile && s.getPath.getName.startsWith(manifestPrefix)
         && !s.getPath.getName.endsWith(".tmp"))
       .flatMap(s => scala.util.Try(
         s.getPath.getName.stripPrefix(manifestPrefix).toLong).toOption)
-    if (ids.isEmpty) None
-    else {
-      val id = ids.max
-      val in = fs.open(new org.apache.hadoop.fs.Path(root, s"$manifestPrefix$id"))
-      val text = try {
-        val bytes = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](4096)
-        var n = in.read(buf)
-        while (n > 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-        new String(bytes.toByteArray, "UTF-8")
-      } finally in.close()
-      val lines = text.split("\n").map(_.trim).filter(_.nonEmpty)
-      val nBuckets = lines.head.stripPrefix("nbuckets ").toInt
-      val kind = lines.lift(1).filter(_.startsWith("kind "))
-        .map(_.stripPrefix("kind ")).getOrElse("fold")
-      val m = lines.tail.filterNot(_.startsWith("kind ")).map { l =>
-        val Array(b, g) = l.split(" ", 2)
-        b.toInt -> g.toLong
-      }.toMap
-      Some((id, nBuckets, m, kind))
-    }
+      .sorted.reverse
+
+  /** Parse one manifest file: `(nBuckets, bucket → gen, kind)`. */
+  private def readManifestById(fs: org.apache.hadoop.fs.FileSystem,
+                               root: org.apache.hadoop.fs.Path, id: Long)
+      : (Int, Map[Int, Long], String) = {
+    val in = fs.open(new org.apache.hadoop.fs.Path(root, s"$manifestPrefix$id"))
+    val text = try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      var n = in.read(buf)
+      while (n > 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      new String(bytes.toByteArray, "UTF-8")
+    } finally in.close()
+    val lines = text.split("\n").map(_.trim).filter(_.nonEmpty)
+    val nBuckets = lines.head.stripPrefix("nbuckets ").toInt
+    val kind = lines.lift(1).filter(_.startsWith("kind "))
+      .map(_.stripPrefix("kind ")).getOrElse("fold")
+    val m = lines.tail.filterNot(_.startsWith("kind ")).map { l =>
+      val Array(b, g) = l.split(" ", 2)
+      b.toInt -> g.toLong
+    }.toMap
+    (nBuckets, m, kind)
   }
+
+  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+                           root: org.apache.hadoop.fs.Path)
+      : Option[(Long, Int, Map[Int, Long], String)] =
+    listManifestIds(fs, root).headOption.map { id =>
+      val (nBuckets, m, kind) = readManifestById(fs, root, id)
+      (id, nBuckets, m, kind)
+    }
 
   private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
                             root: org.apache.hadoop.fs.Path, batchId: Long,
@@ -4379,11 +4466,19 @@ object Curation {
     val tmp = new org.apache.hadoop.fs.Path(root,
       s"$manifestPrefix$batchId.tmp")
     val fin = new org.apache.hadoop.fs.Path(root, s"$manifestPrefix$batchId")
+    // replay re-commit: a manifest already AT this id can only be the
+    // identical committed content (batchId identifies content, and the
+    // body is a deterministic function of batch + committed state), so
+    // skip rather than delete-then-rename — the two-op swap would let a
+    // reader between them resolve the PREVIOUS manifest, or on a
+    // single-manifest store see no manifest at all and read an empty
+    // corpus. The path is nearly dead (a committed fold replays no-op
+    // before reaching here), but nothing structurally prevents it.
+    if (fs.exists(fin)) return
     val body = (Seq(s"nbuckets $nBuckets", s"kind $kind") ++
       m.toSeq.sortBy(_._1).map { case (b, g) => s"$b $g" }).mkString("\n")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
-    if (fs.exists(fin)) fs.delete(fin, false) // replay re-commit
     if (!fs.rename(tmp, fin)) throw new java.io.IOException(
       s"isolated snapshot store: manifest rename $tmp -> $fin refused")
   }
@@ -4526,10 +4621,23 @@ object Curation {
   }
 
   /** GC for the isolated store: keep the newest `retainManifests`
-    * manifests and every generation dir any of them references; delete
-    * the rest. `retainManifests >= 2` leaves a grace window for readers
-    * that resolved the previous manifest just before a commit. Single
-    * writer (run from the ingest loop or a maintenance window).
+    * FOLD manifests — plus every rebucket-migration manifest at least
+    * as new as the oldest retained fold — and every generation dir any
+    * kept manifest references; delete the rest. `retainManifests >= 2`
+    * leaves a grace window for readers that resolved the previous
+    * COMMITTED CORPUS just before a commit.
+    *
+    * Counting only `kind=fold` manifests is what makes the grace hold
+    * on the maintained-isolated path ([[snapshotIngestMaintainedIsolated]]),
+    * where a batch owns TWO manifest ids (migration `2·bid`, fold
+    * `2·bid+1`): counting raw manifests, a post-rebucket prune at the
+    * default `retainManifests = 2` would retain only that single
+    * batch's pair and delete the PREVIOUS fold's manifest with its
+    * unshared generations — pulling files out from under a reader that
+    * resolved it moments earlier. A rebucket manifest is not a
+    * distinct reader-visible corpus (it rewrites the same rows), so it
+    * rides along with, rather than consumes, the retention budget.
+    * Single writer (run from the ingest loop or a maintenance window).
     */
   def pruneSnapshotGens(spark: org.apache.spark.sql.SparkSession,
                         storePath: String, retainManifests: Int = 2): Unit = {
@@ -4538,27 +4646,20 @@ object Curation {
     val root = new org.apache.hadoop.fs.Path(storePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return
-    val manifests = fs.listStatus(root).toSeq
-      .filter(s => s.isFile && s.getPath.getName.startsWith(manifestPrefix)
-        && !s.getPath.getName.endsWith(".tmp"))
-      .flatMap(s => scala.util.Try(
-        s.getPath.getName.stripPrefix(manifestPrefix).toLong).toOption)
-      .sorted.reverse
+    val manifests = listManifestIds(fs, root)
     if (manifests.isEmpty) return
-    val keep = manifests.take(retainManifests).toSet
-    val referenced = keep.flatMap { mid =>
-      val in = fs.open(new org.apache.hadoop.fs.Path(root, s"$manifestPrefix$mid"))
-      val text = try {
-        val bytes = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](4096)
-        var n = in.read(buf)
-        while (n > 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-        new String(bytes.toByteArray, "UTF-8")
-      } finally in.close()
-      text.split("\n").map(_.trim).filter(_.nonEmpty).drop(1)
-        .filterNot(_.startsWith("kind "))
-        .map(_.split(" ", 2)(1).toLong).toSet
-    }
+    // bounded metadata reads: the manifest count is itself bounded by
+    // this op's cadence (≈ pruneEvery + retained tail), each file tiny
+    val parsed = manifests.map(id => id -> readManifestById(fs, root, id))
+    val foldIds = parsed.collect { case (id, (_, _, kind))
+      if kind != "rebucket" => id }
+    val keepFloor =
+      if (foldIds.sizeIs <= retainManifests) manifests.min
+      else foldIds(retainManifests - 1) // ids sorted desc: N-th newest fold
+    val keep = manifests.filter(_ >= keepFloor).toSet
+    val referenced = parsed.collect { case (id, (_, m, _)) if keep(id) =>
+      m.values.toSet
+    }.flatten.toSet
     val newest = manifests.head
     manifests.filterNot(keep).foreach(mid =>
       fs.delete(new org.apache.hadoop.fs.Path(root, s"$manifestPrefix$mid"),
@@ -4786,6 +4887,192 @@ object Curation {
           guardUniqueIds = guardUniqueIds)
         if ((bid + 1) % pruneEvery == 0)
           pruneSnapshotGens(b.sparkSession, storePath, retainManifests)
+        if (compactEvery > 0 && (bid + 1) % compactEvery == 0)
+          compactCountedStore(b.sparkSession, sigStorePath,
+            sigStoreStagedSchema, committedThrough = bid - 1,
+            owner = queryName)
+        ()
+      }.start()
+  }
+
+  // ──────────────────────────────────────────────────────────────────
+  // VERSIONED + ISOLATED: time travel over the reader-isolated store —
+  // the two serving guarantees composed. The in-place versioned store
+  // ([[managedVersionedApplyBatch]]) keeps history but inherits the
+  // single-reader contract and needs a separate `_graft_snap_version`
+  // marker (with its documented benign fold-to-marker torn window).
+  // Here the fold's MANIFEST commit IS the version commit — one atomic
+  // rename both publishes the new corpus to readers and moves the
+  // walk-back cap — so there is no marker on this path and NO torn
+  // window at all: after any crash prefix, every as-of read serves the
+  // corpus that actually existed, labeled with the version it actually
+  // had.
+  // ──────────────────────────────────────────────────────────────────
+
+  /** TIME-TRAVEL read over the ISOLATED store (`<basePath>/snap` a
+    * manifest-committed generation store, `<basePath>/log` the archived
+    * CDC versions): the corpus as of `version`, reconstructed as the
+    * COMMITTED corpus plus the compacted fold of the inverted logs
+    * above it ([[readSnapshotAsOf]]'s walk-back shape — one
+    * O(churn-above-version) pass however deep the read).
+    *
+    * The manifest is resolved ONCE, feeding BOTH the current corpus
+    * and the walk-back cap — two separate resolutions racing a
+    * concurrent fold could pair version v+1's corpus with a cap of v
+    * and fail to invert v+1's log. The cap is the newest FOLD-kind
+    * manifest id (fold commits are version commits on this path; a
+    * rebucket manifest rewrites the SAME corpus under a higher id, so
+    * capping at it would invert archived logs the snapshot does not
+    * contain). An archived-but-unfolded log (the archive-first crash
+    * window, or a writer mid-batch) is therefore invisible, and —
+    * unlike the in-place store's one-marker residue — a log whose fold
+    * committed is capped IN the same atomic rename that published its
+    * corpus: no read anywhere in a torn window is ever mislabeled.
+    *
+    * Isolation: the returned frame keeps serving its manifest's
+    * generations and the retained logs even while newer batches fold —
+    * size `retainManifests` / the log retention to cover your slowest
+    * reader. `asOf` below [[pruneSnapshotVersions]]' floor is refused.
+    */
+  def readSnapshotAsOfCommitted(spark: org.apache.spark.sql.SparkSession,
+                                basePath: String, version: Long): DataFrame = {
+    val logRoot = new org.apache.hadoop.fs.Path(s"$basePath/log")
+    val fs = logRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireAboveFloor(fs, logRoot, basePath, version)
+    val snapRoot = new org.apache.hadoop.fs.Path(s"$basePath/snap")
+    val sfs = snapRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids = listManifestIds(sfs, snapRoot)
+    if (ids.isEmpty)
+      // virgin store: nothing folded — archived logs (if any) are
+      // invisible below their fold, so the corpus at EVERY version so
+      // far is empty
+      return spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          snapshotSchema)
+        .select(col("doc_id"), col("text"))
+    val (_, m, newestKind) = readManifestById(sfs, snapRoot, ids.head)
+    val cap =
+      if (newestKind != "rebucket") ids.head
+      else ids.drop(1)
+        .find(id => readManifestById(sfs, snapRoot, id)._3 != "rebucket")
+        .getOrElse(throw new IllegalStateException(
+          s"isolated versioned store $basePath retains only rebucket " +
+            "manifests — cannot locate the folded-through version; " +
+            "raise retainManifests (the prune tail must keep at least " +
+            "one fold manifest, which pruneSnapshotGens guarantees)"))
+    val current = readCommittedBuckets(spark, s"$basePath/snap", m)
+      .select(col("doc_id"), col("text"))
+    walkBackAsOf(spark, basePath, current,
+      archivedVersionsAbove(fs, logRoot, version, _ <= cap))
+  }
+
+  /** [[managedVersionedApplyBatch]] over the reader-ISOLATED store —
+    * the full consistency matrix in one composite: row + census publish
+    * gates (verdict replay-stable via the committed report, `n_old`
+    * judged against the COMMITTED manifest), TIME TRAVEL (the CDC log
+    * archived under `<basePath>/log/version=<batchId>`), and
+    * multi-reader isolation (the snapshot folds into the
+    * manifest-committed generation store at `<basePath>/snap`; the sig
+    * store folds beside it for O(refresh) audits). A quarantined batch
+    * archives nothing and commits no manifest — its version never
+    * exists, and an as-of read at it serves the state the corpus
+    * actually had.
+    *
+    * Write order: verdict → archive → snapshot fold (whose manifest
+    * rename ATOMICALLY publishes the corpus AND caps the as-of
+    * walk-back — no `_graft_snap_version` marker on this path) → sig
+    * fold. Crash anywhere heals on the at-least-once replay (reused
+    * verdict, idempotent archive, manifest-gated fold no-op, sig
+    * partition overwrite), and — unlike the in-place composite's
+    * documented benign fold-to-marker residue — NO torn prefix serves
+    * a mislabeled corpus: before the rename the archived log is
+    * invisible, after it the corpus and the cap moved together.
+    *
+    * The store's bucket count follows the committed manifest
+    * (`nBuckets` seeds a virgin store), so a store migrated by
+    * [[rebucketSnapshotIsolated]] between batches keeps folding
+    * correctly — give the migration an id the version sequence will
+    * never produce, above the newest manifest.
+    */
+  def managedVersionedApplyBatchIsolated(fullChangelog: DataFrame,
+                                         batchId: Long, basePath: String,
+                                         sigStorePath: String,
+                                         reportPath: String,
+                                         rules: Seq[(String, Column)],
+                                         censusRules: Seq[(String, Column)] = Nil,
+                                         nBuckets: Int = 64,
+                                         guardUniqueIds: Boolean = false): Boolean = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val f = fullChangelog
+      .select(col("doc_id"), col("status"), col("old_text"),
+        col("new_text"))
+      .localCheckpoint(true)
+    try {
+      val thin = f.select(col("doc_id"), col("status"),
+        col("new_text").as("text"))
+      val ok = validateBatchImpl(thin, batchId, reportPath, rules,
+        col("doc_id"), col("text"), col("status"), censusRules,
+        guardUniqueIds,
+        nOldReader = () =>
+          readSnapshotCommitted(f.sparkSession, s"$basePath/snap").count())
+      if (ok) {
+        // ungated lying logs must still fail BEFORE the archive — never
+        // durably archive a log the fold will refuse on every replay
+        if (!guardUniqueIds)
+          requireUniqueLogIds(f, "managedVersionedApplyBatchIsolated")
+        f.withColumn("version", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("version").parquet(s"$basePath/log")
+        val cur = committedManifestInfo(f.sparkSession, s"$basePath/snap")
+          .map(_._2).getOrElse(nBuckets)
+        snapshotApplyBatchIsolated(thin, s"$basePath/snap", batchId, cur)
+        sigStoreApplyBatch(f, sigStorePath, batchId, nBuckets)
+      }
+      ok
+    } finally Bridge.release(f)
+  }
+
+  /** Streaming managed-VERSIONED-ISOLATED maintenance: every
+    * micro-batch of CDC changelog rows through
+    * [[managedVersionedApplyBatchIsolated]] (batch id = version), with
+    * all three retention cadences of the composite's stores built in —
+    * every `pruneEvery` batches the archived-log floor advances
+    * (`retainVersions`, bounding history via [[pruneSnapshotVersions]])
+    * and stale generations GC ([[pruneSnapshotGens]] keeping
+    * `retainManifests` committed corpora for slow readers; gen pruning
+    * never breaks as-of reads — the walk-back touches only the NEWEST
+    * manifest's generations plus archived logs), and every
+    * `compactEvery` batches the sig store's per-batch dirs squash
+    * (committedThrough = the previous batch, the replay-safe cadence).
+    */
+  def managedVersionedIngestIsolated(changelogs: DataFrame, basePath: String,
+                                     sigStorePath: String, reportPath: String,
+                                     rules: Seq[(String, Column)],
+                                     censusRules: Seq[(String, Column)] = Nil,
+                                     nBuckets: Int = 64,
+                                     queryName: String = "graft_managed_versioned_isolated_ingest",
+                                     guardUniqueIds: Boolean = false,
+                                     retainVersions: Option[Long] = None,
+                                     retainManifests: Int = 2,
+                                     pruneEvery: Int = 8,
+                                     compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(pruneEvery >= 1, s"pruneEvery must be >= 1, got $pruneEvery")
+    require(compactEvery >= 0,
+      s"compactEvery must be >= 0 (0 = never), got $compactEvery")
+    changelogs.writeStream.queryName(queryName)
+      .foreachBatch { (b: DataFrame, bid: Long) =>
+        managedVersionedApplyBatchIsolated(b, bid, basePath, sigStorePath,
+          reportPath, rules, censusRules, nBuckets,
+          guardUniqueIds = guardUniqueIds)
+        if ((bid + 1) % pruneEvery == 0) {
+          retainVersions.foreach { k =>
+            if (bid - k >= 0)
+              pruneSnapshotVersions(b.sparkSession, basePath, bid - k)
+          }
+          pruneSnapshotGens(b.sparkSession, s"$basePath/snap",
+            retainManifests)
+        }
         if (compactEvery > 0 && (bid + 1) % compactEvery == 0)
           compactCountedStore(b.sparkSession, sigStorePath,
             sigStoreStagedSchema, committedThrough = bid - 1,

@@ -77,6 +77,8 @@ object DocQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val c62DriveCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val c63DriveCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** The c62 managed-ISOLATED drive: the c55 batch sequence (bootstrap,
     * census-refused mass delete, B refresh, replay) through
@@ -109,6 +111,43 @@ object DocQueries {
       assert(shipped == Seq(true, false, true, true),
         s"managed-isolated verdicts: $shipped")
       graft.curation.Curation.pruneSnapshotGens(s, s"$b0/store",
+        retainManifests = 1)
+      b0
+    })
+
+  /** The shared c63/c64 managed-VERSIONED-ISOLATED drive: the c59
+    * batch sequence (bootstrap, census-refused mass delete archiving
+    * NOTHING, the B refresh, its at-least-once replay) through
+    * [[graft.curation.Curation.managedVersionedApplyBatchIsolated]] —
+    * time travel AND reader isolation from one composite. The drive
+    * also prunes stale generations mid-history (retain = 1): as-of
+    * walk-backs touch only the NEWEST manifest's generations plus the
+    * archived logs, so gen GC must never cost history.
+    */
+  private def c63Drive(s: org.apache.spark.sql.SparkSession,
+                       dir: String): String =
+    c63DriveCache.computeIfAbsent(dir, _ => {
+      val b0 = QDef.tempDir("graft_managed_versioned_isolated")
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      def full(a: org.apache.spark.sql.DataFrame,
+               b: org.apache.spark.sql.DataFrame) =
+        graft.curation.Curation.corpusDiffFull(a, b)
+      val rules = Seq("doc_id_not_null" -> col("doc_id").isNotNull)
+      val census = Seq("census_removed_max_20pct" ->
+        (col("n_removed") * 5 <= col("n_old")))
+      val shipped = Seq(
+        0L -> full(docs.limit(0), docs),
+        1L -> full(docs, docs.filter(col("doc_id") % 2 =!= 0)), // refused
+        2L -> full(docs, vmSnapB(docs)),
+        2L -> full(docs, vmSnapB(docs)) // at-least-once replay
+      ).map { case (v, log) =>
+        graft.curation.Curation.managedVersionedApplyBatchIsolated(log, v,
+          s"$b0/corpus", s"$b0/sig", s"$b0/report", rules,
+          censusRules = census, nBuckets = 8)
+      }
+      assert(shipped == Seq(true, false, true, true),
+        s"managed-versioned-isolated verdicts: $shipped")
+      graft.curation.Curation.pruneSnapshotGens(s, s"$b0/corpus/snap",
         retainManifests = 1)
       b0
     })
@@ -4154,6 +4193,38 @@ object DocQueries {
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       graft.curation.Curation.readSnapshot(s,
           s"${c59Drive(s, dir)}/corpus/snap")
+        .orderBy(col("doc_id"))
+    },
+
+    // Time travel COMPOSED with reader isolation (c59 ∘ c61): the same
+    // managed-versioned batch sequence through the ISOLATED store — the
+    // as-of read at the quarantined version walks back from the
+    // COMMITTED manifest (whose atomic rename is also the walk-back
+    // cap: no fold-to-marker torn window on this path) and must land on
+    // the corpus the owner actually had then, through a mid-history
+    // generation prune.
+    QDef("c63_versioned_isolated_time_travel",
+      """SELECT doc_id, text FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.curation.Curation.readSnapshotAsOfCommitted(s,
+          s"${c63Drive(s, dir)}/corpus", 1L)
+        .orderBy(col("doc_id"))
+    },
+
+    // ... and the same drive's committed HEAD: the refused batch left
+    // no manifest generation, the applied refresh shipped — the
+    // committed read serves B (the c60 oracle reached through the
+    // isolated-versioned path).
+    QDef("c64_versioned_isolated_head",
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+        |FROM documents WHERE doc_id % 7 <> 0
+        |UNION ALL
+        |SELECT doc_id + 1000000000 AS doc_id, text
+        |FROM documents WHERE doc_id % 13 = 0
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.curation.Curation.readSnapshotCommitted(s,
+          s"${c63Drive(s, dir)}/corpus/snap")
         .orderBy(col("doc_id"))
     },
 
