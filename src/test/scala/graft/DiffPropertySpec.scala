@@ -279,6 +279,56 @@ class DiffPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("versioned-ISOLATED path under random refusals: head, history and sig census track shipped hops (3 seeds)") {
+    // the c63 composite swept over chains nobody designed — the
+    // managed-versioned property re-run through the isolated store:
+    // verdicts must match the independent census arithmetic, the
+    // committed head must track the shipped fold after EVERY hop, and
+    // every as-of read must land on its shipped-prefix state through
+    // readSnapshotAsOfCommitted's manifest-capped walk-back.
+    for (seed <- 80L to 82L) {
+      val universe = 40
+      val snaps = (0 to 4).map(k =>
+        snapshot(seed * 86028121L + k * 31L, universe).toDF("doc_id", "text")
+          .localCheckpoint(true))
+      val base = graft.queries.QDef.tempDir("graft_vi_prop")
+      val rules = Seq("id_not_null" -> col("doc_id").isNotNull)
+      val census = Seq("removed_max_30pct" ->
+        (col("n_removed") * 10 <= col("n_old") * 3))
+      var state = Set.empty[(Long, Option[String])]
+      val expectedByVersion = scala.collection.mutable.Map[Long, Set[(Long, Option[String])]]()
+      (0 to 4).foreach { v =>
+        val target = asSet(snaps(v))
+        val removed = state.map(_._1).diff(target.map(_._1)).size
+        val passes = removed * 10 <= state.size * 3
+        val shipped = Curation.managedVersionedApplyBatchIsolated(
+          Curation.corpusDiffFull(
+            state.toSeq.toDF("doc_id", "text"), snaps(v)),
+          v.toLong, s"$base/corpus", s"$base/sig", s"$base/report", rules,
+          censusRules = census, nBuckets = 4)
+        assert(shipped == passes, s"seed=$seed v=$v verdict diverged " +
+          s"(removed=$removed of ${state.size})")
+        if (passes) state = target
+        expectedByVersion(v.toLong) = state
+        assert(asSet(Curation.readSnapshotCommitted(spark,
+          s"$base/corpus/snap")) == state,
+          s"seed=$seed v=$v committed head diverged")
+      }
+      (0 to 4).foreach { v =>
+        assert(asSet(Curation.readSnapshotAsOfCommitted(spark,
+          s"$base/corpus", v.toLong)) == expectedByVersion(v.toLong),
+          s"seed=$seed asOf=$v diverged")
+      }
+      val expCensus = state.toSeq.flatMap(_._2)
+        .map(t => t.split(" ").distinct.sorted.mkString(" "))
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      assert(Curation.readSigStore(spark, s"$base/sig")
+        .as[(String, Long)].collect().toMap == expCensus,
+        s"seed=$seed sig census diverged")
+      snaps.foreach(org.apache.spark.sql.graftbridge.Bridge.release)
+    }
+  }
+
   test("time travel reconstructs every version of random 4-chains (3 seeds)") {
     for (seed <- 40L to 42L) {
       val universe = 40

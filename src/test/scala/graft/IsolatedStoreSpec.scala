@@ -240,4 +240,69 @@ class IsolatedStoreSpec extends AnyFunSuite {
         Set((1L, "one v2"), (2L, "two"), (3L, "three")))
     } finally q.stop()
   }
+
+  test("pruneSnapshotGens: only fold manifests consume the retention tail (dual-id rebucket grace)") {
+    val p = s"${graft.queries.QDef.tempDir("graft_iso_fold_retain")}/store"
+    Curation.snapshotApplyBatchIsolated(cl(snapA.limit(0), snapA), p, 0L,
+      nBuckets = 2)
+    Curation.snapshotApplyBatchIsolated(cl(snapA, snapB), p, 1L,
+      nBuckets = 2)
+    // a reader resolves the CURRENT committed corpus (manifest 1) …
+    val reader = Curation.readSnapshotCommitted(spark, p)
+    // … then the maintained path's dual-id shape: a rebucket migration
+    // followed by the next batch's fold
+    Curation.rebucketSnapshotIsolated(spark, p, 4L, newNBuckets = 8)
+    Curation.snapshotApplyBatchIsolated(cl(snapB, snapC), p, 5L,
+      nBuckets = 8)
+    Curation.pruneSnapshotGens(spark, p, retainManifests = 2)
+    // raw-count retention would keep only {5, 4} — one batch's pair —
+    // and delete fold 1 with its unshared generations, pulling files
+    // out from under the reader; fold-counted retention keeps the two
+    // newest FOLD corpora {5, 1} plus the interleaved rebucket 4
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(p))
+      .map(_.getPath.getName).toSet
+    assert(names.contains("_graft_manifest_5") &&
+      names.contains("_graft_manifest_4") &&
+      names.contains("_graft_manifest_1"), names.toSeq.sorted.mkString(","))
+    assert(!names.contains("_graft_manifest_0"),
+      "the fold below the retained tail must still prune")
+    // the reader's grace window held through migration + fold + prune
+    assert(asSet(reader) == asSet(snapB))
+    assert(asSet(Curation.readSnapshotCommitted(spark, p)) == asSet(snapC))
+  }
+
+  test("long ingest stream: manifest and generation dir counts stay bounded by the GC cadence") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val p = s"${graft.queries.QDef.tempDir("graft_iso_dir_bound")}/store"
+    val in = MemoryStream[(Long, String, String)]
+    val q = Curation.snapshotIngestIsolated(
+      in.toDF().toDF("doc_id", "status", "text"), p, nBuckets = 2,
+      retainManifests = 2, pruneEvery = 2, queryName = "iso_bound_test")
+    try {
+      (1L to 12L).foreach { i =>
+        in.addData((i, "added", s"doc $i")); q.processAllAvailable()
+      }
+      val fs = new org.apache.hadoop.fs.Path(p)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val names = fs.listStatus(new org.apache.hadoop.fs.Path(p))
+        .map(_.getPath.getName).toSeq
+      val nManifests = names.count(n =>
+        n.startsWith("_graft_manifest_") && !n.endsWith(".tmp"))
+      val nGens = names.count(_.startsWith("gen="))
+      // without GC: 12 manifests + 12 generation dirs after 12 batches.
+      // The cadence bounds both — manifests by retained tail + one
+      // prune period, generations by the kept manifests' references
+      // (an untouched bucket legitimately keeps its old generation
+      // alive; with 2 buckets the union of ≤4 consecutive manifests'
+      // references stays ≤ 6)
+      assert(nManifests <= 4, s"manifest litter: $nManifests of 12")
+      assert(nGens <= 6, s"generation litter: $nGens of 12")
+      assert(Curation.readSnapshotCommitted(spark, p)
+        .as[(Long, String)].collect().toSet ==
+        (1L to 12L).map(i => (i, s"doc $i")).toSet)
+    } finally q.stop()
+  }
 }

@@ -393,6 +393,152 @@ class ServingConsistencySpec extends AnyFunSuite {
     }
   }
 
+  test("versioned-isolated: a reader holding an old manifest survives a concurrent fold AND a concurrent as-of walk-back stays pinned") {
+    val base = graft.queries.QDef.tempDir("graft_vi_reader")
+    val corpus = s"$base/corpus"
+    val snapA = (1L to 10L).map(i => (i, Some(s"doc $i"))).toDF("doc_id", "text")
+    val snapB = snapA.filter($"doc_id" > 1L)
+      .unionByName(Seq((11L, Some("new b"))).toDF("doc_id", "text"))
+    val snapC = snapB.filter($"doc_id" > 3L)
+    val rules = Seq("id_not_null" -> col("doc_id").isNotNull)
+    def apply(v: Long, log: org.apache.spark.sql.DataFrame) =
+      Curation.managedVersionedApplyBatchIsolated(log, v, corpus,
+        s"$base/sig", s"$base/report", rules, nBuckets = 2)
+    assert(apply(0L, full(snapA.limit(0), snapA)))
+    assert(apply(1L, full(snapA, snapB)))
+    // resolve BOTH read shapes against the v1 manifest …
+    val head = Curation.readSnapshotCommitted(spark, s"$corpus/snap")
+    val asOf0 = Curation.readSnapshotAsOfCommitted(spark, corpus, 0L)
+    // … a newer batch folds while both frames are open …
+    assert(apply(2L, full(snapB, snapC)))
+    // … and both keep serving the state they resolved: the fold wrote
+    // only its own generation + manifest, and the walk-back's cap and
+    // corpus came from ONE resolution, so neither frame can see v2
+    assert(asSet(head) == asSet(snapB), "open committed read moved")
+    assert(asSet(asOf0) == asSet(snapA), "open as-of read moved")
+    // fresh reads see the new commit at every version
+    assert(asSet(Curation.readSnapshotCommitted(spark, s"$corpus/snap"))
+      == asSet(snapC))
+    assert(asSet(Curation.readSnapshotAsOfCommitted(spark, corpus, 2L))
+      == asSet(snapC))
+    assert(asSet(Curation.readSnapshotAsOfCommitted(spark, corpus, 1L))
+      == asSet(snapB))
+    assert(asSet(Curation.readSnapshotAsOfCommitted(spark, corpus, 0L))
+      == asSet(snapA))
+  }
+
+  test("crash-injection property: the ISOLATED versioned write order has NO torn window — every prefix serves correctly-labeled reads") {
+    // write order: validate → archive → fold (manifest rename = corpus
+    // publish AND walk-back cap, atomically) → sig. Unlike the in-place
+    // property above — where the fold-to-marker prefix serves v1's
+    // corpus labeled v0, the documented benign residue — here as-of(0)
+    // must be EXACTLY snapA in all four torn prefixes: before the
+    // rename the archived log is invisible, after it the corpus and
+    // the cap moved together.
+    val snapA = (1L to 12L).map(i => (i, Some(s"doc $i"))).toDF("doc_id", "text")
+    val snapB = snapA.filter($"doc_id" > 2L)
+      .unionByName(Seq((13L, Some("new b"))).toDF("doc_id", "text"))
+    val rules = Seq("id_not_null" -> col("doc_id").isNotNull)
+    def census(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("text").isNotNull)
+        .select(col("text")).as[String].collect()
+        .map(t => t.split(" ").distinct.sorted.mkString(" "))
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    for (crashAfter <- Seq("report", "archive", "snap", "sig")) {
+      val base = graft.queries.QDef.tempDir(s"graft_vi_crash_$crashAfter")
+      val corpus = s"$base/corpus"
+      def applyFull(v: Long, log: org.apache.spark.sql.DataFrame) =
+        Curation.managedVersionedApplyBatchIsolated(log, v, corpus,
+          s"$base/sig", s"$base/report", rules, nBuckets = 2)
+      assert(applyFull(0L, full(snapA.limit(0), snapA)))
+      val log1 = full(snapA, snapB).localCheckpoint(true)
+      val steps = Seq("report", "archive", "snap", "sig")
+      steps.take(steps.indexOf(crashAfter) + 1).foreach {
+        case "report" =>
+          assert(Curation.validateSnapshotBatch(
+            log1.select(col("doc_id"), col("status"),
+              col("new_text").as("text")),
+            1L, s"$corpus/snap", s"$base/report", rules))
+        case "archive" =>
+          log1.withColumn("version", lit(1L))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("version").parquet(s"$corpus/log")
+        case "snap" =>
+          Curation.snapshotApplyBatchIsolated(
+            log1.select(col("doc_id"), col("status"),
+              col("new_text").as("text")),
+            s"$corpus/snap", 1L, nBuckets = 2)
+        case "sig" =>
+          Curation.sigStoreApplyBatch(log1, s"$base/sig", 1L, nBuckets = 2)
+      }
+      // torn-window reads: version 0 is snapA in EVERY prefix, and
+      // version 1 is exactly the state its commit point defines
+      assert(asSet(Curation.readSnapshotAsOfCommitted(spark, corpus, 0L))
+        == asSet(snapA), s"crash=$crashAfter: torn as-of(0) mislabeled")
+      val expect1 =
+        if (crashAfter == "report" || crashAfter == "archive") snapA
+        else snapB
+      assert(asSet(Curation.readSnapshotAsOfCommitted(spark, corpus, 1L))
+        == asSet(expect1), s"crash=$crashAfter: torn as-of(1)")
+      // the replay converges everything
+      assert(applyFull(1L, full(snapA, snapB)),
+        s"crash=$crashAfter: replay refused a shipped batch")
+      assert(asSet(Curation.readSnapshotCommitted(spark, s"$corpus/snap"))
+        == asSet(snapB), s"crash=$crashAfter: head diverged")
+      assert(asSet(Curation.readSnapshotAsOfCommitted(spark, corpus, 0L))
+        == asSet(snapA), s"crash=$crashAfter: post-replay as-of(0)")
+      assert(asSet(Curation.readSnapshotAsOfCommitted(spark, corpus, 1L))
+        == asSet(snapB), s"crash=$crashAfter: post-replay as-of(1)")
+      assert(Curation.readSigStore(spark, s"$base/sig")
+        .as[(String, Long)].collect().toMap == census(snapB),
+        s"crash=$crashAfter: sig census diverged")
+      org.apache.spark.sql.graftbridge.Bridge.release(log1)
+    }
+  }
+
+  test("managedVersionedIngestIsolated: streamed composite with all three retention cadences") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = graft.queries.QDef.tempDir("graft_vi_ingest")
+    val in = MemoryStream[(Long, String, String, String)]
+    val q = Curation.managedVersionedIngestIsolated(
+      in.toDF().toDF("doc_id", "status", "old_text", "new_text"),
+      s"$base/corpus", s"$base/sig", s"$base/report",
+      rules = Seq("id_not_null" -> col("doc_id").isNotNull),
+      nBuckets = 2, queryName = "vi_ingest_test",
+      retainVersions = Some(1L), retainManifests = 2, pruneEvery = 1,
+      compactEvery = 2)
+    try {
+      in.addData((1L, "added", null, "one")); q.processAllAvailable()
+      in.addData((2L, "added", null, "two")); q.processAllAvailable()
+      in.addData((1L, "changed", "one", "one v2")); q.processAllAvailable()
+      // log floor advanced to 2 − 1 = 1: version 0's archived log gone
+      assert(!fsFor(base).exists(
+        new org.apache.hadoop.fs.Path(s"$base/corpus/log/version=0")))
+      val got = (v: Long) =>
+        Curation.readSnapshotAsOfCommitted(spark, s"$base/corpus", v)
+          .as[(Long, String)].collect().toSet
+      assert(got(2L) == Set((1L, "one v2"), (2L, "two")))
+      assert(got(1L) == Set((1L, "one"), (2L, "two"))) // at the floor
+      val e = intercept[IllegalStateException] {
+        Curation.readSnapshotAsOfCommitted(spark, s"$base/corpus", 0L)
+      }
+      assert(e.getMessage.contains("prune floor"), e.getMessage)
+      // gen GC ran on the same cadence: manifests bounded by the tail
+      val fs = fsFor(base)
+      val nManifests = fs.listStatus(
+          new org.apache.hadoop.fs.Path(s"$base/corpus/snap"))
+        .map(_.getPath.getName)
+        .count(n => n.startsWith("_graft_manifest_") && !n.endsWith(".tmp"))
+      assert(nManifests <= 2, s"gen GC did not run: $nManifests manifests")
+      // sig compaction ran without changing the census
+      assert(Curation.readSigStore(spark, s"$base/sig")
+        .as[(String, Long)].collect().toMap ==
+        Map("one v2" -> 1L, "two" -> 1L))
+    } finally q.stop()
+  }
+
   test("deep walk-back and catch-up leave no orphaned checkpoint blocks") {
     val before = spark.sparkContext.getPersistentRDDs.size
     val chain = (0 to 24).map(v => (1L to 6L)
