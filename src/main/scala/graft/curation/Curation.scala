@@ -3280,13 +3280,35 @@ object Curation {
                          status: Column = col("status"),
                          oldText: Column = col("old_text"),
                          newText: Column = col("new_text")): Unit = {
-    // fail-fast on a lying log, like the snapshot store: a duplicated
-    // changelog id would DOUBLE-COUNT its signature deltas — silent
-    // census drift the refcounts could never recover from. The per-id
-    // count rides the batch frame, and the raise lives INSIDE the
-    // consumed delta column (a guard in a pruned column would be
-    // optimized away), so it fires in the same materialization that
-    // feeds the store write and nothing lands.
+    sigDeltas(fullChangelog, "sigStoreApplyBatch", id, status, oldText,
+        newText)
+      .withColumn("bucket",
+        pmod(xxhash64(col("sig")), lit(nBuckets.toLong)).cast("int"))
+      .withColumn("batch_id", lit(batchId))
+      .repartition(col("bucket")).write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket", "batch_id").parquet(sigStorePath)
+    ()
+  }
+
+  /** The net `(sig, delta)` rows of one CDC batch — ONE derivation
+    * shared by the in-place ([[sigStoreApplyBatch]]) and
+    * manifest-committed ([[sigStoreApplyBatchCommitted]]) signature
+    * stores, so their censuses cannot drift.
+    *
+    * Fail-fast on a lying log, like the snapshot store: a duplicated
+    * changelog id would DOUBLE-COUNT its signature deltas — silent
+    * census drift the refcounts could never recover from. The per-id
+    * count rides the batch frame, and the raise lives INSIDE the
+    * consumed delta column (a guard in a pruned column would be
+    * optimized away), so it fires in the same materialization that
+    * feeds the store write and nothing lands.
+    */
+  private def sigDeltas(fullChangelog: DataFrame, who: String,
+                        id: Column = col("doc_id"),
+                        status: Column = col("status"),
+                        oldText: Column = col("old_text"),
+                        newText: Column = col("new_text")): DataFrame = {
     val base = fullChangelog
       .filter(status.isin("added", "removed", "changed"))
       .select(id.as("__sid"), status.as("__st"), oldText.as("__ot"),
@@ -3294,7 +3316,7 @@ object Curation {
       .withColumn("__n", count(lit(1)).over(
         Window.partitionBy(col("__sid"))))
     def guardedDelta(d: Long) = when(col("__n") > 1, raise_error(concat(
-        lit("sigStoreApplyBatch: changelog carries duplicate rows for " +
+        lit(s"$who: changelog carries duplicate rows for " +
           "doc_id "), col("__sid").cast("string"),
         lit(" — duplicate deltas would silently corrupt the signature " +
           "census; compact the log (compactChangelog) or dedup upstream"))))
@@ -3307,19 +3329,23 @@ object Curation {
       .filter(col("sig").isNotNull)
       .groupBy(col("sig")).agg(sum(col("delta")).as("delta"))
       .filter(col("delta") =!= 0L)
-      .withColumn("bucket",
-        pmod(xxhash64(col("sig")), lit(nBuckets.toLong)).cast("int"))
-      .withColumn("batch_id", lit(batchId))
-      .repartition(col("bucket")).write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("bucket", "batch_id").parquet(sigStorePath)
-    ()
   }
 
   /** The maintained signature census: `(sig, cnt)` for every signature
     * currently carried by ≥1 corpus document (one pre-reduced groupBy
     * over the staged deltas — store rows ≤ distinct sigs × batches,
     * compacted by [[compactCountedStore]]).
+    *
+    * READER CONTRACT (writer-side store): the `(bucket, batch_id)`
+    * layout is listed at plan-build time and its dirs are REWRITTEN in
+    * place by [[compactCountedStore]]'s stage-and-swap — a read that
+    * spans a compaction can hit deleted files (or the documented
+    * one-bucket hole mid-swap). Reads are safe from the single writer
+    * that owns the compaction cadence (the foreachBatch loop), or
+    * quiesced around maintenance windows. For multi-reader isolation
+    * use the manifest-committed family ([[sigStoreApplyBatchCommitted]]
+    * / [[readSigStoreCommitted]]), whose compaction never touches a
+    * committed file.
     */
   def readSigStore(spark: org.apache.spark.sql.SparkSession,
                    sigStorePath: String): DataFrame =
@@ -3340,13 +3366,34 @@ object Curation {
                              sigStorePath: String,
                              maxChars: Int = 256,
                              censusRules: Seq[(String, Column)] = Nil)
+      : DataFrame =
+    refreshAuditFromSigs(fullChangelog,
+      readSigStore(fullChangelog.sparkSession, sigStorePath), maxChars,
+      censusRules)
+
+  /** [[refreshAuditMaintained]] over the manifest-COMMITTED signature
+    * store ([[sigStoreApplyBatchCommitted]]'s layout): same panels,
+    * same oracle, but the store read resolves a committed manifest —
+    * safe to run concurrently with folds and compactions.
+    */
+  def refreshAuditMaintainedCommitted(fullChangelog: DataFrame,
+                                      sigStorePath: String,
+                                      maxChars: Int = 256,
+                                      censusRules: Seq[(String, Column)] = Nil)
+      : DataFrame =
+    refreshAuditFromSigs(fullChangelog,
+      readSigStoreCommitted(fullChangelog.sparkSession, sigStorePath),
+      maxChars, censusRules)
+
+  private def refreshAuditFromSigs(fullChangelog: DataFrame,
+                                   sigs: DataFrame, maxChars: Int,
+                                   censusRules: Seq[(String, Column)])
       : DataFrame = {
-    val spark = fullChangelog.sparkSession
     val counts = fullChangelog.groupBy(col("status").as("audit"))
       .agg(count(lit(1)).as("n"))
     val dup = fullChangelog.filter(col("status") === "added")
       .select(tokenSig(col("new_text")).as("sig"))
-      .join(readSigStore(spark, sigStorePath).select(col("sig")),
+      .join(sigs.select(col("sig")),
         Seq("sig"), "left_semi")
       .agg(count(lit(1)).as("n"))
       .select(lit("added_dup_of_existing").as("audit"), col("n"))
@@ -3373,6 +3420,267 @@ object Curation {
       base.unionByName(census.select(inline(array(perRule: _*))))
     }
     all.orderBy(col("audit"))
+  }
+
+  // ──────────────────────────────────────────────────────────────────
+  // Manifest-COMMITTED signature store: the counted store's additive
+  // semantics realized as an LSM-style SEGMENT store — each batch
+  // writes ONLY its own immutable `seg=<id>` dir of net (sig, delta)
+  // rows, and a tiny manifest (`_graft_sigmanifest_<id>`, tmp-then-
+  // rename: one atomic commit point) lists the live segments. Readers
+  // resolve one manifest and read exactly its segments; folds AND
+  // compactions commit new segments + a new manifest, never touching a
+  // committed file — the same reader isolation the generation store
+  // gives the snapshot ([[snapshotApplyBatchIsolated]]), completing
+  // the managed-ISOLATED composite's consistency matrix (previously
+  // its corpus reads were isolated but its sig census was writer-side
+  // only). The in-place `(bucket, batch_id)` store stays as the
+  // single-writer/owned-reader path ([[readSigStore]]'s contract).
+  // ──────────────────────────────────────────────────────────────────
+
+  private val sigManifestPrefix = "_graft_sigmanifest_"
+
+  /** Segment-file schema of the committed signature store (`bucket` is
+    * a partition column inside each `seg=<id>` dir — explicit on every
+    * read; an empty segment has no footers).
+    */
+  private val sigSegSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("sig",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("delta",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("bucket",
+      org.apache.spark.sql.types.IntegerType)))
+
+  private def listSigManifestIds(fs: org.apache.hadoop.fs.FileSystem,
+                                 root: org.apache.hadoop.fs.Path): Seq[Long] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isFile &&
+        s.getPath.getName.startsWith(sigManifestPrefix) &&
+        !s.getPath.getName.endsWith(".tmp"))
+      .flatMap(s => scala.util.Try(
+        s.getPath.getName.stripPrefix(sigManifestPrefix).toLong).toOption)
+      .sorted.reverse
+
+  /** Parse one sig manifest:
+    * `(nBuckets, kind, applied, Seq(segId → segBatch))` — `applied` is
+    * the highest CDC batch folded into the store (the replay guard),
+    * `segBatch` the highest batch a segment's content reaches (what
+    * compaction may fold under a `committedThrough` fence).
+    */
+  private def readSigManifestById(fs: org.apache.hadoop.fs.FileSystem,
+                                  root: org.apache.hadoop.fs.Path, id: Long)
+      : (Int, String, Long, Seq[(Long, Long)]) = {
+    val in = fs.open(
+      new org.apache.hadoop.fs.Path(root, s"$sigManifestPrefix$id"))
+    val text = try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      var n = in.read(buf)
+      while (n > 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      new String(bytes.toByteArray, "UTF-8")
+    } finally in.close()
+    val lines = text.split("\n").map(_.trim).filter(_.nonEmpty)
+    val nBuckets = lines.head.stripPrefix("nbuckets ").toInt
+    val kind = lines(1).stripPrefix("kind ")
+    val applied = lines(2).stripPrefix("applied ").toLong
+    val segs = lines.drop(3).map { l =>
+      val Array(_, s, b) = l.split(" ", 3)
+      s.toLong -> b.toLong
+    }.toSeq
+    (nBuckets, kind, applied, segs)
+  }
+
+  private def writeSigManifest(fs: org.apache.hadoop.fs.FileSystem,
+                               root: org.apache.hadoop.fs.Path, id: Long,
+                               nBuckets: Int, kind: String, applied: Long,
+                               segs: Seq[(Long, Long)]): Unit = {
+    val fin = new org.apache.hadoop.fs.Path(root, s"$sigManifestPrefix$id")
+    // replay re-commit: identical content by construction — skip rather
+    // than delete-then-rename (the writeManifest argument)
+    if (fs.exists(fin)) return
+    val tmp = new org.apache.hadoop.fs.Path(root,
+      s"$sigManifestPrefix$id.tmp")
+    val body = (Seq(s"nbuckets $nBuckets", s"kind $kind",
+      s"applied $applied") ++
+      segs.sortBy(_._1).map { case (s, b) => s"seg $s $b" }).mkString("\n")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, fin)) throw new java.io.IOException(
+      s"committed sig store: manifest rename $tmp -> $fin refused")
+  }
+
+  /** One batch of manifest-COMMITTED signature upkeep —
+    * [[sigStoreApplyBatch]]'s fold (same [[sigDeltas]] derivation, same
+    * census) with committed-read semantics: the batch's net deltas land
+    * in their own immutable `seg=<id>` dir and the new manifest (old
+    * segments + this one) commits with one atomic rename.
+    *
+    * Crash/replay: a crash before the manifest leaves an orphan seg dir
+    * the replay overwrites (the manifest id re-derives to the same
+    * value); a batch whose effects are already `applied` is a no-op; a
+    * batch BELOW `applied` is a checkpoint reset — fail loud. Batch
+    * ids may skip (a managed composite folds only SHIPPED batches).
+    * Per-batch cost: O(batch) — one delta aggregation, one bucket
+    * shuffle, one tiny manifest; never reads the store. Single writer
+    * (foreachBatch serializes).
+    */
+  def sigStoreApplyBatchCommitted(fullChangelog: DataFrame,
+                                  sigStorePath: String, batchId: Long,
+                                  nBuckets: Int = 64,
+                                  id: Column = col("doc_id"),
+                                  status: Column = col("status"),
+                                  oldText: Column = col("old_text"),
+                                  newText: Column = col("new_text")): Unit = {
+    val spark = fullChangelog.sparkSession
+    ensureDir(spark, sigStorePath)
+    val root = new org.apache.hadoop.fs.Path(sigStorePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids = listSigManifestIds(fs, root)
+    val newest = ids.headOption.map(i => i -> readSigManifestById(fs, root, i))
+    newest.foreach { case (_, (storeN, _, applied, _)) =>
+      if (batchId < applied) throw new IllegalStateException(
+        s"committed sig store $sigStorePath already applied batch " +
+          s"$applied but this fold carries batchId=$batchId — batchIds " +
+          "must be increasing (checkpoint reset? start a fresh store)")
+      if (batchId == applied) return // at-least-once replay: no-op
+      if (storeN != nBuckets) throw new IllegalStateException(
+        s"committed sig store $sigStorePath was written with " +
+          s"nBuckets=$storeN but this call uses nBuckets=$nBuckets — " +
+          "pass the store's bucket count")
+    }
+    val mid = newest.map(_._1 + 1L).getOrElse(0L)
+    sigDeltas(fullChangelog, "sigStoreApplyBatchCommitted", id, status,
+        oldText, newText)
+      .withColumn("bucket",
+        pmod(xxhash64(col("sig")), lit(nBuckets.toLong)).cast("int"))
+      .repartition(col("bucket")).write.mode("overwrite")
+      .partitionBy("bucket").parquet(s"$sigStorePath/seg=$mid")
+    val prevSegs = newest.map(_._2._4).getOrElse(Seq.empty)
+    writeSigManifest(fs, root, mid, nBuckets, "fold", batchId,
+      prevSegs :+ (mid -> batchId))
+  }
+
+  /** COMMITTED read of the manifest-committed signature store — the
+    * [[readSigStore]] census (`(sig, cnt)`, cnt > 0) served from
+    * exactly the newest manifest's segments: one partition-listed read
+    * per live segment (compaction bounds the count), one pre-reduced
+    * aggregation. Snapshot semantics: the frame keeps serving its
+    * manifest's segments through concurrent folds AND compactions —
+    * size [[pruneSigStoreSegs]]' retention to your slowest reader. A
+    * virgin store is an empty census.
+    */
+  def readSigStoreCommitted(spark: org.apache.spark.sql.SparkSession,
+                            sigStorePath: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(sigStorePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids = listSigManifestIds(fs, root)
+    val segs = ids.headOption
+      .map(i => readSigManifestById(fs, root, i)._4).getOrElse(Seq.empty)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sigSegSchema)
+    val union =
+      if (segs.isEmpty) empty
+      else segs.map { case (sid, _) =>
+        spark.read.option("basePath", s"$sigStorePath/seg=$sid")
+          .schema(sigSegSchema).parquet(s"$sigStorePath/seg=$sid")
+      }.reduce(_ unionByName _)
+    union.groupBy(col("sig")).agg(sum(col("delta")).as("cnt"))
+      .filter(col("cnt") > 0L)
+  }
+
+  /** Squash the committed sig store's segment list — compaction as an
+    * ordinary COMMIT, never a rewrite: the foldable segments' nets
+    * merge into one new `seg=<id>` dir and the new manifest (merged
+    * segment + the segments held out by the fence) lands with the same
+    * atomic rename as any fold. Readers are never fenced and never see
+    * a hole — the [[compactCountedStore]] stop-the-world contract
+    * dissolved by the manifest idiom.
+    *
+    * `committedThrough` is the replay fence ([[compactCountedStore]]'s
+    * contract): only segments whose content is at or below it fold —
+    * a stream batch not yet in the checkpoint stays its own segment,
+    * which its at-least-once replay overwrites idempotently. Merged
+    * segments carry their content's max batch, so they re-fold freely.
+    * A crash before the manifest leaves an orphan seg dir the re-run
+    * overwrites (same id re-derived); a re-run after the commit no-ops
+    * (≤ 1 foldable segment). Single writer.
+    */
+  def compactSigStoreCommitted(spark: org.apache.spark.sql.SparkSession,
+                               sigStorePath: String,
+                               committedThrough: Long = Long.MaxValue): Unit = {
+    val root = new org.apache.hadoop.fs.Path(sigStorePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids = listSigManifestIds(fs, root)
+    if (ids.isEmpty) return
+    val (nBuckets, _, applied, segs) = readSigManifestById(fs, root, ids.head)
+    val (foldable, heldOut) = segs.partition(_._2 <= committedThrough)
+    if (foldable.sizeIs <= 1) return
+    val mid = ids.head + 1L
+    foldable.map { case (sid, _) =>
+        spark.read.option("basePath", s"$sigStorePath/seg=$sid")
+          .schema(sigSegSchema).parquet(s"$sigStorePath/seg=$sid")
+      }.reduce(_ unionByName _)
+      .groupBy(col("sig")).agg(sum(col("delta")).as("delta"))
+      .filter(col("delta") =!= 0L)
+      .withColumn("bucket",
+        pmod(xxhash64(col("sig")), lit(nBuckets.toLong)).cast("int"))
+      .repartition(col("bucket")).write.mode("overwrite")
+      .partitionBy("bucket").parquet(s"$sigStorePath/seg=$mid")
+    writeSigManifest(fs, root, mid, nBuckets, "compact", applied,
+      (mid -> foldable.map(_._2).max) +: heldOut)
+  }
+
+  /** GC for the committed sig store: keep the newest `retainManifests`
+    * FOLD manifests — compact manifests serve the SAME census as their
+    * predecessor, so (like the generation store's rebucket manifests,
+    * [[pruneSnapshotGens]]) they ride along with rather than consume
+    * the retention budget — plus every segment any kept manifest
+    * references; delete the rest. `retainManifests >= 2` leaves the
+    * reader grace window. Single writer.
+    *
+    * Reclamation LAG (the generation store's post-rebucket shape): the
+    * newest fold manifest right after a compaction is the
+    * PRE-compaction one, whose references pin the pre-compaction
+    * segments — a compaction's space reclaims only once the NEXT
+    * `retainManifests` folds commit and prune runs. Steady-state
+    * segment count under an ingest cadence is therefore bounded by
+    * ~(folds between compactions + retained tail), never by stream
+    * length.
+    */
+  def pruneSigStoreSegs(spark: org.apache.spark.sql.SparkSession,
+                        sigStorePath: String,
+                        retainManifests: Int = 2): Unit = {
+    require(retainManifests >= 1,
+      s"retainManifests must be >= 1, got $retainManifests")
+    val root = new org.apache.hadoop.fs.Path(sigStorePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val ids = listSigManifestIds(fs, root)
+    if (ids.isEmpty) return
+    val parsed = ids.map(id => id -> readSigManifestById(fs, root, id))
+    val foldIds = parsed.collect { case (id, (_, kind, _, _))
+      if kind == "fold" => id }
+    val keepFloor =
+      if (foldIds.sizeIs <= retainManifests) ids.min
+      else foldIds(retainManifests - 1)
+    val keep = ids.filter(_ >= keepFloor).toSet
+    val referenced = parsed.collect { case (id, (_, _, _, segs))
+      if keep(id) => segs.map(_._1).toSet }.flatten.toSet
+    val newest = ids.head
+    ids.filterNot(keep).foreach(mid =>
+      fs.delete(new org.apache.hadoop.fs.Path(root,
+        s"$sigManifestPrefix$mid"), false))
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("seg="))
+      .flatMap(s => scala.util.Try(
+        s.getPath.getName.stripPrefix("seg=").toLong).toOption
+        .map(g => (s.getPath, g)))
+      // never touch a seg NEWER than the newest manifest: an in-flight
+      // fold's dir, committed a moment from now
+      .filter { case (_, g) => g <= newest && !referenced(g) }
+      .foreach { case (p, _) => fs.delete(p, true) }
   }
 
   /** Schema of the maintained snapshot store's data + partition columns
@@ -4822,15 +5130,20 @@ object Curation {
       }.start()
   }
 
-  /** [[managedCorpusApplyBatch]] over the reader-ISOLATED store — the
-    * full managed serving story without the single-reader contract:
+  /** [[managedCorpusApplyBatch]] over the reader-ISOLATED stores — the
+    * full managed serving story without any single-reader contract:
     * row + census gates (verdict replay-stable via the committed
     * report; `n_old` judged against the COMMITTED manifest, never a
     * half-folded dir), then the dual fold — the thin log into the
-    * manifest-committed snapshot store, the CDC log into the signature
-    * store. Readers concurrent with the whole batch see the previous
-    * committed corpus until the manifest rename. A quarantined batch
-    * commits NO manifest — its generation never exists.
+    * manifest-committed snapshot store, the CDC log into the
+    * manifest-COMMITTED signature store
+    * ([[sigStoreApplyBatchCommitted]]: as of round 19 BOTH maintained
+    * artifacts are manifest-committed, so corpus reads AND sig-census
+    * reads are isolated from concurrent folds/compactions — the
+    * previously-asymmetric composite completed). Readers concurrent
+    * with the whole batch see the previous committed state until each
+    * store's manifest rename. A quarantined batch commits NO manifest
+    * in either store — its generation never exists.
     */
   def managedCorpusApplyBatchIsolated(fullChangelog: DataFrame,
                                       batchId: Long, storePath: String,
@@ -4855,7 +5168,7 @@ object Curation {
           readSnapshotCommitted(f.sparkSession, storePath).count())
       if (ok) {
         snapshotApplyBatchIsolated(thin, storePath, batchId, nBuckets)
-        sigStoreApplyBatch(f, sigStorePath, batchId, nBuckets)
+        sigStoreApplyBatchCommitted(f, sigStorePath, batchId, nBuckets)
       }
       ok
     } finally Bridge.release(f)
@@ -4863,9 +5176,12 @@ object Curation {
 
   /** Streaming managed-ISOLATED maintenance: every micro-batch of CDC
     * changelog rows through [[managedCorpusApplyBatchIsolated]], with
-    * the store's GC (`pruneEvery`/`retainManifests`) and the sig
-    * store's compaction (`compactEvery`) cadences built in — the
-    * multi-reader twin of [[managedCorpusIngest]].
+    * BOTH stores' GC on the `pruneEvery`/`retainManifests` cadence
+    * (stale snapshot generations via [[pruneSnapshotGens]], stale sig
+    * segments via [[pruneSigStoreSegs]]) and the sig store's
+    * segment-squash ([[compactSigStoreCommitted]], `compactEvery`,
+    * committedThrough = the previous batch — the replay-safe fence)
+    * built in — the multi-reader twin of [[managedCorpusIngest]].
     */
   def managedCorpusIngestIsolated(changelogs: DataFrame, storePath: String,
                                   sigStorePath: String, reportPath: String,
@@ -4885,12 +5201,13 @@ object Curation {
         managedCorpusApplyBatchIsolated(b, bid, storePath, sigStorePath,
           reportPath, rules, censusRules, nBuckets,
           guardUniqueIds = guardUniqueIds)
-        if ((bid + 1) % pruneEvery == 0)
+        if ((bid + 1) % pruneEvery == 0) {
           pruneSnapshotGens(b.sparkSession, storePath, retainManifests)
+          pruneSigStoreSegs(b.sparkSession, sigStorePath, retainManifests)
+        }
         if (compactEvery > 0 && (bid + 1) % compactEvery == 0)
-          compactCountedStore(b.sparkSession, sigStorePath,
-            sigStoreStagedSchema, committedThrough = bid - 1,
-            owner = queryName)
+          compactSigStoreCommitted(b.sparkSession, sigStorePath,
+            committedThrough = bid - 1)
         ()
       }.start()
   }
@@ -4972,11 +5289,12 @@ object Curation {
     * judged against the COMMITTED manifest), TIME TRAVEL (the CDC log
     * archived under `<basePath>/log/version=<batchId>`), and
     * multi-reader isolation (the snapshot folds into the
-    * manifest-committed generation store at `<basePath>/snap`; the sig
-    * store folds beside it for O(refresh) audits). A quarantined batch
-    * archives nothing and commits no manifest — its version never
-    * exists, and an as-of read at it serves the state the corpus
-    * actually had.
+    * manifest-committed generation store at `<basePath>/snap`, and the
+    * sig census folds into the manifest-COMMITTED segment store
+    * ([[sigStoreApplyBatchCommitted]]) beside it for isolated
+    * O(refresh) audits). A quarantined batch archives nothing and
+    * commits no manifest in any store — its version never exists, and
+    * an as-of read at it serves the state the corpus actually had.
     *
     * Write order: verdict → archive → snapshot fold (whose manifest
     * rename ATOMICALLY publishes the corpus AND caps the as-of
@@ -5027,7 +5345,7 @@ object Curation {
         val cur = committedManifestInfo(f.sparkSession, s"$basePath/snap")
           .map(_._2).getOrElse(nBuckets)
         snapshotApplyBatchIsolated(thin, s"$basePath/snap", batchId, cur)
-        sigStoreApplyBatch(f, sigStorePath, batchId, nBuckets)
+        sigStoreApplyBatchCommitted(f, sigStorePath, batchId, nBuckets)
       }
       ok
     } finally Bridge.release(f)
@@ -5072,11 +5390,11 @@ object Curation {
           }
           pruneSnapshotGens(b.sparkSession, s"$basePath/snap",
             retainManifests)
+          pruneSigStoreSegs(b.sparkSession, sigStorePath, retainManifests)
         }
         if (compactEvery > 0 && (bid + 1) % compactEvery == 0)
-          compactCountedStore(b.sparkSession, sigStorePath,
-            sigStoreStagedSchema, committedThrough = bid - 1,
-            owner = queryName)
+          compactSigStoreCommitted(b.sparkSession, sigStorePath,
+            committedThrough = bid - 1)
         ()
       }.start()
   }

@@ -149,6 +149,11 @@ object DocQueries {
         s"managed-versioned-isolated verdicts: $shipped")
       graft.curation.Curation.pruneSnapshotGens(s, s"$b0/corpus/snap",
         retainManifests = 1)
+      // squash + GC the committed sig store mid-drive too: the c65
+      // census is then oracle-checked THROUGH a compaction commit
+      graft.curation.Curation.compactSigStoreCommitted(s, s"$b0/sig")
+      graft.curation.Curation.pruneSigStoreSegs(s, s"$b0/sig",
+        retainManifests = 1)
       b0
     })
 
@@ -4226,6 +4231,29 @@ object DocQueries {
       graft.curation.Curation.readSnapshotCommitted(s,
           s"${c63Drive(s, dir)}/corpus/snap")
         .orderBy(col("doc_id"))
+    },
+
+    // ... and the same drive's manifest-COMMITTED signature store,
+    // read AFTER a segment compaction and a retention prune: the
+    // refused batch committed no segment, the shipped ones did, the
+    // squash changed files but not the census — snapshot B's direct
+    // per-sig census is the oracle (c56's shape through the
+    // fully-isolated composite).
+    QDef("c65_sig_committed_census",
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, text FROM documents WHERE doc_id % 13 = 0)
+        |SELECT array_to_string(list_sort(list_distinct(
+        |         string_split(text, ' '))), ' ') AS sig,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        |FROM b WHERE text IS NOT NULL
+        |GROUP BY 1 ORDER BY sig""".stripMargin) { (s, dir) =>
+      graft.curation.Curation.readSigStoreCommitted(s,
+          s"${c63Drive(s, dir)}/sig")
+        .orderBy(col("sig"))
     },
 
     // TIME TRAVEL over the versioned store: bootstrap + A→B + B→C CDC

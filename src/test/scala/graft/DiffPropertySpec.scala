@@ -272,7 +272,7 @@ class DiffPropertySpec extends AnyFunSuite {
       val expCensus = state.toSeq.flatMap(_._2)
         .map(t => t.split(" ").distinct.sorted.mkString(" "))
         .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
-      assert(Curation.readSigStore(spark, s"$base/sig")
+      assert(Curation.readSigStoreCommitted(spark, s"$base/sig")
         .as[(String, Long)].collect().toMap == expCensus,
         s"seed=$seed sig census diverged")
       snaps.foreach(org.apache.spark.sql.graftbridge.Bridge.release)
@@ -322,7 +322,7 @@ class DiffPropertySpec extends AnyFunSuite {
       val expCensus = state.toSeq.flatMap(_._2)
         .map(t => t.split(" ").distinct.sorted.mkString(" "))
         .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
-      assert(Curation.readSigStore(spark, s"$base/sig")
+      assert(Curation.readSigStoreCommitted(spark, s"$base/sig")
         .as[(String, Long)].collect().toMap == expCensus,
         s"seed=$seed sig census diverged")
       snaps.foreach(org.apache.spark.sql.graftbridge.Bridge.release)

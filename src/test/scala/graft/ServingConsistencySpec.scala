@@ -287,8 +287,8 @@ class ServingConsistencySpec extends AnyFunSuite {
     assert(asSet(Curation.readSnapshotCommitted(spark, store)) == asSet(snapB))
     // … still serves the corpus it resolved, through all of the above
     assert(asSet(reader) == asSet(snapA))
-    // the sig store reflects only the shipped batches
-    assert(Curation.readSigStore(spark, s"$base/sig")
+    // the sig store reflects only the shipped batches (committed read)
+    assert(Curation.readSigStoreCommitted(spark, s"$base/sig")
       .as[(String, Long)].collect().toMap ==
       asSet(snapB).toSeq.flatMap(_._2)
         .map(t => t.split(" ").distinct.sorted.mkString(" "))
@@ -314,7 +314,7 @@ class ServingConsistencySpec extends AnyFunSuite {
       assert(Curation.readSnapshotCommitted(spark, s"$base/store")
         .as[(Long, String)].collect().toSet ==
         Set((1L, "a b2"), (2L, "c"), (3L, "d")))
-      assert(Curation.readSigStore(spark, s"$base/sig")
+      assert(Curation.readSigStoreCommitted(spark, s"$base/sig")
         .as[(String, Long)].collect().toMap ==
         Map("a b2" -> 1L, "c" -> 1L, "d" -> 1L))
     } finally q.stop()
@@ -470,7 +470,8 @@ class ServingConsistencySpec extends AnyFunSuite {
               col("new_text").as("text")),
             s"$corpus/snap", 1L, nBuckets = 2)
         case "sig" =>
-          Curation.sigStoreApplyBatch(log1, s"$base/sig", 1L, nBuckets = 2)
+          Curation.sigStoreApplyBatchCommitted(log1, s"$base/sig", 1L,
+            nBuckets = 2)
       }
       // torn-window reads: version 0 is snapA in EVERY prefix, and
       // version 1 is exactly the state its commit point defines
@@ -490,7 +491,7 @@ class ServingConsistencySpec extends AnyFunSuite {
         == asSet(snapA), s"crash=$crashAfter: post-replay as-of(0)")
       assert(asSet(Curation.readSnapshotAsOfCommitted(spark, corpus, 1L))
         == asSet(snapB), s"crash=$crashAfter: post-replay as-of(1)")
-      assert(Curation.readSigStore(spark, s"$base/sig")
+      assert(Curation.readSigStoreCommitted(spark, s"$base/sig")
         .as[(String, Long)].collect().toMap == census(snapB),
         s"crash=$crashAfter: sig census diverged")
       org.apache.spark.sql.graftbridge.Bridge.release(log1)
@@ -533,7 +534,7 @@ class ServingConsistencySpec extends AnyFunSuite {
         .count(n => n.startsWith("_graft_manifest_") && !n.endsWith(".tmp"))
       assert(nManifests <= 2, s"gen GC did not run: $nManifests manifests")
       // sig compaction ran without changing the census
-      assert(Curation.readSigStore(spark, s"$base/sig")
+      assert(Curation.readSigStoreCommitted(spark, s"$base/sig")
         .as[(String, Long)].collect().toMap ==
         Map("one v2" -> 1L, "two" -> 1L))
     } finally q.stop()
