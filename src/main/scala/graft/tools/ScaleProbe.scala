@@ -1353,6 +1353,99 @@ object ScaleProbe {
       Curation.refreshAudit(big.select(col("doc_id"), col("text")),
         snapB).count()
     }
+    t(s"c63 isolated growth loop ${mult}x") {
+      // the maintained-isolated ingest's loop body priced head-on: the
+      // dual-id sequence (migration 2·bid, fold 2·bid+1) driven exactly
+      // as snapshotIngestMaintainedIsolated drives it — bootstrap at 64
+      // buckets, one churn fold, then a growth check that FORCES a
+      // mid-stream 64→256 rebucket (the full-corpus rewrite, priced
+      // separately), then the next churn fold under the migrated count
+      // and the committed read. At 100x the migration is the only
+      // corpus-scale step; folds stay O(touched buckets).
+      import graft.curation.Curation
+      val base = java.nio.file.Files
+        .createTempDirectory("probe_iso_growth").toString
+      val store = s"$base/store"
+      def churn(r: Int) = big
+        .filter(pmod(xxhash64(col("doc_id")), lit(211L)) === r)
+        .select(col("doc_id"), lit("changed").as("status"),
+          concat(col("text"), lit(s" g$r")).as("text"))
+        .localCheckpoint(true)
+      Curation.snapshotApplyBatchIsolated(
+        big.select(col("doc_id"), lit("added").as("status"), col("text")),
+        store, 1L, nBuckets = 64) // batch 0's fold (manifest 2·0+1)
+      val c1 = churn(1)
+      val tF = System.nanoTime()
+      Curation.snapshotApplyBatchIsolated(c1, store, 3L, nBuckets = 64)
+      println(f"SCALE   c63 fold @64             ${(System.nanoTime() - tF) / 1e9}%.2f s")
+      val tM = System.nanoTime()
+      val grown = Curation.maybeRebucketSnapshotIsolated(spark, store,
+        4L, targetRowsPerBucket = math.max(1L, n0 * mult / 200))
+      println(f"SCALE   c63 migration 64->$grown%-4d   ${(System.nanoTime() - tM) / 1e9}%.2f s")
+      val c2 = churn(2)
+      val tG = System.nanoTime()
+      Curation.snapshotApplyBatchIsolated(c2, store, 5L, nBuckets = grown)
+      println(f"SCALE   c63 fold @$grown%-4d           ${(System.nanoTime() - tG) / 1e9}%.2f s")
+      Seq(c1, c2).foreach(org.apache.spark.sql.graftbridge.Bridge.release)
+      Curation.pruneSnapshotGens(spark, store, retainManifests = 2)
+      val tR = System.nanoTime()
+      val n = Curation.readSnapshotCommitted(spark, store).count()
+      println(f"SCALE   c63 committed read       ${(System.nanoTime() - tR) / 1e9}%.2f s")
+      n
+    }
+    t(s"c65 committed sig store ${mult}x") {
+      // the manifest-committed sig store priced against the in-place
+      // store: the SAME bootstrap + 8 churn folds into both, then each
+      // store's own compaction (stage-and-swap vs segment-merge commit)
+      // and the census read off the compacted store. Isolation costs a
+      // manifest file per commit, not a different fold shape — and the
+      // committed read after compact+prune scans the merged segment +
+      // the retained tail, the same flat-read argument as c54b.
+      import graft.curation.Curation
+      val old = big.select(col("doc_id"), col("text"))
+      val root = java.nio.file.Files
+        .createTempDirectory("probe_csig").toString
+      val dirA = s"$root/inplace"; val dirB = s"$root/committed"
+      val boot = Curation.corpusDiffFull(old.limit(0), old)
+        .localCheckpoint(true)
+      Curation.sigStoreApplyBatch(boot, dirA, 0L, nBuckets = 64)
+      val tB0 = System.nanoTime()
+      Curation.sigStoreApplyBatchCommitted(boot, dirB, 0L, nBuckets = 64)
+      println(f"SCALE   c65 committed bootstrap  ${(System.nanoTime() - tB0) / 1e9}%.2f s")
+      org.apache.spark.sql.graftbridge.Bridge.release(boot)
+      def churn(r: Int) = big
+        .filter(pmod(col("doc_id"), lit(211L)) === r)
+        .select(col("doc_id"), lit("changed").as("status"),
+          col("text").as("old_text"),
+          concat(col("text"), lit(s" s$r")).as("new_text"))
+      var tIn = 0L; var tC = 0L
+      (1 to 8).foreach { r =>
+        val log = churn(r).localCheckpoint(true)
+        val t0 = System.nanoTime()
+        Curation.sigStoreApplyBatch(log, dirA, r.toLong, nBuckets = 64)
+        tIn += System.nanoTime() - t0
+        val t1 = System.nanoTime()
+        Curation.sigStoreApplyBatchCommitted(log, dirB, r.toLong,
+          nBuckets = 64)
+        tC += System.nanoTime() - t1
+        org.apache.spark.sql.graftbridge.Bridge.release(log)
+      }
+      println(f"SCALE   c65 8 folds in-place     ${tIn / 1e9}%.2f s")
+      println(f"SCALE   c65 8 folds committed    ${tC / 1e9}%.2f s")
+      val tCa = System.nanoTime()
+      Curation.compactCountedStore(spark, dirA,
+        Curation.sigStoreStagedSchema, committedThrough = 7L,
+        owner = "scale_probe")
+      println(f"SCALE   c65 compact in-place     ${(System.nanoTime() - tCa) / 1e9}%.2f s")
+      val tCb = System.nanoTime()
+      Curation.compactSigStoreCommitted(spark, dirB, committedThrough = 7L)
+      println(f"SCALE   c65 compact committed    ${(System.nanoTime() - tCb) / 1e9}%.2f s")
+      Curation.pruneSigStoreSegs(spark, dirB, retainManifests = 2)
+      val tR = System.nanoTime()
+      val n = Curation.readSigStoreCommitted(spark, dirB).count()
+      println(f"SCALE   c65 committed read       ${(System.nanoTime() - tR) / 1e9}%.2f s")
+      n
+    }
     spark.stop()
   }
 }
