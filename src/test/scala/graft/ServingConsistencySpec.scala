@@ -540,6 +540,44 @@ class ServingConsistencySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("managedVersionedIngestIsolated: guardUniqueIds quarantines a lying batch — no version, no manifest, stream alive") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = graft.queries.QDef.tempDir("graft_vi_uniq_ingest")
+    val in = MemoryStream[(Long, String, String, String)]
+    val q = Curation.managedVersionedIngestIsolated(
+      in.toDF().toDF("doc_id", "status", "old_text", "new_text"),
+      s"$base/corpus", s"$base/sig", s"$base/report",
+      rules = Seq("id_not_null" -> col("doc_id").isNotNull),
+      nBuckets = 2, queryName = "vi_uniq_ingest_test",
+      guardUniqueIds = true)
+    try {
+      in.addData((1L, "added", null, "one"), (2L, "added", null, "two"))
+      q.processAllAvailable()
+      // batch 1 is a lying log: removed + re-added id in ONE log
+      in.addData((1L, "removed", "one", null), (1L, "added", null, "one B"))
+      q.processAllAvailable() // quarantined, NOT a stream crash
+      in.addData((3L, "added", null, "three"))
+      q.processAllAvailable()
+      assert(q.isActive, "stream died on a guarded lying log")
+      // the lying version never existed in ANY store: no archived log,
+      // no snapshot generation, and later history is intact
+      assert(!fsFor(base).exists(
+        new org.apache.hadoop.fs.Path(s"$base/corpus/log/version=1")))
+      assert(!fsFor(base).exists(
+        new org.apache.hadoop.fs.Path(s"$base/corpus/snap/gen=1")))
+      val got = (v: Long) =>
+        Curation.readSnapshotAsOfCommitted(spark, s"$base/corpus", v)
+          .as[(Long, String)].collect().toSet
+      assert(got(2L) == Set((1L, "one"), (2L, "two"), (3L, "three")))
+      assert(got(1L) == Set((1L, "one"), (2L, "two")))
+      val line = spark.read.parquet(s"$base/report")
+        .filter(col("batch_id") === 1L && col("rule") === "changelog_id_unique")
+        .select("pass").as[Long].collect().toSeq
+      assert(line == Seq(0L))
+    } finally q.stop()
+  }
+
   test("deep walk-back and catch-up leave no orphaned checkpoint blocks") {
     val before = spark.sparkContext.getPersistentRDDs.size
     val chain = (0 to 24).map(v => (1L to 6L)
