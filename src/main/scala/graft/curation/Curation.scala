@@ -3116,6 +3116,59 @@ object Curation {
     if (keepUnchanged) joined else joined.filter(col("status") =!= "unchanged")
   }
 
+  /** Fold two CONSECUTIVE full CDC logs (A→B then B→C) into the single
+    * full A→C log — [[compactChangelog]]'s status algebra lifted to the
+    * before/after shape: the net old image is the EARLIEST one (f1's if
+    * it covers the doc), the net new image the LATEST (f2's if it
+    * covers it), added-then-removed vanishes, removed-then-re-added
+    * composes to `changed` — NORMALIZED to `unchanged` when the images
+    * agree (a doc removed and later re-added with identical content
+    * never changed between the endpoints, which is exactly what a
+    * direct [[corpusDiffFull]] of the endpoint snapshots would say).
+    * One full-outer equi-join; `keepUnchanged = false` (the default)
+    * drops net-unchanged rows so an N-log fold stays O(net churn) —
+    * dropping them is lossless here because an unchanged hop's images
+    * equal the surrounding hops' adjacent images.
+    */
+  def compactFullChangelog(f1: DataFrame, f2: DataFrame,
+                           keepUnchanged: Boolean = false): DataFrame = {
+    val a = f1.select(col("doc_id").as("__id1"), col("status").as("__s1"),
+      col("old_text").as("__o1"), col("new_text").as("__n1"))
+    val b = f2.select(col("doc_id").as("__id2"), col("status").as("__s2"),
+      col("old_text").as("__o2"), col("new_text").as("__n2"))
+    val s1 = col("__s1"); val s2 = col("__s2")
+    val joined = a.join(b, col("__id1") === col("__id2"), "full_outer")
+      .select(coalesce(col("__id1"), col("__id2")).as("doc_id"),
+        when(s1.isNull, s2)
+          .when(s2.isNull, s1)
+          .when(s1 === "added" && s2 === "removed", lit(null: String))
+          .when(s1 === "added", lit("added"))
+          .when(s2 === "removed", lit("removed"))
+          .when(s1 === "removed", lit("changed")) // removed → re-added
+          .when(s2 === "unchanged", s1)
+          .otherwise(s2).as("status"),
+        when(s1.isNotNull, col("__o1")).otherwise(col("__o2"))
+          .as("old_text"),
+        when(s2.isNotNull, col("__n2")).otherwise(col("__n1"))
+          .as("new_text"))
+      .filter(col("status").isNotNull)
+      .withColumn("status",
+        when(col("status") === "changed" &&
+          (col("old_text") <=> col("new_text")), lit("unchanged"))
+          .otherwise(col("status")))
+      // statuses constrain their images (apply/invert rely on it):
+      // added carries no old image, removed no new image — keep the
+      // composed log on the same contract corpusDiffFull emits
+      .withColumn("old_text",
+        when(col("status") === "added", lit(null).cast("string"))
+          .otherwise(col("old_text")))
+      .withColumn("new_text",
+        when(col("status") === "removed", lit(null).cast("string"))
+          .otherwise(col("new_text")))
+    if (keepUnchanged) joined
+    else joined.filter(col("status") =!= "unchanged")
+  }
+
   /** [[corpusDiff]] with BOTH payload images (c46) — the CDC
     * before/after shape: `(doc_id, status, old_text, new_text)`. The
     * thin diff + a payload join serves forward replication; carrying
@@ -5268,19 +5321,122 @@ object Curation {
           snapshotSchema)
         .select(col("doc_id"), col("text"))
     val (_, m, newestKind) = readManifestById(sfs, snapRoot, ids.head)
-    val cap =
-      if (newestKind != "rebucket") ids.head
-      else ids.drop(1)
-        .find(id => readManifestById(sfs, snapRoot, id)._3 != "rebucket")
-        .getOrElse(throw new IllegalStateException(
-          s"isolated versioned store $basePath retains only rebucket " +
-            "manifests — cannot locate the folded-through version; " +
-            "raise retainManifests (the prune tail must keep at least " +
-            "one fold manifest, which pruneSnapshotGens guarantees)"))
+    val cap = committedFoldCap(sfs, snapRoot, basePath, ids, newestKind)
     val current = readCommittedBuckets(spark, s"$basePath/snap", m)
       .select(col("doc_id"), col("text"))
     walkBackAsOf(spark, basePath, current,
       archivedVersionsAbove(fs, logRoot, version, _ <= cap))
+  }
+
+  /** The isolated-versioned store's folded-through version: the newest
+    * FOLD-kind manifest id (a rebucket rewrites the same corpus under a
+    * higher id, so capping at it would claim versions the snapshot
+    * never folded).
+    */
+  private def committedFoldCap(sfs: org.apache.hadoop.fs.FileSystem,
+                               snapRoot: org.apache.hadoop.fs.Path,
+                               basePath: String, ids: Seq[Long],
+                               newestKind: String): Long =
+    if (newestKind != "rebucket") ids.head
+    else ids.drop(1)
+      .find(id => readManifestById(sfs, snapRoot, id)._3 != "rebucket")
+      .getOrElse(throw new IllegalStateException(
+        s"isolated versioned store $basePath retains only rebucket " +
+          "manifests — cannot locate the folded-through version; " +
+          "raise retainManifests (the prune tail must keep at least " +
+          "one fold manifest, which pruneSnapshotGens guarantees)"))
+
+  /** The COMPACTED full CDC log describing `fromVersion → toVersion`
+    * over a versioned store's retained archive — the catch-up feed for
+    * a downstream consumer that was offline: instead of rebuilding two
+    * corpus states and diffing them (O(corpus)), the archived logs in
+    * `(fromVersion, toVersion]` fold through [[compactFullChangelog]]
+    * into ONE net log, O(churn between the versions), with
+    * removed-then-re-added-identical docs normalized away exactly as a
+    * direct [[corpusDiffFull]] of the endpoint snapshots would report.
+    * A quarantined version archived nothing and contributes nothing.
+    * Versions above the store's folded-through cap (the
+    * `_graft_snap_version` marker — archived-but-unfolded crash
+    * residue, or a writer mid-batch) are invisible, the
+    * [[readSnapshotAsOf]] convention: the log describes
+    * `fromVersion → min(toVersion, foldedThrough)`. `fromVersion`
+    * below the prune floor is refused — the logs that reach it are
+    * gone. Lineage checkpoints chain-release on deep folds.
+    */
+  def changesBetweenVersions(spark: org.apache.spark.sql.SparkSession,
+                             basePath: String, fromVersion: Long,
+                             toVersion: Long): DataFrame = {
+    val logRoot = new org.apache.hadoop.fs.Path(s"$basePath/log")
+    val fs = logRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    changesBetweenImpl(spark, basePath, fromVersion, toVersion,
+      readLongMarker(fs, snapVersionPath(logRoot)).map(c => (v: Long) => v <= c)
+        .getOrElse((_: Long) => true)) // pre-marker store: all archived
+  }
+
+  /** [[changesBetweenVersions]] over the ISOLATED versioned store
+    * ([[managedVersionedApplyBatchIsolated]]'s layout): the
+    * folded-through cap is the newest FOLD manifest id — resolved from
+    * the same committed-manifest discipline as
+    * [[readSnapshotAsOfCommitted]], so an archived-but-unfolded log is
+    * invisible here too. A virgin store (no committed fold) serves an
+    * empty log.
+    */
+  def changesBetweenVersionsCommitted(spark: org.apache.spark.sql.SparkSession,
+                                      basePath: String, fromVersion: Long,
+                                      toVersion: Long): DataFrame = {
+    val snapRoot = new org.apache.hadoop.fs.Path(s"$basePath/snap")
+    val sfs = snapRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids = listManifestIds(sfs, snapRoot)
+    val cap: Long => Boolean = ids.headOption match {
+      case None => _ => false // virgin: nothing folded, nothing visible
+      case Some(newest) =>
+        val c = committedFoldCap(sfs, snapRoot, basePath, ids,
+          readManifestById(sfs, snapRoot, newest)._3)
+        v => v <= c
+    }
+    changesBetweenImpl(spark, basePath, fromVersion, toVersion, cap)
+  }
+
+  private val fullLogSchema = org.apache.spark.sql.types.StructType(
+    versionedLogSchema.fields.filterNot(_.name == "version"))
+
+  private def changesBetweenImpl(spark: org.apache.spark.sql.SparkSession,
+                                 basePath: String, fromVersion: Long,
+                                 toVersion: Long,
+                                 capped: Long => Boolean): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    require(fromVersion <= toVersion,
+      s"changesBetweenVersions: fromVersion=$fromVersion must be <= " +
+        s"toVersion=$toVersion (invert the endpoints, then " +
+        "invertChangelog the result, for the reverse feed)")
+    val logRoot = new org.apache.hadoop.fs.Path(s"$basePath/log")
+    val fs = logRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireAboveFloor(fs, logRoot, basePath, fromVersion)
+    val versions = archivedVersionsAbove(fs, logRoot, fromVersion,
+      v => v <= toVersion && capped(v)).sorted // ascending: forward fold
+    if (versions.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        fullLogSchema)
+    def logAt(v: Long) = spark.read
+      .option("basePath", s"$basePath/log")
+      .schema(versionedLogSchema)
+      .parquet(s"$basePath/log/version=$v")
+      .select(col("doc_id"), col("status"), col("old_text"),
+        col("new_text"))
+    var prevCk: Option[DataFrame] = None
+    val folded = versions.tail.map(logAt).zipWithIndex
+      .foldLeft(logAt(versions.head)) { case (acc, (l, i)) =>
+        val c = compactFullChangelog(acc, l)
+        if (i % 8 == 7) {
+          val ck = c.localCheckpoint(true)
+          prevCk.foreach(Bridge.release(_)); prevCk = Some(ck)
+          ck
+        } else c
+      }
+    // single-log reads still drop the archived log's unchanged rows —
+    // the net feed carries churn only, whatever the depth
+    folded.filter(col("status") =!= "unchanged")
   }
 
   /** [[managedVersionedApplyBatch]] over the reader-ISOLATED store —

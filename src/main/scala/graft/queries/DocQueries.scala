@@ -4284,6 +4284,72 @@ object DocQueries {
         .orderBy(col("doc_id"))
     },
 
+    // The CATCH-UP FEED between two retained versions: the archived
+    // v1+v2 logs fold forward into ONE net A→C changelog — O(churn
+    // between the versions), never a corpus diff. The %21 docs are the
+    // normalization witnesses: removed in A→B (divisible by 7), then
+    // re-added IDENTICALLY in B→C, they must vanish from the net log
+    // exactly as a direct full-outer diff of the endpoints reports.
+    // Oracle = that direct diff in DuckDB.
+    QDef("c66_changes_between_versions",
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, text FROM documents WHERE doc_id % 13 = 0),
+        |c AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' v3' ELSE text END AS text
+        |  FROM b WHERE doc_id % 17 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 21 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000000 AS doc_id, text
+        |  FROM documents WHERE doc_id % 19 = 0),
+        |a AS (SELECT doc_id, text FROM documents)
+        |SELECT coalesce(a.doc_id, c.doc_id) AS doc_id,
+        |  CASE WHEN a.doc_id IS NULL THEN 'added'
+        |       WHEN c.doc_id IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS status,
+        |  CASE WHEN a.doc_id IS NULL THEN NULL ELSE a.text END AS old_text,
+        |  CASE WHEN c.doc_id IS NULL THEN NULL ELSE c.text END AS new_text
+        |FROM a FULL OUTER JOIN c ON a.doc_id = c.doc_id
+        |WHERE a.doc_id IS NULL OR c.doc_id IS NULL
+        |   OR a.text IS DISTINCT FROM c.text
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.curation.Curation.changesBetweenVersions(s, c57Drive(s, dir),
+          0L, 2L)
+        .orderBy(col("doc_id"))
+    },
+
+    // ... and the ISOLATED-versioned twin across a QUARANTINED
+    // version: on the c63 drive version 1 was census-refused and
+    // archived NOTHING, so the v0→v2 feed is exactly the A→B diff —
+    // the refused version is transparent to catch-up consumers too.
+    QDef("c67_changes_between_committed",
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, text FROM documents WHERE doc_id % 13 = 0),
+        |a AS (SELECT doc_id, text FROM documents)
+        |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+        |  CASE WHEN a.doc_id IS NULL THEN 'added'
+        |       WHEN b.doc_id IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS status,
+        |  CASE WHEN a.doc_id IS NULL THEN NULL ELSE a.text END AS old_text,
+        |  CASE WHEN b.doc_id IS NULL THEN NULL ELSE b.text END AS new_text
+        |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+        |WHERE a.doc_id IS NULL OR b.doc_id IS NULL
+        |   OR a.text IS DISTINCT FROM b.text
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.curation.Curation.changesBetweenVersionsCommitted(s,
+          s"${c63Drive(s, dir)}/corpus", 0L, 2L)
+        .orderBy(col("doc_id"))
+    },
+
     // High-churn CATCH-UP (the c45 cliff's pairing): a receiver three
     // changelogs behind compacts the backlog into ONE log and folds it
     // once — the store must land exactly on the direct snapshot C

@@ -329,6 +329,39 @@ class DiffPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("changes-between-versions feed equals the direct endpoint diff over random chains (3 seeds)") {
+    // every (from, to) pair over a random 4-version archive: the
+    // forward fold of the archived logs must equal corpusDiffFull of
+    // the endpoint snapshots (net churn only, removed-then-re-added-
+    // identical docs normalized away) — the O(churn) catch-up feed
+    // proven against the O(corpus) diff it replaces.
+    for (seed <- 90L to 92L) {
+      val universe = 40
+      val snaps = (0 to 3).map(k =>
+        snapshot(seed * 67867967L + k * 31L, universe).toDF("doc_id", "text")
+          .localCheckpoint(true))
+      val base = graft.queries.QDef.tempDir("graft_cbv_prop")
+      (snaps.head.limit(0) +: snaps).sliding(2).zipWithIndex.foreach {
+        case (Seq(a, b), v) =>
+          Curation.versionedSnapshotApplyBatch(
+            Curation.corpusDiffFull(a, b), base, v.toLong, nBuckets = 4)
+      }
+      def logSet(df: DataFrame) = df
+        .select(col("doc_id"), col("status"), col("old_text"),
+          col("new_text"))
+        .as[(Long, String, Option[String], Option[String])]
+        .collect().toSet
+      for (from <- 0 to 3; to <- from to 3) {
+        val got = logSet(Curation.changesBetweenVersions(spark, base,
+          from.toLong, to.toLong))
+        val expect = logSet(Curation.corpusDiffFull(snaps(from), snaps(to))
+          .filter(col("status") =!= "unchanged"))
+        assert(got == expect, s"seed=$seed $from->$to feed diverged")
+      }
+      snaps.foreach(org.apache.spark.sql.graftbridge.Bridge.release)
+    }
+  }
+
   test("time travel reconstructs every version of random 4-chains (3 seeds)") {
     for (seed <- 40L to 42L) {
       val universe = 40

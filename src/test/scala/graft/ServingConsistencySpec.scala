@@ -578,6 +578,47 @@ class ServingConsistencySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("changesBetweenVersions: the unfolded archive is invisible, the floor refuses, degenerate reads are empty") {
+    val base = graft.queries.QDef.tempDir("graft_cbv_guards")
+    val snapA = Seq((1L, Some("one")), (2L, Some("two"))).toDF("doc_id", "text")
+    val snapB = Seq((1L, Some("one v2")), (3L, Some("three"))).toDF("doc_id", "text")
+    val snapC = Seq((3L, Some("three")), (4L, Some("four"))).toDF("doc_id", "text")
+    def logSet(df: org.apache.spark.sql.DataFrame) = df
+      .as[(Long, String, Option[String], Option[String])].collect().toSet
+    Curation.versionedSnapshotApplyBatch(full(snapA.limit(0), snapA),
+      base, 0L, nBuckets = 2)
+    Curation.versionedSnapshotApplyBatch(full(snapA, snapB),
+      base, 1L, nBuckets = 2)
+    // the archive-first crash window: v2's log archived, never folded —
+    // the feed must stop at the folded-through cap (serving the
+    // unfolded hop would describe a corpus the store never committed)
+    full(snapB, snapC).withColumn("version", lit(2L))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("version").parquet(s"$base/log")
+    assert(logSet(Curation.changesBetweenVersions(spark, base, 0L, 2L))
+      == logSet(full(snapA, snapB).filter(col("status") =!= "unchanged")),
+      "unfolded archived log leaked into the feed")
+    // the replay completes the hop; the feed extends to it
+    Curation.versionedSnapshotApplyBatch(full(snapB, snapC),
+      base, 2L, nBuckets = 2)
+    assert(logSet(Curation.changesBetweenVersions(spark, base, 0L, 2L))
+      == logSet(full(snapA, snapC).filter(col("status") =!= "unchanged")))
+    // from == to is an empty feed; a from below the prune floor refuses
+    assert(Curation.changesBetweenVersions(spark, base, 1L, 1L).count() == 0)
+    Curation.pruneSnapshotVersions(spark, base, 0L)
+    val e = intercept[IllegalStateException] {
+      Curation.changesBetweenVersions(spark, base, -1L, 2L)
+    }
+    assert(e.getMessage.contains("prune floor"), e.getMessage)
+    assert(logSet(Curation.changesBetweenVersions(spark, base, 1L, 2L))
+      == logSet(full(snapB, snapC).filter(col("status") =!= "unchanged")))
+    // the committed variant: a virgin store serves an empty feed
+    val virgin = graft.queries.QDef.tempDir("graft_cbv_virgin")
+    assert(Curation.changesBetweenVersionsCommitted(spark,
+      s"$virgin/corpus", 0L, 5L).count() == 0)
+  }
+
   test("deep walk-back and catch-up leave no orphaned checkpoint blocks") {
     val before = spark.sparkContext.getPersistentRDDs.size
     val chain = (0 to 24).map(v => (1L to 6L)
