@@ -1227,6 +1227,13 @@ object ScaleProbe {
       val t0w = System.nanoTime()
       val n = Curation.readSnapshotAsOf(spark, base, 0L).count()
       println(f"SCALE   c57 as-of 0 (5-deep)      ${(System.nanoTime() - t0w) / 1e9}%.2f s")
+      // the c66 catch-up feed over the same archive: the 5-log forward
+      // fold is O(churn across the versions) — at 100x the corpus is
+      // 100x but the feed's cost follows the ~0.5%-per-version churn,
+      // never a corpus diff
+      val tF = System.nanoTime()
+      val nf = Curation.changesBetweenVersions(spark, base, 0L, 5L).count()
+      println(f"SCALE   c66 feed 0->5 (5 logs)    ${(System.nanoTime() - tF) / 1e9}%.2f s ($nf net rows)")
       n
     }
     t(s"c53 maintained audit ${mult}x") {
