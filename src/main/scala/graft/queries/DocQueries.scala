@@ -79,6 +79,8 @@ object DocQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val c63DriveCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val c68DriveCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** The c62 managed-ISOLATED drive: the c55 batch sequence (bootstrap,
     * census-refused mass delete, B refresh, replay) through
@@ -4092,6 +4094,59 @@ object DocQueries {
       })
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       graft.curation.Curation.refreshAuditMaintained(
+        graft.curation.Curation.corpusDiffFull(docs, vmSnapB(docs)),
+        s"$base/sig")
+    },
+
+    // ... and the same audit served by the manifest-COMMITTED sig
+    // store (c53's oracle reached through the reader-isolated path):
+    // the drive bootstraps with a REPLAYED batch 0 (the `applied`
+    // watermark makes the second fold a true no-op — double-counted
+    // deltas would flip the dup panel) and squashes through a
+    // compaction before the audit reads it.
+    QDef("c68_refresh_audit_committed",
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, text FROM documents WHERE doc_id % 13 = 0),
+        |d AS (SELECT o.doc_id AS oid, n.doc_id AS nid, o.text AS ot, n.text AS nt
+        |      FROM documents o FULL OUTER JOIN b n ON o.doc_id = n.doc_id),
+        |st AS (SELECT CASE WHEN oid IS NULL THEN 'added'
+        |                   WHEN nid IS NULL THEN 'removed'
+        |                   WHEN ot IS DISTINCT FROM nt THEN 'changed'
+        |                   ELSE 'unchanged' END AS status, nt FROM d),
+        |counts AS (SELECT status AS audit, CAST(count(*) AS BIGINT) AS n
+        |           FROM st GROUP BY status),
+        |osig AS (SELECT DISTINCT array_to_string(list_sort(list_distinct(
+        |           string_split(text, ' '))), ' ') AS sig FROM documents),
+        |dup AS (SELECT 'added_dup_of_existing' AS audit,
+        |          CAST(count(*) AS BIGINT) AS n
+        |        FROM st WHERE status = 'added'
+        |          AND array_to_string(list_sort(list_distinct(
+        |            string_split(nt, ' '))), ' ') IN (SELECT sig FROM osig)),
+        |viol AS (SELECT 'incoming_rule_violations' AS audit,
+        |          CAST(coalesce(sum(CASE WHEN NOT coalesce(length(nt) <= 256,
+        |            FALSE) THEN 1 ELSE 0 END), 0) AS BIGINT) AS n
+        |         FROM st WHERE status IN ('added', 'changed'))
+        |SELECT audit, n FROM counts
+        |UNION ALL SELECT audit, n FROM dup
+        |UNION ALL SELECT audit, n FROM viol
+        |ORDER BY audit""".stripMargin) { (s, dir) =>
+      val base = c68DriveCache.computeIfAbsent(dir, _ => {
+        val b0 = QDef.tempDir("graft_csig_gate")
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val boot = graft.curation.Curation.corpusDiffFull(docs.limit(0), docs)
+        graft.curation.Curation.sigStoreApplyBatchCommitted(boot,
+          s"$b0/sig", 0L, nBuckets = 8)
+        graft.curation.Curation.sigStoreApplyBatchCommitted(boot,
+          s"$b0/sig", 0L, nBuckets = 8) // replay: applied-watermark no-op
+        graft.curation.Curation.compactSigStoreCommitted(s, s"$b0/sig")
+        b0
+      })
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      graft.curation.Curation.refreshAuditMaintainedCommitted(
         graft.curation.Curation.corpusDiffFull(docs, vmSnapB(docs)),
         s"$base/sig")
     },
