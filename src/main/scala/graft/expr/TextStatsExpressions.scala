@@ -242,6 +242,51 @@ object TextStatsHelper {
     new GenericInternalRow(out)
   }
 
+  /** Greedy longest-match subword token count over a fixed vocabulary
+    * with a 1-code-point fallback — the exact semantics of
+    * `size(regexp_extract_all(text, "(?:v1|v2|…|[^ ])"))` with the
+    * vocabulary ordered longest-first: `Matcher.find` scans positions
+    * left to right, alternation is leftmost-FIRST, so each match is the
+    * longest vocabulary entry anchored at that position (ASCII space
+    * matches nothing and is skipped; any other code point — including
+    * `\n`, which a negated class does match — falls back to one
+    * code-point, surrogate pairs whole). `byFirst` indexes the
+    * vocabulary by first char (ASCII only — multi-char entries are all
+    * ASCII; a single-char non-ASCII entry consumes one code point
+    * exactly like the fallback), each bucket sorted longest-first.
+    * ~µs/doc vs the ~300 µs/doc the 165-branch java.util.regex
+    * alternation measured at sf0.1 (r20 optimization).
+    */
+  def bpeTokenCount(s: UTF8String, byFirst: Array[Array[String]]): Long = {
+    val str = s.toString
+    val n = str.length
+    var i = 0
+    var c = 0L
+    while (i < n) {
+      val ch = str.charAt(i)
+      if (ch == ' ') i += 1
+      else {
+        var matched = 0
+        if (ch < 128) {
+          val cands = byFirst(ch)
+          if (cands != null) {
+            var k = 0
+            while (k < cands.length && matched == 0) {
+              val w = cands(k)
+              if (w.length <= n - i && str.regionMatches(i, w, 0, w.length))
+                matched = w.length
+              k += 1
+            }
+          }
+        }
+        if (matched == 0) matched = Character.charCount(str.codePointAt(i))
+        c += 1L
+        i += matched
+      }
+    }
+    c
+  }
+
   /** Distinct word n-gram shingles in FIRST-OCCURRENCE order — exactly
     * `array_distinct(transform(sequence(1, greatest(L-n+1, 1)), i ->
     * array_join(slice(t, i, n), ' ')))`, including the shorter-than-n
@@ -478,6 +523,52 @@ case class HashedTfDot(child: Expression, weights: Seq[Double])
     copy(child = newChild)
 }
 
+/** Codegen'd greedy longest-match subword token count — the exact
+  * equivalent of `size(regexp_extract_all(text, longestFirstAlternation))`
+  * (see [[TextStatsHelper.bpeTokenCount]]) without the per-char regex
+  * backtracking that made the 165-branch alternation the hot path of
+  * every tokenizer-calibrated budget query (r20 optimization).
+  */
+case class BpeTokenCount(child: Expression, vocab: Seq[String])
+    extends UnaryExpression {
+  require(vocab.nonEmpty, "vocab must be non-empty")
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_bpe_token_count"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${other.sql}")
+  }
+
+  // first-char index, each bucket longest-first (the alternation's
+  // order); non-ASCII single-char entries need no bucket — they consume
+  // one code point exactly like the [^ ] fallback
+  @transient private lazy val byFirst: Array[Array[String]] = {
+    val a = new Array[Array[String]](128)
+    vocab.distinct.filter(_.head < 128)
+      .groupBy(_.head).foreach { case (c, ws) =>
+        a(c) = ws.sortBy(w => (-w.length, w)).toArray
+      }
+    a
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextStatsHelper.bpeTokenCount(input.asInstanceOf[UTF8String], byFirst)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vRef = ctx.addReferenceObj("bpeVocabByFirst", byFirst,
+      "java.lang.String[][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.expr.TextStatsHelper.bpeTokenCount($c, $vRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Codegen'd distinct n-gram shingles (first-occurrence order). */
 case class NGrams(child: Expression, n: Int)
     extends UnaryExpression with StringArrayInput {
@@ -514,6 +605,12 @@ object TextStatsExpressions {
   /** Distinct n-gram shingles of a token array, first-occurrence order. */
   def ngrams(tokens: Column, n: Int): Column =
     Bridge.column(NGrams(Bridge.expression(tokens), n))
+
+  /** Greedy longest-match subword count of a string column against a
+    * fixed vocabulary, 1-code-point fallback (see [[BpeTokenCount]]).
+    */
+  def bpeTokenCount(text: Column, vocab: Seq[String]): Column =
+    Bridge.column(BpeTokenCount(Bridge.expression(text), vocab))
 
   /** Base-31 rolling hash mod 1e9+7 of a string column. */
   def rollingHash(text: Column): Column =

@@ -443,13 +443,18 @@ object DocQueries {
   private def c11bInputs(s: org.apache.spark.sql.SparkSession, dir: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val docs = Tables.documents(s, dir)
-    val scored = TextAnalysis.classifierScore(docs, col("text"),
+    // source/lang ride the classifier's fused scan (carry hook) — the
+    // former docs.select(...).join(scored, "doc_id") was a second corpus
+    // scan plus a corpus self-join just to re-attach two columns the
+    // scan already had (r20 optimization; doc_id is the table key, so
+    // the fused projection is row-for-row the join's output).
+    val withKey = TextAnalysis.classifierScore(
+        docs.filter(col("doc_id").isNotNull), col("text"),
         col("doc_id"), TextAnalysis.defaultClassifierWeights(64),
-        bias = -0.25)
-      .select(col("doc_id"), col("n_tokens"),
+        bias = -0.25,
+        carry = Seq("source" -> col("source"), "lang" -> col("lang")))
+      .select(col("doc_id"), col("source"), col("lang"), col("n_tokens"),
         col("logit_micro").as("quality"))
-    val withKey = docs.select(col("doc_id"), col("source"), col("lang"))
-      .join(scored, Seq("doc_id"))
     val cal = TextAnalysis.tokenCalibration(docs, col("text"), col("lang"))
       .select(col("lang"), col("bpe_per_ws"))
     (withKey, cal)
@@ -499,15 +504,17 @@ object DocQueries {
     * source key) — shared so the twin gates mix the identical rows.
     */
   private def c11Scored(s: org.apache.spark.sql.SparkSession,
-                        dir: String): org.apache.spark.sql.DataFrame = {
-    val scored = TextAnalysis.classifierScore(
-        Tables.documents(s, dir), col("text"), col("doc_id"),
-        TextAnalysis.defaultClassifierWeights(64), bias = -0.25)
-      .select(col("doc_id"), col("n_tokens"),
+                        dir: String): org.apache.spark.sql.DataFrame =
+    // source rides the classifier's fused scan (carry hook) — the former
+    // second documents scan + self-join on doc_id is gone (r20
+    // optimization; doc_id is the table key).
+    TextAnalysis.classifierScore(
+        Tables.documents(s, dir).filter(col("doc_id").isNotNull),
+        col("text"), col("doc_id"),
+        TextAnalysis.defaultClassifierWeights(64), bias = -0.25,
+        carry = Seq("source" -> col("source")))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
         col("logit_micro").as("quality"))
-    Tables.documents(s, dir).select(col("doc_id"), col("source"))
-      .join(scored, Seq("doc_id"))
-  }
 
   /** The c1/c1b composed-curation oracle — ONE definition for the
     * window-exact pipeline gate and its two-phase-quota scale twin, so

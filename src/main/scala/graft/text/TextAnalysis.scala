@@ -80,7 +80,14 @@ object TextAnalysis {
     * corpus).
     */
   def bpeTokenCountCol(text: Column): Column =
-    size(regexp_extract_all(text, lit(BpePattern), lit(0))).cast("long")
+    // r20 optimization: the same greedy longest-match count as
+    // `size(regexp_extract_all(text, BpePattern))` — which stays the
+    // oracle form — via the codegen'd trie-scan expression. The
+    // 165-branch java.util.regex alternation measured ~300 µs/doc at
+    // sf0.1 (1.5 s of single-task CPU per corpus pass, dominating every
+    // tokenizer-calibrated budget query); the scanner is ~µs/doc.
+    // Equivalence is property-pinned against the regex in ExprSpec.
+    TextStatsExpressions.bpeTokenCount(text, BpeVocab)
 
   /** Per-language tokenizer calibration — the t20 artifact: total
     * [[bpeTokenCountCol]] subword tokens, total whitespace tokens, and
@@ -557,19 +564,43 @@ object TextAnalysis {
     * forms; gate on `logit_micro` or a threshold flag, not on them.
     * NULL-text docs are absent from the output (the repetitionMetrics
     * contract).
+    *
+    * `carry` appends extra per-doc columns to the SAME fused projection
+    * (the repetitionMetrics hook): consumers that need e.g. the doc's
+    * source/lang alongside its score must not re-scan the corpus and
+    * self-join on doc_id to attach them — at 100 TB that join is a
+    * second corpus scan plus a corpus-sized shuffle (or an
+    * impossible broadcast) for columns the scan already had in hand.
     */
+  /** The classifier's floor-micro logit as a bare column — the
+    * hash-gate value of [[classifierScore]], exposed so pipelines that
+    * already run a fused scan (e.g. [[graft.curation.Curation.qualityFilter]]
+    * with `carry`) can compute it in THAT projection instead of scoring
+    * in a second scan and re-attaching via a doc_id self-join.
+    */
+  def logitMicroCol(text: Column, weights: Seq[Double],
+                    bias: Double): Column = {
+    val t = toks(text)
+    val z = lit(bias) +
+      graft.expr.TextStatsExpressions.hashedTfDot(t, weights) /
+        (lit(100.0) * size(t))
+    floor(z * lit(1000000.0)).cast("long")
+  }
+
   def classifierScore(df: DataFrame, text: Column, id: Column,
-                      weights: Seq[Double], bias: Double = 0.0): DataFrame = {
+                      weights: Seq[Double], bias: Double = 0.0,
+                      carry: Seq[(String, Column)] = Nil): DataFrame = {
     val t = toks(text)
     val z = lit(bias) +
       graft.expr.TextStatsExpressions.hashedTfDot(t, weights) /
         (lit(100.0) * size(t))
     df.filter(text.isNotNull).select(
-      id.as("doc_id"),
-      size(t).cast("long").as("n_tokens"),
-      floor(z * lit(1000000.0)).cast("long").as("logit_micro"),
-      round(z, 6).as("logit"),
-      round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("score"))
+      id.as("doc_id") +:
+      size(t).cast("long").as("n_tokens") +:
+      floor(z * lit(1000000.0)).cast("long").as("logit_micro") +:
+      round(z, 6).as("logit") +:
+      round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("score") +:
+      carry.map { case (n, c) => c.as(n) }: _*)
   }
 
   /** Repetition metrics (the Gopher-style repetition filters): fraction of

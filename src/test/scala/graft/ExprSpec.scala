@@ -48,6 +48,35 @@ class ExprSpec extends AnyFunSuite {
     }
   }
 
+  test("native BpeTokenCount matches size(regexp_extract_all(BpePattern))") {
+    // Tricky corpus: empty, spaces-only, leading/trailing/double spaces,
+    // newline/tab (a negated class DOES match them), uppercase (falls
+    // back per char), zh vocab chars, a surrogate pair (one code point,
+    // one count), overlapping vocab prefixes (greedy longest must win),
+    // plus random lowercase soup.
+    val rnd = new scala.util.Random(23)
+    val alphabet = "abcdefghijklmnopqrstuvwxyz .X的是"
+    val docs = Seq("", " ", "   ", "one", " the a ", "counter", "counters",
+      "countershould", "a\nb\tc", "THE The the", "的是了在我有和不",
+      "ab😀cd", "interaction", "transformation station",
+      "understanding  superuser") ++
+      Seq.fill(300)(Seq.fill(1 + rnd.nextInt(60))(
+        alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val regex = size(regexp_extract_all(col("text"),
+      lit(graft.text.TextAnalysis.BpePattern), lit(0))).cast("long")
+    val native = graft.text.TextAnalysis.bpeTokenCountCol(col("text"))
+    val bad = df.select(col("doc_id"), col("text"), regex.as("r"),
+        native.as("n"))
+      .filter(col("r") =!= col("n")).collect()
+    assert(bad.isEmpty, s"mismatches: ${bad.take(5).mkString("; ")}")
+    // NULL text propagates NULL, matching the regex form
+    val nulls = Seq((0L, null: String)).toDF("doc_id", "text")
+      .select(native.as("n")).collect()
+    assert(nulls.head.isNullAt(0))
+  }
+
   test("native RepStats matches the explode + double group-by formulation") {
     val df = randomDocs(17).zipWithIndex
       .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
