@@ -1881,21 +1881,33 @@ object Curation {
     */
   def dedupLinesFirstOccurrence(df: DataFrame, text: Column,
                                 id: Column): DataFrame = {
+    // r20 optimization: the kept set IS the min-aggregate itself — each
+    // line's single surviving (doc_id, pos) — so the output rebuilds
+    // FROM the aggregate instead of joining the flag back onto the full
+    // line stream. The former shape evaluated the explode subtree twice
+    // and shuffled the whole corpus a second time KEYED ON THE LINE
+    // TEXT; this one explodes once, and every later shuffle carries
+    // kept lines or per-doc scalars only. Dropped-count comes from the
+    // per-doc line total (a scan-side scalar), docs whose every line
+    // lost rejoin via the left join (empty clean_text, 0 kept).
     val e = df.select(id.as("doc_id"),
       posexplode(split(text, "\n")).as(Seq("pos", "line")))
-    val firsts = e.groupBy(col("line"))
+    val kept = e.groupBy(col("line"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("__first"))
-    e.join(firsts, Seq("line"))
-      .withColumn("__keep", col("doc_id") === col("__first.doc_id") &&
-        col("pos") === col("__first.pos"))
-      .groupBy(col("doc_id"))
+      .groupBy(col("__first.doc_id").as("doc_id"))
       .agg(
         array_join(transform(
-          array_sort(collect_list(when(col("__keep"),
-            struct(col("pos"), col("line"))))),
-          s => s.getField("line")), "\n").as("clean_text"),
-        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_lines_kept"),
-        sum(when(!col("__keep"), 1L).otherwise(0L)).as("n_lines_dropped"))
+          array_sort(collect_list(struct(col("__first.pos").as("pos"),
+            col("line")))),
+          s => s.getField("line")), "\n").as("__clean"),
+        count(lit(1)).as("__kept"))
+    df.filter(text.isNotNull)
+      .select(id.as("doc_id"), size(split(text, "\n")).cast("long").as("__n"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__clean"), lit("")).as("clean_text"),
+        coalesce(col("__kept"), lit(0L)).as("n_lines_kept"),
+        (col("__n") - coalesce(col("__kept"), lit(0L))).as("n_lines_dropped"))
   }
 
   /** WITHIN-document line dedup: keep only the first occurrence of each

@@ -384,7 +384,14 @@ object RedsetPipeline {
       .filter(col("table_id").isNotNull)
       .select("instance_id", "query_id", "arrival_timestamp", "query_type",
         "table_id")
-    val matched = Intervals.intervalJoin(
+    // r20 optimization: the BUCKETED interval join (j4b's shape, spec-
+    // asserted identical to intervalJoin and gated on the same oracle).
+    // The plain equi-join on (instance_id, table_id) multiplies every
+    // probe of a key against ALL of its intervals — the gate fixture
+    // alone does ~40M residual comparisons (1.8 s of CPU in one stage);
+    // a hot tenant at 100 TB is the same shape unbounded. With the
+    // day bucket in the equi key, work is per-(key, day) products.
+    val matched = Intervals.intervalJoinBucketed(
       probes, iv, Seq("instance_id", "table_id"), "arrival_timestamp")
       .select(col("instance_id"), col("query_id"), col("arrival_timestamp"),
         col("query_type"), col("table_id"), col("last_ingest_ts"),

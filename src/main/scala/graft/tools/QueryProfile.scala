@@ -35,6 +35,22 @@ object QueryProfile {
       val t0 = System.nanoTime(); val a = f
       ((System.nanoTime() - t0) / 1e9, a)
     }
+    // SPARK_GRAFT_PROFILE_STAGES=1: per-stage duration/CPU attribution
+    if (sys.env.get("SPARK_GRAFT_PROFILE_STAGES").contains("1"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val si = sc.stageInfo
+            val dur = for { s <- si.submissionTime; c <- si.completionTime }
+              yield c - s
+            val tm = si.taskMetrics
+            if (dur.exists(_ >= 50))
+              println(s"[stage] id=${si.stageId} tasks=${si.numTasks} " +
+                s"durMs=${dur.getOrElse(-1L)} runMs=${tm.executorRunTime} " +
+                s"cpuMs=${tm.executorCpuTime / 1000000}")
+          }
+        })
     names.foreach { n =>
       (1 to reps).foreach { i =>
         val (tBuild, df) = t(qs(n)(spark, sfDir))
