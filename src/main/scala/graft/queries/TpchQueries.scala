@@ -247,8 +247,13 @@ object TpchQueries {
       val sp = Tables.supplier(s, dir)
       val n = Tables.nation(s, dir)
       val r = Tables.region(s, dir).filter(col("r_name") === "EUROPE")
+      // r20 (the q21 move): partition by l_partkey ONCE — it satisfies both
+      // the (partkey, suppkey) aggregate's clustering and the per-part
+      // window's, collapsing two full shuffles of the semi-joined fact
+      // rows into one (guide §2.4).
       val ps = Tables.lineitem(s, dir)
         .join(broadcast(p.select(col("p_partkey"))), col("l_partkey") === col("p_partkey"), "left_semi")
+        .repartition(col("l_partkey"))
         .groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(min(col("l_extendedprice").cast(d2)).as("cost"))
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
@@ -288,12 +293,28 @@ object TpchQueries {
         .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
       val n2 = Tables.nation(s, dir).filter(col("n_name").isin(pair: _*))
         .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
-      Tables.lineitem(s, dir)
-        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      // r20: push the nation-pair selectivity INTO the dims before they
+      // meet the fact (guide §2.3 "project before the exchange" / §3.2
+      // "reduce the big side"). The old order ran lineitem through four
+      // joins at full width (orders, customer, supplier all broadcast
+      // UNFILTERED) and only dropped rows at the final n1/n2 joins; now
+      // the supplier⋈n1 broadcast kills 1 − 2/|nations| of the fact at
+      // the FIRST join, and orders arrives pre-semi-joined to the n2
+      // customers (12k rows instead of 150k in the broadcast).
+      val supN = Tables.supplier(s, dir)
         .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
-        .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val ordersN = Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir)
+            .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+            .select(col("c_custkey"), col("cust_nation"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("cust_nation"))
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(ordersN), col("l_orderkey") === col("o_orderkey"))
         .filter(col("supp_nation") =!= col("cust_nation"))
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).cast("long").as("l_year"))
@@ -639,6 +660,9 @@ object TpchQueries {
         .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
           col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
         .join(broadcast(pSmall), col("l_partkey") === col("p_partkey"), "left_semi")
+        // r20 (the q21 move): one l_partkey exchange shared by the
+        // aggregate and the window instead of two (guide §2.4)
+        .repartition(col("l_partkey"))
         .groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(sum(col("l_quantity").cast(d2)).as("sq"))
         .withColumn("ts", sum(col("sq")).over(w))
@@ -677,9 +701,18 @@ object TpchQueries {
         |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin) { (s, dir) =>
       val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
         .select(col("o_orderkey"), col("o_orderdate"))
+      // r20: one exchange instead of two — hash-partitioning by okey alone
+      // satisfies BOTH the (okey, skey) aggregation's clustering AND the
+      // per-order window's, so the explicit repartition is reused by the
+      // groupBy and the window (guide §2.4: two operations keyed the same
+      // way share one exchange). The former shape shuffled ~the same rows
+      // twice: once hash(okey, skey) for the aggregate (lineitem has ~1
+      // line per (order, supplier) — map-side combine absorbed nothing),
+      // then again hash(okey) for the window.
       val pos = Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
         .join(o, col("l_orderkey") === col("o_orderkey"))
+        .repartition(col("l_orderkey"))
         .groupBy(col("l_orderkey").as("okey"), col("l_suppkey").as("skey"))
         .agg(sum(when(col("l_shipdate") >
           col("o_orderdate") + expr("INTERVAL 90 DAYS"), 1L).otherwise(0L))
