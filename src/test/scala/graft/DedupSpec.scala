@@ -238,6 +238,23 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("components: driver union-find path equals the distributed loop on random graphs") {
+    val rnd = new scala.util.Random(20)
+    for (trial <- 0 until 4) {
+      val n = 80L
+      val edges = Seq.fill(70)((rnd.nextLong().abs % n, rnd.nextLong().abs % n))
+        .filter { case (a, b) => a != b }.distinct
+      val df = edges.toDF("doc_a", "doc_b")
+      spark.conf.set("spark.graft.cc.localMaxEdges", "0") // force the loop
+      val dist = try Dedup.components(df)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        finally spark.conf.set("spark.graft.cc.localMaxEdges", "250000")
+      val local = Dedup.components(df)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(local == dist, s"trial $trial")
+    }
+  }
+
   test("simHashNearPairsPortable: identical token sets pair at distance 0; banding matches brute force") {
     val pairs = Dedup.simHashNearPairsPortable(docs, col("text"), col("doc_id"),
         nBits = 24, maxDist = 2)
