@@ -42,6 +42,58 @@ object PageRank {
       .select(col("src"), col("dst"), col("w").cast("long").as("w"),
         col("outw"))
       .localCheckpoint(true) // reused every iteration
+    // r20 hybrid (the components() move): a label/category graph is a
+    // handful of nodes, yet each iteration pays a checkpointed join +
+    // aggregate — pure scheduling cost. When the checkpointed edge frame
+    // is under spark.graft.pagerank.localMaxEdges (0 disables), run the
+    // IDENTICAL integer recurrence on the driver: same floor divisions
+    // in the same order on the same longs ⇒ bit-identical ranks. NULL
+    // endpoints fall through to the distributed loop (join-semantics
+    // parity is not worth mirroring for a degenerate input).
+    val localCap = edges.sparkSession.conf
+      .get("spark.graft.pagerank.localMaxEdges", "250000").toLong
+    if (localCap > 0 && ed.count() <= localCap) {
+      val rows = ed.collect()
+      // empty graph falls through (the distributed tail returns the
+      // empty frame with the right schema; nn = 0 would divide by zero)
+      if (rows.nonEmpty &&
+          !rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) {
+        import scala.collection.mutable
+        val nodeSet = mutable.LinkedHashSet.empty[Any]
+        rows.foreach { r => nodeSet += r.get(0); nodeSet += r.get(1) }
+        val nn = nodeSet.size.toLong
+        var r0 = mutable.AnyRefMap.empty[AnyRef, Long]
+        nodeSet.foreach(n => r0(n.asInstanceOf[AnyRef]) = scale / nn)
+        for (_ <- 1 to iters) {
+          val contrib = mutable.AnyRefMap.empty[AnyRef, Long]
+          rows.foreach { e =>
+            val src = e.get(0).asInstanceOf[AnyRef]
+            val dst = e.get(1).asInstanceOf[AnyRef]
+            val w = e.getLong(2); val outw = e.getLong(3)
+            val c = (((17L * r0(src)) / 20L) * w) / outw
+            contrib(dst) = contrib.getOrElse(dst, 0L) + c
+          }
+          val base = (3L * scale) / (20L * nn)
+          val next = mutable.AnyRefMap.empty[AnyRef, Long]
+          nodeSet.foreach { n0 =>
+            val n = n0.asInstanceOf[AnyRef]
+            next(n) = base + contrib.getOrElse(n, 0L)
+          }
+          r0 = next
+        }
+        val out = new java.util.ArrayList[org.apache.spark.sql.Row](nodeSet.size)
+        nodeSet.foreach { n =>
+          out.add(org.apache.spark.sql.Row(n, r0(n.asInstanceOf[AnyRef])))
+        }
+        org.apache.spark.sql.graftbridge.Bridge.release(ed)
+        val nodeType = ed.schema("src").dataType
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node", nodeType),
+          org.apache.spark.sql.types.StructField("rank_scaled",
+            org.apache.spark.sql.types.LongType)))
+        return edges.sparkSession.createDataFrame(out, schema)
+      }
+    }
     val nodes = ed0.select(col("src").as("node"))
       .union(ed0.select(col("dst").as("node"))).distinct()
     val nn = nodes.agg(count(lit(1)).cast("long").as("nn"))

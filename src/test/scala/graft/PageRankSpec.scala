@@ -53,6 +53,19 @@ class PageRankSpec extends AnyFunSuite {
     assert(r("a") == Scale / 2 && r("b") == Scale / 2)
   }
 
+  test("driver path equals the distributed loop bit-for-bit") {
+    val rnd = new scala.util.Random(7)
+    val nodes = (0 until 12).map(i => s"n$i")
+    val edges = Seq.fill(40)((nodes(rnd.nextInt(12)), nodes(rnd.nextInt(12)),
+        (rnd.nextInt(9) + 1).toLong))
+      .filter { case (a, b, _) => a != b }.distinct
+    spark.conf.set("spark.graft.pagerank.localMaxEdges", "0")
+    val dist = try ranksOf(edges, iters = 3)
+      finally spark.conf.set("spark.graft.pagerank.localMaxEdges", "250000")
+    val local = ranksOf(edges, iters = 3)
+    assert(local == dist)
+  }
+
   test("weight asymmetry shifts rank toward the heavier target") {
     // a sends 9/10 of its mass to b, 1/10 to c; b and c both return to a
     val r = ranksOf(

@@ -35,6 +35,19 @@ class ShortestPathSpec extends AnyFunSuite {
     assert(d("b").isEmpty) // only an edge INTO s — not reachable FROM s
   }
 
+  test("driver path equals the distributed loop on random graphs") {
+    val rnd = new scala.util.Random(11)
+    val nodes = "s" +: (0 until 10).map(i => s"n$i")
+    val edges = Seq.fill(35)((nodes(rnd.nextInt(11)), nodes(rnd.nextInt(11)),
+        (rnd.nextInt(7) + 1).toLong))
+      .filter { case (a, b, _) => a != b }.distinct
+    spark.conf.set("spark.graft.sssp.localMaxEdges", "0")
+    val dist = try dists(edges, iters = 4)
+      finally spark.conf.set("spark.graft.sssp.localMaxEdges", "250000")
+    val local = dists(edges, iters = 4)
+    assert(local == dist)
+  }
+
   test("iters bounds the path length (Bellman-Ford rounds)") {
     val chain = Seq(("s", "a", 1L), ("a", "b", 1L), ("b", "c", 1L))
     val d1 = dists(chain, iters = 1)
