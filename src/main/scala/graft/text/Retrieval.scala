@@ -96,8 +96,12 @@ object Retrieval {
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
 
-    val dl = tokens(df, text, id).groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("dl"))
+    // r20: doc length is size(split(text)) — a scan-side projection, not
+    // a second corpus explode + doc-keyed shuffle (guide §2.4). The
+    // isNotNull filter mirrors the explode form exactly: a NULL text
+    // exploded to zero rows, so it never had a dl row.
+    val dl = df.filter(text.isNotNull)
+      .select(id.as("doc_id"), size(split(text, " ")).cast("long").as("dl"))
     val g = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
 
     val idf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -218,20 +222,29 @@ object Retrieval {
     */
   def tfidfKeywords(df: DataFrame, text: org.apache.spark.sql.Column,
                     id: org.apache.spark.sql.Column, k: Int): DataFrame = {
-    val tf = termFrequencies(df, text, id)
-    val g = df.agg(count(lit(1)).as("n_docs"))
-    val idf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(g))
-      .select(col("term"),
-        round(log((col("n_docs").cast("double") + 1.0) /
-          (col("df").cast("double") + 0.5)), 6)
-          .cast("decimal(18,6)").as("idf6"))
     import org.apache.spark.sql.expressions.Window
+    // r20 (the q21 move on the postings): the old shape evaluated the
+    // explode→groupBy postings TWICE (once for idf, once for the score
+    // join) across ~5 exchanges. Partitioning the token stream by term
+    // ONCE satisfies the (term, doc) aggregate's clustering, and the
+    // per-term document frequency is then a count window over the SAME
+    // exchange instead of a second aggregate joined back — one explode,
+    // two exchanges total (term, then doc for the rank window).
+    val wt = Window.partitionBy(col("term"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val tf = tokens(df, text, id)
+      .repartition(col("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("df", count(lit(1)).over(wt))
+    val g = df.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score6").desc, col("term"))
-    tf.join(idf, Seq("term"))
+    tf.crossJoin(broadcast(g))
       .select(col("doc_id"), col("term"),
-        round(col("idf6").cast("double") * col("tf"), 6)
+        round(round(log((col("n_docs").cast("double") + 1.0) /
+            (col("df").cast("double") + 0.5)), 6).cast("decimal(18,6)")
+            .cast("double") * col("tf"), 6)
           .cast("decimal(18,6)").as("score6"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
