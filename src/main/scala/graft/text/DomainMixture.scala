@@ -73,6 +73,57 @@ object DomainMixture {
     require(etaPermille >= 0 && smoothPermille >= 0 &&
       smoothPermille <= 1000, "eta >= 0, 0 <= smooth <= 1000")
     val perDomain = perDomain0.localCheckpoint(true)
+    // r20 hybrid (the PageRank/components move): the k-step loop runs
+    // over a |D|-row frame — tens of domains — yet pays a checkpoint +
+    // 1-row aggregate + broadcast cross join PER STEP. Under
+    // spark.graft.mixture.localMaxDomains (0 disables), run the
+    // identical integer recurrence on the driver off the checkpoint's
+    // blocks: same floor divisions on the same longs in the same order
+    // ⇒ bit-identical weights. NULL domains or an empty frame fall
+    // through to the unchanged loop (which also keeps ANSI's
+    // divide-by-zero behavior for the degenerate empty corpus).
+    val localCap = perDomain0.sparkSession.conf
+      .get("spark.graft.mixture.localMaxDomains", "100000").toLong
+    if (localCap > 0 && perDomain.count() <= localCap) {
+      val rows = perDomain.collect()
+      if (rows.nonEmpty &&
+          !rows.exists(r => r.isNullAt(0) || r.isNullAt(2))) {
+        val nd = rows.length.toLong
+        val gsum = rows.map(_.getLong(2)).sum
+        val gn = rows.map(_.getLong(1)).sum
+        val gmean = gsum / gn
+        case class D(domain: Any, nDocs: Long, mean: Long, excess: Long,
+                     var w: Long)
+        val uniform = 1000000L / nd
+        val ds = rows.map { r =>
+          val mean = r.getLong(2) / r.getLong(1)
+          D(r.get(0), r.getLong(1), mean, math.max(mean - gmean, 0L),
+            uniform)
+        }
+        for (_ <- 1 to k) {
+          val us = ds.map(d =>
+            (d.w * (1000000L + (etaPermille * d.excess) / 1000L)) / 1000000L)
+          val su = us.sum
+          ds.zip(us).foreach { case (d, u) => d.w = (u * 1000000L) / su }
+        }
+        val out = new java.util.ArrayList[org.apache.spark.sql.Row](ds.length)
+        ds.foreach { d =>
+          out.add(org.apache.spark.sql.Row(d.domain, d.nDocs, d.mean,
+            d.excess,
+            ((1000L - smoothPermille) * d.w) / 1000L +
+              (smoothPermille * uniform) / 1000L))
+        }
+        Bridge.release(perDomain)
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("domain", perDomain.schema("domain").dataType),
+          StructField("n_docs", LongType),
+          StructField("mean_loss_micro", LongType),
+          StructField("excess_micro", LongType),
+          StructField("weight_micro", LongType)))
+        return perDomain0.sparkSession.createDataFrame(out, schema)
+      }
+    }
     // global mean over the |D|-row frame (1-row broadcast, never a
     // second corpus pass); nDomains rides the same scalar
     val globals = perDomain
