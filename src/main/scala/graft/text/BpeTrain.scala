@@ -115,9 +115,92 @@ object BpeTrain {
     * 1-row argmax collect (bounded — the iteration must sequence on the
     * chosen pair), one map-only fold.
     */
+  /** [[applyMergeCol]]'s greedy fold mirrored on a plain string — the
+    * r20 driver path below must reproduce the Column fold bit-for-bit:
+    * the condition `acc == l || acc.endsWith("|" + l)` is exactly "the
+    * segment after the last pipe is l" (segments never contain '|'),
+    * which `last` tracks across merged (no-separator) appends.
+    */
+  private def applyMergeLocal(syms: String, lft: String,
+                              rgt: String): String = {
+    val arr = syms.split("\\|", -1)
+    if (arr.length <= 1) syms
+    else {
+      val sb = new StringBuilder(arr(0))
+      var last = arr(0)
+      var i = 1
+      while (i < arr.length) {
+        val x = arr(i)
+        if (x == rgt && last == lft) { sb.append(x); last = lft + rgt }
+        else { sb.append('|').append(x); last = x }
+        i += 1
+      }
+      sb.toString
+    }
+  }
+
   def trainMerges(words0: DataFrame, k: Int): (Seq[Merge], DataFrame) = {
     require(k >= 1, s"k must be >= 1, got $k")
     var words = words0.localCheckpoint(true)
+    // r20 hybrid (the components/PageRank/mixture move): the merge loop
+    // runs k rounds of (pair-count shuffle + 1-row argmax collect +
+    // checkpointed map fold) over the |V|-row vocab frame — for the
+    // corpora where |V| fits the driver, that is k × ~3 jobs of fixed
+    // cost around microseconds of work. Under
+    // spark.graft.bpe.localMaxVocab (0 disables), collect the
+    // checkpointed vocab once and run classic word-freq BPE locally:
+    // the same adjacent-pair counting weighted by cnt, the same
+    // (count DESC, lft ASC, rgt ASC) argmax (lowercase-ASCII symbols,
+    // so JVM and UTF8 string orders agree), and applyMergeLocal
+    // mirroring applyMergeCol's fold — hash-gated t21/t22/t23/t28
+    // pin the equivalence at both SFs. NULLs fall through to the loop.
+    val localCap = words0.sparkSession.conf
+      .get("spark.graft.bpe.localMaxVocab", "200000").toLong
+    if (localCap > 0 && words.count() <= localCap) {
+      val rows = words.collect()
+      if (!rows.exists(r => r.isNullAt(0) || r.isNullAt(1) || r.isNullAt(2))) {
+        import scala.collection.mutable
+        var vocab = rows.map(r => (r.getString(0), r.getString(1),
+          r.getLong(2)))
+        val ms = Seq.newBuilder[Merge]
+        var step = 1
+        var dryL = false
+        while (step <= k && !dryL) {
+          val pc = mutable.HashMap.empty[(String, String), Long]
+          vocab.foreach { case (_, syms, cnt) =>
+            val a = syms.split("\\|", -1)
+            var i = 0
+            while (i < a.length - 1) {
+              val key = (a(i), a(i + 1))
+              pc(key) = pc.getOrElse(key, 0L) + cnt
+              i += 1
+            }
+          }
+          if (pc.isEmpty) dryL = true
+          else {
+            val ((l, r), c) = pc.minBy { case ((pl, pr), pcnt) =>
+              (-pcnt, pl, pr)
+            }
+            ms += Merge(step, l, r, c)
+            vocab = vocab.map { case (w, syms, cnt) =>
+              (w, applyMergeLocal(syms, l, r), cnt)
+            }
+            step += 1
+          }
+        }
+        Bridge.release(words)
+        val out = new java.util.ArrayList[org.apache.spark.sql.Row](vocab.length)
+        vocab.foreach { case (w, syms, cnt) =>
+          out.add(org.apache.spark.sql.Row(w, syms, cnt))
+        }
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("word", StringType), StructField("syms", StringType),
+          StructField("cnt", LongType)))
+        return (ms.result(),
+          words0.sparkSession.createDataFrame(out, schema))
+      }
+    }
     val merges = Seq.newBuilder[Merge]
     var step = 1
     var dry = false
@@ -411,6 +494,39 @@ object BpeTrain {
     val spark = words0.sparkSession
     import spark.implicits._
     var words = words0.localCheckpoint(true)
+    // r20 hybrid (the trainMerges move, same knob): k checkpointed merge
+    // applications + k census collects over the |V|-row vocab frame are
+    // pure fixed cost when |V| fits the driver — apply the merges with
+    // applyMergeLocal and census locally (long sums, order-independent,
+    // bit-identical). NULLs fall through to the loop.
+    val localCap = spark.conf
+      .get("spark.graft.bpe.localMaxVocab", "200000").toLong
+    if (localCap > 0 && words.count() <= localCap) {
+      val rows = words.collect()
+      if (!rows.exists(r => r.isNullAt(1) || r.isNullAt(2))) {
+        var vocab = rows.map(r => (r.getString(1), r.getLong(2)))
+        def censusL(step: Int): (Int, Long, Long) = {
+          var nw = 0L; var ns = 0L
+          vocab.foreach { case (syms, cnt) =>
+            nw += cnt; ns += cnt * syms.split("\\|", -1).length
+          }
+          (step, nw, ns)
+        }
+        val curveL = Seq.newBuilder[(Int, Long, Long)]
+        curveL += censusL(0)
+        merges.sortBy(_._1).foreach { case (step, lft, rgt) =>
+          vocab = vocab.map { case (syms, cnt) =>
+            (applyMergeLocal(syms, lft, rgt), cnt)
+          }
+          curveL += censusL(step)
+        }
+        Bridge.release(words)
+        return curveL.result()
+          .filter { case (_, nw, _) => nw > 0L }
+          .map { case (s, nw, ns) => (s.toLong, nw, ns, ns * 1000000L / nw) }
+          .toDF("step", "n_words", "n_subwords", "fertility_micro")
+      }
+    }
     // an EMPTY word frame (empty corpus) yields NULL sums — emit the
     // degenerate empty curve instead of NPE-ing on getLong / dividing
     // by a zero word count (word counts are constant across merge

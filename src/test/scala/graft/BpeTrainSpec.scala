@@ -57,6 +57,28 @@ class BpeTrainSpec extends AnyFunSuite {
     org.apache.spark.sql.graftbridge.Bridge.release(vocab)
   }
 
+  test("trainMerges: driver path equals the distributed loop on random corpora") {
+    val rnd = new scala.util.Random(13)
+    for (trial <- 0 until 3) {
+      val vocabWords = Seq.fill(30)(
+        (1 to (rnd.nextInt(6) + 2)).map(_ => ('a' + rnd.nextInt(5)).toChar)
+          .mkString)
+      val corpus = Seq.fill(120)(vocabWords(rnd.nextInt(30))).mkString(" ")
+      val words = BpeTrain.wordFreq(Seq(corpus).toDF("text"), col("text"))
+      spark.conf.set("spark.graft.bpe.localMaxVocab", "0")
+      val (mD, vD) = try BpeTrain.trainMerges(words, 5)
+        finally spark.conf.set("spark.graft.bpe.localMaxVocab", "200000")
+      val distVocab = vD.select("word", "syms", "cnt")
+        .as[(String, String, Long)].collect().sorted.toSeq
+      org.apache.spark.sql.graftbridge.Bridge.release(vD)
+      val (mL, vL) = BpeTrain.trainMerges(words, 5)
+      val localVocab = vL.select("word", "syms", "cnt")
+        .as[(String, String, Long)].collect().sorted.toSeq
+      assert(mL == mD, s"trial $trial merges")
+      assert(localVocab == distVocab, s"trial $trial vocab")
+    }
+  }
+
   test("trainMerges runs dry gracefully when pairs are exhausted") {
     // Single 2-char word: exactly one merge possible, then no pairs left.
     val words = BpeTrain.wordFreq(Seq("ab").toDF("text"), col("text"))
