@@ -124,6 +124,30 @@ object Curation {
       sig <=> col("__sig") && id === col("__kid"), "left_semi")
   }
 
+  /** [[keepOneExact]] reduced to the WINNER KEYS (r20): when the caller
+    * only needs the kept ids plus per-row columns OF THE WINNER, the
+    * min-aggregate IS the answer — `min(struct(id, carries…))` per
+    * signature group (ids are globally unique under the composed
+    * pipelines' existing contract, so the struct min never consults the
+    * carry fields) — ONE scan and ONE shuffle instead of
+    * [[keepOneExact]]'s two evaluations plus the probe-side semi join.
+    * Null-id rows are dropped (the keepOneExact contract); a NULL
+    * signature (NULL text) forms its own group exactly as the
+    * null-safe-equal probe did. Output: `doc_id` + the carry columns.
+    */
+  def keepOneExactIds(df: DataFrame, text: Column, id: Column,
+                      hashSig: Boolean = false,
+                      carry: Seq[(String, Column)] = Nil): DataFrame = {
+    val sig = keepOneSig(text, hashSig)
+    df.filter(id.isNotNull)
+      .select(sig.as("__sig"),
+        struct(id.as("doc_id") +:
+          carry.map { case (n, c) => c.as(n) }: _*).as("__r"))
+      .groupBy(col("__sig")).agg(min(col("__r")).as("__r"))
+      .select(col("__r.doc_id") +:
+        carry.map { case (n, _) => col(s"__r.$n") }: _*)
+  }
+
   /** The keep-one group/probe key: canonical sorted distinct token set,
     * optionally collapsed to its xxhash64 (8 bytes on the wire — the
     * only part of the row either keep-one shape ever shuffles).
@@ -2578,8 +2602,9 @@ object Curation {
     val q = docs.join(qKeep, Seq("doc_id"))
     val contaminated = decontaminate(q, evalDocs).localCheckpoint(true)
     val clean = q.join(contaminated, Seq("doc_id"), "left_anti")
-    val survivors = keepOneExact(clean, col("text"), col("doc_id"), hs)
-      .select(col("doc_id"))
+    // r20: ids-only keep-one — the min aggregate is the survivor set,
+    // no probe-side re-eval/semi-join (keepOneExactIds)
+    val survivors = keepOneExactIds(clean, col("text"), col("doc_id"), hs)
     val stage = docs.select(col("doc_id"))
       .join(qKeep.withColumn("__q", lit(1)), Seq("doc_id"), "left")
       .join(contaminated.withColumn("__c", lit(1)), Seq("doc_id"), "left")
@@ -2691,9 +2716,8 @@ object Curation {
       else TextAnalysis.ccnetKeepIds(docs.join(s2, Seq("doc_id")),
         col("text"), col("doc_id"), col("lang")))
       .localCheckpoint(true)
-    val survivors = keepOneExact(docs.join(cKeep, Seq("doc_id")),
-        col("text"), col("doc_id"), hs)
-      .select(col("doc_id"))
+    val survivors = keepOneExactIds(docs.join(cKeep, Seq("doc_id")),
+      col("text"), col("doc_id"), hs)
     // flags already has exactly one row per doc, so the label chain
     // starts FROM the checkpointed flags frame — no corpus re-scan.
     // NULL-text docs carry NULL flags and exit at the rules stage.
@@ -2765,8 +2789,8 @@ object Curation {
     val contaminated = decontaminate(q, evalDocs)
     val clean = q.join(contaminated, Seq("doc_id"), "left_anti")
     // O(ids) again: survivors of the signature window, plus their split.
-    val dedupedIds = keepOneExact(clean, col("text"), col("doc_id"), hs)
-      .select(col("doc_id"), splitColumn(col("text")).as("split"))
+    val dedupedIds = keepOneExactIds(clean, col("text"), col("doc_id"), hs,
+        carry = Seq("split" -> splitColumn(col("text"))))
       .localCheckpoint(true)
     Bridge.release(keepIds) // dedupedIds subsumes it
     // Rehydrate text/source for packing with one more scan of `docs`
@@ -2835,8 +2859,8 @@ object Curation {
     val q = docs.join(keep2.select(col("doc_id")), Seq("doc_id"))
     val contaminated = decontaminate(q, evalDocs)
     val clean = q.join(contaminated, Seq("doc_id"), "left_anti")
-    val dedupedIds = keepOneExact(clean, col("text"), col("doc_id"), hs)
-      .select(col("doc_id"), splitColumn(col("text")).as("split"))
+    val dedupedIds = keepOneExactIds(clean, col("text"), col("doc_id"), hs,
+        carry = Seq("split" -> splitColumn(col("text"))))
       .localCheckpoint(true)
     val hydrated = docs.join(dedupedIds, Seq("doc_id"))
       .join(keep2, Seq("doc_id"))
@@ -2893,7 +2917,14 @@ object Curation {
         col("stopword_ratio") <= maxStopwordRatio &&
         col("lang_score") >= minLangScore &&
         hashSampleFilter(col("text"), samplePct))
-    val deduped = keepOneExact(kept, col("text"), col("doc_id"))
+    // r20: ids+carries keep-one — text is dropped right here anyway, so
+    // the min-struct aggregate delivers the 5 output columns in ONE
+    // scan/shuffle (keepOneExactIds), no probe-side re-eval of the
+    // scoring chain and no semi-join back.
+    val deduped = keepOneExactIds(kept, col("text"), col("doc_id"),
+      carry = Seq("source" -> col("source"), "lang_pred" -> col("lang_pred"),
+        "n_tokens" -> col("n_tokens"),
+        "stopword_ratio" -> col("stopword_ratio")))
     // scalableQuota = the skew-proof two-phase fill (identical keep
     // set): "longest first" becomes the ascending -n_tokens sort key.
     // The fill's histogram+fill DOUBLE-EVAL would re-run the whole
@@ -2901,11 +2932,7 @@ object Curation {
     // narrow output columns as an O(ids) checkpoint (the
     // curationFunnel/ccnetKeepIdsScalable precedent — scoring
     // dominates this pipeline's cost, the fill itself is scan-shaped)
-    val qin =
-      if (sq) deduped.select(col("doc_id"), col("source"), col("lang_pred"),
-          col("n_tokens"), col("stopword_ratio"))
-        .localCheckpoint(true)
-      else deduped
+    val qin = if (sq) deduped.localCheckpoint(true) else deduped
     val quotad = quotaPerKey(qin, col("source"), quotaPerSource,
       Seq(col("n_tokens").desc, col("doc_id")), scalable = Some(sq))
     quotad.select(col("doc_id"), col("source"), col("lang_pred"),
