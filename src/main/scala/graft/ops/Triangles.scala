@@ -30,6 +30,67 @@ object Triangles {
     */
   def countWithCoefficient(pairs: DataFrame): DataFrame = {
     val p = pairs.toDF("a", "b").localCheckpoint(true)
+    // r20 hybrid (the components/PageRank move): three equi-joins + two
+    // checkpoints over a pair set that the dedup graphs keep in the low
+    // thousands is fixed cost. Under spark.graft.triangles.localMaxEdges
+    // (0 disables), run the IDENTICAL degree-oriented enumeration on the
+    // driver off the checkpoint's blocks — same (degree, id) orientation,
+    // same (dv,v)<(dw,w) wedge order, same oriented-edge closing test,
+    // same Σ d(d−1)/2 wedge total, and the coefficient through the same
+    // HALF_UP 6-decimal rounding Spark's round() applies. Long vertex
+    // ids only; NULLs fall through to the distributed joins.
+    val localCap = pairs.sparkSession.conf
+      .get("spark.graft.triangles.localMaxEdges", "250000").toLong
+    val pIsLong = p.schema.fields
+      .forall(_.dataType == org.apache.spark.sql.types.LongType)
+    if (pIsLong && localCap > 0 && p.count() <= localCap) {
+      val rows = p.collect()
+      if (!rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) {
+        import scala.collection.mutable
+        val deg = mutable.LongMap.empty[Long].withDefaultValue(0L)
+        rows.foreach { r =>
+          deg(r.getLong(0)) += 1L; deg(r.getLong(1)) += 1L
+        }
+        val out = mutable.LongMap.empty[mutable.ArrayBuffer[Long]]
+        val oset = mutable.HashSet.empty[(Long, Long)]
+        rows.foreach { r =>
+          val a = r.getLong(0); val b = r.getLong(1)
+          val aFirst = deg(a) < deg(b) || (deg(a) == deg(b) && a < b)
+          val (s, d) = if (aFirst) (a, b) else (b, a)
+          out.getOrElseUpdate(s, mutable.ArrayBuffer.empty[Long]) += d
+          oset += ((s, d))
+        }
+        var tri = 0L
+        out.valuesIterator.foreach { ds =>
+          var i = 0
+          while (i < ds.length) {
+            var j = 0
+            while (j < ds.length) {
+              val v = ds(i); val w = ds(j)
+              if ((deg(v) < deg(w) || (deg(v) == deg(w) && v < w)) &&
+                  oset.contains((v, w))) tri += 1L
+              j += 1
+            }
+            i += 1
+          }
+        }
+        val wed = deg.valuesIterator.map(d => (d * (d - 1)) / 2).sum
+        val coeff =
+          if (wed > 0)
+            java.math.BigDecimal.valueOf(3.0 * tri / wed)
+              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+          else 0.0
+        org.apache.spark.sql.graftbridge.Bridge.release(p)
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("n_triangles", LongType),
+          StructField("n_wedges", LongType),
+          StructField("clustering_coeff", DoubleType)))
+        return pairs.sparkSession.createDataFrame(
+          java.util.Arrays.asList(org.apache.spark.sql.Row(tri, wed, coeff)),
+          schema)
+      }
+    }
     val deg = p.select(col("a").as("v"))
       .unionAll(p.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).cast("long").as("dg"))

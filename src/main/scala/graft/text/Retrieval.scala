@@ -226,17 +226,26 @@ object Retrieval {
     // r20 (the q21 move on the postings): the old shape evaluated the
     // explode→groupBy postings TWICE (once for idf, once for the score
     // join) across ~5 exchanges. Partitioning the token stream by term
-    // ONCE satisfies the (term, doc) aggregate's clustering, and the
-    // per-term document frequency is then a count window over the SAME
-    // exchange instead of a second aggregate joined back — one explode,
-    // two exchanges total (term, then doc for the rank window).
-    val wt = Window.partitionBy(col("term"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val tf = tokens(df, text, id)
+    // ONCE satisfies the (term, doc) aggregate's clustering, the per-term
+    // document frequency is a second aggregate over the SAME exchange
+    // (hash(term) partitioning survives the groupBy), and the join-back
+    // is partition-local — one explode, two exchanges total (term, then
+    // doc for the rank window). Deliberately NOT a count window over
+    // partitionBy(term): WindowExec buffers a partition group in memory,
+    // and a stopword's postings are corpus-sized — the aggregate+join
+    // shape streams a hot term instead of funneling it.
+    val tfBase = tokens(df, text, id)
       .repartition(col("term"))
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
-      .withColumn("df", count(lit(1)).over(wt))
+    val dfCnt = tfBase.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // MERGE hint: both sides are hash(term)-partitioned already, so the
+    // sort-merge join is exchange-free and the dfCnt side's scan reuses
+    // tfBase's exchange (AQE stage reuse); the planner's auto-broadcast
+    // would instead re-derive dfCnt through its own exchange. At 100 TB
+    // dfCnt is vocab-sized — partition-local is the right strategy there
+    // too, not a broadcast.
+    val tf = tfBase.join(dfCnt.hint("MERGE"), Seq("term"))
     val g = df.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score6").desc, col("term"))

@@ -146,7 +146,11 @@ class PlanShapeSpec extends AnyFunSuite {
     val pairs = graft.dedup.Dedup.jaccardPairsPrefix(docs, col("text"),
         col("doc_id"), blockCol = "source", threshold = 0.9)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
-    val res = graft.ops.Triangles.countWithCoefficient(pairs)
+    // force the DISTRIBUTED path — this test pins the at-scale plan's
+    // join strategy; the r20 driver fast path is pinned by TrianglesSpec
+    spark.conf.set("spark.graft.triangles.localMaxEdges", "0")
+    val res = try graft.ops.Triangles.countWithCoefficient(pairs)
+      finally spark.conf.set("spark.graft.triangles.localMaxEdges", "250000")
     res.collect() // finalize the adaptive plan
     // the AQE plan string appends the pre-adaptive "== Initial Plan ==",
     // which legitimately contains the sort-merge fallback — assert on the

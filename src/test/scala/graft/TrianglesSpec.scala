@@ -44,6 +44,18 @@ class TrianglesSpec extends AnyFunSuite {
     assert(count(Seq((7L, 9L))) == ((0L, 0L, 0.0)))
   }
 
+  test("driver path equals the distributed joins bit-for-bit") {
+    val rnd = new scala.util.Random(29)
+    val edges = Seq.fill(60)((rnd.nextLong().abs % 20, rnd.nextLong().abs % 20))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    spark.conf.set("spark.graft.triangles.localMaxEdges", "0")
+    val dist = try count(edges)
+      finally spark.conf.set("spark.graft.triangles.localMaxEdges", "250000")
+    val local = count(edges)
+    assert(local == dist)
+  }
+
   test("matches the orientation-free canonical-triple join on a dense graph") {
     // deterministic pseudo-random graph: edge (i, j) iff hash condition
     val edges = (for {
