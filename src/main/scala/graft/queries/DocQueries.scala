@@ -4109,8 +4109,12 @@ object DocQueries {
     // store (c53's oracle reached through the reader-isolated path):
     // the drive bootstraps with a REPLAYED batch 0 (the `applied`
     // watermark makes the second fold a true no-op — double-counted
-    // deltas would flip the dup panel) and squashes through a
-    // compaction before the audit reads it.
+    // deltas would flip the dup panel) and runs the compaction entry
+    // point before the audit reads it. NB (r19 advice): with one real
+    // fold the store holds a single segment, so that compaction commits
+    // nothing (foldable <= 1) — the multi-segment compaction commit is
+    // exercised by the c63 drive and CommittedSigStoreSpec; here the
+    // call pins only that a no-op compaction leaves the audit intact.
     QDef("c68_refresh_audit_committed",
       """WITH b AS (
         |  SELECT doc_id,
